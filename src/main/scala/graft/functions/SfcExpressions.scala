@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
+
+import graft.core.{Geometry, Morton, Polygon}
+
+/** Native Catalyst expressions for the SFC kernels — pure long bit-ops,
+  * so `doGenCode` emits a direct static call that stays inside
+  * whole-stage codegen (no UDF boxing, no closure serialization).
+  * Replaces the reference's numba-JIT kernels (pcsfc/encoder.py:8-48,
+  * decoder.py:4-80) at the expression level.
+  */
+case class MortonEncode2D(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "morton_encode2d"
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    Morton.encode(x.asInstanceOf[Long], y.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y) => s"graft.core.Morton.encode($x, $y)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+case class MortonDecode2DX(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "morton_decode2d_x"
+  override protected def nullSafeEval(m: Any): Any =
+    Morton.decodeX(m.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, m => s"graft.core.Morton.decodeX($m)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class MortonDecode2DY(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "morton_decode2d_y"
+  override protected def nullSafeEval(m: Any): Any =
+    Morton.decodeY(m.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, m => s"graft.core.Morton.decodeY($m)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Even-odd point-in-polygon against a query-constant polygon (rings
+  * broadcast into the generated class as a reference object). Codegen
+  * calls the same static kernel the interpreted path uses — semantics
+  * of the reference's ST_Within refinement (retrieve_data.py:76-83),
+  * boundary points excluded by fixture convention.
+  */
+case class PointInPolygon(left: Expression, right: Expression, polygon: Polygon)
+    extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "point_in_polygon"
+  @transient private lazy val rings = polygon.rings
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    Geometry.pointInRings(x.asInstanceOf[Double], y.asInstanceOf[Double], rings)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ringsRef = ctx.addReferenceObj("rings", polygon.rings, "double[][]")
+    defineCodeGen(ctx, ev, (x, y) => s"graft.core.Geometry.pointInRings($x, $y, $ringsRef)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** Column-level API over the expressions above. */
+object sfc {
+  private def expr(c: Column): Expression = GraftBridge.expression(c)
+  private def col(e: Expression): Column = GraftBridge.column(e)
+
+  /** Interleave two non-negative long grid coordinates into a Morton key. */
+  def morton_encode(x: Column, y: Column): Column = col(MortonEncode2D(expr(x), expr(y)))
+
+  /** Even-bit (x) component of a Morton key. */
+  def morton_x(m: Column): Column = col(MortonDecode2DX(expr(m)))
+
+  /** Odd-bit (y) component of a Morton key. */
+  def morton_y(m: Column): Column = col(MortonDecode2DY(expr(m)))
+
+  /** True iff (x, y) is strictly inside the polygon (even-odd rule, holes ok). */
+  def point_in_polygon(x: Column, y: Column, polygon: Polygon): Column =
+    col(PointInPolygon(expr(x), expr(y), polygon))
+}

@@ -1,0 +1,120 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Bbox, Circle}
+import graft.operators.{BlockedCloud, ImportSpec, PointCloud}
+
+/** The reference's query surface (suites A/B/C/D, scripts/query_*.json)
+  * over a deterministic point cloud synthesized from lineitem so DuckDB
+  * can run the same selection as plain arithmetic SQL (FIXTURES.md §A):
+  * integer grid, no float boundary flakiness.
+  */
+object PointCloudQueries {
+
+  /** Deterministic synthetic (x, y, z) — must stay textually in lockstep
+    * with the `pts` CTE in [[ptsCte]]. */
+  def rawPoints(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet").select(
+      ((col("l_orderkey") * 17 + col("l_linenumber") * 131) % 8192)
+        .cast("double").as("x"),
+      ((col("l_partkey") * 29 + col("l_suppkey") * 197) % 8192)
+        .cast("double").as("y"),
+      col("l_quantity").as("z"))
+
+  private val ptsCte =
+    "WITH pts AS (SELECT (l_orderkey * 17 + l_linenumber * 131) % 8192 AS x, " +
+      "(l_partkey * 29 + l_suppkey * 197) % 8192 AS y, " +
+      "ROUND(l_quantity, 2) AS z FROM lineitem)"
+
+  /** Import once per test dir, persist sorted blocks + metadata to a
+    * local cache, and reopen lazily — queries then scan stats-bearing
+    * parquet exactly as a long-lived deployment would. */
+  def cloud(spark: SparkSession, dir: String): BlockedCloud = synchronized {
+    val cacheDir = s"/tmp/graft_pc_cache/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    if (!Files.exists(Paths.get(s"$cacheDir/meta/_SUCCESS"))) {
+      val c = PointCloud.importPoints(rawPoints(spark, dir), ImportSpec(name = "li_pts"))
+      PointCloud.write(c, cacheDir)
+    }
+    PointCloud.read(spark, cacheDir)
+  }
+
+  /** Query results as (x: long, y: long, z: double) on the integer grid. */
+  private def xyz(df: DataFrame): DataFrame =
+    df.select(col("x").cast("long").as("x"), col("y").cast("long").as("y"), col("z"))
+
+  // Geometry fixtures (FIXTURES.md §A; shapes mirror suite classes
+  // small/large/empty/narrow rect, circle, polygon, polygon-with-hole,
+  // maxz/minz, knn — scripts/query_20m.json A1-A7, query_210m.json B10-B12,
+  // query_23090m.json D16/D18-D21)
+  private val bboxSmall = Bbox(1000, 1300, 2000, 2300)
+  private val bboxLarge = Bbox(512, 4096, 512, 4096)
+  private val bboxEmpty = Bbox(9000, 9500, 9000, 9500)
+  private val bboxNarrow = Bbox(4000, 4001, 0, 8191)
+  private val circle = Circle(3000.5, 3000.5, 200.3)
+  private val polySimpleWkt = // L-shaped: SQL-expressible as two rectangles
+    "POLYGON ((500.5 500.5, 3000.5 500.5, 3000.5 1500.5, 1500.5 1500.5, " +
+      "1500.5 3000.5, 500.5 3000.5, 500.5 500.5))"
+  private val polyHoleWkt =
+    "POLYGON ((1000.5 1000.5, 4000.5 1000.5, 4000.5 4000.5, 1000.5 4000.5, 1000.5 1000.5), " +
+      "(2000.5 2000.5, 3000.5 2000.5, 3000.5 3000.5, 2000.5 3000.5, 2000.5 2000.5))"
+
+  private def bboxSql(b: Bbox): String =
+    s"x BETWEEN ${b.xMin.toLong} AND ${b.xMax.toLong} AND y BETWEEN ${b.yMin.toLong} AND ${b.yMax.toLong}"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pc_bbox_small" -> ((s, d) => xyz(cloud(s, d).bboxQuery(bboxSmall))),
+    "pc_bbox_large" -> ((s, d) => xyz(cloud(s, d).bboxQuery(bboxLarge))),
+    "pc_bbox_empty" -> ((s, d) => xyz(cloud(s, d).bboxQuery(bboxEmpty))),
+    "pc_bbox_narrow" -> ((s, d) => xyz(cloud(s, d).bboxQuery(bboxNarrow))),
+    "pc_circle" -> ((s, d) => xyz(cloud(s, d).circleQuery(circle))),
+    "pc_poly_simple" -> ((s, d) => xyz(cloud(s, d).polygonQuery(polySimpleWkt))),
+    "pc_poly_hole" -> ((s, d) => xyz(cloud(s, d).polygonQuery(polyHoleWkt))),
+    "pc_bbox_maxz" -> ((s, d) => {
+      val c = cloud(s, d); xyz(c.withMaxZ(c.bboxQuery(bboxLarge), 25.0))
+    }),
+    "pc_bbox_minz" -> ((s, d) => {
+      val c = cloud(s, d); xyz(c.withMinZ(c.bboxQuery(bboxLarge), 10.0))
+    }),
+    "pc_knn" -> ((s, d) => xyz(cloud(s, d).knn(3000.5, 3000.5, 100))),
+    "pc_histogram" -> ((s, d) => cloud(s, d).histogram),
+    "pc_metadata" -> ((s, d) => {
+      val m = cloud(s, d).metadataDf
+      m.select(col("pointCount").as("point_count"),
+        col("xMin").cast("long").as("x_min"), col("xMax").cast("long").as("x_max"),
+        col("yMin").cast("long").as("y_min"), col("yMax").cast("long").as("y_max"),
+        col("zMin").as("z_min"), col("zMax").as("z_max"))
+    }),
+    // naive full-scan control (no SFC pruning) — same answer as
+    // pc_bbox_large; exists to demonstrate the layout win in BENCH
+    "pc_bbox_naive" -> ((s, d) => xyz(rawPoints(s, d).filter(
+      col("x") >= bboxLarge.xMin && col("x") <= bboxLarge.xMax &&
+        col("y") >= bboxLarge.yMin && col("y") <= bboxLarge.yMax))))
+
+  val oracleSql: Map[String, String] = Map(
+    "pc_bbox_small" -> s"$ptsCte SELECT x, y, z FROM pts WHERE ${bboxSql(bboxSmall)}",
+    "pc_bbox_large" -> s"$ptsCte SELECT x, y, z FROM pts WHERE ${bboxSql(bboxLarge)}",
+    "pc_bbox_empty" -> s"$ptsCte SELECT x, y, z FROM pts WHERE ${bboxSql(bboxEmpty)}",
+    "pc_bbox_narrow" -> s"$ptsCte SELECT x, y, z FROM pts WHERE ${bboxSql(bboxNarrow)}",
+    "pc_circle" -> (s"$ptsCte SELECT x, y, z FROM pts WHERE " +
+      "(x - 3000.5) * (x - 3000.5) + (y - 3000.5) * (y - 3000.5) <= 200.3 * 200.3"),
+    "pc_poly_simple" -> (s"$ptsCte SELECT x, y, z FROM pts WHERE " +
+      "(x BETWEEN 501 AND 3000 AND y BETWEEN 501 AND 1500) OR " +
+      "(x BETWEEN 501 AND 1500 AND y BETWEEN 501 AND 3000)"),
+    "pc_poly_hole" -> (s"$ptsCte SELECT x, y, z FROM pts WHERE " +
+      "x BETWEEN 1001 AND 4000 AND y BETWEEN 1001 AND 4000 AND NOT " +
+      "(x BETWEEN 2001 AND 3000 AND y BETWEEN 2001 AND 3000)"),
+    "pc_bbox_maxz" -> s"$ptsCte SELECT x, y, z FROM pts WHERE ${bboxSql(bboxLarge)} AND z <= 25.0",
+    "pc_bbox_minz" -> s"$ptsCte SELECT x, y, z FROM pts WHERE ${bboxSql(bboxLarge)} AND z >= 10.0",
+    "pc_knn" -> (s"$ptsCte SELECT x, y, z FROM pts ORDER BY " +
+      "(x - 3000.5) * (x - 3000.5) + (y - 3000.5) * (y - 3000.5), x, y, z LIMIT 100"),
+    "pc_histogram" -> (s"$ptsCte SELECT x // 16 AS cell_x, y // 16 AS cell_y, " +
+      "count(*) AS n_points FROM pts GROUP BY 1, 2"),
+    "pc_metadata" -> (s"$ptsCte SELECT count(*) AS point_count, " +
+      "min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max, " +
+      "min(z) AS z_min, max(z) AS z_max FROM pts"),
+    "pc_bbox_naive" -> s"$ptsCte SELECT x, y, z FROM pts WHERE ${bboxSql(bboxLarge)}")
+}

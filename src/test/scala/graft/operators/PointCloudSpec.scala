@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{Bbox, Circle, Geometry}
+import graft.queries.PointCloudQueries
+
+class PointCloudSpec extends AnyFunSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private lazy val raw: Seq[(Double, Double, Double)] = {
+    val df = PointCloudQueries.rawPoints(spark, sfDir)
+    df.collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2))).toSeq
+  }
+
+  private lazy val cloud: BlockedCloud =
+    PointCloud.importPoints(PointCloudQueries.rawPoints(spark, sfDir), ImportSpec(name = "t"))
+
+  private def collected(df: DataFrame): Seq[(Double, Double, Double)] =
+    df.select(col("x").cast("double"), col("y").cast("double"), col("z"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2))).toSeq.sorted
+
+  test("import preserves the point multiset (pack -> explode identity)") {
+    val all = cloud.bboxQuery(Bbox(0, 8191, 0, 8191))
+    assert(collected(all) == raw.sorted)
+    assert(cloud.meta.pointCount == raw.size)
+  }
+
+  test("metadata split matches splitLengths for the 8192 grid") {
+    assert(cloud.meta.headLen == 18 && cloud.meta.tailLen == 8)
+  }
+
+  test("bbox query ≡ naive filter") {
+    for (b <- Seq(Bbox(1000, 1050, 2000, 2050), Bbox(512, 4096, 512, 4096),
+      Bbox(4000, 4001, 0, 8191), Bbox(0, 10, 8000, 8191))) {
+      val expect = raw.filter(p => b.contains(p._1, p._2)).sorted
+      assert(collected(cloud.bboxQuery(b)) == expect, s"bbox $b")
+    }
+  }
+
+  test("empty bbox (outside grid) returns nothing") {
+    assert(cloud.bboxQuery(Bbox(9000, 9500, 9000, 9500)).count() == 0)
+  }
+
+  test("circle query ≡ naive distance filter") {
+    val c = Circle(3000.5, 3000.5, 200.3)
+    val expect = raw.filter(p => c.contains(p._1, p._2)).sorted
+    assert(collected(cloud.circleQuery(c)) == expect)
+    assert(expect.nonEmpty, "fixture circle should be non-empty")
+  }
+
+  test("polygon query ≡ naive ray-cast filter (generic non-convex pentagon)") {
+    val wkt = "POLYGON ((500.5 700.5, 4000.5 900.5, 6000.5 4000.5, 3000.5 2500.5, 900.5 5000.5, 500.5 700.5))"
+    val poly = Geometry.parseWktPolygon(wkt)
+    val expect = raw.filter(p => poly.contains(p._1, p._2)).sorted
+    assert(collected(cloud.polygonQuery(wkt)) == expect)
+    assert(expect.nonEmpty)
+  }
+
+  test("polygon with hole excludes the hole") {
+    val wkt = "POLYGON ((1000.5 1000.5, 4000.5 1000.5, 4000.5 4000.5, 1000.5 4000.5, 1000.5 1000.5), " +
+      "(2000.5 2000.5, 3000.5 2000.5, 3000.5 3000.5, 2000.5 3000.5, 2000.5 2000.5))"
+    val got = collected(cloud.polygonQuery(wkt))
+    val expect = raw.filter { case (x, y, _) =>
+      x > 1000.5 && x < 4000.5 && y > 1000.5 && y < 4000.5 &&
+        !(x > 2000.5 && x < 3000.5 && y > 2000.5 && y < 3000.5)
+    }.sorted
+    assert(got == expect)
+  }
+
+  test("min/max z refinement") {
+    val b = Bbox(512, 4096, 512, 4096)
+    val got = collected(cloud.withMaxZ(cloud.withMinZ(cloud.bboxQuery(b), 10.0), 25.0))
+    val expect = raw.filter(p => b.contains(p._1, p._2) && p._3 >= 10.0 && p._3 <= 25.0).sorted
+    assert(got == expect)
+  }
+
+  test("knn ≡ naive top-k by distance") {
+    val (px, py, k) = (3000.5, 3000.5, 100)
+    def d2(p: (Double, Double, Double)) = (p._1 - px) * (p._1 - px) + (p._2 - py) * (p._2 - py)
+    val expect = raw.sortBy(p => (d2(p), p._1, p._2, p._3)).take(k)
+    val got = cloud.knn(px, py, k)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2))).toSeq
+    // compare as ordered-by-distance multisets (equal-distance suffix may permute)
+    assert(got.map(d2).sorted == expect.map(d2).sorted)
+    assert(got.sorted == expect.sorted)
+  }
+
+  test("histogram ≡ naive cell group-by") {
+    val got = cloud.histogram.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val expect = raw.groupBy(p => (p._1.toLong >> 4, p._2.toLong >> 4))
+      .map { case (k, v) => (k, v.size.toLong) }
+    assert(got == expect)
+  }
+
+  test("blocks are tail-sorted and heads unique (clustered layout invariant)") {
+    val rows = cloud.blocks.collect()
+    val heads = rows.map(_.getLong(0))
+    assert(heads.distinct.length == heads.length, "duplicate sfc_head blocks")
+    rows.foreach { r =>
+      val tails = r.getSeq[Long](1)
+      assert(tails == tails.sorted, s"unsorted tails in block ${r.getLong(0)}")
+      assert(tails.size == r.getSeq[Double](2).size)
+    }
+  }
+
+  test("write/read roundtrip preserves query results") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pc_test").toString
+    PointCloud.write(cloud, dir)
+    val re = PointCloud.read(spark, dir)
+    val b = Bbox(1000, 1050, 2000, 2050)
+    assert(collected(re.bboxQuery(b)) == collected(cloud.bboxQuery(b)))
+    assert(re.meta == cloud.meta)
+  }
+}

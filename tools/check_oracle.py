@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Local simulation of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+For each query in <out>/oracle_sql.json: run the SQL in DuckDB with views
+named after the test tables, load the Spark parquet result, sort columns
+by name and rows by value, and compare multisets.
+"""
+import sys, json, glob
+import duckdb
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+fails = 0
+for name, sql in sorted(oracle.items()):
+    try:
+        exp = con.execute(sql).fetch_df()
+    except Exception as e:
+        print(f"FAIL {name}: oracle SQL error: {e}")
+        fails += 1
+        continue
+    files = glob.glob(f"{outdir}/{name}/*.parquet")
+    if not files:
+        print(f"FAIL {name}: no spark output")
+        fails += 1
+        continue
+    got = con.execute(
+        f"SELECT * FROM read_parquet({files!r})").fetch_df()
+    ec = sorted(exp.columns)
+    gc = sorted(got.columns)
+    if ec != gc:
+        print(f"FAIL {name}: columns {gc} != oracle {ec}")
+        fails += 1
+        continue
+    e = exp[ec].sort_values(ec).reset_index(drop=True)
+    g = got[ec].sort_values(ec).reset_index(drop=True)
+    if len(e) != len(g):
+        print(f"FAIL {name}: rows {len(g)} != oracle {len(e)}")
+        fails += 1
+        continue
+    if not e.equals(g):
+        # dtype-tolerant compare
+        import pandas as pd
+        eq = True
+        for c in ec:
+            a, b = e[c], g[c]
+            try:
+                if not (a.astype("float64").fillna(-9e99) == b.astype("float64").fillna(-9e99)).all():
+                    eq = False
+            except (ValueError, TypeError):
+                if not (a.astype(str) == b.astype(str)).all():
+                    eq = False
+            if not eq:
+                bad = (a.astype(str) != b.astype(str))
+                print(f"FAIL {name}: col {c} first diff:\n{e[bad].head(3)}\nvs\n{g[bad].head(3)}")
+                break
+        if not eq:
+            fails += 1
+            continue
+        print(f"ok   {name}  ({len(g)} rows, value-equal after dtype coercion)")
+        continue
+    print(f"ok   {name}  ({len(g)} rows)")
+print("ALL OK" if fails == 0 else f"{fails} FAILURES")
+sys.exit(1 if fails else 0)
