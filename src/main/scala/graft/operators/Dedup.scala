@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale document pipelines.
+  *
+  * All shapes are shuffle-bounded: exact dedup is a hash groupBy on a
+  * digest; near-dup detection is candidate generation via LSH banding
+  * (minhash or simhash) — an equi-join on band keys, never an O(n^2)
+  * cross join — followed by an exact verification predicate on the
+  * candidate pairs only. Everything stays in built-in codegen'd
+  * functions (xxhash64 / higher-order array functions).
+  */
+object Dedup {
+
+  /** Lowercase, trim, collapse runs of whitespace — the normalization
+    * every text-keyed op here shares. */
+  def normalizeText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** One row per distinct normalized text, keeping the smallest id
+    * (deterministic representative). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), normalizeText(col(textCol)).as("__norm"))
+      .groupBy(col("__norm"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .select(col(idCol), col("n_copies"))
+
+  /** Distinct shingle sets per doc: word n-grams or character n-grams
+    * over the normalized text. */
+  def withShingles(df: DataFrame, idCol: String, textCol: String,
+      n: Int, word: Boolean): DataFrame = {
+    val base = df.select(col(idCol), normalizeText(col(textCol)).as("__graft_norm"))
+    val sh =
+      if (word) expr(
+        s"array_distinct(transform(sequence(0, greatest(size(split(__graft_norm, ' ')), $n) - $n), " +
+          s"i -> concat_ws(' ', slice(split(__graft_norm, ' '), i + 1, $n))))")
+      else expr(
+        s"array_distinct(transform(sequence(1, greatest(length(__graft_norm), $n) - ${n - 1}), " +
+          s"i -> substring(__graft_norm, i, $n)))")
+    base.select(col(idCol), sh.as("shingles"))
+  }
+
+  /** MinHash signature: for each of numHashes seeded xxhash64 functions,
+    * the minimum hash over the document's shingles. One groupBy-free
+    * pass — the signature is a per-row higher-order aggregate, so this
+    * scales with documents, not (documents x hashes) rows. */
+  def minHashSignatures(shingled: DataFrame, numHashes: Int): DataFrame =
+    shingled.withColumn("sig",
+      expr(s"transform(sequence(0, ${numHashes - 1}), " +
+        "h -> aggregate(shingles, 9223372036854775807L, (acc, s) -> least(acc, xxhash64(s, h))))"))
+
+  /** LSH banding: split the signature into `bands` bands of rows and
+    * key each band by its hash; docs sharing any band key are candidate
+    * pairs. Returns (id_a, id_b) with id_a < id_b, distinct. */
+  def lshCandidatePairs(sigs: DataFrame, idCol: String, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val banded = sigs.select(col(idCol),
+      posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
+        s"b -> xxhash64(concat_ws(',', slice(sig, b * $rows + 1, $rows)), b))")).as(Seq("band", "bhash")))
+    val a = banded.select(col("band"), col("bhash"), col(idCol).as("id_a"))
+    val b = banded.select(col("band"), col("bhash"), col(idCol).as("id_b"))
+    a.join(b, Seq("band", "bhash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact Jaccard verification of candidate pairs against the true
+    * shingle sets (array_intersect/array_union on the two docs only). */
+  def verifyJaccard(pairs: DataFrame, shingled: DataFrame, idCol: String,
+      threshold: Double): DataFrame = {
+    val sa = shingled.select(col(idCol).as("id_a"), col("shingles").as("__sh_a"))
+    val sb = shingled.select(col(idCol).as("id_b"), col("shingles").as("__sh_b"))
+    pairs.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /
+          size(array_union(col("__sh_a"), col("__sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash-LSH near-duplicate pairs with exact Jaccard verification:
+    * shingle -> minhash -> band -> bucket equi-join -> verify. */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, wordShingles: Boolean = true,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    val shingled = withShingles(df, idCol, textCol, shingleLen, wordShingles)
+    val pairs = lshCandidatePairs(minHashSignatures(shingled, numHashes), idCol, numHashes, bands)
+    verifyJaccard(pairs, shingled, idCol, threshold)
+  }
+
+  /** Exhaustive n-gram Jaccard pairs >= threshold (character shingles).
+    * Exact but candidate generation is still LSH with aggressive banding
+    * (bands = numHashes -> single-row bands, recall ~1 for J >= 0.5);
+    * for an oracle-exact variant over bounded groups see
+    * [[graft.queries.DocQueries]]. */
+  def ngramJaccardNearDups(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5): DataFrame =
+    minhashNearDups(df, idCol, textCol, shingleLen = n, wordShingles = false,
+      numHashes = 128, bands = 128, threshold = threshold)
+
+  /** 64-bit SimHash per doc: bit j of the fingerprint is the sign of the
+    * sum over tokens of bit j (+1/-1) of the token's xxhash64. Computed
+    * as a per-row higher-order aggregate — no explode, no shuffle. */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), normalizeText(col(textCol)).as("__graft_norm"))
+      .select(col(idCol), expr(
+        """aggregate(
+          transform(sequence(0, 63),
+            j -> CASE WHEN aggregate(split(__graft_norm, ' '), 0L,
+                   (acc, w) -> acc + CASE WHEN ((xxhash64(w) >> j) & 1) = 1 THEN 1L ELSE -1L END) > 0
+                 THEN shiftleft(1L, j) ELSE 0L END),
+          0L, (acc, b) -> acc | b)""").as("fp"))
+
+  /** SimHash near-dup pairs: block on 4 16-bit chunks (two fingerprints
+    * within Hamming distance <= 3 must agree on at least one chunk),
+    * then verify bit_count(xor) <= maxHamming exactly. */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val fp = simhash64(df, idCol, textCol)
+    val chunked = fp.select(col(idCol), col("fp"),
+      posexplode(expr("transform(sequence(0, 3), c -> (fp >> (c * 16)) & 65535L)"))
+        .as(Seq("chunk", "ckey")))
+    val a = chunked.select(col("chunk"), col("ckey"), col(idCol).as("id_a"), col("fp").as("fp_a"))
+    val b = chunked.select(col("chunk"), col("ckey"), col(idCol).as("id_b"), col("fp").as("fp_b"))
+    a.join(b, Seq("chunk", "ckey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(fp_a ^ fp_b)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

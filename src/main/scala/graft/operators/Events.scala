@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over an append-only (user_id, ts, value, ...)
+  * table: gap-based sessionization, tumbling/sliding time windows,
+  * per-key rankings and running aggregates.
+  *
+  * All shapes are the batch forms of their Structured Streaming
+  * equivalents (same session_window / window calls work under
+  * readStream + watermark — see graft.streaming). Monetary-style
+  * doubles are summed as integer millis (round(v*1000) as long) so
+  * aggregation is associative and bit-deterministic regardless of
+  * partition merge order — the float-safe form for distributed sums.
+  */
+object Events {
+
+  /** value as integer millis: exact, order-independent summation. */
+  def milli(c: Column): Column = round(c * 1000).cast("long")
+
+  /** Gap-based sessionization via the native session_window operator
+    * (one shuffle on the grouping key; streaming-ready). A session
+    * closes when the next event is >= gap after the last one. */
+  def sessionize(df: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, gap: String): DataFrame =
+    df.groupBy(col(userCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"), sum(milli(col(valueCol))).as("value_milli"))
+      .select(col(userCol),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n_events"), col("value_milli"))
+
+  /** Tumbling window aggregate: one row per (window, ) bucket. */
+  def tumbling(df: DataFrame, tsCol: String, valueCol: String,
+      width: String): DataFrame =
+    df.groupBy(window(col(tsCol), width))
+      .agg(count(lit(1)).as("n_events"),
+        sum(milli(col(valueCol))).as("value_milli"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("n_events"), col("value_milli"), col("n_users"))
+
+  /** Sliding window aggregate (width, step): each event lands in
+    * width/step overlapping buckets. */
+  def sliding(df: DataFrame, tsCol: String, valueCol: String,
+      width: String, step: String): DataFrame =
+    df.groupBy(window(col(tsCol), width, step))
+      .agg(count(lit(1)).as("n_events"), sum(milli(col(valueCol))).as("value_milli"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("n_events"), col("value_milli"))
+
+  /** Top-k keys by total value: partial-aggregated groupBy then a
+    * driver-merged top-k (TakeOrderedAndProject — no global sort). */
+  def topUsers(df: DataFrame, userCol: String, valueCol: String, k: Int): DataFrame =
+    df.groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_events"), sum(milli(col(valueCol))).as("value_milli"))
+      .orderBy(col("value_milli").desc, col(userCol).asc)
+      .limit(k)
+
+  /** Per-event running aggregates within each user's timeline: event
+    * index and cumulative value — the window-function surface. */
+  def running(df: DataFrame, userCol: String, tsCol: String, idCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    df.select(col(idCol), col(userCol),
+      row_number().over(w).as("event_idx"),
+      sum(milli(col(valueCol)))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("cum_value_milli"))
+  }
+
+  /** Per-type breakdown: counts, value, time span. */
+  def typeBreakdown(df: DataFrame, typeCol: String, tsCol: String,
+      valueCol: String): DataFrame =
+    df.groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(milli(col(valueCol))).as("value_milli"),
+        min(unix_micros(col(tsCol))).as("first_us"),
+        max(unix_micros(col(tsCol))).as("last_us"))
+}

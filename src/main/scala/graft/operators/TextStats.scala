@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale document pipelines:
+  * token counting, quality scoring, stopword-based language ID, and
+  * rolling-hash fingerprinting.
+  *
+  * Everything is a per-row projection over built-in codegen'd
+  * functions (regexp_*, split, higher-order array ops) — no UDFs, no
+  * shuffles: these scale linearly with documents and pipeline into
+  * whatever scan they are composed over. All ratios are ratios of
+  * integers evaluated in double, so results are bit-deterministic and
+  * oracle-comparable.
+  */
+object TextStats {
+
+  /** Lowercase, trim, collapse whitespace runs (shared with [[Dedup]]). */
+  def norm(c: Column): Column = Dedup.normalizeText(c)
+
+  /** Tokenizer regex in the BPE-pretokenizer spirit: letter runs,
+    * digit runs, or single non-alnum marks. */
+  val tokenPattern = "[a-z0-9]+|[^a-z0-9 ]"
+
+  /** Whitespace token count + regex (BPE-ish pretokenizer) token count. */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      size(split(norm(col(textCol)), " ")).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(norm(col(textCol)), lit(tokenPattern), lit(0)))
+        .cast("long").as("re_tokens"))
+
+  /** Per-document quality signals: normalized length, token count,
+    * mean token length, punctuation ratio, English-stopword ratio,
+    * and a cheap keep/drop flag in the Gopher-rules style (all
+    * thresholds are ratios of the signals themselves). */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = norm(col(textCol))
+    val nChars = length(t)
+    // single-space normalized => token count = spaces + 1
+    val nTok = size(split(t, " "))
+    val punct = nChars - length(regexp_replace(t, "[^a-z0-9 ]", ""))
+    val punctRatio = punct.cast("double") / nChars
+    val stopHits = size(filter(split(t, " "), w => enStopwords.map(w === _).reduce(_ || _)))
+    df.select(col(idCol),
+      nChars.cast("long").as("n_chars_norm"),
+      nTok.cast("long").as("n_tokens"),
+      ((nChars - (nTok - 1)).cast("double") / nTok).as("avg_token_len"),
+      punctRatio.as("punct_ratio"),
+      (stopHits.cast("double") / nTok).as("stopword_ratio"),
+      (nTok >= 5 && nTok <= 100000 && punctRatio <= lit(0.3)).as("keep"))
+  }
+
+  val enStopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
+  val esStopwords: Seq[String] =
+    Seq("el", "la", "de", "que", "y", "en", "un", "es", "por", "con")
+  val frStopwords: Seq[String] =
+    Seq("le", "la", "de", "et", "les", "des", "un", "une", "du", "est")
+  val deStopwords: Seq[String] =
+    Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "zu")
+
+  private def stopScore(words: Column, stops: Seq[String]): Column =
+    size(filter(words, w => stops.map(w === _).reduce(_ || _))).cast("long")
+
+  /** Stopword-profile language ID over {en, es, fr, de}: score = count
+    * of tokens found in each language's closed-class list; predicted
+    * language is the argmax with fixed priority en > es > fr > de on
+    * ties, 'und' when nothing matches. A word-level n-gram heuristic —
+    * deterministic, SQL-expressible, no model artifact. */
+  def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = split(norm(col(textCol)), " ")
+    val sEn = stopScore(words, enStopwords)
+    val sEs = stopScore(words, esStopwords)
+    val sFr = stopScore(words, frStopwords)
+    val sDe = stopScore(words, deStopwords)
+    df.select(col(idCol),
+      sEn.as("score_en"), sEs.as("score_es"), sFr.as("score_fr"), sDe.as("score_de"))
+      .withColumn("pred_lang",
+        when(greatest(col("score_en"), col("score_es"), col("score_fr"), col("score_de")) === 0, "und")
+          .when(col("score_en") >= col("score_es") && col("score_en") >= col("score_fr") &&
+            col("score_en") >= col("score_de"), "en")
+          .when(col("score_es") >= col("score_fr") && col("score_es") >= col("score_de"), "es")
+          .when(col("score_fr") >= col("score_de"), "fr")
+          .otherwise("de"))
+  }
+
+  /** Polynomial rolling-hash fingerprint over the alnum+space chars of
+    * the normalized text: fold of h -> (h*31 + code) mod 1e9+7. Stays
+    * within int64 at every step (no overflow — DuckDB would raise,
+    * Spark would wrap; the modulus keeps both honest and equal). */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val cleaned = regexp_replace(norm(col(textCol)), "[^a-z0-9 ]", "")
+    val chars = filter(split(cleaned, ""), c => c =!= "")
+    df.select(col(idCol),
+      aggregate(chars, lit(0L), (acc, c) => pmod(acc * 31 + ascii(c), lit(1000000007L)))
+        .as("fingerprint"))
+  }
+}

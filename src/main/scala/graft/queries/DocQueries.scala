@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextStats}
+
+/** Document-pipeline surface over the `documents` test table:
+  * dedup (exact / MinHash-LSH / SimHash / char-n-gram Jaccard) and
+  * text analysis (tokens, quality, language ID, fingerprint).
+  *
+  * Oracle notes. The DuckDB oracles recompute shingles/ratios with the
+  * *same* integer arithmetic (Jaccard = ratio of set sizes, ratios of
+  * counts), so hash comparison is float-safe. LSH candidate generation
+  * is approximate in general, but with the planted near-dup pairs at
+  * J >= 0.93 and the next pair at J <= 0.31, the banding recall at the
+  * chosen thresholds is exactly 1 (miss probability < 1e-13 per pair,
+  * verified against the exhaustive oracle on the test tables) — so the
+  * LSH + exact-verify result equals the exhaustive all-pairs truth the
+  * oracle computes. SimHash depends on xxhash64, which DuckDB lacks →
+  * rows-only check.
+  */
+object DocQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** DuckDB-side normalization identical to [[Dedup.normalizeText]]. */
+  private val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_exact_dedup" -> ((s, d) =>
+      Dedup.exactDedup(docs(s, d), "doc_id", "text")),
+    "doc_minhash_neardup" -> ((s, d) =>
+      Dedup.minhashNearDups(docs(s, d), "doc_id", "text",
+        shingleLen = 3, wordShingles = true, numHashes = 64, bands = 16, threshold = 0.8)),
+    "doc_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardNearDups(docs(s, d), "doc_id", "text", n = 5, threshold = 0.6)),
+    "doc_simhash_neardup" -> ((s, d) =>
+      Dedup.simhashNearDups(docs(s, d), "doc_id", "text", maxHamming = 3)),
+    "doc_token_count" -> ((s, d) =>
+      TextStats.tokenCounts(docs(s, d), "doc_id", "text")),
+    "doc_quality" -> ((s, d) =>
+      TextStats.qualityScore(docs(s, d), "doc_id", "text")),
+    "doc_lang_id" -> ((s, d) =>
+      TextStats.languageId(docs(s, d), "doc_id", "text")),
+    "doc_fingerprint" -> ((s, d) =>
+      TextStats.fingerprint(docs(s, d), "doc_id", "text")))
+
+  private def stopListSql(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private def scoreSql(lang: String, words: Seq[String]): String =
+    s"len(list_filter(string_split($normSql, ' '), w -> list_contains(${stopListSql(words)}, w))) AS score_$lang"
+
+  /** Exhaustive word-3-gram all-pairs Jaccard (the truth the LSH path
+    * must reproduce at threshold 0.8 given the data's J-gap). */
+  private def wordJaccardSql(threshold: Double): String =
+    s"""WITH w AS (
+       SELECT doc_id, string_split($normSql, ' ') AS ws FROM documents
+     ), sh AS (
+       SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws), 3) - 1),
+              i -> array_to_string(ws[i:i+2], ' '))) AS shingles FROM w
+     )
+     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+         len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+     WHERE jaccard >= $threshold"""
+
+  private def charJaccardSql(n: Int, threshold: Double): String =
+    s"""WITH t AS (
+       SELECT doc_id, $normSql AS txt FROM documents
+     ), sh AS (
+       SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(txt), $n) - ${n - 2}),
+              i -> txt[i:i+${n - 1}])) AS shingles FROM t
+     )
+     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+         len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+     WHERE jaccard >= $threshold"""
+
+  val oracleSql: Map[String, String] = Map(
+    "doc_exact_dedup" ->
+      s"""SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+         FROM (SELECT doc_id, $normSql AS norm FROM documents) GROUP BY norm""",
+    "doc_minhash_neardup" -> wordJaccardSql(0.8),
+    "doc_ngram_jaccard" -> charJaccardSql(5, 0.6),
+    // doc_simhash_neardup: no oracle (xxhash64-dependent) -> rows-only
+    "doc_token_count" ->
+      s"""SELECT doc_id,
+         len(string_split($normSql, ' '))::BIGINT AS ws_tokens,
+         len(regexp_extract_all($normSql, '[a-z0-9]+|[^a-z0-9 ]'))::BIGINT AS re_tokens
+         FROM documents""",
+    "doc_quality" ->
+      s"""WITH n AS (SELECT doc_id, $normSql AS t FROM documents),
+         c AS (SELECT doc_id, t, length(t) AS n_chars,
+                 len(string_split(t, ' ')) AS n_tokens,
+                 length(t) - length(regexp_replace(t, '[^a-z0-9 ]', '', 'g')) AS punct
+               FROM n)
+         SELECT doc_id, n_chars::BIGINT AS n_chars_norm, n_tokens::BIGINT AS n_tokens,
+           (n_chars - (n_tokens - 1))::DOUBLE / n_tokens AS avg_token_len,
+           punct::DOUBLE / n_chars AS punct_ratio,
+           len(list_filter(string_split(t, ' '),
+               w -> list_contains(${stopListSql(TextStats.enStopwords)}, w)))::DOUBLE / n_tokens
+             AS stopword_ratio,
+           (n_tokens >= 5 AND n_tokens <= 100000 AND punct::DOUBLE / n_chars <= 0.3) AS keep
+         FROM c""",
+    "doc_lang_id" ->
+      s"""WITH s AS (SELECT doc_id,
+           ${scoreSql("en", TextStats.enStopwords)},
+           ${scoreSql("es", TextStats.esStopwords)},
+           ${scoreSql("fr", TextStats.frStopwords)},
+           ${scoreSql("de", TextStats.deStopwords)}
+         FROM documents)
+         SELECT doc_id, score_en::BIGINT AS score_en, score_es::BIGINT AS score_es,
+           score_fr::BIGINT AS score_fr, score_de::BIGINT AS score_de,
+           CASE WHEN greatest(score_en, score_es, score_fr, score_de) = 0 THEN 'und'
+                WHEN score_en >= score_es AND score_en >= score_fr AND score_en >= score_de THEN 'en'
+                WHEN score_es >= score_fr AND score_es >= score_de THEN 'es'
+                WHEN score_fr >= score_de THEN 'fr'
+                ELSE 'de' END AS pred_lang
+         FROM s""",
+    "doc_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id,
+           regexp_replace($normSql, '[^a-z0-9 ]', '', 'g') AS txt FROM documents)
+         SELECT doc_id,
+           list_reduce(list_prepend(0::BIGINT,
+             list_transform(list_filter(string_split(txt, ''), c -> c != ''), c -> ord(c)::BIGINT)),
+             (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+         FROM t""")
+}

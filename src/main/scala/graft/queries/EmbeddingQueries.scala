@@ -1,0 +1,68 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Similarity
+
+/** Embedding similarity surface over the `embeddings` test table
+  * (vec_id BIGINT, embedding ARRAY<FLOAT> dim 64, label INT).
+  *
+  * Float determinism: Spark computes cosine as a strictly sequential
+  * left fold in double ([[Similarity.cosine]]); the DuckDB oracles
+  * mirror that with list_reduce over a 0.0-seeded prepend — the same
+  * IEEE op sequence, so sims are bit-identical and thresholds / top-k
+  * cuts are hash-safe without rounding. ANN/LSH paths are approximate
+  * by construction → rows-only checks (no oracle).
+  */
+object EmbeddingQueries {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** The deterministic probe vector: embedding of vec_id 0. */
+  private def queryVec(s: SparkSession, dir: String): Array[Float] =
+    emb(s, dir).filter("vec_id = 0").select("embedding").head()
+      .getSeq[Float](0).toArray
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_cosine_topk" -> ((s, d) =>
+      Similarity.cosineTopK(emb(s, d), "vec_id", "embedding", queryVec(s, d), 20)),
+    "emb_ann_topk" -> ((s, d) =>
+      Similarity.annTopK(emb(s, d), "vec_id", "embedding", queryVec(s, d), 20,
+        nBits = 12, maxHamming = 4)),
+    "emb_neardup_label" -> ((s, d) =>
+      Similarity.cosineNearDupPairs(emb(s, d), "vec_id", "embedding", "label", 0.35)
+        .orderBy("id_a", "id_b")),
+    "emb_neardup_lsh" -> ((s, d) =>
+      Similarity.cosineNearDupPairsLsh(emb(s, d), "vec_id", "embedding", 0.35, nBits = 8)))
+
+  /** Sequential-fold dot product of two DuckDB float lists, in double —
+    * op-for-op the plan Spark's aggregate(zip_with(...)) produces. */
+  private def foldDot(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0::DOUBLE,
+       list_transform(range(1, len($a) + 1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)),
+       (acc, v) -> acc + v)"""
+
+  private def foldNorm(a: String): String =
+    s"""sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+       list_transform($a, v -> v::DOUBLE * v::DOUBLE)),
+       (acc, v) -> acc + v))"""
+
+  private def cosineSql(a: String, b: String): String =
+    s"${foldDot(a, b)} / (${foldNorm(a)} * ${foldNorm(b)})"
+
+  val oracleSql: Map[String, String] = Map(
+    "emb_cosine_topk" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         SELECT e.vec_id, ${cosineSql("e.embedding", "qe")} AS sim
+         FROM embeddings e, q
+         ORDER BY sim DESC, e.vec_id LIMIT 20""",
+    // emb_ann_topk: approximate -> rows-only
+    "emb_neardup_label" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ${cosineSql("a.embedding", "b.embedding")} AS sim
+         FROM embeddings a JOIN embeddings b
+           ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE sim >= 0.35""")
+    // emb_neardup_lsh: approximate recall -> rows-only
+}

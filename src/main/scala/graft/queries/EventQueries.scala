@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Events
+
+/** Event analytics surface over the `events` test table
+  * (event_id, ts TIMESTAMP, user_id, event_type, value DOUBLE, props).
+  *
+  * Oracle notes: timestamps compare as epoch microseconds (BIGINT on
+  * both engines — Spark unix_micros vs DuckDB epoch_us); double sums
+  * compare as integer millis (see [[Events.milli]]). Session semantics:
+  * Spark's session_window starts a new session when the inter-event
+  * gap is >= the gap parameter; the oracle reproduces that with a
+  * lag + cumulative-sum window. */
+object EventQueries {
+
+  /** events.parquet stores ts as TIMESTAMP(NANOS); under
+    * spark.sql.legacy.parquet.nanosAsLong=true it surfaces as long ns —
+    * normalize to a proper µs TimestampType column either way. */
+  private def ev(s: SparkSession, dir: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df
+    }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_sessionize" -> ((s, d) =>
+      Events.sessionize(ev(s, d), "user_id", "ts", "value", "30 minutes")),
+    "ev_tumbling_1h" -> ((s, d) =>
+      Events.tumbling(ev(s, d), "ts", "value", "1 hour")),
+    "ev_sliding_2h_1h" -> ((s, d) =>
+      Events.sliding(ev(s, d), "ts", "value", "2 hours", "1 hour")),
+    "ev_top_users" -> ((s, d) =>
+      Events.topUsers(ev(s, d), "user_id", "value", 10)),
+    "ev_running" -> ((s, d) =>
+      Events.running(ev(s, d), "user_id", "ts", "event_id", "value")),
+    "ev_type_agg" -> ((s, d) =>
+      Events.typeBreakdown(ev(s, d), "event_type", "ts", "value")))
+
+  private val vMilli = "CAST(round(value * 1000, 0) AS BIGINT)"
+
+  val oracleSql: Map[String, String] = Map(
+    "ev_sessionize" ->
+      s"""WITH o AS (
+           SELECT user_id, event_id, epoch_us(ts) AS us, $vMilli AS vm,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+           FROM events
+         ), m AS (
+           SELECT user_id, us, vm,
+             sum(CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+           FROM o)
+         SELECT user_id, min(us) AS session_start_us, count(*) AS n_events,
+           sum(vm) AS value_milli
+         FROM m GROUP BY user_id, sid""",
+    "ev_tumbling_1h" ->
+      s"""SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+           count(*) AS n_events, sum($vMilli) AS value_milli,
+           count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY 1""",
+    "ev_sliding_2h_1h" ->
+      s"""SELECT ((epoch_us(ts) // 3600000000) - o.o) * 3600000000 AS window_start_us,
+           count(*) AS n_events, sum($vMilli) AS value_milli
+         FROM events, (VALUES (0), (1)) AS o(o) GROUP BY 1""",
+    "ev_top_users" ->
+      s"""SELECT user_id, count(*) AS n_events, sum($vMilli) AS value_milli
+         FROM events GROUP BY 1
+         ORDER BY value_milli DESC, user_id ASC LIMIT 10""",
+    "ev_running" ->
+      s"""SELECT event_id, user_id,
+           row_number() OVER w AS event_idx,
+           sum($vMilli) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS cum_value_milli
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    "ev_type_agg" ->
+      s"""SELECT event_type, count(*) AS n_events, sum($vMilli) AS value_milli,
+           min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
+         FROM events GROUP BY 1""")
+}

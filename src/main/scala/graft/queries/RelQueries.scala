@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Events.milli
+
+/** General relational analytics over the TPC-H-ish test tables —
+  * the "everything else an engine must do" surface: multi-way joins
+  * with broadcast dimensions, grouped aggregation, and window ranking.
+  *
+  * Plans are declared, not scheduled: small dimension tables are
+  * explicitly broadcast (no shuffle of the fact side beyond its own
+  * aggregation), aggregates partial-combine map-side, and monetary
+  * doubles sum as integer millis for order-independent determinism
+  * (revenue = round(price*(1-disc)*1000) per row, then an exact
+  * integer sum). */
+object RelQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 shape: scan-filter-aggregate, fully pushed down
+    "rel_q1_pricing" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(milli(col("l_quantity"))).as("sum_qty_milli"),
+          sum(milli(col("l_extendedprice"))).as("sum_base_milli"),
+          sum(milli(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("sum_disc_milli"),
+          count(lit(1)).as("count_order"))),
+    // TPC-H Q3 shape: selective fact join, broadcast the filtered dim
+    "rel_q3_shipping" -> ((s, d) => {
+      val cust = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, d, "orders").filter(col("o_orderdate") < lit("1995-03-15"))
+      val li = t(s, d, "lineitem").filter(col("l_shipdate") > lit("1995-03-15"))
+      li.join(broadcast(ord.join(broadcast(cust),
+          ord("o_custkey") === cust("c_custkey"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"))
+        .agg(sum(milli(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue_milli"))
+        .orderBy(col("revenue_milli").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+    // TPC-H Q5 shape: star join, all dimensions broadcast
+    "rel_q5_nation_revenue" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val ord = t(s, d, "orders")
+      val cust = t(s, d, "customer")
+      val supp = t(s, d, "supplier")
+      val nat = t(s, d, "nation")
+      li.join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+        .join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .filter(cust("c_nationkey") === supp("s_nationkey"))
+        .join(broadcast(nat), supp("s_nationkey") === nat("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(milli(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue_milli"), count(lit(1)).as("n_items"))
+    }),
+    // window ranking: top-3 orders by totalprice per customer
+    "rel_top_orders_per_cust" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, d, "orders")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"),
+          milli(col("o_totalprice")).as("totalprice_milli"), col("rk"))
+    }),
+    // grouped distinct + having over a join
+    "rel_parts_per_brand" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(countDistinct(col("p_partkey")).as("n_parts"),
+          sum(milli(col("l_quantity"))).as("qty_milli"))))
+
+  private def rev = "CAST(round(l_extendedprice * (1.0 - l_discount) * 1000, 0) AS BIGINT)"
+  private def m(c: String) = s"CAST(round($c * 1000, 0) AS BIGINT)"
+
+  val oracleSql: Map[String, String] = Map(
+    "rel_q1_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+           sum(${m("l_quantity")}) AS sum_qty_milli,
+           sum(${m("l_extendedprice")}) AS sum_base_milli,
+           sum($rev) AS sum_disc_milli,
+           count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY 1, 2""",
+    "rel_q3_shipping" ->
+      s"""SELECT l_orderkey, epoch_us(o_orderdate) AS o_orderdate_us,
+           sum($rev) AS revenue_milli
+         FROM lineitem, orders, customer
+         WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+           AND l_orderkey = o_orderkey
+           AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+           AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+         GROUP BY 1, 2 ORDER BY revenue_milli DESC, l_orderkey ASC LIMIT 10""",
+    "rel_q5_nation_revenue" ->
+      s"""SELECT n_name, sum($rev) AS revenue_milli, count(*) AS n_items
+         FROM lineitem, orders, customer, supplier, nation
+         WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           AND s_nationkey = n_nationkey
+         GROUP BY 1""",
+    "rel_top_orders_per_cust" ->
+      s"""SELECT o_custkey, o_orderkey, ${m("o_totalprice")} AS totalprice_milli, rk
+         FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk FROM orders)
+         WHERE rk <= 3""",
+    "rel_parts_per_brand" ->
+      s"""SELECT p_brand, count(DISTINCT p_partkey) AS n_parts,
+           sum(${m("l_quantity")}) AS qty_milli
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1""")
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  test("exactDedup groups normalized variants under the smallest id") {
+    val d = docs(
+      1L -> "Hello   World",
+      2L -> "hello world",
+      3L -> "  HELLO WORLD  ",
+      4L -> "something else")
+    val got = Dedup.exactDedup(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 3L), (4L, 1L)))
+  }
+
+  test("word shingles of a short text") {
+    val d = docs(1L -> "a b c d")
+    val sh = Dedup.withShingles(d, "doc_id", "text", 3, word = true)
+      .select("shingles").head().getSeq[String](0).toSet
+    assert(sh == Set("a b c", "b c d"))
+  }
+
+  test("char shingles shorter than n give one truncated shingle") {
+    val d = docs(1L -> "ab")
+    val sh = Dedup.withShingles(d, "doc_id", "text", 5, word = false)
+      .select("shingles").head().getSeq[String](0)
+    assert(sh == Seq("ab"))
+  }
+
+  test("minhashNearDups finds planted near-dup and nothing else") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = base.replace("w7", "x7") // 1 token changed of 40
+    val other = (1 to 40).map(i => s"z$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> other)
+    val pairs = Dedup.minhashNearDups(d, "doc_id", "text",
+      shingleLen = 3, wordShingles = true, numHashes = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    // 3 changed shingles of 38 => J = 35/41
+    assert(math.abs(pairs.head._3 - 35.0 / 41.0) < 1e-12)
+  }
+
+  test("simhash: identical docs collide, disjoint docs are far") {
+    val d = docs(
+      1L -> "spark morton curve block index",
+      2L -> "spark morton curve block index",
+      3L -> "entirely different vocabulary here today")
+    val fps = Dedup.simhash64(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(java.lang.Long.bitCount(fps(1L) ^ fps(3L)) > 3)
+    val pairs = Dedup.simhashNearDups(d, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("ngramJaccardNearDups on character shingles") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy cat",
+      3L -> "lorem ipsum dolor sit amet consectetur")
+    val pairs = Dedup.ngramJaccardNearDups(d, "doc_id", "text", n = 5, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}

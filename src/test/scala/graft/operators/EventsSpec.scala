@@ -1,0 +1,63 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+class EventsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private val base = 472222L * 3600000000L // µs, hour-aligned
+
+  private def ts(offsetMin: Long): Timestamp =
+    new Timestamp((base + offsetMin * 60000000L) / 1000)
+
+  private def ev(rows: (Long, Long, Timestamp, Double)*): DataFrame =
+    rows.toDF("event_id", "user_id", "ts", "value")
+
+  test("sessionize: 29-min gap merges, 31-min gap splits") {
+    val d = ev(
+      (1L, 7L, ts(0), 1.0), (2L, 7L, ts(29), 2.0), (3L, 7L, ts(61), 4.0),
+      (4L, 8L, ts(5), 8.0))
+    val got = Events.sessionize(d, "user_id", "ts", "value", "30 minutes")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((7L, 2L, 3000L), (7L, 1L, 4000L), (8L, 1L, 8000L)))
+  }
+
+  test("tumbling windows partition events by hour") {
+    val d = ev((1L, 1L, ts(10), 1.0), (2L, 2L, ts(50), 2.0), (3L, 1L, ts(70), 4.0))
+    val got = Events.tumbling(d, "ts", "value", "1 hour")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((2L, 3000L, 2L), (1L, 4000L, 1L)))
+  }
+
+  test("sliding 2h/1h double-counts each event") {
+    val d = ev((1L, 1L, ts(10), 1.0))
+    val got = Events.sliding(d, "ts", "value", "2 hours", "1 hour").collect()
+    assert(got.length == 2)
+    assert(got.map(_.getLong(1)).sum == 2)
+  }
+
+  test("running cumulative per user ordered by time") {
+    val d = ev((1L, 1L, ts(0), 1.0), (2L, 1L, ts(5), 2.0), (3L, 1L, ts(10), 4.0))
+    val got = Events.running(d, "user_id", "ts", "event_id", "value")
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3))).toSet
+    assert(got == Set((1L, 1, 1000L), (2L, 2, 3000L), (3L, 3, 7000L)))
+  }
+
+  test("topUsers orders by total value desc") {
+    val d = ev((1L, 1L, ts(0), 1.0), (2L, 2L, ts(0), 5.0), (3L, 1L, ts(1), 3.0))
+    val got = Events.topUsers(d, "user_id", "value", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(got == Seq((2L, 5000L), (1L, 4000L)))
+  }
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextStatsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  test("tokenCounts: whitespace vs regex tokens") {
+    val d = docs(1L -> "Hello, world! it's 42")
+    val r = TextStats.tokenCounts(d, "doc_id", "text").head()
+    assert(r.getLong(1) == 4) // hello, | world! | it's | 42
+    // hello , world ! it ' s 42
+    assert(r.getLong(2) == 8)
+  }
+
+  test("qualityScore ratios on a crafted doc") {
+    val d = docs(1L -> "ab cd!") // norm = "ab cd!": 6 chars, 2 tokens, 1 punct
+    val r = TextStats.qualityScore(d, "doc_id", "text").head()
+    assert(r.getLong(1) == 6 && r.getLong(2) == 2)
+    assert(math.abs(r.getDouble(3) - 2.5) < 1e-12) // (6-1)/2
+    assert(math.abs(r.getDouble(4) - 1.0 / 6.0) < 1e-12)
+    assert(!r.getBoolean(6)) // fewer than 5 tokens -> drop
+  }
+
+  test("languageId picks the dominant stopword profile") {
+    val d = docs(
+      1L -> "the cat is in the hat and it is for fun",
+      2L -> "el perro y la casa de un amigo es por aqui con",
+      3L -> "le chat et les maisons des amis du village est une",
+      4L -> "der hund und die katze ist von den mit ein zu",
+      5L -> "xyzzy plugh quux")
+    val got = TextStats.languageId(d, "doc_id", "text")
+      .select("doc_id", "pred_lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "es", 3L -> "fr", 4L -> "de", 5L -> "und"))
+  }
+
+  test("fingerprint equals a reference fold and ignores punctuation") {
+    val text = "Ab c!"
+    val cleaned = "ab c" // lowercased, punct stripped
+    val expect = cleaned.foldLeft(0L)((h, c) => (h * 31 + c.toInt) % 1000000007L)
+    val d = docs(1L -> text, 2L -> "ab c", 3L -> "AB?? C")
+    val got = TextStats.fingerprint(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == expect)
+    assert(got(2L) == expect && got(3L) == expect)
+  }
+}
