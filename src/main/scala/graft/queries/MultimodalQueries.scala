@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+
+/** Multimodal-column surface: the `documents` table doubles as a media
+  * table (text payload cast to binary — deterministic stand-in for real
+  * image/audio/video bytes; kind assigned round-robin by id). The
+  * decode step is the documented stub ([[Multimodal.FakeCodec]]), so
+  * oracles recompute the same deterministic pseudo-metadata from byte
+  * length / byte values with DuckDB blob functions — which exactly
+  * exercises the real part: schema, batching, explode shapes, and
+  * metadata propagation. Payloads are ASCII (verified), so ord(char) ==
+  * byte value on both engines. */
+object MultimodalQueries {
+
+  private def kindExpr: Column =
+    when(col("doc_id") % 3 === 0, "image")
+      .when(col("doc_id") % 3 === 1, "audio")
+      .otherwise("video")
+
+  private def media(s: SparkSession, dir: String): DataFrame =
+    Multimodal.asMediaTable(
+      s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", kindExpr)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_decode_meta" -> ((s, d) => Multimodal.decodeMeta(media(s, d))),
+    "mm_feature_cksum" -> ((s, d) =>
+      Multimodal.extractFeatures(media(s, d))
+        .select("media_id", "n_bytes", "checksum")),
+    // full feature vectors (incl. Array[Float] column): rows-only check
+    "mm_features" -> ((s, d) => Multimodal.extractFeatures(media(s, d))),
+    "mm_frame_sample" -> ((s, d) =>
+      // frame bytes are ASCII here -> inspect via string cast
+      Multimodal.sampleFrames(media(s, d), everyK = 4, frameBytes = 32)
+        .select(col("media_id"), col("frame_idx"),
+          length(col("frame_bytes")).cast("long").as("frame_len"),
+          ascii(col("frame_bytes").cast("string")).cast("long").as("first_byte"))),
+    "mm_resize_cksum" -> ((s, d) => {
+      val r = Multimodal.resize(media(s, d), targetCells = 64)
+        .withColumn("rs", col("resized_bytes").cast("string"))
+      r.select(col("media_id"),
+        length(col("resized_bytes")).cast("long").as("n_out"),
+        aggregate(filter(split(col("rs"), ""), c => c =!= ""),
+          lit(0L), (acc, c) => pmod(acc * 31 + ascii(c), lit(1000000007L)))
+          .as("cksum"))
+    }))
+
+  private val kindSql =
+    "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END"
+
+  /** (h*31 + byte) % 1e9+7 fold over the chars of a string expr. */
+  private def foldCksum(sExpr: String): String =
+    s"""list_reduce(list_prepend(0::BIGINT,
+       list_transform(list_filter(string_split($sExpr, ''), c -> c != ''),
+         c -> ord(c)::BIGINT)),
+       (acc, c) -> (acc * 31 + c) % 1000000007)"""
+
+  val oracleSql: Map[String, String] = Map(
+    "mm_decode_meta" ->
+      s"""SELECT doc_id AS media_id, $kindSql AS kind,
+           length(text)::BIGINT AS n_bytes,
+           (64 + length(text) % 512)::INT AS width,
+           (64 + (length(text)::BIGINT * 31) % 512)::INT AS height,
+           (1 + length(text) % 30)::INT AS n_frames,
+           (CASE WHEN doc_id % 3 = 1 THEN 16000
+                 WHEN doc_id % 3 = 2 THEN 30 ELSE 0 END)::INT AS sample_rate
+         FROM documents""",
+    "mm_feature_cksum" ->
+      s"""SELECT doc_id AS media_id, length(text)::BIGINT AS n_bytes,
+           ${foldCksum("text")} AS checksum
+         FROM documents""",
+    // mm_features: Array[Float] output -> rows-only
+    "mm_frame_sample" ->
+      s"""SELECT doc_id AS media_id, f AS frame_idx,
+           length(substr(text, f * 32 + 1, 32))::BIGINT AS frame_len,
+           ord(substr(text, f * 32 + 1, 1))::BIGINT AS first_byte
+         FROM documents,
+           LATERAL unnest(range(0, greatest(length(text) // 32, 1), 4)) AS t(f)
+         WHERE doc_id % 3 = 2""",
+    "mm_resize_cksum" ->
+      s"""WITH p AS (
+           SELECT doc_id, text, greatest(length(text) // 64, 1) AS stride,
+             least(64, length(text)) AS n_out
+           FROM documents)
+         SELECT doc_id AS media_id, n_out::BIGINT AS n_out,
+           list_reduce(list_prepend(0::BIGINT,
+             list_transform(range(0, n_out), i -> ord(substr(text, (i * stride)::INT + 1, 1))::BIGINT)),
+             (acc, c) -> (acc * 31 + c) % 1000000007) AS cksum
+         FROM p""")
+}

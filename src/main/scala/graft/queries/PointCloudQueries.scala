@@ -88,6 +88,17 @@ object PointCloudQueries {
         col("yMin").cast("long").as("y_min"), col("yMax").cast("long").as("y_max"),
         col("zMin").as("z_min"), col("zMax").as("z_max"))
     }),
+    // LAS binary sink -> source roundtrip (S10 -> S2): export the
+    // synthetic points to a .las file (pf3/v1.2/scale 0.1), read it
+    // back distributed, emit the 0.1-grid integer coordinates
+    "pc_las_roundtrip" -> ((s, d) => {
+      val path = s"/tmp/graft_las_rt_${d.replaceAll("[^A-Za-z0-9.]", "_")}.las"
+      graft.sources.Las.writePoints(rawPoints(s, d), path)
+      graft.sources.Las.readPoints(s, path)
+        .select(round(col("x") * 10).cast("long").as("x10"),
+          round(col("y") * 10).cast("long").as("y10"),
+          round(col("z") * 10).cast("long").as("z10"))
+    }),
     // naive full-scan control (no SFC pruning) — same answer as
     // pc_bbox_large; exists to demonstrate the layout win in BENCH
     "pc_bbox_naive" -> ((s, d) => xyz(rawPoints(s, d).filter(
@@ -116,5 +127,7 @@ object PointCloudQueries {
     "pc_metadata" -> (s"$ptsCte SELECT count(*) AS point_count, " +
       "min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max, " +
       "min(z) AS z_min, max(z) AS z_max FROM pts"),
-    "pc_bbox_naive" -> s"$ptsCte SELECT x, y, z FROM pts WHERE ${bboxSql(bboxLarge)}")
+    "pc_bbox_naive" -> s"$ptsCte SELECT x, y, z FROM pts WHERE ${bboxSql(bboxLarge)}",
+    "pc_las_roundtrip" ->
+      s"$ptsCte SELECT x * 10 AS x10, y * 10 AS y10, CAST(round(z * 10, 0) AS BIGINT) AS z10 FROM pts")
 }

@@ -1,0 +1,173 @@
+package graft.sources
+
+import java.io.{BufferedOutputStream, DataOutputStream, FileOutputStream, RandomAccessFile}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.channels.FileChannel
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+
+/** LAS 1.x binary point-cloud source/sink (ASPRS LAS 1.2 spec, point
+  * formats 0–3) — the reference's input format (laspy reads,
+  * pcsfc/point_processor.py:32-33) and export format (exporter.py:76-89,
+  * fixed pf3 / v1.2 / scale 0.1 / offset 0).
+  *
+  * Reader design for scale: the 227-byte public header is parsed on the
+  * driver; point records are a fixed stride, so the file splits into
+  * arbitrary record-aligned chunks — each task seeks into the (shared-
+  * storage) file and decodes its own range. No whole-file rows, no
+  * driver materialization; parallelism = chunk count.
+  */
+object Las {
+
+  final case class LasHeader(
+      versionMajor: Int, versionMinor: Int,
+      pointFormat: Int, recordLen: Int,
+      offsetToPoints: Long, pointCount: Long,
+      scaleX: Double, scaleY: Double, scaleZ: Double,
+      offX: Double, offY: Double, offZ: Double,
+      xMin: Double, xMax: Double, yMin: Double, yMax: Double,
+      zMin: Double, zMax: Double)
+
+  /** Driver-side header scan (S1): bbox + count without touching point
+    * data — the reference's FileLoader.get_metadata
+    * (pipeline/import_data.py:25-36). */
+  def readHeader(path: String): LasHeader = {
+    val bytes = {
+      val ch = FileChannel.open(Paths.get(path))
+      try {
+        val buf = ByteBuffer.allocate(227)
+        var n = 0
+        while (n < 227) {
+          val r = ch.read(buf)
+          require(r >= 0, s"$path: truncated LAS header")
+          n += r
+        }
+        buf.flip(); buf
+      } finally ch.close()
+    }
+    bytes.order(ByteOrder.LITTLE_ENDIAN)
+    val sig = new String(Array(bytes.get(0), bytes.get(1), bytes.get(2), bytes.get(3)))
+    require(sig == "LASF", s"$path: not a LAS file (signature $sig)")
+    LasHeader(
+      versionMajor = bytes.get(24) & 0xff,
+      versionMinor = bytes.get(25) & 0xff,
+      pointFormat = bytes.get(104) & 0xff,
+      recordLen = bytes.getShort(105) & 0xffff,
+      offsetToPoints = bytes.getInt(96) & 0xffffffffL,
+      pointCount = bytes.getInt(107) & 0xffffffffL,
+      scaleX = bytes.getDouble(131), scaleY = bytes.getDouble(139), scaleZ = bytes.getDouble(147),
+      offX = bytes.getDouble(155), offY = bytes.getDouble(163), offZ = bytes.getDouble(171),
+      xMax = bytes.getDouble(179), xMin = bytes.getDouble(187),
+      yMax = bytes.getDouble(195), yMin = bytes.getDouble(203),
+      zMax = bytes.getDouble(211), zMin = bytes.getDouble(219))
+  }
+
+  val pointSchema: StructType = StructType(Seq(
+    StructField("x", DoubleType, nullable = false),
+    StructField("y", DoubleType, nullable = false),
+    StructField("z", DoubleType, nullable = false)))
+
+  /** Distributed full scan (S2): DataFrame[x, y, z] in world coordinates
+    * (int32 grid * scale + offset, like laspy's las.x/y/z). */
+  def readPoints(spark: SparkSession, path: String,
+      recordsPerChunk: Int = 2 << 20): DataFrame = {
+    val h = readHeader(path)
+    require(h.pointFormat <= 5, s"unsupported point format ${h.pointFormat}")
+    val nChunks = ((h.pointCount + recordsPerChunk - 1) / recordsPerChunk).toInt
+    val safe = spark.sparkContext
+      .parallelize(0 until math.max(nChunks, 1), math.max(nChunks, 1))
+      .mapPartitions { it =>
+        it.flatMap { chunk =>
+          val first = chunk.toLong * recordsPerChunk
+          val count = math.max(0, math.min(recordsPerChunk.toLong, h.pointCount - first)).toInt
+          if (count == 0) Iterator.empty
+          else {
+            val raf = new RandomAccessFile(path, "r")
+            val buf = new Array[Byte](count * h.recordLen)
+            try {
+              raf.seek(h.offsetToPoints + first * h.recordLen)
+              raf.readFully(buf)
+            } finally raf.close()
+            val bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
+            (0 until count).iterator.map { i =>
+              val base = i * h.recordLen
+              Row(
+                bb.getInt(base) * h.scaleX + h.offX,
+                bb.getInt(base + 4) * h.scaleY + h.offY,
+                bb.getInt(base + 8) * h.scaleZ + h.offZ)
+            }
+          }
+        }
+      }
+    spark.createDataFrame(safe, pointSchema)
+  }
+
+  /** LAS export sink (S10): stream a (x, y, z) result to one .las file
+    * with the reference exporter's fixed header (point format 3,
+    * version 1.2, scales [0.1, 0.1, 0.1], offsets [0, 0, 0] —
+    * exporter.py:78-80). Driver-side single-file write, mirroring the
+    * reference's fetchall -> laspy write (exporter.py:70-89); meant for
+    * query results, not whole-cloud dumps. */
+  def writePoints(df: DataFrame, path: String,
+      scale: Double = 0.1): Unit = {
+    val rows = df.select("x", "y", "z").collect() // bounded: query results
+    val n = rows.length
+    var xMin = Double.MaxValue; var xMax = Double.MinValue
+    var yMin = Double.MaxValue; var yMax = Double.MinValue
+    var zMin = Double.MaxValue; var zMax = Double.MinValue
+    rows.foreach { r =>
+      val (x, y, z) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+      xMin = math.min(xMin, x); xMax = math.max(xMax, x)
+      yMin = math.min(yMin, y); yMax = math.max(yMax, y)
+      zMin = math.min(zMin, z); zMax = math.max(zMax, z)
+    }
+    if (n == 0) { xMin = 0; xMax = 0; yMin = 0; yMax = 0; zMin = 0; zMax = 0 }
+
+    val recordLen = 34 // point format 3
+    val header = ByteBuffer.allocate(227).order(ByteOrder.LITTLE_ENDIAN)
+    header.put("LASF".getBytes)
+    header.putShort(4, 0) // file source id
+    header.put(24, 1.toByte).put(25, 2.toByte) // v1.2
+    header.putShort(94, 227.toShort) // header size
+    header.putInt(96, 227) // offset to point data
+    header.putInt(100, 0) // no VLRs
+    header.put(104, 3.toByte) // point format 3
+    header.putShort(105, recordLen.toShort)
+    header.putInt(107, n)
+    header.putInt(111, n) // returns[0]
+    header.putDouble(131, scale).putDouble(139, scale).putDouble(147, scale)
+    header.putDouble(155, 0.0).putDouble(163, 0.0).putDouble(171, 0.0)
+    header.putDouble(179, xMax).putDouble(187, xMin)
+    header.putDouble(195, yMax).putDouble(203, yMin)
+    header.putDouble(211, zMax).putDouble(219, zMin)
+
+    val out = new DataOutputStream(new BufferedOutputStream(
+      new FileOutputStream(path), 1 << 20))
+    try {
+      out.write(header.array())
+      val rec = ByteBuffer.allocate(recordLen).order(ByteOrder.LITTLE_ENDIAN)
+      rows.foreach { r =>
+        rec.clear()
+        rec.putInt(math.round(r.getDouble(0) / scale).toInt)
+        rec.putInt(math.round(r.getDouble(1) / scale).toInt)
+        rec.putInt(math.round(r.getDouble(2) / scale).toInt)
+        // intensity..point source id + gps + rgb left zero
+        while (rec.position() < recordLen) rec.put(0.toByte)
+        out.write(rec.array())
+      }
+    } finally out.close()
+  }
+
+  /** Directory import (S3): union of per-file scans + folded metadata —
+    * DirLoader semantics (pipeline/import_data.py:76-99) without the
+    * reference's per-file sequential loop: Spark reads all files in one
+    * distributed job. */
+  def readDir(spark: SparkSession, dir: String): DataFrame = {
+    val files = Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(_.toLowerCase.endsWith(".las")).sorted
+    require(files.nonEmpty, s"no .las files in $dir")
+    files.map(readPoints(spark, _)).reduce(_.unionAll(_))
+  }
+}

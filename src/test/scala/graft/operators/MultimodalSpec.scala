@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def media: DataFrame = Multimodal.asMediaTable(
+    Seq((0L, "abcdefgh" * 20), (1L, "short"), (2L, "x" * 100))
+      .toDF("doc_id", "text"),
+    "doc_id", "text",
+    when(col("doc_id") % 3 === 0, "image")
+      .when(col("doc_id") % 3 === 1, "audio").otherwise("video"))
+
+  test("media table schema contract") {
+    assert(media.schema == Multimodal.mediaSchema)
+  }
+
+  test("decodeMeta derives deterministic dims and rates") {
+    val m = Multimodal.decodeMeta(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(m(0L).getString(1) == "image" && m(0L).getLong(2) == 160)
+    assert(m(0L).getInt(3) == 64 + 160 % 512)
+    assert(m(0L).getInt(4) == 64 + (160 * 31) % 512)
+    assert(m(1L).getInt(6) == 16000) // audio
+    assert(m(2L).getInt(6) == 30)    // video
+  }
+
+  test("extractFeatures: fixed dim, padded, checksum folds bytes") {
+    val f = Multimodal.extractFeatures(media, dim = 16).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(f(1L).getSeq[Float](3).length == 16)
+    // "short": ceil(5/7)=1 sample then zero padding
+    assert(f(1L).getSeq[Float](3)(0) == 's'.toFloat)
+    assert(f(1L).getSeq[Float](3)(1) == 0f)
+    val expectCk = "short".getBytes.foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % 1000000007L)
+    assert(f(1L).getLong(2) == expectCk)
+  }
+
+  test("sampleFrames explodes only video rows, every k-th frame") {
+    val frames = Multimodal.sampleFrames(media, everyK = 2, frameBytes = 32)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2).length))
+    assert(frames.forall(_._1 == 2L)) // only the video row
+    // 100 bytes / 32 = 3 frames, every 2nd -> idx 0 and 2
+    assert(frames.map(_._2).sorted.toSeq == Seq(0, 2))
+    assert(frames.find(_._2 == 2).get._3 == 32)
+  }
+
+  test("resize re-strides to the target cell budget") {
+    val r = Multimodal.resize(media, targetCells = 8).collect()
+      .map(x => x.getLong(0) -> x.getAs[Array[Byte]](1)).toMap
+    assert(r(0L).length == 8)  // 160 bytes -> 8 cells, stride 20
+    assert(r(1L).length == 5)  // shorter than target -> identity
+    assert(new String(r(1L)) == "short")
+  }
+}

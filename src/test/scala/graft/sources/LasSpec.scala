@@ -1,0 +1,63 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LasSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("write -> header -> read roundtrip on the 0.1 grid") {
+    val pts = Seq((1.5, 2.0, 0.3), (100.2, 0.0, -5.1), (8191.0, 4000.4, 25.3))
+    val df = pts.toDF("x", "y", "z")
+    val path = "/tmp/graft_las_test.las"
+    Las.writePoints(df, path)
+
+    val h = Las.readHeader(path)
+    assert(h.versionMajor == 1 && h.versionMinor == 2)
+    assert(h.pointFormat == 3 && h.recordLen == 34)
+    assert(h.pointCount == 3)
+    assert(h.scaleX == 0.1 && h.offX == 0.0)
+    assert(h.xMin == 1.5 && h.xMax == 8191.0)
+    assert(h.zMin == -5.1 && h.zMax == 25.3)
+
+    val back = Las.readPoints(spark, path, recordsPerChunk = 2)
+      .select(round(col("x") * 10).cast("long"),
+        round(col("y") * 10).cast("long"), round(col("z") * 10).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expect = pts.map { case (x, y, z) =>
+      (math.round(x * 10), math.round(y * 10), math.round(z * 10)) }.toSet
+    assert(back == expect)
+  }
+
+  test("chunked read covers every record exactly once") {
+    val n = 1000
+    val df = (0 until n).map(i => (i.toDouble, (i * 2).toDouble, 1.0)).toDF("x", "y", "z")
+    val path = "/tmp/graft_las_chunks.las"
+    Las.writePoints(df, path)
+    val got = Las.readPoints(spark, path, recordsPerChunk = 37)
+    assert(got.count() == n)
+    assert(got.select(round(col("x")).cast("long")).distinct().count() == n)
+  }
+
+  test("readDir unions all files") {
+    val d = java.nio.file.Files.createTempDirectory("graft_las_dir").toString
+    Las.writePoints(Seq((1.0, 1.0, 1.0)).toDF("x", "y", "z"), s"$d/a.las")
+    Las.writePoints(Seq((2.0, 2.0, 2.0), (3.0, 3.0, 3.0)).toDF("x", "y", "z"), s"$d/b.las")
+    assert(Las.readDir(spark, d).count() == 3)
+  }
+
+  test("readHeader rejects non-LAS bytes") {
+    val p = "/tmp/graft_not_las.las"
+    java.nio.file.Files.write(java.nio.file.Paths.get(p),
+      Array.fill[Byte](300)(7))
+    intercept[IllegalArgumentException](Las.readHeader(p))
+  }
+}
