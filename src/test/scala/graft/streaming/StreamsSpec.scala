@@ -1,0 +1,95 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
+
+  test("streaming sessionization emits watermark-closed sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val df = in.toDF().toDF("user_id", "ts", "value")
+    val q = Streams.sessionize(df, gap = "30 minutes", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      in.addData((7L, ts(0), 1.0), (7L, ts(10), 2.0))
+      q.processAllAvailable()
+      // push watermark far past the first session's close
+      in.addData((7L, ts(1000), 4.0))
+      q.processAllAvailable()
+      in.addData((7L, ts(3000), 8.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM sess_out")
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+      assert(rows.contains((7L, 2L, 3000L))) // first session: 2 events, 3.0
+      assert(rows.contains((7L, 1L, 4000L))) // second closed session
+    } finally q.stop()
+  }
+
+  test("streaming tumbling counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val df = in.toDF().toDF("user_id", "ts", "value")
+    val q = Streams.tumblingCounts(df, width = "1 hour", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("tumb_out")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, ts(10), 1.0), (2L, ts(50), 2.0), (1L, ts(70), 4.0))
+      q.processAllAvailable()
+      in.addData((1L, ts(5000), 1.0)) // advance watermark, close earlier windows
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM tumb_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows.contains((0L, 2L, 3000L)))
+      assert(rows.contains((3600000000L, 1L, 4000L)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup by key within watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val df = in.toDF().toDF("event_id", "ts", "value")
+    val q = Streams.dedupByKey(df, "event_id").writeStream
+      .format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      in.addData((1L, ts(0), 1.0), (1L, ts(1), 1.0), (2L, ts(2), 2.0))
+      q.processAllAvailable()
+      in.addData((1L, ts(3), 1.0)) // duplicate again within watermark
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM dedup_out").head().getLong(0) == 2)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState running totals across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.Ev]
+    val q = Streams.runningTotals(in.toDS()).writeStream
+      .format("memory").queryName("run_out").outputMode("append").start()
+    try {
+      in.addData(Streams.Ev(1L, ts(0), 1.0), Streams.Ev(1L, ts(1), 2.0))
+      q.processAllAvailable()
+      in.addData(Streams.Ev(1L, ts(2), 4.0)) // state carries over
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM run_out")
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set((1L, 1000L), (2L, 3000L), (3L, 7000L)))
+    } finally q.stop()
+  }
+}
