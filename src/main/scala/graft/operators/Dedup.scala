@@ -48,29 +48,23 @@ object Dedup {
 
   /** MinHash signature: for each of numHashes hash functions, the
     * minimum hash over the document's shingles. One groupBy-free pass —
-    * the signature is a per-row higher-order aggregate, so this scales
-    * with documents, not (documents x hashes) rows. Each shingle string
-    * is hashed to a long exactly once; the hash family is then derived
-    * from that long (xxhash64(base, h) — fixed 16-byte cost), so cost is
-    * O(shingle bytes + numHashes * shingles), not
-    * O(numHashes * shingle bytes). */
+    * the signature scales with documents, not (documents x hashes)
+    * rows. Each shingle string is hashed to a long exactly once
+    * (upstream); the hash family is then a native codegen kernel over
+    * the long array ([[graft.functions.HashKernels.minHashSig]]) — a
+    * JIT'd tight loop, not nested SQL lambdas. */
   def minHashSignatures(shingled: DataFrame, numHashes: Int): DataFrame =
-    shingled
-      .withColumn("__shh", expr("transform(shingles, s -> xxhash64(s))"))
-      .withColumn("sig",
-        expr(s"transform(sequence(0, ${numHashes - 1}), " +
-          "h -> aggregate(__shh, 9223372036854775807L, (acc, s) -> least(acc, xxhash64(s, h))))"))
-      .drop("__shh")
+    shingled.withColumn("sig",
+      graft.functions.hashes.minhash_signature(col("shingles"), numHashes))
 
   /** LSH banding: split the signature into `bands` bands of rows and
     * key each band by its hash; docs sharing any band key are candidate
     * pairs. Returns (id_a, id_b) with id_a < id_b, distinct. */
   def lshCandidatePairs(sigs: DataFrame, idCol: String, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
     val banded = sigs.select(col(idCol),
-      posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
-        s"b -> xxhash64(concat_ws(',', slice(sig, b * $rows + 1, $rows)), b))")).as(Seq("band", "bhash")))
+      posexplode(graft.functions.hashes.lsh_band_keys(col("sig"), bands))
+        .as(Seq("band", "bhash")))
     val a = banded.select(col("band"), col("bhash"), col(idCol).as("id_a"))
     val b = banded.select(col("band"), col("bhash"), col(idCol).as("id_b"))
     a.join(b, Seq("band", "bhash"))
@@ -132,13 +126,7 @@ object Dedup {
       .select(col(idCol), normalizeText(col(textCol)).as("__graft_norm"))
       .select(col(idCol),
         expr("transform(split(__graft_norm, ' '), w -> xxhash64(w))").as("__wh"))
-      .select(col(idCol), expr(
-        """aggregate(
-          transform(sequence(0, 63),
-            j -> CASE WHEN aggregate(__wh, 0L,
-                   (acc, w) -> acc + CASE WHEN ((w >> j) & 1) = 1 THEN 1L ELSE -1L END) > 0
-                 THEN shiftleft(1L, j) ELSE 0L END),
-          0L, (acc, b) -> acc | b)""").as("fp"))
+      .select(col(idCol), graft.functions.hashes.simhash64(col("__wh")).as("fp"))
 
   /** SimHash near-dup pairs: block on 4 16-bit chunks (two fingerprints
     * within Hamming distance <= 3 must agree on at least one chunk),
