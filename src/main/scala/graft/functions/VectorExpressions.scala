@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
+
+/** Native codegen kernels for embedding math over Array[Float] columns.
+  *
+  * Numerics contract: both kernels are strictly sequential left folds
+  * in double, element order 0..n-1 — the exact IEEE op sequence of the
+  * SQL form `aggregate(zip_with(a, b, (x, y) -> double(x) * double(y)),
+  * 0.0, (acc, v) -> acc + v)` and of the DuckDB oracle's list_reduce
+  * mirror — so swapping the SQL folds for these kernels changes
+  * nothing in any result bit. */
+object VectorKernels {
+
+  /** Sequential-fold dot product of two float vectors, in double. */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  /** sqrt of the sequential-fold sum of squares, in double. */
+  def norm(a: ArrayData): Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val v = a.getFloat(i).toDouble
+      acc += v * v
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  /** Random-hyperplane LSH bucket: bit b set iff the dot product of the
+    * vector with the b-th pseudo-random +-1 hyperplane (signs from
+    * mix64 parity) is positive. */
+  def rhpBucket(a: ArrayData, nBits: Int): Int = {
+    val n = a.numElements()
+    var bucket = 0
+    var b = 0
+    while (b < nBits) {
+      var acc = 0.0
+      var j = 0
+      while (j < n) {
+        val sign = if ((HashKernels.mix64(b.toLong * 4096 + j, 0) & 1L) == 1L) 1.0 else -1.0
+        acc += a.getFloat(j) * sign
+        j += 1
+      }
+      if (acc > 0) bucket |= 1 << b
+      b += 1
+    }
+    bucket
+  }
+}
+
+case class VectorDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vector_dot"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.dot($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+case class VectorNorm(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vector_norm"
+  override protected def nullSafeEval(a: Any): Any =
+    VectorKernels.norm(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorKernels.norm($a)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class RhpBucket(child: Expression, nBits: Int) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rhp_bucket"
+  override protected def nullSafeEval(a: Any): Any =
+    VectorKernels.rhpBucket(a.asInstanceOf[ArrayData], nBits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorKernels.rhpBucket($a, $nBits)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Column-level API. */
+object vectors {
+  private def expr(c: Column): Expression = GraftBridge.expression(c)
+  private def col(e: Expression): Column = GraftBridge.column(e)
+
+  def vector_dot(a: Column, b: Column): Column = col(VectorDot(expr(a), expr(b)))
+  def vector_norm(a: Column): Column = col(VectorNorm(expr(a)))
+  def rhp_bucket(a: Column, nBits: Int): Column = col(RhpBucket(expr(a), nBits))
+}

@@ -14,14 +14,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns, in double. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
-    dot / (na * nb)
-  }
+  /** Cosine similarity of two float-array columns, in double — native
+    * sequential-fold kernels (graft.functions.vectors), bit-identical
+    * to the SQL `aggregate(zip_with(...))` form they replace. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.vectors.vector_dot(a, b) /
+      (graft.functions.vectors.vector_norm(a) * graft.functions.vectors.vector_norm(b))
 
   /** Exact top-k by cosine against a literal query vector. The per-row
     * score is a narrow codegen stage; the top-k is Spark's
@@ -41,12 +39,8 @@ object Similarity {
     * no stored model. Returns the input plus a `bucket` int column. */
   def withLshBucket(emb: DataFrame, vecCol: String, nBits: Int): DataFrame = {
     require(nBits <= 30, "bucket must fit an int")
-    emb.withColumn("bucket", expr(
-      s"""aggregate(sequence(0, ${nBits - 1}), 0,
-         (acc, bit) -> acc | CASE WHEN
-            aggregate(sequence(0, size($vecCol) - 1), 0D,
-              (s, j) -> s + $vecCol[j] * (CASE WHEN (xxhash64(bit * 4096 + j) & 1) = 1 THEN 1.0 ELSE -1.0 END))
-            > 0D THEN shiftleft(1, bit) ELSE 0 END)"""))
+    emb.withColumn("bucket",
+      graft.functions.vectors.rhp_bucket(col(vecCol), nBits))
   }
 
   /** Approximate top-k: probe buckets within `maxHamming` of the query's
@@ -76,11 +70,19 @@ object Similarity {
     * embedding dedup that survives scale when groups are bounded. */
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
       blockCol: String, threshold: Double): DataFrame = {
-    val a = emb.select(col(blockCol).as("__blk"), col(idCol).as("id_a"), col(vecCol).as("__va"))
-    val b = emb.select(col(blockCol).as("__blk"), col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    // precompute each row's norm once — the pair join then evaluates
+    // only the dot product per candidate, not three folds
+    val withNorm = emb.select(col(blockCol).as("__blk"), col(idCol), col(vecCol),
+      graft.functions.vectors.vector_norm(col(vecCol)).as("__n"))
+    val a = withNorm.select(col("__blk"), col(idCol).as("id_a"),
+      col(vecCol).as("__va"), col("__n").as("__na"))
+    val b = withNorm.select(col("__blk"), col(idCol).as("id_b"),
+      col(vecCol).as("__vb"), col("__n").as("__nb"))
     a.join(b, "__blk")
       .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", cosine(col("__va"), col("__vb")))
+      .withColumn("sim",
+        graft.functions.vectors.vector_dot(col("__va"), col("__vb")) /
+          (col("__na") * col("__nb")))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
   }
@@ -91,11 +93,16 @@ object Similarity {
   def cosineNearDupPairsLsh(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nBits: Int = 8): DataFrame = {
     val bucketed = withLshBucket(emb, vecCol, nBits)
-    val a = bucketed.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("__va"))
-    val b = bucketed.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("__vb"))
+      .withColumn("__n", graft.functions.vectors.vector_norm(col(vecCol)))
+    val a = bucketed.select(col("bucket"), col(idCol).as("id_a"),
+      col(vecCol).as("__va"), col("__n").as("__na"))
+    val b = bucketed.select(col("bucket"), col(idCol).as("id_b"),
+      col(vecCol).as("__vb"), col("__n").as("__nb"))
     a.join(b, "bucket")
       .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", cosine(col("__va"), col("__vb")))
+      .withColumn("sim",
+        graft.functions.vectors.vector_dot(col("__va"), col("__vb")) /
+          (col("__na") * col("__nb")))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b").distinct()
   }
