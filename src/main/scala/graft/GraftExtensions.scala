@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions._
+
+/** SparkSessionExtensions hook: registers the engine's native
+  * expressions as SQL functions, so `spark.sql("SELECT
+  * graft_morton_encode(x, y) ...")` works anywhere DataFrame code does.
+  *
+  * Enable with:
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)
+  *   // or: .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  private def fns: Seq[(String, String, FunctionBuilder)] = Seq(
+    ("graft_morton_encode",
+      "_FUNC_(x, y) - interleave two non-negative longs into a 2D Morton key",
+      (args: Seq[Expression]) => MortonEncode2D(args(0), args(1))),
+    ("graft_morton_x",
+      "_FUNC_(m) - even-bit (x) component of a Morton key",
+      (args: Seq[Expression]) => MortonDecode2DX(args(0))),
+    ("graft_morton_y",
+      "_FUNC_(m) - odd-bit (y) component of a Morton key",
+      (args: Seq[Expression]) => MortonDecode2DY(args(0))),
+    ("graft_minhash_signature",
+      "_FUNC_(hashed_shingles, k) - k-element minhash signature of a long array",
+      (args: Seq[Expression]) =>
+        MinHashSignature(args(0), intArg(args(1), "numHashes"))),
+    ("graft_simhash64",
+      "_FUNC_(hashed_tokens) - 64-bit simhash of a long array",
+      (args: Seq[Expression]) => SimHash64(args(0))),
+    ("graft_lsh_band_keys",
+      "_FUNC_(sig, bands) - LSH band keys of a minhash signature",
+      (args: Seq[Expression]) => LshBandKeys(args(0), intArg(args(1), "bands"))),
+    ("graft_vector_dot",
+      "_FUNC_(a, b) - sequential-fold double dot product of float vectors",
+      (args: Seq[Expression]) => VectorDot(args(0), args(1))),
+    ("graft_vector_norm",
+      "_FUNC_(a) - L2 norm of a float vector",
+      (args: Seq[Expression]) => VectorNorm(args(0))),
+    ("graft_rhp_bucket",
+      "_FUNC_(a, nbits) - random-hyperplane LSH bucket of a float vector",
+      (args: Seq[Expression]) => RhpBucket(args(0), intArg(args(1), "nBits"))))
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    fns.foreach { case (name, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+    }
+}
+
+object GraftExtensions {
+  /** Register the graft_* SQL functions on an already-running session
+    * (the builder-time extension hook only applies to new sessions). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val ext = new GraftExtensions
+    ext.fns.foreach { case (name, usage, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), ext.info(name, usage), builder)
+    }
+  }
+}

@@ -63,6 +63,46 @@ object VectorKernels {
   }
 }
 
+object VectorKernelsCentroid {
+  /** argmax over centroids of cosine(vec, centroid); ties -> lowest id.
+    * Zero vectors go to list 0. */
+  def nearest(a: ArrayData, cents: Array[Array[Double]]): Int = {
+    val n = a.numElements()
+    var best = -1
+    var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      var dot = 0.0; var nc = 0.0; var na = 0.0
+      var i = 0
+      val m = math.min(n, cv.length)
+      while (i < m) {
+        val x = a.getFloat(i).toDouble
+        dot += x * cv(i); nc += cv(i) * cv(i); na += x * x
+        i += 1
+      }
+      val sim = if (nc == 0 || na == 0) -2.0 else dot / (math.sqrt(nc) * math.sqrt(na))
+      if (sim > bestSim) { bestSim = sim; best = c }
+      c += 1
+    }
+    math.max(best, 0)
+  }
+}
+
+case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nearest_centroid"
+  override protected def nullSafeEval(a: Any): Any =
+    VectorKernelsCentroid.nearest(a.asInstanceOf[ArrayData], centroids)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorKernelsCentroid.nearest($a, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 case class VectorDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
@@ -105,4 +145,6 @@ object vectors {
   def vector_dot(a: Column, b: Column): Column = col(VectorDot(expr(a), expr(b)))
   def vector_norm(a: Column): Column = col(VectorNorm(expr(a)))
   def rhp_bucket(a: Column, nBits: Int): Column = col(RhpBucket(expr(a), nBits))
+  def nearest_centroid(a: Column, centroids: Array[Array[Double]]): Column =
+    col(NearestCentroid(expr(a), centroids))
 }

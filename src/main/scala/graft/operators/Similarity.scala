@@ -64,6 +64,65 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) coarse quantizer, built deterministically (no
+    * RNG): seed lists = id-hash buckets, centroid = per-component mean
+    * (map-side partial agg; the shuffle carries nLists x dims cells,
+    * independent of vector count), one k-means refinement pass, then a
+    * final nearest-centroid assignment. Centroids are tiny and ride
+    * into the assignment expression as a broadcast-style reference
+    * object — assignment is one narrow codegen map over the vectors. */
+  def ivfCentroids(emb: DataFrame, idCol: String, vecCol: String,
+      nLists: Int): Array[Array[Double]] = {
+    val seeded = emb.withColumn("list_id",
+      pmod(xxhash64(col(idCol)), lit(nLists)).cast("int"))
+    val seed = meanByList(seeded, vecCol, nLists)
+    val assigned1 = emb.withColumn("list_id",
+      graft.functions.vectors.nearest_centroid(col(vecCol), seed))
+    meanByList(assigned1, vecCol, nLists)
+  }
+
+  /** Per-component mean per list: explode positions -> avg. Empty lists
+    * keep their previous absence (dense result indexed by list_id, zero
+    * vector when a list is empty). */
+  private def meanByList(assigned: DataFrame, vecCol: String,
+      nLists: Int): Array[Array[Double]] = {
+    val rows = assigned
+      .select(col("list_id"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col("list_id"), col("pos"))
+      .agg(avg(col("v")).as("m"))
+      .collect()
+    val dims = rows.iterator.map(_.getInt(1)).max + 1
+    val out = Array.fill(nLists)(new Array[Double](dims))
+    rows.foreach(r => out(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    out
+  }
+
+  /** IVF approximate top-k: probe the nProbe lists whose centroids are
+    * most query-similar, exact-rerank only their members. The scan
+    * prunes on a small isin list (partition/row-group prunable when the
+    * table is written bucketed by list_id). */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int, nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = ivfCentroids(emb, idCol, vecCol, nLists)
+    val qd = query.map(_.toDouble)
+    def cos(c: Array[Double]): Double = {
+      var dot = 0.0; var nc = 0.0; var nq = 0.0
+      var i = 0
+      while (i < math.min(c.length, qd.length)) {
+        dot += c(i) * qd(i); nc += c(i) * c(i); nq += qd(i) * qd(i); i += 1
+      }
+      if (nc == 0 || nq == 0) -2.0 else dot / (math.sqrt(nc) * math.sqrt(nq))
+    }
+    val probes = cents.zipWithIndex.map { case (c, i) => (cos(c), i) }
+      .sortBy(-_._1).take(nProbe).map(_._2)
+    emb.withColumn("list_id",
+        graft.functions.vectors.nearest_centroid(col(vecCol), cents))
+      .filter(col("list_id").isin(probes.toSeq: _*))
+      .select(col(idCol), cosine(col(vecCol), typedlit(query)).as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Exact near-duplicate pairs (cosine >= threshold) within blocking
     * groups (e.g. a cluster/label/shard key): an equi-join on the block
     * key keeps the pair space bounded per group — the all-pairs form of

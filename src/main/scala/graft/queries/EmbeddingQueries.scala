@@ -34,7 +34,10 @@ object EmbeddingQueries {
       Similarity.cosineNearDupPairs(emb(s, d), "vec_id", "embedding", "label", 0.35)
         .orderBy("id_a", "id_b")),
     "emb_neardup_lsh" -> ((s, d) =>
-      Similarity.cosineNearDupPairsLsh(emb(s, d), "vec_id", "embedding", 0.35, nBits = 8)))
+      Similarity.cosineNearDupPairsLsh(emb(s, d), "vec_id", "embedding", 0.35, nBits = 8)),
+    "emb_ivf_topk" -> ((s, d) =>
+      Similarity.ivfTopK(emb(s, d), "vec_id", "embedding", queryVec(s, d), 20,
+        nLists = 16, nProbe = 4)))
 
   /** Sequential-fold dot product of two DuckDB float lists, in double —
     * op-for-op the plan Spark's aggregate(zip_with(...)) produces. */

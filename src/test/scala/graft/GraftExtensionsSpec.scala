@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Morton
+
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new GraftExtensions) // applies when this JVM has no session yet
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    GraftExtensions.register(s) // idempotent; covers the shared-session case
+    s
+  }
+
+  test("graft_* functions are callable from SQL") {
+    val r = spark.sql(
+      """SELECT graft_morton_encode(5L, 9L) AS m,
+          graft_morton_x(graft_morton_encode(5L, 9L)) AS x,
+          graft_simhash64(array(-1L, -1L, -1L)) AS sh,
+          graft_vector_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS dot,
+          size(graft_minhash_signature(array(1L, 2L, 3L), 8)) AS siglen,
+          size(graft_lsh_band_keys(graft_minhash_signature(array(1L), 8), 4)) AS bands
+      """).head()
+    assert(r.getLong(0) == Morton.encode(5L, 9L))
+    assert(r.getLong(1) == 5L)
+    assert(r.getLong(2) == -1L)
+    assert(r.getDouble(3) == 11.0)
+    assert(r.getInt(4) == 8 && r.getInt(5) == 4)
+  }
+}

@@ -48,6 +48,13 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == Seq(1L)) // identical vector shares every hyperplane sign
   }
 
+  test("ivfTopK probes the query's own list (exact match always found)") {
+    val d = emb((1L, e1, 0), (2L, e12, 0), (3L, e2, 0), (4L, ne1, 0))
+    val got = Similarity.ivfTopK(d, "vec_id", "embedding", e1, 1,
+      nLists = 2, nProbe = 1).collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L))
+  }
+
   test("cosineNearDupPairs respects blocking and threshold") {
     val d = emb((1L, e1, 0), (2L, e1, 0), (3L, e1, 1), (4L, e2, 0))
     val got = Similarity.cosineNearDupPairs(d, "vec_id", "embedding", "label", 0.99)
