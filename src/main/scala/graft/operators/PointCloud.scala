@@ -134,6 +134,32 @@ object PointCloud {
     val meta = spark.read.parquet(s"$dir/meta").as[CloudMeta](metaEnc).head()
     new BlockedCloud(spark, spark.read.parquet(s"$dir/blocks"), meta)
   }
+
+  /** CSV block sink in the reference's pg-COPY shape — arrays rendered
+    * as `{a,b,c}` (point_processor.py:83-87). Distributed write (one
+    * csv part per partition), header per the reference's to_csv. */
+  def writeCsv(cloud: BlockedCloud, path: String): Unit =
+    cloud.blocks.select(
+      col("sfc_head"),
+      concat(lit("{"), concat_ws(",", col("sfc_tail")), lit("}")).as("sfc_tail"),
+      concat(lit("{"), concat_ws(",", col("z")), lit("}")).as("z"))
+      .write.mode("overwrite").option("header", "true")
+      .option("quote", "\"").csv(path)
+
+  /** JDBC sink: blocks + metadata to PostgreSQL — the reference's
+    * storage target (db/__init__.py:36-107; BASELINE.json's "ETL to
+    * PostgreSQL" shape). `pc_record_<name>(sfc_head, sfc_tail, z)` with
+    * array columns, `pc_metadata_<name>` one row; callers add the
+    * sfc_head index DDL (db/__init__.py:118-126) post-load. Untested
+    * here (no live PostgreSQL in the test environment) — a thin,
+    * partition-parallel `df.write.jdbc` mapping. */
+  def writeJdbc(cloud: BlockedCloud, url: String,
+      props: java.util.Properties): Unit = {
+    cloud.blocks.write.mode("append")
+      .jdbc(url, s"pc_record_${cloud.meta.name}", props)
+    cloud.spark.createDataset(Seq(cloud.meta))(metaEnc).toDF()
+      .write.mode("append").jdbc(url, s"pc_metadata_${cloud.meta.name}", props)
+  }
 }
 
 /** A stored point cloud + its catalog row; all queries are lazy DataFrames
@@ -279,4 +305,9 @@ final class BlockedCloud(
   /** The catalog row as a DataFrame (pc_metadata equivalent). */
   def metadataDf: DataFrame =
     spark.createDataset(Seq(meta))(Encoders.product[CloudMeta]).toDF()
+
+  /** Export any (x, y, z) query result to a LAS file with the
+    * reference exporter's fixed header (exporter.py:76-89). */
+  def exportLas(result: DataFrame, path: String): Unit =
+    graft.sources.Las.writePoints(result, path)
 }

@@ -30,6 +30,16 @@ class PointCloudSpec extends AnyFunSuite {
     df.select(col("x").cast("double"), col("y").cast("double"), col("z"))
       .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2))).toSeq.sorted
 
+  test("csv block sink renders pg-COPY array literals") {
+    val dir = "/tmp/graft_csv_sink"
+    PointCloud.writeCsv(cloud, dir)
+    val back = spark.read.option("header", "true").csv(dir)
+    assert(back.columns.toSeq == Seq("sfc_head", "sfc_tail", "z"))
+    assert(back.count() == cloud.blocks.count())
+    val row = back.filter(col("sfc_tail").contains(",")).head()
+    assert(row.getString(1).startsWith("{") && row.getString(1).endsWith("}"))
+  }
+
   test("import preserves the point multiset (pack -> explode identity)") {
     val all = cloud.bboxQuery(Bbox(0, 8191, 0, 8191))
     assert(collected(all) == raw.sorted)
