@@ -85,6 +85,31 @@ object TextStats {
           .otherwise("de"))
   }
 
+  /** PII/noise scrubbing: emails, URLs and long digit runs replaced by
+    * placeholder tokens — per-row regexp chain, fully pushed/codegen'd.
+    * Patterns restricted to syntax with identical semantics in Java
+    * regex and RE2 (oracle parity). */
+  def scrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t0 = norm(col(textCol))
+    val t1 = regexp_replace(t0, "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+", "<email>")
+    val t2 = regexp_replace(t1, "https?://[^ ]+", "<url>")
+    val t3 = regexp_replace(t2, "[0-9][0-9][0-9][0-9][0-9]+", "<num>")
+    df.select(col(idCol), t3.as("scrubbed"),
+      (length(t0) - length(t3)).cast("long").as("chars_removed"))
+  }
+
+  /** Repetition score (Gopher-style): frequency of the most repeated
+    * token over the token count. 1.0 = one token repeated throughout. */
+  def repetitionScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = split(norm(col(textCol)), " ")
+    val topCount = array_max(transform(array_distinct(words),
+      w => size(filter(words, x => x === w))))
+    df.select(col(idCol),
+      topCount.cast("long").as("top_token_count"),
+      size(words).cast("long").as("n_tokens"),
+      (topCount.cast("double") / size(words)).as("repetition_ratio"))
+  }
+
   /** Polynomial rolling-hash fingerprint over the alnum+space chars of
     * the normalized text: fold of h -> (h*31 + code) mod 1e9+7. Stays
     * within int64 at every step (no overflow — DuckDB would raise,

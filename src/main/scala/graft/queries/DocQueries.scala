@@ -45,7 +45,11 @@ object DocQueries {
     "doc_lang_id" -> ((s, d) =>
       TextStats.languageId(docs(s, d), "doc_id", "text")),
     "doc_fingerprint" -> ((s, d) =>
-      TextStats.fingerprint(docs(s, d), "doc_id", "text")))
+      TextStats.fingerprint(docs(s, d), "doc_id", "text")),
+    "doc_scrub" -> ((s, d) =>
+      TextStats.scrub(docs(s, d), "doc_id", "text")),
+    "doc_repetition" -> ((s, d) =>
+      TextStats.repetitionScore(docs(s, d), "doc_id", "text")))
 
   private def stopListSql(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -122,6 +126,28 @@ object DocQueries {
                 WHEN score_fr >= score_de THEN 'fr'
                 ELSE 'de' END AS pred_lang
          FROM s""",
+    "doc_scrub" ->
+      s"""WITH t0 AS (SELECT doc_id, $normSql AS t FROM documents),
+         t3 AS (SELECT doc_id, t,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+', '<email>', 'g'),
+               'https?://[^ ]+', '<url>', 'g'),
+             '[0-9][0-9][0-9][0-9][0-9]+', '<num>', 'g') AS scrubbed
+           FROM t0)
+         SELECT doc_id, scrubbed,
+           (length(t) - length(scrubbed))::BIGINT AS chars_removed
+         FROM t3""",
+    "doc_repetition" ->
+      s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS ws FROM documents),
+         c AS (SELECT doc_id, ws,
+           list_max(list_transform(list_distinct(ws),
+             w -> len(list_filter(ws, x -> x = w)))) AS topc
+           FROM w)
+         SELECT doc_id, topc::BIGINT AS top_token_count,
+           len(ws)::BIGINT AS n_tokens,
+           topc::DOUBLE / len(ws) AS repetition_ratio
+         FROM c""",
     "doc_fingerprint" ->
       s"""WITH t AS (SELECT doc_id,
            regexp_replace($normSql, '[^a-z0-9 ]', '', 'g') AS txt FROM documents)

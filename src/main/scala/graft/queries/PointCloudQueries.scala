@@ -34,7 +34,13 @@ object PointCloudQueries {
     * local cache, and reopen lazily — queries then scan stats-bearing
     * parquet exactly as a long-lived deployment would. */
   def cloud(spark: SparkSession, dir: String): BlockedCloud = synchronized {
-    val cacheDir = s"/tmp/graft_pc_cache/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    // cache key fingerprints the source file (size+mtime), not just its
+    // path — regenerated test data must never serve a stale cache
+    val src = java.nio.file.Paths.get(s"$dir/lineitem.parquet")
+    val fp = if (Files.exists(src))
+      s"${Files.size(src)}_${Files.getLastModifiedTime(src).toMillis}" else "na"
+    val cacheDir =
+      s"/tmp/graft_pc_cache/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_$fp"
     if (!Files.exists(Paths.get(s"$cacheDir/meta/_SUCCESS"))) {
       val c = PointCloud.importPoints(rawPoints(spark, dir), ImportSpec(name = "li_pts"))
       PointCloud.write(c, cacheDir)

@@ -46,6 +46,21 @@ class TextStatsSpec extends AnyFunSuite {
     assert(got == Map(1L -> "en", 2L -> "es", 3L -> "fr", 4L -> "de", 5L -> "und"))
   }
 
+  test("scrub replaces emails, urls, digit runs") {
+    val d = docs(1L -> "mail me at Bob.Smith@example.com or https://x.io/page?id=1 code 1234567")
+    val r = TextStats.scrub(d, "doc_id", "text").head()
+    assert(r.getString(1) == "mail me at <email> or <url> code <num>")
+    assert(r.getLong(2) > 0)
+  }
+
+  test("repetitionScore finds the dominant token") {
+    val d = docs(1L -> "spam spam spam eggs", 2L -> "a b c d")
+    val got = TextStats.repetitionScore(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((3L, 4L, 0.75)))
+    assert(got(2L) == ((1L, 4L, 0.25)))
+  }
+
   test("fingerprint equals a reference fold and ignores punctuation") {
     val text = "Ab c!"
     val cleaned = "ab c" // lowercased, punct stripped
