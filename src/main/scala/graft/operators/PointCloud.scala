@@ -170,6 +170,12 @@ object PointCloud {
   * work (the reference's INSERT-per-point loop, retrieve_data.py:150-151,
   * is the anti-pattern this replaces).
   */
+object BlockedCloud {
+  private[operators] val fusedExplode: Boolean =
+    sys.env.getOrElse("GRAFT_FUSED_EXPLODE",
+      System.getProperty("graft.fusedExplode", "false")).toBoolean
+}
+
 final class BlockedCloud(
     val spark: SparkSession,
     val blocks: DataFrame,
@@ -203,17 +209,29 @@ final class BlockedCloud(
   }
 
   /** Unpack blocks to reconstructed points (x, y, z) — the reference's
-    * explode-decode loop (retrieve_data.py:127-145) as a lazy plan:
-    * arrays_zip + explode (codegen Generate) + native decode expressions. */
-  private def explodePoints(blk: DataFrame): DataFrame = {
-    val key = shiftleft(col("sfc_head"), meta.tailLen).bitwiseOR(col("p.sfc_tail"))
-    blk
-      .select(col("sfc_head"), explode(arrays_zip(col("sfc_tail"), col("z"))).as("p"))
-      .select(
-        (sfc.morton_x(key).cast("double") * meta.scaleX + meta.offX).as("x"),
-        (sfc.morton_y(key).cast("double") * meta.scaleY + meta.offY).as("y"),
-        col("p.z").as("z"))
-  }
+    * explode-decode loop (retrieve_data.py:127-145) as a lazy plan.
+    * Default: composed arrays_zip → explode → native decode expressions
+    * (stays inside whole-stage codegen). GRAFT_FUSED_EXPLODE=true
+    * selects the fused ExplodeBlock generator (no intermediate
+    * zipped-struct array, but CodegenFallback); measured equal within
+    * noise at sf0.1 — see PLANS.md. Both produce identical rows. */
+  private def explodePoints(blk: DataFrame): DataFrame =
+    if (BlockedCloud.fusedExplode) {
+      blk.select(graft.functions.generators.explode_block(
+          col("sfc_head"), col("sfc_tail"), col("z"), meta.tailLen))
+        .select(
+          (col("x_grid").cast("double") * meta.scaleX + meta.offX).as("x"),
+          (col("y_grid").cast("double") * meta.scaleY + meta.offY).as("y"),
+          col("z"))
+    } else {
+      val key = shiftleft(col("sfc_head"), meta.tailLen).bitwiseOR(col("p.sfc_tail"))
+      blk
+        .select(col("sfc_head"), explode(arrays_zip(col("sfc_tail"), col("z"))).as("p"))
+        .select(
+          (sfc.morton_x(key).cast("double") * meta.scaleX + meta.offX).as("x"),
+          (sfc.morton_y(key).cast("double") * meta.scaleY + meta.offY).as("y"),
+          col("p.z").as("z"))
+    }
 
   private def emptyPoints: DataFrame = explodePoints(blocks.filter(lit(false)))
 
