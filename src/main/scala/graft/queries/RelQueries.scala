@@ -74,6 +74,12 @@ object RelQueries {
         .select(col("o_custkey"), col("o_orderkey"),
           milli(col("o_totalprice")).as("totalprice_milli"), col("rk"))
     }),
+    // rollup (grouping sets): subtotals per flag, per (flag, status), grand total
+    "rel_rollup_pricing" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(milli(col("l_quantity"))).as("qty_milli"),
+          count(lit(1)).as("n"))),
     // grouped distinct + having over a join
     "rel_parts_per_brand" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -115,6 +121,10 @@ object RelQueries {
          FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk FROM orders)
          WHERE rk <= 3""",
+    "rel_rollup_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+           sum(${m("l_quantity")}) AS qty_milli, count(*) AS n
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
     "rel_parts_per_brand" ->
       s"""SELECT p_brand, count(DISTINCT p_partkey) AS n_parts,
            sum(${m("l_quantity")}) AS qty_milli
