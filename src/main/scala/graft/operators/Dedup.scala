@@ -128,6 +128,40 @@ object Dedup {
         expr("transform(split(__graft_norm, ' '), w -> xxhash64(w))").as("__wh"))
       .select(col(idCol), graft.functions.hashes.simhash64(col("__wh")).as("fp"))
 
+  /** Duplicate-cluster resolution: connected components over a near-dup
+    * pair table via min-label propagation — each vertex converges to the
+    * smallest id reachable from it (the cluster representative).
+    * Iterative small-step joins with lineage truncation
+    * (localCheckpoint) every iteration; converges in O(component
+    * diameter) rounds, capped. Returns (idCol, cluster_id) for every
+    * vertex that appears in a pair. */
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 15): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("id", "dst2"),
+          col("dst") === col("dst2"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("cluster_id")).as("nb_min"))
+      val next = labels.join(viaNeighbor, "id")
+        .select(col("id"),
+          least(col("cluster_id"), col("nb_min")).as("cluster_id"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "id")
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    labels
+  }
+
   /** SimHash near-dup pairs: block on 4 16-bit chunks (two fingerprints
     * within Hamming distance <= 3 must agree on at least one chunk),
     * then verify bit_count(xor) <= maxHamming exactly. */

@@ -46,6 +46,12 @@ object DocQueries {
       TextStats.languageId(docs(s, d), "doc_id", "text")),
     "doc_fingerprint" -> ((s, d) =>
       TextStats.fingerprint(docs(s, d), "doc_id", "text")),
+    "doc_dup_clusters" -> ((s, d) =>
+      Dedup.duplicateClusters(
+        Dedup.minhashNearDups(docs(s, d), "doc_id", "text",
+          shingleLen = 3, wordShingles = true, numHashes = 64, bands = 16,
+          threshold = 0.8).select("id_a", "id_b"))
+        .withColumnRenamed("id", "doc_id")),
     "doc_scrub" -> ((s, d) =>
       TextStats.scrub(docs(s, d), "doc_id", "text")),
     "doc_repetition" -> ((s, d) =>
@@ -57,20 +63,26 @@ object DocQueries {
   private def scoreSql(lang: String, words: Seq[String]): String =
     s"len(list_filter(string_split($normSql, ' '), w -> list_contains(${stopListSql(words)}, w))) AS score_$lang"
 
-  /** Exhaustive word-3-gram all-pairs Jaccard (the truth the LSH path
-    * must reproduce at threshold 0.8 given the data's J-gap). */
-  private def wordJaccardSql(threshold: Double): String =
-    s"""WITH w AS (
+  /** CTE definitions + pair select for exhaustive word-3-gram all-pairs
+    * Jaccard (the truth the LSH path must reproduce at threshold 0.8
+    * given the data's J-gap). */
+  private val wordShinglesCtes =
+    s"""w AS (
        SELECT doc_id, string_split($normSql, ' ') AS ws FROM documents
      ), sh AS (
        SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws), 3) - 1),
               i -> array_to_string(ws[i:i+2], ' '))) AS shingles FROM w
-     )
-     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+     )"""
+
+  private def wordPairsSelect(threshold: Double): String =
+    s"""SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        len(list_intersect(a.shingles, b.shingles))::DOUBLE /
          len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
      WHERE jaccard >= $threshold"""
+
+  private def wordJaccardSql(threshold: Double): String =
+    s"WITH $wordShinglesCtes ${wordPairsSelect(threshold)}"
 
   private def charJaccardSql(n: Int, threshold: Double): String =
     s"""WITH t AS (
@@ -90,6 +102,17 @@ object DocQueries {
       s"""SELECT min(doc_id) AS doc_id, count(*) AS n_copies
          FROM (SELECT doc_id, $normSql AS norm FROM documents) GROUP BY norm""",
     "doc_minhash_neardup" -> wordJaccardSql(0.8),
+    "doc_dup_clusters" ->
+      s"""WITH RECURSIVE $wordShinglesCtes,
+         p AS (${wordPairsSelect(0.8)}),
+         e AS (SELECT id_a AS a, id_b AS b FROM p
+               UNION SELECT id_b, id_a FROM p),
+         r AS (
+           SELECT a AS id, a AS reach FROM e
+           UNION
+           SELECT id, b FROM r JOIN e ON r.reach = e.a
+         )
+         SELECT id AS doc_id, min(reach) AS cluster_id FROM r GROUP BY id""",
     "doc_ngram_jaccard" -> charJaccardSql(5, 0.6),
     // doc_simhash_neardup: no oracle (xxhash64-dependent) -> rows-only
     "doc_token_count" ->

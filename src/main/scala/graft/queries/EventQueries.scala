@@ -40,7 +40,13 @@ object EventQueries {
     "ev_running" -> ((s, d) =>
       Events.running(ev(s, d), "user_id", "ts", "event_id", "value")),
     "ev_type_agg" -> ((s, d) =>
-      Events.typeBreakdown(ev(s, d), "event_type", "ts", "value")))
+      Events.typeBreakdown(ev(s, d), "event_type", "ts", "value")),
+    // semi-structured: JSON props column -> typed field -> aggregate
+    "ev_props_extract" -> ((s, d) =>
+      ev(s, d)
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy((col("k") / 10).cast("long").as("k_decade"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))))
 
   private val vMilli = "CAST(round(value * 1000, 0) AS BIGINT)"
 
@@ -80,5 +86,10 @@ object EventQueries {
     "ev_type_agg" ->
       s"""SELECT event_type, count(*) AS n_events, sum($vMilli) AS value_milli,
            min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
-         FROM events GROUP BY 1""")
+         FROM events GROUP BY 1""",
+    "ev_props_extract" ->
+      s"""WITH k AS (SELECT CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k FROM events)
+         SELECT CAST(floor(k / 10.0) AS BIGINT) AS k_decade,
+           count(*) AS n, sum(k) AS sum_k
+         FROM k GROUP BY 1""")
 }
