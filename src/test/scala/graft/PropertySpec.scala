@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{Bbox, Morton, MortonRange}
+import graft.operators.{ImportSpec, PointCloud}
+
+/** Property-based tests (SURVEY §5.2): the SFC path must reproduce the
+  * naive answer on arbitrary inputs, and pack→explode must be the
+  * identity on the point multiset. ScalaCheck generators are applied
+  * with fixed seeds (deterministic trials; the scalatest-scalacheck
+  * bridge isn't in the offline cache). */
+class PropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], trial: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(trial))
+
+  private val coord = Gen.choose(0L, 255L)
+  private val point = for (x <- coord; y <- coord; z <- Gen.choose(0, 99))
+    yield (x.toDouble, y.toDouble, z.toDouble)
+  private val points = Gen.nonEmptyListOf(point)
+  private val bboxGen = for {
+    x1 <- coord; x2 <- coord; y1 <- coord; y2 <- coord
+  } yield Bbox(math.min(x1, x2), math.max(x1, x2), math.min(y1, y2), math.max(y1, y2))
+
+  test("morton roundtrip on random coordinates (pure kernel)") {
+    for (t <- 1L to 500L) {
+      val (x, y) = (sample(coord, t), sample(coord, t + 10000))
+      val m = Morton.encode(x, y)
+      assert(Morton.decodeX(m) == x && Morton.decodeY(m) == y, s"($x, $y)")
+    }
+  }
+
+  test("mortonRanges cover every bbox cell (pure kernel)") {
+    for (t <- 1L to 200L) {
+      val b = sample(bboxGen, t)
+      val tailLen = 2 * sample(Gen.choose(0, 4), t + 777)
+      val hr = MortonRange.decompose(b, 16, tailLen, maxCells = 1024)
+      for (s <- 1L to 20L) {
+        val px = sample(Gen.choose(b.xMin.toLong, b.xMax.toLong), t * 100 + s)
+        val py = sample(Gen.choose(b.yMin.toLong, b.yMax.toLong), t * 100 + s + 50)
+        val head = Morton.encode(px, py) >> tailLen
+        val hit = (hr.contained ++ hr.partial).exists {
+          case (lo, hi) => head >= lo && head <= hi
+        }
+        assert(hit, s"bbox $b tail $tailLen point ($px, $py)")
+      }
+    }
+  }
+
+  test("pack -> explode identity and SFC bbox query ≡ naive filter") {
+    for (t <- 1L to 8L) {
+      val pts = sample(points, t)
+      val b = sample(bboxGen, t + 31337)
+      val cloud = PointCloud.importPoints(pts.toDF("x", "y", "z"),
+        ImportSpec(name = "prop", ratio = 0.6))
+      val all = cloud.bboxQuery(Bbox(0, 255, 0, 255))
+        .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2))).sorted
+      assert(all.toSeq == pts.sorted)
+      val got = cloud.bboxQuery(b)
+        .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2))).sorted
+      val want = pts.filter(p => p._1 >= b.xMin && p._1 <= b.xMax &&
+        p._2 >= b.yMin && p._2 <= b.yMax).sorted
+      assert(got.toSeq == want, s"trial $t bbox $b")
+    }
+  }
+}
