@@ -16,6 +16,13 @@ final case class ImportSpec(
     scaleX: Double = 1.0, scaleY: Double = 1.0, scaleZ: Double = 1.0,
     offX: Double = 0.0, offY: Double = 0.0, offZ: Double = 0.0,
     ratio: Double = 0.7,
+    /** When set, override `ratio` with a density-derived split: pick
+      * the even head length whose expected occupancy (point count /
+      * 2^headLen) is closest to this target. The reference leaves the
+      * ratio as a hand-tuned knob per dataset (scripts/import_*_s*.json
+      * sweeps); at sparse densities a fixed ratio degenerates to
+      * one-point blocks, losing the layout's purpose. */
+    targetPointsPerBlock: Option[Int] = None,
     blockPartitions: Option[Int] = None)
 
 /** Dataset catalog row — the Spark form of pc_metadata_<name>
@@ -68,7 +75,17 @@ object PointCloud {
       s"negative quantized coordinates: offsets ${(spec.offX, spec.offY)} exceed data min ${(xMin, yMin)}")
     val qxMax = math.round((xMax - spec.offX) / spec.scaleX)
     val qyMax = math.round((yMax - spec.offY) / spec.scaleY)
-    val (headLen, tailLen) = Morton.splitLengths(qxMax, qyMax, spec.ratio)
+    val ratio = spec.targetPointsPerBlock match {
+      case Some(target) =>
+        val totalBits = { val s = Morton.splitLengths(qxMax, qyMax, 1.0); s._1 + s._2 }
+        // even head length with ~n/2^h points per head closest to target
+        val ideal = math.log(math.max(n.toDouble / target, 1.0)) / math.log(2.0)
+        val headLen = math.max(2, math.min(totalBits - 2,
+          2 * math.round(ideal / 2).toInt))
+        headLen.toDouble / totalBits
+      case None => spec.ratio
+    }
+    val (headLen, tailLen) = Morton.splitLengths(qxMax, qyMax, ratio)
 
     val mkey = sfc.morton_encode(
       quantize(col("x"), spec.offX, spec.scaleX),

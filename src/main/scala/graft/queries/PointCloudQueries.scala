@@ -42,7 +42,13 @@ object PointCloudQueries {
     val cacheDir =
       s"/tmp/graft_pc_cache/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_$fp"
     if (!Files.exists(Paths.get(s"$cacheDir/meta/_SUCCESS"))) {
-      val c = PointCloud.importPoints(rawPoints(spark, dir), ImportSpec(name = "li_pts"))
+      // head 12 / tail 14 on the 8192 grid: 4096 quadtree cells of
+      // 128x128 — healthy block occupancy at bench scale (~150 pts/blk
+      // at sf0.1) instead of the degenerate 1-pt blocks a 0.7 ratio
+      // yields on sparse data; cell size 128 is pinned in the
+      // pc_histogram oracle
+      val c = PointCloud.importPoints(rawPoints(spark, dir),
+        ImportSpec(name = "li_pts", ratio = 12.0 / 26))
       PointCloud.write(c, cacheDir)
     }
     PointCloud.read(spark, cacheDir)
@@ -128,7 +134,7 @@ object PointCloudQueries {
     "pc_bbox_minz" -> s"$ptsCte SELECT x, y, z FROM pts WHERE ${bboxSql(bboxLarge)} AND z >= 10.0",
     "pc_knn" -> (s"$ptsCte SELECT x, y, z FROM pts ORDER BY " +
       "(x - 3000.5) * (x - 3000.5) + (y - 3000.5) * (y - 3000.5), x, y, z LIMIT 100"),
-    "pc_histogram" -> (s"$ptsCte SELECT x // 16 AS cell_x, y // 16 AS cell_y, " +
+    "pc_histogram" -> (s"$ptsCte SELECT x // 128 AS cell_x, y // 128 AS cell_y, " +
       "count(*) AS n_points FROM pts GROUP BY 1, 2"),
     "pc_metadata" -> (s"$ptsCte SELECT count(*) AS point_count, " +
       "min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max, " +
