@@ -113,6 +113,19 @@ object PointCloud {
   private def quantize(c: Column, off: Double, scale: Double): Column =
     round((c - lit(off)) / lit(scale)).cast(LongType)
 
+  /** Entry point 1 of the reference (importer.py): import LAS file(s)
+    * into the blocked-SFC layout. `path` may be one .las file or a
+    * directory (DirLoader semantics, S3) — one distributed job either
+    * way, not the reference's sequential per-file loop
+    * (pipeline/import_data.py:109-136). */
+  def importLas(spark: SparkSession, path: String, spec: ImportSpec): BlockedCloud = {
+    val pts =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path)))
+        graft.sources.Las.readDir(spark, path)
+      else graft.sources.Las.readPoints(spark, path)
+    importPoints(pts, spec)
+  }
+
   /** Group consecutive equal heads of a (head, tail)-sorted iterator into
     * blocks. Streaming: holds exactly one block in memory. */
   private[operators] def packSortedPartition(

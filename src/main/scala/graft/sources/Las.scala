@@ -165,9 +165,30 @@ object Las {
     * reference's per-file sequential loop: Spark reads all files in one
     * distributed job. */
   def readDir(spark: SparkSession, dir: String): DataFrame = {
+    val files = lasFiles(dir)
+    files.map(readPoints(spark, _)).reduce(_.unionAll(_))
+  }
+
+  private def lasFiles(dir: String): Array[String] = {
     val files = Files.list(Paths.get(dir)).toArray.map(_.toString)
       .filter(_.toLowerCase.endsWith(".las")).sorted
     require(files.nonEmpty, s"no .las files in $dir")
-    files.map(readPoints(spark, _)).reduce(_.unionAll(_))
+    files
+  }
+
+  /** Directory metadata fold (A3): sum of point counts, min/max of the
+    * per-file header bboxes — DirLoader.get_metadata semantics
+    * (pipeline/import_data.py:76-99), computed from headers only (no
+    * point data), with the reference's min/max mixup fixed (SURVEY
+    * §2.8: import_data.py:97 derives the split from round(x_min),
+    * y_max instead of the max coords). */
+  def dirMetadata(dir: String): LasHeader = {
+    val hs = lasFiles(dir).map(readHeader)
+    hs.reduce { (a, b) =>
+      a.copy(pointCount = a.pointCount + b.pointCount,
+        xMin = math.min(a.xMin, b.xMin), xMax = math.max(a.xMax, b.xMax),
+        yMin = math.min(a.yMin, b.yMin), yMax = math.max(a.yMax, b.yMax),
+        zMin = math.min(a.zMin, b.zMin), zMax = math.max(a.zMax, b.zMax))
+    }
   }
 }

@@ -54,6 +54,29 @@ class LasSpec extends AnyFunSuite {
     assert(Las.readDir(spark, d).count() == 3)
   }
 
+  test("dirMetadata folds counts and bboxes across files") {
+    val d = java.nio.file.Files.createTempDirectory("graft_las_meta").toString
+    Las.writePoints(Seq((1.0, 10.0, -2.0)).toDF("x", "y", "z"), s"$d/a.las")
+    Las.writePoints(Seq((5.0, 2.0, 7.0), (3.0, 4.0, 1.0)).toDF("x", "y", "z"), s"$d/b.las")
+    val m = Las.dirMetadata(d)
+    assert(m.pointCount == 3)
+    assert(m.xMin == 1.0 && m.xMax == 5.0)
+    assert(m.yMin == 2.0 && m.yMax == 10.0)
+    assert(m.zMin == -2.0 && m.zMax == 7.0)
+  }
+
+  test("importLas end-to-end: las file -> blocked cloud -> bbox query") {
+    import graft.operators.{ImportSpec, PointCloud}
+    import graft.core.Bbox
+    val pts = (0 until 100).map(i => ((i % 10).toDouble, (i / 10).toDouble, 1.0))
+    val path = "/tmp/graft_las_import.las"
+    Las.writePoints(pts.toDF("x", "y", "z"), path)
+    val cloud = PointCloud.importLas(spark, path, ImportSpec(name = "las_e2e"))
+    assert(cloud.meta.pointCount == 100)
+    val hits = cloud.bboxQuery(Bbox(2, 4, 3, 5)).count()
+    assert(hits == 9) // 3 x 3 grid cells
+  }
+
   test("readHeader rejects non-LAS bytes") {
     val p = "/tmp/graft_not_las.las"
     java.nio.file.Files.write(java.nio.file.Paths.get(p),
