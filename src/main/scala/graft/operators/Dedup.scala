@@ -141,6 +141,12 @@ object Dedup {
       .distinct().localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
+      .localCheckpoint()
+    // labels only ever decrease (min-propagation is monotone), so the
+    // label sum is a fixpoint witness: unchanged sum <=> converged —
+    // one cheap agg over the checkpointed result instead of an
+    // old-vs-new join per round
+    var prevSum = labels.agg(sum(col("cluster_id"))).head().getLong(0)
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -149,14 +155,13 @@ object Dedup {
           col("dst") === col("dst2"))
         .groupBy(col("src").as("id"))
         .agg(min(col("cluster_id")).as("nb_min"))
-      val next = labels.join(viaNeighbor, "id")
+      labels = labels.join(viaNeighbor, "id")
         .select(col("id"),
           least(col("cluster_id"), col("nb_min")).as("cluster_id"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "id")
-        .filter(col("cluster_id") =!= col("old")).count()
-      labels = next
-      converged = changed == 0
+      val s = labels.agg(sum(col("cluster_id"))).head().getLong(0)
+      converged = s == prevSum
+      prevSum = s
       it += 1
     }
     labels
