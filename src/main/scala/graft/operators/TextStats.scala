@@ -110,6 +110,34 @@ object TextStats {
       (topCount.cast("double") / size(words)).as("repetition_ratio"))
   }
 
+  /** Deterministic train/val/test assignment by multiplicative id hash
+    * (Knuth constant) — stable across runs/engines, no RNG, joins and
+    * filters prune on it. Buckets: [0, valPct) -> "val",
+    * [valPct, valPct+testPct) -> "test", rest "train". */
+  def splitAssign(df: DataFrame, idCol: String,
+      valPct: Int = 5, testPct: Int = 5): DataFrame = {
+    val bucket = pmod(col(idCol) * lit(2654435761L), lit(100L))
+    df.withColumn("split",
+      when(bucket < valPct, "val")
+        .when(bucket < valPct + testPct, "test")
+        .otherwise("train"))
+  }
+
+  /** Context-window chunking: split each document into word chunks of
+    * at most `chunkTokens`, keyed (id, chunk_idx) — the 1->N shape that
+    * feeds tokenizers. Whitespace tokens over normalized text. */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int): DataFrame = {
+    val words = split(norm(col(textCol)), " ")
+    val nChunks = ceil(size(words).cast("double") / chunkTokens).cast("int")
+    df.select(col(idCol), words.as("__w"), nChunks.as("__nc"))
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), col("__nc") - 1),
+          i => concat_ws(" ", slice(col("__w"), i * chunkTokens + 1, lit(chunkTokens)))))
+          .as(Seq("chunk_idx", "chunk_text")))
+      .withColumn("chunk_tokens", size(split(col("chunk_text"), " ")).cast("long"))
+  }
+
   /** Polynomial rolling-hash fingerprint over the alnum+space chars of
     * the normalized text: fold of h -> (h*31 + code) mod 1e9+7. Stays
     * within int64 at every step (no overflow — DuckDB would raise,

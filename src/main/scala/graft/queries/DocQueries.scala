@@ -52,6 +52,12 @@ object DocQueries {
           shingleLen = 3, wordShingles = true, numHashes = 64, bands = 16,
           threshold = 0.8).select("id_a", "id_b"))
         .withColumnRenamed("id", "doc_id")),
+    "doc_split_assign" -> ((s, d) =>
+      TextStats.splitAssign(docs(s, d), "doc_id")
+        .groupBy(col("split")).agg(count(lit(1)).as("n"),
+          min(col("doc_id")).as("min_id"))),
+    "doc_chunk" -> ((s, d) =>
+      TextStats.chunk(docs(s, d), "doc_id", "text", 32)),
     "doc_scrub" -> ((s, d) =>
       TextStats.scrub(docs(s, d), "doc_id", "text")),
     "doc_repetition" -> ((s, d) =>
@@ -149,6 +155,20 @@ object DocQueries {
                 WHEN score_fr >= score_de THEN 'fr'
                 ELSE 'de' END AS pred_lang
          FROM s""",
+    "doc_split_assign" ->
+      s"""WITH s AS (SELECT doc_id,
+           CASE WHEN (doc_id * 2654435761) % 100 < 5 THEN 'val'
+                WHEN (doc_id * 2654435761) % 100 < 10 THEN 'test'
+                ELSE 'train' END AS split
+         FROM documents)
+         SELECT split, count(*) AS n, min(doc_id) AS min_id FROM s GROUP BY 1""",
+    "doc_chunk" ->
+      s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS ws FROM documents),
+         c AS (SELECT doc_id, ws, CAST(ceil(len(ws) / 32.0) AS INT) AS nc FROM w)
+         SELECT doc_id, i AS chunk_idx,
+           array_to_string(ws[i * 32 + 1 : i * 32 + 32], ' ') AS chunk_text,
+           least(32, len(ws) - i * 32)::BIGINT AS chunk_tokens
+         FROM c, LATERAL unnest(range(0, nc)) AS t(i)""",
     "doc_scrub" ->
       s"""WITH t0 AS (SELECT doc_id, $normSql AS t FROM documents),
          t3 AS (SELECT doc_id, t,
