@@ -65,7 +65,7 @@ object Events {
     val w = Window.partitionBy(col(userCol))
       .orderBy(col(tsCol).asc, col(idCol).asc)
     df.select(col(idCol), col(userCol),
-      row_number().over(w).as("event_idx"),
+      row_number().over(w).cast("long").as("event_idx"),
       sum(milli(col(valueCol)))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .as("cum_value_milli"))

@@ -71,7 +71,9 @@ object PointCloud {
     val (n, xMin, xMax, yMin, yMax, zMin, zMax) =
       (s.getLong(0), s.getDouble(1), s.getDouble(2), s.getDouble(3), s.getDouble(4),
         s.getDouble(5), s.getDouble(6))
-    require((xMin - spec.offX) / spec.scaleX >= -0.5 && (yMin - spec.offY) / spec.scaleY >= -0.5,
+    // strict: round() is HALF_UP (away from zero), so a quantized -0.5
+    // would become -1 and Morton.encode would silently mask the sign
+    require((xMin - spec.offX) / spec.scaleX > -0.5 && (yMin - spec.offY) / spec.scaleY > -0.5,
       s"negative quantized coordinates: offsets ${(spec.offX, spec.offY)} exceed data min ${(xMin, yMin)}")
     val qxMax = math.round((xMax - spec.offX) / spec.scaleX)
     val qyMax = math.round((yMax - spec.offY) / spec.scaleY)
@@ -319,14 +321,18 @@ final class BlockedCloud(
     */
   def knn(px: Double, py: Double, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
-    val span = math.max(meta.xMax - meta.xMin, meta.yMax - meta.yMin)
+    // a circle of radius >= distance to the farthest bbox corner covers
+    // ALL data, wherever the query point lies (incl. outside the extent)
+    val maxCornerDist = math.sqrt(
+      math.pow(math.max(math.abs(px - meta.xMin), math.abs(px - meta.xMax)), 2) +
+        math.pow(math.max(math.abs(py - meta.yMin), math.abs(py - meta.yMax)), 2))
     val area = math.max((meta.xMax - meta.xMin) * (meta.yMax - meta.yMin), 1e-9)
     val density = meta.pointCount / area
     var r = math.max(math.sqrt((k + 1) / math.max(density, 1e-12) / math.Pi) * 1.5,
       2 * math.max(meta.scaleX, meta.scaleY))
     var result: DataFrame = null
     while (result == null) {
-      val covers = r >= 2 * span
+      val covers = r >= maxCornerDist
       val cand = circleQuery(Circle(px, py, r))
       if (covers || cand.count() >= k) result = cand else r *= 2
     }
@@ -344,11 +350,16 @@ final class BlockedCloud(
     * point_processor.py:77-79). With an even tail length the head IS the
     * Morton key of the cell (x >> tailLen/2, y >> tailLen/2), so the cell
     * coordinates are SQL-derivable for the oracle. */
-  def histogram: DataFrame =
+  def histogram: DataFrame = {
+    // the head is the Morton key of (x >> t/2, y >> t/2) only when the
+    // tail length t is even — an odd tail garbles the decode silently
+    require(meta.tailLen % 2 == 0,
+      s"histogram needs an even tail length (cell decode invariant); got ${meta.tailLen}")
     blocks.select(
       sfc.morton_x(col("sfc_head")).as("cell_x"),
       sfc.morton_y(col("sfc_head")).as("cell_y"),
       size(col("sfc_tail")).cast(LongType).as("n_points"))
+  }
 
   /** The catalog row as a DataFrame (pc_metadata equivalent). */
   def metadataDf: DataFrame =

@@ -135,6 +135,7 @@ object TextStats {
         posexplode(transform(sequence(lit(0), col("__nc") - 1),
           i => concat_ws(" ", slice(col("__w"), i * chunkTokens + 1, lit(chunkTokens)))))
           .as(Seq("chunk_idx", "chunk_text")))
+      .withColumn("chunk_idx", col("chunk_idx").cast("long"))
       .withColumn("chunk_tokens", size(split(col("chunk_text"), " ")).cast("long"))
   }
 

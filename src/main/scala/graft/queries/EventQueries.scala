@@ -62,34 +62,34 @@ object EventQueries {
                OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid
            FROM o)
          SELECT user_id, min(us) AS session_start_us, count(*) AS n_events,
-           sum(vm) AS value_milli
+           CAST(sum(vm) AS BIGINT) AS value_milli
          FROM m GROUP BY user_id, sid""",
     "ev_tumbling_1h" ->
       s"""SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
-           count(*) AS n_events, sum($vMilli) AS value_milli,
+           count(*) AS n_events, CAST(sum($vMilli) AS BIGINT) AS value_milli,
            count(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1""",
     "ev_sliding_2h_1h" ->
       s"""SELECT ((epoch_us(ts) // 3600000000) - o.o) * 3600000000 AS window_start_us,
-           count(*) AS n_events, sum($vMilli) AS value_milli
+           count(*) AS n_events, CAST(sum($vMilli) AS BIGINT) AS value_milli
          FROM events, (VALUES (0), (1)) AS o(o) GROUP BY 1""",
     "ev_top_users" ->
-      s"""SELECT user_id, count(*) AS n_events, sum($vMilli) AS value_milli
+      s"""SELECT user_id, count(*) AS n_events, CAST(sum($vMilli) AS BIGINT) AS value_milli
          FROM events GROUP BY 1
          ORDER BY value_milli DESC, user_id ASC LIMIT 10""",
     "ev_running" ->
       s"""SELECT event_id, user_id,
            row_number() OVER w AS event_idx,
-           sum($vMilli) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS UNBOUNDED PRECEDING) AS cum_value_milli
+           CAST(sum($vMilli) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_value_milli
          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
     "ev_type_agg" ->
-      s"""SELECT event_type, count(*) AS n_events, sum($vMilli) AS value_milli,
+      s"""SELECT event_type, count(*) AS n_events, CAST(sum($vMilli) AS BIGINT) AS value_milli,
            min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
          FROM events GROUP BY 1""",
     "ev_props_extract" ->
       s"""WITH k AS (SELECT CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k FROM events)
          SELECT CAST(floor(k / 10.0) AS BIGINT) AS k_decade,
-           count(*) AS n, sum(k) AS sum_k
+           count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
          FROM k GROUP BY 1""")
 }

@@ -30,12 +30,17 @@ object MultimodalQueries {
     "mm_feature_cksum" -> ((s, d) =>
       Multimodal.extractFeatures(media(s, d))
         .select("media_id", "n_bytes", "checksum")),
-    // full feature vectors (incl. Array[Float] column): rows-only check
-    "mm_features" -> ((s, d) => Multimodal.extractFeatures(media(s, d))),
+    // full feature vectors: rows-only check. The Array[Float] column is
+    // stringified — the driver's comparator sorts/hashes column values,
+    // and a raw float array is unhashable on the pandas side
+    // (CORRECTNESS_r01 'unhashable type: numpy.ndarray').
+    "mm_features" -> ((s, d) =>
+      Multimodal.extractFeatures(media(s, d))
+        .withColumn("feature", col("feature").cast("string"))),
     "mm_frame_sample" -> ((s, d) =>
       // frame bytes are ASCII here -> inspect via string cast
       Multimodal.sampleFrames(media(s, d), everyK = 4, frameBytes = 32)
-        .select(col("media_id"), col("frame_idx"),
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
           length(col("frame_bytes")).cast("long").as("frame_len"),
           ascii(col("frame_bytes").cast("string")).cast("long").as("first_byte"))),
     "mm_resize_cksum" -> ((s, d) => {

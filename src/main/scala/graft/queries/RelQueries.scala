@@ -72,7 +72,8 @@ object RelQueries {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .select(col("o_custkey"), col("o_orderkey"),
-          milli(col("o_totalprice")).as("totalprice_milli"), col("rk"))
+          milli(col("o_totalprice")).as("totalprice_milli"),
+          col("rk").cast("long").as("rk"))
     }),
     // rollup (grouping sets): subtotals per flag, per (flag, status), grand total
     "rel_rollup_pricing" -> ((s, d) =>
@@ -94,15 +95,15 @@ object RelQueries {
   val oracleSql: Map[String, String] = Map(
     "rel_q1_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,
-           sum(${m("l_quantity")}) AS sum_qty_milli,
-           sum(${m("l_extendedprice")}) AS sum_base_milli,
-           sum($rev) AS sum_disc_milli,
+           CAST(sum(${m("l_quantity")}) AS BIGINT) AS sum_qty_milli,
+           CAST(sum(${m("l_extendedprice")}) AS BIGINT) AS sum_base_milli,
+           CAST(sum($rev) AS BIGINT) AS sum_disc_milli,
            count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
          GROUP BY 1, 2""",
     "rel_q3_shipping" ->
       s"""SELECT l_orderkey, epoch_us(o_orderdate) AS o_orderdate_us,
-           sum($rev) AS revenue_milli
+           CAST(sum($rev) AS BIGINT) AS revenue_milli
          FROM lineitem, orders, customer
          WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
            AND l_orderkey = o_orderkey
@@ -110,7 +111,7 @@ object RelQueries {
            AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
          GROUP BY 1, 2 ORDER BY revenue_milli DESC, l_orderkey ASC LIMIT 10""",
     "rel_q5_nation_revenue" ->
-      s"""SELECT n_name, sum($rev) AS revenue_milli, count(*) AS n_items
+      s"""SELECT n_name, CAST(sum($rev) AS BIGINT) AS revenue_milli, count(*) AS n_items
          FROM lineitem, orders, customer, supplier, nation
          WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
            AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -123,11 +124,11 @@ object RelQueries {
          WHERE rk <= 3""",
     "rel_rollup_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,
-           sum(${m("l_quantity")}) AS qty_milli, count(*) AS n
+           CAST(sum(${m("l_quantity")}) AS BIGINT) AS qty_milli, count(*) AS n
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
     "rel_parts_per_brand" ->
       s"""SELECT p_brand, count(DISTINCT p_partkey) AS n_parts,
-           sum(${m("l_quantity")}) AS qty_milli
+           CAST(sum(${m("l_quantity")}) AS BIGINT) AS qty_milli
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY 1""")
 }

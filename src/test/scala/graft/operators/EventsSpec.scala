@@ -50,8 +50,8 @@ class EventsSpec extends AnyFunSuite {
   test("running cumulative per user ordered by time") {
     val d = ev((1L, 1L, ts(0), 1.0), (2L, 1L, ts(5), 2.0), (3L, 1L, ts(10), 4.0))
     val got = Events.running(d, "user_id", "ts", "event_id", "value")
-      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3))).toSet
-    assert(got == Set((1L, 1, 1000L), (2L, 2, 3000L), (3L, 3, 7000L)))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((1L, 1L, 1000L), (2L, 2L, 3000L), (3L, 3L, 7000L)))
   }
 
   test("topUsers orders by total value desc") {

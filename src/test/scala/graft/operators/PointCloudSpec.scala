@@ -106,6 +106,19 @@ class PointCloudSpec extends AnyFunSuite {
     assert(got.sorted == expect.sorted)
   }
 
+  test("knn from a query point far outside the data extent still returns k rows") {
+    // regression (ADVICE r1): the probe circle used to stop growing at
+    // 2*span, which only covers the data when the query point is inside
+    // the bbox — an exterior point silently returned < k rows
+    val (px, py, k) = (50000.0, -20000.0, 7)
+    def d2(p: (Double, Double, Double)) = (p._1 - px) * (p._1 - px) + (p._2 - py) * (p._2 - py)
+    val expect = raw.sortBy(p => (d2(p), p._1, p._2, p._3)).take(k)
+    val got = cloud.knn(px, py, k)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(got.length == k)
+    assert(got.map(d2).sorted == expect.map(d2).sorted)
+  }
+
   test("histogram ≡ naive cell group-by") {
     val got = cloud.histogram.collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
