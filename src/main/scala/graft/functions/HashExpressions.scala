@@ -1,10 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native codegen kernels for the hashing-heavy dedup/similarity ops.
   *
@@ -73,6 +75,105 @@ object HashKernels {
     fp
   }
 
+  /** Sorted distinct xxhash64 (seed 42 — SQL xxhash64) of the n-gram
+    * shingles of a NORMALIZED string (single-space separated, trimmed).
+    *
+    * Hashes n-gram byte ranges of the input in place: a word shingle
+    * `concat_ws(' ', words i..i+n-1)` is, on normalized text, exactly
+    * the byte slice from the start of word i to the end of word i+n-1,
+    * so no shingle string is ever materialized. Replaces the SQL-lambda
+    * form `array_distinct(transform(sequence(...), i ->
+    * xxhash64(concat_ws(' ', slice(split(t, ' '), i+1, n)))))`, whose
+    * interpreted inner `split` re-evaluates per element — O(tokens^2)
+    * per document. Same longs out (bit-identical to SQL xxhash64 of the
+    * shingle strings); sorted order (the downstream set ops are
+    * order-free, and sorted enables [[sortedIntersectSize]]).
+    *
+    * Fewer than n tokens/chars degenerates to one whole-string shingle,
+    * matching `slice`/`substring` semantics of the SQL form. */
+  def shingleHashes(s: UTF8String, n: Int, word: Boolean): ArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val numBytes = s.numBytes()
+    val out: Array[Long] =
+      if (word) {
+        // starts(i) = byte offset of word i; normalized => single ' '
+        var numWords = 1
+        var i = 0
+        while (i < numBytes) {
+          if (Platform.getByte(base, off + i) == ' ') numWords += 1
+          i += 1
+        }
+        val starts = new Array[Int](numWords + 1)
+        var w = 1
+        i = 0
+        while (i < numBytes) {
+          if (Platform.getByte(base, off + i) == ' ') { starts(w) = i + 1; w += 1 }
+          i += 1
+        }
+        starts(numWords) = numBytes + 1 // sentinel: end(k) = starts(k+1) - 1
+        val m = math.max(numWords - n + 1, 1)
+        val hs = new Array[Long](m)
+        var j = 0
+        while (j < m) {
+          val from = starts(j)
+          val to = starts(math.min(j + n, numWords)) - 1
+          hs(j) = XXH64.hashUnsafeBytes(base, off + from, to - from, 42L)
+          j += 1
+        }
+        hs
+      } else {
+        // char offsets: charOff(c) = byte offset of char c (UTF-8 aware)
+        val numChars = s.numChars()
+        val charOff = new Array[Int](numChars + 1)
+        var c = 0
+        var b = 0
+        while (b < numBytes) {
+          charOff(c) = b
+          b += UTF8String.numBytesForFirstByte(Platform.getByte(base, off + b))
+          c += 1
+        }
+        charOff(numChars) = numBytes
+        val m = math.max(numChars - n + 1, 1)
+        val hs = new Array[Long](m)
+        var j = 0
+        while (j < m) {
+          val from = charOff(j)
+          val to = charOff(math.min(j + n, numChars))
+          hs(j) = XXH64.hashUnsafeBytes(base, off + from, to - from, 42L)
+          j += 1
+        }
+        hs
+      }
+    // sort + in-place dedupe
+    java.util.Arrays.sort(out)
+    var k = 0
+    var i = 0
+    while (i < out.length) {
+      if (k == 0 || out(i) != out(k - 1)) { out(k) = out(i); k += 1 }
+      i += 1
+    }
+    ArrayData.toArrayData(if (k == out.length) out else java.util.Arrays.copyOf(out, k))
+  }
+
+  /** |A ∩ B| of two SORTED long arrays — one merge pass, no hash table.
+    * With |A|, |B| known, Jaccard = inter / (|A| + |B| - inter). */
+  def sortedIntersectSize(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val va = a.getLong(i)
+      val vb = b.getLong(j)
+      if (va == vb) { inter += 1; i += 1; j += 1 }
+      else if (va < vb) i += 1
+      else j += 1
+    }
+    inter
+  }
+
   /** key[b] = order-dependent fold of mix64 over the b-th band slice of
     * the signature (bands of rows = sig.length / bands). */
   def bandKeys(sig: ArrayData, bands: Int): ArrayData = {
@@ -131,6 +232,33 @@ case class LshBandKeys(child: Expression, bands: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Sorted distinct shingle hashes of a normalized text column. */
+case class ShingleHashes(child: Expression, n: Int, word: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_hashes"
+  override protected def nullSafeEval(s: Any): Any =
+    HashKernels.shingleHashes(s.asInstanceOf[UTF8String], n, word)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.HashKernels.shingleHashes($s, $n, $word)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Intersection size of two sorted long arrays. */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sorted_intersect_size"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.sortedIntersectSize(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashKernels.sortedIntersectSize($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** Column-level API. */
 object hashes {
   private def expr(c: Column): Expression = GraftBridge.expression(c)
@@ -144,4 +272,10 @@ object hashes {
 
   def lsh_band_keys(sig: Column, bands: Int): Column =
     col(LshBandKeys(expr(sig), bands))
+
+  def shingle_hashes(normText: Column, n: Int, word: Boolean): Column =
+    col(ShingleHashes(expr(normText), n, word))
+
+  def sorted_intersect_size(a: Column, b: Column): Column =
+    col(SortedIntersectSize(expr(a), expr(b)))
 }

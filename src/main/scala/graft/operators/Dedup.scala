@@ -46,6 +46,18 @@ object Dedup {
     base.select(col(idCol), sh.as("shingles"))
   }
 
+  /** Sorted distinct 64-bit shingle hashes per doc — the working set of
+    * the whole near-dup pipeline. One native codegen pass over the
+    * normalized text ([[graft.functions.HashKernels.shingleHashes]]):
+    * no shingle strings, no interpreted lambdas. Bit-identical to
+    * xxhash64 of the [[withShingles]] strings. */
+  def hashedShingles(df: DataFrame, idCol: String, textCol: String,
+      n: Int, word: Boolean): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col(idCol),
+        graft.functions.hashes.shingle_hashes(
+          normalizeText(col(textCol)), n, word).as("shingles"))
+
   /** MinHash signature: for each of numHashes hash functions, the
     * minimum hash over the document's shingles. One groupBy-free pass —
     * the signature scales with documents, not (documents x hashes)
@@ -86,6 +98,22 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** [[verifyJaccard]] for SORTED hash arrays ([[hashedShingles]]
+    * output): one merge pass per pair instead of hash-table set ops,
+    * |A∪B| derived as |A| + |B| - |A∩B|. */
+  private def verifyJaccardSorted(pairs: DataFrame, shingled: DataFrame,
+      idCol: String, threshold: Double): DataFrame = {
+    val sa = shingled.select(col(idCol).as("id_a"), col("shingles").as("__sh_a"))
+    val sb = shingled.select(col(idCol).as("id_b"), col("shingles").as("__sh_b"))
+    val inter = graft.functions.hashes
+      .sorted_intersect_size(col("__sh_a"), col("__sh_b")).cast("double")
+    pairs.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("jaccard",
+        inter / (size(col("__sh_a")) + size(col("__sh_b")) - inter))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** MinHash-LSH near-duplicate pairs with exact Jaccard verification:
     * shingle -> minhash -> band -> bucket equi-join -> verify.
     *
@@ -97,11 +125,9 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, wordShingles: Boolean = true,
       numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
-    val hashed = withShingles(df, idCol, textCol, shingleLen, wordShingles)
-      .select(col(idCol),
-        array_distinct(expr("transform(shingles, s -> xxhash64(s))")).as("shingles"))
+    val hashed = hashedShingles(df, idCol, textCol, shingleLen, wordShingles)
     val pairs = lshCandidatePairs(minHashSignatures(hashed, numHashes), idCol, numHashes, bands)
-    verifyJaccard(pairs, hashed, idCol, threshold)
+    verifyJaccardSorted(pairs, hashed, idCol, threshold)
   }
 
   /** Character-n-gram Jaccard near-dup pairs >= threshold: the minhash

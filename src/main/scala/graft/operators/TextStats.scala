@@ -127,17 +127,12 @@ object TextStats {
     * at most `chunkTokens`, keyed (id, chunk_idx) — the 1->N shape that
     * feeds tokenizers. Whitespace tokens over normalized text. */
   def chunk(df: DataFrame, idCol: String, textCol: String,
-      chunkTokens: Int): DataFrame = {
-    val words = split(norm(col(textCol)), " ")
-    val nChunks = ceil(size(words).cast("double") / chunkTokens).cast("int")
-    df.select(col(idCol), words.as("__w"), nChunks.as("__nc"))
-      .select(col(idCol),
-        posexplode(transform(sequence(lit(0), col("__nc") - 1),
-          i => concat_ws(" ", slice(col("__w"), i * chunkTokens + 1, lit(chunkTokens)))))
+      chunkTokens: Int): DataFrame =
+    df.select(col(idCol),
+        posexplode(graft.functions.text.chunk_words(norm(col(textCol)), chunkTokens))
           .as(Seq("chunk_idx", "chunk_text")))
       .withColumn("chunk_idx", col("chunk_idx").cast("long"))
       .withColumn("chunk_tokens", size(split(col("chunk_text"), " ")).cast("long"))
-  }
 
   /** Polynomial rolling-hash fingerprint over the alnum+space chars of
     * the normalized text: fold of h -> (h*31 + code) mod 1e9+7. Stays

@@ -41,6 +41,25 @@ class DedupSpec extends AnyFunSuite {
     assert(sh == Seq("ab"))
   }
 
+  test("native shingle hashes == sorted distinct xxhash64 of the shingle strings") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val d = docs(
+      1L -> "The quick brown fox jumps over the  LAZY dog",
+      2L -> "ab",
+      3L -> "",
+      4L -> "héllo wörld ünïcode téxt hère",
+      5L -> "one two one two one two") // duplicate shingles
+    for ((n, word) <- Seq((3, true), (1, true), (5, false), (2, false))) {
+      val viaStrings = Dedup.withShingles(d, "doc_id", "text", n, word)
+        .select(col("doc_id"),
+          expr("array_sort(array_distinct(transform(shingles, s -> xxhash64(s))))").as("h"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+      val viaKernel = Dedup.hashedShingles(d, "doc_id", "text", n, word)
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+      assert(viaKernel == viaStrings, s"n=$n word=$word")
+    }
+  }
+
   test("minhashNearDups finds planted near-dup and nothing else") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val nearDup = base.replace("w7", "x7") // 1 token changed of 40
