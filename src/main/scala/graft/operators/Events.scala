@@ -71,6 +71,40 @@ object Events {
         .as("cum_value_milli"))
   }
 
+  /** As-of join (backward, inclusive): for each left row, the single
+    * latest right row with right.ts <= left.ts within the same key —
+    * DuckDB/kdb ASOF JOIN semantics, which Spark has no operator for.
+    *
+    * Implemented as the union trick — tag both sides, merge, one
+    * window pass per key filling the latest right payload forward —
+    * NOT as a range join: one shuffle on the key and one in-partition
+    * sort, O(n log n), no per-row range probe and no candidate
+    * explosion on hot keys. The right payload travels as ONE struct so
+    * all its fields come from the same right row (no column tearing
+    * when a payload field is legitimately null).
+    *
+    * Rows of the right side should be unique per (key, ts) — at equal
+    * timestamps the match would otherwise be tie-ambiguous (same as
+    * DuckDB ASOF). Pre-aggregate to enforce it. */
+  def asOfJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      tsCol: String, rightCols: Seq[String]): DataFrame = {
+    val l = left.withColumn("__side", lit(1))
+    val r = right.select(
+      (keyCols :+ tsCol).map(col) :+
+        struct(rightCols.map(col): _*).as("__r_payload") :+
+        lit(0).as("__side"): _*)
+    val merged = l.unionByName(r, allowMissingColumns = true)
+    // right rows sort before left rows at equal ts => inclusive match
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merged
+      .withColumn("__asof", last(col("__r_payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(left.columns.map(col) ++
+        rightCols.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
+  }
+
   /** Per-type breakdown: counts, value, time span. */
   def typeBreakdown(df: DataFrame, typeCol: String, tsCol: String,
       valueCol: String): DataFrame =

@@ -134,6 +134,43 @@ object TextStats {
       .withColumn("chunk_idx", col("chunk_idx").cast("long"))
       .withColumn("chunk_tokens", size(split(col("chunk_text"), " ")).cast("long"))
 
+  /** Greedy sequence packing: assign documents to training packs of at
+    * most `budget` whitespace tokens (a doc longer than the budget gets
+    * a pack of its own). Documents are processed in id order within
+    * deterministic hash buckets — the bucket is the parallelism unit,
+    * so the result is reproducible at any cluster size while the work
+    * distributes across `buckets` independent streams (pick buckets ~
+    * cluster cores at scale; packing quality is unaffected because any
+    * greedy order is equally valid). One shuffle + in-partition sort +
+    * streaming fold — no per-group materialization. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      budget: Long, buckets: Int): DataFrame = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    val enc: Encoder[(Long, Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    val outEnc: Encoder[(Long, Long, Long, Long)] = Encoders.tuple(
+      Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    df.select(col(idCol).cast("long"),
+        pmod(col(idCol).cast("long") * lit(2654435761L), lit(buckets.toLong)),
+        size(split(norm(col(textCol)), " ")).cast("long"))
+      .as[(Long, Long, Long)](enc)
+      .repartition(col("_2"))
+      .sortWithinPartitions("_2", "_1")
+      .as[(Long, Long, Long)](enc)
+      .mapPartitions { it =>
+        var curBucket = Long.MinValue
+        var acc = 0L
+        var pack = 0L
+        it.map { case (id, b, toks) =>
+          if (b != curBucket) { curBucket = b; acc = 0L; pack = 0L }
+          if (acc > 0 && acc + toks > budget) { pack += 1; acc = 0L }
+          acc += toks
+          (id, b, pack, toks)
+        }
+      }(outEnc)
+      .toDF(idCol, "bucket", "pack_idx", "n_tokens")
+  }
+
   /** Polynomial rolling-hash fingerprint over the alnum+space chars of
     * the normalized text: fold of h -> (h*31 + code) mod 1e9+7. Stays
     * within int64 at every step (no overflow — DuckDB would raise,

@@ -58,6 +58,9 @@ object DocQueries {
           min(col("doc_id")).as("min_id"))),
     "doc_chunk" -> ((s, d) =>
       TextStats.chunk(docs(s, d), "doc_id", "text", 32)),
+    "doc_pack" -> ((s, d) =>
+      TextStats.packSequences(docs(s, d), "doc_id", "text",
+        budget = 1024L, buckets = 8)),
     "doc_scrub" -> ((s, d) =>
       TextStats.scrub(docs(s, d), "doc_id", "text")),
     "doc_repetition" -> ((s, d) =>
@@ -169,6 +172,27 @@ object DocQueries {
            array_to_string(ws[i * 32 + 1 : i * 32 + 32], ' ') AS chunk_text,
            least(32, len(ws) - i * 32)::BIGINT AS chunk_tokens
          FROM c, LATERAL unnest(range(0, nc)) AS t(i)""",
+    "doc_pack" ->
+      s"""WITH RECURSIVE d AS (
+           SELECT doc_id, (doc_id * 2654435761) % 8 AS bucket,
+             len(string_split($normSql, ' '))::BIGINT AS n_tokens
+           FROM documents
+         ), o AS (
+           SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+           FROM d
+         ), r AS (
+           SELECT bucket, rn, doc_id, n_tokens, 0::BIGINT AS pack_idx,
+             n_tokens AS acc
+           FROM o WHERE rn = 1
+           UNION ALL
+           SELECT o.bucket, o.rn, o.doc_id, o.n_tokens,
+             CASE WHEN r.acc + o.n_tokens > 1024 THEN r.pack_idx + 1
+                  ELSE r.pack_idx END,
+             CASE WHEN r.acc + o.n_tokens > 1024 THEN o.n_tokens
+                  ELSE r.acc + o.n_tokens END
+           FROM r JOIN o ON o.bucket = r.bucket AND o.rn = r.rn + 1
+         )
+         SELECT doc_id, bucket, pack_idx, n_tokens FROM r""",
     "doc_scrub" ->
       s"""WITH t0 AS (SELECT doc_id, $normSql AS t FROM documents),
          t3 AS (SELECT doc_id, t,

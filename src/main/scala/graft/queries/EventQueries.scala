@@ -46,7 +46,20 @@ object EventQueries {
       ev(s, d)
         .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
         .groupBy((col("k") / 10).cast("long").as("k_decade"))
-        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))),
+    // as-of join: each click matched to the user's latest prior-or-equal
+    // purchase (null when none) — DuckDB ASOF LEFT JOIN is the oracle
+    "ev_asof_purchase" -> ((s, d) => {
+      val e = ev(s, d).withColumn("ts_us", unix_micros(col("ts")))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts_us")) // unique per (key, ts)
+        .agg(max(col("event_id")).as("p_event_id"),
+          max_by(Events.milli(col("value")), col("event_id")).as("p_value_milli"))
+      Events.asOfJoin(clicks, purchases, Seq("user_id"), "ts_us",
+        Seq("p_event_id", "p_value_milli"))
+    }))
 
   private val vMilli = "CAST(round(value * 1000, 0) AS BIGINT)"
 
@@ -91,5 +104,18 @@ object EventQueries {
       s"""WITH k AS (SELECT CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k FROM events)
          SELECT CAST(floor(k / 10.0) AS BIGINT) AS k_decade,
            count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
-         FROM k GROUP BY 1""")
+         FROM k GROUP BY 1""",
+    "ev_asof_purchase" ->
+      s"""WITH pv AS (
+           SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS p_event_id,
+             arg_max($vMilli, event_id) AS p_value_milli
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+         ), c AS (
+           SELECT event_id, user_id, epoch_us(ts) AS ts_us
+           FROM events WHERE event_type = 'click')
+         SELECT c.event_id, c.user_id, c.ts_us,
+           pv.p_event_id AS asof_p_event_id,
+           pv.p_value_milli AS asof_p_value_milli
+         FROM c ASOF LEFT JOIN pv
+           ON c.user_id = pv.user_id AND c.ts_us >= pv.ts_us""")
 }

@@ -54,6 +54,19 @@ class EventsSpec extends AnyFunSuite {
     assert(got == Set((1L, 1L, 1000L), (2L, 2L, 3000L), (3L, 3L, 7000L)))
   }
 
+  test("asOfJoin matches latest prior-or-equal right row per key") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L), (1L, 20L, 101L), (2L, 5L, 102L), (1L, 4L, 103L))
+      .toDF("k", "t", "lid")
+    val right = Seq((1L, 5L, 900L), (1L, 20L, 901L), (3L, 1L, 902L))
+      .toDF("k", "t", "rid")
+    val got = Events.asOfJoin(left, right, Seq("k"), "t", Seq("rid"))
+      .collect().map(r => (r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    // lid 100 (t=10) -> rid 900 (t=5); lid 101 (t=20) -> rid 901 (equal ts,
+    // inclusive); lid 102 (k=2) and lid 103 (t=4 < first right) -> null
+    assert(got == Set((100L, 900L), (101L, 901L), (102L, -1L), (103L, -1L)))
+  }
+
   test("topUsers orders by total value desc") {
     val d = ev((1L, 1L, ts(0), 1.0), (2L, 2L, ts(0), 5.0), (3L, 1L, ts(1), 3.0))
     val got = Events.topUsers(d, "user_id", "value", 2)
