@@ -155,13 +155,57 @@ object Dedup {
       .select(col(idCol), graft.functions.hashes.simhash64(col("__wh")).as("fp"))
 
   /** Duplicate-cluster resolution: connected components over a near-dup
-    * pair table via min-label propagation — each vertex converges to the
-    * smallest id reachable from it (the cluster representative).
-    * Iterative small-step joins with lineage truncation
+    * pair table — each vertex maps to the smallest id reachable from it
+    * (the cluster representative). Returns (id, cluster_id) for every
+    * vertex that appears in a pair.
+    *
+    * Scale-adaptive: near-dup edge tables are tiny relative to the
+    * corpus (bounded by the planted duplication rate), so up to
+    * `driverEdgeLimit` edges the component resolution runs as a single
+    * driver-side union-find — one collect instead of O(diameter) rounds
+    * of join + checkpoint + agg jobs, which at small edge counts are
+    * pure scheduler overhead. Past the limit it falls back to the
+    * distributed min-label propagation below (the form that survives
+    * billions of edges). */
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 15,
+      driverEdgeLimit: Int = 4000000): DataFrame = {
+    val spark = pairs.sparkSession
+    val probe = pairs
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .limit(driverEdgeLimit + 1).collect()
+    if (probe.length <= driverEdgeLimit) {
+      // union-find with path halving + union by min-root: the root of a
+      // component is always its minimum id, so find(x) IS the label
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.get(x) != x) {
+          parent.put(x, parent.get(parent.get(x)))
+          x = parent.get(x)
+        }
+        x
+      }
+      probe.foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+      }
+      val out = new Array[(Long, Long)](parent.size)
+      val it = parent.keySet.iterator; var i = 0
+      while (it.hasNext) { val id = it.next(); out(i) = (id, find(id)); i += 1 }
+      import spark.implicits._
+      return spark.createDataset(out.toSeq).toDF("id", "cluster_id")
+    }
+    duplicateClustersDistributed(pairs, maxIters)
+  }
+
+  /** Distributed min-label propagation (the > driverEdgeLimit path):
+    * iterative small-step joins with lineage truncation
     * (localCheckpoint) every iteration; converges in O(component
-    * diameter) rounds, capped. Returns (idCol, cluster_id) for every
-    * vertex that appears in a pair. */
-  def duplicateClusters(pairs: DataFrame, maxIters: Int = 15): DataFrame = {
+    * diameter) rounds, capped at maxIters. */
+  def duplicateClustersDistributed(pairs: DataFrame, maxIters: Int = 15): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().localCheckpoint()

@@ -150,9 +150,9 @@ object TextStats {
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
     val outEnc: Encoder[(Long, Long, Long, Long)] = Encoders.tuple(
       Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
-    df.select(col(idCol).cast("long"),
-        pmod(col(idCol).cast("long") * lit(2654435761L), lit(buckets.toLong)),
-        size(split(norm(col(textCol)), " ")).cast("long"))
+    df.select(col(idCol).cast("long").as("_1"),
+        pmod(col(idCol).cast("long") * lit(2654435761L), lit(buckets.toLong)).as("_2"),
+        size(split(norm(col(textCol)), " ")).cast("long").as("_3"))
       .as[(Long, Long, Long)](enc)
       .repartition(col("_2"))
       .sortWithinPartitions("_2", "_1")

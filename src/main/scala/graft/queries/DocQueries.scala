@@ -23,7 +23,7 @@ import graft.operators.{Dedup, TextStats}
 object DocQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    graft.Tables.table(s, dir, "documents")
 
   /** DuckDB-side normalization identical to [[Dedup.normalizeText]]. */
   private val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"

@@ -17,7 +17,7 @@ import graft.operators.Similarity
 object EmbeddingQueries {
 
   private def emb(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    graft.Tables.table(s, dir, "embeddings")
 
   /** The deterministic probe vector: embedding of vec_id 0. */
   private def queryVec(s: SparkSession, dir: String): Array[Float] =

@@ -20,7 +20,7 @@ object EventQueries {
     * spark.sql.legacy.parquet.nanosAsLong=true it surfaces as long ns —
     * normalize to a proper µs TimestampType column either way. */
   private def ev(s: SparkSession, dir: String): DataFrame = {
-    val df = s.read.parquet(s"$dir/events.parquet")
+    val df = graft.Tables.table(s, dir, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -23,7 +23,7 @@ object MultimodalQueries {
 
   private def media(s: SparkSession, dir: String): DataFrame =
     Multimodal.asMediaTable(
-      s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", kindExpr)
+      graft.Tables.table(s, dir, "documents"), "doc_id", "text", kindExpr)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_meta" -> ((s, d) => Multimodal.decodeMeta(media(s, d))),

@@ -18,7 +18,7 @@ object PointCloudQueries {
   /** Deterministic synthetic (x, y, z) — must stay textually in lockstep
     * with the `pts` CTE in [[ptsCte]]. */
   def rawPoints(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/lineitem.parquet").select(
+    graft.Tables.table(spark, dir, "lineitem").select(
       ((col("l_orderkey") * 17 + col("l_linenumber") * 131) % 8192)
         .cast("double").as("x"),
       ((col("l_partkey") * 29 + col("l_suppkey") * 197) % 8192)
@@ -33,6 +33,9 @@ object PointCloudQueries {
   /** Import once per test dir, persist sorted blocks + metadata to a
     * local cache, and reopen lazily — queries then scan stats-bearing
     * parquet exactly as a long-lived deployment would. */
+  private val openClouds =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), BlockedCloud]()
+
   def cloud(spark: SparkSession, dir: String): BlockedCloud = synchronized {
     // cache key fingerprints the source file (size+mtime), not just its
     // path — regenerated test data must never serve a stale cache
@@ -41,6 +44,9 @@ object PointCloudQueries {
       s"${Files.size(src)}_${Files.getLastModifiedTime(src).toMillis}" else "na"
     val cacheDir =
       s"/tmp/graft_pc_cache/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_$fp"
+    val key = (System.identityHashCode(spark), cacheDir)
+    val open = openClouds.get(key)
+    if (open != null) return open
     if (!Files.exists(Paths.get(s"$cacheDir/meta/_SUCCESS"))) {
       // head 12 / tail 14 on the 8192 grid: 4096 quadtree cells of
       // 128x128 — healthy block occupancy at bench scale (~150 pts/blk
@@ -51,7 +57,9 @@ object PointCloudQueries {
         ImportSpec(name = "li_pts", ratio = 12.0 / 26))
       PointCloud.write(c, cacheDir)
     }
-    PointCloud.read(spark, cacheDir)
+    val bc = PointCloud.read(spark, cacheDir)
+    openClouds.put(key, bc)
+    bc
   }
 
   /** Query results as (x: long, y: long, z: double) on the integer grid. */

@@ -19,7 +19,7 @@ import graft.operators.Events.milli
 object RelQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    graft.Tables.table(s, dir, name)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1 shape: scan-filter-aggregate, fully pushed down

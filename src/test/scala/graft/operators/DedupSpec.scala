@@ -73,12 +73,20 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(pairs.head._3 - 35.0 / 41.0) < 1e-12)
   }
 
-  test("duplicateClusters: min-label propagation over pair chains") {
+  test("duplicateClusters: both paths agree over pair chains") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L), (3L, 5L))
       .toDF("id_a", "id_b")
-    val got = Dedup.duplicateClusters(pairs)
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L, 7L -> 7L, 9L -> 7L)
+    val fast = Dedup.duplicateClusters(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L, 7L -> 7L, 9L -> 7L))
+    assert(fast == want)
+    // forced past the driver limit -> distributed min-label propagation
+    val dist = Dedup.duplicateClusters(pairs, driverEdgeLimit = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == want)
+    val distDirect = Dedup.duplicateClustersDistributed(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distDirect == want)
   }
 
   test("simhash: identical docs collide, disjoint docs are far") {

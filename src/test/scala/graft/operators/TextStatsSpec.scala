@@ -61,6 +61,28 @@ class TextStatsSpec extends AnyFunSuite {
     assert(got(2L) == ((1L, 4L, 0.25)))
   }
 
+  test("packSequences: greedy budget packing within hash buckets") {
+    // one bucket (buckets=1) so the greedy order is just id order
+    val d = docs(
+      1L -> "a b c",       // 3 tokens
+      2L -> "a b c d",     // 4 -> pack 0 holds 3+4=7
+      3L -> "a b c d e",   // 5 -> 7+5 > 10, opens pack 1
+      4L -> (1 to 12).map(_ => "w").mkString(" "), // 12 > budget -> own pack
+      5L -> "a")
+    val got = TextStats.packSequences(d, "doc_id", "text", budget = 10L, buckets = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == ((0L, 3L)) && got(2L) == ((0L, 4L)))
+    assert(got(3L) == ((1L, 5L)))
+    assert(got(4L) == ((2L, 12L))) // oversized doc gets its own pack
+    assert(got(5L) == ((3L, 1L)))
+    // multi-bucket: same docs partition into independent streams, every
+    // pack still respects the budget unless a single doc exceeds it
+    val multi = TextStats.packSequences(d, "doc_id", "text", budget = 10L, buckets = 4)
+      .groupBy("bucket", "pack_idx").sum("n_tokens")
+      .collect().map(_.getLong(2))
+    assert(multi.forall(t => t <= 10L || t == 12L))
+  }
+
   test("fingerprint equals a reference fold and ignores punctuation") {
     val text = "Ab c!"
     val cleaned = "ab c" // lowercased, punct stripped
