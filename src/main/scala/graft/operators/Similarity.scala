@@ -123,6 +123,56 @@ object Similarity {
       .limit(k)
   }
 
+  /** Nearest-centroid assignment (the inner step of k-means / the IVF
+    * coarse quantizer, exposed as its own operator): each vector maps to
+    * the centroid with the highest cosine, ties to the smallest index.
+    * Centroids ride in as literals (broadcast-sized by construction —
+    * k x dims, independent of table size), so assignment is one narrow
+    * codegen projection over the scan: no shuffle, no join. */
+  def centroidAssign(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]]): DataFrame = {
+    require(centroids.nonEmpty)
+    val sims = centroids.zipWithIndex.map { case (c, i) =>
+      cosine(col(vecCol), typedlit(c)).as(s"__sim_$i")
+    }
+    val simCols = centroids.indices.map(i => col(s"__sim_$i"))
+    val best = greatest(simCols: _*)
+    // first index attaining the max -> deterministic tie-break
+    val cluster = centroids.indices.drop(1).foldLeft(
+      when(simCols.head === best, 0)) { (acc, i) =>
+        acc.when(simCols(i) === best, i)
+      }
+    emb.select((col(idCol) +: sims): _*)
+      .select(col(idCol), cluster.cast("long").as("cluster"),
+        best.as("best_sim"))
+  }
+
+  /** Scalar int8 quantization: per-vector scale = max|v| / 127, each
+    * component q = floor(v/scale + 0.5) clamped to [-127, 127] (explicit
+    * half-up — no engine-specific round() tie semantics). Emits compact
+    * per-vector evidence (dims, scale, integer sum + position-weighted
+    * checksum of the codes) rather than the code array itself, so the
+    * result is hash-comparable; the codes column is the same expression
+    * un-aggregated. One narrow projection — the shape that quantizes a
+    * petabyte embedding store in a single map stage. */
+  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val scale = aggregate(col(vecCol), lit(0.0d),
+      (acc, v) => greatest(acc, abs(v.cast("double")))) / 127.0
+    // all-zero vector -> scale 0: divide by 1 instead so codes are 0,
+    // not NaN (engine NaN clamp semantics differ)
+    val q = expr("transform(__vec, v -> CAST(greatest(-127.0d, least(127.0d, " +
+      "floor(CAST(v AS DOUBLE) / (CASE WHEN __scale = 0.0d THEN 1.0d ELSE __scale END) " +
+      "+ 0.5d))) AS BIGINT))")
+    emb.select(col(idCol), col(vecCol).as("__vec"), scale.as("__scale"))
+      .select(col(idCol), size(col("__vec")).cast("long").as("n_dims"),
+        col("__scale").as("scale"), q.as("__q"))
+      .select(col(idCol), col("n_dims"), col("scale"),
+        aggregate(col("__q"), lit(0L), (a, v) => a + v).as("q_sum"),
+        aggregate(zip_with(col("__q"),
+            sequence(lit(1L), col("n_dims")), (qv, i) => qv * i),
+          lit(0L), (a, v) => a + v).as("q_cksum"))
+  }
+
   /** Exact near-duplicate pairs (cosine >= threshold) within blocking
     * groups (e.g. a cluster/label/shard key): an equi-join on the block
     * key keeps the pair space bounded per group — the all-pairs form of

@@ -171,6 +171,69 @@ object TextStats {
       .toDF(idCol, "bucket", "pack_idx", "n_tokens")
   }
 
+  /** Benchmark decontamination: flag training documents that share any
+    * word n-gram with an evaluation set — the standard guard against
+    * test-set leakage into a training corpus. The eval set here is the
+    * deterministic 'test' bucket of [[splitAssign]]; `evalNgrams` is
+    * distinct-collapsed and broadcast (real eval sets are tiny against
+    * the corpus), so the check is one broadcast semi-ish join over the
+    * exploded train n-grams — no shuffle of the corpus. Returns
+    * (idCol, n_shared) for contaminated train docs only. At corpus
+    * scale the join key would be the n-gram's 64-bit hash rather than
+    * the string ([[Dedup.hashedShingles]]); strings keep the oracle
+    * engine-portable here. */
+  def decontaminate(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, valPct: Int = 5, testPct: Int = 5): DataFrame = {
+    // the split bucket is a pure function of the id (splitAssign), so it
+    // re-derives after the shingle projection instead of threading through
+    val sh = Dedup.withShingles(df, idCol, textCol, n, word = true)
+      .withColumn("__b", pmod(col(idCol) * lit(2654435761L), lit(100L)))
+    val evalNgrams = sh.filter(col("__b") >= valPct && col("__b") < valPct + testPct)
+      .select(explode(col("shingles")).as("ng")).distinct()
+    sh.filter(col("__b") >= valPct + testPct)
+      .select(col(idCol), explode(col("shingles")).as("ng"))
+      .join(broadcast(evalNgrams), "ng")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared")) // shingles are distinct per doc
+  }
+
+  /** Corpus-level n-gram frequency: every word n-gram occurrence
+    * (NOT per-doc distinct), counted across the corpus, top-k by
+    * (count desc, ngram asc). Explode -> partial-agg -> one shuffle of
+    * the already-combined keys -> TakeOrdered of k. */
+  def ngramTopK(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, k: Int = 20): DataFrame = {
+    val words = split(norm(col(textCol)), " ")
+    val grams = transform(
+      sequence(lit(0), greatest(size(words), lit(n)) - n),
+      i => concat_ws(" ", slice(words, i + 1, lit(n))))
+    df.select(explode(grams).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("ngram").asc)
+      .limit(k)
+  }
+
+  /** Corpus length statistics: exact token-count quantiles (linear
+    * interpolation), count, and mean. Quantiles are emitted as
+    * milli-rounded integers so the comparison is robust to last-ulp
+    * interpolation differences across engines; the mean divides an
+    * exact integer sum. Single-pass aggregate -> one reduced row. */
+  def lengthQuantiles(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = size(split(norm(col(textCol)), " ")).cast("long")
+    df.select(toks.as("__t"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("sum_tokens"),
+        min(col("__t")).as("min_tokens"), max(col("__t")).as("max_tokens"),
+        expr("percentile(__t, array(0.25D, 0.5D, 0.75D, 0.9D, 0.99D))").as("__p"))
+      .select(col("n_docs"), col("sum_tokens"), col("min_tokens"), col("max_tokens"),
+        (col("sum_tokens").cast("double") / col("n_docs")).as("mean_tokens"),
+        round(element_at(col("__p"), 1) * 1000).cast("long").as("p25_milli"),
+        round(element_at(col("__p"), 2) * 1000).cast("long").as("p50_milli"),
+        round(element_at(col("__p"), 3) * 1000).cast("long").as("p75_milli"),
+        round(element_at(col("__p"), 4) * 1000).cast("long").as("p90_milli"),
+        round(element_at(col("__p"), 5) * 1000).cast("long").as("p99_milli"))
+  }
+
   /** Polynomial rolling-hash fingerprint over the alnum+space chars of
     * the normalized text: fold of h -> (h*31 + code) mod 1e9+7. Stays
     * within int64 at every step (no overflow — DuckDB would raise,

@@ -64,7 +64,13 @@ object DocQueries {
     "doc_scrub" -> ((s, d) =>
       TextStats.scrub(docs(s, d), "doc_id", "text")),
     "doc_repetition" -> ((s, d) =>
-      TextStats.repetitionScore(docs(s, d), "doc_id", "text")))
+      TextStats.repetitionScore(docs(s, d), "doc_id", "text")),
+    "doc_decontaminate" -> ((s, d) =>
+      TextStats.decontaminate(docs(s, d), "doc_id", "text", n = 4)),
+    "doc_ngram_topk" -> ((s, d) =>
+      TextStats.ngramTopK(docs(s, d), "doc_id", "text", n = 2, k = 20)),
+    "doc_quantiles" -> ((s, d) =>
+      TextStats.lengthQuantiles(docs(s, d), "doc_id", "text")))
 
   private def stopListSql(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -215,6 +221,31 @@ object DocQueries {
            len(ws)::BIGINT AS n_tokens,
            topc::DOUBLE / len(ws) AS repetition_ratio
          FROM c""",
+    "doc_decontaminate" ->
+      s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS ws FROM documents),
+         sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws), 4) - 2),
+                i -> array_to_string(ws[i:i+3], ' '))) AS shingles FROM w),
+         b AS (SELECT doc_id, (doc_id * 2654435761) % 100 AS bk, shingles FROM sh),
+         ev AS (SELECT DISTINCT unnest(shingles) AS ng FROM b WHERE bk >= 5 AND bk < 10),
+         tr AS (SELECT doc_id, unnest(shingles) AS ng FROM b WHERE bk >= 10)
+         SELECT tr.doc_id, count(*) AS n_shared FROM tr JOIN ev USING (ng) GROUP BY 1""",
+    "doc_ngram_topk" ->
+      s"""WITH w AS (SELECT string_split($normSql, ' ') AS ws FROM documents),
+         g AS (SELECT unnest(list_transform(range(1, greatest(len(ws), 2)),
+               i -> array_to_string(ws[i:i+1], ' '))) AS ngram FROM w)
+         SELECT ngram, count(*) AS n_occurrences FROM g
+         GROUP BY 1 ORDER BY n_occurrences DESC, ngram ASC LIMIT 20""",
+    "doc_quantiles" ->
+      s"""WITH t AS (SELECT len(string_split($normSql, ' '))::BIGINT AS tk FROM documents)
+         SELECT count(*) AS n_docs, CAST(sum(tk) AS BIGINT) AS sum_tokens,
+           min(tk) AS min_tokens, max(tk) AS max_tokens,
+           sum(tk)::DOUBLE / count(*) AS mean_tokens,
+           CAST(round(quantile_cont(tk, 0.25) * 1000, 0) AS BIGINT) AS p25_milli,
+           CAST(round(quantile_cont(tk, 0.50) * 1000, 0) AS BIGINT) AS p50_milli,
+           CAST(round(quantile_cont(tk, 0.75) * 1000, 0) AS BIGINT) AS p75_milli,
+           CAST(round(quantile_cont(tk, 0.90) * 1000, 0) AS BIGINT) AS p90_milli,
+           CAST(round(quantile_cont(tk, 0.99) * 1000, 0) AS BIGINT) AS p99_milli
+         FROM t""",
     "doc_fingerprint" ->
       s"""WITH t AS (SELECT doc_id,
            regexp_replace($normSql, '[^a-z0-9 ]', '', 'g') AS txt FROM documents)

@@ -37,7 +37,17 @@ object EmbeddingQueries {
       Similarity.cosineNearDupPairsLsh(emb(s, d), "vec_id", "embedding", 0.35, nBits = 8)),
     "emb_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(emb(s, d), "vec_id", "embedding", queryVec(s, d), 20,
-        nLists = 16, nProbe = 4)))
+        nLists = 16, nProbe = 4)),
+    // nearest-centroid assignment with k = 4 fixed centroids (the
+    // embeddings of vec_id 0..3 — deterministic, collectable by both
+    // engines); the k-means inner loop as an oracle-checkable operator
+    "emb_kmeans_assign" -> ((s, d) => {
+      val cents = emb(s, d).filter("vec_id < 4").orderBy("vec_id")
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      Similarity.centroidAssign(emb(s, d), "vec_id", "embedding", cents)
+    }),
+    "emb_quantize_int8" -> ((s, d) =>
+      Similarity.quantizeInt8(emb(s, d), "vec_id", "embedding")))
 
   /** Sequential-fold dot product of two DuckDB float lists, in double —
     * op-for-op the plan Spark's aggregate(zip_with(...)) produces. */
@@ -66,6 +76,27 @@ object EmbeddingQueries {
            ${cosineSql("a.embedding", "b.embedding")} AS sim
          FROM embeddings a JOIN embeddings b
            ON a.label = b.label AND a.vec_id < b.vec_id
-         WHERE sim >= 0.35""")
+         WHERE sim >= 0.35""",
     // emb_neardup_lsh: approximate recall -> rows-only
+    "emb_kmeans_assign" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 4),
+         s AS (SELECT e.vec_id, c.cid, ${cosineSql("e.embedding", "c.ce")} AS sim
+               FROM embeddings e CROSS JOIN c),
+         b AS (SELECT vec_id, max(sim) AS best_sim FROM s GROUP BY 1)
+         SELECT s.vec_id, CAST(min(s.cid) AS BIGINT) AS cluster, b.best_sim
+         FROM s JOIN b ON s.vec_id = b.vec_id AND s.sim = b.best_sim
+         GROUP BY s.vec_id, b.best_sim""",
+    "emb_quantize_int8" ->
+      s"""WITH q AS (
+           SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims,
+             list_max(list_transform(embedding, v -> abs(v::DOUBLE))) / 127.0 AS scale,
+             list_transform(embedding, v -> CAST(greatest(-127.0, least(127.0,
+               floor(v::DOUBLE / (CASE WHEN scale = 0.0 THEN 1.0 ELSE scale END) + 0.5)))
+               AS BIGINT)) AS qc
+           FROM embeddings)
+         SELECT vec_id, n_dims, scale,
+           CAST(list_sum(qc) AS BIGINT) AS q_sum,
+           CAST(list_sum(list_transform(range(1, len(qc) + 1), i -> qc[i] * i)) AS BIGINT)
+             AS q_cksum
+         FROM q""")
 }

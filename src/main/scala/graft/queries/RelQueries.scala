@@ -87,7 +87,38 @@ object RelQueries {
         .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
         .agg(countDistinct(col("p_partkey")).as("n_parts"),
-          sum(milli(col("l_quantity"))).as("qty_milli"))))
+          sum(milli(col("l_quantity"))).as("qty_milli"))),
+    // TPC-H Q4 shape: EXISTS semi-join with a non-equi condition (this
+    // schema has no commitdate, so "late" = shipped > 60 days after the
+    // order date); the semi-join never duplicates or widens order rows
+    "rel_q4_late_orders" -> ((s, d) => {
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01") &&
+          col("o_orderdate") < lit("1997-04-01"))
+      val li = t(s, d, "lineitem")
+      ord.join(li,
+          ord("o_orderkey") === li("l_orderkey") &&
+            li("l_shipdate") > ord("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+    }),
+    // TPC-H Q18 shape: heavy-hitter orders (grouped HAVING on the fact
+    // table) joined back to the order row, top-k. The only fact shuffle
+    // is its own per-orderkey aggregation; the survivors (<<1%) then
+    // broadcast-join against orders
+    "rel_q18_large_orders" -> ((s, d) => {
+      val big = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(milli(col("l_quantity"))).as("qty_milli"))
+        .filter(col("qty_milli") > 200000L)
+      t(s, d, "orders")
+        .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          milli(col("o_totalprice")).as("totalprice_milli"), col("qty_milli"))
+        .orderBy(col("qty_milli").desc, col("o_orderkey").asc)
+        .limit(100)
+    }))
 
   private def rev = "CAST(round(l_extendedprice * (1.0 - l_discount) * 1000, 0) AS BIGINT)"
   private def m(c: String) = s"CAST(round($c * 1000, 0) AS BIGINT)"
@@ -130,5 +161,20 @@ object RelQueries {
       s"""SELECT p_brand, count(DISTINCT p_partkey) AS n_parts,
            CAST(sum(${m("l_quantity")}) AS BIGINT) AS qty_milli
          FROM lineitem JOIN part ON l_partkey = p_partkey
-         GROUP BY 1""")
+         GROUP BY 1""",
+    "rel_q4_late_orders" ->
+      s"""SELECT o_orderpriority, count(*) AS n_orders FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+         GROUP BY 1""",
+    "rel_q18_large_orders" ->
+      s"""WITH big AS (
+           SELECT l_orderkey, CAST(sum(${m("l_quantity")}) AS BIGINT) AS qty_milli
+           FROM lineitem GROUP BY 1 HAVING qty_milli > 200000)
+         SELECT o_orderkey, o_custkey, ${m("o_totalprice")} AS totalprice_milli, qty_milli
+         FROM orders JOIN big ON o_orderkey = l_orderkey
+         ORDER BY qty_milli DESC, o_orderkey ASC LIMIT 100""")
 }

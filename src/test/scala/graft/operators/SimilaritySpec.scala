@@ -62,6 +62,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == Set((1L, 2L))) // 3 is identical but in another block; 4 orthogonal
   }
 
+  test("centroidAssign: argmax cosine, ties to the smallest index") {
+    val d = emb((1L, e1, 0), (2L, e2, 0), (3L, e12, 0), (4L, ne1, 0))
+    val got = Similarity.centroidAssign(d, "vec_id", "embedding",
+      Array(e1, e2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 0L && got(2L) == 1L)
+    assert(got(3L) == 0L) // equidistant -> first centroid wins
+    assert(got(4L) == 1L) // cos(-e1,e1) = -1 < cos(-e1,e2) = 0
+  }
+
+  test("quantizeInt8: codes, sums, zero-vector guard") {
+    val d = emb(
+      (1L, Array(1f, -0.5f, 0.25f, 0f), 0),
+      (2L, Array(0f, 0f, 0f, 0f), 0))
+    val got = Similarity.quantizeInt8(d, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
+    // scale = 1/127; codes = [127, -63 (floor(-63.5+0.5)), 32 (floor(31.75+0.5)), 0]
+    val (n1, s1, qs1, qc1) = got(1L)
+    assert(n1 == 4L && math.abs(s1 - 1.0 / 127) < 1e-15)
+    assert(qs1 == 127L - 63L + 32L)
+    assert(qc1 == 127L * 1 - 63L * 2 + 32L * 3)
+    assert(got(2L) == ((4L, 0.0, 0L, 0L))) // all-zero vector -> zero codes
+  }
+
   test("cosineNearDupPairsLsh finds identical vectors without a block key") {
     val d = emb((1L, e1, 0), (2L, e1, 1), (3L, e2, 2))
     val got = Similarity.cosineNearDupPairsLsh(d, "vec_id", "embedding", 0.99, nBits = 8)

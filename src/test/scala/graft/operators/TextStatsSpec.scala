@@ -83,6 +83,43 @@ class TextStatsSpec extends AnyFunSuite {
     assert(multi.forall(t => t <= 10L || t == 12L))
   }
 
+  test("decontaminate flags train docs sharing n-grams with the test split") {
+    // ids chosen so the split is known: bucket = id*2654435761 % 100;
+    // id 27 -> 'test' bucket (47? compute below), so pick by probing
+    val ids = (1L to 200L)
+    val bucket = (id: Long) => java.lang.Math.floorMod(id * 2654435761L, 100L)
+    val testId = ids.find(i => bucket(i) >= 5 && bucket(i) < 10).get
+    val trainIds = ids.filter(i => bucket(i) >= 10).take(2)
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val d = docs(
+      testId -> shared,                       // eval doc
+      trainIds(0) -> s"prefix words $shared", // contaminated
+      trainIds(1) -> "totally different text with many words")
+    val got = TextStats.decontaminate(d, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set(trainIds(0)))
+    assert(got(trainIds(0)) == 3L) // 3 distinct shared 4-grams
+  }
+
+  test("ngramTopK counts every occurrence, ordered desc then lexically") {
+    val d = docs(1L -> "a b a b a", 2L -> "a b c")
+    val got = TextStats.ngramTopK(d, "doc_id", "text", n = 2, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // bigrams: doc1 = [a b, b a, a b, b a], doc2 = [a b, b c]
+    assert(got == Seq(("a b", 3L), ("b a", 2L), ("b c", 1L)))
+  }
+
+  test("lengthQuantiles: exact interpolated percentiles over token counts") {
+    val d = docs(1L -> "a", 2L -> "a b", 3L -> "a b c", 4L -> "a b c d")
+    val r = TextStats.lengthQuantiles(d, "doc_id", "text").head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 10L)
+    assert(r.getLong(2) == 1L && r.getLong(3) == 4L)
+    assert(math.abs(r.getDouble(4) - 2.5) < 1e-12)
+    // p50 of [1,2,3,4] = 2.5 -> 2500 milli; p25 = 1.75 -> 1750
+    assert(r.getLong(6) == 2500L)
+    assert(r.getLong(5) == 1750L)
+  }
+
   test("fingerprint equals a reference fold and ignores punctuation") {
     val text = "Ab c!"
     val cleaned = "ab c" // lowercased, punct stripped
