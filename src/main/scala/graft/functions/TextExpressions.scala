@@ -49,6 +49,78 @@ object TextKernels {
     }
     ArrayData.toArrayData(out)
   }
+
+  /** Byte offsets of word starts in a NORMALIZED (single-space) string,
+    * with a sentinel so `end(j) = starts(j+1) - 1`. Shared scan for the
+    * word-gram kernels. */
+  private def wordStarts(base: AnyRef, off: Long, numBytes: Int): Array[Int] = {
+    var numWords = 1
+    var i = 0
+    while (i < numBytes) {
+      if (Platform.getByte(base, off + i) == ' ') numWords += 1
+      i += 1
+    }
+    val starts = new Array[Int](numWords + 2)
+    starts(0) = 0
+    var w = 1
+    i = 0
+    while (i < numBytes) {
+      if (Platform.getByte(base, off + i) == ' ') { starts(w) = i + 1; w += 1 }
+      i += 1
+    }
+    starts(numWords) = numBytes + 1 // sentinel
+    starts(numWords + 1) = numWords // word count rides in the last slot
+    starts
+  }
+
+  /** Every word n-gram occurrence (NOT distinct) of a normalized string,
+    * as strings — each gram is a contiguous byte slice, so this is one
+    * boundary scan + m copies, replacing the interpreted SQL-lambda
+    * chain `transform(sequence(...), i -> concat_ws(' ', slice(split(t,
+    * ' '), i+1, n)))` whose inner split re-evaluates per element.
+    * Fewer than n words degenerates to one whole-string gram (same as
+    * the `slice` semantics of the SQL form). */
+  def wordNgrams(s: UTF8String, n: Int): ArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val numBytes = s.numBytes()
+    val starts = wordStarts(base, off, numBytes)
+    val numWords = starts(starts.length - 1)
+    val m = math.max(numWords - n + 1, 1)
+    val out = new Array[UTF8String](m)
+    var j = 0
+    while (j < m) {
+      val from = starts(j)
+      val to = starts(math.min(j + n, numWords)) - 1
+      val bytes = new Array[Byte](to - from)
+      Platform.copyMemory(base, off + from, bytes, Platform.BYTE_ARRAY_OFFSET, to - from)
+      out(j) = UTF8String.fromBytes(bytes)
+      j += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** xxhash64 (seed 42 — SQL xxhash64) of each word of a normalized
+    * string, in order, non-distinct: the token-hash array the simhash
+    * fold consumes, without materializing word strings. Bit-identical
+    * to `transform(split(t, ' '), w -> xxhash64(w))`. */
+  def wordHashes(s: UTF8String): ArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val numBytes = s.numBytes()
+    val starts = wordStarts(base, off, numBytes)
+    val numWords = starts(starts.length - 1)
+    val out = new Array[Long](numWords)
+    var j = 0
+    while (j < numWords) {
+      val from = starts(j)
+      val to = starts(j + 1) - 1
+      out(j) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(base, off + from, to - from, 42L)
+      j += 1
+    }
+    ArrayData.toArrayData(out)
+  }
 }
 
 /** Word chunks (<= k words each) of a normalized text column. */
@@ -64,7 +136,37 @@ case class ChunkWords(child: Expression, k: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** All word n-gram occurrences (non-distinct) of a normalized text column. */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, "n-gram length must be positive")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_ngrams"
+  override protected def nullSafeEval(s: Any): Any =
+    TextKernels.wordNgrams(s.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.TextKernels.wordNgrams($s, $n)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** xxhash64 of each word of a normalized text column. */
+case class WordHashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_hashes"
+  override protected def nullSafeEval(s: Any): Any =
+    TextKernels.wordHashes(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.TextKernels.wordHashes($s)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object text {
   def chunk_words(normText: Column, k: Int): Column =
     GraftBridge.column(ChunkWords(GraftBridge.expression(normText), k))
+  def word_ngrams(normText: Column, n: Int): Column =
+    GraftBridge.column(WordNgrams(GraftBridge.expression(normText), n))
+  def word_hashes(normText: Column): Column =
+    GraftBridge.column(WordHashes(GraftBridge.expression(normText)))
 }

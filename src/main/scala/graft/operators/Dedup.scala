@@ -151,7 +151,7 @@ object Dedup {
     df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
       .select(col(idCol), normalizeText(col(textCol)).as("__graft_norm"))
       .select(col(idCol),
-        expr("transform(split(__graft_norm, ' '), w -> xxhash64(w))").as("__wh"))
+        graft.functions.text.word_hashes(col("__graft_norm")).as("__wh"))
       .select(col(idCol), graft.functions.hashes.simhash64(col("__wh")).as("fp"))
 
   /** Duplicate-cluster resolution: connected components over a near-dup
@@ -166,14 +166,22 @@ object Dedup {
     * of join + checkpoint + agg jobs, which at small edge counts are
     * pure scheduler overhead. Past the limit it falls back to the
     * distributed min-label propagation below (the form that survives
-    * billions of edges). */
+    * billions of edges).
+    *
+    * The path choice is gated on a cheap `count()` over the
+    * materialized (localCheckpoint'd) edge table, so an over-limit
+    * input is never collected and the pairs plan is never recomputed on
+    * fallback. Driver memory for the collected path is ~130 B/edge
+    * (Row + parent-map entries for both endpoints): the 1 M default is
+    * ~130 MB — raise it only with driver heap to match. */
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 15,
-      driverEdgeLimit: Int = 4000000): DataFrame = {
+      driverEdgeLimit: Int = 1000000): DataFrame = {
     val spark = pairs.sparkSession
-    val probe = pairs
+    val edges = pairs
       .select(col("id_a").cast("long"), col("id_b").cast("long"))
-      .limit(driverEdgeLimit + 1).collect()
-    if (probe.length <= driverEdgeLimit) {
+      .localCheckpoint()
+    if (edges.count() <= driverEdgeLimit) {
+      val probe = edges.collect()
       // union-find with path halving + union by min-root: the root of a
       // component is always its minimum id, so find(x) IS the label
       val parent = new java.util.HashMap[Long, Long]()
@@ -198,7 +206,9 @@ object Dedup {
       import spark.implicits._
       return spark.createDataset(out.toSeq).toDF("id", "cluster_id")
     }
-    duplicateClustersDistributed(pairs, maxIters)
+    // over the limit: reuse the already-materialized edge table — the
+    // upstream pair pipeline is not recomputed
+    duplicateClustersDistributed(edges, maxIters)
   }
 
   /** Distributed min-label propagation (the > driverEdgeLimit path):

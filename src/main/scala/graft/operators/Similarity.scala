@@ -136,7 +136,8 @@ object Similarity {
       cosine(col(vecCol), typedlit(c)).as(s"__sim_$i")
     }
     val simCols = centroids.indices.map(i => col(s"__sim_$i"))
-    val best = greatest(simCols: _*)
+    // greatest() requires >= 2 args — k = 1 is its own (trivial) max
+    val best = if (simCols.length == 1) simCols.head else greatest(simCols: _*)
     // first index attaining the max -> deterministic tie-break
     val cluster = centroids.indices.drop(1).foldLeft(
       when(simCols.head === best, 0)) { (acc, i) =>
@@ -168,9 +169,13 @@ object Similarity {
         col("__scale").as("scale"), q.as("__q"))
       .select(col(idCol), col("n_dims"), col("scale"),
         aggregate(col("__q"), lit(0L), (a, v) => a + v).as("q_sum"),
-        aggregate(zip_with(col("__q"),
-            sequence(lit(1L), col("n_dims")), (qv, i) => qv * i),
-          lit(0L), (a, v) => a + v).as("q_cksum"))
+        // n_dims = 0 guard: sequence(1, 0) is the DESCENDING [1, 0], so
+        // the zip_with would null-pad and the sum go null (and DuckDB's
+        // list_sum([]) is NULL) — pin the empty vector to 0 explicitly
+        when(col("n_dims") === 0, lit(0L))
+          .otherwise(aggregate(zip_with(col("__q"),
+              sequence(lit(1L), col("n_dims")), (qv, i) => qv * i),
+            lit(0L), (a, v) => a + v)).as("q_cksum"))
   }
 
   /** Exact near-duplicate pairs (cosine >= threshold) within blocking

@@ -110,13 +110,27 @@ object TextStats {
       (topCount.cast("double") / size(words)).as("repetition_ratio"))
   }
 
+  /** Wrap-safe multiplicative hash bucket shared by [[splitAssign]],
+    * [[packSequences]] and [[decontaminate]]: reduce the id below
+    * ~1e6 BEFORE the Knuth-constant multiply, so the product stays
+    * under 2^63 for any int64 id — Spark would silently wrap on
+    * overflow while DuckDB raises, so the naive `id * K % m` diverges
+    * between engines past id ~3.4e9. Max product here is
+    * 1000002 * 2654435761 ~ 2.7e15. */
+  def idBucket(id: Column, m: Long): Column =
+    pmod(pmod(id, lit(1000003L)) * lit(2654435761L), lit(m))
+
+  /** The DuckDB rendering of [[idBucket]] — keep textually in lockstep. */
+  def idBucketSql(id: String, m: Long): String =
+    s"(($id % 1000003) * 2654435761) % $m"
+
   /** Deterministic train/val/test assignment by multiplicative id hash
     * (Knuth constant) — stable across runs/engines, no RNG, joins and
     * filters prune on it. Buckets: [0, valPct) -> "val",
     * [valPct, valPct+testPct) -> "test", rest "train". */
   def splitAssign(df: DataFrame, idCol: String,
       valPct: Int = 5, testPct: Int = 5): DataFrame = {
-    val bucket = pmod(col(idCol) * lit(2654435761L), lit(100L))
+    val bucket = idBucket(col(idCol), 100L)
     df.withColumn("split",
       when(bucket < valPct, "val")
         .when(bucket < valPct + testPct, "test")
@@ -151,7 +165,7 @@ object TextStats {
     val outEnc: Encoder[(Long, Long, Long, Long)] = Encoders.tuple(
       Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
     df.select(col(idCol).cast("long").as("_1"),
-        pmod(col(idCol).cast("long") * lit(2654435761L), lit(buckets.toLong)).as("_2"),
+        idBucket(col(idCol).cast("long"), buckets.toLong).as("_2"),
         size(split(norm(col(textCol)), " ")).cast("long").as("_3"))
       .as[(Long, Long, Long)](enc)
       .repartition(col("_2"))
@@ -174,25 +188,30 @@ object TextStats {
   /** Benchmark decontamination: flag training documents that share any
     * word n-gram with an evaluation set — the standard guard against
     * test-set leakage into a training corpus. The eval set here is the
-    * deterministic 'test' bucket of [[splitAssign]]; `evalNgrams` is
-    * distinct-collapsed and broadcast (real eval sets are tiny against
-    * the corpus), so the check is one broadcast semi-ish join over the
-    * exploded train n-grams — no shuffle of the corpus. Returns
-    * (idCol, n_shared) for contaminated train docs only. At corpus
-    * scale the join key would be the n-gram's 64-bit hash rather than
-    * the string ([[Dedup.hashedShingles]]); strings keep the oracle
-    * engine-portable here. */
+    * deterministic 'test' bucket of [[splitAssign]]. The join carries
+    * the n-gram's 64-bit hash ([[Dedup.hashedShingles]] — one native
+    * codegen pass per doc, no shingle strings materialized): matching
+    * counts over distinct hashes equal matching counts over strings up
+    * to xxhash64 collisions (~|sets|^2/2^64, vanishing), and the
+    * shuffle moves 8-byte longs. No forced broadcast — AQE broadcasts
+    * the eval side when it is actually small (real eval sets are) and
+    * falls back to a shuffled hash join when it is not, so the operator
+    * does not bake in a size assumption. Returns (idCol, n_shared) for
+    * contaminated train docs only. */
   def decontaminate(df: DataFrame, idCol: String, textCol: String,
       n: Int = 5, valPct: Int = 5, testPct: Int = 5): DataFrame = {
-    // the split bucket is a pure function of the id (splitAssign), so it
-    // re-derives after the shingle projection instead of threading through
-    val sh = Dedup.withShingles(df, idCol, textCol, n, word = true)
-      .withColumn("__b", pmod(col(idCol) * lit(2654435761L), lit(100L)))
-    val evalNgrams = sh.filter(col("__b") >= valPct && col("__b") < valPct + testPct)
+    // bucket-filter BEFORE the shingle projection: the split is a pure
+    // function of the id, so each branch shuffles and shingles only its
+    // own slice of the corpus (the eval branch is ~testPct% of it) —
+    // filtering after would hide the predicate behind the rebalance
+    // repartition inside hashedShingles and shingle everything twice
+    val b = idBucket(col(idCol), 100L)
+    val evalNgrams = Dedup.hashedShingles(
+        df.filter(b >= valPct && b < valPct + testPct), idCol, textCol, n, word = true)
       .select(explode(col("shingles")).as("ng")).distinct()
-    sh.filter(col("__b") >= valPct + testPct)
+    Dedup.hashedShingles(df.filter(b >= valPct + testPct), idCol, textCol, n, word = true)
       .select(col(idCol), explode(col("shingles")).as("ng"))
-      .join(broadcast(evalNgrams), "ng")
+      .join(evalNgrams, "ng")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shared")) // shingles are distinct per doc
   }
@@ -202,17 +221,13 @@ object TextStats {
     * (count desc, ngram asc). Explode -> partial-agg -> one shuffle of
     * the already-combined keys -> TakeOrdered of k. */
   def ngramTopK(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 2, k: Int = 20): DataFrame = {
-    val words = split(norm(col(textCol)), " ")
-    val grams = transform(
-      sequence(lit(0), greatest(size(words), lit(n)) - n),
-      i => concat_ws(" ", slice(words, i + 1, lit(n))))
-    df.select(explode(grams).as("ngram"))
+      n: Int = 2, k: Int = 20): DataFrame =
+    df.select(explode(
+        graft.functions.text.word_ngrams(norm(col(textCol)), n)).as("ngram"))
       .groupBy(col("ngram"))
       .agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("ngram").asc)
       .limit(k)
-  }
 
   /** Corpus length statistics: exact token-count quantiles (linear
     * interpolation), count, and mean. Quantiles are emitted as

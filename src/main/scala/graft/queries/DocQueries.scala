@@ -166,8 +166,8 @@ object DocQueries {
          FROM s""",
     "doc_split_assign" ->
       s"""WITH s AS (SELECT doc_id,
-           CASE WHEN (doc_id * 2654435761) % 100 < 5 THEN 'val'
-                WHEN (doc_id * 2654435761) % 100 < 10 THEN 'test'
+           CASE WHEN ${TextStats.idBucketSql("doc_id", 100)} < 5 THEN 'val'
+                WHEN ${TextStats.idBucketSql("doc_id", 100)} < 10 THEN 'test'
                 ELSE 'train' END AS split
          FROM documents)
          SELECT split, count(*) AS n, min(doc_id) AS min_id FROM s GROUP BY 1""",
@@ -180,7 +180,7 @@ object DocQueries {
          FROM c, LATERAL unnest(range(0, nc)) AS t(i)""",
     "doc_pack" ->
       s"""WITH RECURSIVE d AS (
-           SELECT doc_id, (doc_id * 2654435761) % 8 AS bucket,
+           SELECT doc_id, ${TextStats.idBucketSql("doc_id", 8)} AS bucket,
              len(string_split($normSql, ' '))::BIGINT AS n_tokens
            FROM documents
          ), o AS (
@@ -225,7 +225,7 @@ object DocQueries {
       s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS ws FROM documents),
          sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws), 4) - 2),
                 i -> array_to_string(ws[i:i+3], ' '))) AS shingles FROM w),
-         b AS (SELECT doc_id, (doc_id * 2654435761) % 100 AS bk, shingles FROM sh),
+         b AS (SELECT doc_id, ${TextStats.idBucketSql("doc_id", 100)} AS bk, shingles FROM sh),
          ev AS (SELECT DISTINCT unnest(shingles) AS ng FROM b WHERE bk >= 5 AND bk < 10),
          tr AS (SELECT doc_id, unnest(shingles) AS ng FROM b WHERE bk >= 10)
          SELECT tr.doc_id, count(*) AS n_shared FROM tr JOIN ev USING (ng) GROUP BY 1""",

@@ -89,14 +89,15 @@ object EmbeddingQueries {
     "emb_quantize_int8" ->
       s"""WITH q AS (
            SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims,
-             list_max(list_transform(embedding, v -> abs(v::DOUBLE))) / 127.0 AS scale,
+             COALESCE(list_max(list_transform(embedding, v -> abs(v::DOUBLE))), 0.0) / 127.0
+               AS scale,
              list_transform(embedding, v -> CAST(greatest(-127.0, least(127.0,
                floor(v::DOUBLE / (CASE WHEN scale = 0.0 THEN 1.0 ELSE scale END) + 0.5)))
                AS BIGINT)) AS qc
            FROM embeddings)
          SELECT vec_id, n_dims, scale,
-           CAST(list_sum(qc) AS BIGINT) AS q_sum,
-           CAST(list_sum(list_transform(range(1, len(qc) + 1), i -> qc[i] * i)) AS BIGINT)
-             AS q_cksum
+           CAST(COALESCE(list_sum(qc), 0) AS BIGINT) AS q_sum,
+           CAST(COALESCE(list_sum(list_transform(range(1, len(qc) + 1), i -> qc[i] * i)), 0)
+             AS BIGINT) AS q_cksum
          FROM q""")
 }

@@ -34,18 +34,21 @@ object PointCloudQueries {
     * local cache, and reopen lazily — queries then scan stats-bearing
     * parquet exactly as a long-lived deployment would. */
   private val openClouds =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), BlockedCloud]()
+    new java.util.WeakHashMap[SparkSession, java.util.HashMap[String, BlockedCloud]]()
 
   def cloud(spark: SparkSession, dir: String): BlockedCloud = synchronized {
     // cache key fingerprints the source file (size+mtime), not just its
-    // path — regenerated test data must never serve a stale cache
+    // path — regenerated test data must never serve a stale cache; the
+    // outer map is weakly keyed by the session object itself (identity,
+    // not hashCode — no cross-session collisions, no pinned sessions)
     val src = java.nio.file.Paths.get(s"$dir/lineitem.parquet")
     val fp = if (Files.exists(src))
       s"${Files.size(src)}_${Files.getLastModifiedTime(src).toMillis}" else "na"
     val cacheDir =
       s"/tmp/graft_pc_cache/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_$fp"
-    val key = (System.identityHashCode(spark), cacheDir)
-    val open = openClouds.get(key)
+    var m = openClouds.get(spark)
+    if (m == null) { m = new java.util.HashMap[String, BlockedCloud](); openClouds.put(spark, m) }
+    val open = m.get(cacheDir)
     if (open != null) return open
     if (!Files.exists(Paths.get(s"$cacheDir/meta/_SUCCESS"))) {
       // head 12 / tail 14 on the 8192 grid: 4096 quadtree cells of
@@ -58,7 +61,7 @@ object PointCloudQueries {
       PointCloud.write(c, cacheDir)
     }
     val bc = PointCloud.read(spark, cacheDir)
-    openClouds.put(key, bc)
+    m.put(cacheDir, bc)
     bc
   }
 

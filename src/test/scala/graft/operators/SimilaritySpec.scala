@@ -93,4 +93,22 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 2L)))
   }
+
+  test("centroidAssign works with a single centroid (k = 1)") {
+    val d = emb((1L, e1, 0), (2L, e2, 0), (3L, e12, 0))
+    val got = Similarity.centroidAssign(d, "vec_id", "embedding", Array(e1))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.values.forall(_._1 == 0L))
+    assert(math.abs(got(1L)._2 - 1.0) < 1e-12)
+    assert(math.abs(got(2L)._2) < 1e-12)
+  }
+
+  test("quantizeInt8 on an empty vector emits explicit zeros, not nulls") {
+    val d = emb((1L, Array.empty[Float], 0), (2L, e1, 0))
+    val got = Similarity.quantizeInt8(d, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(1L) == ((0L, 0.0, 0L, 0L)))
+    assert(got(2L)._1 == 4L) // non-empty row unaffected
+  }
 }

@@ -84,10 +84,11 @@ class TextStatsSpec extends AnyFunSuite {
   }
 
   test("decontaminate flags train docs sharing n-grams with the test split") {
-    // ids chosen so the split is known: bucket = id*2654435761 % 100;
-    // id 27 -> 'test' bucket (47? compute below), so pick by probing
+    // ids chosen so the split is known: bucket = TextStats.idBucket
+    // (wrap-safe mod-before-multiply form), so pick by probing
     val ids = (1L to 200L)
-    val bucket = (id: Long) => java.lang.Math.floorMod(id * 2654435761L, 100L)
+    val bucket = (id: Long) =>
+      java.lang.Math.floorMod(java.lang.Math.floorMod(id, 1000003L) * 2654435761L, 100L)
     val testId = ids.find(i => bucket(i) >= 5 && bucket(i) < 10).get
     val trainIds = ids.filter(i => bucket(i) >= 10).take(2)
     val shared = "alpha beta gamma delta epsilon zeta"
