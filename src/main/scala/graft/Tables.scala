@@ -1,6 +1,8 @@
 package graft
 
+import java.lang.ref.SoftReference
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -9,48 +11,63 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `spark.read.parquet` re-lists the directory and re-reads footers for
   * schema on every call — a driver job per query. A long-lived engine
   * resolves tables through a catalog once; this memoizes the analyzed
-  * DataFrame per (session, path, file fingerprint) to the same effect.
+  * DataFrame per (session, path) to the same effect, invalidating on a
+  * source-fingerprint change.
   *
   * The outer map is a `WeakHashMap` keyed by the `SparkSession` object
-  * itself (reference identity, not hashCode — two live sessions can
-  * never collide, and a dropped session's entries are GC-reclaimed
-  * rather than pinned forever). The inner key fingerprints the source
-  * (total size + max mtime over the path's files), so a parquet dir
-  * rewritten in place during a session's lifetime is re-resolved, never
-  * served stale.
+  * (reference identity — two live sessions never collide). A Dataset
+  * strongly references its session, so the cached value must NOT hold
+  * the DataFrame strongly or the weak key could never be reclaimed
+  * (the documented WeakHashMap value→key self-reference pitfall);
+  * values go through a `SoftReference` instead, and a cleared ref is
+  * simply re-resolved. The inner map keeps exactly one entry per path
+  * (replaced when the fingerprint changes — no growth under repeated
+  * rewrites), and the `spark.read` itself runs outside any global lock
+  * so table resolution never serializes across sessions or threads.
   */
 object Tables {
-  private val cache =
-    new java.util.WeakHashMap[SparkSession, java.util.HashMap[String, DataFrame]]()
+  private final case class Entry(fp: String, df: SoftReference[DataFrame])
 
-  /** Size+mtime fingerprint of a parquet file or directory (top-level
-    * entries only — parquet writers touch the dir's own files). */
+  private val cache =
+    new java.util.WeakHashMap[SparkSession, ConcurrentHashMap[String, Entry]]()
+
+  /** Size+mtime fingerprint over the whole tree under `path`, so a
+    * partial partition overwrite deep in a partitioned dataset (which
+    * may leave top-level files untouched) still invalidates. */
   private def fingerprint(path: String): String = {
     val p = Paths.get(path)
     if (!Files.exists(p)) return "na"
-    if (Files.isRegularFile(p))
-      return s"${Files.size(p)}_${Files.getLastModifiedTime(p).toMillis}"
     var size = 0L
     var mtime = 0L
-    val s = Files.list(p)
+    var n = 0L
+    val s = Files.walk(p)
     try s.forEach { f =>
       if (Files.isRegularFile(f)) {
+        n += 1
         size += Files.size(f)
         mtime = math.max(mtime, Files.getLastModifiedTime(f).toMillis)
       }
     } finally s.close()
-    s"${size}_$mtime"
+    s"${n}_${size}_$mtime"
   }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    val key = s"${path}@${fingerprint(path)}"
-    cache.synchronized {
-      var m = cache.get(spark)
-      if (m == null) { m = new java.util.HashMap[String, DataFrame](); cache.put(spark, m) }
-      var df = m.get(key)
-      if (df == null) { df = spark.read.parquet(path); m.put(key, df) }
-      df
+    val fp = fingerprint(path)
+    val m = cache.synchronized {
+      var mm = cache.get(spark)
+      if (mm == null) { mm = new ConcurrentHashMap[String, Entry](); cache.put(spark, mm) }
+      mm
     }
+    val cur = m.get(path)
+    if (cur != null && cur.fp == fp) {
+      val df = cur.df.get()
+      if (df != null) return df
+    }
+    // Double-checked per key: concurrent first resolutions of the same
+    // path may both read; last write wins — correct either way.
+    val df = spark.read.parquet(path)
+    m.put(path, Entry(fp, new SoftReference(df)))
+    df
   }
 }

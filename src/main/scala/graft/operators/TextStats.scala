@@ -120,9 +120,13 @@ object TextStats {
   def idBucket(id: Column, m: Long): Column =
     pmod(pmod(id, lit(1000003L)) * lit(2654435761L), lit(m))
 
-  /** The DuckDB rendering of [[idBucket]] — keep textually in lockstep. */
+  /** The DuckDB rendering of [[idBucket]] — keep textually in lockstep.
+    * DuckDB `%` follows the dividend's sign while Spark `pmod` is
+    * always non-negative, so the inner mod is rendered as a positive
+    * mod: for a negative id both engines then agree bucket-for-bucket.
+    * (Product stays non-negative, so the outer `%` needs no wrap.) */
   def idBucketSql(id: String, m: Long): String =
-    s"(($id % 1000003) * 2654435761) % $m"
+    s"(((($id % 1000003) + 1000003) % 1000003) * 2654435761) % $m"
 
   /** Deterministic train/val/test assignment by multiplicative id hash
     * (Knuth constant) — stable across runs/engines, no RNG, joins and

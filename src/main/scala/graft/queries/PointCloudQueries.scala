@@ -32,24 +32,36 @@ object PointCloudQueries {
 
   /** Import once per test dir, persist sorted blocks + metadata to a
     * local cache, and reopen lazily — queries then scan stats-bearing
-    * parquet exactly as a long-lived deployment would. */
+    * parquet exactly as a long-lived deployment would.
+    *
+    * Weakly keyed by session identity; `BlockedCloud` strongly holds
+    * its session, so values are kept behind a `SoftReference` (else the
+    * value chain would pin the weak key forever — the WeakHashMap
+    * self-reference pitfall). One entry per source dir, replaced when
+    * the source fingerprint changes. */
   private val openClouds =
-    new java.util.WeakHashMap[SparkSession, java.util.HashMap[String, BlockedCloud]]()
+    new java.util.WeakHashMap[SparkSession,
+      java.util.HashMap[String, (String, java.lang.ref.SoftReference[BlockedCloud])]]()
 
   def cloud(spark: SparkSession, dir: String): BlockedCloud = synchronized {
-    // cache key fingerprints the source file (size+mtime), not just its
-    // path — regenerated test data must never serve a stale cache; the
-    // outer map is weakly keyed by the session object itself (identity,
-    // not hashCode — no cross-session collisions, no pinned sessions)
+    // the on-disk cache path fingerprints the source file (size+mtime),
+    // not just its path — regenerated test data must never serve a
+    // stale cache
     val src = java.nio.file.Paths.get(s"$dir/lineitem.parquet")
     val fp = if (Files.exists(src))
       s"${Files.size(src)}_${Files.getLastModifiedTime(src).toMillis}" else "na"
     val cacheDir =
       s"/tmp/graft_pc_cache/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_$fp"
     var m = openClouds.get(spark)
-    if (m == null) { m = new java.util.HashMap[String, BlockedCloud](); openClouds.put(spark, m) }
-    val open = m.get(cacheDir)
-    if (open != null) return open
+    if (m == null) {
+      m = new java.util.HashMap[String, (String, java.lang.ref.SoftReference[BlockedCloud])]()
+      openClouds.put(spark, m)
+    }
+    val cur = m.get(dir)
+    if (cur != null && cur._1 == cacheDir) {
+      val open = cur._2.get()
+      if (open != null) return open
+    }
     if (!Files.exists(Paths.get(s"$cacheDir/meta/_SUCCESS"))) {
       // head 12 / tail 14 on the 8192 grid: 4096 quadtree cells of
       // 128x128 — healthy block occupancy at bench scale (~150 pts/blk
@@ -61,7 +73,7 @@ object PointCloudQueries {
       PointCloud.write(c, cacheDir)
     }
     val bc = PointCloud.read(spark, cacheDir)
-    m.put(cacheDir, bc)
+    m.put(dir, (cacheDir, new java.lang.ref.SoftReference(bc)))
     bc
   }
 

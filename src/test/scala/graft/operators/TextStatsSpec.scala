@@ -83,6 +83,23 @@ class TextStatsSpec extends AnyFunSuite {
     assert(multi.forall(t => t <= 10L || t == 12L))
   }
 
+  test("idBucket and idBucketSql agree for negative ids") {
+    // Spark SQL's `%` follows the dividend's sign exactly like DuckDB's,
+    // so evaluating the rendered oracle fragment in Spark SQL exercises
+    // the same sign behavior the DuckDB oracle sees.
+    import spark.implicits._
+    val d = Seq(-1L, -42L, -1000002L, -3400000001L, Long.MinValue + 1,
+      0L, 7L, 3400000001L).toDF("id")
+    val got = d.select(org.apache.spark.sql.functions.col("id"),
+        TextStats.idBucket(org.apache.spark.sql.functions.col("id"), 100L).as("b"),
+        org.apache.spark.sql.functions.expr(TextStats.idBucketSql("id", 100L)).as("s"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"id=${r.getLong(0)}")
+      assert(r.getLong(1) >= 0 && r.getLong(1) < 100)
+    }
+  }
+
   test("decontaminate flags train docs sharing n-grams with the test split") {
     // ids chosen so the split is known: bucket = TextStats.idBucket
     // (wrap-safe mod-before-multiply form), so pick by probing
