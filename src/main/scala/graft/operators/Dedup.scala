@@ -19,6 +19,17 @@ object Dedup {
   def normalizeText(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")
 
+  /** Spread CPU-heavy per-row kernels across cores ONLY when the input
+    * arrives under-partitioned (a small test corpus is often one file
+    * split). At cluster scale the parquet scan already yields far more
+    * partitions than `numShufflePartitions`, so this is a no-op there —
+    * a blanket `repartition` would shuffle the entire corpus text just
+    * to rebalance, the exact shuffle a 100 TB run cannot afford. */
+  private def rebalanced(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** One row per distinct normalized text, keeping the smallest id
     * (deterministic representative). */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -31,10 +42,9 @@ object Dedup {
     * over the normalized text. */
   def withShingles(df: DataFrame, idCol: String, textCol: String,
       n: Int, word: Boolean): DataFrame = {
-    // rebalance before the expensive per-row signature work: small
-    // corpora often arrive as a single file split, and the projection
-    // cost (not the scan) dominates this pipeline
-    val base = df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+    // rebalance before the expensive per-row signature work: the
+    // projection cost (not the scan) dominates this pipeline
+    val base = rebalanced(df)
       .select(col(idCol), normalizeText(col(textCol)).as("__graft_norm"))
     val sh =
       if (word) expr(
@@ -53,10 +63,26 @@ object Dedup {
     * xxhash64 of the [[withShingles]] strings. */
   def hashedShingles(df: DataFrame, idCol: String, textCol: String,
       n: Int, word: Boolean): DataFrame =
-    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+    rebalanced(df)
       .select(col(idCol),
         graft.functions.hashes.shingle_hashes(
           normalizeText(col(textCol)), n, word).as("shingles"))
+
+  /** [[hashedShingles]] exploded to one row per (id, shingle hash),
+    * with the kernel INLINED into the Generate input rather than
+    * projected to a named column first. With a named column,
+    * `InferFiltersFromGenerate` derives `size(shingles) > 0 &&
+    * isnotnull(shingles)` and predicate pushdown clones the kernel
+    * below the rebalance exchange — the pipeline's most expensive
+    * expression then runs twice per row, once on the un-rebalanced
+    * input. An inline generator input is exempt from that inference
+    * (Catalyst only infers over attribute inputs). */
+  def explodedShingleHashes(df: DataFrame, idCol: String, textCol: String,
+      n: Int, word: Boolean): DataFrame =
+    rebalanced(df)
+      .select(col(idCol),
+        explode(graft.functions.hashes.shingle_hashes(
+          normalizeText(col(textCol)), n, word)).as("ng"))
 
   /** MinHash signature: for each of numHashes hash functions, the
     * minimum hash over the document's shingles. One groupBy-free pass —
@@ -148,7 +174,7 @@ object Dedup {
     * token is string-hashed once, then the 64 bit-sums fold over the
     * precomputed longs. */
   def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+    rebalanced(df)
       .select(col(idCol), normalizeText(col(textCol)).as("__graft_norm"))
       .select(col(idCol),
         graft.functions.text.word_hashes(col("__graft_norm")).as("__wh"))

@@ -210,11 +210,11 @@ object TextStats {
     // filtering after would hide the predicate behind the rebalance
     // repartition inside hashedShingles and shingle everything twice
     val b = idBucket(col(idCol), 100L)
-    val evalNgrams = Dedup.hashedShingles(
+    val evalNgrams = Dedup.explodedShingleHashes(
         df.filter(b >= valPct && b < valPct + testPct), idCol, textCol, n, word = true)
-      .select(explode(col("shingles")).as("ng")).distinct()
-    Dedup.hashedShingles(df.filter(b >= valPct + testPct), idCol, textCol, n, word = true)
-      .select(col(idCol), explode(col("shingles")).as("ng"))
+      .select(col("ng")).distinct()
+    Dedup.explodedShingleHashes(
+        df.filter(b >= valPct + testPct), idCol, textCol, n, word = true)
       .join(evalNgrams, "ng")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shared")) // shingles are distinct per doc
