@@ -76,6 +76,29 @@ object Geometry {
     inside
   }
 
+  /** Minimal WKT parser for LINESTRING (x y, x y, ...) — the shape the
+    * query suites buffer into corridor selections (polyline-buffer
+    * queries, scripts/query_210m.json / query_2201m.json). Returns
+    * packed [x0,y0,x1,y1,...]. */
+  def parseWktLinestring(wkt: String): Array[Double] = {
+    val s = wkt.trim
+    require(s.toUpperCase.startsWith("LINESTRING"),
+      s"only LINESTRING WKT supported, got: ${s.take(30)}")
+    val body = s.substring(s.indexOf('(') + 1, s.lastIndexOf(')')).trim
+    val pts = body.split(",").map(_.trim).filter(_.nonEmpty)
+    require(pts.length >= 2, s"linestring needs >= 2 points: ${s.take(60)}")
+    val packed = new Array[Double](pts.length * 2)
+    var k = 0
+    pts.foreach { p =>
+      val xy = p.split("\\s+")
+      require(xy.length >= 2, s"bad WKT coordinate '$p'")
+      packed(k) = xy(0).toDouble
+      packed(k + 1) = xy(1).toDouble
+      k += 2
+    }
+    packed
+  }
+
   /** Minimal WKT parser for POLYGON ((...)[, (...)...]) — the only
     * geometry the reference consumes (shapely loads of query-spec WKT,
     * pipeline/retrieve_data.py:5,67; suites use simple polygons and

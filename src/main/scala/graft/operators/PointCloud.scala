@@ -313,6 +313,56 @@ final class BlockedCloud(
   def polygonQuery(wkt: String): DataFrame =
     polygonQuery(Geometry.parseWktPolygon(wkt))
 
+  /** Points within distance `r` of a polyline — the buffered-polyline
+    * selections of suites B/C (scripts/query_210m.json B8,
+    * query_2201m.json C13/C14: shapely `.buffer(r)` then ST_Within).
+    * Exact round-cap/round-join semantics: distance to the nearest
+    * segment <= r (what the reference's polygonized buffer
+    * approximates), evaluated per segment as built-in arithmetic that
+    * stays inside whole-stage codegen — no geometry library, no UDF.
+    * SFC pruning uses the line's bbox grown by r; the exact predicate
+    * then applies to both candidate branches (a block inside the grown
+    * bbox is NOT necessarily inside the buffer, unlike the rectangle
+    * case). Predicate size is linear in segment count — fine for query
+    * shapes (tens of vertices); a million-vertex line would call for a
+    * broadcast segment table + range join instead. */
+  def polylineBufferQuery(line: Array[Double], r: Double): DataFrame = {
+    require(line.length >= 4 && line.length % 2 == 0,
+      "polyline needs >= 2 (x, y) points, packed [x0,y0,x1,y1,...]")
+    require(r >= 0, s"negative buffer radius $r")
+    var xMin = line(0); var xMax = line(0)
+    var yMin = line(1); var yMax = line(1)
+    var i = 2
+    while (i < line.length) {
+      xMin = math.min(xMin, line(i)); xMax = math.max(xMax, line(i))
+      yMin = math.min(yMin, line(i + 1)); yMax = math.max(yMax, line(i + 1))
+      i += 2
+    }
+    val (contained, partial) =
+      candidates(Bbox(xMin - r, xMax + r, yMin - r, yMax + r))
+    val segs = (0 until line.length / 2 - 1).map { s =>
+      (line(2 * s), line(2 * s + 1), line(2 * s + 2), line(2 * s + 3))
+    }.filter { case (ax, ay, bx, by) => ax != bx || ay != by }
+    require(segs.nonEmpty, "polyline has no non-degenerate segment")
+    // point-to-segment distance^2: project onto the segment, clamp the
+    // parameter to [0,1], measure to the clamped foot. The expression
+    // tree mirrors PointCloudQueries' oracle SQL token-for-token so
+    // both engines round identically (all-double IEEE arithmetic).
+    val pred = segs.map { case (ax, ay, bx, by) =>
+      val dxc = bx - ax; val dyc = by - ay
+      val len2 = dxc * dxc + dyc * dyc
+      val t = greatest(lit(0.0), least(lit(1.0),
+        ((col("x") - ax) * dxc + (col("y") - ay) * dyc) / len2))
+      val fx = col("x") - (t * dxc + ax)
+      val fy = col("y") - (t * dyc + ay)
+      fx * fx + fy * fy <= lit(r * r)
+    }.reduce(_ || _)
+    contained.unionAll(partial).filter(pred)
+  }
+
+  def polylineBufferQuery(wkt: String, r: Double): DataFrame =
+    polylineBufferQuery(Geometry.parseWktLinestring(wkt), r)
+
   /** k nearest neighbours of (px, py) by 2D distance — the reference
     * declares this mode but never implemented it (retrieve_data.py:40-41).
     * SFC-pruned: probe an expanding circle until it holds >= k points

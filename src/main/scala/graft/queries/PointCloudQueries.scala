@@ -96,6 +96,41 @@ object PointCloudQueries {
   private val polyHoleWkt =
     "POLYGON ((1000.5 1000.5, 4000.5 1000.5, 4000.5 4000.5, 1000.5 4000.5, 1000.5 1000.5), " +
       "(2000.5 2000.5, 3000.5 2000.5, 3000.5 3000.5, 2000.5 3000.5, 2000.5 2000.5))"
+  // B-suite XL shell with TWO holes (scripts/query_210m.json)
+  private val poly2HolesWkt =
+    "POLYGON ((500.5 500.5, 4500.5 500.5, 4500.5 4500.5, 500.5 4500.5, 500.5 500.5), " +
+      "(1000.5 1000.5, 1800.5 1000.5, 1800.5 1800.5, 1000.5 1800.5, 1000.5 1000.5), " +
+      "(2500.5 2500.5, 3500.5 2500.5, 3500.5 3500.5, 2500.5 3500.5, 2500.5 2500.5))"
+  // A7's diagonal thin rectangle as a polygon: a 45-degree box whose
+  // rotated axes u = x+y, v = x-y have half-integer bounds, so no
+  // integer grid point can sit on an edge (boundary-exclusion safe) and
+  // the oracle is two BETWEENs on u and v
+  private val polyDiagWkt =
+    "POLYGON ((1750 2250.5, 2050 2550.5, 2550.5 2050, 2250.5 1750, 1750 2250.5))"
+  // C13/C14-style diagonal polyline corridor; round-cap exact distance
+  private val polylineWkt =
+    "LINESTRING (500.5 3500.5, 2000.5 2000.5, 3500.5 3000.5)"
+  private val polylineR = 150.25
+
+  /** Per-segment round-cap distance predicate, rendered token-parallel
+    * to [[graft.operators.BlockedCloud.polylineBufferQuery]]'s Column
+    * tree (same literals, same operation order) so DuckDB's IEEE
+    * doubles round identically to Spark's. All fixture constants are
+    * exactly representable (halves/quarters), so DuckDB's
+    * decimal-literal -> double conversions are exact. */
+  private def polylineBufferSql(line: Array[Double], r: Double): String = {
+    val segs = (0 until line.length / 2 - 1).map { s =>
+      (line(2 * s), line(2 * s + 1), line(2 * s + 2), line(2 * s + 3))
+    }
+    segs.map { case (ax, ay, bx, by) =>
+      val dxc = bx - ax; val dyc = by - ay
+      val len2 = dxc * dxc + dyc * dyc
+      val t = s"GREATEST(0.0, LEAST(1.0, ((CAST(x AS DOUBLE) - $ax) * $dxc + " +
+        s"(CAST(y AS DOUBLE) - $ay) * $dyc) / $len2))"
+      s"((CAST(x AS DOUBLE) - ($t * $dxc + $ax)) * (CAST(x AS DOUBLE) - ($t * $dxc + $ax)) + " +
+        s"(CAST(y AS DOUBLE) - ($t * $dyc + $ay)) * (CAST(y AS DOUBLE) - ($t * $dyc + $ay)) <= ${r * r})"
+    }.mkString("(", " OR ", ")")
+  }
 
   private def bboxSql(b: Bbox): String =
     s"x BETWEEN ${b.xMin.toLong} AND ${b.xMax.toLong} AND y BETWEEN ${b.yMin.toLong} AND ${b.yMax.toLong}"
@@ -108,6 +143,10 @@ object PointCloudQueries {
     "pc_circle" -> ((s, d) => xyz(cloud(s, d).circleQuery(circle))),
     "pc_poly_simple" -> ((s, d) => xyz(cloud(s, d).polygonQuery(polySimpleWkt))),
     "pc_poly_hole" -> ((s, d) => xyz(cloud(s, d).polygonQuery(polyHoleWkt))),
+    "pc_poly_2holes" -> ((s, d) => xyz(cloud(s, d).polygonQuery(poly2HolesWkt))),
+    "pc_poly_diag" -> ((s, d) => xyz(cloud(s, d).polygonQuery(polyDiagWkt))),
+    "pc_polyline_buffer" -> ((s, d) =>
+      xyz(cloud(s, d).polylineBufferQuery(polylineWkt, polylineR))),
     "pc_bbox_maxz" -> ((s, d) => {
       val c = cloud(s, d); xyz(c.withMaxZ(c.bboxQuery(bboxLarge), 25.0))
     }),
@@ -153,6 +192,14 @@ object PointCloudQueries {
     "pc_poly_hole" -> (s"$ptsCte SELECT x, y, z FROM pts WHERE " +
       "x BETWEEN 1001 AND 4000 AND y BETWEEN 1001 AND 4000 AND NOT " +
       "(x BETWEEN 2001 AND 3000 AND y BETWEEN 2001 AND 3000)"),
+    "pc_poly_2holes" -> (s"$ptsCte SELECT x, y, z FROM pts WHERE " +
+      "x BETWEEN 501 AND 4500 AND y BETWEEN 501 AND 4500 AND NOT " +
+      "(x BETWEEN 1001 AND 1800 AND y BETWEEN 1001 AND 1800) AND NOT " +
+      "(x BETWEEN 2501 AND 3500 AND y BETWEEN 2501 AND 3500)"),
+    "pc_poly_diag" -> (s"$ptsCte SELECT x, y, z FROM pts WHERE " +
+      "x + y BETWEEN 4000.5 AND 4600.5 AND x - y BETWEEN -500.5 AND 500.5"),
+    "pc_polyline_buffer" -> (s"$ptsCte SELECT x, y, z FROM pts WHERE " +
+      polylineBufferSql(graft.core.Geometry.parseWktLinestring(polylineWkt), polylineR)),
     "pc_bbox_maxz" -> s"$ptsCte SELECT x, y, z FROM pts WHERE ${bboxSql(bboxLarge)} AND z <= 25.0",
     "pc_bbox_minz" -> s"$ptsCte SELECT x, y, z FROM pts WHERE ${bboxSql(bboxLarge)} AND z >= 10.0",
     "pc_knn" -> (s"$ptsCte SELECT x, y, z FROM pts ORDER BY " +

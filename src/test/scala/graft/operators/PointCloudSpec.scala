@@ -88,6 +88,53 @@ class PointCloudSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("polyline buffer ≡ naive segment-distance filter") {
+    val wkt = "LINESTRING (500.5 3500.5, 2000.5 2000.5, 3500.5 3000.5)"
+    val r = 150.25
+    val line = Geometry.parseWktLinestring(wkt)
+    def segD2(x: Double, y: Double, ax: Double, ay: Double, bx: Double, by: Double) = {
+      val dxc = bx - ax; val dyc = by - ay
+      val len2 = dxc * dxc + dyc * dyc
+      val t = math.max(0.0, math.min(1.0, ((x - ax) * dxc + (y - ay) * dyc) / len2))
+      val fx = x - (t * dxc + ax); val fy = y - (t * dyc + ay)
+      fx * fx + fy * fy
+    }
+    def within(x: Double, y: Double) = (0 until line.length / 2 - 1).exists { s =>
+      segD2(x, y, line(2 * s), line(2 * s + 1), line(2 * s + 2), line(2 * s + 3)) <= r * r
+    }
+    val expect = raw.filter(p => within(p._1, p._2)).sorted
+    assert(collected(cloud.polylineBufferQuery(wkt, r)) == expect)
+    assert(expect.nonEmpty, "fixture corridor should be non-empty")
+    // cap semantics: a point just beyond an endpoint but within r of it
+    // is IN (round caps), one at r + epsilon is OUT
+    assert(within(500.5, 3500.5 + r - 0.1) && !within(500.5, 3500.5 + r + 0.1))
+  }
+
+  test("diagonal rectangle polygon ≡ rotated-axis box filter") {
+    val wkt = "POLYGON ((1750 2250.5, 2050 2550.5, 2550.5 2050, 2250.5 1750, 1750 2250.5))"
+    val expect = raw.filter { case (x, y, _) =>
+      val u = x + y; val v = x - y
+      u >= 4000.5 && u <= 4600.5 && v >= -500.5 && v <= 500.5
+    }.sorted
+    assert(collected(cloud.polygonQuery(wkt)) == expect)
+    assert(expect.nonEmpty)
+  }
+
+  test("polygon with two holes excludes both holes") {
+    val poly = Geometry.parseWktPolygon(
+      "POLYGON ((500.5 500.5, 4500.5 500.5, 4500.5 4500.5, 500.5 4500.5, 500.5 500.5), " +
+        "(1000.5 1000.5, 1800.5 1000.5, 1800.5 1800.5, 1000.5 1800.5, 1000.5 1000.5), " +
+        "(2500.5 2500.5, 3500.5 2500.5, 3500.5 3500.5, 2500.5 3500.5, 2500.5 2500.5))")
+    val expect = raw.filter(p => poly.contains(p._1, p._2)).sorted
+    val got = collected(cloud.polygonQuery(poly))
+    assert(got == expect)
+    // sanity: the holes really removed points the shell would keep
+    assert(expect.forall { case (x, y, _) =>
+      !(x > 1000.5 && x < 1800.5 && y > 1000.5 && y < 1800.5)
+    })
+    assert(expect.nonEmpty)
+  }
+
   test("min/max z refinement") {
     val b = Bbox(512, 4096, 512, 4096)
     val got = collected(cloud.withMaxZ(cloud.withMinZ(cloud.bboxQuery(b), 10.0), 25.0))
