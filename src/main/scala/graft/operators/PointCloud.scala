@@ -314,8 +314,10 @@ final class BlockedCloud(
     polygonQuery(Geometry.parseWktPolygon(wkt))
 
   /** Points within distance `r` of a polyline — the buffered-polyline
-    * selections of suites B/C (scripts/query_210m.json B8,
-    * query_2201m.json C13/C14: shapely `.buffer(r)` then ST_Within).
+    * selections of suites B/C (B9_S_POLYLINE_BUFFER in
+    * scripts/query_210m.json; C13_L/C14_DIAG_POLYLINE_BUFFER in
+    * scripts/query_2201m.json — the reference ships them pre-buffered
+    * as polygon WKT, so [[polygonQuery]] also covers that form).
     * Exact round-cap/round-join semantics: distance to the nearest
     * segment <= r (what the reference's polygonized buffer
     * approximates), evaluated per segment as built-in arithmetic that
