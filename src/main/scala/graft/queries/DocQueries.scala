@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, TextStats}
+import graft.operators.{CorpusMix, Dedup, TextStats}
 
 /** Document-pipeline surface over the `documents` test table:
   * dedup (exact / MinHash-LSH / SimHash / char-n-gram Jaccard) and
@@ -70,7 +70,15 @@ object DocQueries {
     "doc_ngram_topk" -> ((s, d) =>
       TextStats.ngramTopK(docs(s, d), "doc_id", "text", n = 2, k = 20)),
     "doc_quantiles" -> ((s, d) =>
-      TextStats.lengthQuantiles(docs(s, d), "doc_id", "text")))
+      TextStats.lengthQuantiles(docs(s, d), "doc_id", "text")),
+    "doc_source_mix" -> ((s, d) =>
+      CorpusMix.sourceMix(docs(s, d), "source", "lang", "text")),
+    "doc_resample" -> ((s, d) =>
+      CorpusMix.resampleBySource(docs(s, d), "doc_id", "source", resamplePct)
+        .select("doc_id", "source", "lang")))
+
+  /** Fixture mix: downsample three sources, keep the rest. */
+  private val resamplePct = Map("src0" -> 25, "src1" -> 50, "src2" -> 75)
 
   private def stopListSql(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -253,5 +261,21 @@ object DocQueries {
            list_reduce(list_prepend(0::BIGINT,
              list_transform(list_filter(string_split(txt, ''), c -> c != ''), c -> ord(c)::BIGINT)),
              (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
-         FROM t""")
+         FROM t""",
+    "doc_source_mix" ->
+      s"""WITH g AS (
+           SELECT source, lang, count(*) AS n_docs,
+             CAST(sum(len(string_split($normSql, ' '))) AS BIGINT) AS sum_tokens
+           FROM documents GROUP BY source, lang)
+         SELECT source, lang, n_docs, sum_tokens,
+           CAST(floor(CAST(sum_tokens AS DOUBLE) * 1000000.0 /
+             sum(sum_tokens) OVER ()) AS BIGINT) AS token_ppm
+         FROM g""",
+    "doc_resample" ->
+      s"""SELECT doc_id, source, lang FROM documents
+         WHERE ${TextStats.idBucketSql("doc_id", 100L)} <
+           CASE WHEN source = 'src0' THEN 25
+                WHEN source = 'src1' THEN 50
+                WHEN source = 'src2' THEN 75
+                ELSE 100 END""")
 }
