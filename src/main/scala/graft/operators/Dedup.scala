@@ -26,6 +26,7 @@ object Dedup {
     * a blanket `repartition` would shuffle the entire corpus text just
     * to rebalance, the exact shuffle a 100 TB run cannot afford. */
   private def rebalanced(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df // micro-batches are already split
     val target = df.sparkSession.sessionState.conf.numShufflePartitions
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
@@ -273,22 +274,38 @@ object Dedup {
     labels
   }
 
+  /** Chunk-blocked fingerprint table: one row per (chunk index, 16-bit
+    * chunk key) of each doc's simhash — the blocking index shared by
+    * the batch pair search and the streaming corpus check. */
+  private[graft] def simhashChunked(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    simhash64(df, idCol, textCol).select(col(idCol), col("fp"),
+      posexplode(expr("transform(sequence(0, 3), c -> (fp >> (c * 16)) & 65535L)"))
+        .as(Seq("chunk", "ckey")))
+
+  /** Emit each matched pair only from the SMALLEST chunk on which the
+    * two fingerprints agree: an exact, stateless dedup of the up-to-4
+    * per-pair join hits — both fingerprints are already in the join
+    * output, so this replaces a full `distinct()` shuffle of the pair
+    * table with a row-local predicate. (Stateless also means it works
+    * unchanged in a stream-static join, where `distinct()` cannot.) */
+  private[graft] val firstAgreeingChunk: Column =
+    expr("chunk = 0 OR forall(sequence(0, chunk - 1), " +
+      "c -> ((fp_a >> (c * 16)) & 65535L) != ((fp_b >> (c * 16)) & 65535L))")
+
   /** SimHash near-dup pairs: block on 4 16-bit chunks (two fingerprints
     * within Hamming distance <= 3 must agree on at least one chunk),
     * then verify bit_count(xor) <= maxHamming exactly. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val fp = simhash64(df, idCol, textCol)
-    val chunked = fp.select(col(idCol), col("fp"),
-      posexplode(expr("transform(sequence(0, 3), c -> (fp >> (c * 16)) & 65535L)"))
-        .as(Seq("chunk", "ckey")))
+    val chunked = simhashChunked(df, idCol, textCol)
     val a = chunked.select(col("chunk"), col("ckey"), col(idCol).as("id_a"), col("fp").as("fp_a"))
     val b = chunked.select(col("chunk"), col("ckey"), col(idCol).as("id_b"), col("fp").as("fp_b"))
     a.join(b, Seq("chunk", "ckey"))
       .filter(col("id_a") < col("id_b"))
+      .filter(firstAgreeingChunk)
       .select(col("id_a"), col("id_b"),
         expr("bit_count(fp_a ^ fp_b)").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 }

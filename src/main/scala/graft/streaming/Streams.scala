@@ -55,6 +55,28 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Online near-duplicate check of an incoming document stream against
+    * a static corpus: simhash both sides, join on the 4 16-bit chunk
+    * keys (a stateless stream-static equi-join — no watermark, no state
+    * store, so state never grows however long the stream runs), verify
+    * Hamming distance exactly, and dedup multi-chunk hits with the
+    * row-local first-agreeing-chunk predicate — a streaming query could
+    * not `distinct()` that without unbounded state. Returns
+    * (in_id, corpus_id, hamming) matches; the corpus side is re-read
+    * per micro-batch unless the caller persists it. */
+  def nearDupAgainstCorpus(stream: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    val in = graft.operators.Dedup.simhashChunked(stream, idCol, textCol)
+      .select(col("chunk"), col("ckey"), col(idCol).as("in_id"), col("fp").as("fp_a"))
+    val idx = graft.operators.Dedup.simhashChunked(corpus, idCol, textCol)
+      .select(col("chunk"), col("ckey"), col(idCol).as("corpus_id"), col("fp").as("fp_b"))
+    in.join(idx, Seq("chunk", "ckey"))
+      .filter(graft.operators.Dedup.firstAgreeingChunk)
+      .select(col("in_id"), col("corpus_id"),
+        expr("bit_count(fp_a ^ fp_b)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Custom-state shape: running per-user totals via
     * flatMapGroupsWithState — the template for any bespoke online
     * aggregate (rate limiting, anomaly flags, decayed counters). */

@@ -76,6 +76,40 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static near-dup check matches incoming docs against the corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again"),
+      (101L, "an entirely different document about spark structured streaming"))
+      .toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String)]
+    val df = in.toDF().toDF("doc_id", "text")
+    val q = Streams.nearDupAgainstCorpus(df, corpus, "doc_id", "text",
+        maxHamming = 3)
+      .writeStream.format("memory").queryName("ndup_out")
+      .outputMode("append").start()
+    try {
+      // near-copy of corpus doc 100 (one word changed) + unrelated doc
+      in.addData(
+        (1L, "the quick brown fox jumps over the lazy cat again and again"),
+        (2L, "completely unrelated text with nothing shared at all here"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT in_id, corpus_id FROM ndup_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows.contains((1L, 100L)))
+      assert(!rows.map(_._1).contains(2L))
+      // exact-once per pair: the multi-chunk agreement of an identical
+      // fingerprint must still emit a single row
+      in.addData((3L, "the quick brown fox jumps over the lazy dog again and again"))
+      q.processAllAvailable()
+      val hits3 = spark.sql("SELECT * FROM ndup_out WHERE in_id = 3")
+        .collect()
+      assert(hits3.length == 1 && hits3.head.getLong(1) == 100L
+        && hits3.head.getAs[Number]("hamming").longValue() == 0L)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState running totals across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
