@@ -98,12 +98,32 @@ object Dedup {
 
   /** LSH banding: split the signature into `bands` bands of rows and
     * key each band by its hash; docs sharing any band key are candidate
-    * pairs. Returns (id_a, id_b) with id_a < id_b, distinct. */
-  def lshCandidatePairs(sigs: DataFrame, idCol: String, numHashes: Int, bands: Int): DataFrame = {
+    * pairs. Returns (id_a, id_b) with id_a < id_b, distinct.
+    *
+    * `maxBucketSize` (0 = unlimited) drops band buckets holding more
+    * members than the cap BEFORE the self-join. A bucket of B docs
+    * yields B^2/2 candidate pairs — one boilerplate page duplicated a
+    * million times turns the join quadratic, and no join algorithm or
+    * AQE skew split fixes an output that is itself quadratic. Oversized
+    * buckets are near-certainly exact-duplicate clusters, which
+    * [[exactDedup]] (run first, its groupBy output is linear) already
+    * resolves; capping here trades recall only on those pathological
+    * keys, the standard production guard. The occupancy count is a
+    * window over the same (band, bhash) keys the join shuffles on, so
+    * the partitioning is reused — the guard adds no exchange. */
+  def lshCandidatePairs(sigs: DataFrame, idCol: String, numHashes: Int,
+      bands: Int, maxBucketSize: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val banded = sigs.select(col(idCol),
+    var banded = sigs.select(col(idCol),
       posexplode(graft.functions.hashes.lsh_band_keys(col("sig"), bands))
         .as(Seq("band", "bhash")))
+    if (maxBucketSize > 0) {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bhash")
+      banded = banded
+        .withColumn("__bsz", count(lit(1)).over(w))
+        .filter(col("__bsz") <= maxBucketSize)
+        .drop("__bsz")
+    }
     val a = banded.select(col("band"), col("bhash"), col(idCol).as("id_a"))
     val b = banded.select(col("band"), col("bhash"), col(idCol).as("id_b"))
     a.join(b, Seq("band", "bhash"))
@@ -151,9 +171,11 @@ object Dedup {
     * shape that survives a 100 TB corpus. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, wordShingles: Boolean = true,
-      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5,
+      maxBucketSize: Int = 0): DataFrame = {
     val hashed = hashedShingles(df, idCol, textCol, shingleLen, wordShingles)
-    val pairs = lshCandidatePairs(minHashSignatures(hashed, numHashes), idCol, numHashes, bands)
+    val pairs = lshCandidatePairs(minHashSignatures(hashed, numHashes), idCol,
+      numHashes, bands, maxBucketSize)
     verifyJaccardSorted(pairs, hashed, idCol, threshold)
   }
 

@@ -73,6 +73,24 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(pairs.head._3 - 35.0 / 41.0) < 1e-12)
   }
 
+  test("lsh bucket cap drops only the pathological duplicate cluster") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = base.replace("w7", "x7")
+    val boiler = (1 to 40).map(i => s"b$i").mkString(" ")
+    // 20 exact copies of the boilerplate -> every band bucket they share
+    // holds 20 members; the near-dup pair's buckets hold 2
+    val d = docs(Seq(1L -> base, 2L -> nearDup) ++
+      (10L to 29L).map(_ -> boiler): _*)
+    val uncapped = Dedup.minhashNearDups(d, "doc_id", "text",
+        numHashes = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((1L, 2L)) && uncapped.size == 1 + 20 * 19 / 2)
+    val capped = Dedup.minhashNearDups(d, "doc_id", "text",
+        numHashes = 64, bands = 16, threshold = 0.5, maxBucketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L))) // quadratic cluster suppressed, recall kept
+  }
+
   test("duplicateClusters: both paths agree over pair chains") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L), (3L, 5L))
       .toDF("id_a", "id_b")
