@@ -179,6 +179,31 @@ object Dedup {
     verifyJaccardSorted(pairs, hashed, idCol, threshold)
   }
 
+  /** [[minhashNearDups]] additionally scoring the overlap (containment)
+    * coefficient |A∩B| / min(|A|, |B|) — the signal that catches a
+    * small document embedded verbatim in a larger one, where Jaccard
+    * alone under-reports the duplication. Same LSH candidate pipeline;
+    * the verify pass derives both scores from one merge-counted
+    * intersection. */
+  def minhashNearDupsWithOverlap(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, wordShingles: Boolean = true,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    val hashed = hashedShingles(df, idCol, textCol, shingleLen, wordShingles)
+    val pairs = lshCandidatePairs(minHashSignatures(hashed, numHashes), idCol,
+      numHashes, bands)
+    val sa = hashed.select(col(idCol).as("id_a"), col("shingles").as("__sh_a"))
+    val sb = hashed.select(col(idCol).as("id_b"), col("shingles").as("__sh_b"))
+    pairs.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("__i", graft.functions.hashes
+        .sorted_intersect_size(col("__sh_a"), col("__sh_b")).cast("double"))
+      .withColumn("jaccard",
+        col("__i") / (size(col("__sh_a")) + size(col("__sh_b")) - col("__i")))
+      .filter(col("jaccard") >= threshold)
+      .withColumn("overlap_coef",
+        col("__i") / least(size(col("__sh_a")), size(col("__sh_b"))).cast("double"))
+      .select("id_a", "id_b", "jaccard", "overlap_coef")
+  }
+
   /** Character-n-gram Jaccard near-dup pairs >= threshold: the minhash
     * pipeline over char shingles with r=8 rows per band — steep enough
     * that sub-threshold pairs (J <~ 0.35, where shared-vocabulary

@@ -413,6 +413,43 @@ final class BlockedCloud(
       size(col("sfc_tail")).cast(LongType).as("n_points"))
   }
 
+  /** Voxel-grid statistics: per XY cell of `cell` original-coordinate
+    * units, the point count and z extremes plus an exact centi-unit z
+    * sum (z is stored at 2 decimals — point_processor.py:47 — so
+    * round(z*100) is an integer and the sum is order-independent,
+    * unlike a double sum). The shape LiDAR tooling calls a density /
+    * elevation raster; the reference's histogram (S5) is the special
+    * case cell == quadtree block size. One narrow projection + one
+    * partially-aggregated shuffle of ~(extent/cell)^2 cells — scale is
+    * bounded by the raster size, not the point count. */
+  def gridAggregate(cell: Double): DataFrame = {
+    require(cell > 0, s"non-positive cell size $cell")
+    explodePoints(blocks)
+      .groupBy(
+        floor(col("x") / cell).cast(LongType).as("cell_x"),
+        floor(col("y") / cell).cast(LongType).as("cell_y"))
+      .agg(count(lit(1)).as("n_points"),
+        min(col("z")).as("min_z"), max(col("z")).as("max_z"),
+        sum(round(col("z") * 100).cast(LongType)).as("sum_z_centi"))
+  }
+
+  /** Deterministic grid thinning: one representative point per XY cell —
+    * the lexicographically smallest (x, y, z), so the result is a pure
+    * function of the point set (no RNG, no partition-order dependence).
+    * `min` over a struct compares field-by-field and partial-aggregates
+    * map-side: a single reduced shuffle of one point per cell, the
+    * downsample shape that survives any corpus size. */
+  def gridDownsample(cell: Double): DataFrame = {
+    require(cell > 0, s"non-positive cell size $cell")
+    explodePoints(blocks)
+      .groupBy(
+        floor(col("x") / cell).cast(LongType).as("cell_x"),
+        floor(col("y") / cell).cast(LongType).as("cell_y"))
+      .agg(min(struct(col("x"), col("y"), col("z"))).as("p"))
+      .select(col("cell_x"), col("cell_y"),
+        col("p.x").as("x"), col("p.y").as("y"), col("p.z").as("z"))
+  }
+
   /** The catalog row as a DataFrame (pc_metadata equivalent). */
   def metadataDf: DataFrame =
     spark.createDataset(Seq(meta))(Encoders.product[CloudMeta]).toDF()

@@ -36,6 +36,10 @@ object DocQueries {
         shingleLen = 3, wordShingles = true, numHashes = 64, bands = 16, threshold = 0.8)),
     "doc_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardNearDups(docs(s, d), "doc_id", "text", n = 5, threshold = 0.6)),
+    "doc_overlap_coef" -> ((s, d) =>
+      Dedup.minhashNearDupsWithOverlap(docs(s, d), "doc_id", "text",
+        shingleLen = 3, wordShingles = true, numHashes = 64, bands = 16,
+        threshold = 0.8)),
     "doc_simhash_neardup" -> ((s, d) =>
       Dedup.simhashNearDups(docs(s, d), "doc_id", "text", maxHamming = 3)),
     "doc_token_count" -> ((s, d) =>
@@ -137,6 +141,15 @@ object DocQueries {
          )
          SELECT id AS doc_id, min(reach) AS cluster_id FROM r GROUP BY id""",
     "doc_ngram_jaccard" -> charJaccardSql(5, 0.6),
+    "doc_overlap_coef" ->
+      s"""WITH $wordShinglesCtes
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+             len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard,
+           len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+             least(len(a.shingles), len(b.shingles)) AS overlap_coef
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE jaccard >= 0.8""",
     // doc_simhash_neardup: no oracle (xxhash64-dependent) -> rows-only
     "doc_token_count" ->
       s"""SELECT doc_id,

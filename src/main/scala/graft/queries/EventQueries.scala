@@ -47,6 +47,36 @@ object EventQueries {
         .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
         .groupBy((col("k") / 10).cast("long").as("k_decade"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))),
+    // conversion funnel view -> click -> purchase: per-user first-touch
+    // timestamps (one grouped pass), then one reduced row counting users
+    // whose stage times are strictly ordered. Null stage comparisons
+    // fall to the otherwise(0) branch on both engines
+    "ev_funnel" -> ((s, d) => {
+      val us = unix_micros(col("ts"))
+      def firstOf(tpe: String) = min(when(col("event_type") === tpe, us))
+      ev(s, d).groupBy(col("user_id"))
+        .agg(firstOf("view").as("fv"), firstOf("click").as("fc"),
+          firstOf("purchase").as("fp"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("fv").isNotNull, 1L).otherwise(0L)).as("n_view"),
+          sum(when(col("fc") > col("fv"), 1L).otherwise(0L)).as("n_view_then_click"),
+          sum(when(col("fc") > col("fv") && col("fp") > col("fc"), 1L)
+            .otherwise(0L)).as("n_full_funnel"))
+    }),
+    // next-day retention: distinct (user, day) activity, self left-join
+    // on (user, day+1) — active and retained counts per day
+    "ev_retention" -> ((s, d) => {
+      val act = ev(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+      val nxt = act.select(col("user_id").as("u2"), col("day").as("d2"))
+      act.join(nxt, col("user_id") === col("u2") && col("d2") === col("day") + 1,
+          "left_outer")
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("active_users"),
+          sum(when(col("u2").isNotNull, 1L).otherwise(0L)).as("retained_next_day"))
+    }),
     // as-of join: each click matched to the user's latest prior-or-equal
     // purchase (null when none) — DuckDB ASOF LEFT JOIN is the oracle
     "ev_asof_purchase" -> ((s, d) => {
@@ -105,6 +135,26 @@ object EventQueries {
          SELECT CAST(floor(k / 10.0) AS BIGINT) AS k_decade,
            count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
          FROM k GROUP BY 1""",
+    "ev_funnel" ->
+      s"""WITH u AS (SELECT user_id,
+           min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS fv,
+           min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS fc,
+           min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS fp
+         FROM events GROUP BY 1)
+         SELECT count(*) AS n_users,
+           CAST(sum(CASE WHEN fv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(sum(CASE WHEN fc > fv THEN 1 ELSE 0 END) AS BIGINT) AS n_view_then_click,
+           CAST(sum(CASE WHEN fc > fv AND fp > fc THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+         FROM u""",
+    "ev_retention" ->
+      s"""WITH du AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+           FROM events)
+         SELECT a.day, count(*) AS active_users,
+           CAST(sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS retained_next_day
+         FROM du a LEFT JOIN du b
+           ON a.user_id = b.user_id AND b.day = a.day + 1
+         GROUP BY 1""",
     "ev_asof_purchase" ->
       s"""WITH pv AS (
            SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS p_event_id,

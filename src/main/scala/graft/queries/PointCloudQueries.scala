@@ -173,6 +173,14 @@ object PointCloudQueries {
           round(col("y") * 10).cast("long").as("y10"),
           round(col("z") * 10).cast("long").as("z10"))
     }),
+    // voxel-grid raster: density + z extremes per 64-unit cell
+    "pc_grid_agg" -> ((s, d) => cloud(s, d).gridAggregate(64.0)),
+    // deterministic thinning: smallest (x, y, z) per 256-unit cell
+    "pc_downsample" -> ((s, d) => {
+      val r = cloud(s, d).gridDownsample(256.0)
+      r.select(col("cell_x"), col("cell_y"),
+        col("x").cast("long").as("x"), col("y").cast("long").as("y"), col("z"))
+    }),
     // naive full-scan control (no SFC pruning) — same answer as
     // pc_bbox_large; exists to demonstrate the layout win in BENCH
     "pc_bbox_naive" -> ((s, d) => xyz(rawPoints(s, d).filter(
@@ -209,6 +217,13 @@ object PointCloudQueries {
     "pc_metadata" -> (s"$ptsCte SELECT count(*) AS point_count, " +
       "min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max, " +
       "min(z) AS z_min, max(z) AS z_max FROM pts"),
+    "pc_grid_agg" -> (s"$ptsCte SELECT x // 64 AS cell_x, y // 64 AS cell_y, " +
+      "count(*) AS n_points, min(z) AS min_z, max(z) AS max_z, " +
+      "CAST(sum(CAST(round(z * 100, 0) AS BIGINT)) AS BIGINT) AS sum_z_centi " +
+      "FROM pts GROUP BY 1, 2"),
+    "pc_downsample" -> (s"$ptsCte, r AS (SELECT x // 256 AS cell_x, y // 256 AS cell_y, " +
+      "x, y, z, row_number() OVER (PARTITION BY x // 256, y // 256 ORDER BY x, y, z) AS rn " +
+      "FROM pts) SELECT cell_x, cell_y, x, y, z FROM r WHERE rn = 1"),
     "pc_bbox_naive" -> s"$ptsCte SELECT x, y, z FROM pts WHERE ${bboxSql(bboxLarge)}",
     "pc_las_roundtrip" ->
       s"$ptsCte SELECT x * 10 AS x10, y * 10 AS y10, CAST(round(z * 10, 0) AS BIGINT) AS z10 FROM pts")

@@ -103,6 +103,66 @@ object RelQueries {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"))
     }),
+    // TPC-H Q22 shape: anti-join — above-average-balance customers with
+    // no recent order (none since 2000-01-01), per nation. The average
+    // threshold is compared in exact integer arithmetic (bal_milli * n >
+    // sum_milli avoids a double average whose last ulp could flip a
+    // customer across engines); the one-row aggregate broadcasts, and
+    // the anti-join's order side is filtered + pruned to its key column
+    // at the scan
+    "rel_q22_no_orders" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          milli(col("c_acctbal")).as("bal_milli"))
+      val pos = cust.filter(col("bal_milli") > 0)
+        .agg(sum(col("bal_milli")).as("s_milli"), count(lit(1)).as("n_pos"))
+      val recent = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("2000-01-01"))
+        .select(col("o_custkey"))
+      cust.crossJoin(broadcast(pos))
+        .filter(col("bal_milli") * col("n_pos") > col("s_milli"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").cast("long").as("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("bal_milli")).as("bal_milli_sum"))
+    }),
+    // TPC-H Q14 shape: conditional aggregation — promo revenue share,
+    // one reduced row off a broadcast part join
+    "rel_q14_promo" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part").select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO",
+            milli(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .otherwise(lit(0L))).as("promo_milli"),
+          sum(milli(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("total_milli"))
+        .select(col("promo_milli"), col("total_milli"),
+          (lit(100.0) * col("promo_milli") / col("total_milli")).as("promo_pct"))),
+    // pivot: quantity matrix returnflag x linestatus — wide-form output
+    // with explicit pivot values (no extra distinct-values job, and a
+    // deterministic column set at any scale)
+    "rel_pivot_returns" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(milli(col("l_quantity"))))),
+    // set ops: part keys with a max-quantity 'R' return vs a
+    // max-quantity 'A' return — INTERSECT / EXCEPT distinct semantics
+    "rel_parts_intersect" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      def side(f: String) = li
+        .filter(col("l_returnflag") === f && col("l_quantity") > 49)
+        .select(col("l_partkey"))
+      side("R").intersect(side("A"))
+    }),
+    "rel_parts_except" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      def side(f: String) = li
+        .filter(col("l_returnflag") === f && col("l_quantity") > 49)
+        .select(col("l_partkey"))
+      side("R").except(side("A"))
+    }),
     // TPC-H Q18 shape: heavy-hitter orders (grouped HAVING on the fact
     // table) joined back to the order row, top-k. The only fact shuffle
     // is its own per-orderkey aggregation; the survivors (<<1%) then
@@ -170,6 +230,39 @@ object RelQueries {
                        WHERE l_orderkey = o_orderkey
                          AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
          GROUP BY 1""",
+    "rel_q22_no_orders" ->
+      s"""WITH c AS (SELECT c_custkey, c_nationkey, ${m("c_acctbal")} AS bal_milli
+           FROM customer),
+         pos AS (SELECT CAST(sum(bal_milli) AS BIGINT) AS s_milli,
+           count(*) AS n_pos FROM c WHERE bal_milli > 0)
+         SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           count(*) AS n_cust, CAST(sum(bal_milli) AS BIGINT) AS bal_milli_sum
+         FROM c, pos
+         WHERE bal_milli * n_pos > s_milli
+           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+             AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+         GROUP BY 1""",
+    "rel_q14_promo" ->
+      s"""WITH a AS (
+           SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN $rev ELSE 0 END) AS BIGINT)
+               AS promo_milli,
+             CAST(sum($rev) AS BIGINT) AS total_milli
+           FROM lineitem JOIN part ON l_partkey = p_partkey)
+         SELECT promo_milli, total_milli,
+           100.0 * promo_milli / total_milli AS promo_pct FROM a""",
+    "rel_pivot_returns" ->
+      s"""SELECT l_returnflag,
+           CAST(sum(CASE WHEN l_linestatus = 'F' THEN ${m("l_quantity")} END) AS BIGINT) AS "F",
+           CAST(sum(CASE WHEN l_linestatus = 'O' THEN ${m("l_quantity")} END) AS BIGINT) AS "O"
+         FROM lineitem GROUP BY 1""",
+    "rel_parts_intersect" ->
+      s"""SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 49
+         INTERSECT
+         SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A' AND l_quantity > 49""",
+    "rel_parts_except" ->
+      s"""SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 49
+         EXCEPT
+         SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A' AND l_quantity > 49""",
     "rel_q18_large_orders" ->
       s"""WITH big AS (
            SELECT l_orderkey, CAST(sum(${m("l_quantity")}) AS BIGINT) AS qty_milli

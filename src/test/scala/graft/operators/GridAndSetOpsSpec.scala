@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-6 surface: voxel-grid aggregation / deterministic thinning on
+  * the blocked cloud, overlap-coefficient scoring, and the new
+  * query-module shapes (funnel, retention, set ops) via invariants on
+  * the sf0.001 test tables. */
+class GridAndSetOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def cloudOf(pts: Seq[(Double, Double, Double)]): BlockedCloud =
+    PointCloud.importPoints(pts.toDF("x", "y", "z"), ImportSpec(ratio = 0.5))
+
+  test("gridAggregate: counts partition the cloud; z stats per cell exact") {
+    val pts = Seq(
+      (0.0, 0.0, 1.0), (1.0, 1.0, 2.0), (2.0, 3.0, 3.0), // cell (0,0) @4
+      (5.0, 1.0, 10.0), (6.0, 2.0, 0.5),                 // cell (1,0)
+      (1.0, 6.0, 7.25))                                  // cell (0,1)
+    val got = cloudOf(pts).gridAggregate(4.0).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getLong(5)))).toMap
+    assert(got.size == 3)
+    assert(got((0L, 0L)) == ((3L, 1.0, 3.0, 600L)))
+    assert(got((1L, 0L)) == ((2L, 0.5, 10.0, 1050L)))
+    assert(got((0L, 1L)) == ((1L, 7.25, 7.25, 725L)))
+    assert(got.values.map(_._1).sum == pts.size)
+  }
+
+  test("gridDownsample keeps the lexicographically smallest point per cell") {
+    val pts = Seq(
+      (3.0, 0.0, 9.0), (0.0, 3.0, 5.0), (0.0, 2.0, 8.0), // cell (0,0)
+      (4.0, 0.0, 1.0))                                   // cell (1,0)
+    val got = cloudOf(pts).gridDownsample(4.0).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.size == 2)
+    assert(got((0L, 0L)) == ((0.0, 2.0, 8.0))) // min x, then min y
+    assert(got((1L, 0L)) == ((4.0, 0.0, 1.0)))
+  }
+
+  test("overlap coefficient >= jaccard on every emitted pair, both <= 1") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota"), // superset
+      (3L, "totally different words entirely here now"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.minhashNearDupsWithOverlap(d, "doc_id", "text",
+      shingleLen = 3, wordShingles = true, numHashes = 64, bands = 16,
+      threshold = 0.5).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (j, o) = (r.getDouble(2), r.getDouble(3))
+      assert(o >= j && o <= 1.0 + 1e-12 && j > 0)
+    }
+    // the planted subset pair: containment is exactly 1 (A subset of B)
+    val sub = rows.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(sub.exists(_.getDouble(3) == 1.0))
+  }
+
+  test("funnel stages are monotone; retention never exceeds active") {
+    val funnel = graft.queries.EventQueries.queries("ev_funnel")(spark, sf).head()
+    val (users, v, vc, vcp) =
+      (funnel.getLong(0), funnel.getLong(1), funnel.getLong(2), funnel.getLong(3))
+    assert(users >= v && v >= vc && vc >= vcp && v > 0)
+    val ret = graft.queries.EventQueries.queries("ev_retention")(spark, sf).collect()
+    assert(ret.nonEmpty)
+    ret.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+  }
+
+  test("intersect and except partition the R-side key set") {
+    val inter = graft.queries.RelQueries.queries("rel_parts_intersect")(spark, sf)
+    val exc = graft.queries.RelQueries.queries("rel_parts_except")(spark, sf)
+    // disjoint by construction, and their union is the distinct R side
+    assert(inter.intersect(exc).count() == 0)
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val rSide = li.filter(col("l_returnflag") === "R" && col("l_quantity") > 49)
+      .select(col("l_partkey")).distinct().count()
+    assert(inter.count() + exc.count() == rSide)
+  }
+}
