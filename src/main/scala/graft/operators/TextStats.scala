@@ -233,6 +233,30 @@ object TextStats {
       .orderBy(col("n_occurrences").desc, col("ngram").asc)
       .limit(k)
 
+  /** Per-document most-distinctive term, TF-IDF style but in exact
+    * integer arithmetic: score = tf * 1e6 div df (floor division), so
+    * the ranking is bit-identical on any engine — no log, no doubles.
+    * Ties break to the lexicographically smallest term (min_by over a
+    * (-score, term) struct key). Three reduced shuffles: per-(doc,term)
+    * tf, per-term df, and the per-doc argmax — each partial-aggregates
+    * map-side, and the tf->df join is a self-join of the already
+    * tf-reduced table, so corpus text is exploded exactly once. */
+  def tfidfTop(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df
+      .select(col(idCol), explode(split(norm(col(textCol)), " ")).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "term")
+      .withColumn("score", expr("tf * 1000000 div df"))
+      .groupBy(col(idCol))
+      .agg(min_by(
+        struct(col("term"), col("score"), col("tf"), col("df")),
+        struct((-col("score")).as("s"), col("term").as("t"))).as("p"))
+      .select(col(idCol), col("p.term").as("top_term"), col("p.score").as("score"),
+        col("p.tf").as("tf"), col("p.df").as("df"))
+  }
+
   /** Corpus length statistics: exact token-count quantiles (linear
     * interpolation), count, and mean. Quantiles are emitted as
     * milli-rounded integers so the comparison is robust to last-ulp

@@ -73,6 +73,8 @@ object DocQueries {
       TextStats.decontaminate(docs(s, d), "doc_id", "text", n = 4)),
     "doc_ngram_topk" -> ((s, d) =>
       TextStats.ngramTopK(docs(s, d), "doc_id", "text", n = 2, k = 20)),
+    "doc_tfidf_top" -> ((s, d) =>
+      TextStats.tfidfTop(docs(s, d), "doc_id", "text")),
     "doc_quantiles" -> ((s, d) =>
       TextStats.lengthQuantiles(docs(s, d), "doc_id", "text")),
     "doc_source_mix" -> ((s, d) =>
@@ -256,6 +258,16 @@ object DocQueries {
                i -> array_to_string(ws[i:i+1], ' '))) AS ngram FROM w)
          SELECT ngram, count(*) AS n_occurrences FROM g
          GROUP BY 1 ORDER BY n_occurrences DESC, ngram ASC LIMIT 20""",
+    "doc_tfidf_top" ->
+      s"""WITH tk AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+         dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         s AS (SELECT doc_id, term, tf, df, tf * 1000000 // df AS score
+               FROM tf JOIN dfq USING (term)),
+         r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, term ASC) AS rn FROM s)
+         SELECT doc_id, term AS top_term, score, tf, df FROM r WHERE rn = 1""",
     "doc_quantiles" ->
       s"""WITH t AS (SELECT len(string_split($normSql, ' '))::BIGINT AS tk FROM documents)
          SELECT count(*) AS n_docs, CAST(sum(tk) AS BIGINT) AS sum_tokens,

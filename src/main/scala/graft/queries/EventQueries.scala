@@ -47,6 +47,26 @@ object EventQueries {
         .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
         .groupBy((col("k") / 10).cast("long").as("k_decade"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))),
+    // window frame: trailing 4-row moving aggregate per user (sum and
+    // count in exact millis — the mean is a ratio of exact integers, so
+    // frame-order float accumulation can't diverge between engines)
+    "ev_moving_avg" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-3, 0)
+      ev(s, d).select(col("event_id"), col("user_id"),
+          sum(Events.milli(col("value"))).over(w).as("mv_sum_milli"),
+          count(lit(1)).over(w).as("n_frame"))
+        .withColumn("mv_avg",
+          col("mv_sum_milli").cast("double") / col("n_frame"))
+    }),
+    // approximate distinct users per event type (HyperLogLog++). No
+    // cross-engine oracle — sketch layouts differ — so this is a
+    // rows-only check; the spec pins the estimate within 5% of exact
+    "ev_approx_users" -> ((s, d) =>
+      ev(s, d).groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))),
     // conversion funnel view -> click -> purchase: per-user first-touch
     // timestamps (one grouped pass), then one reduced row counting users
     // whose stage times are strictly ordered. Null stage comparisons
@@ -135,6 +155,14 @@ object EventQueries {
          SELECT CAST(floor(k / 10.0) AS BIGINT) AS k_decade,
            count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
          FROM k GROUP BY 1""",
+    "ev_moving_avg" ->
+      s"""SELECT event_id, user_id,
+           CAST(sum($vMilli) OVER w AS BIGINT) AS mv_sum_milli,
+           count(*) OVER w AS n_frame,
+           CAST(sum($vMilli) OVER w AS DOUBLE) / (count(*) OVER w) AS mv_avg
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""",
+    // ev_approx_users: no oracle (HLL sketch differs per engine) -> rows-only
     "ev_funnel" ->
       s"""WITH u AS (SELECT user_id,
            min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS fv,

@@ -163,6 +163,21 @@ object RelQueries {
         .select(col("l_partkey"))
       side("R").except(side("A"))
     }),
+    // skew-salted fact-dimension join (operators/Skew.scala): the fact
+    // side gets a deterministic value-derived salt, the dimension is
+    // replicated saltFactor times, and the result must equal the plain
+    // join — which is exactly what the oracle checks
+    "rel_salted_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey").as("okey"),
+        milli(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("rev_milli"))
+      val ord = t(s, d, "orders").select(col("o_orderkey").as("okey"),
+        col("o_orderpriority"))
+      graft.operators.Skew.saltedJoin(li, ord, "okey",
+          saltSource = col("rev_milli"), saltFactor = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"), sum(col("rev_milli")).as("rev_milli_sum"))
+    }),
     // TPC-H Q18 shape: heavy-hitter orders (grouped HAVING on the fact
     // table) joined back to the order row, top-k. The only fact shuffle
     // is its own per-orderkey aggregation; the survivors (<<1%) then
@@ -263,6 +278,11 @@ object RelQueries {
       s"""SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 49
          EXCEPT
          SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A' AND l_quantity > 49""",
+    "rel_salted_join" ->
+      s"""SELECT o_orderpriority, count(*) AS n_items,
+           CAST(sum($rev) AS BIGINT) AS rev_milli_sum
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1""",
     "rel_q18_large_orders" ->
       s"""WITH big AS (
            SELECT l_orderkey, CAST(sum(${m("l_quantity")}) AS BIGINT) AS qty_milli

@@ -80,6 +80,46 @@ class GridAndSetOpsSpec extends AnyFunSuite {
     ret.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
   }
 
+  test("tfidfTop scores in exact integers and breaks ties to smallest term") {
+    val d = Seq(
+      (1L, "apple apple banana"), // tf(apple)=2, df=1 -> 2000000
+      (2L, "banana cherry"),      // both score 500000 -> lex-min 'banana'
+      (3L, "cherry date"))        // date: tf=1, df=1 -> 1000000 wins
+      .toDF("doc_id", "text")
+    val got = TextStats.tfidfTop(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) == (("apple", 2000000L)))
+    assert(got(2L) == (("banana", 500000L)))
+    assert(got(3L) == (("date", 1000000L)))
+  }
+
+  test("approx distinct users lands within 5% of exact per event type") {
+    val approx = graft.queries.EventQueries.queries("ev_approx_users")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("u")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, e) =>
+      assert(math.abs(approx(k) - e) <= math.max(1L, (0.05 * e).toLong),
+        s"$k: approx ${approx(k)} vs exact $e")
+    }
+  }
+
+  test("salted join result equals the plain join") {
+    val salted = graft.queries.RelQueries.queries("rel_salted_join")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+    val plain = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(Events.milli(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted == plain)
+  }
+
   test("intersect and except partition the R-side key set") {
     val inter = graft.queries.RelQueries.queries("rel_parts_intersect")(spark, sf)
     val exc = graft.queries.RelQueries.queries("rel_parts_except")(spark, sf)
