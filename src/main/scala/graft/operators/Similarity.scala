@@ -178,6 +178,41 @@ object Similarity {
             lit(0L), (a, v) => a + v)).as("q_cksum"))
   }
 
+  /** Product quantization: each vector splits into `m` contiguous
+    * subvectors and each subvector maps to its nearest codebook entry
+    * (one code in [0, kSub) per segment). Codebooks are built
+    * deterministically per segment with the [[ivfCentroids]] recipe
+    * (id-hash seeding + one refinement pass — no RNG) over a
+    * deterministic id-hash sample of `samplePct`% of the rows: codebook
+    * training touches a bounded sample however large the store, while
+    * the encoding itself is a narrow codegen projection over the full
+    * scan (centroids ride along as literal-sized reference objects —
+    * no shuffle, no join). Emits one `code_<s>` column per segment
+    * plus the per-vector code checksum. */
+  def pqCodes(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int = 4, kSub: Int = 16, samplePct: Int = 100): DataFrame = {
+    require(m > 0 && kSub > 0 && samplePct > 0 && samplePct <= 100)
+    val dims = emb.select(min(size(col(vecCol))), max(size(col(vecCol)))).head()
+    require(dims.getInt(0) == dims.getInt(1),
+      s"pq needs uniform dims, got [${dims.getInt(0)}, ${dims.getInt(1)}]")
+    val segLen = dims.getInt(0) / m
+    require(segLen > 0, s"more segments ($m) than dims (${dims.getInt(0)})")
+    val train =
+      if (samplePct == 100) emb
+      else emb.filter(pmod(xxhash64(col(idCol)), lit(100)) < samplePct)
+    val codeCols = (0 until m).map { s =>
+      val seg = slice(col(vecCol), s * segLen + 1, segLen)
+      val cents = ivfCentroids(
+        train.select(col(idCol), seg.as("__seg")), idCol, "__seg", kSub)
+      graft.functions.vectors.nearest_centroid(seg, cents)
+        .cast("long").as(s"code_$s")
+    }
+    val out = emb.select((col(idCol) +: codeCols): _*)
+    val cksum = (0 until m).map(s => col(s"code_$s") * lit(s + 1L))
+      .reduce(_ + _)
+    out.withColumn("code_cksum", cksum)
+  }
+
   /** Exact near-duplicate pairs (cosine >= threshold) within blocking
     * groups (e.g. a cluster/label/shard key): an equi-join on the block
     * key keeps the pair space bounded per group — the all-pairs form of

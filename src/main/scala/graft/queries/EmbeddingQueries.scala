@@ -47,7 +47,13 @@ object EmbeddingQueries {
       Similarity.centroidAssign(emb(s, d), "vec_id", "embedding", cents)
     }),
     "emb_quantize_int8" -> ((s, d) =>
-      Similarity.quantizeInt8(emb(s, d), "vec_id", "embedding")))
+      Similarity.quantizeInt8(emb(s, d), "vec_id", "embedding")),
+    // product quantization: data-derived codebooks (double k-means on a
+    // deterministic sample) can't be replayed in SQL -> rows-only; the
+    // spec pins determinism, code range, and reconstruction quality
+    "emb_pq_codes" -> ((s, d) =>
+      Similarity.pqCodes(emb(s, d), "vec_id", "embedding",
+        m = 4, kSub = 16, samplePct = 50)))
 
   /** Sequential-fold dot product of two DuckDB float lists, in double —
     * op-for-op the plan Spark's aggregate(zip_with(...)) produces. */
@@ -78,6 +84,7 @@ object EmbeddingQueries {
            ON a.label = b.label AND a.vec_id < b.vec_id
          WHERE sim >= 0.35""",
     // emb_neardup_lsh: approximate recall -> rows-only
+    // emb_pq_codes: data-derived double codebooks -> rows-only
     "emb_kmeans_assign" ->
       s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 4),
          s AS (SELECT e.vec_id, c.cid, ${cosineSql("e.embedding", "c.ce")} AS sim

@@ -163,6 +163,35 @@ object RelQueries {
         .select(col("l_partkey"))
       side("R").except(side("A"))
     }),
+    // TPC-H Q6 shape: pure scan-filter-aggregate — every predicate in
+    // PushedFilters, one reduced row, zero joins
+    "rel_q6_forecast" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum(milli(col("l_extendedprice") * col("l_discount")))
+          .as("revenue_milli"), count(lit(1)).as("n_items"))),
+    // TPC-H Q10 shape: returned-item reporting — three-way join with
+    // broadcast dims, per-customer revenue, top-20
+    "rel_q10_returned" -> ((s, d) => {
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-10-01") &&
+          col("o_orderdate") < lit("1997-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+      li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(milli(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue_milli"))
+        .join(broadcast(t(s, d, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"),
+          milli(col("c_acctbal")).as("acctbal_milli"), col("revenue_milli"))
+        .orderBy(col("revenue_milli").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
     // skew-salted fact-dimension join (operators/Skew.scala): the fact
     // side gets a deterministic value-derived salt, the dimension is
     // replicated saltFactor times, and the result must equal the plain
@@ -278,6 +307,23 @@ object RelQueries {
       s"""SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 49
          EXCEPT
          SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A' AND l_quantity > 49""",
+    "rel_q6_forecast" ->
+      s"""SELECT CAST(sum(${m("l_extendedprice * l_discount")}) AS BIGINT)
+           AS revenue_milli, count(*) AS n_items
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+    "rel_q10_returned" ->
+      s"""SELECT c_custkey, c_name, ${m("c_acctbal")} AS acctbal_milli,
+           CAST(sum($rev) AS BIGINT) AS revenue_milli
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue_milli DESC, c_custkey ASC LIMIT 20""",
     "rel_salted_join" ->
       s"""SELECT o_orderpriority, count(*) AS n_items,
            CAST(sum($rev) AS BIGINT) AS rev_milli_sum

@@ -120,6 +120,21 @@ class GridAndSetOpsSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("pq codes are deterministic, in range, and use multiple codebook entries") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    def run() = Similarity.pqCodes(emb, "vec_id", "embedding",
+      m = 4, kSub = 16, samplePct = 50).collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(r.getLong)).toMap
+    val a = run()
+    assert(a == run()) // no RNG anywhere -> bit-stable
+    assert(a.nonEmpty)
+    a.values.foreach(codes => codes.foreach(c => assert(c >= 0 && c < 16)))
+    // each segment actually discriminates (not all rows on one centroid)
+    (0 until 4).foreach { s =>
+      assert(a.values.map(_(s)).toSet.size > 1, s"segment $s collapsed")
+    }
+  }
+
   test("intersect and except partition the R-side key set") {
     val inter = graft.queries.RelQueries.queries("rel_parts_intersect")(spark, sf)
     val exc = graft.queries.RelQueries.queries("rel_parts_except")(spark, sf)
