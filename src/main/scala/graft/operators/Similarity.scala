@@ -200,17 +200,47 @@ object Similarity {
     val train =
       if (samplePct == 100) emb
       else emb.filter(pmod(xxhash64(col(idCol)), lit(100)) < samplePct)
+    val segs = (0 until m).map(s => slice(col(vecCol), s * segLen + 1, segLen))
+    val books = pqCodebooks(train, idCol, segs, kSub)
     val codeCols = (0 until m).map { s =>
-      val seg = slice(col(vecCol), s * segLen + 1, segLen)
-      val cents = ivfCentroids(
-        train.select(col(idCol), seg.as("__seg")), idCol, "__seg", kSub)
-      graft.functions.vectors.nearest_centroid(seg, cents)
+      graft.functions.vectors.nearest_centroid(segs(s), books(s))
         .cast("long").as(s"code_$s")
     }
     val out = emb.select((col(idCol) +: codeCols): _*)
     val cksum = (0 until m).map(s => col(s"code_$s") * lit(s + 1L))
       .reduce(_ + _)
     out.withColumn("code_cksum", cksum)
+  }
+
+  /** All `m` segment codebooks in TWO data passes total — not 2·m:
+    * every pass computes per-(segment, list, position) means in one
+    * explode + partially-aggregated shuffle, whose reduced size is
+    * m x kSub x segLen cells regardless of row count. Pass 1 seeds
+    * lists from the id hash (identical across segments); pass 2
+    * reassigns each segment to its nearest seed centroid and re-means —
+    * the same hash-seed + one-refinement recipe as [[ivfCentroids]]. */
+  private def pqCodebooks(train: DataFrame, idCol: String,
+      segs: Seq[Column], kSub: Int): Array[Array[Array[Double]]] = {
+    val m = segs.length
+    val named = train.select(
+      (col(idCol) +: segs.zipWithIndex.map { case (c, s) => c.as(s"__seg_$s") }): _*)
+    def means(listOf: Int => Column): Array[Array[Array[Double]]] = {
+      val entries = array((0 until m).map(s => struct(lit(s).as("seg"),
+        listOf(s).as("list"), col(s"__seg_$s").as("v"))): _*)
+      val rows = named.select(explode(entries).as("e"))
+        .select(col("e.seg").as("seg"), col("e.list").as("list"),
+          posexplode(col("e.v")).as(Seq("pos", "x")))
+        .groupBy(col("seg"), col("list"), col("pos"))
+        .agg(avg(col("x")).as("mu"))
+        .collect()
+      val dims = rows.iterator.map(_.getInt(2)).max + 1
+      val out = Array.fill(m, kSub)(new Array[Double](dims))
+      rows.foreach(r => out(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
+      out
+    }
+    val hashList = pmod(xxhash64(col(idCol)), lit(kSub)).cast("int")
+    val seed = means(_ => hashList)
+    means(s => graft.functions.vectors.nearest_centroid(col(s"__seg_$s"), seed(s)))
   }
 
   /** Exact near-duplicate pairs (cosine >= threshold) within blocking

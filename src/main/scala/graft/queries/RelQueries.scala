@@ -203,7 +203,7 @@ object RelQueries {
       val ord = t(s, d, "orders").select(col("o_orderkey").as("okey"),
         col("o_orderpriority"))
       graft.operators.Skew.saltedJoin(li, ord, "okey",
-          saltSource = col("rev_milli"), saltFactor = 8)
+          saltSource = col("rev_milli"), saltFactor = 4)
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_items"), sum(col("rev_milli")).as("rev_milli_sum"))
     }),

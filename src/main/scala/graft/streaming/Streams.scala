@@ -77,6 +77,23 @@ object Streams {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Streaming point-cloud ingest monitor: watermarked tumbling
+    * per-grid-cell point counts + z extremes over a stream of
+    * (ts, x, y, z) points — the live-ingest shape of the batch
+    * [[graft.operators.BlockedCloud.gridAggregate]] raster. State is
+    * bounded by (cells touched per window) x (windows within the
+    * watermark), independent of stream length. */
+  def gridCellCounts(points: DataFrame, cell: Double,
+      width: String = "1 hour", watermark: String = "10 minutes"): DataFrame =
+    points.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width),
+        floor(col("x") / cell).cast("long").as("cell_x"),
+        floor(col("y") / cell).cast("long").as("cell_y"))
+      .agg(count(lit(1)).as("n_points"),
+        min(col("z")).as("min_z"), max(col("z")).as("max_z"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("cell_x"), col("cell_y"), col("n_points"), col("min_z"), col("max_z"))
+
   /** Custom-state shape: running per-user totals via
     * flatMapGroupsWithState — the template for any bespoke online
     * aggregate (rate limiting, anomaly flags, decayed counters). */

@@ -110,6 +110,30 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming grid-cell counts close per window with exact z extremes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Double, Double, Double)]
+    val df = in.toDF().toDF("ts", "x", "y", "z")
+    val q = Streams.gridCellCounts(df, cell = 4.0,
+        width = "1 hour", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("grid_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (ts(10), 1.0, 1.0, 5.0), (ts(20), 2.0, 3.0, 9.0), // cell (0,0)
+        (ts(30), 5.0, 1.0, 2.5))                          // cell (1,0)
+      q.processAllAvailable()
+      in.addData((ts(5000), 1.0, 1.0, 1.0)) // advance watermark, close window
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM grid_out").collect()
+        .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)),
+          (r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+      assert(rows((0L, 0L, 0L)) == ((2L, 5.0, 9.0)))
+      assert(rows((0L, 1L, 0L)) == ((1L, 2.5, 2.5)))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState running totals across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
