@@ -81,6 +81,12 @@ object RelQueries {
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(milli(col("l_quantity"))).as("qty_milli"),
           count(lit(1)).as("n"))),
+    // cube (full grouping-sets lattice: both rollup axes + cross slices)
+    "rel_cube_pricing" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(milli(col("l_quantity"))).as("qty_milli"),
+          count(lit(1)).as("n"))),
     // grouped distinct + having over a join
     "rel_parts_per_brand" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -261,6 +267,10 @@ object RelQueries {
       s"""SELECT l_returnflag, l_linestatus,
            CAST(sum(${m("l_quantity")}) AS BIGINT) AS qty_milli, count(*) AS n
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "rel_cube_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+           CAST(sum(${m("l_quantity")}) AS BIGINT) AS qty_milli, count(*) AS n
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
     "rel_parts_per_brand" ->
       s"""SELECT p_brand, count(DISTINCT p_partkey) AS n_parts,
            CAST(sum(${m("l_quantity")}) AS BIGINT) AS qty_milli
