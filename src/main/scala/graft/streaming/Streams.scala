@@ -77,6 +77,25 @@ object Streams {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Stream-stream interval join: each left event matches right events
+    * of the same key whose timestamp falls in [left.ts, left.ts +
+    * horizon] — e.g. purchases attributed to the click they followed.
+    * Both sides carry watermarks and the join condition bounds
+    * event-time distance, so the state store retains each side only for
+    * watermark + horizon — the configuration under which Spark can
+    * provably evict state, letting the join run unbounded. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      horizon: String = "1 hour", watermark: String = "10 minutes"): DataFrame = {
+    val l = left.select(col(keyCol).as("__lk"), col("ts").as("l_ts"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col(keyCol).as("__rk"), col("ts").as("r_ts"))
+      .withWatermark("r_ts", watermark)
+    l.join(r, col("__lk") === col("__rk") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("__lk").as(keyCol), col("l_ts"), col("r_ts"))
+  }
+
   /** Streaming point-cloud ingest monitor: watermarked tumbling
     * per-grid-cell point counts + z extremes over a stream of
     * (ts, x, y, z) points — the live-ingest shape of the batch

@@ -134,6 +134,33 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes within the horizon only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val buys = MemoryStream[(Long, Timestamp)]
+    val q = Streams.intervalJoin(
+        clicks.toDF().toDF("user_id", "ts"),
+        buys.toDF().toDF("user_id", "ts"),
+        "user_id", horizon = "1 hour", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("ij_out")
+      .outputMode("append").start()
+    // NB: data must sit AFTER epoch 0 — the initial watermark is epoch
+    // 0 and stateful operators drop rows at-or-before it as late
+    def dts(min: Long): Timestamp = ts(1440 + min)
+    try {
+      clicks.addData((1L, dts(0)), (2L, dts(0)))
+      buys.addData(
+        (1L, dts(30)),   // within 1h of user 1's click -> match
+        (2L, dts(120)),  // 2h later -> outside horizon
+        (3L, dts(10)))   // no click at all
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id FROM ij_out")
+        .collect().map(_.getLong(0)).toSeq
+      assert(rows == Seq(1L))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState running totals across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
