@@ -105,6 +105,34 @@ object Events {
         rightCols.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
   }
 
+  /** Per-key statistical outliers: events whose value deviates from the
+    * key's mean by more than `sigma` standard deviations, counted per
+    * key. The test is evaluated WITHOUT computing mean/stddev as
+    * floats: (v*n - s)^2 > sigma^2 * (ss*n - s^2) over exact integer
+    * window sums (v = value millis, s = sum, ss = sum of squares), so
+    * the flag is bit-deterministic across engines and partitionings —
+    * a float stddev's last ulp could flip a boundary event. The squares
+    * exceed int64 and are squared in double: identical operands +
+    * identical op order = identical IEEE results on any engine. One
+    * shuffle for the window stats, one reduced shuffle for the per-key
+    * counts. */
+  def anomalyCounts(df: DataFrame, userCol: String, valueCol: String,
+      sigma: Double): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+    val vm = milli(col(valueCol))
+    val d = df.select(col(userCol), vm.as("__v"))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__s", sum(col("__v")).over(w))
+      .withColumn("__ss", sum(col("__v") * col("__v")).over(w))
+    val lhs = (col("__v") * col("__n") - col("__s")).cast("double")
+    val rhs = lit(sigma * sigma) *
+      (col("__ss").cast("double") * col("__n").cast("double") -
+        col("__s").cast("double") * col("__s").cast("double"))
+    d.withColumn("__flag", when(lhs * lhs > rhs, 1L).otherwise(0L))
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_events"), sum(col("__flag")).as("n_anomalies"))
+  }
+
   /** Per-type breakdown: counts, value, time span. */
   def typeBreakdown(df: DataFrame, typeCol: String, tsCol: String,
       valueCol: String): DataFrame =

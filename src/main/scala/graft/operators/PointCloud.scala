@@ -450,6 +450,34 @@ final class BlockedCloud(
         col("p.x").as("x"), col("p.y").as("y"), col("p.z").as("z"))
   }
 
+  /** Cell-to-cell elevation gradient: for each raster cell, the maximum
+    * |mean z difference| to its 4-neighborhood — the slope/discontinuity
+    * raster terrain tooling derives from a density grid. Neighbor
+    * lookup is an EQUI-join: each cell emits its mean under its four
+    * neighbors' coordinates (a 4x explode of the raster, not of the
+    * points) so the join shuffles raster-sized tables on cell keys —
+    * never a non-equi neighbor predicate, which would plan as a
+    * nested-loop. Mean z = exact centi sum / (100 * n): identical
+    * IEEE division on both engines, so max|diff| is hash-comparable. */
+  def gridSlope(cell: Double): DataFrame = {
+    val m = gridAggregate(cell).select(col("cell_x"), col("cell_y"),
+      (col("sum_z_centi").cast("double") / (lit(100.0) * col("n_points")))
+        .as("mean_z"))
+    val offsets = array(
+      struct(lit(1L).as("dx"), lit(0L).as("dy")),
+      struct(lit(-1L).as("dx"), lit(0L).as("dy")),
+      struct(lit(0L).as("dx"), lit(1L).as("dy")),
+      struct(lit(0L).as("dx"), lit(-1L).as("dy")))
+    val contrib = m.select(explode(offsets).as("o"), col("cell_x"),
+        col("cell_y"), col("mean_z").as("nb_mean"))
+      .select((col("cell_x") + col("o.dx")).as("cell_x"),
+        (col("cell_y") + col("o.dy")).as("cell_y"), col("nb_mean"))
+    m.join(contrib, Seq("cell_x", "cell_y"))
+      .groupBy(col("cell_x"), col("cell_y"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        max(abs(col("mean_z") - col("nb_mean"))).as("max_dz"))
+  }
+
   /** The catalog row as a DataFrame (pc_metadata equivalent). */
   def metadataDf: DataFrame =
     spark.createDataset(Seq(meta))(Encoders.product[CloudMeta]).toDF()

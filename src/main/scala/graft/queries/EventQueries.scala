@@ -47,6 +47,10 @@ object EventQueries {
         .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
         .groupBy((col("k") / 10).cast("long").as("k_decade"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))),
+    // per-user outlier counts: |v - mean| > 2 sigma, tested in exact
+    // integer window sums (no float mean/stddev)
+    "ev_anomaly" -> ((s, d) =>
+      Events.anomalyCounts(ev(s, d), "user_id", "value", sigma = 2.0)),
     // window frame: trailing 4-row moving aggregate per user (sum and
     // count in exact millis — the mean is a ratio of exact integers, so
     // frame-order float accumulation can't diverge between engines)
@@ -155,6 +159,20 @@ object EventQueries {
          SELECT CAST(floor(k / 10.0) AS BIGINT) AS k_decade,
            count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
          FROM k GROUP BY 1""",
+    "ev_anomaly" ->
+      s"""WITH d AS (
+           SELECT user_id, $vMilli AS v,
+             count(*) OVER w AS n,
+             CAST(sum($vMilli) OVER w AS BIGINT) AS s,
+             CAST(sum($vMilli * $vMilli) OVER w AS BIGINT) AS ss
+           FROM events WINDOW w AS (PARTITION BY user_id))
+         SELECT user_id, count(*) AS n_events,
+           CAST(sum(CASE WHEN
+             CAST(v * n - s AS DOUBLE) * CAST(v * n - s AS DOUBLE) >
+             4.0 * (CAST(ss AS DOUBLE) * CAST(n AS DOUBLE) -
+                    CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+         FROM d GROUP BY 1""",
     "ev_moving_avg" ->
       s"""SELECT event_id, user_id,
            CAST(sum($vMilli) OVER w AS BIGINT) AS mv_sum_milli,

@@ -181,6 +181,8 @@ object PointCloudQueries {
       r.select(col("cell_x"), col("cell_y"),
         col("x").cast("long").as("x"), col("y").cast("long").as("y"), col("z"))
     }),
+    // slope raster: max |mean-z step| to the 4-neighborhood per cell
+    "pc_cell_slope" -> ((s, d) => cloud(s, d).gridSlope(64.0)),
     // naive full-scan control (no SFC pruning) — same answer as
     // pc_bbox_large; exists to demonstrate the layout win in BENCH
     "pc_bbox_naive" -> ((s, d) => xyz(rawPoints(s, d).filter(
@@ -224,6 +226,14 @@ object PointCloudQueries {
     "pc_downsample" -> (s"$ptsCte, r AS (SELECT x // 256 AS cell_x, y // 256 AS cell_y, " +
       "x, y, z, row_number() OVER (PARTITION BY x // 256, y // 256 ORDER BY x, y, z) AS rn " +
       "FROM pts) SELECT cell_x, cell_y, x, y, z FROM r WHERE rn = 1"),
+    "pc_cell_slope" -> (s"$ptsCte, g AS (SELECT x // 64 AS cell_x, y // 64 AS cell_y, " +
+      "count(*) AS n, sum(CAST(round(z * 100, 0) AS BIGINT)) AS sc FROM pts GROUP BY 1, 2), " +
+      "mz AS (SELECT cell_x, cell_y, CAST(sc AS DOUBLE) / (100.0 * n) AS mean_z FROM g), " +
+      "c AS (SELECT cell_x + dx AS cell_x, cell_y + dy AS cell_y, mean_z AS nb_mean " +
+      "FROM mz, (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) AS o(dx, dy)) " +
+      "SELECT mz.cell_x, mz.cell_y, count(*) AS n_neighbors, " +
+      "max(abs(mz.mean_z - c.nb_mean)) AS max_dz " +
+      "FROM mz JOIN c USING (cell_x, cell_y) GROUP BY 1, 2"),
     "pc_bbox_naive" -> s"$ptsCte SELECT x, y, z FROM pts WHERE ${bboxSql(bboxLarge)}",
     "pc_las_roundtrip" ->
       s"$ptsCte SELECT x * 10 AS x10, y * 10 AS y10, CAST(round(z * 10, 0) AS BIGINT) AS z10 FROM pts")

@@ -51,6 +51,30 @@ class GridAndSetOpsSpec extends AnyFunSuite {
     assert(got((1L, 0L)) == ((4.0, 0.0, 1.0)))
   }
 
+  test("gridSlope: max mean-z step to the 4-neighborhood, edges excluded") {
+    val pts = Seq(
+      (1.0, 1.0, 10.0), (2.0, 2.0, 20.0), // cell (0,0): mean 15
+      (5.0, 1.0, 35.0),                   // cell (1,0): mean 35
+      (1.0, 5.0, 17.0))                   // cell (0,1): mean 17
+    val got = cloudOf(pts).gridSlope(4.0).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    // (0,0) has 2 populated neighbors: |15-35|=20, |15-17|=2 -> max 20
+    assert(got((0L, 0L)) == ((2L, 20.0)))
+    assert(got((1L, 0L)) == ((1L, 20.0))) // only neighbor is (0,0)
+    assert(got((0L, 1L)) == ((1L, 2.0)))
+  }
+
+  test("anomaly counts: a planted outlier is flagged, uniform users are not") {
+    import org.apache.spark.sql.types._
+    val rows = (1 to 50).map(i => (1L, 10.0)) :+ ((1L, 1000.0)) // user 1: spike
+    val all = rows ++ (1 to 50).map(i => (2L, 10.0))            // user 2: flat
+    val d = all.toDF("user_id", "value")
+    val got = Events.anomalyCounts(d, "user_id", "value", sigma = 2.0)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((51L, 1L))) // exactly the spike
+    assert(got(2L) == ((50L, 0L))) // zero variance -> no anomalies
+  }
+
   test("overlap coefficient >= jaccard on every emitted pair, both <= 1") {
     val d = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
