@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -81,6 +81,28 @@ object RelQueries {
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(milli(col("l_quantity"))).as("qty_milli"),
           count(lit(1)).as("n"))),
+    // exact distributed correlation: co-moments accumulate as exact
+    // integer sums (quantity in millis, price in whole units so the
+    // squared sums stay inside int64) and the Pearson formula is
+    // evaluated once per group from those exact sums — no float
+    // accumulation order-dependence, unlike corr()'s streaming
+    // co-moment merge. The doubles below are identical-operand,
+    // identical-order IEEE ops on both engines, so corr itself
+    // hash-matches bit-for-bit
+    "rel_corr_qty_price" -> ((s, d) => {
+      val qm = milli(col("l_quantity"))
+      val pu = round(col("l_extendedprice")).cast("long")
+      def d2(c: Column) = c.cast("double")
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(qm).as("sx"), sum(pu).as("sy"),
+          sum(qm * qm).as("sxx"), sum(pu * pu).as("syy"),
+          sum(qm * pu).as("sxy"))
+        .withColumn("corr",
+          (d2(col("n")) * d2(col("sxy")) - d2(col("sx")) * d2(col("sy"))) /
+            sqrt((d2(col("n")) * d2(col("sxx")) - d2(col("sx")) * d2(col("sx"))) *
+              (d2(col("n")) * d2(col("syy")) - d2(col("sy")) * d2(col("sy")))))
+    }),
     // cube (full grouping-sets lattice: both rollup axes + cross slices)
     "rel_cube_pricing" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -267,6 +289,25 @@ object RelQueries {
       s"""SELECT l_returnflag, l_linestatus,
            CAST(sum(${m("l_quantity")}) AS BIGINT) AS qty_milli, count(*) AS n
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "rel_corr_qty_price" ->
+      s"""WITH g AS (
+           SELECT l_returnflag, count(*) AS n,
+             CAST(sum(${m("l_quantity")}) AS BIGINT) AS sx,
+             CAST(sum(CAST(round(l_extendedprice, 0) AS BIGINT)) AS BIGINT) AS sy,
+             CAST(sum(${m("l_quantity")} * ${m("l_quantity")}) AS BIGINT) AS sxx,
+             CAST(sum(CAST(round(l_extendedprice, 0) AS BIGINT) *
+                      CAST(round(l_extendedprice, 0) AS BIGINT)) AS BIGINT) AS syy,
+             CAST(sum(${m("l_quantity")} *
+                      CAST(round(l_extendedprice, 0) AS BIGINT)) AS BIGINT) AS sxy
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, n, sx, sy, sxx, syy, sxy,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+            CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+           sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                 CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+                 CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr
+         FROM g""",
     "rel_cube_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,
            CAST(sum(${m("l_quantity")}) AS BIGINT) AS qty_milli, count(*) AS n
