@@ -128,6 +128,31 @@ object Multimodal {
       }(enc).toDF("media_id", "frame_idx", "frame_bytes")
   }
 
+  /** Audio windowing for audio-kind rows: overlapping fixed-length
+    * sample windows (window/hop in samples — the 25 ms / 10 ms speech
+    * framing shape; stub treats each byte as one sample). One window
+    * per hop offset strictly inside the payload, the last window
+    * truncated at the payload end — keyed (media_id, seg_idx), the
+    * same 1->N generator shape as [[sampleFrames]] with stride
+    * overlap. */
+  def segmentAudio(media: DataFrame, windowSamples: Int = 400,
+      hopSamples: Int = 160): DataFrame = {
+    require(windowSamples > 0 && hopSamples > 0)
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt, Encoders.BINARY)
+    media.filter(col("kind") === "audio").select("media_id", "kind", "bytes")
+      .mapPartitions { it: Iterator[Row] =>
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](2)
+          val offsets = bytes.indices.by(hopSamples)
+          offsets.iterator.zipWithIndex.map { case (off, idx) =>
+            (id, idx, java.util.Arrays.copyOfRange(bytes, off,
+              math.min(off + windowSamples, bytes.length)))
+          }
+        }
+      }(enc).toDF("media_id", "seg_idx", "seg_bytes")
+  }
+
   /** "Resize": renormalize the pseudo-pixel plane to a target cell
     * count by uniform re-striding (stub for a real resampler). */
   def resize(media: DataFrame, targetCells: Int): DataFrame = {

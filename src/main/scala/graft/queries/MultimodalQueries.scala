@@ -43,6 +43,13 @@ object MultimodalQueries {
         .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
           length(col("frame_bytes")).cast("long").as("frame_len"),
           ascii(col("frame_bytes").cast("string")).cast("long").as("first_byte"))),
+    "mm_audio_segments" -> ((s, d) =>
+      // 400-sample windows, 160-sample hop; segments inspected via
+      // ASCII-safe casts like mm_frame_sample
+      Multimodal.segmentAudio(media(s, d), windowSamples = 400, hopSamples = 160)
+        .select(col("media_id"), col("seg_idx").cast("long").as("seg_idx"),
+          length(col("seg_bytes")).cast("long").as("seg_len"),
+          ascii(col("seg_bytes").cast("string")).cast("long").as("first_byte"))),
     "mm_resize_cksum" -> ((s, d) => {
       val r = Multimodal.resize(media(s, d), targetCells = 64)
         .withColumn("rs", col("resized_bytes").cast("string"))
@@ -85,6 +92,13 @@ object MultimodalQueries {
          FROM documents,
            LATERAL unnest(range(0, greatest(length(text) // 32, 1), 4)) AS t(f)
          WHERE doc_id % 3 = 2""",
+    "mm_audio_segments" ->
+      s"""SELECT doc_id AS media_id, (o // 160)::BIGINT AS seg_idx,
+           least(400, length(text) - o)::BIGINT AS seg_len,
+           ord(substr(text, o + 1, 1))::BIGINT AS first_byte
+         FROM documents,
+           LATERAL unnest(range(0, length(text), 160)) AS t(o)
+         WHERE doc_id % 3 = 1""",
     "mm_resize_cksum" ->
       s"""WITH p AS (
            SELECT doc_id, text, greatest(length(text) // 64, 1) AS stride,
