@@ -57,7 +57,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => VectorNorm(args(0))),
     ("graft_rhp_bucket",
       "_FUNC_(a, nbits) - random-hyperplane LSH bucket of a float vector",
-      (args: Seq[Expression]) => RhpBucket(args(0), intArg(args(1), "nBits"))))
+      (args: Seq[Expression]) => RhpBucket(args(0), intArg(args(1), "nBits"))),
+    ("graft_shingle_hashes",
+      "_FUNC_(norm_text, n, word) - sorted distinct 64-bit shingle hashes" +
+        " (word=true: word n-grams; false: char n-grams)",
+      (args: Seq[Expression]) => ShingleHashes(args(0), intArg(args(1), "n"),
+        args(2) match {
+          case Literal(b: Boolean, _) => b
+          case other => throw new IllegalArgumentException(
+            s"word must be a boolean literal, got $other")
+        })),
+    ("graft_sorted_intersect_size",
+      "_FUNC_(a, b) - intersection size of two SORTED long arrays (merge pass)",
+      (args: Seq[Expression]) => SortedIntersectSize(args(0), args(1))),
+    ("graft_word_hashes",
+      "_FUNC_(norm_text) - xxhash64 of each whitespace token",
+      (args: Seq[Expression]) => WordHashes(args(0))))
 
   override def apply(ext: SparkSessionExtensions): Unit =
     fns.foreach { case (name, usage, builder) =>

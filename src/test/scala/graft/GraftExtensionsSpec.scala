@@ -33,4 +33,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getDouble(3) == 11.0)
     assert(r.getInt(4) == 8 && r.getInt(5) == 4)
   }
+
+  test("text/shingle kernels are callable from SQL") {
+    val r = spark.sql(
+      """SELECT size(graft_shingle_hashes('a b c d', 2, true)) AS nsh,
+          graft_sorted_intersect_size(
+            graft_shingle_hashes('a b c d', 2, true),
+            graft_shingle_hashes('a b c x', 2, true)) AS inter,
+          size(graft_word_hashes('a b c')) AS nw,
+          element_at(graft_word_hashes('a b'), 1) = xxhash64('a') AS wh_ok
+      """).head()
+    assert(r.getInt(0) == 3)  // 'a b', 'b c', 'c d'
+    assert(r.getInt(1) == 2)  // shares 'a b', 'b c'
+    assert(r.getInt(2) == 3)
+    assert(r.getBoolean(3))
+  }
 }
