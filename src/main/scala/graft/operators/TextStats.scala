@@ -233,6 +233,35 @@ object TextStats {
       .orderBy(col("n_occurrences").desc, col("ngram").asc)
       .limit(k)
 
+  /** [[decontaminate]] with a Bloom prefilter — the shape for when the
+    * eval n-gram set outgrows broadcast: a `numBits`-bit Bloom bitset
+    * (built by one OR-merged aggregate over the eval shingles, no
+    * distinct shuffle needed — set bits are idempotent) rides into the
+    * train scan as a literal, and only might-contain survivors reach
+    * the exact join. False positives are removed by the join, so the
+    * result is IDENTICAL to [[decontaminate]] (same oracle); what
+    * changes is the shuffled volume — matches + FP rate instead of
+    * every train n-gram. At 100 TB the bitset stays a fixed few MB
+    * while a broadcast hash set of the eval n-grams would grow with
+    * the eval corpus. */
+  def decontaminateBloom(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, valPct: Int = 5, testPct: Int = 5,
+      numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
+    val b = idBucket(col(idCol), 100L)
+    val evalNg = Dedup.explodedShingleHashes(
+      df.filter(b >= valPct && b < valPct + testPct), idCol, textCol, n, word = true)
+    val bits = evalNg
+      .agg(graft.functions.bloom.bloom_build(col("ng"), numBits, numHashes))
+      .head().getSeq[Long](0).toArray
+    val bitsLit = org.apache.spark.sql.functions.typedlit(bits)
+    Dedup.explodedShingleHashes(
+        df.filter(b >= valPct + testPct), idCol, textCol, n, word = true)
+      .filter(graft.functions.bloom.bloom_might_contain(bitsLit, col("ng"), numHashes))
+      .join(evalNg.select(col("ng")).distinct(), "ng")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Per-document most-distinctive term, TF-IDF style but in exact
     * integer arithmetic: score = tf * 1e6 div df (floor division), so
     * the ranking is bit-identical on any engine — no log, no doubles.

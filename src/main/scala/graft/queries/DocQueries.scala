@@ -71,6 +71,8 @@ object DocQueries {
       TextStats.repetitionScore(docs(s, d), "doc_id", "text")),
     "doc_decontaminate" -> ((s, d) =>
       TextStats.decontaminate(docs(s, d), "doc_id", "text", n = 4)),
+    "doc_decontaminate_bloom" -> ((s, d) =>
+      TextStats.decontaminateBloom(docs(s, d), "doc_id", "text", n = 4)),
     "doc_ngram_topk" -> ((s, d) =>
       TextStats.ngramTopK(docs(s, d), "doc_id", "text", n = 2, k = 20)),
     "doc_tfidf_top" -> ((s, d) =>
@@ -125,6 +127,15 @@ object DocQueries {
          len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
      WHERE jaccard >= $threshold"""
+
+  private val decontaminateSql =
+    s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS ws FROM documents),
+       sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws), 4) - 2),
+              i -> array_to_string(ws[i:i+3], ' '))) AS shingles FROM w),
+       b AS (SELECT doc_id, ${TextStats.idBucketSql("doc_id", 100)} AS bk, shingles FROM sh),
+       ev AS (SELECT DISTINCT unnest(shingles) AS ng FROM b WHERE bk >= 5 AND bk < 10),
+       tr AS (SELECT doc_id, unnest(shingles) AS ng FROM b WHERE bk >= 10)
+       SELECT tr.doc_id, count(*) AS n_shared FROM tr JOIN ev USING (ng) GROUP BY 1"""
 
   val oracleSql: Map[String, String] = Map(
     "doc_exact_dedup" ->
@@ -244,14 +255,10 @@ object DocQueries {
            len(ws)::BIGINT AS n_tokens,
            topc::DOUBLE / len(ws) AS repetition_ratio
          FROM c""",
-    "doc_decontaminate" ->
-      s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS ws FROM documents),
-         sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws), 4) - 2),
-                i -> array_to_string(ws[i:i+3], ' '))) AS shingles FROM w),
-         b AS (SELECT doc_id, ${TextStats.idBucketSql("doc_id", 100)} AS bk, shingles FROM sh),
-         ev AS (SELECT DISTINCT unnest(shingles) AS ng FROM b WHERE bk >= 5 AND bk < 10),
-         tr AS (SELECT doc_id, unnest(shingles) AS ng FROM b WHERE bk >= 10)
-         SELECT tr.doc_id, count(*) AS n_shared FROM tr JOIN ev USING (ng) GROUP BY 1""",
+    "doc_decontaminate" -> decontaminateSql,
+    // identical truth: the Bloom filter is only a prefilter ahead of the
+    // same exact join, so the same oracle applies verbatim
+    "doc_decontaminate_bloom" -> decontaminateSql,
     "doc_ngram_topk" ->
       s"""WITH w AS (SELECT string_split($normSql, ' ') AS ws FROM documents),
          g AS (SELECT unnest(list_transform(range(1, greatest(len(ws), 2)),
