@@ -123,6 +123,51 @@ object Similarity {
       .limit(k)
   }
 
+  /** Persist an IVF index: vectors written PARTITIONED BY list_id (one
+    * directory per inverted list) plus the centroid table. A probe then
+    * reads only the probed lists' files — partition pruning at the
+    * source, so a 4-of-64-list probe touches ~6% of the bytes however
+    * large the store. This is the stored form of [[ivfTopK]]: same
+    * deterministic coarse quantizer, but the assignment cost is paid
+    * once at write time instead of per query. */
+  def writeIvfIndex(emb: DataFrame, idCol: String, vecCol: String,
+      dir: String, nLists: Int): Unit = {
+    val spark = emb.sparkSession
+    val cents = ivfCentroids(emb, idCol, vecCol, nLists)
+    emb.withColumn("list_id",
+        graft.functions.vectors.nearest_centroid(col(vecCol), cents))
+      .write.mode("overwrite").partitionBy("list_id").parquet(s"$dir/vectors")
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("list_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Query a stored IVF index: rank centroids driver-side (a tiny
+    * table), scan ONLY the nProbe pruned partitions, exact-rerank. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+      idCol: String, vecCol: String, query: Array[Float], k: Int,
+      nProbe: Int): DataFrame = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    val qd = query.map(_.toDouble)
+    def cos(c: Array[Double]): Double = {
+      var dot = 0.0; var nc = 0.0; var nq = 0.0
+      var i = 0
+      while (i < math.min(c.length, qd.length)) {
+        dot += c(i) * qd(i); nc += c(i) * c(i); nq += qd(i) * qd(i); i += 1
+      }
+      if (nc == 0 || nq == 0) -2.0 else dot / (math.sqrt(nc) * math.sqrt(nq))
+    }
+    val probes = cents.toSeq.map { case (i, c) => (cos(c), i) }
+      .sortBy(-_._1).take(nProbe).map(_._2)
+    spark.read.parquet(s"$dir/vectors")
+      .filter(col("list_id").isin(probes: _*))
+      .select(col(idCol), cosine(col(vecCol), typedlit(query)).as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Nearest-centroid assignment (the inner step of k-means / the IVF
     * coarse quantizer, exposed as its own operator): each vector maps to
     * the centroid with the highest cosine, ties to the smallest index.

@@ -306,6 +306,28 @@ object TextStats {
         round(element_at(col("__p"), 5) * 1000).cast("long").as("p99_milli"))
   }
 
+  /** [[lengthQuantiles]] per group (e.g. per source/lang): the same
+    * exact interpolated percentiles as one grouped single-pass
+    * aggregate — corpus-composition profiling at any cardinality the
+    * group-by key has (the shuffle carries one percentile state per
+    * group, map-side combined). */
+  def lengthQuantilesBy(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val toks = size(split(norm(col(textCol)), " ")).cast("long")
+    df.select(col(groupCol), toks.as("__t"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("sum_tokens"),
+        min(col("__t")).as("min_tokens"), max(col("__t")).as("max_tokens"),
+        expr("percentile(__t, array(0.25D, 0.5D, 0.75D, 0.9D, 0.99D))").as("__p"))
+      .select(col(groupCol), col("n_docs"), col("sum_tokens"),
+        col("min_tokens"), col("max_tokens"),
+        round(element_at(col("__p"), 1) * 1000).cast("long").as("p25_milli"),
+        round(element_at(col("__p"), 2) * 1000).cast("long").as("p50_milli"),
+        round(element_at(col("__p"), 3) * 1000).cast("long").as("p75_milli"),
+        round(element_at(col("__p"), 4) * 1000).cast("long").as("p90_milli"),
+        round(element_at(col("__p"), 5) * 1000).cast("long").as("p99_milli"))
+  }
+
   /** Polynomial rolling-hash fingerprint over the alnum+space chars of
     * the normalized text: fold of h -> (h*31 + code) mod 1e9+7. Stays
     * within int64 at every step (no overflow — DuckDB would raise,

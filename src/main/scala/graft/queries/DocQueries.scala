@@ -79,6 +79,8 @@ object DocQueries {
       TextStats.tfidfTop(docs(s, d), "doc_id", "text")),
     "doc_quantiles" -> ((s, d) =>
       TextStats.lengthQuantiles(docs(s, d), "doc_id", "text")),
+    "doc_quantiles_by_source" -> ((s, d) =>
+      TextStats.lengthQuantilesBy(docs(s, d), "source", "text")),
     "doc_source_mix" -> ((s, d) =>
       CorpusMix.sourceMix(docs(s, d), "source", "lang", "text")),
     "doc_resample" -> ((s, d) =>
@@ -294,6 +296,17 @@ object DocQueries {
              list_transform(list_filter(string_split(txt, ''), c -> c != ''), c -> ord(c)::BIGINT)),
              (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
          FROM t""",
+    "doc_quantiles_by_source" ->
+      s"""WITH t AS (SELECT source, len(string_split($normSql, ' '))::BIGINT AS tk
+           FROM documents)
+         SELECT source, count(*) AS n_docs, CAST(sum(tk) AS BIGINT) AS sum_tokens,
+           min(tk) AS min_tokens, max(tk) AS max_tokens,
+           CAST(round(quantile_cont(tk, 0.25) * 1000, 0) AS BIGINT) AS p25_milli,
+           CAST(round(quantile_cont(tk, 0.50) * 1000, 0) AS BIGINT) AS p50_milli,
+           CAST(round(quantile_cont(tk, 0.75) * 1000, 0) AS BIGINT) AS p75_milli,
+           CAST(round(quantile_cont(tk, 0.90) * 1000, 0) AS BIGINT) AS p90_milli,
+           CAST(round(quantile_cont(tk, 0.99) * 1000, 0) AS BIGINT) AS p99_milli
+         FROM t GROUP BY 1""",
     "doc_source_mix" ->
       s"""WITH g AS (
            SELECT source, lang, count(*) AS n_docs,

@@ -53,7 +53,22 @@ object EmbeddingQueries {
     // spec pins determinism, code range, and reconstruction quality
     "emb_pq_codes" -> ((s, d) =>
       Similarity.pqCodes(emb(s, d), "vec_id", "embedding",
-        m = 4, kSub = 16, samplePct = 50)))
+        m = 4, kSub = 16, samplePct = 50)),
+    // stored IVF index: probes read only the probed list_id partitions
+    // (partition pruning at the source). Same quantizer recipe as
+    // emb_ivf_topk -> identical result, asserted in the spec; approx by
+    // construction -> rows-only here
+    "emb_ivf_indexed" -> ((s, d) => {
+      val src = java.nio.file.Paths.get(s"$d/embeddings.parquet")
+      val fp = if (java.nio.file.Files.exists(src))
+        s"${java.nio.file.Files.size(src)}_${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
+      else "na"
+      val dir = s"/tmp/graft_ivf_${d.replaceAll("[^A-Za-z0-9.]", "_")}_$fp"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/centroids/_SUCCESS")))
+        Similarity.writeIvfIndex(emb(s, d), "vec_id", "embedding", dir, nLists = 16)
+      Similarity.ivfTopKIndexed(s, dir, "vec_id", "embedding",
+        queryVec(s, d), 20, nProbe = 4)
+    }))
 
   /** Sequential-fold dot product of two DuckDB float lists, in double —
     * op-for-op the plan Spark's aggregate(zip_with(...)) produces. */
@@ -85,6 +100,7 @@ object EmbeddingQueries {
          WHERE sim >= 0.35""",
     // emb_neardup_lsh: approximate recall -> rows-only
     // emb_pq_codes: data-derived double codebooks -> rows-only
+    // emb_ivf_indexed: approximate (same probes as emb_ivf_topk) -> rows-only
     "emb_kmeans_assign" ->
       s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 4),
          s AS (SELECT e.vec_id, c.cid, ${cosineSql("e.embedding", "c.ce")} AS sim

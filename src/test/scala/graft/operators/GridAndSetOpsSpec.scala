@@ -159,6 +159,32 @@ class GridAndSetOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("stored IVF index: partition-pruned probes, same answer as inline IVF") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dir = s"/tmp/graft_ivf_spec_${System.nanoTime()}"
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", dir, nLists = 16)
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val indexed = Similarity.ivfTopKIndexed(spark, dir, "vec_id", "embedding",
+      q, 20, nProbe = 4)
+    val got = indexed.collect().toSeq
+    // the probe scan must READ fewer files than the store holds
+    // (inputFiles ignores pruning — use the scan's numFiles metric)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val helper = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+    val scans = helper.collectWithSubqueries(indexed.queryExecution.executedPlan) {
+      case s: FileSourceScanExec if s.metadata("Location").contains("vectors") => s
+    }
+    val allFiles = spark.read.parquet(s"$dir/vectors").inputFiles.length
+    assert(scans.nonEmpty)
+    val read = scans.head.metrics("numFiles").value
+    assert(read > 0 && read < allFiles, s"expected pruned scan, read $read/$allFiles files")
+    // identical result to the inline (recomputed-quantizer) path
+    val inline = Similarity.ivfTopK(emb, "vec_id", "embedding", q, 20,
+      nLists = 16, nProbe = 4)
+    assert(got == inline.collect().toSeq)
+  }
+
   test("intersect and except partition the R-side key set") {
     val inter = graft.queries.RelQueries.queries("rel_parts_intersect")(spark, sf)
     val exc = graft.queries.RelQueries.queries("rel_parts_except")(spark, sf)
