@@ -392,6 +392,52 @@ final class BlockedCloud(
     result.orderBy(d2.asc, col("x").asc, col("y").asc, col("z").asc).limit(k)
   }
 
+  /** Batch kNN: the k nearest neighbours of EVERY query point in one
+    * plan — the production form of [[knn]] when a workload carries many
+    * probes. One shared radius expands until every query's circle holds
+    * >= k candidates (verified for all queries in a single aggregate
+    * job per round, not one job per query); the final ranking is a
+    * per-query window over the SFC-pruned candidate union, so the
+    * shuffle carries only candidates (~Q * k * expansion), never the
+    * cloud. Ties break on (d2, x, y, z) like [[knn]]. */
+  def knnBatch(queries: Seq[(Long, Double, Double)], k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(queries.nonEmpty, "need at least one query point")
+    val maxCornerDist = queries.map { case (_, px, py) =>
+      math.sqrt(
+        math.pow(math.max(math.abs(px - meta.xMin), math.abs(px - meta.xMax)), 2) +
+          math.pow(math.max(math.abs(py - meta.yMin), math.abs(py - meta.yMax)), 2))
+    }.max
+    val area = math.max((meta.xMax - meta.xMin) * (meta.yMax - meta.yMin), 1e-9)
+    val density = meta.pointCount / area
+    var r = math.max(math.sqrt((k + 1) / math.max(density, 1e-12) / math.Pi) * 1.5,
+      2 * math.max(meta.scaleX, meta.scaleY))
+    var result: DataFrame = null
+    while (result == null) {
+      val covers = r >= maxCornerDist
+      val tagged = queries.map { case (qid, px, py) =>
+        circleQuery(Circle(px, py, r)).select(
+          lit(qid).as("qid"),
+          ((col("x") - px) * (col("x") - px) +
+            (col("y") - py) * (col("y") - py)).as("__d2"),
+          col("x"), col("y"), col("z"))
+      }.reduce(_ unionAll _)
+      if (covers) result = tagged
+      else {
+        val counts = tagged.groupBy(col("qid")).count().collect()
+          .map(row => row.getLong(0) -> row.getLong(1)).toMap
+        if (queries.forall { case (qid, _, _) => counts.getOrElse(qid, 0L) >= k })
+          result = tagged
+        else r *= 2
+      }
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+      .orderBy(col("__d2").asc, col("x").asc, col("y").asc, col("z").asc)
+    result.withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("qid"), col("x"), col("y"), col("z"))
+  }
+
   /** Height refinements (retrieve_data.py:85-101): keep z <= maxZ / z >= minZ.
     * Compose on any query result: cloud.bboxQuery(b).filter(...) — these are
     * the named forms. */

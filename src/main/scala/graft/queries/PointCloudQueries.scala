@@ -132,6 +132,11 @@ object PointCloudQueries {
     }.mkString("(", " OR ", ")")
   }
 
+  /** Batch-kNN probe set: spread across the grid (D18-D20 declare nn
+    * queries at scattered points; the reference never implemented them). */
+  private val knnBatchQueries: Seq[(Long, Double, Double)] = Seq(
+    (1L, 3000.5, 3000.5), (2L, 1000.25, 5000.75), (3L, 7000.5, 500.5))
+
   private def bboxSql(b: Bbox): String =
     s"x BETWEEN ${b.xMin.toLong} AND ${b.xMax.toLong} AND y BETWEEN ${b.yMin.toLong} AND ${b.yMax.toLong}"
 
@@ -154,6 +159,10 @@ object PointCloudQueries {
       val c = cloud(s, d); xyz(c.withMinZ(c.bboxQuery(bboxLarge), 10.0))
     }),
     "pc_knn" -> ((s, d) => xyz(cloud(s, d).knn(3000.5, 3000.5, 100))),
+    "pc_knn_batch" -> ((s, d) =>
+      cloud(s, d).knnBatch(knnBatchQueries, 50)
+        .select(col("qid"), col("x").cast("long").as("x"),
+          col("y").cast("long").as("y"), col("z"))),
     "pc_histogram" -> ((s, d) => cloud(s, d).histogram),
     "pc_metadata" -> ((s, d) => {
       val m = cloud(s, d).metadataDf
@@ -214,6 +223,10 @@ object PointCloudQueries {
     "pc_bbox_minz" -> s"$ptsCte SELECT x, y, z FROM pts WHERE ${bboxSql(bboxLarge)} AND z >= 10.0",
     "pc_knn" -> (s"$ptsCte SELECT x, y, z FROM pts ORDER BY " +
       "(x - 3000.5) * (x - 3000.5) + (y - 3000.5) * (y - 3000.5), x, y, z LIMIT 100"),
+    "pc_knn_batch" -> (s"$ptsCte " + knnBatchQueries.map { case (qid, qx, qy) =>
+      s"(SELECT CAST($qid AS BIGINT) AS qid, x, y, z FROM pts ORDER BY " +
+        s"(x - $qx) * (x - $qx) + (y - $qy) * (y - $qy), x, y, z LIMIT 50)"
+    }.mkString(" UNION ALL ")),
     "pc_histogram" -> (s"$ptsCte SELECT x // 128 AS cell_x, y // 128 AS cell_y, " +
       "count(*) AS n_points FROM pts GROUP BY 1, 2"),
     "pc_metadata" -> (s"$ptsCte SELECT count(*) AS point_count, " +
