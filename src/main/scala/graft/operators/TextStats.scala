@@ -162,7 +162,23 @@ object TextStats {
     * greedy order is equally valid). One shuffle + in-partition sort +
     * streaming fold — no per-group materialization. */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
-      budget: Long, buckets: Int): DataFrame = {
+      budget: Long, buckets: Int): DataFrame =
+    packWithOrder(df, idCol, textCol, budget, buckets,
+      Seq(col("_2"), col("_1")))
+
+  /** Next-fit-DECREASING packing: identical machinery, but each bucket
+    * stream is processed largest-document-first — the classic bin-
+    * packing heuristic that cuts fragmentation (a large doc never
+    * arrives last to a nearly-full pack). Same determinism argument:
+    * the order is a pure function of (bucket, tokens, id). */
+  def packSequencesNfd(df: DataFrame, idCol: String, textCol: String,
+      budget: Long, buckets: Int): DataFrame =
+    packWithOrder(df, idCol, textCol, budget, buckets,
+      Seq(col("_2"), col("_3").desc, col("_1")))
+
+  private def packWithOrder(df: DataFrame, idCol: String, textCol: String,
+      budget: Long, buckets: Int,
+      order: Seq[org.apache.spark.sql.Column]): DataFrame = {
     import org.apache.spark.sql.{Encoder, Encoders}
     val enc: Encoder[(Long, Long, Long)] =
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
@@ -173,7 +189,7 @@ object TextStats {
         size(split(norm(col(textCol)), " ")).cast("long").as("_3"))
       .as[(Long, Long, Long)](enc)
       .repartition(col("_2"))
-      .sortWithinPartitions("_2", "_1")
+      .sortWithinPartitions(order: _*)
       .as[(Long, Long, Long)](enc)
       .mapPartitions { it =>
         var curBucket = Long.MinValue

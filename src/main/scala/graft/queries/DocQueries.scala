@@ -65,6 +65,9 @@ object DocQueries {
     "doc_pack" -> ((s, d) =>
       TextStats.packSequences(docs(s, d), "doc_id", "text",
         budget = 1024L, buckets = 8)),
+    "doc_pack_nfd" -> ((s, d) =>
+      TextStats.packSequencesNfd(docs(s, d), "doc_id", "text",
+        budget = 1024L, buckets = 8)),
     "doc_scrub" -> ((s, d) =>
       TextStats.scrub(docs(s, d), "doc_id", "text")),
     "doc_repetition" -> ((s, d) =>
@@ -221,6 +224,28 @@ object DocQueries {
            FROM documents
          ), o AS (
            SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+           FROM d
+         ), r AS (
+           SELECT bucket, rn, doc_id, n_tokens, 0::BIGINT AS pack_idx,
+             n_tokens AS acc
+           FROM o WHERE rn = 1
+           UNION ALL
+           SELECT o.bucket, o.rn, o.doc_id, o.n_tokens,
+             CASE WHEN r.acc + o.n_tokens > 1024 THEN r.pack_idx + 1
+                  ELSE r.pack_idx END,
+             CASE WHEN r.acc + o.n_tokens > 1024 THEN o.n_tokens
+                  ELSE r.acc + o.n_tokens END
+           FROM r JOIN o ON o.bucket = r.bucket AND o.rn = r.rn + 1
+         )
+         SELECT doc_id, bucket, pack_idx, n_tokens FROM r""",
+    "doc_pack_nfd" ->
+      s"""WITH RECURSIVE d AS (
+           SELECT doc_id, ${TextStats.idBucketSql("doc_id", 8)} AS bucket,
+             len(string_split($normSql, ' '))::BIGINT AS n_tokens
+           FROM documents
+         ), o AS (
+           SELECT *, row_number() OVER (PARTITION BY bucket
+             ORDER BY n_tokens DESC, doc_id) AS rn
            FROM d
          ), r AS (
            SELECT bucket, rn, doc_id, n_tokens, 0::BIGINT AS pack_idx,

@@ -185,6 +185,15 @@ class GridAndSetOpsSpec extends AnyFunSuite {
     assert(got == inline.collect().toSeq)
   }
 
+  test("next-fit-decreasing packs no worse than id-order packing") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def packs(df: org.apache.spark.sql.DataFrame): Long = df
+      .select(col("bucket") * 1000000 + col("pack_idx")).distinct().count()
+    val greedy = packs(TextStats.packSequences(docs, "doc_id", "text", 1024L, 8))
+    val nfd = packs(TextStats.packSequencesNfd(docs, "doc_id", "text", 1024L, 8))
+    assert(nfd <= greedy && nfd > 0)
+  }
+
   test("intersect and except partition the R-side key set") {
     val inter = graft.queries.RelQueries.queries("rel_parts_intersect")(spark, sf)
     val exc = graft.queries.RelQueries.queries("rel_parts_except")(spark, sf)
