@@ -264,8 +264,12 @@ object TextStats {
       n: Int = 5, valPct: Int = 5, testPct: Int = 5,
       numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
     val b = idBucket(col(idCol), 100L)
+    // materialize the distinct eval n-grams ONCE (one shingle pass):
+    // the bitset aggregate and the exact join both read the
+    // checkpointed set instead of re-shingling the eval corpus
     val evalNg = Dedup.explodedShingleHashes(
-      df.filter(b >= valPct && b < valPct + testPct), idCol, textCol, n, word = true)
+        df.filter(b >= valPct && b < valPct + testPct), idCol, textCol, n, word = true)
+      .select(col("ng")).distinct().localCheckpoint()
     val bits = evalNg
       .agg(graft.functions.bloom.bloom_build(col("ng"), numBits, numHashes))
       .head().getSeq[Long](0).toArray
@@ -273,7 +277,7 @@ object TextStats {
     Dedup.explodedShingleHashes(
         df.filter(b >= valPct + testPct), idCol, textCol, n, word = true)
       .filter(graft.functions.bloom.bloom_might_contain(bitsLit, col("ng"), numHashes))
-      .join(evalNg.select(col("ng")).distinct(), "ng")
+      .join(evalNg, "ng")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shared"))
   }

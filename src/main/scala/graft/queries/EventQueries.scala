@@ -51,6 +51,21 @@ object EventQueries {
     // integer window sums (no float mean/stddev)
     "ev_anomaly" -> ((s, d) =>
       Events.anomalyCounts(ev(s, d), "user_id", "value", sigma = 2.0)),
+    // RANGE frame: trailing 1-hour event-time window per user — frame
+    // membership by time distance, not row count (peers at equal ts all
+    // included on both engines); exact milli sums
+    "ev_range_frame" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts_us"))
+        .rangeBetween(-3600000000L, 0L)
+      ev(s, d)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), Events.milli(col("value")).as("vm"))
+        .select(col("event_id"), col("user_id"),
+          sum(col("vm")).over(w).as("trail_1h_milli"),
+          count(lit(1)).over(w).as("n_trail_1h"))
+    }),
     // window frame: trailing 4-row moving aggregate per user (sum and
     // count in exact millis — the mean is a ratio of exact integers, so
     // frame-order float accumulation can't diverge between engines)
@@ -173,6 +188,12 @@ object EventQueries {
                     CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
              THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
          FROM d GROUP BY 1""",
+    "ev_range_frame" ->
+      s"""SELECT event_id, user_id,
+           CAST(sum($vMilli) OVER w AS BIGINT) AS trail_1h_milli,
+           count(*) OVER w AS n_trail_1h
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
     "ev_moving_avg" ->
       s"""SELECT event_id, user_id,
            CAST(sum($vMilli) OVER w AS BIGINT) AS mv_sum_milli,

@@ -28,6 +28,17 @@ class BucketingSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       .select(col("l_orderkey").as("okey"), col("l_quantity"))
     val ord = spark.read.parquet(s"$sf/orders.parquet")
       .select(col("o_orderkey").as("okey"), col("o_totalprice"))
+    // the in-memory catalog dies with the JVM but the managed-table
+    // files don't — clear them or the next run hits LOCATION_ALREADY_EXISTS
+    Seq("b_lineitem", "b_orders").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = java.nio.file.Paths.get(s"/tmp/graft_bucket_wh/$t")
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
     Bucketing.writeBucketed(li, "b_lineitem", "okey", 8)
     Bucketing.writeBucketed(ord, "b_orders", "okey", 8)
 
