@@ -348,6 +348,27 @@ object TextStats {
         round(element_at(col("__p"), 5) * 1000).cast("long").as("p99_milli"))
   }
 
+  /** Equal-size RANGE sharding: shard boundaries are the id quantiles
+    * (one exact-percentile aggregate), assignment is a narrow
+    * comparison map — equal-count contiguous id ranges WITHOUT the
+    * global sort an ntile() window would need (which plans as a single
+    * partition and cannot scale). Returns per-shard count + id span. */
+  def shardByIdRanges(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards > 1, "need at least 2 shards")
+    val qs = (1 until nShards).map(i => i.toDouble / nShards)
+    val cuts = df.agg(expr(
+      s"percentile($idCol, array(${qs.mkString("D, ")}D))")).head()
+      .getSeq[Double](0)
+    val shard = cuts.zipWithIndex.foldRight(
+      lit(nShards - 1)) { case ((cut, i), acc) =>
+        when(col(idCol) <= cut, i).otherwise(acc)
+      }
+    df.select(col(idCol), shard.cast("long").as("shard"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"))
+  }
+
   /** Polynomial rolling-hash fingerprint over the alnum+space chars of
     * the normalized text: fold of h -> (h*31 + code) mod 1e9+7. Stays
     * within int64 at every step (no overflow — DuckDB would raise,

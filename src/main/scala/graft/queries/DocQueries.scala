@@ -82,6 +82,8 @@ object DocQueries {
       TextStats.tfidfTop(docs(s, d), "doc_id", "text")),
     "doc_quantiles" -> ((s, d) =>
       TextStats.lengthQuantiles(docs(s, d), "doc_id", "text")),
+    "doc_shard_ranges" -> ((s, d) =>
+      TextStats.shardByIdRanges(docs(s, d), "doc_id", 4)),
     "doc_quantiles_by_source" -> ((s, d) =>
       TextStats.lengthQuantilesBy(docs(s, d), "source", "text")),
     "doc_source_mix" -> ((s, d) =>
@@ -321,6 +323,17 @@ object DocQueries {
              list_transform(list_filter(string_split(txt, ''), c -> c != ''), c -> ord(c)::BIGINT)),
              (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
          FROM t""",
+    "doc_shard_ranges" ->
+      s"""WITH c AS (SELECT quantile_cont(doc_id, 0.25) AS c1,
+           quantile_cont(doc_id, 0.5) AS c2, quantile_cont(doc_id, 0.75) AS c3
+           FROM documents),
+         s AS (SELECT doc_id,
+           CAST(CASE WHEN doc_id <= c1 THEN 0 WHEN doc_id <= c2 THEN 1
+                WHEN doc_id <= c3 THEN 2 ELSE 3 END AS BIGINT) AS shard
+           FROM documents, c)
+         SELECT shard, count(*) AS n_docs, min(doc_id) AS min_id,
+           max(doc_id) AS max_id
+         FROM s GROUP BY 1""",
     "doc_quantiles_by_source" ->
       s"""WITH t AS (SELECT source, len(string_split($normSql, ' '))::BIGINT AS tk
            FROM documents)
