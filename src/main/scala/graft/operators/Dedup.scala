@@ -321,6 +321,50 @@ object Dedup {
     labels
   }
 
+  /** Persist the near-dup index of a corpus: one row per document with
+    * its sorted shingle hashes and minhash signature. Incremental
+    * batches then dedup against the stored index without ever
+    * re-shingling the corpus — the daily-delta production shape (a
+    * 100 TB corpus is shingled exactly once, when it enters). */
+  def writeNearDupIndex(df: DataFrame, idCol: String, textCol: String,
+      dir: String, shingleLen: Int = 3, wordShingles: Boolean = true,
+      numHashes: Int = 64): Unit =
+    minHashSignatures(
+      hashedShingles(df, idCol, textCol, shingleLen, wordShingles), numHashes)
+      .write.mode("overwrite").parquet(s"$dir/index")
+
+  /** Near-dup pairs of a delta batch against a stored index: band keys
+    * derive from both sides' stored/fresh signatures, candidates come
+    * from the (band, bhash) equi-join, and the exact Jaccard verify
+    * reads the corpus shingles FROM THE INDEX. Same banding + verify
+    * arithmetic as [[minhashNearDups]], so (delta ∪ corpus) batch
+    * results decompose exactly into this delta-vs-corpus pass plus a
+    * delta-internal pass. Returns (in_id, corpus_id, jaccard). */
+  def nearDupsAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, delta: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, wordShingles: Boolean = true,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    val idx = spark.read.parquet(s"$dir/index")
+    val dHashed = minHashSignatures(
+      hashedShingles(delta, idCol, textCol, shingleLen, wordShingles), numHashes)
+    def banded(df: DataFrame, side: String) = df.select(col(idCol).as(side),
+      posexplode(graft.functions.hashes.lsh_band_keys(col("sig"), bands))
+        .as(Seq("band", "bhash")))
+    val pairs = banded(dHashed, "in_id")
+      .join(banded(idx, "corpus_id"), Seq("band", "bhash"))
+      .filter(col("in_id") =!= col("corpus_id"))
+      .select("in_id", "corpus_id").distinct()
+    val sa = dHashed.select(col(idCol).as("in_id"), col("shingles").as("__sh_a"))
+    val sb = idx.select(col(idCol).as("corpus_id"), col("shingles").as("__sh_b"))
+    val inter = graft.functions.hashes
+      .sorted_intersect_size(col("__sh_a"), col("__sh_b")).cast("double")
+    pairs.join(sa, "in_id").join(sb, "corpus_id")
+      .withColumn("jaccard",
+        inter / (size(col("__sh_a")) + size(col("__sh_b")) - inter))
+      .filter(col("jaccard") >= threshold)
+      .select("in_id", "corpus_id", "jaccard")
+  }
+
   /** Chunk-blocked fingerprint table: one row per (chunk index, 16-bit
     * chunk key) of each doc's simhash — the blocking index shared by
     * the batch pair search and the streaming corpus check. */

@@ -84,15 +84,22 @@ object Streams {
     * event-time distance, so the state store retains each side only for
     * watermark + horizon — the configuration under which Spark can
     * provably evict state, letting the join run unbounded. */
+  /** `joinType` "inner" emits matches as found; "left_outer"
+    * additionally emits a null-padded row for each unmatched left event
+    * once the watermark proves no match can still arrive (l_ts +
+    * horizon behind the watermark) — the attribution-with-
+    * abandonment-tracking shape. */
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
-      horizon: String = "1 hour", watermark: String = "10 minutes"): DataFrame = {
+      horizon: String = "1 hour", watermark: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
     val l = left.select(col(keyCol).as("__lk"), col("ts").as("l_ts"))
       .withWatermark("l_ts", watermark)
     val r = right.select(col(keyCol).as("__rk"), col("ts").as("r_ts"))
       .withWatermark("r_ts", watermark)
     l.join(r, col("__lk") === col("__rk") &&
         col("r_ts") >= col("l_ts") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizon"))
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizon"),
+        joinType)
       .select(col("__lk").as(keyCol), col("l_ts"), col("r_ts"))
   }
 

@@ -194,6 +194,28 @@ class GridAndSetOpsSpec extends AnyFunSuite {
     assert(nfd <= greedy && nfd > 0)
   }
 
+  test("incremental near-dup against a stored index decomposes the batch result") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+    val dir = s"/tmp/graft_ndidx_${System.nanoTime()}"
+    Dedup.writeNearDupIndex(corpus, "doc_id", "text", dir,
+      shingleLen = 3, wordShingles = true, numHashes = 64)
+    val incr = Dedup.nearDupsAgainstIndex(spark, dir, delta, "doc_id", "text",
+        shingleLen = 3, wordShingles = true, numHashes = 64, bands = 16,
+        threshold = 0.8)
+      .collect().map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).toSet
+    // truth: the full-batch pairs that cross the delta/corpus boundary
+    val full = Dedup.minhashNearDups(docs, "doc_id", "text",
+        shingleLen = 3, wordShingles = true, numHashes = 64, bands = 16,
+        threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a % 10 == 0) != (b % 10 == 0) }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    assert(incr == full && incr.nonEmpty)
+  }
+
   test("intersect and except partition the R-side key set") {
     val inter = graft.queries.RelQueries.queries("rel_parts_intersect")(spark, sf)
     val exc = graft.queries.RelQueries.queries("rel_parts_except")(spark, sf)

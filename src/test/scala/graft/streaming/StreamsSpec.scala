@@ -161,6 +161,35 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits null-padded rows after the horizon closes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val buys = MemoryStream[(Long, Timestamp)]
+    val q = Streams.intervalJoin(
+        clicks.toDF().toDF("user_id", "ts"),
+        buys.toDF().toDF("user_id", "ts"),
+        "user_id", horizon = "1 hour", watermark = "0 seconds",
+        joinType = "left_outer")
+      .writeStream.format("memory").queryName("ijo_out")
+      .outputMode("append").start()
+    def dts(min: Long): Timestamp = ts(1440 + min)
+    try {
+      clicks.addData((1L, dts(0)), (2L, dts(0)))
+      buys.addData((1L, dts(30)))
+      q.processAllAvailable()
+      // push the watermark far past user 2's click + horizon: its
+      // no-match row must now be emitted with a null r_ts
+      clicks.addData((9L, dts(5000)))
+      buys.addData((9L, dts(5001)))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, r_ts IS NULL FROM ijo_out")
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+      assert(rows.contains((1L, false))) // matched within horizon
+      assert(rows.contains((2L, true)))  // abandoned: null-padded
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState running totals across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
