@@ -120,6 +120,20 @@ object Streams {
       .select(unix_micros(col("window.start")).as("window_start_us"),
         col("cell_x"), col("cell_y"), col("n_points"), col("min_z"), col("max_z"))
 
+  /** Exactly-once parquet sink for foreachBatch: each micro-batch lands
+    * in its own `__batch=<id>` partition with dynamic partition
+    * overwrite, so a replayed batch (restart after a sink failure)
+    * OVERWRITES its own partition instead of appending duplicates —
+    * at-least-once delivery + idempotent write = exactly-once output.
+    * Usage: `stream.writeStream.foreachBatch(idempotentBatchWriter(path)).start()`. */
+  def idempotentBatchWriter(path: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) =>
+      batch.withColumn("__batch", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch")
+        .parquet(path)
+
   /** Custom-state shape: running per-user totals via
     * flatMapGroupsWithState — the template for any bespoke online
     * aggregate (rate limiting, anomaly flags, decayed counters). */

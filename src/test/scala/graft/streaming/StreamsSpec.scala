@@ -190,6 +190,18 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("idempotent batch writer: replaying a batch never duplicates rows") {
+    import spark.implicits._
+    val path = s"/tmp/graft_idem_${System.nanoTime()}"
+    val w = Streams.idempotentBatchWriter(path)
+    w(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0L)
+    w(Seq((3L, "c")).toDF("id", "v"), 1L)
+    w(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0L) // sink-failure replay
+    val got = spark.read.parquet(path)
+      .select("id", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("flatMapGroupsWithState running totals across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
