@@ -48,6 +48,34 @@ case class MortonDecode2DY(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** 3D Morton interleave (x bits 0,3,6,…; y offset 1; z offset 2) —
+  * volumetric keys for z-pruned height selections (graft.core.Morton3). */
+case class MortonEncode3D(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "morton_encode3d"
+  override protected def nullSafeEval(x: Any, y: Any, z: Any): Any =
+    graft.core.Morton3.encode(x.asInstanceOf[Long], y.asInstanceOf[Long],
+      z.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y, z) => s"graft.core.Morton3.encode($x, $y, $z)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression) = copy(first = a, second = b, third = c)
+}
+
+case class MortonDecode3D(child: Expression, dim: Int) extends UnaryExpression {
+  require(dim >= 0 && dim <= 2, s"dim must be 0 (x), 1 (y) or 2 (z), got $dim")
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = s"morton_decode3d_$dim"
+  override protected def nullSafeEval(m: Any): Any =
+    graft.core.Morton3.compact3(m.asInstanceOf[Long] >>> dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, m => s"graft.core.Morton3.compact3($m >>> $dim)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Even-odd point-in-polygon against a query-constant polygon (rings
   * broadcast into the generated class as a reference object). Codegen
   * calls the same static kernel the interpreted path uses — semantics
@@ -87,4 +115,12 @@ object sfc {
   /** True iff (x, y) is strictly inside the polygon (even-odd rule, holes ok). */
   def point_in_polygon(x: Column, y: Column, polygon: Polygon): Column =
     col(PointInPolygon(expr(x), expr(y), polygon))
+
+  /** Interleave three non-negative grid coordinates (<= 21 bits each). */
+  def morton3_encode(x: Column, y: Column, z: Column): Column =
+    col(MortonEncode3D(expr(x), expr(y), expr(z)))
+
+  def morton3_x(m: Column): Column = col(MortonDecode3D(expr(m), 0))
+  def morton3_y(m: Column): Column = col(MortonDecode3D(expr(m), 1))
+  def morton3_z(m: Column): Column = col(MortonDecode3D(expr(m), 2))
 }

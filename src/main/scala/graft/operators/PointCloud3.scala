@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.core.{Box3, Morton, Morton3, MortonRange3}
+import graft.functions.sfc
+
+/** Catalog row of a 3D-keyed cloud: z participates in the key, so
+  * height-selective queries prune storage like x/y — the capability
+  * the reference's post-filter z refinements (retrieve_data.py:85-101,
+  * suites B10–B12) lack. z is quantized at 1/zDenom units; x/y on the
+  * integer grid (the test fixtures' form). */
+final case class Cloud3Meta(name: String, pointCount: Long,
+    headLen: Int, tailLen: Int, zDenom: Double,
+    qxMax: Long, qyMax: Long, qzMax: Long)
+
+/** One 3D Morton-head block: tails sorted, z reconstructed from the key
+  * (no parallel z array — the third dimension lives in the key). */
+final case class PointBlock3(sfc_head: Long, sfc_tail: Array[Long])
+
+object PointCloud3 {
+  private val tuple2Enc: Encoder[(Long, Long)] =
+    Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+  private val blockEnc: Encoder[PointBlock3] = Encoders.product[PointBlock3]
+  private val metaEnc: Encoder[Cloud3Meta] = Encoders.product[Cloud3Meta]
+
+  /** Import (x, y, z) doubles into the 3D-keyed blocked layout: one
+    * stats pass, quantize -> 3D Morton -> head/tail split -> range
+    * shuffle -> in-partition sort -> streaming pack (same 100 TB-safe
+    * shape as the 2D import; encode/decode are monotone per dimension,
+    * so bitLength(encode(maxes)) bounds the whole key space). */
+  def importPoints(points: DataFrame, name: String = "cloud3",
+      zDenom: Double = 100.0, ratio: Double = 0.5): BlockedCloud3 = {
+    val spark = points.sparkSession
+    val xq = round(col("x")).cast(LongType)
+    val yq = round(col("y")).cast(LongType)
+    val zq = round(col("z") * zDenom).cast(LongType)
+    val s = points.agg(count(lit(1)), max(xq), max(yq), max(zq),
+      min(xq), min(yq), min(zq)).head()
+    val (n, qxMax, qyMax, qzMax) =
+      (s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3))
+    require(n > 0, "cannot import an empty point cloud")
+    require(s.getLong(4) >= 0 && s.getLong(5) >= 0 && s.getLong(6) >= 0,
+      "negative quantized coordinates")
+    Morton3.encodeChecked(qxMax, qyMax, qzMax)
+    val totalBits = Morton.bitLength(Morton3.encode(qxMax, qyMax, qzMax)).max(2)
+    val headLen = math.min(totalBits, math.max(0, (totalBits * ratio).toInt))
+    val tailLen = totalBits - headLen
+
+    val key = sfc.morton3_encode(xq, yq, zq)
+    val packed = points
+      .select(shiftright(key, tailLen).as("_1"),
+        key.bitwiseAND(lit((1L << tailLen) - 1)).as("_2"))
+      .as[(Long, Long)](tuple2Enc)
+      .repartitionByRange(spark.sessionState.conf.numShufflePartitions, col("_1"))
+      .sortWithinPartitions("_1", "_2")
+      .mapPartitions(packSorted _)(blockEnc)
+      .toDF()
+    new BlockedCloud3(spark, packed,
+      Cloud3Meta(name, n, headLen, tailLen, zDenom, qxMax, qyMax, qzMax))
+  }
+
+  private def packSorted(it: Iterator[(Long, Long)]): Iterator[PointBlock3] =
+    new Iterator[PointBlock3] {
+      private var cur: (Long, Long) = _
+      private var has = it.hasNext
+      if (has) cur = it.next()
+      override def hasNext: Boolean = has
+      override def next(): PointBlock3 = {
+        val head = cur._1
+        val tails = scala.collection.mutable.ArrayBuilder.make[Long]
+        var continue = true
+        while (continue) {
+          tails += cur._2
+          if (it.hasNext) { cur = it.next(); continue = cur._1 == head }
+          else { has = false; continue = false }
+        }
+        PointBlock3(head, tails.result())
+      }
+    }
+
+  def write(cloud: BlockedCloud3, dir: String): Unit = {
+    cloud.blocks.write.mode("overwrite").parquet(s"$dir/blocks")
+    cloud.spark.createDataset(Seq(cloud.meta))(metaEnc)
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  def read(spark: SparkSession, dir: String): BlockedCloud3 = {
+    val meta = spark.read.parquet(s"$dir/meta").as[Cloud3Meta](metaEnc).head()
+    new BlockedCloud3(spark, spark.read.parquet(s"$dir/blocks"), meta)
+  }
+}
+
+final class BlockedCloud3(
+    val spark: SparkSession,
+    val blocks: DataFrame,
+    val meta: Cloud3Meta) {
+
+  private def headPredicate(ranges: Seq[(Long, Long)]): Column = {
+    def orAll(cs: IndexedSeq[Column]): Column =
+      if (cs.length == 1) cs.head
+      else orAll(cs.grouped(2).map(g => if (g.length == 2) g(0) || g(1) else g(0)).toIndexedSeq)
+    orAll(ranges.map { case (lo, hi) =>
+      if (lo == hi) col("sfc_head") === lit(lo)
+      else col("sfc_head").between(lit(lo), lit(hi))
+    }.toIndexedSeq)
+  }
+
+  /** Explode blocks to (x, y, z) with z reconstructed as zq / zDenom —
+    * the IEEE quotient is correctly rounded, so it reproduces the
+    * closest-double-to-decimal form the source data carries. */
+  private def explode3(blk: DataFrame): DataFrame = {
+    val key = shiftleft(col("sfc_head"), meta.tailLen).bitwiseOR(col("t"))
+    blk.select(explode(col("sfc_tail")).as("t"), col("sfc_head"))
+      .select(sfc.morton3_x(key).as("xq"), sfc.morton3_y(key).as("yq"),
+        sfc.morton3_z(key).as("zq"))
+  }
+
+  /** All points in the inclusive 3D box (original coordinates) —
+    * filter-refine with z pruned AT THE SCAN via the octree ranges,
+    * not post-filtered. */
+  def boxQuery(xMin: Double, xMax: Double, yMin: Double, yMax: Double,
+      zMin: Double, zMax: Double): DataFrame = {
+    val qx0 = math.max(0L, math.ceil(xMin).toLong)
+    val qx1 = math.floor(xMax).toLong
+    val qy0 = math.max(0L, math.ceil(yMin).toLong)
+    val qy1 = math.floor(yMax).toLong
+    val qz0 = math.max(0L, math.ceil(zMin * meta.zDenom).toLong)
+    val qz1 = math.floor(zMax * meta.zDenom).toLong
+    val out = (df: DataFrame) => df.select(
+      col("xq").cast("double").as("x"), col("yq").cast("double").as("y"),
+      (col("zq").cast("double") / meta.zDenom).as("z"))
+    if (qx0 > qx1 || qy0 > qy1 || qz0 > qz1)
+      return out(explode3(blocks.filter(lit(false))))
+    val hr = MortonRange3.decompose(
+      Box3(qx0.toDouble, qx1.toDouble, qy0.toDouble, qy1.toDouble,
+        qz0.toDouble, qz1.toDouble),
+      meta.headLen + meta.tailLen, meta.tailLen, maxCells = 512)
+    val contained = if (hr.contained.nonEmpty)
+      explode3(blocks.filter(headPredicate(hr.contained)))
+    else explode3(blocks.filter(lit(false)))
+    val partial = if (hr.partial.nonEmpty)
+      explode3(blocks.filter(headPredicate(hr.partial)))
+        .filter(col("xq") >= qx0 && col("xq") <= qx1 &&
+          col("yq") >= qy0 && col("yq") <= qy1 &&
+          col("zq") >= qz0 && col("zq") <= qz1)
+    else explode3(blocks.filter(lit(false)))
+    out(contained.unionAll(partial))
+  }
+}

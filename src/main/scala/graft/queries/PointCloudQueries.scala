@@ -77,6 +77,40 @@ object PointCloudQueries {
     bc
   }
 
+  /** 3D-keyed cloud cache (same fingerprint discipline as [[cloud]]):
+    * z participates in the Morton key, so height-selective queries
+    * prune at the scan. */
+  private val openClouds3 =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.HashMap[String, (String, java.lang.ref.SoftReference[graft.operators.BlockedCloud3])]]()
+
+  def cloud3(spark: SparkSession, dir: String): graft.operators.BlockedCloud3 =
+    synchronized {
+      val src = java.nio.file.Paths.get(s"$dir/lineitem.parquet")
+      val fp = if (Files.exists(src))
+        s"${Files.size(src)}_${Files.getLastModifiedTime(src).toMillis}" else "na"
+      val cacheDir =
+        s"/tmp/graft_pc3_cache/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_$fp"
+      var m = openClouds3.get(spark)
+      if (m == null) {
+        m = new java.util.HashMap[String, (String, java.lang.ref.SoftReference[graft.operators.BlockedCloud3])]()
+        openClouds3.put(spark, m)
+      }
+      val cur = m.get(dir)
+      if (cur != null && cur._1 == cacheDir) {
+        val open = cur._2.get()
+        if (open != null) return open
+      }
+      if (!Files.exists(Paths.get(s"$cacheDir/meta/_SUCCESS"))) {
+        val c = graft.operators.PointCloud3.importPoints(
+          rawPoints(spark, dir), name = "li_pts3", zDenom = 100.0, ratio = 0.5)
+        graft.operators.PointCloud3.write(c, cacheDir)
+      }
+      val bc = graft.operators.PointCloud3.read(spark, cacheDir)
+      m.put(dir, (cacheDir, new java.lang.ref.SoftReference(bc)))
+      bc
+    }
+
   /** Query results as (x: long, y: long, z: double) on the integer grid. */
   private def xyz(df: DataFrame): DataFrame =
     df.select(col("x").cast("long").as("x"), col("y").cast("long").as("y"), col("z"))
@@ -192,6 +226,12 @@ object PointCloudQueries {
     }),
     // slope raster: max |mean-z step| to the 4-neighborhood per cell
     "pc_cell_slope" -> ((s, d) => cloud(s, d).gridSlope(64.0)),
+    // 3D-keyed store: z pruned at the scan via octree ranges, not
+    // post-filtered (the height-query scale path beyond B10-B12)
+    "pc_bbox3d" -> ((s, d) =>
+      xyz(cloud3(s, d).boxQuery(1000, 3000, 1000, 3000, 10.005, 25.005))),
+    "pc_zslice" -> ((s, d) =>
+      xyz(cloud3(s, d).boxQuery(0, 8191, 0, 8191, 20.005, 21.005))),
     // naive full-scan control (no SFC pruning) — same answer as
     // pc_bbox_large; exists to demonstrate the layout win in BENCH
     "pc_bbox_naive" -> ((s, d) => xyz(rawPoints(s, d).filter(
@@ -232,6 +272,11 @@ object PointCloudQueries {
     "pc_metadata" -> (s"$ptsCte SELECT count(*) AS point_count, " +
       "min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max, " +
       "min(z) AS z_min, max(z) AS z_max FROM pts"),
+    "pc_bbox3d" -> (s"$ptsCte SELECT x, y, z FROM pts WHERE " +
+      "x BETWEEN 1000 AND 3000 AND y BETWEEN 1000 AND 3000 " +
+      "AND z >= 10.005 AND z <= 25.005"),
+    "pc_zslice" -> (s"$ptsCte SELECT x, y, z FROM pts WHERE " +
+      "z >= 20.005 AND z <= 21.005"),
     "pc_grid_agg" -> (s"$ptsCte SELECT x // 64 AS cell_x, y // 64 AS cell_y, " +
       "count(*) AS n_points, min(z) AS min_z, max(z) AS max_z, " +
       "CAST(sum(CAST(round(z * 100, 0) AS BIGINT)) AS BIGINT) AS sum_z_centi " +

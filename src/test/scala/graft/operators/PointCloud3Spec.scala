@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PointCloud3Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("3D box query reproduces the naive filter on random data") {
+    val rng = new scala.util.Random(11)
+    val pts = (1 to 5000).map { _ =>
+      (rng.nextInt(100).toDouble, rng.nextInt(100).toDouble,
+        rng.nextInt(3000) / 100.0) // z at 2 decimals like the fixtures
+    }
+    val df = pts.toDF("x", "y", "z")
+    val c = PointCloud3.importPoints(df, zDenom = 100.0, ratio = 0.5)
+    val got = c.boxQuery(10, 60, 20, 80, 5.005, 20.005)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val want = pts.filter { case (x, y, z) =>
+      x >= 10 && x <= 60 && y >= 20 && y <= 80 && z >= 5.005 && z <= 20.005
+    }.groupBy(identity).view.mapValues(_.length).toMap
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("empty and full boxes behave") {
+    val df = Seq((1.0, 2.0, 3.0), (4.0, 5.0, 6.0)).toDF("x", "y", "z")
+    val c = PointCloud3.importPoints(df, zDenom = 100.0, ratio = 0.5)
+    assert(c.boxQuery(0, 10, 0, 10, 0, 10).count() == 2)
+    assert(c.boxQuery(0, 10, 0, 10, 7, 10).count() == 0)
+    assert(c.meta.pointCount == 2)
+  }
+}
