@@ -149,4 +149,44 @@ final class BlockedCloud3(
     else explode3(blocks.filter(lit(false)))
     out(contained.unionAll(partial))
   }
+
+  /** Cylinder selection: 2D circle x height band — the B-suite circle
+    * with B10-B12's z refinement fused into ONE pruned scan (octree
+    * ranges bound x, y AND z; the exact predicate then runs on the
+    * candidates only). */
+  def cylinderQuery(cx: Double, cy: Double, r: Double,
+      zMin: Double, zMax: Double): DataFrame = {
+    val qz0 = math.max(0L, math.ceil(zMin * meta.zDenom).toLong)
+    val qz1 = math.floor(zMax * meta.zDenom).toLong
+    val out = (df: DataFrame) => df.select(
+      col("xq").cast("double").as("x"), col("yq").cast("double").as("y"),
+      (col("zq").cast("double") / meta.zDenom).as("z"))
+    if (qz0 > qz1 || r < 0)
+      return out(explode3(blocks.filter(lit(false))))
+    val hr = MortonRange3.decompose(
+      Box3(math.max(0, math.ceil(cx - r)), math.floor(cx + r),
+        math.max(0, math.ceil(cy - r)), math.floor(cy + r),
+        qz0.toDouble, qz1.toDouble),
+      meta.headLen + meta.tailLen, meta.tailLen, maxCells = 512)
+    if (hr.isEmpty) return out(explode3(blocks.filter(lit(false))))
+    val d2 = (col("xq") - cx) * (col("xq") - cx) +
+      (col("yq") - cy) * (col("yq") - cy)
+    out(explode3(blocks.filter(headPredicate(hr.all)))
+      .filter(d2 <= lit(r * r) && col("zq") >= qz0 && col("zq") <= qz1))
+  }
+
+  /** 3D voxel occupancy: point count per (cellXY, cellZ) voxel — the
+    * volumetric raster; one narrow decode + one partially-aggregated
+    * shuffle bounded by the voxel grid size. `cellXY` is in original
+    * x/y units, `cellZ` in original z units. */
+  def voxelCounts(cellXY: Double, cellZ: Double): DataFrame = {
+    require(cellXY > 0 && cellZ > 0)
+    explode3(blocks)
+      .groupBy(
+        floor(col("xq") / cellXY).cast(LongType).as("cell_x"),
+        floor(col("yq") / cellXY).cast(LongType).as("cell_y"),
+        floor((col("zq").cast("double") / meta.zDenom) / cellZ)
+          .cast(LongType).as("cell_z"))
+      .agg(count(lit(1)).as("n_points"))
+  }
 }

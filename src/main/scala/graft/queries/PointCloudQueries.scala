@@ -232,6 +232,12 @@ object PointCloudQueries {
       xyz(cloud3(s, d).boxQuery(1000, 3000, 1000, 3000, 10.005, 25.005))),
     "pc_zslice" -> ((s, d) =>
       xyz(cloud3(s, d).boxQuery(0, 8191, 0, 8191, 20.005, 21.005))),
+    // circle x height band in ONE pruned scan (B-circle + B10-12 fused)
+    "pc_cylinder" -> ((s, d) =>
+      xyz(cloud3(s, d).cylinderQuery(3000.5, 3000.5, 400.3, 10.005, 30.005))),
+    // volumetric raster: 256x256x10-unit voxel occupancy
+    "pc_voxel_counts" -> ((s, d) =>
+      cloud3(s, d).voxelCounts(256.0, 10.0)),
     // naive full-scan control (no SFC pruning) — same answer as
     // pc_bbox_large; exists to demonstrate the layout win in BENCH
     "pc_bbox_naive" -> ((s, d) => xyz(rawPoints(s, d).filter(
@@ -277,6 +283,12 @@ object PointCloudQueries {
       "AND z >= 10.005 AND z <= 25.005"),
     "pc_zslice" -> (s"$ptsCte SELECT x, y, z FROM pts WHERE " +
       "z >= 20.005 AND z <= 21.005"),
+    "pc_cylinder" -> (s"$ptsCte SELECT x, y, z FROM pts WHERE " +
+      "(x - 3000.5) * (x - 3000.5) + (y - 3000.5) * (y - 3000.5) <= 400.3 * 400.3 " +
+      "AND z >= 10.005 AND z <= 30.005"),
+    "pc_voxel_counts" -> (s"$ptsCte SELECT x // 256 AS cell_x, y // 256 AS cell_y, " +
+      "CAST(floor(z / 10.0) AS BIGINT) AS cell_z, count(*) AS n_points " +
+      "FROM pts GROUP BY 1, 2, 3"),
     "pc_grid_agg" -> (s"$ptsCte SELECT x // 64 AS cell_x, y // 64 AS cell_y, " +
       "count(*) AS n_points, min(z) AS min_z, max(z) AS max_z, " +
       "CAST(sum(CAST(round(z * 100, 0) AS BIGINT)) AS BIGINT) AS sum_z_centi " +
