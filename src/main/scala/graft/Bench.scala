@@ -11,23 +11,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JMH-style steady-state measurement: one untimed warmup pass (JVM
-    // JIT, Janino whole-stage-codegen compiles, parquet footers, page
-    // cache — all one-time per-process costs that are noise against the
-    // 100 TB target), then the timed pass below. Cold-start cost was
-    // measured at 0.3–5 s *per query* of pure compilation on this suite.
+    // steady-state measurement in TWO total passes: the first timed
+    // pass doubles as the warmup (JVM JIT, Janino whole-stage-codegen
+    // compiles — measured 0.3–5 s per query of pure compilation —
+    // parquet footers, page cache), and the reported number is the
+    // per-query MIN of the two, i.e. the warm, reproducible cost of
+    // the plan: transient co-tenant load inflates single-shot timings
+    // uniformly (the same suite measured 23–62 s across consecutive
+    // runs on this host). Table caches warm up front so pass 1 isn't
+    // charged for first-touch I/O either.
     spark.range(1000000).selectExpr("sum(id)").collect()
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "documents", "embeddings", "events").foreach { t =>
       val df = spark.read.parquet(s"$sfDir/$t.parquet")
       df.selectExpr(df.columns.map(c => s"count(`$c`)"): _*).collect()
     }
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
-    }
-    // two timed passes, min per query: transient machine load (other
-    // tenants, page-cache churn) inflates single-shot timings uniformly;
-    // the min is the reproducible cost of the plan itself
     def timedPass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
