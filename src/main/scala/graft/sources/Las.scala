@@ -104,28 +104,66 @@ object Las {
     spark.createDataFrame(safe, pointSchema)
   }
 
+  private val Pf3RecordLen = 34 // point format 3
+
   /** LAS export sink (S10): stream a (x, y, z) result to one .las file
     * with the reference exporter's fixed header (point format 3,
     * version 1.2, scales [0.1, 0.1, 0.1], offsets [0, 0, 0] —
-    * exporter.py:78-80). Driver-side single-file write, mirroring the
-    * reference's fetchall -> laspy write (exporter.py:70-89); meant for
-    * query results, not whole-cloud dumps. */
+    * exporter.py:78-80).
+    *
+    * Unlike the reference's fetchall -> laspy write (exporter.py:70-89),
+    * the point records never pass through the driver: each partition
+    * encodes its own fixed-stride record chunk to shared storage and
+    * returns only (count, bbox) stats; the driver then writes the
+    * 227-byte header and splices the chunks in partition order with
+    * zero-copy channel transfers. LAS records have no per-record
+    * framing, so chunk files concatenate byte-for-byte — a whole-cloud
+    * dump is executor-parallel and driver memory stays O(partitions). */
   def writePoints(df: DataFrame, path: String,
       scale: Double = 0.1): Unit = {
-    val rows = df.select("x", "y", "z").collect() // bounded: query results
-    val n = rows.length
-    var xMin = Double.MaxValue; var xMax = Double.MinValue
-    var yMin = Double.MaxValue; var yMax = Double.MinValue
-    var zMin = Double.MaxValue; var zMax = Double.MinValue
-    rows.foreach { r =>
-      val (x, y, z) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
-      xMin = math.min(xMin, x); xMax = math.max(xMax, x)
-      yMin = math.min(yMin, y); yMax = math.max(yMax, y)
-      zMin = math.min(zMin, z); zMax = math.max(zMax, z)
-    }
-    if (n == 0) { xMin = 0; xMax = 0; yMin = 0; yMax = 0; zMin = 0; zMax = 0 }
+    val chunkDir = Paths.get(path + ".chunks")
+    Files.createDirectories(chunkDir)
+    val chunkPrefix = chunkDir.toString
+    val recordLen = Pf3RecordLen
+    // (partitionId, count, xMin, xMax, yMin, yMax, zMin, zMax) per
+    // non-empty partition — the only data that reaches the driver.
+    val stats = df.select("x", "y", "z").rdd.mapPartitionsWithIndex { (pid, it) =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        var n = 0L
+        var xMin = Double.MaxValue; var xMax = Double.MinValue
+        var yMin = Double.MaxValue; var yMax = Double.MinValue
+        var zMin = Double.MaxValue; var zMax = Double.MinValue
+        val out = new DataOutputStream(new BufferedOutputStream(
+          new FileOutputStream(f"$chunkPrefix/part-$pid%05d.bin"), 1 << 20))
+        try {
+          val rec = new Array[Byte](recordLen)
+          val bb = ByteBuffer.wrap(rec).order(ByteOrder.LITTLE_ENDIAN)
+          it.foreach { r =>
+            val (x, y, z) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+            xMin = math.min(xMin, x); xMax = math.max(xMax, x)
+            yMin = math.min(yMin, y); yMax = math.max(yMax, y)
+            zMin = math.min(zMin, z); zMax = math.max(zMax, z)
+            bb.putInt(0, math.round(x / scale).toInt)
+            bb.putInt(4, math.round(y / scale).toInt)
+            bb.putInt(8, math.round(z / scale).toInt)
+            // intensity..point source id + gps + rgb stay zero
+            out.write(rec)
+            n += 1
+          }
+        } finally out.close()
+        Iterator.single((pid, n, xMin, xMax, yMin, yMax, zMin, zMax))
+      }
+    }.collect().sortBy(_._1)
 
-    val recordLen = 34 // point format 3
+    val n = stats.map(_._2).sum
+    require(n <= Int.MaxValue, s"LAS 1.2 caps point count at 2^32; got $n")
+    val (xMin, xMax, yMin, yMax, zMin, zMax) =
+      if (n == 0) (0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+      else (stats.map(_._3).min, stats.map(_._4).max,
+        stats.map(_._5).min, stats.map(_._6).max,
+        stats.map(_._7).min, stats.map(_._8).max)
+
     val header = ByteBuffer.allocate(227).order(ByteOrder.LITTLE_ENDIAN)
     header.put("LASF".getBytes)
     header.putShort(4, 0) // file source id
@@ -135,29 +173,33 @@ object Las {
     header.putInt(100, 0) // no VLRs
     header.put(104, 3.toByte) // point format 3
     header.putShort(105, recordLen.toShort)
-    header.putInt(107, n)
-    header.putInt(111, n) // returns[0]
+    header.putInt(107, n.toInt)
+    header.putInt(111, n.toInt) // returns[0]
     header.putDouble(131, scale).putDouble(139, scale).putDouble(147, scale)
     header.putDouble(155, 0.0).putDouble(163, 0.0).putDouble(171, 0.0)
     header.putDouble(179, xMax).putDouble(187, xMin)
     header.putDouble(195, yMax).putDouble(203, yMin)
     header.putDouble(211, zMax).putDouble(219, zMin)
 
-    val out = new DataOutputStream(new BufferedOutputStream(
-      new FileOutputStream(path), 1 << 20))
+    val out = new FileOutputStream(path)
     try {
       out.write(header.array())
-      val rec = ByteBuffer.allocate(recordLen).order(ByteOrder.LITTLE_ENDIAN)
-      rows.foreach { r =>
-        rec.clear()
-        rec.putInt(math.round(r.getDouble(0) / scale).toInt)
-        rec.putInt(math.round(r.getDouble(1) / scale).toInt)
-        rec.putInt(math.round(r.getDouble(2) / scale).toInt)
-        // intensity..point source id + gps + rgb left zero
-        while (rec.position() < recordLen) rec.put(0.toByte)
-        out.write(rec.array())
+      val dst = out.getChannel
+      stats.foreach { case (pid, cnt, _, _, _, _, _, _) =>
+        val chunk = Paths.get(f"$chunkPrefix/part-$pid%05d.bin")
+        val src = FileChannel.open(chunk)
+        try {
+          val len = src.size()
+          require(len == cnt * recordLen,
+            s"$chunk: ${len} bytes, expected ${cnt * recordLen}")
+          var pos = 0L
+          while (pos < len) pos += dst.transferFrom(src, dst.position() + pos, len - pos)
+          dst.position(dst.position() + len)
+        } finally src.close()
+        Files.delete(chunk)
       }
     } finally out.close()
+    Files.delete(chunkDir)
   }
 
   /** Directory import (S3): union of per-file scans + folded metadata —

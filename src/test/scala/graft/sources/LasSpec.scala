@@ -47,6 +47,32 @@ class LasSpec extends AnyFunSuite {
     assert(got.select(round(col("x")).cast("long")).distinct().count() == n)
   }
 
+  test("multi-partition write concatenates chunks in partition order") {
+    val n = 10000
+    val df = (0 until n).map(i => (i.toDouble, (n - i).toDouble, (i % 7).toDouble))
+      .toDF("x", "y", "z").repartition(8)
+    val path = "/tmp/graft_las_multi.las"
+    Las.writePoints(df, path)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path + ".chunks")),
+      "chunk dir must be cleaned up")
+    val h = Las.readHeader(path)
+    assert(h.pointCount == n)
+    assert(h.xMin == 0.0 && h.xMax == (n - 1).toDouble)
+    assert(h.yMin == 1.0 && h.yMax == n.toDouble)
+    val back = Las.readPoints(spark, path)
+      .select(round(col("x")).cast("long"), round(col("y")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(back == (0 until n).map(i => (i.toLong, (n - i).toLong)).toSet)
+  }
+
+  test("empty result writes a header-only las file") {
+    val path = "/tmp/graft_las_empty.las"
+    Las.writePoints(Seq.empty[(Double, Double, Double)].toDF("x", "y", "z"), path)
+    val h = Las.readHeader(path)
+    assert(h.pointCount == 0 && h.xMin == 0.0 && h.xMax == 0.0)
+    assert(Las.readPoints(spark, path).count() == 0)
+  }
+
   test("readDir unions all files") {
     val d = java.nio.file.Files.createTempDirectory("graft_las_dir").toString
     Las.writePoints(Seq((1.0, 1.0, 1.0)).toDF("x", "y", "z"), s"$d/a.las")
