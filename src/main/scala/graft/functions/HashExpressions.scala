@@ -31,6 +31,23 @@ object HashKernels {
     x
   }
 
+  /** Cross-engine-portable scramble: three rounds of the Lehmer minstd
+    * LCG over Z_{2^31-1} (multiplier 48271, a primitive root), input
+    * pre-reduced into [1, 2^31-2]. Every intermediate fits 47 bits, so
+    * any engine with plain 64-bit `*` and `%` reproduces it bit-for-bit
+    * — unlike [[mix64]]/xxhash64, whose mod-2^64 wrap needs int128
+    * multiplication that SQL engines overflow on. Used wherever a
+    * result must be replayable by the DuckDB oracle (LSH hyperplane
+    * signs, IVF/PQ seeding, simhash token hashes). Output in
+    * [1, 2^31-2]. */
+  @inline def lehmer3(x0: Long): Long = {
+    var x = (x0 % 2147483646L + 2147483646L) % 2147483646L + 1L
+    x = x * 48271L % 2147483647L
+    x = x * 48271L % 2147483647L
+    x = x * 48271L % 2147483647L
+    x
+  }
+
   /** sig[h] = min over a of mix64(a(i), h), h in [0, numHashes). */
   def minHashSig(a: ArrayData, numHashes: Int): ArrayData = {
     val n = a.numElements()
@@ -278,4 +295,13 @@ object hashes {
 
   def sorted_intersect_size(a: Column, b: Column): Column =
     col(SortedIntersectSize(expr(a), expr(b)))
+
+  /** [[HashKernels.lehmer3]] as plain built-in Column arithmetic (pmod
+    * + 3 multiply-mods — codegen'd, and textually mirrored by the
+    * DuckDB oracles). */
+  def lehmer3(x: Column): Column = {
+    import org.apache.spark.sql.functions.{lit, pmod}
+    val seeded = pmod(x, lit(2147483646L)) + lit(1L)
+    (1 to 3).foldLeft(seeded)((acc, _) => pmod(acc * lit(48271L), lit(2147483647L)))
+  }
 }

@@ -121,6 +121,37 @@ object TextKernels {
     }
     ArrayData.toArrayData(out)
   }
+
+  /** Cross-engine-portable 62-bit word hashes: per word, two
+    * independent polynomial folds over code points (multiplier 48271
+    * mod 2^31-1 and 16807 mod 2147483629), each avalanched by
+    * [[HashKernels.lehmer3]], packed as hi31 << 31 | lo31. All
+    * arithmetic fits 47 bits, so a DuckDB list_reduce over
+    * ord(code point) reproduces every hash bit-for-bit — the token
+    * hash family behind the oracle-verified simhash path (the faster
+    * xxhash64 [[wordHashes]] stays for the ground-truth-checked
+    * minhash path). Splits on single spaces like string_split, so the
+    * word list matches the SQL side on normalized text. */
+  def wordPortableHashes(s: UTF8String): ArrayData = {
+    val words = s.toString.split(" ", -1)
+    val out = new Array[Long](words.length)
+    var w = 0
+    while (w < words.length) {
+      val word = words(w)
+      var h1 = 0L
+      var h2 = 0L
+      var i = 0
+      while (i < word.length) {
+        val c = word.codePointAt(i)
+        h1 = (h1 * 48271L + c) % 2147483647L
+        h2 = (h2 * 16807L + c) % 2147483629L
+        i += Character.charCount(c)
+      }
+      out(w) = (HashKernels.lehmer3(h1) << 31) | HashKernels.lehmer3(h2)
+      w += 1
+    }
+    ArrayData.toArrayData(out)
+  }
 }
 
 /** Word chunks (<= k words each) of a normalized text column. */
@@ -162,6 +193,19 @@ case class WordHashes(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Portable 62-bit hash of each word ([[TextKernels.wordPortableHashes]]). */
+case class WordPortableHashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_portable_hashes"
+  override protected def nullSafeEval(s: Any): Any =
+    TextKernels.wordPortableHashes(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.TextKernels.wordPortableHashes($s)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object text {
   def chunk_words(normText: Column, k: Int): Column =
     GraftBridge.column(ChunkWords(GraftBridge.expression(normText), k))
@@ -169,4 +213,6 @@ object text {
     GraftBridge.column(WordNgrams(GraftBridge.expression(normText), n))
   def word_hashes(normText: Column): Column =
     GraftBridge.column(WordHashes(GraftBridge.expression(normText)))
+  def word_portable_hashes(normText: Column): Column =
+    GraftBridge.column(WordPortableHashes(GraftBridge.expression(normText)))
 }

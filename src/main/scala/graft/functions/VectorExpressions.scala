@@ -42,8 +42,11 @@ object VectorKernels {
   }
 
   /** Random-hyperplane LSH bucket: bit b set iff the dot product of the
-    * vector with the b-th pseudo-random +-1 hyperplane (signs from
-    * mix64 parity) is positive. */
+    * vector with the b-th pseudo-random +-1 hyperplane is positive.
+    * Hyperplane signs come from [[HashKernels.lehmer3]] parity of
+    * (b << 20 | j) and the fold is strictly sequential in double, so a
+    * DuckDB oracle replays the bucket bit-for-bit (signs from plain
+    * 47-bit integer arithmetic, dot from the same IEEE op sequence). */
   def rhpBucket(a: ArrayData, nBits: Int): Int = {
     val n = a.numElements()
     var bucket = 0
@@ -52,7 +55,7 @@ object VectorKernels {
       var acc = 0.0
       var j = 0
       while (j < n) {
-        val sign = if ((HashKernels.mix64(b.toLong * 4096 + j, 0) & 1L) == 1L) 1.0 else -1.0
+        val sign = if ((HashKernels.lehmer3(b.toLong << 20 | j) & 1L) == 1L) 1.0 else -1.0
         acc += a.getFloat(j) * sign
         j += 1
       }

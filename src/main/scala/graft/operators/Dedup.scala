@@ -217,15 +217,18 @@ object Dedup {
       numHashes = 128, bands = 16, threshold = threshold)
 
   /** 64-bit SimHash per doc: bit j of the fingerprint is the sign of the
-    * sum over tokens of bit j (+1/-1) of the token's xxhash64. Computed
+    * sum over tokens of bit j (+1/-1) of the token's hash. Computed
     * as a per-row higher-order aggregate — no explode, no shuffle; each
     * token is string-hashed once, then the 64 bit-sums fold over the
-    * precomputed longs. */
+    * precomputed longs. Token hashes are the portable 62-bit family
+    * ([[graft.functions.TextKernels.wordPortableHashes]]), so the
+    * whole pipeline — fingerprint, chunk blocking, Hamming verify — is
+    * replayable by a SQL oracle engine. */
   def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame =
     rebalanced(df)
       .select(col(idCol), normalizeText(col(textCol)).as("__graft_norm"))
       .select(col(idCol),
-        graft.functions.text.word_hashes(col("__graft_norm")).as("__wh"))
+        graft.functions.text.word_portable_hashes(col("__graft_norm")).as("__wh"))
       .select(col(idCol), graft.functions.hashes.simhash64(col("__wh")).as("fp"))
 
   /** Duplicate-cluster resolution: connected components over a near-dup
@@ -396,7 +399,7 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .filter(firstAgreeingChunk)
       .select(col("id_a"), col("id_b"),
-        expr("bit_count(fp_a ^ fp_b)").as("hamming"))
+        expr("bit_count(fp_a ^ fp_b)").cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 }

@@ -74,26 +74,32 @@ object Similarity {
   def ivfCentroids(emb: DataFrame, idCol: String, vecCol: String,
       nLists: Int): Array[Array[Double]] = {
     val seeded = emb.withColumn("list_id",
-      pmod(xxhash64(col(idCol)), lit(nLists)).cast("int"))
+      (graft.functions.hashes.lehmer3(col(idCol)) % nLists).cast("int"))
     val seed = meanByList(seeded, vecCol, nLists)
     val assigned1 = emb.withColumn("list_id",
       graft.functions.vectors.nearest_centroid(col(vecCol), seed))
     meanByList(assigned1, vecCol, nLists)
   }
 
-  /** Per-component mean per list: explode positions -> avg. Empty lists
-    * keep their previous absence (dense result indexed by list_id, zero
-    * vector when a list is empty). */
+  /** Per-component mean per list. Components are quantized to the
+    * 2^-20 grid (`floor(v * 2^20 + 0.5)` — exact: a float times a
+    * power of two is exact in double) and summed as integers, so the
+    * mean is order-free and an oracle engine recomputes every centroid
+    * bit-for-bit — a float avg() here would differ in final ulps per
+    * reduction order and flip near-tie assignments downstream. Empty
+    * lists densify to the zero vector. */
   private def meanByList(assigned: DataFrame, vecCol: String,
       nLists: Int): Array[Array[Double]] = {
     val rows = assigned
       .select(col("list_id"), posexplode(col(vecCol)).as(Seq("pos", "v")))
       .groupBy(col("list_id"), col("pos"))
-      .agg(avg(col("v")).as("m"))
+      .agg(sum(floor(col("v").cast("double") * lit(1048576.0) + lit(0.5)).cast("long")).as("s"),
+        count(lit(1)).as("n"))
       .collect()
     val dims = rows.iterator.map(_.getInt(1)).max + 1
     val out = Array.fill(nLists)(new Array[Double](dims))
-    rows.foreach(r => out(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    rows.foreach(r => out(r.getInt(0))(r.getInt(1)) =
+      r.getLong(2).toDouble / r.getLong(3) / 1048576.0)
     out
   }
 
@@ -244,7 +250,7 @@ object Similarity {
     require(segLen > 0, s"more segments ($m) than dims (${dims.getInt(0)})")
     val train =
       if (samplePct == 100) emb
-      else emb.filter(pmod(xxhash64(col(idCol)), lit(100)) < samplePct)
+      else emb.filter(graft.functions.hashes.lehmer3(col(idCol)) % 100 < samplePct)
     val segs = (0 until m).map(s => slice(col(vecCol), s * segLen + 1, segLen))
     val books = pqCodebooks(train, idCol, segs, kSub)
     val codeCols = (0 until m).map { s =>
@@ -272,18 +278,21 @@ object Similarity {
     def means(listOf: Int => Column): Array[Array[Array[Double]]] = {
       val entries = array((0 until m).map(s => struct(lit(s).as("seg"),
         listOf(s).as("list"), col(s"__seg_$s").as("v"))): _*)
+      // exact 2^-20-grid integer means, same contract as [[meanByList]]
       val rows = named.select(explode(entries).as("e"))
         .select(col("e.seg").as("seg"), col("e.list").as("list"),
           posexplode(col("e.v")).as(Seq("pos", "x")))
         .groupBy(col("seg"), col("list"), col("pos"))
-        .agg(avg(col("x")).as("mu"))
+        .agg(sum(floor(col("x").cast("double") * lit(1048576.0) + lit(0.5)).cast("long")).as("s"),
+          count(lit(1)).as("n"))
         .collect()
       val dims = rows.iterator.map(_.getInt(2)).max + 1
       val out = Array.fill(m, kSub)(new Array[Double](dims))
-      rows.foreach(r => out(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
+      rows.foreach(r => out(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+        r.getLong(3).toDouble / r.getLong(4) / 1048576.0)
       out
     }
-    val hashList = pmod(xxhash64(col(idCol)), lit(kSub)).cast("int")
+    val hashList = (graft.functions.hashes.lehmer3(col(idCol)) % kSub).cast("int")
     val seed = means(_ => hashList)
     means(s => graft.functions.vectors.nearest_centroid(col(s"__seg_$s"), seed(s)))
   }

@@ -170,7 +170,19 @@ object DocQueries {
              least(len(a.shingles), len(b.shingles)) AS overlap_coef
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          WHERE jaccard >= 0.8""",
-    // doc_simhash_neardup: no oracle (xxhash64-dependent) -> rows-only
+    // full pipeline replication: portable word hashes -> 62-bit simhash
+    // -> pairwise Hamming. The chunk blocking needs no mirror: hamming
+    // <= 3 over 4 16-bit chunks guarantees an agreeing chunk
+    // (pigeonhole), so blocking+verify == plain hamming <= 3, and the
+    // firstAgreeingChunk trick only dedups join hits.
+    "doc_simhash_neardup" -> {
+      val hs = s"list_transform(string_split($normSql, ' '), w -> ${PortableSql.wordHash("w")})"
+      s"""WITH f AS (SELECT doc_id, ${PortableSql.simhash(hs)} AS fp FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.fp, b.fp))::BIGINT AS hamming
+         FROM f a JOIN f b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.fp, b.fp)) <= 3"""
+    },
     "doc_token_count" ->
       s"""SELECT doc_id,
          len(string_split($normSql, ' '))::BIGINT AS ws_tokens,

@@ -11,8 +11,11 @@ import graft.operators.Similarity
   * left fold in double ([[Similarity.cosine]]); the DuckDB oracles
   * mirror that with list_reduce over a 0.0-seeded prepend — the same
   * IEEE op sequence, so sims are bit-identical and thresholds / top-k
-  * cuts are hash-safe without rounding. ANN/LSH paths are approximate
-  * by construction → rows-only checks (no oracle).
+  * cuts are hash-safe without rounding. The ANN/LSH/IVF/PQ paths are
+  * approximate with respect to the exact top-k but fully deterministic
+  * — every pseudo-random choice is [[PortableSql]]-portable (lehmer3)
+  * and every centroid mean is an exact integer mean — so even they
+  * carry full replication oracles rather than rows-only checks.
   */
 object EmbeddingQueries {
 
@@ -48,22 +51,23 @@ object EmbeddingQueries {
     }),
     "emb_quantize_int8" -> ((s, d) =>
       Similarity.quantizeInt8(emb(s, d), "vec_id", "embedding")),
-    // product quantization: data-derived codebooks (double k-means on a
-    // deterministic sample) can't be replayed in SQL -> rows-only; the
-    // spec pins determinism, code range, and reconstruction quality
+    // product quantization: the codebooks derive from lehmer3 seeding
+    // and exact integer means, so the oracle replays the full double
+    // k-means; the spec additionally pins reconstruction quality
     "emb_pq_codes" -> ((s, d) =>
       Similarity.pqCodes(emb(s, d), "vec_id", "embedding",
         m = 4, kSub = 16, samplePct = 50)),
     // stored IVF index: probes read only the probed list_id partitions
     // (partition pruning at the source). Same quantizer recipe as
-    // emb_ivf_topk -> identical result, asserted in the spec; approx by
-    // construction -> rows-only here
+    // emb_ivf_topk -> identical result, so it shares that oracle; the
+    // dir carries a recipe version so a stale index from an older
+    // quantizer recipe is never served
     "emb_ivf_indexed" -> ((s, d) => {
       val src = java.nio.file.Paths.get(s"$d/embeddings.parquet")
       val fp = if (java.nio.file.Files.exists(src))
         s"${java.nio.file.Files.size(src)}_${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
       else "na"
-      val dir = s"/tmp/graft_ivf_${d.replaceAll("[^A-Za-z0-9.]", "_")}_$fp"
+      val dir = s"/tmp/graft_ivf2_${d.replaceAll("[^A-Za-z0-9.]", "_")}_$fp"
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/centroids/_SUCCESS")))
         Similarity.writeIvfIndex(emb(s, d), "vec_id", "embedding", dir, nLists = 16)
       Similarity.ivfTopKIndexed(s, dir, "vec_id", "embedding",
@@ -85,22 +89,146 @@ object EmbeddingQueries {
   private def cosineSql(a: String, b: String): String =
     s"${foldDot(a, b)} / (${foldNorm(a)} * ${foldNorm(b)})"
 
+  /** Densified (list 0..n-1, pos 0..dims-1) centroid grid from a
+    * (list_id, pos, s, n) sum CTE — [[PortableSql.meanFromQ20]] means,
+    * zero vector for empty lists, mirroring Similarity.meanByList. */
+  private def centGrid(sumCte: String, nLists: Int, dims: Int): String =
+    s"""SELECT g.l AS list_id,
+       list(COALESCE(CAST(ss.s AS DOUBLE) / ss.n / 1048576.0, 0.0) ORDER BY g.p) AS cv
+       FROM (SELECT a.range AS l, b.range AS p
+             FROM range(0, $nLists) a, range(0, $dims) b) g
+       LEFT JOIN $sumCte ss ON ss.list_id = g.l AND ss.pos = g.p
+       GROUP BY 1"""
+
+  /** Full SQL replication of the deterministic IVF pipeline
+    * (Similarity.ivfCentroids + ivfTopK): lehmer3 seeding, exact
+    * 2^-20-grid integer centroid means, nearest-centroid refinement,
+    * probe selection, exact rerank. Shared by emb_ivf_topk and
+    * emb_ivf_indexed (the stored index provably returns the same
+    * result — same quantizer, lossless double parquet roundtrip). */
+  private val ivfOracle: String = {
+    import PortableSql.{centroidCosine => cc, lehmer3, q20}
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       sa AS (SELECT vec_id, (${lehmer3("vec_id")} % 16) AS list_id, embedding FROM e),
+       ssum AS (SELECT list_id, t.i AS pos, sum(${q20("embedding[t.i + 1]")}) AS s,
+                count(*) AS n
+              FROM sa, LATERAL unnest(range(0, len(embedding))) AS t(i)
+              GROUP BY 1, 2),
+       scent AS (${centGrid("ssum", 16, 64)}),
+       s1 AS (SELECT e.vec_id, c.list_id, ${cc("e.embedding", "c.cv")} AS sim
+              FROM e CROSS JOIN scent c),
+       b1 AS (SELECT vec_id, max(sim) AS bs FROM s1 GROUP BY 1),
+       a1 AS (SELECT s1.vec_id, min(s1.list_id) AS list_id
+              FROM s1 JOIN b1 ON s1.vec_id = b1.vec_id AND s1.sim = b1.bs
+              GROUP BY 1),
+       fsum AS (SELECT a1.list_id, t.i AS pos, sum(${q20("e.embedding[t.i + 1]")}) AS s,
+                count(*) AS n
+              FROM e JOIN a1 USING (vec_id),
+                LATERAL unnest(range(0, len(e.embedding))) AS t(i)
+              GROUP BY 1, 2),
+       fcent AS (${centGrid("fsum", 16, 64)}),
+       probes AS (SELECT c.list_id FROM fcent c, q
+                  ORDER BY ${cc("qe", "c.cv")} DESC, c.list_id LIMIT 4),
+       s2 AS (SELECT e.vec_id, c.list_id, ${cc("e.embedding", "c.cv")} AS sim
+              FROM e CROSS JOIN fcent c),
+       b2 AS (SELECT vec_id, max(sim) AS bs FROM s2 GROUP BY 1),
+       a2 AS (SELECT s2.vec_id, min(s2.list_id) AS list_id
+              FROM s2 JOIN b2 ON s2.vec_id = b2.vec_id AND s2.sim = b2.bs
+              GROUP BY 1)
+       SELECT e.vec_id, ${cosineSql("e.embedding", "qe")} AS sim
+       FROM e JOIN a2 USING (vec_id), q
+       WHERE a2.list_id IN (SELECT list_id FROM probes)
+       ORDER BY sim DESC, e.vec_id LIMIT 20"""
+  }
+
+  /** Full SQL replication of Similarity.pqCodes (m=4, kSub=16,
+    * samplePct=50 over 64 dims): per-segment codebooks trained on the
+    * lehmer3 id sample with the same exact-integer-mean recipe, then
+    * every row's segments coded against the refined books. */
+  private val pqOracle: String = {
+    import PortableSql.{centroidCosine => cc, lehmer3, q20}
+    def segGrid(sumCte: String) =
+      s"""SELECT g.sg AS seg, g.l AS list_id,
+         list(COALESCE(CAST(ss.s AS DOUBLE) / ss.n / 1048576.0, 0.0) ORDER BY g.p) AS cv
+         FROM (SELECT a.range AS sg, b.range AS l, c.range AS p
+               FROM range(0, 4) a, range(0, 16) b, range(0, 16) c) g
+         LEFT JOIN $sumCte ss ON ss.seg = g.sg AND ss.list_id = g.l AND ss.pos = g.p
+         GROUP BY 1, 2"""
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       seg AS (SELECT e.vec_id, t.range AS seg,
+                 e.embedding[t.range * 16 + 1 : t.range * 16 + 16] AS sv
+               FROM e CROSS JOIN range(0, 4) t),
+       samp AS (SELECT * FROM seg WHERE (${lehmer3("vec_id")} % 100) < 50),
+       sa AS (SELECT vec_id, seg, (${lehmer3("vec_id")} % 16) AS list_id, sv FROM samp),
+       ssum AS (SELECT seg, list_id, t.i AS pos, sum(${q20("sv[t.i + 1]")}) AS s,
+                count(*) AS n
+              FROM sa, LATERAL unnest(range(0, len(sv))) AS t(i)
+              GROUP BY 1, 2, 3),
+       scent AS (${segGrid("ssum")}),
+       s1 AS (SELECT sa.vec_id, sa.seg, c.list_id, ${cc("sa.sv", "c.cv")} AS sim
+              FROM sa JOIN scent c ON c.seg = sa.seg),
+       b1 AS (SELECT vec_id, seg, max(sim) AS bs FROM s1 GROUP BY 1, 2),
+       a1 AS (SELECT s1.vec_id, s1.seg, min(s1.list_id) AS list_id
+              FROM s1 JOIN b1 ON s1.vec_id = b1.vec_id AND s1.seg = b1.seg
+                AND s1.sim = b1.bs
+              GROUP BY 1, 2),
+       fsum AS (SELECT a1.seg, a1.list_id, t.i AS pos, sum(${q20("sm.sv[t.i + 1]")}) AS s,
+                count(*) AS n
+              FROM samp sm JOIN a1 ON sm.vec_id = a1.vec_id AND sm.seg = a1.seg,
+                LATERAL unnest(range(0, len(sm.sv))) AS t(i)
+              GROUP BY 1, 2, 3),
+       fcent AS (${segGrid("fsum")}),
+       s2 AS (SELECT sg.vec_id, sg.seg, c.list_id, ${cc("sg.sv", "c.cv")} AS sim
+              FROM seg sg JOIN fcent c ON c.seg = sg.seg),
+       b2 AS (SELECT vec_id, seg, max(sim) AS bs FROM s2 GROUP BY 1, 2),
+       a2 AS (SELECT s2.vec_id, s2.seg, min(s2.list_id) AS code
+              FROM s2 JOIN b2 ON s2.vec_id = b2.vec_id AND s2.seg = b2.seg
+                AND s2.sim = b2.bs
+              GROUP BY 1, 2),
+       codes AS (SELECT vec_id,
+                 CAST(max(CASE WHEN seg = 0 THEN code END) AS BIGINT) AS code_0,
+                 CAST(max(CASE WHEN seg = 1 THEN code END) AS BIGINT) AS code_1,
+                 CAST(max(CASE WHEN seg = 2 THEN code END) AS BIGINT) AS code_2,
+                 CAST(max(CASE WHEN seg = 3 THEN code END) AS BIGINT) AS code_3
+               FROM a2 GROUP BY 1)
+       SELECT vec_id, code_0, code_1, code_2, code_3,
+         code_0 * 1 + code_1 * 2 + code_2 * 3 + code_3 * 4 AS code_cksum
+       FROM codes"""
+  }
+
   val oracleSql: Map[String, String] = Map(
     "emb_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          SELECT e.vec_id, ${cosineSql("e.embedding", "qe")} AS sim
          FROM embeddings e, q
          ORDER BY sim DESC, e.vec_id LIMIT 20""",
-    // emb_ann_topk: approximate -> rows-only
+    // full replication: portable-hash hyperplane signs make the bucket
+    // computation engine-exact, so the multi-probe candidate set and
+    // the exact rerank replay bit-for-bit
+    "emb_ann_topk" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         qb AS (SELECT ${PortableSql.rhpBucket("qe", 12)} AS qbucket FROM q)
+         SELECT e.vec_id, ${cosineSql("e.embedding", "qe")} AS sim
+         FROM embeddings e, q, qb
+         WHERE bit_count(xor(CAST(${PortableSql.rhpBucket("e.embedding", 12)} AS BIGINT),
+           CAST(qbucket AS BIGINT))) <= 4
+         ORDER BY sim DESC, e.vec_id LIMIT 20""",
     "emb_neardup_label" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ${cosineSql("a.embedding", "b.embedding")} AS sim
          FROM embeddings a JOIN embeddings b
            ON a.label = b.label AND a.vec_id < b.vec_id
          WHERE sim >= 0.35""",
-    // emb_neardup_lsh: approximate recall -> rows-only
-    // emb_pq_codes: data-derived double codebooks -> rows-only
-    // emb_ivf_indexed: approximate (same probes as emb_ivf_topk) -> rows-only
+    "emb_neardup_lsh" ->
+      s"""WITH b AS (SELECT vec_id, embedding,
+             ${PortableSql.rhpBucket("embedding", 8)} AS bucket FROM embeddings)
+         SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+         FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+         WHERE ${cosineSql("a.embedding", "c.embedding")} >= 0.35""",
+    "emb_ivf_topk" -> ivfOracle,
+    "emb_ivf_indexed" -> ivfOracle,
+    "emb_pq_codes" -> pqOracle,
     "emb_kmeans_assign" ->
       s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 4),
          s AS (SELECT e.vec_id, c.cid, ${cosineSql("e.embedding", "c.ce")} AS sim

@@ -30,13 +30,17 @@ object MultimodalQueries {
     "mm_feature_cksum" -> ((s, d) =>
       Multimodal.extractFeatures(media(s, d))
         .select("media_id", "n_bytes", "checksum")),
-    // full feature vectors: rows-only check. The Array[Float] column is
-    // stringified — the driver's comparator sorts/hashes column values,
-    // and a raw float array is unhashable on the pandas side
-    // (CORRECTNESS_r01 'unhashable type: numpy.ndarray').
+    // full feature vectors, rendered as an exact integer CSV: the fake
+    // plane features are sign-extended bytes (whole-valued floats), so
+    // casting each to int loses nothing and gives a scalar string the
+    // driver can hash (a raw float array is unhashable on the pandas
+    // side, CORRECTNESS_r01 'unhashable type: numpy.ndarray') and the
+    // oracle can recompute byte-for-byte
     "mm_features" -> ((s, d) =>
       Multimodal.extractFeatures(media(s, d))
-        .withColumn("feature", col("feature").cast("string"))),
+        .select(col("media_id"), col("n_bytes"), col("checksum"),
+          concat_ws(",", transform(col("feature"), f => f.cast("int")))
+            .as("feature_csv"))),
     "mm_frame_sample" -> ((s, d) =>
       // frame bytes are ASCII here -> inspect via string cast
       Multimodal.sampleFrames(media(s, d), everyK = 4, frameBytes = 32)
@@ -84,7 +88,16 @@ object MultimodalQueries {
       s"""SELECT doc_id AS media_id, length(text)::BIGINT AS n_bytes,
            ${foldCksum("text")} AS checksum
          FROM documents""",
-    // mm_features: Array[Float] output -> rows-only
+    // plane = every 7th byte (i*7 < len <=> i < ceil(len/7)), zero-
+    // padded to dim 16 — FakeCodec.samplePlane on ASCII payloads
+    "mm_features" ->
+      s"""SELECT doc_id AS media_id, length(text)::BIGINT AS n_bytes,
+           ${foldCksum("text")} AS checksum,
+           array_to_string(list_transform(range(0, 16), i ->
+             CASE WHEN i * 7 < length(text)
+               THEN ord(substr(text, (i * 7 + 1)::INT, 1)) ELSE 0 END), ',')
+             AS feature_csv
+         FROM documents""",
     "mm_frame_sample" ->
       s"""SELECT doc_id AS media_id, f AS frame_idx,
            length(substr(text, f * 32 + 1, 32))::BIGINT AS frame_len,

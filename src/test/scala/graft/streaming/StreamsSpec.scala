@@ -90,9 +90,12 @@ class StreamsSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("ndup_out")
       .outputMode("append").start()
     try {
-      // near-copy of corpus doc 100 (one word changed) + unrelated doc
+      // near-copy of corpus doc 100 (one word changed; replacement
+      // chosen so the portable-hash fingerprints land at hamming 3 —
+      // a one-word edit flips each knife-edge vote bit, so not every
+      // substitute stays within the threshold) + unrelated doc
       in.addData(
-        (1L, "the quick brown fox jumps over the lazy cat again and again"),
+        (1L, "the quick brown fox jumps over the lazy seal again and again"),
         (2L, "completely unrelated text with nothing shared at all here"))
       q.processAllAvailable()
       val rows = spark.sql("SELECT in_id, corpus_id FROM ndup_out")
