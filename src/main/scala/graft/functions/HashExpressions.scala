@@ -304,4 +304,13 @@ object hashes {
     val seeded = pmod(x, lit(2147483646L)) + lit(1L)
     (1 to 3).foldLeft(seeded)((acc, _) => pmod(acc * lit(48271L), lit(2147483647L)))
   }
+
+  /** Portable 62-bit non-negative hash of a long: two [[lehmer3]]
+    * streams (x and x + 700001) packed hi31 << 31 | lo31 — same
+    * construction as the word hashes, mirrored by
+    * PortableSql-rendering oracles. Feeds [[sketch.kmv_distinct]]. */
+  def hash62(x: Column): Column = {
+    import org.apache.spark.sql.functions.lit
+    lehmer3(x) * lit(2147483648L) + lehmer3(x + lit(700001L))
+  }
 }

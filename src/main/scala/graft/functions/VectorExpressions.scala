@@ -47,9 +47,14 @@ object VectorKernels {
     * (b << 20 | j) and the fold is strictly sequential in double, so a
     * DuckDB oracle replays the bucket bit-for-bit (signs from plain
     * 47-bit integer arithmetic, dot from the same IEEE op sequence). */
-  def rhpBucket(a: ArrayData, nBits: Int): Int = {
+  def rhpBucket(a: ArrayData, nBits: Int): Int =
+    rhpFingerprint(a, nBits).toInt
+
+  /** Long-form signature for banded LSH: up to 62 hyperplane sign
+    * bits, split by callers into per-band keys. */
+  def rhpFingerprint(a: ArrayData, nBits: Int): Long = {
     val n = a.numElements()
-    var bucket = 0
+    var bucket = 0L
     var b = 0
     while (b < nBits) {
       var acc = 0.0
@@ -59,7 +64,7 @@ object VectorKernels {
         acc += a.getFloat(j) * sign
         j += 1
       }
-      if (acc > 0) bucket |= 1 << b
+      if (acc > 0) bucket |= 1L << b
       b += 1
     }
     bucket
@@ -140,6 +145,18 @@ case class RhpBucket(child: Expression, nBits: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+case class RhpFingerprint(child: Expression, nBits: Int) extends UnaryExpression {
+  require(nBits <= 62, "fingerprint must stay non-negative in a long")
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rhp_fingerprint"
+  override protected def nullSafeEval(a: Any): Any =
+    VectorKernels.rhpFingerprint(a.asInstanceOf[ArrayData], nBits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorKernels.rhpFingerprint($a, $nBits)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Column-level API. */
 object vectors {
   private def expr(c: Column): Expression = GraftBridge.expression(c)
@@ -148,6 +165,7 @@ object vectors {
   def vector_dot(a: Column, b: Column): Column = col(VectorDot(expr(a), expr(b)))
   def vector_norm(a: Column): Column = col(VectorNorm(expr(a)))
   def rhp_bucket(a: Column, nBits: Int): Column = col(RhpBucket(expr(a), nBits))
+  def rhp_fingerprint(a: Column, nBits: Int): Column = col(RhpFingerprint(expr(a), nBits))
   def nearest_centroid(a: Column, centroids: Array[Array[Double]]): Column =
     col(NearestCentroid(expr(a), centroids))
 }

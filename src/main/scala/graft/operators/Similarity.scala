@@ -320,23 +320,47 @@ object Similarity {
       .select("id_a", "id_b", "sim")
   }
 
-  /** LSH-blocked near-duplicate pairs for when no natural blocking key
-    * exists: bucket signatures, pair within bucket, exact-verify cosine.
-    * Approximate-recall (tunable via nBits), precision 1.0. */
+  /** Banded-LSH near-duplicate pairs for when no natural blocking key
+    * exists — the RHP analogue of minhash banding: a `bands *
+    * bitsPerBand`-bit hyperplane fingerprint per vector, one candidate
+    * bucket key per band, pair on agreement in ANY band, then
+    * exact-verify cosine once per distinct candidate pair. Precision
+    * is 1.0 (every emitted pair is exactly verified); recall is
+    * 1-(1-p^r)^B with p = 1 - theta/pi — r short and B wide reaches
+    * deep into the low-similarity regime (~0.95 at sim 0.35 with
+    * r=3, B=12), where a single long bucket key has near-zero recall.
+    *
+    * Scale note: shorter band keys mean bigger buckets, so candidate
+    * volume rises as the target threshold drops — at production dedup
+    * thresholds (>= ~0.8) prefer longer bands (r >= 8), which keep
+    * buckets small and candidates ~linear; the r/B dial trades
+    * candidate volume for recall explicitly. */
   def cosineNearDupPairsLsh(emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nBits: Int = 8): DataFrame = {
-    val bucketed = withLshBucket(emb, vecCol, nBits)
-      .withColumn("__n", graft.functions.vectors.vector_norm(col(vecCol)))
-    val a = bucketed.select(col("bucket"), col(idCol).as("id_a"),
-      col(vecCol).as("__va"), col("__n").as("__na"))
-    val b = bucketed.select(col("bucket"), col(idCol).as("id_b"),
-      col(vecCol).as("__vb"), col("__n").as("__nb"))
-    a.join(b, "bucket")
+      threshold: Double, bitsPerBand: Int = 3, bands: Int = 12): DataFrame = {
+    val nBits = bitsPerBand * bands
+    require(nBits <= 62, s"bitsPerBand * bands must be <= 62, got $nBits")
+    val mask = (1 << bitsPerBand) - 1
+    val withFp = emb.select(col(idCol), col(vecCol),
+      graft.functions.vectors.rhp_fingerprint(col(vecCol), nBits).as("__fp"))
+    def banded(side: String) = withFp.select(col(idCol).as(side),
+      posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
+        s"b -> (__fp >> (b * $bitsPerBand)) & $mask)")).as(Seq("band", "key")))
+    // candidates dedup BEFORE the verify join: each pair costs one
+    // cosine however many bands it collides in
+    val cand = banded("id_a").join(banded("id_b"), Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val withNorm = emb.select(col(idCol),
+      col(vecCol), graft.functions.vectors.vector_norm(col(vecCol)).as("__n"))
+    val a = withNorm.select(col(idCol).as("id_a"),
+      col(vecCol).as("__va"), col("__n").as("__na"))
+    val b = withNorm.select(col(idCol).as("id_b"),
+      col(vecCol).as("__vb"), col("__n").as("__nb"))
+    cand.join(a, "id_a").join(b, "id_b")
       .withColumn("sim",
         graft.functions.vectors.vector_dot(col("__va"), col("__vb")) /
           (col("__na") * col("__nb")))
       .filter(col("sim") >= threshold)
-      .select("id_a", "id_b").distinct()
+      .select("id_a", "id_b")
   }
 }

@@ -37,7 +37,8 @@ object EmbeddingQueries {
       Similarity.cosineNearDupPairs(emb(s, d), "vec_id", "embedding", "label", 0.35)
         .orderBy("id_a", "id_b")),
     "emb_neardup_lsh" -> ((s, d) =>
-      Similarity.cosineNearDupPairsLsh(emb(s, d), "vec_id", "embedding", 0.35, nBits = 8)),
+      Similarity.cosineNearDupPairsLsh(emb(s, d), "vec_id", "embedding", 0.35,
+        bitsPerBand = 3, bands = 12)),
     "emb_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(emb(s, d), "vec_id", "embedding", queryVec(s, d), 20,
         nLists = 16, nProbe = 4)),
@@ -220,12 +221,15 @@ object EmbeddingQueries {
          FROM embeddings a JOIN embeddings b
            ON a.label = b.label AND a.vec_id < b.vec_id
          WHERE sim >= 0.35""",
+    // banded candidates = any of the 12 3-bit fingerprint bands agrees
     "emb_neardup_lsh" ->
-      s"""WITH b AS (SELECT vec_id, embedding,
-             ${PortableSql.rhpBucket("embedding", 8)} AS bucket FROM embeddings)
-         SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
-         FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-         WHERE ${cosineSql("a.embedding", "c.embedding")} >= 0.35""",
+      s"""WITH f AS (SELECT vec_id, embedding,
+             ${PortableSql.rhpFingerprint("embedding", 36)} AS fp FROM embeddings)
+         SELECT a.vec_id AS id_a, c.vec_id AS id_b
+         FROM f a JOIN f c ON a.vec_id < c.vec_id
+         WHERE len(list_filter(range(0, 12),
+             b -> ((a.fp >> (b * 3)) & 7) = ((c.fp >> (b * 3)) & 7))) > 0
+           AND ${cosineSql("a.embedding", "c.embedding")} >= 0.35""",
     "emb_ivf_topk" -> ivfOracle,
     "emb_ivf_indexed" -> ivfOracle,
     "emb_pq_codes" -> pqOracle,

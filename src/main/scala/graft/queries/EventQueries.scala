@@ -80,12 +80,15 @@ object EventQueries {
         .withColumn("mv_avg",
           col("mv_sum_milli").cast("double") / col("n_frame"))
     }),
-    // approximate distinct users per event type (HyperLogLog++). No
-    // cross-engine oracle — sketch layouts differ — so this is a
-    // rows-only check; the spec pins the estimate within 5% of exact
+    // approximate distinct users per event type via the KMV sketch:
+    // bounded k-smallest-hash state like HyperLogLog, but an all-
+    // integer estimator, so the DuckDB oracle recomputes the exact
+    // same estimate (the spec additionally pins accuracy vs exact
+    // distinct at estimator-regime cardinalities)
     "ev_approx_users" -> ((s, d) =>
       ev(s, d).groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"))),
+        .agg(graft.functions.sketch.kmv_distinct(
+          graft.functions.hashes.hash62(col("user_id")), 1024).as("approx_users"))),
     // conversion funnel view -> click -> purchase: per-user first-touch
     // timestamps (one grouped pass), then one reduced row counting users
     // whose stage times are strictly ordered. Null stage comparisons
@@ -201,7 +204,20 @@ object EventQueries {
            CAST(sum($vMilli) OVER w AS DOUBLE) / (count(*) OVER w) AS mv_avg
          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""",
-    // ev_approx_users: no oracle (HLL sketch differs per engine) -> rows-only
+    // KMV replication: k-th smallest distinct hash62 per group; below
+    // k distinct hashes the sketch state is the exact distinct set
+    "ev_approx_users" ->
+      s"""WITH h AS (SELECT DISTINCT event_type,
+             ${PortableSql.hash62("user_id")} AS h FROM events),
+         r AS (SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n FROM h)
+         SELECT event_type,
+           CAST(CASE WHEN max(n) < 1024 THEN max(n)
+             ELSE (1023::HUGEINT * 4611686018427387904::HUGEINT)
+               / max(CASE WHEN rn = 1024 THEN h END)
+             END AS BIGINT) AS approx_users
+         FROM r GROUP BY event_type""",
     "ev_funnel" ->
       s"""WITH u AS (SELECT user_id,
            min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS fv,

@@ -18,20 +18,29 @@ object PortableSql {
     s"(((((($seeded * 48271) % 2147483647) * 48271) % 2147483647) * 48271) % 2147483647)"
   }
 
+  /** graft.functions.hashes.hash62: two lehmer3 streams packed into a
+    * 62-bit non-negative BIGINT. */
+  def hash62(x: String): String =
+    s"(${lehmer3(x)} * 2147483648 + ${lehmer3(s"($x) + 700001")})"
+
   /** Parity of [[lehmer3]] as a +-1.0 hyperplane sign
     * ([[graft.functions.VectorKernels.rhpBucket]]'s sign source). */
   def rhpSign(bitTimes2p20PlusJ: String): String =
     s"(CASE WHEN ${lehmer3(bitTimes2p20PlusJ)} % 2 = 1 THEN 1.0 ELSE -1.0 END)"
 
-  /** RHP-LSH bucket of a float-list column: bit b set iff the strictly
-    * sequential double fold of v[j] * sign(b, j) is positive — the
-    * exact op sequence of VectorKernels.rhpBucket. */
-  def rhpBucket(vec: String, nBits: Int): String =
-    s"""CAST(list_sum(list_transform(range(0, $nBits), b ->
+  /** RHP-LSH fingerprint of a float-list column: bit b set iff the
+    * strictly sequential double fold of v[j] * sign(b, j) is positive —
+    * the exact op sequence of VectorKernels.rhpFingerprint. */
+  def rhpFingerprint(vec: String, nBits: Int): String =
+    s"""list_sum(list_transform(range(0, $nBits), b ->
        CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
          list_transform(range(0, len($vec)), j ->
            ($vec)[j + 1]::DOUBLE * ${rhpSign("b * 1048576 + j")})),
-         (acc, v) -> acc + v) > 0 THEN (1::BIGINT << b) ELSE 0 END)) AS INT)"""
+         (acc, v) -> acc + v) > 0 THEN (1::BIGINT << b) ELSE 0 END))"""
+
+  /** Int-typed [[rhpFingerprint]] (VectorKernels.rhpBucket). */
+  def rhpBucket(vec: String, nBits: Int): String =
+    s"CAST(${rhpFingerprint(vec, nBits)} AS INT)"
 
   /** [[graft.functions.TextKernels.wordPortableHashes]] of one word:
     * two code-point polynomial folds, each lehmer3-avalanched, packed

@@ -89,9 +89,9 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("cosineNearDupPairsLsh finds identical vectors without a block key") {
     val d = emb((1L, e1, 0), (2L, e1, 1), (3L, e2, 2))
-    val got = Similarity.cosineNearDupPairsLsh(d, "vec_id", "embedding", 0.99, nBits = 8)
+    val got = Similarity.cosineNearDupPairsLsh(d, "vec_id", "embedding", 0.99)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(got == Set((1L, 2L)))
+    assert(got == Set((1L, 2L))) // identical vectors agree in every band
   }
 
   test("centroidAssign works with a single centroid (k = 1)") {
