@@ -178,16 +178,31 @@ object PointCloud {
       .write.mode("overwrite").option("header", "true")
       .option("quote", "\"").csv(path)
 
-  /** JDBC sink: blocks + metadata to PostgreSQL — the reference's
-    * storage target (db/__init__.py:36-107; BASELINE.json's "ETL to
-    * PostgreSQL" shape). `pc_record_<name>(sfc_head, sfc_tail, z)` with
-    * array columns, `pc_metadata_<name>` one row; callers add the
-    * sfc_head index DDL (db/__init__.py:118-126) post-load. Untested
-    * here (no live PostgreSQL in the test environment) — a thin,
-    * partition-parallel `df.write.jdbc` mapping. */
+  /** JDBC sink: blocks + metadata to a JDBC database — the reference's
+    * storage target is PostgreSQL (db/__init__.py:36-107;
+    * BASELINE.json's "ETL to PostgreSQL" shape).
+    * `pc_record_<name>(sfc_head, sfc_tail, z)` plus a one-row
+    * `pc_metadata_<name>`; callers add the sfc_head index DDL
+    * (db/__init__.py:118-126) post-load.
+    *
+    * `arraysAsText = false` keeps native array columns (PostgreSQL
+    * INT[]/DOUBLE PRECISION[] via the driver's setArray — the exact
+    * db/__init__.py:53-57 schema). `arraysAsText = true` renders each
+    * array in the pg-COPY literal form `{a,b,c}` for dialects without
+    * array types — also what JdbcSpec exercises end-to-end against
+    * embedded Derby (the only JDBC engine in this sandbox; the native-
+    * array mapping itself needs a live PostgreSQL and remains untested
+    * here). Writes are partition-parallel: one JDBC connection per
+    * partition, batched inserts. */
   def writeJdbc(cloud: BlockedCloud, url: String,
-      props: java.util.Properties): Unit = {
-    cloud.blocks.write.mode("append")
+      props: java.util.Properties, arraysAsText: Boolean = false): Unit = {
+    def pgText(a: Column): Column =
+      concat(lit("{"), concat_ws(",", a), lit("}"))
+    val blocks =
+      if (!arraysAsText) cloud.blocks
+      else cloud.blocks.select(col("sfc_head"),
+        pgText(col("sfc_tail")).as("sfc_tail"), pgText(col("z")).as("z"))
+    blocks.write.mode("append")
       .jdbc(url, s"pc_record_${cloud.meta.name}", props)
     cloud.spark.createDataset(Seq(cloud.meta))(metaEnc).toDF()
       .write.mode("append").jdbc(url, s"pc_metadata_${cloud.meta.name}", props)
