@@ -175,6 +175,75 @@ final class BlockedCloud3(
       .filter(d2 <= lit(r * r) && col("zq") >= qz0 && col("zq") <= qz1))
   }
 
+  /** Polygon-prism selection: a 2D polygon (with holes, even-odd rule,
+    * boundary excluded — same convention as the 2D store) crossed with
+    * a height band, all three dimensions pruned AT THE SCAN by one
+    * octree decomposition of (polygon bbox x z band). Exact point-in-
+    * polygon (codegen) runs on both candidate branches — a block
+    * inside the prism's bounding box is not necessarily inside the
+    * polygon — while the z band is re-checked only on partial blocks. */
+  def polygonQuery(p: graft.core.Polygon, zMin: Double, zMax: Double): DataFrame = {
+    val b = p.bbox
+    val qx0 = math.max(0L, math.ceil(b.xMin).toLong)
+    val qx1 = math.floor(b.xMax).toLong
+    val qy0 = math.max(0L, math.ceil(b.yMin).toLong)
+    val qy1 = math.floor(b.yMax).toLong
+    val qz0 = math.max(0L, math.ceil(zMin * meta.zDenom).toLong)
+    val qz1 = math.floor(zMax * meta.zDenom).toLong
+    val out = (df: DataFrame) => df.select(
+      col("xq").cast("double").as("x"), col("yq").cast("double").as("y"),
+      (col("zq").cast("double") / meta.zDenom).as("z"))
+    if (qx0 > qx1 || qy0 > qy1 || qz0 > qz1)
+      return out(explode3(blocks.filter(lit(false))))
+    val hr = MortonRange3.decompose(
+      Box3(qx0.toDouble, qx1.toDouble, qy0.toDouble, qy1.toDouble,
+        qz0.toDouble, qz1.toDouble),
+      meta.headLen + meta.tailLen, meta.tailLen, maxCells = 512)
+    val contained = if (hr.contained.nonEmpty)
+      explode3(blocks.filter(headPredicate(hr.contained)))
+    else explode3(blocks.filter(lit(false)))
+    val partial = if (hr.partial.nonEmpty)
+      explode3(blocks.filter(headPredicate(hr.partial)))
+        .filter(col("zq") >= qz0 && col("zq") <= qz1)
+    else explode3(blocks.filter(lit(false)))
+    out(contained.unionAll(partial))
+      .filter(sfc.point_in_polygon(col("x"), col("y"), p))
+  }
+
+  def polygonQuery(wkt: String, zMin: Double, zMax: Double): DataFrame =
+    polygonQuery(graft.core.Geometry.parseWktPolygon(wkt), zMin, zMax)
+
+  /** k nearest neighbours of (px, py, pz) by TRUE 3D distance — the
+    * height-aware form the 2D store's [[BlockedCloud.knn]] cannot
+    * answer. Probe an expanding sphere (via its octree-pruned bounding
+    * box) until it holds >= k points — the true kNN set is then inside
+    * it — and exact-rank the candidates. Driver loop is O(log radius)
+    * jobs, never per-point work. */
+  def knn(px: Double, py: Double, pz: Double, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val zMaxW = meta.qzMax / meta.zDenom
+    val maxCornerDist = math.sqrt(
+      math.pow(math.max(math.abs(px), math.abs(px - meta.qxMax)), 2) +
+        math.pow(math.max(math.abs(py), math.abs(py - meta.qyMax)), 2) +
+        math.pow(math.max(math.abs(pz), math.abs(pz - zMaxW)), 2))
+    val volume = math.max(
+      meta.qxMax.toDouble * meta.qyMax.toDouble * math.max(zMaxW, 1e-9), 1e-9)
+    val density = meta.pointCount / volume
+    var r = math.max(
+      math.cbrt((k + 1) / math.max(density, 1e-18) * 3.0 / (4.0 * math.Pi)) * 1.5,
+      2.0)
+    val d2 = (col("x") - px) * (col("x") - px) +
+      (col("y") - py) * (col("y") - py) + (col("z") - pz) * (col("z") - pz)
+    var result: DataFrame = null
+    while (result == null) {
+      val covers = r >= maxCornerDist
+      val cand = boxQuery(px - r, px + r, py - r, py + r, pz - r, pz + r)
+        .filter(d2 <= lit(r * r))
+      if (covers || cand.count() >= k) result = cand else r *= 2
+    }
+    result.orderBy(d2.asc, col("x").asc, col("y").asc, col("z").asc).limit(k)
+  }
+
   /** 3D voxel occupancy: point count per (cellXY, cellZ) voxel — the
     * volumetric raster; one narrow decode + one partially-aggregated
     * shuffle bounded by the voxel grid size. `cellXY` is in original

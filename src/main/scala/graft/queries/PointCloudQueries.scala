@@ -238,6 +238,13 @@ object PointCloudQueries {
     // volumetric raster: 256x256x10-unit voxel occupancy
     "pc_voxel_counts" -> ((s, d) =>
       cloud3(s, d).voxelCounts(256.0, 10.0)),
+    // polygon prism: the 2D L-shape crossed with a height band, all
+    // three dimensions pruned by one octree decomposition
+    "pc_poly_3d" -> ((s, d) =>
+      xyz(cloud3(s, d).polygonQuery(polySimpleWkt, 10.005, 25.005))),
+    // true-3D kNN (height-aware nearest neighbours)
+    "pc_knn_3d" -> ((s, d) =>
+      xyz(cloud3(s, d).knn(3000.5, 3000.5, 25.0, 100))),
     // naive full-scan control (no SFC pruning) — same answer as
     // pc_bbox_large; exists to demonstrate the layout win in BENCH
     "pc_bbox_naive" -> ((s, d) => xyz(rawPoints(s, d).filter(
@@ -304,6 +311,13 @@ object PointCloudQueries {
       "SELECT mz.cell_x, mz.cell_y, count(*) AS n_neighbors, " +
       "max(abs(mz.mean_z - c.nb_mean)) AS max_dz " +
       "FROM mz JOIN c USING (cell_x, cell_y) GROUP BY 1, 2"),
+    "pc_poly_3d" -> (s"$ptsCte SELECT x, y, z FROM pts WHERE " +
+      "((x BETWEEN 501 AND 3000 AND y BETWEEN 501 AND 1500) OR " +
+      "(x BETWEEN 501 AND 1500 AND y BETWEEN 501 AND 3000)) " +
+      "AND z >= 10.005 AND z <= 25.005"),
+    "pc_knn_3d" -> (s"$ptsCte SELECT x, y, z FROM pts ORDER BY " +
+      "(x - 3000.5) * (x - 3000.5) + (y - 3000.5) * (y - 3000.5) " +
+      "+ (z - 25.0) * (z - 25.0), x, y, z LIMIT 100"),
     "pc_bbox_naive" -> s"$ptsCte SELECT x, y, z FROM pts WHERE ${bboxSql(bboxLarge)}",
     "pc_las_roundtrip" ->
       s"$ptsCte SELECT x * 10 AS x10, y * 10 AS y10, CAST(round(z * 10, 0) AS BIGINT) AS z10 FROM pts")

@@ -31,6 +31,48 @@ class PointCloud3Spec extends AnyFunSuite {
     assert(got == want && want.nonEmpty)
   }
 
+  test("polygon prism reproduces the naive ray-cast + z-band filter") {
+    val rng = new scala.util.Random(23)
+    val pts = (1 to 5000).map { _ =>
+      (rng.nextInt(100).toDouble, rng.nextInt(100).toDouble,
+        rng.nextInt(3000) / 100.0)
+    }
+    val df = pts.toDF("x", "y", "z")
+    val c = PointCloud3.importPoints(df, zDenom = 100.0, ratio = 0.5)
+    // L-shape: [10,60]x[10,40] U [10,40]x[10,60], boundary excluded
+    val wkt = "POLYGON ((9.5 9.5, 60.5 9.5, 60.5 40.5, 40.5 40.5, " +
+      "40.5 60.5, 9.5 60.5, 9.5 9.5))"
+    val got = c.polygonQuery(wkt, 5.005, 20.005)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val want = pts.filter { case (x, y, z) =>
+      ((x >= 10 && x <= 60 && y >= 10 && y <= 40) ||
+        (x >= 10 && x <= 40 && y >= 10 && y <= 60)) &&
+        z >= 5.005 && z <= 20.005
+    }.groupBy(identity).view.mapValues(_.length).toMap
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("3D knn returns the k closest by true 3D distance") {
+    val rng = new scala.util.Random(31)
+    val pts = (1 to 3000).map { _ =>
+      (rng.nextInt(200).toDouble, rng.nextInt(200).toDouble,
+        rng.nextInt(5000) / 100.0)
+    }
+    val df = pts.toDF("x", "y", "z")
+    val c = PointCloud3.importPoints(df, zDenom = 100.0, ratio = 0.5)
+    val (px, py, pz) = (100.5, 100.5, 25.0)
+    def d2(p: (Double, Double, Double)): Double =
+      (p._1 - px) * (p._1 - px) + (p._2 - py) * (p._2 - py) + (p._3 - pz) * (p._3 - pz)
+    val got = c.knn(px, py, pz, 50)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.length == 50)
+    // the farthest returned neighbour is no farther than the true 50th
+    val kth = pts.map(d2).sorted.apply(49)
+    assert(got.map(d2).max <= kth + 1e-9)
+    assert(got.map(d2).toSeq == got.map(d2).toSeq.sorted)
+  }
+
   test("empty and full boxes behave") {
     val df = Seq((1.0, 2.0, 3.0), (4.0, 5.0, 6.0)).toDF("x", "y", "z")
     val c = PointCloud3.importPoints(df, zDenom = 100.0, ratio = 0.5)
