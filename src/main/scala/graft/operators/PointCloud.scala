@@ -380,31 +380,116 @@ final class BlockedCloud(
   def polylineBufferQuery(wkt: String, r: Double): DataFrame =
     polylineBufferQuery(Geometry.parseWktLinestring(wkt), r)
 
+  /** Coarse occupancy histogram for kNN radius seeding: per-cell point
+    * counts at a Morton prefix of at most 12 bits — <= 4096 cells
+    * however large the cloud, so the driver holds a bounded summary,
+    * never the block list. Collected once per open cloud (one pruned
+    * aggregate job), then every kNN seed is a pure driver-side lookup. */
+  private final case class KnnHist(
+      cellX: Array[Long], cellY: Array[Long], n: Array[Long],
+      sideX: Long, sideY: Long)
+
+  private lazy val knnHist: KnnHist = {
+    val prefixBits = math.min(meta.headLen, 12)
+    val shift = meta.headLen - prefixBits
+    val rem = totalBits - prefixBits
+    val sideX = 1L << ((rem + 1) / 2) // even key bits (x) below the prefix
+    val sideY = 1L << (rem / 2)
+    val rows = blocks
+      .groupBy(shiftright(col("sfc_head"), shift).as("c"))
+      .agg(sum(size(col("sfc_tail"))).cast("long").as("n"))
+      .collect()
+    val (cx, cy, cn) = (new Array[Long](rows.length),
+      new Array[Long](rows.length), new Array[Long](rows.length))
+    var i = 0
+    rows.foreach { r =>
+      val key = r.getLong(0) << rem
+      cx(i) = Morton.decodeX(key) / sideX
+      cy(i) = Morton.decodeY(key) / sideY
+      cn(i) = r.getLong(1)
+      i += 1
+    }
+    KnnHist(cx, cy, cn, sideX, sideY)
+  }
+
+  /** Seed radius from the LOCAL occupancy around the query: grow a
+    * histogram-cell window (driver-side, zero jobs) until it holds
+    * >= k points, then return the query-to-farthest-window-corner
+    * distance — a circle of that radius provably contains the window,
+    * hence >= k points, so the first probe round succeeds with a scan
+    * volume near the histogram resolution. A global-density seed
+    * misjudges skewed clouds in both directions: in the dense corner
+    * it overshoots (one probe scanning almost everything), in the
+    * sparse rest it undershoots (log-many probe rounds). */
+  private def knnSeedRadius(px: Double, py: Double, k: Int): Double = {
+    val h = knnHist
+    val qx = (px - meta.offX) / meta.scaleX
+    val qy = (py - meta.offY) / meta.scaleY
+    val cellX = math.floor(qx / h.sideX).toLong
+    val cellY = math.floor(qy / h.sideY).toLong
+    val need = math.min(k.toLong, meta.pointCount)
+    val maxW = math.max(h.cellX.max - h.cellX.min,
+      h.cellY.max - h.cellY.min) + 1
+    var w = 0L
+    var count = 0L
+    var done = false
+    while (!done) {
+      count = 0L
+      var i = 0
+      while (i < h.n.length) {
+        if (math.abs(h.cellX(i) - cellX) <= w && math.abs(h.cellY(i) - cellY) <= w)
+          count += h.n(i)
+        i += 1
+      }
+      if (count >= need || w >= maxW) done = true
+      else w = math.max(1L, w * 2)
+    }
+    // window rect in original coordinates; its farthest corner bounds
+    // the k-distance from (px, py)
+    val ox0 = ((cellX - w) * h.sideX) * meta.scaleX + meta.offX
+    val ox1 = ((cellX + w + 1) * h.sideX) * meta.scaleX + meta.offX
+    val oy0 = ((cellY - w) * h.sideY) * meta.scaleY + meta.offY
+    val oy1 = ((cellY + w + 1) * h.sideY) * meta.scaleY + meta.offY
+    val dx = math.max(math.abs(px - ox0), math.abs(px - ox1))
+    val dy = math.max(math.abs(py - oy0), math.abs(py - oy1))
+    math.max(math.sqrt(dx * dx + dy * dy),
+      2 * math.max(meta.scaleX, meta.scaleY))
+  }
+
   /** k nearest neighbours of (px, py) by 2D distance — the reference
     * declares this mode but never implemented it (retrieve_data.py:40-41).
-    * SFC-pruned: probe an expanding circle until it holds >= k points
-    * (the true kNN set is then inside it), then exact top-k. Driver loop
-    * is O(log radius) *jobs*, never per-point work.
-    */
-  def knn(px: Double, py: Double, k: Int): DataFrame = {
+    * SFC-pruned: probe a circle seeded from the head histogram
+    * ([[knnSeedRadius]] — local occupancy, so skewed clouds neither
+    * over- nor under-shoot), expand until it holds >= k points (the
+    * true kNN set is then inside it), then exact top-k. Driver loop is
+    * O(log radius) *jobs* worst case and one job on the seeded path,
+    * never per-point work. */
+  def knn(px: Double, py: Double, k: Int): DataFrame =
+    knnWithStats(px, py, k)._1
+
+  /** [[knn]] plus (probe rounds, seed radius) — the spec pins the
+    * job-count bound on adversarially skewed clouds. */
+  private[operators] def knnWithStats(px: Double, py: Double,
+      k: Int): (DataFrame, Int, Double) = {
     require(k > 0, "k must be positive")
     // a circle of radius >= distance to the farthest bbox corner covers
     // ALL data, wherever the query point lies (incl. outside the extent)
     val maxCornerDist = math.sqrt(
       math.pow(math.max(math.abs(px - meta.xMin), math.abs(px - meta.xMax)), 2) +
         math.pow(math.max(math.abs(py - meta.yMin), math.abs(py - meta.yMax)), 2))
-    val area = math.max((meta.xMax - meta.xMin) * (meta.yMax - meta.yMin), 1e-9)
-    val density = meta.pointCount / area
-    var r = math.max(math.sqrt((k + 1) / math.max(density, 1e-12) / math.Pi) * 1.5,
-      2 * math.max(meta.scaleX, meta.scaleY))
+    val seed = math.min(knnSeedRadius(px, py, k), maxCornerDist)
+    var r = seed
+    var rounds = 0
     var result: DataFrame = null
     while (result == null) {
+      rounds += 1
       val covers = r >= maxCornerDist
       val cand = circleQuery(Circle(px, py, r))
       if (covers || cand.count() >= k) result = cand else r *= 2
     }
     val d2 = (col("x") - px) * (col("x") - px) + (col("y") - py) * (col("y") - py)
-    result.orderBy(d2.asc, col("x").asc, col("y").asc, col("z").asc).limit(k)
+    (result.orderBy(d2.asc, col("x").asc, col("y").asc, col("z").asc).limit(k),
+      rounds, seed)
   }
 
   /** Batch kNN: the k nearest neighbours of EVERY query point in one
@@ -423,10 +508,11 @@ final class BlockedCloud(
         math.pow(math.max(math.abs(px - meta.xMin), math.abs(px - meta.xMax)), 2) +
           math.pow(math.max(math.abs(py - meta.yMin), math.abs(py - meta.yMax)), 2))
     }.max
-    val area = math.max((meta.xMax - meta.xMin) * (meta.yMax - meta.yMin), 1e-9)
-    val density = meta.pointCount / area
-    var r = math.max(math.sqrt((k + 1) / math.max(density, 1e-12) / math.Pi) * 1.5,
-      2 * math.max(meta.scaleX, meta.scaleY))
+    // shared radius: the largest per-query histogram seed guarantees
+    // every query's circle holds >= k points on the first probe
+    var r = math.min(
+      queries.map { case (_, px, py) => knnSeedRadius(px, py, k) }.max,
+      maxCornerDist)
     var result: DataFrame = null
     while (result == null) {
       val covers = r >= maxCornerDist

@@ -166,6 +166,42 @@ class PointCloudSpec extends AnyFunSuite {
     assert(got.map(d2).sorted == expect.map(d2).sorted)
   }
 
+  test("knn seed adapts to adversarially clustered clouds: bounded rounds, local radius") {
+    import spark.implicits._
+    // 99.9% of the mass in a 64x64 corner of an 8192^2 extent
+    val rng = new scala.util.Random(7)
+    val dense = (1 to 20000).map(_ =>
+      (rng.nextInt(64).toDouble, rng.nextInt(64).toDouble, 1.0))
+    val sparse = (1 to 20).map(_ =>
+      (7000.0 + rng.nextInt(1000), 7000.0 + rng.nextInt(1000), 2.0))
+    val c = PointCloud.importPoints((dense ++ sparse).toDF("x", "y", "z"),
+      ImportSpec(name = "skewed"))
+    val k = 50
+
+    // query in the dense corner: a global-density seed would cover
+    // ~sqrt(k/globalDensity) ~ thousands of units; the local seed must
+    // stay near the cluster scale and resolve in one probe round
+    val (gotDense, roundsDense, seedDense) = c.knnWithStats(32.0, 32.0, k)
+    assert(gotDense.count() == k)
+    assert(roundsDense <= 2, s"dense-corner probe took $roundsDense rounds")
+    assert(seedDense <= 200.0, s"dense-corner seed radius $seedDense overshoots")
+
+    // query in the sparse far region: k-th neighbour is ~10^3 units
+    // away; the window grows driver-side (no jobs) and the first probe
+    // must still land within a few rounds, not log2(extent/cellsize)
+    val (gotSparse, roundsSparse, _) = c.knnWithStats(7500.0, 7500.0, k)
+    assert(gotSparse.count() == k)
+    assert(roundsSparse <= 2, s"sparse-region probe took $roundsSparse rounds")
+
+    // correctness on the skewed cloud (dense-corner case)
+    def d2(p: (Double, Double, Double)) =
+      (p._1 - 32.0) * (p._1 - 32.0) + (p._2 - 32.0) * (p._2 - 32.0)
+    val expectKth = (dense ++ sparse).map(d2).sorted.apply(k - 1)
+    val gotD2 = gotDense.collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2))).map(d2)
+    assert(gotD2.max <= expectKth + 1e-9)
+  }
+
   test("histogram ≡ naive cell group-by") {
     val got = cloud.histogram.collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
