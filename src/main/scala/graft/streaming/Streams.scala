@@ -134,6 +134,30 @@ object Streams {
         .partitionBy("__batch")
         .parquet(path)
 
+  /** Streaming near-duplicate check of a document stream against a
+    * PERSISTED minhash index (built once by
+    * [[graft.operators.Dedup.writeNearDupIndex]]): each micro-batch
+    * runs the banded delta-vs-corpus pass — the corpus is never
+    * re-shingled, band keys come from the stored signatures — and the
+    * verified (in_id, corpus_id, jaccard) matches land through the
+    * exactly-once batch sink, so a replayed micro-batch overwrites its
+    * own output partition instead of duplicating pairs. Combine with a
+    * periodic batch re-index to absorb accepted documents into the
+    * corpus. Usage:
+    * `docs.writeStream.foreachBatch(nearDupAgainstIndex(spark, idx, out, "doc_id", "text")).start()`. */
+  def nearDupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, outPath: String, idCol: String, textCol: String,
+      threshold: Double = 0.5): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      val pairs = graft.operators.Dedup.nearDupsAgainstIndex(
+        spark, indexDir, batch, idCol, textCol, threshold = threshold)
+      pairs.withColumn("__batch", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch")
+        .parquet(outPath)
+    }
+
   /** Custom-state shape: running per-user totals via
     * flatMapGroupsWithState — the template for any bespoke online
     * aggregate (rate limiting, anomaly flags, decayed counters). */

@@ -205,6 +205,47 @@ class StreamsSpec extends AnyFunSuite {
     assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("streaming near-dup against the persisted index is replay-idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val idx = s"/tmp/graft_stream_idx_${System.nanoTime()}"
+    val out = s"/tmp/graft_stream_idx_out_${System.nanoTime()}"
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again and again"),
+      (101L, "an entirely different document about spark structured streaming state"))
+      .toDF("doc_id", "text")
+    graft.operators.Dedup.writeNearDupIndex(corpus, "doc_id", "text", idx)
+
+    val sink = Streams.nearDupAgainstIndex(spark, idx, out, "doc_id", "text",
+      threshold = 0.5)
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text")
+      .writeStream.foreachBatch(sink).outputMode("append").start()
+    try {
+      in.addData(
+        // near-copy of corpus doc 100 (one word changed)
+        (1L, "the quick brown fox jumps over the lazy cat again and again and again"),
+        (2L, "completely unrelated text with nothing shared at all in this sentence"))
+      q.processAllAvailable()
+      val got = spark.read.parquet(out)
+        .select("in_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 100L)))
+
+      // sink-failure replay of the SAME micro-batch (at-least-once
+      // delivery): the dynamic partition overwrite must not duplicate
+      sink(Seq(
+        (1L, "the quick brown fox jumps over the lazy cat again and again and again"),
+        (2L, "completely unrelated text with nothing shared at all in this sentence"))
+        .toDF("doc_id", "text"), 0L)
+      val replayed = spark.read.parquet(out)
+        .select("in_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(replayed.size == 1 && replayed.head == ((1L, 100L)),
+        s"replay duplicated or changed output: $replayed")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState running totals across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
