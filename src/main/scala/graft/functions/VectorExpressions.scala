@@ -50,18 +50,42 @@ object VectorKernels {
   def rhpBucket(a: ArrayData, nBits: Int): Int =
     rhpFingerprint(a, nBits).toInt
 
+  /** Hyperplane signs depend only on (bit, component) — materialized
+    * once per (nBits, dims) per JVM instead of re-deriving lehmer3 for
+    * every row x bit x component (the values are identical; this is
+    * pure memoization, so oracle replication is unaffected). */
+  private val signCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Array[Double]]()
+
+  private def signs(nBits: Int, dims: Int): Array[Double] =
+    signCache.computeIfAbsent(nBits.toLong << 32 | dims, { key =>
+      val out = new Array[Double](nBits * dims)
+      var b = 0
+      while (b < nBits) {
+        var j = 0
+        while (j < dims) {
+          out(b * dims + j) =
+            if ((HashKernels.lehmer3(b.toLong << 20 | j) & 1L) == 1L) 1.0 else -1.0
+          j += 1
+        }
+        b += 1
+      }
+      out
+    })
+
   /** Long-form signature for banded LSH: up to 62 hyperplane sign
     * bits, split by callers into per-band keys. */
   def rhpFingerprint(a: ArrayData, nBits: Int): Long = {
     val n = a.numElements()
+    val sg = signs(nBits, n)
     var bucket = 0L
     var b = 0
     while (b < nBits) {
       var acc = 0.0
+      val off = b * n
       var j = 0
       while (j < n) {
-        val sign = if ((HashKernels.lehmer3(b.toLong << 20 | j) & 1L) == 1L) 1.0 else -1.0
-        acc += a.getFloat(j) * sign
+        acc += a.getFloat(j) * sg(off + j)
         j += 1
       }
       if (acc > 0) bucket |= 1L << b

@@ -340,16 +340,35 @@ object Similarity {
     val nBits = bitsPerBand * bands
     require(nBits <= 62, s"bitsPerBand * bands must be <= 62, got $nBits")
     val mask = (1 << bitsPerBand) - 1
-    val withFp = emb.select(col(idCol), col(vecCol),
+    val withFp = emb.select(col(idCol),
       graft.functions.vectors.rhp_fingerprint(col(vecCol), nBits).as("__fp"))
-    def banded(side: String) = withFp.select(col(idCol).as(side),
-      posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
-        s"b -> (__fp >> (b * $bitsPerBand)) & $mask)")).as(Seq("band", "key")))
-    // candidates dedup BEFORE the verify join: each pair costs one
-    // cosine however many bands it collides in
-    val cand = banded("id_a").join(banded("id_b"), Seq("band", "key"))
+    // the band join carries ONLY (id, fingerprint) — never the vectors;
+    // a 64-dim float array through an exploded candidate join costs
+    // more in row copies than the whole verify (measured 1.8x the
+    // suite's old distinct() plan at sf0.1)
+    def banded(side: String, fp: String) =
+      withFp.select(col(idCol).as(side), col("__fp").as(fp),
+        posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
+          s"b -> (__fp >> (b * $bitsPerBand)) & $mask)")).as(Seq("band", "key")))
+    // each pair is emitted only from the SMALLEST band the two
+    // fingerprints agree on — a row-local bit predicate on the join
+    // output, so multi-band hits dedup without shuffling the candidate
+    // pair table through a distinct() (the simhash firstAgreeingChunk
+    // pattern). Unrolled over the (compile-time) band count: a forall
+    // lambda here would drop the hot filter out of codegen into
+    // interpreted per-row eval
+    val firstAgreeingBand = (0 until bands - 1).map { bb =>
+      (col("band") <= bb) ||
+        (expr(s"(__fpa >> ${bb * bitsPerBand}) & $mask") =!=
+          expr(s"(__fpb >> ${bb * bitsPerBand}) & $mask"))
+    }.reduce(_ && _)
+    val cand = banded("id_a", "__fpa").join(banded("id_b", "__fpb"), Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .filter(firstAgreeingBand)
+      .select("id_a", "id_b")
+    // verify joins: the (id, vector, norm) side is table-sized (not
+    // candidate-sized), so AQE broadcasts it at test scale and falls
+    // back to shuffle joins when the table is genuinely large
     val withNorm = emb.select(col(idCol),
       col(vecCol), graft.functions.vectors.vector_norm(col(vecCol)).as("__n"))
     val a = withNorm.select(col(idCol).as("id_a"),
