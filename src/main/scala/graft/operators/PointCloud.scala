@@ -241,19 +241,10 @@ final class BlockedCloud(
     else Some(Bbox(qxMin.toDouble, qxMax.toDouble, qyMin.toDouble, qyMax.toDouble))
   }
 
-  /** OR-of-BETWEEN scan predicate over the decomposed ranges, combined as
-    * a *balanced* tree: a left-deep reduce of hundreds of ranges
-    * overflows Catalyst's recursive Column-node converter, and a
-    * balanced tree keeps depth logarithmic no matter the budget. */
-  private def headPredicate(ranges: Seq[(Long, Long)]): Column = {
-    def orAll(cs: IndexedSeq[Column]): Column =
-      if (cs.length == 1) cs.head
-      else orAll(cs.grouped(2).map(g => if (g.length == 2) g(0) || g(1) else g(0)).toIndexedSeq)
-    orAll(ranges.map { case (lo, hi) =>
-      if (lo == hi) col("sfc_head") === lit(lo)
-      else col("sfc_head").between(lit(lo), lit(hi))
-    }.toIndexedSeq)
-  }
+  /** Pushed OR-of-BETWEEN + binary-search membership over the
+    * decomposed ranges — see [[SfcPredicates.headIn]]. */
+  private def headPredicate(ranges: Seq[(Long, Long)]): Column =
+    SfcPredicates.headIn(col("sfc_head"), ranges)
 
   /** Unpack blocks to reconstructed points (x, y, z) — the reference's
     * explode-decode loop (retrieve_data.py:127-145) as a lazy plan.

@@ -98,15 +98,8 @@ final class BlockedCloud3(
     val blocks: DataFrame,
     val meta: Cloud3Meta) {
 
-  private def headPredicate(ranges: Seq[(Long, Long)]): Column = {
-    def orAll(cs: IndexedSeq[Column]): Column =
-      if (cs.length == 1) cs.head
-      else orAll(cs.grouped(2).map(g => if (g.length == 2) g(0) || g(1) else g(0)).toIndexedSeq)
-    orAll(ranges.map { case (lo, hi) =>
-      if (lo == hi) col("sfc_head") === lit(lo)
-      else col("sfc_head").between(lit(lo), lit(hi))
-    }.toIndexedSeq)
-  }
+  private def headPredicate(ranges: Seq[(Long, Long)]): Column =
+    SfcPredicates.headIn(col("sfc_head"), ranges)
 
   /** Explode blocks to (x, y, z) with z reconstructed as zq / zDenom —
     * the IEEE quotient is correctly rounded, so it reproduces the
@@ -137,7 +130,7 @@ final class BlockedCloud3(
     val hr = MortonRange3.decompose(
       Box3(qx0.toDouble, qx1.toDouble, qy0.toDouble, qy1.toDouble,
         qz0.toDouble, qz1.toDouble),
-      meta.headLen + meta.tailLen, meta.tailLen, maxCells = 512)
+      meta.headLen + meta.tailLen, meta.tailLen, maxCells = 2048)
     val contained = if (hr.contained.nonEmpty)
       explode3(blocks.filter(headPredicate(hr.contained)))
     else explode3(blocks.filter(lit(false)))
@@ -167,7 +160,7 @@ final class BlockedCloud3(
       Box3(math.max(0, math.ceil(cx - r)), math.floor(cx + r),
         math.max(0, math.ceil(cy - r)), math.floor(cy + r),
         qz0.toDouble, qz1.toDouble),
-      meta.headLen + meta.tailLen, meta.tailLen, maxCells = 512)
+      meta.headLen + meta.tailLen, meta.tailLen, maxCells = 2048)
     if (hr.isEmpty) return out(explode3(blocks.filter(lit(false))))
     val d2 = (col("xq") - cx) * (col("xq") - cx) +
       (col("yq") - cy) * (col("yq") - cy)
@@ -198,7 +191,7 @@ final class BlockedCloud3(
     val hr = MortonRange3.decompose(
       Box3(qx0.toDouble, qx1.toDouble, qy0.toDouble, qy1.toDouble,
         qz0.toDouble, qz1.toDouble),
-      meta.headLen + meta.tailLen, meta.tailLen, maxCells = 512)
+      meta.headLen + meta.tailLen, meta.tailLen, maxCells = 2048)
     val contained = if (hr.contained.nonEmpty)
       explode3(blocks.filter(headPredicate(hr.contained)))
     else explode3(blocks.filter(lit(false)))
