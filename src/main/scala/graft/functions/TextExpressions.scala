@@ -133,6 +133,46 @@ object TextKernels {
     * minhash path). Splits on single spaces like string_split, so the
     * word list matches the SQL side on normalized text. */
   def wordPortableHashes(s: UTF8String): ArrayData = {
+    // ASCII fast path (the normalized-corpus common case): code point
+    // == byte, so the two folds run over the raw bytes with no string
+    // materialization. Identical output to the code-point path.
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val nb = s.numBytes()
+    var i = 0
+    while (i < nb) {
+      if (Platform.getByte(base, off + i) < 0)
+        return wordPortableHashesGeneric(s)
+      i += 1
+    }
+    var words = 1
+    i = 0
+    while (i < nb) {
+      if (Platform.getByte(base, off + i) == ' ') words += 1
+      i += 1
+    }
+    val out = new Array[Long](words)
+    var w = 0
+    var h1 = 0L
+    var h2 = 0L
+    i = 0
+    while (i <= nb) {
+      val b = if (i == nb) ' ' else Platform.getByte(base, off + i) // sentinel
+      if (b == ' ') {
+        out(w) = (HashKernels.lehmer3(h1) << 31) | HashKernels.lehmer3(h2)
+        w += 1; h1 = 0L; h2 = 0L
+      } else {
+        h1 = (h1 * 48271L + b) % 2147483647L
+        h2 = (h2 * 16807L + b) % 2147483629L
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** Code-point path for non-ASCII input — the semantic definition
+    * (ord(code point), matching DuckDB's ord()). */
+  private def wordPortableHashesGeneric(s: UTF8String): ArrayData = {
     val words = s.toString.split(" ", -1)
     val out = new Array[Long](words.length)
     var w = 0

@@ -45,6 +45,28 @@ class TextKernelsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
 
+  test("word_portable_hashes: ASCII byte fast path == code-point definition") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def viaGeneric(t: String): Seq[Long] =
+      t.split(" ", -1).toSeq.map { word =>
+        var h1 = 0L; var h2 = 0L
+        var i = 0
+        while (i < word.length) {
+          val c = word.codePointAt(i)
+          h1 = (h1 * 48271L + c) % 2147483647L
+          h2 = (h2 * 16807L + c) % 2147483629L
+          i += Character.charCount(c)
+        }
+        (HashKernels.lehmer3(h1) << 31) | HashKernels.lehmer3(h2)
+      }
+    val cases = Seq("hello world", "", "a", "  double  spaces ",
+      "tréma café non ascii", "mixed ascii café")
+    cases.foreach { t =>
+      val got = TextKernels.wordPortableHashes(UTF8String.fromString(t))
+      assert((0 until got.numElements()).map(got.getLong) == viaGeneric(t), t)
+    }
+  }
+
   test("idBucket stays in range and engine-safe for huge ids") {
     // ids past ~3.4e9 would overflow int64 in the naive id*K form on
     // DuckDB; the wrap-safe form must stay within [0, m) and not throw
