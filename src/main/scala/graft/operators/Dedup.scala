@@ -28,7 +28,10 @@ object Dedup {
   private def rebalanced(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df // micro-batches are already split
     val target = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // internal-row RDD partition count — df.rdd would additionally
+    // build the row-deserializer conversion just to count splits
+    val parts = df.queryExecution.toRdd.getNumPartitions
+    if (parts < target) df.repartition(target) else df
   }
 
   /** One row per distinct normalized text, keeping the smallest id

@@ -32,31 +32,47 @@ object Las {
 
   /** Driver-side header scan (S1): bbox + count without touching point
     * data — the reference's FileLoader.get_metadata
-    * (pipeline/import_data.py:25-36). */
+    * (pipeline/import_data.py:25-36). Reads LAS 1.0–1.4: the 1.4
+    * header grows to 375 bytes and moves the (now 64-bit) point count
+    * to offset 247, with the legacy 32-bit count at 107 allowed to be
+    * zero; the compressed-format bit (laszip sets bit 7 of the point
+    * format id) is rejected explicitly — see README "Format boundary:
+    * LAZ". */
   def readHeader(path: String): LasHeader = {
     val bytes = {
       val ch = FileChannel.open(Paths.get(path))
       try {
-        val buf = ByteBuffer.allocate(227)
+        val buf = ByteBuffer.allocate(375)
         var n = 0
-        while (n < 227) {
+        var eof = false
+        while (n < 375 && !eof) {
           val r = ch.read(buf)
-          require(r >= 0, s"$path: truncated LAS header")
-          n += r
+          if (r < 0) eof = true else n += r
         }
+        require(n >= 227, s"$path: truncated LAS header ($n bytes)")
         buf.flip(); buf
       } finally ch.close()
     }
     bytes.order(ByteOrder.LITTLE_ENDIAN)
     val sig = new String(Array(bytes.get(0), bytes.get(1), bytes.get(2), bytes.get(3)))
     require(sig == "LASF", s"$path: not a LAS file (signature $sig)")
+    val versionMinor = bytes.get(25) & 0xff
+    val rawFormat = bytes.get(104) & 0xff
+    require((rawFormat & 0x80) == 0,
+      s"$path: compressed LAZ (format bit 7 set) — decompress before ingest (see README)")
+    val legacyCount = bytes.getInt(107) & 0xffffffffL
+    val pointCount =
+      if (versionMinor >= 4 && bytes.limit() >= 255) {
+        val c64 = bytes.getLong(247)
+        if (c64 > 0) c64 else legacyCount
+      } else legacyCount
     LasHeader(
       versionMajor = bytes.get(24) & 0xff,
-      versionMinor = bytes.get(25) & 0xff,
-      pointFormat = bytes.get(104) & 0xff,
+      versionMinor = versionMinor,
+      pointFormat = rawFormat,
       recordLen = bytes.getShort(105) & 0xffff,
       offsetToPoints = bytes.getInt(96) & 0xffffffffL,
-      pointCount = bytes.getInt(107) & 0xffffffffL,
+      pointCount = pointCount,
       scaleX = bytes.getDouble(131), scaleY = bytes.getDouble(139), scaleZ = bytes.getDouble(147),
       offX = bytes.getDouble(155), offY = bytes.getDouble(163), offZ = bytes.getDouble(171),
       xMax = bytes.getDouble(179), xMin = bytes.getDouble(187),
@@ -70,11 +86,15 @@ object Las {
     StructField("z", DoubleType, nullable = false)))
 
   /** Distributed full scan (S2): DataFrame[x, y, z] in world coordinates
-    * (int32 grid * scale + offset, like laspy's las.x/y/z). */
+    * (int32 grid * scale + offset, like laspy's las.x/y/z). Point
+    * formats 0–10: every LAS record layout through v1.4 keeps the
+    * int32 x, y, z triple at record offsets 0/4/8 (only the attribute
+    * tail differs), so the fixed-stride chunk decode is
+    * format-agnostic given recordLen from the header. */
   def readPoints(spark: SparkSession, path: String,
       recordsPerChunk: Int = 2 << 20): DataFrame = {
     val h = readHeader(path)
-    require(h.pointFormat <= 5, s"unsupported point format ${h.pointFormat}")
+    require(h.pointFormat <= 10, s"unsupported point format ${h.pointFormat}")
     val nChunks = ((h.pointCount + recordsPerChunk - 1) / recordsPerChunk).toInt
     val safe = spark.sparkContext
       .parallelize(0 until math.max(nChunks, 1), math.max(nChunks, 1))

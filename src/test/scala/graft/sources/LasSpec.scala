@@ -103,6 +103,53 @@ class LasSpec extends AnyFunSuite {
     assert(hits == 9) // 3 x 3 grid cells
   }
 
+  test("reads a LAS 1.4 point-format-6 file (375-byte header, 64-bit count)") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val pts = Seq((12.3, 45.6, 7.8), (-1.5, 0.0, 99.9), (1000.0, -2000.0, 0.1))
+    val recordLen = 30 // pf6 minimum
+    val header = ByteBuffer.allocate(375).order(ByteOrder.LITTLE_ENDIAN)
+    header.put("LASF".getBytes)
+    header.put(24, 1.toByte).put(25, 4.toByte) // v1.4
+    header.putShort(94, 375.toShort)
+    header.putInt(96, 375) // offset to point data
+    header.put(104, 6.toByte) // point format 6
+    header.putShort(105, recordLen.toShort)
+    header.putInt(107, 0) // legacy count zero, as v1.4 allows
+    header.putDouble(131, 0.001).putDouble(139, 0.001).putDouble(147, 0.001)
+    header.putDouble(155, 10.0).putDouble(163, -10.0).putDouble(171, 0.5)
+    header.putLong(247, pts.length.toLong) // 64-bit count
+    val body = ByteBuffer.allocate(pts.length * recordLen).order(ByteOrder.LITTLE_ENDIAN)
+    pts.zipWithIndex.foreach { case ((x, y, z), i) =>
+      body.putInt(i * recordLen, math.round((x - 10.0) / 0.001).toInt)
+      body.putInt(i * recordLen + 4, math.round((y + 10.0) / 0.001).toInt)
+      body.putInt(i * recordLen + 8, math.round((z - 0.5) / 0.001).toInt)
+    }
+    val path = "/tmp/graft_las14_pf6.las"
+    val out = new java.io.FileOutputStream(path)
+    try { out.write(header.array()); out.write(body.array()) } finally out.close()
+
+    val h = Las.readHeader(path)
+    assert(h.versionMinor == 4 && h.pointFormat == 6 && h.pointCount == 3)
+    val back = Las.readPoints(spark, path)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2))).toSet
+    pts.foreach { case (x, y, z) =>
+      assert(back.exists { case (bx, by, bz) =>
+        math.abs(bx - x) < 1e-9 && math.abs(by - y) < 1e-9 && math.abs(bz - z) < 1e-9
+      }, s"missing ($x, $y, $z) in $back")
+    }
+  }
+
+  test("readHeader rejects a LAZ compressed-format bit") {
+    val path = "/tmp/graft_laz_probe.las"
+    val buf = java.nio.ByteBuffer.allocate(227).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("LASF".getBytes)
+    buf.put(24, 1.toByte).put(25, 2.toByte)
+    buf.put(104, (3 | 0x80).toByte) // laszip marks compression in bit 7
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), buf.array())
+    val e = intercept[IllegalArgumentException](Las.readHeader(path))
+    assert(e.getMessage.contains("LAZ"))
+  }
+
   test("readHeader rejects non-LAS bytes") {
     val p = "/tmp/graft_not_las.las"
     java.nio.file.Files.write(java.nio.file.Paths.get(p),
