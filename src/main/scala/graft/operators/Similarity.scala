@@ -297,6 +297,22 @@ object Similarity {
     means(s => graft.functions.vectors.nearest_centroid(col(s"__seg_$s"), seed(s)))
   }
 
+  /** Semantic dedup (the SemDeDup shape): block by the deterministic
+    * IVF coarse cluster, then exact-verify cosine within each cluster —
+    * near-duplicate semantics from the embedding geometry with no
+    * all-pairs join; the pair space is bounded per cluster, and the
+    * cluster count is the recall/cost dial (pairs straddling a cluster
+    * boundary are the accepted miss, as in the published method).
+    * Composes [[ivfCentroids]] (whose quantizer is oracle-replayable)
+    * with [[cosineNearDupPairs]]. */
+  def semanticDedupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nLists: Int = 16): DataFrame = {
+    val cents = ivfCentroids(emb, idCol, vecCol, nLists)
+    val assigned = emb.withColumn("__list",
+      graft.functions.vectors.nearest_centroid(col(vecCol), cents))
+    cosineNearDupPairs(assigned, idCol, vecCol, "__list", threshold)
+  }
+
   /** Exact near-duplicate pairs (cosine >= threshold) within blocking
     * groups (e.g. a cluster/label/shard key): an equi-join on the block
     * key keeps the pair space bounded per group — the all-pairs form of

@@ -52,6 +52,11 @@ object EmbeddingQueries {
     }),
     "emb_quantize_int8" -> ((s, d) =>
       Similarity.quantizeInt8(emb(s, d), "vec_id", "embedding")),
+    // SemDeDup shape: IVF-cluster blocking + exact within-cluster
+    // cosine — embedding-space near-dup pairs with no all-pairs join
+    "emb_semantic_dedup" -> ((s, d) =>
+      Similarity.semanticDedupPairs(emb(s, d), "vec_id", "embedding", 0.35)
+        .orderBy("id_a", "id_b")),
     // product quantization: the codebooks derive from lehmer3 seeding
     // and exact integer means, so the oracle replays the full double
     // k-means; the spec additionally pins reconstruction quality
@@ -101,16 +106,15 @@ object EmbeddingQueries {
        LEFT JOIN $sumCte ss ON ss.list_id = g.l AND ss.pos = g.p
        GROUP BY 1"""
 
-  /** Full SQL replication of the deterministic IVF pipeline
-    * (Similarity.ivfCentroids + ivfTopK): lehmer3 seeding, exact
-    * 2^-20-grid integer centroid means, nearest-centroid refinement,
-    * probe selection, exact rerank. Shared by emb_ivf_topk and
-    * emb_ivf_indexed (the stored index provably returns the same
-    * result — same quantizer, lossless double parquet roundtrip). */
-  private val ivfOracle: String = {
+  /** CTE chain replicating the deterministic IVF quantizer
+    * (Similarity.ivfCentroids + final nearest-centroid assignment):
+    * lehmer3 seeding, exact 2^-20-grid integer centroid means, one
+    * refinement pass; `a2` holds every row's final list_id and `fcent`
+    * the refined centroids. Shared by the IVF top-k oracles and the
+    * semantic-dedup oracle. */
+  private val ivfQuantizerCtes: String = {
     import PortableSql.{centroidCosine => cc, lehmer3, q20}
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-       q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    s"""e AS (SELECT vec_id, embedding FROM embeddings),
        sa AS (SELECT vec_id, (${lehmer3("vec_id")} % 16) AS list_id, embedding FROM e),
        ssum AS (SELECT list_id, t.i AS pos, sum(${q20("embedding[t.i + 1]")}) AS s,
                 count(*) AS n
@@ -129,19 +133,41 @@ object EmbeddingQueries {
                 LATERAL unnest(range(0, len(e.embedding))) AS t(i)
               GROUP BY 1, 2),
        fcent AS (${centGrid("fsum", 16, 64)}),
-       probes AS (SELECT c.list_id FROM fcent c, q
-                  ORDER BY ${cc("qe", "c.cv")} DESC, c.list_id LIMIT 4),
        s2 AS (SELECT e.vec_id, c.list_id, ${cc("e.embedding", "c.cv")} AS sim
               FROM e CROSS JOIN fcent c),
        b2 AS (SELECT vec_id, max(sim) AS bs FROM s2 GROUP BY 1),
        a2 AS (SELECT s2.vec_id, min(s2.list_id) AS list_id
               FROM s2 JOIN b2 ON s2.vec_id = b2.vec_id AND s2.sim = b2.bs
-              GROUP BY 1)
+              GROUP BY 1)"""
+  }
+
+  /** Full SQL replication of the deterministic IVF pipeline: the
+    * quantizer CTEs plus probe selection and exact rerank. Shared by
+    * emb_ivf_topk and emb_ivf_indexed (the stored index provably
+    * returns the same result — same quantizer, lossless double parquet
+    * roundtrip). */
+  private val ivfOracle: String = {
+    import PortableSql.{centroidCosine => cc}
+    s"""WITH $ivfQuantizerCtes,
+       q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       probes AS (SELECT c.list_id FROM fcent c, q
+                  ORDER BY ${cc("qe", "c.cv")} DESC, c.list_id LIMIT 4)
        SELECT e.vec_id, ${cosineSql("e.embedding", "qe")} AS sim
        FROM e JOIN a2 USING (vec_id), q
        WHERE a2.list_id IN (SELECT list_id FROM probes)
        ORDER BY sim DESC, e.vec_id LIMIT 20"""
   }
+
+  /** Semantic-dedup oracle: same-quantizer-cluster pairs with exact
+    * cosine >= threshold (Similarity.semanticDedupPairs). */
+  private val semanticDedupOracle: String =
+    s"""WITH $ivfQuantizerCtes
+       SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+         ${cosineSql("x.embedding", "y.embedding")} AS sim
+       FROM e x JOIN a2 ax ON x.vec_id = ax.vec_id
+         JOIN a2 ay ON ax.list_id = ay.list_id
+         JOIN e y ON y.vec_id = ay.vec_id AND x.vec_id < y.vec_id
+       WHERE sim >= 0.35"""
 
   /** Full SQL replication of Similarity.pqCodes (m=4, kSub=16,
     * samplePct=50 over 64 dims): per-segment codebooks trained on the
@@ -232,6 +258,7 @@ object EmbeddingQueries {
            AND ${cosineSql("a.embedding", "c.embedding")} >= 0.35""",
     "emb_ivf_topk" -> ivfOracle,
     "emb_ivf_indexed" -> ivfOracle,
+    "emb_semantic_dedup" -> semanticDedupOracle,
     "emb_pq_codes" -> pqOracle,
     "emb_kmeans_assign" ->
       s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 4),

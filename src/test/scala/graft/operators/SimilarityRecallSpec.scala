@@ -55,6 +55,25 @@ class SimilarityRecallSpec extends AnyFunSuite {
     assert(widened >= atQuery, "more probes must not lose recall")
   }
 
+  test("semantic dedup: precision 1.0, recall rises as clusters coarsen") {
+    val truth = Similarity.cosineNearDupPairs(
+        emb.withColumn("__one", org.apache.spark.sql.functions.lit(1)),
+        "vec_id", "embedding", "__one", 0.35)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def pairs(nLists: Int): Set[(Long, Long)] =
+      Similarity.semanticDedupPairs(emb, "vec_id", "embedding", 0.35, nLists)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fine = pairs(16)
+    val coarse = pairs(4)
+    assert(fine.subsetOf(truth) && coarse.subsetOf(truth),
+      "every emitted pair is exactly verified")
+    val rFine = (truth & fine).size.toDouble / truth.size
+    val rCoarse = (truth & coarse).size.toDouble / truth.size
+    assert(rFine >= 0.15, s"16-cluster recall $rFine")
+    assert(rCoarse >= rFine, s"coarser clusters must not lose pairs " +
+      s"on this data ($rCoarse < $rFine)")
+  }
+
   test("banded LSH pair recall >= 0.8 vs exhaustive pairs at 0.35") {
     // ground truth: all-pairs cosine >= 0.35 via a constant block key
     val truth = Similarity.cosineNearDupPairs(
