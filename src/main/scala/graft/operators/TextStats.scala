@@ -51,6 +51,61 @@ object TextStats {
       (nTok >= 5 && nTok <= 100000 && punctRatio <= lit(0.3)).as("keep"))
   }
 
+  /** Greedy token-budget selection: keep the highest-quality documents
+    * (quality desc, doc_id asc) while the running token total stays
+    * within `budgetTokens` — the "fill a training mix under budget"
+    * curation op. The quality key is integer-exact
+    * (stopword-permille minus punctuation-permille, both integer
+    * division), so engines agree bit-for-bit.
+    *
+    * Scale shape: the naive form is one global sort + an unpartitioned
+    * running-sum window — a single-task pipeline at corpus scale.
+    * Here: (1) one partially-aggregated pass builds the per-quality-key
+    * token histogram (<= ~2001 rows however large the corpus); (2) the
+    * driver finds the boundary key and the budget remaining for it;
+    * (3) full buckets pass a plain filter and only the BOUNDARY
+    * bucket's docs flow through a window — bounded by one quality
+    * key's population, not the corpus. */
+  def budgetSelect(df: DataFrame, idCol: String, textCol: String,
+      budgetTokens: Long): DataFrame = {
+    val t = norm(col(textCol))
+    val nChars = length(t)
+    val nTok = size(split(t, " "))
+    val punct = nChars - length(regexp_replace(t, "[^a-z0-9 ]", ""))
+    val stopHits = size(filter(split(t, " "), w => enStopwords.map(w === _).reduce(_ || _)))
+    val scored = df.select(col(idCol),
+        stopHits.cast("long").as("__stop"), nTok.cast("long").as("__ntok"),
+        punct.cast("long").as("__punct"), greatest(nChars.cast("long"), lit(1L)).as("__nchars"))
+      .select(col(idCol),
+        expr("((__stop * 1000) div __ntok) - ((__punct * 1000) div __nchars)")
+          .as("quality_milli"),
+        col("__ntok").as("n_tokens"))
+    // phase 1: token totals per quality key, descending
+    val buckets = scored.groupBy("quality_milli")
+      .agg(sum("n_tokens").as("t")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(-_._1)
+    var cum = 0L
+    var boundary = Option.empty[(Long, Long)] // (key, remaining budget)
+    buckets.foreach { case (k, bt) =>
+      if (boundary.isEmpty && cum + bt > budgetTokens)
+        boundary = Some((k, budgetTokens - cum))
+      if (boundary.isEmpty) cum += bt
+    }
+    boundary match {
+      case None => scored // everything fits the budget
+      case Some((bk, remaining)) =>
+        val full = scored.filter(col("quality_milli") > bk)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("quality_milli").orderBy(col(idCol).asc)
+        val atBoundary = scored.filter(col("quality_milli") === bk)
+          .withColumn("__cum", sum(col("n_tokens")).over(w))
+          .filter(col("__cum") <= remaining)
+          .drop("__cum")
+        full.unionAll(atBoundary)
+    }
+  }
+
   val enStopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
   val esStopwords: Seq[String] =

@@ -90,7 +90,12 @@ object DocQueries {
       CorpusMix.sourceMix(docs(s, d), "source", "lang", "text")),
     "doc_resample" -> ((s, d) =>
       CorpusMix.resampleBySource(docs(s, d), "doc_id", "source", resamplePct)
-        .select("doc_id", "source", "lang")))
+        .select("doc_id", "source", "lang")),
+    // greedy highest-quality-first selection under a token budget —
+    // the "fill a training mix" curation op, in its two-phase
+    // scale-safe form (bounded bucket histogram + boundary window)
+    "doc_budget_select" -> ((s, d) =>
+      TextStats.budgetSelect(docs(s, d), "doc_id", "text", budgetTokens = 20000L)))
 
   /** Fixture mix: downsample three sources, keep the rest. */
   private val resamplePct = Map("src0" -> 25, "src1" -> 50, "src2" -> 75)
@@ -372,5 +377,24 @@ object DocQueries {
            CASE WHEN source = 'src0' THEN 25
                 WHEN source = 'src1' THEN 50
                 WHEN source = 'src2' THEN 75
-                ELSE 100 END""")
+                ELSE 100 END""",
+    // naive single-window form: the oracle can afford what the
+    // distributed engine avoids; the inclusive running-sum cut over
+    // (quality desc, doc_id asc) defines the greedy semantics
+    "doc_budget_select" ->
+      s"""WITH n AS (SELECT doc_id, $normSql AS t FROM documents),
+         c AS (SELECT doc_id, greatest(length(t), 1) AS n_chars,
+                 len(string_split(t, ' ')) AS n_tokens,
+                 length(t) - length(regexp_replace(t, '[^a-z0-9 ]', '', 'g')) AS punct,
+                 len(list_filter(string_split(t, ' '),
+                   w -> list_contains(${stopListSql(TextStats.enStopwords)}, w))) AS stop
+               FROM n),
+         s AS (SELECT doc_id,
+                 ((stop * 1000) // n_tokens) - ((punct * 1000) // n_chars) AS quality_milli,
+                 n_tokens FROM c),
+         r AS (SELECT *, sum(n_tokens) OVER (ORDER BY quality_milli DESC, doc_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM s)
+         SELECT doc_id, CAST(quality_milli AS BIGINT) AS quality_milli,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+         FROM r WHERE cum <= 20000""")
 }

@@ -5,6 +5,37 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class TextStatsSpec extends AnyFunSuite {
 
+  test("budgetSelect == naive greedy inclusive-cumsum cut") {
+    val spark2 = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark2.implicits._
+    // quality spread + exact-boundary and crossing-doc cases
+    val docs = (0 until 200).map { i =>
+      val words = Seq.fill(5 + i % 17)(if (i % 3 == 0) "the" else s"w$i")
+      (i.toLong, words.mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    def naive(budget: Long): Set[Long] = {
+      val scored = docs.map { case (id, t) =>
+        val toks = t.split(" ")
+        val stop = toks.count(TextStats.enStopwords.contains)
+        val punct = 0L // texts are [a-z0-9 ] by construction
+        val q = stop.toLong * 1000 / toks.length - punct
+        (id, q, toks.length.toLong)
+      }.sortBy { case (id, q, _) => (-q, id) }
+      var cum = 0L
+      scored.flatMap { case (id, _, n) =>
+        cum += n; if (cum <= budget) Some(id) else None
+      }.toSet
+    }
+    Seq(0L, 100L, 777L, 1500L, 100000L).foreach { b =>
+      val got = TextStats.budgetSelect(df, "doc_id", "text", b)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == naive(b), s"budget $b")
+    }
+  }
+
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
