@@ -109,6 +109,27 @@ object HashKernels {
     * Fewer than n tokens/chars degenerates to one whole-string shingle,
     * matching `slice`/`substring` semantics of the SQL form. */
   def shingleHashes(s: UTF8String, n: Int, word: Boolean): ArrayData = {
+    val out = shingleHashesRaw(s, n, word)
+    // sort + in-place dedupe
+    java.util.Arrays.sort(out)
+    var k = 0
+    var i = 0
+    while (i < out.length) {
+      if (k == 0 || out(i) != out(k - 1)) { out(k) = out(i); k += 1 }
+      i += 1
+    }
+    ArrayData.toArrayData(if (k == out.length) out else java.util.Arrays.copyOf(out, k))
+  }
+
+  /** Per-POSITION shingle hashes, one per gram start, document order,
+    * duplicates kept — for span-level statistics (how many positions
+    * sit inside a corpus-duplicated gram), where the deduped set form
+    * would lose within-doc multiplicity. Same bytes hashed as
+    * [[shingleHashes]]. */
+  def shingleHashesPos(s: UTF8String, n: Int, word: Boolean): ArrayData =
+    ArrayData.toArrayData(shingleHashesRaw(s, n, word))
+
+  private def shingleHashesRaw(s: UTF8String, n: Int, word: Boolean): Array[Long] = {
     val base = s.getBaseObject
     val off = s.getBaseOffset
     val numBytes = s.numBytes()
@@ -162,15 +183,7 @@ object HashKernels {
         }
         hs
       }
-    // sort + in-place dedupe
-    java.util.Arrays.sort(out)
-    var k = 0
-    var i = 0
-    while (i < out.length) {
-      if (k == 0 || out(i) != out(k - 1)) { out(k) = out(i); k += 1 }
-      i += 1
-    }
-    ArrayData.toArrayData(if (k == out.length) out else java.util.Arrays.copyOf(out, k))
+    out
   }
 
   /** |A ∩ B| of two SORTED long arrays — one merge pass, no hash table.
@@ -262,6 +275,19 @@ case class ShingleHashes(child: Expression, n: Int, word: Boolean)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Per-position (non-deduped, document-order) shingle hashes. */
+case class ShingleHashesPos(child: Expression, n: Int, word: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_hashes_pos"
+  override protected def nullSafeEval(s: Any): Any =
+    HashKernels.shingleHashesPos(s.asInstanceOf[UTF8String], n, word)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.HashKernels.shingleHashesPos($s, $n, $word)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Intersection size of two sorted long arrays. */
 case class SortedIntersectSize(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -292,6 +318,9 @@ object hashes {
 
   def shingle_hashes(normText: Column, n: Int, word: Boolean): Column =
     col(ShingleHashes(expr(normText), n, word))
+
+  def shingle_hashes_pos(normText: Column, n: Int, word: Boolean): Column =
+    col(ShingleHashesPos(expr(normText), n, word))
 
   def sorted_intersect_size(a: Column, b: Column): Column =
     col(SortedIntersectSize(expr(a), expr(b)))

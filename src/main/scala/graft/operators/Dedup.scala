@@ -219,6 +219,46 @@ object Dedup {
     minhashNearDups(df, idCol, textCol, shingleLen = n, wordShingles = false,
       numHashes = 128, bands = 16, threshold = threshold)
 
+  /** Cross-document duplicated-span fraction (the Gopher/RefinedWeb
+    * family of corpus-hygiene signals): per document, how many of its
+    * word-n-gram start positions carry a gram that also appears in at
+    * least `minDocs` DISTINCT documents, as a permille of all
+    * positions. High values mark boilerplate-heavy or near-copied
+    * documents without needing pairwise comparison.
+    *
+    * Scale shape: per-position gram hashes come from one codegen
+    * kernel pass ([[graft.functions.HashKernels.shingleHashesPos]] —
+    * no gram strings materialized); every shuffle carries only
+    * (id, 8-byte hash, count) rows. Corpus doc-frequency is a window
+    * over the (doc, gram)-grouped frame partitioned by gram — the
+    * grouped frame is already hash-distributed, so df costs one
+    * narrow shuffle, never a join back to the raw gram stream. Gram
+    * identity is the 64-bit hash: collisions conflate grams at
+    * ~|grams|^2 / 2^64 — vanishing at any corpus size. */
+  def dupSpanFraction(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minDocs: Int = 2): DataFrame = {
+    val grams = rebalanced(df).select(col(idCol),
+      explode(graft.functions.hashes.shingle_hashes_pos(
+        normalizeText(col(textCol)), n, word = true)).as("__h"))
+    // (doc, gram) -> within-doc multiplicity; partial agg shrinks the
+    // explode before any shuffle
+    val perDoc = grams.groupBy(col(idCol), col("__h"))
+      .agg(count(lit(1)).as("__cnt"))
+    // rows per gram == distinct docs containing it
+    val wDf = org.apache.spark.sql.expressions.Window.partitionBy("__h")
+    val dup = perDoc
+      .withColumn("__df", count(lit(1)).over(wDf))
+      .filter(col("__df") >= minDocs)
+      .groupBy(col(idCol)).agg(sum("__cnt").as("__dup"))
+    val totals = df.select(col(idCol),
+      greatest(size(split(normalizeText(col(textCol)), " ")) - lit(n - 1), lit(1))
+        .cast("long").as("n_spans"))
+    totals.join(dup, Seq(idCol), "left")
+      .select(col(idCol), col("n_spans"),
+        coalesce(col("__dup"), lit(0L)).as("dup_spans"))
+      .withColumn("dup_permille", expr("(dup_spans * 1000) div n_spans"))
+  }
+
   /** 64-bit SimHash per doc: bit j of the fingerprint is the sign of the
     * sum over tokens of bit j (+1/-1) of the token's hash. Computed
     * as a per-row higher-order aggregate — no explode, no shuffle; each

@@ -95,7 +95,12 @@ object DocQueries {
     // the "fill a training mix" curation op, in its two-phase
     // scale-safe form (bounded bucket histogram + boundary window)
     "doc_budget_select" -> ((s, d) =>
-      TextStats.budgetSelect(docs(s, d), "doc_id", "text", budgetTokens = 20000L)))
+      TextStats.budgetSelect(docs(s, d), "doc_id", "text", budgetTokens = 20000L)),
+    // cross-document duplicated 8-gram span fraction (boilerplate /
+    // near-copy signal); gram identity by 64-bit hash, stats by
+    // narrow (id, hash, count) shuffles only
+    "doc_dup_span_fraction" -> ((s, d) =>
+      Dedup.dupSpanFraction(docs(s, d), "doc_id", "text", n = 8, minDocs = 2)))
 
   /** Fixture mix: downsample three sources, keep the rest. */
   private val resamplePct = Map("src0" -> 25, "src1" -> 50, "src2" -> 75)
@@ -396,5 +401,23 @@ object DocQueries {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM s)
          SELECT doc_id, CAST(quality_milli AS BIGINT) AS quality_milli,
            CAST(n_tokens AS BIGINT) AS n_tokens
-         FROM r WHERE cum <= 20000""")
+         FROM r WHERE cum <= 20000""",
+    // gram identity by STRING here (the engine uses 64-bit hashes;
+    // equal up to vanishing hash collisions, which the exact compare
+    // would catch)
+    "doc_dup_span_fraction" ->
+      s"""WITH nm AS (SELECT doc_id, $normSql AS t FROM documents),
+         w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM nm),
+         g AS (SELECT doc_id, array_to_string(ws[i.i : i.i + 7], ' ') AS gram
+               FROM w, LATERAL (SELECT unnest(range(1, greatest(len(ws) - 7, 1) + 1)) AS i) i),
+         p AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+         d AS (SELECT gram, count(*) AS df FROM p GROUP BY 1),
+         dup AS (SELECT doc_id, sum(cnt) AS dup_spans
+                 FROM p JOIN d USING (gram) WHERE df >= 2 GROUP BY 1)
+         SELECT w.doc_id,
+           CAST(greatest(len(ws) - 7, 1) AS BIGINT) AS n_spans,
+           CAST(coalesce(dup_spans, 0) AS BIGINT) AS dup_spans,
+           CAST((coalesce(dup_spans, 0) * 1000) // greatest(len(ws) - 7, 1) AS BIGINT)
+             AS dup_permille
+         FROM w LEFT JOIN dup USING (doc_id)""")
 }

@@ -131,4 +131,46 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("dupSpanFraction == brute-force gram doc-frequency count") {
+    // doc 1/2 share an 8-word run; doc 3 repeats it twice internally
+    // (within-doc repeats add multiplicity but not doc-frequency);
+    // doc 4 is clean; doc 5 is shorter than the gram (1 degenerate span)
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val d = docs(
+      1L -> s"one two $shared three four",
+      2L -> s"$shared five six seven",
+      3L -> s"$shared x $shared",
+      4L -> "p q r s t u v w x y z aa bb cc",
+      5L -> "tiny doc",
+      6L -> "tiny doc")
+    def brute(n: Int, minDocs: Int): Map[Long, (Long, Long)] = {
+      val rows = d.collect().map(r => (r.getLong(0), r.getString(1)
+        .toLowerCase.trim.replaceAll("\\s+", " ")))
+      val grams = rows.map { case (id, t) =>
+        val ws = t.split(" ")
+        val m = math.max(ws.length - n + 1, 1)
+        (id, (0 until m).map(i => ws.slice(i, i + n).mkString(" ")))
+      }
+      val dfreq = grams.flatMap { case (id, gs) => gs.distinct.map((_, id)) }
+        .groupBy(_._1).map { case (g, xs) => (g, xs.length) }
+      grams.map { case (id, gs) =>
+        val dup = gs.count(g => dfreq(g) >= minDocs).toLong
+        id -> (gs.length.toLong, dup)
+      }.toMap
+    }
+    for (minDocs <- Seq(2, 3)) {
+      val exp = brute(8, minDocs)
+      val got = Dedup.dupSpanFraction(d, "doc_id", "text", n = 8, minDocs = minDocs)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(got.keySet == exp.keySet)
+      exp.foreach { case (id, (tot, dup)) =>
+        assert(got(id) == ((tot, dup, dup * 1000 / tot)), s"doc $id minDocs $minDocs")
+      }
+    }
+    // sanity on the planted layout at the defaults
+    val byId = Dedup.dupSpanFraction(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(byId(4L) == 0L && byId(1L) > 0L && byId(2L) > 0L && byId(5L) == 1L)
+  }
 }
