@@ -95,14 +95,17 @@ object TextStats {
     boundary match {
       case None => scored // everything fits the budget
       case Some((bk, remaining)) =>
-        val full = scored.filter(col("quality_milli") > bk)
+        // One evaluation of the scoring subtree, one window shuffle
+        // bounded by the selected (~budget-sized) rows: full buckets
+        // pass unconditionally, the boundary bucket by running sum. (A
+        // union of a plain filter + a boundary-only window would
+        // evaluate the per-doc kernels twice.)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("quality_milli").orderBy(col(idCol).asc)
-        val atBoundary = scored.filter(col("quality_milli") === bk)
+        scored.filter(col("quality_milli") >= bk)
           .withColumn("__cum", sum(col("n_tokens")).over(w))
-          .filter(col("__cum") <= remaining)
+          .filter(col("quality_milli") > bk || col("__cum") <= remaining)
           .drop("__cum")
-        full.unionAll(atBoundary)
     }
   }
 
