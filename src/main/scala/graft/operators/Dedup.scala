@@ -244,18 +244,15 @@ object Dedup {
     // explode before any shuffle
     val perDoc = grams.groupBy(col(idCol), col("__h"))
       .agg(count(lit(1)).as("__cnt"))
-    // rows per gram == distinct docs containing it
+    // rows per gram == distinct docs containing it; and since the
+    // kernel emits one hash per POSITION, sum(cnt) per doc == the
+    // doc's span count — no second text scan, no join back
     val wDf = org.apache.spark.sql.expressions.Window.partitionBy("__h")
-    val dup = perDoc
+    perDoc
       .withColumn("__df", count(lit(1)).over(wDf))
-      .filter(col("__df") >= minDocs)
-      .groupBy(col(idCol)).agg(sum("__cnt").as("__dup"))
-    val totals = df.select(col(idCol),
-      greatest(size(split(normalizeText(col(textCol)), " ")) - lit(n - 1), lit(1))
-        .cast("long").as("n_spans"))
-    totals.join(dup, Seq(idCol), "left")
-      .select(col(idCol), col("n_spans"),
-        coalesce(col("__dup"), lit(0L)).as("dup_spans"))
+      .groupBy(col(idCol)).agg(
+        sum("__cnt").as("n_spans"),
+        sum(when(col("__df") >= minDocs, col("__cnt")).otherwise(0L)).as("dup_spans"))
       .withColumn("dup_permille", expr("(dup_spans * 1000) div n_spans"))
   }
 
