@@ -173,4 +173,19 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(byId(4L) == 0L && byId(1L) > 0L && byId(2L) > 0L && byId(5L) == 1L)
   }
+
+  test("dupSpanFraction plan: one text scan, no join, no text in exchanges") {
+    val out = Dedup.dupSpanFraction(docs(1L -> "a b c", 2L -> "a b c"), "doc_id", "text")
+    val plan = out.queryExecution.executedPlan
+    val s = plan.toString
+    assert(!s.contains("Join"), "span totals must come from the gram stream, not a join")
+    assert(s.linesIterator.count(_.contains("LocalTableScan")) <= 1 &&
+      !s.contains("Union"), "text must be scanned exactly once")
+    // every exchange's schema is (id, hash, count)-shaped — no strings
+    plan.collect { case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+      .foreach { e =>
+        assert(e.child.output.forall(_.dataType ==
+          org.apache.spark.sql.types.LongType), s"wide exchange: ${e.child.output}")
+      }
+  }
 }
