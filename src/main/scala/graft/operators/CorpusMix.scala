@@ -46,4 +46,58 @@ object CorpusMix {
     }
     df.filter(TextStats.idBucket(col(idCol), 100L) < pct)
   }
+
+  /** EXACTLY min(k, |stratum|) documents per stratum, chosen
+    * deterministically by portable-hash rank ([[graft.functions.hashes
+    * .lehmer3]] of the id, id tiebreak) — "curate exactly N docs per
+    * source", reproducible on any engine and at any parallelism.
+    *
+    * Scale shape: the naive global form is one window over the whole
+    * corpus partitioned by stratum — a full shuffle, and a single-task
+    * hotspot for any giant stratum. Here the rank key is a uniform
+    * hash, so a per-stratum key THRESHOLD pre-selects ~oversample*k
+    * candidates: (1) one tiny count aggregate sizes each stratum;
+    * (2) rows with key <= threshold survive — a scan-local filter, a
+    * key-order PREFIX, so if >= k survive the true top-k are all
+    * among them; (3) the exact window runs over candidates only
+    * (strata x oversample*k rows). Undershoot (P ~ e^-k per Chernoff)
+    * is detected by a count and retried with a raised threshold —
+    * exactness never depends on the probabilistic bound. */
+  def stratifiedSampleExact(df: DataFrame, idCol: String, srcCol: String,
+      k: Int, oversample: Int = 4, maxRounds: Int = 4): DataFrame = {
+    require(k > 0 && oversample >= 2, s"need k > 0, oversample >= 2: $k, $oversample")
+    val M = 2147483647L // lehmer3 keys live in [1, 2^31 - 2]
+    val slim = df.select(col(srcCol).as("__s"), col(idCol))
+      .withColumn("__key", graft.functions.hashes.lehmer3(col(idCol)))
+    val sizes = slim.groupBy(col("__s")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.get(0), r.getLong(1))) // strata are few; rows are (value, count)
+    def thresholds(mult: Long): Map[Any, Long] = sizes.map { case (s, n) =>
+      val want = oversample.toLong * mult * k
+      s -> (if (n <= want) M else M * want / n + 1)
+    }.toMap
+    def candidates(th: Map[Any, Long]) = {
+      val cut = sizes.foldLeft(lit(0L)) { case (acc, (s, _)) =>
+        when(col("__s") === lit(s), lit(th(s))).otherwise(acc)
+      }
+      slim.filter(col("__key") <= cut)
+    }
+    var mult = 1L
+    var cand = candidates(thresholds(mult))
+    var round = 1
+    // survivor-count verification: a stratum needs min(k, n) candidates
+    while (round < maxRounds && {
+      val got = cand.groupBy(col("__s")).agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.get(0), r.getLong(1))).toMap
+      sizes.exists { case (s, n) => got.getOrElse(s, 0L) < math.min(k.toLong, n) }
+    }) {
+      mult *= oversample
+      cand = candidates(thresholds(mult))
+      round += 1
+    }
+    if (round == maxRounds) cand = slim // deterministic fallback: exact over everything
+    val w = Window.partitionBy(col("__s")).orderBy(col("__key").asc, col(idCol).asc)
+    cand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("__s").as(srcCol), col("rk").cast("long").as("rk"))
+  }
 }

@@ -100,7 +100,11 @@ object DocQueries {
     // near-copy signal); gram identity by 64-bit hash, stats by
     // narrow (id, hash, count) shuffles only
     "doc_dup_span_fraction" -> ((s, d) =>
-      Dedup.dupSpanFraction(docs(s, d), "doc_id", "text", n = 8, minDocs = 2)))
+      Dedup.dupSpanFraction(docs(s, d), "doc_id", "text", n = 8, minDocs = 2)),
+    // exactly-k-per-source deterministic sample: adaptive hash-rank
+    // threshold prefilter, exact window over ~4k survivors per stratum
+    "doc_stratified_sample" -> ((s, d) =>
+      CorpusMix.stratifiedSampleExact(docs(s, d), "doc_id", "source", k = 7)))
 
   /** Fixture mix: downsample three sources, keep the rest. */
   private val resamplePct = Map("src0" -> 25, "src1" -> 50, "src2" -> 75)
@@ -419,5 +423,12 @@ object DocQueries {
            CAST(coalesce(dup_spans, 0) AS BIGINT) AS dup_spans,
            CAST((coalesce(dup_spans, 0) * 1000) // greatest(len(ws) - 7, 1) AS BIGINT)
              AS dup_permille
-         FROM w LEFT JOIN dup USING (doc_id)""")
+         FROM w LEFT JOIN dup USING (doc_id)""",
+    // the oracle affords the naive global window the engine avoids
+    "doc_stratified_sample" ->
+      s"""WITH r AS (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+               ORDER BY ${PortableSql.lehmer3("doc_id")} ASC, doc_id ASC) AS rk
+           FROM documents)
+         SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 7""")
 }

@@ -55,4 +55,34 @@ class CorpusMixSpec extends AnyFunSuite {
     val halfKept = got.count(_ % 2 == 0)
     assert(halfKept < 200 && halfKept > 50)
   }
+
+  test("stratifiedSampleExact == naive hash-rank top-k on skewed strata") {
+    // giant stratum, mid stratum, and one SMALLER than k
+    val rows = (0 until 900).map(i => (i.toLong, "big", "en", "t")) ++
+      (900 until 960).map(i => (i.toLong, "mid", "en", "t")) ++
+      (960 until 963).map(i => (i.toLong, "tiny", "en", "t"))
+    val d = docs(rows: _*)
+    def lehmer3(x: Long): Long = {
+      var a = ((x % 2147483646L + 2147483646L) % 2147483646L) + 1L
+      (1 to 3).foreach(_ => a = a * 48271L % 2147483647L)
+      a
+    }
+    def naive(k: Int): Map[String, Seq[Long]] =
+      rows.groupBy(_._2).map { case (s, rs) =>
+        s -> rs.map(_._1).sortBy(id => (lehmer3(id), id)).take(k)
+      }
+    for (k <- Seq(1, 7, 80)) {
+      val got = CorpusMix.stratifiedSampleExact(d, "doc_id", "source", k)
+        .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).map { case (s, xs) => s -> xs.sortBy(_._3).map(_._2).toSeq }
+      assert(got == naive(k), s"k=$k")
+      assert(got("tiny").size == math.min(k, 3), s"k=$k small stratum exact")
+    }
+    // result is partitioning-invariant
+    val rep = CorpusMix.stratifiedSampleExact(d.repartition(13), "doc_id", "source", 7)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val one = CorpusMix.stratifiedSampleExact(d.coalesce(1), "doc_id", "source", 7)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(rep == one)
+  }
 }
