@@ -100,4 +100,35 @@ object CorpusMix {
       .filter(col("rk") <= k)
       .select(col(idCol), col("__s").as(srcCol), col("rk").cast("long").as("rk"))
   }
+
+  /** Pairwise n-gram overlap between sources: for every source pair,
+    * the exact Jaccard (in ppm, floor) of their distinct word-n-gram
+    * sets — "how much does subcorpus A repeat subcorpus B", the
+    * corpus-diversity / cross-source-contamination matrix.
+    *
+    * Scale shape: the corpus reduces to distinct (source, 64-bit gram
+    * hash) rows in one partially-aggregated pass; per-gram source sets
+    * are bounded by the SOURCE count (not corpus size), and pair
+    * counts aggregate over the exploded combinations — every shuffle
+    * row is a hash or a (source, source, count) triple, and nothing is
+    * ever joined against the corpus. Gram identity by hash: pair
+    * counts conflate grams at ~|grams|^2 / 2^64 — vanishing. */
+  def sourceOverlap(df: DataFrame, srcCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val bySrc = Dedup.explodedShingleHashes(df, srcCol, textCol, n, word = true)
+      .select(col(srcCol).as("__s"), col("ng")).distinct()
+    val sizes = bySrc.groupBy(col("__s")).agg(count(lit(1)).as("__n"))
+    val shared = bySrc.groupBy(col("ng"))
+      .agg(sort_array(collect_set(col("__s"))).as("__ss"))
+      .select(explode(col("__ss")).as("source_a"), col("__ss"))
+      .select(col("source_a"), explode(col("__ss")).as("source_b"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("__s").as("source_a"), col("__n").as("n_a")), "source_a")
+      .join(sizes.select(col("__s").as("source_b"), col("__n").as("n_b")), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"), col("n_shared"),
+        expr("n_shared * 1000000 div (n_a + n_b - n_shared)").as("jaccard_ppm"))
+  }
 }

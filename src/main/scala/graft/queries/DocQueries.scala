@@ -104,7 +104,10 @@ object DocQueries {
     // exactly-k-per-source deterministic sample: adaptive hash-rank
     // threshold prefilter, exact window over ~4k survivors per stratum
     "doc_stratified_sample" -> ((s, d) =>
-      CorpusMix.stratifiedSampleExact(docs(s, d), "doc_id", "source", k = 7)))
+      CorpusMix.stratifiedSampleExact(docs(s, d), "doc_id", "source", k = 7)),
+    // pairwise inter-source trigram Jaccard (corpus diversity matrix)
+    "doc_source_overlap" -> ((s, d) =>
+      CorpusMix.sourceOverlap(docs(s, d), "source", "text", n = 3)))
 
   /** Fixture mix: downsample three sources, keep the rest. */
   private val resamplePct = Map("src0" -> 25, "src1" -> 50, "src2" -> 75)
@@ -430,5 +433,18 @@ object DocQueries {
              row_number() OVER (PARTITION BY source
                ORDER BY ${PortableSql.lehmer3("doc_id")} ASC, doc_id ASC) AS rk
            FROM documents)
-         SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 7""")
+         SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 7""",
+    // gram identity by STRING here (the engine uses 64-bit hashes)
+    "doc_source_overlap" ->
+      s"""WITH w AS (SELECT source, string_split($normSql, ' ') AS ws FROM documents),
+         b AS (SELECT DISTINCT source AS s,
+                 array_to_string(ws[i.i : i.i + 2], ' ') AS gram
+               FROM w, LATERAL (SELECT unnest(range(1, greatest(len(ws) - 2, 1) + 1)) AS i) i),
+         sz AS (SELECT s, count(*) AS n FROM b GROUP BY 1),
+         sh AS (SELECT a.s AS source_a, c.s AS source_b, count(*) AS n_shared
+                FROM b a JOIN b c USING (gram) WHERE a.s < c.s GROUP BY 1, 2)
+         SELECT source_a, source_b, CAST(za.n AS BIGINT) AS n_a,
+           CAST(zb.n AS BIGINT) AS n_b, CAST(n_shared AS BIGINT) AS n_shared,
+           CAST((n_shared * 1000000) // (za.n + zb.n - n_shared) AS BIGINT) AS jaccard_ppm
+         FROM sh JOIN sz za ON za.s = source_a JOIN sz zb ON zb.s = source_b""")
 }

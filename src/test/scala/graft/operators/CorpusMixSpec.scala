@@ -85,4 +85,19 @@ class CorpusMixSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(rep == one)
   }
+
+  test("sourceOverlap == hand-computed trigram Jaccard per source pair") {
+    val d = docs(
+      (1L, "a", "en", "w x y z"),       // trigrams: {w x y, x y z}
+      (2L, "b", "en", "w x y q"),       // {w x y, x y q}
+      (3L, "b", "en", "x y z r"),       // {x y z, y z r}
+      (4L, "c", "en", "p q r s"))       // {p q r, q r s} — disjoint
+    val got = CorpusMix.sourceOverlap(d, "source", "text", n = 3)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // a={wxy,xyz} (2), b={wxy,xyq,xyz,yzr} (4): shared 2, union 4
+    assert(got(("a", "b")) == ((2L, 4L, 2L, 500000L)))
+    // zero-overlap pairs are absent, matching the inner-count form
+    assert(!got.contains(("a", "c")) && !got.contains(("b", "c")))
+  }
 }
