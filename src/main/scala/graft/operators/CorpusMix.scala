@@ -120,9 +120,11 @@ object CorpusMix {
     val sizes = bySrc.groupBy(col("__s")).agg(count(lit(1)).as("__n"))
     val shared = bySrc.groupBy(col("ng"))
       .agg(sort_array(collect_set(col("__s"))).as("__ss"))
-      .select(explode(col("__ss")).as("source_a"), col("__ss"))
-      .select(col("source_a"), explode(col("__ss")).as("source_b"))
-      .filter(col("source_a") < col("source_b"))
+      // combinations only (tail-slice after each position), never the
+      // |ss|^2 cross that an explode x explode + a<b filter would copy
+      .select(posexplode(col("__ss")).as(Seq("__i", "source_a")), col("__ss"))
+      .select(col("source_a"),
+        explode(expr("slice(__ss, __i + 2, size(__ss))")).as("source_b"))
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("n_shared"))
     shared
