@@ -56,42 +56,49 @@ object CorpusMix {
     * corpus partitioned by stratum — a full shuffle, and a single-task
     * hotspot for any giant stratum. Here the rank key is a uniform
     * hash, so a per-stratum key THRESHOLD pre-selects ~oversample*k
-    * candidates: (1) one tiny count aggregate sizes each stratum;
-    * (2) rows with key <= threshold survive — a scan-local filter, a
-    * key-order PREFIX, so if >= k survive the true top-k are all
-    * among them; (3) the exact window runs over candidates only
-    * (strata x oversample*k rows). Undershoot (P ~ e^-k per Chernoff)
-    * is detected by a count and retried with a raised threshold —
-    * exactness never depends on the probabilistic bound. */
+    * candidates: (1) one reduced count aggregate sizes each stratum
+    * (the sizes frame STAYS distributed — the stratum key may be
+    * high-cardinality, e.g. millions of domains, so no driver collect
+    * and no per-stratum literal anywhere); (2) rows whose key falls
+    * at-or-under their stratum's threshold survive — a key cutoff is
+    * a PREFIX of the rank order, so >= k survivors imply the true
+    * top-k survive; (3) the exact window runs over candidates only
+    * (strata x ~oversample*k rows). Undershoot (P ~ e^-k per
+    * Chernoff) is detected by ONE aggregated boolean and retried with
+    * a raised threshold — exactness never depends on the
+    * probabilistic bound. */
   def stratifiedSampleExact(df: DataFrame, idCol: String, srcCol: String,
       k: Int, oversample: Int = 4, maxRounds: Int = 4): DataFrame = {
     require(k > 0 && oversample >= 2, s"need k > 0, oversample >= 2: $k, $oversample")
     val M = 2147483647L // lehmer3 keys live in [1, 2^31 - 2]
     val slim = df.select(col(srcCol).as("__s"), col(idCol))
       .withColumn("__key", graft.functions.hashes.lehmer3(col(idCol)))
-    val sizes = slim.groupBy(col("__s")).agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.get(0), r.getLong(1))) // strata are few; rows are (value, count)
-    def thresholds(mult: Long): Map[Any, Long] = sizes.map { case (s, n) =>
+    // reduced to one row per stratum; materialized once, reused by
+    // every retry round instead of re-aggregating the corpus
+    val sizes = slim.groupBy(col("__s")).agg(count(lit(1)).as("__n"))
+      .localCheckpoint()
+    def candidates(mult: Long) = {
       val want = oversample.toLong * mult * k
-      s -> (if (n <= want) M else M * want / n + 1)
-    }.toMap
-    def candidates(th: Map[Any, Long]) = {
-      val cut = sizes.foldLeft(lit(0L)) { case (acc, (s, _)) =>
-        when(col("__s") === lit(s), lit(th(s))).otherwise(acc)
-      }
-      slim.filter(col("__key") <= cut)
+      val cut = expr( // integer arithmetic throughout (div, not /)
+        s"case when __n <= ${want}L then ${M}L else (${M}L * ${want}L) div __n + 1L end")
+      // AQE broadcasts the sizes frame while it fits and falls back to
+      // a shuffle join for genuinely huge stratum counts
+      slim.join(sizes.select(col("__s"), cut.as("__cut")), "__s")
+        .filter(col("__key") <= col("__cut"))
     }
     var mult = 1L
-    var cand = candidates(thresholds(mult))
+    var cand = candidates(mult)
     var round = 1
-    // survivor-count verification: a stratum needs min(k, n) candidates
-    while (round < maxRounds && {
-      val got = cand.groupBy(col("__s")).agg(count(lit(1)).as("c"))
-        .collect().map(r => (r.get(0), r.getLong(1))).toMap
-      sizes.exists { case (s, n) => got.getOrElse(s, 0L) < math.min(k.toLong, n) }
-    }) {
+    // survivor-count verification, one boolean off one reduced agg:
+    // every stratum needs min(k, n) candidates
+    def undershoots(c: DataFrame): Boolean = !c
+      .groupBy(col("__s")).agg(count(lit(1)).as("__c"))
+      .join(sizes, Seq("__s"), "right")
+      .filter(coalesce(col("__c"), lit(0L)) < least(lit(k.toLong), col("__n")))
+      .isEmpty
+    while (round < maxRounds && undershoots(cand)) {
       mult *= oversample
-      cand = candidates(thresholds(mult))
+      cand = candidates(mult)
       round += 1
     }
     if (round == maxRounds) cand = slim // deterministic fallback: exact over everything
