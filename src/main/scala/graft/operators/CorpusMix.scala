@@ -108,6 +108,45 @@ object CorpusMix {
       .select(col(idCol), col("__s").as(srcCol), col("rk").cast("long").as("rk"))
   }
 
+  /** Deterministic global training-order shuffle + shard assignment:
+    * every document gets its exact position in the permutation induced
+    * by the portable 62-bit id hash (hash asc, id tiebreak) and a
+    * round-robin shard (`pos % nShards` — shard sizes balanced to
+    * within 1 doc), with NO global sort anywhere.
+    *
+    * Scale shape: the permutation key's TOP BITS define `buckets`
+    * contiguous key ranges, so global rank = (docs in earlier buckets)
+    * + (rank within bucket). One reduced count aggregate sizes the
+    * buckets; the exclusive prefix sum runs as a window over that
+    * bucket frame (`buckets` rows, never the corpus — the
+    * single-partition exchange it implies is over ~KBs); ranks within
+    * a bucket come from a window partitioned by bucket, whose
+    * per-partition population is corpus/buckets and is dialed by
+    * `log2Buckets` (up to 2^20+ at 100 TB). The naive form — one
+    * `row_number() OVER (ORDER BY hash)` — plans as a single-task
+    * total sort and cannot scale past one executor. */
+  def globalShuffle(df: DataFrame, idCol: String, nShards: Int,
+      log2Buckets: Int = 12): DataFrame = {
+    require(nShards > 0 && log2Buckets >= 1 && log2Buckets <= 40,
+      s"bad nShards/log2Buckets: $nShards/$log2Buckets")
+    val keyed = df.select(col(idCol))
+      .withColumn("__key", graft.functions.hashes.hash62(col(idCol)))
+      .withColumn("__b", shiftright(col("__key"), 62 - log2Buckets))
+    // bucket frame: one row per occupied key-range; the window below
+    // runs over THIS frame only
+    val wOff = Window.orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy(col("__b")).agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
+      .select(col("__b"), col("__off"))
+    val wIn = Window.partitionBy(col("__b"))
+      .orderBy(col("__key").asc, col(idCol).asc)
+    keyed.join(offsets, "__b") // AQE broadcasts the bucket frame
+      .withColumn("shuffle_pos", col("__off") + row_number().over(wIn) - 1)
+      .select(col(idCol), col("shuffle_pos"),
+        pmod(col("shuffle_pos"), lit(nShards.toLong)).as("shard"))
+  }
+
   /** Pairwise n-gram overlap between sources: for every source pair,
     * the exact Jaccard (in ppm, floor) of their distinct word-n-gram
     * sets — "how much does subcorpus A repeat subcorpus B", the

@@ -256,6 +256,49 @@ object Dedup {
       .withColumn("dup_permille", expr("(dup_spans * 1000) div n_spans"))
   }
 
+  /** Cross-document duplicated-span REMOVAL (the ExactSubstr-dedup
+    * shape, word-gram blocked): drop every token covered by an n-gram
+    * that occurs in at least `minDocs` distinct documents, keeping the
+    * rest of the text intact — [[dupSpanFraction]] measures the
+    * boilerplate, this cuts it out. Token i is covered iff some
+    * duplicated gram starts in [i-n+1, i].
+    *
+    * Scale shape: the duplicated-gram set reduces from per-position
+    * hashes in one distinct + count pass (only (id, 8-byte hash, pos)
+    * rows shuffle — text never does); per-doc duplicated START
+    * POSITIONS come back as one bounded array (<= doc token count,
+    * i.e. state proportional to the doc itself); the rewrite is a
+    * narrow per-row filter over the word array. The coverage test is
+    * O(spans) per token worst-case — corpus-parallel, and bounded by
+    * doc length squared only for a doc that is wall-to-wall
+    * boilerplate. Gram identity by 64-bit hash (collision odds
+    * ~|grams|^2/2^64, as in [[dupSpanFraction]]). Emits every doc:
+    * (id, clean_text, n_tokens, n_removed). */
+  def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minDocs: Int = 2): DataFrame = {
+    val normed = rebalanced(df)
+      .select(col(idCol), normalizeText(col(textCol)).as("__t"))
+    val grams = normed.select(col(idCol),
+      posexplode(graft.functions.hashes.shingle_hashes_pos(col("__t"), n, word = true))
+        .as(Seq("__p", "__h")))
+    val dup = grams.select(col(idCol), col("__h")).distinct()
+      .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("__h"))
+    val dupPos = grams.join(dup, "__h")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("__p"))).as("__dp"))
+    normed.join(dupPos, Seq(idCol), "left")
+      .withColumn("__dp", coalesce(col("__dp"), typedlit(Array.empty[Int])))
+      .withColumn("__ws", split(col("__t"), " "))
+      .withColumn("__kept", filter(col("__ws"),
+        (w, i) => !exists(col("__dp"), p => p <= i && i <= p + lit(n - 1))))
+      .select(col(idCol),
+        array_join(col("__kept"), " ").as("clean_text"),
+        size(col("__ws")).cast("long").as("n_tokens"),
+        (size(col("__ws")) - size(col("__kept"))).cast("long").as("n_removed"))
+  }
+
   /** 64-bit SimHash per doc: bit j of the fingerprint is the sign of the
     * sum over tokens of bit j (+1/-1) of the token's hash. Computed
     * as a per-row higher-order aggregate — no explode, no shuffle; each

@@ -313,6 +313,38 @@ object Similarity {
     cosineNearDupPairs(assigned, idCol, vecCol, "__list", threshold)
   }
 
+  /** Embedding-space benchmark decontamination: flag training vectors
+    * whose cosine against ANY evaluation vector reaches `threshold` —
+    * the semantic complement of the n-gram decontaminate (a paraphrased
+    * eval item shares no n-grams but sits next to its source in
+    * embedding space). The eval set is the deterministic id-hash bucket
+    * ([[TextStats.idBucket]] < evalPct), matching the text-side split.
+    *
+    * Scale shape: an eval benchmark is small by construction
+    * (thousands of items against a 100 TB corpus), so the eval side is
+    * explicitly broadcast and the scan-side work is |train| x |eval|
+    * narrow dot products with NO shuffle of the vectors; the only
+    * exchange carries the already-reduced (id, n_hits, max_sim) hits.
+    * If the eval side ever outgrew broadcast, [[semanticDedupPairs]]'
+    * cluster blocking is the fallback shape. Aggregates (count, max)
+    * are order-free, so results are engine-exact. */
+  def decontaminateByEmbedding(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, evalPct: Int = 5): DataFrame = {
+    val b = TextStats.idBucket(col(idCol), 100L)
+    val withNorm = emb.select(col(idCol), col(vecCol),
+      graft.functions.vectors.vector_norm(col(vecCol)).as("__n"))
+    val eval = withNorm.filter(b < evalPct).select(
+      col(idCol).as("__eid"), col(vecCol).as("__ev"), col("__n").as("__en"))
+    withNorm.filter(b >= evalPct)
+      .crossJoin(broadcast(eval))
+      .withColumn("sim",
+        graft.functions.vectors.vector_dot(col(vecCol), col("__ev")) /
+          (col("__n") * col("__en")))
+      .filter(col("sim") >= threshold)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"), max(col("sim")).as("max_sim"))
+  }
+
   /** Exact near-duplicate pairs (cosine >= threshold) within blocking
     * groups (e.g. a cluster/label/shard key): an equi-join on the block
     * key keeps the pair space bounded per group — the all-pairs form of

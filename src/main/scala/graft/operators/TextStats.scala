@@ -427,6 +427,35 @@ object TextStats {
         min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"))
   }
 
+  /** Hashed-feature linear classifier scoring (the fastText / Vowpal
+    * Wabbit deployment shape): each token maps to a feature bucket by
+    * portable 62-bit word hash mod `numBuckets`, the model is a flat
+    * weight array indexed by bucket, and the document score is the sum
+    * of its tokens' weights. The weights here are a deterministic
+    * fixture (lehmer3 of the bucket index, scaled to [-1000, 1000]
+    * milli-units) — swapping in trained weights changes one array
+    * literal, not the plan. Scale shape: the weight array rides into
+    * whole-stage codegen as a literal (a few KB at any corpus size;
+    * broadcast it past ~1M buckets), the score is one narrow
+    * higher-order fold per row — no shuffle, no join, pipelines into
+    * the scan like [[qualityScore]]. Integer milli-unit weights make
+    * sums exact, so the keep decision is bit-deterministic. */
+  def classifierScore(df: DataFrame, idCol: String, textCol: String,
+      numBuckets: Int = 4096): DataFrame = {
+    import graft.functions.HashKernels
+    val weights = Array.tabulate(numBuckets)(b => HashKernels.lehmer3(b.toLong) % 2001L - 1000L)
+    val wLit = typedlit(weights)
+    val wh = graft.functions.text.word_portable_hashes(norm(col(textCol)))
+    df.select(col(idCol), wh.as("__wh"))
+      .select(col(idCol),
+        size(col("__wh")).cast("long").as("n_tokens"),
+        coalesce(aggregate(col("__wh"), lit(0L),
+          (acc, h) => acc + element_at(wLit, pmod(h, lit(numBuckets.toLong)).cast("int") + 1)),
+          lit(0L)).as("logit_sum"))
+      .withColumn("score_milli", col("logit_sum").cast("double") / col("n_tokens"))
+      .withColumn("keep", col("logit_sum") > 0)
+  }
+
   /** Polynomial rolling-hash fingerprint over the alnum+space chars of
     * the normalized text: fold of h -> (h*31 + code) mod 1e9+7. Stays
     * within int64 at every step (no overflow — DuckDB would raise,

@@ -107,7 +107,18 @@ object DocQueries {
       CorpusMix.stratifiedSampleExact(docs(s, d), "doc_id", "source", k = 7)),
     // pairwise inter-source trigram Jaccard (corpus diversity matrix)
     "doc_source_overlap" -> ((s, d) =>
-      CorpusMix.sourceOverlap(docs(s, d), "source", "text", n = 3)))
+      CorpusMix.sourceOverlap(docs(s, d), "source", "text", n = 3)),
+    // hashed-feature linear classifier scoring (fastText deployment
+    // shape; fixture weights — swapping in trained ones is one literal)
+    "doc_classifier_score" -> ((s, d) =>
+      TextStats.classifierScore(docs(s, d), "doc_id", "text")),
+    // deterministic global training-order shuffle + round-robin shards
+    // without a global sort (bucketed rank composition)
+    "doc_global_shuffle" -> ((s, d) =>
+      CorpusMix.globalShuffle(docs(s, d), "doc_id", nShards = 10)),
+    // cross-document duplicated-span REMOVAL (ExactSubstr-dedup shape)
+    "doc_remove_dup_spans" -> ((s, d) =>
+      Dedup.removeDupSpans(docs(s, d), "doc_id", "text", n = 8, minDocs = 2)))
 
   /** Fixture mix: downsample three sources, keep the rest. */
   private val resamplePct = Map("src0" -> 25, "src1" -> 50, "src2" -> 75)
@@ -446,5 +457,52 @@ object DocQueries {
          SELECT source_a, source_b, CAST(za.n AS BIGINT) AS n_a,
            CAST(zb.n AS BIGINT) AS n_b, CAST(n_shared AS BIGINT) AS n_shared,
            CAST((n_shared * 1000000) // (za.n + zb.n - n_shared) AS BIGINT) AS jaccard_ppm
-         FROM sh JOIN sz za ON za.s = source_a JOIN sz zb ON zb.s = source_b""")
+         FROM sh JOIN sz za ON za.s = source_a JOIN sz zb ON zb.s = source_b""",
+    // full model replication: portable word hash -> bucket -> fixture
+    // weight (the same lehmer3 the Spark literal array was built from)
+    "doc_classifier_score" -> {
+      val weight = s"((${PortableSql.lehmer3("h % 4096")} % 2001) - 1000)"
+      s"""WITH h AS (SELECT doc_id,
+           list_transform(string_split($normSql, ' '),
+             w -> ${PortableSql.wordHash("w")}) AS hs FROM documents),
+         s AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_tokens,
+           CAST(coalesce(list_sum(list_transform(hs, h -> $weight)), 0) AS BIGINT)
+             AS logit_sum FROM h)
+         SELECT doc_id, n_tokens, logit_sum,
+           logit_sum::DOUBLE / n_tokens AS score_milli, logit_sum > 0 AS keep
+         FROM s"""
+    },
+    // the oracle affords the naive global row_number the engine
+    // decomposes into bucket offsets + within-bucket ranks
+    "doc_global_shuffle" ->
+      s"""WITH k AS (SELECT doc_id, ${PortableSql.hash62("doc_id")} AS key FROM documents),
+         r AS (SELECT doc_id,
+                 row_number() OVER (ORDER BY key ASC, doc_id ASC) - 1 AS pos FROM k)
+         SELECT doc_id, CAST(pos AS BIGINT) AS shuffle_pos,
+           CAST(pos % 10 AS BIGINT) AS shard FROM r""",
+    // gram identity by STRING (engine: 64-bit hashes); coverage test
+    // replayed per token index
+    "doc_remove_dup_spans" ->
+      s"""WITH nm AS (SELECT doc_id, $normSql AS t FROM documents),
+         w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM nm),
+         g AS (SELECT doc_id, i.i - 1 AS pos,
+                 array_to_string(ws[i.i : i.i + 7], ' ') AS gram
+               FROM w, LATERAL (SELECT unnest(range(1, greatest(len(ws) - 7, 1) + 1)) AS i) i),
+         d AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+               GROUP BY gram HAVING count(*) >= 2),
+         dp AS (SELECT doc_id, list(DISTINCT pos) AS dpos
+                FROM g JOIN d USING (gram) GROUP BY 1),
+         c AS (SELECT w.doc_id, ws, coalesce(dp.dpos, []) AS dpos,
+                 list_filter(range(1, len(ws) + 1), i ->
+                   len(list_filter(coalesce(dp.dpos, []),
+                     p -> p <= i - 1 AND i - 1 <= p + 7)) = 0) AS kept
+               FROM w LEFT JOIN dp USING (doc_id))
+         SELECT doc_id,
+           -- array_to_string of an EMPTY list is NULL in DuckDB;
+           -- Spark's array_join gives '' — coalesce to match
+           coalesce(array_to_string(list_transform(kept, i -> ws[i]), ' '), '')
+             AS clean_text,
+           CAST(len(ws) AS BIGINT) AS n_tokens,
+           CAST(len(ws) - len(kept) AS BIGINT) AS n_removed
+         FROM c""")
 }

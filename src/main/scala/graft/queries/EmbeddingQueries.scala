@@ -78,7 +78,13 @@ object EmbeddingQueries {
         Similarity.writeIvfIndex(emb(s, d), "vec_id", "embedding", dir, nLists = 16)
       Similarity.ivfTopKIndexed(s, dir, "vec_id", "embedding",
         queryVec(s, d), 20, nProbe = 4)
-    }))
+    }),
+    // embedding-space benchmark decontamination: train vectors within
+    // cosine 0.3 of any eval vector (eval = id-hash bucket < 5, the
+    // text-side split), eval side broadcast — no vector shuffle
+    "emb_decontaminate" -> ((s, d) =>
+      Similarity.decontaminateByEmbedding(emb(s, d), "vec_id", "embedding",
+        threshold = 0.3)))
 
   /** Sequential-fold dot product of two DuckDB float lists, in double —
     * op-for-op the plan Spark's aggregate(zip_with(...)) produces. */
@@ -281,5 +287,14 @@ object EmbeddingQueries {
            CAST(COALESCE(list_sum(qc), 0) AS BIGINT) AS q_sum,
            CAST(COALESCE(list_sum(list_transform(range(1, len(qc) + 1), i -> qc[i] * i)), 0)
              AS BIGINT) AS q_cksum
-         FROM q""")
+         FROM q""",
+    "emb_decontaminate" ->
+      s"""WITH n AS (SELECT vec_id, embedding,
+             ${graft.operators.TextStats.idBucketSql("vec_id", 100)} AS b FROM embeddings),
+         e AS (SELECT vec_id AS eid, embedding AS ev FROM n WHERE b < 5),
+         t AS (SELECT vec_id, embedding FROM n WHERE b >= 5)
+         SELECT t.vec_id, count(*) AS n_hits,
+           max(${cosineSql("t.embedding", "e.ev")}) AS max_sim
+         FROM t JOIN e ON ${cosineSql("t.embedding", "e.ev")} >= 0.3
+         GROUP BY 1""")
 }

@@ -100,4 +100,29 @@ class CorpusMixSpec extends AnyFunSuite {
     // zero-overlap pairs are absent, matching the inner-count form
     assert(!got.contains(("a", "c")) && !got.contains(("b", "c")))
   }
+
+  test("globalShuffle is the exact hash permutation, bucket-invariant, balanced") {
+    import graft.functions.HashKernels
+    def hash62(x: Long): Long =
+      HashKernels.lehmer3(x) * 2147483648L + HashKernels.lehmer3(x + 700001L)
+    val ids = (0L until 1000L) ++ Seq(5000000000L, -17L) // wide + negative ids
+    val d = ids.map(i => (i, "s", "en", "t")).toDF("doc_id", "source", "lang", "text")
+    val expPos = ids.sortBy(i => (hash62(i), i)).zipWithIndex
+      .map { case (id, p) => id -> p.toLong }.toMap
+    val got = CorpusMix.globalShuffle(d, "doc_id", nShards = 7).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.size == ids.size)
+    ids.foreach { id =>
+      val (pos, shard) = got(id)
+      assert(pos == expPos(id), s"id $id")
+      assert(shard == pos % 7)
+    }
+    // shard sizes balanced within 1 doc
+    val sizes = got.values.groupBy(_._2).values.map(_.size)
+    assert(sizes.max - sizes.min <= 1)
+    // the bucket count is an internal parallelism dial, not a semantic
+    val coarse = CorpusMix.globalShuffle(d, "doc_id", nShards = 7, log2Buckets = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(coarse == got)
+  }
 }

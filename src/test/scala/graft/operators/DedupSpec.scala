@@ -174,6 +174,24 @@ class DedupSpec extends AnyFunSuite {
     assert(byId(4L) == 0L && byId(1L) > 0L && byId(2L) > 0L && byId(5L) == 1L)
   }
 
+  test("removeDupSpans cuts cross-doc duplicated grams, keeps unique text") {
+    val boiler = "b1 b2 b3 b4 b5 b6 b7 b8" // exactly one 8-gram
+    val d = docs(
+      1L -> s"u1 u2 u3 $boiler u4 u5",
+      2L -> s"v1 $boiler v2 v3",
+      3L -> "w1 w2 w3 w4 w5 w6 w7 w8 w9", // fully unique
+      4L -> "s1 s2 s3 s4",                // short-doc pair: whole-doc gram
+      5L -> "s1 s2 s3 s4")
+    val got = Dedup.removeDupSpans(d, "doc_id", "text", n = 8, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("u1 u2 u3 u4 u5", 13L, 8L)))
+    assert(got(2L) == (("v1 v2 v3", 11L, 8L)))
+    assert(got(3L) == (("w1 w2 w3 w4 w5 w6 w7 w8 w9", 9L, 0L)))
+    // a duplicated doc shorter than the gram is removed wholesale
+    assert(got(4L) == (("", 4L, 4L)) && got(5L) == (("", 4L, 4L)))
+  }
+
   test("dupSpanFraction plan: one text scan, no join, no text in exchanges") {
     val out = Dedup.dupSpanFraction(docs(1L -> "a b c", 2L -> "a b c"), "doc_id", "text")
     val plan = out.queryExecution.executedPlan

@@ -111,4 +111,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got(1L) == ((0L, 0.0, 0L, 0L)))
     assert(got(2L)._1 == 4L) // non-empty row unaffected
   }
+
+  test("decontaminateByEmbedding flags train vectors near any eval vector") {
+    def bucket(id: Long): Long = (id % 1000003L) * 2654435761L % 100L
+    // find real eval-bucket ids (the id-hash split the operator uses)
+    val evalIds = (0L until 200L).filter(bucket(_) < 5).take(2)
+    val trainIds = (0L until 200L).filter(bucket(_) >= 5).take(3)
+    val near = Array(0.9f, 0.1f, 0f, 0f)   // cos vs e1 ~ 0.994
+    val d = emb(
+      (evalIds(0), e1, 0), (evalIds(1), e2, 0),
+      (trainIds(0), near, 0),               // hit vs eval e1 only
+      (trainIds(1), Array(1f, 1f, 0f, 0f), 0), // hits BOTH eval vecs (cos .707)
+      (trainIds(2), Array(0f, 0f, 1f, 0f), 0)) // orthogonal to both
+    val got = Similarity.decontaminateByEmbedding(d, "vec_id", "embedding", 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == Set(trainIds(0), trainIds(1)))
+    assert(got(trainIds(0))._1 == 1L)
+    assert(got(trainIds(1))._1 == 2L)
+    assert(math.abs(got(trainIds(0))._2 - 0.9 / math.sqrt(0.81 + 0.01)) < 1e-9)
+    assert(math.abs(got(trainIds(1))._2 - 1.0 / math.sqrt(2)) < 1e-9)
+  }
 }

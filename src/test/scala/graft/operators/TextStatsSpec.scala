@@ -169,6 +169,24 @@ class TextStatsSpec extends AnyFunSuite {
     assert(r.getLong(5) == 1750L)
   }
 
+  test("classifierScore equals a reference hashed-weight model sum") {
+    import graft.functions.{HashKernels, TextKernels}
+    import org.apache.spark.unsafe.types.UTF8String
+    val texts = Seq(1L -> "alpha beta gamma delta", 2L -> "The  THE the", 3L -> "q")
+    def expected(t: String): (Long, Long) = {
+      val norm = t.trim.toLowerCase.replaceAll("\\s+", " ")
+      val hs = TextKernels.wordPortableHashes(UTF8String.fromString(norm)).toLongArray
+      val sum = hs.map(h => HashKernels.lehmer3(h % 4096L) % 2001L - 1000L).sum
+      (hs.length.toLong, sum)
+    }
+    val got = TextStats.classifierScore(docs(texts: _*), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    texts.foreach { case (id, t) =>
+      val (n, s) = expected(t)
+      assert(got(id) == ((n, s, s > 0)), s"doc $id")
+    }
+  }
+
   test("fingerprint equals a reference fold and ignores punctuation") {
     val text = "Ab c!"
     val cleaned = "ab c" // lowercased, punct stripped
