@@ -256,6 +256,26 @@ object Dedup {
       .withColumn("dup_permille", expr("(dup_spans * 1000) div n_spans"))
   }
 
+  /** APPLY near-dup deduplication: the kept corpus after dropping every
+    * cluster member except its representative (the cluster's minimum
+    * id) — the end-to-end "run the dedup and hand me the training
+    * corpus" operator, composing [[minhashNearDups]] →
+    * [[duplicateClusters]] → one anti-join. Docs in no near-dup pair
+    * never enter the cluster table and pass straight through; the
+    * anti-join key set is only the non-representative ids (bounded by
+    * duplicate volume, not corpus size — AQE broadcasts it in the
+    * common mostly-unique-corpus case). */
+  def dedupApply(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, wordShingles: Boolean = true, numHashes: Int = 64,
+      bands: Int = 16, threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashNearDups(df, idCol, textCol, shingleLen, wordShingles,
+      numHashes, bands, threshold).select("id_a", "id_b")
+    val drop = duplicateClusters(pairs)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Cross-document duplicated-span REMOVAL (the ExactSubstr-dedup
     * shape, word-gram blocked): drop every token covered by an n-gram
     * that occurs in at least `minDocs` distinct documents, keeping the

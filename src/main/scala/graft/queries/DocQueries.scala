@@ -118,7 +118,12 @@ object DocQueries {
       CorpusMix.globalShuffle(docs(s, d), "doc_id", nShards = 10)),
     // cross-document duplicated-span REMOVAL (ExactSubstr-dedup shape)
     "doc_remove_dup_spans" -> ((s, d) =>
-      Dedup.removeDupSpans(docs(s, d), "doc_id", "text", n = 8, minDocs = 2)))
+      Dedup.removeDupSpans(docs(s, d), "doc_id", "text", n = 8, minDocs = 2)),
+    // end-to-end dedup application: the kept corpus (near-dup cluster
+    // representatives + all unique docs)
+    "doc_dedup_apply" -> ((s, d) =>
+      Dedup.dedupApply(docs(s, d), "doc_id", "text")
+        .select("doc_id", "source")))
 
   /** Fixture mix: downsample three sources, keep the rest. */
   private val resamplePct = Map("src0" -> 25, "src1" -> 50, "src2" -> 75)
@@ -504,5 +509,20 @@ object DocQueries {
              AS clean_text,
            CAST(len(ws) AS BIGINT) AS n_tokens,
            CAST(len(ws) - len(kept) AS BIGINT) AS n_removed
-         FROM c""")
+         FROM c""",
+    // same recursive-CTE cluster truth as doc_dup_clusters; kept =
+    // everything except non-representative members
+    "doc_dedup_apply" ->
+      s"""WITH RECURSIVE $wordShinglesCtes,
+         p AS (${wordPairsSelect(0.8)}),
+         e AS (SELECT id_a AS a, id_b AS b FROM p
+               UNION SELECT id_b, id_a FROM p),
+         r AS (
+           SELECT a AS id, a AS reach FROM e
+           UNION
+           SELECT id, b FROM r JOIN e ON r.reach = e.a
+         ),
+         cl AS (SELECT id, min(reach) AS cluster_id FROM r GROUP BY id)
+         SELECT doc_id, source FROM documents
+         WHERE doc_id NOT IN (SELECT id FROM cl WHERE id != cluster_id)""")
 }

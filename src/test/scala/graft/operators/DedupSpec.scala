@@ -174,6 +174,18 @@ class DedupSpec extends AnyFunSuite {
     assert(byId(4L) == 0L && byId(1L) > 0L && byId(2L) > 0L && byId(5L) == 1L)
   }
 
+  test("dedupApply keeps cluster representatives and all unique docs") {
+    val t = "one two three four five six seven eight nine ten"
+    val d = docs(
+      5L -> t,                     // near-dup cluster {3, 5, 9}: rep = 3
+      3L -> t,
+      9L -> (t + " eleven"),
+      7L -> "totally different content here with many words indeed")
+    val kept = Dedup.dedupApply(d, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 7L))
+  }
+
   test("removeDupSpans cuts cross-doc duplicated grams, keeps unique text") {
     val boiler = "b1 b2 b3 b4 b5 b6 b7 b8" // exactly one 8-gram
     val d = docs(

@@ -187,6 +187,14 @@ class TextStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("classifierScore plan: pure narrow projection, no exchange") {
+    val out = TextStats.classifierScore(docs(1L -> "a b c"), "doc_id", "text")
+    val plan = out.queryExecution.executedPlan
+    assert(plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty, s"classifier scoring must not shuffle:\n$plan")
+  }
+
   test("fingerprint equals a reference fold and ignores punctuation") {
     val text = "Ab c!"
     val cleaned = "ab c" // lowercased, punct stripped
