@@ -109,6 +109,58 @@ object TextStats {
     }
   }
 
+  /** Per-source token cap, highest quality first (the "cap each
+    * domain/dump at N tokens" curation op — [[budgetSelect]]
+    * generalized per group): within every source, keep docs in
+    * (quality desc, id asc) order while the source's running token
+    * total stays within `capTokens`. Same integer-exact quality key as
+    * [[budgetSelect]].
+    *
+    * Scale shape — fully distributed, no driver pass at ANY source
+    * cardinality (millions of domains): (1) one partial-agged pass
+    * reduces the corpus to the (source, quality-key) token histogram;
+    * (2) the per-source boundary bucket and its remaining budget come
+    * from a running-sum window over THAT histogram (bounded by sources
+    * x ~2001 keys, shuffled by source); (3) docs join the per-source
+    * boundary row (AQE broadcasts it while small), full buckets pass a
+    * plain filter, and only boundary-bucket docs depend on the
+    * per-(source, key) id-ordered window — bounded by one bucket's
+    * population. One evaluation of the scoring subtree, as in
+    * [[budgetSelect]]. */
+  def sourceCapSelect(df: DataFrame, idCol: String, srcCol: String,
+      textCol: String, capTokens: Long): DataFrame = {
+    val t = norm(col(textCol))
+    val nChars = length(t)
+    val nTok = size(split(t, " "))
+    val punct = nChars - length(regexp_replace(t, "[^a-z0-9 ]", ""))
+    val stopHits = size(filter(split(t, " "), w => enStopwords.map(w === _).reduce(_ || _)))
+    val scored = df.select(col(idCol), col(srcCol),
+        stopHits.cast("long").as("__stop"), nTok.cast("long").as("__ntok"),
+        punct.cast("long").as("__punct"), greatest(nChars.cast("long"), lit(1L)).as("__nchars"))
+      .select(col(idCol), col(srcCol),
+        expr("((__stop * 1000) div __ntok) - ((__punct * 1000) div __nchars)")
+          .as("quality_milli"),
+        col("__ntok").as("n_tokens"))
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(srcCol)).orderBy(col("quality_milli").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val boundary = scored.groupBy(col(srcCol), col("quality_milli"))
+      .agg(sum("n_tokens").as("__bt"))
+      .withColumn("__cum", sum(col("__bt")).over(wRun))
+      .filter(col("__cum") > capTokens && col("__cum") - col("__bt") <= capTokens)
+      .select(col(srcCol), col("quality_milli").as("__bk"),
+        (lit(capTokens) - (col("__cum") - col("__bt"))).as("__rem"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(srcCol), col("quality_milli")).orderBy(col(idCol).asc)
+    scored.join(boundary, Seq(srcCol), "left")
+      .filter(col("__bk").isNull || col("quality_milli") >= col("__bk"))
+      .withColumn("__cum2", sum(col("n_tokens")).over(wIn))
+      .filter(col("__bk").isNull || col("quality_milli") > col("__bk") ||
+        col("__cum2") <= col("__rem"))
+      .select(col(idCol), col(srcCol), col("quality_milli"), col("n_tokens"))
+  }
+
   val enStopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
   val esStopwords: Seq[String] =
@@ -454,6 +506,34 @@ object TextStats {
           lit(0L)).as("logit_sum"))
       .withColumn("score_milli", col("logit_sum").cast("double") / col("n_tokens"))
       .withColumn("keep", col("logit_sum") > 0)
+  }
+
+  /** Tokenizer-vocabulary coverage: build the top-`vocabSize` corpus
+    * vocabulary by token frequency (count desc, token asc — a
+    * deterministic boundary cut), then score each document's
+    * out-of-vocabulary rate against it — the "will my tokenizer
+    * fragment this document" curation signal.
+    *
+    * Scale shape: the vocabulary is a partial-agged count + TakeOrdered
+    * of V rows (never a global sort); the OOV count is a left-anti
+    * join of the exploded (id, term) stream against those V rows — AQE
+    * broadcasts the vocab side, so the corpus never shuffles strings
+    * beyond the first count's combined (term, n) rows. OOV permille in
+    * integer floor-division: engine-exact. */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int = 1000): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(split(norm(col(textCol)), " ")).as("term"))
+    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("term").asc).limit(vocabSize)
+      .select(col("term"))
+    val oov = toks.join(vocab, Seq("term"), "left_anti")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_oov"))
+    df.select(col(idCol),
+        size(split(norm(col(textCol)), " ")).cast("long").as("n_tokens"))
+      .join(oov, Seq(idCol), "left")
+      .withColumn("n_oov", coalesce(col("n_oov"), lit(0L)))
+      .withColumn("oov_permille", expr("(n_oov * 1000) div n_tokens"))
   }
 
   /** Polynomial rolling-hash fingerprint over the alnum+space chars of

@@ -123,7 +123,16 @@ object DocQueries {
     // representatives + all unique docs)
     "doc_dedup_apply" -> ((s, d) =>
       Dedup.dedupApply(docs(s, d), "doc_id", "text")
-        .select("doc_id", "source")))
+        .select("doc_id", "source")),
+    // top-V corpus vocabulary -> per-doc out-of-vocabulary rate (the
+    // fixture corpus has 31 distinct tokens, so V=20 leaves real OOV)
+    "doc_vocab_coverage" -> ((s, d) =>
+      TextStats.vocabCoverage(docs(s, d), "doc_id", "text", vocabSize = 20)),
+    // per-source token cap, quality first (budget-select per group,
+    // boundary frame fully distributed)
+    "doc_source_cap" -> ((s, d) =>
+      TextStats.sourceCapSelect(docs(s, d), "doc_id", "source", "text",
+        capTokens = 800L)))
 
   /** Fixture mix: downsample three sources, keep the rest. */
   private val resamplePct = Map("src0" -> 25, "src1" -> 50, "src2" -> 75)
@@ -524,5 +533,35 @@ object DocQueries {
          ),
          cl AS (SELECT id, min(reach) AS cluster_id FROM r GROUP BY id)
          SELECT doc_id, source FROM documents
-         WHERE doc_id NOT IN (SELECT id FROM cl WHERE id != cluster_id)""")
+         WHERE doc_id NOT IN (SELECT id FROM cl WHERE id != cluster_id)""",
+    "doc_vocab_coverage" ->
+      s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS ws FROM documents),
+         t AS (SELECT doc_id, unnest(ws) AS term FROM w),
+         v AS (SELECT term FROM (SELECT term, count(*) AS n FROM t GROUP BY 1)
+               ORDER BY n DESC, term ASC LIMIT 20),
+         o AS (SELECT doc_id, count(*) AS n_oov FROM t
+               WHERE term NOT IN (SELECT term FROM v) GROUP BY 1)
+         SELECT w.doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+           CAST(coalesce(n_oov, 0) AS BIGINT) AS n_oov,
+           CAST((coalesce(n_oov, 0) * 1000) // len(ws) AS BIGINT) AS oov_permille
+         FROM w LEFT JOIN o USING (doc_id)""",
+    // the oracle affords the naive per-source running-sum window the
+    // engine decomposes into histogram + boundary frame
+    "doc_source_cap" ->
+      s"""WITH n AS (SELECT doc_id, source, $normSql AS t FROM documents),
+         c AS (SELECT doc_id, source, greatest(length(t), 1) AS n_chars,
+                 len(string_split(t, ' ')) AS n_tokens,
+                 length(t) - length(regexp_replace(t, '[^a-z0-9 ]', '', 'g')) AS punct,
+                 len(list_filter(string_split(t, ' '),
+                   w -> list_contains(${stopListSql(TextStats.enStopwords)}, w))) AS stop
+               FROM n),
+         s AS (SELECT doc_id, source,
+                 ((stop * 1000) // n_tokens) - ((punct * 1000) // n_chars) AS quality_milli,
+                 n_tokens FROM c),
+         r AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source
+                 ORDER BY quality_milli DESC, doc_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM s)
+         SELECT doc_id, source, CAST(quality_milli AS BIGINT) AS quality_milli,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+         FROM r WHERE cum <= 800""")
 }

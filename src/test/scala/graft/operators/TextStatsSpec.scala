@@ -169,6 +169,45 @@ class TextStatsSpec extends AnyFunSuite {
     assert(r.getLong(5) == 1750L)
   }
 
+  test("vocabCoverage: top-V vocab with deterministic tie cut, per-doc OOV") {
+    val d = docs(
+      1L -> "a a a b b c",   // a:3 b:2 c:1
+      2L -> "a b d",         // d:1 — ties c/d broken lexically: c in, d out at V=3
+      3L -> "d d")           // d:3 total => freq: a:4 b:3 d:3 c:1 — V=3 cut at (3, 'd')? no:
+    // totals: a=4, b=3, d=3, c=1. V=3 -> {a, b, d} (count desc, term asc)
+    val got = TextStats.vocabCoverage(d, "doc_id", "text", vocabSize = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((6L, 1L, 166L))) // c is OOV
+    assert(got(2L) == ((3L, 0L, 0L)))
+    assert(got(3L) == ((2L, 0L, 0L)))
+  }
+
+  test("sourceCapSelect == naive per-source greedy running-sum cut") {
+    val docs3 = (0 until 120).map { i =>
+      val words = Seq.fill(4 + i % 9)(if (i % 4 == 0) "the" else s"w$i")
+      (i.toLong, s"src${i % 3}", words.mkString(" "))
+    }
+    val df = docs3.toDF("doc_id", "source", "text")
+    def naive(cap: Long): Set[Long] = {
+      docs3.groupBy(_._2).values.flatMap { grp =>
+        val scored = grp.map { case (id, _, t) =>
+          val toks = t.split(" ")
+          val stop = toks.count(TextStats.enStopwords.contains)
+          (id, stop.toLong * 1000 / toks.length, toks.length.toLong)
+        }.sortBy { case (id, q, _) => (-q, id) }
+        var cum = 0L
+        scored.flatMap { case (id, _, n) =>
+          cum += n; if (cum <= cap) Some(id) else None
+        }
+      }.toSet
+    }
+    Seq(0L, 50L, 137L, 10000L).foreach { cap =>
+      val got = TextStats.sourceCapSelect(df, "doc_id", "source", "text", cap)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == naive(cap), s"cap $cap")
+    }
+  }
+
   test("classifierScore equals a reference hashed-weight model sum") {
     import graft.functions.{HashKernels, TextKernels}
     import org.apache.spark.unsafe.types.UTF8String
