@@ -616,6 +616,27 @@ final class BlockedCloud(
         max(abs(col("mean_z") - col("nb_mean"))).as("max_dz"))
   }
 
+  /** Height above ground per point: ground elevation = the minimum z of
+    * the point's XY raster cell (the cheap ground model terrain tooling
+    * starts from), hag = z - ground. The ground raster reduces through
+    * one partial-agged groupBy (cell rows only in the exchange); points
+    * then equi-join their cell's row — the ground side is raster-
+    * bounded, so AQE broadcasts it and the POINTS never shuffle. Both
+    * operands of the subtraction are the stored doubles, so hag is
+    * bit-exact on any engine. */
+  def heightAboveGround(cell: Double): DataFrame = {
+    require(cell > 0, s"non-positive cell size $cell")
+    def cellCols(df: DataFrame): DataFrame = df
+      .withColumn("cell_x", floor(col("x") / cell).cast(LongType))
+      .withColumn("cell_y", floor(col("y") / cell).cast(LongType))
+    val ground = cellCols(explodePoints(blocks))
+      .groupBy(col("cell_x"), col("cell_y"))
+      .agg(min(col("z")).as("__gz"))
+    cellCols(explodePoints(blocks))
+      .join(ground, Seq("cell_x", "cell_y"))
+      .select(col("x"), col("y"), col("z"), (col("z") - col("__gz")).as("hag"))
+  }
+
   /** The catalog row as a DataFrame (pc_metadata equivalent). */
   def metadataDf: DataFrame =
     spark.createDataset(Seq(meta))(Encoders.product[CloudMeta]).toDF()

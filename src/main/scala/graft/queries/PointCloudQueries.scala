@@ -226,6 +226,9 @@ object PointCloudQueries {
     }),
     // slope raster: max |mean-z step| to the 4-neighborhood per cell
     "pc_cell_slope" -> ((s, d) => cloud(s, d).gridSlope(64.0)),
+    // per-point height above the cell-min ground model; points join a
+    // broadcast raster, never shuffle
+    "pc_hag" -> ((s, d) => cloud(s, d).heightAboveGround(64.0)),
     // 3D-keyed store: z pruned at the scan via octree ranges, not
     // post-filtered (the height-query scale path beyond B10-B12)
     "pc_bbox3d" -> ((s, d) =>
@@ -303,6 +306,10 @@ object PointCloudQueries {
     "pc_downsample" -> (s"$ptsCte, r AS (SELECT x // 256 AS cell_x, y // 256 AS cell_y, " +
       "x, y, z, row_number() OVER (PARTITION BY x // 256, y // 256 ORDER BY x, y, z) AS rn " +
       "FROM pts) SELECT cell_x, cell_y, x, y, z FROM r WHERE rn = 1"),
+    "pc_hag" -> (s"$ptsCte, g AS (SELECT x // 64 AS cell_x, y // 64 AS cell_y, " +
+      "min(z) AS gz FROM pts GROUP BY 1, 2) " +
+      "SELECT p.x, p.y, p.z, p.z - g.gz AS hag FROM pts p " +
+      "JOIN g ON p.x // 64 = g.cell_x AND p.y // 64 = g.cell_y"),
     "pc_cell_slope" -> (s"$ptsCte, g AS (SELECT x // 64 AS cell_x, y // 64 AS cell_y, " +
       "count(*) AS n, sum(CAST(round(z * 100, 0) AS BIGINT)) AS sc FROM pts GROUP BY 1, 2), " +
       "mz AS (SELECT cell_x, cell_y, CAST(sc AS DOUBLE) / (100.0 * n) AS mean_z FROM g), " +

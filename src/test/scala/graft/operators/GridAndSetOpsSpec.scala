@@ -51,6 +51,19 @@ class GridAndSetOpsSpec extends AnyFunSuite {
     assert(got((1L, 0L)) == ((4.0, 0.0, 1.0)))
   }
 
+  test("heightAboveGround: hag = z - cell-min z, ground points at zero") {
+    val pts = Seq(
+      (1.0, 1.0, 2.0), (2.0, 2.0, 7.5), (3.0, 0.0, 2.0), // cell (0,0): ground 2
+      (5.0, 1.0, 4.25))                                  // cell (1,0): alone
+    val got = cloudOf(pts).heightAboveGround(4.0).collect()
+      .map(r => ((r.getDouble(0), r.getDouble(1)), (r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.size == 4)
+    assert(got((1.0, 1.0)) == ((2.0, 0.0)))
+    assert(got((2.0, 2.0)) == ((7.5, 5.5)))
+    assert(got((3.0, 0.0)) == ((2.0, 0.0)))
+    assert(got((5.0, 1.0)) == ((4.25, 0.0)))
+  }
+
   test("gridSlope: max mean-z step to the 4-neighborhood, edges excluded") {
     val pts = Seq(
       (1.0, 1.0, 10.0), (2.0, 2.0, 20.0), // cell (0,0): mean 15
