@@ -134,6 +134,9 @@ object TextStats {
     val nTok = size(split(t, " "))
     val punct = nChars - length(regexp_replace(t, "[^a-z0-9 ]", ""))
     val stopHits = size(filter(split(t, " "), w => enStopwords.map(w === _).reduce(_ || _)))
+    // the scored frame feeds BOTH the histogram and the join probe —
+    // materialize the slim (id, src, key, tokens) projection once so
+    // the text-scoring kernels run a single corpus pass, not two
     val scored = df.select(col(idCol), col(srcCol),
         stopHits.cast("long").as("__stop"), nTok.cast("long").as("__ntok"),
         punct.cast("long").as("__punct"), greatest(nChars.cast("long"), lit(1L)).as("__nchars"))
@@ -141,6 +144,7 @@ object TextStats {
         expr("((__stop * 1000) div __ntok) - ((__punct * 1000) div __nchars)")
           .as("quality_milli"),
         col("__ntok").as("n_tokens"))
+      .localCheckpoint()
     val wRun = org.apache.spark.sql.expressions.Window
       .partitionBy(col(srcCol)).orderBy(col("quality_milli").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
