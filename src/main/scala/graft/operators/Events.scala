@@ -141,4 +141,24 @@ object Events {
         sum(milli(col(valueCol))).as("value_milli"),
         min(unix_micros(col(tsCol))).as("first_us"),
         max(unix_micros(col(tsCol))).as("last_us"))
+
+  /** Event-type transition matrix: per-user consecutive (from, to)
+    * pairs with counts and each row's share of its from-type in
+    * permille (integer floor — engine-exact). Order within a user is
+    * (ts, id) — deterministic under timestamp ties. One lead() window
+    * per user partition, then the matrix reduces to |types|^2 rows; the
+    * share window runs over that reduced frame only. */
+  def transitionMatrix(df: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    val m = df.select(col(userCol), col(tsCol), col(idCol), col(typeCol))
+      .withColumn("__nxt", lead(col(typeCol), 1).over(w))
+      .filter(col("__nxt").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__nxt").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    m.withColumn("__tot", sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .withColumn("share_permille", expr("(n * 1000) div __tot"))
+      .drop("__tot")
+  }
 }

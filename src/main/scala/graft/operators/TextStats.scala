@@ -540,6 +540,34 @@ object TextStats {
       .withColumn("oov_permille", expr("(n_oov * 1000) div n_tokens"))
   }
 
+  /** Corpus-bigram language-model fluency scoring — the model-based
+    * quality filter (KenLM-style) in integer-exact form: the corpus
+    * itself is the LM (bigram count over prefix count, in permille,
+    * floor division — no log, no floats), a document's score is the
+    * floor-mean conditional probability of its bigram stream. Low
+    * scores mark token soup; high scores mark text whose continuations
+    * the corpus predicts — the standard fluency axis, minus the float
+    * perplexity that would never compare across engines.
+    *
+    * Scale shape: the bigram stream (id, gram, prefix) is materialized
+    * once (localCheckpoint) and feeds the two count reductions and the
+    * probe; count tables are vocabulary-bounded, so AQE broadcasts
+    * them under the probe join; per-doc aggregation partial-aggregates
+    * map-side. Every shuffled row is a gram string or a count. */
+  def lmFluency(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = df.select(col(idCol),
+        explode(graft.functions.text.word_ngrams(norm(col(textCol)), 2)).as("bg"))
+      .withColumn("p", split(col("bg"), " ").getItem(0))
+      .localCheckpoint()
+    val cb = bg.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+    val cp = bg.groupBy(col("p")).agg(count(lit(1)).as("cp"))
+    bg.join(cb, "bg").join(cp, "p")
+      .withColumn("pp", expr("(cb * 1000) div cp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("pp")).as("sum_p"))
+      .withColumn("fluency_permille", expr("sum_p div n_bigrams"))
+  }
+
   /** Polynomial rolling-hash fingerprint over the alnum+space chars of
     * the normalized text: fold of h -> (h*31 + code) mod 1e9+7. Stays
     * within int64 at every step (no overflow — DuckDB would raise,

@@ -132,7 +132,11 @@ object DocQueries {
     // boundary frame fully distributed)
     "doc_source_cap" -> ((s, d) =>
       TextStats.sourceCapSelect(docs(s, d), "doc_id", "source", "text",
-        capTokens = 800L)))
+        capTokens = 800L)),
+    // corpus-bigram LM fluency (model-based quality filter, integer
+    // conditional probabilities — no float perplexity)
+    "doc_lm_fluency" -> ((s, d) =>
+      TextStats.lmFluency(docs(s, d), "doc_id", "text")))
 
   /** Fixture mix: downsample three sources, keep the rest. */
   private val resamplePct = Map("src0" -> 25, "src1" -> 50, "src2" -> 75)
@@ -563,5 +567,18 @@ object DocQueries {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM s)
          SELECT doc_id, source, CAST(quality_milli AS BIGINT) AS quality_milli,
            CAST(n_tokens AS BIGINT) AS n_tokens
-         FROM r WHERE cum <= 800""")
+         FROM r WHERE cum <= 800""",
+    "doc_lm_fluency" ->
+      s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS ws FROM documents),
+         b AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws), 2)),
+               i -> array_to_string(ws[i:i+1], ' '))) AS bg FROM w),
+         b2 AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS p FROM b),
+         cb AS (SELECT bg, count(*) AS cb FROM b2 GROUP BY 1),
+         cp AS (SELECT p, count(*) AS cp FROM b2 GROUP BY 1),
+         j AS (SELECT doc_id, (cb * 1000) // cp AS pp
+               FROM b2 JOIN cb USING (bg) JOIN cp USING (p))
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(pp) AS BIGINT) AS sum_p,
+           CAST(sum(pp) // count(*) AS BIGINT) AS fluency_permille
+         FROM j GROUP BY 1""")
 }

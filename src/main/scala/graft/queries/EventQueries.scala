@@ -131,7 +131,11 @@ object EventQueries {
           max_by(Events.milli(col("value")), col("event_id")).as("p_value_milli"))
       Events.asOfJoin(clicks, purchases, Seq("user_id"), "ts_us",
         Seq("p_event_id", "p_value_milli"))
-    }))
+    }),
+    // per-user consecutive event-type transitions -> |types|^2 matrix
+    // with integer permille shares per from-type
+    "ev_transitions" -> ((s, d) =>
+      Events.transitionMatrix(ev(s, d), "user_id", "ts", "event_id", "event_type")))
 
   private val vMilli = "CAST(round(value * 1000, 0) AS BIGINT)"
 
@@ -250,5 +254,15 @@ object EventQueries {
            pv.p_event_id AS asof_p_event_id,
            pv.p_value_milli AS asof_p_value_milli
          FROM c ASOF LEFT JOIN pv
-           ON c.user_id = pv.user_id AND c.ts_us >= pv.ts_us""")
+           ON c.user_id = pv.user_id AND c.ts_us >= pv.ts_us""",
+    "ev_transitions" ->
+      s"""WITH o AS (SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+           FROM events),
+         m AS (SELECT event_type AS from_type, nxt AS to_type, count(*) AS n
+               FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2)
+         SELECT from_type, to_type, n,
+           CAST((n * 1000) // (sum(n) OVER (PARTITION BY from_type)) AS BIGINT)
+             AS share_permille
+         FROM m""")
 }

@@ -73,4 +73,21 @@ class EventsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
     assert(got == Seq((2L, 5000L), (1L, 4000L)))
   }
+
+  test("transitionMatrix: per-user consecutive pairs, permille per from-type") {
+    val d = ev(
+      (1L, 1L, ts(0), 0.0), (2L, 1L, ts(1), 0.0), (3L, 1L, ts(2), 0.0),
+      (4L, 2L, ts(0), 0.0), (5L, 2L, ts(1), 0.0))
+      .withColumn("event_type",
+        org.apache.spark.sql.functions.element_at(
+          org.apache.spark.sql.functions.typedlit(Seq("A", "B", "A", "B", "B")),
+          org.apache.spark.sql.functions.col("event_id").cast("int")))
+    val got = Events.transitionMatrix(d, "user_id", "ts", "event_id", "event_type")
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    // user1: A->B, B->A; user2: B->B
+    assert(got == Map(
+      ("A", "B") -> ((1L, 1000L)),
+      ("B", "A") -> ((1L, 500L)),
+      ("B", "B") -> ((1L, 500L))))
+  }
 }

@@ -208,6 +208,18 @@ class TextStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("lmFluency: integer conditional bigram probabilities, floor means") {
+    val d = docs(1L -> "a b a b", 2L -> "a c", 3L -> "z")
+    // bigrams: d1 = [a b, b a, a b], d2 = [a c], d3 = [z] (min-1 gram)
+    // cb: "a b"->2, "b a"->1, "a c"->1, "z"->1
+    // cp: a->3, b->1, z->1
+    val got = TextStats.lmFluency(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((3L, 666L + 1000L + 666L, 777L)))
+    assert(got(2L) == ((1L, 333L, 333L)))
+    assert(got(3L) == ((1L, 1000L, 1000L)))
+  }
+
   test("classifierScore equals a reference hashed-weight model sum") {
     import graft.functions.{HashKernels, TextKernels}
     import org.apache.spark.unsafe.types.UTF8String
