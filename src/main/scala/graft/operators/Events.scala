@@ -142,6 +142,26 @@ object Events {
         min(unix_micros(col(tsCol))).as("first_us"),
         max(unix_micros(col(tsCol))).as("last_us"))
 
+  /** Duplicate-event suppression: drop an event when the PREVIOUS
+    * event of the same (user, type) — kept or not — lies within
+    * `windowUs` microseconds (the at-least-once ingestion cleanup op;
+    * lag-relative semantics so the rule is a pure window function,
+    * deterministic under (ts, id) ordering and replayable by any SQL
+    * engine). One window per (user, type) partition, predicate only —
+    * no state beyond the single lag value. */
+  def dedupEvents(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String, windowUs: Long): DataFrame = {
+    // µs ordering == timestamp ordering, so the window can run over
+    // the already-projected long column
+    val w = Window.partitionBy(col(userCol), col(typeCol))
+      .orderBy(col("ts_us").asc, col(idCol).asc)
+    df.select(col(idCol), col(userCol), col(typeCol),
+        unix_micros(col(tsCol)).as("ts_us"))
+      .withColumn("__prev", lag(col("ts_us"), 1).over(w))
+      .filter(col("__prev").isNull || col("ts_us") - col("__prev") > windowUs)
+      .drop("__prev")
+  }
+
   /** Event-type transition matrix: per-user consecutive (from, to)
     * pairs with counts and each row's share of its from-type in
     * permille (integer floor — engine-exact). Order within a user is

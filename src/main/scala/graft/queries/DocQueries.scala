@@ -136,7 +136,28 @@ object DocQueries {
     // corpus-bigram LM fluency (model-based quality filter, integer
     // conditional probabilities — no float perplexity)
     "doc_lm_fluency" -> ((s, d) =>
-      TextStats.lmFluency(docs(s, d), "doc_id", "text")))
+      TextStats.lmFluency(docs(s, d), "doc_id", "text")),
+    // cross-modal dedup agreement: do text near-dup pairs (minhash
+    // J >= 0.8) and embedding near-dup pairs (label-blocked cosine
+    // >= 0.35, ids shared with doc_id) find the same duplicates? The
+    // QA matrix for an embedding-based dedup rollout: both pair sets
+    // are reduced frames, the full outer join touches pairs only
+    "doc_xmodal_agreement" -> { (s, d) =>
+      import graft.operators.Similarity
+      val tp = Dedup.minhashNearDups(docs(s, d), "doc_id", "text",
+          shingleLen = 3, wordShingles = true, numHashes = 64, bands = 16,
+          threshold = 0.8)
+        .select(col("id_a"), col("id_b"), lit(1L).as("__t"))
+      val ep = Similarity.cosineNearDupPairs(
+          graft.Tables.table(s, d, "embeddings"), "vec_id", "embedding",
+          "label", 0.35)
+        .select(col("id_a"), col("id_b"), lit(1L).as("__e"))
+      tp.join(ep, Seq("id_a", "id_b"), "full_outer")
+        .select(when(col("__t").isNotNull && col("__e").isNotNull, "both")
+          .when(col("__t").isNotNull, "text_only")
+          .otherwise("emb_only").as("category"))
+        .groupBy(col("category")).agg(count(lit(1)).as("n_pairs"))
+    })
 
   /** Fixture mix: downsample three sources, keep the rest. */
   private val resamplePct = Map("src0" -> 25, "src1" -> 50, "src2" -> 75)
@@ -580,5 +601,18 @@ object DocQueries {
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
            CAST(sum(pp) AS BIGINT) AS sum_p,
            CAST(sum(pp) // count(*) AS BIGINT) AS fluency_permille
-         FROM j GROUP BY 1""")
+         FROM j GROUP BY 1""",
+    "doc_xmodal_agreement" ->
+      s"""WITH $wordShinglesCtes,
+         tp AS (SELECT id_a, id_b FROM (${wordPairsSelect(0.8)})),
+         ep AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM embeddings a JOIN embeddings b
+                  ON a.label = b.label AND a.vec_id < b.vec_id
+                WHERE ${EmbeddingQueries.cosineSql("a.embedding", "b.embedding")} >= 0.35),
+         u AS (SELECT CASE WHEN tp.id_a IS NOT NULL AND ep.id_a IS NOT NULL THEN 'both'
+                      WHEN tp.id_a IS NOT NULL THEN 'text_only'
+                      ELSE 'emb_only' END AS category
+               FROM tp FULL OUTER JOIN ep
+                 ON tp.id_a = ep.id_a AND tp.id_b = ep.id_b)
+         SELECT category, count(*) AS n_pairs FROM u GROUP BY 1""")
 }

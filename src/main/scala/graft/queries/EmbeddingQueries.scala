@@ -98,7 +98,7 @@ object EmbeddingQueries {
        list_transform($a, v -> v::DOUBLE * v::DOUBLE)),
        (acc, v) -> acc + v))"""
 
-  private def cosineSql(a: String, b: String): String =
+  private[queries] def cosineSql(a: String, b: String): String =
     s"${foldDot(a, b)} / (${foldNorm(a)} * ${foldNorm(b)})"
 
   /** Densified (list 0..n-1, pos 0..dims-1) centroid grid from a

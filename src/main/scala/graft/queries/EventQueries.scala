@@ -135,7 +135,12 @@ object EventQueries {
     // per-user consecutive event-type transitions -> |types|^2 matrix
     // with integer permille shares per from-type
     "ev_transitions" -> ((s, d) =>
-      Events.transitionMatrix(ev(s, d), "user_id", "ts", "event_id", "event_type")))
+      Events.transitionMatrix(ev(s, d), "user_id", "ts", "event_id", "event_type")),
+    // at-least-once cleanup: drop same-(user, type) events within 60s
+    // of their predecessor (lag-relative, replayable semantics)
+    "ev_dedup_window" -> ((s, d) =>
+      Events.dedupEvents(ev(s, d), "user_id", "event_type", "ts", "event_id",
+        windowUs = 60000000L)))
 
   private val vMilli = "CAST(round(value * 1000, 0) AS BIGINT)"
 
@@ -264,5 +269,12 @@ object EventQueries {
          SELECT from_type, to_type, n,
            CAST((n * 1000) // (sum(n) OVER (PARTITION BY from_type)) AS BIGINT)
              AS share_permille
-         FROM m""")
+         FROM m""",
+    "ev_dedup_window" ->
+      s"""WITH o AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+               ORDER BY ts, event_id) AS prev
+           FROM events)
+         SELECT event_id, user_id, event_type, ts_us
+         FROM o WHERE prev IS NULL OR ts_us - prev > 60000000""")
 }

@@ -74,6 +74,19 @@ class EventsSpec extends AnyFunSuite {
     assert(got == Seq((2L, 5000L), (1L, 4000L)))
   }
 
+  test("dedupEvents drops same-(user, type) events within the window") {
+    val d = ev(
+      (1L, 1L, ts(0), 0.0), (2L, 1L, ts(1), 0.0), (3L, 1L, ts(3), 0.0),
+      (4L, 2L, ts(0), 0.0), (5L, 2L, ts(0), 0.0))
+      .withColumn("event_type", org.apache.spark.sql.functions.lit("A"))
+    // window 90 s: keep t0 (no prev), drop t+1min (60 <= 90), keep
+    // t+3min (120 > 90); exact-tie duplicate (id order) dropped
+    val got = Events.dedupEvents(d, "user_id", "event_type", "ts", "event_id",
+        windowUs = 90000000L)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L, 4L))
+  }
+
   test("transitionMatrix: per-user consecutive pairs, permille per from-type") {
     val d = ev(
       (1L, 1L, ts(0), 0.0), (2L, 1L, ts(1), 0.0), (3L, 1L, ts(2), 0.0),
