@@ -250,7 +250,87 @@ object RelQueries {
           milli(col("o_totalprice")).as("totalprice_milli"), col("qty_milli"))
         .orderBy(col("qty_milli").desc, col("o_orderkey").asc)
         .limit(100)
-    }))
+    }),
+    // TPC-H Q7 shape: bidirectional nation-pair volume by ship year.
+    // The nation filter lands on the DIMENSIONS before any fact join
+    // (filtered supplier/customer broadcast), the pair predicate on
+    // the joined pair — the fact table shuffles once, on its own keys
+    "rel_q7_volume" -> ((s, d) => {
+      val nats = Seq("NATION_1", "NATION_2")
+      val nat = t(s, d, "nation").filter(col("n_name").isin(nats: _*))
+      val supp = t(s, d, "supplier")
+        .join(broadcast(nat.select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("n_nationkey")).drop("n_nationkey")
+      val cust = t(s, d, "customer")
+        .join(broadcast(nat.select(col("n_nationkey"), col("n_name").as("cust_nation"))),
+          col("c_nationkey") === col("n_nationkey")).drop("n_nationkey")
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01") &&
+          col("l_shipdate") < lit("1999-01-01"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(milli(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue_milli"))
+    }),
+    // TPC-H Q8 shape: a nation's market share inside a region-scoped,
+    // type-scoped order volume, per year — numerator and denominator
+    // as exact integer milli sums, share as integer permille
+    "rel_q8_market_share" -> ((s, d) => {
+      val region = t(s, d, "region").filter(col("r_name") === "ASIA")
+      val rnat = t(s, d, "nation")
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"))
+      val cust = t(s, d, "customer")
+        .join(broadcast(rnat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val supp = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")
+          .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val promo = t(s, d, "part").filter(col("p_type") === "PROMO")
+        .select(col("p_partkey"))
+      t(s, d, "lineitem")
+        .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_3",
+            milli(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .otherwise(0L)).as("nation_milli"),
+          sum(milli(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("total_milli"))
+        .withColumn("share_permille", expr("(nation_milli * 1000) div total_milli"))
+    }),
+    // TPC-H Q13 shape: order-count distribution over ALL customers —
+    // left outer join preserving the zero-order population, then a
+    // second aggregation of the first's results
+    "rel_q13_custdist" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))),
+    // TPC-H Q19 shape: disjunctive OR-of-ANDs predicate spanning both
+    // join sides — the optimizer must push the part-only conjuncts to
+    // the dimension scan and evaluate the residual on the joined row
+    "rel_q19_disjunctive" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(1.0, 20.0)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(11, 30) &&
+            col("l_quantity").between(10.0, 30.0)))
+        .agg(sum(milli(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue_milli"), count(lit(1)).as("n_items"))))
 
   private def rev = "CAST(round(l_extendedprice * (1.0 - l_discount) * 1000, 0) AS BIGINT)"
   private def m(c: String) = s"CAST(round($c * 1000, 0) AS BIGINT)"
@@ -386,5 +466,47 @@ object RelQueries {
            FROM lineitem GROUP BY 1 HAVING qty_milli > 200000)
          SELECT o_orderkey, o_custkey, ${m("o_totalprice")} AS totalprice_milli, qty_milli
          FROM orders JOIN big ON o_orderkey = l_orderkey
-         ORDER BY qty_milli DESC, o_orderkey ASC LIMIT 100""")
+         ORDER BY qty_milli DESC, o_orderkey ASC LIMIT 100""",
+    "rel_q7_volume" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           CAST(sum($rev) AS BIGINT) AS revenue_milli
+         FROM lineitem, orders, customer, supplier, nation n1, nation n2
+         WHERE l_suppkey = s_suppkey AND l_orderkey = o_orderkey
+           AND o_custkey = c_custkey AND s_nationkey = n1.n_nationkey
+           AND c_nationkey = n2.n_nationkey
+           AND n1.n_name IN ('NATION_1', 'NATION_2')
+           AND n2.n_name IN ('NATION_1', 'NATION_2')
+           AND n1.n_name != n2.n_name
+           AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+         GROUP BY 1, 2, 3""",
+    "rel_q8_market_share" ->
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum(CASE WHEN sn.n_name = 'NATION_3' THEN $rev ELSE 0 END) AS BIGINT)
+             AS nation_milli,
+           CAST(sum($rev) AS BIGINT) AS total_milli,
+           CAST((sum(CASE WHEN sn.n_name = 'NATION_3' THEN $rev ELSE 0 END) * 1000)
+             // sum($rev) AS BIGINT) AS share_permille
+         FROM lineitem, orders, customer, supplier, part,
+           nation cn, nation sn, region
+         WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+           AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+           AND c_nationkey = cn.n_nationkey AND cn.n_regionkey = r_regionkey
+           AND r_name = 'ASIA' AND s_nationkey = sn.n_nationkey
+           AND p_type = 'PROMO'
+         GROUP BY 1""",
+    "rel_q13_custdist" ->
+      s"""WITH cc AS (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           GROUP BY 1)
+         SELECT c_count, count(*) AS custdist FROM cc GROUP BY 1""",
+    "rel_q19_disjunctive" ->
+      s"""SELECT CAST(sum($rev) AS BIGINT) AS revenue_milli, count(*) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+                AND l_quantity BETWEEN 1 AND 20)
+            OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 30
+                AND l_quantity BETWEEN 10 AND 30)""")
 }
