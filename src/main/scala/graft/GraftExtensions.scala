@@ -72,22 +72,45 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => SortedIntersectSize(args(0), args(1))),
     ("graft_word_hashes",
       "_FUNC_(norm_text) - xxhash64 of each whitespace token",
-      (args: Seq[Expression]) => WordHashes(args(0))))
+      (args: Seq[Expression]) => WordHashes(args(0))),
+    ("graft_head_in_bbox",
+      "_FUNC_(head, xq_min, xq_max, yq_min, yq_max, total_bits, tail_bits) - " +
+        "true iff the block head's quadtree cell intersects the quantized bbox; " +
+        "the injected optimizer rule rewrites it into a scan-pushable " +
+        "OR-of-BETWEEN cover AND the exact residual",
+      (args: Seq[Expression]) => graft.plans.HeadInBbox(args(0),
+        longArg(args(1), "xq_min"), longArg(args(2), "xq_max"),
+        longArg(args(3), "yq_min"), longArg(args(4), "yq_max"),
+        intArg(args(5), "total_bits"), intArg(args(6), "tail_bits"))))
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  private def longArg(e: Expression, name: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _) => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
     fns.foreach { case (name, usage, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.RewriteHeadBboxFilter)
+  }
 }
 
 object GraftExtensions {
-  /** Register the graft_* SQL functions on an already-running session
-    * (the builder-time extension hook only applies to new sessions). */
+  /** Register the graft_* SQL functions AND the pruning rewrite on an
+    * already-running session (the builder-time extension hook only
+    * applies to new sessions). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val ext = new GraftExtensions
     ext.fns.foreach { case (name, usage, builder) =>
       spark.sessionState.functionRegistry.registerFunction(
         FunctionIdentifier(name), ext.info(name, usage), builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(
+        graft.plans.RewriteHeadBboxFilter))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RewriteHeadBboxFilter
   }
 }

@@ -48,4 +48,37 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getInt(2) == 3)
     assert(r.getBoolean(3))
   }
+
+  test("graft_head_in_bbox selects intersecting cells; rule rewrites to a pushed cover") {
+    import spark.implicits._
+    // 8-bit key space, 4 tail bits: 16 heads, each a 4x4 cell of a 16x16 grid
+    (0L until 16L).toDF("sfc_head").createOrReplaceTempView("heads_t")
+    val (x0, x1, y0, y1) = (3L, 6L, 2L, 5L)
+    val sql = s"SELECT sfc_head FROM heads_t WHERE " +
+      s"graft_head_in_bbox(sfc_head, $x0, $x1, $y0, $y1, 8, 4)"
+    val got = spark.sql(sql).collect().map(_.getLong(0)).toSet
+    val exp = (0L until 16L).filter { h =>
+      val (lo, hi) = (h << 4, (h << 4) | 15L)
+      !(Morton.decodeX(hi) < x0 || Morton.decodeX(lo) > x1 ||
+        Morton.decodeY(hi) < y0 || Morton.decodeY(lo) > y1)
+    }.toSet
+    assert(got == exp && got.nonEmpty && got.size < 16)
+    // rewrite fired: over a FILE source (a local relation constant-folds
+    // the whole filter away — itself proof the marker evaluates), the
+    // plan carries the range cover INSIDE PushedFilters plus the pruned
+    // residual marker
+    val dir = "/tmp/graft_headbbox_spec"
+    (0L until 16L).toDF("sfc_head").write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView("heads_f")
+    val fileDf = spark.sql(sql.replace("heads_t", "heads_f"))
+    assert(fileDf.collect().map(_.getLong(0)).toSet == exp)
+    val phys = fileDf.queryExecution.executedPlan.toString
+    assert(phys.contains("head_in_bbox"), phys)
+    assert(phys.contains("PushedFilters: [") &&
+      phys.contains("GreaterThanOrEqual(sfc_head"), phys)
+    // an all-outside bbox folds to an empty plan, not a scan
+    val none = spark.sql(s"SELECT sfc_head FROM heads_t WHERE " +
+      s"graft_head_in_bbox(sfc_head, 100, 200, 100, 200, 8, 4)")
+    assert(none.collect().isEmpty)
+  }
 }
