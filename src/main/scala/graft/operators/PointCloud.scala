@@ -167,6 +167,78 @@ object PointCloud {
     new BlockedCloud(spark, spark.read.parquet(s"$dir/blocks"), meta)
   }
 
+  /** Incremental ingest: pack a delta batch into blocks UNDER THE
+    * STORED GRID (same offsets/scales/key split — an append must never
+    * re-derive the key space or every existing key changes meaning)
+    * and land the files next to the existing ones. After an append a
+    * head may span several files; every query stays CORRECT (the scan
+    * prunes on head ranges and explodes blocks independently — nothing
+    * assumes cross-file head uniqueness), what degrades is layout
+    * quality, which [[compact]] restores. This is the production
+    * lifecycle at 100 TB: cheap delta appends all day, one clustering
+    * compaction when fragmentation warrants. */
+  def appendPoints(spark: SparkSession, dir: String, delta: DataFrame): Unit = {
+    val meta = spark.read.parquet(s"$dir/meta").as[CloudMeta](metaEnc).head()
+    val s = delta.agg(count(lit(1)),
+      min("x"), max("x"), min("y"), max("y"), min("z"), max("z")).head()
+    require(!s.isNullAt(1), "empty append batch")
+    require((s.getDouble(1) - meta.offX) / meta.scaleX > -0.5 &&
+      (s.getDouble(3) - meta.offY) / meta.scaleY > -0.5,
+      "append batch falls below the stored grid offsets")
+    val mkey = sfc.morton_encode(
+      quantize(col("x"), meta.offX, meta.scaleX),
+      quantize(col("y"), meta.offY, meta.scaleY))
+    val keyed = delta.select(
+      shiftright(mkey, meta.tailLen).as("sfc_head"),
+      mkey.bitwiseAND(lit((1L << meta.tailLen) - 1)).as("sfc_tail"),
+      round(col("z"), 2).as("z"))
+    keyed
+      .repartitionByRange(spark.sessionState.conf.numShufflePartitions, col("sfc_head"))
+      .sortWithinPartitions("sfc_head", "sfc_tail")
+      .as[(Long, Long, Double)](tuple3Enc)
+      .mapPartitions(packSortedPartition _)(blockEnc)
+      .toDF()
+      .write.mode("append").parquet(s"$dir/blocks")
+    val updated = meta.copy(pointCount = meta.pointCount + s.getLong(0),
+      xMin = math.min(meta.xMin, s.getDouble(1)), xMax = math.max(meta.xMax, s.getDouble(2)),
+      yMin = math.min(meta.yMin, s.getDouble(3)), yMax = math.max(meta.yMax, s.getDouble(4)),
+      zMin = math.min(meta.zMin, s.getDouble(5)), zMax = math.max(meta.zMax, s.getDouble(6)))
+    spark.createDataset(Seq(updated))(metaEnc)
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Clustering compaction: merge fragmented blocks so every head is
+    * again exactly one block inside one range-clustered file — the
+    * post-append maintenance pass. Points stream through the same
+    * range-shuffle + in-partition sort + one-block-in-memory pack as
+    * the initial import (never a per-head collect), land in a staging
+    * directory, and swap in with a directory rename (a real deployment
+    * would delegate the swap to a table format's atomic commit). */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val blocks = spark.read.parquet(s"$dir/blocks")
+    val repacked = blocks
+      .select(col("sfc_head"), posexplode(col("sfc_tail")).as(Seq("__i", "__t")),
+        col("z"))
+      .select(col("sfc_head"), col("__t").as("sfc_tail"),
+        element_at(col("z"), col("__i") + 1).as("z"))
+      .repartitionByRange(spark.sessionState.conf.numShufflePartitions, col("sfc_head"))
+      .sortWithinPartitions("sfc_head", "sfc_tail")
+      .as[(Long, Long, Double)](tuple3Enc)
+      .mapPartitions(packSortedPartition _)(blockEnc)
+      .toDF()
+    repacked.write.mode("overwrite").parquet(s"$dir/blocks_compacting")
+    // swap: local-fs rename; the staging dir is the commit point
+    import java.nio.file.{Files, Paths}
+    def rmdir(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+      finally s.close()
+    }
+    rmdir(Paths.get(s"$dir/blocks"))
+    Files.move(Paths.get(s"$dir/blocks_compacting"), Paths.get(s"$dir/blocks"))
+  }
+
   /** CSV block sink in the reference's pg-COPY shape — arrays rendered
     * as `{a,b,c}` (point_processor.py:83-87). Distributed write (one
     * csv part per partition), header per the reference's to_csv. */

@@ -229,4 +229,31 @@ class PointCloudSpec extends AnyFunSuite {
     assert(collected(re.bboxQuery(b)) == collected(cloud.bboxQuery(b)))
     assert(re.meta == cloud.meta)
   }
+
+  test("append keeps queries correct; compact restores the unique-head layout") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pc_appc").toString
+    val base = (0 until 400).map(i => ((i % 20) * 10.0, (i / 20) * 10.0, i.toDouble))
+    val delta = (0 until 100).map(i => ((i % 10) * 10.0 + 5.0, (i / 10) * 10.0 + 5.0, -i.toDouble))
+    val spec = ImportSpec(ratio = 0.5)
+    PointCloud.write(PointCloud.importPoints(base.toDF("x", "y", "z"), spec), dir)
+    PointCloud.appendPoints(spark, dir, delta.toDF("x", "y", "z"))
+
+    val b = Bbox(0, 120, 0, 120)
+    def result(c: BlockedCloud) = collected(c.bboxQuery(b))
+    val appended = PointCloud.read(spark, dir)
+    val oracle = PointCloud.importPoints((base ++ delta).toDF("x", "y", "z"), spec)
+    assert(result(appended) == result(oracle))
+    assert(appended.meta.pointCount == 500)
+    // fragmentation is real (some head appears in more than one block)...
+    val dupHeads = appended.blocks.groupBy("sfc_head").count().filter("count > 1").count()
+    assert(dupHeads > 0, "append fixture should fragment at least one head")
+
+    PointCloud.compact(spark, dir)
+    val compacted = PointCloud.read(spark, dir)
+    // ...and compaction removes it without changing any result
+    assert(compacted.blocks.groupBy("sfc_head").count().filter("count > 1").isEmpty)
+    assert(result(compacted) == result(oracle))
+    assert(compacted.meta.pointCount == 500)
+  }
 }
