@@ -149,6 +149,25 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
   }
 
+  /** Incremental index maintenance: assign a delta batch to the STORED
+    * centroids (the quantizer is never re-derived — every existing
+    * vector keeps its partition, exactly like the blocked store's
+    * grid-preserving append) and append into the same
+    * `partitionBy(list_id)` layout. Probes keep pruning correctly
+    * because partition values are unchanged; what drifts over many
+    * appends is quantization quality (deltas from a shifted
+    * distribution land in far centroids), which a periodic re-train +
+    * rewrite restores — same cheap-append / periodic-maintenance
+    * lifecycle as [[graft.operators.PointCloud.compact]]. */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      delta: DataFrame, vecCol: String): Unit = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+    delta.withColumn("list_id",
+        graft.functions.vectors.nearest_centroid(col(vecCol), cents))
+      .write.mode("append").partitionBy("list_id").parquet(s"$dir/vectors")
+  }
+
   /** Query a stored IVF index: rank centroids driver-side (a tiny
     * table), scan ONLY the nProbe pruned partitions, exact-rerank. */
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,

@@ -112,6 +112,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got(2L)._1 == 4L) // non-empty row unaffected
   }
 
+  test("appendToIvfIndex: stored centroids assign the delta; probes find it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    val base = emb((0L, e1, 0), (1L, e2, 0), (2L, e12, 0), (3L, ne1, 0),
+      (4L, Array(0.9f, 0.1f, 0f, 0f), 0), (5L, Array(0.1f, 0.9f, 0f, 0f), 0))
+    Similarity.writeIvfIndex(base, "vec_id", "embedding", dir, nLists = 2)
+    val newVec = Array(0.95f, 0.05f, 0f, 0f)
+    Similarity.appendToIvfIndex(spark, dir,
+      emb((100L, newVec, 0), (101L, Array(0f, 1f, 0.1f, 0f), 0)), "embedding")
+    // partition values match a fresh nearest-centroid assignment
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+    val stored = spark.read.parquet(s"$dir/vectors")
+      .filter(col("vec_id") >= 100L)
+      .select(col("vec_id"), col("list_id"),
+        graft.functions.vectors.nearest_centroid(col("embedding"), cents).as("want"))
+      .collect()
+    assert(stored.length == 2)
+    stored.foreach(r => assert(r.getInt(1) == r.getInt(2), s"vec ${r.getLong(0)}"))
+    // the appended vector is immediately searchable (probe 1 = own list)
+    val hit = Similarity.ivfTopKIndexed(spark, dir, "vec_id", "embedding",
+      newVec, k = 1, nProbe = 1).head()
+    assert(hit.getLong(0) == 100L)
+  }
+
   test("decontaminateByEmbedding flags train vectors near any eval vector") {
     def bucket(id: Long): Long = (id % 1000003L) * 2654435761L % 100L
     // find real eval-bucket ids (the id-hash split the operator uses)
