@@ -75,4 +75,53 @@ class PropertySpec extends AnyFunSuite {
       assert(got.toSeq == want, s"trial $t bbox $b")
     }
   }
+
+  test("globalShuffle is a permutation matching the hash order on random id sets") {
+    import graft.functions.HashKernels
+    def h62(x: Long): Long =
+      HashKernels.lehmer3(x) * 2147483648L + HashKernels.lehmer3(x + 700001L)
+    val idGen = Gen.nonEmptyListOf(Gen.choose(-1000000L, 8000000000L)).map(_.distinct)
+    for (t <- 1L to 5L) {
+      val ids = sample(idGen, t)
+      val shards = 1 + (t % 4).toInt
+      val got = graft.operators.CorpusMix
+        .globalShuffle(ids.map((_, "d")).toDF("doc_id", "dummy"), "doc_id", shards)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val exp = ids.sortBy(i => (h62(i), i)).zipWithIndex
+      assert(got.size == ids.size, s"trial $t")
+      exp.foreach { case (id, p) =>
+        assert(got(id) == ((p.toLong, p.toLong % shards)), s"trial $t id $id")
+      }
+    }
+  }
+
+  test("removeDupSpans ≡ brute-force coverage on random small corpora") {
+    val word = Gen.oneOf("a", "b", "c", "d")
+    val doc = Gen.choose(1, 14).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val corpus = Gen.choose(2, 8).flatMap(n => Gen.listOfN(n, doc))
+    val n = 4
+    for (t <- 1L to 6L) {
+      val texts = sample(corpus, t * 7919)
+      def grams(ws: Array[String]): Seq[(Int, String)] = {
+        val m = math.max(ws.length - n + 1, 1)
+        (0 until m).map(p => p -> ws.slice(p, p + n).mkString(" "))
+      }
+      val byDoc = texts.zipWithIndex.map { case (tx, i) =>
+        (i.toLong, tx.split(" "))
+      }
+      val dupGrams = byDoc.flatMap { case (id, ws) => grams(ws).map(_._2).distinct.map((_, id)) }
+        .groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2).keySet
+      val want = byDoc.map { case (id, ws) =>
+        val dp = grams(ws).collect { case (p, g) if dupGrams(g) => p }
+        val kept = ws.indices.filterNot(i => dp.exists(p => p <= i && i <= p + n - 1))
+        id -> ((kept.map(ws).mkString(" "), ws.length.toLong, (ws.length - kept.size).toLong))
+      }.toMap
+      val got = graft.operators.Dedup
+        .removeDupSpans(byDoc.map { case (id, ws) => (id, ws.mkString(" ")) }
+          .toDF("doc_id", "text"), "doc_id", "text", n = n, minDocs = 2)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got == want, s"trial $t corpus $texts")
+    }
+  }
 }
