@@ -549,15 +549,19 @@ object TextStats {
     * the corpus predicts — the standard fluency axis, minus the float
     * perplexity that would never compare across engines.
     *
-    * Scale shape: the bigram stream (id, gram, prefix) is materialized
-    * once (localCheckpoint) and feeds the two count reductions and the
-    * probe; count tables are vocabulary-bounded, so AQE broadcasts
-    * them under the probe join; per-doc aggregation partial-aggregates
-    * map-side. Every shuffled row is a gram string or a count. */
+    * Scale shape: the bigram stream is reduced to (id, 64-bit gram
+    * hash, 64-bit prefix hash) — three longs per token, never gram
+    * STRINGS — before being materialized once (localCheckpoint) for
+    * the two count reductions and the probe; count identity by hash
+    * conflates grams at ~|grams|^2/2^64 (vanishing, same argument as
+    * [[Dedup.dupSpanFraction]]). Count tables are vocabulary-bounded,
+    * so AQE broadcasts them under the probe join; per-doc aggregation
+    * partial-aggregates map-side. */
   def lmFluency(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val bg = df.select(col(idCol),
-        explode(graft.functions.text.word_ngrams(norm(col(textCol)), 2)).as("bg"))
-      .withColumn("p", split(col("bg"), " ").getItem(0))
+        explode(graft.functions.text.word_ngrams(norm(col(textCol)), 2)).as("__bg"))
+      .select(col(idCol), xxhash64(col("__bg")).as("bg"),
+        xxhash64(split(col("__bg"), " ").getItem(0)).as("p"))
       .localCheckpoint()
     val cb = bg.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
     val cp = bg.groupBy(col("p")).agg(count(lit(1)).as("cp"))
