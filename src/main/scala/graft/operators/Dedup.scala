@@ -276,6 +276,21 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Agreement matrix of two near-dup pair tables (each with id_a,
+    * id_b columns, canonical a < b order): full outer join on the pair
+    * key -> both / left_only / right_only counts. Both inputs are
+    * reduced pair frames, so the join never touches a corpus. */
+  def pairAgreement(left: DataFrame, right: DataFrame,
+      leftName: String = "left_only", rightName: String = "right_only"): DataFrame = {
+    val l = left.select(col("id_a"), col("id_b"), lit(1L).as("__l"))
+    val r = right.select(col("id_a"), col("id_b"), lit(1L).as("__r"))
+    l.join(r, Seq("id_a", "id_b"), "full_outer")
+      .select(when(col("__l").isNotNull && col("__r").isNotNull, "both")
+        .when(col("__l").isNotNull, leftName)
+        .otherwise(rightName).as("category"))
+      .groupBy(col("category")).agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Cross-document duplicated-span REMOVAL (the ExactSubstr-dedup
     * shape, word-gram blocked): drop every token covered by an n-gram
     * that occurs in at least `minDocs` distinct documents, keeping the

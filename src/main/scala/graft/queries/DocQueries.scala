@@ -145,18 +145,12 @@ object DocQueries {
     "doc_xmodal_agreement" -> { (s, d) =>
       import graft.operators.Similarity
       val tp = Dedup.minhashNearDups(docs(s, d), "doc_id", "text",
-          shingleLen = 3, wordShingles = true, numHashes = 64, bands = 16,
-          threshold = 0.8)
-        .select(col("id_a"), col("id_b"), lit(1L).as("__t"))
+        shingleLen = 3, wordShingles = true, numHashes = 64, bands = 16,
+        threshold = 0.8)
       val ep = Similarity.cosineNearDupPairs(
-          graft.Tables.table(s, d, "embeddings"), "vec_id", "embedding",
-          "label", 0.35)
-        .select(col("id_a"), col("id_b"), lit(1L).as("__e"))
-      tp.join(ep, Seq("id_a", "id_b"), "full_outer")
-        .select(when(col("__t").isNotNull && col("__e").isNotNull, "both")
-          .when(col("__t").isNotNull, "text_only")
-          .otherwise("emb_only").as("category"))
-        .groupBy(col("category")).agg(count(lit(1)).as("n_pairs"))
+        graft.Tables.table(s, d, "embeddings"), "vec_id", "embedding",
+        "label", 0.35)
+      Dedup.pairAgreement(tp, ep, "text_only", "emb_only")
     })
 
   /** Fixture mix: downsample three sources, keep the rest. */

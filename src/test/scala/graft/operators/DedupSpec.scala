@@ -174,6 +174,14 @@ class DedupSpec extends AnyFunSuite {
     assert(byId(4L) == 0L && byId(1L) > 0L && byId(2L) > 0L && byId(5L) == 1L)
   }
 
+  test("pairAgreement counts both/left/right categories of pair sets") {
+    val l = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val r = Seq((3L, 4L), (5L, 6L), (7L, 8L), (9L, 10L)).toDF("id_a", "id_b")
+    val got = Dedup.pairAgreement(l, r, "text_only", "emb_only")
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(got == Map("both" -> 2L, "text_only" -> 1L, "emb_only" -> 2L))
+  }
+
   test("dedupApply keeps cluster representatives and all unique docs") {
     val t = "one two three four five six seven eight nine ten"
     val d = docs(
