@@ -282,8 +282,13 @@ object Dedup {
     * reduced pair frames, so the join never touches a corpus. */
   def pairAgreement(left: DataFrame, right: DataFrame,
       leftName: String = "left_only", rightName: String = "right_only"): DataFrame = {
-    val l = left.select(col("id_a"), col("id_b"), lit(1L).as("__l"))
-    val r = right.select(col("id_a"), col("id_b"), lit(1L).as("__r"))
+    // distinct() both sides: a duplicated (id_a, id_b) row would
+    // multiply through the full outer join and inflate every count.
+    // Pair frames are already reduced, so the dedup costs ~nothing.
+    val l = left.select(col("id_a"), col("id_b")).distinct()
+      .withColumn("__l", lit(1L))
+    val r = right.select(col("id_a"), col("id_b")).distinct()
+      .withColumn("__r", lit(1L))
     l.join(r, Seq("id_a", "id_b"), "full_outer")
       .select(when(col("__l").isNotNull && col("__r").isNotNull, "both")
         .when(col("__l").isNotNull, leftName)

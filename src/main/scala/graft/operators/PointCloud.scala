@@ -185,6 +185,16 @@ object PointCloud {
     require((s.getDouble(1) - meta.offX) / meta.scaleX > -0.5 &&
       (s.getDouble(3) - meta.offY) / meta.scaleY > -0.5,
       "append batch falls below the stored grid offsets")
+    // upper bound: the stored key split covers exactly
+    // [0, 2^(headLen+tailLen)) — a delta past that envelope would pack
+    // into heads the range decomposer never emits, so every spatial
+    // query would silently omit it. Reject instead (re-import, or
+    // import with headroom, to widen the grid).
+    val qxMaxD = math.round((s.getDouble(2) - meta.offX) / meta.scaleX)
+    val qyMaxD = math.round((s.getDouble(4) - meta.offY) / meta.scaleY)
+    require(Morton.bitLength(Morton.encode(qxMaxD, qyMaxD)) <= meta.headLen + meta.tailLen,
+      s"append batch max quantized coords ($qxMaxD, $qyMaxD) exceed the stored " +
+        s"${meta.headLen + meta.tailLen}-bit key space; queries could not see these points")
     val mkey = sfc.morton_encode(
       quantize(col("x"), meta.offX, meta.scaleX),
       quantize(col("y"), meta.offY, meta.scaleY))
@@ -227,7 +237,12 @@ object PointCloud {
       .mapPartitions(packSortedPartition _)(blockEnc)
       .toDF()
     repacked.write.mode("overwrite").parquet(s"$dir/blocks_compacting")
-    // swap: local-fs rename; the staging dir is the commit point
+    // swap via rename-aside: blocks -> blocks_old, staging -> blocks,
+    // then delete blocks_old. A crash at any step leaves a recoverable
+    // state (the data exists intact under exactly one of the three
+    // names); a real deployment would delegate the swap to a table
+    // format's atomic commit. Local-fs renames; not atomic on object
+    // stores.
     import java.nio.file.{Files, Paths}
     def rmdir(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
       val s = Files.walk(p)
@@ -235,8 +250,12 @@ object PointCloud {
         .forEach(f => Files.delete(f))
       finally s.close()
     }
-    rmdir(Paths.get(s"$dir/blocks"))
-    Files.move(Paths.get(s"$dir/blocks_compacting"), Paths.get(s"$dir/blocks"))
+    val live = Paths.get(s"$dir/blocks")
+    val old = Paths.get(s"$dir/blocks_old")
+    rmdir(old) // leftover from a previous crashed compact
+    Files.move(live, old)
+    Files.move(Paths.get(s"$dir/blocks_compacting"), live)
+    rmdir(old)
   }
 
   /** CSV block sink in the reference's pg-COPY shape — arrays rendered

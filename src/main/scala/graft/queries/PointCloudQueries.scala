@@ -227,8 +227,13 @@ object PointCloudQueries {
     // slope raster: max |mean-z step| to the 4-neighborhood per cell
     "pc_cell_slope" -> ((s, d) => cloud(s, d).gridSlope(64.0)),
     // per-point height above the cell-min ground model; points join a
-    // broadcast raster, never shuffle
-    "pc_hag" -> ((s, d) => cloud(s, d).heightAboveGround(64.0)),
+    // broadcast raster, never shuffle. x/y cast to the integer grid like
+    // every other pc_* result — r7's only red row was this query hashing
+    // a Spark DOUBLE x/y against the oracle's BIGINT x/y (values were
+    // bit-identical; the driver hash is type-sensitive)
+    "pc_hag" -> ((s, d) => cloud(s, d).heightAboveGround(64.0)
+      .select(col("x").cast("long").as("x"), col("y").cast("long").as("y"),
+        col("z"), col("hag"))),
     // 3D-keyed store: z pruned at the scan via octree ranges, not
     // post-filtered (the height-query scale path beyond B10-B12)
     "pc_bbox3d" -> ((s, d) =>

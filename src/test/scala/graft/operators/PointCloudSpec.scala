@@ -256,4 +256,24 @@ class PointCloudSpec extends AnyFunSuite {
     assert(result(compacted) == result(oracle))
     assert(compacted.meta.pointCount == 500)
   }
+
+  test("append beyond the stored key-space envelope is rejected") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pc_appx").toString
+    val base = (0 until 400).map(i => ((i % 20) * 10.0, (i / 20) * 10.0, i.toDouble))
+    PointCloud.write(
+      PointCloud.importPoints(base.toDF("x", "y", "z"), ImportSpec(ratio = 0.5)), dir)
+    val meta0 = PointCloud.read(spark, dir).meta
+    // base maxes are (190, 190) -> 8 bits/dim -> 16-bit keys; (300, 300)
+    // needs 9 bits/dim, outside the coverable head space — before the
+    // guard this appended fine but every bbox query silently omitted it
+    val bad = Seq((300.0, 300.0, 1.0)).toDF("x", "y", "z")
+    val e = intercept[IllegalArgumentException] {
+      PointCloud.appendPoints(spark, dir, bad)
+    }
+    assert(e.getMessage.contains("key space"))
+    // the rejected append must not have touched the store
+    val after = PointCloud.read(spark, dir)
+    assert(after.meta == meta0)
+  }
 }
