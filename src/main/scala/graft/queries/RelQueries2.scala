@@ -1,0 +1,329 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Events.milli
+
+/** The TPC-H shapes whose columns the fixture schema does not carry
+  * (NOTES_r7): Q12/Q21 need l_shipmode / l_commitdate / l_receiptdate,
+  * and Q2/Q9/Q11/Q20 need a partsupp table. The test data is
+  * driver-owned and read-only, so the missing columns/table are DERIVED
+  * deterministically from existing integer keys — the same pattern as
+  * the synthetic point cloud (FIXTURES.md §A) — with the identical
+  * arithmetic rendered in the DuckDB oracle CTEs. All derivation is
+  * BIGINT arithmetic on non-negative keys, so both engines agree
+  * bit-for-bit; monetary sums use the integer-milli/centi convention of
+  * [[RelQueries]].
+  *
+  * Scale notes: the derived columns are narrow per-row maps (no
+  * shuffle); partsupp is |part| x 4 rows built from the part table —
+  * the same cardinality class as part itself, broadcast below its
+  * threshold and an ordinary shuffle join above it.
+  */
+object RelQueries2 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.Tables.table(s, dir, name)
+
+  private val modes = Seq("AIR", "FOB", "MAIL", "RAIL", "REG AIR", "SHIP", "TRUCK")
+
+  /** lineitem + derived l_shipmode / l_commitdate / l_receiptdate.
+    * commit = ship + [-30, 30] days, receipt = ship + [1, 30] days:
+    * both Q12 predicates (commit < receipt, ship < commit) are
+    * selective but non-empty at every scale. */
+  private def lx(s: SparkSession, d: String): DataFrame = {
+    val ln = col("l_linenumber").cast("long")
+    t(s, d, "lineitem")
+      .withColumn("l_shipmode",
+        element_at(array(modes.map(lit): _*),
+          ((col("l_orderkey") * 3 + ln * 5) % 7).cast("int") + 1))
+      .withColumn("l_commitdate",
+        date_add(to_date(col("l_shipdate")),
+          ((col("l_orderkey") * 13 + ln * 7) % 61 - 30).cast("int")))
+      .withColumn("l_receiptdate",
+        date_add(to_date(col("l_shipdate")),
+          ((col("l_orderkey") * 11 + ln * 17) % 30 + 1).cast("int")))
+  }
+
+  /** The lx derivation as a DuckDB CTE — textually in lockstep with
+    * [[lx]]. */
+  private val lxCte =
+    """WITH lx AS (SELECT l.*,
+         CASE (l_orderkey * 3 + l_linenumber * 5) % 7
+           WHEN 0 THEN 'AIR' WHEN 1 THEN 'FOB' WHEN 2 THEN 'MAIL'
+           WHEN 3 THEN 'RAIL' WHEN 4 THEN 'REG AIR' WHEN 5 THEN 'SHIP'
+           ELSE 'TRUCK' END AS l_shipmode,
+         CAST(l_shipdate AS DATE) +
+           CAST((l_orderkey * 13 + l_linenumber * 7) % 61 - 30 AS INTEGER)
+           AS l_commitdate,
+         CAST(l_shipdate AS DATE) +
+           CAST((l_orderkey * 11 + l_linenumber * 17) % 30 + 1 AS INTEGER)
+           AS l_receiptdate
+       FROM lineitem l)"""
+
+  /** Derived partsupp: 4 suppliers per part, supplier keys strided by
+    * |supplier|/4 so they are distinct per part, cost carried as exact
+    * integer centi-units (ps_supplycost is that value / 100.0 — the
+    * same IEEE double in both engines). The supplier count is a
+    * driver-side catalog lookup (bounded: supplier is the small
+    * dimension at every scale). */
+  private def partsupp(s: SparkSession, d: String): DataFrame = {
+    val nSupp = t(s, d, "supplier").count()
+    val stride = math.max(nSupp / 4, 1L)
+    t(s, d, "part").select(col("p_partkey").as("ps_partkey"))
+      .select(col("ps_partkey"),
+        explode(array((0 until 4).map(j => lit(j.toLong)): _*)).as("__j"))
+      .withColumn("ps_suppkey", (col("ps_partkey") + col("__j") * stride) % nSupp)
+      .drop("__j")
+      .withColumn("ps_availqty",
+        (col("ps_partkey") * 37 + col("ps_suppkey") * 11) % 9999 + 1)
+      .withColumn("ps_supplycost_centi",
+        (col("ps_partkey") * 53 + col("ps_suppkey") * 19) % 90000 + 10000)
+      .withColumn("ps_supplycost",
+        col("ps_supplycost_centi").cast("double") / 100.0)
+  }
+
+  private val psCte =
+    """ps AS (SELECT ps_partkey, ps_suppkey,
+         (ps_partkey * 37 + ps_suppkey * 11) % 9999 + 1 AS ps_availqty,
+         (ps_partkey * 53 + ps_suppkey * 19) % 90000 + 10000 AS ps_supplycost_centi,
+         CAST((ps_partkey * 53 + ps_suppkey * 19) % 90000 + 10000 AS DOUBLE) / 100.0
+           AS ps_supplycost
+       FROM (SELECT p_partkey AS ps_partkey,
+               (p_partkey + j.j * GREATEST(ns.n // 4, 1)) % ns.n AS ps_suppkey
+             FROM part, (VALUES (0), (1), (2), (3)) j(j),
+               (SELECT count(*) AS n FROM supplier) ns))"""
+
+  private val urgent = Seq("1-URGENT", "2-HIGH")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q12 shape: shipmode two-bucket — late-commit lines by
+    // priority class. The triple date predicate runs at the lineitem
+    // scan (narrow derived columns, no shuffle); only survivors join
+    // orders on the order key
+    "rel_q12_shipmode" -> ((s, d) => {
+      val li = lx(s, d)
+        .filter(col("l_shipmode").isin("MAIL", "SHIP") &&
+          col("l_commitdate") < col("l_receiptdate") &&
+          to_date(col("l_shipdate")) < col("l_commitdate") &&
+          col("l_receiptdate") >= lit("1997-01-01") &&
+          col("l_receiptdate") < lit("1998-01-01"))
+        .select(col("l_orderkey"), col("l_shipmode"))
+      li.join(t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_shipmode"))
+        .agg(
+          sum(when(col("o_orderpriority").isin(urgent: _*), 1L).otherwise(0L))
+            .as("high_line_count"),
+          sum(when(col("o_orderpriority").isin(urgent: _*), 0L).otherwise(1L))
+            .as("low_line_count"))
+    }),
+    // TPC-H Q21 shape: suppliers who kept orders waiting — the
+    // double-correlated EXISTS / NOT EXISTS. Distributed rewrite: both
+    // correlated subqueries collapse into ONE per-order aggregate
+    // (distinct suppliers; distinct LATE suppliers), joined back on the
+    // order key — l1 qualifies iff the order has >1 supplier and its
+    // late-supplier set is exactly {l1's}. Two shuffles on l_orderkey
+    // instead of two correlated probes per row
+    "rel_q21_waiting" -> ((s, d) => {
+      val li = lx(s, d).select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_receiptdate") > col("l_commitdate")).as("__late"))
+      val fOrders = t(s, d, "orders")
+        .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+      val scoped = li.join(fOrders, col("l_orderkey") === col("o_orderkey"))
+        .drop("o_orderkey")
+      val perOrder = scoped.groupBy(col("l_orderkey")).agg(
+        countDistinct(col("l_suppkey")).as("__ns"),
+        countDistinct(when(col("__late"), col("l_suppkey"))).as("__nls"))
+      val supp = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation").filter(col("n_name") === "NATION_18")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"))
+      scoped.filter(col("__late"))
+        .join(perOrder, Seq("l_orderkey"))
+        .filter(col("__ns") > 1 && col("__nls") === 1)
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc)
+        .limit(100)
+    }),
+    // TPC-H Q9 shape: product-type profit by nation and year — the
+    // partsupp star join. Part (name-filtered) / partsupp / supplier /
+    // nation broadcast; the fact table shuffles once, on its own
+    // aggregation keys; profit accumulates as exact integer millis
+    "rel_q9_profit" -> ((s, d) => {
+      val parts = t(s, d, "part")
+        .filter(col("p_name").contains("gear")).select(col("p_partkey"))
+      val ps = partsupp(s, d)
+        .select(col("ps_partkey"), col("ps_suppkey"), col("ps_supplycost"))
+      val supp = t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val nat = t(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+      t(s, d, "lineitem")
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(ps), col("l_partkey") === col("ps_partkey") &&
+          col("l_suppkey") === col("ps_suppkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, d, "orders").select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(milli(col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+          col("ps_supplycost") * col("l_quantity"))).as("profit_milli"))
+    }),
+    // TPC-H Q11 shape: important-stock identification — nation-scoped
+    // partsupp value per part vs a fraction of the nation total. Value
+    // is EXACT integer centi x qty; the one-row total broadcasts and
+    // the threshold compares integers (value * 10000 > total), so no
+    // float fraction can flip a part across engines
+    "rel_q11_stock" -> ((s, d) => {
+      val natSupp = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation").filter(col("n_name") === "NATION_15")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val scoped = partsupp(s, d)
+        .join(broadcast(natSupp), col("ps_suppkey") === col("s_suppkey"))
+      val vals = scoped.groupBy(col("ps_partkey"))
+        .agg(sum(col("ps_supplycost_centi") * col("ps_availqty")).as("value_centi"))
+      val total = vals.agg(sum(col("value_centi")).as("__total_centi"))
+      vals.crossJoin(broadcast(total))
+        .filter(col("value_centi") * 10000 > col("__total_centi"))
+        .select(col("ps_partkey"), col("value_centi"))
+    }),
+    // TPC-H Q20 shape: suppliers with excess stock of a part family —
+    // availqty > half the 1997 shipped volume for that (part, supplier).
+    // The correlated scalar subquery becomes one grouped aggregate over
+    // the date-pruned fact, inner-joined (empty group = NULL comparison
+    // = excluded, matching the subquery's semantics); the comparison is
+    // integer millis
+    "rel_q20_excess" -> ((s, d) => {
+      val parts = t(s, d, "part")
+        .filter(col("p_name").startsWith("red")).select(col("p_partkey"))
+      val shipped = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1998-01-01"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(milli(col("l_quantity"))).as("__qty_milli"))
+      partsupp(s, d)
+        .join(broadcast(parts), col("ps_partkey") === col("p_partkey"))
+        .join(shipped, col("ps_partkey") === col("l_partkey") &&
+          col("ps_suppkey") === col("l_suppkey"))
+        .filter(col("ps_availqty") * 2000 > col("__qty_milli"))
+        .select(col("ps_suppkey")).distinct()
+        .join(broadcast(t(s, d, "supplier")
+          .select(col("s_suppkey"), col("s_name"))),
+          col("ps_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"))
+    }),
+    // TPC-H Q2 shape: minimum-cost supplier per part within a region —
+    // the correlated-min subquery as a grouped min + equality join
+    // back (both on exact integer centi costs; ties emit both
+    // suppliers, as the reference query does)
+    "rel_q2_mincost" -> ((s, d) => {
+      val rnat = t(s, d, "nation")
+        .join(broadcast(t(s, d, "region").filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val supp = t(s, d, "supplier")
+        .join(broadcast(rnat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val parts = t(s, d, "part")
+        .filter(col("p_size") <= 10 && col("p_type") === "STANDARD")
+        .select(col("p_partkey"))
+      val cand = partsupp(s, d)
+        .select(col("ps_partkey"), col("ps_suppkey"), col("ps_supplycost_centi"))
+        .join(broadcast(parts), col("ps_partkey") === col("p_partkey"))
+        .join(broadcast(supp), col("ps_suppkey") === col("s_suppkey"))
+      val minc = cand.groupBy(col("ps_partkey").as("__pk"))
+        .agg(min(col("ps_supplycost_centi")).as("__min_centi"))
+      cand.join(broadcast(minc), col("ps_partkey") === col("__pk") &&
+          col("ps_supplycost_centi") === col("__min_centi"))
+        .select(milli(col("s_acctbal")).as("acctbal_milli"), col("s_name"),
+          col("n_name"), col("ps_partkey"), col("ps_supplycost_centi"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "rel_q12_shipmode" ->
+      s"""$lxCte
+         SELECT l_shipmode,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM lx JOIN orders ON o_orderkey = l_orderkey
+         WHERE l_shipmode IN ('MAIL', 'SHIP')
+           AND l_commitdate < l_receiptdate
+           AND CAST(l_shipdate AS DATE) < l_commitdate
+           AND l_receiptdate >= DATE '1997-01-01'
+           AND l_receiptdate < DATE '1998-01-01'
+         GROUP BY 1""",
+    "rel_q21_waiting" ->
+      s"""$lxCte
+         SELECT s_name, count(*) AS numwait
+         FROM supplier, lx l1, orders, nation
+         WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+           AND o_orderstatus = 'F'
+           AND l1.l_receiptdate > l1.l_commitdate
+           AND EXISTS (SELECT 1 FROM lx l2
+             WHERE l2.l_orderkey = l1.l_orderkey
+               AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lx l3
+             WHERE l3.l_orderkey = l1.l_orderkey
+               AND l3.l_suppkey <> l1.l_suppkey
+               AND l3.l_receiptdate > l3.l_commitdate)
+           AND s_nationkey = n_nationkey AND n_name = 'NATION_18'
+         GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""",
+    "rel_q9_profit" ->
+      s"""WITH $psCte
+         SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum(CAST(round((l_extendedprice * (1.0 - l_discount) -
+             ps_supplycost * l_quantity) * 1000, 0) AS BIGINT)) AS BIGINT)
+             AS profit_milli
+         FROM lineitem, part, ps, supplier, nation, orders
+         WHERE l_partkey = p_partkey AND p_name LIKE '%gear%'
+           AND l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+           AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+           AND l_orderkey = o_orderkey
+         GROUP BY 1, 2""",
+    "rel_q11_stock" ->
+      s"""WITH $psCte,
+         scoped AS (SELECT ps.* FROM ps, supplier, nation
+           WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+             AND n_name = 'NATION_15'),
+         vals AS (SELECT ps_partkey,
+           CAST(sum(ps_supplycost_centi * ps_availqty) AS BIGINT) AS value_centi
+           FROM scoped GROUP BY 1)
+         SELECT ps_partkey, value_centi FROM vals
+         WHERE value_centi * 10000 >
+           (SELECT CAST(sum(value_centi) AS BIGINT) FROM vals)""",
+    "rel_q20_excess" ->
+      s"""WITH $psCte
+         SELECT s_suppkey, s_name FROM supplier
+         WHERE s_suppkey IN (
+           SELECT ps_suppkey FROM ps
+           WHERE ps_partkey IN
+             (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+             AND ps_availqty * 2000 > (
+               SELECT CAST(sum(CAST(round(l_quantity * 1000, 0) AS BIGINT))
+                 AS BIGINT)
+               FROM lineitem
+               WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+                 AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                 AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'))""",
+    "rel_q2_mincost" ->
+      s"""WITH $psCte
+         SELECT CAST(round(s_acctbal * 1000, 0) AS BIGINT) AS acctbal_milli,
+           s_name, n_name, ps_partkey, ps_supplycost_centi
+         FROM ps, supplier, nation, region, part
+         WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+           AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+           AND ps_partkey = p_partkey AND p_size <= 10 AND p_type = 'STANDARD'
+           AND ps_supplycost_centi = (
+             SELECT min(i.ps_supplycost_centi) FROM ps i, supplier s2,
+               nation n2, region r2
+             WHERE i.ps_partkey = ps.ps_partkey AND i.ps_suppkey = s2.s_suppkey
+               AND s2.s_nationkey = n2.n_nationkey
+               AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')""")
+}
