@@ -65,6 +65,117 @@ object Multimodal {
     }
   }
 
+  /** Real image-container header decode — pure JVM, no codec library.
+    * Reads dimensions from the first bytes of the payload (PNG IHDR;
+    * JPEG SOF marker scan), which is also the 100 TB-correct shape: a
+    * metadata pass must touch O(100) bytes per item, never run a full
+    * pixel decode. Returns None for payloads that are not PNG/JPEG
+    * (callers fall back to [[FakeCodec]] for the stubbed kinds). */
+  object ImageHeader {
+    private def be32(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+        ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+    private def be16(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+
+    private val pngSig =
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    /** (width, height) if the payload is a PNG or JPEG container. */
+    def dims(bytes: Array[Byte]): Option[(Int, Int)] =
+      if (bytes.length >= 24 && bytes.take(8).sameElements(pngSig) &&
+          bytes(12) == 'I' && bytes(13) == 'H' && bytes(14) == 'D' && bytes(15) == 'R')
+        Some((be32(bytes, 16), be32(bytes, 20)))
+      else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+        jpegDims(bytes)
+      else None
+
+    /** Walk JPEG marker segments to the first SOFn (baseline/progressive
+      * frame header: FF Cn len prec height width). */
+    private def jpegDims(b: Array[Byte]): Option[(Int, Int)] = {
+      var i = 2
+      while (i + 3 < b.length) {
+        if ((b(i) & 0xff) != 0xff) return None // desynced — not a marker
+        // fill bytes: consecutive FFs pad before a marker
+        var j = i + 1
+        while (j < b.length && (b(j) & 0xff) == 0xff) j += 1
+        if (j >= b.length) return None
+        val m = b(j) & 0xff
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+          // SOFn: len(2) precision(1) height(2) width(2)
+          if (j + 8 < b.length) return Some((be16(b, j + 6), be16(b, j + 4)))
+          return None
+        } else if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+          i = j + 1 // standalone marker, no length field
+        } else if (m == 0xd9 || m == 0xda) {
+          return None // EOI / start-of-scan before any frame header
+        } else {
+          if (j + 2 >= b.length) return None
+          i = j + 1 + be16(b, j + 1) // skip the length-prefixed segment
+        }
+      }
+      None
+    }
+
+    /** Encode a REAL grayscale 8-bit PNG with zlib STORED blocks
+      * (hand-rolled wrapper, no Deflater) — a valid PNG any reader
+      * opens, whose total byte length is exactly 68 + h*(w+1) for
+      * h*(w+1) <= 65535, so oracles can predict every field of the
+      * metadata row by arithmetic. Fixture-side helper; the engine
+      * direction is [[dims]]. */
+    def encodePngStored(w: Int, h: Int, pix: (Int, Int) => Int): Array[Byte] = {
+      require(w > 0 && h > 0 && h * (w + 1) <= 65535, s"stored-block fixture cap: ${h * (w + 1)}")
+      val raw = new Array[Byte](h * (w + 1)) // filter byte 0 + scanline
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { raw(y * (w + 1) + 1 + x) = pix(x, y).toByte; x += 1 }
+        y += 1
+      }
+      val adler = { val a = new java.util.zip.Adler32; a.update(raw); a.getValue }
+      val idat = java.nio.ByteBuffer.allocate(11 + raw.length)
+      idat.put(0x78.toByte).put(0x01.toByte) // zlib header, no preset dict
+      idat.put(0x01.toByte) // BFINAL=1, BTYPE=00 (stored)
+      idat.put((raw.length & 0xff).toByte).put(((raw.length >> 8) & 0xff).toByte)
+      idat.put(((~raw.length) & 0xff).toByte).put((((~raw.length) >> 8) & 0xff).toByte)
+      idat.put(raw)
+      idat.putInt(adler.toInt)
+      def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+        val out = java.nio.ByteBuffer.allocate(12 + data.length)
+        out.putInt(data.length).put(tag.getBytes("US-ASCII")).put(data)
+        val crc = new java.util.zip.CRC32
+        crc.update(tag.getBytes("US-ASCII")); crc.update(data)
+        out.putInt(crc.getValue.toInt)
+        out.array()
+      }
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+        .putInt(w).putInt(h)
+        .put(8.toByte).put(0.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      pngSig ++ chunk("IHDR", ihdr.array()) ++ chunk("IDAT", idat.array()) ++
+        chunk("IEND", Array.emptyByteArray)
+    }
+
+    /** Encode a REAL baseline JPEG via the JDK's bundled writer
+      * (javax.imageio, pure JVM). Byte length is codec-dependent, so
+      * fixtures built from this only assert parsed dimensions. */
+    def encodeJpeg(w: Int, h: Int, pix: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = pix(x, y) & 0xff
+          img.setRGB(x, y, (v << 16) | (v << 8) | v); x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+  }
+
   /** Wrap any table with a string payload column into the canonical
     * media shape (deterministic test payloads; real pipelines would
     * read binary files or parquet binary columns directly). */
@@ -75,7 +186,11 @@ object Multimodal {
       col(payloadCol).cast("binary").as("bytes"))
 
   /** Decode metadata per media row (dims / frames / sample rate) —
-    * partition-batched, typed output. */
+    * partition-batched, typed output. Image dimensions are REAL when
+    * the payload is a PNG/JPEG container ([[ImageHeader.dims]], a pure
+    * header parse); payloads that are not image containers (the stubbed
+    * audio/video kinds, arbitrary test bytes) keep [[FakeCodec]]'s
+    * deterministic pseudo-metadata. */
   def decodeMeta(media: DataFrame): DataFrame = {
     val enc = Encoders.product[MediaMeta]
     media.select("media_id", "kind", "bytes")
@@ -83,7 +198,7 @@ object Multimodal {
         it.map { r =>
           val id = r.getLong(0); val kind = r.getString(1)
           val bytes = r.getAs[Array[Byte]](2)
-          val (w, h) = FakeCodec.imageDims(bytes)
+          val (w, h) = ImageHeader.dims(bytes).getOrElse(FakeCodec.imageDims(bytes))
           MediaMeta(id, kind, bytes.length.toLong, w, h,
             FakeCodec.frameCount(bytes), FakeCodec.sampleRate(kind))
         }

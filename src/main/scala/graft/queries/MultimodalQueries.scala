@@ -6,14 +6,16 @@ import org.apache.spark.sql.functions._
 import graft.operators.Multimodal
 
 /** Multimodal-column surface: the `documents` table doubles as a media
-  * table (text payload cast to binary — deterministic stand-in for real
-  * image/audio/video bytes; kind assigned round-robin by id). The
-  * decode step is the documented stub ([[Multimodal.FakeCodec]]), so
-  * oracles recompute the same deterministic pseudo-metadata from byte
-  * length / byte values with DuckDB blob functions — which exactly
-  * exercises the real part: schema, batching, explode shapes, and
-  * metadata propagation. Payloads are ASCII (verified), so ord(char) ==
-  * byte value on both engines. */
+  * table (kind assigned round-robin by id). Image-kind rows carry REAL
+  * encoded containers (stored-block PNG / JDK baseline JPEG) and their
+  * metadata comes from a real header parse
+  * ([[Multimodal.ImageHeader]]); audio/video payloads remain the
+  * documented deterministic stub ([[Multimodal.FakeCodec]] — no audio
+  * codec ships in this environment), so their oracles recompute the
+  * same pseudo-metadata from byte length / byte values with DuckDB
+  * blob functions — which exercises the real part either way: schema,
+  * batching, explode shapes, and metadata propagation. Text payloads
+  * are ASCII (verified), so ord(char) == byte value on both engines. */
 object MultimodalQueries {
 
   private def kindExpr: Column =
@@ -25,8 +27,59 @@ object MultimodalQueries {
     Multimodal.asMediaTable(
       graft.Tables.table(s, dir, "documents"), "doc_id", "text", kindExpr)
 
+  /** media(), with every image-kind payload replaced by a REAL PNG
+    * (zlib stored blocks, [[Multimodal.ImageHeader.encodePngStored]])
+    * whose dimensions derive from the id — so decodeMeta exercises the
+    * real header parser and the oracle predicts every field by
+    * arithmetic (total PNG length = 68 + h*(w+1) by construction). */
+  private def mediaRealImages(s: SparkSession, dir: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.BINARY)
+    media(s, dir).select("media_id", "kind", "bytes")
+      .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+        it.map { r =>
+          val id = r.getLong(0); val kind = r.getString(1)
+          val payload =
+            if (kind == "image") {
+              val w = 8 + (id % 57).toInt
+              val h = 8 + (id * 3 % 57).toInt
+              Multimodal.ImageHeader.encodePngStored(w, h,
+                (x, y) => ((id * 31 + x * 7 + y * 13) % 251).toInt)
+            } else r.getAs[Array[Byte]](2)
+          (id, kind, payload)
+        }
+      }(enc).toDF("media_id", "kind", "bytes")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_decode_meta" -> ((s, d) => Multimodal.decodeMeta(media(s, d))),
+    "mm_decode_meta" -> ((s, d) => Multimodal.decodeMeta(mediaRealImages(s, d))),
+    // real-container dimension parse over BOTH formats: every doc
+    // becomes an actual encoded image (even ids -> stored-PNG, odd ->
+    // JDK-encoded baseline JPEG); the parsed width/height must equal
+    // the encode-time values the oracle recomputes from the id
+    "mm_image_dims" -> ((s, d) => {
+      val enc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.BINARY)
+      val imgs = media(s, d).select("media_id", "kind", "bytes")
+        .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+          it.map { r =>
+            val id = r.getLong(0)
+            val w = 8 + (id * 7 % 64).toInt
+            val h = 8 + (id * 13 % 64).toInt
+            def pix(x: Int, y: Int) = ((id * 31 + x * 7 + y * 13) % 251).toInt
+            val payload =
+              if (id % 2 == 0) Multimodal.ImageHeader.encodePngStored(w, h, pix)
+              else Multimodal.ImageHeader.encodeJpeg(w, h, pix)
+            (id, "image", payload)
+          }
+        }(enc).toDF("media_id", "kind", "bytes")
+      Multimodal.decodeMeta(imgs)
+        .select(col("media_id"), col("width"), col("height"))
+    }),
     "mm_feature_cksum" -> ((s, d) =>
       Multimodal.extractFeatures(media(s, d))
         .select("media_id", "n_bytes", "checksum")),
@@ -74,15 +127,30 @@ object MultimodalQueries {
          c -> ord(c)::BIGINT)),
        (acc, c) -> (acc * 31 + c) % 1000000007)"""
 
+  // stored-PNG payload arithmetic for image-kind rows (doc_id % 3 = 0):
+  // w = 8 + id % 57, h = 8 + id*3 % 57, total = 68 + h*(w+1)
+  private val imgW = "(8 + doc_id % 57)"
+  private val imgH = "(8 + (doc_id * 3) % 57)"
+  private val imgLen = s"(68 + $imgH * ($imgW + 1))"
+
   val oracleSql: Map[String, String] = Map(
     "mm_decode_meta" ->
       s"""SELECT doc_id AS media_id, $kindSql AS kind,
-           length(text)::BIGINT AS n_bytes,
-           (64 + length(text) % 512)::INT AS width,
-           (64 + (length(text)::BIGINT * 31) % 512)::INT AS height,
-           (1 + length(text) % 30)::INT AS n_frames,
+           (CASE WHEN doc_id % 3 = 0 THEN $imgLen
+                 ELSE length(text) END)::BIGINT AS n_bytes,
+           (CASE WHEN doc_id % 3 = 0 THEN $imgW
+                 ELSE 64 + length(text) % 512 END)::INT AS width,
+           (CASE WHEN doc_id % 3 = 0 THEN $imgH
+                 ELSE 64 + (length(text)::BIGINT * 31) % 512 END)::INT AS height,
+           (1 + (CASE WHEN doc_id % 3 = 0 THEN $imgLen
+                      ELSE length(text) END) % 30)::INT AS n_frames,
            (CASE WHEN doc_id % 3 = 1 THEN 16000
                  WHEN doc_id % 3 = 2 THEN 30 ELSE 0 END)::INT AS sample_rate
+         FROM documents""",
+    "mm_image_dims" ->
+      s"""SELECT doc_id AS media_id,
+           (8 + (doc_id * 7) % 64)::INT AS width,
+           (8 + (doc_id * 13) % 64)::INT AS height
          FROM documents""",
     "mm_feature_cksum" ->
       s"""SELECT doc_id AS media_id, length(text)::BIGINT AS n_bytes,

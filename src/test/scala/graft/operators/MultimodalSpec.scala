@@ -62,4 +62,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r(1L).length == 5)  // shorter than target -> identity
     assert(new String(r(1L)) == "short")
   }
+
+  test("ImageHeader parses real PNG containers (and the PNG is valid)") {
+    val png = Multimodal.ImageHeader.encodePngStored(37, 23,
+      (x, y) => (x * 7 + y * 13) % 251)
+    assert(Multimodal.ImageHeader.dims(png).contains((37, 23)))
+    // length is exactly predictable: 68 + h*(w+1)
+    assert(png.length == 68 + 23 * 38)
+    // cross-check with an INDEPENDENT reader: the JDK's PNG decoder
+    // must open it and agree on dimensions and a pixel value
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth == 37 && img.getHeight == 23)
+    // raw raster sample (getRGB would gamma-map linear gray to sRGB)
+    assert(img.getRaster.getSample(5, 4, 0) == (5 * 7 + 4 * 13) % 251)
+  }
+
+  test("ImageHeader parses real JPEG containers from the JDK encoder") {
+    val jpg = Multimodal.ImageHeader.encodeJpeg(41, 17, (x, y) => (x + y) % 200)
+    assert(Multimodal.ImageHeader.dims(jpg).contains((41, 17)))
+  }
+
+  test("ImageHeader returns None for non-image payloads") {
+    assert(Multimodal.ImageHeader.dims("just some text bytes".getBytes).isEmpty)
+    assert(Multimodal.ImageHeader.dims(Array[Byte]()).isEmpty)
+    assert(Multimodal.ImageHeader.dims(Array(0xff.toByte, 0xd8.toByte)).isEmpty)
+    // a truncated PNG signature is not a PNG
+    assert(Multimodal.ImageHeader.dims(
+      Array(0x89.toByte, 'P'.toByte, 'N'.toByte)).isEmpty)
+  }
+
+  test("decodeMeta uses real header dims for image containers") {
+    val png = Multimodal.ImageHeader.encodePngStored(12, 9, (_, _) => 1)
+    val df = Seq((7L, "image", png)).toDF("media_id", "kind", "bytes")
+    val row = Multimodal.decodeMeta(df).collect().head
+    assert(row.getInt(3) == 12 && row.getInt(4) == 9)
+    assert(row.getLong(2) == png.length.toLong)
+  }
 }
