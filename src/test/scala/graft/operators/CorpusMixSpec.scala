@@ -125,4 +125,36 @@ class CorpusMixSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(coarse == got)
   }
+
+  test("globalShuffle boundedness: the unpartitioned window sees only the bucket frame") {
+    // The offsets window (Window.orderBy(__b), no partitionBy) is the
+    // op's one single-partition stage; it must run over the REDUCED
+    // groupBy(__b) frame (<= 2^log2Buckets rows at ANY corpus size),
+    // never the corpus. Guard both structurally and numerically so a
+    // refactor can't silently unbound it.
+    val d = (0L until 5000L).map(i => (i, "s", "en", "t"))
+      .toDF("doc_id", "source", "lang", "text")
+    val out = CorpusMix.globalShuffle(d, "doc_id", nShards = 4, log2Buckets = 3)
+    out.count() // finalize the adaptive plan before inspecting it
+    val helper = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+    val windows = helper.collectWithSubqueries(out.queryExecution.executedPlan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    val unpartitioned = windows.filter(_.partitionSpec.isEmpty)
+    assert(unpartitioned.nonEmpty, "expected the bucket-offset window")
+    unpartitioned.foreach { w =>
+      val aggsBelow = w.child.collect {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      }
+      assert(aggsBelow.nonEmpty,
+        s"unpartitioned window must consume the aggregated bucket frame:\n$w")
+    }
+    // numeric bound: distinct buckets <= 2^log2Buckets even at corpus
+    // sizes many times the bucket count
+    import graft.functions.HashKernels
+    def hash62(x: Long): Long =
+      HashKernels.lehmer3(x) * 2147483648L + HashKernels.lehmer3(x + 700001L)
+    val nBuckets = (0L until 5000L).map(i => hash62(i) >> 59).distinct.size
+    assert(nBuckets <= 8, s"bucket frame must stay <= 2^3 rows, got $nBuckets")
+  }
 }

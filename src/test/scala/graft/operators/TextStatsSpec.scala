@@ -34,6 +34,25 @@ class TextStatsSpec extends AnyFunSuite {
         .select("doc_id").collect().map(_.getLong(0)).toSet
       assert(got == naive(b), s"budget $b")
     }
+
+    // boundedness: the boundary-path running-sum window must stay fed
+    // by the quality-filtered frame only — every window in the plan is
+    // PARTITIONED (by quality_milli), and the full buckets that pass
+    // without a window carry at most `budget` tokens, so the window
+    // input is ~budget-sized + one boundary bucket at any corpus size.
+    // A refactor that windows the whole corpus trips both asserts.
+    val sel = TextStats.budgetSelect(df, "doc_id", "text", 777L)
+    val rows = sel.select("quality_milli", "n_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val helper = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+    val wins = helper.collectWithSubqueries(sel.queryExecution.executedPlan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      "budgetSelect windows must be partitioned by the quality key")
+    val bk = rows.map(_._1).min // boundary bucket = lowest kept quality
+    assert(rows.filter(_._1 > bk).map(_._2).sum <= 777L,
+      "full buckets above the boundary must fit the budget")
   }
 
   lazy val spark: SparkSession = SparkSession.builder()
@@ -167,6 +186,14 @@ class TextStatsSpec extends AnyFunSuite {
     // p50 of [1,2,3,4] = 2.5 -> 2500 milli; p25 = 1.75 -> 1750
     assert(r.getLong(6) == 2500L)
     assert(r.getLong(5) == 1750L)
+    // boundedness: the whole op is ONE partial-combined aggregate to a
+    // single row — no window operator may appear (an ntile/rank
+    // reformulation would plan a corpus-wide single-partition window)
+    val plan = TextStats.lengthQuantiles(d, "doc_id", "text")
+      .queryExecution.executedPlan
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"lengthQuantiles must stay window-free:\n$plan")
   }
 
   test("vocabCoverage: top-V vocab with deterministic tie cut, per-doc OOV") {
