@@ -87,9 +87,72 @@ object PointCloud3 {
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
+  /** Open a stored 3D cloud. Blocks = the base import plus any streamed
+    * delta partitions ([[appendBatch]]); the catalog's point count
+    * composes base + the per-batch ledger, so the on-disk meta is never
+    * rewritten per batch and a replayed batch cannot double-count. */
   def read(spark: SparkSession, dir: String): BlockedCloud3 = {
+    import java.nio.file.{Files, Paths}
     val meta = spark.read.parquet(s"$dir/meta").as[Cloud3Meta](metaEnc).head()
-    new BlockedCloud3(spark, spark.read.parquet(s"$dir/blocks"), meta)
+    val base = spark.read.parquet(s"$dir/blocks")
+    val hasDelta = Files.exists(Paths.get(s"$dir/blocks_delta"))
+    val blocks = if (hasDelta)
+      base.unionByName(
+        spark.read.parquet(s"$dir/blocks_delta").select("sfc_head", "sfc_tail"))
+    else base
+    val appended = if (Files.exists(Paths.get(s"$dir/counts")))
+      spark.read.parquet(s"$dir/counts").agg(sum(col("n"))).head().getLong(0)
+    else 0L
+    new BlockedCloud3(spark, blocks,
+      meta.copy(pointCount = meta.pointCount + appended))
+  }
+
+  /** Incremental ingest into a stored 3D cloud — the streaming parity
+    * of the 2D store's append lifecycle (X91), replay-safe by
+    * construction: the delta packs UNDER THE STORED key split (the key
+    * space is never re-derived) and lands in its own
+    * `blocks_delta/__batch=<id>` partition with dynamic partition
+    * overwrite, alongside a one-row `counts/__batch=<id>` ledger
+    * entry. A replayed micro-batch (at-least-once delivery after a
+    * sink failure) overwrites exactly its own partition and ledger row
+    * — never appends twice — so stream state composes to exactly-once.
+    * Queries stay correct across fragmented heads (the scan prunes
+    * head ranges; blocks explode independently). Same key-space
+    * envelope guard as the 2D append: a delta outside
+    * [0, 2^(headLen+tailLen)) would be invisible to the range
+    * decomposer, so it is rejected, not silently dropped. */
+  def appendBatch(spark: SparkSession, dir: String, delta: DataFrame,
+      batchId: Long): Unit = {
+    val meta = spark.read.parquet(s"$dir/meta").as[Cloud3Meta](metaEnc).head()
+    val xq = round(col("x")).cast(LongType)
+    val yq = round(col("y")).cast(LongType)
+    val zq = round(col("z") * meta.zDenom).cast(LongType)
+    val s = delta.agg(count(lit(1)), max(xq), max(yq), max(zq),
+      min(xq), min(yq), min(zq)).head()
+    if (s.getLong(0) == 0) return // empty micro-batch: nothing to land
+    require(s.getLong(4) >= 0 && s.getLong(5) >= 0 && s.getLong(6) >= 0,
+      "append batch has negative quantized coordinates")
+    val (qx, qy, qz) = (s.getLong(1), s.getLong(2), s.getLong(3))
+    require(Morton.bitLength(Morton3.encode(qx, qy, qz)) <= meta.headLen + meta.tailLen,
+      s"append batch max quantized coords ($qx, $qy, $qz) exceed the stored " +
+        s"${meta.headLen + meta.tailLen}-bit key space; queries could not see these points")
+    val key = sfc.morton3_encode(xq, yq, zq)
+    delta
+      .select(shiftright(key, meta.tailLen).as("_1"),
+        key.bitwiseAND(lit((1L << meta.tailLen) - 1)).as("_2"))
+      .as[(Long, Long)](tuple2Enc)
+      .repartitionByRange(spark.sessionState.conf.numShufflePartitions, col("_1"))
+      .sortWithinPartitions("_1", "_2")
+      .mapPartitions(packSorted _)(blockEnc)
+      .toDF()
+      .withColumn("__batch", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch").parquet(s"$dir/blocks_delta")
+    spark.createDataset(Seq((batchId, s.getLong(0))))(
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      .toDF("__batch", "n")
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch").parquet(s"$dir/counts")
   }
 }
 

@@ -158,6 +158,20 @@ object Streams {
         .parquet(outPath)
     }
 
+  /** Streaming ingest into a STORED 3D cloud (the 3D parity of the
+    * grid-ingest path): each micro-batch of (x, y, z) points packs
+    * under the stored key split and lands through
+    * [[graft.operators.PointCloud3.appendBatch]]'s exactly-once delta
+    * partitions — a replayed micro-batch overwrites its own partition
+    * and count-ledger row instead of appending twice. Usage:
+    * `points.writeStream.foreachBatch(cloud3Ingest(spark, dir)).start()`;
+    * run [[graft.operators.PointCloud3]] queries against `read(dir)`
+    * at any time. */
+  def cloud3Ingest(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) =>
+      graft.operators.PointCloud3.appendBatch(spark, dir, batch, batchId)
+
   /** Custom-state shape: running per-user totals via
     * flatMapGroupsWithState — the template for any bespoke online
     * aggregate (rate limiting, anomaly flags, decayed counters). */
