@@ -154,6 +154,45 @@ object PointCloud3 {
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("__batch").parquet(s"$dir/counts")
   }
+
+  /** Clustering compaction (the 3D mirror of the 2D store's compact):
+    * base + streamed delta partitions re-pack through the same range-
+    * shuffle + in-partition sort + streaming pack pipeline into one
+    * clustered blocks directory; the batch ledger folds into the base
+    * metadata and the delta dirs are removed. Swap is rename-aside
+    * (blocks -> blocks_old, staging -> blocks, delete) so a crash at
+    * any step leaves the data intact under exactly one name. Run
+    * between ingest sessions (a batch replayed from a pre-compact
+    * checkpoint would re-land its delta partition — the streaming
+    * checkpoint, not this store, owns that fencing). */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val cloud = read(spark, dir) // union view + ledger-composed count
+    cloud.blocks
+      .select(col("sfc_head").as("_1"), explode(col("sfc_tail")).as("_2"))
+      .as[(Long, Long)](tuple2Enc)
+      .repartitionByRange(spark.sessionState.conf.numShufflePartitions, col("_1"))
+      .sortWithinPartitions("_1", "_2")
+      .mapPartitions(packSorted _)(blockEnc)
+      .toDF()
+      .write.mode("overwrite").parquet(s"$dir/blocks_compacting")
+    def rmdir(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+      finally s.close()
+    }
+    val live = Paths.get(s"$dir/blocks")
+    val old = Paths.get(s"$dir/blocks_old")
+    rmdir(old)
+    Files.move(live, old)
+    Files.move(Paths.get(s"$dir/blocks_compacting"), live)
+    rmdir(Paths.get(s"$dir/blocks_delta"))
+    rmdir(Paths.get(s"$dir/counts"))
+    spark.createDataset(Seq(cloud.meta))(metaEnc)
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    rmdir(old)
+  }
 }
 
 final class BlockedCloud3(

@@ -97,6 +97,8 @@ object RelQueries2 {
 
   private val urgent = Seq("1-URGENT", "2-HIGH")
 
+  private def m2(c: String) = s"CAST(round($c * 1000, 0) AS BIGINT)"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q12 shape: shipmode two-bucket — late-commit lines by
     // priority class. The triple date predicate runs at the lineitem
@@ -217,6 +219,44 @@ object RelQueries2 {
           col("ps_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"))
     }),
+    // TPC-H Q15 shape: top supplier(s) by quarter revenue — the
+    // revenue "view" is one fact aggregation; the max is a one-row
+    // broadcast crossed back (exact integer millis, so ties are exact
+    // and every tied supplier is emitted, as the reference query does)
+    "rel_q15_top_supplier" -> ((s, d) => {
+      val revenue = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1996-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(milli(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("total_revenue_milli"))
+      val top = revenue.agg(max(col("total_revenue_milli")).as("__max_rev"))
+      revenue.crossJoin(broadcast(top))
+        .filter(col("total_revenue_milli") === col("__max_rev"))
+        .join(broadcast(t(s, d, "supplier").select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue_milli"))
+    }),
+    // TPC-H Q17 shape: small-quantity-order revenue — the correlated
+    // per-part average becomes one grouped aggregate on the fact table
+    // joined back to it; the avg threshold compares in exact integer
+    // cross-multiplied form (qty < 0.2 * avg  <=>  qty * n * 5 <
+    // sum_qty) so no float average can flip a row, and the final /7 is
+    // integer division on exact milli sums
+    "rel_q17_small_qty" -> ((s, d) => {
+      val brand = t(s, d, "part")
+        .filter(col("p_brand") === "Brand#3").select(col("p_partkey"))
+      val li = t(s, d, "lineitem")
+        .join(broadcast(brand), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), milli(col("l_quantity")).as("__qty_milli"),
+          milli(col("l_extendedprice")).as("__price_milli"))
+      val perPart = li.groupBy(col("l_partkey").as("__pk"))
+        .agg(sum(col("__qty_milli")).as("__sum_qty"), count(lit(1)).as("__n"))
+      li.join(perPart, col("l_partkey") === col("__pk"))
+        .filter(col("__qty_milli") * col("__n") * 5 < col("__sum_qty"))
+        .agg(sum(col("__price_milli")).as("__sp"), count(lit(1)).as("n_items"))
+        .select(expr("__sp div 7").as("avg_yearly_milli"), col("n_items"))
+    }),
     // TPC-H Q2 shape: minimum-cost supplier per part within a region —
     // the correlated-min subquery as a grouped min + equality join
     // back (both on exact integer centi costs; ties emit both
@@ -312,6 +352,33 @@ object RelQueries2 {
                WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
                  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
                  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'))""",
+    "rel_q15_top_supplier" ->
+      s"""WITH revenue AS (
+           SELECT l_suppkey,
+             CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 1000, 0)
+               AS BIGINT)) AS BIGINT) AS total_revenue_milli
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+           GROUP BY 1)
+         SELECT s_suppkey, s_name, total_revenue_milli
+         FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+         WHERE total_revenue_milli =
+           (SELECT max(total_revenue_milli) FROM revenue)""",
+    "rel_q17_small_qty" ->
+      s"""WITH li AS (
+           SELECT l_partkey, ${m2("l_quantity")} AS qty_milli,
+             ${m2("l_extendedprice")} AS price_milli
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_brand = 'Brand#3'),
+         pp AS (SELECT l_partkey AS pk,
+             CAST(sum(qty_milli) AS BIGINT) AS sum_qty, count(*) AS n
+           FROM li GROUP BY 1)
+         SELECT CAST(CAST(sum(price_milli) AS BIGINT) // 7 AS BIGINT)
+             AS avg_yearly_milli,
+           count(*) AS n_items
+         FROM li JOIN pp ON l_partkey = pk
+         WHERE qty_milli * n * 5 < sum_qty""",
     "rel_q2_mincost" ->
       s"""WITH $psCte
          SELECT CAST(round(s_acctbal * 1000, 0) AS BIGINT) AS acctbal_milli,

@@ -123,5 +123,15 @@ class PointCloud3Spec extends AnyFunSuite {
     // and an empty micro-batch is a no-op, not an error
     ingest(Seq.empty[(Double, Double, Double)].toDF("x", "y", "z"), 3L)
     assert(PointCloud3.read(spark, dir).meta.pointCount == 2550)
+
+    // compaction: one clustered block per head again, ledger folded
+    // into the base meta, delta dirs gone, results unchanged
+    PointCloud3.compact(spark, dir)
+    val compacted = PointCloud3.read(spark, dir)
+    assert(compacted.blocks.groupBy("sfc_head").count().filter("count > 1").isEmpty)
+    assert(compacted.meta.pointCount == 2550)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/blocks_delta")))
+    assert(multiset(compacted.boxQuery(5, 95, 5, 95, 1.005, 25.005)) ==
+      multiset(rebuilt.boxQuery(5, 95, 5, 95, 1.005, 25.005)))
   }
 }
