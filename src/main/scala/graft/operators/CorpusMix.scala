@@ -147,6 +147,80 @@ object CorpusMix {
         pmod(col("shuffle_pos"), lit(nShards.toLong)).as("shard"))
   }
 
+  /** Temperature-based source rebalancing — the multilingual-LM mixing
+    * recipe (sample sources ∝ p_s^alpha with alpha < 1 to flatten the
+    * head and upweight the tail). With downsampling only, the
+    * achievable scaling keeps source s at f_s = (t_min / t_s)^(1-alpha)
+    * of its tokens: the smallest source keeps everything, larger
+    * sources shrink toward the tempered share. Per-doc keep decisions
+    * are the stable id-hash bucket of [[resampleBySource]] — no RNG,
+    * reproducible at any parallelism, and diffable across rebuilds.
+    *
+    * Scale shape: one reduced per-source aggregate, a one-row min
+    * broadcast, keep thresholds computed on the reduced frame, one
+    * broadcast join back — the corpus itself never shuffles.
+    *
+    * Exactness: at the default alpha = 0.5, f_s = sqrt(t_min / t_s) —
+    * division and sqrt are correctly-rounded IEEE ops, so every engine
+    * reproduces the ppm thresholds bit-for-bit. (A general pow() is
+    * NOT correctly rounded; callers using other alphas trade the
+    * exact-oracle property for flexibility.) */
+  def temperatureResample(df: DataFrame, idCol: String, srcCol: String,
+      textCol: String, alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0, 1]: $alpha")
+    val toks = size(split(Dedup.normalizeText(col(textCol)), " ")).cast("long")
+    val sizes = df.select(col(srcCol), toks.as("__t"))
+      .groupBy(col(srcCol)).agg(sum(col("__t")).as("__ts"))
+    val tmin = sizes.agg(min(col("__ts")).as("__tmin"))
+    val ratio = col("__tmin").cast("double") / col("__ts").cast("double")
+    val frac = if (alpha == 0.5) sqrt(ratio) else pow(ratio, 1.0 - alpha)
+    val plan = sizes.crossJoin(broadcast(tmin))
+      .select(col(srcCol), col("__ts").as("sum_tokens"),
+        floor(frac * 1000000.0).cast("long").as("keep_ppm"))
+    df.select(col(idCol), col(srcCol))
+      .join(broadcast(plan), srcCol)
+      .filter(TextStats.idBucket(col(idCol), 1000000L) < col("keep_ppm"))
+      .select(col(idCol), col(srcCol), col("sum_tokens"), col("keep_ppm"))
+  }
+
+  /** Byte-budget training shards (the webdataset / tar-shard packing
+    * shape: consecutive ~B-byte shards in id order):
+    * shard(doc) = exclusive-prefix-byte-sum div B.
+    *
+    * Scale shape: the prefix sum uses the same bucket-offset
+    * composition as [[globalShuffle]], but keyed by ID RANGES (the
+    * fill order is id order and ids are not uniform, so hash buckets
+    * would interleave): exact-percentile id cuts from one aggregate
+    * bucket the corpus contiguously; per-bucket byte totals + a window
+    * over THAT reduced frame (<= nBuckets rows) give exclusive bucket
+    * offsets; a within-bucket running sum composes the global prefix —
+    * no corpus-wide single-partition window at any size. */
+  def byteShards(df: DataFrame, idCol: String, textCol: String,
+      bytesPerShard: Long, nBuckets: Int = 256): DataFrame = {
+    require(bytesPerShard > 0 && nBuckets >= 2)
+    val sized = df.select(col(idCol),
+      octet_length(col(textCol)).cast("long").as("__b"))
+    val qs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
+    val cuts = sized.agg(expr(
+      s"percentile($idCol, array(${qs.mkString("D, ")}D))")).head()
+      .getSeq[Double](0)
+    val bucket = cuts.zipWithIndex.foldRight(lit(nBuckets - 1)) {
+      case ((cut, i), acc) => when(col(idCol) <= cut, i).otherwise(acc)
+    }
+    val keyed = sized.withColumn("__bk", bucket.cast("long"))
+    val wOff = Window.orderBy(col("__bk").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy(col("__bk")).agg(sum(col("__b")).as("__bs"))
+      .withColumn("__off", coalesce(sum(col("__bs")).over(wOff), lit(0L)))
+      .select(col("__bk"), col("__off"))
+    val wIn = Window.partitionBy(col("__bk")).orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    keyed.join(offsets, "__bk") // AQE broadcasts the bucket frame
+      .withColumn("__pre", col("__off") + coalesce(sum(col("__b")).over(wIn), lit(0L)))
+      .select(col(idCol), col("__b").as("n_bytes"),
+        expr(s"__pre div ${bytesPerShard}L").as("shard"))
+  }
+
   /** Pairwise n-gram overlap between sources: for every source pair,
     * the exact Jaccard (in ppm, floor) of their distinct word-n-gram
     * sets — "how much does subcorpus A repeat subcorpus B", the

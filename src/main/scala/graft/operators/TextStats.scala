@@ -363,6 +363,24 @@ object TextStats {
       .orderBy(col("n_occurrences").desc, col("ngram").asc)
       .limit(k)
 
+  /** BPE merge-pair statistics — the first merge-selection step of
+    * byte-pair-encoding tokenizer training: corpus-wide counts of
+    * adjacent character pairs inside words, top-k by (count desc,
+    * pair asc). Same scale class as [[ngramTopK]]: non-distinct
+    * explode of per-word char bigrams -> partially-aggregated count ->
+    * TakeOrderedAndProject — nothing unreduced crosses an exchange,
+    * and the pair domain is bounded by the alphabet squared. */
+  def bpePairStats(df: DataFrame, textCol: String, k: Int = 20): DataFrame =
+    df.select(explode(split(norm(col(textCol)), " ")).as("__w"))
+      .filter(length(col("__w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(__w) - 1), i -> substring(__w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair").asc)
+      .limit(k)
+
   /** [[decontaminate]] with a Bloom prefilter — the shape for when the
     * eval n-gram set outgrows broadcast: a `numBits`-bit Bloom bitset
     * (built by one OR-merged aggregate over the eval shingles, no

@@ -151,7 +151,22 @@ object DocQueries {
         graft.Tables.table(s, d, "embeddings"), "vec_id", "embedding",
         "label", 0.35)
       Dedup.pairAgreement(tp, ep, "text_only", "emb_only")
-    })
+    },
+    // temperature-based source rebalancing (the multilingual-LM mixing
+    // recipe at alpha = 0.5, where the keep thresholds are
+    // correctly-rounded IEEE sqrt — exact on any engine)
+    "doc_temperature_resample" -> ((s, d) =>
+      CorpusMix.temperatureResample(docs(s, d), "doc_id", "source", "text")),
+    // BPE merge-pair statistics (tokenizer-training prep): top
+    // adjacent in-word character pairs across the corpus
+    "doc_bpe_pairs" -> ((s, d) =>
+      TextStats.bpePairStats(docs(s, d), "text", k = 25)),
+    // byte-budget training shards in id order (webdataset packing
+    // shape) — prefix sums via the bucket-offset composition, keyed
+    // by exact-percentile id ranges
+    "doc_byte_shards" -> ((s, d) =>
+      CorpusMix.byteShards(docs(s, d), "doc_id", "text",
+        bytesPerShard = 65536L)))
 
   /** Fixture mix: downsample three sources, keep the rest. */
   private val resamplePct = Map("src0" -> 25, "src1" -> 50, "src2" -> 75)
@@ -206,6 +221,36 @@ object DocQueries {
        SELECT tr.doc_id, count(*) AS n_shared FROM tr JOIN ev USING (ng) GROUP BY 1"""
 
   val oracleSql: Map[String, String] = Map(
+    "doc_temperature_resample" ->
+      s"""WITH sz AS (
+           SELECT source, CAST(sum(len(string_split($normSql, ' '))) AS BIGINT)
+               AS sum_tokens
+           FROM documents GROUP BY 1),
+         plan AS (
+           SELECT source, sum_tokens,
+             CAST(floor(sqrt(CAST((SELECT min(sum_tokens) FROM sz) AS DOUBLE)
+               / CAST(sum_tokens AS DOUBLE)) * 1000000.0) AS BIGINT) AS keep_ppm
+           FROM sz)
+         SELECT doc_id, source, sum_tokens, keep_ppm
+         FROM documents JOIN plan USING (source)
+         WHERE ${TextStats.idBucketSql("doc_id", 1000000L)} < keep_ppm""",
+    "doc_bpe_pairs" ->
+      s"""WITH w AS (
+           SELECT unnest(string_split($normSql, ' ')) AS w FROM documents),
+         p AS (
+           SELECT substr(w, CAST(i AS INT), 2) AS pair
+           FROM w, LATERAL unnest(range(1, length(w))) AS t(i)
+           WHERE length(w) >= 2)
+         SELECT pair, count(*) AS n_occurrences FROM p
+         GROUP BY 1 ORDER BY n_occurrences DESC, pair ASC LIMIT 25""",
+    "doc_byte_shards" ->
+      s"""WITH b AS (SELECT doc_id, strlen(text) AS nb FROM documents),
+         p AS (SELECT doc_id, nb,
+           coalesce(sum(nb) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+           FROM b)
+         SELECT doc_id, CAST(nb AS BIGINT) AS n_bytes,
+           CAST(pre // 65536 AS BIGINT) AS shard FROM p""",
     "doc_exact_dedup" ->
       s"""SELECT min(doc_id) AS doc_id, count(*) AS n_copies
          FROM (SELECT doc_id, $normSql AS norm FROM documents) GROUP BY norm""",

@@ -257,6 +257,25 @@ object RelQueries2 {
         .agg(sum(col("__price_milli")).as("__sp"), count(lit(1)).as("n_items"))
         .select(expr("__sp div 7").as("avg_yearly_milli"), col("n_items"))
     }),
+    // TPC-H Q16 shape: supplier-relationship counting — distinct
+    // suppliers per (brand, type, size) bucket, excluding a
+    // "complaints" supplier set via NOT IN (broadcast anti-join). The
+    // fixture has no s_comment, so the complaint set derives
+    // deterministically from the key (every 17th supplier), rendered
+    // identically in the oracle. Completes the 22-query TPC-H surface
+    "rel_q16_supplier_cnt" -> ((s, d) => {
+      val complaints = t(s, d, "supplier")
+        .filter(col("s_suppkey") % 17 === 3).select(col("s_suppkey"))
+      val parts = t(s, d, "part")
+        .filter(col("p_brand") =!= "Brand#5" && col("p_size") <= 25)
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      partsupp(s, d).select(col("ps_partkey"), col("ps_suppkey"))
+        .join(broadcast(complaints),
+          col("ps_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(parts), col("ps_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size").cast("long").as("p_size"))
+        .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+    }),
     // TPC-H Q2 shape: minimum-cost supplier per part within a region —
     // the correlated-min subquery as a grouped min + equality join
     // back (both on exact integer centi costs; ties emit both
@@ -352,6 +371,15 @@ object RelQueries2 {
                WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
                  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
                  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'))""",
+    "rel_q16_supplier_cnt" ->
+      s"""WITH $psCte
+         SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+           count(DISTINCT ps_suppkey) AS supplier_cnt
+         FROM ps JOIN part ON ps_partkey = p_partkey
+         WHERE p_brand <> 'Brand#5' AND p_size <= 25
+           AND ps_suppkey NOT IN
+             (SELECT s_suppkey FROM supplier WHERE s_suppkey % 17 = 3)
+         GROUP BY 1, 2, 3""",
     "rel_q15_top_supplier" ->
       s"""WITH revenue AS (
            SELECT l_suppkey,

@@ -157,4 +157,45 @@ class CorpusMixSpec extends AnyFunSuite {
     val nBuckets = (0L until 5000L).map(i => hash62(i) >> 59).distinct.size
     assert(nBuckets <= 8, s"bucket frame must stay <= 2^3 rows, got $nBuckets")
   }
+
+  test("temperatureResample: tempered keep fractions, smallest source keeps all") {
+    // src big: 300 docs x 10 tokens; src small: 30 x 10 -> at alpha 0.5
+    // big keeps sqrt(300/3000) wait: f = sqrt(tmin/ts): big
+    // f = sqrt(300/3000) ~ 0.316, small f = 1.0
+    val d = ((0 until 300).map(i => (i.toLong, "big", "en", Seq.fill(10)("w").mkString(" "))) ++
+      (1000 until 1030).map(i => (i.toLong, "small", "en", Seq.fill(10)("w").mkString(" "))))
+      .toDF("doc_id", "source", "lang", "text")
+    val got = CorpusMix.temperatureResample(d, "doc_id", "source", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    val bySrc = got.groupBy(_._2)
+    // the smallest source's threshold is exactly 1e6 -> every doc kept
+    assert(bySrc("small").length == 30)
+    assert(bySrc("small").head._3 == 1000000L)
+    val bigPpm = bySrc("big").head._3
+    assert(bigPpm == math.floor(math.sqrt(300.0 / 3000.0) * 1e6).toLong)
+    // the id-hash keep rule is exact: recompute it
+    val expectBig = (0 until 300).count { i =>
+      (i.toLong % 1000003L) * 2654435761L % 1000000L < bigPpm
+    }
+    assert(bySrc("big").length == expectBig)
+  }
+
+  test("byteShards == naive running-sum sharding; window stays bucket-bounded") {
+    val rng = new scala.util.Random(31)
+    val docs = (0 until 800).map(i => (i.toLong * 7 + 3, "x" * (20 + rng.nextInt(200))))
+    val d = docs.toDF("doc_id", "text")
+    val out = CorpusMix.byteShards(d, "doc_id", "text",
+        bytesPerShard = 5000L, nBuckets = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    var cum = 0L
+    val expect = docs.sortBy(_._1).map { case (id, t) =>
+      val row = (id, t.length.toLong, cum / 5000L); cum += t.length; row
+    }
+    assert(out.toSeq == expect)
+    // shard sizes respect the budget up to one straddling doc
+    val maxDoc = docs.map(_._2.length).max
+    out.groupBy(_._3).values.foreach { s =>
+      assert(s.map(_._2).sum <= 5000L + maxDoc)
+    }
+  }
 }

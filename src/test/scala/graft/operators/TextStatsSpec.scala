@@ -273,6 +273,14 @@ class TextStatsSpec extends AnyFunSuite {
     }.isEmpty, s"classifier scoring must not shuffle:\n$plan")
   }
 
+  test("bpePairStats counts in-word adjacent char pairs, deterministic top-k") {
+    val d = docs(1L -> "abab cd", 2L -> "abc a")
+    // abab: ab, ba, ab; cd: cd; abc: ab, bc; "a" skipped (len < 2)
+    val got = TextStats.bpePairStats(d, "text", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("ab", 3L), ("ba", 1L), ("bc", 1L), ("cd", 1L)))
+  }
+
   test("fingerprint equals a reference fold and ignores punctuation") {
     val text = "Ab c!"
     val cleaned = "ab c" // lowercased, punct stripped
