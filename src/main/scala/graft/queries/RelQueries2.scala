@@ -122,32 +122,40 @@ object RelQueries2 {
             .as("low_line_count"))
     }),
     // TPC-H Q21 shape: suppliers who kept orders waiting — the
-    // double-correlated EXISTS / NOT EXISTS. Distributed rewrite: both
-    // correlated subqueries collapse into ONE per-order aggregate
-    // (distinct suppliers; distinct LATE suppliers), joined back on the
-    // order key — l1 qualifies iff the order has >1 supplier and its
-    // late-supplier set is exactly {l1's}. Two shuffles on l_orderkey
-    // instead of two correlated probes per row
+    // double-correlated EXISTS / NOT EXISTS. Distributed rewrite: the
+    // correlated subqueries AND the l1 row count collapse into a
+    // DOUBLE aggregation — first to per-(order, supplier) rows (count
+    // of late lines, any-late flag; partial-combines map-side), then
+    // per order (suppliers = count(*), late suppliers = sum(flag),
+    // max(late supplier) identifies the single late one, sum of its
+    // late lines is the waiting count). An order qualifies iff it has
+    // >1 supplier and exactly 1 late supplier. One pass over the fact
+    // table and NO countDistinct — the multi-distinct Expand (3x row
+    // multiplication through the shuffle) and the first cut's
+    // join-back-to-own-aggregate (6 scans) are both gone
     "rel_q21_waiting" -> ((s, d) => {
       val li = lx(s, d).select(col("l_orderkey"), col("l_suppkey"),
         (col("l_receiptdate") > col("l_commitdate")).as("__late"))
       val fOrders = t(s, d, "orders")
         .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
-      val scoped = li.join(fOrders, col("l_orderkey") === col("o_orderkey"))
-        .drop("o_orderkey")
-      val perOrder = scoped.groupBy(col("l_orderkey")).agg(
-        countDistinct(col("l_suppkey")).as("__ns"),
-        countDistinct(when(col("__late"), col("l_suppkey"))).as("__nls"))
       val supp = t(s, d, "supplier")
         .join(broadcast(t(s, d, "nation").filter(col("n_name") === "NATION_18")),
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("s_name"))
-      scoped.filter(col("__late"))
-        .join(perOrder, Seq("l_orderkey"))
+      li.join(fOrders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("__late")).as("__any_late"),
+          sum(when(col("__late"), 1L).otherwise(0L)).as("__late_lines"))
+        .groupBy(col("l_orderkey")).agg(
+          count(lit(1)).as("__ns"),
+          sum(when(col("__any_late"), 1L).otherwise(0L)).as("__nls"),
+          max(when(col("__any_late"), col("l_suppkey"))).as("__late_supp"),
+          sum(when(col("__any_late"), col("__late_lines")).otherwise(0L))
+            .as("__late_total"))
         .filter(col("__ns") > 1 && col("__nls") === 1)
-        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(supp), col("__late_supp") === col("s_suppkey"))
         .groupBy(col("s_name"))
-        .agg(count(lit(1)).as("numwait"))
+        .agg(sum(col("__late_total")).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name").asc)
         .limit(100)
     }),
