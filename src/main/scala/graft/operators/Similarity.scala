@@ -449,4 +449,51 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b")
   }
+
+  /** Hard-negative mining for contrastive training: per anchor, the
+    * highest-cosine SAME-label peer (the positive) and the
+    * highest-cosine DIFFERENT-label vector within the anchor's IVF
+    * list (the hard negative) — the ANN-shortlist practice: exact
+    * all-pairs hard negatives are n² and nobody mines them that way
+    * at scale; restricting negatives to the anchor's quantizer cell
+    * is the deterministic form of "mine from the ANN shortlist".
+    *
+    * Scale shape: both joins are blocked (label / IVF list), so pair
+    * volume is bounded by block sizes, never n²; the argmax windows
+    * partition by anchor (no single-partition stage). Anchors lacking
+    * a same-label peer or an in-list negative drop out (inner joins).
+    * Ties break by (sim desc, id asc) — deterministic on any engine
+    * since the cosine fold is IEEE-identical. */
+  def hardNegativeMine(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, nLists: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = ivfCentroids(emb, idCol, vecCol, nLists)
+    val v = emb.select(col(idCol), col(labelCol), col(vecCol))
+      .withColumn("__list",
+        graft.functions.vectors.nearest_centroid(col(vecCol), cents))
+    val x = v.select(col(idCol).as("__aid"), col(labelCol).as("__alab"),
+      col(vecCol).as("__avec"), col("__list").as("__alist"))
+    val y = v.select(col(idCol).as("__bid"), col(labelCol).as("__blab"),
+      col(vecCol).as("__bvec"), col("__list").as("__blist"))
+    def top1(pairs: DataFrame, simCol: String, outId: String): DataFrame = {
+      val w = Window.partitionBy(col("__aid"))
+        .orderBy(col(simCol).desc, col("__bid").asc)
+      pairs.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("__aid"), col("__bid").as(outId), col(simCol))
+    }
+    val pos = top1(
+      x.join(y, col("__alab") === col("__blab") && col("__aid") =!= col("__bid"))
+        .select(col("__aid"), col("__bid"),
+          cosine(col("__avec"), col("__bvec")).as("pos_sim")),
+      "pos_sim", "pos_id")
+    val neg = top1(
+      x.join(y, col("__alist") === col("__blist") && col("__alab") =!= col("__blab"))
+        .select(col("__aid"), col("__bid"),
+          cosine(col("__avec"), col("__bvec")).as("neg_sim")),
+      "neg_sim", "neg_id")
+    pos.join(neg, "__aid")
+      .select(col("__aid").as(idCol), col("pos_id"), col("pos_sim"),
+        col("neg_id"), col("neg_sim"))
+  }
 }

@@ -84,7 +84,12 @@ object EmbeddingQueries {
     // text-side split), eval side broadcast — no vector shuffle
     "emb_decontaminate" -> ((s, d) =>
       Similarity.decontaminateByEmbedding(emb(s, d), "vec_id", "embedding",
-        threshold = 0.3)))
+        threshold = 0.3)),
+    // contrastive-training pair mining: per anchor the best same-label
+    // positive + the hardest different-label negative from the
+    // anchor's IVF list (the deterministic ANN-shortlist form)
+    "emb_hard_negatives" -> ((s, d) =>
+      Similarity.hardNegativeMine(emb(s, d), "vec_id", "embedding", "label")))
 
   /** Sequential-fold dot product of two DuckDB float lists, in double —
     * op-for-op the plan Spark's aggregate(zip_with(...)) produces. */
@@ -288,6 +293,29 @@ object EmbeddingQueries {
            CAST(COALESCE(list_sum(list_transform(range(1, len(qc) + 1), i -> qc[i] * i)), 0)
              AS BIGINT) AS q_cksum
          FROM q""",
+    // positives: exact label-blocked argmax; negatives: argmax within
+    // the anchor's quantizer cell (a2 from the shared IVF CTEs)
+    "emb_hard_negatives" ->
+      s"""WITH $ivfQuantizerCtes,
+         v AS (SELECT e.vec_id, emb.label, e.embedding, a2.list_id
+               FROM e JOIN a2 USING (vec_id)
+               JOIN embeddings emb ON emb.vec_id = e.vec_id),
+         pos AS (
+           SELECT x.vec_id, y.vec_id AS pos_id,
+             ${cosineSql("x.embedding", "y.embedding")} AS pos_sim
+           FROM v x JOIN v y
+             ON x.label = y.label AND x.vec_id <> y.vec_id
+           QUALIFY row_number() OVER (PARTITION BY x.vec_id
+             ORDER BY pos_sim DESC, y.vec_id ASC) = 1),
+         neg AS (
+           SELECT x.vec_id, y.vec_id AS neg_id,
+             ${cosineSql("x.embedding", "y.embedding")} AS neg_sim
+           FROM v x JOIN v y
+             ON x.list_id = y.list_id AND x.label <> y.label
+           QUALIFY row_number() OVER (PARTITION BY x.vec_id
+             ORDER BY neg_sim DESC, y.vec_id ASC) = 1)
+         SELECT vec_id, pos_id, pos_sim, neg_id, neg_sim
+         FROM pos JOIN neg USING (vec_id)""",
     "emb_decontaminate" ->
       s"""WITH n AS (SELECT vec_id, embedding,
              ${graft.operators.TextStats.idBucketSql("vec_id", 100)} AS b FROM embeddings),
