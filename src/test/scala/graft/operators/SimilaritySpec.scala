@@ -155,4 +155,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(got(trainIds(0))._2 - 0.9 / math.sqrt(0.81 + 0.01)) < 1e-9)
     assert(math.abs(got(trainIds(1))._2 - 1.0 / math.sqrt(2)) < 1e-9)
   }
+
+  test("hardNegativeMine: positive is same-label argmax, negative differs in label") {
+    // nLists = 1 puts every vector in one IVF cell, so the negative is
+    // the GLOBAL hardest different-label vector — checkable by hand
+    val d = emb(
+      (1L, Array(1f, 0f, 0f, 0f), 0), (2L, Array(0.9f, 0.1f, 0f, 0f), 0),
+      (3L, Array(0f, 1f, 0f, 0f), 0),
+      (10L, Array(0.8f, 0.2f, 0f, 0f), 1), (11L, Array(0f, 0f, 1f, 0f), 1))
+    val got = Similarity.hardNegativeMine(d, "vec_id", "embedding", "label", nLists = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    // anchor 1: positive = 2 (cos ~0.994 beats 3's 0.0); hard negative
+    // = 10 (cos ~0.97 beats 11's 0.0)
+    assert(got(1L) == ((2L, 10L)))
+    assert(got(2L) == ((1L, 10L)))
+    // anchor 11 (label 1): positive 10, negative 3 (cos 0 with all of
+    // label 0 except 3's... 11=(0,0,1,0): cos with 1/2/3 all 0 -> tie
+    // broken by smallest id = 1
+    assert(got(11L) == ((10L, 1L)))
+    // every anchor has both a same-label peer and a cross-label
+    // candidate here, so all 5 rows emit
+    assert(got.size == 5)
+  }
 }
