@@ -42,6 +42,12 @@ final case class CloudMeta(
   * with 64-bit heads (the reference's pg INT can overflow, SURVEY §1.3). */
 final case class PointBlock(sfc_head: Long, sfc_tail: Array[Long], z: Array[Double])
 
+/** One streamed micro-batch's ledger entry (count + extents) — written
+  * idempotently per `__batch` partition by [[PointCloud.appendBatch]]. */
+final case class BatchLedgerRow(__batch: Long, n: Long,
+    x_min: Double, x_max: Double, y_min: Double, y_max: Double,
+    z_min: Double, z_max: Double)
+
 object PointCloud {
   private[operators] val tuple3Enc: Encoder[(Long, Long, Double)] =
     Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble)
@@ -162,9 +168,79 @@ object PointCloud {
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
+  /** Open a stored cloud. Blocks = the base import plus any streamed
+    * delta partitions ([[appendBatch]]); the catalog row composes the
+    * base meta with the per-batch ledger (count sum, extent
+    * min/max-merge), so on-disk meta is never rewritten per micro-batch
+    * and a replayed batch cannot double-count. */
   def read(spark: SparkSession, dir: String): BlockedCloud = {
+    import java.nio.file.{Files, Paths}
+    val meta0 = spark.read.parquet(s"$dir/meta").as[CloudMeta](metaEnc).head()
+    val base = spark.read.parquet(s"$dir/blocks")
+    val blocks = if (Files.exists(Paths.get(s"$dir/blocks_delta")))
+      base.unionByName(spark.read.parquet(s"$dir/blocks_delta")
+        .select("sfc_head", "sfc_tail", "z"))
+    else base
+    val meta = if (Files.exists(Paths.get(s"$dir/counts"))) {
+      val l = spark.read.parquet(s"$dir/counts").agg(
+        sum(col("n")), min(col("x_min")), max(col("x_max")),
+        min(col("y_min")), max(col("y_max")),
+        min(col("z_min")), max(col("z_max"))).head()
+      meta0.copy(pointCount = meta0.pointCount + l.getLong(0),
+        xMin = math.min(meta0.xMin, l.getDouble(1)),
+        xMax = math.max(meta0.xMax, l.getDouble(2)),
+        yMin = math.min(meta0.yMin, l.getDouble(3)),
+        yMax = math.max(meta0.yMax, l.getDouble(4)),
+        zMin = math.min(meta0.zMin, l.getDouble(5)),
+        zMax = math.max(meta0.zMax, l.getDouble(6)))
+    } else meta0
+    new BlockedCloud(spark, blocks, meta)
+  }
+
+  /** Exactly-once streaming ingest (the 2D mirror of
+    * [[PointCloud3.appendBatch]]): the micro-batch packs UNDER THE
+    * STORED GRID into its own `blocks_delta/__batch=<id>` partition
+    * with dynamic partition overwrite, plus a one-row
+    * `counts/__batch=<id>` ledger entry carrying the batch's count and
+    * extents — an at-least-once replay overwrites exactly its own
+    * partition and ledger row, so stream state composes to
+    * exactly-once without rewriting the base metadata. Same grid and
+    * key-space envelope guards as [[appendPoints]]. */
+  def appendBatch(spark: SparkSession, dir: String, delta: DataFrame,
+      batchId: Long): Unit = {
     val meta = spark.read.parquet(s"$dir/meta").as[CloudMeta](metaEnc).head()
-    new BlockedCloud(spark, spark.read.parquet(s"$dir/blocks"), meta)
+    val s = delta.agg(count(lit(1)),
+      min("x"), max("x"), min("y"), max("y"), min("z"), max("z")).head()
+    if (s.getLong(0) == 0) return // empty micro-batch: nothing to land
+    require((s.getDouble(1) - meta.offX) / meta.scaleX > -0.5 &&
+      (s.getDouble(3) - meta.offY) / meta.scaleY > -0.5,
+      "append batch falls below the stored grid offsets")
+    val qxMaxD = math.round((s.getDouble(2) - meta.offX) / meta.scaleX)
+    val qyMaxD = math.round((s.getDouble(4) - meta.offY) / meta.scaleY)
+    require(Morton.bitLength(Morton.encode(qxMaxD, qyMaxD)) <= meta.headLen + meta.tailLen,
+      s"append batch max quantized coords ($qxMaxD, $qyMaxD) exceed the stored " +
+        s"${meta.headLen + meta.tailLen}-bit key space; queries could not see these points")
+    val mkey = sfc.morton_encode(
+      quantize(col("x"), meta.offX, meta.scaleX),
+      quantize(col("y"), meta.offY, meta.scaleY))
+    delta.select(
+        shiftright(mkey, meta.tailLen).as("sfc_head"),
+        mkey.bitwiseAND(lit((1L << meta.tailLen) - 1)).as("sfc_tail"),
+        round(col("z"), 2).as("z"))
+      .repartitionByRange(spark.sessionState.conf.numShufflePartitions, col("sfc_head"))
+      .sortWithinPartitions("sfc_head", "sfc_tail")
+      .as[(Long, Long, Double)](tuple3Enc)
+      .mapPartitions(packSortedPartition _)(blockEnc)
+      .toDF()
+      .withColumn("__batch", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch").parquet(s"$dir/blocks_delta")
+    spark.createDataset(Seq(BatchLedgerRow(batchId, s.getLong(0),
+        s.getDouble(1), s.getDouble(2), s.getDouble(3), s.getDouble(4),
+        s.getDouble(5), s.getDouble(6))))(Encoders.product[BatchLedgerRow])
+      .toDF()
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch").parquet(s"$dir/counts")
   }
 
   /** Incremental ingest: pack a delta batch into blocks UNDER THE
@@ -225,7 +301,8 @@ object PointCloud {
     * directory, and swap in with a directory rename (a real deployment
     * would delegate the swap to a table format's atomic commit). */
   def compact(spark: SparkSession, dir: String): Unit = {
-    val blocks = spark.read.parquet(s"$dir/blocks")
+    val cloud = read(spark, dir) // base + delta union, ledger-composed meta
+    val blocks = cloud.blocks
     val repacked = blocks
       .select(col("sfc_head"), posexplode(col("sfc_tail")).as(Seq("__i", "__t")),
         col("z"))
@@ -255,6 +332,11 @@ object PointCloud {
     rmdir(old) // leftover from a previous crashed compact
     Files.move(live, old)
     Files.move(Paths.get(s"$dir/blocks_compacting"), live)
+    // fold streamed delta partitions + their ledger into the base
+    rmdir(Paths.get(s"$dir/blocks_delta"))
+    rmdir(Paths.get(s"$dir/counts"))
+    spark.createDataset(Seq(cloud.meta))(metaEnc)
+      .write.mode("overwrite").parquet(s"$dir/meta")
     rmdir(old)
   }
 

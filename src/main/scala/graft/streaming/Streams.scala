@@ -172,6 +172,14 @@ object Streams {
     (batch: DataFrame, batchId: Long) =>
       graft.operators.PointCloud3.appendBatch(spark, dir, batch, batchId)
 
+  /** Streaming ingest into a stored 2D cloud — same exactly-once
+    * delta-partition + ledger mechanics via
+    * [[graft.operators.PointCloud.appendBatch]]. */
+  def cloudIngest(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) =>
+      graft.operators.PointCloud.appendBatch(spark, dir, batch, batchId)
+
   /** Custom-state shape: running per-user totals via
     * flatMapGroupsWithState — the template for any bespoke online
     * aggregate (rate limiting, anomaly flags, decayed counters). */

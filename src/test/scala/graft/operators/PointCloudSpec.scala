@@ -257,6 +257,39 @@ class PointCloudSpec extends AnyFunSuite {
     assert(compacted.meta.pointCount == 500)
   }
 
+  test("streamed 2D appends are exactly-once and equal a batch rebuild") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pc_stream").toString
+    val base = (0 until 400).map(i => ((i % 20) * 10.0, (i / 20) * 10.0, i.toDouble))
+    val d1 = (0 until 90).map(i => ((i % 10) * 10.0 + 5.0, (i / 10) * 10.0 + 5.0, -i.toDouble))
+    val d2 = (0 until 60).map(i => ((i % 12) * 15.0 + 2.0, (i / 12) * 15.0 + 2.0, i * 2.0))
+    val spec = ImportSpec(ratio = 0.5)
+    PointCloud.write(PointCloud.importPoints(base.toDF("x", "y", "z"), spec), dir)
+
+    val ingest = graft.streaming.Streams.cloudIngest(spark, dir)
+    ingest(d1.toDF("x", "y", "z"), 0L)
+    ingest(d2.toDF("x", "y", "z"), 1L)
+    ingest(d2.toDF("x", "y", "z"), 1L) // at-least-once replay of batch 1
+
+    val b = Bbox(0, 200, 0, 200)
+    val streamed = PointCloud.read(spark, dir)
+    val rebuilt = PointCloud.importPoints((base ++ d1 ++ d2).toDF("x", "y", "z"), spec)
+    assert(streamed.meta.pointCount == 550) // ledger saw each batch once
+    assert(streamed.meta.zMin == rebuilt.meta.zMin &&
+      streamed.meta.zMax == rebuilt.meta.zMax)
+    assert(collected(streamed.bboxQuery(b)) == collected(rebuilt.bboxQuery(b)))
+    // empty micro-batch: no-op
+    ingest(Seq.empty[(Double, Double, Double)].toDF("x", "y", "z"), 2L)
+    assert(PointCloud.read(spark, dir).meta.pointCount == 550)
+    // compaction folds deltas + ledger and restores the clustered layout
+    PointCloud.compact(spark, dir)
+    val compacted = PointCloud.read(spark, dir)
+    assert(compacted.blocks.groupBy("sfc_head").count().filter("count > 1").isEmpty)
+    assert(compacted.meta.pointCount == 550)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/blocks_delta")))
+    assert(collected(compacted.bboxQuery(b)) == collected(rebuilt.bboxQuery(b)))
+  }
+
   test("append beyond the stored key-space envelope is rejected") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_pc_appx").toString
