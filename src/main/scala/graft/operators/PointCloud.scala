@@ -789,6 +789,49 @@ final class BlockedCloud(
         max(abs(col("mean_z") - col("nb_mean"))).as("max_dz"))
   }
 
+  /** Radius outlier removal (the PDAL `filters.ror` shape): keep the
+    * points whose 3D neighborhood population within `radius` — the
+    * point's own multiset identity included — reaches `minNeighbors`;
+    * isolated noise returns drop. Count semantics are by (x, y, z)
+    * IDENTITY with multiplicity, so duplicate points reinforce each
+    * other and every surviving duplicate row is emitted.
+    *
+    * Scale shape: a cell-blocked spatial self-join — identities bucket
+    * into radius-sized XY cells, one side explodes to its 3x3
+    * neighborhood (a 9x explode of the DISTINCT identities, never the
+    * point multiset), the join is an EQUI-join on cell keys, and the
+    * exact squared-distance test runs on candidates only (local
+    * density x 9, never n²). The kept-identity set then left-semi
+    * filters the exploded points. */
+  def radiusOutlierRemoval(radius: Double, minNeighbors: Long): DataFrame = {
+    require(radius > 0 && minNeighbors >= 1)
+    val pts = explodePoints(blocks)
+    val ids = pts.groupBy(col("x"), col("y"), col("z"))
+      .agg(count(lit(1)).as("__m"))
+    def cellOf(c: Column) = floor(c / radius).cast(LongType)
+    val q = ids.select(col("x").as("__qx"), col("y").as("__qy"),
+      col("z").as("__qz"), col("__m"),
+      cellOf(col("x")).as("__cx"), cellOf(col("y")).as("__cy"))
+    val offsets = array((for (dx <- -1 to 1; dy <- -1 to 1) yield
+      struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
+    val probe = ids.select(col("x"), col("y"), col("z"),
+        cellOf(col("x")).as("__px"), cellOf(col("y")).as("__py"),
+        explode(offsets).as("o"))
+      .select(col("x"), col("y"), col("z"),
+        (col("__px") + col("o.dx")).as("__cx"),
+        (col("__py") + col("o.dy")).as("__cy"))
+    val d2 = (col("__qx") - col("x")) * (col("__qx") - col("x")) +
+      (col("__qy") - col("y")) * (col("__qy") - col("y")) +
+      (col("__qz") - col("z")) * (col("__qz") - col("z"))
+    val kept = probe.join(q, Seq("__cx", "__cy"))
+      .filter(d2 <= lit(radius * radius))
+      .groupBy(col("x"), col("y"), col("z"))
+      .agg(sum(col("__m")).as("__cnt"))
+      .filter(col("__cnt") >= minNeighbors)
+      .select(col("x"), col("y"), col("z"))
+    pts.join(kept, Seq("x", "y", "z"), "left_semi")
+  }
+
   /** Height above ground per point: ground elevation = the minimum z of
     * the point's XY raster cell (the cheap ground model terrain tooling
     * starts from), hag = z - ground. The ground raster reduces through
