@@ -31,6 +31,43 @@ object Events {
         unix_micros(col("session_window.start")).as("session_start_us"),
         col("n_events"), col("value_milli"))
 
+  /** Session path analysis: the top-k most frequent in-session
+    * event-type n-grams (default trigrams) — "what do users do in
+    * sequence", the navigation-mining companion to the global
+    * [[transitionMatrix]]. Session ids come from the lag/cumulative-
+    * flag recipe (gap in whole seconds); the n-gram at each position
+    * is built from lead() windows over the (user, session) partition —
+    * no per-session collect_list, no unbounded state, every window
+    * keyed by high-cardinality (user, session). Deterministic order by
+    * (ts, idCol); top-k by (count desc, path asc). */
+  def sessionPaths(df: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, gapSeconds: Long,
+      k: Int = 15): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wUser = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    val gapUs = gapSeconds * 1000000L
+    val us = unix_micros(col(tsCol).cast("timestamp"))
+    val flagged = df.select(col(userCol), col(tsCol), col(idCol), col(typeCol))
+      .withColumn("__prev", lag(us, 1).over(wUser))
+      .withColumn("__new",
+        when(col("__prev").isNull || us - col("__prev") >= gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(
+        wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wSess = Window.partitionBy(col(userCol), col("__sid"))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    flagged
+      .withColumn("__t1", lead(col(typeCol), 1).over(wSess))
+      .withColumn("__t2", lead(col(typeCol), 2).over(wSess))
+      .filter(col("__t1").isNotNull && col("__t2").isNotNull)
+      .select(concat_ws(">", col(typeCol), col("__t1"), col("__t2")).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("path").asc)
+      .limit(k)
+  }
+
   /** Tumbling window aggregate: one row per (window, ) bucket. */
   def tumbling(df: DataFrame, tsCol: String, valueCol: String,
       width: String): DataFrame =

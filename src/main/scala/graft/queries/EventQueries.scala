@@ -31,6 +31,11 @@ object EventQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_sessionize" -> ((s, d) =>
       Events.sessionize(ev(s, d), "user_id", "ts", "value", "30 minutes")),
+    // in-session navigation mining: top-15 event-type trigrams (lead
+    // windows per (user, session) — no per-session collect)
+    "ev_session_paths" -> ((s, d) =>
+      Events.sessionPaths(ev(s, d), "user_id", "ts", "event_id",
+        "event_type", gapSeconds = 1800L)),
     "ev_tumbling_1h" -> ((s, d) =>
       Events.tumbling(ev(s, d), "ts", "value", "1 hour")),
     "ev_sliding_2h_1h" -> ((s, d) =>
@@ -158,6 +163,27 @@ object EventQueries {
          SELECT user_id, min(us) AS session_start_us, count(*) AS n_events,
            CAST(sum(vm) AS BIGINT) AS value_milli
          FROM m GROUP BY user_id, sid""",
+    "ev_session_paths" ->
+      s"""WITH o AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_us
+           FROM events),
+         m AS (
+           SELECT user_id, event_id, event_type, us,
+             sum(CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+               THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+               ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+           FROM o),
+         g AS (
+           SELECT event_type AS t0,
+             lead(event_type, 1) OVER w AS t1,
+             lead(event_type, 2) OVER w AS t2
+           FROM m WINDOW w AS (PARTITION BY user_id, sid ORDER BY us, event_id))
+         SELECT t0 || '>' || t1 || '>' || t2 AS path,
+           count(*) AS n_occurrences
+         FROM g WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+         GROUP BY 1 ORDER BY n_occurrences DESC, path ASC LIMIT 15""",
     "ev_tumbling_1h" ->
       s"""SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
            count(*) AS n_events, CAST(sum($vMilli) AS BIGINT) AS value_milli,
