@@ -103,4 +103,20 @@ class EventsSpec extends AnyFunSuite {
       ("B", "A") -> ((1L, 500L)),
       ("B", "B") -> ((1L, 500L))))
   }
+
+  test("sessionPaths: trigrams respect session boundaries and order") {
+    // user 7: A B C D within one session -> A>B>C, B>C>D; then a
+    // 40-min gap starts a new session with only two events (no
+    // trigram). user 8: C A B once.
+    val d = Seq(
+      (1L, 7L, ts(0), "A"), (2L, 7L, ts(1), "B"),
+      (3L, 7L, ts(2), "C"), (4L, 7L, ts(3), "D"),
+      (5L, 7L, ts(45), "A"), (6L, 7L, ts(46), "B"),
+      (7L, 8L, ts(0), "C"), (8L, 8L, ts(1), "A"), (9L, 8L, ts(2), "B"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = Events.sessionPaths(d, "user_id", "ts", "event_id",
+        "event_type", gapSeconds = 1800L, k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("A>B>C" -> 1L, "B>C>D" -> 1L, "C>A>B" -> 1L))
+  }
 }

@@ -290,6 +290,23 @@ class PointCloudSpec extends AnyFunSuite {
     assert(collected(compacted.bboxQuery(b)) == collected(rebuilt.bboxQuery(b)))
   }
 
+  test("radiusOutlierRemoval drops isolated points, keeps clusters") {
+    import spark.implicits._
+    // a tight 5-point cluster + one isolated point far away
+    val pts = Seq(
+      (100.0, 100.0, 1.0), (101.0, 100.0, 1.0), (100.0, 101.0, 1.0),
+      (101.0, 101.0, 1.0), (102.0, 100.0, 1.0),
+      (500.0, 500.0, 1.0))
+    val c = PointCloud.importPoints(pts.toDF("x", "y", "z"), ImportSpec(ratio = 0.5))
+    val kept = collected(c.radiusOutlierRemoval(10.0, 3L))
+    assert(kept.toSet == pts.take(5).toSet)
+    // multiplicity counts: 3 identical copies survive minNeighbors = 3
+    val dup = Seq.fill(3)((500.0, 500.0, 1.0)) ++ Seq((100.0, 100.0, 1.0))
+    val c2 = PointCloud.importPoints(dup.toDF("x", "y", "z"), ImportSpec(ratio = 0.5))
+    val kept2 = collected(c2.radiusOutlierRemoval(10.0, 3L))
+    assert(kept2 == Seq.fill(3)((500.0, 500.0, 1.0)))
+  }
+
   test("append beyond the stored key-space envelope is rejected") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_pc_appx").toString
