@@ -235,10 +235,14 @@ object PointCloudQueries {
       .select(col("x").cast("long").as("x"), col("y").cast("long").as("y"),
         col("z"), col("hag"))),
     // radius outlier removal (PDAL filters.ror shape): keep points
-    // whose 64-unit 3D neighborhood holds >= 4 identities-with-
-    // multiplicity; cell-blocked equi self-join, never n^2
+    // whose 48-unit 3D neighborhood holds >= 4 identities-with-
+    // multiplicity; cell-blocked equi self-join, never n^2. Candidate
+    // volume is n x 9 x (points per radius-cell): on this synthetic
+    // fixture density grows with sf (fixed 8192 grid), so the radius
+    // is sized for bench health — real clouds have constant density
+    // per area and the op scales linearly
     "pc_radius_outliers" -> ((s, d) =>
-      xyz(cloud(s, d).radiusOutlierRemoval(64.0, 4L))),
+      xyz(cloud(s, d).radiusOutlierRemoval(48.0, 4L))),
     // 3D-keyed store: z pruned at the scan via octree ranges, not
     // post-filtered (the height-query scale path beyond B10-B12)
     "pc_bbox3d" -> ((s, d) =>
@@ -299,14 +303,14 @@ object PointCloudQueries {
       "min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max, " +
       "min(z) AS z_min, max(z) AS z_max FROM pts"),
     "pc_radius_outliers" -> (s"$ptsCte, ids AS (" +
-      "SELECT x, y, z, count(*) AS m, x // 64 AS cx, y // 64 AS cy " +
+      "SELECT x, y, z, count(*) AS m, x // 48 AS cx, y // 48 AS cy " +
       "FROM pts GROUP BY 1, 2, 3), " +
       "probe AS (SELECT x, y, z, cx + a.dx AS ncx, cy + b.dy AS ncy FROM ids, " +
       "(VALUES (-1), (0), (1)) a(dx), (VALUES (-1), (0), (1)) b(dy)), " +
       "kept AS (SELECT p.x, p.y, p.z FROM probe p JOIN ids q " +
       "ON p.ncx = q.cx AND p.ncy = q.cy AND " +
       "(q.x - p.x) * (q.x - p.x) + (q.y - p.y) * (q.y - p.y) + " +
-      "(q.z - p.z) * (q.z - p.z) <= 64 * 64 " +
+      "(q.z - p.z) * (q.z - p.z) <= 48 * 48 " +
       "GROUP BY 1, 2, 3 HAVING sum(q.m) >= 4) " +
       "SELECT pts.x, pts.y, pts.z FROM pts JOIN kept USING (x, y, z)"),
     "pc_bbox3d" -> (s"$ptsCte SELECT x, y, z FROM pts WHERE " +
