@@ -68,6 +68,37 @@ object Events {
       .limit(k)
   }
 
+  /** Generic RANGE JOIN (point-in-interval): pair every point row with
+    * every interval row whose [startUs, endUs] contains it — the
+    * operator class Spark has no native form for (a naive theta join
+    * plans as a broadcast nested loop and dies at scale). The
+    * scale-correct plan is bucket binning: intervals explode to the
+    * fixed-width time buckets they cover (bounded by span/bucket + 1),
+    * points map to their single bucket, the join is an EQUI-join on
+    * the bucket key, and the exact containment predicate runs on
+    * bucket-local candidates only — the hand-built form of the range
+    * join optimizations native engines ship.
+    *
+    * `points` needs (pointIdCol, usCol); `intervals` needs
+    * (intervalIdCol, startUsCol, endUsCol), start <= end, all in µs.
+    * Emits one row per qualifying (interval, point) pair. */
+  def pointInIntervalJoin(points: DataFrame, intervals: DataFrame,
+      pointIdCol: String, usCol: String,
+      intervalIdCol: String, startUsCol: String, endUsCol: String,
+      bucketUs: Long = 3600000000L): DataFrame = {
+    require(bucketUs > 0)
+    val ib = intervals.select(col(intervalIdCol), col(startUsCol), col(endUsCol),
+        explode(sequence(
+          expr(s"CAST($startUsCol AS BIGINT) div ${bucketUs}L"),
+          expr(s"CAST($endUsCol AS BIGINT) div ${bucketUs}L"))).as("__bk"))
+    val pb = points.select(col(pointIdCol), col(usCol),
+      expr(s"CAST($usCol AS BIGINT) div ${bucketUs}L").as("__bk"))
+    pb.join(ib, "__bk")
+      .filter(col(usCol) >= col(startUsCol) && col(usCol) <= col(endUsCol))
+      .select(col(intervalIdCol), col(startUsCol), col(endUsCol),
+        col(pointIdCol), col(usCol))
+  }
+
   /** Tumbling window aggregate: one row per (window, ) bucket. */
   def tumbling(df: DataFrame, tsCol: String, valueCol: String,
       width: String): DataFrame =

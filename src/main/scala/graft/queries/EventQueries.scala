@@ -36,6 +36,28 @@ object EventQueries {
     "ev_session_paths" -> ((s, d) =>
       Events.sessionPaths(ev(s, d), "user_id", "ts", "event_id",
         "event_type", gapSeconds = 1800L)),
+    // generic RANGE JOIN: global purchase events binned into every
+    // user's session intervals (bucket-binned equi-join + exact
+    // containment — never a nested-loop theta join); per-session hits
+    "ev_range_join" -> ((s, d) => {
+      val e = ev(s, d)
+      val sessions = e
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("__w"))
+        .agg(count(lit(1)).as("__n"),
+          max(unix_micros(col("ts"))).as("session_end_us"))
+        .filter(col("__n") >= 2)
+        .select(
+          concat_ws("_", col("user_id"), unix_micros(col("__w.start")))
+            .as("session_id"),
+          unix_micros(col("__w.start")).as("session_start_us"),
+          col("session_end_us"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), unix_micros(col("ts")).as("ev_us"))
+      Events.pointInIntervalJoin(purchases, sessions,
+          "event_id", "ev_us", "session_id", "session_start_us", "session_end_us")
+        .groupBy(col("session_id"))
+        .agg(count(lit(1)).as("n_purchases"), min(col("ev_us")).as("first_us"))
+    }),
     "ev_tumbling_1h" -> ((s, d) =>
       Events.tumbling(ev(s, d), "ts", "value", "1 hour")),
     "ev_sliding_2h_1h" -> ((s, d) =>
@@ -163,6 +185,28 @@ object EventQueries {
          SELECT user_id, min(us) AS session_start_us, count(*) AS n_events,
            CAST(sum(vm) AS BIGINT) AS value_milli
          FROM m GROUP BY user_id, sid""",
+    // naive theta form: the oracle can afford what the engine avoids
+    "ev_range_join" ->
+      s"""WITH o AS (
+           SELECT user_id, event_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_us
+           FROM events),
+         m AS (
+           SELECT user_id, us,
+             sum(CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+               THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+               ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+           FROM o),
+         sess AS (
+           SELECT user_id || '_' || min(us) AS session_id,
+             min(us) AS s_us, max(us) AS e_us
+           FROM m GROUP BY user_id, sid HAVING count(*) >= 2),
+         p AS (SELECT event_id, epoch_us(ts) AS ev_us FROM events
+               WHERE event_type = 'purchase')
+         SELECT session_id, count(*) AS n_purchases, min(ev_us) AS first_us
+         FROM sess JOIN p ON p.ev_us BETWEEN sess.s_us AND sess.e_us
+         GROUP BY 1""",
     "ev_session_paths" ->
       s"""WITH o AS (
            SELECT user_id, event_id, event_type, epoch_us(ts) AS us,

@@ -104,6 +104,23 @@ class EventsSpec extends AnyFunSuite {
       ("B", "B") -> ((1L, 500L))))
   }
 
+  test("pointInIntervalJoin: exact containment across bucket boundaries, no dup pairs") {
+    val intervals = Seq(
+      ("i1", 100L, 250L),   // spans 3 buckets at bucketUs = 100
+      ("i2", 240L, 260L),   // overlaps i1 — a point can match both
+      ("i3", 500L, 500L))   // degenerate single-instant interval
+      .toDF("iid", "s_us", "e_us")
+    val points = Seq(
+      ("p1", 100L), ("p2", 250L), ("p3", 251L), ("p4", 500L), ("p5", 99L))
+      .toDF("pid", "us")
+    val got = Events.pointInIntervalJoin(points, intervals,
+        "pid", "us", "iid", "s_us", "e_us", bucketUs = 100L)
+      .select("iid", "pid").collect().map(r => (r.getString(0), r.getString(1)))
+      .sorted.toSeq
+    assert(got == Seq(("i1", "p1"), ("i1", "p2"), ("i2", "p2"), ("i2", "p3"),
+      ("i3", "p4")))
+  }
+
   test("sessionPaths: trigrams respect session boundaries and order") {
     // user 7: A B C D within one session -> A>B>C, B>C>D; then a
     // 40-min gap starts a new session with only two events (no
