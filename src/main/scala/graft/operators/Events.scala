@@ -99,6 +99,36 @@ object Events {
         col(pointIdCol), col(usCol))
   }
 
+  /** Interval-interval OVERLAP join — the full range-join shape
+    * ([[pointInIntervalJoin]]'s harder sibling): pair every a-interval
+    * with every b-interval it overlaps ([sa, ea] ∩ [sb, eb] ≠ ∅,
+    * inclusive bounds). Both sides explode to covered buckets, so an
+    * overlapping pair meets in EVERY shared bucket; emitting it once
+    * without a distinct-shuffle uses the owner-bucket rule: the pair
+    * belongs to the bucket containing max(sa, sb) (the overlap's left
+    * edge, which both sides always cover) — a row-local filter, so
+    * the join output needs no dedup pass. Candidates are bucket-local;
+    * never a nested-loop theta join. */
+  def intervalOverlapJoin(a: DataFrame, b: DataFrame,
+      aIdCol: String, aStartCol: String, aEndCol: String,
+      bIdCol: String, bStartCol: String, bEndCol: String,
+      bucketUs: Long = 3600000000L): DataFrame = {
+    require(bucketUs > 0)
+    def binned(df: DataFrame, id: String, s: String, e: String) =
+      df.select(col(id), col(s), col(e),
+        explode(sequence(
+          expr(s"CAST($s AS BIGINT) div ${bucketUs}L"),
+          expr(s"CAST($e AS BIGINT) div ${bucketUs}L"))).as("__bk"))
+    val owner = expr(
+      s"CAST(greatest($aStartCol, $bStartCol) AS BIGINT) div ${bucketUs}L")
+    binned(a, aIdCol, aStartCol, aEndCol)
+      .join(binned(b, bIdCol, bStartCol, bEndCol), "__bk")
+      .filter(col(aStartCol) <= col(bEndCol) && col(bStartCol) <= col(aEndCol))
+      .filter(col("__bk") === owner) // exactly one bucket owns the pair
+      .select(col(aIdCol), col(aStartCol), col(aEndCol),
+        col(bIdCol), col(bStartCol), col(bEndCol))
+  }
+
   /** Tumbling window aggregate: one row per (window, ) bucket. */
   def tumbling(df: DataFrame, tsCol: String, valueCol: String,
       width: String): DataFrame =

@@ -31,6 +31,30 @@ object EventQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_sessionize" -> ((s, d) =>
       Events.sessionize(ev(s, d), "user_id", "ts", "value", "30 minutes")),
+    // interval-interval overlap join: which users were active at the
+    // same time (session co-activity pairs per user pair) — the
+    // owner-bucket range join, exactly-once pairs by construction
+    "ev_session_overlap" -> ((s, d) => {
+      val e = ev(s, d)
+      val sessions = e
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("__w"))
+        .agg(count(lit(1)).as("__n"), max(unix_micros(col("ts"))).as("e_us"))
+        .filter(col("__n") >= 2)
+        .select(col("user_id"), unix_micros(col("__w.start")).as("s_us"), col("e_us"))
+      val a = sessions.select(
+        concat_ws("_", col("user_id"), col("s_us")).as("aid"),
+        col("s_us").as("a_s"), col("e_us").as("a_e"))
+      val b = sessions.select(
+        concat_ws("_", col("user_id"), col("s_us")).as("bid"),
+        col("s_us").as("b_s"), col("e_us").as("b_e"))
+      Events.intervalOverlapJoin(a, b, "aid", "a_s", "a_e", "bid", "b_s", "b_e")
+        .select(
+          split(col("aid"), "_").getItem(0).cast("long").as("user_a"),
+          split(col("bid"), "_").getItem(0).cast("long").as("user_b"))
+        .filter(col("user_a") < col("user_b"))
+        .groupBy(col("user_a"), col("user_b"))
+        .agg(count(lit(1)).as("n_overlaps"))
+    }),
     // in-session navigation mining: top-15 event-type trigrams (lead
     // windows per (user, session) — no per-session collect)
     "ev_session_paths" -> ((s, d) =>
@@ -185,6 +209,28 @@ object EventQueries {
          SELECT user_id, min(us) AS session_start_us, count(*) AS n_events,
            CAST(sum(vm) AS BIGINT) AS value_milli
          FROM m GROUP BY user_id, sid""",
+    // naive theta self-join form of the overlap join
+    "ev_session_overlap" ->
+      s"""WITH o AS (
+           SELECT user_id, event_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_us
+           FROM events),
+         m AS (
+           SELECT user_id, us,
+             sum(CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+               THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+               ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+           FROM o),
+         sess AS (
+           SELECT user_id, min(us) AS s_us, max(us) AS e_us
+           FROM m GROUP BY user_id, sid HAVING count(*) >= 2)
+         SELECT a.user_id AS user_a, b.user_id AS user_b,
+           count(*) AS n_overlaps
+         FROM sess a JOIN sess b
+           ON a.user_id < b.user_id
+           AND a.s_us <= b.e_us AND b.s_us <= a.e_us
+         GROUP BY 1, 2""",
     // naive theta form: the oracle can afford what the engine avoids
     "ev_range_join" ->
       s"""WITH o AS (

@@ -121,6 +121,20 @@ class EventsSpec extends AnyFunSuite {
       ("i3", "p4")))
   }
 
+  test("intervalOverlapJoin: exactly-once pairs even across many shared buckets") {
+    // i1 and j1 share 5 buckets at bucketUs = 100 — the owner-bucket
+    // rule must still emit the pair once; j2 touches i1 only at a
+    // single instant (inclusive bounds); j3 is disjoint
+    val a = Seq(("i1", 100L, 599L), ("i2", 700L, 710L)).toDF("aid", "a_s", "a_e")
+    val b = Seq(("j1", 150L, 620L), ("j2", 599L, 650L), ("j3", 651L, 699L))
+      .toDF("bid", "b_s", "b_e")
+    val got = Events.intervalOverlapJoin(a, b,
+        "aid", "a_s", "a_e", "bid", "b_s", "b_e", bucketUs = 100L)
+      .select("aid", "bid").collect().map(r => (r.getString(0), r.getString(1)))
+      .sorted.toSeq
+    assert(got == Seq(("i1", "j1"), ("i1", "j2")))
+  }
+
   test("sessionPaths: trigrams respect session boundaries and order") {
     // user 7: A B C D within one session -> A>B>C, B>C>D; then a
     // 40-min gap starts a new session with only two events (no
