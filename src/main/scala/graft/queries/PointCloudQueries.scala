@@ -216,6 +216,17 @@ object PointCloudQueries {
           round(col("y") * 10).cast("long").as("y10"),
           round(col("z") * 10).cast("long").as("z10"))
     }),
+    // LASzip binary sink -> source roundtrip: same contract through the
+    // compressed container (chunked arithmetic coding, POINT10 v2) —
+    // the format the reference reads via laspy+lazrs
+    "pc_laz_roundtrip" -> ((s, d) => {
+      val path = s"/tmp/graft_laz_rt_${d.replaceAll("[^A-Za-z0-9.]", "_")}.laz"
+      graft.sources.Laz.writePoints(rawPoints(s, d), path, chunkPoints = 10000)
+      graft.sources.Laz.readPoints(s, path)
+        .select(round(col("x") * 10).cast("long").as("x10"),
+          round(col("y") * 10).cast("long").as("y10"),
+          round(col("z") * 10).cast("long").as("z10"))
+    }),
     // voxel-grid raster: density + z extremes per 64-unit cell
     "pc_grid_agg" -> ((s, d) => cloud(s, d).gridAggregate(64.0)),
     // deterministic thinning: smallest (x, y, z) per 256-unit cell
@@ -352,5 +363,7 @@ object PointCloudQueries {
       "+ (z - 25.0) * (z - 25.0), x, y, z LIMIT 100"),
     "pc_bbox_naive" -> s"$ptsCte SELECT x, y, z FROM pts WHERE ${bboxSql(bboxLarge)}",
     "pc_las_roundtrip" ->
+      s"$ptsCte SELECT x * 10 AS x10, y * 10 AS y10, CAST(round(z * 10, 0) AS BIGINT) AS z10 FROM pts",
+    "pc_laz_roundtrip" ->
       s"$ptsCte SELECT x * 10 AS x10, y * 10 AS y10, CAST(round(z * 10, 0) AS BIGINT) AS z10 FROM pts")
 }

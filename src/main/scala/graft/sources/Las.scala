@@ -225,16 +225,21 @@ object Las {
   /** Directory import (S3): union of per-file scans + folded metadata —
     * DirLoader semantics (pipeline/import_data.py:76-99) without the
     * reference's per-file sequential loop: Spark reads all files in one
-    * distributed job. */
+    * distributed job. Mixed .las/.laz directories dispatch per file,
+    * like laspy behind the reference (point_processor.py:32). */
   def readDir(spark: SparkSession, dir: String): DataFrame = {
     val files = lasFiles(dir)
-    files.map(readPoints(spark, _)).reduce(_.unionAll(_))
+    files.map { f =>
+      if (f.toLowerCase.endsWith(".laz")) Laz.readPoints(spark, f)
+      else readPoints(spark, f)
+    }.reduce(_.unionAll(_))
   }
 
   private def lasFiles(dir: String): Array[String] = {
     val files = Files.list(Paths.get(dir)).toArray.map(_.toString)
-      .filter(_.toLowerCase.endsWith(".las")).sorted
-    require(files.nonEmpty, s"no .las files in $dir")
+      .filter(f => f.toLowerCase.endsWith(".las") || f.toLowerCase.endsWith(".laz"))
+      .sorted
+    require(files.nonEmpty, s"no .las/.laz files in $dir")
     files
   }
 
@@ -245,7 +250,9 @@ object Las {
     * §2.8: import_data.py:97 derives the split from round(x_min),
     * y_max instead of the max coords). */
   def dirMetadata(dir: String): LasHeader = {
-    val hs = lasFiles(dir).map(readHeader)
+    val hs = lasFiles(dir).map { f =>
+      if (f.toLowerCase.endsWith(".laz")) Laz.readInfo(f).header else readHeader(f)
+    }
     hs.reduce { (a, b) =>
       a.copy(pointCount = a.pointCount + b.pointCount,
         xMin = math.min(a.xMin, b.xMin), xMax = math.max(a.xMax, b.xMax),

@@ -1,0 +1,589 @@
+package graft.sources
+
+import java.io.{BufferedOutputStream, FileOutputStream, RandomAccessFile}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.channels.FileChannel
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** LAZ (LASzip-compressed LAS) source/sink — closes the format
+  * boundary the reference crosses transparently via laspy+lazrs
+  * (pcsfc/point_processor.py:32): real AHN tiles ship as .laz, so a
+  * user of the reference hits this on day one.
+  *
+  * Implemented from the PUBLIC LAZ specification (container layout,
+  * chunk table, POINT10 version-2 item codec with its published
+  * return-map/return-level tables and streaming-median-of-5
+  * predictors) on top of the FastAC coder in ArithmeticCodec.scala.
+  * No code from any LASzip implementation is used — see the
+  * ArithmeticCodec scaladoc for the validation boundary (roundtrip
+  * in-sandbox; no second implementation exists in this environment).
+  *
+  * Why this maps well onto Spark: LAZ chunks reset every model, so a
+  * chunk is an independently decodable unit and the chunk table is a
+  * ready-made split index. The reader assigns chunk runs to tasks
+  * (seek + decode, no driver materialization); the writer encodes
+  * chunks per partition in parallel and the driver splices headers and
+  * builds the global chunk table from per-partition (count, size)
+  * stats — O(chunks) driver memory, never point data. Because interior
+  * partitions may end with a short chunk, the writer uses the spec's
+  * variable-size chunking (VLR chunk_size = 0xFFFFFFFF; the chunk
+  * table carries per-chunk point counts), which keeps the file
+  * well-formed without a final single-threaded re-chunk pass.
+  *
+  * Supported: point formats 0–3 where the item list is POINT10 v2
+  * (+ GPSTIME11/RGB12 rejected explicitly until implemented);
+  * compressor 2 (pointwise chunked), fixed or variable chunk size.
+  */
+object Laz {
+
+  // item types from the LAZ spec
+  private val ItemPoint10 = 6
+  private val VlrUserId = "laszip encoded"
+  private val VlrRecordId = 22204
+  private val VariableChunkSize = 0xFFFFFFFFL
+
+  /** One decoded 20-byte POINT10 record; scanAngle kept in unsigned
+    * byte space (the codec folds differences mod 256). */
+  final case class Point10(x: Int, y: Int, z: Int, intensity: Int, flags: Int,
+      cls: Int, scanAngle: Int, user: Int, psid: Int)
+
+  /** Published POINT10 v2 context tables: (number of returns, return
+    * number) → 16-way context / 8-way level (LAZ spec appendix). */
+  private val NumberReturnMap: Array[Array[Int]] = Array(
+    Array(15, 14, 13, 12, 11, 10, 9, 8),
+    Array(14, 0, 1, 3, 6, 10, 10, 9),
+    Array(13, 1, 2, 4, 7, 11, 11, 10),
+    Array(12, 3, 4, 5, 8, 12, 12, 11),
+    Array(11, 6, 7, 8, 9, 13, 13, 12),
+    Array(10, 10, 11, 12, 13, 14, 14, 13),
+    Array(9, 10, 11, 12, 13, 14, 15, 14),
+    Array(8, 9, 10, 11, 12, 13, 14, 15))
+
+  private val NumberReturnLevel: Array[Array[Int]] = Array(
+    Array(0, 1, 2, 3, 4, 5, 6, 7),
+    Array(1, 0, 1, 2, 3, 4, 5, 6),
+    Array(2, 1, 0, 1, 2, 3, 4, 5),
+    Array(3, 2, 1, 0, 1, 2, 3, 4),
+    Array(4, 3, 2, 1, 0, 1, 2, 3),
+    Array(5, 4, 3, 2, 1, 0, 1, 2),
+    Array(6, 5, 4, 3, 2, 1, 0, 1),
+    Array(7, 6, 5, 4, 3, 2, 1, 0))
+
+  /** The spec's streaming median-of-5 for coordinate-difference
+    * prediction: a 5-slot sorted window with an alternation flag so
+    * ties drift neither up nor down. */
+  private final class StreamingMedian5 {
+    private val v = new Array[Int](5)
+    private var high = true
+    def get: Int = v(2)
+    def add(x: Int): Unit = {
+      if (high) {
+        if (x < v(2)) {
+          v(4) = v(3); v(3) = v(2)
+          if (x < v(0)) { v(2) = v(1); v(1) = v(0); v(0) = x }
+          else if (x < v(1)) { v(2) = v(1); v(1) = x }
+          else v(2) = x
+        } else {
+          if (x < v(3)) { v(4) = v(3); v(3) = x }
+          else v(4) = x
+          high = false
+        }
+      } else {
+        if (v(2) < x) {
+          v(0) = v(1); v(1) = v(2)
+          if (v(4) < x) { v(2) = v(3); v(3) = v(4); v(4) = x }
+          else if (v(3) < x) { v(2) = v(3); v(3) = x }
+          else v(2) = x
+        } else {
+          if (v(1) < x) { v(0) = v(1); v(1) = x }
+          else v(0) = x
+          high = true
+        }
+      }
+    }
+  }
+
+  /** POINT10 version-2 item codec. One instance per chunk (every
+    * model resets at chunk boundaries — that independence is what the
+    * distributed reader exploits). Symmetric compress/decompress so a
+    * roundtrip exercises every model the spec defines. */
+  private final class Point10Codec(first: Point10) {
+    private val mChanged = new ArithmeticModel(64).init()
+    private val icIntensity = new IntegerCompressor(16, 4).initModels()
+    private val mScanAngleRank =
+      Array(new ArithmeticModel(256).init(), new ArithmeticModel(256).init())
+    private val icPointSource = new IntegerCompressor(16, 1).initModels()
+    // per-previous-value byte models, created on first use (spec behavior)
+    private val mBitByte = new Array[ArithmeticModel](256)
+    private val mClassification = new Array[ArithmeticModel](256)
+    private val mUserData = new Array[ArithmeticModel](256)
+    private val icDx = new IntegerCompressor(32, 2).initModels()
+    private val icDy = new IntegerCompressor(32, 22).initModels()
+    private val icZ = new IntegerCompressor(32, 20).initModels()
+    private val lastXDiff = Array.fill(16)(new StreamingMedian5)
+    private val lastYDiff = Array.fill(16)(new StreamingMedian5)
+    private val lastIntensity = new Array[Int](16)
+    private val lastHeight = new Array[Int](8)
+
+    private var lx = first.x
+    private var ly = first.y
+    private var lz = first.z
+    private var lFlags = first.flags
+    private var lCls = first.cls
+    private var lScanAngle = first.scanAngle
+    private var lUser = first.user
+    private var lPsid = first.psid
+    // the spec inits the carried intensity to 0 (prediction goes via
+    // lastIntensity[context], not the previous record)
+
+    private def byteModel(arr: Array[ArithmeticModel], idx: Int): ArithmeticModel = {
+      if (arr(idx) == null) arr(idx) = new ArithmeticModel(256).init()
+      arr(idx)
+    }
+
+    def compress(enc: ArithmeticEncoder, p: Point10): Unit = {
+      val r = p.flags & 7
+      val n = (p.flags >>> 3) & 7
+      val m = NumberReturnMap(n)(r)
+      val l = NumberReturnLevel(n)(r)
+
+      var changed = 0
+      if (lFlags != p.flags) changed |= 32
+      if (lastIntensity(m) != p.intensity) changed |= 16
+      if (lCls != p.cls) changed |= 8
+      if (lScanAngle != p.scanAngle) changed |= 4
+      if (lUser != p.user) changed |= 2
+      if (lPsid != p.psid) changed |= 1
+      enc.encodeSymbol(mChanged, changed)
+
+      if ((changed & 32) != 0) enc.encodeSymbol(byteModel(mBitByte, lFlags), p.flags)
+      if ((changed & 16) != 0) {
+        icIntensity.compress(enc, lastIntensity(m), p.intensity, if (m < 3) m else 3)
+        lastIntensity(m) = p.intensity
+      }
+      if ((changed & 8) != 0) enc.encodeSymbol(byteModel(mClassification, lCls), p.cls)
+      if ((changed & 4) != 0) {
+        val f = (p.flags >>> 6) & 1
+        enc.encodeSymbol(mScanAngleRank(f), (p.scanAngle - lScanAngle) & 0xFF)
+      }
+      if ((changed & 2) != 0) enc.encodeSymbol(byteModel(mUserData, lUser), p.user)
+      if ((changed & 1) != 0) icPointSource.compress(enc, lPsid, p.psid, 0)
+
+      // x: median-of-5 predicted difference, context = single-return?
+      val dx = p.x - lx
+      icDx.compress(enc, lastXDiff(m).get, dx, if (n == 1) 1 else 0)
+      lastXDiff(m).add(dx)
+      // y: context folds in the x corrector's bit width (low bit cleared)
+      val kx = icDx.lastK
+      val dy = p.y - ly
+      icDy.compress(enc, lastYDiff(m).get, dy,
+        (if (n == 1) 1 else 0) + (if (kx < 20) kx & 0xFE else 20))
+      lastYDiff(m).add(dy)
+      // z: predicted by the last height at this return level
+      val kz = (icDx.lastK + icDy.lastK) / 2
+      icZ.compress(enc, lastHeight(l), p.z,
+        (if (n == 1) 1 else 0) + (if (kz < 18) kz & 0xFE else 18))
+      lastHeight(l) = p.z
+
+      lx = p.x; ly = p.y; lz = p.z
+      lFlags = p.flags; lCls = p.cls; lScanAngle = p.scanAngle
+      lUser = p.user; lPsid = p.psid
+    }
+
+    def decompress(dec: ArithmeticDecoder): Point10 = {
+      val changed = dec.decodeSymbol(mChanged)
+
+      val flags =
+        if ((changed & 32) != 0) dec.decodeSymbol(byteModel(mBitByte, lFlags)) else lFlags
+      val r = flags & 7
+      val n = (flags >>> 3) & 7
+      val m = NumberReturnMap(n)(r)
+      val l = NumberReturnLevel(n)(r)
+
+      if ((changed & 16) != 0)
+        lastIntensity(m) = icIntensity.decompress(dec, lastIntensity(m), if (m < 3) m else 3)
+      val intensity = lastIntensity(m)
+      val cls =
+        if ((changed & 8) != 0) dec.decodeSymbol(byteModel(mClassification, lCls)) else lCls
+      val scanAngle =
+        if ((changed & 4) != 0) {
+          val f = (flags >>> 6) & 1
+          (lScanAngle + dec.decodeSymbol(mScanAngleRank(f))) & 0xFF
+        } else lScanAngle
+      val user =
+        if ((changed & 2) != 0) dec.decodeSymbol(byteModel(mUserData, lUser)) else lUser
+      val psid =
+        if ((changed & 1) != 0) icPointSource.decompress(dec, lPsid, 0) else lPsid
+
+      val dx = icDx.decompress(dec, lastXDiff(m).get, if (n == 1) 1 else 0)
+      val x = lx + dx
+      lastXDiff(m).add(dx)
+      val kx = icDx.lastK
+      val dy = icDy.decompress(dec, lastYDiff(m).get,
+        (if (n == 1) 1 else 0) + (if (kx < 20) kx & 0xFE else 20))
+      val y = ly + dy
+      lastYDiff(m).add(dy)
+      val kz = (icDx.lastK + icDy.lastK) / 2
+      val z = icZ.decompress(dec, lastHeight(l),
+        (if (n == 1) 1 else 0) + (if (kz < 18) kz & 0xFE else 18))
+      lastHeight(l) = z
+
+      lx = x; ly = y; lz = z
+      lFlags = flags; lCls = cls; lScanAngle = scanAngle
+      lUser = user; lPsid = psid
+      Point10(x, y, z, intensity, flags, cls, scanAngle, user, psid)
+    }
+  }
+
+  private def putPoint10(bb: ByteBuffer, p: Point10): Unit = {
+    bb.putInt(p.x).putInt(p.y).putInt(p.z)
+    bb.putShort(p.intensity.toShort)
+    bb.put(p.flags.toByte).put(p.cls.toByte).put(p.scanAngle.toByte).put(p.user.toByte)
+    bb.putShort(p.psid.toShort)
+  }
+
+  private def getPoint10(bb: ByteBuffer): Point10 =
+    Point10(bb.getInt, bb.getInt, bb.getInt, bb.getShort & 0xFFFF,
+      bb.get & 0xFF, bb.get & 0xFF, bb.get & 0xFF, bb.get & 0xFF, bb.getShort & 0xFFFF)
+
+  /** Encode one chunk: raw 20-byte first point, then the coded
+    * residual stream (absent for single-point chunks — the decoder
+    * never initializes for them). Returns the chunk's bytes. */
+  private[sources] def encodeChunk(points: Array[Point10]): Array[Byte] = {
+    require(points.nonEmpty, "empty LAZ chunk")
+    val raw = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
+    putPoint10(raw, points(0))
+    if (points.length == 1) raw.array()
+    else {
+      val codec = new Point10Codec(points(0))
+      val enc = new ArithmeticEncoder
+      var i = 1
+      while (i < points.length) { codec.compress(enc, points(i)); i += 1 }
+      enc.done()
+      val coded = enc.result()
+      val out = new Array[Byte](20 + coded.length)
+      System.arraycopy(raw.array(), 0, out, 0, 20)
+      System.arraycopy(coded, 0, out, 20, coded.length)
+      out
+    }
+  }
+
+  private[sources] def decodeChunk(bytes: Array[Byte], offset: Int, count: Int): Array[Point10] = {
+    val out = new Array[Point10](count)
+    val raw = ByteBuffer.wrap(bytes, offset, 20).order(ByteOrder.LITTLE_ENDIAN)
+    out(0) = getPoint10(raw)
+    if (count > 1) {
+      val codec = new Point10Codec(out(0))
+      val dec = new ArithmeticDecoder(bytes, offset + 20, bytes.length).init()
+      var i = 1
+      while (i < count) { out(i) = codec.decompress(dec); i += 1 }
+    }
+    out
+  }
+
+  // ---------------------------------------------------------------- container
+
+  final case class LazInfo(
+      header: Las.LasHeader,
+      compressor: Int,
+      chunkSize: Long, // VariableChunkSize for per-chunk counts in the table
+      pointDataStart: Long, // after the 8-byte chunk-table-offset field
+      chunkTableOffset: Long,
+      items: Seq[(Int, Int, Int)]) // (type, size, version)
+
+  /** Parse header + laszip VLR of a .laz file (driver side, O(KB)). */
+  def readInfo(path: String): LazInfo = {
+    val raf = new RandomAccessFile(path, "r")
+    try {
+      val headBytes = new Array[Byte](375)
+      val avail = math.min(raf.length(), 375L).toInt
+      require(avail >= 227, s"$path: truncated LAS header ($avail bytes)")
+      raf.readFully(headBytes, 0, avail)
+      val bb = ByteBuffer.wrap(headBytes).order(ByteOrder.LITTLE_ENDIAN)
+      require(bb.get(0) == 'L' && bb.get(1) == 'A' && bb.get(2) == 'S' && bb.get(3) == 'F',
+        s"$path: not a LAS/LAZ file")
+      val versionMinor = bb.get(25) & 0xFF
+      val rawFormat = bb.get(104) & 0xFF
+      require((rawFormat & 0x80) != 0, s"$path: not compressed — use Las.readPoints")
+      val headerSize = bb.getShort(94) & 0xFFFF
+      val offsetToPoints = bb.getInt(96) & 0xFFFFFFFFL
+      val nVlrs = bb.getInt(100)
+      val legacyCount = bb.getInt(107) & 0xFFFFFFFFL
+      val count =
+        if (versionMinor >= 4 && avail >= 255) {
+          val c64 = bb.getLong(247)
+          if (c64 > 0) c64 else legacyCount
+        } else legacyCount
+      val header = Las.LasHeader(
+        versionMajor = bb.get(24) & 0xFF, versionMinor = versionMinor,
+        pointFormat = rawFormat & 0x7F, recordLen = bb.getShort(105) & 0xFFFF,
+        offsetToPoints = offsetToPoints, pointCount = count,
+        scaleX = bb.getDouble(131), scaleY = bb.getDouble(139), scaleZ = bb.getDouble(147),
+        offX = bb.getDouble(155), offY = bb.getDouble(163), offZ = bb.getDouble(171),
+        xMax = bb.getDouble(179), xMin = bb.getDouble(187),
+        yMax = bb.getDouble(195), yMin = bb.getDouble(203),
+        zMax = bb.getDouble(211), zMin = bb.getDouble(219))
+
+      // walk VLRs for the laszip record
+      var vlrPos = headerSize.toLong
+      var payload: Array[Byte] = null
+      var remaining = nVlrs
+      while (remaining > 0 && payload == null) {
+        raf.seek(vlrPos)
+        val vh = new Array[Byte](54)
+        raf.readFully(vh)
+        val vb = ByteBuffer.wrap(vh).order(ByteOrder.LITTLE_ENDIAN)
+        val userId = new String(vh, 2, 16, "US-ASCII").takeWhile(_ != 0)
+        val recordId = vb.getShort(18) & 0xFFFF
+        val len = vb.getShort(20) & 0xFFFF
+        if (userId == VlrUserId && recordId == VlrRecordId) {
+          payload = new Array[Byte](len)
+          raf.readFully(payload)
+        } else vlrPos += 54L + len
+        if (payload == null) remaining -= 1
+      }
+      require(payload != null, s"$path: laszip VLR (user '$VlrUserId', record $VlrRecordId) not found")
+      val pb = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+      val compressor = pb.getShort(0) & 0xFFFF
+      val coder = pb.getShort(2) & 0xFFFF
+      require(coder == 0, s"$path: unsupported entropy coder $coder")
+      require(compressor == 2,
+        s"$path: unsupported compressor $compressor (only pointwise-chunked=2)")
+      val chunkSize = pb.getInt(12) & 0xFFFFFFFFL
+      val numItems = pb.getShort(32) & 0xFFFF
+      val items = (0 until numItems).map { i =>
+        val o = 34 + 6 * i
+        ((pb.getShort(o) & 0xFFFF, pb.getShort(o + 2) & 0xFFFF, pb.getShort(o + 4) & 0xFFFF))
+      }
+      require(items.map(_._2).sum == header.recordLen,
+        s"$path: item sizes ${items} disagree with record length ${header.recordLen}")
+      require(items.size == 1 && items.head._1 == ItemPoint10 && items.head._3 == 2,
+        s"$path: unsupported LAZ item set ${items} — POINT10 v2 only " +
+          "(GPSTIME11/RGB12 not yet implemented)")
+
+      raf.seek(offsetToPoints)
+      val tblBytes = new Array[Byte](8)
+      raf.readFully(tblBytes)
+      val chunkTableOffset = ByteBuffer.wrap(tblBytes).order(ByteOrder.LITTLE_ENDIAN).getLong
+      require(chunkTableOffset > 0 && chunkTableOffset < raf.length(),
+        s"$path: chunk table offset $chunkTableOffset out of range (streamed-out tables unsupported)")
+      LazInfo(header, compressor, chunkSize, offsetToPoints + 8, chunkTableOffset, items)
+    } finally raf.close()
+  }
+
+  /** Decode the chunk table → per-chunk (fileOffset, pointCount,
+    * byteSize). Fixed-size chunking derives counts from chunk_size;
+    * variable chunking reads them from the table (interleaved
+    * count,size correctors per the spec). */
+  def readChunkDescriptors(path: String, info: LazInfo): Array[(Long, Int, Int)] = {
+    val raf = new RandomAccessFile(path, "r")
+    try {
+      raf.seek(info.chunkTableOffset)
+      val headBytes = new Array[Byte](8)
+      raf.readFully(headBytes)
+      val hb = ByteBuffer.wrap(headBytes).order(ByteOrder.LITTLE_ENDIAN)
+      val version = hb.getInt(0)
+      require(version == 0, s"$path: chunk table version $version")
+      val nChunks = hb.getInt(4)
+      if (nChunks == 0) return Array.empty
+      val body = new Array[Byte]((raf.length() - info.chunkTableOffset - 8).toInt)
+      raf.readFully(body)
+      val dec = new ArithmeticDecoder(body, 0, body.length).init()
+      val ic = new IntegerCompressor(32, 2).initModels()
+      val variable = info.chunkSize == VariableChunkSize
+      val out = new Array[(Long, Int, Int)](nChunks)
+      var off = info.pointDataStart
+      var prevCount = 0
+      var prevSize = 0
+      var remaining = info.header.pointCount
+      var i = 0
+      while (i < nChunks) {
+        val count =
+          if (variable) { prevCount = ic.decompress(dec, prevCount, 0); prevCount }
+          else math.min(info.chunkSize, remaining).toInt
+        val size = { prevSize = ic.decompress(dec, prevSize, 1); prevSize }
+        out(i) = (off, count, size)
+        off += size
+        remaining -= count
+        i += 1
+      }
+      require(remaining == 0,
+        s"$path: chunk table covers ${info.header.pointCount - remaining} of ${info.header.pointCount} points")
+      out
+    } finally raf.close()
+  }
+
+  /** Distributed full scan: DataFrame[x, y, z] in world coordinates.
+    * Chunks are the parallelism unit — each task seeks to its chunk
+    * run and decodes independently (models reset per chunk), the exact
+    * shape a 1000-executor scan over object storage needs. */
+  def readPoints(spark: SparkSession, path: String, chunksPerTask: Int = 8): DataFrame = {
+    val info = readInfo(path)
+    val chunks = readChunkDescriptors(path, info)
+    val h = info.header
+    if (chunks.isEmpty) return spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], Las.pointSchema)
+    val groups = chunks.grouped(math.max(1, chunksPerTask)).toArray
+    val rdd = spark.sparkContext
+      .parallelize(groups.toIndexedSeq, groups.length)
+      .flatMap { group =>
+        val raf = new RandomAccessFile(path, "r")
+        val rows = try {
+          group.iterator.flatMap { case (off, count, size) =>
+            val bytes = new Array[Byte](size)
+            raf.seek(off)
+            raf.readFully(bytes)
+            decodeChunk(bytes, 0, count)
+          }.map(p => Row(
+            p.x * h.scaleX + h.offX,
+            p.y * h.scaleY + h.offY,
+            p.z * h.scaleZ + h.offZ)).toArray
+        } finally raf.close()
+        rows
+      }
+    spark.createDataFrame(rdd, Las.pointSchema)
+  }
+
+  /** LAZ export sink: the Las.writePoints shape (executor-parallel
+    * encode, driver splices O(partitions) side files) plus the chunk
+    * table. Writes point format 0 (POINT10 only — the x/y/z payload
+    * this engine round-trips), variable-size chunking so partition
+    * tails stay legal, scale/offset like the reference exporter
+    * (exporter.py:78-80). */
+  def writePoints(df: DataFrame, path: String, scale: Double = 0.1,
+      chunkPoints: Int = 50000): Unit = {
+    val chunkDir = Paths.get(path + ".chunks")
+    Files.createDirectories(chunkDir)
+    val chunkPrefix = chunkDir.toString
+    // per partition: (pid, [(count, bytes)], xMin..zMax)
+    val stats = df.select("x", "y", "z").rdd.mapPartitionsWithIndex { (pid, it) =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        var xMin = Double.MaxValue; var xMax = Double.MinValue
+        var yMin = Double.MaxValue; var yMax = Double.MinValue
+        var zMin = Double.MaxValue; var zMax = Double.MinValue
+        val chunkStats = Array.newBuilder[(Int, Int)]
+        val out = new BufferedOutputStream(
+          new FileOutputStream(f"$chunkPrefix/part-$pid%05d.bin"), 1 << 20)
+        try {
+          val buf = new Array[Point10](chunkPoints)
+          var n = 0
+          def flush(): Unit = if (n > 0) {
+            val bytes = encodeChunk(if (n == chunkPoints) buf else buf.take(n))
+            out.write(bytes)
+            chunkStats += ((n, bytes.length))
+            n = 0
+          }
+          it.foreach { r =>
+            val (x, y, z) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+            xMin = math.min(xMin, x); xMax = math.max(xMax, x)
+            yMin = math.min(yMin, y); yMax = math.max(yMax, y)
+            zMin = math.min(zMin, z); zMax = math.max(zMax, z)
+            buf(n) = Point10(math.round(x / scale).toInt, math.round(y / scale).toInt,
+              math.round(z / scale).toInt, 0, 0, 0, 0, 0, 0)
+            n += 1
+            if (n == chunkPoints) flush()
+          }
+          flush()
+        } finally out.close()
+        Iterator.single((pid, chunkStats.result(), xMin, xMax, yMin, yMax, zMin, zMax))
+      }
+    }.collect().sortBy(_._1)
+
+    val chunkMeta = stats.flatMap(_._2) // (count, size) in file order
+    val n = chunkMeta.map(_._1.toLong).sum
+    require(n <= Int.MaxValue, s"LAS 1.2 caps point count at 2^32; got $n")
+    val (xMin, xMax, yMin, yMax, zMin, zMax) =
+      if (n == 0) (0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+      else (stats.map(_._3).min, stats.map(_._4).max,
+        stats.map(_._5).min, stats.map(_._6).max,
+        stats.map(_._7).min, stats.map(_._8).max)
+
+    val vlrPayloadLen = 34 + 6 // one item record
+    val offsetToPoints = 227 + 54 + vlrPayloadLen
+
+    val header = ByteBuffer.allocate(227).order(ByteOrder.LITTLE_ENDIAN)
+    header.put("LASF".getBytes)
+    header.put(24, 1.toByte).put(25, 2.toByte) // v1.2
+    header.putShort(94, 227.toShort)
+    header.putInt(96, offsetToPoints)
+    header.putInt(100, 1) // one VLR (laszip)
+    header.put(104, (0x80 | 0).toByte) // compressed point format 0
+    header.putShort(105, 20.toShort)
+    header.putInt(107, n.toInt)
+    header.putInt(111, n.toInt) // returns[0]
+    header.putDouble(131, scale).putDouble(139, scale).putDouble(147, scale)
+    header.putDouble(155, 0.0).putDouble(163, 0.0).putDouble(171, 0.0)
+    header.putDouble(179, xMax).putDouble(187, xMin)
+    header.putDouble(195, yMax).putDouble(203, yMin)
+    header.putDouble(211, zMax).putDouble(219, zMin)
+
+    val vlr = ByteBuffer.allocate(54 + vlrPayloadLen).order(ByteOrder.LITTLE_ENDIAN)
+    vlr.position(2)
+    vlr.put(VlrUserId.getBytes("US-ASCII")) // 14 chars, zero-padded to 16
+    vlr.putShort(18, VlrRecordId.toShort)
+    vlr.putShort(20, vlrPayloadLen.toShort)
+    vlr.position(22)
+    vlr.put("graft laszip writer".getBytes("US-ASCII"))
+    vlr.position(54)
+    vlr.putShort(2.toShort) // compressor: pointwise chunked
+    vlr.putShort(0.toShort) // coder: arithmetic
+    vlr.put(2.toByte).put(2.toByte).putShort(0.toShort) // version 2.2 r0
+    vlr.putInt(0) // options
+    vlr.putInt(VariableChunkSize.toInt) // variable-size chunking
+    vlr.putLong(0L) // number of special EVLRs
+    vlr.putLong(-1L) // offset to special EVLRs
+    vlr.putShort(1.toShort) // num items
+    vlr.putShort(ItemPoint10.toShort).putShort(20.toShort).putShort(2.toShort)
+
+    val out = new FileOutputStream(path)
+    try {
+      out.write(header.array())
+      out.write(vlr.array())
+      val tblOffsetField = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      tblOffsetField.putLong(0L) // patched after the table lands
+      out.write(tblOffsetField.array())
+      val dst = out.getChannel
+      stats.foreach { case (pid, cs, _, _, _, _, _, _) =>
+        val chunk = Paths.get(f"$chunkPrefix/part-$pid%05d.bin")
+        val src = FileChannel.open(chunk)
+        try {
+          val len = src.size()
+          require(len == cs.map(_._2.toLong).sum,
+            s"$chunk: $len bytes, expected ${cs.map(_._2.toLong).sum}")
+          var pos = 0L
+          while (pos < len) pos += dst.transferFrom(src, dst.position() + pos, len - pos)
+          dst.position(dst.position() + len)
+        } finally src.close()
+        Files.delete(chunk)
+      }
+      val tableOffset = dst.position()
+      val tblHead = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      tblHead.putInt(0).putInt(chunkMeta.length)
+      out.write(tblHead.array())
+      if (chunkMeta.nonEmpty) {
+        val enc = new ArithmeticEncoder
+        val ic = new IntegerCompressor(32, 2).initModels()
+        var prevCount = 0
+        var prevSize = 0
+        chunkMeta.foreach { case (count, size) =>
+          ic.compress(enc, prevCount, count, 0); prevCount = count
+          ic.compress(enc, prevSize, size, 1); prevSize = size
+        }
+        enc.done()
+        out.write(enc.result())
+      }
+      out.flush()
+      val raf = new RandomAccessFile(path, "rw")
+      try {
+        raf.seek(offsetToPoints.toLong)
+        val patch = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+        patch.putLong(tableOffset)
+        raf.write(patch.array())
+      } finally raf.close()
+    } finally out.close()
+    Files.delete(chunkDir)
+  }
+}
