@@ -40,9 +40,19 @@ object Laz {
 
   // item types from the LAZ spec
   private val ItemPoint10 = 6
+  private val ItemGpstime11 = 7
+  private val ItemRgb12 = 8
   private val VlrUserId = "laszip encoded"
   private val VlrRecordId = 22204
   private val VariableChunkSize = 0xFFFFFFFFL
+
+  /** LAZ item lists for LAS point formats 0–3 (type, size, version —
+    * all version-2 codecs). Record length = sum of sizes. */
+  private val FormatItems: Map[Int, Seq[(Int, Int, Int)]] = Map(
+    0 -> Seq((ItemPoint10, 20, 2)),
+    1 -> Seq((ItemPoint10, 20, 2), (ItemGpstime11, 8, 2)),
+    2 -> Seq((ItemPoint10, 20, 2), (ItemRgb12, 6, 2)),
+    3 -> Seq((ItemPoint10, 20, 2), (ItemGpstime11, 8, 2), (ItemRgb12, 6, 2)))
 
   /** One decoded 20-byte POINT10 record; scanAngle kept in unsigned
     * byte space (the codec folds differences mod 256). */
@@ -237,6 +247,304 @@ object Laz {
     }
   }
 
+  /** A full LAS 1.2-family record: POINT10 core plus the optional
+    * GPS time (raw IEEE-754 bits) and RGB items. */
+  final case class FullPoint(core: Point10, gps: Long = 0L, r: Int = 0, g: Int = 0, b: Int = 0)
+
+  // GPSTIME11 v2 constants (LAZ spec): multiplier symbol space
+  private val GpsMulti = 500
+  private val GpsMultiMinus = -10
+  private val GpsMultiUnchanged = GpsMulti - GpsMultiMinus + 1 // 511
+  private val GpsMultiCodeFull = GpsMulti - GpsMultiMinus + 2 // 512
+  private val GpsMultiTotal = GpsMulti - GpsMultiMinus + 6 // 516
+
+  /** GPSTIME11 version-2 item codec: four rotating last-value slots,
+    * an integer-multiplier model over the previous 32-bit delta, and a
+    * high-bits-corrector + raw-low-32 escape for deltas past 32 bits.
+    * Symmetric compress/decompress; one instance per chunk. */
+  private final class GpsTime11Codec(firstBits: Long) {
+    private val mMulti = new ArithmeticModel(GpsMultiTotal).init()
+    private val m0Diff = new ArithmeticModel(6).init()
+    private val icGps = new IntegerCompressor(32, 9).initModels()
+    private val lastGps = Array(firstBits, 0L, 0L, 0L)
+    private val lastDiff = new Array[Int](4)
+    private val extreme = new Array[Int](4)
+    private var last = 0
+    private var next = 0
+
+    private def quantize(f: Float): Int =
+      if (f >= 0) (f + 0.5f).toInt else (f - 0.5f).toInt
+
+    @annotation.tailrec
+    def compress(enc: ArithmeticEncoder, bits: Long): Unit = {
+      if (lastDiff(last) == 0) { // no 32-bit delta established yet
+        if (bits == lastGps(last)) { enc.encodeSymbol(m0Diff, 0); return }
+        val diff64 = bits - lastGps(last)
+        val diff = diff64.toInt
+        if (diff64 == diff.toLong) {
+          enc.encodeSymbol(m0Diff, 1)
+          icGps.compress(enc, 0, diff, 0)
+          lastDiff(last) = diff
+          extreme(last) = 0
+          lastGps(last) = bits
+        } else {
+          var i = 1
+          var switched = 0
+          while (i < 4 && switched == 0) {
+            val od = bits - lastGps((last + i) & 3)
+            if (od == od.toInt.toLong) switched = i
+            i += 1
+          }
+          if (switched != 0) {
+            enc.encodeSymbol(m0Diff, switched + 2) // symbols 3..5: switch slot
+            last = (last + switched) & 3
+            compress(enc, bits)
+          } else {
+            enc.encodeSymbol(m0Diff, 2) // full 64-bit value
+            icGps.compress(enc, (lastGps(last) >>> 32).toInt, (bits >>> 32).toInt, 8)
+            enc.writeBits(32, bits & 0xFFFFFFFFL)
+            next = (next + 1) & 3
+            last = next
+            lastGps(last) = bits
+            lastDiff(last) = 0
+            extreme(last) = 0
+          }
+        }
+      } else {
+        if (bits == lastGps(last)) { enc.encodeSymbol(mMulti, GpsMultiUnchanged); return }
+        val diff64 = bits - lastGps(last)
+        val diff = diff64.toInt
+        if (diff64 == diff.toLong) {
+          val multi = quantize(diff.toFloat / lastDiff(last).toFloat)
+          if (multi == 1) { // twice the same interval — the common case
+            enc.encodeSymbol(mMulti, 1)
+            icGps.compress(enc, lastDiff(last), diff, 1)
+            extreme(last) = 0
+          } else if (multi > 0) {
+            if (multi < GpsMulti) {
+              enc.encodeSymbol(mMulti, multi)
+              icGps.compress(enc, multi * lastDiff(last), diff, if (multi < 10) 2 else 3)
+            } else {
+              enc.encodeSymbol(mMulti, GpsMulti)
+              icGps.compress(enc, GpsMulti * lastDiff(last), diff, 4)
+              extreme(last) += 1
+              if (extreme(last) > 3) { lastDiff(last) = diff; extreme(last) = 0 }
+            }
+          } else if (multi < 0) {
+            if (multi > GpsMultiMinus) {
+              enc.encodeSymbol(mMulti, GpsMulti - multi) // 501..509
+              icGps.compress(enc, multi * lastDiff(last), diff, 5)
+            } else {
+              enc.encodeSymbol(mMulti, GpsMulti - GpsMultiMinus) // 510
+              icGps.compress(enc, GpsMultiMinus * lastDiff(last), diff, 6)
+              extreme(last) += 1
+              if (extreme(last) > 3) { lastDiff(last) = diff; extreme(last) = 0 }
+            }
+          } else { // multi == 0
+            enc.encodeSymbol(mMulti, 0)
+            icGps.compress(enc, 0, diff, 7)
+            extreme(last) += 1
+            if (extreme(last) > 3) { lastDiff(last) = diff; extreme(last) = 0 }
+          }
+          lastGps(last) = bits
+        } else {
+          var i = 1
+          var switched = 0
+          while (i < 4 && switched == 0) {
+            val od = bits - lastGps((last + i) & 3)
+            if (od == od.toInt.toLong) switched = i
+            i += 1
+          }
+          if (switched != 0) {
+            enc.encodeSymbol(mMulti, GpsMultiCodeFull + switched) // 513..515
+            last = (last + switched) & 3
+            compress(enc, bits)
+          } else {
+            enc.encodeSymbol(mMulti, GpsMultiCodeFull) // 512
+            icGps.compress(enc, (lastGps(last) >>> 32).toInt, (bits >>> 32).toInt, 8)
+            enc.writeBits(32, bits & 0xFFFFFFFFL)
+            next = (next + 1) & 3
+            last = next
+            lastGps(last) = bits
+            lastDiff(last) = 0
+            extreme(last) = 0
+          }
+        }
+      }
+    }
+
+    @annotation.tailrec
+    def decompress(dec: ArithmeticDecoder): Long = {
+      if (lastDiff(last) == 0) {
+        val sym = dec.decodeSymbol(m0Diff)
+        if (sym == 0) lastGps(last)
+        else if (sym == 1) {
+          val diff = icGps.decompress(dec, 0, 0)
+          lastDiff(last) = diff
+          extreme(last) = 0
+          lastGps(last) += diff
+          lastGps(last)
+        } else if (sym == 2) {
+          val high = icGps.decompress(dec, (lastGps(last) >>> 32).toInt, 8)
+          val bits = (high.toLong << 32) | dec.readBits(32)
+          next = (next + 1) & 3
+          last = next
+          lastGps(last) = bits
+          lastDiff(last) = 0
+          extreme(last) = 0
+          bits
+        } else {
+          last = (last + sym - 2) & 3
+          decompress(dec)
+        }
+      } else {
+        val sym = dec.decodeSymbol(mMulti)
+        if (sym == GpsMultiUnchanged) lastGps(last)
+        else if (sym == GpsMultiCodeFull) {
+          val high = icGps.decompress(dec, (lastGps(last) >>> 32).toInt, 8)
+          val bits = (high.toLong << 32) | dec.readBits(32)
+          next = (next + 1) & 3
+          last = next
+          lastGps(last) = bits
+          lastDiff(last) = 0
+          extreme(last) = 0
+          bits
+        } else if (sym > GpsMultiCodeFull) {
+          last = (last + sym - GpsMultiCodeFull) & 3
+          decompress(dec)
+        } else {
+          val diff =
+            if (sym == 1) {
+              val d = icGps.decompress(dec, lastDiff(last), 1)
+              extreme(last) = 0
+              d
+            } else if (sym == 0) {
+              val d = icGps.decompress(dec, 0, 7)
+              extreme(last) += 1
+              if (extreme(last) > 3) { lastDiff(last) = d; extreme(last) = 0 }
+              d
+            } else if (sym < GpsMulti) {
+              icGps.decompress(dec, sym * lastDiff(last), if (sym < 10) 2 else 3)
+            } else if (sym == GpsMulti) {
+              val d = icGps.decompress(dec, GpsMulti * lastDiff(last), 4)
+              extreme(last) += 1
+              if (extreme(last) > 3) { lastDiff(last) = d; extreme(last) = 0 }
+              d
+            } else if (sym < GpsMulti - GpsMultiMinus) {
+              icGps.decompress(dec, (GpsMulti - sym) * lastDiff(last), 5)
+            } else { // 510
+              val d = icGps.decompress(dec, GpsMultiMinus * lastDiff(last), 6)
+              extreme(last) += 1
+              if (extreme(last) > 3) { lastDiff(last) = d; extreme(last) = 0 }
+              d
+            }
+          lastGps(last) += diff
+          lastGps(last)
+        }
+      }
+    }
+  }
+
+  /** RGB12 version-2 item codec: a changed-bytes symbol plus folded
+    * byte-difference models, green/blue predicted from the red delta
+    * (clamped), with a gray shortcut when all channels move together. */
+  private final class Rgb12Codec(firstR: Int, firstG: Int, firstB: Int) {
+    private val mByteUsed = new ArithmeticModel(128).init()
+    private val mDiff = Array.fill(6)(new ArithmeticModel(256).init())
+    private var lr = firstR
+    private var lg = firstG
+    private var lb = firstB
+
+    private def clamp(x: Int): Int = if (x < 0) 0 else if (x > 255) 255 else x
+
+    def compress(enc: ArithmeticEncoder, r: Int, g: Int, b: Int): Unit = {
+      var sym = 0
+      if ((lr & 0xFF) != (r & 0xFF)) sym |= 1
+      if ((lr >>> 8) != (r >>> 8)) sym |= 2
+      if ((lg & 0xFF) != (g & 0xFF)) sym |= 4
+      if ((lg >>> 8) != (g >>> 8)) sym |= 8
+      if ((lb & 0xFF) != (b & 0xFF)) sym |= 16
+      if ((lb >>> 8) != (b >>> 8)) sym |= 32
+      val colored = ((r & 0xFF) != (g & 0xFF)) || ((r & 0xFF) != (b & 0xFF)) ||
+        ((r >>> 8) != (g >>> 8)) || ((r >>> 8) != (b >>> 8))
+      if (colored) sym |= 64
+      enc.encodeSymbol(mByteUsed, sym)
+      var diffL = 0
+      var diffH = 0
+      if ((sym & 1) != 0) {
+        diffL = (r & 0xFF) - (lr & 0xFF)
+        enc.encodeSymbol(mDiff(0), diffL & 0xFF)
+      }
+      if ((sym & 2) != 0) {
+        diffH = (r >>> 8) - (lr >>> 8)
+        enc.encodeSymbol(mDiff(1), diffH & 0xFF)
+      }
+      if ((sym & 64) != 0) {
+        if ((sym & 4) != 0) {
+          val corr = (g & 0xFF) - clamp(diffL + (lg & 0xFF))
+          enc.encodeSymbol(mDiff(2), corr & 0xFF)
+        }
+        if ((sym & 8) != 0) {
+          val corr = (g >>> 8) - clamp(diffH + (lg >>> 8))
+          enc.encodeSymbol(mDiff(3), corr & 0xFF)
+        }
+        if ((sym & 16) != 0) {
+          val dL = (diffL + ((g & 0xFF) - (lg & 0xFF))) / 2
+          val corr = (b & 0xFF) - clamp(dL + (lb & 0xFF))
+          enc.encodeSymbol(mDiff(4), corr & 0xFF)
+        }
+        if ((sym & 32) != 0) {
+          val dH = (diffH + ((g >>> 8) - (lg >>> 8))) / 2
+          val corr = (b >>> 8) - clamp(dH + (lb >>> 8))
+          enc.encodeSymbol(mDiff(5), corr & 0xFF)
+        }
+      }
+      lr = r; lg = g; lb = b
+    }
+
+    def decompress(dec: ArithmeticDecoder): (Int, Int, Int) = {
+      val sym = dec.decodeSymbol(mByteUsed)
+      var diffL = 0
+      var diffH = 0
+      var rL = lr & 0xFF
+      var rH = lr >>> 8
+      if ((sym & 1) != 0) {
+        rL = (rL + dec.decodeSymbol(mDiff(0))) & 0xFF
+        diffL = rL - (lr & 0xFF) // true signed delta, for the G/B predictors
+      }
+      if ((sym & 2) != 0) {
+        rH = (rH + dec.decodeSymbol(mDiff(1))) & 0xFF
+        diffH = rH - (lr >>> 8)
+      }
+      val r = rL | (rH << 8)
+      var g = 0
+      var b = 0
+      if ((sym & 64) != 0) {
+        var gL = lg & 0xFF
+        var gH = lg >>> 8
+        var bL = lb & 0xFF
+        var bH = lb >>> 8
+        if ((sym & 4) != 0) gL = (dec.decodeSymbol(mDiff(2)) + clamp(diffL + (lg & 0xFF))) & 0xFF
+        if ((sym & 8) != 0) gH = (dec.decodeSymbol(mDiff(3)) + clamp(diffH + (lg >>> 8))) & 0xFF
+        if ((sym & 16) != 0) {
+          val dL = (diffL + (gL - (lg & 0xFF))) / 2
+          bL = (dec.decodeSymbol(mDiff(4)) + clamp(dL + (lb & 0xFF))) & 0xFF
+        }
+        if ((sym & 32) != 0) {
+          val dH = (diffH + (gH - (lg >>> 8))) / 2
+          bH = (dec.decodeSymbol(mDiff(5)) + clamp(dH + (lb >>> 8))) & 0xFF
+        }
+        g = gL | (gH << 8)
+        b = bL | (bH << 8)
+      } else {
+        g = r
+        b = r
+      }
+      lr = r; lg = g; lb = b
+      (r, g, b)
+    }
+  }
+
   private def putPoint10(bb: ByteBuffer, p: Point10): Unit = {
     bb.putInt(p.x).putInt(p.y).putInt(p.z)
     bb.putShort(p.intensity.toShort)
@@ -248,40 +556,87 @@ object Laz {
     Point10(bb.getInt, bb.getInt, bb.getInt, bb.getShort & 0xFFFF,
       bb.get & 0xFF, bb.get & 0xFF, bb.get & 0xFF, bb.get & 0xFF, bb.getShort & 0xFFFF)
 
-  /** Encode one chunk: raw 20-byte first point, then the coded
-    * residual stream (absent for single-point chunks — the decoder
-    * never initializes for them). Returns the chunk's bytes. */
-  private[sources] def encodeChunk(points: Array[Point10]): Array[Byte] = {
+  private def recordLen(format: Int): Int = FormatItems(format).map(_._2).sum
+
+  private def putFullPoint(bb: ByteBuffer, format: Int, p: FullPoint): Unit = {
+    putPoint10(bb, p.core)
+    if (format == 1 || format == 3) bb.putLong(p.gps)
+    if (format == 2 || format == 3)
+      bb.putShort(p.r.toShort).putShort(p.g.toShort).putShort(p.b.toShort)
+  }
+
+  private def getFullPoint(bb: ByteBuffer, format: Int): FullPoint = {
+    val core = getPoint10(bb)
+    val gps = if (format == 1 || format == 3) bb.getLong else 0L
+    val (r, g, b) =
+      if (format == 2 || format == 3) (bb.getShort & 0xFFFF, bb.getShort & 0xFFFF, bb.getShort & 0xFFFF)
+      else (0, 0, 0)
+    FullPoint(core, gps, r, g, b)
+  }
+
+  /** Encode one chunk: raw first record, then the coded residual
+    * stream — per point, items in VLR order (POINT10, GPSTIME11,
+    * RGB12), matching the spec's interleaving. Single-point chunks
+    * carry no coder stream (the decoder never initializes for them). */
+  private[sources] def encodeChunkFull(format: Int, points: Array[FullPoint]): Array[Byte] = {
     require(points.nonEmpty, "empty LAZ chunk")
-    val raw = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
-    putPoint10(raw, points(0))
+    val len = recordLen(format)
+    val raw = ByteBuffer.allocate(len).order(ByteOrder.LITTLE_ENDIAN)
+    putFullPoint(raw, format, points(0))
     if (points.length == 1) raw.array()
     else {
-      val codec = new Point10Codec(points(0))
+      val core = new Point10Codec(points(0).core)
+      val gps = if (format == 1 || format == 3) new GpsTime11Codec(points(0).gps) else null
+      val rgb = if (format == 2 || format == 3)
+        new Rgb12Codec(points(0).r, points(0).g, points(0).b) else null
       val enc = new ArithmeticEncoder
       var i = 1
-      while (i < points.length) { codec.compress(enc, points(i)); i += 1 }
+      while (i < points.length) {
+        val p = points(i)
+        core.compress(enc, p.core)
+        if (gps != null) gps.compress(enc, p.gps)
+        if (rgb != null) rgb.compress(enc, p.r, p.g, p.b)
+        i += 1
+      }
       enc.done()
       val coded = enc.result()
-      val out = new Array[Byte](20 + coded.length)
-      System.arraycopy(raw.array(), 0, out, 0, 20)
-      System.arraycopy(coded, 0, out, 20, coded.length)
+      val out = new Array[Byte](len + coded.length)
+      System.arraycopy(raw.array(), 0, out, 0, len)
+      System.arraycopy(coded, 0, out, len, coded.length)
       out
     }
   }
 
-  private[sources] def decodeChunk(bytes: Array[Byte], offset: Int, count: Int): Array[Point10] = {
-    val out = new Array[Point10](count)
-    val raw = ByteBuffer.wrap(bytes, offset, 20).order(ByteOrder.LITTLE_ENDIAN)
-    out(0) = getPoint10(raw)
+  private[sources] def decodeChunkFull(format: Int, bytes: Array[Byte], offset: Int,
+      count: Int): Array[FullPoint] = {
+    val len = recordLen(format)
+    val out = new Array[FullPoint](count)
+    val raw = ByteBuffer.wrap(bytes, offset, len).order(ByteOrder.LITTLE_ENDIAN)
+    out(0) = getFullPoint(raw, format)
     if (count > 1) {
-      val codec = new Point10Codec(out(0))
-      val dec = new ArithmeticDecoder(bytes, offset + 20, bytes.length).init()
+      val core = new Point10Codec(out(0).core)
+      val gps = if (format == 1 || format == 3) new GpsTime11Codec(out(0).gps) else null
+      val rgb = if (format == 2 || format == 3)
+        new Rgb12Codec(out(0).r, out(0).g, out(0).b) else null
+      val dec = new ArithmeticDecoder(bytes, offset + len, bytes.length).init()
       var i = 1
-      while (i < count) { out(i) = codec.decompress(dec); i += 1 }
+      while (i < count) {
+        val c = core.decompress(dec)
+        val g = if (gps != null) gps.decompress(dec) else 0L
+        val (cr, cg, cb) = if (rgb != null) rgb.decompress(dec) else (0, 0, 0)
+        out(i) = FullPoint(c, g, cr, cg, cb)
+        i += 1
+      }
     }
     out
   }
+
+  /** Point-format-0 conveniences (the sink's default payload). */
+  private[sources] def encodeChunk(points: Array[Point10]): Array[Byte] =
+    encodeChunkFull(0, points.map(FullPoint(_)))
+
+  private[sources] def decodeChunk(bytes: Array[Byte], offset: Int, count: Int): Array[Point10] =
+    decodeChunkFull(0, bytes, offset, count).map(_.core)
 
   // ---------------------------------------------------------------- container
 
@@ -359,9 +714,9 @@ object Laz {
       }
       require(items.map(_._2).sum == header.recordLen,
         s"$path: item sizes ${items} disagree with record length ${header.recordLen}")
-      require(items.size == 1 && items.head._1 == ItemPoint10 && items.head._3 == 2,
-        s"$path: unsupported LAZ item set ${items} — POINT10 v2 only " +
-          "(GPSTIME11/RGB12 not yet implemented)")
+      require(FormatItems.valuesIterator.contains(items),
+        s"$path: unsupported LAZ item set ${items} — point formats 0-3 " +
+          "(POINT10/GPSTIME11/RGB12, all v2) only")
 
       raf.seek(offsetToPoints)
       val tblBytes = new Array[Byte](8)
@@ -425,6 +780,7 @@ object Laz {
     val h = info.header
     if (chunks.isEmpty) return spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], Las.pointSchema)
+    val format = FormatItems.collectFirst { case (f, is) if is == info.items => f }.get
     val groups = chunks.grouped(math.max(1, chunksPerTask)).toArray
     val rdd = spark.sparkContext
       .parallelize(groups.toIndexedSeq, groups.length)
@@ -435,11 +791,14 @@ object Laz {
             val bytes = new Array[Byte](size)
             raf.seek(off)
             raf.readFully(bytes)
-            decodeChunk(bytes, 0, count)
-          }.map(p => Row(
-            p.x * h.scaleX + h.offX,
-            p.y * h.scaleY + h.offY,
-            p.z * h.scaleZ + h.offZ)).toArray
+            decodeChunkFull(format, bytes, 0, count)
+          }.map { fp =>
+            val p = fp.core
+            Row(
+              p.x * h.scaleX + h.offX,
+              p.y * h.scaleY + h.offY,
+              p.z * h.scaleZ + h.offZ)
+          }.toArray
         } finally raf.close()
         rows
       }
@@ -453,7 +812,8 @@ object Laz {
     * tails stay legal, scale/offset like the reference exporter
     * (exporter.py:78-80). */
   def writePoints(df: DataFrame, path: String, scale: Double = 0.1,
-      chunkPoints: Int = 50000): Unit = {
+      chunkPoints: Int = 50000, pointFormat: Int = 0): Unit = {
+    require(FormatItems.contains(pointFormat), s"unsupported point format $pointFormat")
     val chunkDir = Paths.get(path + ".chunks")
     Files.createDirectories(chunkDir)
     val chunkPrefix = chunkDir.toString
@@ -468,10 +828,10 @@ object Laz {
         val out = new BufferedOutputStream(
           new FileOutputStream(f"$chunkPrefix/part-$pid%05d.bin"), 1 << 20)
         try {
-          val buf = new Array[Point10](chunkPoints)
+          val buf = new Array[FullPoint](chunkPoints)
           var n = 0
           def flush(): Unit = if (n > 0) {
-            val bytes = encodeChunk(if (n == chunkPoints) buf else buf.take(n))
+            val bytes = encodeChunkFull(pointFormat, if (n == chunkPoints) buf else buf.take(n))
             out.write(bytes)
             chunkStats += ((n, bytes.length))
             n = 0
@@ -481,8 +841,8 @@ object Laz {
             xMin = math.min(xMin, x); xMax = math.max(xMax, x)
             yMin = math.min(yMin, y); yMax = math.max(yMax, y)
             zMin = math.min(zMin, z); zMax = math.max(zMax, z)
-            buf(n) = Point10(math.round(x / scale).toInt, math.round(y / scale).toInt,
-              math.round(z / scale).toInt, 0, 0, 0, 0, 0, 0)
+            buf(n) = FullPoint(Point10(math.round(x / scale).toInt,
+              math.round(y / scale).toInt, math.round(z / scale).toInt, 0, 0, 0, 0, 0, 0))
             n += 1
             if (n == chunkPoints) flush()
           }
@@ -501,7 +861,8 @@ object Laz {
         stats.map(_._5).min, stats.map(_._6).max,
         stats.map(_._7).min, stats.map(_._8).max)
 
-    val vlrPayloadLen = 34 + 6 // one item record
+    val items = FormatItems(pointFormat)
+    val vlrPayloadLen = 34 + 6 * items.size
     val offsetToPoints = 227 + 54 + vlrPayloadLen
 
     val header = ByteBuffer.allocate(227).order(ByteOrder.LITTLE_ENDIAN)
@@ -510,8 +871,8 @@ object Laz {
     header.putShort(94, 227.toShort)
     header.putInt(96, offsetToPoints)
     header.putInt(100, 1) // one VLR (laszip)
-    header.put(104, (0x80 | 0).toByte) // compressed point format 0
-    header.putShort(105, 20.toShort)
+    header.put(104, (0x80 | pointFormat).toByte) // compressed format
+    header.putShort(105, recordLen(pointFormat).toShort)
     header.putInt(107, n.toInt)
     header.putInt(111, n.toInt) // returns[0]
     header.putDouble(131, scale).putDouble(139, scale).putDouble(147, scale)
@@ -535,8 +896,10 @@ object Laz {
     vlr.putInt(VariableChunkSize.toInt) // variable-size chunking
     vlr.putLong(0L) // number of special EVLRs
     vlr.putLong(-1L) // offset to special EVLRs
-    vlr.putShort(1.toShort) // num items
-    vlr.putShort(ItemPoint10.toShort).putShort(20.toShort).putShort(2.toShort)
+    vlr.putShort(items.size.toShort)
+    items.foreach { case (tpe, size, ver) =>
+      vlr.putShort(tpe.toShort).putShort(size.toShort).putShort(ver.toShort)
+    }
 
     val out = new FileOutputStream(path)
     try {

@@ -153,6 +153,84 @@ class LazSpec extends AnyFunSuite {
     assert(Laz.decodeChunk(two, 0, 2).toSeq == Seq(p, q))
   }
 
+  test("GPSTIME11 chunk roundtrips adversarial time sequences") {
+    val rnd = new Random(13)
+    // constant runs, steady pulse-rate ramps (multi==1), multiplied
+    // intervals, sign flips, >32-bit jumps (slot rotation + full escape)
+    var t = java.lang.Double.doubleToLongBits(300000.0)
+    val seq = Array.newBuilder[Long]
+    var i = 0
+    while (i < 30000) {
+      rnd.nextInt(12) match {
+        case 0 | 1 | 2 => // unchanged
+        case 3 | 4 | 5 | 6 => t += 1000 // steady interval
+        case 7 => t += 1000L * (1 + rnd.nextInt(400)) // positive multiplier
+        case 8 => t -= 1000L * (1 + rnd.nextInt(15)) // negative multiplier
+        case 9 => t += rnd.nextInt(100) - 50 // small jitter
+        case 10 => t += (rnd.nextLong() >>> 16) // far jump, >32-bit delta
+        case _ => t = java.lang.Double.doubleToLongBits(rnd.nextDouble() * 1e6)
+      }
+      seq += t
+      i += 1
+    }
+    val times = seq.result()
+    val pts = times.map(g => Laz.FullPoint(Laz.Point10(0, 0, 0, 0, 0, 0, 0, 0, 0), gps = g))
+    val bytes = Laz.encodeChunkFull(1, pts)
+    val back = Laz.decodeChunkFull(1, bytes, 0, pts.length)
+    times.indices.foreach { j =>
+      assert(back(j).gps == times(j), s"gps $j: ${back(j).gps} vs ${times(j)}")
+    }
+  }
+
+  test("RGB12 chunk roundtrips colored, gray, and constant runs") {
+    val rnd = new Random(17)
+    var (r, g, b) = (1000, 2000, 3000)
+    val pts = Array.fill(30000) {
+      rnd.nextInt(6) match {
+        case 0 => // unchanged
+        case 1 => val v = rnd.nextInt(65536); r = v; g = v; b = v // gray
+        case 2 => r = (r + rnd.nextInt(32) - 16) & 0xFFFF
+        case 3 => g = (g + rnd.nextInt(32) - 16) & 0xFFFF
+        case 4 => b = (b + rnd.nextInt(512) - 256) & 0xFFFF
+        case _ => r = rnd.nextInt(65536); g = rnd.nextInt(65536); b = rnd.nextInt(65536)
+      }
+      Laz.FullPoint(Laz.Point10(0, 0, 0, 0, 0, 0, 0, 0, 0), r = r, g = g, b = b)
+    }
+    val bytes = Laz.encodeChunkFull(2, pts)
+    val back = Laz.decodeChunkFull(2, bytes, 0, pts.length)
+    pts.indices.foreach { j =>
+      assert((back(j).r, back(j).g, back(j).b) == (pts(j).r, pts(j).g, pts(j).b), s"rgb $j")
+    }
+  }
+
+  test("point format 3 chunk roundtrips all items interleaved") {
+    val rnd = new Random(19)
+    val cores = randomPoints(rnd, 20000)
+    var t = java.lang.Double.doubleToLongBits(1.5e5)
+    val pts = cores.map { c =>
+      t += (if (rnd.nextInt(20) == 0) rnd.nextLong() >>> 20 else 1000L)
+      Laz.FullPoint(c, gps = t, r = rnd.nextInt(65536),
+        g = rnd.nextInt(65536), b = rnd.nextInt(65536))
+    }
+    val bytes = Laz.encodeChunkFull(3, pts)
+    val back = Laz.decodeChunkFull(3, bytes, 0, pts.length)
+    pts.indices.foreach(j => assert(back(j) == pts(j), s"point $j"))
+  }
+
+  test("point format 3 file roundtrips and reports pf3 metadata") {
+    val n = 5000
+    val df = (0 until n).map(i => (i * 0.7, i * 0.3, (i % 50) * 2.0))
+      .toDF("x", "y", "z").repartition(3)
+    val path = "/tmp/graft_laz_pf3.laz"
+    Laz.writePoints(df, path, chunkPoints = 1000, pointFormat = 3)
+    val info = Laz.readInfo(path)
+    assert(info.header.pointFormat == 3 && info.header.recordLen == 34)
+    assert(info.items == Seq((6, 20, 2), (7, 8, 2), (8, 6, 2)))
+    val back = Laz.readPoints(spark, path)
+    assert(back.count() == n)
+    assert(back.select(round(col("x") * 10).cast("long")).distinct().count() == n)
+  }
+
   test("file write -> info -> read roundtrip on the 0.1 grid") {
     val pts = Seq((1.5, 2.0, 0.3), (100.2, 0.0, -5.1), (8191.0, 4000.4, 25.3))
     val path = "/tmp/graft_laz_test.laz"
