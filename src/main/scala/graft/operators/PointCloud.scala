@@ -853,6 +853,69 @@ final class BlockedCloud(
       .select(col("x"), col("y"), col("z"), (col("z") - col("__gz")).as("hag"))
   }
 
+  /** Progressive morphological ground filter (the PMF family — Zhang
+    * et al. 2003; PDAL `filters.pmf`/`filters.smrf` shape): open the
+    * min-z raster (erosion = window min, then dilation = window max)
+    * with growing windows, and a point is ground iff it clears EVERY
+    * stage's opened surface by at most that stage's threshold —
+    * progressive rejection, expressed as one conjunction.
+    *
+    * `stages` = (windowRadiusCells, elevationThreshold) pairs; each
+    * stage opens the PREVIOUS stage's surface (the PMF recipe).
+    * Boundary semantics: windows see only existing cells (sparse
+    * raster, no padding).
+    *
+    * Scale shape: every morphological pass is raster-sized — the
+    * (2w+1)² neighborhood is an explode of raster ROWS + equi-join on
+    * cell keys (the gridSlope recipe), never a non-equi window over
+    * points. The per-stage surfaces join into one raster frame that
+    * broadcasts to the points (heightAboveGround recipe), so the point
+    * multiset never shuffles. Everything compared is a stored double
+    * or a single IEEE add — exact on any engine. */
+  def morphologicalGround(cell: Double, stages: Seq[(Int, Double)]): DataFrame = {
+    require(cell > 0, s"non-positive cell size $cell")
+    require(stages.nonEmpty && stages.forall(_._1 >= 1))
+    def cellCols(df: DataFrame): DataFrame = df
+      .withColumn("cell_x", floor(col("x") / cell).cast(LongType))
+      .withColumn("cell_y", floor(col("y") / cell).cast(LongType))
+    val pts = cellCols(explodePoints(blocks))
+
+    // window aggregate over existing cells: raster explodes by its
+    // offsets, lands contributions on neighbor keys, inner-joins back
+    // to the cell list (drops out-of-raster keys), reduces with f
+    def windowAgg(surface: DataFrame, value: String, w: Int,
+        f: Column => Column, out: String): DataFrame = {
+      val offsets = array((for (dx <- -w to w; dy <- -w to w) yield
+        struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
+      val contrib = surface
+        .select(explode(offsets).as("o"), col("cell_x"), col("cell_y"),
+          col(value).as("__v"))
+        .select((col("cell_x") + col("o.dx")).as("cell_x"),
+          (col("cell_y") + col("o.dy")).as("cell_y"), col("__v"))
+      surface.select(col("cell_x"), col("cell_y"))
+        .join(contrib, Seq("cell_x", "cell_y"))
+        .groupBy(col("cell_x"), col("cell_y"))
+        .agg(f(col("__v")).as(out))
+    }
+
+    var surface = pts.groupBy(col("cell_x"), col("cell_y"))
+      .agg(min(col("z")).as("__s"))
+    var raster = surface.select(col("cell_x"), col("cell_y"))
+    stages.zipWithIndex.foreach { case ((w, _), i) =>
+      val eroded = windowAgg(surface, "__s", w, min, "__e")
+      surface = windowAgg(eroded, "__e", w, max, "__s")
+      raster = raster.join(
+        surface.select(col("cell_x"), col("cell_y"), col("__s").as(s"__o$i")),
+        Seq("cell_x", "cell_y"))
+    }
+    val groundCond = stages.zipWithIndex
+      .map { case ((_, t), i) => col("z") <= col(s"__o$i") + lit(t) }
+      .reduce(_ && _)
+    pts.join(raster, Seq("cell_x", "cell_y"))
+      .select(col("x"), col("y"), col("z"),
+        when(groundCond, lit(1)).otherwise(lit(0)).as("is_ground"))
+  }
+
   /** The catalog row as a DataFrame (pc_metadata equivalent). */
   def metadataDf: DataFrame =
     spark.createDataset(Seq(meta))(Encoders.product[CloudMeta]).toDF()

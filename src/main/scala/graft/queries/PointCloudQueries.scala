@@ -245,6 +245,13 @@ object PointCloudQueries {
     "pc_hag" -> ((s, d) => cloud(s, d).heightAboveGround(64.0)
       .select(col("x").cast("long").as("x"), col("y").cast("long").as("y"),
         col("z"), col("hag"))),
+    // progressive morphological ground filter (PMF / PDAL filters.pmf):
+    // two opening stages (3x3 then 5x5) with growing thresholds; every
+    // morphological pass is raster-sized, points never shuffle
+    "pc_ground_pmf" -> ((s, d) => cloud(s, d)
+      .morphologicalGround(64.0, Seq((1, 2.0), (2, 4.0)))
+      .select(col("x").cast("long").as("x"), col("y").cast("long").as("y"),
+        col("z"), col("is_ground"))),
     // radius outlier removal (PDAL filters.ror shape): keep points
     // whose 48-unit 3D neighborhood holds >= 4 identities-with-
     // multiplicity; cell-blocked equi self-join, never n^2. Candidate
@@ -346,6 +353,20 @@ object PointCloudQueries {
       "min(z) AS gz FROM pts GROUP BY 1, 2) " +
       "SELECT p.x, p.y, p.z, p.z - g.gz AS hag FROM pts p " +
       "JOIN g ON p.x // 64 = g.cell_x AND p.y // 64 = g.cell_y"),
+    "pc_ground_pmf" -> (s"$ptsCte, g AS (SELECT x // 64 AS cx, y // 64 AS cy, " +
+      "min(z) AS s FROM pts GROUP BY 1, 2), " +
+      "e1 AS (SELECT a.cx, a.cy, min(b.s) AS v FROM g a JOIN g b " +
+      "ON b.cx BETWEEN a.cx - 1 AND a.cx + 1 AND b.cy BETWEEN a.cy - 1 AND a.cy + 1 GROUP BY 1, 2), " +
+      "o1 AS (SELECT a.cx, a.cy, max(b.v) AS v FROM g a JOIN e1 b " +
+      "ON b.cx BETWEEN a.cx - 1 AND a.cx + 1 AND b.cy BETWEEN a.cy - 1 AND a.cy + 1 GROUP BY 1, 2), " +
+      "e2 AS (SELECT a.cx, a.cy, min(b.v) AS v FROM g a JOIN o1 b " +
+      "ON b.cx BETWEEN a.cx - 2 AND a.cx + 2 AND b.cy BETWEEN a.cy - 2 AND a.cy + 2 GROUP BY 1, 2), " +
+      "o2 AS (SELECT a.cx, a.cy, max(b.v) AS v FROM g a JOIN e2 b " +
+      "ON b.cx BETWEEN a.cx - 2 AND a.cx + 2 AND b.cy BETWEEN a.cy - 2 AND a.cy + 2 GROUP BY 1, 2) " +
+      "SELECT p.x, p.y, p.z, CASE WHEN p.z <= o1.v + 2.0 AND p.z <= o2.v + 4.0 " +
+      "THEN 1 ELSE 0 END AS is_ground FROM pts p " +
+      "JOIN o1 ON p.x // 64 = o1.cx AND p.y // 64 = o1.cy " +
+      "JOIN o2 ON p.x // 64 = o2.cx AND p.y // 64 = o2.cy"),
     "pc_cell_slope" -> (s"$ptsCte, g AS (SELECT x // 64 AS cell_x, y // 64 AS cell_y, " +
       "count(*) AS n, sum(CAST(round(z * 100, 0) AS BIGINT)) AS sc FROM pts GROUP BY 1, 2), " +
       "mz AS (SELECT cell_x, cell_y, CAST(sc AS DOUBLE) / (100.0 * n) AS mean_z FROM g), " +

@@ -307,6 +307,42 @@ class PointCloudSpec extends AnyFunSuite {
     assert(kept2 == Seq.fill(3)((500.0, 500.0, 1.0)))
   }
 
+  test("morphologicalGround: spike falls at stage 1, building only at stage 2") {
+    import spark.implicits._
+    // 6x6 cell plain at z=10 (cell size 1, one point per cell center),
+    // a 2x2 "building" at z=50 over cells (0..1, 0..1), and an isolated
+    // spike at cell (4, 4). A 3x3 opening erases the spike but not the
+    // building corner (its whole window is roof); the 5x5 stage reaches
+    // plain cells from everywhere and flattens the building too — the
+    // progressive property PMF exists for.
+    val pts = (for (cx <- 0 until 6; cy <- 0 until 6) yield {
+      val z =
+        if (cx <= 1 && cy <= 1) 50.0
+        else if (cx == 4 && cy == 4) 50.0
+        else 10.0
+      (cx + 0.5, cy + 0.5, z)
+    }).toSeq
+    val c = PointCloud.importPoints(pts.toDF("x", "y", "z"),
+      ImportSpec(ratio = 0.5, scaleX = 0.5, scaleY = 0.5))
+
+    // stage 1 only: spike non-ground, building corner still "ground"
+    val s1 = c.morphologicalGround(1.0, Seq((1, 0.5)))
+      .collect().map(r => ((r.getDouble(0), r.getDouble(1)), r.getInt(3))).toMap
+    assert(s1((4.5, 4.5)) == 0, "spike must fall at the 3x3 stage")
+    assert(s1((0.5, 0.5)) == 1, "building corner survives a 3x3-only opening")
+    assert(s1((3.5, 3.5)) == 1)
+
+    // both stages: building rejected too, plain untouched
+    val s2 = c.morphologicalGround(1.0, Seq((1, 0.5), (2, 1.0)))
+      .collect().map(r => ((r.getDouble(0), r.getDouble(1)), r.getInt(3))).toMap
+    assert(s2((4.5, 4.5)) == 0)
+    Seq((0.5, 0.5), (1.5, 0.5), (0.5, 1.5), (1.5, 1.5)).foreach { k =>
+      assert(s2(k) == 0, s"building cell $k must fall at the 5x5 stage")
+    }
+    val ground = s2.filter(_._2 == 1).keys.toSet
+    assert(ground.size == 36 - 5, "exactly the plain remains ground")
+  }
+
   test("append beyond the stored key-space envelope is rejected") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_pc_appx").toString
