@@ -192,6 +192,64 @@ object TextKernels {
     }
     ArrayData.toArrayData(out)
   }
+
+  /** Portable hash of every length-`n` code-point gram of the RAW text
+    * (spaces are ordinary code points here, unlike the word hashes):
+    * the same two polynomial folds + lehmer3 packing as
+    * [[wordPortableHashes]], so DuckDB replays each value with the
+    * identical `wordHash` rendering over a code-point slice. One hash
+    * per start position, document order; fewer than `n` code points
+    * yields an empty array (no gram, no cut). */
+  def charGramPortableHashes(s: UTF8String, n: Int): ArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val nb = s.numBytes()
+    var ascii = true
+    var i = 0
+    while (ascii && i < nb) {
+      if (Platform.getByte(base, off + i) < 0) ascii = false
+      i += 1
+    }
+    val cps: Array[Int] =
+      if (ascii) {
+        val a = new Array[Int](nb)
+        var j = 0
+        while (j < nb) { a(j) = Platform.getByte(base, off + j); j += 1 }
+        a
+      } else {
+        val str = s.toString
+        val a = new Array[Int](str.codePointCount(0, str.length))
+        var j = 0
+        var k = 0
+        while (j < str.length) {
+          val c = str.codePointAt(j)
+          a(k) = c
+          k += 1
+          j += Character.charCount(c)
+        }
+        a
+      }
+    val m = cps.length - n + 1
+    if (m <= 0) ArrayData.toArrayData(Array.emptyLongArray)
+    else {
+      val out = new Array[Long](m)
+      var p = 0
+      while (p < m) {
+        var h1 = 0L
+        var h2 = 0L
+        var j = 0
+        while (j < n) {
+          val c = cps(p + j)
+          h1 = (h1 * 48271L + c) % 2147483647L
+          h2 = (h2 * 16807L + c) % 2147483629L
+          j += 1
+        }
+        out(p) = (HashKernels.lehmer3(h1) << 31) | HashKernels.lehmer3(h2)
+        p += 1
+      }
+      ArrayData.toArrayData(out)
+    }
+  }
 }
 
 /** Word chunks (<= k words each) of a normalized text column. */
@@ -246,7 +304,25 @@ case class WordPortableHashes(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Portable 62-bit hash of every length-`n` code-point gram, one per
+  * start position in document order ([[TextKernels.charGramPortableHashes]]) —
+  * the content-defined-chunking boundary source. */
+case class CharGramPortableHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, "gram length must be positive")
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "char_gram_portable_hashes"
+  override protected def nullSafeEval(s: Any): Any =
+    TextKernels.charGramPortableHashes(s.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.TextKernels.charGramPortableHashes($s, $n)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object text {
+  def char_gram_portable_hashes(rawText: Column, n: Int): Column =
+    GraftBridge.column(CharGramPortableHashes(GraftBridge.expression(rawText), n))
   def chunk_words(normText: Column, k: Int): Column =
     GraftBridge.column(ChunkWords(GraftBridge.expression(normText), k))
   def word_ngrams(normText: Column, n: Int): Column =

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale document pipelines:
@@ -265,6 +266,50 @@ object TextStats {
           .as(Seq("chunk_idx", "chunk_text")))
       .withColumn("chunk_idx", col("chunk_idx").cast("long"))
       .withColumn("chunk_tokens", size(split(col("chunk_text"), " ")).cast("long"))
+
+  /** Content-defined chunking (the Rabin/gear CDC family dedup
+    * pipelines cut with): a boundary falls after every length-`w`
+    * code-point window whose portable hash ≡ 0 (mod `modulus`), so cut
+    * positions depend only on local CONTENT — insert a prefix and the
+    * chunk stream realigns after one window, where fixed-size chunking
+    * shifts every boundary (the property that makes chunk-level dedup
+    * robust to edits). Expected chunk length ≈ `modulus` code points;
+    * this is the unbounded-size variant (no min/max clamp — compose a
+    * re-split downstream if hard bounds are needed).
+    *
+    * Scale shape: one codegen kernel pass emits per-position hashes,
+    * the explode filters to ~len/modulus cut rows before any shuffle,
+    * and every window partitions by document id. The only join is
+    * chunk-rows ← documents on id. Raw text, code-point indexing —
+    * Spark `substring`/`length` and DuckDB slicing/`len` agree. */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 8, modulus: Int = 64): DataFrame = {
+    require(w >= 2 && modulus >= 2)
+    val wOrd = Window.partitionBy(idCol).orderBy("__ce")
+    val cuts = df.select(col(idCol),
+        posexplode(graft.functions.text.char_gram_portable_hashes(col(textCol), w))
+          .as(Seq("__p", "__h")))
+      .filter(pmod(col("__h"), lit(modulus.toLong)) === 0L)
+      .select(col(idCol), (col("__p") + w).cast("long").as("__ce")) // 1-based gram end
+    val mids = cuts.select(col(idCol),
+      (coalesce(lag(col("__ce"), 1).over(wOrd), lit(0L)) + 1L).as("chunk_start"),
+      col("__ce").as("__end"))
+    val docs = df.select(col(idCol), col(textCol).as("__t"),
+      length(col(textCol)).cast("long").as("__len"))
+    val tails = docs.join(
+        cuts.groupBy(col(idCol)).agg(max(col("__ce")).as("__last")), Seq(idCol), "left")
+      .select(col(idCol), (coalesce(col("__last"), lit(0L)) + 1L).as("chunk_start"),
+        col("__len").as("__end"))
+      .filter(col("chunk_start") <= col("__end")) // cut exactly at EOF -> no tail
+    mids.unionByName(tails)
+      .join(docs, Seq(idCol))
+      .select(col(idCol),
+        row_number().over(Window.partitionBy(idCol).orderBy("chunk_start"))
+          .cast("long").as("chunk_idx"),
+        col("chunk_start"),
+        (col("__end") - col("chunk_start") + 1L).as("chunk_len"),
+        expr("substring(__t, chunk_start, __end - chunk_start + 1)").as("chunk"))
+  }
 
   /** Greedy sequence packing: assign documents to training packs of at
     * most `budget` whitespace tokens (a doc longer than the budget gets

@@ -62,6 +62,10 @@ object DocQueries {
           min(col("doc_id")).as("min_id"))),
     "doc_chunk" -> ((s, d) =>
       TextStats.chunk(docs(s, d), "doc_id", "text", 32)),
+    // content-defined chunking: boundaries where the 8-gram portable
+    // hash ≡ 0 (mod 64) — edit-robust chunk streams for chunk-level dedup
+    "doc_cdc_chunks" -> ((s, d) =>
+      TextStats.cdcChunks(docs(s, d), "doc_id", "text", w = 8, modulus = 64)),
     "doc_pack" -> ((s, d) =>
       TextStats.packSequences(docs(s, d), "doc_id", "text",
         budget = 1024L, buckets = 8)),
@@ -337,6 +341,24 @@ object DocQueries {
            array_to_string(ws[i * 32 + 1 : i * 32 + 32], ' ') AS chunk_text,
            least(32, len(ws) - i * 32)::BIGINT AS chunk_tokens
          FROM c, LATERAL unnest(range(0, nc)) AS t(i)""",
+    "doc_cdc_chunks" ->
+      s"""WITH t AS (SELECT doc_id, text AS txt, len(text) AS L FROM documents),
+         c AS (SELECT doc_id, i.i + 7 AS ce FROM t,
+               LATERAL (SELECT unnest(range(1, greatest(L - 7, 0) + 1)) AS i) i
+               WHERE ${PortableSql.wordHash("txt[i.i : i.i + 7]")} % 64 = 0),
+         m AS (SELECT doc_id,
+               coalesce(lag(ce) OVER (PARTITION BY doc_id ORDER BY ce), 0) + 1 AS cs,
+               ce FROM c),
+         lc AS (SELECT doc_id, max(ce) AS lastc FROM c GROUP BY 1),
+         tl AS (SELECT t.doc_id, coalesce(lc.lastc, 0) + 1 AS cs, t.L AS ce
+                FROM t LEFT JOIN lc USING (doc_id)
+                WHERE coalesce(lc.lastc, 0) + 1 <= t.L),
+         a AS (SELECT doc_id, cs, ce FROM m UNION ALL SELECT doc_id, cs, ce FROM tl)
+         SELECT a.doc_id,
+           row_number() OVER (PARTITION BY a.doc_id ORDER BY a.cs) AS chunk_idx,
+           a.cs AS chunk_start, a.ce - a.cs + 1 AS chunk_len,
+           t.txt[a.cs : a.ce] AS chunk
+         FROM a JOIN t USING (doc_id)""",
     "doc_pack" ->
       s"""WITH RECURSIVE d AS (
            SELECT doc_id, ${TextStats.idBucketSql("doc_id", 8)} AS bucket,

@@ -291,4 +291,36 @@ class TextStatsSpec extends AnyFunSuite {
     assert(got(1L) == expect)
     assert(got(2L) == expect && got(3L) == expect)
   }
+
+  test("cdcChunks: lossless reassembly, content-defined cuts, edit realignment") {
+    val rnd = new scala.util.Random(23)
+    val base = (1 to 3000).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val edited = "PREFIX-EDIT " + base // shifts every fixed-size boundary
+    val d = docs(1L -> base, 2L -> edited, 3L -> "tiny", 4L -> "")
+    val out = TextStats.cdcChunks(d, "doc_id", "text", w = 8, modulus = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+
+    // chunks concatenate back to the exact document, in idx order
+    def reassemble(id: Long) =
+      out.filter(_._1 == id).sortBy(_._2).map(_._5).mkString
+    assert(reassemble(1L) == base)
+    assert(reassemble(2L) == edited)
+    assert(reassemble(3L) == "tiny") // shorter than the window: one chunk
+    assert(!out.exists(_._1 == 4L), "empty doc yields no chunks")
+    assert(out.filter(_._1 == 1L).length > 10, "expected ~len/modulus chunks")
+    // starts/lengths are consistent
+    out.foreach { case (_, _, start, len, chunk) =>
+      assert(chunk.length == len && start >= 1)
+    }
+
+    // the CDC property: boundaries depend on content only, so after an
+    // inserted prefix the chunk streams realign — the edited doc's
+    // chunk multiset shares all but O(1) chunks with the original's
+    val c1 = out.filter(_._1 == 1L).map(_._5)
+    val c2 = out.filter(_._1 == 2L).map(_._5)
+    val shared = c1.toSet.intersect(c2.toSet).size
+    assert(shared >= c1.length - 2,
+      s"realignment: $shared shared of ${c1.length} (edit must stay local)")
+  }
 }
