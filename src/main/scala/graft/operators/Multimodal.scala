@@ -10,12 +10,15 @@ import org.apache.spark.sql.types._
   * partition-batched transforms.
   *
   * The Spark-side plumbing here is real and tested — schema contracts,
-  * partition batching, metadata propagation, deterministic outputs. The
-  * codec calls themselves are STUBS (this environment ships no image or
-  * audio libraries): [[FakeCodec]] derives deterministic pseudo-metadata
-  * and pseudo-pixels from the bytes. Swapping in a real codec changes
-  * only the body of the `decode*` functions — every signature, schema,
-  * and batch shape stays as-is.
+  * partition batching, metadata propagation, deterministic outputs.
+  * Real codec paths (pure JVM, public formats): PNG/JPEG container
+  * dimension parse ([[ImageHeader]]) and full WAV PCM decode
+  * ([[WavCodec]] + [[wavSegmentStats]]). COMPRESSED audio/video
+  * (MP3/AAC/H.26x) remain STUBS — this environment ships no codec
+  * libraries — behind [[FakeCodec]], which derives deterministic
+  * pseudo-metadata from the bytes; swapping in a real codec changes
+  * only the body of the `decode*` functions, never a signature,
+  * schema, or batch shape.
   *
   * Batching note: transforms use mapPartitions over a typed Dataset —
   * one JVM-side loop per partition, no per-row UDF setup cost; the
@@ -241,6 +244,123 @@ object Multimodal {
           }
         }
       }(enc).toDF("media_id", "frame_idx", "frame_bytes")
+  }
+
+  /** Real WAV (RIFF PCM) container codec — pure JVM, public format.
+    * The audio analogue of [[ImageHeader]]: `parse` walks RIFF chunks
+    * to the fmt/data pair (unknown chunks skipped, odd sizes padded per
+    * spec), `samples` yields 16-bit little-endian PCM as ints, and
+    * `encodePcm16` produces real mono files for fixtures. Compressed
+    * audio (MP3/AAC/Vorbis) stays behind the documented [[FakeCodec]]
+    * stub — no codec library ships in this environment — but WAV is
+    * uncompressed, so this path is a complete real decode. */
+  object WavCodec {
+    final case class WavInfo(sampleRate: Int, channels: Int,
+        bitsPerSample: Int, dataOffset: Int, dataBytes: Int) {
+      def nSamples: Int = dataBytes / ((bitsPerSample / 8) * channels)
+    }
+
+    private def le32(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+        ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+    private def le16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    private def tag(b: Array[Byte], i: Int): String =
+      new String(b, i, 4, "US-ASCII")
+
+    def parse(b: Array[Byte]): Option[WavInfo] = {
+      if (b.length < 44 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
+      var i = 12
+      var rate = 0
+      var channels = 0
+      var bits = 0
+      var fmtSeen = false
+      while (i + 8 <= b.length) {
+        val id = tag(b, i)
+        val len = le32(b, i + 4)
+        if (len < 0 || i + 8 + len > b.length) return None
+        if (id == "fmt ") {
+          if (len < 16 || le16(b, i + 8) != 1) return None // PCM only
+          channels = le16(b, i + 10)
+          rate = le32(b, i + 12)
+          bits = le16(b, i + 22)
+          fmtSeen = true
+        } else if (id == "data") {
+          if (!fmtSeen) return None
+          return Some(WavInfo(rate, channels, bits, i + 8, len))
+        }
+        i += 8 + len + (len & 1) // chunks pad to even length
+      }
+      None
+    }
+
+    /** Decoded samples of a parsed 16-bit file, channel-interleaved. */
+    def samples(b: Array[Byte], info: WavInfo): Array[Int] = {
+      require(info.bitsPerSample == 16, s"${info.bitsPerSample}-bit PCM unsupported")
+      val n = info.dataBytes / 2
+      val out = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        out(i) = le16(b, info.dataOffset + 2 * i).toShort.toInt // sign-extend
+        i += 1
+      }
+      out
+    }
+
+    def encodePcm16(sampleRate: Int, pcm: Array[Int]): Array[Byte] = {
+      val dataBytes = pcm.length * 2
+      val out = java.nio.ByteBuffer.allocate(44 + dataBytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+      out.put("WAVE".getBytes("US-ASCII"))
+      out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      out.putShort(1).putShort(1) // PCM, mono
+      out.putInt(sampleRate).putInt(sampleRate * 2)
+      out.putShort(2).putShort(16) // block align, bits
+      out.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+      pcm.foreach(s => out.putShort(s.toShort))
+      out.array()
+    }
+  }
+
+  /** Real-decode audio windowing: parse each audio payload as WAV,
+    * window the PCM samples (window/hop in samples), and emit exact
+    * integer window statistics — count, energy (Σ s²) and peak (max
+    * |s|), the framing+energy pass speech pipelines run before VAD.
+    * Payloads that are not PCM WAV are skipped (compressed audio stays
+    * behind the documented stub). Same 1→N mapPartitions generator
+    * shape as [[segmentAudio]]; all-integer outputs so any engine
+    * reproduces them bit-for-bit. */
+  def wavSegmentStats(media: DataFrame, windowSamples: Int = 400,
+      hopSamples: Int = 160): DataFrame = {
+    require(windowSamples > 0 && hopSamples > 0)
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+      Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    media.filter(col("kind") === "audio").select("media_id", "kind", "bytes")
+      .mapPartitions { it: Iterator[Row] =>
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](2)
+          WavCodec.parse(bytes) match {
+            case Some(info) if info.bitsPerSample == 16 =>
+              val pcm = WavCodec.samples(bytes, info)
+              pcm.indices.by(hopSamples).iterator.zipWithIndex.map { case (off, idx) =>
+                val end = math.min(off + windowSamples, pcm.length)
+                var energy = 0L
+                var peak = 0L
+                var i = off
+                while (i < end) {
+                  val s = pcm(i).toLong
+                  energy += s * s
+                  if (math.abs(s) > peak) peak = math.abs(s)
+                  i += 1
+                }
+                (id, idx.toLong, (end - off).toLong, energy, peak)
+              }
+            case _ => Iterator.empty
+          }
+        }
+      }(enc).toDF("media_id", "seg_idx", "n_samples", "energy", "peak")
   }
 
   /** Audio windowing for audio-kind rows: overlapping fixed-length

@@ -107,6 +107,31 @@ object MultimodalQueries {
         .select(col("media_id"), col("seg_idx").cast("long").as("seg_idx"),
           length(col("seg_bytes")).cast("long").as("seg_len"),
           ascii(col("seg_bytes").cast("string")).cast("long").as("first_byte"))),
+    // REAL audio decode: every audio-kind id gets an actual RIFF/WAV
+    // PCM16 payload whose samples derive from the id, the operator
+    // parses the container and windows the PCM, and the oracle
+    // recomputes every integer stat from the same sample formula —
+    // the mm_image_dims pattern, for sound
+    "mm_wav_segments" -> ((s, d) => {
+      val enc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.BINARY)
+      val wavs = media(s, d).select("media_id", "kind", "bytes")
+        .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+          it.map { r =>
+            val id = r.getLong(0); val kind = r.getString(1)
+            val payload =
+              if (kind == "audio") {
+                val n = 300 + (id % 450).toInt
+                Multimodal.WavCodec.encodePcm16(16000,
+                  Array.tabulate(n)(k => ((id * 31 + k * 7) % 4096).toInt - 2048))
+              } else r.getAs[Array[Byte]](2)
+            (id, kind, payload)
+          }
+        }(enc).toDF("media_id", "kind", "bytes")
+      Multimodal.wavSegmentStats(wavs, windowSamples = 400, hopSamples = 160)
+    }),
     "mm_resize_cksum" -> ((s, d) => {
       val r = Multimodal.resize(media(s, d), targetCells = 64)
         .withColumn("rs", col("resized_bytes").cast("string"))
@@ -180,6 +205,20 @@ object MultimodalQueries {
          FROM documents,
            LATERAL unnest(range(0, length(text), 160)) AS t(o)
          WHERE doc_id % 3 = 1""",
+    // WAV fixture arithmetic: n = 300 + id % 450 samples,
+    // s_k = (id*31 + k*7) % 4096 - 2048; windows 400 / hop 160
+    "mm_wav_segments" ->
+      s"""WITH a AS (SELECT doc_id AS media_id, 300 + doc_id % 450 AS ns
+             FROM documents WHERE doc_id % 3 = 1),
+         s AS (SELECT media_id, ns, o.o AS off, (o.o // 160) AS seg_idx,
+               k.k AS k,
+               ((media_id * 31 + k.k * 7) % 4096) - 2048 AS v
+             FROM a,
+               LATERAL unnest(range(0, ns, 160)) AS o(o),
+               LATERAL unnest(range(o.o, least(o.o + 400, ns))) AS k(k))
+         SELECT media_id, seg_idx, count(*) AS n_samples,
+           CAST(sum(v * v) AS BIGINT) AS energy, max(abs(v)) AS peak
+         FROM s GROUP BY 1, 2""",
     "mm_resize_cksum" ->
       s"""WITH p AS (
            SELECT doc_id, text, greatest(length(text) // 64, 1) AS stride,

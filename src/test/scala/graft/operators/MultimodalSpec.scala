@@ -98,4 +98,58 @@ class MultimodalSpec extends AnyFunSuite {
     assert(row.getInt(3) == 12 && row.getInt(4) == 9)
     assert(row.getLong(2) == png.length.toLong)
   }
+
+  test("WavCodec: encode -> parse -> samples roundtrip") {
+    val pcm = Array.tabulate(1000)(k => ((k * 37) % 4096) - 2048)
+    val wav = Multimodal.WavCodec.encodePcm16(16000, pcm)
+    val info = Multimodal.WavCodec.parse(wav).get
+    assert(info.sampleRate == 16000 && info.channels == 1 && info.bitsPerSample == 16)
+    assert(info.nSamples == 1000)
+    assert(Multimodal.WavCodec.samples(wav, info).toSeq == pcm.toSeq)
+  }
+
+  test("WavCodec: skips unknown chunks (odd sizes padded) to reach data") {
+    val pcm = Array(100, -100, 32767, -32768)
+    val base = Multimodal.WavCodec.encodePcm16(8000, pcm)
+    // splice a 5-byte LIST chunk (odd -> 1 pad byte) between fmt and data
+    val insertAt = 36 // end of fmt chunk
+    val extra = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](5, 0, 0, 0, 1, 2, 3, 4, 5, 0)
+    val spliced = base.take(insertAt) ++ extra ++ base.drop(insertAt)
+    // patch the RIFF size field
+    val bb = java.nio.ByteBuffer.wrap(spliced).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, spliced.length - 8)
+    val info = Multimodal.WavCodec.parse(spliced).get
+    assert(info.sampleRate == 8000 && info.nSamples == 4)
+    assert(Multimodal.WavCodec.samples(spliced, info).toSeq == pcm.toSeq)
+  }
+
+  test("WavCodec: rejects non-PCM, truncated, and non-WAV payloads") {
+    val pcm = Array(1, 2, 3)
+    val wav = Multimodal.WavCodec.encodePcm16(8000, pcm)
+    assert(Multimodal.WavCodec.parse("not audio".getBytes).isEmpty)
+    assert(Multimodal.WavCodec.parse(wav.take(30)).isEmpty)
+    val nonPcm = wav.clone
+    nonPcm(20) = 3 // audio format IEEE float
+    assert(Multimodal.WavCodec.parse(nonPcm).isEmpty)
+  }
+
+  test("wavSegmentStats windows real PCM and skips undecodable audio") {
+    import spark.implicits._
+    val pcm = Array.tabulate(500)(k => (k % 100) - 50)
+    val wav = Multimodal.WavCodec.encodePcm16(16000, pcm)
+    val df = Seq(
+      (1L, "audio", wav),
+      (2L, "audio", "mp3-pretend-bytes".getBytes),
+      (3L, "video", wav)).toDF("media_id", "kind", "bytes")
+    val segs = Multimodal.wavSegmentStats(df, windowSamples = 200, hopSamples = 150)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(segs.forall(_._1 == 1L), "undecodable/non-audio rows must be skipped")
+    // offsets 0,150,300,450 -> lengths 200,200,200,50
+    assert(segs.map(s => (s._2, s._3)).toSeq ==
+      Seq((0L, 200L), (1L, 200L), (2L, 200L), (3L, 50L)))
+    val w0 = pcm.take(200)
+    assert(segs(0)._4 == w0.map(s => s.toLong * s).sum)
+    assert(segs(0)._5 == w0.map(math.abs).max.toLong)
+  }
 }
