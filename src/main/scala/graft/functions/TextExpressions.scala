@@ -193,6 +193,25 @@ object TextKernels {
     ArrayData.toArrayData(out)
   }
 
+  /** Portable 62-bit hash of a WHOLE string, spaces included — the
+    * same two folds + lehmer3 packing as [[wordPortableHashes]], but
+    * never split: DuckDB's `wordHash` rendering over the full string
+    * replays it exactly. Content-addressed chunk identity for CDC
+    * dedup. */
+  def stringPortableHash(s: UTF8String): Long = {
+    val str = s.toString
+    var h1 = 0L
+    var h2 = 0L
+    var i = 0
+    while (i < str.length) {
+      val c = str.codePointAt(i)
+      h1 = (h1 * 48271L + c) % 2147483647L
+      h2 = (h2 * 16807L + c) % 2147483629L
+      i += Character.charCount(c)
+    }
+    (HashKernels.lehmer3(h1) << 31) | HashKernels.lehmer3(h2)
+  }
+
   /** Portable hash of every length-`n` code-point gram of the RAW text
     * (spaces are ordinary code points here, unlike the word hashes):
     * the same two polynomial folds + lehmer3 packing as
@@ -320,9 +339,23 @@ case class CharGramPortableHashes(child: Expression, n: Int) extends UnaryExpres
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Whole-string portable hash ([[TextKernels.stringPortableHash]]). */
+case class StringPortableHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "string_portable_hash"
+  override protected def nullSafeEval(s: Any): Any =
+    TextKernels.stringPortableHash(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.TextKernels.stringPortableHash($s)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object text {
   def char_gram_portable_hashes(rawText: Column, n: Int): Column =
     GraftBridge.column(CharGramPortableHashes(GraftBridge.expression(rawText), n))
+  def string_portable_hash(rawText: Column): Column =
+    GraftBridge.column(StringPortableHash(GraftBridge.expression(rawText)))
   def chunk_words(normText: Column, k: Int): Column =
     GraftBridge.column(ChunkWords(GraftBridge.expression(normText), k))
   def word_ngrams(normText: Column, n: Int): Column =

@@ -219,6 +219,52 @@ object Dedup {
     minhashNearDups(df, idCol, textCol, shingleLen = n, wordShingles = false,
       numHashes = 128, bands = 16, threshold = threshold)
 
+  /** Chunk-containment near-dup pairs over content-defined chunks:
+    * pairs of documents sharing ≥ `minSharedChunks` identical CDC
+    * chunks, scored by shared bytes as a permille of the SMALLER
+    * document — the containment measure that catches partial
+    * duplication (one document embedded in, quoted by, or extended
+    * from another), which whole-document Jaccard dilutes below any
+    * practical threshold. Complements [[minhashNearDups]]: MinHash
+    * finds same-size near-copies; this finds subset relations.
+    *
+    * Scale shape: chunks come from [[TextStats.cdcChunks]] (one kernel
+    * pass, ~len/modulus rows); identity is the 62-bit portable chunk
+    * hash, so shuffles carry (id, hash, len) — never chunk text. The
+    * pair join is an equi-join on chunk hash with a doc-frequency cap
+    * (`maxDf`, the [[minhashNearDups]] `maxBucketSize` guard): a
+    * boilerplate chunk shared by thousands of docs would explode
+    * quadratically and says nothing about pairwise duplication — it is
+    * dropped, and belongs to [[dupSpanFraction]]'s corpus-level signal
+    * instead. All-integer scoring (permille by `div`). */
+  def cdcContainment(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 8, modulus: Int = 64, maxDf: Int = 50,
+      minSharedChunks: Int = 2): DataFrame = {
+    val perDoc = TextStats.cdcChunks(df, idCol, textCol, w, modulus)
+      .select(col(idCol),
+        graft.functions.text.string_portable_hash(col("chunk")).as("__h"),
+        col("chunk_len"))
+      .distinct() // within-doc repeats count once
+    val eligible = perDoc.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2 && col("__df") <= maxDf)
+      .select("__h")
+    val shared = perDoc.join(eligible, "__h")
+    val pairs = shared.select(col(idCol).as("id_a"), col("__h"), col("chunk_len"))
+      .join(shared.select(col(idCol).as("id_b"), col("__h")), "__h")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("chunk_len")).as("shared_len"),
+        count(lit(1)).as("shared_chunks"))
+      .filter(col("shared_chunks") >= minSharedChunks)
+    val lens = df.select(col(idCol), length(col(textCol)).cast("long").as("__len"))
+    pairs
+      .join(lens.select(col(idCol).as("id_a"), col("__len").as("__la")), "id_a")
+      .join(lens.select(col(idCol).as("id_b"), col("__len").as("__lb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("shared_len"), col("shared_chunks"),
+        expr("shared_len * 1000 div least(__la, __lb)").as("containment_permille"))
+  }
+
   /** Cross-document duplicated-span fraction (the Gopher/RefinedWeb
     * family of corpus-hygiene signals): per document, how many of its
     * word-n-gram start positions carry a gram that also appears in at

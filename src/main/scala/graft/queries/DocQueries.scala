@@ -66,6 +66,11 @@ object DocQueries {
     // hash ≡ 0 (mod 64) — edit-robust chunk streams for chunk-level dedup
     "doc_cdc_chunks" -> ((s, d) =>
       TextStats.cdcChunks(docs(s, d), "doc_id", "text", w = 8, modulus = 64)),
+    // chunk-containment pairs: partial-duplication detection (doc
+    // embedded in doc) that whole-document jaccard dilutes away
+    "doc_cdc_containment" -> ((s, d) =>
+      Dedup.cdcContainment(docs(s, d), "doc_id", "text",
+        w = 8, modulus = 64, maxDf = 50, minSharedChunks = 2)),
     "doc_pack" -> ((s, d) =>
       TextStats.packSequences(docs(s, d), "doc_id", "text",
         budget = 1024L, buckets = 8)),
@@ -224,6 +229,24 @@ object DocQueries {
        tr AS (SELECT doc_id, unnest(shingles) AS ng FROM b WHERE bk >= 10)
        SELECT tr.doc_id, count(*) AS n_shared FROM tr JOIN ev USING (ng) GROUP BY 1"""
 
+  /** The content-defined-chunking recipe as shared CTEs: per-doc cut
+    * positions (8-gram portable hash ≡ 0 mod 64, TextStats.cdcChunks's
+    * parameters), mid chunks from lagged cuts, the tail chunk, and the
+    * union `a(doc_id, cs, ce)` of 1-based inclusive chunk spans. */
+  private val cdcCte =
+    s"""WITH t AS (SELECT doc_id, text AS txt, len(text) AS L FROM documents),
+       c AS (SELECT doc_id, i.i + 7 AS ce FROM t,
+             LATERAL (SELECT unnest(range(1, greatest(L - 7, 0) + 1)) AS i) i
+             WHERE ${PortableSql.wordHash("txt[i.i : i.i + 7]")} % 64 = 0),
+       m AS (SELECT doc_id,
+             coalesce(lag(ce) OVER (PARTITION BY doc_id ORDER BY ce), 0) + 1 AS cs,
+             ce FROM c),
+       lc AS (SELECT doc_id, max(ce) AS lastc FROM c GROUP BY 1),
+       tl AS (SELECT t.doc_id, coalesce(lc.lastc, 0) + 1 AS cs, t.L AS ce
+              FROM t LEFT JOIN lc USING (doc_id)
+              WHERE coalesce(lc.lastc, 0) + 1 <= t.L),
+       a AS (SELECT doc_id, cs, ce FROM m UNION ALL SELECT doc_id, cs, ce FROM tl)"""
+
   val oracleSql: Map[String, String] = Map(
     "doc_temperature_resample" ->
       s"""WITH sz AS (
@@ -342,23 +365,30 @@ object DocQueries {
            least(32, len(ws) - i * 32)::BIGINT AS chunk_tokens
          FROM c, LATERAL unnest(range(0, nc)) AS t(i)""",
     "doc_cdc_chunks" ->
-      s"""WITH t AS (SELECT doc_id, text AS txt, len(text) AS L FROM documents),
-         c AS (SELECT doc_id, i.i + 7 AS ce FROM t,
-               LATERAL (SELECT unnest(range(1, greatest(L - 7, 0) + 1)) AS i) i
-               WHERE ${PortableSql.wordHash("txt[i.i : i.i + 7]")} % 64 = 0),
-         m AS (SELECT doc_id,
-               coalesce(lag(ce) OVER (PARTITION BY doc_id ORDER BY ce), 0) + 1 AS cs,
-               ce FROM c),
-         lc AS (SELECT doc_id, max(ce) AS lastc FROM c GROUP BY 1),
-         tl AS (SELECT t.doc_id, coalesce(lc.lastc, 0) + 1 AS cs, t.L AS ce
-                FROM t LEFT JOIN lc USING (doc_id)
-                WHERE coalesce(lc.lastc, 0) + 1 <= t.L),
-         a AS (SELECT doc_id, cs, ce FROM m UNION ALL SELECT doc_id, cs, ce FROM tl)
+      s"""$cdcCte
          SELECT a.doc_id,
            row_number() OVER (PARTITION BY a.doc_id ORDER BY a.cs) AS chunk_idx,
            a.cs AS chunk_start, a.ce - a.cs + 1 AS chunk_len,
            t.txt[a.cs : a.ce] AS chunk
          FROM a JOIN t USING (doc_id)""",
+    "doc_cdc_containment" ->
+      s"""$cdcCte,
+         ch AS (SELECT DISTINCT a.doc_id,
+                  ${PortableSql.wordHash("t.txt[a.cs : a.ce]")} AS h,
+                  a.ce - a.cs + 1 AS clen
+                FROM a JOIN t USING (doc_id)),
+         el AS (SELECT h FROM ch GROUP BY h
+                HAVING count(*) >= 2 AND count(*) <= 50),
+         p AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.clen
+               FROM ch x JOIN el USING (h) JOIN ch y USING (h)
+               WHERE x.doc_id < y.doc_id),
+         g AS (SELECT id_a, id_b, CAST(sum(clen) AS BIGINT) AS shared_len,
+                 count(*) AS shared_chunks
+               FROM p GROUP BY 1, 2)
+         SELECT g.id_a, g.id_b, g.shared_len, g.shared_chunks,
+           (g.shared_len * 1000) // least(ta.L, tb.L) AS containment_permille
+         FROM g JOIN t ta ON ta.doc_id = g.id_a JOIN t tb ON tb.doc_id = g.id_b
+         WHERE g.shared_chunks >= 2""",
     "doc_pack" ->
       s"""WITH RECURSIVE d AS (
            SELECT doc_id, ${TextStats.idBucketSql("doc_id", 8)} AS bucket,

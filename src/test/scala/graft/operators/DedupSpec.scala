@@ -226,4 +226,31 @@ class DedupSpec extends AnyFunSuite {
           org.apache.spark.sql.types.LongType), s"wide exchange: ${e.child.output}")
       }
   }
+
+  test("cdcContainment finds embedded documents; boilerplate chunks capped") {
+    val rnd = new scala.util.Random(29)
+    def rand(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val core = rand(2000)
+    val a = core // the original
+    val b = rand(500) + core + rand(500) // A embedded in B
+    val c = rand(3000) // unrelated
+    val d = docs(1L -> a, 2L -> b, 3L -> c)
+    val pairs = Dedup.cdcContainment(d, "doc_id", "text", w = 8, modulus = 32)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(pairs.contains((1L, 2L)), s"embedded pair missing: ${pairs.keys}")
+    val (sharedLen, sharedChunks, permille) = pairs((1L, 2L))
+    // the shared core realigns after at most one window per edge
+    assert(permille >= 900, s"containment of an embedded doc must be high: $permille")
+    assert(sharedChunks >= 10 && sharedLen >= 1800)
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+      "unrelated docs must not pair")
+
+    // a chunk shared by MANY docs is boilerplate: capped out, no pair explosion
+    val boiler = rand(400)
+    val many = docs((1L to 20L).map(i => i -> (boiler + rand(40))): _*)
+    val bp = Dedup.cdcContainment(many, "doc_id", "text",
+      w = 8, modulus = 32, maxDf = 10, minSharedChunks = 1)
+    assert(bp.count() == 0, "df-capped boilerplate must produce no pairs")
+  }
 }
