@@ -248,6 +248,44 @@ object Similarity {
             lit(0L), (a, v) => a + v)).as("q_cksum"))
   }
 
+  /** Quantized retrieval: cosine top-k computed entirely on int8 codes
+    * — the serving shape where the float store is dropped and queries
+    * run against the quantized index ([[quantizeInt8]]'s scheme). The
+    * per-vector scales CANCEL in the cosine (dot·sa·sv over
+    * norms·sa·sv), so the score is pure integers + sqrt + one
+    * multiply + one divide — every step correctly-rounded IEEE,
+    * hash-exact on any engine, no sequential float folds needed.
+    * Zero-norm codes score -2.0 (the cosine kernel's convention).
+    * One narrow codegen projection + TakeOrdered — no shuffle, no
+    * join, a petabyte-store scan shape. */
+  def int8CosineTopK(emb: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int): DataFrame = {
+    require(k > 0)
+    val qScaleRaw = query.foldLeft(0.0)((m, v) => math.max(m, math.abs(v.toDouble))) / 127.0
+    val qScale = if (qScaleRaw == 0.0) 1.0 else qScaleRaw
+    val qCodes: Array[Long] = query.map(v =>
+      math.max(-127L, math.min(127L, math.floor(v.toDouble / qScale + 0.5).toLong)))
+    val q2 = qCodes.foldLeft(0L)((a, x) => a + x * x)
+    val scale = aggregate(col("__vec"), lit(0.0d),
+      (acc, v) => greatest(acc, abs(v.cast("double")))) / 127.0
+    emb.select(col(idCol), col(vecCol).as("__vec"))
+      .withColumn("__scale", scale)
+      .withColumn("__q", expr("transform(__vec, v -> CAST(greatest(-127.0d, " +
+        "least(127.0d, floor(CAST(v AS DOUBLE) / (CASE WHEN __scale = 0.0d " +
+        "THEN 1.0d ELSE __scale END) + 0.5d))) AS BIGINT))"))
+      .withColumn("__dot", aggregate(
+        zip_with(col("__q"), typedlit(qCodes), (a, b) => a * b),
+        lit(0L), (a, v) => a + v))
+      .withColumn("__v2", aggregate(col("__q"), lit(0L), (a, v) => a + v * v))
+      .withColumn("sim_q",
+        when(col("__v2") === 0L || lit(q2) === 0L, lit(-2.0d))
+          .otherwise(col("__dot").cast("double") /
+            (sqrt(col("__v2").cast("double")) * sqrt(lit(q2.toDouble)))))
+      .orderBy(col("sim_q").desc, col(idCol))
+      .select(col(idCol), col("__dot").as("dot_q"), col("sim_q"))
+      .limit(k)
+  }
+
   /** Product quantization: each vector splits into `m` contiguous
     * subvectors and each subvector maps to its nearest codebook entry
     * (one code in [0, kSub) per segment). Codebooks are built

@@ -52,6 +52,10 @@ object EmbeddingQueries {
     }),
     "emb_quantize_int8" -> ((s, d) =>
       Similarity.quantizeInt8(emb(s, d), "vec_id", "embedding")),
+    // retrieval over the quantized store: scales cancel in the cosine,
+    // so the int8 score is integer-exact on any engine
+    "emb_int8_topk" -> ((s, d) =>
+      Similarity.int8CosineTopK(emb(s, d), "vec_id", "embedding", queryVec(s, d), 20)),
     // SemDeDup shape: IVF-cluster blocking + exact within-cluster
     // cosine — embedding-space near-dup pairs with no all-pairs join
     "emb_semantic_dedup" -> ((s, d) =>
@@ -293,6 +297,35 @@ object EmbeddingQueries {
            CAST(COALESCE(list_sum(list_transform(range(1, len(qc) + 1), i -> qc[i] * i)), 0)
              AS BIGINT) AS q_cksum
          FROM q""",
+    "emb_int8_topk" ->
+      s"""WITH qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         qs AS (SELECT qe,
+             COALESCE(list_max(list_transform(qe, v -> abs(v::DOUBLE))), 0.0) / 127.0 AS s
+           FROM qv),
+         qc AS (SELECT list_transform(qe, v -> CAST(greatest(-127.0, least(127.0,
+             floor(v::DOUBLE / (CASE WHEN s = 0.0 THEN 1.0 ELSE s END) + 0.5)))
+             AS BIGINT)) AS qq FROM qs),
+         q2 AS (SELECT qq,
+             CAST(COALESCE(list_sum(list_transform(qq, x -> x * x)), 0) AS BIGINT) AS qq2
+           FROM qc),
+         v AS (SELECT vec_id,
+             COALESCE(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 0.0) / 127.0
+               AS s,
+             list_transform(embedding, x -> CAST(greatest(-127.0, least(127.0,
+               floor(x::DOUBLE / (CASE WHEN s = 0.0 THEN 1.0 ELSE s END) + 0.5)))
+               AS BIGINT)) AS vc
+           FROM embeddings),
+         d AS (SELECT vec_id,
+             CAST(COALESCE(list_sum(list_transform(range(1, len(vc) + 1),
+               i -> vc[i] * qq[i])), 0) AS BIGINT) AS dotq,
+             CAST(COALESCE(list_sum(list_transform(vc, x -> x * x)), 0) AS BIGINT) AS v2,
+             qq2
+           FROM v CROSS JOIN q2)
+         SELECT vec_id, dotq AS dot_q,
+           CASE WHEN v2 = 0 OR qq2 = 0 THEN -2.0
+                ELSE CAST(dotq AS DOUBLE) / (sqrt(CAST(v2 AS DOUBLE)) * sqrt(CAST(qq2 AS DOUBLE)))
+           END AS sim_q
+         FROM d ORDER BY sim_q DESC, vec_id LIMIT 20""",
     // positives: exact label-blocked argmax; negatives: argmax within
     // the anchor's quantizer cell (a2 from the shared IVF CTEs)
     "emb_hard_negatives" ->

@@ -41,6 +41,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == Seq(1L, 2L, 3L))
   }
 
+  test("int8CosineTopK: self first, order tracks exact cosine, zero guard") {
+    val rnd = new scala.util.Random(31)
+    val rows = (0L until 200L).map { i =>
+      (i, Array.fill(16)((rnd.nextGaussian() * (1 + i % 5)).toFloat), 0)
+    } :+ ((200L, Array.fill(16)(0f), 0))
+    val d = emb(rows: _*)
+    val q = rows.head._2
+    val got = Similarity.int8CosineTopK(d, "vec_id", "embedding", q, 10).collect()
+    assert(got.head.getLong(0) == 0L, "self-query must rank itself first")
+    assert(got.head.getDouble(2) > 0.999)
+    // scores are non-increasing and the zero vector never surfaces
+    val sims = got.map(_.getDouble(2))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    assert(!got.exists(_.getLong(0) == 200L))
+    // 8-bit quantization tracks the exact float ranking closely
+    // (zero vector excluded: the float cosine baseline has no zero-guard)
+    val exact = Similarity.cosineTopK(d.filter("vec_id < 200"),
+        "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val overlap = got.map(_.getLong(0)).count(exact.contains)
+    assert(overlap >= 8, s"int8 top-10 overlaps float top-10 in $overlap/10")
+  }
+
   test("annTopK finds the exact match (same bucket) and never a worse set than its probe") {
     val d = emb((1L, e1, 0), (2L, e12, 0), (3L, e2, 0), (4L, ne1, 0))
     val got = Similarity.annTopK(d, "vec_id", "embedding", e1, 1,
