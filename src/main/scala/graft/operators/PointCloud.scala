@@ -880,38 +880,53 @@ final class BlockedCloud(
       .withColumn("cell_y", floor(col("y") / cell).cast(LongType))
     val pts = cellCols(explodePoints(blocks))
 
-    // window aggregate over existing cells: raster explodes by its
-    // offsets, lands contributions on neighbor keys, inner-joins back
-    // to the cell list (drops out-of-raster keys), reduces with f
-    def windowAgg(surface: DataFrame, value: String, w: Int,
-        f: Column => Column, out: String): DataFrame = {
+    // One morphological pass = ONE linear shuffle: every raster row
+    // explodes to its (2w+1)² offsets, the (0,0) contribution marks
+    // the target as an existing cell (so no join back to the cell
+    // list — referencing the surface twice would replicate the whole
+    // upstream lineage per pass, the plan blow-up the first version
+    // of this operator had), and previously-computed stage surfaces
+    // ride through as the self row's carried columns (exactly one
+    // self contribution per surviving target, so max(when(self, c))
+    // recovers them losslessly).
+    def pass(surface: DataFrame, value: String, w: Int,
+        f: Column => Column, out: String, carried: Seq[String]): DataFrame = {
       val offsets = array((for (dx <- -w to w; dy <- -w to w) yield
         struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
       val contrib = surface
-        .select(explode(offsets).as("o"), col("cell_x"), col("cell_y"),
-          col(value).as("__v"))
-        .select((col("cell_x") + col("o.dx")).as("cell_x"),
-          (col("cell_y") + col("o.dy")).as("cell_y"), col("__v"))
-      surface.select(col("cell_x"), col("cell_y"))
-        .join(contrib, Seq("cell_x", "cell_y"))
-        .groupBy(col("cell_x"), col("cell_y"))
-        .agg(f(col("__v")).as(out))
+        .select((col("cell_x") +: col("cell_y") +: col(value).as("__v") +:
+          carried.map(col)): _*)
+        .select((explode(offsets).as("o") +: col("cell_x") +: col("cell_y") +:
+          col("__v") +: carried.map(col)): _*)
+        .select((
+          (col("cell_x") + col("o.dx")).as("cell_x") +:
+          (col("cell_y") + col("o.dy")).as("cell_y") +:
+          col("__v") +:
+          (col("o.dx") === 0L && col("o.dy") === 0L).as("__self") +:
+          carried.map(col)): _*)
+      contrib.groupBy(col("cell_x"), col("cell_y"))
+        .agg(f(col("__v")).as(out),
+          (max(col("__self")).as("__exists") +:
+            carried.map(c => max(when(col("__self"), col(c))).as(c))): _*)
+        .filter(col("__exists")) // out-of-raster targets have no self row
+        .drop("__exists")
     }
 
     var surface = pts.groupBy(col("cell_x"), col("cell_y"))
-      .agg(min(col("z")).as("__s"))
-    var raster = surface.select(col("cell_x"), col("cell_y"))
+      .agg(min(col("z")).as("__s0"))
+    var cur = "__s0"
+    var carried = List.empty[String]
     stages.zipWithIndex.foreach { case ((w, _), i) =>
-      val eroded = windowAgg(surface, "__s", w, min, "__e")
-      surface = windowAgg(eroded, "__e", w, max, "__s")
-      raster = raster.join(
-        surface.select(col("cell_x"), col("cell_y"), col("__s").as(s"__o$i")),
-        Seq("cell_x", "cell_y"))
+      val eroded = pass(surface, cur, w, min, s"__e$i", carried)
+      surface = pass(eroded, s"__e$i", w, max, s"__o$i", carried)
+      cur = s"__o$i"
+      carried = s"__o$i" :: carried
     }
     val groundCond = stages.zipWithIndex
       .map { case ((_, t), i) => col("z") <= col(s"__o$i") + lit(t) }
       .reduce(_ && _)
-    pts.join(raster, Seq("cell_x", "cell_y"))
+    pts.join(surface.select((col("cell_x") +: col("cell_y") +:
+        carried.map(col)): _*), Seq("cell_x", "cell_y"))
       .select(col("x"), col("y"), col("z"),
         when(groundCond, lit(1)).otherwise(lit(0)).as("is_ground"))
   }
