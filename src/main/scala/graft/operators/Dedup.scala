@@ -240,16 +240,18 @@ object Dedup {
   def cdcContainment(df: DataFrame, idCol: String, textCol: String,
       w: Int = 8, modulus: Int = 64, maxDf: Int = 50,
       minSharedChunks: Int = 2): DataFrame = {
-    val perDoc = TextStats.cdcChunks(df, idCol, textCol, w, modulus)
+    // chunk doc-frequency as a window over the hash-distributed
+    // distinct frame (the dupSpanFraction recipe) — an aggregate+join
+    // here would reference the CDC lineage a third time and replicate
+    // its whole plan (see the pc_ground_pmf note in PLANS.md)
+    val wDf = org.apache.spark.sql.expressions.Window.partitionBy("__h")
+    val shared = TextStats.cdcChunks(df, idCol, textCol, w, modulus)
       .select(col(idCol),
         graft.functions.text.string_portable_hash(col("chunk")).as("__h"),
         col("chunk_len"))
       .distinct() // within-doc repeats count once
-    val eligible = perDoc.groupBy(col("__h"))
-      .agg(count(lit(1)).as("__df"))
+      .withColumn("__df", count(lit(1)).over(wDf))
       .filter(col("__df") >= 2 && col("__df") <= maxDf)
-      .select("__h")
-    val shared = perDoc.join(eligible, "__h")
     val pairs = shared.select(col(idCol).as("id_a"), col("__h"), col("chunk_len"))
       .join(shared.select(col(idCol).as("id_b"), col("__h")), "__h")
       .filter(col("id_a") < col("id_b"))
