@@ -80,6 +80,20 @@ class LasSpec extends AnyFunSuite {
     assert(Las.readDir(spark, d).count() == 3)
   }
 
+  test("mixed .las/.laz directories dispatch per file (laspy semantics)") {
+    val d = java.nio.file.Files.createTempDirectory("graft_mixed_dir").toString
+    Las.writePoints(Seq((1.0, 10.0, -2.0)).toDF("x", "y", "z"), s"$d/a.las")
+    Laz.writePoints(Seq((5.0, 2.0, 7.0), (3.0, 4.0, 1.0)).toDF("x", "y", "z"), s"$d/b.laz")
+    val pts = Las.readDir(spark, d)
+      .select(round(col("x")).cast("long"), round(col("y")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pts == Set((1L, 10L), (5L, 2L), (3L, 4L)))
+    val m = Las.dirMetadata(d)
+    assert(m.pointCount == 3)
+    assert(m.xMin == 1.0 && m.xMax == 5.0)
+    assert(m.zMin == -2.0 && m.zMax == 7.0)
+  }
+
   test("dirMetadata folds counts and bboxes across files") {
     val d = java.nio.file.Files.createTempDirectory("graft_las_meta").toString
     Las.writePoints(Seq((1.0, 10.0, -2.0)).toDF("x", "y", "z"), s"$d/a.las")
