@@ -278,7 +278,9 @@ object Multimodal {
       while (i + 8 <= b.length) {
         val id = tag(b, i)
         val len = le32(b, i + 4)
-        if (len < 0 || i + 8 + len > b.length) return None
+        // Long arithmetic: a near-2^31 length would wrap an Int sum
+        // and sneak past the bounds check
+        if (len < 0 || i.toLong + 8 + len > b.length) return None
         if (id == "fmt ") {
           if (len < 16 || le16(b, i + 8) != 1) return None // PCM only
           channels = le16(b, i + 10)

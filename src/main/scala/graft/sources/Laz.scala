@@ -743,7 +743,12 @@ object Laz {
       require(version == 0, s"$path: chunk table version $version")
       val nChunks = hb.getInt(4)
       if (nChunks == 0) return Array.empty
-      val body = new Array[Byte]((raf.length() - info.chunkTableOffset - 8).toInt)
+      val bodyLen = raf.length() - info.chunkTableOffset - 8
+      // the coded table is ~bytes-per-chunk small; a malformed offset
+      // must not trigger a multi-GB allocation
+      require(bodyLen >= 0 && bodyLen <= (1L << 28),
+        s"$path: implausible chunk table size $bodyLen")
+      val body = new Array[Byte](bodyLen.toInt)
       raf.readFully(body)
       val dec = new ArithmeticDecoder(body, 0, body.length).init()
       val ic = new IntegerCompressor(32, 2).initModels()
