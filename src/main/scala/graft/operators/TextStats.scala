@@ -52,6 +52,48 @@ object TextStats {
       (nTok >= 5 && nTok <= 100000 && punctRatio <= lit(0.3)).as("keep"))
   }
 
+  /** Gopher-style rule flags (Rae et al. 2021 §A1.1, public): each rule
+    * is a pure integer comparison — cross-multiplied instead of a float
+    * ratio — so the flags are bit-identical across engines.
+    *
+    * Rules over the normalized text: word count within
+    * [`minWords`, `maxWords`]; mean word length within [3, 10]
+    * (`3·n ≤ chars ≤ 10·n`); symbol-to-word ratio ≤ 1/10 (`#` and
+    * `...`); ≥ 4/5 of words contain an alphabetic character; at least
+    * `minStopHits` DISTINCT stopwords present (the "closed-class
+    * evidence" rule). One narrow projection per row — no shuffle, no
+    * UDF — so the filter pipelines into any scan at corpus scale. */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 40, maxWords: Int = 100000,
+      minStopHits: Int = 2): DataFrame = {
+    val t = norm(col(textCol))
+    val words = split(t, " ")
+    val nWords = size(words)
+    // single-space normalized => word chars = chars - (n-1) separators
+    val wordChars = length(t) - (nWords - 1)
+    val nSymbols = size(regexp_extract_all(t, lit("#|\\.\\.\\."), lit(0)))
+    val nAlphaWords = size(filter(words, w => w.rlike("[a-z]")))
+    val stopDistinct =
+      size(filter(array_distinct(words), w => enStopwords.map(w === _).reduce(_ || _)))
+    df.select(col(idCol),
+        nWords.cast("long").as("n_words"),
+        wordChars.cast("long").as("word_chars"),
+        nSymbols.cast("long").as("n_symbols"),
+        nAlphaWords.cast("long").as("n_alpha_words"),
+        stopDistinct.cast("long").as("n_stop_distinct"))
+      .withColumn("rule_word_count",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("rule_mean_word_len",
+        col("word_chars") >= col("n_words") * 3 &&
+          col("word_chars") <= col("n_words") * 10)
+      .withColumn("rule_symbol_ratio", col("n_symbols") * 10 <= col("n_words"))
+      .withColumn("rule_alpha_words", col("n_alpha_words") * 5 >= col("n_words") * 4)
+      .withColumn("rule_stopwords", col("n_stop_distinct") >= minStopHits)
+      .withColumn("keep",
+        col("rule_word_count") && col("rule_mean_word_len") &&
+          col("rule_symbol_ratio") && col("rule_alpha_words") && col("rule_stopwords"))
+  }
+
   /** Greedy token-budget selection: keep the highest-quality documents
     * (quality desc, doc_id asc) while the running token total stays
     * within `budgetTokens` — the "fill a training mix under budget"

@@ -175,7 +175,12 @@ object DocQueries {
     // by exact-percentile id ranges
     "doc_byte_shards" -> ((s, d) =>
       CorpusMix.byteShards(docs(s, d), "doc_id", "text",
-        bytesPerShard = 65536L)))
+        bytesPerShard = 65536L)),
+    // Gopher-style rule flags, every threshold an integer
+    // cross-multiplication (minWords = 40 ~ the fixture median so the
+    // rule actually discriminates)
+    "doc_gopher_rules" -> ((s, d) =>
+      TextStats.gopherRules(docs(s, d), "doc_id", "text", minWords = 40)))
 
   /** Fixture mix: downsample three sources, keep the rest. */
   private val resamplePct = Map("src0" -> 25, "src1" -> 50, "src2" -> 75)
@@ -705,5 +710,36 @@ object DocQueries {
                       ELSE 'emb_only' END AS category
                FROM tp FULL OUTER JOIN ep
                  ON tp.id_a = ep.id_a AND tp.id_b = ep.id_b)
-         SELECT category, count(*) AS n_pairs FROM u GROUP BY 1""")
+         SELECT category, count(*) AS n_pairs FROM u GROUP BY 1""",
+    // integer cross-multiplied Gopher rules — every flag replays exactly
+    "doc_gopher_rules" ->
+      s"""WITH n AS (SELECT doc_id, $normSql AS t FROM documents),
+         c AS (SELECT doc_id,
+                 len(string_split(t, ' ')) AS n_words,
+                 length(t) - (len(string_split(t, ' ')) - 1) AS word_chars,
+                 len(regexp_extract_all(t, '#|\\.\\.\\.')) AS n_symbols,
+                 len(list_filter(string_split(t, ' '),
+                     w -> regexp_matches(w, '[a-z]'))) AS n_alpha_words,
+                 len(list_filter(list_distinct(string_split(t, ' ')),
+                     w -> list_contains(${stopListSql(TextStats.enStopwords)}, w)))
+                   AS n_stop_distinct
+               FROM n)
+         SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(word_chars AS BIGINT) AS word_chars,
+           CAST(n_symbols AS BIGINT) AS n_symbols,
+           CAST(n_alpha_words AS BIGINT) AS n_alpha_words,
+           CAST(n_stop_distinct AS BIGINT) AS n_stop_distinct,
+           (n_words >= 40 AND n_words <= 100000) AS rule_word_count,
+           (word_chars >= n_words * 3 AND word_chars <= n_words * 10)
+             AS rule_mean_word_len,
+           (n_symbols * 10 <= n_words) AS rule_symbol_ratio,
+           (n_alpha_words * 5 >= n_words * 4) AS rule_alpha_words,
+           (n_stop_distinct >= 2) AS rule_stopwords,
+           ((n_words >= 40 AND n_words <= 100000)
+             AND (word_chars >= n_words * 3 AND word_chars <= n_words * 10)
+             AND (n_symbols * 10 <= n_words)
+             AND (n_alpha_words * 5 >= n_words * 4)
+             AND (n_stop_distinct >= 2)) AS keep
+         FROM c""")
 }

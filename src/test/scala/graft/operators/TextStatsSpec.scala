@@ -111,6 +111,33 @@ class TextStatsSpec extends AnyFunSuite {
     assert(got(2L) == ((1L, 4L, 0.25)))
   }
 
+  test("gopherRules: each rule trips independently on a crafted doc") {
+    val pass = ("the and " + Seq.fill(38)("word").mkString(" "))
+    val d = docs(
+      1L -> pass,                                            // all rules pass
+      2L -> "the and word word",                             // too few words
+      3L -> ("the and " + Seq.fill(38)("ab").mkString(" ")), // mean word len < 3
+      4L -> ("the and " + Seq.fill(33)("word").mkString(" ")
+        + " # # # # #"),                                     // symbol ratio
+      5L -> ("the and " + Seq.fill(28)("word").mkString(" ")
+        + Seq.fill(10)(" 123").mkString),                    // alpha words < 4/5
+      6L -> Seq.fill(40)("word").mkString(" "))              // no stopwords
+    val got = TextStats.gopherRules(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def rules(id: Long) = (1 to 5).map(i => got(id).getBoolean(5 + i))
+    assert(rules(1L) == Seq(true, true, true, true, true))
+    assert(got(1L).getBoolean(11)) // keep
+    assert(rules(2L) == Seq(false, true, true, true, true))
+    assert(rules(3L) == Seq(true, false, true, true, true))
+    assert(rules(4L) == Seq(true, true, false, true, true))
+    assert(rules(5L) == Seq(true, true, true, false, true))
+    assert(rules(6L) == Seq(true, true, true, true, false))
+    assert((2L to 6L).forall(id => !got(id).getBoolean(11)))
+    // counting columns on the passing doc: 40 words, 3+3+38*4 chars
+    assert(got(1L).getLong(1) == 40 && got(1L).getLong(2) == 158)
+    assert(got(1L).getLong(5) == 2) // distinct stopwords: the, and
+  }
+
   test("packSequences: greedy budget packing within hash buckets") {
     // one bucket (buckets=1) so the greedy order is just id order
     val d = docs(
