@@ -227,6 +227,50 @@ object PointCloudQueries {
           round(col("y") * 10).cast("long").as("y10"),
           round(col("z") * 10).cast("long").as("z10"))
     }),
+    // layered LASzip (compressor 3, LAS 1.4 pf8) roundtrip: every LAZ
+    // layer — coords, returns, channel, classification, intensity,
+    // angle, user, source, GPS time, RGB, NIR — carries a key-derived
+    // value the oracle recomputes arithmetically
+    "pc_laz14_roundtrip" -> ((s, d) => {
+      val path = s"/tmp/graft_laz14_rt_${d.replaceAll("[^A-Za-z0-9.]", "_")}.laz"
+      val li = graft.Tables.table(s, d, "lineitem")
+      val df = li.select(
+        ((col("l_orderkey") * 17 + col("l_linenumber") * 131) % 8192)
+          .cast("double").as("x"),
+        ((col("l_partkey") * 29 + col("l_suppkey") * 197) % 8192)
+          .cast("double").as("y"),
+        col("l_quantity").as("z"),
+        ((col("l_orderkey") * 7 + col("l_linenumber")) % 65536).cast("int").as("intensity"),
+        (lit(1) + col("l_orderkey") % (lit(1) + col("l_linenumber") % 5))
+          .cast("int").as("return_number"),
+        (lit(1) + col("l_linenumber") % 5).cast("int").as("number_of_returns"),
+        (col("l_suppkey") % 4).cast("int").as("scanner_channel"),
+        (col("l_partkey") % 32).cast("int").as("classification"),
+        (col("l_orderkey") % 601 - 300).cast("int").as("scan_angle"),
+        (col("l_suppkey") % 256).cast("int").as("user_data"),
+        (col("l_partkey") % 1024).cast("int").as("point_source"),
+        (col("l_orderkey") % 1000000).cast("double").as("gps_time"),
+        (col("l_partkey") % 65536).cast("int").as("r"),
+        (col("l_suppkey") % 65536).cast("int").as("g"),
+        (col("l_orderkey") % 65536).cast("int").as("b"),
+        (col("l_linenumber") * 13 % 65536).cast("int").as("nir"))
+      graft.sources.Laz14.writePoints14(df, path, chunkPoints = 10000, pointFormat = 8)
+      graft.sources.Laz14.readPoints14(s, path)
+        .select(round(col("x") * 10).cast("long").as("x10"),
+          round(col("y") * 10).cast("long").as("y10"),
+          round(col("z") * 10).cast("long").as("z10"),
+          col("intensity").cast("long").as("intensity"),
+          col("return_number").cast("long").as("return_number"),
+          col("number_of_returns").cast("long").as("number_of_returns"),
+          col("scanner_channel").cast("long").as("scanner_channel"),
+          col("classification").cast("long").as("classification"),
+          col("scan_angle").cast("long").as("scan_angle"),
+          col("user_data").cast("long").as("user_data"),
+          col("point_source").cast("long").as("point_source"),
+          col("gps_time"),
+          col("r").cast("long").as("r"), col("g").cast("long").as("g"),
+          col("b").cast("long").as("b"), col("nir").cast("long").as("nir"))
+    }),
     // voxel-grid raster: density + z extremes per 64-unit cell
     "pc_grid_agg" -> ((s, d) => cloud(s, d).gridAggregate(64.0)),
     // deterministic thinning: smallest (x, y, z) per 256-unit cell
@@ -386,5 +430,26 @@ object PointCloudQueries {
     "pc_las_roundtrip" ->
       s"$ptsCte SELECT x * 10 AS x10, y * 10 AS y10, CAST(round(z * 10, 0) AS BIGINT) AS z10 FROM pts",
     "pc_laz_roundtrip" ->
-      s"$ptsCte SELECT x * 10 AS x10, y * 10 AS y10, CAST(round(z * 10, 0) AS BIGINT) AS z10 FROM pts")
+      s"$ptsCte SELECT x * 10 AS x10, y * 10 AS y10, CAST(round(z * 10, 0) AS BIGINT) AS z10 FROM pts",
+    "pc_laz14_roundtrip" ->
+      """WITH p14 AS (SELECT
+           (l_orderkey * 17 + l_linenumber * 131) % 8192 AS x,
+           (l_partkey * 29 + l_suppkey * 197) % 8192 AS y,
+           ROUND(l_quantity, 2) AS z,
+           (l_orderkey * 7 + l_linenumber) % 65536 AS intensity,
+           1 + (l_orderkey % (1 + (l_linenumber % 5))) AS return_number,
+           1 + (l_linenumber % 5) AS number_of_returns,
+           l_suppkey % 4 AS scanner_channel,
+           l_partkey % 32 AS classification,
+           (l_orderkey % 601) - 300 AS scan_angle,
+           l_suppkey % 256 AS user_data,
+           l_partkey % 1024 AS point_source,
+           CAST(l_orderkey % 1000000 AS DOUBLE) AS gps_time,
+           l_partkey % 65536 AS r, l_suppkey % 65536 AS g,
+           l_orderkey % 65536 AS b, (l_linenumber * 13) % 65536 AS nir
+         FROM lineitem)
+         SELECT x * 10 AS x10, y * 10 AS y10,
+           CAST(round(z * 10, 0) AS BIGINT) AS z10, intensity, return_number,
+           number_of_returns, scanner_channel, classification, scan_angle,
+           user_data, point_source, gps_time, r, g, b, nir FROM p14""")
 }

@@ -61,7 +61,7 @@ object Laz {
 
   /** Published POINT10 v2 context tables: (number of returns, return
     * number) → 16-way context / 8-way level (LAZ spec appendix). */
-  private val NumberReturnMap: Array[Array[Int]] = Array(
+  private[sources] val NumberReturnMap: Array[Array[Int]] = Array(
     Array(15, 14, 13, 12, 11, 10, 9, 8),
     Array(14, 0, 1, 3, 6, 10, 10, 9),
     Array(13, 1, 2, 4, 7, 11, 11, 10),
@@ -71,7 +71,7 @@ object Laz {
     Array(9, 10, 11, 12, 13, 14, 15, 14),
     Array(8, 9, 10, 11, 12, 13, 14, 15))
 
-  private val NumberReturnLevel: Array[Array[Int]] = Array(
+  private[sources] val NumberReturnLevel: Array[Array[Int]] = Array(
     Array(0, 1, 2, 3, 4, 5, 6, 7),
     Array(1, 0, 1, 2, 3, 4, 5, 6),
     Array(2, 1, 0, 1, 2, 3, 4, 5),
@@ -84,7 +84,7 @@ object Laz {
   /** The spec's streaming median-of-5 for coordinate-difference
     * prediction: a 5-slot sorted window with an alternation flag so
     * ties drift neither up nor down. */
-  private final class StreamingMedian5 {
+  private[sources] final class StreamingMedian5 {
     private val v = new Array[Int](5)
     private var high = true
     def get: Int = v(2)
@@ -262,7 +262,7 @@ object Laz {
     * an integer-multiplier model over the previous 32-bit delta, and a
     * high-bits-corrector + raw-low-32 escape for deltas past 32 bits.
     * Symmetric compress/decompress; one instance per chunk. */
-  private final class GpsTime11Codec(firstBits: Long) {
+  private[sources] final class GpsTime11Codec(firstBits: Long) {
     private val mMulti = new ArithmeticModel(GpsMultiTotal).init()
     private val m0Diff = new ArithmeticModel(6).init()
     private val icGps = new IntegerCompressor(32, 9).initModels()
@@ -448,7 +448,7 @@ object Laz {
   /** RGB12 version-2 item codec: a changed-bytes symbol plus folded
     * byte-difference models, green/blue predicted from the red delta
     * (clamped), with a gray shortcut when all channels move together. */
-  private final class Rgb12Codec(firstR: Int, firstG: Int, firstB: Int) {
+  private[sources] final class Rgb12Codec(firstR: Int, firstG: Int, firstB: Int) {
     private val mByteUsed = new ArithmeticModel(128).init()
     private val mDiff = Array.fill(6)(new ArithmeticModel(256).init())
     private var lr = firstR
@@ -704,8 +704,9 @@ object Laz {
       val compressor = pb.getShort(0) & 0xFFFF
       val coder = pb.getShort(2) & 0xFFFF
       require(coder == 0, s"$path: unsupported entropy coder $coder")
-      require(compressor == 2,
-        s"$path: unsupported compressor $compressor (only pointwise-chunked=2)")
+      require(compressor == 2 || compressor == 3,
+        s"$path: unsupported compressor $compressor " +
+          "(pointwise-chunked=2 and layered-chunked=3 only)")
       val chunkSize = pb.getInt(12) & 0xFFFFFFFFL
       val numItems = pb.getShort(32) & 0xFFFF
       val items = (0 until numItems).map { i =>
@@ -714,9 +715,14 @@ object Laz {
       }
       require(items.map(_._2).sum == header.recordLen,
         s"$path: item sizes ${items} disagree with record length ${header.recordLen}")
-      require(FormatItems.valuesIterator.contains(items),
-        s"$path: unsupported LAZ item set ${items} — point formats 0-3 " +
-          "(POINT10/GPSTIME11/RGB12, all v2) only")
+      if (compressor == 2)
+        require(FormatItems.valuesIterator.contains(items),
+          s"$path: unsupported LAZ item set ${items} — point formats 0-3 " +
+            "(POINT10/GPSTIME11/RGB12, all v2) only")
+      else
+        require(Laz14.FormatItems.valuesIterator.contains(items),
+          s"$path: unsupported layered LAZ item set ${items} — point " +
+            "formats 6-8 (POINT14/RGB14/RGBNIR14, all v3) only")
 
       raf.seek(offsetToPoints)
       val tblBytes = new Array[Byte](8)
@@ -781,6 +787,9 @@ object Laz {
     * shape a 1000-executor scan over object storage needs. */
   def readPoints(spark: SparkSession, path: String, chunksPerTask: Int = 8): DataFrame = {
     val info = readInfo(path)
+    if (info.compressor == 3) // layered LAS 1.4 file — same x/y/z contract
+      return Laz14.readPoints14(spark, path, columns = Seq("x", "y", "z"),
+        chunksPerTask = chunksPerTask)
     val chunks = readChunkDescriptors(path, info)
     val h = info.header
     if (chunks.isEmpty) return spark.createDataFrame(
