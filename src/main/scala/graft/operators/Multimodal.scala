@@ -365,6 +365,42 @@ object Multimodal {
       }(enc).toDF("media_id", "seg_idx", "n_samples", "energy", "peak")
   }
 
+  /** [[wavSegmentStats]] for FLAC payloads: decode the compressed
+    * stream with the from-scratch lossless codec
+    * ([[graft.sources.Flac]]) and window the recovered PCM. Because
+    * the codec is lossless, the stats are bit-identical to what the
+    * raw samples produce — which is what lets a DuckDB oracle check a
+    * COMPRESSED-audio pipeline end to end. Per-row decode inside
+    * mapPartitions: embarrassingly parallel, no shuffle. */
+  def flacSegmentStats(media: DataFrame, windowSamples: Int = 400,
+      hopSamples: Int = 160): DataFrame = {
+    require(windowSamples > 0 && hopSamples > 0)
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+      Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    media.filter(col("kind") === "audio").select("media_id", "kind", "bytes")
+      .mapPartitions { it: Iterator[Row] =>
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](2)
+          val (_, chans) = graft.sources.Flac.decode(bytes)
+          val pcm = chans(0)
+          pcm.indices.by(hopSamples).iterator.zipWithIndex.map { case (off, idx) =>
+            val end = math.min(off + windowSamples, pcm.length)
+            var energy = 0L
+            var peak = 0L
+            var i = off
+            while (i < end) {
+              val s = pcm(i).toLong
+              energy += s * s
+              if (math.abs(s) > peak) peak = math.abs(s)
+              i += 1
+            }
+            (id, idx.toLong, (end - off).toLong, energy, peak)
+          }
+        }
+      }(enc).toDF("media_id", "seg_idx", "n_samples", "energy", "peak")
+  }
+
   /** Audio windowing for audio-kind rows: overlapping fixed-length
     * sample windows (window/hop in samples — the 25 ms / 10 ms speech
     * framing shape; stub treats each byte as one sample). One window

@@ -132,6 +132,33 @@ object MultimodalQueries {
         }(enc).toDF("media_id", "kind", "bytes")
       Multimodal.wavSegmentStats(wavs, windowSamples = 400, hopSamples = 160)
     }),
+    // COMPRESSED audio decode: audio rows carry real FLAC payloads
+    // (from-scratch lossless codec, sources/Flac.scala) whose PCM
+    // derives from the id; the operator decodes the compressed stream
+    // and windows it, and — because the codec is lossless — the oracle
+    // recomputes every stat from the same sample formula, proving the
+    // full encode->decode->analyze pipeline exact
+    "mm_flac_segments" -> ((s, d) => {
+      val enc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.BINARY)
+      val flacs = media(s, d).select("media_id", "kind", "bytes")
+        .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+          it.map { r =>
+            val id = r.getLong(0); val kind = r.getString(1)
+            val payload =
+              if (kind == "audio") {
+                val n = 500 + (id % 700).toInt
+                graft.sources.Flac.encode(
+                  Array.tabulate(n)(k => ((id * 17 + k * 13) % 8192).toInt - 4096),
+                  blockSize = 256)
+              } else r.getAs[Array[Byte]](2)
+            (id, kind, payload)
+          }
+        }(enc).toDF("media_id", "kind", "bytes")
+      Multimodal.flacSegmentStats(flacs, windowSamples = 512, hopSamples = 256)
+    }),
     "mm_resize_cksum" -> ((s, d) => {
       val r = Multimodal.resize(media(s, d), targetCells = 64)
         .withColumn("rs", col("resized_bytes").cast("string"))
@@ -216,6 +243,20 @@ object MultimodalQueries {
              FROM a,
                LATERAL unnest(range(0, ns, 160)) AS o(o),
                LATERAL unnest(range(o.o, least(o.o + 400, ns))) AS k(k))
+         SELECT media_id, seg_idx, count(*) AS n_samples,
+           CAST(sum(v * v) AS BIGINT) AS energy, max(abs(v)) AS peak
+         FROM s GROUP BY 1, 2""",
+    // FLAC fixture arithmetic: n = 500 + id % 700 samples,
+    // s_k = (id*17 + k*13) % 8192 - 4096; windows 512 / hop 256 —
+    // lossless codec => identical stats on both sides
+    "mm_flac_segments" ->
+      s"""WITH a AS (SELECT doc_id AS media_id, 500 + doc_id % 700 AS ns
+             FROM documents WHERE doc_id % 3 = 1),
+         s AS (SELECT media_id, ns, (o.o // 256) AS seg_idx, k.k AS k,
+               ((media_id * 17 + k.k * 13) % 8192) - 4096 AS v
+             FROM a,
+               LATERAL unnest(range(0, ns, 256)) AS o(o),
+               LATERAL unnest(range(o.o, least(o.o + 512, ns))) AS k(k))
          SELECT media_id, seg_idx, count(*) AS n_samples,
            CAST(sum(v * v) AS BIGINT) AS energy, max(abs(v)) AS peak
          FROM s GROUP BY 1, 2""",

@@ -1,0 +1,655 @@
+package graft.sources
+
+import java.io.{BufferedOutputStream, FileOutputStream, RandomAccessFile}
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** A from-scratch FLAC codec (lossless audio) — the subset of the
+  * PUBLIC FLAC format (xiph.org specification / RFC 9639) built from
+  * fixed linear predictors: mono or stereo, 16-bit, fixed block size,
+  * SUBFRAME_CONSTANT / SUBFRAME_VERBATIM / SUBFRAME_FIXED (orders
+  * 0-4) with Rice-coded residuals, frame CRC-8/CRC-16, STREAMINFO and
+  * SEEKTABLE metadata. Files this writes are spec-valid FLAC streams;
+  * the reader accepts exactly the subset the writer emits (LPC
+  * subframes and wasted-bits are out of scope and rejected
+  * explicitly).
+  *
+  * Why it belongs in a Spark analytics engine: compressed audio is a
+  * standing format boundary for training-data pipelines (the
+  * multimodal fixtures here are WAV only because no codec library
+  * exists in this environment). Losslessness is the property that
+  * makes the codec ORACLE-CHECKABLE end to end — decode(encode(pcm))
+  * == pcm exactly, so a DuckDB oracle can recompute every windowed
+  * stat from the sample formula, the same exactness contract as every
+  * other operator in this repo (`mm_flac_segments`).
+  *
+  * Scale shape, mirroring [[Laz]]: FLAC frames are independently
+  * decodable (every frame header re-states blocksize / rate /
+  * channels and carries its own CRCs), and the writer emits one
+  * SEEKTABLE entry per frame — so the seektable is a ready-made
+  * distributed split index: [[readSamples]] hands frame runs to
+  * tasks, each seeking straight to its first frame byte offset. As
+  * with the LAZ codec, no second FLAC implementation exists in this
+  * sandbox, so validation is roundtrip + CRC self-consistency +
+  * oracle arithmetic, with spec conformance asserted against the
+  * format document (README "Format boundary").
+  */
+object Flac {
+
+  // ------------------------------------------------------------ bit I/O
+
+  private[sources] final class BitWriter {
+    private var buf = new Array[Byte](1 << 12)
+    private var bytePos = 0
+    private var bitPos = 0 // bits already filled in the current byte, MSB-first
+
+    private def ensure(): Unit =
+      if (bytePos == buf.length) buf = java.util.Arrays.copyOf(buf, buf.length << 1)
+
+    def writeBit(b: Int): Unit = {
+      ensure()
+      if ((b & 1) != 0) buf(bytePos) = (buf(bytePos) | (0x80 >>> bitPos)).toByte
+      bitPos += 1
+      if (bitPos == 8) { bitPos = 0; bytePos += 1 }
+    }
+
+    def writeBits(n: Int, v: Long): Unit = {
+      var i = n - 1
+      while (i >= 0) { writeBit(((v >>> i) & 1L).toInt); i -= 1 }
+    }
+
+    /** Unary: q zeros then a one (FLAC rice quotient). */
+    def writeUnary(q: Int): Unit = {
+      var i = 0
+      while (i < q) { writeBit(0); i += 1 }
+      writeBit(1)
+    }
+
+    def alignByte(): Unit = while (bitPos != 0) writeBit(0)
+
+    def result(): Array[Byte] = {
+      require(bitPos == 0, "unaligned bit stream")
+      java.util.Arrays.copyOf(buf, bytePos)
+    }
+  }
+
+  private[sources] final class BitReader(bytes: Array[Byte], start: Int) {
+    private var bytePos = start
+    private var bitPos = 0
+
+    def readBit(): Int = {
+      val b = (bytes(bytePos) >>> (7 - bitPos)) & 1
+      bitPos += 1
+      if (bitPos == 8) { bitPos = 0; bytePos += 1 }
+      b
+    }
+
+    def readBits(n: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < n) { v = (v << 1) | readBit(); i += 1 }
+      v
+    }
+
+    def readUnary(): Int = {
+      var q = 0
+      while (readBit() == 0) q += 1
+      q
+    }
+
+    def alignByte(): Unit = if (bitPos != 0) { bitPos = 0; bytePos += 1 }
+    def position: Int = bytePos
+  }
+
+  // ------------------------------------------------------------- CRCs
+
+  /** CRC-8, poly 0x07, init 0 — FLAC frame header CRC. */
+  private[sources] def crc8(b: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= b(i) & 0xFF
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xFF else (crc << 1) & 0xFF
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** CRC-16, poly 0x8005, init 0 — FLAC whole-frame CRC. */
+  private[sources] def crc16(b: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= (b(i) & 0xFF) << 8
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xFFFF
+        else (crc << 1) & 0xFFFF
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  // ------------------------------------------------- fixed predictors
+
+  /** Residual of fixed-order predictor `order` at position i (i >=
+    * order): the spec's difference cascade. */
+  private def residual(s: Array[Int], i: Int, order: Int): Long = order match {
+    case 0 => s(i)
+    case 1 => s(i).toLong - s(i - 1)
+    case 2 => s(i).toLong - 2L * s(i - 1) + s(i - 2)
+    case 3 => s(i).toLong - 3L * s(i - 1) + 3L * s(i - 2) - s(i - 3)
+    case _ => s(i).toLong - 4L * s(i - 1) + 6L * s(i - 2) - 4L * s(i - 3) + s(i - 4)
+  }
+
+  private def reconstruct(s: Array[Int], i: Int, order: Int, e: Long): Long = order match {
+    case 0 => e
+    case 1 => e + s(i - 1)
+    case 2 => e + 2L * s(i - 1) - s(i - 2)
+    case 3 => e + 3L * s(i - 1) - 3L * s(i - 2) + s(i - 3)
+    case _ => e + 4L * s(i - 1) - 6L * s(i - 2) + 4L * s(i - 3) - s(i - 4)
+  }
+
+  private def zigzag(v: Long): Long = if (v >= 0) v << 1 else ((-v) << 1) - 1
+  private def unzigzag(u: Long): Long = if ((u & 1) == 0) u >>> 1 else -((u + 1) >>> 1)
+
+  // ------------------------------------------------------ subframe enc
+
+  /** Rice-code one residual array into `bw` as a single partition
+    * (partition order 0). Chooses the Rice parameter from the mean
+    * magnitude; escapes to raw 32-bit storage (parameter 0b11111)
+    * when unary blowup would exceed it. */
+  private def writeResiduals(bw: BitWriter, res: Array[Long]): Unit = {
+    bw.writeBits(2, 0) // residual coding method: RICE (4-bit params)
+    bw.writeBits(4, 0) // partition order 0 -> one partition
+    var sum = 0L
+    res.foreach(r => sum += math.abs(r))
+    val mean = if (res.isEmpty) 0L else sum / math.max(1, res.length)
+    var k = 0
+    while (k < 14 && (1L << (k + 1)) < mean + 1) k += 1
+    // escape if the worst-case unary run is absurd; fixed orders <= 4
+    // over 16-bit samples bound |residual| < 2^20, so 24 raw bits
+    // always fit (the 5-bit escape field caps at 31)
+    var worst = 0L
+    res.foreach(r => worst = math.max(worst, zigzag(r) >>> k))
+    if (worst > (1L << 16)) {
+      bw.writeBits(4, 15) // escape code 0b1111: raw residuals
+      bw.writeBits(5, 24)
+      res.foreach(r => bw.writeBits(24, r & 0xFFFFFFL))
+    } else {
+      bw.writeBits(4, k)
+      res.foreach { r =>
+        val u = zigzag(r)
+        bw.writeUnary((u >>> k).toInt)
+        if (k > 0) bw.writeBits(k, u & ((1L << k) - 1))
+      }
+    }
+  }
+
+  private def readResiduals(br: BitReader, n: Int): Array[Long] = {
+    val method = br.readBits(2).toInt
+    require(method == 0, s"unsupported residual coding method $method")
+    val partOrder = br.readBits(4).toInt
+    require(partOrder == 0, s"unsupported partition order $partOrder (writer emits 0)")
+    val k = br.readBits(4).toInt
+    val out = new Array[Long](n)
+    if (k == 15) {
+      val bits = br.readBits(5).toInt
+      var i = 0
+      while (i < n) { out(i) = (br.readBits(bits) << (64 - bits)) >> (64 - bits); i += 1 }
+    } else {
+      var i = 0
+      while (i < n) {
+        val q = br.readUnary().toLong
+        val u = (q << k) | (if (k > 0) br.readBits(k) else 0L)
+        out(i) = unzigzag(u)
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** Encode one channel's block: constant / verbatim / best fixed
+    * order by total |residual|. */
+  private def writeSubframe(bw: BitWriter, s: Array[Int]): Unit = {
+    val n = s.length
+    val constant = n > 0 && s.forall(_ == s(0))
+    if (constant) {
+      bw.writeBits(1, 0); bw.writeBits(6, 0); bw.writeBits(1, 0) // SUBFRAME_CONSTANT
+      bw.writeBits(16, s(0) & 0xFFFF)
+      return
+    }
+    val maxOrder = math.min(4, n - 1)
+    var bestOrder = 0
+    var bestCost = Long.MaxValue
+    var o = 0
+    while (o <= maxOrder) {
+      var cost = 0L
+      var i = o
+      while (i < n) { cost += math.abs(residual(s, i, o)); i += 1 }
+      if (cost < bestCost) { bestCost = cost; bestOrder = o }
+      o += 1
+    }
+    // verbatim beats a hopeless predictor (cost ~ bits): rough guard
+    if (bestCost / math.max(1, n - bestOrder) > (1L << 18)) {
+      bw.writeBits(1, 0); bw.writeBits(6, 1); bw.writeBits(1, 0) // SUBFRAME_VERBATIM
+      s.foreach(v => bw.writeBits(16, v & 0xFFFF))
+      return
+    }
+    bw.writeBits(1, 0)
+    bw.writeBits(6, 8 | bestOrder) // SUBFRAME_FIXED, order in low bits
+    bw.writeBits(1, 0) // no wasted bits
+    var i = 0
+    while (i < bestOrder) { bw.writeBits(16, s(i) & 0xFFFF); i += 1 }
+    val res = new Array[Long](n - bestOrder)
+    i = bestOrder
+    while (i < n) { res(i - bestOrder) = residual(s, i, bestOrder); i += 1 }
+    writeResiduals(bw, res)
+  }
+
+  private def readSubframe(br: BitReader, n: Int): Array[Int] = {
+    require(br.readBits(1) == 0, "subframe sync bit")
+    val tpe = br.readBits(6).toInt
+    val wasted = br.readBits(1).toInt
+    require(wasted == 0, "wasted-bits subframes not in the writer subset")
+    val out = new Array[Int](n)
+    if (tpe == 0) { // CONSTANT
+      val v = (br.readBits(16) << 48 >> 48).toInt
+      java.util.Arrays.fill(out, v)
+    } else if (tpe == 1) { // VERBATIM
+      var i = 0
+      while (i < n) { out(i) = (br.readBits(16) << 48 >> 48).toInt; i += 1 }
+    } else if ((tpe & 0x38) == 8) { // FIXED, order 0-4
+      val order = tpe & 7
+      require(order <= 4, s"fixed order $order")
+      var i = 0
+      while (i < order) { out(i) = (br.readBits(16) << 48 >> 48).toInt; i += 1 }
+      val res = readResiduals(br, n - order)
+      i = order
+      while (i < n) {
+        val v = reconstruct(out, i, order, res(i - order))
+        require(v >= Short.MinValue && v <= Short.MaxValue, s"sample overflow $v")
+        out(i) = v.toInt
+        i += 1
+      }
+    } else throw new IllegalArgumentException(
+      s"unsupported subframe type $tpe (LPC subframes not in the writer subset)")
+    out
+  }
+
+  // -------------------------------------------------------- frame enc
+
+  /** UTF-8-style coded number (frame index), per the spec. */
+  private def writeUtf8Number(bw: BitWriter, v: Long): Unit = {
+    if (v < 0x80) bw.writeBits(8, v)
+    else if (v < 0x800) {
+      bw.writeBits(8, 0xC0 | (v >>> 6)); bw.writeBits(8, 0x80 | (v & 0x3F))
+    } else if (v < 0x10000) {
+      bw.writeBits(8, 0xE0 | (v >>> 12)); bw.writeBits(8, 0x80 | ((v >>> 6) & 0x3F))
+      bw.writeBits(8, 0x80 | (v & 0x3F))
+    } else {
+      bw.writeBits(8, 0xF0 | (v >>> 18)); bw.writeBits(8, 0x80 | ((v >>> 12) & 0x3F))
+      bw.writeBits(8, 0x80 | ((v >>> 6) & 0x3F)); bw.writeBits(8, 0x80 | (v & 0x3F))
+    }
+  }
+
+  private def readUtf8Number(br: BitReader): Long = {
+    val b0 = br.readBits(8).toInt
+    if ((b0 & 0x80) == 0) b0.toLong
+    else {
+      var len = 0
+      var mask = 0x40
+      while ((b0 & mask) != 0) { len += 1; mask >>>= 1 }
+      var v = (b0 & (mask - 1)).toLong
+      var i = 0
+      while (i < len) { v = (v << 6) | (br.readBits(8) & 0x3F); i += 1 }
+      v
+    }
+  }
+
+  /** Encode one frame (1 or 2 channels of equal length; stereo is
+    * independent left/right — no mid/side in the subset). Returns the
+    * frame bytes. `blockSizeCode` must describe s(0).length. */
+  private[sources] def encodeFrame(frameIdx: Long, channels: Array[Array[Int]],
+      sampleRate: Int, blockSize: Int): Array[Byte] = {
+    val bw = new BitWriter
+    bw.writeBits(14, 0x3FFE) // sync
+    bw.writeBits(1, 0) // reserved
+    bw.writeBits(1, 0) // fixed-blocksize stream: frame number coded
+    bw.writeBits(4, 7) // blocksize: 16-bit value follows (code 0b0111)
+    bw.writeBits(4, 0) // sample rate: in STREAMINFO
+    bw.writeBits(4, channels.length - 1) // channel assignment: independent
+    bw.writeBits(3, 4) // sample size: 16 bits (code 0b100)
+    bw.writeBits(1, 0) // reserved
+    writeUtf8Number(bw, frameIdx)
+    bw.writeBits(16, blockSize - 1)
+    val headNoCrc = { bw.alignByte(); bw.result() }
+    bw.writeBits(8, crc8(headNoCrc, 0, headNoCrc.length))
+    channels.foreach(writeSubframe(bw, _))
+    bw.alignByte()
+    val body = bw.result()
+    val out = java.util.Arrays.copyOf(body, body.length + 2)
+    val c16 = crc16(body, 0, body.length)
+    out(body.length) = (c16 >>> 8).toByte
+    out(body.length + 1) = c16.toByte
+    out
+  }
+
+  /** Decode one frame at `offset`; returns (channels, nextOffset,
+    * frameIdx). Verifies both CRCs. */
+  private[sources] def decodeFrame(bytes: Array[Byte], offset: Int,
+      expectChannels: Int): (Array[Array[Int]], Int, Long) = {
+    val br = new BitReader(bytes, offset)
+    require(br.readBits(14) == 0x3FFE, "bad frame sync")
+    require(br.readBits(1) == 0, "reserved bit")
+    br.readBits(1) // blocking strategy
+    val bsCode = br.readBits(4).toInt
+    br.readBits(4) // sample-rate code (STREAMINFO governs)
+    val chanAssign = br.readBits(4).toInt
+    require(chanAssign < 8, s"mid/side channel assignment $chanAssign not in subset")
+    val nCh = chanAssign + 1
+    require(nCh == expectChannels, s"frame has $nCh channels, STREAMINFO says $expectChannels")
+    val ssCode = br.readBits(3).toInt
+    require(ssCode == 4, s"sample size code $ssCode (16-bit only)")
+    br.readBits(1)
+    val frameIdx = readUtf8Number(br)
+    val blockSize = bsCode match {
+      case 1 => 192
+      case c if c >= 2 && c <= 5 => 576 << (c - 2)
+      case 6 => br.readBits(8).toInt + 1
+      case 7 => br.readBits(16).toInt + 1
+      case c if c >= 8 => 256 << (c - 8)
+      case _ => throw new IllegalArgumentException("reserved blocksize code")
+    }
+    br.alignByte()
+    val headEnd = br.position
+    val hcrc = br.readBits(8).toInt
+    require(hcrc == crc8(bytes, offset, headEnd), "frame header CRC-8 mismatch")
+    val chans = Array.fill(nCh)(readSubframe(br, blockSize))
+    br.alignByte()
+    val bodyEnd = br.position
+    val fcrc = ((bytes(bodyEnd) & 0xFF) << 8) | (bytes(bodyEnd + 1) & 0xFF)
+    require(fcrc == crc16(bytes, offset, bodyEnd), "frame CRC-16 mismatch")
+    (chans, bodyEnd + 2, frameIdx)
+  }
+
+  // ------------------------------------------------------- container
+
+  final case class FlacInfo(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      totalSamples: Long, blockSize: Int, firstFrameOffset: Long,
+      // (sampleNumber, byteOffsetFromFirstFrame, blockSamples)
+      seekpoints: Array[(Long, Long, Int)])
+
+  /** Encode a whole stream into one in-memory FLAC payload (the
+    * per-row media-table form). Mono unless `right` is given. */
+  def encode(pcm: Array[Int], sampleRate: Int = 16000, blockSize: Int = 4096,
+      right: Array[Int] = null): Array[Byte] = {
+    require(right == null || right.length == pcm.length, "channel length mismatch")
+    val nCh = if (right == null) 1 else 2
+    val frames = Array.newBuilder[Array[Byte]]
+    val seeks = Array.newBuilder[(Long, Long, Int)]
+    var off = 0L
+    var idx = 0L
+    var pos = 0
+    while (pos < pcm.length) {
+      val n = math.min(blockSize, pcm.length - pos)
+      val chans =
+        if (nCh == 1) Array(java.util.Arrays.copyOfRange(pcm, pos, pos + n))
+        else Array(java.util.Arrays.copyOfRange(pcm, pos, pos + n),
+          java.util.Arrays.copyOfRange(right, pos, pos + n))
+      val fb = encodeFrame(idx, chans, sampleRate, n)
+      frames += fb
+      seeks += ((pos.toLong, off, n))
+      off += fb.length
+      idx += 1
+      pos += n
+    }
+    buildStream(sampleRate, nCh, pcm.length.toLong, blockSize,
+      seeks.result(), frames.result())
+  }
+
+  private def buildStream(sampleRate: Int, channels: Int, totalSamples: Long,
+      blockSize: Int, seeks: Array[(Long, Long, Int)],
+      frames: Array[Array[Byte]]): Array[Byte] = {
+    val bw = new BitWriter
+    bw.writeBits(32, 0x664C6143L) // "fLaC"
+    // STREAMINFO (type 0), not last
+    bw.writeBits(1, 0); bw.writeBits(7, 0); bw.writeBits(24, 34)
+    bw.writeBits(16, blockSize); bw.writeBits(16, blockSize)
+    bw.writeBits(24, 0); bw.writeBits(24, 0) // frame sizes unknown
+    bw.writeBits(20, sampleRate)
+    bw.writeBits(3, channels - 1)
+    bw.writeBits(5, 15) // bits per sample - 1
+    bw.writeBits(36, totalSamples)
+    (0 until 16).foreach(_ => bw.writeBits(8, 0)) // MD5 unset
+    // SEEKTABLE (type 3), last
+    bw.writeBits(1, 1); bw.writeBits(7, 3); bw.writeBits(24, 18 * seeks.length)
+    seeks.foreach { case (sample, off, n) =>
+      bw.writeBits(32, sample >>> 32); bw.writeBits(32, sample & 0xFFFFFFFFL)
+      bw.writeBits(32, off >>> 32); bw.writeBits(32, off & 0xFFFFFFFFL)
+      bw.writeBits(16, n)
+    }
+    val head = bw.result()
+    val total = head.length + frames.map(_.length).sum
+    val out = new Array[Byte](total)
+    System.arraycopy(head, 0, out, 0, head.length)
+    var p = head.length
+    frames.foreach { f => System.arraycopy(f, 0, out, p, f.length); p += f.length }
+    out
+  }
+
+  /** Parse the metadata blocks of an in-memory payload. */
+  def parseInfo(bytes: Array[Byte]): FlacInfo = {
+    require(bytes.length >= 42 && bytes(0) == 'f' && bytes(1) == 'L' &&
+      bytes(2) == 'a' && bytes(3) == 'C', "not a FLAC stream")
+    val br = new BitReader(bytes, 4)
+    var last = false
+    var info: FlacInfo = null
+    var seeks: Array[(Long, Long, Int)] = Array.empty
+    while (!last) {
+      last = br.readBits(1) == 1
+      val tpe = br.readBits(7).toInt
+      val len = br.readBits(24).toInt
+      require(len >= 0 && br.position + len <= bytes.length,
+        s"metadata block overruns the stream")
+      if (tpe == 0) {
+        val bsMin = br.readBits(16).toInt; br.readBits(16)
+        br.readBits(24); br.readBits(24)
+        val rate = br.readBits(20).toInt
+        val nCh = br.readBits(3).toInt + 1
+        val bps = br.readBits(5).toInt + 1
+        val total = br.readBits(36)
+        (0 until 16).foreach(_ => br.readBits(8))
+        require(bps == 16, s"bits per sample $bps (16-bit subset)")
+        info = FlacInfo(rate, nCh, bps, total, bsMin, -1L, Array.empty)
+      } else if (tpe == 3) {
+        val n = len / 18
+        seeks = Array.fill(n) {
+          val sample = (br.readBits(32) << 32) | br.readBits(32)
+          val off = (br.readBits(32) << 32) | br.readBits(32)
+          val bs = br.readBits(16).toInt
+          (sample, off, bs)
+        }
+      } else (0 until len).foreach(_ => br.readBits(8))
+    }
+    require(info != null, "missing STREAMINFO")
+    info.copy(firstFrameOffset = br.position.toLong, seekpoints = seeks)
+  }
+
+  /** Decode a whole in-memory payload to channel arrays. */
+  def decode(bytes: Array[Byte]): (FlacInfo, Array[Array[Int]]) = {
+    val info = parseInfo(bytes)
+    val out = Array.fill(info.channels)(new Array[Int](info.totalSamples.toInt))
+    var off = info.firstFrameOffset.toInt
+    var pos = 0
+    while (pos < info.totalSamples) {
+      val (chans, next, _) = decodeFrame(bytes, off, info.channels)
+      val n = chans(0).length
+      var c = 0
+      while (c < info.channels) {
+        System.arraycopy(chans(c), 0, out(c), pos, n); c += 1
+      }
+      off = next
+      pos += n
+    }
+    (info, out)
+  }
+
+  // --------------------------------------------------- Spark surface
+
+  /** Write a sample frame (columns: `idx` long, `value` int — mono
+    * 16-bit) as one FLAC file: executors encode frame runs in
+    * parallel (each partition's samples must be contiguous in idx —
+    * use a range partitioner upstream or let this repartitionByRange),
+    * the driver splices side files and builds the seektable from
+    * O(frames) stats, exactly the [[Laz.writePoints]] shape. */
+  def writeSamples(df: DataFrame, path: String, sampleRate: Int = 16000,
+      blockSize: Int = 4096): Unit = {
+    import org.apache.spark.sql.functions.col
+    val chunkDir = Paths.get(path + ".chunks")
+    Files.createDirectories(chunkDir)
+    val prefix = chunkDir.toString
+    val bs = blockSize
+    val rate = sampleRate
+    // frame-align partitions: bucket = idx / blockSize, ranged so each
+    // partition holds whole consecutive frames
+    val prepared = df.select((col("idx").cast("long") / bs).cast("long").as("frame"),
+        col("idx").cast("long").as("idx"), col("value").cast("int").as("value"))
+      .repartitionByRange(col("frame"))
+      .sortWithinPartitions("idx")
+    val stats = prepared.rdd.mapPartitionsWithIndex { (pid, it) =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val out = new BufferedOutputStream(
+          new FileOutputStream(f"$prefix/part-$pid%05d.bin"), 1 << 20)
+        val frameStats = Array.newBuilder[(Long, Int, Int)] // (firstIdx, n, bytes)
+        try {
+          val buf = new Array[Int](bs)
+          var n = 0
+          var firstIdx = -1L
+          var expect = -1L
+          def flush(): Unit = if (n > 0) {
+            val fb = encodeFrame(firstIdx / bs, Array(java.util.Arrays.copyOf(buf, n)),
+              rate, n)
+            out.write(fb)
+            frameStats += ((firstIdx, n, fb.length))
+            n = 0
+          }
+          it.foreach { r =>
+            val idx = r.getLong(1)
+            require(expect < 0 || idx == expect,
+              s"sample idx gap at $idx (expected $expect) — frame must be contiguous")
+            expect = idx + 1
+            if (n == 0) firstIdx = idx
+            buf(n) = r.getInt(2)
+            n += 1
+            if (n == bs || (idx + 1) % bs == 0) flush()
+          }
+          flush()
+        } finally out.close()
+        Iterator.single((pid, frameStats.result()))
+      }
+    }.collect().sortBy(_._1)
+
+    val frameMeta = stats.flatMap(_._2)
+    require(frameMeta.zip(frameMeta.drop(1)).forall { case ((a, an, _), (b, _, _)) =>
+      a + an == b }, "partitions produced non-contiguous frames")
+    val totalSamples = frameMeta.map(_._2.toLong).sum
+    var off = 0L
+    val seeks = frameMeta.map { case (first, n, sz) =>
+      val s = (first, off, n); off += sz; s
+    }
+
+    val bw = new BitWriter
+    bw.writeBits(32, 0x664C6143L)
+    bw.writeBits(1, 0); bw.writeBits(7, 0); bw.writeBits(24, 34)
+    bw.writeBits(16, bs); bw.writeBits(16, bs)
+    bw.writeBits(24, 0); bw.writeBits(24, 0)
+    bw.writeBits(20, rate); bw.writeBits(3, 0); bw.writeBits(5, 15)
+    bw.writeBits(36, totalSamples)
+    (0 until 16).foreach(_ => bw.writeBits(8, 0))
+    bw.writeBits(1, 1); bw.writeBits(7, 3); bw.writeBits(24, 18 * seeks.length)
+    seeks.foreach { case (sample, o, n) =>
+      bw.writeBits(32, sample >>> 32); bw.writeBits(32, sample & 0xFFFFFFFFL)
+      bw.writeBits(32, o >>> 32); bw.writeBits(32, o & 0xFFFFFFFFL)
+      bw.writeBits(16, n)
+    }
+    val fos = new FileOutputStream(path)
+    try {
+      fos.write(bw.result())
+      val dst = fos.getChannel
+      stats.foreach { case (pid, _) =>
+        val part = Paths.get(f"$prefix/part-$pid%05d.bin")
+        val src = java.nio.channels.FileChannel.open(part)
+        try {
+          val len = src.size()
+          var pos = 0L
+          while (pos < len) pos += dst.transferFrom(src, dst.position() + pos, len - pos)
+          dst.position(dst.position() + len)
+        } finally src.close()
+        Files.delete(part)
+      }
+    } finally fos.close()
+    Files.delete(chunkDir)
+  }
+
+  private val sampleSchema = StructType(Seq(
+    StructField("idx", LongType), StructField("value", IntegerType)))
+
+  /** Distributed FLAC scan → DataFrame[idx, value] (mono). The
+    * seektable is the split index: tasks seek to their frame run and
+    * decode independently (every frame re-states its parameters and
+    * carries its own CRCs). */
+  def readSamples(spark: SparkSession, path: String, framesPerTask: Int = 64): DataFrame = {
+    val head = {
+      val raf = new RandomAccessFile(path, "r")
+      try {
+        val n = math.min(raf.length(), 1L << 22).toInt
+        val b = new Array[Byte](n)
+        raf.readFully(b)
+        b
+      } finally raf.close()
+    }
+    val info = parseInfo(head)
+    require(info.channels == 1, "distributed reader is mono (media rows carry stereo)")
+    require(info.seekpoints.nonEmpty, "missing seektable (writer always emits one)")
+    val base = info.firstFrameOffset
+    val fileLen = Files.size(Paths.get(path))
+    // (byteStart, byteEnd, firstSample) per frame
+    val spans = info.seekpoints.indices.map { i =>
+      val (sample, off, _) = info.seekpoints(i)
+      val end = if (i + 1 < info.seekpoints.length) base + info.seekpoints(i + 1)._2 else fileLen
+      (base + off, end, sample)
+    }
+    val groups = spans.grouped(math.max(1, framesPerTask)).toArray
+    if (groups.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sampleSchema)
+    val rdd = spark.sparkContext.parallelize(groups.toIndexedSeq, groups.length)
+      .flatMap { group =>
+        val raf = new RandomAccessFile(path, "r")
+        val rows = try {
+          val start = group.head._1
+          val end = group.last._2
+          val bytes = new Array[Byte]((end - start).toInt)
+          raf.seek(start)
+          raf.readFully(bytes)
+          group.iterator.flatMap { case (s, _, firstSample) =>
+            val (chans, _, _) = decodeFrame(bytes, (s - start).toInt, 1)
+            chans(0).iterator.zipWithIndex.map { case (v, i) =>
+              Row(firstSample + i, v)
+            }
+          }.toArray
+        } finally raf.close()
+        rows
+      }
+    spark.createDataFrame(rdd, sampleSchema)
+  }
+}

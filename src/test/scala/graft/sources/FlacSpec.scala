@@ -1,0 +1,157 @@
+package graft.sources
+
+import scala.util.Random
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** FLAC-subset codec validation: bit I/O, CRCs against published
+  * check values, subframe/frame/stream roundtrips under adversarial
+  * signals, seektable framing, and the distributed file reader. */
+class FlacSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("bit writer/reader roundtrip mixed-width values") {
+    val rnd = new Random(41)
+    val widths = Array.fill(2000)(1 + rnd.nextInt(36))
+    val vals = widths.map(w => rnd.nextLong() & ((1L << w) - 1))
+    val bw = new Flac.BitWriter
+    widths.indices.foreach(i => bw.writeBits(widths(i), vals(i)))
+    bw.alignByte()
+    val br = new Flac.BitReader(bw.result(), 0)
+    widths.indices.foreach { i =>
+      assert(br.readBits(widths(i)) == vals(i), s"value $i width ${widths(i)}")
+    }
+  }
+
+  test("CRC-8 and CRC-16 match the published check values") {
+    // standard check input "123456789"
+    val msg = "123456789".getBytes("US-ASCII")
+    assert(Flac.crc8(msg, 0, msg.length) == 0xF4) // CRC-8/SMBUS (poly 0x07)
+    assert(Flac.crc16(msg, 0, msg.length) == 0xFEE8) // CRC-16/UMTS (poly 0x8005, init 0)
+  }
+
+  private def signals(rnd: Random): Seq[(String, Array[Int])] = Seq(
+    "silence" -> Array.fill(5000)(0),
+    "constant" -> Array.fill(5000)(-12345),
+    "ramp" -> Array.tabulate(5000)(i => (i % 65536) - 32768),
+    "sine-ish" -> Array.tabulate(5000)(i =>
+      (math.sin(i * 0.05) * 20000).toInt),
+    "noise" -> Array.fill(5000)(rnd.nextInt(65536) - 32768),
+    "extremes" -> Array.tabulate(5000)(i =>
+      if (i % 2 == 0) Short.MinValue.toInt else Short.MaxValue.toInt),
+    "steps" -> Array.tabulate(5000)(i => if ((i / 100) % 2 == 0) 30000 else -30000),
+    "tiny" -> Array(42),
+    "order4-friendly" -> Array.tabulate(5000)(i => {
+      val t = i * 0.01; (1000 * t * t * t % 30000).toInt
+    }))
+
+  test("stream encode/decode roundtrips every signal class") {
+    val rnd = new Random(43)
+    signals(rnd).foreach { case (name, pcm) =>
+      val bytes = Flac.encode(pcm, blockSize = 1024)
+      val (info, chans) = Flac.decode(bytes)
+      assert(info.sampleRate == 16000 && info.channels == 1, name)
+      assert(info.totalSamples == pcm.length, name)
+      assert(chans(0).toSeq == pcm.toSeq, s"$name samples")
+    }
+  }
+
+  test("noise compresses near 1x, smooth signals well below") {
+    val rnd = new Random(47)
+    val smooth = Array.tabulate(20000)(i => (math.sin(i * 0.02) * 8000).toInt)
+    val noise = Array.fill(20000)(rnd.nextInt(65536) - 32768)
+    val sb = Flac.encode(smooth).length
+    val nb = Flac.encode(noise).length
+    assert(sb < 20000 * 2 / 2, s"smooth $sb should be < half of raw 40000")
+    assert(nb < 20000 * 2 * 5 / 4, s"noise $nb must not blow up past ~raw size")
+  }
+
+  test("stereo independent channels roundtrip") {
+    val rnd = new Random(53)
+    val l = Array.tabulate(7000)(i => (math.sin(i * 0.03) * 15000).toInt)
+    val r = Array.fill(7000)(rnd.nextInt(4096) - 2048)
+    val bytes = Flac.encode(l, right = r, blockSize = 2048)
+    val (info, chans) = Flac.decode(bytes)
+    assert(info.channels == 2)
+    assert(chans(0).toSeq == l.toSeq && chans(1).toSeq == r.toSeq)
+  }
+
+  test("corrupted frame bytes fail the CRC, corrupted header fails CRC-8") {
+    val pcm = Array.tabulate(3000)(i => (math.sin(i * 0.1) * 10000).toInt)
+    val bytes = Flac.encode(pcm, blockSize = 1024)
+    val info = Flac.parseInfo(bytes)
+    // flip a bit mid-frame (affects body CRC-16)
+    val mid = bytes.clone()
+    mid((info.firstFrameOffset + 40).toInt) = (mid((info.firstFrameOffset + 40).toInt) ^ 0x10).toByte
+    val e1 = intercept[Exception](Flac.decode(mid))
+    // either the CRC-16 or an interior consistency guard must reject it
+    assert(e1.getMessage.contains("CRC") || e1.getMessage.contains("overflow") ||
+      e1.getMessage.contains("unsupported"))
+    // flip a header bit (blocksize field) — header CRC-8 catches it
+    val hd = bytes.clone()
+    hd((info.firstFrameOffset + 2).toInt) = (hd((info.firstFrameOffset + 2).toInt) ^ 0x01).toByte
+    val e2 = intercept[Exception](Flac.decode(hd))
+    assert(e2.getMessage.contains("CRC") || e2.getMessage.contains("sync"))
+  }
+
+  test("seektable has one spec-shaped entry per frame") {
+    val pcm = Array.tabulate(10000)(i => i % 1000)
+    val bytes = Flac.encode(pcm, blockSize = 4096)
+    val info = Flac.parseInfo(bytes)
+    assert(info.seekpoints.length == 3) // 4096 + 4096 + 1808
+    assert(info.seekpoints.map(_._1).toSeq == Seq(0L, 4096L, 8192L))
+    assert(info.seekpoints.map(_._3).toSeq == Seq(4096, 4096, 1808))
+    // offsets are strictly increasing from 0 and in range
+    val offs = info.seekpoints.map(_._2)
+    assert(offs(0) == 0L && offs.zip(offs.drop(1)).forall { case (a, b) => a < b })
+    assert(info.firstFrameOffset + offs.last < bytes.length)
+  }
+
+  test("distributed file write -> seektable-split read keeps every sample") {
+    val n = 50000
+    val df = (0 until n).map(i => (i.toLong, ((i * 37) % 32768) - 16384))
+      .toDF("idx", "value").repartition(5) // deliberately scrambled
+    val path = "/tmp/graft_flac_dist.flac"
+    Flac.writeSamples(df, path, blockSize = 1024)
+    val info = Flac.parseInfo({
+      val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)); b
+    })
+    assert(info.totalSamples == n && info.seekpoints.length == (n + 1023) / 1024)
+    val back = Flac.readSamples(spark, path, framesPerTask = 7)
+    assert(back.count() == n)
+    val got = back.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    (0 until n by 997).foreach { i =>
+      assert(got(i.toLong) == ((i * 37) % 32768) - 16384, s"sample $i")
+    }
+    // whole-payload decode agrees with the distributed read
+    val (_, chans) = Flac.decode(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+    assert(chans(0).length == n)
+    (0 until n).foreach(i => assert(chans(0)(i) == got(i.toLong)))
+  }
+
+  test("LPC subframes from other encoders are rejected explicitly") {
+    val pcm = Array.tabulate(300)(i => i)
+    val bytes = Flac.encode(pcm, blockSize = 256)
+    val info = Flac.parseInfo(bytes)
+    // rewrite the first subframe header byte to an LPC type (0x40 >> 1)
+    // just after the frame header: sync(2) + hdr fields + utf8 + bs(2) + crc(1)
+    // — locate it by decoding once, then flipping the subframe type bits
+    val br = new Flac.BitReader(bytes, info.firstFrameOffset.toInt)
+    br.readBits(32); br.readBits(8) // fixed 40-bit head for one-byte frame idx
+    br.readBits(16); br.readBits(8) // 16-bit blocksize + crc8
+    val subframePos = br.position
+    val bad = bytes.clone()
+    bad(subframePos) = 0x40.toByte // SUBFRAME_LPC order 1
+    val e = intercept[Exception](Flac.decode(bad))
+    assert(e.getMessage.contains("CRC") || e.getMessage.contains("unsupported"))
+  }
+}
