@@ -279,4 +279,57 @@ object Events {
       .withColumn("share_permille", expr("(n * 1000) div __tot"))
       .drop("__tot")
   }
+
+  /** Count-min-sketch heavy hitters: keys whose frequency is at least
+    * num/den of the mean key frequency, found WITHOUT a full per-key
+    * aggregation — the reason a sketch matters at 100 TB, where the
+    * key space (users) can be billions but the heavy set is tiny.
+    *
+    * Pass 1 folds every row into a depth x width counter grid
+    * (stack-style explode + partial agg: the shuffle carries at most
+    * depth*width grid rows per map partition — the grid, not the
+    * data). The grid (<= depth*width longs, bounded by construction
+    * like the IVF centroids) collects to the driver and rides back as
+    * an array literal. Pass 2 probes each ROW's own key against the
+    * grid (min over depth O(1) lookups, pure codegen, no shuffle);
+    * CMS never under-counts, so filtering rows by their key's
+    * estimate loses no true heavy hitter and needs no distinct-key
+    * enumeration. Only the surviving sliver reaches the final exact
+    * groupBy. Everything is deterministic (lehmer3 bucket streams,
+    * integer counters, commutative elementwise merge), so the DuckDB
+    * oracle reproduces each estimate bit-for-bit.
+    *
+    * Returns (key, est_count, true_count) for keys with
+    * est_count >= ceil(total * num / (nKeys * den)) — the threshold
+    * is driver-computed exact integer math, so no row-side product
+    * can overflow no matter the scale.
+    */
+  def heavyHittersCms(df: DataFrame, keyCol: String, depth: Int = 4,
+      width: Int = 512, num: Int = 6, den: Int = 5): DataFrame = {
+    import graft.functions.hashes.lehmer3
+    val ev = df.select(col(keyCol).cast("long").as("key"))
+      .filter(col("key").isNotNull)
+    def bucket(i: Int): Column =
+      pmod(lehmer3(col("key") + lit(i * 1000003L)), lit(width.toLong))
+
+    val grid = ev.select(explode(array((0 until depth).map(i =>
+        struct(lit(i).as("i"), bucket(i).as("b"))): _*)).as("ib"))
+      .groupBy(col("ib.i"), col("ib.b")).agg(count(lit(1)).as("c"))
+      .collect() // bounded: <= depth*width rows by construction
+    val counters = Array.fill(depth * width)(0L)
+    grid.foreach(r => counters(r.getInt(0) * width + r.getLong(1).toInt) = r.getLong(2))
+
+    val stats = ev.agg(count(lit(1)).as("total"),
+      countDistinct(col("key")).as("nkeys")).head()
+    val (total, nKeys) = (stats.getLong(0), stats.getLong(1))
+    val thr = (total * num + nKeys * den - 1) / (nKeys * den) // exact ceil-div
+
+    val est = (0 until depth).map(i =>
+        element_at(lit(counters), (bucket(i) + lit(i.toLong * width + 1)).cast("int")))
+      .reduce(least(_, _))
+    ev.withColumn("est_count", est)
+      .filter(col("est_count") >= lit(thr))
+      .groupBy(col("key"))
+      .agg(max(col("est_count")).as("est_count"), count(lit(1)).as("true_count"))
+  }
 }

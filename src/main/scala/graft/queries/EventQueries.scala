@@ -140,6 +140,13 @@ object EventQueries {
       ev(s, d).groupBy(col("event_type"))
         .agg(graft.functions.sketch.kmv_distinct(
           graft.functions.hashes.hash62(col("user_id")), 1024).as("approx_users"))),
+    // count-min-sketch heavy hitters: users at >= 1.2x the mean key
+    // frequency via a 4x512 counter grid — per-row probe against the
+    // broadcast grid (no distinct-key enumeration), exact count only
+    // over the surviving heavy sliver. Deterministic lehmer3 buckets
+    // make even the over-estimates oracle-exact
+    "ev_heavy_hitters" -> ((s, d) =>
+      Events.heavyHittersCms(ev(s, d), "user_id")),
     // conversion funnel view -> click -> purchase: per-user first-touch
     // timestamps (one grouped pass), then one reduced row counting users
     // whose stage times are strictly ordered. Null stage comparisons
@@ -343,6 +350,25 @@ object EventQueries {
                / max(CASE WHEN rn = 1024 THEN h END)
              END AS BIGINT) AS approx_users
          FROM r GROUP BY event_type""",
+    // count-min replication: the grid is GROUP BY (row, bucket) counts,
+    // a key's estimate the min over its 4 bucket cells; the threshold
+    // is the same exact ceil-division the Scala side computes
+    "ev_heavy_hitters" ->
+      s"""WITH ev AS (SELECT user_id AS key FROM events WHERE user_id IS NOT NULL),
+         bk AS (SELECT key, i,
+             (${PortableSql.lehmer3("key + (i * 1000003)")} % 512) AS bucket
+           FROM ev CROSS JOIN range(4) t(i)),
+         grid AS (SELECT i, bucket, count(*) AS c FROM bk GROUP BY 1, 2),
+         st AS (SELECT count(*) AS total, count(DISTINCT key) AS nkeys FROM ev),
+         thr AS (SELECT ((total * 6) + (nkeys * 5) - 1) // (nkeys * 5) AS t FROM st),
+         kc AS (SELECT key, count(*) AS true_count FROM ev GROUP BY 1),
+         ke AS (SELECT b.key, b.true_count, min(g.c) AS est_count
+           FROM kc b CROSS JOIN range(4) t(i) JOIN grid g
+             ON g.i = t.i
+            AND g.bucket = (${PortableSql.lehmer3("b.key + (t.i * 1000003)")} % 512)
+           GROUP BY 1, 2)
+         SELECT key, est_count, true_count FROM ke, thr
+         WHERE est_count >= thr.t""",
     "ev_funnel" ->
       s"""WITH u AS (SELECT user_id,
            min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS fv,
