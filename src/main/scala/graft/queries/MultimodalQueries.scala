@@ -159,6 +159,39 @@ object MultimodalQueries {
         }(enc).toDF("media_id", "kind", "bytes")
       Multimodal.flacSegmentStats(flacs, windowSamples = 512, hopSamples = 256)
     }),
+    // real CONTAINER metadata for video: video-kind rows become actual
+    // ISO BMFF files (box tree encoded by Mp4Codec, movie/track facts
+    // derived from the id) and the operator re-extracts every fact by
+    // a real box-tree parse; image/audio/text payloads exercise the
+    // not-an-MP4 skip path. Sample decode stays behind the documented
+    // stub — container structure is the real, uncompressed part
+    "mm_mp4_meta" -> ((s, d) => {
+      val enc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.BINARY)
+      val mp4s = media(s, d).select("media_id", "kind", "bytes")
+        .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+          it.map { r =>
+            val id = r.getLong(0); val kind = r.getString(1)
+            val payload =
+              if (kind == "video") {
+                val durTicks = 600L * (3 + id % 57) + id % 600
+                val video = Multimodal.Mp4Codec.TrackInfo(1L, "vide", 600L,
+                  durTicks, 320 + (id % 8).toInt * 80, 240 + (id % 6).toInt * 60)
+                val tracks =
+                  if (id % 2 == 0)
+                    Seq(video, Multimodal.Mp4Codec.TrackInfo(
+                      2L, "soun", 16000L, durTicks * 16000L / 600L, 0, 0))
+                  else Seq(video)
+                Multimodal.Mp4Codec.encode(600L, durTicks, tracks,
+                  Array.tabulate(8)(k => ((id + k) % 251).toByte))
+              } else r.getAs[Array[Byte]](2)
+            (id, kind, payload)
+          }
+        }(enc).toDF("media_id", "kind", "bytes")
+      Multimodal.mp4Meta(mp4s)
+    }),
     "mm_resize_cksum" -> ((s, d) => {
       val r = Multimodal.resize(media(s, d), targetCells = 64)
         .withColumn("rs", col("resized_bytes").cast("string"))
@@ -199,6 +232,21 @@ object MultimodalQueries {
            (CASE WHEN doc_id % 3 = 1 THEN 16000
                  WHEN doc_id % 3 = 2 THEN 30 ELSE 0 END)::INT AS sample_rate
          FROM documents""",
+    // every movie fact re-derived from the id arithmetic the fixture
+    // encoder used; duration_ms is exact integer division on both sides
+    "mm_mp4_meta" ->
+      s"""WITH v AS (SELECT doc_id AS media_id,
+             (600 * (3 + (doc_id % 57)) + (doc_id % 600)) AS dur_ticks
+           FROM documents WHERE (doc_id % 3) = 2)
+         SELECT media_id,
+           CAST(600 AS BIGINT) AS timescale,
+           ((dur_ticks * 1000) // 600) AS duration_ms,
+           CAST(1 + (CASE WHEN (media_id % 2) = 0 THEN 1 ELSE 0 END) AS INT)
+             AS n_tracks,
+           CAST(320 + ((media_id % 8) * 80) AS INT) AS width,
+           CAST(240 + ((media_id % 6) * 60) AS INT) AS height,
+           ((media_id % 2) = 0) AS has_audio
+         FROM v""",
     "mm_image_dims" ->
       s"""SELECT doc_id AS media_id,
            (8 + (doc_id * 7) % 64)::INT AS width,

@@ -152,4 +152,80 @@ class MultimodalSpec extends AnyFunSuite {
     assert(segs(0)._4 == w0.map(s => s.toLong * s).sum)
     assert(segs(0)._5 == w0.map(math.abs).max.toLong)
   }
+
+  test("Mp4Codec roundtrips movie and track facts through a real box tree") {
+    import Multimodal.Mp4Codec
+    val tracks = Seq(
+      Mp4Codec.TrackInfo(1L, "vide", 600L, 7200L, 640, 480),
+      Mp4Codec.TrackInfo(2L, "soun", 16000L, 192000L, 0, 0))
+    val bytes = Mp4Codec.encode(600L, 7200L, tracks, Array[Byte](1, 2, 3))
+    val m = Mp4Codec.parse(bytes).get
+    assert(m.timescale == 600L && m.duration == 7200L)
+    assert(m.tracks.map(t => (t.trackId, t.handler, t.timescale, t.duration,
+      t.width, t.height)) == tracks.map(t => (t.trackId, t.handler,
+      t.timescale, t.duration, t.width, t.height)))
+  }
+
+  test("Mp4Codec parses version-1 (64-bit) headers and largesize boxes") {
+    import java.nio.ByteBuffer
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val out = ByteBuffer.allocate(8 + payload.length)
+      out.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+      out.array()
+    }
+    // mvhd v1: 8-byte creation/modification/duration
+    val mvhd1 = {
+      val o = ByteBuffer.allocate(112)
+      o.putInt(0x01000000) // version 1
+      o.putLong(0L).putLong(0L).putInt(90000).putLong(123456789L)
+      o.array()
+    }
+    // a moov wrapped in a LARGESIZE header (size == 1 + 64-bit size)
+    val inner = box("mvhd", mvhd1)
+    val moov = {
+      val o = ByteBuffer.allocate(16 + inner.length)
+      o.putInt(1).put("moov".getBytes("US-ASCII"))
+        .putLong(16L + inner.length).put(inner)
+      o.array()
+    }
+    val ftyp = box("ftyp", "isom   ".getBytes("US-ASCII"))
+    val m = Multimodal.Mp4Codec.parse(ftyp ++ moov).get
+    assert(m.timescale == 90000L && m.duration == 123456789L)
+    assert(m.tracks.isEmpty)
+  }
+
+  test("Mp4Codec rejects hostile or non-BMFF payloads") {
+    import Multimodal.Mp4Codec
+    assert(Mp4Codec.parse("not an mp4 at all".getBytes).isEmpty)
+    val good = Mp4Codec.encode(600L, 600L,
+      Seq(Mp4Codec.TrackInfo(1L, "vide", 600L, 600L, 320, 240)), Array[Byte]())
+    assert(Mp4Codec.parse(good).isDefined)
+    // corrupt the moov size to claim more bytes than exist
+    val evil = good.clone
+    val moovOff = good.indexOfSlice("moov".getBytes) - 4
+    evil(moovOff) = 0x7f // size high byte -> ~2 GB
+    assert(Mp4Codec.parse(evil).isEmpty)
+    // truncated mid-box
+    assert(Mp4Codec.parse(good.take(good.length - 5)).isEmpty)
+  }
+
+  test("mp4Meta extracts container facts, skips non-MP4 payloads") {
+    import spark.implicits._
+    import Multimodal.Mp4Codec
+    val a = Mp4Codec.encode(600L, 1800L,
+      Seq(Mp4Codec.TrackInfo(1L, "vide", 600L, 1800L, 1280, 720),
+        Mp4Codec.TrackInfo(2L, "soun", 44100L, 132300L, 0, 0)),
+      Array[Byte](9))
+    val b = Mp4Codec.encode(1000L, 2500L,
+      Seq(Mp4Codec.TrackInfo(1L, "vide", 1000L, 2500L, 320, 240)),
+      Array[Byte]())
+    val df = Seq((1L, a), (2L, b), (3L, "junk".getBytes))
+      .toDF("media_id", "bytes")
+    val got = Multimodal.mp4Meta(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getInt(4), r.getInt(5), r.getBoolean(6))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 600L, 3000L, 2, 1280, 720, true),
+      (2L, 1000L, 2500L, 1, 320, 240, false)))
+  }
 }
