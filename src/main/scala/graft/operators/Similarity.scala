@@ -534,4 +534,75 @@ object Similarity {
       .select(col("__aid").as(idCol), col("pos_id"), col("pos_sim"),
         col("neg_id"), col("neg_sim"))
   }
+
+  /** Maximal-marginal-relevance re-rank: greedily pick k results that
+    * balance query relevance against redundancy with what is already
+    * picked — score(c) = (sim(q,c) - max_{s in picked} sim(c,s)) / 2,
+    * i.e. lambda = 1/2, the one lambda whose scaling is an EXACT
+    * power-of-two multiply (bit-reproducible across engines). The
+    * standard diversified-retrieval pass after any ANN shortlist.
+    *
+    * Scale shape: relevance scoring + top-poolSize shortlist is the
+    * distributed part (TakeOrdered, no shuffle of the vectors); the
+    * greedy selection is inherently sequential and runs on the driver
+    * over the BOUNDED pool (poolSize rows — the same bounded-collect
+    * contract as the IVF centroids), at O(k * poolSize) pairwise
+    * kernels. Pairwise cosine uses the same sequential-fold arithmetic
+    * as the distributed kernel, so a DuckDB recursive-CTE oracle
+    * replays every pick and score bit-for-bit. Ties (same score) break
+    * to the lower id, first pick is the relevance top-1. */
+  def mmrRerank(emb: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int, poolSize: Int = 32): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q = typedlit(query)
+    val pool = emb
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        cosine(col(vecCol), q).as("sim"))
+      .orderBy(col("sim").desc, col("id").asc)
+      .limit(poolSize)
+      .collect() // bounded: poolSize rows, the rerank shortlist
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        acc += a(i).toDouble * b(i).toDouble; i += 1
+      }
+      acc
+    }
+    def cosAB(a: Array[Float], b: Array[Float]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val pickedVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+    val chosen = scala.collection.mutable.Set.empty[Long]
+    if (pool.nonEmpty) { // pool is (sim desc, id asc): top-1 leads
+      picked += ((pool(0)._1, pool(0)._3))
+      pickedVecs += pool(0)._2
+      chosen += pool(0)._1
+    }
+    while (picked.size < math.min(k, pool.length)) {
+      var bestId = -1L; var bestVec: Array[Float] = null
+      var bestScore = Double.NegativeInfinity
+      pool.foreach { case (id, v, sim) =>
+        if (!chosen.contains(id)) {
+          var penalty = Double.NegativeInfinity
+          pickedVecs.foreach { pv =>
+            val s = cosAB(v, pv); if (s > penalty) penalty = s
+          }
+          val score = (sim - penalty) * 0.5
+          if (score > bestScore || (score == bestScore && id < bestId)) {
+            bestScore = score; bestId = id; bestVec = v
+          }
+        }
+      }
+      picked += ((bestId, bestScore))
+      pickedVecs += bestVec
+      chosen += bestId
+    }
+    picked.zipWithIndex
+      .map { case ((id, score), i) => (i + 1L, id, score) }
+      .toSeq.toDF("rank", "vec_id", "mmr_score")
+  }
 }

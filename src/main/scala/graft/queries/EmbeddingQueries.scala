@@ -30,6 +30,13 @@ object EmbeddingQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_cosine_topk" -> ((s, d) =>
       Similarity.cosineTopK(emb(s, d), "vec_id", "embedding", queryVec(s, d), 20)),
+    // diversified retrieval: MMR greedy re-rank of the cosine top-32
+    // shortlist (query vector itself excluded — it would zero every
+    // marginal score); lambda = 1/2 keeps the scoring arithmetic exact,
+    // so the DuckDB recursive-CTE oracle replays each pick bit-for-bit
+    "emb_mmr_rerank" -> ((s, d) =>
+      Similarity.mmrRerank(emb(s, d).filter("vec_id != 0"), "vec_id",
+        "embedding", queryVec(s, d), k = 8, poolSize = 32)),
     "emb_ann_topk" -> ((s, d) =>
       Similarity.annTopK(emb(s, d), "vec_id", "embedding", queryVec(s, d), 20,
         nBits = 12, maxHamming = 4)),
@@ -245,6 +252,40 @@ object EmbeddingQueries {
          SELECT e.vec_id, ${cosineSql("e.embedding", "qe")} AS sim
          FROM embeddings e, q
          ORDER BY sim DESC, e.vec_id LIMIT 20""",
+    // MMR replication: one recursive-CTE row per greedy step carrying
+    // the picked-id and score lists; each step's argmax is the same
+    // (score DESC, vec_id ASC) rule, each score the same
+    // (sim - max-pairwise-cosine) * 0.5 arithmetic
+    "emb_mmr_rerank" ->
+      s"""WITH RECURSIVE
+         q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         cand AS (SELECT e.vec_id, e.embedding,
+             ${cosineSql("e.embedding", "qe")} AS sim
+           FROM embeddings e, q WHERE e.vec_id != 0
+           ORDER BY sim DESC, e.vec_id LIMIT 32),
+         sel AS (
+           SELECT 1 AS step,
+             [(SELECT vec_id FROM cand ORDER BY sim DESC, vec_id LIMIT 1)] AS ids,
+             [(SELECT sim FROM cand ORDER BY sim DESC, vec_id LIMIT 1)] AS scores
+           UNION ALL
+           SELECT t.step + 1, list_append(t.ids, t.pick.v),
+             list_append(t.scores, t.pick.sc)
+           FROM (
+             SELECT s.step, s.ids, s.scores,
+               (SELECT {'v': c.vec_id,
+                   'sc': (c.sim - (SELECT max(${cosineSql("c.embedding", "c2.embedding")})
+                          FROM cand c2 WHERE list_contains(s.ids, c2.vec_id))) * 0.5}
+                FROM cand c WHERE NOT list_contains(s.ids, c.vec_id)
+                ORDER BY (c.sim - (SELECT max(${cosineSql("c.embedding", "c2.embedding")})
+                          FROM cand c2 WHERE list_contains(s.ids, c2.vec_id))) DESC,
+                  c.vec_id
+                LIMIT 1) AS pick
+             FROM sel s WHERE s.step < 8) t
+         )
+         SELECT r.rank AS rank, s.ids[r.rank] AS vec_id,
+           s.scores[r.rank] AS mmr_score
+         FROM sel s CROSS JOIN range(1, 9) r(rank)
+         WHERE s.step = 8""",
     // full replication: portable-hash hyperplane signs make the bucket
     // computation engine-exact, so the multi-probe candidate set and
     // the exact rerank replay bit-for-bit

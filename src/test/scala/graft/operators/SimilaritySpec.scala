@@ -200,4 +200,37 @@ class SimilaritySpec extends AnyFunSuite {
     // candidate here, so all 5 rows emit
     assert(got.size == 5)
   }
+
+  test("mmrRerank demotes a redundant near-duplicate below a diverse result") {
+    // query = (1,1): ids 1, 2, 3 are all equally relevant
+    // (sim = 1/sqrt(2)), but 2 is a clone of 1 while 3 is orthogonal
+    // to it. Pure relevance cannot separate them; MMR must rank the
+    // orthogonal 3 above the clone 2:
+    //   rank 1: tie on sim -> lowest id = 1, score = sim
+    //   rank 2: score(2) = (sim - cos(2,1)=1)/2 < 0
+    //           score(3) = (sim - cos(3,1)=0)/2 > 0  -> pick 3
+    val q = Array(1f, 1f)
+    val df = Seq(
+      (1L, Array(1f, 0f)),
+      (2L, Array(1f, 0f)),
+      (3L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    val got = Similarity.mmrRerank(df, "vec_id", "embedding", q, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._2).toSeq == Seq(1L, 3L, 2L),
+      s"expected diverse pick at rank 2, got ${got.toSeq}")
+    val sim = 1.0 / math.sqrt(2.0)
+    // all arithmetic is exact-reproducible: assert bit equality
+    assert(got(0)._3 == sim)
+    assert(got(1)._3 == (sim - 0.0) * 0.5)
+    assert(got(2)._3 == (sim - 1.0) * 0.5)
+  }
+
+  test("mmrRerank pool smaller than k returns the whole pool ranked") {
+    val q = Array(1f, 0f)
+    val df = Seq((5L, Array(1f, 0f)), (9L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mmrRerank(df, "vec_id", "embedding", q, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 5L), (2L, 9L)))
+  }
 }
