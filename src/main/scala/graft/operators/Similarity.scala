@@ -535,6 +535,75 @@ object Similarity {
         col("neg_id"), col("neg_sim"))
   }
 
+  /** IVF + PQ search — the memory-scale ANN form: coarse-quantize to
+    * prune the corpus to nProbe inverted lists, then rank candidates by
+    * ASYMMETRIC DISTANCE (ADC): each vector is represented only by its
+    * m product-quantizer codes, and a candidate's score is the sum of
+    * m table lookups — table[s][j] = dot(query-segment s, codebook
+    * entry j), built once per query on the driver (m x kSub doubles).
+    * At 100 TB this is the path where the vectors themselves never
+    * need to be read at query time: the scan touches (code_0..m,
+    * list_id) columns only — 4 bytes/vector instead of 256.
+    *
+    * Everything is deterministic (hash-seeded quantizers, exact
+    * integer-grid centroid means, fixed-order lookup-table sums), so a
+    * DuckDB oracle replays scores bit-for-bit. Scoring is approximate
+    * RELATIVE TO exact cosine by construction (that is the PQ trade);
+    * the returned adc_score is itself exact. */
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int, nLists: Int = 16, nProbe: Int = 4,
+      m: Int = 4, kSub: Int = 16, samplePct: Int = 50): DataFrame = {
+    val dims = emb.select(min(size(col(vecCol))), max(size(col(vecCol)))).head()
+    require(dims.getInt(0) == dims.getInt(1), "ivfpq needs uniform dims")
+    val segLen = dims.getInt(0) / m
+    require(segLen > 0, s"more segments ($m) than dims (${dims.getInt(0)})")
+
+    val cents = ivfCentroids(emb, idCol, vecCol, nLists)
+    val qd = query.map(_.toDouble)
+    def cos(c: Array[Double]): Double = {
+      var dot = 0.0; var nc = 0.0; var nq = 0.0
+      var i = 0
+      while (i < math.min(c.length, qd.length)) {
+        dot += c(i) * qd(i); nc += c(i) * c(i); nq += qd(i) * qd(i); i += 1
+      }
+      if (nc == 0 || nq == 0) -2.0 else dot / (math.sqrt(nc) * math.sqrt(nq))
+    }
+    val probes = cents.zipWithIndex.map { case (c, i) => (cos(c), i) }
+      .sortBy(-_._1).take(nProbe).map(_._2)
+
+    val train =
+      if (samplePct == 100) emb
+      else emb.filter(graft.functions.hashes.lehmer3(col(idCol)) % 100 < samplePct)
+    val segs = (0 until m).map(s => slice(col(vecCol), s * segLen + 1, segLen))
+    val books = pqCodebooks(train, idCol, segs, kSub)
+    // ADC lookup tables: sequential-fold dot of each query segment with
+    // each codebook entry — the only place the full query vector is used
+    val tables = (0 until m).map { s =>
+      val qs = query.slice(s * segLen, (s + 1) * segLen)
+      books(s).map { c =>
+        var acc = 0.0; var i = 0
+        while (i < math.min(qs.length, c.length)) {
+          acc += qs(i).toDouble * c(i); i += 1
+        }
+        acc
+      }
+    }
+    val codeCols = (0 until m).map(s =>
+      graft.functions.vectors.nearest_centroid(segs(s), books(s))
+        .cast("int").as(s"__code_$s"))
+    val adc = (0 until m).map(s =>
+        element_at(lit(tables(s)), col(s"__code_$s") + 1))
+      .reduce(_ + _) // fixed left-assoc order: ((t0+t1)+t2)+t3
+    emb.withColumn("list_id",
+        graft.functions.vectors.nearest_centroid(col(vecCol), cents))
+      .filter(col("list_id").isin(probes.toSeq: _*))
+      .select((col(idCol) +: codeCols): _*)
+      .withColumn("adc_score", adc)
+      .select(col(idCol), col("adc_score"))
+      .orderBy(col("adc_score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Maximal-marginal-relevance re-rank: greedily pick k results that
     * balance query relevance against redundancy with what is already
     * picked — score(c) = (sim(q,c) - max_{s in picked} sim(c,s)) / 2,

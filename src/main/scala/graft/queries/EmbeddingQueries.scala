@@ -90,6 +90,11 @@ object EmbeddingQueries {
       Similarity.ivfTopKIndexed(s, dir, "vec_id", "embedding",
         queryVec(s, d), 20, nProbe = 4)
     }),
+    // memory-scale ANN: IVF probe pruning + product-quantization ADC
+    // scoring — candidates are ranked by m table lookups over their
+    // 4 codes, the vectors themselves untouched at query time
+    "emb_ivfpq_topk" -> ((s, d) =>
+      Similarity.ivfPqTopK(emb(s, d), "vec_id", "embedding", queryVec(s, d), 20)),
     // embedding-space benchmark decontamination: train vectors within
     // cosine 0.3 of any eval vector (eval = id-hash bucket < 5, the
     // text-side split), eval side broadcast — no vector shuffle
@@ -246,6 +251,83 @@ object EmbeddingQueries {
        FROM codes"""
   }
 
+  /** [[pqOracle]]'s codebook/coding chain with p-prefixed CTE names so
+    * it composes with [[ivfQuantizerCtes]] (whose sa/ssum/scent/...
+    * names it would otherwise shadow). Ends at pfcent (seg codebooks)
+    * and pcodes (per-vector segment codes). */
+  private val pqCtesPrefixed: String = {
+    import PortableSql.{centroidCosine => cc, lehmer3, q20}
+    def segGrid(sumCte: String) =
+      s"""SELECT g.sg AS seg, g.l AS list_id,
+         list(COALESCE(CAST(ss.s AS DOUBLE) / ss.n / 1048576.0, 0.0) ORDER BY g.p) AS cv
+         FROM (SELECT a.range AS sg, b.range AS l, c.range AS p
+               FROM range(0, 4) a, range(0, 16) b, range(0, 16) c) g
+         LEFT JOIN $sumCte ss ON ss.seg = g.sg AND ss.list_id = g.l AND ss.pos = g.p
+         GROUP BY 1, 2"""
+    s"""pseg AS (SELECT e.vec_id, t.range AS seg,
+                 e.embedding[t.range * 16 + 1 : t.range * 16 + 16] AS sv
+               FROM e CROSS JOIN range(0, 4) t),
+       psamp AS (SELECT * FROM pseg WHERE (${lehmer3("vec_id")} % 100) < 50),
+       psa AS (SELECT vec_id, seg, (${lehmer3("vec_id")} % 16) AS list_id, sv FROM psamp),
+       pssum AS (SELECT seg, list_id, t.i AS pos, sum(${q20("sv[t.i + 1]")}) AS s,
+                count(*) AS n
+              FROM psa, LATERAL unnest(range(0, len(sv))) AS t(i)
+              GROUP BY 1, 2, 3),
+       pscent AS (${segGrid("pssum")}),
+       ps1 AS (SELECT psa.vec_id, psa.seg, c.list_id, ${cc("psa.sv", "c.cv")} AS sim
+              FROM psa JOIN pscent c ON c.seg = psa.seg),
+       pb1 AS (SELECT vec_id, seg, max(sim) AS bs FROM ps1 GROUP BY 1, 2),
+       pa1 AS (SELECT ps1.vec_id, ps1.seg, min(ps1.list_id) AS list_id
+              FROM ps1 JOIN pb1 ON ps1.vec_id = pb1.vec_id AND ps1.seg = pb1.seg
+                AND ps1.sim = pb1.bs
+              GROUP BY 1, 2),
+       pfsum AS (SELECT pa1.seg, pa1.list_id, t.i AS pos, sum(${q20("sm.sv[t.i + 1]")}) AS s,
+                count(*) AS n
+              FROM psamp sm JOIN pa1 ON sm.vec_id = pa1.vec_id AND sm.seg = pa1.seg,
+                LATERAL unnest(range(0, len(sm.sv))) AS t(i)
+              GROUP BY 1, 2, 3),
+       pfcent AS (${segGrid("pfsum")}),
+       ps2 AS (SELECT sg.vec_id, sg.seg, c.list_id, ${cc("sg.sv", "c.cv")} AS sim
+              FROM pseg sg JOIN pfcent c ON c.seg = sg.seg),
+       pb2 AS (SELECT vec_id, seg, max(sim) AS bs FROM ps2 GROUP BY 1, 2),
+       pa2 AS (SELECT ps2.vec_id, ps2.seg, min(ps2.list_id) AS code
+              FROM ps2 JOIN pb2 ON ps2.vec_id = pb2.vec_id AND ps2.seg = pb2.seg
+                AND ps2.sim = pb2.bs
+              GROUP BY 1, 2),
+       pcodes AS (SELECT vec_id,
+                 max(CASE WHEN seg = 0 THEN code END) AS code_0,
+                 max(CASE WHEN seg = 1 THEN code END) AS code_1,
+                 max(CASE WHEN seg = 2 THEN code END) AS code_2,
+                 max(CASE WHEN seg = 3 THEN code END) AS code_3
+               FROM pa2 GROUP BY 1)"""
+  }
+
+  /** IVF + PQ ADC replication: IVF probes + assignments from the
+    * shared quantizer CTEs, PQ codes/codebooks from the p-prefixed
+    * chain, and each candidate's score the same fixed-order sum of
+    * four query-segment x codebook-entry fold dots. */
+  private val ivfPqOracle: String = {
+    import PortableSql.{centroidCosine => cc}
+    def qseg(s: Int) = s"(qe[${s * 16 + 1} : ${s * 16 + 16}])"
+    def term(s: Int) = foldDot(qseg(s), s"c$s.cv")
+    s"""WITH $ivfQuantizerCtes,
+       $pqCtesPrefixed,
+       q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       probes AS (SELECT c.list_id FROM fcent c, q
+                  ORDER BY ${cc("qe", "c.cv")} DESC, c.list_id LIMIT 4)
+       SELECT pc.vec_id,
+         ${term(0)} + ${term(1)} + ${term(2)} + ${term(3)} AS adc_score
+       FROM pcodes pc
+       JOIN a2 ON a2.vec_id = pc.vec_id
+       JOIN pfcent c0 ON c0.seg = 0 AND c0.list_id = pc.code_0
+       JOIN pfcent c1 ON c1.seg = 1 AND c1.list_id = pc.code_1
+       JOIN pfcent c2 ON c2.seg = 2 AND c2.list_id = pc.code_2
+       JOIN pfcent c3 ON c3.seg = 3 AND c3.list_id = pc.code_3
+       CROSS JOIN q
+       WHERE a2.list_id IN (SELECT list_id FROM probes)
+       ORDER BY adc_score DESC, pc.vec_id LIMIT 20"""
+  }
+
   val oracleSql: Map[String, String] = Map(
     "emb_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
@@ -316,6 +398,7 @@ object EmbeddingQueries {
     "emb_ivf_indexed" -> ivfOracle,
     "emb_semantic_dedup" -> semanticDedupOracle,
     "emb_pq_codes" -> pqOracle,
+    "emb_ivfpq_topk" -> ivfPqOracle,
     "emb_kmeans_assign" ->
       s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 4),
          s AS (SELECT e.vec_id, c.cid, ${cosineSql("e.embedding", "c.ce")} AS sim

@@ -225,6 +225,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got(2)._3 == (sim - 1.0) * 0.5)
   }
 
+  test("ivfPqTopK: ADC table scoring separates clusters, exact on dyadic grid") {
+    // two orthogonal clusters of dyadic-exact vectors (the 2^-20
+    // centroid grid reproduces them bit-for-bit), m = 4 scalar
+    // segments: cluster A matches the query (adc = dot = 4.0), B is
+    // orthogonal (adc = 0.0). nProbe covers both lists, so ranking is
+    // purely the ADC separation; ties break to ascending id.
+    val a = Array(2f, 0f, 0f, 0f)
+    val b = Array(0f, 2f, 0f, 0f)
+    val df = ((1L to 4L).map((_, a)) ++ (5L to 8L).map((_, b)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.ivfPqTopK(df, "vec_id", "embedding", a, k = 6,
+        nLists = 2, nProbe = 2, m = 4, kSub = 4, samplePct = 100)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L, 6L), got.toSeq.toString)
+    assert(got.take(4).forall(_._2 == 4.0), "cluster A must score exactly dot(q,a)")
+    assert(got.drop(4).forall(_._2 == 0.0), "orthogonal cluster must score 0")
+  }
+
   test("mmrRerank pool smaller than k returns the whole pool ranked") {
     val q = Array(1f, 0f)
     val df = Seq((5L, Array(1f, 0f)), (9L, Array(0f, 1f)))
