@@ -789,6 +789,75 @@ final class BlockedCloud(
         max(abs(col("mean_z") - col("nb_mean"))).as("max_dz"))
   }
 
+  /** Per-cell least-squares PLANE fit + roughness: fit z = a·x + b·y + c
+    * over each raster cell's points and report the slope components and
+    * the maximum |residual| — the planarity/roughness raster ground and
+    * building classifiers consume (the plane-fit upgrade of
+    * [[gridSlope]]'s mean-difference gradient).
+    *
+    * Exactness: coordinates are CELL-LOCAL integers (dx, dy < cell) and
+    * z is centi-quantized, so the normal-equation sums are exact
+    * BIGINTs and Cramer's rule runs in exact integer arithmetic down to
+    * three final correctly-rounded divisions — a bit-reproducible plane
+    * fit. The three 2x2 minors are shared between the determinant and
+    * the a-numerator (same submatrix columns). Degenerate cells
+    * (det == 0: fewer than 3 points or collinear layouts) are excluded
+    * exactly. Residuals then evaluate per point in one fixed-order
+    * double expression. Integer envelope: |terms| <= n·cell²·(n·cell² +
+    * n·zMax·100) per product — for cell = 64, z <= 50 that holds to
+    * ~5000 points per cell; size cells so the per-cell population stays
+    * inside it (the same raster-sizing duty every grid op has).
+    *
+    * Scale shape: one narrow projection, ONE partially-aggregated
+    * raster-sized shuffle for the sums, a raster-sized fit table, and
+    * an equi-join of points back to their cell's fit (2 scans total —
+    * the slope-raster join pattern, never a window over points). */
+  def gridPlanarity(cell: Double): DataFrame = {
+    require(cell > 0, s"non-positive cell size $cell")
+    val p = explodePoints(blocks).select(
+      floor(col("x") / cell).cast(LongType).as("cell_x"),
+      floor(col("y") / cell).cast(LongType).as("cell_y"),
+      (col("x") - floor(col("x") / cell) * cell).cast(LongType).as("dx"),
+      (col("y") - floor(col("y") / cell) * cell).cast(LongType).as("dy"),
+      round(col("z") * 100).cast(LongType).as("zc"))
+    val s = p.groupBy(col("cell_x"), col("cell_y")).agg(
+      count(lit(1)).as("n"),
+      sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+      sum(col("dx") * col("dx")).as("sxx"),
+      sum(col("dy") * col("dy")).as("syy"),
+      sum(col("dx") * col("dy")).as("sxy"),
+      sum(col("dx") * col("zc")).as("sxz"),
+      sum(col("dy") * col("zc")).as("syz"),
+      sum(col("zc")).as("sz"))
+    // shared first-column minors of [[sxx sxy sx][sxy syy sy][sx sy n]]
+    val m11 = col("syy") * col("n") - col("sy") * col("sy")
+    val m21 = col("sxy") * col("n") - col("sx") * col("sy")
+    val m31 = col("sxy") * col("sy") - col("sx") * col("syy")
+    val det = col("sxx") * m11 - col("sxy") * m21 + col("sx") * m31
+    val detA = col("sxz") * m11 - col("syz") * m21 + col("sz") * m31
+    val n11 = col("syz") * col("n") - col("sy") * col("sz")
+    val n21 = col("sxz") * col("n") - col("sx") * col("sz")
+    val n31 = col("sxz") * col("sy") - col("sx") * col("syz")
+    val detB = col("sxx") * n11 - col("sxy") * n21 + col("sx") * n31
+    val p11 = col("syy") * col("sz") - col("syz") * col("sy")
+    val p21 = col("sxy") * col("sz") - col("sxz") * col("sy")
+    val p31 = col("sxy") * col("syz") - col("sxz") * col("syy")
+    val detC = col("sxx") * p11 - col("sxy") * p21 + col("sx") * p31
+    val fit = s.withColumn("det", det)
+      .filter(col("det") =!= 0L)
+      .select(col("cell_x"), col("cell_y"), col("n").as("n_points"),
+        (detA.cast("double") / col("det").cast("double")).as("slope_x"),
+        (detB.cast("double") / col("det").cast("double")).as("slope_y"),
+        (detC.cast("double") / col("det").cast("double")).as("icept_centi"))
+    p.join(fit, Seq("cell_x", "cell_y"))
+      .groupBy(col("cell_x"), col("cell_y"))
+      .agg(max(col("n_points")).as("n_points"),
+        max(col("slope_x")).as("slope_x"), max(col("slope_y")).as("slope_y"),
+        max(abs(col("zc").cast("double") -
+          (col("slope_x") * col("dx") + col("slope_y") * col("dy") +
+            col("icept_centi")))).as("max_resid_centi"))
+  }
+
   /** Radius outlier removal (the PDAL `filters.ror` shape): keep the
     * points whose 3D neighborhood population within `radius` — the
     * point's own multiset identity included — reaches `minNeighbors`;

@@ -281,6 +281,11 @@ object PointCloudQueries {
     }),
     // slope raster: max |mean-z step| to the 4-neighborhood per cell
     "pc_cell_slope" -> ((s, d) => cloud(s, d).gridSlope(64.0)),
+    // per-cell least-squares plane fit: exact-integer normal equations
+    // (cell-local coords), Cramer's rule, three correctly-rounded
+    // divisions, fixed-order residual evaluation — a bit-reproducible
+    // roughness raster
+    "pc_cell_planarity" -> ((s, d) => cloud(s, d).gridPlanarity(64.0)),
     // per-point height above the cell-min ground model; points join a
     // broadcast raster, never shuffle. x/y cast to the integer grid like
     // every other pc_* result — r7's only red row was this query hashing
@@ -419,6 +424,31 @@ object PointCloudQueries {
       "SELECT mz.cell_x, mz.cell_y, count(*) AS n_neighbors, " +
       "max(abs(mz.mean_z - c.nb_mean)) AS max_dz " +
       "FROM mz JOIN c USING (cell_x, cell_y) GROUP BY 1, 2"),
+    "pc_cell_planarity" -> (s"$ptsCte, " +
+      "p AS (SELECT x // 64 AS cell_x, y // 64 AS cell_y, x % 64 AS dx, y % 64 AS dy, " +
+      "CAST(round(z * 100, 0) AS BIGINT) AS zc FROM pts), " +
+      "g AS (SELECT cell_x, cell_y, count(*) AS n, " +
+      "CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy, " +
+      "CAST(sum(dx * dx) AS BIGINT) AS sxx, CAST(sum(dy * dy) AS BIGINT) AS syy, " +
+      "CAST(sum(dx * dy) AS BIGINT) AS sxy, CAST(sum(dx * zc) AS BIGINT) AS sxz, " +
+      "CAST(sum(dy * zc) AS BIGINT) AS syz, CAST(sum(zc) AS BIGINT) AS sz " +
+      "FROM p GROUP BY 1, 2), " +
+      // shared first-column minors, same factored forms as the Scala side
+      "m AS (SELECT *, (syy * n) - (sy * sy) AS m11, (sxy * n) - (sx * sy) AS m21, " +
+      "(sxy * sy) - (sx * syy) AS m31 FROM g), " +
+      "f AS (SELECT *, (sxx * m11) - (sxy * m21) + (sx * m31) AS det FROM m), " +
+      "fit AS (SELECT cell_x, cell_y, n AS n_points, " +
+      "CAST((sxz * m11) - (syz * m21) + (sz * m31) AS DOUBLE) / CAST(det AS DOUBLE) AS slope_x, " +
+      "CAST((sxx * ((syz * n) - (sy * sz))) - (sxy * ((sxz * n) - (sx * sz))) " +
+      "+ (sx * ((sxz * sy) - (sx * syz))) AS DOUBLE) / CAST(det AS DOUBLE) AS slope_y, " +
+      "CAST((sxx * ((syy * sz) - (syz * sy))) - (sxy * ((sxy * sz) - (sxz * sy))) " +
+      "+ (sx * ((sxy * syz) - (sxz * syy))) AS DOUBLE) / CAST(det AS DOUBLE) AS icept_centi " +
+      "FROM f WHERE det != 0) " +
+      "SELECT p.cell_x, p.cell_y, max(fit.n_points) AS n_points, " +
+      "max(fit.slope_x) AS slope_x, max(fit.slope_y) AS slope_y, " +
+      "max(abs(CAST(zc AS DOUBLE) - (fit.slope_x * dx + fit.slope_y * dy + fit.icept_centi))) " +
+      "AS max_resid_centi " +
+      "FROM p JOIN fit USING (cell_x, cell_y) GROUP BY 1, 2"),
     "pc_poly_3d" -> (s"$ptsCte SELECT x, y, z FROM pts WHERE " +
       "((x BETWEEN 501 AND 3000 AND y BETWEEN 501 AND 1500) OR " +
       "(x BETWEEN 501 AND 1500 AND y BETWEEN 501 AND 3000)) " +

@@ -239,4 +239,36 @@ class GridAndSetOpsSpec extends AnyFunSuite {
       .select(col("l_partkey")).distinct().count()
     assert(inter.count() + exc.count() == rSide)
   }
+
+  test("gridPlanarity recovers an exact plane (zero residual, exact slopes)") {
+    // points exactly on z = 0.02*x + 0.01*y + 1 (centi-exact z for
+    // integer x, y): zc = 2x + y + 100 -> the integer Cramer solve must
+    // recover slope_x = 2, slope_y = 1, icept = 100 and a residual of
+    // EXACTLY zero. Points span cell (0,0) of a 4-unit raster with
+    // non-collinear (x, y) so the system is full-rank.
+    val pts = for (x <- 0 to 3; y <- 0 to 3)
+      yield (x.toDouble, y.toDouble, 0.02 * x + 0.01 * y + 1.0)
+    val got = cloudOf(pts).gridPlanarity(4.0).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("n_points") == 16L)
+    assert(r.getAs[Double]("slope_x") == 2.0)
+    assert(r.getAs[Double]("slope_y") == 1.0)
+    assert(r.getAs[Double]("max_resid_centi") == 0.0)
+  }
+
+  test("gridPlanarity flags a spike as roughness, excludes degenerate cells") {
+    // flat cell with one 10-unit (1000 centi) spike: the LSQ plane
+    // tilts a little, so the max residual is large but below the spike
+    // height; a second cell holds a single point (rank-deficient,
+    // det = 0) and must be absent from the output
+    val flat = for (x <- 0 to 3; y <- 0 to 3)
+      yield (x.toDouble, y.toDouble, if (x == 0 && y == 0) 11.0 else 1.0)
+    val pts = flat :+ ((5.0, 1.0, 7.0)) // lone point in cell (1, 0)
+    val got = cloudOf(pts).gridPlanarity(4.0).collect()
+      .map(r => ((r.getAs[Long]("cell_x"), r.getAs[Long]("cell_y")), r)).toMap
+    assert(got.keySet == Set((0L, 0L)), s"degenerate cell must drop: ${got.keySet}")
+    val resid = got((0L, 0L)).getAs[Double]("max_resid_centi")
+    assert(resid > 500.0 && resid < 1000.0, s"spike residual: $resid")
+  }
 }
