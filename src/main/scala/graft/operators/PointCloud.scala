@@ -849,7 +849,9 @@ final class BlockedCloud(
         (detA.cast("double") / col("det").cast("double")).as("slope_x"),
         (detB.cast("double") / col("det").cast("double")).as("slope_y"),
         (detC.cast("double") / col("det").cast("double")).as("icept_centi"))
-    p.join(fit, Seq("cell_x", "cell_y"))
+    // fit is raster-sized however many points there are — pin it as the
+    // broadcast side so the point pass never shuffles at any scale
+    p.join(broadcast(fit), Seq("cell_x", "cell_y"))
       .groupBy(col("cell_x"), col("cell_y"))
       .agg(max(col("n_points")).as("n_points"),
         max(col("slope_x")).as("slope_x"), max(col("slope_y")).as("slope_y"),
