@@ -319,9 +319,10 @@ object Events {
     val counters = Array.fill(depth * width)(0L)
     grid.foreach(r => counters(r.getInt(0) * width + r.getLong(1).toInt) = r.getLong(2))
 
-    val stats = ev.agg(count(lit(1)).as("total"),
-      countDistinct(col("key")).as("nkeys")).head()
-    val (total, nKeys) = (stats.getLong(0), stats.getLong(1))
+    // total falls out of the grid for free: every row lands in exactly
+    // one bucket of row 0, so that row's counters sum to the row count
+    val total = counters.view.slice(0, width).sum
+    val nKeys = ev.select(col("key")).distinct().count()
     val thr = (total * num + nKeys * den - 1) / (nKeys * den) // exact ceil-div
 
     val est = (0 until depth).map(i =>
