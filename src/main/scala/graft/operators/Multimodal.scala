@@ -393,27 +393,28 @@ object Multimodal {
         if (!walk(b, from, until)(f)) bad = true
       val ok = walk(b, 0, b.length) { (typ, s, e) =>
         if (typ == "moov") sub(s, e) { (t2, s2, e2) =>
-          if (t2 == "mvhd") {
+          if (t2 == "mvhd" && e2 - s2 >= 20) {
             val (v, p) = full(b, s2)
-            movie = Some(
-              if (v == 1) (be32(b, p + 16), be64(b, p + 20))
-              else (be32(b, p + 8), be32(b, p + 12)))
+            if (v != 1) movie = Some((be32(b, p + 8), be32(b, p + 12)))
+            else if (e2 - s2 >= 32) movie = Some((be32(b, p + 16), be64(b, p + 20)))
           } else if (t2 == "trak") {
             var id = 0L; var w = 0; var h = 0
             var mts = 0L; var mdur = 0L; var handler = ""
             sub(s2, e2) { (t3, s3, e3) =>
               if (t3 == "tkhd") {
                 val (v, p) = full(b, s3)
-                id = if (v == 1) be32(b, p + 16) else be32(b, p + 8)
-                val wOff = p + (if (v == 1) 84 else 72)
-                w = be16(b, wOff)      // 16.16 fixed -> integer part
-                h = be16(b, wOff + 4)
-              } else if (t3 == "mdia") sub(s3, e3) { (t4, s4, _) =>
-                if (t4 == "mdhd") {
+                // min payloads: v0 = 84, v1 = 96 (fixed layout to height)
+                if (v != 1 && e3 - s3 >= 84) {
+                  id = be32(b, p + 8); w = be16(b, p + 72); h = be16(b, p + 76)
+                } else if (v == 1 && e3 - s3 >= 96) {
+                  id = be32(b, p + 16); w = be16(b, p + 84); h = be16(b, p + 88)
+                }
+              } else if (t3 == "mdia") sub(s3, e3) { (t4, s4, e4) =>
+                if (t4 == "mdhd" && e4 - s4 >= 20) {
                   val (v, p) = full(b, s4)
-                  if (v == 1) { mts = be32(b, p + 16); mdur = be64(b, p + 20) }
-                  else { mts = be32(b, p + 8); mdur = be32(b, p + 12) }
-                } else if (t4 == "hdlr") handler = tag(b, s4 + 8)
+                  if (v != 1) { mts = be32(b, p + 8); mdur = be32(b, p + 12) }
+                  else if (e4 - s4 >= 32) { mts = be32(b, p + 16); mdur = be64(b, p + 20) }
+                } else if (t4 == "hdlr" && e4 - s4 >= 12) handler = tag(b, s4 + 8)
               }
             }
             tracks += TrackInfo(id, handler, mts, mdur, w, h)

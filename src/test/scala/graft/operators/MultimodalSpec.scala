@@ -209,6 +209,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Mp4Codec.parse(good.take(good.length - 5)).isEmpty)
   }
 
+  test("Mp4Codec survives fuzzed and bit-flipped inputs without throwing") {
+    import Multimodal.Mp4Codec
+    val rnd = new scala.util.Random(47)
+    // pure garbage of assorted sizes: must return None or Some, never throw
+    (0 until 300).foreach { _ =>
+      val b = new Array[Byte](rnd.nextInt(200))
+      rnd.nextBytes(b)
+      Mp4Codec.parse(b) // no exception is the assertion
+    }
+    // mutated valid files: flip one byte anywhere (sizes, types, counts)
+    val good = Mp4Codec.encode(600L, 1800L,
+      Seq(Mp4Codec.TrackInfo(1L, "vide", 600L, 1800L, 640, 480),
+        Mp4Codec.TrackInfo(2L, "soun", 16000L, 48000L, 0, 0)),
+      Array.tabulate(16)(_.toByte))
+    (0 until 400).foreach { _ =>
+      val evil = good.clone
+      evil(rnd.nextInt(evil.length)) = rnd.nextInt(256).toByte
+      Mp4Codec.parse(evil) // no exception is the assertion
+    }
+    // truncations at every prefix length of the valid file
+    (0 until good.length).foreach(n => Mp4Codec.parse(good.take(n)))
+    // a CONSISTENT box tree whose tkhd payload (4 bytes) is shorter
+    // than the fixed field layout — sizes all check out in the walk,
+    // so only the per-box minimum-size guards stop the field reads
+    // from running past the end of the array
+    def bx(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val o = java.nio.ByteBuffer.allocate(8 + payload.length)
+      o.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+      o.array()
+    }
+    val stubbyTrak = bx("trak", bx("tkhd", Array[Byte](0, 0, 0, 0)))
+    val stubby = bx("ftyp", "isom".getBytes) ++ bx("moov", stubbyTrak)
+    val parsed = Mp4Codec.parse(stubby)
+    // no movie header -> None; the point is it must not throw
+    assert(parsed.isEmpty)
+  }
+
   test("mp4Meta extracts container facts, skips non-MP4 payloads") {
     import spark.implicits._
     import Multimodal.Mp4Codec
