@@ -120,6 +120,32 @@ object Streams {
       .select(unix_micros(col("window.start")).as("window_start_us"),
         col("cell_x"), col("cell_y"), col("n_points"), col("min_z"), col("max_z"))
 
+  /** Streaming count-min grid: per tumbling window, the d x w counter
+    * grid of [[graft.operators.Events.heavyHittersCms]] as a
+    * watermarked streaming aggregation. This is WHY sketches exist in
+    * streams: a per-key streaming count holds O(distinct keys) state,
+    * while this holds O(depth * w) cells per open window no matter how
+    * many keys flow through — and the closed grid still answers "which
+    * keys are heavy" with no false negatives when probed batch-side
+    * (same deterministic lehmer3 bucket streams as the batch op, so
+    * grid cells are bit-identical to a batch build over the same
+    * window's rows). */
+  def cmsGrid(events: DataFrame, keyCol: String, width: String = "1 hour",
+      watermark: String = "10 minutes", depth: Int = 4,
+      w: Int = 512): DataFrame = {
+    import graft.functions.hashes.lehmer3
+    val key = col(keyCol).cast("long")
+    events.withWatermark("ts", watermark)
+      .select(col("ts"), explode(array((0 until depth).map(i =>
+        struct(lit(i).as("i"),
+          pmod(lehmer3(key + lit(i * 1000003L)), lit(w.toLong)).as("b"))): _*))
+        .as("ib"))
+      .groupBy(window(col("ts"), width), col("ib.i"), col("ib.b"))
+      .agg(count(lit(1)).as("c"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("i"), col("b"), col("c"))
+  }
+
   /** Exactly-once parquet sink for foreachBatch: each micro-batch lands
     * in its own `__batch=<id>` partition with dynamic partition
     * overwrite, so a replayed batch (restart after a sink failure)

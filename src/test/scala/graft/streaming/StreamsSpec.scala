@@ -137,6 +137,43 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CMS grid: estimates recover counts, state stays grid-bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val df = in.toDF().toDF("ts", "user_id")
+    val q = Streams.cmsGrid(df, "user_id", width = "1 hour",
+        watermark = "0 seconds", depth = 4, w = 512)
+      .writeStream.format("memory").queryName("cms_out")
+      .outputMode("append").start()
+    try {
+      // window 0: key 7 x3, key 9 x1 — across two micro-batches so the
+      // grid cells merge partial counts
+      in.addData((ts(1), 7L), (ts(2), 7L), (ts(3), 9L))
+      q.processAllAvailable()
+      in.addData((ts(4), 7L))
+      q.processAllAvailable()
+      in.addData((ts(5000), 1L)) // advance watermark, close window 0
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM cms_out WHERE window_start_us = 0")
+        .collect().map(r => ((r.getInt(1), r.getLong(2)), r.getLong(3))).toMap
+      // the grid never exceeds its bound regardless of key cardinality
+      assert(rows.size <= 4 * 512)
+      // probe with the SAME bucket streams the batch operator uses:
+      // est(key) = min over rows i of grid(i, bucket_i(key)) — CMS
+      // over-approximates, exact here (2 keys cannot collide 4x)
+      def est(key: Long): Long = (0 until 4).map { i =>
+        val b = java.lang.Math.floorMod(
+          graft.functions.HashKernels.lehmer3(key + i * 1000003L), 512L)
+        rows.getOrElse((i, b), 0L)
+      }.min
+      assert(est(7L) == 3L)
+      assert(est(9L) == 1L)
+      // a key that never appeared estimates 0 unless all 4 cells collide
+      assert(est(12345L) <= 1L)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join attributes within the horizon only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
