@@ -28,33 +28,47 @@ object EventQueries {
     }
   }
 
+  /** Interval-interval overlap join: which users were active at the
+    * same time (session co-activity pairs per user pair) — the
+    * owner-bucket range join, exactly-once pairs by construction.
+    * Doubles as the edge list for the PageRank query. */
+  private def coactivityPairs(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+    val sessions = e
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("__w"))
+      .agg(count(lit(1)).as("__n"), max(unix_micros(col("ts"))).as("e_us"))
+      .filter(col("__n") >= 2)
+      .select(col("user_id"), unix_micros(col("__w.start")).as("s_us"), col("e_us"))
+    val a = sessions.select(
+      concat_ws("_", col("user_id"), col("s_us")).as("aid"),
+      col("s_us").as("a_s"), col("e_us").as("a_e"))
+    val b = sessions.select(
+      concat_ws("_", col("user_id"), col("s_us")).as("bid"),
+      col("s_us").as("b_s"), col("e_us").as("b_e"))
+    Events.intervalOverlapJoin(a, b, "aid", "a_s", "a_e", "bid", "b_s", "b_e")
+      .select(
+        split(col("aid"), "_").getItem(0).cast("long").as("user_a"),
+        split(col("bid"), "_").getItem(0).cast("long").as("user_b"))
+      .filter(col("user_a") < col("user_b"))
+      .groupBy(col("user_a"), col("user_b"))
+      .agg(count(lit(1)).as("n_overlaps"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_sessionize" -> ((s, d) =>
       Events.sessionize(ev(s, d), "user_id", "ts", "value", "30 minutes")),
     // interval-interval overlap join: which users were active at the
     // same time (session co-activity pairs per user pair) — the
     // owner-bucket range join, exactly-once pairs by construction
-    "ev_session_overlap" -> ((s, d) => {
-      val e = ev(s, d)
-      val sessions = e
-        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("__w"))
-        .agg(count(lit(1)).as("__n"), max(unix_micros(col("ts"))).as("e_us"))
-        .filter(col("__n") >= 2)
-        .select(col("user_id"), unix_micros(col("__w.start")).as("s_us"), col("e_us"))
-      val a = sessions.select(
-        concat_ws("_", col("user_id"), col("s_us")).as("aid"),
-        col("s_us").as("a_s"), col("e_us").as("a_e"))
-      val b = sessions.select(
-        concat_ws("_", col("user_id"), col("s_us")).as("bid"),
-        col("s_us").as("b_s"), col("e_us").as("b_e"))
-      Events.intervalOverlapJoin(a, b, "aid", "a_s", "a_e", "bid", "b_s", "b_e")
-        .select(
-          split(col("aid"), "_").getItem(0).cast("long").as("user_a"),
-          split(col("bid"), "_").getItem(0).cast("long").as("user_b"))
-        .filter(col("user_a") < col("user_b"))
-        .groupBy(col("user_a"), col("user_b"))
-        .agg(count(lit(1)).as("n_overlaps"))
-    }),
+    "ev_session_overlap" -> ((s, d) => coactivityPairs(s, d)),
+    // graph analytics over the co-activity graph: fixed-point integer
+    // PageRank (5 rounds, damping 1/2, floor divisions) — every round
+    // exact integer arithmetic, so the unrolled-CTE oracle replays the
+    // full iteration bit-for-bit
+    "ev_user_pagerank" -> ((s, d) =>
+      graft.operators.Graph.pageRankFixedPoint(
+        coactivityPairs(s, d), "user_a", "user_b", iterations = 5)
+        .select(col("node").as("user_id"), col("pr").as("pr_scaled"))),
     // in-session navigation mining: top-15 event-type trigrams (lead
     // windows per (user, session) — no per-session collect)
     "ev_session_paths" -> ((s, d) =>
@@ -350,6 +364,40 @@ object EventQueries {
                / max(CASE WHEN rn = 1024 THEN h END)
              END AS BIGINT) AS approx_users
          FROM r GROUP BY event_type""",
+    // fixed-point PageRank replication: same lag-recipe session edges,
+    // then the 5 rounds UNROLLED as CTEs — floor divisions and integer
+    // sums make every round's state bit-identical across engines
+    "ev_user_pagerank" -> {
+      def step(i: Int) =
+        s"""p$i AS (SELECT e.dst AS node,
+           524288 + (CAST(sum(p.pr // e.deg) AS BIGINT) // 2) AS pr
+           FROM ed e JOIN p${i - 1} p ON p.node = e.src GROUP BY 1)"""
+      s"""WITH o AS (
+           SELECT user_id, event_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_us
+           FROM events),
+         m AS (
+           SELECT user_id, us,
+             sum(CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+               THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+               ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+           FROM o),
+         sess AS (
+           SELECT user_id, min(us) AS s_us, max(us) AS e_us
+           FROM m GROUP BY user_id, sid HAVING count(*) >= 2),
+         pairs AS (SELECT DISTINCT a.user_id AS ua, b.user_id AS ub
+           FROM sess a JOIN sess b
+             ON a.user_id < b.user_id
+             AND a.s_us <= b.e_us AND b.s_us <= a.e_us),
+         sym AS (SELECT ua AS src, ub AS dst FROM pairs
+                 UNION SELECT ub, ua FROM pairs),
+         deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY 1),
+         ed AS (SELECT s.src, s.dst, d.deg FROM sym s JOIN deg d USING (src)),
+         p0 AS (SELECT src AS node, CAST(1048576 AS BIGINT) AS pr FROM deg),
+         ${(1 to 5).map(step).mkString(",\n         ")}
+         SELECT node AS user_id, pr AS pr_scaled FROM p5"""
+    },
     // count-min replication: the grid is GROUP BY (row, bucket) counts,
     // a key's estimate the min over its 4 bucket cells; the threshold
     // is the same exact ceil-division the Scala side computes

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("pageRankFixedPoint: hand-computed rounds on a path graph") {
+    // path 1-2-3: deg(1)=deg(3)=1, deg(2)=2. S=2^20, base=S/2.
+    // round 1: pr(1)=pr(3)=524288+524288/2=786432,
+    //          pr(2)=524288+(1048576+1048576)/2/... = 524288+1048576=1572864
+    // round 2: pr(1)=pr(3)=524288+ (1572864/2)/2 = 917504,
+    //          pr(2)=524288+(786432+786432)/2 = 1310720
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val got = Graph.pageRankFixedPoint(edges, "a", "b", iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 917504L, 2L -> 1310720L, 3L -> 917504L))
+  }
+
+  test("pageRankFixedPoint: symmetrization dedups reversed and repeated edges") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L)).toDF("a", "b")
+    val clean = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val g1 = Graph.pageRankFixedPoint(edges, "a", "b", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val g2 = Graph.pageRankFixedPoint(clean, "a", "b", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g1 == g2)
+  }
+
+  test("pageRankFixedPoint: the hub of a star outranks its leaves") {
+    val edges = (2L to 7L).map((1L, _)).toDF("a", "b")
+    val got = Graph.pageRankFixedPoint(edges, "a", "b", iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((2L to 7L).forall(l => got(1L) > got(l)))
+    assert((2L to 7L).map(got).toSet.size == 1, "leaves tie by symmetry")
+  }
+}
