@@ -49,4 +49,37 @@ object Graph {
     }
     pr
   }
+
+  /** Deterministic synchronous label propagation (community detection):
+    * start with label(v) = v, then k rounds of "adopt the most frequent
+    * label among neighbors, ties to the SMALLEST label" — the tie rule
+    * is what makes the classic randomized LPA deterministic and
+    * therefore oracle-replayable. Per round: one edge-vs-frontier
+    * equi-join, one (node, label) count aggregation, one max-count
+    * argmin-label reduction — all partial-combined, nothing
+    * driver-side. Fixed k (no convergence test) keeps the plan static;
+    * synchronous updates can oscillate on bipartite structures, which
+    * a caller handles by choice of k, exactly as published LPA does. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 5): DataFrame = {
+    require(iterations >= 1)
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct()
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    var lab = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    (1 to iterations).foreach { _ =>
+      val counts = sym.join(lab, col("src") === col("node"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val best = counts.groupBy(col("dst")).agg(max(col("cnt")).as("mc"))
+      lab = counts.join(best, "dst")
+        .filter(col("cnt") === col("mc"))
+        .groupBy(col("dst"))
+        .agg(min(col("label")).as("label"))
+        .select(col("dst").as("node"), col("label"))
+    }
+    lab
+  }
 }

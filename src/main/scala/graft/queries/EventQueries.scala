@@ -154,6 +154,12 @@ object EventQueries {
       ev(s, d).groupBy(col("event_type"))
         .agg(graft.functions.sketch.kmv_distinct(
           graft.functions.hashes.hash62(col("user_id")), 1024).as("approx_users"))),
+    // deterministic label propagation on the same edges: communities
+    // after 3 synchronous rounds, min-label tie rule
+    "ev_user_communities" -> ((s, d) =>
+      graft.operators.Graph.labelPropagation(
+        coactivityPairs(s, d), "user_a", "user_b", iterations = 3)
+        .select(col("node").as("user_id"), col("label").as("community"))),
     // count-min-sketch heavy hitters: users at >= 1.2x the mean key
     // frequency via a 4x512 counter grid — per-row probe against the
     // broadcast grid (no distinct-key enumeration), exact count only
@@ -397,6 +403,39 @@ object EventQueries {
          p0 AS (SELECT src AS node, CAST(1048576 AS BIGINT) AS pr FROM deg),
          ${(1 to 5).map(step).mkString(",\n         ")}
          SELECT node AS user_id, pr AS pr_scaled FROM p5"""
+    },
+    // LPA replication: 3 unrolled rounds of count -> max -> min-label
+    "ev_user_communities" -> {
+      def step(i: Int) =
+        s"""c$i AS (SELECT e.dst, p.label, count(*) AS cnt
+           FROM ed e JOIN l${i - 1} p ON p.node = e.src GROUP BY 1, 2),
+         b$i AS (SELECT dst, max(cnt) AS mc FROM c$i GROUP BY 1),
+         l$i AS (SELECT c.dst AS node, min(c.label) AS label
+           FROM c$i c JOIN b$i b ON c.dst = b.dst AND c.cnt = b.mc GROUP BY 1)"""
+      s"""WITH o AS (
+           SELECT user_id, event_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_us
+           FROM events),
+         m AS (
+           SELECT user_id, us,
+             sum(CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+               THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+               ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+           FROM o),
+         sess AS (
+           SELECT user_id, min(us) AS s_us, max(us) AS e_us
+           FROM m GROUP BY user_id, sid HAVING count(*) >= 2),
+         pairs AS (SELECT DISTINCT a.user_id AS ua, b.user_id AS ub
+           FROM sess a JOIN sess b
+             ON a.user_id < b.user_id
+             AND a.s_us <= b.e_us AND b.s_us <= a.e_us),
+         sym AS (SELECT ua AS src, ub AS dst FROM pairs
+                 UNION SELECT ub, ua FROM pairs),
+         ed AS (SELECT src, dst FROM sym),
+         l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+         ${(1 to 3).map(step).mkString(",\n         ")}
+         SELECT node AS user_id, label AS community FROM l3"""
     },
     // count-min replication: the grid is GROUP BY (row, bucket) counts,
     // a key's estimate the min over its 4 bucket cells; the threshold

@@ -35,6 +35,20 @@ class GraphSpec extends AnyFunSuite {
     assert(g1 == g2)
   }
 
+  test("labelPropagation separates two bridged triangles (hand-traced)") {
+    // triangles {1,2,3} and {4,5,6} bridged by 3-4. With the
+    // min-label tie rule the rounds are fully deterministic; after 3
+    // rounds the left triangle converges to label 1 and the right to
+    // label 3 (the bridge carried 3 across before the left settled) —
+    // two distinct communities, split exactly at the bridge.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("a", "b")
+    val got = Graph.labelPropagation(edges, "a", "b", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L), got.toString)
+  }
+
   test("pageRankFixedPoint: the hub of a star outranks its leaves") {
     val edges = (2L to 7L).map((1L, _)).toDF("a", "b")
     val got = Graph.pageRankFixedPoint(edges, "a", "b", iterations = 5)
