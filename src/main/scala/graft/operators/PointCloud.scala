@@ -789,6 +789,32 @@ final class BlockedCloud(
         max(abs(col("mean_z") - col("nb_mean"))).as("max_dz"))
   }
 
+  /** Exact per-cell ORDER STATISTIC of elevation: the k-th smallest
+    * centi-z where k = ceil(permille/1000 * n) — the discrete
+    * percentile canopy/height products use (P95 crown height etc.).
+    * Discrete-by-construction: no interpolation arithmetic to match
+    * across engines, the answer is a value that EXISTS in the cell, so
+    * the oracle replays it with the same row_number/count recipe.
+    * Ties in z are harmless: row order among equal zc is
+    * nondeterministic but the VALUE at any rank is not. One shuffle on
+    * the cell key; windows partition by cell (raster-keyed — bounded
+    * population per the usual raster-sizing duty, never a global or
+    * single-partition window). */
+  def gridPercentile(cell: Double, permille: Int = 950): DataFrame = {
+    require(cell > 0 && permille >= 1 && permille <= 1000)
+    import org.apache.spark.sql.expressions.Window
+    val p = explodePoints(blocks).select(
+      floor(col("x") / cell).cast(LongType).as("cell_x"),
+      floor(col("y") / cell).cast(LongType).as("cell_y"),
+      round(col("z") * 100).cast(LongType).as("zc"))
+    val w = Window.partitionBy(col("cell_x"), col("cell_y"))
+    p.withColumn("rk", row_number().over(w.orderBy(col("zc").asc)))
+      .withColumn("n", count(lit(1)).over(w))
+      .filter(col("rk") === expr(s"(n * $permille + 999) div 1000"))
+      .select(col("cell_x"), col("cell_y"), col("n").as("n_points"),
+        col("zc").as(s"p${permille}_centi"))
+  }
+
   /** Per-cell least-squares PLANE fit + roughness: fit z = a·x + b·y + c
     * over each raster cell's points and report the slope components and
     * the maximum |residual| — the planarity/roughness raster ground and

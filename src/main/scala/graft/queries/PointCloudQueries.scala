@@ -286,6 +286,8 @@ object PointCloudQueries {
     // divisions, fixed-order residual evaluation — a bit-reproducible
     // roughness raster
     "pc_cell_planarity" -> ((s, d) => cloud(s, d).gridPlanarity(64.0)),
+    // exact discrete P95 per cell: k-th order statistic, k = ceil(.95n)
+    "pc_cell_p95" -> ((s, d) => cloud(s, d).gridPercentile(64.0, 950)),
     // per-point height above the cell-min ground model; points join a
     // broadcast raster, never shuffle. x/y cast to the integer grid like
     // every other pc_* result — r7's only red row was this query hashing
@@ -424,6 +426,14 @@ object PointCloudQueries {
       "SELECT mz.cell_x, mz.cell_y, count(*) AS n_neighbors, " +
       "max(abs(mz.mean_z - c.nb_mean)) AS max_dz " +
       "FROM mz JOIN c USING (cell_x, cell_y) GROUP BY 1, 2"),
+    "pc_cell_p95" -> (s"$ptsCte, " +
+      "p AS (SELECT x // 64 AS cell_x, y // 64 AS cell_y, " +
+      "CAST(round(z * 100, 0) AS BIGINT) AS zc FROM pts), " +
+      "r AS (SELECT cell_x, cell_y, zc, " +
+      "row_number() OVER (PARTITION BY cell_x, cell_y ORDER BY zc) AS rk, " +
+      "count(*) OVER (PARTITION BY cell_x, cell_y) AS n FROM p) " +
+      "SELECT cell_x, cell_y, n AS n_points, zc AS p950_centi " +
+      "FROM r WHERE rk = ((n * 950) + 999) // 1000"),
     "pc_cell_planarity" -> (s"$ptsCte, " +
       "p AS (SELECT x // 64 AS cell_x, y // 64 AS cell_y, x % 64 AS dx, y % 64 AS dy, " +
       "CAST(round(z * 100, 0) AS BIGINT) AS zc FROM pts), " +

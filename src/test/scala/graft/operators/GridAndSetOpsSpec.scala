@@ -257,6 +257,20 @@ class GridAndSetOpsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("max_resid_centi") == 0.0)
   }
 
+  test("gridPercentile: exact k-th order statistic, ties and tiny cells") {
+    // cell (0,0): z = 0.01..0.20 -> P95 rank ceil(.95*20) = 19 -> 19
+    // centi. cell (1,0): all-equal z -> any rank returns the tie value.
+    // cell (2,0): single point -> rank ceil(.95) = 1 -> that point.
+    val c0 = (1 to 20).map(i => (0.0 + (i % 4), 0.0 + (i % 4 + i / 4) % 4, i / 100.0))
+    val c1 = (1 to 5).map(_ => (5.0, 1.0, 7.77))
+    val pts = c0 ++ c1 :+ ((9.0, 2.0, 3.33))
+    val got = cloudOf(pts).gridPercentile(4.0, 950).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(got((0L, 0L)) == ((20L, 19L)))
+    assert(got((1L, 0L)) == ((5L, 777L)))
+    assert(got((2L, 0L)) == ((1L, 333L)))
+  }
+
   test("gridPlanarity flags a spike as roughness, excludes degenerate cells") {
     // flat cell with one 10-unit (1000 centi) spike: the LSQ plane
     // tilts a little, so the max residual is large but below the spike
