@@ -180,7 +180,25 @@ object DocQueries {
     // cross-multiplication (minWords = 40 ~ the fixture median so the
     // rule actually discriminates)
     "doc_gopher_rules" -> ((s, d) =>
-      TextStats.gopherRules(docs(s, d), "doc_id", "text", minWords = 40)))
+      TextStats.gopherRules(docs(s, d), "doc_id", "text", minWords = 40)),
+    // END-TO-END curation pipeline — the operators composed as one job:
+    // Gopher quality gate -> exact dedup (min-id representative per
+    // normalized text) -> whitespace token count -> deterministic hash
+    // sharding -> per-shard accounting. One oracle replays the whole
+    // chain, proving the stages compose without hidden coupling
+    "doc_pipeline_e2e" -> ((s, d) => {
+      val df = docs(s, d)
+      val kept = TextStats.gopherRules(df, "doc_id", "text", minWords = 40)
+        .filter(col("keep")).select("doc_id")
+      val reps = df.join(kept, "doc_id")
+        .select(col("doc_id"), TextStats.norm(col("text")).as("__t"))
+        .groupBy(col("__t")).agg(min(col("doc_id")).as("doc_id"))
+      reps
+        .select(TextStats.idBucket(col("doc_id"), 4).as("shard"),
+          size(split(col("__t"), " ")).cast("long").as("ws"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("ws_tokens_sum"))
+    }))
 
   /** Fixture mix: downsample three sources, keep the rest. */
   private val resamplePct = Map("src0" -> 25, "src1" -> 50, "src2" -> 75)
@@ -712,6 +730,31 @@ object DocQueries {
                  ON tp.id_a = ep.id_a AND tp.id_b = ep.id_b)
          SELECT category, count(*) AS n_pairs FROM u GROUP BY 1""",
     // integer cross-multiplied Gopher rules — every flag replays exactly
+    // the same stage CTEs as the standalone oracles, chained
+    "doc_pipeline_e2e" ->
+      s"""WITH n AS (SELECT doc_id, $normSql AS t FROM documents),
+         c AS (SELECT doc_id, t,
+                 len(string_split(t, ' ')) AS n_words,
+                 length(t) - (len(string_split(t, ' ')) - 1) AS word_chars,
+                 len(regexp_extract_all(t, '#|\\.\\.\\.')) AS n_symbols,
+                 len(list_filter(string_split(t, ' '),
+                     w -> regexp_matches(w, '[a-z]'))) AS n_alpha_words,
+                 len(list_filter(list_distinct(string_split(t, ' ')),
+                     w -> list_contains(${stopListSql(TextStats.enStopwords)}, w)))
+                   AS n_stop_distinct
+               FROM n),
+         k AS (SELECT doc_id, t FROM c
+               WHERE n_words >= 40 AND n_words <= 100000
+                 AND word_chars >= n_words * 3 AND word_chars <= n_words * 10
+                 AND (n_symbols * 10) <= n_words
+                 AND (n_alpha_words * 5) >= (n_words * 4)
+                 AND n_stop_distinct >= 2),
+         r AS (SELECT min(doc_id) AS doc_id, t FROM k GROUP BY t),
+         s AS (SELECT ${TextStats.idBucketSql("doc_id", 4)} AS shard,
+                 len(string_split(t, ' '))::BIGINT AS ws FROM r)
+         SELECT shard, count(*) AS n_docs,
+           CAST(sum(ws) AS BIGINT) AS ws_tokens_sum
+         FROM s GROUP BY 1""",
     "doc_gopher_rules" ->
       s"""WITH n AS (SELECT doc_id, $normSql AS t FROM documents),
          c AS (SELECT doc_id,
