@@ -280,6 +280,52 @@ object Events {
       .drop("__tot")
   }
 
+  /** KMV theta-sketch SET INTERSECTION: estimated distinct-key overlap
+    * for every group pair from bounded per-group sketches — the
+    * "how many users do these two event types share" question answered
+    * from k hashes per group instead of a distinct-pair join over the
+    * raw data. Deterministic estimator (same design rule as
+    * [[graft.functions.KmvDistinctAgg]]): sketches are the k SMALLEST
+    * distinct hashes (a set property, no randomness), theta = the k-th
+    * smallest (or the full hash space when the group is unsaturated —
+    * there the sketch IS the distinct set and the estimate is exact),
+    * and est = c * SPACE / min(theta_a, theta_b) in pure integer
+    * arithmetic over matching hashes below the pair's theta. Hashes
+    * live in a 2^52 space (hash62 >> 10) precisely so c * SPACE fits a
+    * long for k <= 1024 — no BigInt, no float, oracle-exact.
+    *
+    * Scale shape: one distinct + one per-group window bounded by k,
+    * then all joins run over the k-per-group sketch frame (|groups|*k
+    * rows), never the data. */
+  def kmvOverlap(df: DataFrame, groupCol: String, keyCol: String,
+      k: Int = 128): DataFrame = {
+    require(k > 1 && k <= 1024, s"k in (1, 1024], got $k")
+    val space = 1L << 52
+    import org.apache.spark.sql.expressions.Window
+    val h = df.select(col(groupCol).as("t"),
+        shiftrightunsigned(
+          graft.functions.hashes.hash62(col(keyCol).cast("long")), 10).as("h"))
+      .filter(col("h").isNotNull).distinct()
+    val sk = h.withColumn("rn",
+        row_number().over(Window.partitionBy(col("t")).orderBy(col("h").asc)))
+      .filter(col("rn") <= k).select(col("t"), col("h"))
+    val th = sk.groupBy(col("t"))
+      .agg(count(lit(1)).as("ns"), max(col("h")).as("mx"))
+      .select(col("t"),
+        when(col("ns") < k, lit(space)).otherwise(col("mx")).as("theta"))
+    val a = sk.select(col("t").as("ta"), col("h"))
+    val b = sk.select(col("t").as("tb"), col("h").as("hb"))
+    a.join(b, col("h") === col("hb") && col("ta") < col("tb"))
+      .join(th.select(col("t").as("ta"), col("theta").as("tha")), "ta")
+      .join(th.select(col("t").as("tb"), col("theta").as("thb")), "tb")
+      .filter(col("h") < least(col("tha"), col("thb")))
+      .groupBy(col("ta").as("type_a"), col("tb").as("type_b"))
+      .agg(count(lit(1)).as("c"),
+        max(least(col("tha"), col("thb"))).as("th"))
+      .select(col("type_a"), col("type_b"),
+        expr(s"(c * $space) div th").as("est_common_keys"))
+  }
+
   /** Count-min-sketch heavy hitters: keys whose frequency is at least
     * num/den of the mean key frequency, found WITHOUT a full per-key
     * aggregation — the reason a sketch matters at 100 TB, where the

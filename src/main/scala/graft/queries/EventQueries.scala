@@ -154,6 +154,10 @@ object EventQueries {
       ev(s, d).groupBy(col("event_type"))
         .agg(graft.functions.sketch.kmv_distinct(
           graft.functions.hashes.hash62(col("user_id")), 1024).as("approx_users"))),
+    // KMV theta-sketch intersection: distinct-user overlap per
+    // event-type pair from k-hash sketches, never a distinct-pair join
+    "ev_type_overlap_kmv" -> ((s, d) =>
+      Events.kmvOverlap(ev(s, d), "event_type", "user_id", k = 128)),
     // deterministic label propagation on the same edges: communities
     // after 3 synchronous rounds, min-label tie rule
     "ev_user_communities" -> ((s, d) =>
@@ -370,6 +374,25 @@ object EventQueries {
                / max(CASE WHEN rn = 1024 THEN h END)
              END AS BIGINT) AS approx_users
          FROM r GROUP BY event_type""",
+    // KMV intersection replication: same k-smallest sketch sets,
+    // theta rule, and integer estimate
+    "ev_type_overlap_kmv" ->
+      s"""WITH h AS (SELECT DISTINCT event_type AS t,
+             (${PortableSql.hash62("user_id")} // 1024) AS h FROM events),
+         r AS (SELECT t, h,
+             row_number() OVER (PARTITION BY t ORDER BY h) AS rn FROM h),
+         sk AS (SELECT t, h FROM r WHERE rn <= 128),
+         th AS (SELECT t, CASE WHEN count(*) < 128 THEN 4503599627370496
+                  ELSE max(h) END AS theta FROM sk GROUP BY 1),
+         c AS (SELECT a.t AS type_a, b.t AS type_b, count(*) AS c,
+                 max(least(ta.theta, tb.theta)) AS th
+               FROM sk a JOIN sk b ON a.h = b.h AND a.t < b.t
+               JOIN th ta ON ta.t = a.t JOIN th tb ON tb.t = b.t
+               WHERE a.h < least(ta.theta, tb.theta)
+               GROUP BY 1, 2)
+         SELECT type_a, type_b,
+           CAST(((c * 4503599627370496) // th) AS BIGINT) AS est_common_keys
+         FROM c""",
     // fixed-point PageRank replication: same lag-recipe session edges,
     // then the 5 rounds UNROLLED as CTEs — floor divisions and integer
     // sums make every round's state bit-identical across engines

@@ -151,6 +151,25 @@ class EventsSpec extends AnyFunSuite {
     assert(got == Map("A>B>C" -> 1L, "B>C>D" -> 1L, "C>A>B" -> 1L))
   }
 
+  test("kmvOverlap: exact below k, estimator-regime accuracy above k") {
+    // unsaturated: 30 users per type, 10 shared -> the sketch IS the
+    // distinct set, the estimate is the exact overlap
+    val small = ((1L to 30L).map(u => ("A", u)) ++ (21L to 50L).map(u => ("B", u)))
+      .zipWithIndex.map { case ((t, u), i) => (i.toLong, t, u) }
+      .toDF("event_id", "event_type", "user_id")
+    val gotS = Events.kmvOverlap(small, "event_type", "user_id", k = 128)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(gotS == Map(("A", "B") -> 10L))
+    // saturated: 400/400 users, 200 shared -> theta estimation; the
+    // deterministic estimator must land within ~35% of truth at k=128
+    val big = ((1L to 400L).map(u => ("A", u)) ++ (201L to 600L).map(u => ("B", u)))
+      .zipWithIndex.map { case ((t, u), i) => (i.toLong, t, u) }
+      .toDF("event_id", "event_type", "user_id")
+    val gotB = Events.kmvOverlap(big, "event_type", "user_id", k = 128)
+      .collect().map(r => r.getLong(2)).head
+    assert(gotB > 130 && gotB < 270, s"estimate $gotB for true overlap 200")
+  }
+
   test("heavyHittersCms: no false negatives, estimates never under-count") {
     // 200 distinct keys: key 1 occurs 300x, key 2 occurs 150x, the
     // rest once each -> total 648, mean 3.24, thr = ceil(1.2 * mean)
