@@ -50,6 +50,32 @@ object Graph {
     pr
   }
 
+  /** Connected components by min-label propagation: label(v) starts at
+    * v and each round takes the minimum over {self} ∪ neighbors —
+    * monotone (labels only decrease), so unlike LPA it cannot
+    * oscillate, and after k rounds every node holds the component
+    * minimum within k hops; k >= the graph diameter makes it the exact
+    * component id. The k-round form keeps the plan static and the
+    * oracle unrollable — the complement to Dedup's driver/union-find
+    * component path, for graphs whose edge list is already reduced. */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 8): DataFrame = {
+    require(iterations >= 1)
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct()
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    var lab = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    (1 to iterations).foreach { _ =>
+      val fromNbrs = sym.join(lab, col("src") === col("node"))
+        .select(col("dst").as("node"), col("label"))
+      lab = lab.union(fromNbrs)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+    }
+    lab
+  }
+
   /** Deterministic synchronous label propagation (community detection):
     * start with label(v) = v, then k rounds of "adopt the most frequent
     * label among neighbors, ties to the SMALLEST label" — the tie rule

@@ -154,6 +154,12 @@ object EventQueries {
       ev(s, d).groupBy(col("event_type"))
         .agg(graft.functions.sketch.kmv_distinct(
           graft.functions.hashes.hash62(col("user_id")), 1024).as("approx_users"))),
+    // connected components (monotone min-label, 8 rounds >= fixture
+    // graph diameter): which co-activity clusters exist
+    "ev_user_components" -> ((s, d) =>
+      graft.operators.Graph.connectedComponents(
+        coactivityPairs(s, d), "user_a", "user_b", iterations = 8)
+        .select(col("node").as("user_id"), col("label").as("component"))),
     // KMV theta-sketch intersection: distinct-user overlap per
     // event-type pair from k-hash sketches, never a distinct-pair join
     "ev_type_overlap_kmv" -> ((s, d) =>
@@ -374,6 +380,39 @@ object EventQueries {
                / max(CASE WHEN rn = 1024 THEN h END)
              END AS BIGINT) AS approx_users
          FROM r GROUP BY event_type""",
+    // min-label replication: 8 unrolled monotone rounds
+    "ev_user_components" -> {
+      def step(i: Int) =
+        s"""l$i AS (SELECT node, min(label) AS label FROM (
+           SELECT node, label FROM l${i - 1}
+           UNION ALL
+           SELECT e.dst AS node, p.label FROM ed e
+             JOIN l${i - 1} p ON p.node = e.src) GROUP BY 1)"""
+      s"""WITH o AS (
+           SELECT user_id, event_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_us
+           FROM events),
+         m AS (
+           SELECT user_id, us,
+             sum(CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+               THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+               ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+           FROM o),
+         sess AS (
+           SELECT user_id, min(us) AS s_us, max(us) AS e_us
+           FROM m GROUP BY user_id, sid HAVING count(*) >= 2),
+         pairs AS (SELECT DISTINCT a.user_id AS ua, b.user_id AS ub
+           FROM sess a JOIN sess b
+             ON a.user_id < b.user_id
+             AND a.s_us <= b.e_us AND b.s_us <= a.e_us),
+         sym AS (SELECT ua AS src, ub AS dst FROM pairs
+                 UNION SELECT ub, ua FROM pairs),
+         ed AS (SELECT src, dst FROM sym),
+         l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+         ${(1 to 8).map(step).mkString(",\n         ")}
+         SELECT node AS user_id, label AS component FROM l8"""
+    },
     // KMV intersection replication: same k-smallest sketch sets,
     // theta rule, and integer estimate
     "ev_type_overlap_kmv" ->

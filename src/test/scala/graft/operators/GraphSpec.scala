@@ -49,6 +49,16 @@ class GraphSpec extends AnyFunSuite {
       4L -> 3L, 5L -> 3L, 6L -> 3L), got.toString)
   }
 
+  test("connectedComponents: min label reaches across chains, components separate") {
+    // chain 5-4-3-9 (component min 3) and edge 7-8 (component min 7).
+    // diameter 3 < 8 rounds -> exact component ids.
+    val edges = Seq((5L, 4L), (4L, 3L), (3L, 9L), (7L, 8L)).toDF("a", "b")
+    val got = Graph.connectedComponents(edges, "a", "b", iterations = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(3L -> 3L, 4L -> 3L, 5L -> 3L, 9L -> 3L,
+      7L -> 7L, 8L -> 7L))
+  }
+
   test("pageRankFixedPoint: the hub of a star outranks its leaves") {
     val edges = (2L to 7L).map((1L, _)).toDF("a", "b")
     val got = Graph.pageRankFixedPoint(edges, "a", "b", iterations = 5)
