@@ -64,14 +64,23 @@ object Graph {
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct()
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().persist()
-    var lab = sym.select(col("src").as("node")).distinct()
+      .distinct()
+    // the {self} term rides as self-loop edges so each round references
+    // the label frontier exactly ONCE — a round that unions the
+    // frontier with the join result references it twice and DOUBLES
+    // the lineage per round (exponential plan growth by round 8, the
+    // PLANS.md iterative-reference trap; measured 70 s -> sub-second
+    // at sf0.1 for this very operator)
+    val symSelf = sym.union(
+        sym.select(col("src")).distinct()
+          .select(col("src"), col("src").as("dst")))
+      .persist()
+    var lab = symSelf.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     (1 to iterations).foreach { _ =>
-      val fromNbrs = sym.join(lab, col("src") === col("node"))
+      lab = symSelf.join(lab, col("src") === col("node"))
+        .groupBy(col("dst")).agg(min(col("label")).as("label"))
         .select(col("dst").as("node"), col("label"))
-      lab = lab.union(fromNbrs)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
     }
     lab
   }
