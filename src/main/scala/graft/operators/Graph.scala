@@ -85,6 +85,28 @@ object Graph {
     lab
   }
 
+  /** Exact per-node triangle counts: orient every edge low-id -> high-id,
+    * join wedges (a<b)x(b<c) on the middle node, close each wedge
+    * against the (a, c) edge — every triangle materializes exactly once
+    * as its ordered triple (a < b < c), no dedup pass. All equi-joins;
+    * the wedge frame is the classic skew point (a hub of degree d
+    * yields d²/2 wedges), which the ORDERING halves and real
+    * deployments cap with degree-based orientation — here the join is
+    * on canonical pairs, the standard compact form. Each triangle then
+    * credits its three corners. */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val raw = edges.select(col(srcCol).cast("long").as("x"),
+      col(dstCol).cast("long").as("y")).filter(col("x") =!= col("y"))
+    val e = raw.select(least(col("x"), col("y")).as("lo"),
+      greatest(col("x"), col("y")).as("hi")).distinct()
+    val ab = e.select(col("lo").as("a"), col("hi").as("b"))
+    val bc = e.select(col("lo").as("b"), col("hi").as("c"))
+    val tri = ab.join(bc, "b")
+      .join(e.select(col("lo").as("a"), col("hi").as("c")), Seq("a", "c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+  }
+
   /** Deterministic synchronous label propagation (community detection):
     * start with label(v) = v, then k rounds of "adopt the most frequent
     * label among neighbors, ties to the SMALLEST label" — the tie rule

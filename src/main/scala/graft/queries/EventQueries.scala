@@ -160,6 +160,12 @@ object EventQueries {
       graft.operators.Graph.connectedComponents(
         coactivityPairs(s, d), "user_a", "user_b", iterations = 8)
         .select(col("node").as("user_id"), col("label").as("component"))),
+    // exact triangle counts on the co-activity graph (ordered-triple
+    // wedge join — each triangle exactly once, no dedup)
+    "ev_user_triangles" -> ((s, d) =>
+      graft.operators.Graph.triangleCounts(
+        coactivityPairs(s, d), "user_a", "user_b")
+        .select(col("node").as("user_id"), col("triangles"))),
     // KMV theta-sketch intersection: distinct-user overlap per
     // event-type pair from k-hash sketches, never a distinct-pair join
     "ev_type_overlap_kmv" -> ((s, d) =>
@@ -380,6 +386,33 @@ object EventQueries {
                / max(CASE WHEN rn = 1024 THEN h END)
              END AS BIGINT) AS approx_users
          FROM r GROUP BY event_type""",
+    // triangle replication: identical ordered wedge-close joins
+    "ev_user_triangles" ->
+      s"""WITH o AS (
+           SELECT user_id, event_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_us
+           FROM events),
+         m AS (
+           SELECT user_id, us,
+             sum(CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+               THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+               ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+           FROM o),
+         sess AS (
+           SELECT user_id, min(us) AS s_us, max(us) AS e_us
+           FROM m GROUP BY user_id, sid HAVING count(*) >= 2),
+         e AS (SELECT DISTINCT a.user_id AS lo, b.user_id AS hi
+           FROM sess a JOIN sess b
+             ON a.user_id < b.user_id
+             AND a.s_us <= b.e_us AND b.s_us <= a.e_us),
+         tri AS (SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
+           FROM e ab JOIN e bc ON bc.lo = ab.hi
+           JOIN e ac ON ac.lo = ab.lo AND ac.hi = bc.hi),
+         credit AS (SELECT a AS node FROM tri
+           UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+         SELECT node AS user_id, count(*) AS triangles
+         FROM credit GROUP BY 1""",
     // min-label replication: 8 unrolled monotone rounds
     "ev_user_components" -> {
       def step(i: Int) =

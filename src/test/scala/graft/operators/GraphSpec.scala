@@ -59,6 +59,16 @@ class GraphSpec extends AnyFunSuite {
       7L -> 7L, 8L -> 7L))
   }
 
+  test("triangleCounts: shared-edge triangles credit corners exactly once each") {
+    // triangles (1,2,3) and (2,3,4) share edge 2-3; edge 1-4 absent.
+    // Reversed/duplicate input edges must not inflate counts.
+    val edges = Seq((1L, 2L), (3L, 2L), (1L, 3L), (2L, 4L), (4L, 3L), (2L, 1L))
+      .toDF("a", "b")
+    val got = Graph.triangleCounts(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
+
   test("pageRankFixedPoint: the hub of a star outranks its leaves") {
     val edges = (2L to 7L).map((1L, _)).toDF("a", "b")
     val got = Graph.pageRankFixedPoint(edges, "a", "b", iterations = 5)
