@@ -8,6 +8,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -26,23 +27,44 @@ object Bench {
       val df = spark.read.parquet(s"$sfDir/$t.parquet")
       df.selectExpr(df.columns.map(c => s"count(`$c`)"): _*).collect()
     }
-    def timedPass(): Seq[(String, Double)] =
+    // materialize via the noop sink, not count(): count() lets Catalyst
+    // prune unreferenced projections, so narrow-map queries would be
+    // benched as bare scans with their kernels never executing
+    def timedPass(): Seq[(String, Either[String, Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          name -> Right((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          // a failed query records as an error, never as its time-to-throw
+          name -> Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}")
+        }
       }
     val (p1, p2) = (timedPass(), timedPass())
-    val results = p1.zip(p2).map { case ((name, a), (_, b)) =>
+    val merged = p1.zip(p2).map { case ((name, a), (_, b)) => (name, a, b) }
+    val results = merged.collect { case (name, Right(a), Right(b)) =>
       val secs = math.min(a, b)
       System.err.println(f"[bench] $name%-24s $secs%8.2fs")
       name -> secs
     }
+    val errors = merged.collect { case (name, a, b) if a.isLeft || b.isLeft =>
+      val msg = Seq(a, b).collectFirst { case Left(m) => m }.get
+      System.err.println(s"[bench] $name FAILED: $msg")
+      name -> msg
+    }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val errs = errors.map { case (k, m) => s"\"" + k + "\":" + jstr(m) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // also persist the full per-query map: the driver captures a stdout
     // tail, which has truncated the alphabetically-late query block

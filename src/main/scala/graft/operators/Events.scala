@@ -297,9 +297,22 @@ object Events {
     * Scale shape: one distinct + one per-group window bounded by k,
     * then all joins run over the k-per-group sketch frame (|groups|*k
     * rows), never the data. */
+  /** Both sketch ops hash the key as a LONG (the hash62/lehmer3
+    * integer streams are what the bit-exact DuckDB oracles replay); a
+    * non-numeric key would cast to null and silently vanish, so fail
+    * loudly instead and tell the caller to pre-hash. */
+  private def requireIntegralKey(df: DataFrame, keyCol: String, op: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = df.schema(keyCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"$op needs an integral key column; got `$keyCol`: ${dt.simpleString}. " +
+        "Pre-hash non-numeric keys to a long (e.g. xxhash64) first.")
+  }
+
   def kmvOverlap(df: DataFrame, groupCol: String, keyCol: String,
       k: Int = 128): DataFrame = {
     require(k > 1 && k <= 1024, s"k in (1, 1024], got $k")
+    requireIntegralKey(df, keyCol, "kmvOverlap")
     val space = 1L << 52
     import org.apache.spark.sql.expressions.Window
     val h = df.select(col(groupCol).as("t"),
@@ -352,6 +365,7 @@ object Events {
     */
   def heavyHittersCms(df: DataFrame, keyCol: String, depth: Int = 4,
       width: Int = 512, num: Int = 6, den: Int = 5): DataFrame = {
+    requireIntegralKey(df, keyCol, "heavyHittersCms")
     import graft.functions.hashes.lehmer3
     val ev = df.select(col(keyCol).cast("long").as("key"))
       .filter(col("key").isNotNull)

@@ -16,6 +16,17 @@ import org.apache.spark.sql.functions._
   * aggregation — nothing driver-side grows with the graph. */
 object Graph {
 
+  /** The iterative ops persist their edge frame (k rounds each re-read
+    * it); releasing that cache before returning needs the NODE-sized
+    * result materialized first — localCheckpoint(eager) truncates the
+    * result's lineage off the cache, then the edge blocks drop. Without
+    * this, every call leaked its edge cache for the session's life. */
+  private def releaseAfter(result: DataFrame, cached: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint(true)
+    cached.foreach(_.unpersist(false))
+    out
+  }
+
   /** Fixed-point PageRank over an UNDIRECTED edge list (edges are
     * symmetrized and deduplicated; self-loops expected absent).
     * Per round: pr'(v) = S/2 + (Σ_{u~v} floor(pr(u) / deg(u))) / 2 —
@@ -47,7 +58,7 @@ object Graph {
         .groupBy(col("node"))
         .agg((lit(base) + expr("sum(c) div 2")).as("pr"))
     }
-    pr
+    releaseAfter(pr, edgeDeg)
   }
 
   /** Connected components by min-label propagation: label(v) starts at
@@ -82,7 +93,7 @@ object Graph {
         .groupBy(col("dst")).agg(min(col("label")).as("label"))
         .select(col("dst").as("node"), col("label"))
     }
-    lab
+    releaseAfter(lab, symSelf)
   }
 
   /** Exact per-node triangle counts: orient every edge low-id -> high-id,
@@ -137,6 +148,6 @@ object Graph {
         .agg(min(col("label")).as("label"))
         .select(col("dst").as("node"), col("label"))
     }
-    lab
+    releaseAfter(lab, sym)
   }
 }

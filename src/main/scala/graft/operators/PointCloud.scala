@@ -332,11 +332,15 @@ object PointCloud {
     rmdir(old) // leftover from a previous crashed compact
     Files.move(live, old)
     Files.move(Paths.get(s"$dir/blocks_compacting"), live)
-    // fold streamed delta partitions + their ledger into the base
-    rmdir(Paths.get(s"$dir/blocks_delta"))
-    rmdir(Paths.get(s"$dir/counts"))
+    // fold streamed delta partitions + their ledger into the base:
+    // composed meta FIRST, delta/ledger deletion after — a crash
+    // between the two leaves a consistent overcount (points and counts
+    // both still carry the delta) instead of composed points under a
+    // stale base-only pointCount
     spark.createDataset(Seq(cloud.meta))(metaEnc)
       .write.mode("overwrite").parquet(s"$dir/meta")
+    rmdir(Paths.get(s"$dir/blocks_delta"))
+    rmdir(Paths.get(s"$dir/counts"))
     rmdir(old)
   }
 
@@ -899,22 +903,36 @@ final class BlockedCloud(
     * point multiset), the join is an EQUI-join on cell keys, and the
     * exact squared-distance test runs on candidates only (local
     * density x 9, never n²). The kept-identity set then left-semi
-    * filters the exploded points. */
+    * filters the exploded points.
+    *
+    * Every identity-keyed shuffle (the multiplicity groupBy, the
+    * neighbor-count groupBy, the final semi-join) runs on a compact
+    * 64-bit xxhash64 of the coordinates rather than the (x, y, z)
+    * double triple — a third of the key bytes and a long-key hash agg.
+    * A hash collision would merge two identities' neighbor counts;
+    * at 2^64 key space that is ~n²/2^65, i.e. < 3e-8 at a billion
+    * distinct points — negligible against the operator's own
+    * raster-approximation semantics. `+ 0.0` normalizes -0.0 so the
+    * hash agrees with SQL equality on signed zeros. */
   def radiusOutlierRemoval(radius: Double, minNeighbors: Long): DataFrame = {
     require(radius > 0 && minNeighbors >= 1)
+    def idOf(df: DataFrame): Column =
+      xxhash64(col("x") + lit(0.0), col("y") + lit(0.0), col("z") + lit(0.0))
     val pts = explodePoints(blocks)
-    val ids = pts.groupBy(col("x"), col("y"), col("z"))
-      .agg(count(lit(1)).as("__m"))
+    val ids = pts.withColumn("__id", idOf(pts))
+      .groupBy(col("__id"))
+      .agg(max(col("x")).as("x"), max(col("y")).as("y"),
+        max(col("z")).as("z"), count(lit(1)).as("__m"))
     def cellOf(c: Column) = floor(c / radius).cast(LongType)
     val q = ids.select(col("x").as("__qx"), col("y").as("__qy"),
       col("z").as("__qz"), col("__m"),
       cellOf(col("x")).as("__cx"), cellOf(col("y")).as("__cy"))
     val offsets = array((for (dx <- -1 to 1; dy <- -1 to 1) yield
       struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
-    val probe = ids.select(col("x"), col("y"), col("z"),
+    val probe = ids.select(col("__id"), col("x"), col("y"), col("z"),
         cellOf(col("x")).as("__px"), cellOf(col("y")).as("__py"),
         explode(offsets).as("o"))
-      .select(col("x"), col("y"), col("z"),
+      .select(col("__id"), col("x"), col("y"), col("z"),
         (col("__px") + col("o.dx")).as("__cx"),
         (col("__py") + col("o.dy")).as("__cy"))
     val d2 = (col("__qx") - col("x")) * (col("__qx") - col("x")) +
@@ -922,11 +940,13 @@ final class BlockedCloud(
       (col("__qz") - col("z")) * (col("__qz") - col("z"))
     val kept = probe.join(q, Seq("__cx", "__cy"))
       .filter(d2 <= lit(radius * radius))
-      .groupBy(col("x"), col("y"), col("z"))
+      .groupBy(col("__id"))
       .agg(sum(col("__m")).as("__cnt"))
       .filter(col("__cnt") >= minNeighbors)
-      .select(col("x"), col("y"), col("z"))
-    pts.join(kept, Seq("x", "y", "z"), "left_semi")
+      .select(col("__id"))
+    pts.withColumn("__id", idOf(pts))
+      .join(kept, Seq("__id"), "left_semi")
+      .drop("__id")
   }
 
   /** Height above ground per point: ground elevation = the minimum z of

@@ -187,10 +187,13 @@ object PointCloud3 {
     rmdir(old)
     Files.move(live, old)
     Files.move(Paths.get(s"$dir/blocks_compacting"), live)
-    rmdir(Paths.get(s"$dir/blocks_delta"))
-    rmdir(Paths.get(s"$dir/counts"))
+    // composed meta FIRST, delta/ledger deletion after — a crash
+    // between the two leaves a consistent overcount, never composed
+    // points under a stale base-only pointCount
     spark.createDataset(Seq(cloud.meta))(metaEnc)
       .write.mode("overwrite").parquet(s"$dir/meta")
+    rmdir(Paths.get(s"$dir/blocks_delta"))
+    rmdir(Paths.get(s"$dir/counts"))
     rmdir(old)
   }
 }

@@ -627,7 +627,14 @@ object Similarity {
     val q = typedlit(query)
     val pool = emb
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
-        cosine(col(vecCol), q).as("sim"))
+        // try_divide: a zero-norm vector has no direction — its cosine
+        // nulls out here (ANSI double division would THROW on /0)
+        // instead of hijacking the pool and poisoning every pairwise
+        // penalty downstream
+        try_divide(graft.functions.vectors.vector_dot(col(vecCol), q),
+          graft.functions.vectors.vector_norm(col(vecCol)) *
+            graft.functions.vectors.vector_norm(q)).as("sim"))
+      .filter(col("sim").isNotNull && !isnan(col("sim")))
       .orderBy(col("sim").desc, col("id").asc)
       .limit(poolSize)
       .collect() // bounded: poolSize rows, the rerank shortlist
@@ -651,7 +658,8 @@ object Similarity {
       pickedVecs += pool(0)._2
       chosen += pool(0)._1
     }
-    while (picked.size < math.min(k, pool.length)) {
+    var exhausted = false
+    while (!exhausted && picked.size < math.min(k, pool.length)) {
       var bestId = -1L; var bestVec: Array[Float] = null
       var bestScore = Double.NegativeInfinity
       pool.foreach { case (id, v, sim) =>
@@ -666,9 +674,14 @@ object Similarity {
           }
         }
       }
-      picked += ((bestId, bestScore))
-      pickedVecs += bestVec
-      chosen += bestId
+      // every remaining candidate scored NaN (defensive — the pool is
+      // already NaN-filtered): stop rather than pick a sentinel
+      if (bestId == -1L) exhausted = true
+      else {
+        picked += ((bestId, bestScore))
+        pickedVecs += bestVec
+        chosen += bestId
+      }
     }
     picked.zipWithIndex
       .map { case ((id, score), i) => (i + 1L, id, score) }

@@ -16,14 +16,21 @@ import graft.operators.Events
   * lag + cumulative-sum window. */
 object EventQueries {
 
-  /** events.parquet stores ts as TIMESTAMP(NANOS); under
-    * spark.sql.legacy.parquet.nanosAsLong=true it surfaces as long ns —
-    * normalize to a proper µs TimestampType column either way. */
+  /** Fixture generations have stored events.ts as TIMESTAMP(NANOS)
+    * (surfacing as long ns under
+    * spark.sql.legacy.parquet.nanosAsLong=true) and as timestamp[us]
+    * (surfacing as TIMESTAMP_NTZ) — normalize to a proper µs
+    * TimestampType column whichever encoding the parquet carries. The
+    * UTC session timezone (set in Verify/Bench builders) makes the NTZ
+    * cast value-preserving. */
   private def ev(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val df = graft.Tables.table(s, dir, "events")
     df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
+      case LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }
   }

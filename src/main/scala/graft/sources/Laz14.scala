@@ -547,7 +547,9 @@ object Laz14 {
       opt("intensity", 0), opt("return_number", 1), opt("number_of_returns", 1),
       opt("scanner_channel", 0), opt("classification", 0), opt("scan_angle", 0),
       opt("user_data", 0), opt("point_source", 0), gpsCol,
-      opt("r", 0), opt("g", 0), opt("b", 0), opt("nir", 0))
+      opt("r", 0), opt("g", 0), opt("b", 0), opt("nir", 0),
+      opt("classification_flags", 0), opt("scan_direction", 0),
+      opt("edge_of_flight", 0))
 
     val chunkDir = Paths.get(path + ".chunks")
     Files.createDirectories(chunkDir)
@@ -579,10 +581,15 @@ object Laz14 {
             val rn = row.getInt(4) & 15
             val nr = row.getInt(5) & 15
             val ch = row.getInt(6) & 3
+            // full flags byte per LAS 1.4 pf6+: classification flags
+            // (0-3), scanner channel (4-5), scan direction (6), edge
+            // of flight line (7)
+            val flagsByte = (row.getInt(16) & 15) | (ch << 4) |
+              ((row.getInt(17) & 1) << 6) | ((row.getInt(18) & 1) << 7)
             buf(n) = Point14(
               math.round(x / scale).toInt, math.round(y / scale).toInt,
               math.round(z / scale).toInt, row.getInt(3) & 0xFFFF,
-              (nr << 4) | rn, ch << 4, row.getInt(7) & 0xFF,
+              (nr << 4) | rn, flagsByte, row.getInt(7) & 0xFF,
               row.getInt(9) & 0xFF, row.getInt(8) & 0xFFFF,
               row.getInt(10) & 0xFFFF,
               java.lang.Double.doubleToRawLongBits(row.getDouble(11)),

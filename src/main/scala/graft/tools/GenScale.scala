@@ -82,11 +82,16 @@ object GenScale {
       "vec_id" -> s"vec_id + __r * ${vecOff}L",
       "embedding" ->
         "transform(embedding, (v, i) -> v + cast(((__r * 7 + i) % 11 - 5) as float) * 0.002f)")
+    // ts encoding varies across fixture generations: nanos-as-long
+    // (shift in raw ns) vs timestamp[us]/[ns] proper (interval add).
+    val tsShift = t("events").schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => "ts + __r * 1000000000L"
+      case _ => "timestampadd(SECOND, __r, ts)"
+    }
     scale("events")(
       "event_id" -> s"event_id + __r * ${evOff}L",
       "user_id" -> s"user_id + __r * ${uOff}L",
-      // ts is nanos-as-long under the fixtures' parquet nanos mode
-      "ts" -> "ts + __r * 1000000000L")
+      "ts" -> tsShift)
     Seq("nation", "region").foreach { n =>
       t(n).write.mode("overwrite").parquet(s"$dst/$n.parquet")
       System.err.println(s"[genscale] $n copied")

@@ -257,6 +257,53 @@ class PointCloudSpec extends AnyFunSuite {
     assert(compacted.meta.pointCount == 500)
   }
 
+  test("compact crash window (meta written, delta not yet deleted) stays consistent") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_pc_crash").toString
+    val base = (0 until 400).map(i => ((i % 20) * 10.0, (i / 20) * 10.0, i.toDouble))
+    val delta = (0 until 100).map(i => ((i % 10) * 10.0 + 5.0, (i / 10) * 10.0 + 5.0, -i.toDouble))
+    PointCloud.write(PointCloud.importPoints(base.toDF("x", "y", "z"), ImportSpec(ratio = 0.5)), dir)
+    // streamed ingest is the path that creates the blocks_delta +
+    // counts ledger dirs compact later folds in
+    graft.streaming.Streams.cloudIngest(spark, dir)(delta.toDF("x", "y", "z"), 0L)
+
+    // snapshot the delta + ledger dirs, run a full compact, then put
+    // them back: that reconstructs exactly the state a crash between
+    // compact's meta write and its delta/ledger deletion leaves behind
+    def copyTree(from: String, to: String): Unit = {
+      val src = Paths.get(from)
+      val s = Files.walk(src)
+      try s.forEach { p =>
+        val t = Paths.get(to).resolve(src.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else Files.copy(p, t)
+      } finally s.close()
+    }
+    val snap = Files.createTempDirectory("graft_pc_crash_snap").toString
+    copyTree(s"$dir/blocks_delta", s"$snap/blocks_delta")
+    copyTree(s"$dir/counts", s"$snap/counts")
+    PointCloud.compact(spark, dir)
+    copyTree(s"$snap/blocks_delta", s"$dir/blocks_delta")
+    copyTree(s"$snap/counts", s"$dir/counts")
+
+    // invariant under the crash state: composed meta pointCount still
+    // equals the physical point multiset it announces (base + 2x delta
+    // — a consistent overcount, never points the meta doesn't know of)
+    val crashed = PointCloud.read(spark, dir)
+    val physical = crashed.blocks
+      .select(explode(col("sfc_tail"))).count()
+    assert(crashed.meta.pointCount == physical,
+      s"meta=${crashed.meta.pointCount} physical=$physical")
+    assert(crashed.meta.pointCount == 600L)
+
+    // a re-run of compact from the crash state converges to the clean one
+    PointCloud.compact(spark, dir)
+    val re = PointCloud.read(spark, dir)
+    assert(re.meta.pointCount ==
+      re.blocks.select(explode(col("sfc_tail"))).count())
+  }
+
   test("streamed 2D appends are exactly-once and equal a batch rebuild") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_pc_stream").toString

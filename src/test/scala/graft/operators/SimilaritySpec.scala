@@ -243,6 +243,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.drop(4).forall(_._2 == 0.0), "orthogonal cluster must score 0")
   }
 
+  test("mmrRerank ignores zero-norm vectors instead of letting NaN hijack the pool") {
+    // the zero vector cosines to NaN, which sorts LARGEST under desc —
+    // unguarded it tops the pool, then poisons every pairwise penalty
+    // (historically: bestId stayed -1, null landed in pickedVecs, NPE)
+    val q = Array(1f, 1f)
+    val df = Seq(
+      (1L, Array(0f, 0f)), // zero-norm: must be dropped, not ranked
+      (2L, Array(1f, 0f)),
+      (3L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    val got = Similarity.mmrRerank(df, "vec_id", "embedding", q, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.map(_._2).toSeq == Seq(2L, 3L), s"got ${got.toSeq}")
+  }
+
   test("mmrRerank pool smaller than k returns the whole pool ranked") {
     val q = Array(1f, 0f)
     val df = Seq((5L, Array(1f, 0f)), (9L, Array(0f, 1f)))

@@ -175,6 +175,25 @@ class Laz14Spec extends AnyFunSuite {
     assert(viaLaz.count() == n)
   }
 
+  test("pf6 flags byte roundtrips classification_flags/scan_direction/edge_of_flight") {
+    val n = 2000
+    val df = (0 until n).map { i =>
+      (i * 0.5, i * 0.2, 1.0, i % 4, i % 16, i % 2, (i / 3) % 2)
+    }.toDF("x", "y", "z", "scanner_channel", "classification_flags",
+      "scan_direction", "edge_of_flight").repartition(2)
+    val path = "/tmp/graft_laz14_flags.laz"
+    Laz14.writePoints14(df, path, chunkPoints = 700, pointFormat = 6)
+    val got = Laz14.readPoints14(spark, path)
+      .select(round(col("x") * 10).cast("long"), col("scanner_channel"),
+        col("classification_flags"), col("scan_direction"), col("edge_of_flight"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getInt(4))).toSet
+    val exp = (0 until n).map { i =>
+      (math.round(i * 5.0), i % 4, i % 16, i % 2, (i / 3) % 2)
+    }.toSet
+    assert(got == exp)
+  }
+
   test("pf6 defaults: absent attribute columns write as zeros/ones") {
     val df = Seq((1.0, 2.0, 3.0), (4.0, 5.0, 6.0)).toDF("x", "y", "z")
     val path = "/tmp/graft_laz14_pf6.laz"
