@@ -123,8 +123,10 @@ object Graph {
     * label among neighbors, ties to the SMALLEST label" — the tie rule
     * is what makes the classic randomized LPA deterministic and
     * therefore oracle-replayable. Per round: one edge-vs-frontier
-    * equi-join, one (node, label) count aggregation, one max-count
-    * argmin-label reduction — all partial-combined, nothing
+    * equi-join, one (node, label) count aggregation, then the
+    * max-count argmin-label reduction as a single max_by over a
+    * (count, -label) ordering struct — two shuffles per round, not
+    * three (no count-vs-max re-join) — all partial-combined, nothing
     * driver-side. Fixed k (no convergence test) keeps the plan static;
     * synchronous updates can oscillate on bipartite structures, which
     * a caller handles by choice of k, exactly as published LPA does. */
@@ -141,11 +143,12 @@ object Graph {
       val counts = sym.join(lab, col("src") === col("node"))
         .groupBy(col("dst"), col("label"))
         .agg(count(lit(1)).as("cnt"))
-      val best = counts.groupBy(col("dst")).agg(max(col("cnt")).as("mc"))
-      lab = counts.join(best, "dst")
-        .filter(col("cnt") === col("mc"))
-        .groupBy(col("dst"))
-        .agg(min(col("label")).as("label"))
+      // (cnt, -label) struct ordering = highest count, ties to the
+      // smallest label, in ONE aggregation; no ordering ties exist
+      // since labels are distinct within a dst group
+      lab = counts.groupBy(col("dst"))
+        .agg(max_by(col("label"),
+          struct(col("cnt"), (-col("label")).as("__nl"))).as("label"))
         .select(col("dst").as("node"), col("label"))
     }
     releaseAfter(lab, sym)

