@@ -227,6 +227,24 @@ object PointCloudQueries {
           round(col("y") * 10).cast("long").as("y10"),
           round(col("z") * 10).cast("long").as("z10"))
     }),
+    // LAZ extra-bytes (BYTE v2 item) roundtrip: three opaque lanes
+    // derived from the grid keys ride through the codec as a binary
+    // column; the oracle recomputes each lane arithmetically from
+    // lineitem, so a single flipped byte anywhere fails the hash
+    "pc_laz_extra" -> ((s, d) => {
+      val path = s"/tmp/graft_laz_xb_${d.replaceAll("[^A-Za-z0-9.]", "_")}.laz"
+      val src = rawPoints(s, d).withColumn("extra_bytes",
+        expr("unhex(concat(" +
+          "lpad(hex(cast(x as bigint) % 256), 2, '0'), " +
+          "lpad(hex(cast(y as bigint) % 251), 2, '0'), " +
+          "lpad(hex(cast(x + y as bigint) % 7), 2, '0')))"))
+      graft.sources.Laz.writePoints(src, path, chunkPoints = 10000, extraBytes = 3)
+      graft.sources.Laz.readPoints(s, path)
+        .select(round(col("x") * 10).cast("long").as("x10"),
+          conv(hex(expr("substring(extra_bytes, 1, 1)")), 16, 10).cast("long").as("e0"),
+          conv(hex(expr("substring(extra_bytes, 2, 1)")), 16, 10).cast("long").as("e1"),
+          conv(hex(expr("substring(extra_bytes, 3, 1)")), 16, 10).cast("long").as("e2"))
+    }),
     // layered LASzip (compressor 3, LAS 1.4 pf8) roundtrip: every LAZ
     // layer — coords, returns, channel, classification, intensity,
     // angle, user, source, GPS time, RGB, NIR — carries a key-derived
@@ -471,6 +489,9 @@ object PointCloudQueries {
       s"$ptsCte SELECT x * 10 AS x10, y * 10 AS y10, CAST(round(z * 10, 0) AS BIGINT) AS z10 FROM pts",
     "pc_laz_roundtrip" ->
       s"$ptsCte SELECT x * 10 AS x10, y * 10 AS y10, CAST(round(z * 10, 0) AS BIGINT) AS z10 FROM pts",
+    "pc_laz_extra" ->
+      (s"$ptsCte SELECT x * 10 AS x10, CAST(x AS BIGINT) % 256 AS e0, " +
+        "CAST(y AS BIGINT) % 251 AS e1, CAST(x + y AS BIGINT) % 7 AS e2 FROM pts"),
     "pc_laz14_roundtrip" ->
       """WITH p14 AS (SELECT
            (l_orderkey * 17 + l_linenumber * 131) % 8192 AS x,

@@ -6,6 +6,7 @@ import java.nio.channels.FileChannel
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
 
 /** LAZ (LASzip-compressed LAS) source/sink — closes the format
   * boundary the reference crosses transparently via laspy+lazrs
@@ -32,13 +33,17 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * table carries per-chunk point counts), which keeps the file
   * well-formed without a final single-threaded re-chunk pass.
   *
-  * Supported: point formats 0–3 where the item list is POINT10 v2
-  * (+ GPSTIME11/RGB12 rejected explicitly until implemented);
-  * compressor 2 (pointwise chunked), fixed or variable chunk size.
+  * Supported: point formats 0–3 (POINT10/GPSTIME11/RGB12, all v2),
+  * optionally with one trailing BYTE v2 item ("extra bytes" — read
+  * and written as an opaque `extra_bytes` binary column; the LAS
+  * extra-bytes descriptor VLR that names the attributes is not
+  * interpreted); compressor 2 (pointwise chunked), fixed or variable
+  * chunk size.
   */
 object Laz {
 
   // item types from the LAZ spec
+  private val ItemByte = 0 // "extra bytes" appended to the point record
   private val ItemPoint10 = 6
   private val ItemGpstime11 = 7
   private val ItemRgb12 = 8
@@ -248,8 +253,10 @@ object Laz {
   }
 
   /** A full LAS 1.2-family record: POINT10 core plus the optional
-    * GPS time (raw IEEE-754 bits) and RGB items. */
-  final case class FullPoint(core: Point10, gps: Long = 0L, r: Int = 0, g: Int = 0, b: Int = 0)
+    * GPS time (raw IEEE-754 bits), RGB, and trailing extra-bytes
+    * items (`extra` is null when the record layout carries none). */
+  final case class FullPoint(core: Point10, gps: Long = 0L, r: Int = 0, g: Int = 0, b: Int = 0,
+      extra: Array[Byte] = null)
 
   // GPSTIME11 v2 constants (LAZ spec): multiplier symbol space
   private val GpsMulti = 500
@@ -558,37 +565,78 @@ object Laz {
 
   private def recordLen(format: Int): Int = FormatItems(format).map(_._2).sum
 
-  private def putFullPoint(bb: ByteBuffer, format: Int, p: FullPoint): Unit = {
+  /** BYTE version-2 item codec (the LAZ "extra bytes" payload): one
+    * 256-ary folded-difference model per byte index — symbol =
+    * (cur - last) mod 256, exactly the Rgb12 byte-delta scheme without
+    * the inter-channel prediction, per the public LASzip BYTE v2
+    * layout. */
+  private[sources] final class ByteV2Codec(first: Array[Byte]) {
+    private val n = first.length
+    private val models = Array.fill(n)(new ArithmeticModel(256).init())
+    private val last = first.clone()
+
+    def compress(enc: ArithmeticEncoder, cur: Array[Byte]): Unit = {
+      var i = 0
+      while (i < n) {
+        enc.encodeSymbol(models(i), (cur(i) - last(i)) & 0xFF)
+        last(i) = cur(i)
+        i += 1
+      }
+    }
+
+    def decompress(dec: ArithmeticDecoder): Array[Byte] = {
+      val out = new Array[Byte](n)
+      var i = 0
+      while (i < n) {
+        out(i) = ((last(i) + dec.decodeSymbol(models(i))) & 0xFF).toByte
+        last(i) = out(i)
+        i += 1
+      }
+      out
+    }
+  }
+
+  private def putFullPoint(bb: ByteBuffer, format: Int, p: FullPoint, extraLen: Int): Unit = {
     putPoint10(bb, p.core)
     if (format == 1 || format == 3) bb.putLong(p.gps)
     if (format == 2 || format == 3)
       bb.putShort(p.r.toShort).putShort(p.g.toShort).putShort(p.b.toShort)
+    if (extraLen > 0) {
+      require(p.extra != null && p.extra.length == extraLen,
+        s"extra-bytes length ${if (p.extra == null) -1 else p.extra.length} != declared $extraLen")
+      bb.put(p.extra)
+    }
   }
 
-  private def getFullPoint(bb: ByteBuffer, format: Int): FullPoint = {
+  private def getFullPoint(bb: ByteBuffer, format: Int, extraLen: Int): FullPoint = {
     val core = getPoint10(bb)
     val gps = if (format == 1 || format == 3) bb.getLong else 0L
     val (r, g, b) =
       if (format == 2 || format == 3) (bb.getShort & 0xFFFF, bb.getShort & 0xFFFF, bb.getShort & 0xFFFF)
       else (0, 0, 0)
-    FullPoint(core, gps, r, g, b)
+    val extra = if (extraLen > 0) {
+      val a = new Array[Byte](extraLen); bb.get(a); a
+    } else null
+    FullPoint(core, gps, r, g, b, extra)
   }
 
   /** Encode one chunk: raw first record, then the coded residual
     * stream — per point, items in VLR order (POINT10, GPSTIME11,
     * RGB12), matching the spec's interleaving. Single-point chunks
     * carry no coder stream (the decoder never initializes for them). */
-  private[sources] def encodeChunkFull(format: Int, points: Array[FullPoint]): Array[Byte] = {
+  private[sources] def encodeChunkFull(format: Int, points: Array[FullPoint],
+      extraLen: Int = 0): Array[Byte] = {
     require(points.nonEmpty, "empty LAZ chunk")
-    val len = recordLen(format)
+    val len = recordLen(format) + extraLen
     val raw = ByteBuffer.allocate(len).order(ByteOrder.LITTLE_ENDIAN)
-    putFullPoint(raw, format, points(0))
+    putFullPoint(raw, format, points(0), extraLen)
     if (points.length == 1) raw.array()
     else {
       val core = new Point10Codec(points(0).core)
       val gps = if (format == 1 || format == 3) new GpsTime11Codec(points(0).gps) else null
       val rgb = if (format == 2 || format == 3)
         new Rgb12Codec(points(0).r, points(0).g, points(0).b) else null
+      val xb = if (extraLen > 0) new ByteV2Codec(points(0).extra) else null
       val enc = new ArithmeticEncoder
       var i = 1
       while (i < points.length) {
@@ -596,6 +644,11 @@ object Laz {
         core.compress(enc, p.core)
         if (gps != null) gps.compress(enc, p.gps)
         if (rgb != null) rgb.compress(enc, p.r, p.g, p.b)
+        if (xb != null) {
+          require(p.extra != null && p.extra.length == extraLen,
+            s"extra-bytes length mismatch at point $i")
+          xb.compress(enc, p.extra)
+        }
         i += 1
       }
       enc.done()
@@ -608,23 +661,25 @@ object Laz {
   }
 
   private[sources] def decodeChunkFull(format: Int, bytes: Array[Byte], offset: Int,
-      count: Int): Array[FullPoint] = {
-    val len = recordLen(format)
+      count: Int, extraLen: Int = 0): Array[FullPoint] = {
+    val len = recordLen(format) + extraLen
     val out = new Array[FullPoint](count)
     val raw = ByteBuffer.wrap(bytes, offset, len).order(ByteOrder.LITTLE_ENDIAN)
-    out(0) = getFullPoint(raw, format)
+    out(0) = getFullPoint(raw, format, extraLen)
     if (count > 1) {
       val core = new Point10Codec(out(0).core)
       val gps = if (format == 1 || format == 3) new GpsTime11Codec(out(0).gps) else null
       val rgb = if (format == 2 || format == 3)
         new Rgb12Codec(out(0).r, out(0).g, out(0).b) else null
+      val xb = if (extraLen > 0) new ByteV2Codec(out(0).extra) else null
       val dec = new ArithmeticDecoder(bytes, offset + len, bytes.length).init()
       var i = 1
       while (i < count) {
         val c = core.decompress(dec)
         val g = if (gps != null) gps.decompress(dec) else 0L
         val (cr, cg, cb) = if (rgb != null) rgb.decompress(dec) else (0, 0, 0)
-        out(i) = FullPoint(c, g, cr, cg, cb)
+        val xa = if (xb != null) xb.decompress(dec) else null
+        out(i) = FullPoint(c, g, cr, cg, cb, xa)
         i += 1
       }
     }
@@ -715,10 +770,16 @@ object Laz {
       }
       require(items.map(_._2).sum == header.recordLen,
         s"$path: item sizes ${items} disagree with record length ${header.recordLen}")
-      if (compressor == 2)
-        require(FormatItems.valuesIterator.contains(items),
+      if (compressor == 2) {
+        // point formats 0-3, optionally with ONE trailing BYTE v2 item
+        // (the LAZ "extra bytes" payload)
+        val (fmtItems, extraItems) = items.span(_._1 != ItemByte)
+        require(FormatItems.valuesIterator.contains(fmtItems) &&
+          extraItems.forall { case (t, sz, v) => t == ItemByte && v == 2 && sz > 0 } &&
+          extraItems.length <= 1,
           s"$path: unsupported LAZ item set ${items} — point formats 0-3 " +
-            "(POINT10/GPSTIME11/RGB12, all v2) only")
+            "(POINT10/GPSTIME11/RGB12, all v2) plus at most one BYTE v2 item")
+      }
       else
         require(Laz14.FormatItems.valuesIterator.contains(items),
           s"$path: unsupported layered LAZ item set ${items} — point " +
@@ -781,10 +842,11 @@ object Laz {
     } finally raf.close()
   }
 
-  /** Distributed full scan: DataFrame[x, y, z] in world coordinates.
-    * Chunks are the parallelism unit — each task seeks to its chunk
-    * run and decodes independently (models reset per chunk), the exact
-    * shape a 1000-executor scan over object storage needs. */
+  /** Distributed full scan: DataFrame[x, y, z] in world coordinates,
+    * plus an `extra_bytes` binary column when the file carries a BYTE
+    * item. Chunks are the parallelism unit — each task seeks to its
+    * chunk run and decodes independently (models reset per chunk), the
+    * exact shape a 1000-executor scan over object storage needs. */
   def readPoints(spark: SparkSession, path: String, chunksPerTask: Int = 8): DataFrame = {
     val info = readInfo(path)
     if (info.compressor == 3) // layered LAS 1.4 file — same x/y/z contract
@@ -792,9 +854,14 @@ object Laz {
         chunksPerTask = chunksPerTask)
     val chunks = readChunkDescriptors(path, info)
     val h = info.header
+    val (fmtItems, extraItems) = info.items.span(_._1 != ItemByte)
+    val format = FormatItems.collectFirst { case (f, is) if is == fmtItems => f }.get
+    val extraLen = extraItems.headOption.map(_._2).getOrElse(0)
+    val schema =
+      if (extraLen == 0) Las.pointSchema
+      else StructType(Las.pointSchema.fields :+ StructField("extra_bytes", BinaryType))
     if (chunks.isEmpty) return spark.createDataFrame(
-      spark.sparkContext.emptyRDD[Row], Las.pointSchema)
-    val format = FormatItems.collectFirst { case (f, is) if is == info.items => f }.get
+      spark.sparkContext.emptyRDD[Row], schema)
     val groups = chunks.grouped(math.max(1, chunksPerTask)).toArray
     val rdd = spark.sparkContext
       .parallelize(groups.toIndexedSeq, groups.length)
@@ -805,34 +872,41 @@ object Laz {
             val bytes = new Array[Byte](size)
             raf.seek(off)
             raf.readFully(bytes)
-            decodeChunkFull(format, bytes, 0, count)
+            decodeChunkFull(format, bytes, 0, count, extraLen)
           }.map { fp =>
             val p = fp.core
-            Row(
-              p.x * h.scaleX + h.offX,
-              p.y * h.scaleY + h.offY,
-              p.z * h.scaleZ + h.offZ)
+            val x = p.x * h.scaleX + h.offX
+            val y = p.y * h.scaleY + h.offY
+            val z = p.z * h.scaleZ + h.offZ
+            if (extraLen == 0) Row(x, y, z) else Row(x, y, z, fp.extra)
           }.toArray
         } finally raf.close()
         rows
       }
-    spark.createDataFrame(rdd, Las.pointSchema)
+    spark.createDataFrame(rdd, schema)
   }
 
   /** LAZ export sink: the Las.writePoints shape (executor-parallel
     * encode, driver splices O(partitions) side files) plus the chunk
     * table. Writes point format 0 (POINT10 only — the x/y/z payload
-    * this engine round-trips), variable-size chunking so partition
+    * this engine round-trips), optionally followed by a BYTE v2 item
+    * when `extraBytes > 0` (the fixed-width `extra_bytes` binary
+    * column, carried opaquely), variable-size chunking so partition
     * tails stay legal, scale/offset like the reference exporter
     * (exporter.py:78-80). */
   def writePoints(df: DataFrame, path: String, scale: Double = 0.1,
-      chunkPoints: Int = 50000, pointFormat: Int = 0): Unit = {
+      chunkPoints: Int = 50000, pointFormat: Int = 0, extraBytes: Int = 0): Unit = {
     require(FormatItems.contains(pointFormat), s"unsupported point format $pointFormat")
+    require(extraBytes >= 0 && extraBytes <= 0xFFFF, s"bad extra-bytes width $extraBytes")
+    require(extraBytes == 0 || df.columns.contains("extra_bytes"),
+      s"extraBytes=$extraBytes declared but no `extra_bytes` binary column present")
     val chunkDir = Paths.get(path + ".chunks")
     Files.createDirectories(chunkDir)
     val chunkPrefix = chunkDir.toString
+    val cols = if (extraBytes == 0) Seq("x", "y", "z") else Seq("x", "y", "z", "extra_bytes")
+    val xLen = extraBytes
     // per partition: (pid, [(count, bytes)], xMin..zMax)
-    val stats = df.select("x", "y", "z").rdd.mapPartitionsWithIndex { (pid, it) =>
+    val stats = df.select(cols.head, cols.tail: _*).rdd.mapPartitionsWithIndex { (pid, it) =>
       if (!it.hasNext) Iterator.empty
       else {
         var xMin = Double.MaxValue; var xMax = Double.MinValue
@@ -845,7 +919,8 @@ object Laz {
           val buf = new Array[FullPoint](chunkPoints)
           var n = 0
           def flush(): Unit = if (n > 0) {
-            val bytes = encodeChunkFull(pointFormat, if (n == chunkPoints) buf else buf.take(n))
+            val bytes = encodeChunkFull(pointFormat,
+              if (n == chunkPoints) buf else buf.take(n), xLen)
             out.write(bytes)
             chunkStats += ((n, bytes.length))
             n = 0
@@ -855,8 +930,15 @@ object Laz {
             xMin = math.min(xMin, x); xMax = math.max(xMax, x)
             yMin = math.min(yMin, y); yMax = math.max(yMax, y)
             zMin = math.min(zMin, z); zMax = math.max(zMax, z)
+            val extra = if (xLen == 0) null else {
+              val a = r.getAs[Array[Byte]](3)
+              require(a != null && a.length == xLen,
+                s"extra_bytes row length ${if (a == null) -1 else a.length} != declared $xLen")
+              a
+            }
             buf(n) = FullPoint(Point10(math.round(x / scale).toInt,
-              math.round(y / scale).toInt, math.round(z / scale).toInt, 0, 0, 0, 0, 0, 0))
+              math.round(y / scale).toInt, math.round(z / scale).toInt, 0, 0, 0, 0, 0, 0),
+              extra = extra)
             n += 1
             if (n == chunkPoints) flush()
           }
@@ -875,7 +957,8 @@ object Laz {
         stats.map(_._5).min, stats.map(_._6).max,
         stats.map(_._7).min, stats.map(_._8).max)
 
-    val items = FormatItems(pointFormat)
+    val items = FormatItems(pointFormat) ++
+      (if (extraBytes > 0) Seq((ItemByte, extraBytes, 2)) else Nil)
     val vlrPayloadLen = 34 + 6 * items.size
     val offsetToPoints = 227 + 54 + vlrPayloadLen
 
@@ -886,7 +969,7 @@ object Laz {
     header.putInt(96, offsetToPoints)
     header.putInt(100, 1) // one VLR (laszip)
     header.put(104, (0x80 | pointFormat).toByte) // compressed format
-    header.putShort(105, recordLen(pointFormat).toShort)
+    header.putShort(105, (recordLen(pointFormat) + extraBytes).toShort)
     header.putInt(107, n.toInt)
     header.putInt(111, n.toInt) // returns[0]
     header.putDouble(131, scale).putDouble(139, scale).putDouble(147, scale)

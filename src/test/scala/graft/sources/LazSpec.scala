@@ -231,6 +231,50 @@ class LazSpec extends AnyFunSuite {
     assert(back.select(round(col("x") * 10).cast("long")).distinct().count() == n)
   }
 
+  test("BYTE v2 extra-bytes chunk roundtrips constant, stepping, and noisy lanes") {
+    val rnd = new Random(23)
+    val cores = randomPoints(rnd, 20000)
+    val pts = cores.zipWithIndex.map { case (c, i) =>
+      Laz.FullPoint(c, extra = Array[Byte](
+        7, // constant lane
+        (i % 256).toByte, // stepping lane (diff model saturates at +1)
+        rnd.nextInt(256).toByte, // noise lane
+        (i / 100).toByte)) // slow ramp
+    }
+    val bytes = Laz.encodeChunkFull(0, pts, extraLen = 4)
+    val back = Laz.decodeChunkFull(0, bytes, 0, pts.length, extraLen = 4)
+    pts.indices.foreach { j =>
+      assert(back(j).core == pts(j).core, s"core $j")
+      assert(back(j).extra.toSeq == pts(j).extra.toSeq, s"extra $j")
+    }
+  }
+
+  test("extra-bytes file roundtrips the opaque column across partitions") {
+    val n = 5000
+    val df = (0 until n).map { i =>
+      (i * 0.7, i * 0.3, (i % 50) * 2.0,
+        Array[Byte]((i % 256).toByte, (i % 7).toByte, 42))
+    }.toDF("x", "y", "z", "extra_bytes").repartition(3)
+    val path = "/tmp/graft_laz_extra.laz"
+    Laz.writePoints(df, path, chunkPoints = 1000, extraBytes = 3)
+    val info = Laz.readInfo(path)
+    assert(info.header.pointFormat == 0 && info.header.recordLen == 23)
+    assert(info.items == Seq((6, 20, 2), (0, 3, 2)))
+    val back = Laz.readPoints(spark, path)
+    assert(back.columns.toSeq == Seq("x", "y", "z", "extra_bytes"))
+    val got = back
+      .select(round(col("x") * 10).cast("long"), col("extra_bytes"))
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toSet
+    val exp = (0 until n).map { i =>
+      (math.round(i * 7.0), Seq[Byte]((i % 256).toByte, (i % 7).toByte, 42))
+    }.toSet
+    assert(got == exp)
+    // declared width is enforced, not silently padded
+    val bad = Seq((1.0, 2.0, 3.0, Array[Byte](1))).toDF("x", "y", "z", "extra_bytes")
+    val e = intercept[Exception](Laz.writePoints(bad, "/tmp/graft_laz_bad.laz", extraBytes = 3))
+    assert(e.getMessage.contains("extra_bytes") || e.getCause != null)
+  }
+
   test("file write -> info -> read roundtrip on the 0.1 grid") {
     val pts = Seq((1.5, 2.0, 0.3), (100.2, 0.0, -5.1), (8191.0, 4000.4, 25.3))
     val path = "/tmp/graft_laz_test.laz"
