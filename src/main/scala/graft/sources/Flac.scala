@@ -14,8 +14,10 @@ import org.apache.spark.sql.types._
   * reconstruction, orders 1-32 on read) with Rice-coded residuals,
   * wasted-bits subframes, frame CRC-8/CRC-16, STREAMINFO and
   * SEEKTABLE metadata. Files this writes are spec-valid FLAC
-  * streams; remaining reader boundary: mid/side stereo and non-16-bit
-  * sample sizes are rejected explicitly.
+  * streams, and stereo frames pick the cheapest decorrelation
+  * (independent / left-side / side-right / mid-side) per frame;
+  * remaining reader boundary: non-16-bit sample sizes are rejected
+  * explicitly.
   *
   * Why it belongs in a Spark analytics engine: compressed audio is a
   * standing format boundary for training-data pipelines (the
@@ -301,13 +303,14 @@ object Flac {
     * order / real LPC (Levinson-Durbin + quantized-coefficient
     * integer residuals), whichever costs least by total |residual|.
     * Blocks whose samples share trailing zero bits encode at reduced
-    * width via the wasted-bits field. */
-  private def writeSubframe(bw: BitWriter, s0: Array[Int]): Unit = {
+    * width via the wasted-bits field. `bps0` is the channel's sample
+    * width: 16, or 17 for a stereo-decorrelation side channel. */
+  private def writeSubframe(bw: BitWriter, s0: Array[Int], bps0: Int = 16): Unit = {
     val n = s0.length
     val constant = n > 0 && s0.forall(_ == s0(0))
     if (constant) {
       bw.writeBits(1, 0); bw.writeBits(6, 0); bw.writeBits(1, 0) // SUBFRAME_CONSTANT
-      bw.writeBits(16, s0(0) & 0xFFFF)
+      bw.writeBits(bps0, s0(0) & ((1L << bps0) - 1))
       return
     }
     // wasted bits: trailing zeros shared by EVERY sample move into the
@@ -316,7 +319,7 @@ object Flac {
     s0.foreach(v => orAll |= v)
     val wasted = java.lang.Integer.numberOfTrailingZeros(orAll) // orAll != 0 here
     val s = if (wasted == 0) s0 else s0.map(_ >> wasted)
-    val bps = 16 - wasted
+    val bps = bps0 - wasted
     def header(tpe: Int): Unit = {
       bw.writeBits(1, 0)
       bw.writeBits(6, tpe)
@@ -385,13 +388,13 @@ object Flac {
     writeResiduals(bw, res)
   }
 
-  private def readSubframe(br: BitReader, n: Int): Array[Int] = {
+  private def readSubframe(br: BitReader, n: Int, bps0: Int = 16): Array[Int] = {
     require(br.readBits(1) == 0, "subframe sync bit")
     val tpe = br.readBits(6).toInt
     val wastedFlag = br.readBits(1).toInt
     val wasted = if (wastedFlag == 0) 0 else br.readUnary() + 1
-    require(wasted < 16, s"wasted bits $wasted exhaust the 16-bit sample")
-    val bps = 16 - wasted
+    require(wasted < bps0, s"wasted bits $wasted exhaust the $bps0-bit sample")
+    val bps = bps0 - wasted
     def sample(): Int = ((br.readBits(bps) << (64 - bps)) >> (64 - bps)).toInt
     val lo = -(1 << (bps - 1))
     val hi = (1 << (bps - 1)) - 1
@@ -478,25 +481,64 @@ object Flac {
     }
   }
 
-  /** Encode one frame (1 or 2 channels of equal length; stereo is
-    * independent left/right — no mid/side in the subset). Returns the
+  /** Encode one frame (1 or 2 channels of equal length; stereo picks
+    * the cheapest of independent / left-side / side-right / mid-side
+    * per frame; `forceAssign` pins the choice for tests). Returns the
     * frame bytes. `blockSizeCode` must describe s(0).length. */
   private[sources] def encodeFrame(frameIdx: Long, channels: Array[Array[Int]],
-      sampleRate: Int, blockSize: Int): Array[Byte] = {
+      sampleRate: Int, blockSize: Int, forceAssign: Int = -1): Array[Byte] = {
+    // stereo decorrelation choice: estimate each candidate channel by
+    // its order-2 fixed residual sum (the cheap proxy real encoders
+    // use) and pick the cheapest of independent / left-side /
+    // side-right / mid-side; ties resolve to the earliest candidate,
+    // so the choice is deterministic
+    def o2cost(s: Array[Int]): Long = {
+      var acc = 0L
+      var i = 2
+      while (i < s.length) { acc += math.abs(s(i).toLong - 2L * s(i - 1) + s(i - 2)); i += 1 }
+      acc
+    }
+    val (assign, subChans, subBps) =
+      if (channels.length != 2)
+        (channels.length - 1, channels, Array.fill(channels.length)(16))
+      else {
+        val l = channels(0); val r = channels(1)
+        val n = l.length
+        val side = new Array[Int](n)
+        val mid = new Array[Int](n)
+        var i = 0
+        while (i < n) { side(i) = l(i) - r(i); mid(i) = (l(i) + r(i)) >> 1; i += 1 }
+        val (cl, cr, cs, cm) = (o2cost(l), o2cost(r), o2cost(side), o2cost(mid))
+        val a =
+          if (forceAssign >= 0) forceAssign
+          else Seq(1 -> (cl + cr), 8 -> (cl + cs), 9 -> (cs + cr), 10 -> (cm + cs))
+            .minBy(_._2)._1
+        a match {
+          case 1 => (1, Array(l, r), Array(16, 16))
+          case 8 => (8, Array(l, side), Array(16, 17)) // left + side
+          case 9 => (9, Array(side, r), Array(17, 16)) // side + right
+          case 10 => (10, Array(mid, side), Array(16, 17)) // mid + side
+          case other => throw new IllegalArgumentException(s"bad channel assignment $other")
+        }
+      }
     val bw = new BitWriter
     bw.writeBits(14, 0x3FFE) // sync
     bw.writeBits(1, 0) // reserved
     bw.writeBits(1, 0) // fixed-blocksize stream: frame number coded
     bw.writeBits(4, 7) // blocksize: 16-bit value follows (code 0b0111)
     bw.writeBits(4, 0) // sample rate: in STREAMINFO
-    bw.writeBits(4, channels.length - 1) // channel assignment: independent
+    bw.writeBits(4, assign) // channel assignment
     bw.writeBits(3, 4) // sample size: 16 bits (code 0b100)
     bw.writeBits(1, 0) // reserved
     writeUtf8Number(bw, frameIdx)
     bw.writeBits(16, blockSize - 1)
     val headNoCrc = { bw.alignByte(); bw.result() }
     bw.writeBits(8, crc8(headNoCrc, 0, headNoCrc.length))
-    channels.foreach(writeSubframe(bw, _))
+    var ci = 0
+    while (ci < subChans.length) {
+      writeSubframe(bw, subChans(ci), subBps(ci))
+      ci += 1
+    }
     bw.alignByte()
     val body = bw.result()
     val out = java.util.Arrays.copyOf(body, body.length + 2)
@@ -517,8 +559,8 @@ object Flac {
     val bsCode = br.readBits(4).toInt
     br.readBits(4) // sample-rate code (STREAMINFO governs)
     val chanAssign = br.readBits(4).toInt
-    require(chanAssign < 8, s"mid/side channel assignment $chanAssign not in subset")
-    val nCh = chanAssign + 1
+    require(chanAssign <= 10, s"reserved channel assignment $chanAssign")
+    val nCh = if (chanAssign < 8) chanAssign + 1 else 2
     require(nCh == expectChannels, s"frame has $nCh channels, STREAMINFO says $expectChannels")
     val ssCode = br.readBits(3).toInt
     require(ssCode == 4, s"sample size code $ssCode (16-bit only)")
@@ -536,7 +578,31 @@ object Flac {
     val headEnd = br.position
     val hcrc = br.readBits(8).toInt
     require(hcrc == crc8(bytes, offset, headEnd), "frame header CRC-8 mismatch")
-    val chans = Array.fill(nCh)(readSubframe(br, blockSize))
+    val chans =
+      if (chanAssign < 8) Array.fill(nCh)(readSubframe(br, blockSize))
+      else {
+        // stereo decorrelation: the side channel carries one extra bit
+        val c0 = readSubframe(br, blockSize, if (chanAssign == 9) 17 else 16)
+        val c1 = readSubframe(br, blockSize, if (chanAssign == 9) 16 else 17)
+        val l = new Array[Int](blockSize)
+        val r = new Array[Int](blockSize)
+        var i = 0
+        chanAssign match {
+          case 8 => // left + side: R = L - side
+            while (i < blockSize) { l(i) = c0(i); r(i) = c0(i) - c1(i); i += 1 }
+          case 9 => // side + right: L = R + side
+            while (i < blockSize) { r(i) = c1(i); l(i) = c1(i) + c0(i); i += 1 }
+          case _ => // mid + side: L+R rebuilt from mid<<1 | (side&1)
+            while (i < blockSize) {
+              val s1 = c1(i)
+              val m = (c0(i) << 1) | (s1 & 1)
+              l(i) = (m + s1) >> 1
+              r(i) = (m - s1) >> 1
+              i += 1
+            }
+        }
+        Array(l, r)
+      }
     br.alignByte()
     val bodyEnd = br.position
     val fcrc = ((bytes(bodyEnd) & 0xFF) << 8) | (bytes(bodyEnd + 1) & 0xFF)

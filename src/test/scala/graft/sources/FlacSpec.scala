@@ -84,6 +84,52 @@ class FlacSpec extends AnyFunSuite {
     assert(chans(0).toSeq == l.toSeq && chans(1).toSeq == r.toSeq)
   }
 
+  test("every stereo decorrelation assignment roundtrips frame-exactly") {
+    val rnd = new Random(91)
+    val n = 2048
+    // adversarial pair: full-range left, correlated right with noise,
+    // odd/even sums so the mid-side parity bit is exercised
+    val l = Array.tabulate(n)(i =>
+      math.max(-32768, math.min(32767, (math.sin(i * 0.05) * 25000).toInt + rnd.nextInt(7) - 3)))
+    val r = Array.tabulate(n)(i =>
+      math.max(-32768, math.min(32767, l(i) - 300 + rnd.nextInt(9) - 4)))
+    Seq(1, 8, 9, 10).foreach { assign =>
+      val fb = Flac.encodeFrame(0L, Array(l, r), 16000, n, forceAssign = assign)
+      val (chans, _, _) = Flac.decodeFrame(fb, 0, 2)
+      assert(chans(0).toSeq == l.toSeq, s"assign $assign left")
+      assert(chans(1).toSeq == r.toSeq, s"assign $assign right")
+    }
+  }
+
+  test("correlated stereo picks a side assignment and beats independent coding") {
+    val rnd = new Random(7)
+    val n = 8192
+    val l = Array.tabulate(n)(i => (math.sin(i * 0.021) * 20000).toInt + rnd.nextInt(5) - 2)
+    val r = Array.tabulate(n)(i => l(i) - 150 + rnd.nextInt(5) - 2) // ~same signal shifted
+    val auto = Flac.encode(l, right = r, blockSize = 2048)
+    val (_, chans) = Flac.decode(auto)
+    assert(chans(0).toSeq == l.toSeq && chans(1).toSeq == r.toSeq)
+    // force-independent stream for the size comparison
+    val indep = {
+      val frames = (0 until n by 2048).map { p =>
+        Flac.encodeFrame(p / 2048, Array(l.slice(p, p + 2048), r.slice(p, p + 2048)),
+          16000, 2048, forceAssign = 1)
+      }
+      frames.map(_.length).sum
+    }
+    val autoFrames = (0 until n by 2048).map { p =>
+      Flac.encodeFrame(p / 2048, Array(l.slice(p, p + 2048), r.slice(p, p + 2048)),
+        16000, 2048)
+    }
+    // the chooser must have taken a decorrelated assignment (code 8-10)
+    autoFrames.foreach { fb =>
+      val assign = (fb(3) & 0xF0) >> 4 // 4th byte: [chanAssign|sampleSize..]
+      assert(assign >= 8 && assign <= 10, s"expected side coding, got $assign")
+    }
+    assert(autoFrames.map(_.length).sum < indep,
+      "side coding must shrink a correlated stereo pair")
+  }
+
   test("corrupted frame bytes fail the CRC, corrupted header fails CRC-8") {
     val pcm = Array.tabulate(3000)(i => (math.sin(i * 0.1) * 10000).toInt)
     val bytes = Flac.encode(pcm, blockSize = 1024)
