@@ -354,6 +354,31 @@ class PointCloudSpec extends AnyFunSuite {
     assert(kept2 == Seq.fill(3)((500.0, 500.0, 1.0)))
   }
 
+  test("radius outlier plan: dropped-set anti join broadcasts, points never shuffle") {
+    import spark.implicits._
+    val pts = (0 until 2000).map(i => ((i % 50) * 2.0, (i / 50) * 2.0, 1.0)) ++
+      Seq((5000.0, 5000.0, 1.0))
+    val c = PointCloud.importPoints(pts.toDF("x", "y", "z"), ImportSpec(ratio = 0.5))
+    val out = c.radiusOutlierRemoval(5.0, 3L)
+    // collect on THIS frame so AQE finalizes this queryExecution
+    assert(out.collect().length == 2000) // the lone far point drops
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanHelper, AQEShuffleReadExec}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val helper = new AdaptiveSparkPlanHelper {}
+    // after AQE finalizes: the last join must be a broadcast ANTI join
+    // (build side = the rare dropped identities, not a kept-set as big
+    // as the cloud), and the point-multiset side's pre-planned shuffle
+    // must have degraded to a LOCAL read — no network repartition
+    val anti = helper.collectWithSubqueries(out.queryExecution.executedPlan) {
+      case j: BroadcastHashJoinExec
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+    }
+    assert(anti.nonEmpty, "expected an AQE broadcast LeftAnti final join")
+    val reads = helper.collect(anti.head.left) { case r: AQEShuffleReadExec => r }
+    assert(reads.forall(_.isLocalRead),
+      s"point-side shuffle read must be local: ${anti.head.left}")
+  }
+
   test("morphologicalGround: spike falls at stage 1, building only at stage 2") {
     import spark.implicits._
     // 6x6 cell plain at z=10 (cell size 1, one point per cell center),
