@@ -8,16 +8,15 @@ import org.apache.spark.sql.types._
 
 /** A from-scratch FLAC codec (lossless audio) — the subset of the
   * PUBLIC FLAC format (xiph.org specification / RFC 9639): mono or
-  * stereo, 16-bit, fixed block size, SUBFRAME_CONSTANT /
-  * SUBFRAME_VERBATIM / SUBFRAME_FIXED (orders 0-4) / SUBFRAME_LPC
-  * (Levinson-Durbin estimated, quantized-coefficient integer
-  * reconstruction, orders 1-32 on read) with Rice-coded residuals,
-  * wasted-bits subframes, frame CRC-8/CRC-16, STREAMINFO and
-  * SEEKTABLE metadata. Files this writes are spec-valid FLAC
-  * streams, and stereo frames pick the cheapest decorrelation
-  * (independent / left-side / side-right / mid-side) per frame;
-  * remaining reader boundary: non-16-bit sample sizes are rejected
-  * explicitly.
+  * stereo at 8/12/16/20/24-bit depths, fixed block size,
+  * SUBFRAME_CONSTANT / SUBFRAME_VERBATIM / SUBFRAME_FIXED (orders
+  * 0-4) / SUBFRAME_LPC (Levinson-Durbin estimated,
+  * quantized-coefficient integer reconstruction, orders 1-32 on
+  * read) with Rice-coded residuals, wasted-bits subframes, frame
+  * CRC-8/CRC-16, STREAMINFO and SEEKTABLE metadata. Files this
+  * writes are spec-valid FLAC streams, and stereo frames pick the
+  * cheapest decorrelation (independent / left-side / side-right /
+  * mid-side) per frame.
   *
   * Why it belongs in a Spark analytics engine: compressed audio is a
   * standing format boundary for training-data pipelines (the
@@ -178,15 +177,22 @@ object Flac {
     val mean = if (res.isEmpty) 0L else sum / math.max(1, res.length)
     var k = 0
     while (k < 14 && (1L << (k + 1)) < mean + 1) k += 1
-    // escape if the worst-case unary run is absurd; fixed orders <= 4
-    // over 16-bit samples bound |residual| < 2^20, so 24 raw bits
-    // always fit (the 5-bit escape field caps at 31)
+    // escape if the worst-case unary run is absurd; the raw width is
+    // sized to the widest residual (two's complement), which fixed
+    // orders <= 4 over <= 25-bit subframes bound well under the 5-bit
+    // escape field's 31-bit cap
     var worst = 0L
     res.foreach(r => worst = math.max(worst, zigzag(r) >>> k))
     if (worst > (1L << 16)) {
+      var bits = 2
+      res.foreach { r =>
+        val need = 65 - java.lang.Long.numberOfLeadingZeros(if (r < 0) ~r else r)
+        if (need > bits) bits = need
+      }
+      require(bits <= 31, s"residual needs $bits bits, escape caps at 31")
       bw.writeBits(4, 15) // escape code 0b1111: raw residuals
-      bw.writeBits(5, 24)
-      res.foreach(r => bw.writeBits(24, r & 0xFFFFFFL))
+      bw.writeBits(5, bits)
+      res.foreach(r => bw.writeBits(bits, r & ((1L << bits) - 1)))
     } else {
       bw.writeBits(4, k)
       res.foreach { r =>
@@ -355,7 +361,7 @@ object Flac {
           var cost = 0L
           var worst = 0L
           res.foreach { r => cost += math.abs(r); worst = math.max(worst, math.abs(r)) }
-          if (cost < bestCost && worst < (1L << 23)) {
+          if (cost < bestCost && worst < (1L << 30)) {
             lpc = q; lpcRes = res; bestCost = cost
           }
         }
@@ -485,8 +491,14 @@ object Flac {
     * the cheapest of independent / left-side / side-right / mid-side
     * per frame; `forceAssign` pins the choice for tests). Returns the
     * frame bytes. `blockSizeCode` must describe s(0).length. */
+  /** Frame-header sample-size codes for the supported depths. */
+  private val SampleSizeCodes = Map(8 -> 1, 12 -> 2, 16 -> 4, 20 -> 5, 24 -> 6)
+  private val SampleSizeBits = SampleSizeCodes.map(_.swap)
+
   private[sources] def encodeFrame(frameIdx: Long, channels: Array[Array[Int]],
-      sampleRate: Int, blockSize: Int, forceAssign: Int = -1): Array[Byte] = {
+      sampleRate: Int, blockSize: Int, forceAssign: Int = -1,
+      bps: Int = 16): Array[Byte] = {
+    require(SampleSizeCodes.contains(bps), s"unsupported bit depth $bps")
     // stereo decorrelation choice: estimate each candidate channel by
     // its order-2 fixed residual sum (the cheap proxy real encoders
     // use) and pick the cheapest of independent / left-side /
@@ -500,7 +512,7 @@ object Flac {
     }
     val (assign, subChans, subBps) =
       if (channels.length != 2)
-        (channels.length - 1, channels, Array.fill(channels.length)(16))
+        (channels.length - 1, channels, Array.fill(channels.length)(bps))
       else {
         val l = channels(0); val r = channels(1)
         val n = l.length
@@ -514,10 +526,10 @@ object Flac {
           else Seq(1 -> (cl + cr), 8 -> (cl + cs), 9 -> (cs + cr), 10 -> (cm + cs))
             .minBy(_._2)._1
         a match {
-          case 1 => (1, Array(l, r), Array(16, 16))
-          case 8 => (8, Array(l, side), Array(16, 17)) // left + side
-          case 9 => (9, Array(side, r), Array(17, 16)) // side + right
-          case 10 => (10, Array(mid, side), Array(16, 17)) // mid + side
+          case 1 => (1, Array(l, r), Array(bps, bps))
+          case 8 => (8, Array(l, side), Array(bps, bps + 1)) // left + side
+          case 9 => (9, Array(side, r), Array(bps + 1, bps)) // side + right
+          case 10 => (10, Array(mid, side), Array(bps, bps + 1)) // mid + side
           case other => throw new IllegalArgumentException(s"bad channel assignment $other")
         }
       }
@@ -528,7 +540,7 @@ object Flac {
     bw.writeBits(4, 7) // blocksize: 16-bit value follows (code 0b0111)
     bw.writeBits(4, 0) // sample rate: in STREAMINFO
     bw.writeBits(4, assign) // channel assignment
-    bw.writeBits(3, 4) // sample size: 16 bits (code 0b100)
+    bw.writeBits(3, SampleSizeCodes(bps)) // sample size code
     bw.writeBits(1, 0) // reserved
     writeUtf8Number(bw, frameIdx)
     bw.writeBits(16, blockSize - 1)
@@ -563,7 +575,8 @@ object Flac {
     val nCh = if (chanAssign < 8) chanAssign + 1 else 2
     require(nCh == expectChannels, s"frame has $nCh channels, STREAMINFO says $expectChannels")
     val ssCode = br.readBits(3).toInt
-    require(ssCode == 4, s"sample size code $ssCode (16-bit only)")
+    val bps = SampleSizeBits.getOrElse(ssCode,
+      throw new IllegalArgumentException(s"unsupported sample size code $ssCode"))
     br.readBits(1)
     val frameIdx = readUtf8Number(br)
     val blockSize = bsCode match {
@@ -579,11 +592,11 @@ object Flac {
     val hcrc = br.readBits(8).toInt
     require(hcrc == crc8(bytes, offset, headEnd), "frame header CRC-8 mismatch")
     val chans =
-      if (chanAssign < 8) Array.fill(nCh)(readSubframe(br, blockSize))
+      if (chanAssign < 8) Array.fill(nCh)(readSubframe(br, blockSize, bps))
       else {
         // stereo decorrelation: the side channel carries one extra bit
-        val c0 = readSubframe(br, blockSize, if (chanAssign == 9) 17 else 16)
-        val c1 = readSubframe(br, blockSize, if (chanAssign == 9) 16 else 17)
+        val c0 = readSubframe(br, blockSize, if (chanAssign == 9) bps + 1 else bps)
+        val c1 = readSubframe(br, blockSize, if (chanAssign == 9) bps else bps + 1)
         val l = new Array[Int](blockSize)
         val r = new Array[Int](blockSize)
         var i = 0
@@ -618,10 +631,17 @@ object Flac {
       seekpoints: Array[(Long, Long, Int)])
 
   /** Encode a whole stream into one in-memory FLAC payload (the
-    * per-row media-table form). Mono unless `right` is given. */
+    * per-row media-table form). Mono unless `right` is given; `bps`
+    * picks the stored depth (8/12/16/20/24). */
   def encode(pcm: Array[Int], sampleRate: Int = 16000, blockSize: Int = 4096,
-      right: Array[Int] = null): Array[Byte] = {
+      right: Array[Int] = null, bps: Int = 16): Array[Byte] = {
     require(right == null || right.length == pcm.length, "channel length mismatch")
+    require(SampleSizeCodes.contains(bps), s"unsupported bit depth $bps")
+    val lo = -(1 << (bps - 1)); val hi = (1 << (bps - 1)) - 1
+    def inRange(s: Array[Int]): Boolean = { var i = 0
+      while (i < s.length && s(i) >= lo && s(i) <= hi) i += 1; i == s.length }
+    require(inRange(pcm) && (right == null || inRange(right)),
+      s"samples exceed the $bps-bit range")
     val nCh = if (right == null) 1 else 2
     val frames = Array.newBuilder[Array[Byte]]
     val seeks = Array.newBuilder[(Long, Long, Int)]
@@ -634,7 +654,7 @@ object Flac {
         if (nCh == 1) Array(java.util.Arrays.copyOfRange(pcm, pos, pos + n))
         else Array(java.util.Arrays.copyOfRange(pcm, pos, pos + n),
           java.util.Arrays.copyOfRange(right, pos, pos + n))
-      val fb = encodeFrame(idx, chans, sampleRate, n)
+      val fb = encodeFrame(idx, chans, sampleRate, n, bps = bps)
       frames += fb
       seeks += ((pos.toLong, off, n))
       off += fb.length
@@ -642,12 +662,12 @@ object Flac {
       pos += n
     }
     buildStream(sampleRate, nCh, pcm.length.toLong, blockSize,
-      seeks.result(), frames.result())
+      seeks.result(), frames.result(), bps)
   }
 
   private def buildStream(sampleRate: Int, channels: Int, totalSamples: Long,
       blockSize: Int, seeks: Array[(Long, Long, Int)],
-      frames: Array[Array[Byte]]): Array[Byte] = {
+      frames: Array[Array[Byte]], bps: Int = 16): Array[Byte] = {
     val bw = new BitWriter
     bw.writeBits(32, 0x664C6143L) // "fLaC"
     // STREAMINFO (type 0), not last
@@ -656,7 +676,7 @@ object Flac {
     bw.writeBits(24, 0); bw.writeBits(24, 0) // frame sizes unknown
     bw.writeBits(20, sampleRate)
     bw.writeBits(3, channels - 1)
-    bw.writeBits(5, 15) // bits per sample - 1
+    bw.writeBits(5, bps - 1)
     bw.writeBits(36, totalSamples)
     (0 until 16).foreach(_ => bw.writeBits(8, 0)) // MD5 unset
     // SEEKTABLE (type 3), last
@@ -697,7 +717,8 @@ object Flac {
         val bps = br.readBits(5).toInt + 1
         val total = br.readBits(36)
         (0 until 16).foreach(_ => br.readBits(8))
-        require(bps == 16, s"bits per sample $bps (16-bit subset)")
+        require(SampleSizeCodes.contains(bps),
+          s"bits per sample $bps (8/12/16/20/24 supported)")
         info = FlacInfo(rate, nCh, bps, total, bsMin, -1L, Array.empty)
       } else if (tpe == 3) {
         val n = len / 18

@@ -219,6 +219,30 @@ class FlacSpec extends AnyFunSuite {
     assert(chans(0).toSeq == shifted.toSeq)
   }
 
+  test("8/12/20/24-bit depths roundtrip mono and stereo") {
+    val rnd = new Random(67)
+    Seq(8, 12, 20, 24).foreach { bps =>
+      val amp = (1 << (bps - 1)) - 1
+      val n = 5000
+      val l = Array.tabulate(n)(i =>
+        math.max(-amp - 1, math.min(amp, (math.sin(i * 0.043) * (amp * 0.8)).toInt +
+          rnd.nextInt(5) - 2)))
+      val r = Array.tabulate(n)(i =>
+        math.max(-amp - 1, math.min(amp, l(i) - (amp / 64) + rnd.nextInt(3) - 1)))
+      val mono = Flac.encode(l, blockSize = 2048, bps = bps)
+      val (mi, mc) = Flac.decode(mono)
+      assert(mi.bitsPerSample == bps && mc(0).toSeq == l.toSeq, s"mono $bps-bit")
+      val stereo = Flac.encode(l, right = r, blockSize = 2048, bps = bps)
+      val (si, sc) = Flac.decode(stereo)
+      assert(si.bitsPerSample == bps, s"stereo $bps-bit depth")
+      assert(sc(0).toSeq == l.toSeq && sc(1).toSeq == r.toSeq, s"stereo $bps-bit")
+    }
+    // out-of-range samples are rejected up front, not silently masked
+    val e = intercept[IllegalArgumentException](
+      Flac.encode(Array(1000), bps = 8))
+    assert(e.getMessage.contains("range"))
+  }
+
   test("foreign-subframe corruption still fails loudly (CRC or range guards)") {
     val pcm = Array.tabulate(300)(i => i)
     val bytes = Flac.encode(pcm, blockSize = 256)
