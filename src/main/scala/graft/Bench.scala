@@ -30,8 +30,13 @@ object Bench {
     // materialize via the noop sink, not count(): count() lets Catalyst
     // prune unreferenced projections, so narrow-map queries would be
     // benched as bare scans with their kernels never executing
+    // local-iteration subset: SPARK_GRAFT_ONLY=q1,q2 benches only the
+    // named queries; unset = all, which is what the driver runs
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def timedPass(): Seq[(String, Either[String, Double])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.filter(kv => only.forall(_.contains(kv._1)))
+        .sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()

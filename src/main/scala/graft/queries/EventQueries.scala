@@ -161,11 +161,14 @@ object EventQueries {
       ev(s, d).groupBy(col("event_type"))
         .agg(graft.functions.sketch.kmv_distinct(
           graft.functions.hashes.hash62(col("user_id")), 1024).as("approx_users"))),
-    // connected components (monotone min-label, 8 rounds >= fixture
-    // graph diameter): which co-activity clusters exist
+    // connected components (monotone min-label, convergence early-exit):
+    // which co-activity clusters exist. The converged labels equal the
+    // oracle's 8-round unrolling because extra rounds past the fixed
+    // point are identities and the fixture diameter is < 8 (Graph.scala
+    // scaladoc documents the equivalence).
     "ev_user_components" -> ((s, d) =>
       graft.operators.Graph.connectedComponents(
-        coactivityPairs(s, d), "user_a", "user_b", iterations = 8)
+        coactivityPairs(s, d), "user_a", "user_b")
         .select(col("node").as("user_id"), col("label").as("component"))),
     // exact triangle counts on the co-activity graph (ordered-triple
     // wedge join — each triangle exactly once, no dedup)
@@ -420,15 +423,18 @@ object EventQueries {
            UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
          SELECT node AS user_id, count(*) AS triangles
          FROM credit GROUP BY 1""",
-    // min-label replication: 8 unrolled monotone rounds
-    "ev_user_components" -> {
-      def step(i: Int) =
-        s"""l$i AS (SELECT node, min(label) AS label FROM (
-           SELECT node, label FROM l${i - 1}
-           UNION ALL
-           SELECT e.dst AS node, p.label FROM ed e
-             JOIN l${i - 1} p ON p.node = e.src) GROUP BY 1)"""
-      s"""WITH o AS (
+    // CONVERGED components, not a fixed-round unrolling: the engine
+    // side now runs min-label propagation to its fixed point
+    // (Graph.connectedComponents early-exit), so the oracle must be the
+    // true component minimum too. A recursive reachability CTE (UNION
+    // dedups, so it terminates at the closure) then min over each
+    // node's reachable set IS that fixed point, independent of whatever
+    // diameter the regenerated fixture graph happens to have — the old
+    // 8-round unrolling only matched because BOTH engines stopped at
+    // the same non-converged state (the r10 scale footgun, now closed
+    // on both sides).
+    "ev_user_components" ->
+      s"""WITH RECURSIVE o AS (
            SELECT user_id, event_id, epoch_us(ts) AS us,
              lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                AS prev_us
@@ -448,11 +454,12 @@ object EventQueries {
              AND a.s_us <= b.e_us AND b.s_us <= a.e_us),
          sym AS (SELECT ua AS src, ub AS dst FROM pairs
                  UNION SELECT ub, ua FROM pairs),
-         ed AS (SELECT src, dst FROM sym),
-         l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
-         ${(1 to 8).map(step).mkString(",\n         ")}
-         SELECT node AS user_id, label AS component FROM l8"""
-    },
+         reach(node, r) AS (
+           SELECT DISTINCT src, src FROM sym
+           UNION
+           SELECT reach.node, e.dst FROM reach JOIN sym e ON e.src = reach.r)
+         SELECT node AS user_id, min(r) AS component
+         FROM reach GROUP BY 1""",
     // KMV intersection replication: same k-smallest sketch sets,
     // theta rule, and integer estimate
     "ev_type_overlap_kmv" ->

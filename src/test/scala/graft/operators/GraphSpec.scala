@@ -51,12 +51,79 @@ class GraphSpec extends AnyFunSuite {
 
   test("connectedComponents: min label reaches across chains, components separate") {
     // chain 5-4-3-9 (component min 3) and edge 7-8 (component min 7).
-    // diameter 3 < 8 rounds -> exact component ids.
     val edges = Seq((5L, 4L), (4L, 3L), (3L, 9L), (7L, 8L)).toDF("a", "b")
-    val got = Graph.connectedComponents(edges, "a", "b", iterations = 8)
+    val got = Graph.connectedComponents(edges, "a", "b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(3L -> 3L, 4L -> 3L, 5L -> 3L, 9L -> 3L,
       7L -> 7L, 8L -> 7L))
+  }
+
+  test("connectedComponents: diameter-12 path graph converges to exact labels " +
+      "(past the old fixed k=8 horizon)") {
+    // path 100-101-...-112: diameter 12, so a fixed 8-round propagation
+    // would leave nodes 109..112 with labels > 100 (the r10 scale
+    // footgun). The convergence loop must run until the fixed point and
+    // return the exact component minimum for EVERY node.
+    val edges = (100L until 112L).map(i => (i, i + 1L)).toDF("a", "b")
+    val got = Graph.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (100L to 112L).map(_ -> 100L).toMap, got.toString)
+  }
+
+  test("connectedComponents: maxIterations is a runaway bound, not a semantic " +
+      "knob — truncation below the diameter is the only way to see it") {
+    val edges = (0L until 12L).map(i => (i, i + 1L)).toDF("a", "b")
+    // bound below diameter: labels are the 3-hop minima, NOT converged
+    val truncated = Graph.connectedComponents(edges, "a", "b", maxIterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(truncated(12L) == 9L && truncated(3L) == 0L)
+    // any bound >= diameter yields the identical converged result
+    val conv = Graph.connectedComponents(edges, "a", "b", maxIterations = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val conv2 = Graph.connectedComponents(edges, "a", "b", maxIterations = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(conv == (0L to 12L).map(_ -> 0L).toMap)
+    assert(conv2 == conv, "extra headroom past the fixed point changes nothing")
+  }
+
+  test("connectedComponents: pointer-jumping contracts a diameter-44 path in " +
+      "far fewer than 44 rounds") {
+    // plain propagation would need 44 rounds; with label(label) jumps
+    // engaged past round 8 the chain contracts geometrically, so a
+    // 20-round budget suffices — converging here PROVES the jump path
+    // runs and is correct, not just present.
+    val edges = (0L until 44L).map(i => (i, i + 1L)).toDF("a", "b")
+    val got = Graph.connectedComponents(edges, "a", "b", maxIterations = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 44L).map(_ -> 0L).toMap, got.toString)
+  }
+
+  test("labelPropagation: K2 oscillates (period 2) — exactly k rounds run and " +
+      "parity of k selects the phase; the early exit never fires spuriously") {
+    // K2 with labels (1,2): each round the nodes swap labels — a pure
+    // oscillation with no fixed point, the classic synchronous-LPA
+    // bipartite pathology the scaladoc documents.
+    val k2 = Seq((1L, 2L)).toDF("a", "b")
+    val odd = Graph.labelPropagation(k2, "a", "b", iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val even = Graph.labelPropagation(k2, "a", "b", iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(odd == Map(1L -> 2L, 2L -> 1L), s"odd k: swapped phase, got $odd")
+    assert(even == Map(1L -> 1L, 2L -> 2L), s"even k: identity phase, got $even")
+  }
+
+  test("labelPropagation: early exit at a fixed point equals running all k " +
+      "rounds (oracle-equivalence of the convergence shortcut)") {
+    // a triangle converges to all-1 after round 1 (neighbors of each
+    // node include label 1 with the min tie rule); once fixed, any
+    // larger k must return the identical map.
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val k2 = Graph.labelPropagation(tri, "a", "b", iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val k9 = Graph.labelPropagation(tri, "a", "b", iterations = 9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(k2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    assert(k9 == k2, "rounds past the fixed point are identities")
   }
 
   test("triangleCounts: shared-edge triangles credit corners exactly once each") {
