@@ -919,10 +919,17 @@ final class BlockedCloud(
     def idOf(df: DataFrame): Column =
       xxhash64(col("x") + lit(0.0), col("y") + lit(0.0), col("z") + lit(0.0))
     val pts = explodePoints(blocks)
+    // the representative is a single struct-max, not per-axis maxes:
+    // if the negligible-probability hash collision DOES merge two
+    // identities, a lexicographic max of (x, y, z) is still one of the
+    // group's real coordinate triples, where independent per-axis
+    // maxes would fabricate a chimera point that exists nowhere
     val ids = pts.withColumn("__id", idOf(pts))
       .groupBy(col("__id"))
-      .agg(max(col("x")).as("x"), max(col("y")).as("y"),
-        max(col("z")).as("z"), count(lit(1)).as("__m"))
+      .agg(max(struct(col("x"), col("y"), col("z"))).as("__p"),
+        count(lit(1)).as("__m"))
+      .select(col("__id"), col("__p.x").as("x"), col("__p.y").as("y"),
+        col("__p.z").as("z"), col("__m"))
     def cellOf(c: Column) = floor(c / radius).cast(LongType)
     val q = ids.select(col("x").as("__qx"), col("y").as("__qy"),
       col("z").as("__qz"), col("__m"),

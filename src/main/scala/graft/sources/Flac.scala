@@ -561,9 +561,13 @@ object Flac {
   }
 
   /** Decode one frame at `offset`; returns (channels, nextOffset,
-    * frameIdx). Verifies both CRCs. */
+    * frameIdx). Verifies both CRCs. The frame header's channel count
+    * AND sample-size code must agree with STREAMINFO: FLAC permits
+    * per-frame depth changes, but this writer never varies it, and a
+    * silently honored mismatch (a corrupt or foreign stream) would
+    * concatenate samples at inconsistent ranges. */
   private[sources] def decodeFrame(bytes: Array[Byte], offset: Int,
-      expectChannels: Int): (Array[Array[Int]], Int, Long) = {
+      expectChannels: Int, expectBps: Int): (Array[Array[Int]], Int, Long) = {
     val br = new BitReader(bytes, offset)
     require(br.readBits(14) == 0x3FFE, "bad frame sync")
     require(br.readBits(1) == 0, "reserved bit")
@@ -577,6 +581,8 @@ object Flac {
     val ssCode = br.readBits(3).toInt
     val bps = SampleSizeBits.getOrElse(ssCode,
       throw new IllegalArgumentException(s"unsupported sample size code $ssCode"))
+    require(bps == expectBps,
+      s"frame carries $bps-bit samples, STREAMINFO says $expectBps")
     br.readBits(1)
     val frameIdx = readUtf8Number(br)
     val blockSize = bsCode match {
@@ -741,7 +747,7 @@ object Flac {
     var off = info.firstFrameOffset.toInt
     var pos = 0
     while (pos < info.totalSamples) {
-      val (chans, next, _) = decodeFrame(bytes, off, info.channels)
+      val (chans, next, _) = decodeFrame(bytes, off, info.channels, info.bitsPerSample)
       val n = chans(0).length
       var c = 0
       while (c < info.channels) {
@@ -892,7 +898,7 @@ object Flac {
           raf.seek(start)
           raf.readFully(bytes)
           group.iterator.flatMap { case (s, _, firstSample) =>
-            val (chans, _, _) = decodeFrame(bytes, (s - start).toInt, 1)
+            val (chans, _, _) = decodeFrame(bytes, (s - start).toInt, 1, info.bitsPerSample)
             chans(0).iterator.zipWithIndex.map { case (v, i) =>
               Row(firstSample + i, v)
             }

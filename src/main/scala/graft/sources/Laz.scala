@@ -897,7 +897,14 @@ object Laz {
   def writePoints(df: DataFrame, path: String, scale: Double = 0.1,
       chunkPoints: Int = 50000, pointFormat: Int = 0, extraBytes: Int = 0): Unit = {
     require(FormatItems.contains(pointFormat), s"unsupported point format $pointFormat")
-    require(extraBytes >= 0 && extraBytes <= 0xFFFF, s"bad extra-bytes width $extraBytes")
+    // the header's point-record-length field (offset 105) is a u16
+    // holding recordLen(pointFormat)+extraBytes; a width that pushes
+    // the SUM past 0xFFFF would wrap in toShort and write a header
+    // that readInfo later rejects on the item-size-sum check
+    require(extraBytes >= 0 && extraBytes <= 0xFFFF - recordLen(pointFormat),
+      s"bad extra-bytes width $extraBytes: format $pointFormat records are " +
+        s"${recordLen(pointFormat)} bytes and the header length field is u16 " +
+        s"(max extra ${0xFFFF - recordLen(pointFormat)})")
     require(extraBytes == 0 || df.columns.contains("extra_bytes"),
       s"extraBytes=$extraBytes declared but no `extra_bytes` binary column present")
     val chunkDir = Paths.get(path + ".chunks")

@@ -95,10 +95,22 @@ class FlacSpec extends AnyFunSuite {
       math.max(-32768, math.min(32767, l(i) - 300 + rnd.nextInt(9) - 4)))
     Seq(1, 8, 9, 10).foreach { assign =>
       val fb = Flac.encodeFrame(0L, Array(l, r), 16000, n, forceAssign = assign)
-      val (chans, _, _) = Flac.decodeFrame(fb, 0, 2)
+      val (chans, _, _) = Flac.decodeFrame(fb, 0, 2, 16)
       assert(chans(0).toSeq == l.toSeq, s"assign $assign left")
       assert(chans(1).toSeq == r.toSeq, s"assign $assign right")
     }
+  }
+
+  test("decodeFrame rejects a frame whose sample-size code disagrees with STREAMINFO") {
+    // a foreign/corrupt stream could legally carry per-frame depths,
+    // but this writer never varies it — decode must refuse rather than
+    // silently concatenate samples at inconsistent ranges
+    val pcm = Array.tabulate(512)(i => (math.sin(i * 0.1) * 100).toInt)
+    val fb = Flac.encodeFrame(0L, Array(pcm), 16000, 512)
+    val e = intercept[IllegalArgumentException] {
+      Flac.decodeFrame(fb, 0, 1, 24)
+    }
+    assert(e.getMessage.contains("STREAMINFO says 24"), e.getMessage)
   }
 
   test("correlated stereo picks a side assignment and beats independent coding") {
