@@ -227,6 +227,17 @@ object PointCloudQueries {
           round(col("y") * 10).cast("long").as("y10"),
           round(col("z") * 10).cast("long").as("z10"))
     }),
+    // legacy compressor-1 (pre-2013 pointwise LASzip) roundtrip: the
+    // v1 item-codec stream, single arithmetic stream, no chunk table —
+    // the one LAZ family old archives hold that chunked v2 can't cover
+    "pc_laz_v1_roundtrip" -> ((s, d) => {
+      val path = s"/tmp/graft_laz_v1_rt_${d.replaceAll("[^A-Za-z0-9.]", "_")}.laz"
+      graft.sources.Laz.writePointsV1(rawPoints(s, d), path)
+      graft.sources.Laz.readPoints(s, path)
+        .select(round(col("x") * 10).cast("long").as("x10"),
+          round(col("y") * 10).cast("long").as("y10"),
+          round(col("z") * 10).cast("long").as("z10"))
+    }),
     // LAZ extra-bytes (BYTE v2 item) roundtrip: three opaque lanes
     // derived from the grid keys ride through the codec as a binary
     // column; the oracle recomputes each lane arithmetically from
@@ -488,6 +499,8 @@ object PointCloudQueries {
     "pc_las_roundtrip" ->
       s"$ptsCte SELECT x * 10 AS x10, y * 10 AS y10, CAST(round(z * 10, 0) AS BIGINT) AS z10 FROM pts",
     "pc_laz_roundtrip" ->
+      s"$ptsCte SELECT x * 10 AS x10, y * 10 AS y10, CAST(round(z * 10, 0) AS BIGINT) AS z10 FROM pts",
+    "pc_laz_v1_roundtrip" ->
       s"$ptsCte SELECT x * 10 AS x10, y * 10 AS y10, CAST(round(z * 10, 0) AS BIGINT) AS z10 FROM pts",
     "pc_laz_extra" ->
       (s"$ptsCte SELECT x * 10 AS x10, CAST(x AS BIGINT) % 256 AS e0, " +

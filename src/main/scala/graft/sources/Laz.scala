@@ -43,7 +43,7 @@ import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
 object Laz {
 
   // item types from the LAZ spec
-  private val ItemByte = 0 // "extra bytes" appended to the point record
+  private[sources] val ItemByte = 0 // "extra bytes" appended to the point record
   private val ItemPoint10 = 6
   private val ItemGpstime11 = 7
   private val ItemRgb12 = 8
@@ -58,6 +58,11 @@ object Laz {
     1 -> Seq((ItemPoint10, 20, 2), (ItemGpstime11, 8, 2)),
     2 -> Seq((ItemPoint10, 20, 2), (ItemRgb12, 6, 2)),
     3 -> Seq((ItemPoint10, 20, 2), (ItemGpstime11, 8, 2), (ItemRgb12, 6, 2)))
+
+  /** The same item lists with version-1 codecs — what pre-2013
+    * pointwise (compressor 1) files declare. */
+  private val FormatItemsV1: Map[Int, Seq[(Int, Int, Int)]] =
+    FormatItems.map { case (f, is) => f -> is.map { case (t, sz, _) => (t, sz, 1) } }
 
   /** One decoded 20-byte POINT10 record; scanAngle kept in unsigned
     * byte space (the codec folds differences mod 256). */
@@ -552,18 +557,18 @@ object Laz {
     }
   }
 
-  private def putPoint10(bb: ByteBuffer, p: Point10): Unit = {
+  private[sources] def putPoint10(bb: ByteBuffer, p: Point10): Unit = {
     bb.putInt(p.x).putInt(p.y).putInt(p.z)
     bb.putShort(p.intensity.toShort)
     bb.put(p.flags.toByte).put(p.cls.toByte).put(p.scanAngle.toByte).put(p.user.toByte)
     bb.putShort(p.psid.toShort)
   }
 
-  private def getPoint10(bb: ByteBuffer): Point10 =
+  private[sources] def getPoint10(bb: ByteBuffer): Point10 =
     Point10(bb.getInt, bb.getInt, bb.getInt, bb.getShort & 0xFFFF,
       bb.get & 0xFF, bb.get & 0xFF, bb.get & 0xFF, bb.get & 0xFF, bb.getShort & 0xFFFF)
 
-  private def recordLen(format: Int): Int = FormatItems(format).map(_._2).sum
+  private[sources] def recordLen(format: Int): Int = FormatItems(format).map(_._2).sum
 
   /** BYTE version-2 item codec (the LAZ "extra bytes" payload): one
     * 256-ary folded-difference model per byte index — symbol =
@@ -596,7 +601,7 @@ object Laz {
     }
   }
 
-  private def putFullPoint(bb: ByteBuffer, format: Int, p: FullPoint, extraLen: Int): Unit = {
+  private[sources] def putFullPoint(bb: ByteBuffer, format: Int, p: FullPoint, extraLen: Int): Unit = {
     putPoint10(bb, p.core)
     if (format == 1 || format == 3) bb.putLong(p.gps)
     if (format == 2 || format == 3)
@@ -608,7 +613,7 @@ object Laz {
     }
   }
 
-  private def getFullPoint(bb: ByteBuffer, format: Int, extraLen: Int): FullPoint = {
+  private[sources] def getFullPoint(bb: ByteBuffer, format: Int, extraLen: Int): FullPoint = {
     val core = getPoint10(bb)
     val gps = if (format == 1 || format == 3) bb.getLong else 0L
     val (r, g, b) =
@@ -759,9 +764,9 @@ object Laz {
       val compressor = pb.getShort(0) & 0xFFFF
       val coder = pb.getShort(2) & 0xFFFF
       require(coder == 0, s"$path: unsupported entropy coder $coder")
-      require(compressor == 2 || compressor == 3,
+      require(compressor == 1 || compressor == 2 || compressor == 3,
         s"$path: unsupported compressor $compressor " +
-          "(pointwise-chunked=2 and layered-chunked=3 only)")
+          "(pointwise=1, pointwise-chunked=2, layered-chunked=3)")
       val chunkSize = pb.getInt(12) & 0xFFFFFFFFL
       val numItems = pb.getShort(32) & 0xFFFF
       val items = (0 until numItems).map { i =>
@@ -770,28 +775,37 @@ object Laz {
       }
       require(items.map(_._2).sum == header.recordLen,
         s"$path: item sizes ${items} disagree with record length ${header.recordLen}")
-      if (compressor == 2) {
-        // point formats 0-3, optionally with ONE trailing BYTE v2 item
-        // (the LAZ "extra bytes" payload)
+      if (compressor == 1 || compressor == 2) {
+        // point formats 0-3, optionally with ONE trailing BYTE item
+        // (the LAZ "extra bytes" payload); item versions must match
+        // the compressor generation
+        val wantVer = if (compressor == 1) 1 else 2
+        val table = if (compressor == 1) FormatItemsV1 else FormatItems
         val (fmtItems, extraItems) = items.span(_._1 != ItemByte)
-        require(FormatItems.valuesIterator.contains(fmtItems) &&
-          extraItems.forall { case (t, sz, v) => t == ItemByte && v == 2 && sz > 0 } &&
+        require(table.valuesIterator.contains(fmtItems) &&
+          extraItems.forall { case (t, sz, v) => t == ItemByte && v == wantVer && sz > 0 } &&
           extraItems.length <= 1,
           s"$path: unsupported LAZ item set ${items} — point formats 0-3 " +
-            "(POINT10/GPSTIME11/RGB12, all v2) plus at most one BYTE v2 item")
+            s"(POINT10/GPSTIME11/RGB12, all v$wantVer) plus at most one BYTE v$wantVer item")
       }
       else
         require(Laz14.FormatItems.valuesIterator.contains(items),
           s"$path: unsupported layered LAZ item set ${items} — point " +
             "formats 6-8 (POINT14/RGB14/RGBNIR14, all v3) only")
 
-      raf.seek(offsetToPoints)
-      val tblBytes = new Array[Byte](8)
-      raf.readFully(tblBytes)
-      val chunkTableOffset = ByteBuffer.wrap(tblBytes).order(ByteOrder.LITTLE_ENDIAN).getLong
-      require(chunkTableOffset > 0 && chunkTableOffset < raf.length(),
-        s"$path: chunk table offset $chunkTableOffset out of range (streamed-out tables unsupported)")
-      LazInfo(header, compressor, chunkSize, offsetToPoints + 8, chunkTableOffset, items)
+      if (compressor == 1) {
+        // pointwise files are ONE arithmetic stream: no chunk-table
+        // offset field, points start straight at offsetToPoints
+        LazInfo(header, compressor, 0L, offsetToPoints, -1L, items)
+      } else {
+        raf.seek(offsetToPoints)
+        val tblBytes = new Array[Byte](8)
+        raf.readFully(tblBytes)
+        val chunkTableOffset = ByteBuffer.wrap(tblBytes).order(ByteOrder.LITTLE_ENDIAN).getLong
+        require(chunkTableOffset > 0 && chunkTableOffset < raf.length(),
+          s"$path: chunk table offset $chunkTableOffset out of range (streamed-out tables unsupported)")
+        LazInfo(header, compressor, chunkSize, offsetToPoints + 8, chunkTableOffset, items)
+      }
     } finally raf.close()
   }
 
@@ -802,6 +816,16 @@ object Laz {
   def readChunkDescriptors(path: String, info: LazInfo): Array[(Long, Int, Int)] = {
     val raf = new RandomAccessFile(path, "r")
     try {
+      if (info.compressor == 1) {
+        // pointwise: the whole file is one stream = one pseudo-chunk
+        val count = info.header.pointCount
+        if (count == 0) return Array.empty
+        require(count <= Int.MaxValue, s"$path: implausible point count $count")
+        val size = raf.length() - info.pointDataStart
+        require(size > 0 && size <= Int.MaxValue,
+          s"$path: pointwise stream size $size out of range")
+        return Array((info.pointDataStart, count.toInt, size.toInt))
+      }
       raf.seek(info.chunkTableOffset)
       val headBytes = new Array[Byte](8)
       raf.readFully(headBytes)
@@ -846,7 +870,11 @@ object Laz {
     * plus an `extra_bytes` binary column when the file carries a BYTE
     * item. Chunks are the parallelism unit — each task seeks to its
     * chunk run and decodes independently (models reset per chunk), the
-    * exact shape a 1000-executor scan over object storage needs. */
+    * exact shape a 1000-executor scan over object storage needs.
+    * Compressor-1 (pre-2013 pointwise) files are one arithmetic
+    * stream by format, so they decode as a single task — parallelism
+    * over legacy archives comes from the FILE count, not intra-file
+    * splits. */
   def readPoints(spark: SparkSession, path: String, chunksPerTask: Int = 8): DataFrame = {
     val info = readInfo(path)
     if (info.compressor == 3) // layered LAS 1.4 file — same x/y/z contract
@@ -855,7 +883,11 @@ object Laz {
     val chunks = readChunkDescriptors(path, info)
     val h = info.header
     val (fmtItems, extraItems) = info.items.span(_._1 != ItemByte)
-    val format = FormatItems.collectFirst { case (f, is) if is == fmtItems => f }.get
+    val fmtPairs = fmtItems.map(i => (i._1, i._2))
+    val format = FormatItems.collectFirst {
+      case (f, is) if is.map(x => (x._1, x._2)) == fmtPairs => f
+    }.get
+    val v1 = info.compressor == 1
     val extraLen = extraItems.headOption.map(_._2).getOrElse(0)
     val schema =
       if (extraLen == 0) Las.pointSchema
@@ -872,7 +904,8 @@ object Laz {
             val bytes = new Array[Byte](size)
             raf.seek(off)
             raf.readFully(bytes)
-            decodeChunkFull(format, bytes, 0, count, extraLen)
+            if (v1) LazV1.decodeStream(format, bytes, 0, count, extraLen)
+            else decodeChunkFull(format, bytes, 0, count, extraLen)
           }.map { fp =>
             val p = fp.core
             val x = p.x * h.scaleX + h.offX
@@ -1052,5 +1085,122 @@ object Laz {
       } finally raf.close()
     } finally out.close()
     Files.delete(chunkDir)
+  }
+
+  /** Legacy compressor-1 (pointwise, pre-2013) export sink: ONE
+    * arithmetic stream over the whole point set, first record raw,
+    * item codecs version 1, no chunk table. Exists for compatibility
+    * round-trips with old-archive tooling and as the read path's
+    * in-sandbox validator — the SCALABLE sink is [[writePoints]]
+    * (chunked v2); this one necessarily encodes on a single task and
+    * buffers the stream, exactly as the format demands. */
+  def writePointsV1(df: DataFrame, path: String, scale: Double = 0.1,
+      pointFormat: Int = 0, extraBytes: Int = 0): Unit = {
+    require(FormatItems.contains(pointFormat), s"unsupported point format $pointFormat")
+    require(extraBytes >= 0 && extraBytes <= 0xFFFF - recordLen(pointFormat),
+      s"bad extra-bytes width $extraBytes for format $pointFormat")
+    require(extraBytes == 0 || df.columns.contains("extra_bytes"),
+      s"extraBytes=$extraBytes declared but no `extra_bytes` binary column present")
+    val sideDir = Paths.get(path + ".v1side")
+    Files.createDirectories(sideDir)
+    val sidePath = s"$sideDir/stream.bin"
+    val cols = if (extraBytes == 0) Seq("x", "y", "z") else Seq("x", "y", "z", "extra_bytes")
+    val xLen = extraBytes
+    val stats = df.select(cols.head, cols.tail: _*).coalesce(1).rdd
+      .mapPartitions { it =>
+        val buf = scala.collection.mutable.ArrayBuffer.empty[FullPoint]
+        var xMin = Double.MaxValue; var xMax = Double.MinValue
+        var yMin = Double.MaxValue; var yMax = Double.MinValue
+        var zMin = Double.MaxValue; var zMax = Double.MinValue
+        it.foreach { r =>
+          val (x, y, z) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+          xMin = math.min(xMin, x); xMax = math.max(xMax, x)
+          yMin = math.min(yMin, y); yMax = math.max(yMax, y)
+          zMin = math.min(zMin, z); zMax = math.max(zMax, z)
+          val extra = if (xLen == 0) null else {
+            val a = r.getAs[Array[Byte]](3)
+            require(a != null && a.length == xLen,
+              s"extra_bytes row length ${if (a == null) -1 else a.length} != declared $xLen")
+            a
+          }
+          buf += FullPoint(Point10(math.round(x / scale).toInt,
+            math.round(y / scale).toInt, math.round(z / scale).toInt,
+            0, 0, 0, 0, 0, 0), extra = extra)
+        }
+        if (buf.isEmpty) Iterator.empty
+        else {
+          val bytes = LazV1.encodeStream(pointFormat, buf.toArray, xLen)
+          Files.write(Paths.get(sidePath), bytes)
+          Iterator.single((buf.length, xMin, xMax, yMin, yMax, zMin, zMax))
+        }
+      }.collect()
+
+    val n = stats.map(_._1.toLong).sum
+    require(n <= Int.MaxValue, s"LAS 1.2 caps point count at 2^32; got $n")
+    val (xMin, xMax, yMin, yMax, zMin, zMax) =
+      if (n == 0) (0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+      else (stats.map(_._2).min, stats.map(_._3).max,
+        stats.map(_._4).min, stats.map(_._5).max,
+        stats.map(_._6).min, stats.map(_._7).max)
+
+    val items = FormatItemsV1(pointFormat) ++
+      (if (extraBytes > 0) Seq((ItemByte, extraBytes, 1)) else Nil)
+    val vlrPayloadLen = 34 + 6 * items.size
+    val offsetToPoints = 227 + 54 + vlrPayloadLen
+
+    val header = ByteBuffer.allocate(227).order(ByteOrder.LITTLE_ENDIAN)
+    header.put("LASF".getBytes)
+    header.put(24, 1.toByte).put(25, 2.toByte) // v1.2
+    header.putShort(94, 227.toShort)
+    header.putInt(96, offsetToPoints)
+    header.putInt(100, 1) // one VLR (laszip)
+    header.put(104, (0x80 | pointFormat).toByte)
+    header.putShort(105, (recordLen(pointFormat) + extraBytes).toShort)
+    header.putInt(107, n.toInt)
+    header.putInt(111, n.toInt) // returns[0]
+    header.putDouble(131, scale).putDouble(139, scale).putDouble(147, scale)
+    header.putDouble(155, 0.0).putDouble(163, 0.0).putDouble(171, 0.0)
+    header.putDouble(179, xMax).putDouble(187, xMin)
+    header.putDouble(195, yMax).putDouble(203, yMin)
+    header.putDouble(211, zMax).putDouble(219, zMin)
+
+    val vlr = ByteBuffer.allocate(54 + vlrPayloadLen).order(ByteOrder.LITTLE_ENDIAN)
+    vlr.position(2)
+    vlr.put(VlrUserId.getBytes("US-ASCII"))
+    vlr.putShort(18, VlrRecordId.toShort)
+    vlr.putShort(20, vlrPayloadLen.toShort)
+    vlr.position(22)
+    vlr.put("graft laszip writer".getBytes("US-ASCII"))
+    vlr.position(54)
+    vlr.putShort(1.toShort) // compressor: pointwise
+    vlr.putShort(0.toShort) // coder: arithmetic
+    vlr.put(1.toByte).put(0.toByte).putShort(0.toShort) // version 1.0 r0
+    vlr.putInt(0) // options
+    vlr.putInt(0) // chunk size (meaningless for pointwise)
+    vlr.putLong(0L) // number of special EVLRs
+    vlr.putLong(-1L) // offset to special EVLRs
+    vlr.putShort(items.size.toShort)
+    items.foreach { case (tpe, size, ver) =>
+      vlr.putShort(tpe.toShort).putShort(size.toShort).putShort(ver.toShort)
+    }
+
+    val out = new FileOutputStream(path)
+    try {
+      out.write(header.array())
+      out.write(vlr.array())
+      if (n > 0) {
+        val dst = out.getChannel
+        val src = FileChannel.open(Paths.get(sidePath))
+        try {
+          val len = src.size()
+          var pos = 0L
+          while (pos < len) pos += dst.transferFrom(src, dst.position() + pos, len - pos)
+          dst.position(dst.position() + len)
+        } finally src.close()
+      }
+      out.flush()
+    } finally out.close()
+    if (Files.exists(Paths.get(sidePath))) Files.delete(Paths.get(sidePath))
+    Files.delete(sideDir)
   }
 }
