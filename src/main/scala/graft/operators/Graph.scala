@@ -28,17 +28,25 @@ object Graph {
     * cluster, losing an executor after the call makes the returned
     * frame unrecoverable (it can no longer be recomputed from lineage);
     * the caller must either consume it promptly or write it out. A
-    * deployment that needs executor-loss recovery should set a reliable
-    * `spark.sparkContext.setCheckpointDir` and swap this for
-    * `checkpoint()` — same cache-release structure, replicated
-    * durability, one extra write. Kept local here because the engine's
-    * own callers (Verify/Bench and the query registry) consume the
-    * result immediately. */
+    * deployment that needs executor-loss recovery sets a reliable
+    * `spark.sparkContext.setCheckpointDir`, and [[materializeCut]]
+    * then upgrades every truncation in this file to `checkpoint()` —
+    * same cache-release structure, replicated durability, one extra
+    * write. Local mode and the engine's own callers (Verify/Bench,
+    * the query registry) run without a dir and keep the cheap path. */
   private def releaseAfter(result: DataFrame, cached: DataFrame*): DataFrame = {
-    val out = result.localCheckpoint(true)
+    val out = materializeCut(result)
     cached.foreach(_.unpersist(false))
     out
   }
+
+  /** Eagerly materialize a frame with lineage truncated: reliable
+    * `checkpoint` when the session has a checkpoint dir (survives
+    * executor loss), `localCheckpoint` otherwise (non-replicated
+    * executor storage — fast, fine for local/bench use). */
+  private def materializeCut(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+    else df.localCheckpoint(true)
 
   /** Exact decimal(38,0) sum of the `label` column — the convergence
     * probe for monotone min-label propagation. Decimal, not Long: node
@@ -58,14 +66,17 @@ object Graph {
     * and Catalyst analysis/optimization cost grows super-linearly with
     * that depth even when execution hits the cache — measured minutes
     * by round ~12 on a toy graph vs milliseconds with leaf truncation.
-    * Same non-replicated-storage caveat as [[releaseAfter]]. */
-  private def checkpointRound(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    * Durability follows [[materializeCut]]: reliable when a checkpoint
+    * dir is set, executor-local otherwise. */
+  private def checkpointRound(df: DataFrame): DataFrame = materializeCut(df)
 
   /** Drop the executor-storage blocks behind a lineage-truncated round
     * frame (the [[checkpointRound]] output) once the NEXT round is
     * materialized — keeps a convergence loop's footprint at one
     * node-sized frame + the edge list regardless of round count,
-    * instead of waiting on driver GC + ContextCleaner. */
+    * instead of waiting on driver GC + ContextCleaner. (Reliable
+    * checkpoints have no storage blocks to drop; their files are
+    * cleaned by the session's normal checkpoint lifecycle.) */
   private def freeRound(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectLeaves().foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)

@@ -143,4 +143,20 @@ class GraphSpec extends AnyFunSuite {
     assert((2L to 7L).forall(l => got(1L) > got(l)))
     assert((2L to 7L).map(got).toSet.size == 1, "leaves tie by symmetry")
   }
+
+  // LAST in this suite: setCheckpointDir is irreversible on the shared
+  // session, and it flips every later graph-op truncation in this JVM
+  // from localCheckpoint to reliable checkpoint (correct, just slower)
+  test("a configured checkpoint dir upgrades round truncation to reliable " +
+      "checkpoints with identical results") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val edges = (0L until 12L).map(i => (i, i + 1L)).toDF("a", "b")
+    val got = Graph.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 12L).map(_ -> 0L).toMap)
+    assert(new java.io.File(dir).listFiles != null &&
+      new java.io.File(dir).listFiles.nonEmpty,
+      "reliable checkpoint files were actually written")
+  }
 }
