@@ -227,6 +227,33 @@ object PointCloudQueries {
           round(col("y") * 10).cast("long").as("y10"),
           round(col("z") * 10).cast("long").as("z10"))
     }),
+    // waveform pf5 roundtrip: every point carries a key-derived
+    // 29-byte wavepacket descriptor through the WAVEPACKET13 codec
+    // (offset classes same/adjacent/32-bit/raw-64 all occur in the
+    // unordered key stream); readback surfaces the descriptor as
+    // exact integers the oracle recomputes arithmetically
+    "pc_laz_wave_roundtrip" -> ((s, d) => {
+      val path = s"/tmp/graft_laz_wv_${d.replaceAll("[^A-Za-z0-9.]", "_")}.laz"
+      val li = graft.Tables.table(s, d, "lineitem")
+      val withWave = li.select(
+        ((col("l_orderkey") * 17 + col("l_linenumber") * 131) % 8192)
+          .cast("double").as("x"),
+        ((col("l_partkey") * 29 + col("l_suppkey") * 197) % 8192)
+          .cast("double").as("y"),
+        col("l_quantity").as("z"),
+        (col("l_linenumber") % 4).cast("long").as("wp_index"),
+        (col("l_orderkey") * 64 + 4096).cast("long").as("wp_offset"),
+        (col("l_quantity").cast("long") * 16 + 800).as("wp_size"),
+        (col("l_partkey") % 100000).cast("long").as("wp_ret"),
+        (col("l_suppkey") % 65536).cast("long").as("wp_xt"),
+        ((col("l_orderkey") * 3) % 65536).cast("long").as("wp_yt"),
+        ((col("l_partkey") + col("l_suppkey")) % 65536).cast("long").as("wp_zt"))
+      graft.sources.Laz.writePoints(withWave, path, chunkPoints = 10000, pointFormat = 5)
+      graft.sources.Laz.readPoints(s, path)
+        .select(round(col("x") * 10).cast("long").as("x10"),
+          col("wp_index"), col("wp_offset"), col("wp_size"),
+          col("wp_ret"), col("wp_xt"), col("wp_yt"), col("wp_zt"))
+    }),
     // legacy compressor-1 (pre-2013 pointwise LASzip) roundtrip: the
     // v1 item-codec stream, single arithmetic stream, no chunk table —
     // the one LAZ family old archives hold that chunked v2 can't cover
@@ -502,6 +529,16 @@ object PointCloudQueries {
       s"$ptsCte SELECT x * 10 AS x10, y * 10 AS y10, CAST(round(z * 10, 0) AS BIGINT) AS z10 FROM pts",
     "pc_laz_v1_roundtrip" ->
       s"$ptsCte SELECT x * 10 AS x10, y * 10 AS y10, CAST(round(z * 10, 0) AS BIGINT) AS z10 FROM pts",
+    "pc_laz_wave_roundtrip" ->
+      """SELECT CAST(((l_orderkey * 17 + l_linenumber * 131) % 8192) * 10 AS BIGINT) AS x10,
+           CAST(l_linenumber % 4 AS BIGINT) AS wp_index,
+           CAST(l_orderkey * 64 + 4096 AS BIGINT) AS wp_offset,
+           CAST(l_quantity AS BIGINT) * 16 + 800 AS wp_size,
+           CAST(l_partkey % 100000 AS BIGINT) AS wp_ret,
+           CAST(l_suppkey % 65536 AS BIGINT) AS wp_xt,
+           CAST((l_orderkey * 3) % 65536 AS BIGINT) AS wp_yt,
+           CAST((l_partkey + l_suppkey) % 65536 AS BIGINT) AS wp_zt
+         FROM lineitem""",
     "pc_laz_extra" ->
       (s"$ptsCte SELECT x * 10 AS x10, CAST(x AS BIGINT) % 256 AS e0, " +
         "CAST(y AS BIGINT) % 251 AS e1, CAST(x + y AS BIGINT) % 7 AS e2 FROM pts"),

@@ -47,6 +47,7 @@ object Laz {
   private val ItemPoint10 = 6
   private val ItemGpstime11 = 7
   private val ItemRgb12 = 8
+  private val ItemWavepacket13 = 9
   private val VlrUserId = "laszip encoded"
   private val VlrRecordId = 22204
   private val VariableChunkSize = 0xFFFFFFFFL
@@ -57,12 +58,26 @@ object Laz {
     0 -> Seq((ItemPoint10, 20, 2)),
     1 -> Seq((ItemPoint10, 20, 2), (ItemGpstime11, 8, 2)),
     2 -> Seq((ItemPoint10, 20, 2), (ItemRgb12, 6, 2)),
-    3 -> Seq((ItemPoint10, 20, 2), (ItemGpstime11, 8, 2), (ItemRgb12, 6, 2)))
+    3 -> Seq((ItemPoint10, 20, 2), (ItemGpstime11, 8, 2), (ItemRgb12, 6, 2)),
+    // waveform formats: the 29-byte wavepacket descriptor item — its
+    // codec never moved past version 1, even in compressor-2 files
+    4 -> Seq((ItemPoint10, 20, 2), (ItemGpstime11, 8, 2), (ItemWavepacket13, 29, 1)),
+    5 -> Seq((ItemPoint10, 20, 2), (ItemGpstime11, 8, 2), (ItemRgb12, 6, 2),
+      (ItemWavepacket13, 29, 1)))
 
   /** The same item lists with version-1 codecs — what pre-2013
-    * pointwise (compressor 1) files declare. */
+    * pointwise (compressor 1) files declare. Waveform formats are
+    * post-chunking (LAS 1.3), so the v1 table stays 0-3. */
   private val FormatItemsV1: Map[Int, Seq[(Int, Int, Int)]] =
-    FormatItems.map { case (f, is) => f -> is.map { case (t, sz, _) => (t, sz, 1) } }
+    FormatItems.collect { case (f, is) if f <= 3 =>
+      f -> is.map { case (t, sz, _) => (t, sz, 1) }
+    }
+
+  private def hasGps(format: Int): Boolean =
+    format == 1 || format == 3 || format == 4 || format == 5
+  private def hasRgb(format: Int): Boolean =
+    format == 2 || format == 3 || format == 5
+  private def hasWave(format: Int): Boolean = format == 4 || format == 5
 
   /** One decoded 20-byte POINT10 record; scanAngle kept in unsigned
     * byte space (the codec folds differences mod 256). */
@@ -257,11 +272,20 @@ object Laz {
     }
   }
 
-  /** A full LAS 1.2-family record: POINT10 core plus the optional
-    * GPS time (raw IEEE-754 bits), RGB, and trailing extra-bytes
-    * items (`extra` is null when the record layout carries none). */
+  /** The 29-byte LAS 1.3 wavepacket descriptor: which waveform record
+    * this point references and where the pulse samples live. The three
+    * parametric-line f32 fields and the return-point location ride as
+    * RAW IEEE-754 bits (Int) so round-trips and oracles stay exact —
+    * no float arithmetic ever touches them. */
+  final case class Wavepacket(index: Int, offset: Long, size: Int,
+      retPoint: Int, xt: Int, yt: Int, zt: Int)
+
+  /** A full LAS 1.2/1.3-family record: POINT10 core plus the optional
+    * GPS time (raw IEEE-754 bits), RGB, wavepacket descriptor
+    * (formats 4/5), and trailing extra-bytes items (`extra`/`wave`
+    * are null when the record layout carries none). */
   final case class FullPoint(core: Point10, gps: Long = 0L, r: Int = 0, g: Int = 0, b: Int = 0,
-      extra: Array[Byte] = null)
+      extra: Array[Byte] = null, wave: Wavepacket = null)
 
   // GPSTIME11 v2 constants (LAZ spec): multiplier symbol space
   private val GpsMulti = 500
@@ -575,6 +599,74 @@ object Laz {
     * (cur - last) mod 256, exactly the Rgb12 byte-delta scheme without
     * the inter-channel prediction, per the public LASzip BYTE v2
     * layout. */
+  /** WAVEPACKET13 version-1 item codec (the wavepacket codec never
+    * moved past v1, even inside compressor-2 chunks): descriptor index
+    * through a byte model; the 64-bit waveform offset classified per
+    * point as {same, adjacent (last offset + last size — the dominant
+    * sequential-pulse case), 32-bit-corrected diff, raw 64} with the
+    * classifier symbol CONTEXT-CHAINED on the previous point's class;
+    * packet size and the four f32 fields (carried as raw IEEE bits)
+    * through 32-bit correctors against their previous values. */
+  private[sources] final class Wavepacket13Codec(first: Wavepacket) {
+    private val mIndex = new ArithmeticModel(256).init()
+    private val mOffsetClass = Array.fill(4)(new ArithmeticModel(4).init())
+    private val icOffsetDiff = new IntegerCompressor(32, 1).initModels()
+    private val icSize = new IntegerCompressor(32, 1).initModels()
+    private val icRetPoint = new IntegerCompressor(32, 1).initModels()
+    private val icXyz = new IntegerCompressor(32, 3).initModels()
+    private var last = first
+    private var lastDiff32 = 0
+    private var lastClass = 0
+
+    def compress(enc: ArithmeticEncoder, w: Wavepacket): Unit = {
+      enc.encodeSymbol(mIndex, w.index & 0xFF)
+      val diff = w.offset - last.offset
+      val cls =
+        if (diff == 0L) 0
+        else if (diff == (last.size & 0xFFFFFFFFL)) 1 // size is u32
+        else if (diff == diff.toInt.toLong) 2
+        else 3
+      enc.encodeSymbol(mOffsetClass(lastClass), cls)
+      lastClass = cls
+      cls match {
+        case 0 | 1 => ()
+        case 2 =>
+          icOffsetDiff.compress(enc, lastDiff32, diff.toInt, 0)
+          lastDiff32 = diff.toInt
+        case _ =>
+          enc.writeBits(32, w.offset >>> 32)
+          enc.writeBits(32, w.offset & 0xFFFFFFFFL)
+      }
+      icSize.compress(enc, last.size, w.size, 0)
+      icRetPoint.compress(enc, last.retPoint, w.retPoint, 0)
+      icXyz.compress(enc, last.xt, w.xt, 0)
+      icXyz.compress(enc, last.yt, w.yt, 1)
+      icXyz.compress(enc, last.zt, w.zt, 2)
+      last = w
+    }
+
+    def decompress(dec: ArithmeticDecoder): Wavepacket = {
+      val index = dec.decodeSymbol(mIndex)
+      val cls = dec.decodeSymbol(mOffsetClass(lastClass))
+      lastClass = cls
+      val offset = cls match {
+        case 0 => last.offset
+        case 1 => last.offset + (last.size & 0xFFFFFFFFL)
+        case 2 =>
+          lastDiff32 = icOffsetDiff.decompress(dec, lastDiff32, 0)
+          last.offset + lastDiff32
+        case _ => (dec.readBits(32) << 32) | dec.readBits(32)
+      }
+      val size = icSize.decompress(dec, last.size, 0)
+      val retPoint = icRetPoint.decompress(dec, last.retPoint, 0)
+      val xt = icXyz.decompress(dec, last.xt, 0)
+      val yt = icXyz.decompress(dec, last.yt, 1)
+      val zt = icXyz.decompress(dec, last.zt, 2)
+      last = Wavepacket(index, offset, size, retPoint, xt, yt, zt)
+      last
+    }
+  }
+
   private[sources] final class ByteV2Codec(first: Array[Byte]) {
     private val n = first.length
     private val models = Array.fill(n)(new ArithmeticModel(256).init())
@@ -603,9 +695,14 @@ object Laz {
 
   private[sources] def putFullPoint(bb: ByteBuffer, format: Int, p: FullPoint, extraLen: Int): Unit = {
     putPoint10(bb, p.core)
-    if (format == 1 || format == 3) bb.putLong(p.gps)
-    if (format == 2 || format == 3)
+    if (hasGps(format)) bb.putLong(p.gps)
+    if (hasRgb(format))
       bb.putShort(p.r.toShort).putShort(p.g.toShort).putShort(p.b.toShort)
+    if (hasWave(format)) {
+      val w = if (p.wave == null) Wavepacket(0, 0L, 0, 0, 0, 0, 0) else p.wave
+      bb.put(w.index.toByte).putLong(w.offset).putInt(w.size)
+        .putInt(w.retPoint).putInt(w.xt).putInt(w.yt).putInt(w.zt)
+    }
     if (extraLen > 0) {
       require(p.extra != null && p.extra.length == extraLen,
         s"extra-bytes length ${if (p.extra == null) -1 else p.extra.length} != declared $extraLen")
@@ -615,14 +712,17 @@ object Laz {
 
   private[sources] def getFullPoint(bb: ByteBuffer, format: Int, extraLen: Int): FullPoint = {
     val core = getPoint10(bb)
-    val gps = if (format == 1 || format == 3) bb.getLong else 0L
+    val gps = if (hasGps(format)) bb.getLong else 0L
     val (r, g, b) =
-      if (format == 2 || format == 3) (bb.getShort & 0xFFFF, bb.getShort & 0xFFFF, bb.getShort & 0xFFFF)
+      if (hasRgb(format)) (bb.getShort & 0xFFFF, bb.getShort & 0xFFFF, bb.getShort & 0xFFFF)
       else (0, 0, 0)
+    val wave = if (hasWave(format))
+      Wavepacket(bb.get & 0xFF, bb.getLong, bb.getInt, bb.getInt, bb.getInt, bb.getInt, bb.getInt)
+    else null
     val extra = if (extraLen > 0) {
       val a = new Array[Byte](extraLen); bb.get(a); a
     } else null
-    FullPoint(core, gps, r, g, b, extra)
+    FullPoint(core, gps, r, g, b, extra, wave)
   }
 
   /** Encode one chunk: raw first record, then the coded residual
@@ -638,9 +738,13 @@ object Laz {
     if (points.length == 1) raw.array()
     else {
       val core = new Point10Codec(points(0).core)
-      val gps = if (format == 1 || format == 3) new GpsTime11Codec(points(0).gps) else null
-      val rgb = if (format == 2 || format == 3)
+      val gps = if (hasGps(format)) new GpsTime11Codec(points(0).gps) else null
+      val rgb = if (hasRgb(format))
         new Rgb12Codec(points(0).r, points(0).g, points(0).b) else null
+      val wav = if (hasWave(format))
+        new Wavepacket13Codec(
+          if (points(0).wave == null) Wavepacket(0, 0L, 0, 0, 0, 0, 0) else points(0).wave)
+        else null
       val xb = if (extraLen > 0) new ByteV2Codec(points(0).extra) else null
       val enc = new ArithmeticEncoder
       var i = 1
@@ -649,6 +753,8 @@ object Laz {
         core.compress(enc, p.core)
         if (gps != null) gps.compress(enc, p.gps)
         if (rgb != null) rgb.compress(enc, p.r, p.g, p.b)
+        if (wav != null) wav.compress(enc,
+          if (p.wave == null) Wavepacket(0, 0L, 0, 0, 0, 0, 0) else p.wave)
         if (xb != null) {
           require(p.extra != null && p.extra.length == extraLen,
             s"extra-bytes length mismatch at point $i")
@@ -673,9 +779,10 @@ object Laz {
     out(0) = getFullPoint(raw, format, extraLen)
     if (count > 1) {
       val core = new Point10Codec(out(0).core)
-      val gps = if (format == 1 || format == 3) new GpsTime11Codec(out(0).gps) else null
-      val rgb = if (format == 2 || format == 3)
+      val gps = if (hasGps(format)) new GpsTime11Codec(out(0).gps) else null
+      val rgb = if (hasRgb(format))
         new Rgb12Codec(out(0).r, out(0).g, out(0).b) else null
+      val wav = if (hasWave(format)) new Wavepacket13Codec(out(0).wave) else null
       val xb = if (extraLen > 0) new ByteV2Codec(out(0).extra) else null
       val dec = new ArithmeticDecoder(bytes, offset + len, bytes.length).init()
       var i = 1
@@ -683,8 +790,9 @@ object Laz {
         val c = core.decompress(dec)
         val g = if (gps != null) gps.decompress(dec) else 0L
         val (cr, cg, cb) = if (rgb != null) rgb.decompress(dec) else (0, 0, 0)
+        val w = if (wav != null) wav.decompress(dec) else null
         val xa = if (xb != null) xb.decompress(dec) else null
-        out(i) = FullPoint(c, g, cr, cg, cb, xa)
+        out(i) = FullPoint(c, g, cr, cg, cb, xa, w)
         i += 1
       }
     }
@@ -785,8 +893,10 @@ object Laz {
         require(table.valuesIterator.contains(fmtItems) &&
           extraItems.forall { case (t, sz, v) => t == ItemByte && v == wantVer && sz > 0 } &&
           extraItems.length <= 1,
-          s"$path: unsupported LAZ item set ${items} — point formats 0-3 " +
-            s"(POINT10/GPSTIME11/RGB12, all v$wantVer) plus at most one BYTE v$wantVer item")
+          s"$path: unsupported LAZ item set ${items} — point formats " +
+            s"${table.keys.toSeq.sorted.mkString("/")} " +
+            s"(POINT10/GPSTIME11/RGB12${if (wantVer == 2) "/WAVEPACKET13" else ""}) " +
+            s"plus at most one BYTE v$wantVer item")
       }
       else
         require(Laz14.FormatItems.valuesIterator.contains(items),
@@ -889,9 +999,16 @@ object Laz {
     }.get
     val v1 = info.compressor == 1
     val extraLen = extraItems.headOption.map(_._2).getOrElse(0)
-    val schema =
-      if (extraLen == 0) Las.pointSchema
-      else StructType(Las.pointSchema.fields :+ StructField("extra_bytes", BinaryType))
+    val wave = hasWave(format)
+    // wavepacket fields surface as exact integers (f32 values as raw
+    // IEEE bits) so downstream checks and oracles never touch floats
+    val waveFields =
+      if (!wave) Array.empty[StructField]
+      else Array("wp_index", "wp_offset", "wp_size", "wp_ret", "wp_xt", "wp_yt", "wp_zt")
+        .map(StructField(_, org.apache.spark.sql.types.LongType))
+    val schema = StructType(Las.pointSchema.fields ++ waveFields ++
+      (if (extraLen == 0) Array.empty[StructField]
+       else Array(StructField("extra_bytes", BinaryType))))
     if (chunks.isEmpty) return spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], schema)
     val groups = chunks.grouped(math.max(1, chunksPerTask)).toArray
@@ -911,7 +1028,15 @@ object Laz {
             val x = p.x * h.scaleX + h.offX
             val y = p.y * h.scaleY + h.offY
             val z = p.z * h.scaleZ + h.offZ
-            if (extraLen == 0) Row(x, y, z) else Row(x, y, z, fp.extra)
+            val base: Seq[Any] = Seq(x, y, z)
+            val wv: Seq[Any] = if (!wave) Nil else {
+              val w = if (fp.wave == null) Wavepacket(0, 0L, 0, 0, 0, 0, 0) else fp.wave
+              Seq(w.index.toLong, w.offset, w.size & 0xFFFFFFFFL,
+                w.retPoint & 0xFFFFFFFFL, w.xt & 0xFFFFFFFFL,
+                w.yt & 0xFFFFFFFFL, w.zt & 0xFFFFFFFFL)
+            }
+            val xb: Seq[Any] = if (extraLen == 0) Nil else Seq(fp.extra)
+            Row.fromSeq(base ++ wv ++ xb)
           }.toArray
         } finally raf.close()
         rows
@@ -943,7 +1068,15 @@ object Laz {
     val chunkDir = Paths.get(path + ".chunks")
     Files.createDirectories(chunkDir)
     val chunkPrefix = chunkDir.toString
-    val cols = if (extraBytes == 0) Seq("x", "y", "z") else Seq("x", "y", "z", "extra_bytes")
+    val waveCols =
+      if (!hasWave(pointFormat)) Seq.empty
+      else Seq("wp_index", "wp_offset", "wp_size", "wp_ret", "wp_xt", "wp_yt", "wp_zt")
+    require(waveCols.forall(df.columns.contains),
+      s"point format $pointFormat needs wavepacket columns ${waveCols.mkString(", ")}")
+    val cols = Seq("x", "y", "z") ++ waveCols ++
+      (if (extraBytes == 0) Nil else Seq("extra_bytes"))
+    val wantWave = hasWave(pointFormat)
+    val xbIdx = 3 + waveCols.length
     val xLen = extraBytes
     // per partition: (pid, [(count, bytes)], xMin..zMax)
     val stats = df.select(cols.head, cols.tail: _*).rdd.mapPartitionsWithIndex { (pid, it) =>
@@ -970,15 +1103,19 @@ object Laz {
             xMin = math.min(xMin, x); xMax = math.max(xMax, x)
             yMin = math.min(yMin, y); yMax = math.max(yMax, y)
             zMin = math.min(zMin, z); zMax = math.max(zMax, z)
+            val wave = if (!wantWave) null else Wavepacket(
+              (r.getLong(3) & 0xFF).toInt, r.getLong(4), r.getLong(5).toInt,
+              r.getLong(6).toInt, r.getLong(7).toInt, r.getLong(8).toInt,
+              r.getLong(9).toInt)
             val extra = if (xLen == 0) null else {
-              val a = r.getAs[Array[Byte]](3)
+              val a = r.getAs[Array[Byte]](xbIdx)
               require(a != null && a.length == xLen,
                 s"extra_bytes row length ${if (a == null) -1 else a.length} != declared $xLen")
               a
             }
             buf(n) = FullPoint(Point10(math.round(x / scale).toInt,
               math.round(y / scale).toInt, math.round(z / scale).toInt, 0, 0, 0, 0, 0, 0),
-              extra = extra)
+              extra = extra, wave = wave)
             n += 1
             if (n == chunkPoints) flush()
           }
@@ -1000,12 +1137,18 @@ object Laz {
     val items = FormatItems(pointFormat) ++
       (if (extraBytes > 0) Seq((ItemByte, extraBytes, 2)) else Nil)
     val vlrPayloadLen = 34 + 6 * items.size
-    val offsetToPoints = 227 + 54 + vlrPayloadLen
+    // waveform formats require a LAS 1.3 header (235 bytes: the 1.2
+    // layout + the u64 waveform-EVLR start, written 0 — this sink
+    // emits point records with wavepacket DESCRIPTORS; waveform
+    // payload storage is the caller's concern)
+    val headerLen = if (hasWave(pointFormat)) 235 else 227
+    val offsetToPoints = headerLen + 54 + vlrPayloadLen
 
-    val header = ByteBuffer.allocate(227).order(ByteOrder.LITTLE_ENDIAN)
+    val header = ByteBuffer.allocate(headerLen).order(ByteOrder.LITTLE_ENDIAN)
     header.put("LASF".getBytes)
-    header.put(24, 1.toByte).put(25, 2.toByte) // v1.2
-    header.putShort(94, 227.toShort)
+    header.put(24, 1.toByte)
+    header.put(25, (if (hasWave(pointFormat)) 3 else 2).toByte)
+    header.putShort(94, headerLen.toShort)
     header.putInt(96, offsetToPoints)
     header.putInt(100, 1) // one VLR (laszip)
     header.put(104, (0x80 | pointFormat).toByte) // compressed format

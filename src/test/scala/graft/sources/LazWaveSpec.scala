@@ -1,0 +1,102 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+import graft.sources.Laz.{FullPoint, Point10, Wavepacket}
+
+/** Waveform point formats 4/5: the WAVEPACKET13 item codec and the
+  * LAS 1.3 container plumbing. Same in-sandbox validation boundary as
+  * every codec here: roundtrip + structure conformance. */
+class LazWaveSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def wavePoints(rnd: Random, n: Int, fmt: Int): Array[FullPoint] = {
+    var x = 50000; var y = 60000; var z = 2000
+    var gps = 0x41B2345678901234L
+    var off = 4096L
+    var size = 1200
+    Array.tabulate(n) { i =>
+      x += rnd.nextInt(20) - 5; y += rnd.nextInt(9) - 4; z += rnd.nextInt(7) - 3
+      gps += 20000L
+      // offset regimes: dominant sequential (off += size), repeats
+      // (same packet shared by returns of one pulse), 32-bit skips,
+      // and rare >32-bit jumps (the raw-64 escape)
+      rnd.nextInt(10) match {
+        case 0 => () // same offset as previous point
+        case 1 => off += 1L << 36
+        case 2 => off += rnd.nextInt(1 << 24).toLong
+        case _ => off += size & 0xFFFFFFFFL
+      }
+      if (rnd.nextInt(4) == 0) size = 800 + rnd.nextInt(2048)
+      val w = Wavepacket(rnd.nextInt(4), off, size,
+        java.lang.Float.floatToIntBits(rnd.nextFloat() * 100f),
+        java.lang.Float.floatToIntBits(rnd.nextFloat() - 0.5f),
+        java.lang.Float.floatToIntBits(rnd.nextFloat() - 0.5f),
+        java.lang.Float.floatToIntBits(-(rnd.nextFloat())))
+      FullPoint(
+        Point10(x, y, z, rnd.nextInt(65536), 0x11, rnd.nextInt(8),
+          rnd.nextInt(256), 0, 1),
+        gps = gps,
+        r = if (fmt == 5) rnd.nextInt(65536) else 0,
+        g = if (fmt == 5) rnd.nextInt(65536) else 0,
+        b = if (fmt == 5) rnd.nextInt(65536) else 0,
+        wave = w)
+    }
+  }
+
+  test("pf4 and pf5 chunks roundtrip with adversarial wavepacket sequences") {
+    for (fmt <- Seq(4, 5)) {
+      val pts = wavePoints(new Random(fmt), 4000, fmt)
+      val bytes = Laz.encodeChunkFull(fmt, pts)
+      val back = Laz.decodeChunkFull(fmt, bytes, 0, pts.length)
+      pts.indices.foreach { i =>
+        assert(back(i).core == pts(i).core, s"core at $i")
+        assert(back(i).gps == pts(i).gps, s"gps at $i")
+        assert(back(i).wave == pts(i).wave, s"wave at $i")
+        assert((back(i).r, back(i).g, back(i).b) ==
+          (pts(i).r, pts(i).g, pts(i).b), s"rgb at $i")
+      }
+    }
+  }
+
+  test("writePoints(pf5) emits a LAS 1.3 container and readPoints surfaces " +
+      "exact wavepacket integers") {
+    val rnd = new Random(17)
+    val src = Seq.tabulate(3000) { i =>
+      (rnd.nextInt(80000) / 10.0, rnd.nextInt(80000) / 10.0, rnd.nextInt(4000) / 10.0,
+        (i % 4).toLong, 4096L + 1200L * i, 1200L,
+        java.lang.Float.floatToIntBits(i.toFloat) & 0xFFFFFFFFL,
+        java.lang.Float.floatToIntBits(0.5f) & 0xFFFFFFFFL,
+        java.lang.Float.floatToIntBits(-0.5f) & 0xFFFFFFFFL,
+        java.lang.Float.floatToIntBits(-1.0f) & 0xFFFFFFFFL)
+    }.toDF("x", "y", "z", "wp_index", "wp_offset", "wp_size",
+      "wp_ret", "wp_xt", "wp_yt", "wp_zt")
+    val path = "/tmp/graft_wave_container_test.laz"
+    Laz.writePoints(src, path, chunkPoints = 700, pointFormat = 5)
+    val info = Laz.readInfo(path)
+    assert(info.header.versionMinor == 3 && info.header.pointFormat == 5)
+    assert(info.items.exists(it => it._1 == 9 && it._2 == 29 && it._3 == 1),
+      s"wavepacket item missing: ${info.items}")
+    val back = Laz.readPoints(spark, path)
+      .select(round(col("x") * 10).cast("long"), col("wp_index"), col("wp_offset"),
+        col("wp_size"), col("wp_ret"), col("wp_xt"), col("wp_yt"), col("wp_zt"))
+      .collect().map(r => (0 to 7).map(r.getLong).toList).sortBy(_.toString)
+    val want = src.collect().map { r =>
+      List(math.round(r.getDouble(0) * 10), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9))
+    }.sortBy(_.toString)
+    assert(back.length == want.length)
+    assert(back.toSeq == want.toSeq)
+  }
+}
