@@ -254,6 +254,35 @@ object PointCloudQueries {
           col("wp_index"), col("wp_offset"), col("wp_size"),
           col("wp_ret"), col("wp_xt"), col("wp_yt"), col("wp_zt"))
     }),
+    // layered waveform pf9 roundtrip: the wavepacket rides as its own
+    // LAYER (compressor 3), so unrequested scans skip its bytes; the
+    // readback projects ONLY x + wavepacket columns, which also proves
+    // the projection path decodes correctly
+    "pc_laz14_wave_roundtrip" -> ((s, d) => {
+      val path = s"/tmp/graft_laz14_wv_${d.replaceAll("[^A-Za-z0-9.]", "_")}.laz"
+      val li = graft.Tables.table(s, d, "lineitem")
+      val withWave = li.select(
+        ((col("l_orderkey") * 17 + col("l_linenumber") * 131) % 8192)
+          .cast("double").as("x"),
+        ((col("l_partkey") * 29 + col("l_suppkey") * 197) % 8192)
+          .cast("double").as("y"),
+        col("l_quantity").cast("double").as("z"),
+        (col("l_linenumber") % 4).cast("long").as("wp_index"),
+        (col("l_orderkey") * 64 + 8192).cast("long").as("wp_offset"),
+        (col("l_quantity").cast("long") * 8 + 400).as("wp_size"),
+        (col("l_partkey") % 100000).cast("long").as("wp_ret"),
+        (col("l_suppkey") % 65536).cast("long").as("wp_xt"),
+        ((col("l_orderkey") * 5) % 65536).cast("long").as("wp_yt"),
+        ((col("l_partkey") * 3 + col("l_suppkey")) % 65536).cast("long").as("wp_zt"))
+      graft.sources.Laz14.writePoints14(withWave, path,
+        chunkPoints = 10000, pointFormat = 9)
+      graft.sources.Laz14.readPoints14(s, path,
+          columns = Seq("x", "wp_index", "wp_offset", "wp_size", "wp_ret",
+            "wp_xt", "wp_yt", "wp_zt"))
+        .select(round(col("x") * 10).cast("long").as("x10"),
+          col("wp_index"), col("wp_offset"), col("wp_size"),
+          col("wp_ret"), col("wp_xt"), col("wp_yt"), col("wp_zt"))
+    }),
     // legacy compressor-1 (pre-2013 pointwise LASzip) roundtrip: the
     // v1 item-codec stream, single arithmetic stream, no chunk table —
     // the one LAZ family old archives hold that chunked v2 can't cover
@@ -529,6 +558,16 @@ object PointCloudQueries {
       s"$ptsCte SELECT x * 10 AS x10, y * 10 AS y10, CAST(round(z * 10, 0) AS BIGINT) AS z10 FROM pts",
     "pc_laz_v1_roundtrip" ->
       s"$ptsCte SELECT x * 10 AS x10, y * 10 AS y10, CAST(round(z * 10, 0) AS BIGINT) AS z10 FROM pts",
+    "pc_laz14_wave_roundtrip" ->
+      """SELECT CAST(((l_orderkey * 17 + l_linenumber * 131) % 8192) * 10 AS BIGINT) AS x10,
+           CAST(l_linenumber % 4 AS BIGINT) AS wp_index,
+           CAST(l_orderkey * 64 + 8192 AS BIGINT) AS wp_offset,
+           CAST(l_quantity AS BIGINT) * 8 + 400 AS wp_size,
+           CAST(l_partkey % 100000 AS BIGINT) AS wp_ret,
+           CAST(l_suppkey % 65536 AS BIGINT) AS wp_xt,
+           CAST((l_orderkey * 5) % 65536 AS BIGINT) AS wp_yt,
+           CAST((l_partkey * 3 + l_suppkey) % 65536 AS BIGINT) AS wp_zt
+         FROM lineitem""",
     "pc_laz_wave_roundtrip" ->
       """SELECT CAST(((l_orderkey * 17 + l_linenumber * 131) % 8192) * 10 AS BIGINT) AS x10,
            CAST(l_linenumber % 4 AS BIGINT) AS wp_index,

@@ -60,13 +60,22 @@ object Laz14 {
   private val ItemPoint14 = 10
   private val ItemRgb14 = 11
   private val ItemRgbNir14 = 12
+  private val ItemWavepacket14 = 13
 
-  /** LAZ item lists for LAS point formats 6-8 (type, size, version —
-    * all version-3 layered codecs). */
+  /** LAZ item lists for LAS point formats 6-10 (type, size, version —
+    * all version-3 layered codecs; the wavepacket rides as its own
+    * layer in formats 9/10). */
   val FormatItems: Map[Int, Seq[(Int, Int, Int)]] = Map(
     6 -> Seq((ItemPoint14, 30, 3)),
     7 -> Seq((ItemPoint14, 30, 3), (ItemRgb14, 6, 3)),
-    8 -> Seq((ItemPoint14, 30, 3), (ItemRgbNir14, 8, 3)))
+    8 -> Seq((ItemPoint14, 30, 3), (ItemRgbNir14, 8, 3)),
+    9 -> Seq((ItemPoint14, 30, 3), (ItemWavepacket14, 29, 3)),
+    10 -> Seq((ItemPoint14, 30, 3), (ItemRgbNir14, 8, 3), (ItemWavepacket14, 29, 3)))
+
+  private def hasRgb14(format: Int): Boolean =
+    format == 7 || format == 8 || format == 10
+  private def hasNir14(format: Int): Boolean = format == 8 || format == 10
+  private def hasWave14(format: Int): Boolean = format == 9 || format == 10
 
   private def recordLen(format: Int): Int = FormatItems(format).map(_._2).sum
 
@@ -78,7 +87,9 @@ object Laz14 {
   final case class Point14(x: Int, y: Int, z: Int, intensity: Int,
       returns: Int, flags: Int, cls: Int, user: Int, scanAngle: Int,
       psid: Int, gpsBits: Long, r: Int = 0, g: Int = 0, b: Int = 0,
-      nir: Int = 0) {
+      nir: Int = 0, wave: Laz.Wavepacket = null) {
+    def waveOrZero: Laz.Wavepacket =
+      if (wave == null) Laz.Wavepacket(0, 0L, 0, 0, 0, 0, 0) else wave
     def returnNumber: Int = returns & 15
     def numberOfReturns: Int = (returns >>> 4) & 15
     def channel: Int = (flags >>> 4) & 3
@@ -93,7 +104,7 @@ object Laz14 {
       flags: Boolean = true, intensity: Boolean = true,
       scanAngle: Boolean = true, user: Boolean = true,
       psid: Boolean = true, gps: Boolean = true, rgb: Boolean = true,
-      nir: Boolean = true)
+      nir: Boolean = true, wave: Boolean = true)
   val AllFields: FieldMask = FieldMask()
 
   // layer indices, in on-disk order (POINT14's nine, then RGB, then NIR)
@@ -101,8 +112,16 @@ object Laz14 {
   private val LFlags = 3; private val LIntensity = 4; private val LAngle = 5
   private val LUser = 6; private val LPsid = 7; private val LGps = 8
   private val LRgb = 9; private val LNir = 10
-  private def layerCount(format: Int): Int =
-    if (format == 6) 9 else if (format == 7) 10 else 11
+  // the wavepacket layer is LAST on disk: right after the nine point
+  // layers for pf9, after RGB+NIR for pf10
+  private def waveLayer(format: Int): Int = if (format == 9) 9 else 11
+  private def layerCount(format: Int): Int = format match {
+    case 6 => 9
+    case 7 => 10
+    case 8 => 11
+    case 9 => 10
+    case _ => 12
+  }
 
   /** Per-scanner-channel codec context: models + prediction state,
     * seeded from the point that was current when the channel first
@@ -137,9 +156,13 @@ object Laz14 {
     val gps = new GpsTime11Codec(seed.gpsBits)
     // color layers
     val rgb: Rgb12Codec =
-      if (format >= 7) new Rgb12Codec(seed.r, seed.g, seed.b) else null
+      if (hasRgb14(format)) new Rgb12Codec(seed.r, seed.g, seed.b) else null
     val icNir = new IntegerCompressor(16, 1).initModels()
     var lastNir: Int = seed.nir
+    // wavepacket layer (formats 9/10): the same predictive scheme as
+    // the pointwise WAVEPACKET13 item, one instance per context
+    val waveCodec: Laz.Wavepacket13Codec =
+      if (hasWave14(format)) new Laz.Wavepacket13Codec(seed.waveOrZero) else null
 
     def model(arr: Array[ArithmeticModel], idx: Int, syms: Int): ArithmeticModel = {
       if (arr(idx) == null) arr(idx) = new ArithmeticModel(syms).init()
@@ -239,11 +262,13 @@ object Laz14 {
       if (psidChanged) tgt.icPsid.compress(enc(LPsid), lp.psid, p.psid, 0)
       if (gpsChanged) tgt.gps.compress(enc(LGps), p.gpsBits)
 
-      if (format >= 7) tgt.rgb.compress(enc(LRgb), p.r, p.g, p.b)
-      if (format == 8) {
+      if (hasRgb14(format)) tgt.rgb.compress(enc(LRgb), p.r, p.g, p.b)
+      if (hasNir14(format)) {
         tgt.icNir.compress(enc(LNir), tgt.lastNir, p.nir, 0)
         tgt.lastNir = p.nir
       }
+      if (hasWave14(format))
+        tgt.waveCodec.compress(enc(waveLayer(format)), p.waveOrZero)
 
       tgt.prevGpsChanged = gpsChanged
       tgt.last = p
@@ -348,16 +373,20 @@ object Laz14 {
         else lp.gpsBits
 
       val (cr, cg, cb) =
-        if (format >= 7 && want.rgb) tgt.rgb.decompress(decs(LRgb)) else (0, 0, 0)
+        if (hasRgb14(format) && want.rgb) tgt.rgb.decompress(decs(LRgb)) else (0, 0, 0)
       val nir =
-        if (format == 8 && want.nir) {
+        if (hasNir14(format) && want.nir) {
           val v = tgt.icNir.decompress(decs(LNir), tgt.lastNir, 0)
           tgt.lastNir = v
           v
         } else 0
+      val wv =
+        if (hasWave14(format) && want.wave)
+          tgt.waveCodec.decompress(decs(waveLayer(format)))
+        else null
 
       val p = Point14(x, y, z, intensity, (n << 4) | r, flags, cls, user,
-        ang, psid, gps, cr, cg, cb, nir)
+        ang, psid, gps, cr, cg, cb, nir, wv)
       tgt.prevGpsChanged = gpsChanged
       tgt.last = p
       p
@@ -373,8 +402,13 @@ object Laz14 {
     bb.putShort(p.scanAngle.toShort)
     bb.putShort(p.psid.toShort)
     bb.putLong(p.gpsBits)
-    if (format >= 7) bb.putShort(p.r.toShort).putShort(p.g.toShort).putShort(p.b.toShort)
-    if (format == 8) bb.putShort(p.nir.toShort)
+    if (hasRgb14(format)) bb.putShort(p.r.toShort).putShort(p.g.toShort).putShort(p.b.toShort)
+    if (hasNir14(format)) bb.putShort(p.nir.toShort)
+    if (hasWave14(format)) {
+      val w = p.waveOrZero
+      bb.put(w.index.toByte).putLong(w.offset).putInt(w.size)
+        .putInt(w.retPoint).putInt(w.xt).putInt(w.yt).putInt(w.zt)
+    }
   }
 
   private def getPoint14(bb: ByteBuffer, format: Int): Point14 = {
@@ -385,10 +419,15 @@ object Laz14 {
     val ang = bb.getShort & 0xFFFF; val psid = bb.getShort & 0xFFFF
     val gps = bb.getLong
     val (r, g, b) =
-      if (format >= 7) (bb.getShort & 0xFFFF, bb.getShort & 0xFFFF, bb.getShort & 0xFFFF)
+      if (hasRgb14(format)) (bb.getShort & 0xFFFF, bb.getShort & 0xFFFF, bb.getShort & 0xFFFF)
       else (0, 0, 0)
-    val nir = if (format == 8) bb.getShort & 0xFFFF else 0
-    Point14(x, y, z, intensity, returns, flags, cls, user, ang, psid, gps, r, g, b, nir)
+    val nir = if (hasNir14(format)) bb.getShort & 0xFFFF else 0
+    val wv = if (hasWave14(format))
+      Laz.Wavepacket(bb.get & 0xFF, bb.getLong, bb.getInt, bb.getInt,
+        bb.getInt, bb.getInt, bb.getInt)
+    else null
+    Point14(x, y, z, intensity, returns, flags, cls, user, ang, psid, gps,
+      r, g, b, nir, wv)
   }
 
   // ------------------------------------------------------ chunk framing
@@ -465,7 +504,13 @@ object Laz14 {
     StructField("scan_direction", IntegerType),
     StructField("edge_of_flight", IntegerType),
     StructField("r", IntegerType), StructField("g", IntegerType),
-    StructField("b", IntegerType), StructField("nir", IntegerType)))
+    StructField("b", IntegerType), StructField("nir", IntegerType),
+    // wavepacket descriptor (formats 9/10): exact integers, f32 fields
+    // as raw IEEE bits — zeros on formats without the layer
+    StructField("wp_index", LongType), StructField("wp_offset", LongType),
+    StructField("wp_size", LongType), StructField("wp_ret", LongType),
+    StructField("wp_xt", LongType), StructField("wp_yt", LongType),
+    StructField("wp_zt", LongType)))
 
   private def maskFor(columns: Seq[String]): FieldMask = {
     val s = columns.toSet
@@ -476,7 +521,8 @@ object Laz14 {
       flags = s("classification_flags") || s("scan_direction") || s("edge_of_flight"),
       intensity = s("intensity"), scanAngle = s("scan_angle"),
       user = s("user_data"), psid = s("point_source"), gps = s("gps_time"),
-      rgb = s("r") || s("g") || s("b"), nir = s("nir"))
+      rgb = s("r") || s("g") || s("b"), nir = s("nir"),
+      wave = columns.exists(_.startsWith("wp_")))
   }
 
   /** Distributed layered-LAZ scan. `columns` prunes at the codec
@@ -509,13 +555,17 @@ object Laz14 {
             raf.readFully(bytes)
             decodeChunk14(format, bytes, 0, count, want)
           }.map { p =>
+            val w = p.waveOrZero
             val full = Array[Any](
               p.x * h.scaleX + h.offX, p.y * h.scaleY + h.offY,
               p.z * h.scaleZ + h.offZ, p.intensity, p.returnNumber,
               p.numberOfReturns, p.channel, p.cls, p.scanAngle.toShort.toInt,
               p.user, p.psid, java.lang.Double.longBitsToDouble(p.gpsBits),
               p.flags & 15, (p.flags >>> 6) & 1, (p.flags >>> 7) & 1,
-              p.r, p.g, p.b, p.nir)
+              p.r, p.g, p.b, p.nir,
+              w.index.toLong, w.offset, w.size & 0xFFFFFFFFL,
+              w.retPoint & 0xFFFFFFFFL, w.xt & 0xFFFFFFFFL,
+              w.yt & 0xFFFFFFFFL, w.zt & 0xFFFFFFFFL)
             Row.fromSeq(fieldIdx.map(i => full(i)).toIndexedSeq)
           }.toArray
         } finally raf.close()
@@ -542,6 +592,8 @@ object Laz14 {
       if (present(name)) col(name).cast("int") else lit(default)
     val gpsCol =
       if (present("gps_time")) col("gps_time").cast("double") else lit(0.0)
+    def optLong(name: String) =
+      if (present(name)) col(name).cast("long") else lit(0L)
     val prepared = df.select(
       col("x").cast("double"), col("y").cast("double"), col("z").cast("double"),
       opt("intensity", 0), opt("return_number", 1), opt("number_of_returns", 1),
@@ -549,7 +601,9 @@ object Laz14 {
       opt("user_data", 0), opt("point_source", 0), gpsCol,
       opt("r", 0), opt("g", 0), opt("b", 0), opt("nir", 0),
       opt("classification_flags", 0), opt("scan_direction", 0),
-      opt("edge_of_flight", 0))
+      opt("edge_of_flight", 0),
+      optLong("wp_index"), optLong("wp_offset"), optLong("wp_size"),
+      optLong("wp_ret"), optLong("wp_xt"), optLong("wp_yt"), optLong("wp_zt"))
 
     val chunkDir = Paths.get(path + ".chunks")
     Files.createDirectories(chunkDir)
@@ -586,6 +640,11 @@ object Laz14 {
             // of flight line (7)
             val flagsByte = (row.getInt(16) & 15) | (ch << 4) |
               ((row.getInt(17) & 1) << 6) | ((row.getInt(18) & 1) << 7)
+            val wv = if (!hasWave14(fmt)) null else Laz.Wavepacket(
+              (row.getLong(19) & 0xFF).toInt, row.getLong(20),
+              row.getLong(21).toInt, row.getLong(22).toInt,
+              row.getLong(23).toInt, row.getLong(24).toInt,
+              row.getLong(25).toInt)
             buf(n) = Point14(
               math.round(x / scale).toInt, math.round(y / scale).toInt,
               math.round(z / scale).toInt, row.getInt(3) & 0xFFFF,
@@ -594,7 +653,7 @@ object Laz14 {
               row.getInt(10) & 0xFFFF,
               java.lang.Double.doubleToRawLongBits(row.getDouble(11)),
               row.getInt(12) & 0xFFFF, row.getInt(13) & 0xFFFF,
-              row.getInt(14) & 0xFFFF, row.getInt(15) & 0xFFFF)
+              row.getInt(14) & 0xFFFF, row.getInt(15) & 0xFFFF, wv)
             n += 1
             if (n == chunkPoints) flush()
           }

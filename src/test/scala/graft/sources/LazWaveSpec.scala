@@ -70,6 +70,73 @@ class LazWaveSpec extends AnyFunSuite {
     }
   }
 
+  test("layered pf9 and pf10 chunks roundtrip the wavepacket layer") {
+    import graft.sources.Laz14.Point14
+    for (fmt <- Seq(9, 10)) {
+      val rnd = new Random(fmt * 3)
+      var off = 8192L
+      val pts = Array.tabulate(3000) { i =>
+        rnd.nextInt(8) match {
+          case 0 => ()
+          case 1 => off += 1L << 35
+          case _ => off += 1024L
+        }
+        Point14(
+          x = 1000 + i, y = 2000 + (i * 3 % 777), z = 100 + (i % 37),
+          intensity = rnd.nextInt(65536),
+          returns = 0x11, flags = rnd.nextInt(4) << 4,
+          cls = rnd.nextInt(32), user = rnd.nextInt(256),
+          scanAngle = rnd.nextInt(65536), psid = rnd.nextInt(4),
+          gpsBits = 0x41C0000000000000L + i * 1000L,
+          r = if (fmt == 10) rnd.nextInt(65536) else 0,
+          g = if (fmt == 10) rnd.nextInt(65536) else 0,
+          b = if (fmt == 10) rnd.nextInt(65536) else 0,
+          nir = if (fmt == 10) rnd.nextInt(65536) else 0,
+          wave = Laz.Wavepacket(rnd.nextInt(4), off, 1024,
+            java.lang.Float.floatToIntBits(i.toFloat), i, -i, i * 7))
+      }
+      val bytes = Laz14.encodeChunk14(fmt, pts)
+      val back = Laz14.decodeChunk14(fmt, bytes, 0, pts.length)
+      pts.indices.foreach { i =>
+        assert(back(i) == pts(i), s"pf$fmt point $i")
+      }
+      // projection skip: a mask without the wave layer decodes the
+      // coords correctly and never touches the wavepacket stream
+      val noWave = Laz14.decodeChunk14(fmt, bytes, 0, pts.length,
+        Laz14.AllFields.copy(wave = false))
+      pts.indices.foreach { i =>
+        assert((noWave(i).x, noWave(i).y, noWave(i).z) ==
+          (pts(i).x, pts(i).y, pts(i).z), s"pf$fmt coords at $i")
+        assert(i == 0 || noWave(i).wave == null, s"pf$fmt wave skipped at $i")
+      }
+    }
+  }
+
+  test("writePoints14(pf9) container roundtrips wavepacket columns") {
+    val rnd = new Random(23)
+    val src = Seq.tabulate(2500) { i =>
+      (rnd.nextInt(90000) / 10.0, rnd.nextInt(90000) / 10.0, rnd.nextInt(3000) / 10.0,
+        (i % 3).toLong, 16384L + 900L * (i % 1000), 900L, (i % 100000).toLong,
+        (i % 65536).toLong, ((i * 3) % 65536).toLong, ((i * 7) % 65536).toLong)
+    }.toDF("x", "y", "z", "wp_index", "wp_offset", "wp_size",
+      "wp_ret", "wp_xt", "wp_yt", "wp_zt")
+    val path = "/tmp/graft_wave14_container_test.laz"
+    Laz14.writePoints14(src, path, chunkPoints = 600, pointFormat = 9)
+    val info = Laz.readInfo(path)
+    assert(info.compressor == 3 && info.header.pointFormat == 9)
+    val back = Laz14.readPoints14(spark, path,
+        columns = Seq("x", "wp_index", "wp_offset", "wp_size", "wp_ret",
+          "wp_xt", "wp_yt", "wp_zt"))
+      .collect().map(r => (math.round(r.getDouble(0) * 10) +:
+        (1 to 7).map(r.getLong)).toList).sortBy(_.toString)
+    val want = src.collect().map { r =>
+      List(math.round(r.getDouble(0) * 10), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9))
+    }.sortBy(_.toString)
+    assert(back.length == want.length)
+    assert(back.toSeq == want.toSeq)
+  }
+
   test("writePoints(pf5) emits a LAS 1.3 container and readPoints surfaces " +
       "exact wavepacket integers") {
     val rnd = new Random(17)
