@@ -230,8 +230,15 @@ object Las {
   def readDir(spark: SparkSession, dir: String): DataFrame = {
     val files = lasFiles(dir)
     files.map { f =>
-      if (f.toLowerCase.endsWith(".laz")) Laz.readPoints(spark, f)
-      else readPoints(spark, f)
+      val df =
+        if (f.toLowerCase.endsWith(".laz")) Laz.readPoints(spark, f)
+        else readPoints(spark, f)
+      // project to the common coordinate surface: per-format extras
+      // (extra_bytes, wavepacket wp_*) vary per FILE, and a mixed
+      // directory must still union — the DirLoader contract is the
+      // point multiset, per-file attribute reads go through
+      // Laz.readPoints / Laz14.readPoints14 directly
+      df.select(df.col("x"), df.col("y"), df.col("z"))
     }.reduce(_.unionAll(_))
   }
 

@@ -137,6 +137,23 @@ class LazWaveSpec extends AnyFunSuite {
     assert(back.toSeq == want.toSeq)
   }
 
+  test("readDir unions a mixed directory where one file carries wavepacket columns") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mixdir").toString
+    val plain = Seq.tabulate(500)(i => (i / 10.0, (i * 3 % 97) / 10.0, (i % 11) / 10.0))
+      .toDF("x", "y", "z")
+    Laz.writePoints(plain, s"$dir/a_plain.laz")
+    val wave = Seq.tabulate(400) { i =>
+      (1000.0 + i / 10.0, (i * 7 % 89) / 10.0, (i % 13) / 10.0,
+        (i % 4).toLong, 4096L + 900L * i, 900L, i.toLong, 1L, 2L, 3L)
+    }.toDF("x", "y", "z", "wp_index", "wp_offset", "wp_size",
+      "wp_ret", "wp_xt", "wp_yt", "wp_zt")
+    Laz.writePoints(wave, s"$dir/b_wave.laz", pointFormat = 5)
+    val got = Las.readDir(spark, dir)
+    assert(got.columns.toSeq == Seq("x", "y", "z"),
+      "mixed dir unions on the common coordinate surface")
+    assert(got.count() == 900)
+  }
+
   test("writePoints(pf5) emits a LAS 1.3 container and readPoints surfaces " +
       "exact wavepacket integers") {
     val rnd = new Random(17)
