@@ -957,8 +957,22 @@ final class BlockedCloud(
       .agg(sum(col("__m")).as("__cnt"))
       .filter(col("__cnt") < minNeighbors)
       .select(col("__id"))
+    // EXPLICIT broadcast, not AQE-adaptive: depending on which side
+    // AQE builds the cell join on, the count aggregation can inherit
+    // hash(__id) partitioning and reach the anti join with no shuffle
+    // stage of its own — no runtime-stats point, no broadcast
+    // conversion, and the anti join nondeterministically degrades to
+    // a SortMergeJoin that re-shuffles the entire point multiset
+    // (observed scheduling-dependent at local[4]; a repartition() on
+    // the dropped set gets elided as redundant). The dropped set is
+    // outlier-sized BY THE OPERATOR'S CONTRACT — that asymmetry is
+    // why this is an anti join against DROPPED rather than a semi
+    // join against a cloud-sized kept set — so the hint encodes the
+    // documented cost model; parameters so loose that "outliers"
+    // exceed the broadcast limit fail loudly rather than silently
+    // shuffling the cloud.
     pts.withColumn("__id", idOf(pts))
-      .join(dropped, Seq("__id"), "left_anti")
+      .join(broadcast(dropped), Seq("__id"), "left_anti")
       .drop("__id")
   }
 
