@@ -108,6 +108,44 @@ object CorpusMix {
       .select(col(idCol), col("__s").as(srcCol), col("rk").cast("long").as("rk"))
   }
 
+  /** Deterministic weighted sample WITHOUT replacement — priority
+    * sampling (Duffield, Lund & Thorup 2004-07): each item draws a
+    * priority q = w/u with u uniform in (0,1], and the k highest
+    * priorities form the sample (the scheme whose threshold estimator
+    * ŵ = max(w, τ), τ = (k+1)-th priority, is unbiased with
+    * near-optimal variance for subset-sum queries — here the natural
+    * "sample long documents proportionally more" curation draw, with
+    * weight = whitespace token count, min 1).
+    *
+    * Integer-exact and RNG-free: u comes from the portable 62-bit id
+    * hash truncated to its top 20 bits (u = (h20+1)/2^20 ∈ (0,1] at
+    * ~1e-6 granularity — far below any sampling-quality signal), so
+    * priority_key = (w * 2^20) div (h20 + 1), a pure function of
+    * (id, weight) that any engine replays bit-for-bit. The 2^20 scale
+    * bounds the key by w * 2^20 < 2^62 for any w < 2^42 — no overflow
+    * for any document that fits storage. Ties (floor-collided keys)
+    * break by id asc, so the top-k is a total order and the sample is
+    * unique.
+    *
+    * Scale shape: one narrow scan computes (id, weight, key); top-k is
+    * TakeOrderedAndProject (per-partition heaps, k rows to the
+    * driver). No shuffle, no RNG state, rerun- and
+    * parallelism-invariant — the same reproducibility contract as
+    * [[resampleBySource]]. */
+  def prioritySample(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = greatest(
+      size(split(TextStats.norm(col(textCol)), " ")).cast("long"), lit(1L))
+    val h20 = shiftright(graft.functions.hashes.hash62(col(idCol).cast("long")),
+      42)
+    df.select(col(idCol), w.as("weight"), h20.as("__h20"))
+      .select(col(idCol), col("weight"),
+        expr("(weight * 1048576) div (__h20 + 1)").as("priority_key"))
+      .orderBy(col("priority_key").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Deterministic global training-order shuffle + shard assignment:
     * every document gets its exact position in the permutation induced
     * by the portable 62-bit id hash (hash asc, id tiebreak) and a

@@ -237,6 +237,54 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
   }
 
+  /** Link prediction over an undirected graph: for every NON-adjacent
+    * node pair sharing at least one neighbor, the common-neighbor
+    * count and the resource-allocation index (Zhou, Lü & Zhang 2009)
+    * RA(u,v) = Σ_{z ∈ Γ(u)∩Γ(v)} 1/deg(z) — the classic "who should
+    * connect next" scores. RA is carried as the integer-exact
+    * micro-scaled sum Σ (1_000_000 div deg(z)), so partition merge
+    * order cannot perturb it and an oracle engine replays every score
+    * bit-for-bit (the same determinism recipe as the corpus ops'
+    * integer-milli sums; 1/deg never collides with the floor because
+    * both engines floor identically). Returns the top `k` candidate
+    * pairs by (ra_micro desc, common_neighbors desc, pair asc) — a
+    * total order, so the LIMIT is deterministic.
+    *
+    * Shape: wedges enumerate once per center z (u < v within each
+    * neighbor list), candidates = wedges anti-joined against the edge
+    * set, then one partial-combined (u,v) aggregation and a top-k
+    * (TakeOrderedAndProject — per-partition heaps, k rows to the
+    * driver, no global sort). Wedge volume is Σ_z deg(z)² — the same
+    * skew point as [[triangleCounts]]; `maxDegree` caps it by
+    * excluding hub CENTERS, the standard pruning (a hub's per-wedge RA
+    * contribution is at most 1e6/deg, the least informative term —
+    * published RA pipelines drop hubs for exactly this reason). The
+    * default keeps every center (exact scores). */
+  def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, maxDegree: Option[Int] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val raw = edges.select(col(srcCol).cast("long").as("x"),
+      col(dstCol).cast("long").as("y")).filter(col("x") =!= col("y"))
+    val e = raw.select(least(col("x"), col("y")).as("lo"),
+      greatest(col("x"), col("y")).as("hi")).distinct()
+    val adj = e.select(col("lo").as("z"), col("hi").as("n"))
+      .union(e.select(col("hi").as("z"), col("lo").as("n")))
+    val deg = adj.groupBy(col("z")).agg(count(lit(1)).as("deg"))
+    val centers = maxDegree.map(m => deg.filter(col("deg") <= m)).getOrElse(deg)
+    val adjd = adj.join(centers, "z")
+    val wedges = adjd.select(col("z"), col("n").as("u"), col("deg"))
+      .join(adjd.select(col("z"), col("n").as("v")), "z")
+      .filter(col("u") < col("v"))
+    val cand = wedges.join(e,
+      wedges("u") === e("lo") && wedges("v") === e("hi"), "left_anti")
+    cand.groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(expr("1000000L div deg")).as("ra_micro"))
+      .orderBy(col("ra_micro").desc, col("common_neighbors").desc,
+        col("u"), col("v"))
+      .limit(k)
+  }
+
   /** Deterministic synchronous label propagation (community detection):
     * start with label(v) = v, then k rounds of "adopt the most frequent
     * label among neighbors, ties to the SMALLEST label" — the tie rule

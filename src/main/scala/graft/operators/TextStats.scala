@@ -539,6 +539,72 @@ object TextStats {
         col("p.tf").as("tf"), col("p.df").as("df"))
   }
 
+  /** BM25 ranked retrieval (Robertson/Okapi, k1 = 1.2, b = 0.75):
+    * score the corpus against a fixed query-term set and return the
+    * top-k documents — the standard lexical-retrieval axis next to
+    * [[tfidfTop]]'s per-doc term profiling.
+    *
+    * Integer-exact contract (house style — no floats anywhere):
+    *  - IDF uses the Robertson ODDS instead of its log:
+    *    idf_micro(df) = (1_000_000 * (2*(N - df) + 1)) div (2*df + 1),
+    *    i.e. floor of 1e6 * (N - df + ½)/(df + ½). Per-term document
+    *    ranking is identical to log-IDF (ln is monotone); across terms
+    *    rare terms weigh linearly rather than logarithmically in the
+    *    odds — the documented tradeoff that buys bit-for-bit oracle
+    *    replay with no transcendental in either engine.
+    *  - The tf saturation keeps classical BM25 exactly: with
+    *    k1 = 6/5, b = 3/4 and avgdl = A/N (A = corpus token count),
+    *    tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) multiplied through
+    *    by 10*A clears every constant to integers:
+    *    contribution = (idf_micro * 22*A*tf) div (10*A*tf + 3*A + 9*dl*N).
+    *    The numerator is evaluated in decimal(38,0) (~4e33 at
+    *    100 TB-scale A ≈ 1e13, tf ≈ 1e3 — inside 38 digits); the
+    *    floor-div result is back in long range (≈ 2.2 * idf_micro).
+    *  - score_micro = Σ per-term contributions — a sum of longs, so
+    *    partition merge order cannot perturb it.
+    *
+    * Scale shape: one narrow scan computes (dl, tf per query term) —
+    * tf via size(filter(tokens)) with NO explode and NO per-term
+    * shuffle; one reduced aggregate row (N, A, df per term) broadcasts
+    * back; top-k is TakeOrderedAndProject (per-partition heaps, k rows
+    * to the driver). Zero corpus-sized shuffles end to end. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.size <= 16,
+      s"queryTerms must have 1..16 terms, got ${queryTerms.size}")
+    require(queryTerms.distinct.size == queryTerms.size,
+      s"queryTerms must be distinct: $queryTerms")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = split(norm(col(textCol)), " ")
+    val perDoc = df.select(
+      col(idCol) +: size(toks).cast("long").as("dl") +:
+        queryTerms.zipWithIndex.map { case (t, i) =>
+          size(filter(toks, w => w === lit(t))).cast("long").as(s"__tf$i")
+        }: _*)
+    val globals = perDoc.agg(
+      count(lit(1)).as("__n"),
+      sum(col("dl")).as("__a") +:
+        queryTerms.indices.map(i =>
+          sum((col(s"__tf$i") > 0).cast("long")).as(s"__df$i")): _*)
+    val contributions = queryTerms.indices.map { i =>
+      expr(s"""CASE WHEN __tf$i > 0 THEN
+        (cast((1000000L * (2 * (__n - __df$i) + 1)) div (2 * __df$i + 1)
+              as decimal(38,0)) * 22 * __a * __tf$i)
+        div (10 * cast(__a as decimal(38,0)) * __tf$i + 3 * __a + 9 * dl * __n)
+        ELSE 0L END""").cast("long")
+    }
+    val matched = queryTerms.indices
+      .map(i => (col(s"__tf$i") > 0).cast("long"))
+      .reduce(_ + _)
+    perDoc.crossJoin(broadcast(globals))
+      .select(col(idCol), col("dl").as("n_tokens"),
+        contributions.reduce(_ + _).as("score_micro"),
+        matched.as("n_matched"))
+      .filter(col("n_matched") > 0)
+      .orderBy(col("score_micro").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Corpus length statistics: exact token-count quantiles (linear
     * interpolation), count, and mean. Quantiles are emitted as
     * milli-rounded integers so the comparison is robust to last-ulp

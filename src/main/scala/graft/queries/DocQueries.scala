@@ -89,6 +89,17 @@ object DocQueries {
       TextStats.ngramTopK(docs(s, d), "doc_id", "text", n = 2, k = 20)),
     "doc_tfidf_top" -> ((s, d) =>
       TextStats.tfidfTop(docs(s, d), "doc_id", "text")),
+    // BM25 ranked retrieval against a fixed query — integer-exact
+    // odds-IDF contract (see TextStats.bm25TopK scaladoc); zero
+    // corpus-sized shuffles: one narrow tf scan + one broadcast
+    // constants row + TakeOrderedAndProject
+    "doc_bm25_topk" -> ((s, d) =>
+      TextStats.bm25TopK(docs(s, d), "doc_id", "text",
+        Seq("spark", "hash", "join", "vector"), k = 20)),
+    // priority sampling (weighted w/o replacement, weight = token
+    // count): RNG-free portable-hash priorities, shuffle-free top-k
+    "doc_priority_sample" -> ((s, d) =>
+      CorpusMix.prioritySample(docs(s, d), "doc_id", "text", k = 25)),
     "doc_quantiles" -> ((s, d) =>
       TextStats.lengthQuantiles(docs(s, d), "doc_id", "text")),
     "doc_shard_ranges" -> ((s, d) =>
@@ -497,6 +508,43 @@ object DocQueries {
          r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
                  ORDER BY score DESC, term ASC) AS rn FROM s)
          SELECT doc_id, term AS top_term, score, tf, df FROM r WHERE rn = 1""",
+    // BM25 replication: same odds-IDF micro floor, same 10*A-cleared
+    // saturation denominator, HUGEINT where the engine side uses
+    // decimal(38,0) — every contribution floors identically
+    "doc_bm25_topk" -> {
+      val terms = Seq("spark", "hash", "join", "vector")
+      val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        s"len(list_filter(ws, w -> w = '$t'))::BIGINT AS tf$i" }.mkString(",\n           ")
+      val dfCols = terms.indices.map(i =>
+        s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)::BIGINT AS df$i").mkString(",\n           ")
+      val contribs = terms.indices.map(i =>
+        s"""CASE WHEN tf$i > 0 THEN
+           CAST((((1000000::HUGEINT * (2 * (n - df$i) + 1)) // (2 * df$i + 1))
+                 * 22 * a * tf$i)
+                // ((10::HUGEINT * a * tf$i) + (3 * a) + (9 * dl * n)) AS BIGINT)
+           ELSE 0 END""").mkString(" + ")
+      val matched = terms.indices.map(i =>
+        s"CASE WHEN tf$i > 0 THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH d AS (SELECT doc_id, len(ws)::BIGINT AS dl, $tfCols
+           FROM (SELECT doc_id, string_split($normSql, ' ') AS ws FROM documents)),
+         g AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS a,
+           $dfCols FROM d),
+         s AS (SELECT doc_id, dl, ($contribs) AS score_micro,
+           ($matched)::BIGINT AS n_matched FROM d, g)
+         SELECT doc_id, dl AS n_tokens, score_micro, n_matched
+         FROM s WHERE n_matched > 0
+         ORDER BY score_micro DESC, doc_id ASC LIMIT 20"""
+    },
+    // priority-sampling replication: identical hash-truncation key
+    "doc_priority_sample" ->
+      s"""WITH w AS (SELECT doc_id,
+           greatest(len(string_split($normSql, ' '))::BIGINT, 1) AS weight
+           FROM documents)
+         SELECT doc_id, weight,
+           (weight * 1048576) // ((${PortableSql.hash62("doc_id")} >> 42) + 1)
+             AS priority_key
+         FROM w
+         ORDER BY priority_key DESC, doc_id ASC LIMIT 25""",
     "doc_quantiles" ->
       s"""WITH t AS (SELECT len(string_split($normSql, ' '))::BIGINT AS tk FROM documents)
          SELECT count(*) AS n_docs, CAST(sum(tk) AS BIGINT) AS sum_tokens,

@@ -176,6 +176,14 @@ object EventQueries {
       graft.operators.Graph.triangleCounts(
         coactivityPairs(s, d), "user_a", "user_b")
         .select(col("node").as("user_id"), col("triangles"))),
+    // link prediction on the co-activity graph: top-25 NON-adjacent
+    // pairs by integer-exact resource-allocation index (+ common
+    // neighbors) — "who should connect next"
+    "ev_link_prediction" -> ((s, d) =>
+      graft.operators.Graph.linkPrediction(
+        coactivityPairs(s, d), "user_a", "user_b", k = 25)
+        .select(col("u").as("user_a"), col("v").as("user_b"),
+          col("common_neighbors"), col("ra_micro"))),
     // KMV theta-sketch intersection: distinct-user overlap per
     // event-type pair from k-hash sketches, never a distinct-pair join
     "ev_type_overlap_kmv" -> ((s, d) =>
@@ -423,6 +431,42 @@ object EventQueries {
            UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
          SELECT node AS user_id, count(*) AS triangles
          FROM credit GROUP BY 1""",
+    // link-prediction replication: same session edges, same wedge
+    // enumeration (u < v per center), NOT EXISTS anti-join, and the
+    // identical integer-floored RA sum
+    "ev_link_prediction" ->
+      s"""WITH o AS (
+           SELECT user_id, event_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_us
+           FROM events),
+         m AS (
+           SELECT user_id, us,
+             sum(CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+               THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+               ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+           FROM o),
+         sess AS (
+           SELECT user_id, min(us) AS s_us, max(us) AS e_us
+           FROM m GROUP BY user_id, sid HAVING count(*) >= 2),
+         e AS (SELECT DISTINCT a.user_id AS lo, b.user_id AS hi
+           FROM sess a JOIN sess b
+             ON a.user_id < b.user_id
+             AND a.s_us <= b.e_us AND b.s_us <= a.e_us),
+         adj AS (SELECT lo AS z, hi AS n FROM e
+           UNION ALL SELECT hi AS z, lo AS n FROM e),
+         deg AS (SELECT z, count(*)::BIGINT AS deg FROM adj GROUP BY 1),
+         w AS (SELECT a.z, a.n AS u, b.n AS v, d.deg
+           FROM adj a JOIN adj b ON a.z = b.z AND a.n < b.n
+           JOIN deg d ON d.z = a.z),
+         cand AS (SELECT * FROM w WHERE NOT EXISTS
+           (SELECT 1 FROM e WHERE e.lo = w.u AND e.hi = w.v))
+         SELECT u AS user_a, v AS user_b,
+           count(*)::BIGINT AS common_neighbors,
+           CAST(sum(1000000 // deg) AS BIGINT) AS ra_micro
+         FROM cand GROUP BY 1, 2
+         ORDER BY ra_micro DESC, common_neighbors DESC, user_a, user_b
+         LIMIT 25""",
     // CONVERGED components, not a fixed-round unrolling: the engine
     // side now runs min-label propagation to its fixed point
     // (Graph.connectedComponents early-exit), so the oracle must be the

@@ -198,4 +198,20 @@ class CorpusMixSpec extends AnyFunSuite {
       assert(s.map(_._2).sum <= 5000L + maxDoc)
     }
   }
+
+  test("prioritySample: portable-hash priorities match a replica; top-k is a " +
+      "total order; empty docs floor to weight 1") {
+    import graft.functions.HashKernels
+    val docs = ((1L to 50L).map(i => (i, ("w " * i.toInt).trim)) :+ (51L, ""))
+      .toDF("doc_id", "text")
+    val got = CorpusMix.prioritySample(docs, "doc_id", "text", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def h62(x: Long): Long =
+      HashKernels.lehmer3(x) * 2147483648L + HashKernels.lehmer3(x + 700001L)
+    def key(id: Long, w: Long): Long = (w * 1048576L) / ((h62(id) >> 42) + 1L)
+    val expect = ((1L to 50L).map(i => (i, i, key(i, i))) :+
+        (51L, 1L, key(51L, 1L)))
+      .sortBy(r => (-r._3, r._1)).take(10)
+    assert(got.toSeq == expect, s"got ${got.toSeq} expect $expect")
+  }
 }

@@ -144,6 +144,45 @@ class GraphSpec extends AnyFunSuite {
     assert((2L to 7L).map(got).toSet.size == 1, "leaves tie by symmetry")
   }
 
+  test("linkPrediction: C4 cycle scores both diagonals, hand-computed RA") {
+    // cycle 1-2-3-4-1: the only non-adjacent pairs are the diagonals
+    // (1,3) and (2,4); each has both opposite corners (deg 2) as
+    // common neighbors -> cn = 2, ra = 2 * (1000000 div 2) = 1000000
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+    val got = Graph.linkPrediction(edges, "a", "b", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 3L, 2L, 1000000L), (2L, 4L, 2L, 1000000L)))
+    // k truncates by (ra desc, cn desc, pair asc): k=1 keeps (1,3)
+    val top1 = Graph.linkPrediction(edges, "a", "b", k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(top1.toSeq == Seq((1L, 3L)))
+  }
+
+  test("linkPrediction: adjacent pairs are excluded, RA floors per degree") {
+    // triangle 1-2-3 plus 4 attached to 1 and 2: (1,2) share BOTH 3
+    // and 4 but are adjacent -> excluded; (3,4) share {1, 2}, each of
+    // degree 3 -> ra = 2 * (1000000 div 3) = 666666 (floored)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L), (2L, 4L))
+      .toDF("a", "b")
+    val got = Graph.linkPrediction(edges, "a", "b", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((3L, 4L, 2L, 666666L)))
+  }
+
+  test("linkPrediction: maxDegree excludes hub centers") {
+    // star 0-{1,2,3} plus 1-2: every candidate wedge is centered on
+    // the hub 0 (deg 3) or closes an existing edge; capping centers
+    // at degree 2 leaves no candidates at all
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L)).toDF("a", "b")
+    val capped = Graph.linkPrediction(edges, "a", "b", k = 10,
+      maxDegree = Some(2))
+    assert(capped.collect().isEmpty)
+    val full = Graph.linkPrediction(edges, "a", "b", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // uncapped: (1,3) and (2,3) each share only the hub (deg 3)
+    assert(full.toSeq == Seq((1L, 3L, 1L, 333333L), (2L, 3L, 1L, 333333L)))
+  }
+
   // LAST in this suite: setCheckpointDir is irreversible on the shared
   // session, and it flips every later graph-op truncation in this JVM
   // from localCheckpoint to reliable checkpoint (correct, just slower)

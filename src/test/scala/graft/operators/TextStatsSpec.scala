@@ -350,4 +350,49 @@ class TextStatsSpec extends AnyFunSuite {
     assert(shared >= c1.length - 2,
       s"realignment: $shared shared of ${c1.length} (edit must stay local)")
   }
+
+  test("bm25TopK: integer-exact odds-IDF BM25 matches a BigInt replica") {
+    import spark.implicits._
+    val corpus = Seq(
+      1L -> Seq("spark", "spark", "join"), 2L -> Seq("join", "table"),
+      3L -> Seq("hash"), 4L -> Seq("the", "table"))
+    val docs = corpus.map { case (id, ts) => (id, ts.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val terms = Seq("spark", "hash")
+    val got = TextStats.bm25TopK(docs, "doc_id", "text", terms, k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // independent BigInt replica of the documented contract
+    val n = corpus.size
+    val a = corpus.map(_._2.size).sum
+    def dfOf(t: String) = corpus.count(_._2.contains(t))
+    def score(ts: Seq[String]): BigInt = terms.map { t =>
+      val tf = ts.count(_ == t)
+      if (tf == 0) BigInt(0)
+      else {
+        val df = dfOf(t)
+        val idf = BigInt(1000000) * (2 * (n - df) + 1) / (2 * df + 1)
+        idf * 22 * a * tf / (BigInt(10) * a * tf + 3 * a + 9 * ts.size * n)
+      }
+    }.sum
+    val expect = corpus
+      .map { case (id, ts) =>
+        (id, ts.size.toLong, score(ts).toLong, terms.count(ts.contains).toLong) }
+      .filter(_._4 > 0)
+      .sortBy(r => (-r._3, r._1))
+    assert(got.toSeq == expect, s"got ${got.toSeq} expect $expect")
+    // non-matching docs (2 and 4) never appear
+    assert(!got.map(_._1).toSet.exists(Set(2L, 4L)))
+  }
+
+  test("bm25TopK: dl normalization ranks the shorter doc higher at equal tf") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark pad pad pad pad pad pad pad"),
+      (2L, "spark pad")).toDF("doc_id", "text")
+    val got = TextStats.bm25TopK(docs, "doc_id", "text", Seq("spark"), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.map(_._1).toSeq == Seq(2L, 1L), got.toSeq.toString)
+    assert(got(0)._2 > got(1)._2)
+  }
 }
