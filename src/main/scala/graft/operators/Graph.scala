@@ -265,6 +265,11 @@ object Graph {
     require(k >= 1, s"k must be >= 1, got $k")
     val raw = edges.select(col(srcCol).cast("long").as("x"),
       col(dstCol).cast("long").as("y")).filter(col("x") =!= col("y"))
+    // e is referenced three times (both adjacency directions + the
+    // anti-join): like triangleCounts, the references share one
+    // identical distinct-exchange subplan, which Spark's
+    // ReusedExchange computes once — no persist, so nothing
+    // graph-sized pins executor memory at scale
     val e = raw.select(least(col("x"), col("y")).as("lo"),
       greatest(col("x"), col("y")).as("hi")).distinct()
     val adj = e.select(col("lo").as("z"), col("hi").as("n"))

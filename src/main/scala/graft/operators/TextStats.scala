@@ -575,11 +575,18 @@ object TextStats {
     require(queryTerms.distinct.size == queryTerms.size,
       s"queryTerms must be distinct: $queryTerms")
     require(k >= 1, s"k must be >= 1, got $k")
-    val toks = split(norm(col(textCol)), " ")
-    val perDoc = df.select(
-      col(idCol) +: size(toks).cast("long").as("dl") +:
+    // materialize the token array ONCE per row in its own projection:
+    // inlining `split(norm(text))` into every tf column would evaluate
+    // the regex-normalize + split per query term (CollapseProject
+    // keeps the two-step shape because the alias is referenced more
+    // than once and isn't cheap)
+    val withToks = df.select(col(idCol),
+      split(norm(col(textCol)), " ").as("__toks"))
+    val perDoc = withToks.select(
+      col(idCol) +: size(col("__toks")).cast("long").as("dl") +:
         queryTerms.zipWithIndex.map { case (t, i) =>
-          size(filter(toks, w => w === lit(t))).cast("long").as(s"__tf$i")
+          size(filter(col("__toks"), w => w === lit(t)))
+            .cast("long").as(s"__tf$i")
         }: _*)
     val globals = perDoc.agg(
       count(lit(1)).as("__n"),
