@@ -129,6 +129,32 @@ object Similarity {
       .limit(k)
   }
 
+  /** Recall@k of [[ivfTopK]] against the exact [[cosineTopK]] truth —
+    * the standard ANN quality gauge, shipped as an operator so a
+    * deployment can MEASURE its nLists/nProbe trade on its own data
+    * instead of trusting rules of thumb. Both sides are deterministic
+    * (integer-exact quantizer seeding, total (sim, id) orderings), so
+    * the recall itself is oracle-replayable — unusual for an ANN
+    * metric, and exactly why it can sit in the correctness gate.
+    * Output: one row (k, n_hits, recall_milli = 1000*hits div k).
+    *
+    * Scale shape: the two top-k sides are each TakeOrderedAndProject
+    * over their (pruned) scans; the join touches 2k rows. The exact
+    * side is the cost — at true scale one runs it over a fixed
+    * evaluation sample of queries, which is this operator applied
+    * per query vector. */
+  def ivfRecall(emb: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int, nLists: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val exact = cosineTopK(emb, idCol, vecCol, query, k).select(col(idCol))
+    val approx = ivfTopK(emb, idCol, vecCol, query, k, nLists, nProbe)
+      .select(col(idCol))
+    approx.join(exact, Seq(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(lit(k.toLong).as("k"), col("n_hits"),
+        expr(s"(n_hits * 1000) div ${k}L").as("recall_milli"))
+  }
+
   /** Persist an IVF index: vectors written PARTITIONED BY list_id (one
     * directory per inverted list) plus the centroid table. A probe then
     * reads only the probed lists' files — partition pruning at the

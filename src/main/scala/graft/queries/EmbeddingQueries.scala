@@ -49,6 +49,12 @@ object EmbeddingQueries {
     "emb_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(emb(s, d), "vec_id", "embedding", queryVec(s, d), 20,
         nLists = 16, nProbe = 4)),
+    // ANN quality gauge: recall@20 of the IVF probe against the exact
+    // cosine truth — deterministic on both sides, so even the recall
+    // number is oracle-replayable
+    "emb_ivf_recall" -> ((s, d) =>
+      Similarity.ivfRecall(emb(s, d), "vec_id", "embedding", queryVec(s, d),
+        20, nLists = 16, nProbe = 4)),
     // nearest-centroid assignment with k = 4 fixed centroids (the
     // embeddings of vec_id 0..3 — deterministic, collectable by both
     // engines); the k-means inner loop as an oracle-checkable operator
@@ -396,6 +402,17 @@ object EmbeddingQueries {
            AND ${cosineSql("a.embedding", "c.embedding")} >= 0.35""",
     "emb_ivf_topk" -> ivfOracle,
     "emb_ivf_indexed" -> ivfOracle,
+    // recall replication: the IVF oracle joined against the exact
+    // top-20, both as subqueries — hits/k in integer milli
+    "emb_ivf_recall" ->
+      s"""SELECT CAST(20 AS BIGINT) AS k, count(*)::BIGINT AS n_hits,
+         CAST((count(*) * 1000) // 20 AS BIGINT) AS recall_milli
+         FROM ($ivfOracle) a JOIN (
+           WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+           SELECT e.vec_id, ${cosineSql("e.embedding", "qe")} AS sim
+           FROM embeddings e, q
+           ORDER BY sim DESC, e.vec_id LIMIT 20) x
+         ON a.vec_id = x.vec_id""",
     "emb_semantic_dedup" -> semanticDedupOracle,
     "emb_pq_codes" -> pqOracle,
     "emb_ivfpq_topk" -> ivfPqOracle,

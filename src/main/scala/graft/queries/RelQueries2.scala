@@ -100,6 +100,14 @@ object RelQueries2 {
   private def m2(c: String) = s"CAST(round($c * 1000, 0) AS BIGINT)"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ANALYZE-style catalog statistics: per-column rows/nulls/exact
+    // NDV/min/max over lineitem's key and code columns in ONE
+    // Expand-planned aggregate pass (see TableProfile.tableStats)
+    "rel_table_stats" -> ((s, d) =>
+      graft.operators.TableProfile.tableStats(
+        graft.Tables.table(s, d, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey",
+          "l_returnflag", "l_linestatus"))),
     // TPC-H Q12 shape: shipmode two-bucket — late-commit lines by
     // priority class. The triple date predicate runs at the lineitem
     // scan (narrow derived columns, no shuffle); only survivors join
@@ -312,6 +320,37 @@ object RelQueries2 {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // per-column profile replication: one UNION ALL arm per column
+    "rel_table_stats" ->
+      s"""SELECT 'l_orderkey' AS col_name, count(*)::BIGINT AS n_rows,
+           (count(*) - count(l_orderkey))::BIGINT AS n_nulls,
+           count(DISTINCT l_orderkey)::BIGINT AS ndv,
+           CAST(min(l_orderkey) AS VARCHAR) AS min_val,
+           CAST(max(l_orderkey) AS VARCHAR) AS max_val FROM lineitem
+         UNION ALL
+         SELECT 'l_partkey' AS col_name, count(*)::BIGINT AS n_rows,
+           (count(*) - count(l_partkey))::BIGINT AS n_nulls,
+           count(DISTINCT l_partkey)::BIGINT AS ndv,
+           CAST(min(l_partkey) AS VARCHAR) AS min_val,
+           CAST(max(l_partkey) AS VARCHAR) AS max_val FROM lineitem
+         UNION ALL
+         SELECT 'l_suppkey' AS col_name, count(*)::BIGINT AS n_rows,
+           (count(*) - count(l_suppkey))::BIGINT AS n_nulls,
+           count(DISTINCT l_suppkey)::BIGINT AS ndv,
+           CAST(min(l_suppkey) AS VARCHAR) AS min_val,
+           CAST(max(l_suppkey) AS VARCHAR) AS max_val FROM lineitem
+         UNION ALL
+         SELECT 'l_returnflag' AS col_name, count(*)::BIGINT AS n_rows,
+           (count(*) - count(l_returnflag))::BIGINT AS n_nulls,
+           count(DISTINCT l_returnflag)::BIGINT AS ndv,
+           CAST(min(l_returnflag) AS VARCHAR) AS min_val,
+           CAST(max(l_returnflag) AS VARCHAR) AS max_val FROM lineitem
+         UNION ALL
+         SELECT 'l_linestatus' AS col_name, count(*)::BIGINT AS n_rows,
+           (count(*) - count(l_linestatus))::BIGINT AS n_nulls,
+           count(DISTINCT l_linestatus)::BIGINT AS ndv,
+           CAST(min(l_linestatus) AS VARCHAR) AS min_val,
+           CAST(max(l_linestatus) AS VARCHAR) AS max_val FROM lineitem""",
     "rel_q12_shipmode" ->
       s"""$lxCte
          SELECT l_shipmode,

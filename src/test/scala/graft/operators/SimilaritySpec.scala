@@ -265,4 +265,19 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSeq == Seq((1L, 5L), (2L, 9L)))
   }
+
+  test("ivfRecall: probing every list is exact; fewer probes bound hits") {
+    // 8 vectors in two orthogonal families; nLists=2 separates them
+    val d = emb((1L, e1, 0), (2L, e12, 0), (3L, e2, 0), (4L, ne1, 0),
+      (5L, Array(2f, 0f, 0f, 0f), 0), (6L, Array(0f, 2f, 0f, 0f), 0),
+      (7L, Array(3f, 1f, 0f, 0f), 0), (8L, Array(1f, 3f, 0f, 0f), 0))
+    val full = Similarity.ivfRecall(d, "vec_id", "embedding", e1, k = 4,
+      nLists = 2, nProbe = 2).head()
+    assert((full.getLong(0), full.getLong(1), full.getLong(2)) ==
+      ((4L, 4L, 1000L)), full.toString)
+    val one = Similarity.ivfRecall(d, "vec_id", "embedding", e1, k = 4,
+      nLists = 2, nProbe = 1).head()
+    assert(one.getLong(0) == 4L && one.getLong(1) <= 4L &&
+      one.getLong(2) == one.getLong(1) * 250L, one.toString)
+  }
 }

@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class TableProfileSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("tableStats: rows, nulls, exact NDV, min/max per column") {
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(2L), Some("b")), (Some(2L), None),
+      (None, Some("a")), (Some(5L), Some("c")))
+      .toDF("k", "s")
+    val got = TableProfile.tableStats(df, Seq("k", "s"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))))
+      .toMap
+    assert(got("k") == ((5L, 1L, 3L, "1", "5")), got.toString)
+    assert(got("s") == ((5L, 1L, 3L, "a", "c")), got.toString)
+  }
+
+  test("tableStats: single pass produces one row per profiled column") {
+    val df = Seq((1, "x")).toDF("a", "b")
+    val out = TableProfile.tableStats(df, Seq("a", "b")).collect()
+    assert(out.length == 2)
+    assert(out.map(_.getString(0)).toSet == Set("a", "b"))
+  }
+}
