@@ -45,4 +45,37 @@ object TableProfile {
       .select(col("col_name"), col("n_rows"), col("n_nulls"),
         col("ndv"), col("min_val"), col("max_val"))
   }
+
+  /** Referential-integrity validation — the data-quality gate a
+    * pipeline runs before trusting its joins: for each declared
+    * foreign-key edge (child table, child column) → (parent table,
+    * parent column), the child row count and the number of ORPHAN
+    * rows (child values with no parent). One output row per edge.
+    *
+    * Scale shape: each edge is one left-anti equi-join child-vs-parent
+    * KEYS — the parent side reduces to its distinct key column before
+    * joining (broadcastable for dimensions), and only (key) columns
+    * shuffle, never payloads. Null child keys are counted separately
+    * (`n_null_keys`) and are NOT orphans, matching SQL FK semantics
+    * (NULL references nothing and violates nothing). */
+  def integrityCheck(
+      edges: Seq[(String, DataFrame, String, DataFrame, String)])
+      : DataFrame = {
+    require(edges.nonEmpty, "edges must be non-empty")
+    val perEdge = edges.map {
+      case (name, child, childKey, parent, parentKey) =>
+        val keys = child.select(col(childKey).as("__k"))
+        val parents = parent.select(col(parentKey).as("__k")).distinct()
+        val orphans = keys.filter(col("__k").isNotNull)
+          .join(parents, Seq("__k"), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+        val totals = keys.agg(count(lit(1)).as("n_child"),
+          sum(col("__k").isNull.cast("long")).as("n_null_keys"))
+        totals.crossJoin(orphans)
+          .select(lit(name).as("fk_edge"), col("n_child"),
+            coalesce(col("n_null_keys"), lit(0L)).as("n_null_keys"),
+            col("n_orphans"))
+    }
+    perEdge.reduce(_ union _)
+  }
 }

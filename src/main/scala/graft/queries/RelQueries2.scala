@@ -108,6 +108,21 @@ object RelQueries2 {
         graft.Tables.table(s, d, "lineitem"),
         Seq("l_orderkey", "l_partkey", "l_suppkey",
           "l_returnflag", "l_linestatus"))),
+    // referential-integrity gate: orphan counts per declared FK edge
+    // (left-anti joins on reduced key columns; fixture RI is intact,
+    // so the oracle proves the ZEROS are genuine)
+    "rel_fk_integrity" -> ((s, d) => {
+      def t(n: String) = graft.Tables.table(s, d, n)
+      graft.operators.TableProfile.integrityCheck(Seq(
+        ("lineitem.l_orderkey->orders.o_orderkey",
+          t("lineitem"), "l_orderkey", t("orders"), "o_orderkey"),
+        ("lineitem.l_partkey->part.p_partkey",
+          t("lineitem"), "l_partkey", t("part"), "p_partkey"),
+        ("lineitem.l_suppkey->supplier.s_suppkey",
+          t("lineitem"), "l_suppkey", t("supplier"), "s_suppkey"),
+        ("orders.o_custkey->customer.c_custkey",
+          t("orders"), "o_custkey", t("customer"), "c_custkey")))
+    }),
     // TPC-H Q12 shape: shipmode two-bucket — late-commit lines by
     // priority class. The triple date predicate runs at the lineitem
     // scan (narrow derived columns, no shuffle); only survivors join
@@ -320,6 +335,31 @@ object RelQueries2 {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // FK-integrity replication: NOT EXISTS orphan count per edge
+    "rel_fk_integrity" ->
+      s"""SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS fk_edge, count(*)::BIGINT AS n_child,
+           sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_keys,
+           (SELECT count(*) FROM lineitem x WHERE x.l_orderkey IS NOT NULL AND NOT EXISTS
+             (SELECT 1 FROM orders p WHERE p.o_orderkey = x.l_orderkey))::BIGINT AS n_orphans
+         FROM lineitem
+         UNION ALL
+         SELECT 'lineitem.l_partkey->part.p_partkey' AS fk_edge, count(*)::BIGINT AS n_child,
+           sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_keys,
+           (SELECT count(*) FROM lineitem x WHERE x.l_partkey IS NOT NULL AND NOT EXISTS
+             (SELECT 1 FROM part p WHERE p.p_partkey = x.l_partkey))::BIGINT AS n_orphans
+         FROM lineitem
+         UNION ALL
+         SELECT 'lineitem.l_suppkey->supplier.s_suppkey' AS fk_edge, count(*)::BIGINT AS n_child,
+           sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_keys,
+           (SELECT count(*) FROM lineitem x WHERE x.l_suppkey IS NOT NULL AND NOT EXISTS
+             (SELECT 1 FROM supplier p WHERE p.s_suppkey = x.l_suppkey))::BIGINT AS n_orphans
+         FROM lineitem
+         UNION ALL
+         SELECT 'orders.o_custkey->customer.c_custkey' AS fk_edge, count(*)::BIGINT AS n_child,
+           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_keys,
+           (SELECT count(*) FROM orders x WHERE x.o_custkey IS NOT NULL AND NOT EXISTS
+             (SELECT 1 FROM customer p WHERE p.c_custkey = x.o_custkey))::BIGINT AS n_orphans
+         FROM orders""",
     // per-column profile replication: one UNION ALL arm per column
     "rel_table_stats" ->
       s"""SELECT 'l_orderkey' AS col_name, count(*)::BIGINT AS n_rows,

@@ -33,4 +33,20 @@ class TableProfileSpec extends AnyFunSuite {
     assert(out.length == 2)
     assert(out.map(_.getString(0)).toSet == Set("a", "b"))
   }
+
+  test("integrityCheck: counts orphans per edge, nulls are not orphans") {
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(9L), Some(8L), None)
+      .toDF("fk")
+    val clean = Seq(Some(2L), Some(3L)).toDF("fk")
+    val got = TableProfile.integrityCheck(Seq(
+        ("bad", child, "fk", parent, "pk"),
+        ("clean", clean, "fk", parent, "pk")))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // bad: 5 child rows, 1 null key (not an orphan), 2 orphans (9, 8)
+    assert(got("bad") == ((5L, 1L, 2L)), got.toString)
+    assert(got("clean") == ((2L, 0L, 0L)), got.toString)
+  }
 }
