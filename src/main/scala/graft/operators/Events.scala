@@ -231,6 +231,44 @@ object Events {
       .agg(count(lit(1)).as("n_events"), sum(col("__flag")).as("n_anomalies"))
   }
 
+  /** RFM segmentation — the classic user-value taxonomy: per user,
+    * Recency (last activity), Frequency (event count), and Monetary
+    * (summed milli-value), each quartile-binned 0..3 across the user
+    * population, composed into a 3-digit segment code (r*100+f*10+m,
+    * "333" = best). Binning compares each user's metric strictly
+    * above the 25/50/75% interpolated thresholds — `bin = Σ (metric >
+    * q_i)` — so the bin is a single arithmetic expression, not a CASE
+    * ladder, and ties at a threshold land identically on any engine
+    * (same integer metric, same IEEE threshold; the interpolation
+    * parity is the [[TextStats.lengthQuantiles]] precedent).
+    *
+    * Scale shape: one partial-combined per-user aggregation, one
+    * REDUCED percentile row over the user frame (percentile state per
+    * metric, map-side combined) broadcast back — users never shuffle
+    * twice and nothing driver-side grows with the data. */
+  def rfmSegments(df: DataFrame, userCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val per = df.groupBy(col(userCol))
+      .agg(max(unix_micros(col(tsCol))).as("last_us"),
+        count(lit(1)).as("frequency"),
+        sum(milli(col(valueCol))).as("monetary_milli"))
+    val th = per.agg(
+      expr("percentile(last_us, array(0.25D, 0.5D, 0.75D))").as("__r"),
+      expr("percentile(frequency, array(0.25D, 0.5D, 0.75D))").as("__f"),
+      expr("percentile(monetary_milli, array(0.25D, 0.5D, 0.75D))").as("__m"))
+    def bin(metric: String, t: String): Column =
+      (1 to 3).map(i =>
+        (col(metric) > element_at(col(t), i)).cast("long")).reduce(_ + _)
+    per.crossJoin(broadcast(th))
+      .select(col(userCol), col("last_us"), col("frequency"),
+        col("monetary_milli"),
+        bin("last_us", "__r").as("r_bin"),
+        bin("frequency", "__f").as("f_bin"),
+        bin("monetary_milli", "__m").as("m_bin"))
+      .withColumn("segment",
+        col("r_bin") * 100 + col("f_bin") * 10 + col("m_bin"))
+  }
+
   /** Per-type breakdown: counts, value, time span. */
   def typeBreakdown(df: DataFrame, typeCol: String, tsCol: String,
       valueCol: String): DataFrame =

@@ -252,7 +252,11 @@ object EventQueries {
     // of their predecessor (lag-relative, replayable semantics)
     "ev_dedup_window" -> ((s, d) =>
       Events.dedupEvents(ev(s, d), "user_id", "event_type", "ts", "event_id",
-        windowUs = 60000000L)))
+        windowUs = 60000000L)),
+    // RFM user-value segmentation: per-user recency/frequency/monetary
+    // quartile bins composed into a 3-digit segment code
+    "ev_rfm_segments" -> ((s, d) =>
+      Events.rfmSegments(ev(s, d), "user_id", "ts", "value")))
 
   private val vMilli = "CAST(round(value * 1000, 0) AS BIGINT)"
 
@@ -658,5 +662,28 @@ object EventQueries {
                ORDER BY ts, event_id) AS prev
            FROM events)
          SELECT event_id, user_id, event_type, ts_us
-         FROM o WHERE prev IS NULL OR ts_us - prev > 60000000""")
+         FROM o WHERE prev IS NULL OR ts_us - prev > 60000000""",
+    // RFM replication: same per-user aggregates, interpolated quartile
+    // thresholds, and the same strict-greater bin sums
+    "ev_rfm_segments" ->
+      s"""WITH per AS (SELECT user_id, max(epoch_us(ts)) AS last_us,
+           count(*)::BIGINT AS frequency, sum($vMilli)::BIGINT AS monetary_milli
+           FROM events GROUP BY 1),
+         th AS (SELECT
+           quantile_cont(last_us, 0.25) AS r1, quantile_cont(last_us, 0.5) AS r2,
+           quantile_cont(last_us, 0.75) AS r3,
+           quantile_cont(frequency, 0.25) AS f1, quantile_cont(frequency, 0.5) AS f2,
+           quantile_cont(frequency, 0.75) AS f3,
+           quantile_cont(monetary_milli, 0.25) AS m1,
+           quantile_cont(monetary_milli, 0.5) AS m2,
+           quantile_cont(monetary_milli, 0.75) AS m3 FROM per),
+         b AS (SELECT user_id, last_us, frequency, monetary_milli,
+           ((last_us > r1)::INT + (last_us > r2)::INT + (last_us > r3)::INT)::BIGINT AS r_bin,
+           ((frequency > f1)::INT + (frequency > f2)::INT + (frequency > f3)::INT)::BIGINT AS f_bin,
+           ((monetary_milli > m1)::INT + (monetary_milli > m2)::INT
+             + (monetary_milli > m3)::INT)::BIGINT AS m_bin
+           FROM per, th)
+         SELECT user_id, last_us, frequency, monetary_milli, r_bin, f_bin, m_bin,
+           (r_bin * 100 + f_bin * 10 + m_bin) AS segment
+         FROM b""")
 }

@@ -206,4 +206,21 @@ class EventsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
     assert(got.toSeq == Seq((6L, 18L, 18L), (7L, 21L, 21L), (8L, 24L, 24L)))
   }
+
+  test("rfmSegments: monotone users land in staircase quartile bins") {
+    // user i has i events, last activity at minute 10*i, value i each:
+    // all three metrics increase with i, so against the [1,2,3,4]
+    // quartile thresholds (1.75, 2.5, 3.25) user i lands in bin i-1
+    // on every axis -> segments 000, 111, 222, 333
+    val rows = (1L to 4L).flatMap { u =>
+      (1L to u).map(j => (u * 10 + j, u, ts(u * 10 + j), u.toDouble))
+    }
+    val got = Events.rfmSegments(ev(rows: _*), "user_id", "ts", "value")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7)))).toMap
+    assert(got == Map(
+      1L -> ((0L, 0L, 0L, 0L)), 2L -> ((1L, 1L, 1L, 111L)),
+      3L -> ((2L, 2L, 2L, 222L)), 4L -> ((3L, 3L, 3L, 333L))), got.toString)
+  }
 }
