@@ -11,39 +11,36 @@ import org.apache.spark.sql.functions._
   */
 object TableProfile {
 
-  /** Per-column statistics in ONE aggregate pass: n_rows, n_nulls,
-    * exact NDV, and min/max rendered as strings (so heterogeneous
-    * column types share one output schema; callers profile key and
-    * code columns — floats/timestamps would tie the comparison to
-    * engine string formatting).
+  /** Per-column statistics: n_rows, n_nulls, exact NDV, and min/max
+    * rendered as strings (so heterogeneous column types share one
+    * output schema; callers profile key and code columns —
+    * floats/timestamps would tie the comparison to engine string
+    * formatting).
     *
-    * Scale shape: the multi-column count(DISTINCT) plans through
-    * Spark's Expand — the scan fans each row out once per profiled
-    * column, then ONE partial-combined shuffle keyed by (column,
-    * value) feeds the distinct counts; min/max/counts ride the same
-    * pass. Cost is rows × profiled-columns expanded rows — the
-    * standard exact-ANALYZE price; a 100 TB profile either samples or
-    * swaps NDV to the HLL++ sketch (approx_count_distinct, the
-    * engine's `rel_approx_distinct` path) and keeps everything else
-    * identical. The final unpivot (stack) runs on the single reduced
-    * row. */
+    * Scale shape: one INDEPENDENT single-distinct aggregation per
+    * column, unioned — each plans as a column-pruned scan feeding the
+    * two-stage partial-distinct hash aggregate (map-side distinct,
+    * then one narrow shuffle of that column's distinct values), and
+    * the per-column jobs run concurrently. The tempting alternative —
+    * every countDistinct in ONE agg — plans through Expand, fanning
+    * the scan rows × columns into a single wide shuffle; measured 8×
+    * slower on the lineitem profile (7.3 s vs 0.9 s at sf0.1,
+    * PLANS.md) and strictly worse at scale, where the expanded
+    * shuffle carries every profiled column's value for every row. A
+    * 100 TB profile either samples or swaps NDV to the HLL++ sketch
+    * (approx_count_distinct, the engine's `rel_approx_distinct` path)
+    * with the same per-column shape. */
   def tableStats(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "cols must be non-empty")
-    val aggs = cols.flatMap { c =>
-      Seq(count(col(c)).as(s"__cnt_$c"),
-        countDistinct(col(c)).as(s"__ndv_$c"),
-        min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"))
-    }
-    val reduced = df.agg(count(lit(1)).as("__rows"), aggs: _*)
-    val stackArgs = cols.map(c =>
-      s"'$c', __rows - __cnt_$c, __ndv_$c, __min_$c, __max_$c")
-      .mkString(", ")
-    reduced.select(col("__rows").as("n_rows"), expr(
-      s"stack(${cols.size}, $stackArgs) " +
-        "as (col_name, n_nulls, ndv, min_val, max_val)"))
-      .select(col("col_name"), col("n_rows"), col("n_nulls"),
-        col("ndv"), col("min_val"), col("max_val"))
+    cols.map { c =>
+      df.agg(count(lit(1)).as("n_rows"), count(col(c)).as("__cnt"),
+          countDistinct(col(c)).as("ndv"),
+          min(col(c)).cast("string").as("min_val"),
+          max(col(c)).cast("string").as("max_val"))
+        .select(lit(c).as("col_name"), col("n_rows"),
+          (col("n_rows") - col("__cnt")).as("n_nulls"), col("ndv"),
+          col("min_val"), col("max_val"))
+    }.reduce(_ union _)
   }
 
   /** Referential-integrity validation — the data-quality gate a
