@@ -266,12 +266,21 @@ object Graph {
     val raw = edges.select(col(srcCol).cast("long").as("x"),
       col(dstCol).cast("long").as("y")).filter(col("x") =!= col("y"))
     // e is referenced three times (both adjacency directions + the
-    // anti-join): like triangleCounts, the references share one
-    // identical distinct-exchange subplan, which Spark's
-    // ReusedExchange computes once — no persist, so nothing
-    // graph-sized pins executor memory at scale
-    val e = raw.select(least(col("x"), col("y")).as("lo"),
-      greatest(col("x"), col("y")).as("hi")).distinct()
+    // anti-join) and its upstream can be arbitrarily expensive (the
+    // registered query's is a sessionize + interval join). Relying on
+    // ReusedExchange like triangleCounts does is NOT enough here:
+    // AQE's per-stage re-optimization de-duplicates only some of the
+    // three references, and the miss recomputes the whole upstream —
+    // measured 61.9 s on the 10x fixture vs 11.5 s with the edge
+    // frame materialized once. plain persist() is the WRONG tool: a
+    // cached plan executes with AQE disabled, which cost the sf1
+    // interval join 5x (51 s measured, PLANS.md) — materializeCut
+    // (eager localCheckpoint / reliable checkpoint, the iterative
+    // ops' round pattern) runs the upstream ONCE under full AQE and
+    // leaves a compact lineage-truncated edge list (two longs per
+    // edge) for the three downstream references.
+    val e = materializeCut(raw.select(least(col("x"), col("y")).as("lo"),
+      greatest(col("x"), col("y")).as("hi")).distinct())
     val adj = e.select(col("lo").as("z"), col("hi").as("n"))
       .union(e.select(col("hi").as("z"), col("lo").as("n")))
     val deg = adj.groupBy(col("z")).agg(count(lit(1)).as("deg"))
@@ -282,12 +291,15 @@ object Graph {
       .filter(col("u") < col("v"))
     val cand = wedges.join(e,
       wedges("u") === e("lo") && wedges("v") === e("hi"), "left_anti")
-    cand.groupBy(col("u"), col("v"))
-      .agg(count(lit(1)).as("common_neighbors"),
-        sum(expr("1000000L div deg")).as("ra_micro"))
-      .orderBy(col("ra_micro").desc, col("common_neighbors").desc,
-        col("u"), col("v"))
-      .limit(k)
+    val result = materializeCut(
+      cand.groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).as("common_neighbors"),
+          sum(expr("1000000L div deg")).as("ra_micro"))
+        .orderBy(col("ra_micro").desc, col("common_neighbors").desc,
+          col("u"), col("v"))
+        .limit(k))
+    freeRound(e) // k result rows are safe; drop the edge blocks now
+    result
   }
 
   /** Deterministic synchronous label propagation (community detection):

@@ -39,7 +39,7 @@ object EventQueries {
     * same time (session co-activity pairs per user pair) — the
     * owner-bucket range join, exactly-once pairs by construction.
     * Doubles as the edge list for the PageRank query. */
-  private def coactivityPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def coactivityPairs(s: SparkSession, d: String): DataFrame = {
     val e = ev(s, d)
     val sessions = e
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("__w"))
