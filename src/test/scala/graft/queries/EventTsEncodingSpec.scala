@@ -58,9 +58,15 @@ class EventTsEncodingSpec extends AnyFunSuite {
   }
 
   // windows + sessions + interval join + funnel + iterative graph —
-  // one query per family that died in r9
+  // one query per family that died in r9 — plus the second-block RFM
+  // recency probe. ev_link_prediction is deliberately absent: on this
+  // small fixture the co-activity graph is complete, so the
+  // non-adjacent candidate set is genuinely empty (a vacuous probe);
+  // its ts path is the same session-edge recipe ev_session_overlap
+  // and ev_user_components already pin here
   private val probes = Seq("ev_sessionize", "ev_session_overlap",
-    "ev_tumbling_1h", "ev_range_join", "ev_funnel", "ev_user_components")
+    "ev_tumbling_1h", "ev_range_join", "ev_funnel", "ev_user_components",
+    "ev_rfm_segments")
 
   private def run(name: String, dir: String): Seq[String] =
     EventQueries.queries(name)(spark, dir)
