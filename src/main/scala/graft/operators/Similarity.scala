@@ -103,6 +103,39 @@ object Similarity {
     out
   }
 
+  /** Full distributed k-means (Lloyd) training: deterministic id-hash
+    * seeding, then `rounds` iterations of assign → exact-integer
+    * centroid update, returning every row's final cluster — the
+    * training loop itself as an oracle-checkable operator
+    * ([[ivfCentroids]] is exactly this with rounds = 1; kmeans_assign
+    * is the rounds = 0 inner step). Every round's centroids are the
+    * 2^-20-grid integer means of [[meanByList]], so the whole
+    * iteration — including which near-tie assignments flip between
+    * rounds — replays bit-for-bit in an unrolled-CTE oracle; ties in
+    * the argmax go to the smallest list id (the nearest_centroid
+    * contract the existing IVF oracles already pin).
+    *
+    * Scale shape: per round, one narrow nearest-centroid map (k×dims
+    * broadcast literal, codegen'd fold) + one (list, pos)-keyed
+    * partial-combined aggregation whose reduced size is k×dims rows —
+    * independent of corpus size; the driver holds only the k×dims
+    * centroid grid. The classic Lloyd-on-MapReduce shape. */
+  def kmeansTrain(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 0, s"need k >= 1, rounds >= 0: $k, $rounds")
+    val seeded = emb.withColumn("list_id",
+      (graft.functions.hashes.lehmer3(col(idCol)) % k).cast("int"))
+    var cents = meanByList(seeded, vecCol, k)
+    for (_ <- 1 to rounds) {
+      val assigned = emb.withColumn("list_id",
+        graft.functions.vectors.nearest_centroid(col(vecCol), cents))
+      cents = meanByList(assigned, vecCol, k)
+    }
+    emb.select(col(idCol),
+      graft.functions.vectors.nearest_centroid(col(vecCol), cents)
+        .as("list_id"))
+  }
+
   /** IVF approximate top-k: probe the nProbe lists whose centroids are
     * most query-similar, exact-rerank only their members. The scan
     * prunes on a small isin list (partition/row-group prunable when the

@@ -58,6 +58,12 @@ object EmbeddingQueries {
     // nearest-centroid assignment with k = 4 fixed centroids (the
     // embeddings of vec_id 0..3 — deterministic, collectable by both
     // engines); the k-means inner loop as an oracle-checkable operator
+    // full Lloyd training loop: lehmer3 seed, 3 rounds of assign ->
+    // exact-integer centroid update, final membership for every row —
+    // the whole iteration oracle-replayed
+    "emb_kmeans_train" -> ((s, d) =>
+      Similarity.kmeansTrain(emb(s, d), "vec_id", "embedding",
+        k = 8, rounds = 3)),
     "emb_kmeans_assign" -> ((s, d) => {
       val cents = emb(s, d).filter("vec_id < 4").orderBy("vec_id")
         .select("embedding").collect().map(_.getSeq[Float](0).toArray)
@@ -138,6 +144,37 @@ object EmbeddingQueries {
              FROM range(0, $nLists) a, range(0, $dims) b) g
        LEFT JOIN $sumCte ss ON ss.list_id = g.l AND ss.pos = g.p
        GROUP BY 1"""
+
+  /** Unrolled-CTE replication of the full Lloyd loop
+    * (Similarity.kmeansTrain): a0 = lehmer3 seed, then per round r the
+    * exact 2^-20-grid integer means (cent_r from a_r) and the
+    * min-list-tie argmax reassignment (a_{r+1} from cent_r); the
+    * final assignment a_{rounds+1} is the operator's output. Every
+    * round replays bit-for-bit — including which near-tie memberships
+    * flip between rounds. */
+  private def kmeansCtes(k: Int, dims: Int, rounds: Int): String = {
+    import PortableSql.{centroidCosine => cc, lehmer3, q20}
+    val head =
+      s"""e AS (SELECT vec_id, embedding FROM embeddings),
+         a0 AS (SELECT vec_id, (${lehmer3("vec_id")} % $k) AS list_id FROM e)"""
+    val roundCtes = (0 to rounds).map { r =>
+      s"""sum$r AS (SELECT a$r.list_id, t.i AS pos,
+             sum(${q20("e.embedding[t.i + 1]")}) AS s, count(*) AS n
+           FROM e JOIN a$r USING (vec_id),
+             LATERAL unnest(range(0, len(e.embedding))) AS t(i)
+           GROUP BY 1, 2),
+         cent$r AS (${centGrid(s"sum$r", k, dims)}),
+         s${r + 1} AS (SELECT e.vec_id, c.list_id,
+             ${cc("e.embedding", "c.cv")} AS sim
+           FROM e CROSS JOIN cent$r c),
+         b${r + 1} AS (SELECT vec_id, max(sim) AS bs FROM s${r + 1} GROUP BY 1),
+         a${r + 1} AS (SELECT s.vec_id, min(s.list_id) AS list_id
+           FROM s${r + 1} s JOIN b${r + 1} b
+             ON s.vec_id = b.vec_id AND s.sim = b.bs
+           GROUP BY 1)"""
+    }
+    (head +: roundCtes).mkString(",\n         ")
+  }
 
   /** CTE chain replicating the deterministic IVF quantizer
     * (Similarity.ivfCentroids + final nearest-centroid assignment):
@@ -416,6 +453,9 @@ object EmbeddingQueries {
     "emb_semantic_dedup" -> semanticDedupOracle,
     "emb_pq_codes" -> pqOracle,
     "emb_ivfpq_topk" -> ivfPqOracle,
+    "emb_kmeans_train" ->
+      s"""WITH ${kmeansCtes(k = 8, dims = 64, rounds = 3)}
+         SELECT vec_id, CAST(list_id AS INT) AS list_id FROM a4""",
     "emb_kmeans_assign" ->
       s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 4),
          s AS (SELECT e.vec_id, c.cid, ${cosineSql("e.embedding", "c.ce")} AS sim

@@ -280,4 +280,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(one.getLong(0) == 4L && one.getLong(1) <= 4L &&
       one.getLong(2) == one.getLong(1) * 250L, one.toString)
   }
+
+  test("kmeansTrain: Lloyd rounds recover separated clusters; rounds=1 " +
+      "matches the IVF quantizer assignment") {
+    // two orthogonal families scattered across hash-seeded lists: the
+    // id-hash seed mixes them, one Lloyd round separates them
+    val d = emb((1L, e1, 0), (2L, Array(2f, 0f, 0f, 0f), 0),
+      (3L, Array(3f, 1f, 0f, 0f), 0), (4L, Array(4f, 0f, 0f, 0f), 0),
+      (5L, e2, 0), (6L, Array(0f, 2f, 0f, 0f), 0),
+      (7L, Array(1f, 3f, 0f, 0f), 0), (8L, Array(0f, 4f, 0f, 0f), 0))
+    val got = Similarity.kmeansTrain(d, "vec_id", "embedding",
+        k = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val xs = Set(1L, 2L, 3L, 4L).map(got)
+    val ys = Set(5L, 6L, 7L, 8L).map(got)
+    assert(xs.size == 1 && ys.size == 1 && xs != ys,
+      s"families must land in distinct clusters: $got")
+    // rounds = 1 is definitionally the ivfCentroids assignment
+    val viaIvf = {
+      val cents = Similarity.ivfCentroids(d, "vec_id", "embedding", 2)
+      d.select(col("vec_id"),
+        graft.functions.vectors.nearest_centroid(col("embedding"), cents)
+          .as("list_id"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    }
+    val oneRound = Similarity.kmeansTrain(d, "vec_id", "embedding",
+        k = 2, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(oneRound == viaIvf)
+  }
 }
