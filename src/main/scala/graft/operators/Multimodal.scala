@@ -84,13 +84,31 @@ object Multimodal {
     private val pngSig =
       Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
-    /** (width, height) if the payload is a PNG or JPEG container. */
+    private def le16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+        ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+    /** (width, height) if the payload is a PNG, JPEG, GIF, or BMP
+      * container. GIF dims come from the logical screen descriptor;
+      * BMP from BITMAPINFOHEADER (or any of its larger successors —
+      * the header-size field gates the layout), with the height
+      * absolute-valued (negative = top-down row order, same pixel
+      * grid). */
     def dims(bytes: Array[Byte]): Option[(Int, Int)] =
       if (bytes.length >= 24 && bytes.take(8).sameElements(pngSig) &&
           bytes(12) == 'I' && bytes(13) == 'H' && bytes(14) == 'D' && bytes(15) == 'R')
         Some((be32(bytes, 16), be32(bytes, 20)))
       else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
         jpegDims(bytes)
+      else if (bytes.length >= 10 && bytes(0) == 'G' && bytes(1) == 'I' &&
+          bytes(2) == 'F' && bytes(3) == '8' &&
+          (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a')
+        Some((le16(bytes, 6), le16(bytes, 8)))
+      else if (bytes.length >= 26 && bytes(0) == 'B' && bytes(1) == 'M' &&
+          le32(bytes, 14) >= 40)
+        Some((le32(bytes, 18), math.abs(le32(bytes, 22))))
       else None
 
     /** Walk JPEG marker segments to the first SOFn (baseline/progressive
@@ -176,6 +194,102 @@ object Multimodal {
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "jpg", bos)
       bos.toByteArray
+    }
+
+    /** Encode a REAL single-frame 8-bit grayscale GIF89a (256-entry
+      * global gray palette) using the classic "uncompressed GIF" LZW
+      * emission: every pixel as its literal 9-bit code with a CLEAR
+      * every 250 pixels, so the decoder's dictionary never forces the
+      * code width past 9 bits — a valid GIF any reader opens (the
+      * spec cross-checks pixels through the JDK decoder). Fixture-side
+      * helper; the engine direction is [[dims]]. */
+    def encodeGif(w: Int, h: Int, pix: (Int, Int) => Int): Array[Byte] = {
+      require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff,
+        s"gif dims out of u16 range: $w x $h")
+      val out = new java.io.ByteArrayOutputStream()
+      def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      out.write("GIF89a".getBytes("US-ASCII"))
+      le16(w); le16(h)
+      out.write(0xf7) // GCT present, 8-bit color resolution, 256 entries
+      out.write(0); out.write(0) // background index, aspect ratio
+      var i = 0
+      while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+      out.write(0x2c) // image descriptor
+      le16(0); le16(0); le16(w); le16(h)
+      out.write(0) // no local table, not interlaced
+      out.write(8) // LZW minimum code size
+      val codes = new java.io.ByteArrayOutputStream()
+      var acc = 0L
+      var nbits = 0
+      def emit(code: Int): Unit = {
+        acc |= code.toLong << nbits; nbits += 9
+        while (nbits >= 8) {
+          codes.write((acc & 0xff).toInt); acc >>= 8; nbits -= 8
+        }
+      }
+      val clear = 256
+      emit(clear)
+      var sinceClear = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          emit(pix(x, y) & 0xff)
+          sinceClear += 1
+          // the decoder adds (literals since clear) - 1 dictionary
+          // entries from 258 up; clearing at 250 keeps the next free
+          // code below 512, so 9-bit codes stay valid throughout
+          if (sinceClear == 250) { emit(clear); sinceClear = 0 }
+          x += 1
+        }
+        y += 1
+      }
+      emit(257) // end-of-information
+      if (nbits > 0) codes.write((acc & 0xff).toInt)
+      val cb = codes.toByteArray
+      var o = 0
+      while (o < cb.length) { // length-prefixed sub-blocks
+        val n = math.min(255, cb.length - o)
+        out.write(n); out.write(cb, o, n); o += n
+      }
+      out.write(0) // block terminator
+      out.write(0x3b) // trailer
+      out.toByteArray
+    }
+
+    /** Encode a REAL 24-bit uncompressed bottom-up BMP
+      * (BITMAPINFOHEADER, rows padded to 4 bytes) — valid everywhere,
+      * byte length exactly 54 + h * rowBytes. Fixture-side helper;
+      * the engine direction is [[dims]]. */
+    def encodeBmp(w: Int, h: Int, pix: (Int, Int) => Int): Array[Byte] = {
+      require(w > 0 && h > 0, s"bmp dims must be positive: $w x $h")
+      val rowBytes = (w * 3 + 3) & ~3
+      val size = 54 + rowBytes * h
+      val b = new Array[Byte](size)
+      def putLe16(i: Int, v: Int): Unit = {
+        b(i) = v.toByte; b(i + 1) = (v >> 8).toByte
+      }
+      def putLe32(i: Int, v: Int): Unit = {
+        b(i) = v.toByte; b(i + 1) = (v >> 8).toByte
+        b(i + 2) = (v >> 16).toByte; b(i + 3) = (v >> 24).toByte
+      }
+      b(0) = 'B'; b(1) = 'M'
+      putLe32(2, size); putLe32(10, 54)
+      putLe32(14, 40); putLe32(18, w); putLe32(22, h)
+      putLe16(26, 1); putLe16(28, 24) // planes, bits per pixel
+      putLe32(34, rowBytes * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val g = pix(x, y) & 0xff
+          val off = 54 + (h - 1 - y) * rowBytes + x * 3
+          b(off) = g.toByte; b(off + 1) = g.toByte; b(off + 2) = g.toByte
+          x += 1
+        }
+        y += 1
+      }
+      b
     }
   }
 

@@ -55,10 +55,11 @@ object MultimodalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_meta" -> ((s, d) => Multimodal.decodeMeta(mediaRealImages(s, d))),
-    // real-container dimension parse over BOTH formats: every doc
-    // becomes an actual encoded image (even ids -> stored-PNG, odd ->
-    // JDK-encoded baseline JPEG); the parsed width/height must equal
-    // the encode-time values the oracle recomputes from the id
+    // real-container dimension parse over all FOUR formats: every doc
+    // becomes an actual encoded image (id mod 4: stored-PNG, JDK
+    // baseline JPEG, uncompressed-LZW GIF89a, 24-bit BMP); the parsed
+    // width/height must equal the encode-time values the oracle
+    // recomputes from the id
     "mm_image_dims" -> ((s, d) => {
       val enc = org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.scalaLong,
@@ -71,9 +72,12 @@ object MultimodalQueries {
             val w = 8 + (id * 7 % 64).toInt
             val h = 8 + (id * 13 % 64).toInt
             def pix(x: Int, y: Int) = ((id * 31 + x * 7 + y * 13) % 251).toInt
-            val payload =
-              if (id % 2 == 0) Multimodal.ImageHeader.encodePngStored(w, h, pix)
-              else Multimodal.ImageHeader.encodeJpeg(w, h, pix)
+            val payload = (id % 4) match {
+              case 0 => Multimodal.ImageHeader.encodePngStored(w, h, pix)
+              case 1 => Multimodal.ImageHeader.encodeJpeg(w, h, pix)
+              case 2 => Multimodal.ImageHeader.encodeGif(w, h, pix)
+              case _ => Multimodal.ImageHeader.encodeBmp(w, h, pix)
+            }
             (id, "image", payload)
           }
         }(enc).toDF("media_id", "kind", "bytes")

@@ -265,4 +265,41 @@ class MultimodalSpec extends AnyFunSuite {
       (1L, 600L, 3000L, 2, 1280, 720, true),
       (2L, 1000L, 2500L, 1, 320, 240, false)))
   }
+
+  test("ImageHeader parses real GIF containers (JDK decoder agrees on pixels)") {
+    val gif = Multimodal.ImageHeader.encodeGif(37, 23,
+      (x, y) => (x * 7 + y * 13) % 251)
+    assert(Multimodal.ImageHeader.dims(gif).contains((37, 23)))
+    // cross-check with an INDEPENDENT reader: the JDK GIF decoder must
+    // open the uncompressed-LZW stream and agree on dims and pixels
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gif))
+    assert(img.getWidth == 37 && img.getHeight == 23)
+    for (x <- Seq(0, 5, 36); y <- Seq(0, 4, 22))
+      assert((img.getRGB(x, y) & 0xff) == (x * 7 + y * 13) % 251,
+        s"pixel ($x,$y)")
+    // a frame spanning several CLEAR resets (> 250 pixels per row)
+    val wide = Multimodal.ImageHeader.encodeGif(300, 3, (x, y) => (x + y) % 256)
+    val img2 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(wide))
+    assert(img2.getWidth == 300 && img2.getHeight == 3)
+    for (x <- Seq(0, 249, 250, 251, 299); y <- 0 until 3)
+      assert((img2.getRGB(x, y) & 0xff) == (x + y) % 256, s"pixel ($x,$y)")
+  }
+
+  test("ImageHeader parses real BMP containers (JDK decoder agrees on pixels)") {
+    val bmp = Multimodal.ImageHeader.encodeBmp(37, 23,
+      (x, y) => (x * 7 + y * 13) % 251)
+    assert(Multimodal.ImageHeader.dims(bmp).contains((37, 23)))
+    assert(bmp.length == 54 + 23 * ((37 * 3 + 3) & ~3))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bmp))
+    assert(img.getWidth == 37 && img.getHeight == 23)
+    for (x <- Seq(0, 5, 36); y <- Seq(0, 4, 22))
+      assert((img.getRGB(x, y) & 0xff) == (x * 7 + y * 13) % 251,
+        s"pixel ($x,$y)")
+    // top-down (negative height) BMPs parse with absolute height
+    val neg = bmp.clone()
+    val hNeg = -23
+    neg(22) = hNeg.toByte; neg(23) = (hNeg >> 8).toByte
+    neg(24) = (hNeg >> 16).toByte; neg(25) = (hNeg >> 24).toByte
+    assert(Multimodal.ImageHeader.dims(neg).contains((37, 23)))
+  }
 }
