@@ -77,6 +77,33 @@ object Streams {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Streaming referential-integrity monitor — the online form of
+    * [[graft.operators.TableProfile.integrityCheck]]: events whose
+    * foreign key has no row in the static dimension surface as
+    * windowed orphan counts (a stream-static LEFT-ANTI equi-join is
+    * stateless — no watermark-vs-static semantics issue, no state
+    * store — followed by a watermarked tumbling count, the
+    * append-ready aggregation). The standard "alert when a producer
+    * starts emitting unknown keys" pipeline guard; null keys are
+    * filtered out first, matching the batch op's SQL FK semantics. */
+  def fkOrphanCounts(stream: DataFrame, keyCol: String,
+      dim: DataFrame, dimKeyCol: String, width: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame = {
+    // the watermark is assigned BEFORE the anti-join: every event must
+    // advance event time, not just the orphans that survive the join —
+    // otherwise an orphan-free stream never closes a window
+    val keys = stream.select(col("ts"), col(keyCol).as("__k"))
+      .filter(col("__k").isNotNull)
+      .withWatermark("ts", watermark)
+    val parents = dim.select(col(dimKeyCol).as("__k")).distinct()
+    keys.join(parents, Seq("__k"), "left_anti")
+      .groupBy(window(col("ts"), width))
+      .agg(count(lit(1)).as("n_orphans"),
+        approx_count_distinct(col("__k")).as("approx_keys"))
+      .select(col("window.start").as("w_start"), col("n_orphans"),
+        col("approx_keys"))
+  }
+
   /** Stream-stream interval join: each left event matches right events
     * of the same key whose timestamp falls in [left.ts, left.ts +
     * horizon] — e.g. purchases attributed to the click they followed.

@@ -299,4 +299,32 @@ class StreamsSpec extends AnyFunSuite {
       assert(rows == Set((1L, 1000L), (2L, 3000L), (3L, 7000L)))
     } finally q.stop()
   }
+
+  test("streaming FK-orphan monitor counts unknown keys per window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(1L, 2L, 3L).toDF("pk")
+    val in = MemoryStream[(Timestamp, java.lang.Long)]
+    val df = in.toDF().toDF("ts", "fk")
+    val q = Streams.fkOrphanCounts(df, "fk", dim, "pk",
+        width = "10 minutes", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("fk_out")
+      .outputMode("append").start()
+    try {
+      // window [0,10): keys 1 (known), 9, 8 (orphans), null (ignored)
+      def box(v: Long): java.lang.Long = java.lang.Long.valueOf(v)
+      in.addData((ts(1), box(1L)), (ts(2), box(9L)), (ts(3), box(8L)),
+        (ts(4), null.asInstanceOf[java.lang.Long]))
+      q.processAllAvailable()
+      // close the first window: the new watermark becomes effective
+      // one batch after the event that advanced it
+      in.addData((ts(25), box(2L)))
+      q.processAllAvailable()
+      in.addData((ts(26), box(3L)))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM fk_out").collect()
+        .map(r => r.getTimestamp(0).getTime / 60000L -> r.getLong(1)).toMap
+      assert(rows == Map(0L -> 2L), rows.toString)
+    } finally q.stop()
+  }
 }
