@@ -146,6 +146,36 @@ object CorpusMix {
       .limit(k)
   }
 
+  /** Corpus snapshot diff — the incremental-rebuild accounting op:
+    * given two corpus snapshots keyed by id, classify every id as
+    * `added` (only in the new snapshot), `removed` (only in the old),
+    * `changed` (both, different content), or `unchanged`. This is
+    * what makes the deterministic curation recipes here
+    * ([[resampleBySource]]'s rerun-invariance, the id-hash sharding)
+    * pay off: a rebuild's diff is exactly the data that changed.
+    *
+    * Content comparison uses [[TextStats.fingerprint]]'s portable
+    * polynomial rolling hash (mod 1e9+7), so the full-outer join
+    * shuffles (id, 8-byte fingerprint) — never document payloads —
+    * and the oracle replays every hash exactly. The 2^-30-per-pair
+    * collision odds trade a byte-identical comparison for a
+    * payload-free shuffle; a deployment wanting certainty re-checks
+    * the `unchanged` class with a payload compare on the (tiny)
+    * changed-candidate complement, same shape. */
+  def snapshotDiff(prev: DataFrame, cur: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val pa = TextStats.fingerprint(prev, idCol, textCol)
+      .select(col(idCol), col("fingerprint").as("__fp_prev"))
+    val pb = TextStats.fingerprint(cur, idCol, textCol)
+      .select(col(idCol), col("fingerprint").as("__fp_cur"))
+    pa.join(pb, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__fp_prev").isNull, "added")
+          .when(col("__fp_cur").isNull, "removed")
+          .when(col("__fp_prev") =!= col("__fp_cur"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   /** Deterministic global training-order shuffle + shard assignment:
     * every document gets its exact position in the permutation induced
     * by the portable 62-bit id hash (hash asc, id tiebreak) and a

@@ -100,6 +100,20 @@ object DocQueries {
     // count): RNG-free portable-hash priorities, shuffle-free top-k
     "doc_priority_sample" -> ((s, d) =>
       CorpusMix.prioritySample(docs(s, d), "doc_id", "text", k = 25)),
+    // incremental-rebuild accounting: diff the corpus against a
+    // deterministically derived second snapshot (every 13th id
+    // removed, every 7th edited, every 11th re-added under a shifted
+    // id) — fingerprints shuffle, payloads never do
+    "doc_snapshot_diff" -> ((s, d) => {
+      val a = docs(s, d).select(col("doc_id"), col("text"))
+      val b = docs(s, d).filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs(s, d).filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      CorpusMix.snapshotDiff(a, b, "doc_id", "text")
+    }),
     "doc_quantiles" -> ((s, d) =>
       TextStats.lengthQuantiles(docs(s, d), "doc_id", "text")),
     "doc_shard_ranges" -> ((s, d) =>
@@ -534,6 +548,30 @@ object DocQueries {
          SELECT doc_id, dl AS n_tokens, score_micro, n_matched
          FROM s WHERE n_matched > 0
          ORDER BY score_micro DESC, doc_id ASC LIMIT 20"""
+    },
+    // snapshot-diff replication: same derived snapshot, same rolling
+    // fingerprints, same full-outer classification
+    "doc_snapshot_diff" -> {
+      def fp(src: String) =
+        s"""SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+           list_transform(list_filter(string_split(
+             regexp_replace($normSql, '[^a-z0-9 ]', '', 'g'), ''),
+             c -> c != ''), c -> ord(c)::BIGINT)),
+           (acc, c) -> (acc * 31 + c) % 1000000007) AS fp FROM $src"""
+      s"""WITH a AS (SELECT doc_id, text FROM documents),
+         b AS (SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END AS text
+           FROM documents WHERE doc_id % 13 != 0
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 11 = 0),
+         fa AS (${fp("a")}),
+         fb AS (${fp("b")})
+         SELECT COALESCE(fa.doc_id, fb.doc_id) AS doc_id,
+           CASE WHEN fa.fp IS NULL THEN 'added'
+                WHEN fb.fp IS NULL THEN 'removed'
+                WHEN fa.fp != fb.fp THEN 'changed'
+                ELSE 'unchanged' END AS status
+         FROM fa FULL OUTER JOIN fb ON fa.doc_id = fb.doc_id"""
     },
     // priority-sampling replication: identical hash-truncation key
     "doc_priority_sample" ->

@@ -214,4 +214,19 @@ class CorpusMixSpec extends AnyFunSuite {
       .sortBy(r => (-r._3, r._1)).take(10)
     assert(got.toSeq == expect, s"got ${got.toSeq} expect $expect")
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    val a = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val b = Seq((2L, "beta"), (3L, "gamma EDITED"), (4L, "delta")).toDF("doc_id", "text")
+    val got = CorpusMix.snapshotDiff(a, b, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"), got.toString)
+    // normalization-invariant: case/whitespace variants are unchanged
+    val b2 = Seq((1L, "  ALPHA  ")).toDF("doc_id", "text")
+    val a2 = Seq((1L, "alpha")).toDF("doc_id", "text")
+    val got2 = CorpusMix.snapshotDiff(a2, b2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got2 == Map(1L -> "unchanged"), got2.toString)
+  }
 }
