@@ -285,6 +285,30 @@ object Similarity {
     * result is hash-comparable; the codes column is the same expression
     * un-aggregated. One narrow projection — the shape that quantizes a
     * petabyte embedding store in a single map stage. */
+  /** Per-dimension embedding health profile — the "dead/degenerate
+    * dimension" QA check an embedding pipeline runs before trusting
+    * cosine geometry: for every vector position, the count and the
+    * exact integer sum / sum-of-squares / min / max of the 2^-20-grid
+    * quantized component ([[meanByList]]'s exactness recipe applied
+    * per dimension). A dimension with max = min is dead; one with a
+    * tiny sumsq is near-constant; a shifted sum flags un-centered
+    * output. All integers, so any engine replays the profile
+    * bit-for-bit (at ~10^12-vector scale the sumsq sum outgrows
+    * int64 — swap the two sums to decimal(38,0), same shape).
+    *
+    * Scale shape: posexplode → ONE partial-combined aggregation keyed
+    * by dimension index (reduced size = dims rows, corpus-independent). */
+  def dimStats(emb: DataFrame, vecCol: String): DataFrame = {
+    val q = floor(col("v").cast("double") * lit(1048576.0) + lit(0.5))
+      .cast("long")
+    emb.select(posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select(col("pos").cast("long").as("pos"), q.as("__q"))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("__q")).as("sum_q20"),
+        sum(col("__q") * col("__q")).as("sumsq_q20"),
+        min(col("__q")).as("min_q20"), max(col("__q")).as("max_q20"))
+  }
+
   def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val scale = aggregate(col(vecCol), lit(0.0d),
       (acc, v) => greatest(acc, abs(v.cast("double")))) / 127.0

@@ -55,20 +55,24 @@ object EmbeddingQueries {
     "emb_ivf_recall" -> ((s, d) =>
       Similarity.ivfRecall(emb(s, d), "vec_id", "embedding", queryVec(s, d),
         20, nLists = 16, nProbe = 4)),
-    // nearest-centroid assignment with k = 4 fixed centroids (the
-    // embeddings of vec_id 0..3 — deterministic, collectable by both
-    // engines); the k-means inner loop as an oracle-checkable operator
     // full Lloyd training loop: lehmer3 seed, 3 rounds of assign ->
     // exact-integer centroid update, final membership for every row —
     // the whole iteration oracle-replayed
     "emb_kmeans_train" -> ((s, d) =>
       Similarity.kmeansTrain(emb(s, d), "vec_id", "embedding",
         k = 8, rounds = 3)),
+    // nearest-centroid assignment with k = 4 fixed centroids (the
+    // embeddings of vec_id 0..3 — deterministic, collectable by both
+    // engines); the k-means inner loop as an oracle-checkable operator
     "emb_kmeans_assign" -> ((s, d) => {
       val cents = emb(s, d).filter("vec_id < 4").orderBy("vec_id")
         .select("embedding").collect().map(_.getSeq[Float](0).toArray)
       Similarity.centroidAssign(emb(s, d), "vec_id", "embedding", cents)
     }),
+    // per-dimension embedding health profile: exact integer
+    // sum/sumsq/min/max of the 2^-20-quantized component per position
+    "emb_dim_stats" -> ((s, d) =>
+      Similarity.dimStats(emb(s, d), "embedding")),
     "emb_quantize_int8" -> ((s, d) =>
       Similarity.quantizeInt8(emb(s, d), "vec_id", "embedding")),
     // retrieval over the quantized store: scales cancel in the cosine,
@@ -464,6 +468,14 @@ object EmbeddingQueries {
          SELECT s.vec_id, CAST(min(s.cid) AS BIGINT) AS cluster, b.best_sim
          FROM s JOIN b ON s.vec_id = b.vec_id AND s.sim = b.best_sim
          GROUP BY s.vec_id, b.best_sim""",
+    "emb_dim_stats" ->
+      s"""SELECT t.i AS pos, count(*)::BIGINT AS n_vecs,
+         sum(${PortableSql.q20("embedding[t.i + 1]")})::BIGINT AS sum_q20,
+         sum(${PortableSql.q20("embedding[t.i + 1]")} * ${PortableSql.q20("embedding[t.i + 1]")})::BIGINT AS sumsq_q20,
+         min(${PortableSql.q20("embedding[t.i + 1]")})::BIGINT AS min_q20,
+         max(${PortableSql.q20("embedding[t.i + 1]")})::BIGINT AS max_q20
+         FROM embeddings, LATERAL unnest(range(0, len(embedding))) AS t(i)
+         GROUP BY 1""",
     "emb_quantize_int8" ->
       s"""WITH q AS (
            SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims,

@@ -309,4 +309,18 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(oneRound == viaIvf)
   }
+
+  test("dimStats: exact per-dimension profile flags dead dimensions") {
+    val d = emb((1L, Array(1f, 0.5f, 0f, 0f), 0), (2L, Array(-1f, 0.5f, 0f, 0f), 0))
+    val got = Similarity.dimStats(d, "embedding")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    val m = 1048576L
+    assert(got(0L) == ((2L, 0L, 2L * m * m, -m, m)), got.toString)
+    assert(got(1L) == ((2L, m, (m / 2) * (m / 2) * 2, m / 2, m / 2)), got.toString)
+    // dims 2 and 3 are dead: max == min == 0
+    assert(got(2L) == ((2L, 0L, 0L, 0L, 0L)))
+    assert(got(3L) == ((2L, 0L, 0L, 0L, 0L)))
+  }
 }
