@@ -124,4 +124,69 @@ class PropertySpec extends AnyFunSuite {
       assert(got == want, s"trial $t corpus $texts")
     }
   }
+
+  test("bm25TopK ranking ≡ brute-force BigInt replica on random corpora") {
+    import graft.operators.TextStats
+    val word = Gen.oneOf("spark", "hash", "join", "pad", "the", "row")
+    val doc = Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, word))
+    for (trial <- 1L to 10L) {
+      val corpus = (1L to 12L).map(i =>
+        i -> sample(doc, trial * 100 + i)).toSeq
+      val terms = Seq("spark", "hash")
+      val got = TextStats.bm25TopK(
+          corpus.map { case (id, ws) => (id, ws.mkString(" ")) }
+            .toDF("doc_id", "text"), "doc_id", "text", terms, k = 12)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+      val n = corpus.size
+      val a = corpus.map(_._2.size).sum
+      def dfOf(t: String) = corpus.count(_._2.contains(t))
+      def score(ws: Seq[String]): BigInt = terms.map { t =>
+        val tf = ws.count(_ == t)
+        if (tf == 0) BigInt(0)
+        else {
+          val df = dfOf(t)
+          val idf = BigInt(1000000) * (2 * (n - df) + 1) / (2 * df + 1)
+          idf * 22 * a * tf / (BigInt(10) * a * tf + 3 * a + 9 * ws.size * n)
+        }
+      }.sum
+      val expect = corpus.map { case (id, ws) => (id, score(ws).toLong) }
+        .filter { case (id, _) =>
+          terms.exists(t => corpus.find(_._1 == id).get._2.contains(t)) }
+        .sortBy { case (id, sc) => (-sc, id) }
+      assert(got == expect, s"trial $trial: $got vs $expect")
+    }
+  }
+
+  test("prioritySample is invariant to row order and partitioning") {
+    import graft.operators.CorpusMix
+    val docs = (1L to 120L).map(i => (i, ("w " * (i % 17 + 1).toInt).trim))
+    val base = CorpusMix.prioritySample(
+        docs.toDF("doc_id", "text"), "doc_id", "text", k = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val shuffled = CorpusMix.prioritySample(
+        scala.util.Random.javaRandomToRandom(new java.util.Random(7))
+          .shuffle(docs).toDF("doc_id", "text").repartition(7),
+        "doc_id", "text", k = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(base == shuffled)
+  }
+
+  test("snapshotDiff partitions ids and is direction-symmetric") {
+    import graft.operators.CorpusMix
+    val a = (1L to 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val b = (21L to 60L).map(i =>
+      (i, if (i % 5 == 0) s"doc $i EDITED" else s"doc $i")).toDF("doc_id", "text")
+    val fwd = CorpusMix.snapshotDiff(a, b, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every id in exactly one class, and the classes are the set algebra
+    assert(fwd.keySet == (1L to 60L).toSet)
+    assert(fwd.count(_._2 == "removed") == 20)
+    assert(fwd.count(_._2 == "added") == 20)
+    assert(fwd.count(_._2 == "changed") == (21L to 40L).count(_ % 5 == 0))
+    // reversing the snapshots swaps added <-> removed, keeps the rest
+    val rev = CorpusMix.snapshotDiff(b, a, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rev == fwd.map { case (k, v) => k -> (v match {
+      case "added" => "removed"; case "removed" => "added"; case x => x }) })
+  }
 }
