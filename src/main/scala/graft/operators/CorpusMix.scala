@@ -146,6 +146,39 @@ object CorpusMix {
       .limit(k)
   }
 
+  /** Per-stratum weighted sample: [[prioritySample]]'s
+    * Duffield–Lund–Thorup priorities ranked WITHIN each stratum
+    * (source, language, …) — "k longest-biased docs per source", the
+    * stratified form of the weighted draw, same RNG-free portable-hash
+    * key, so the sample is a pure function of (id, weight, stratum).
+    *
+    * Scale shape: one narrow scan computes the key, then a window
+    * partitioned by stratum ranks it — per-stratum populations are
+    * the window's task granularity, fine for the bounded stratum
+    * domains this targets (sources, languages). A giant-stratum
+    * deployment lifts [[stratifiedSampleExact]]'s threshold-prefix
+    * trick: a per-stratum KEY cutoff is a prefix of this exact rank
+    * order too, so the same candidates-then-exact-window staging
+    * applies unchanged (the uniform-hash threshold estimate just
+    * becomes a quantile estimate of the priority key). */
+  def prioritySampleByStratum(df: DataFrame, idCol: String,
+      stratumCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = greatest(
+      size(split(TextStats.norm(col(textCol)), " ")).cast("long"), lit(1L))
+    val h20 = shiftright(graft.functions.hashes.hash62(col(idCol).cast("long")),
+      42)
+    val win = Window.partitionBy(col(stratumCol))
+      .orderBy(col("priority_key").desc, col(idCol).asc)
+    df.select(col(idCol), col(stratumCol), w.as("weight"), h20.as("__h20"))
+      .select(col(idCol), col(stratumCol), col("weight"),
+        expr("(weight * 1048576) div (__h20 + 1)").as("priority_key"))
+      .withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col(stratumCol), col("weight"),
+        col("priority_key"), col("rk").cast("long").as("rk"))
+  }
+
   /** Corpus snapshot diff — the incremental-rebuild accounting op:
     * given two corpus snapshots keyed by id, classify every id as
     * `added` (only in the new snapshot), `removed` (only in the old),

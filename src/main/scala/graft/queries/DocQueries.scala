@@ -100,6 +100,10 @@ object DocQueries {
     // count): RNG-free portable-hash priorities, shuffle-free top-k
     "doc_priority_sample" -> ((s, d) =>
       CorpusMix.prioritySample(docs(s, d), "doc_id", "text", k = 25)),
+    // stratified weighted draw: top-5 priority-sampled docs per source
+    "doc_priority_by_source" -> ((s, d) =>
+      CorpusMix.prioritySampleByStratum(docs(s, d), "doc_id", "source",
+        "text", k = 5)),
     // incremental-rebuild accounting: diff the corpus against a
     // deterministically derived second snapshot (every 13th id
     // removed, every 7th edited, every 11th re-added under a shifted
@@ -573,6 +577,20 @@ object DocQueries {
                 ELSE 'unchanged' END AS status
          FROM fa FULL OUTER JOIN fb ON fa.doc_id = fb.doc_id"""
     },
+    // stratified priority-sampling replication: same key, same
+    // per-source rank
+    "doc_priority_by_source" ->
+      s"""WITH w AS (SELECT doc_id, source,
+           greatest(len(string_split($normSql, ' '))::BIGINT, 1) AS weight
+           FROM documents),
+         p AS (SELECT doc_id, source, weight,
+           (weight * 1048576) // ((${PortableSql.hash62("doc_id")} >> 42) + 1)
+             AS priority_key
+           FROM w),
+         r AS (SELECT *, row_number() OVER (PARTITION BY source
+             ORDER BY priority_key DESC, doc_id ASC) AS rk FROM p)
+         SELECT doc_id, source, weight, priority_key, rk::BIGINT AS rk
+         FROM r WHERE rk <= 5""",
     // priority-sampling replication: identical hash-truncation key
     "doc_priority_sample" ->
       s"""WITH w AS (SELECT doc_id,

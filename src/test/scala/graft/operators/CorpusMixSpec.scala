@@ -229,4 +229,25 @@ class CorpusMixSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got2 == Map(1L -> "unchanged"), got2.toString)
   }
+
+  test("prioritySampleByStratum ranks the same keys within each stratum") {
+    import graft.functions.HashKernels
+    val docs = (1L to 40L).map(i =>
+      (i, if (i % 2 == 0) "even" else "odd", ("w " * (i % 9 + 1).toInt).trim))
+      .toDF("doc_id", "source", "text")
+    val got = CorpusMix.prioritySampleByStratum(docs, "doc_id", "source",
+        "text", k = 3)
+      .collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(3), r.getLong(4)))
+    def h62(x: Long): Long =
+      HashKernels.lehmer3(x) * 2147483648L + HashKernels.lehmer3(x + 700001L)
+    def key(id: Long): Long = ((id % 9 + 1) * 1048576L) / ((h62(id) >> 42) + 1L)
+    val expect = (1L to 40L).map(i => (if (i % 2 == 0) "even" else "odd", i, key(i)))
+      .groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(3).zipWithIndex
+          .map { case ((s2, id, k2), rk) => (s2, id, k2, rk + 1L) }
+      }.sortBy(r => (r._1, r._4))
+    assert(got.sortBy(r => (r._1, r._4)).toSeq == expect,
+      s"got ${got.toSeq} expect $expect")
+  }
 }
