@@ -916,30 +916,28 @@ final class BlockedCloud(
     * hash agrees with SQL equality on signed zeros. */
   def radiusOutlierRemoval(radius: Double, minNeighbors: Long): DataFrame = {
     require(radius > 0 && minNeighbors >= 1)
-    def idOf(df: DataFrame): Column =
-      xxhash64(col("x") + lit(0.0), col("y") + lit(0.0), col("z") + lit(0.0))
     val pts = explodePoints(blocks)
-    // the representative is a single struct-max, not per-axis maxes:
-    // if the negligible-probability hash collision DOES merge two
-    // identities, a lexicographic max of (x, y, z) is still one of the
-    // group's real coordinate triples, where independent per-axis
-    // maxes would fabricate a chimera point that exists nowhere
-    val ids = pts.withColumn("__id", idOf(pts))
-      .groupBy(col("__id"))
-      .agg(max(struct(col("x"), col("y"), col("z"))).as("__p"),
-        count(lit(1)).as("__m"))
-      .select(col("__id"), col("__p.x").as("x"), col("__p.y").as("y"),
-        col("__p.z").as("z"), col("__m"))
+    // identity IS the coordinate triple: grouping by (x, y, z)
+    // directly replaces the earlier xxhash64 rekeying — no hash, so
+    // no collision semantics at all (the collided-representative
+    // question dissolves), the key matches the oracle's GROUP BY
+    // 1,2,3 verbatim, and the aggregation stays a plain partial-
+    // combined HashAggregate where the struct-max representative
+    // forced SortAggregate (PLANS.md); the exchange carries
+    // (24-byte key, count) vs the hash form's (8-byte id + 24-byte
+    // representative, count) — strictly narrower
+    val ids = pts.groupBy(col("x"), col("y"), col("z"))
+      .agg(count(lit(1)).as("__m"))
     def cellOf(c: Column) = floor(c / radius).cast(LongType)
     val q = ids.select(col("x").as("__qx"), col("y").as("__qy"),
       col("z").as("__qz"), col("__m"),
       cellOf(col("x")).as("__cx"), cellOf(col("y")).as("__cy"))
     val offsets = array((for (dx <- -1 to 1; dy <- -1 to 1) yield
       struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
-    val probe = ids.select(col("__id"), col("x"), col("y"), col("z"),
+    val probe = ids.select(col("x"), col("y"), col("z"),
         cellOf(col("x")).as("__px"), cellOf(col("y")).as("__py"),
         explode(offsets).as("o"))
-      .select(col("__id"), col("x"), col("y"), col("z"),
+      .select(col("x"), col("y"), col("z"),
         (col("__px") + col("o.dx")).as("__cx"),
         (col("__py") + col("o.dy")).as("__cy"))
     val d2 = (col("__qx") - col("x")) * (col("__qx") - col("x")) +
@@ -953,14 +951,14 @@ final class BlockedCloud(
     // shuffle every point against a kept-set as big as the cloud.
     val dropped = probe.join(q, Seq("__cx", "__cy"))
       .filter(d2 <= lit(radius * radius))
-      .groupBy(col("__id"))
+      .groupBy(col("x"), col("y"), col("z"))
       .agg(sum(col("__m")).as("__cnt"))
       .filter(col("__cnt") < minNeighbors)
-      .select(col("__id"))
+      .select(col("x"), col("y"), col("z"))
     // EXPLICIT broadcast, not AQE-adaptive: depending on which side
     // AQE builds the cell join on, the count aggregation can inherit
-    // hash(__id) partitioning and reach the anti join with no shuffle
-    // stage of its own — no runtime-stats point, no broadcast
+    // the identity-key partitioning and reach the anti join with no
+    // shuffle stage of its own — no runtime-stats point, no broadcast
     // conversion, and the anti join nondeterministically degrades to
     // a SortMergeJoin that re-shuffles the entire point multiset
     // (observed scheduling-dependent at local[4]; a repartition() on
@@ -971,8 +969,7 @@ final class BlockedCloud(
     // documented cost model; parameters so loose that "outliers"
     // exceed the broadcast limit fail loudly rather than silently
     // shuffling the cloud.
-    pts.withColumn("__id", idOf(pts))
-      .join(broadcast(dropped), Seq("__id"), "left_anti")
+    pts.join(broadcast(dropped), Seq("x", "y", "z"), "left_anti")
       .drop("__id")
   }
 
