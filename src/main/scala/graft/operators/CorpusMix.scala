@@ -108,6 +108,23 @@ object CorpusMix {
       .select(col(idCol), col("__s").as(srcCol), col("rk").cast("long").as("rk"))
   }
 
+  /** Shared DLT priority projection: (extraCols..., id, weight,
+    * priority_key) — THE key contract both priority samplers rank by
+    * (a change here must stay in lockstep with the DuckDB oracle
+    * renderings). */
+  private def priorityKeyed(df: DataFrame, idCol: String, textCol: String,
+      extraCols: Seq[String]): DataFrame = {
+    val w = greatest(
+      size(split(TextStats.norm(col(textCol)), " ")).cast("long"), lit(1L))
+    val h20 = shiftright(graft.functions.hashes.hash62(col(idCol).cast("long")),
+      42)
+    df.select(extraCols.map(col) ++
+        Seq(col(idCol), w.as("weight"), h20.as("__h20")): _*)
+      .select(extraCols.map(col) ++
+        Seq(col(idCol), col("weight"),
+          expr("(weight * 1048576) div (__h20 + 1)").as("priority_key")): _*)
+  }
+
   /** Deterministic weighted sample WITHOUT replacement — priority
     * sampling (Duffield, Lund & Thorup 2004-07): each item draws a
     * priority q = w/u with u uniform in (0,1], and the k highest
@@ -135,13 +152,7 @@ object CorpusMix {
   def prioritySample(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val w = greatest(
-      size(split(TextStats.norm(col(textCol)), " ")).cast("long"), lit(1L))
-    val h20 = shiftright(graft.functions.hashes.hash62(col(idCol).cast("long")),
-      42)
-    df.select(col(idCol), w.as("weight"), h20.as("__h20"))
-      .select(col(idCol), col("weight"),
-        expr("(weight * 1048576) div (__h20 + 1)").as("priority_key"))
+    priorityKeyed(df, idCol, textCol, Seq.empty)
       .orderBy(col("priority_key").desc, col(idCol))
       .limit(k)
   }
@@ -164,20 +175,15 @@ object CorpusMix {
   def prioritySampleByStratum(df: DataFrame, idCol: String,
       stratumCol: String, textCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val w = greatest(
-      size(split(TextStats.norm(col(textCol)), " ")).cast("long"), lit(1L))
-    val h20 = shiftright(graft.functions.hashes.hash62(col(idCol).cast("long")),
-      42)
     val win = Window.partitionBy(col(stratumCol))
       .orderBy(col("priority_key").desc, col(idCol).asc)
-    df.select(col(idCol), col(stratumCol), w.as("weight"), h20.as("__h20"))
-      .select(col(idCol), col(stratumCol), col("weight"),
-        expr("(weight * 1048576) div (__h20 + 1)").as("priority_key"))
+    priorityKeyed(df, idCol, textCol, Seq(stratumCol))
       .withColumn("rk", row_number().over(win))
       .filter(col("rk") <= k)
       .select(col(idCol), col(stratumCol), col("weight"),
         col("priority_key"), col("rk").cast("long").as("rk"))
   }
+
 
   /** Corpus snapshot diff — the incremental-rebuild accounting op:
     * given two corpus snapshots keyed by id, classify every id as
@@ -197,15 +203,22 @@ object CorpusMix {
     * changed-candidate complement, same shape. */
   def snapshotDiff(prev: DataFrame, cur: DataFrame, idCol: String,
       textCol: String): DataFrame = {
+    // presence is carried by explicit flags, NOT by fingerprint
+    // nullity: a NULL-text document has a NULL fingerprint, and
+    // inferring membership from the fingerprint would misclassify it
+    // as added/removed; the content compare is null-safe for the same
+    // reason (NULL text in both snapshots is unchanged)
     val pa = TextStats.fingerprint(prev, idCol, textCol)
-      .select(col(idCol), col("fingerprint").as("__fp_prev"))
+      .select(col(idCol), col("fingerprint").as("__fp_prev"),
+        lit(true).as("__in_prev"))
     val pb = TextStats.fingerprint(cur, idCol, textCol)
-      .select(col(idCol), col("fingerprint").as("__fp_cur"))
+      .select(col(idCol), col("fingerprint").as("__fp_cur"),
+        lit(true).as("__in_cur"))
     pa.join(pb, Seq(idCol), "full_outer")
       .select(col(idCol),
-        when(col("__fp_prev").isNull, "added")
-          .when(col("__fp_cur").isNull, "removed")
-          .when(col("__fp_prev") =!= col("__fp_cur"), "changed")
+        when(col("__in_prev").isNull, "added")
+          .when(col("__in_cur").isNull, "removed")
+          .when(!(col("__fp_prev") <=> col("__fp_cur")), "changed")
           .otherwise("unchanged").as("status"))
   }
 

@@ -236,11 +236,16 @@ object Events {
     * (summed milli-value), each quartile-binned 0..3 across the user
     * population, composed into a 3-digit segment code (r*100+f*10+m,
     * "333" = best). Binning compares each user's metric strictly
-    * above the 25/50/75% interpolated thresholds — `bin = Σ (metric >
-    * q_i)` — so the bin is a single arithmetic expression, not a CASE
-    * ladder, and ties at a threshold land identically on any engine
-    * (same integer metric, same IEEE threshold; the interpolation
-    * parity is the [[TextStats.lengthQuantiles]] precedent).
+    * above the 25/50/75% interpolated thresholds —
+    * `bin = Σ (metric*1000 > round(q_i*1000))` — a single arithmetic
+    * expression, not a CASE ladder. The thresholds are MILLI-ROUNDED
+    * to integers before the compare (the
+    * [[TextStats.lengthQuantiles]] recipe, applied for the reason it
+    * exists there): engines interpolate quantiles with different
+    * expression trees, so the raw doubles can differ in the last ulp,
+    * and an integer metric sitting exactly on a threshold would bin
+    * differently per engine; against the rounded-integer threshold
+    * the compare is exact.
     *
     * Scale shape: one partial-combined per-user aggregation, one
     * REDUCED percentile row over the user frame (percentile state per
@@ -258,7 +263,9 @@ object Events {
       expr("percentile(monetary_milli, array(0.25D, 0.5D, 0.75D))").as("__m"))
     def bin(metric: String, t: String): Column =
       (1 to 3).map(i =>
-        (col(metric) > element_at(col(t), i)).cast("long")).reduce(_ + _)
+        (col(metric) * 1000 >
+          round(element_at(col(t), i) * 1000).cast("long")).cast("long"))
+        .reduce(_ + _)
     per.crossJoin(broadcast(th))
       .select(col(userCol), col("last_us"), col("frequency"),
         col("monetary_milli"),

@@ -902,18 +902,19 @@ final class BlockedCloud(
     * neighborhood (a 9x explode of the DISTINCT identities, never the
     * point multiset), the join is an EQUI-join on cell keys, and the
     * exact squared-distance test runs on candidates only (local
-    * density x 9, never n²). The kept-identity set then left-semi
-    * filters the exploded points.
+    * density x 9, never n²). The dropped-identity set (outlier-sized
+    * by contract) then broadcast-anti filters the exploded points.
     *
-    * Every identity-keyed shuffle (the multiplicity groupBy, the
-    * neighbor-count groupBy, the final semi-join) runs on a compact
-    * 64-bit xxhash64 of the coordinates rather than the (x, y, z)
-    * double triple — a third of the key bytes and a long-key hash agg.
-    * A hash collision would merge two identities' neighbor counts;
-    * at 2^64 key space that is ~n²/2^65, i.e. < 3e-8 at a billion
-    * distinct points — negligible against the operator's own
-    * raster-approximation semantics. `+ 0.0` normalizes -0.0 so the
-    * hash agrees with SQL equality on signed zeros. */
+    * Identity is the (x, y, z) triple itself — every identity-keyed
+    * stage (the multiplicity groupBy, the neighbor-count groupBy, the
+    * final anti-join) groups or joins on the raw double triple, which
+    * matches the oracle's GROUP BY verbatim, carries no hash-collision
+    * semantics, and keeps every aggregation a partial-combined
+    * HashAggregate (an earlier xxhash64 rekeying needed a
+    * representative aggregation whose struct-max planned as
+    * SortAggregate — measured slower, PLANS.md). Spark normalizes
+    * -0.0 in group/join keys, so signed zeros agree with SQL
+    * equality. */
   def radiusOutlierRemoval(radius: Double, minNeighbors: Long): DataFrame = {
     require(radius > 0 && minNeighbors >= 1)
     val pts = explodePoints(blocks)
@@ -970,7 +971,6 @@ final class BlockedCloud(
     // exceed the broadcast limit fail loudly rather than silently
     // shuffling the cloud.
     pts.join(broadcast(dropped), Seq("x", "y", "z"), "left_anti")
-      .drop("__id")
   }
 
   /** Height above ground per point: ground elevation = the minimum z of

@@ -277,14 +277,6 @@ object Similarity {
         best.as("best_sim"))
   }
 
-  /** Scalar int8 quantization: per-vector scale = max|v| / 127, each
-    * component q = floor(v/scale + 0.5) clamped to [-127, 127] (explicit
-    * half-up — no engine-specific round() tie semantics). Emits compact
-    * per-vector evidence (dims, scale, integer sum + position-weighted
-    * checksum of the codes) rather than the code array itself, so the
-    * result is hash-comparable; the codes column is the same expression
-    * un-aggregated. One narrow projection — the shape that quantizes a
-    * petabyte embedding store in a single map stage. */
   /** Per-dimension embedding health profile — the "dead/degenerate
     * dimension" QA check an embedding pipeline runs before trusting
     * cosine geometry: for every vector position, the count and the
@@ -309,6 +301,14 @@ object Similarity {
         min(col("__q")).as("min_q20"), max(col("__q")).as("max_q20"))
   }
 
+  /** Scalar int8 quantization: per-vector scale = max|v| / 127, each
+    * component q = floor(v/scale + 0.5) clamped to [-127, 127] (explicit
+    * half-up — no engine-specific round() tie semantics). Emits compact
+    * per-vector evidence (dims, scale, integer sum + position-weighted
+    * checksum of the codes) rather than the code array itself, so the
+    * result is hash-comparable; the codes column is the same expression
+    * un-aggregated. One narrow projection — the shape that quantizes a
+    * petabyte embedding store in a single map stage. */
   def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val scale = aggregate(col(vecCol), lit(0.0d),
       (acc, v) => greatest(acc, abs(v.cast("double")))) / 127.0

@@ -571,9 +571,9 @@ object DocQueries {
          fa AS (${fp("a")}),
          fb AS (${fp("b")})
          SELECT COALESCE(fa.doc_id, fb.doc_id) AS doc_id,
-           CASE WHEN fa.fp IS NULL THEN 'added'
-                WHEN fb.fp IS NULL THEN 'removed'
-                WHEN fa.fp != fb.fp THEN 'changed'
+           CASE WHEN fa.doc_id IS NULL THEN 'added'
+                WHEN fb.doc_id IS NULL THEN 'removed'
+                WHEN fa.fp IS DISTINCT FROM fb.fp THEN 'changed'
                 ELSE 'unchanged' END AS status
          FROM fa FULL OUTER JOIN fb ON fa.doc_id = fb.doc_id"""
     },

@@ -678,10 +678,15 @@ object EventQueries {
            quantile_cont(monetary_milli, 0.5) AS m2,
            quantile_cont(monetary_milli, 0.75) AS m3 FROM per),
          b AS (SELECT user_id, last_us, frequency, monetary_milli,
-           ((last_us > r1)::INT + (last_us > r2)::INT + (last_us > r3)::INT)::BIGINT AS r_bin,
-           ((frequency > f1)::INT + (frequency > f2)::INT + (frequency > f3)::INT)::BIGINT AS f_bin,
-           ((monetary_milli > m1)::INT + (monetary_milli > m2)::INT
-             + (monetary_milli > m3)::INT)::BIGINT AS m_bin
+           ((last_us * 1000 > CAST(round(r1 * 1000, 0) AS BIGINT))::INT
+             + (last_us * 1000 > CAST(round(r2 * 1000, 0) AS BIGINT))::INT
+             + (last_us * 1000 > CAST(round(r3 * 1000, 0) AS BIGINT))::INT)::BIGINT AS r_bin,
+           ((frequency * 1000 > CAST(round(f1 * 1000, 0) AS BIGINT))::INT
+             + (frequency * 1000 > CAST(round(f2 * 1000, 0) AS BIGINT))::INT
+             + (frequency * 1000 > CAST(round(f3 * 1000, 0) AS BIGINT))::INT)::BIGINT AS f_bin,
+           ((monetary_milli * 1000 > CAST(round(m1 * 1000, 0) AS BIGINT))::INT
+             + (monetary_milli * 1000 > CAST(round(m2 * 1000, 0) AS BIGINT))::INT
+             + (monetary_milli * 1000 > CAST(round(m3 * 1000, 0) AS BIGINT))::INT)::BIGINT AS m_bin
            FROM per, th)
          SELECT user_id, last_us, frequency, monetary_milli, r_bin, f_bin, m_bin,
            (r_bin * 100 + f_bin * 10 + m_bin) AS segment

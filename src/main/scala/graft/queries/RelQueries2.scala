@@ -101,8 +101,10 @@ object RelQueries2 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ANALYZE-style catalog statistics: per-column rows/nulls/exact
-    // NDV/min/max over lineitem's key and code columns in ONE
-    // Expand-planned aggregate pass (see TableProfile.tableStats)
+    // NDV/min/max over lineitem's key and code columns — one
+    // independent single-distinct aggregation per column, unioned
+    // (the Expand-planned single-agg form measured 8x slower; see
+    // TableProfile.tableStats)
     "rel_table_stats" -> ((s, d) =>
       graft.operators.TableProfile.tableStats(
         graft.Tables.table(s, d, "lineitem"),

@@ -250,4 +250,19 @@ class CorpusMixSpec extends AnyFunSuite {
     assert(got.sortBy(r => (r._1, r._4)).toSeq == expect,
       s"got ${got.toSeq} expect $expect")
   }
+
+  test("snapshotDiff: NULL-text documents classify by presence, not by " +
+      "fingerprint nullity") {
+    val a = Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]),
+      (3L, "real")).toDF("doc_id", "text")
+    val b = Seq((2L, null.asInstanceOf[String]), (3L, null.asInstanceOf[String]),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = CorpusMix.snapshotDiff(a, b, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 1: null-text present only in prev -> removed (NOT 'added');
+    // 2: null in both -> unchanged; 3: real -> null -> changed;
+    // 4: null-text only in cur -> added
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"), got.toString)
+  }
 }
