@@ -276,6 +276,32 @@ object Events {
         col("r_bin") * 100 + col("f_bin") * 10 + col("m_bin"))
   }
 
+  /** RFM segment migration — user-value churn: score [[rfmSegments]]
+    * independently on the events before and at/after `splitUs` (each
+    * period against its OWN population quartiles, the standard
+    * re-scored-per-period semantics), then count users per
+    * (segment_before, segment_after) cell. Users absent from a period
+    * carry segment -1 — the new-user column and the churned-user row
+    * of the classic migration matrix.
+    *
+    * Scale shape: two [[rfmSegments]] passes (each one user-keyed
+    * partial-combined agg + a reduced broadcast percentile row), one
+    * user-keyed full-outer join, and a final matrix aggregation whose
+    * reduced size is ≤ 65x65 cells regardless of user count. */
+  def rfmMigration(df: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, splitUs: Long): DataFrame = {
+    val before = rfmSegments(
+        df.filter(unix_micros(col(tsCol)) < splitUs), userCol, tsCol, valueCol)
+      .select(col(userCol), col("segment").as("__sb"))
+    val after = rfmSegments(
+        df.filter(unix_micros(col(tsCol)) >= splitUs), userCol, tsCol, valueCol)
+      .select(col(userCol), col("segment").as("__sa"))
+    before.join(after, Seq(userCol), "full_outer")
+      .groupBy(coalesce(col("__sb"), lit(-1L)).as("segment_before"),
+        coalesce(col("__sa"), lit(-1L)).as("segment_after"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Per-type breakdown: counts, value, time span. */
   def typeBreakdown(df: DataFrame, typeCol: String, tsCol: String,
       valueCol: String): DataFrame =

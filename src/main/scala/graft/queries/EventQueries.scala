@@ -256,9 +256,40 @@ object EventQueries {
     // RFM user-value segmentation: per-user recency/frequency/monetary
     // quartile bins composed into a 3-digit segment code
     "ev_rfm_segments" -> ((s, d) =>
-      Events.rfmSegments(ev(s, d), "user_id", "ts", "value")))
+      Events.rfmSegments(ev(s, d), "user_id", "ts", "value")),
+    // segment migration matrix: RFM re-scored per half-month, users
+    // counted per (before, after) cell; -1 = absent (new / churned)
+    "ev_rfm_migration" -> ((s, d) =>
+      Events.rfmMigration(ev(s, d), "user_id", "ts", "value",
+        splitUs = 1705363200000000L)))
 
   private val vMilli = "CAST(round(value * 1000, 0) AS BIGINT)"
+
+  /** Builder for the RFM oracle CTE chain (per/th/b, suffixed) —
+    * shared by the segments and migration oracles so the bin
+    * arithmetic is rendered once. `where` is a full WHERE clause or
+    * empty. */
+  private def rfmOracleCtes(sfx: String, where: String): String = {
+    def bins(m: String, t: String) = (1 to 3).map(i =>
+      s"($m * 1000 > CAST(round($t$i * 1000, 0) AS BIGINT))::INT")
+      .mkString("\n             + ")
+    s"""per$sfx AS (SELECT user_id, max(epoch_us(ts)) AS last_us,
+           count(*)::BIGINT AS frequency, sum($vMilli)::BIGINT AS monetary_milli
+           FROM events $where GROUP BY 1),
+         th$sfx AS (SELECT
+           quantile_cont(last_us, 0.25) AS r1, quantile_cont(last_us, 0.5) AS r2,
+           quantile_cont(last_us, 0.75) AS r3,
+           quantile_cont(frequency, 0.25) AS f1, quantile_cont(frequency, 0.5) AS f2,
+           quantile_cont(frequency, 0.75) AS f3,
+           quantile_cont(monetary_milli, 0.25) AS m1,
+           quantile_cont(monetary_milli, 0.5) AS m2,
+           quantile_cont(monetary_milli, 0.75) AS m3 FROM per$sfx),
+         b$sfx AS (SELECT user_id, last_us, frequency, monetary_milli,
+           (${bins("last_us", "r")})::BIGINT AS r_bin,
+           (${bins("frequency", "f")})::BIGINT AS f_bin,
+           (${bins("monetary_milli", "m")})::BIGINT AS m_bin
+           FROM per$sfx, th$sfx)"""
+  }
 
   val oracleSql: Map[String, String] = Map(
     "ev_sessionize" ->
@@ -664,31 +695,26 @@ object EventQueries {
          SELECT event_id, user_id, event_type, ts_us
          FROM o WHERE prev IS NULL OR ts_us - prev > 60000000""",
     // RFM replication: same per-user aggregates, interpolated quartile
-    // thresholds, and the same strict-greater bin sums
+    // thresholds milli-rounded before the strict-greater bin sums;
+    // the CTE chain is builder-generated so the segments and the
+    // migration matrix share one rendering
     "ev_rfm_segments" ->
-      s"""WITH per AS (SELECT user_id, max(epoch_us(ts)) AS last_us,
-           count(*)::BIGINT AS frequency, sum($vMilli)::BIGINT AS monetary_milli
-           FROM events GROUP BY 1),
-         th AS (SELECT
-           quantile_cont(last_us, 0.25) AS r1, quantile_cont(last_us, 0.5) AS r2,
-           quantile_cont(last_us, 0.75) AS r3,
-           quantile_cont(frequency, 0.25) AS f1, quantile_cont(frequency, 0.5) AS f2,
-           quantile_cont(frequency, 0.75) AS f3,
-           quantile_cont(monetary_milli, 0.25) AS m1,
-           quantile_cont(monetary_milli, 0.5) AS m2,
-           quantile_cont(monetary_milli, 0.75) AS m3 FROM per),
-         b AS (SELECT user_id, last_us, frequency, monetary_milli,
-           ((last_us * 1000 > CAST(round(r1 * 1000, 0) AS BIGINT))::INT
-             + (last_us * 1000 > CAST(round(r2 * 1000, 0) AS BIGINT))::INT
-             + (last_us * 1000 > CAST(round(r3 * 1000, 0) AS BIGINT))::INT)::BIGINT AS r_bin,
-           ((frequency * 1000 > CAST(round(f1 * 1000, 0) AS BIGINT))::INT
-             + (frequency * 1000 > CAST(round(f2 * 1000, 0) AS BIGINT))::INT
-             + (frequency * 1000 > CAST(round(f3 * 1000, 0) AS BIGINT))::INT)::BIGINT AS f_bin,
-           ((monetary_milli * 1000 > CAST(round(m1 * 1000, 0) AS BIGINT))::INT
-             + (monetary_milli * 1000 > CAST(round(m2 * 1000, 0) AS BIGINT))::INT
-             + (monetary_milli * 1000 > CAST(round(m3 * 1000, 0) AS BIGINT))::INT)::BIGINT AS m_bin
-           FROM per, th)
-         SELECT user_id, last_us, frequency, monetary_milli, r_bin, f_bin, m_bin,
+      s"""WITH ${rfmOracleCtes("", "")}
+         SELECT user_id, last_us, frequency, monetary_milli,
+           r_bin, f_bin, m_bin,
            (r_bin * 100 + f_bin * 10 + m_bin) AS segment
-         FROM b""")
+         FROM b""",
+    // migration replication: two independent period scorings, a
+    // user-keyed full outer join, the <= 65x65 matrix count
+    "ev_rfm_migration" ->
+      s"""WITH ${rfmOracleCtes("_a", "WHERE epoch_us(ts) < 1705363200000000")},
+         ${rfmOracleCtes("_b", "WHERE epoch_us(ts) >= 1705363200000000")}
+         SELECT COALESCE(x.seg, -1)::BIGINT AS segment_before,
+           COALESCE(y.seg, -1)::BIGINT AS segment_after,
+           count(*)::BIGINT AS n_users
+         FROM (SELECT user_id, r_bin * 100 + f_bin * 10 + m_bin AS seg
+               FROM b_a) x
+         FULL OUTER JOIN (SELECT user_id, r_bin * 100 + f_bin * 10 + m_bin AS seg
+               FROM b_b) y ON x.user_id = y.user_id
+         GROUP BY 1, 2""")
 }

@@ -223,4 +223,27 @@ class EventsSpec extends AnyFunSuite {
       1L -> ((0L, 0L, 0L, 0L)), 2L -> ((1L, 1L, 1L, 111L)),
       3L -> ((2L, 2L, 2L, 222L)), 4L -> ((3L, 3L, 3L, 333L))), got.toString)
   }
+
+  test("rfmMigration: re-scored halves, absent users land in -1 cells") {
+    // first half: users 1..4 with the staircase fixture; second half:
+    // only users 3 and 4 active (equal single events -> all bins 0);
+    // user 5 appears only in the second half
+    val rows =
+      (1L to 4L).flatMap { u =>
+        (1L to u).map(j => (u * 10 + j, u, ts(u * 10 + j), u.toDouble))
+      } ++ Seq((900L, 3L, ts(2000), 1.0), (901L, 4L, ts(2010), 1.0),
+        (902L, 5L, ts(2020), 1.0))
+    val got = Events.rfmMigration(ev(rows: _*), "user_id", "ts", "value",
+        splitUs = 472222L * 3600000000L + 1000L * 60000000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // before: u1->0, u2->111, u3->222, u4->333. after: frequency and
+    // monetary tie (one event of value 1 each -> bins 0), recency
+    // staircases by last activity (minutes 2000 / 2010 / 2020 ->
+    // r_bins 0 / 1 / 3, the middle user clears only the q25
+    // threshold) -> u3 -> 0, u4 -> 100, u5 -> 300
+    assert(got == Map(
+      (0L, -1L) -> 1L, (111L, -1L) -> 1L,
+      (222L, 0L) -> 1L, (333L, 100L) -> 1L, (-1L, 300L) -> 1L), got.toString)
+  }
 }
