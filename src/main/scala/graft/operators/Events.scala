@@ -276,6 +276,34 @@ object Events {
         col("r_bin") * 100 + col("f_bin") * 10 + col("m_bin"))
   }
 
+  /** Weekly cohort retention matrix — the classic onboarding chart:
+    * cohort = each user's FIRST activity week, and for every
+    * (cohort_week, activity_week) cell the count of cohort members
+    * active that week (week = epoch-days div 7 — purely integral, no
+    * calendar/timezone semantics to diverge between engines).
+    * `n_cohort` repeats the cohort's size on every row so the
+    * retention ratio is a division away.
+    *
+    * Scale shape: distinct (user, week) activity → a min-week
+    * aggregation per user (partial-combined) joined back on user_id —
+    * users shuffle twice, weeks are bounded; the output matrix is
+    * weeks² cells. */
+  def cohortWeeks(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val act = df.select(col(userCol),
+        expr(s"unix_micros(${tsCol}) div 604800000000").as("week"))
+      .distinct()
+    val first = act.groupBy(col(userCol))
+      .agg(min(col("week")).as("cohort_week"))
+    val sizes = first.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("n_cohort"))
+    act.join(first.select(col(userCol), col("cohort_week")), Seq(userCol))
+      .groupBy(col("cohort_week"), col("week"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, Seq("cohort_week"))
+      .select(col("cohort_week"), col("week"), col("n_active"),
+        col("n_cohort"))
+  }
+
   /** RFM segment migration — user-value churn: score [[rfmSegments]]
     * independently on the events before and at/after `splitUs` (each
     * period against its OWN population quartiles, the standard

@@ -257,6 +257,10 @@ object EventQueries {
     // quartile bins composed into a 3-digit segment code
     "ev_rfm_segments" -> ((s, d) =>
       Events.rfmSegments(ev(s, d), "user_id", "ts", "value")),
+    // weekly cohort retention matrix: cohort = first-activity week,
+    // counts of cohort members active per later week
+    "ev_cohort_weeks" -> ((s, d) =>
+      Events.cohortWeeks(ev(s, d), "user_id", "ts")),
     // segment migration matrix: RFM re-scored per half-month, users
     // counted per (before, after) cell; -1 = absent (new / churned)
     "ev_rfm_migration" -> ((s, d) =>
@@ -694,6 +698,19 @@ object EventQueries {
            FROM events)
          SELECT event_id, user_id, event_type, ts_us
          FROM o WHERE prev IS NULL OR ts_us - prev > 60000000""",
+    // cohort replication: identical integral week arithmetic
+    "ev_cohort_weeks" ->
+      s"""WITH act AS (SELECT DISTINCT user_id,
+           epoch_us(ts) // 604800000000 AS week FROM events),
+         first AS (SELECT user_id, min(week) AS cohort_week
+           FROM act GROUP BY 1),
+         sizes AS (SELECT cohort_week, count(*)::BIGINT AS n_cohort
+           FROM first GROUP BY 1)
+         SELECT f.cohort_week, a.week, count(*)::BIGINT AS n_active,
+           s2.n_cohort
+         FROM act a JOIN first f USING (user_id)
+           JOIN sizes s2 ON s2.cohort_week = f.cohort_week
+         GROUP BY 1, 2, 4""",
     // RFM replication: same per-user aggregates, interpolated quartile
     // thresholds milli-rounded before the strict-greater bin sums;
     // the CTE chain is builder-generated so the segments and the

@@ -246,4 +246,24 @@ class EventsSpec extends AnyFunSuite {
       (0L, -1L) -> 1L, (111L, -1L) -> 1L,
       (222L, 0L) -> 1L, (333L, 100L) -> 1L, (-1L, 300L) -> 1L), got.toString)
   }
+
+  test("cohortWeeks: sparse hand case with two cohorts") {
+    // week length in minutes = 10080; u1 active weeks 0,1,2; u2 only
+    // week 0; u3 first appears week 1, active weeks 1,2
+    def wk(w: Long, m: Long) = ts(w * 10080 + m)
+    val rows = Seq(
+      (1L, 1L, wk(0, 5), 1.0), (2L, 1L, wk(1, 5), 1.0), (3L, 1L, wk(2, 5), 1.0),
+      (4L, 2L, wk(0, 9), 1.0),
+      (5L, 3L, wk(1, 3), 1.0), (6L, 3L, wk(2, 7), 1.0))
+    val got = Events.cohortWeeks(ev(rows: _*), "user_id", "ts")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    // weeks are absolute (epoch div 7d); normalize to the min week
+    val w0 = got.keys.map(_._1).min
+    val norm = got.map { case ((c, w), v) => (c - w0, w - w0) -> v }
+    assert(norm == Map(
+      (0L, 0L) -> ((2L, 2L)), (0L, 1L) -> ((1L, 2L)), (0L, 2L) -> ((1L, 2L)),
+      (1L, 1L) -> ((1L, 1L)), (1L, 2L) -> ((1L, 1L))), norm.toString)
+  }
 }
