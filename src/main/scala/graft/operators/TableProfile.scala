@@ -43,6 +43,37 @@ object TableProfile {
     }.reduce(_ union _)
   }
 
+  /** Equi-width histogram of a numeric column — the distribution
+    * companion to [[tableStats]] (what an optimizer's histogram
+    * statistics and a data-quality dashboard both consume). The
+    * column is centi-scaled to integers first (round(v*100), the
+    * engine's usual milli/centi recipe), so bucket assignment
+    * `(v - min) * k div (max - min + 1)` is pure integer arithmetic —
+    * no float-boundary bucket can differ between engines. Empty
+    * buckets are absent (a dense frame is one small outer join away);
+    * output carries each bucket's exact centi bounds.
+    *
+    * Scale shape: one reduced min/max aggregate broadcast back, one
+    * narrow bucket map, one partial-combined count keyed by bucket
+    * (≤ k rows). Two scans, zero corpus-sized shuffles. */
+  def valueHistogram(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val v = round(col(valueCol) * 100).cast("long")
+    val vals = df.select(v.as("__v")).filter(col("__v").isNotNull)
+    val bounds = vals.agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
+    vals.crossJoin(broadcast(bounds))
+      .select(expr(s"((__v - __lo) * ${k}L) div (__hi - __lo + 1)").as("bucket"),
+        col("__lo"), col("__hi"))
+      .groupBy(col("bucket"), col("__lo"), col("__hi"))
+      .agg(count(lit(1)).as("n_rows"))
+      .select(col("bucket"),
+        (col("__lo") + expr(s"(bucket * (__hi - __lo + 1)) div ${k}L"))
+          .as("lo_centi"),
+        (col("__lo") + expr(s"((bucket + 1) * (__hi - __lo + 1)) div ${k}L") - 1)
+          .as("hi_centi"),
+        col("n_rows"))
+  }
+
   /** Referential-integrity validation — the data-quality gate a
     * pipeline runs before trusting its joins: for each declared
     * foreign-key edge (child table, child column) → (parent table,

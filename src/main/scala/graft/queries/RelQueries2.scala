@@ -110,6 +110,11 @@ object RelQueries2 {
         graft.Tables.table(s, d, "lineitem"),
         Seq("l_orderkey", "l_partkey", "l_suppkey",
           "l_returnflag", "l_linestatus"))),
+    // equi-width value histogram of l_extendedprice (centi-integer
+    // buckets — no float boundary can differ between engines)
+    "rel_value_histogram" -> ((s, d) =>
+      graft.operators.TableProfile.valueHistogram(
+        graft.Tables.table(s, d, "lineitem"), "l_extendedprice", k = 16)),
     // referential-integrity gate: orphan counts per declared FK edge
     // (left-anti joins on reduced key columns; fixture RI is intact,
     // so the oracle proves the ZEROS are genuine)
@@ -337,6 +342,18 @@ object RelQueries2 {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // histogram replication: identical centi-integer bucket arithmetic
+    "rel_value_histogram" ->
+      s"""WITH v AS (SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS vv
+           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         b AS (SELECT min(vv) AS lo, max(vv) AS hi FROM v)
+         SELECT ((vv - lo) * 16) // (hi - lo + 1) AS bucket,
+           (lo + ((((vv - lo) * 16) // (hi - lo + 1)) * (hi - lo + 1)) // 16)
+             AS lo_centi,
+           (lo + (((((vv - lo) * 16) // (hi - lo + 1)) + 1) * (hi - lo + 1)) // 16 - 1)
+             AS hi_centi,
+           count(*)::BIGINT AS n_rows
+         FROM v, b GROUP BY 1, 2, 3""",
     // FK-integrity replication: NOT EXISTS orphan count per edge
     "rel_fk_integrity" ->
       s"""SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS fk_edge, count(*)::BIGINT AS n_child,

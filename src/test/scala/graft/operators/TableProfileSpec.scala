@@ -49,4 +49,23 @@ class TableProfileSpec extends AnyFunSuite {
     assert(got("bad") == ((5L, 1L, 2L)), got.toString)
     assert(got("clean") == ((2L, 0L, 0L)), got.toString)
   }
+
+  test("valueHistogram: integer-exact buckets partition the centi domain") {
+    // centi values 100..1099 uniform -> lo=100, hi=1099, width 1000,
+    // k=4 -> buckets of exactly 250 centi each
+    val df = (100L to 1099L).map(v => v / 100.0).toDF("v")
+    val got = TableProfile.valueHistogram(df, "v", k = 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      0L -> ((100L, 349L, 250L)), 1L -> ((350L, 599L, 250L)),
+      2L -> ((600L, 849L, 250L)), 3L -> ((850L, 1099L, 250L))), got.toString)
+    // bounds tile the domain with no gap or overlap
+    val sorted = got.toSeq.sortBy(_._1).map(_._2)
+    sorted.sliding(2).foreach {
+      case Seq((_, hi, _), (lo2, _, _)) => assert(lo2 == hi + 1)
+      case _ => ()
+    }
+  }
 }
