@@ -612,6 +612,36 @@ object TextStats {
       .limit(k)
   }
 
+  /** N-gram novelty — data-freshness scoring: per document, the
+    * fraction of its DISTINCT word n-grams that FIRST appear in this
+    * document (first = the smallest doc id containing the gram, the
+    * deterministic ingestion-order proxy). A crawl refresh full of
+    * boilerplate scores near 0; genuinely new text scores near 1000
+    * permille — the corpus-growth quality axis next to the dedup
+    * family's pairwise measures.
+    *
+    * Scale shape: only (id, 8-byte gram hash) rows ever shuffle —
+    * distinct per doc, one gram-keyed min aggregation
+    * (partial-combined), one join back on the gram hash, one doc-keyed
+    * count. Gram identity is the 64-bit shingle hash (the dedup
+    * family's caveat applies: a 2^-64 collision folds two grams);
+    * docs shorter than n words hash as one whole-document gram (the
+    * kernel's clamp). */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val grams = df.select(col(idCol),
+        explode(graft.functions.hashes.shingle_hashes(
+          norm(col(textCol)), n, word = true)).as("__h"))
+      .distinct()
+    val first = grams.groupBy(col("__h")).agg(min(col(idCol)).as("__first"))
+    grams.join(first, "__h")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum((col(idCol) === col("__first")).cast("long")).as("n_novel"))
+      .withColumn("novelty_permille",
+        expr("(n_novel * 1000) div n_grams"))
+  }
+
   /** Corpus length statistics: exact token-count quantiles (linear
     * interpolation), count, and mean. Quantiles are emitted as
     * milli-rounded integers so the comparison is robust to last-ulp

@@ -104,6 +104,10 @@ object DocQueries {
     "doc_priority_by_source" -> ((s, d) =>
       CorpusMix.prioritySampleByStratum(docs(s, d), "doc_id", "source",
         "text", k = 5)),
+    // n-gram novelty: fraction of each doc's distinct 8-grams first
+    // introduced by that doc (min-id ownership) — corpus freshness
+    "doc_ngram_novelty" -> ((s, d) =>
+      TextStats.ngramNovelty(docs(s, d), "doc_id", "text", n = 8)),
     // incremental-rebuild accounting: diff the corpus against a
     // deterministically derived second snapshot (every 13th id
     // removed, every 7th edited, every 11th re-added under a shifted
@@ -553,6 +557,21 @@ object DocQueries {
          FROM s WHERE n_matched > 0
          ORDER BY score_micro DESC, doc_id ASC LIMIT 20"""
     },
+    // novelty replication: string 8-grams (set semantics match the
+    // hashed grams modulo the dedup family's 2^-64 collision caveat),
+    // same min-id ownership and permille floor
+    "doc_ngram_novelty" ->
+      s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS ws FROM documents),
+         g AS (SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(ws), 8) - 6),
+               i -> array_to_string(ws[i:i+7], ' '))) AS gram
+           FROM w),
+         f AS (SELECT gram, min(doc_id) AS first_id FROM g GROUP BY 1)
+         SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+           sum(CASE WHEN g.doc_id = f.first_id THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+           CAST((sum(CASE WHEN g.doc_id = f.first_id THEN 1 ELSE 0 END) * 1000)
+             // count(*) AS BIGINT) AS novelty_permille
+         FROM g JOIN f USING (gram) GROUP BY 1""",
     // snapshot-diff replication: same derived snapshot, same rolling
     // fingerprints, same full-outer classification
     "doc_snapshot_diff" -> {

@@ -395,4 +395,20 @@ class TextStatsSpec extends AnyFunSuite {
     assert(got.map(_._1).toSeq == Seq(2L, 1L), got.toSeq.toString)
     assert(got(0)._2 > got(1)._2)
   }
+
+  test("ngramNovelty: min-id ownership on a hand corpus") {
+    import spark.implicits._
+    // n=2 bigrams: doc1 introduces {a b, b c}; doc2 repeats "a b" and
+    // introduces {c d}; doc3 is pure boilerplate of doc1
+    val docs = Seq((1L, "a b c"), (2L, "a b c d"), (3L, "a b c"))
+      .toDF("doc_id", "text")
+    val got = TextStats.ngramNovelty(docs, "doc_id", "text", n = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // doc1: grams {ab, bc}, both first -> 1000; doc2: {ab, bc, cd},
+    // only cd novel -> 333; doc3: nothing novel -> 0
+    assert(got == Map(1L -> ((2L, 2L, 1000L)), 2L -> ((3L, 1L, 333L)),
+      3L -> ((2L, 0L, 0L))), got.toString)
+  }
 }
