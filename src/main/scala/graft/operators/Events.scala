@@ -276,6 +276,42 @@ object Events {
         col("r_bin") * 100 + col("f_bin") * 10 + col("m_bin"))
   }
 
+  /** Time-boxed sequential funnel — the product-analytics "completed
+    * each step within the window" form, a strictly stronger semantic
+    * than the first-occurrence funnel: step 1 anchors at the user's
+    * FIRST `steps(0)` event; step k completes at the EARLIEST
+    * `steps(k)` event strictly after step k-1's completion and within
+    * `windowUs` of it (the earliest-qualifying choice is what makes
+    * later steps well-defined and engine-replayable). Output: one row
+    * with n_users and the cumulative per-step completion counts.
+    *
+    * Scale shape: one user-keyed aggregation per step (each a join of
+    * the one-row-per-user frontier against that step's filtered
+    * events, partial-combined; the frontier reuses its hash
+    * partitioning across steps) — steps are a constant, users shuffle
+    * O(steps) times, nothing driver-side. */
+  def windowedFunnel(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String], windowUs: Long): DataFrame = {
+    require(steps.size >= 2, s"need >= 2 steps, got $steps")
+    require(windowUs > 0, s"windowUs must be positive: $windowUs")
+    val us = unix_micros(col(tsCol))
+    var frontier = df.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(us).as("__t0"))
+    for (k <- 1 until steps.size) {
+      val prev = s"__t${k - 1}"
+      val evs = df.filter(col(typeCol) === steps(k))
+        .select(col(userCol), us.as("__e"))
+      val carried = (0 until k).map(i => col(s"__t$i"))
+      frontier = frontier.join(evs, Seq(userCol), "left_outer")
+        .groupBy(col(userCol) +: carried: _*)
+        .agg(min(when(col("__e") > col(prev) &&
+            col("__e") <= col(prev) + windowUs, col("__e"))).as(s"__t$k"))
+    }
+    val counts = steps.indices.tail.map(k =>
+      sum(col(s"__t$k").isNotNull.cast("long")).as(s"n_step$k"))
+    frontier.agg(count(lit(1)).as("n_step0"), counts: _*)
+  }
+
   /** Weekly cohort retention matrix — the classic onboarding chart:
     * cohort = each user's FIRST activity week, and for every
     * (cohort_week, activity_week) cell the count of cohort members

@@ -257,6 +257,11 @@ object EventQueries {
     // quartile bins composed into a 3-digit segment code
     "ev_rfm_segments" -> ((s, d) =>
       Events.rfmSegments(ev(s, d), "user_id", "ts", "value")),
+    // time-boxed sequential funnel: each step within 2h of the prior
+    // step's completion, earliest-qualifying event per step
+    "ev_funnel_windowed" -> ((s, d) =>
+      Events.windowedFunnel(ev(s, d), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), windowUs = 7200000000L)),
     // weekly cohort retention matrix: cohort = first-activity week,
     // counts of cohort members active per later week
     "ev_cohort_weeks" -> ((s, d) =>
@@ -698,6 +703,28 @@ object EventQueries {
            FROM events)
          SELECT event_id, user_id, event_type, ts_us
          FROM o WHERE prev IS NULL OR ts_us - prev > 60000000""",
+    // windowed-funnel replication: per-step earliest-qualifying CTEs
+    "ev_funnel_windowed" ->
+      s"""WITH s0 AS (SELECT user_id, min(epoch_us(ts)) AS t0
+           FROM events WHERE event_type = 'view' GROUP BY 1),
+         s1 AS (SELECT s0.user_id, s0.t0,
+             min(CASE WHEN epoch_us(e.ts) > s0.t0
+                 AND epoch_us(e.ts) <= s0.t0 + 7200000000
+                 THEN epoch_us(e.ts) END) AS t1
+           FROM s0 LEFT JOIN events e
+             ON e.user_id = s0.user_id AND e.event_type = 'click'
+           GROUP BY 1, 2),
+         s2 AS (SELECT s1.user_id, s1.t0, s1.t1,
+             min(CASE WHEN epoch_us(e.ts) > s1.t1
+                 AND epoch_us(e.ts) <= s1.t1 + 7200000000
+                 THEN epoch_us(e.ts) END) AS t2
+           FROM s1 LEFT JOIN events e
+             ON e.user_id = s1.user_id AND e.event_type = 'purchase'
+           GROUP BY 1, 2, 3)
+         SELECT count(*)::BIGINT AS n_step0,
+           sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_step1,
+           sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_step2
+         FROM s2""",
     // cohort replication: identical integral week arithmetic
     "ev_cohort_weeks" ->
       s"""WITH act AS (SELECT DISTINCT user_id,

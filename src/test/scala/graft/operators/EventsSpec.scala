@@ -266,4 +266,27 @@ class EventsSpec extends AnyFunSuite {
       (0L, 0L) -> ((2L, 2L)), (0L, 1L) -> ((1L, 2L)), (0L, 2L) -> ((1L, 2L)),
       (1L, 1L) -> ((1L, 1L)), (1L, 2L) -> ((1L, 1L))), norm.toString)
   }
+
+  test("windowedFunnel: earliest-qualifying steps inside the window only") {
+    // helper ev() columns: (event_id, user_id, ts, value); type comes
+    // from a separate frame here
+    val rows = Seq(
+      // u1: view@0, click@30 (in window), purchase@50 (in window) -> full
+      (1L, 1L, ts(0), "view"), (2L, 1L, ts(30), "click"),
+      (3L, 1L, ts(50), "purchase"),
+      // u2: view@0, click@200 (outside 60-min window) -> stops at view;
+      // the purchase@210 cannot rescue it (no step-2 anchor)
+      (4L, 2L, ts(0), "view"), (5L, 2L, ts(200), "click"),
+      (6L, 2L, ts(210), "purchase"),
+      // u3: click BEFORE the first view does not count; the later
+      // click@40 anchors step 2, purchase@150 misses its window
+      (7L, 3L, ts(10), "click"), (8L, 3L, ts(20), "view"),
+      (9L, 3L, ts(40), "click"), (10L, 3L, ts(150), "purchase"))
+    val df = rows.toDF("event_id", "user_id", "ts", "event_type")
+    val got = Events.windowedFunnel(df, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), windowUs = 60L * 60000000L)
+      .head()
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) == ((3L, 2L, 1L)),
+      got.toString)
+  }
 }
