@@ -66,11 +66,17 @@ object TableProfile {
         col("__lo"), col("__hi"))
       .groupBy(col("bucket"), col("__lo"), col("__hi"))
       .agg(count(lit(1)).as("n_rows"))
+      // bucket b holds v with b <= (v - lo) * k / w < b + 1, i.e.
+      // (v - lo) in [ceil(b*w/k), ceil((b+1)*w/k) - 1] — the bounds
+      // must use the CEILING division or boundary rows fall outside
+      // their bucket's reported range whenever k does not divide w
       .select(col("bucket"),
-        (col("__lo") + expr(s"(bucket * (__hi - __lo + 1)) div ${k}L"))
+        (col("__lo") +
+          expr(s"(bucket * (__hi - __lo + 1) + ${k - 1}L) div ${k}L"))
           .as("lo_centi"),
-        (col("__lo") + expr(s"((bucket + 1) * (__hi - __lo + 1)) div ${k}L") - 1)
-          .as("hi_centi"),
+        (col("__lo") +
+          expr(s"((bucket + 1) * (__hi - __lo + 1) + ${k - 1}L) div ${k}L")
+          - 1).as("hi_centi"),
         col("n_rows"))
   }
 

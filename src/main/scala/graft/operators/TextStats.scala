@@ -629,10 +629,14 @@ object TextStats {
     * kernel's clamp). */
   def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
       n: Int = 8): DataFrame = {
-    val grams = df.select(col(idCol),
-        explode(graft.functions.hashes.shingle_hashes(
-          norm(col(textCol)), n, word = true)).as("__h"))
-      .distinct()
+    // the shingle kernel already emits a per-doc-deduplicated sorted
+    // array, and doc ids are unique — (id, hash) rows arrive distinct,
+    // no extra shuffle needed; the shared helper also rebalances the
+    // input so the expensive kernel spreads across cores and inlines
+    // the kernel into the Generate (see its scaladoc)
+    val grams = Dedup.explodedShingleHashes(df, idCol, textCol, n,
+        word = true)
+      .select(col(idCol), col("ng").as("__h"))
     val first = grams.groupBy(col("__h")).agg(min(col(idCol)).as("__first"))
     grams.join(first, "__h")
       .groupBy(col(idCol))

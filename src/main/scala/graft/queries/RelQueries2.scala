@@ -348,9 +348,9 @@ object RelQueries2 {
            FROM lineitem WHERE l_extendedprice IS NOT NULL),
          b AS (SELECT min(vv) AS lo, max(vv) AS hi FROM v)
          SELECT ((vv - lo) * 16) // (hi - lo + 1) AS bucket,
-           (lo + ((((vv - lo) * 16) // (hi - lo + 1)) * (hi - lo + 1)) // 16)
+           (lo + ((((vv - lo) * 16) // (hi - lo + 1)) * (hi - lo + 1) + 15) // 16)
              AS lo_centi,
-           (lo + (((((vv - lo) * 16) // (hi - lo + 1)) + 1) * (hi - lo + 1)) // 16 - 1)
+           (lo + (((((vv - lo) * 16) // (hi - lo + 1)) + 1) * (hi - lo + 1) + 15) // 16 - 1)
              AS hi_centi,
            count(*)::BIGINT AS n_rows
          FROM v, b GROUP BY 1, 2, 3""",

@@ -68,4 +68,24 @@ class TableProfileSpec extends AnyFunSuite {
       case _ => ()
     }
   }
+
+  test("valueHistogram: non-divisible width keeps every row inside its " +
+      "bucket's reported bounds") {
+    // centi domain 0..9 (w=10), k=3: membership boundary is the
+    // ceiling division — value 3 belongs to bucket 0 and bucket 0's
+    // bounds must INCLUDE it
+    val df = (0L to 9L).map(v => v / 100.0).toDF("v")
+    val rows = TableProfile.valueHistogram(df, "v", k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // buckets: (v*3) div 10 -> 0 for v in 0..3, 1 for 4..6, 2 for 7..9
+    assert(rows.toSeq == Seq((0L, 0L, 3L, 4L), (1L, 4L, 6L, 3L),
+      (2L, 7L, 9L, 3L)), rows.toSeq.toString)
+    // tiling still holds in the non-divisible case
+    rows.sliding(2).foreach {
+      case Array((_, _, hi, _), (_, lo2, _, _)) => assert(lo2 == hi + 1)
+      case _ => ()
+    }
+  }
 }
