@@ -66,7 +66,8 @@ class EventTsEncodingSpec extends AnyFunSuite {
   // and ev_user_components already pin here
   private val probes = Seq("ev_sessionize", "ev_session_overlap",
     "ev_tumbling_1h", "ev_range_join", "ev_funnel", "ev_user_components",
-    "ev_rfm_segments")
+    "ev_rfm_segments", "ev_rfm_migration", "ev_cohort_weeks",
+    "ev_funnel_windowed")
 
   private def run(name: String, dir: String): Seq[String] =
     EventQueries.queries(name)(spark, dir)
