@@ -107,9 +107,13 @@ object Multimodal {
           (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a')
         Some((le16(bytes, 6), le16(bytes, 8)))
       else if (bytes.length >= 26 && bytes(0) == 'B' && bytes(1) == 'M' &&
-          le32(bytes, 14) >= 40)
-        Some((le32(bytes, 18), math.abs(le32(bytes, 22))))
-      else None
+          le32(bytes, 14) >= 40) {
+        // width must be positive; height may be negative (top-down row
+        // order) but never zero — anything else is a hostile payload
+        // wearing a 'BM' prefix, not a bitmap
+        val w = le32(bytes, 18); val h = math.abs(le32(bytes, 22))
+        if (w > 0 && h > 0) Some((w, h)) else None
+      } else None
 
     /** Walk JPEG marker segments to the first SOFn (baseline/progressive
       * frame header: FF Cn len prec height width). */

@@ -80,28 +80,35 @@ object Streams {
   /** Streaming referential-integrity monitor — the online form of
     * [[graft.operators.TableProfile.integrityCheck]]: events whose
     * foreign key has no row in the static dimension surface as
-    * windowed orphan counts (a stream-static LEFT-ANTI equi-join is
+    * windowed orphan counts (a stream-static LEFT OUTER equi-join is
     * stateless — no watermark-vs-static semantics issue, no state
     * store — followed by a watermarked tumbling count, the
     * append-ready aggregation). The standard "alert when a producer
-    * starts emitting unknown keys" pipeline guard; null keys are
-    * filtered out first, matching the batch op's SQL FK semantics. */
+    * starts emitting unknown keys" pipeline guard; null keys count
+    * into `n_null_keys` (they can never match a FK, same visibility
+    * the batch op's integrityCheck gives), not into orphans. */
   def fkOrphanCounts(stream: DataFrame, keyCol: String,
       dim: DataFrame, dimKeyCol: String, width: String = "1 hour",
       watermark: String = "10 minutes"): DataFrame = {
-    // the watermark is assigned BEFORE the anti-join: every event must
-    // advance event time, not just the orphans that survive the join —
-    // otherwise an orphan-free stream never closes a window
+    // the watermark is assigned on the RAW stream, before any filter or
+    // join: every event must advance event time — null-key events
+    // included — otherwise a null-heavy (or orphan-free) producer
+    // never closes a window
     val keys = stream.select(col("ts"), col(keyCol).as("__k"))
-      .filter(col("__k").isNotNull)
       .withWatermark("ts", watermark)
     val parents = dim.select(col(dimKeyCol).as("__k")).distinct()
-    keys.join(parents, Seq("__k"), "left_anti")
+      .withColumn("__hit", lit(1))
+    // left outer (not anti): null keys survive with __hit null, and the
+    // orphan/null split happens in the aggregate — one stateless join,
+    // one windowed agg, both conditions decided per-row
+    val isOrphan = col("__k").isNotNull && col("__hit").isNull
+    keys.join(parents, Seq("__k"), "left")
       .groupBy(window(col("ts"), width))
-      .agg(count(lit(1)).as("n_orphans"),
-        approx_count_distinct(col("__k")).as("approx_keys"))
+      .agg(count(when(isOrphan, lit(1))).as("n_orphans"),
+        count(when(col("__k").isNull, lit(1))).as("n_null_keys"),
+        approx_count_distinct(when(isOrphan, col("__k"))).as("approx_keys"))
       .select(col("window.start").as("w_start"), col("n_orphans"),
-        col("approx_keys"))
+        col("n_null_keys"), col("approx_keys"))
   }
 
   /** Stream-stream interval join: each left event matches right events

@@ -301,5 +301,18 @@ class MultimodalSpec extends AnyFunSuite {
     neg(22) = hNeg.toByte; neg(23) = (hNeg >> 8).toByte
     neg(24) = (hNeg >> 16).toByte; neg(25) = (hNeg >> 24).toByte
     assert(Multimodal.ImageHeader.dims(neg).contains((37, 23)))
+    // hostile 'BM'-prefixed payloads: non-positive width or zero
+    // height must be rejected, not passed through as dimensions
+    val badW = bmp.clone()
+    val wNeg = -37
+    badW(18) = wNeg.toByte; badW(19) = (wNeg >> 8).toByte
+    badW(20) = (wNeg >> 16).toByte; badW(21) = (wNeg >> 24).toByte
+    assert(Multimodal.ImageHeader.dims(badW).isEmpty)
+    val zeroW = bmp.clone()
+    zeroW(18) = 0; zeroW(19) = 0; zeroW(20) = 0; zeroW(21) = 0
+    assert(Multimodal.ImageHeader.dims(zeroW).isEmpty)
+    val zeroH = bmp.clone()
+    zeroH(22) = 0; zeroH(23) = 0; zeroH(24) = 0; zeroH(25) = 0
+    assert(Multimodal.ImageHeader.dims(zeroH).isEmpty)
   }
 }

@@ -311,20 +311,23 @@ class StreamsSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("fk_out")
       .outputMode("append").start()
     try {
-      // window [0,10): keys 1 (known), 9, 8 (orphans), null (ignored)
+      // window [0,10): keys 1 (known), 9, 8 (orphans), null (counted,
+      // not an orphan)
       def box(v: Long): java.lang.Long = java.lang.Long.valueOf(v)
       in.addData((ts(1), box(1L)), (ts(2), box(9L)), (ts(3), box(8L)),
         (ts(4), null.asInstanceOf[java.lang.Long]))
       q.processAllAvailable()
-      // close the first window: the new watermark becomes effective
-      // one batch after the event that advanced it
-      in.addData((ts(25), box(2L)))
+      // close the first window using ONLY null-key events: the
+      // watermark must advance off the raw stream, before the null
+      // filter/join — a null-heavy producer still closes windows
+      in.addData((ts(25), null.asInstanceOf[java.lang.Long]))
       q.processAllAvailable()
-      in.addData((ts(26), box(3L)))
+      in.addData((ts(26), null.asInstanceOf[java.lang.Long]))
       q.processAllAvailable()
       val rows = spark.sql("SELECT * FROM fk_out").collect()
-        .map(r => r.getTimestamp(0).getTime / 60000L -> r.getLong(1)).toMap
-      assert(rows == Map(0L -> 2L), rows.toString)
+        .map(r => r.getTimestamp(0).getTime / 60000L ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+      assert(rows == Map(0L -> ((2L, 1L))), rows.toString)
     } finally q.stop()
   }
 }
