@@ -522,14 +522,39 @@ object Similarity {
     * volume rises as the target threshold drops — at production dedup
     * thresholds (>= ~0.8) prefer longer bands (r >= 8), which keep
     * buckets small and candidates ~linear; the r/B dial trades
-    * candidate volume for recall explicitly. */
+    * candidate volume for recall explicitly.
+    *
+    * The scale hazard above is ENFORCED, not just documented: before
+    * the band equi-join, one reduced aggregation over the band keys
+    * (ids and fingerprints only — no vectors) computes the EXACT
+    * candidate-pair volume the join would produce (sum over buckets of
+    * n*(n-1)/2). If it exceeds `maxAvgCandidatesPerRow` per input row,
+    * the call fails loudly with the remediation options
+    * (semanticDedupPairs for low thresholds, or longer bands) instead
+    * of silently running a near-quadratic join — at 10x data below
+    * cosine ~0.7, banded RHP admits ~80% of random pairs as candidates
+    * (measured 76x runtime, BENCH_SF1.md). The probe costs one extra
+    * narrow job; pass 0 to disable (results are identical either way —
+    * the guard never alters the plan, only vetoes it). */
   def cosineNearDupPairsLsh(emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bitsPerBand: Int = 3, bands: Int = 12): DataFrame = {
+      threshold: Double, bitsPerBand: Int = 3, bands: Int = 12,
+      maxAvgCandidatesPerRow: Double = 256.0): DataFrame = {
     val nBits = bitsPerBand * bands
     require(nBits <= 62, s"bitsPerBand * bands must be <= 62, got $nBits")
     val mask = (1 << bitsPerBand) - 1
     val withFp = emb.select(col(idCol),
       graft.functions.vectors.rhp_fingerprint(col(vecCol), nBits).as("__fp"))
+    if (maxAvgCandidatesPerRow > 0) {
+      val (rows, pairs) = lshCandidatePairStats(withFp, "__fp", bitsPerBand, bands)
+      val avg = if (rows == 0L) BigDecimal(0) else pairs / rows
+      require(avg <= maxAvgCandidatesPerRow,
+        s"banded-LSH candidate volume over budget: $pairs candidate pairs " +
+          s"for $rows rows (avg $avg per row > $maxAvgCandidatesPerRow). " +
+          "At thresholds below ~0.7 banded RHP-LSH degenerates toward " +
+          "all-pairs; use Similarity.semanticDedupPairs (IVF-blocked) " +
+          "instead, or raise bitsPerBand to shrink buckets, or raise " +
+          "maxAvgCandidatesPerRow if this volume is intended.")
+    }
     // the band join carries ONLY (id, fingerprint) — never the vectors;
     // a 64-dim float array through an exploded candidate join costs
     // more in row copies than the whole verify (measured 1.8x the
@@ -569,6 +594,28 @@ object Similarity {
           (col("__na") * col("__nb")))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b")
+  }
+
+  /** Exact candidate-pair volume of a banded equi-join over the given
+    * fingerprint column: sum over (band, key) buckets of n*(n-1)/2,
+    * plus the input row count — both from ONE reduced aggregation over
+    * a narrow (fingerprint-only) projection. Decimal accumulation: a
+    * single degenerate bucket of 10^9 rows yields ~5*10^17 pairs, and
+    * several of them would overflow a Long sum. */
+  def lshCandidatePairStats(withFp: DataFrame, fpCol: String,
+      bitsPerBand: Int, bands: Int): (Long, BigDecimal) = {
+    val mask = (1 << bitsPerBand) - 1
+    val sizes = withFp
+      .select(posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
+        s"b -> ($fpCol >> (b * $bitsPerBand)) & $mask)")).as(Seq("band", "key")))
+      .groupBy("band", "key").agg(count(lit(1)).as("n"))
+    val row = sizes.agg(
+      coalesce(sum(col("n")), lit(0L)).as("slots"),
+      coalesce(sum((col("n").cast("decimal(38,0)") * (col("n") - 1))),
+        lit(java.math.BigDecimal.ZERO)).as("pairs2x")).first()
+    val rows = row.getLong(0) / bands
+    val pairs = BigDecimal(row.getDecimal(1)) / 2
+    (rows, pairs)
   }
 
   /** Hard-negative mining for contrastive training: per anchor, the

@@ -43,9 +43,14 @@ object EmbeddingQueries {
     "emb_neardup_label" -> ((s, d) =>
       Similarity.cosineNearDupPairs(emb(s, d), "vec_id", "embedding", "label", 0.35)
         .orderBy("id_a", "id_b")),
+    // guard off (maxAvgCandidatesPerRow = 0): this fixture INTENDS the
+    // low-threshold/near-all-pairs regime so the exact unrolled oracle
+    // can replay every candidate; production callers get the default
+    // candidate-volume guard, which vetoes this configuration at scale
+    // (spec-pinned in SimilaritySpec)
     "emb_neardup_lsh" -> ((s, d) =>
       Similarity.cosineNearDupPairsLsh(emb(s, d), "vec_id", "embedding", 0.35,
-        bitsPerBand = 3, bands = 12)),
+        bitsPerBand = 3, bands = 12, maxAvgCandidatesPerRow = 0)),
     "emb_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(emb(s, d), "vec_id", "embedding", queryVec(s, d), 20,
         nLists = 16, nProbe = 4)),

@@ -80,8 +80,10 @@ class SimilarityRecallSpec extends AnyFunSuite {
         emb.withColumn("__one", org.apache.spark.sql.functions.lit(1)),
         "vec_id", "embedding", "__one", 0.35)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // guard off: this spec deliberately measures the low-threshold
+    // regime the candidate-volume guard exists to veto
     val lsh = Similarity.cosineNearDupPairsLsh(emb, "vec_id", "embedding", 0.35,
-        bitsPerBand = 3, bands = 12)
+        bitsPerBand = 3, bands = 12, maxAvgCandidatesPerRow = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh.subsetOf(truth), "LSH pairs must be exact-verified (precision 1)")
     val recall = (truth & lsh).size.toDouble / math.max(truth.size, 1)

@@ -117,6 +117,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == Set((1L, 2L))) // identical vectors agree in every band
   }
 
+  test("LSH candidate-volume guard trips on a degenerate low-threshold input") {
+    // 80 copies of one vector: every band key collides in all 12
+    // bands, so the banded join would produce 12 * 80*79/2 = 37920
+    // candidate rows for 80 inputs (474 per row) — the adversarial
+    // shape of a below-0.7-threshold corpus. The guard must veto it
+    // loudly, naming the scale path.
+    val d = (1L to 80L).map(i => (i, e1, 0)).toDF("vec_id", "embedding", "label")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupPairsLsh(d, "vec_id", "embedding", 0.35,
+        maxAvgCandidatesPerRow = 10.0).collect()
+    }
+    assert(ex.getMessage.contains("semanticDedupPairs"), ex.getMessage)
+    assert(ex.getMessage.contains("37920"), ex.getMessage)
+  }
+
+  test("LSH guard is result-invariant below budget, and the stats are exact") {
+    val d = emb((1L, e1, 0), (2L, e1, 1), (3L, e2, 2), (4L, e12, 3))
+    def run(budget: Double) =
+      Similarity.cosineNearDupPairsLsh(d, "vec_id", "embedding", 0.35,
+        maxAvgCandidatesPerRow = budget)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run(0.0) == run(256.0)) // guard disabled vs enabled: identical
+    val withFp = d.select(col("vec_id"),
+      graft.functions.vectors.rhp_fingerprint(col("embedding"), 36).as("__fp"))
+    val (rows, pairs) = Similarity.lshCandidatePairStats(withFp, "__fp", 3, 12)
+    assert(rows == 4L)
+    // exact count cross-check: per band, sum n*(n-1)/2 over bucket sizes
+    val perBand = withFp.select(posexplode(expr(
+        "transform(sequence(0, 11), b -> (__fp >> (b * 3)) & 7)"))
+        .as(Seq("band", "key")))
+      .groupBy("band", "key").count().collect()
+      .map(r => r.getLong(2) * (r.getLong(2) - 1) / 2).sum
+    assert(pairs == BigDecimal(perBand), s"$pairs vs $perBand")
+  }
+
   test("centroidAssign works with a single centroid (k = 1)") {
     val d = emb((1L, e1, 0), (2L, e2, 0), (3L, e12, 0))
     val got = Similarity.centroidAssign(d, "vec_id", "embedding", Array(e1))
