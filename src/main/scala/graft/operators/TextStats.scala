@@ -482,6 +482,95 @@ object TextStats {
       .orderBy(col("n_occurrences").desc, col("pair").asc)
       .limit(k)
 
+  /** BPE tokenizer TRAINING: learn `rounds` merges from the corpus by
+    * the classic loop — count adjacent symbol pairs, merge the most
+    * frequent (ties by pair asc), repeat. Returns the merge list in
+    * rank order.
+    *
+    * Scale shape: training runs over the DISTINCT-word frequency table
+    * (one shuffle, bounded by vocabulary size — not corpus size — and
+    * localCheckpointed once), so each round is a groupBy over a small
+    * table plus a 1-row collect; the corpus itself is scanned exactly
+    * once. Symbol sequences are encoded as `(s1)(s2)(s3)` strings over
+    * the `[a-z0-9]+` pretokens (parens cannot occur inside a symbol),
+    * which makes a merge one literal string `replace` — left-to-right
+    * and non-overlapping in both Spark and any SQL engine, i.e. the
+    * greedy BPE merge semantics, oracle-replayable verbatim. */
+  def bpeTrainMerges(df: DataFrame, textCol: String,
+      rounds: Int = 8): Seq[(String, String)] = {
+    val words = df.select(explode(regexp_extract_all(norm(col(textCol)),
+        lit("[a-z0-9]+"), lit(0))).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(String, String)]
+    var acc = Seq.empty[(String, String)]
+    var exhausted = false
+    for (_ <- 0 until rounds if !exhausted) {
+      val enc = acc.foldLeft(encodeSymsExpr(col("__w"))) { case (e, (a, b)) =>
+        replace(e, lit(s"($a)($b)"), lit(s"($a$b)")) }
+      val best = words
+        .select(col("__c"),
+          split(enc.substr(lit(2), length(enc) - 2), "\\)\\(").as("__s"))
+        .filter(size(col("__s")) >= 2)
+        .select(col("__c"), explode(expr(
+          "transform(sequence(1, size(__s) - 1), i -> named_struct(" +
+            "'a', element_at(__s, i), 'b', element_at(__s, i + 1)))")).as("__p"))
+        .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
+        .agg(sum("__c").as("n"))
+        .orderBy(col("n").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val m = (best(0).getString(0), best(0).getString(1))
+        merges += m; acc = acc :+ m
+      }
+    }
+    merges.result()
+  }
+
+  /** A word column as its `(c1)(c2)...` character-symbol encoding. */
+  private def encodeSymsExpr(w: Column): Column =
+    concat(lit("("), array_join(transform(
+      sequence(lit(1), length(w)), i => w.substr(i, lit(1))), ")("), lit(")"))
+
+  /** BPE tokenizer APPLICATION — the step that turns the pair-stats
+    * prep ([[bpePairStats]]) into a usable tokenizer: train `rounds`
+    * merges ([[bpeTrainMerges]]), then encode every document as its
+    * token-id sequence. Ids: single-char symbols get their codepoint;
+    * the symbol created by merge round r (0-based) gets 256 + r (first
+    * creating round wins when two merges produce the same string).
+    *
+    * Scale shape: after the bounded training loop, encoding is ONE
+    * narrow per-row projection — the merge list unrolls into nested
+    * literal `replace` calls inside a `transform` over the pretokens,
+    * fully codegen'd, no UDF, no join, no shuffle; it pipelines into
+    * the document scan. Pretokens follow [[tokenPattern]]: alnum runs
+    * are BPE-merged, punctuation marks are single one-char tokens. */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      rounds: Int = 8): DataFrame = {
+    val merges = bpeTrainMerges(df, textCol, rounds)
+    // vocab: merged string -> 256 + first creating round
+    val vocab = merges.zipWithIndex
+      .map { case ((a, b), r) => (a + b, 256 + r) }
+      .groupBy(_._1).map { case (t, xs) => (t, xs.map(_._2).min) }
+      .toSeq.sortBy(_._2)
+    def tokenId(t: Column): Column =
+      vocab.foldLeft(when(length(t) === 1, ascii(t))) { case (c, (tok, id)) =>
+        c.when(t === lit(tok), lit(id)) }
+    val encodeWord = (w: Column) => merges.foldLeft(encodeSymsExpr(w)) {
+      case (e, (a, b)) => replace(e, lit(s"($a)($b)"), lit(s"($a$b)")) }
+    val toks = flatten(transform(
+      regexp_extract_all(norm(col(textCol)), lit(tokenPattern), lit(0)),
+      w => {
+        val e = encodeWord(w)
+        split(e.substr(lit(2), length(e) - 2), "\\)\\(")
+      }))
+    df.select(col(idCol),
+      size(toks).cast("long").as("n_tokens"),
+      array_join(transform(toks, t => tokenId(t).cast("string")), " ")
+        .as("token_ids"))
+  }
+
   /** [[decontaminate]] with a Bloom prefilter — the shape for when the
     * eval n-gram set outgrows broadcast: a `numBits`-bit Bloom bitset
     * (built by one OR-merged aggregate over the eval shingles, no

@@ -203,6 +203,12 @@ object DocQueries {
     // adjacent in-word character pairs across the corpus
     "doc_bpe_pairs" -> ((s, d) =>
       TextStats.bpePairStats(docs(s, d), "text", k = 25)),
+    // BPE tokenizer application: 8 corpus-trained merge rounds, every
+    // document as its token-id sequence (codepoint ids for single
+    // chars, 256+round for merges) — the whole train+encode loop
+    // oracle-replayed via unrolled per-round CTEs
+    "doc_bpe_encode" -> ((s, d) =>
+      TextStats.bpeEncode(docs(s, d), "doc_id", "text", rounds = 8)),
     // byte-budget training shards in id order (webdataset packing
     // shape) — prefix sums via the bucket-offset composition, keyed
     // by exact-percentile id ranges
@@ -303,7 +309,64 @@ object DocQueries {
               WHERE coalesce(lc.lastc, 0) + 1 <= t.L),
        a AS (SELECT doc_id, cs, ce FROM m UNION ALL SELECT doc_id, cs, ce FROM tl)"""
 
+  /** Unrolled BPE train+encode oracle: per merge round r, CTEs p_r
+    * (pair counts over the current symbol encodings of the distinct
+    * word table), b_r (the argmax pair), e_r (the merge applied as one
+    * literal replace — left-to-right non-overlapping in DuckDB exactly
+    * as in Spark); then a vocab CTE (merge string -> 256 + first
+    * round) and the per-document re-encoding joined back over the
+    * final word encodings. Single-char symbols id by codepoint. */
+  private def bpeEncodeOracleSql(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""p$r AS MATERIALIZED (SELECT list_extract(s, CAST(i AS INT)) AS a,
+              list_extract(s, CAST(i AS INT) + 1) AS b, sum(c) AS n
+            FROM (SELECT string_split(substr(e, 2, length(e) - 2), ')(') AS s, c
+                  FROM e${r - 1}),
+                 LATERAL unnest(range(1, len(s))) AS t(i)
+            GROUP BY 1, 2),
+          b$r AS MATERIALIZED (SELECT a, b FROM p$r ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+          e$r AS MATERIALIZED (SELECT w, c,
+            replace(e, '(' || (SELECT a FROM b$r) || ')(' ||
+                (SELECT b FROM b$r) || ')',
+              '(' || (SELECT a || b FROM b$r) || ')') AS e FROM e${r - 1})"""
+    }.mkString(",\n        ")
+    val mergeUnion = (1 to rounds).map(r =>
+      s"SELECT a || b AS tok, 255 + $r AS id FROM b$r").mkString(" UNION ALL ")
+    s"""WITH wq AS (
+           SELECT unnest(regexp_extract_all($normSql, '[a-z0-9]+')) AS w
+           FROM documents),
+         e0 AS (SELECT w, c,
+             '(' || array_to_string(list_transform(range(1, length(w) + 1),
+                 i -> substr(w, CAST(i AS INT), 1)), ')(') || ')' AS e
+           FROM (SELECT w, count(*) AS c FROM wq GROUP BY 1)),
+         $roundCtes,
+         vocab AS (SELECT tok, min(id) AS id FROM ($mergeUnion) GROUP BY 1),
+         dtok AS (SELECT doc_id, CAST(i AS INT) AS wpos,
+             list_extract(ws, CAST(i AS INT)) AS w
+           FROM (SELECT doc_id,
+                   regexp_extract_all($normSql, '${TextStats.tokenPattern}') AS ws
+                 FROM documents),
+                LATERAL unnest(range(1, len(ws) + 1)) AS t(i)),
+         wt AS (SELECT doc_id, wpos,
+             CASE WHEN e$rounds.e IS NULL THEN [dtok.w]
+                  ELSE string_split(substr(e$rounds.e, 2,
+                    length(e$rounds.e) - 2), ')(') END AS syms
+           FROM dtok LEFT JOIN e$rounds ON dtok.w = e$rounds.w),
+         tok AS (SELECT doc_id, wpos, CAST(i AS INT) AS spos,
+             list_extract(syms, CAST(i AS INT)) AS t
+           FROM wt, LATERAL unnest(range(1, len(syms) + 1)) AS t2(i)),
+         tid AS (SELECT doc_id, wpos, spos,
+             CASE WHEN length(t) = 1 THEN unicode(t) ELSE v.id END AS id
+           FROM tok LEFT JOIN vocab v ON v.tok = tok.t)
+       SELECT d.doc_id, CAST(count(t.id) AS BIGINT) AS n_tokens,
+         coalesce(string_agg(CAST(t.id AS VARCHAR), ' '
+           ORDER BY t.wpos, t.spos), '') AS token_ids
+       FROM documents d LEFT JOIN tid t USING (doc_id)
+       GROUP BY 1"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "doc_bpe_encode" -> bpeEncodeOracleSql(8),
     "doc_temperature_resample" ->
       s"""WITH sz AS (
            SELECT source, CAST(sum(len(string_split($normSql, ' '))) AS BIGINT)

@@ -411,4 +411,42 @@ class TextStatsSpec extends AnyFunSuite {
     assert(got == Map(1L -> ((2L, 2L, 1000L)), 2L -> ((3L, 1L, 333L)),
       3L -> ((2L, 0L, 0L))), got.toString)
   }
+
+  test("bpeTrainMerges learns rank-ordered merges with greedy non-overlap") {
+    import spark.implicits._
+    // corpus pairs: "ab" x5 (from abab x2: 2 each + abc: 1), "ba" x2,
+    // "bc" x1 -> round 1 merges (a,b). After that, "abab" = (ab)(ab)
+    // -> pair (ab,ab) x2 beats (ab,c) x1 -> round 2 merges (ab,ab)
+    val d = Seq((1L, "abab abab abc")).toDF("doc_id", "text")
+    val merges = TextStats.bpeTrainMerges(d, "text", rounds = 2)
+    assert(merges == Seq(("a", "b"), ("ab", "ab")), merges.toString)
+    // greedy left-to-right: "aaa" merging (a,a) -> (aa)(a), so round 2
+    // pairs are (aa,a) — never the overlapping middle pair
+    val d2 = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    val m2 = TextStats.bpeTrainMerges(d2, "text", rounds = 2)
+    assert(m2 == Seq(("a", "a"), ("aa", "a")), m2.toString)
+  }
+
+  test("bpeTrainMerges stops when no pairs remain") {
+    import spark.implicits._
+    val d = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    // round 1 merges (a,b); every word is then a single symbol — no
+    // pairs left, so rounds 2..5 are skipped, not nulled
+    assert(TextStats.bpeTrainMerges(d, "text", rounds = 5) == Seq(("a", "b")))
+  }
+
+  test("bpeEncode emits codepoint/merge token ids in document order") {
+    import spark.implicits._
+    val d = Seq((1L, "abab abc!"), (2L, "")).toDF("doc_id", "text")
+    // merges: (a,b) -> 256, (ab,ab) -> 257 (pairs: ab x5... with this
+    // corpus: abab:2 occurrences of ab x1 doc + abc -> recompute:
+    // words abab, abc -> ab x3, ba x1, bc x1 -> merge1 (a,b)=256;
+    // then (ab)(ab) x1, (ab)(c) x1 -> tie on count 1 -> pair asc:
+    // ("ab","ab") < ("ab","c") -> merge2 (ab,ab)=257
+    val got = TextStats.bpeEncode(d, "doc_id", "text", rounds = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // doc 1: "abab" -> [257]; "abc" -> [256, 99]; "!" -> [33]
+    assert(got(1L) == ((4L, "257 256 99 33")), got.toString)
+    assert(got(2L) == ((0L, "")), got.toString) // empty doc: no tokens
+  }
 }
