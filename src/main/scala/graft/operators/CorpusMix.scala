@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -29,6 +29,58 @@ object CorpusMix {
         floor(col("sum_tokens").cast("double") * 1000000.0 /
           sum(col("sum_tokens")).over(Window.partitionBy())).cast("long"))
   }
+
+  /** Common multi-label public suffixes for [[registrableDomain]].
+    * BOUNDARY (documented, no external list in this environment): this
+    * is a built-in subset of the Mozilla Public Suffix List covering
+    * the frequent ccTLD second-level registries; suffixes outside it
+    * fall back to the PSL's own default rule (last label is the
+    * suffix), which is also what the PSL prescribes for unknown TLDs.
+    * Swap in the full list as a deployment config where exact PSL
+    * parity matters. */
+  val multiLabelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk", "me.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.nz", "net.nz", "org.nz", "co.in", "net.in", "org.in",
+    "com.br", "net.br", "org.br", "com.cn", "net.cn", "org.cn",
+    "com.mx", "com.ar", "com.tr", "com.sg", "co.kr", "co.za",
+    "com.hk", "com.tw", "co.id", "co.th", "com.my")
+
+  /** Registrable domain (eTLD+1) of a URL column — the key real web
+    * corpora group dedup/caps/mixes by. Pure codegen'd expression, no
+    * UDF: strip scheme and userinfo, take the host up to the first
+    * `/:?#`, lowercase, drop a trailing dot, then keep suffix+1 labels
+    * where the suffix is a known multi-label entry
+    * ([[multiLabelSuffixes]]) or else the last label. IPv4 literals
+    * and bracketed IPv6 literals pass through unchanged (an address
+    * has no registrable parent). */
+  def registrableDomain(url: Column): Column = {
+    val noScheme = regexp_replace(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    val noUser = regexp_replace(noScheme, "^[^/@?#]*@", "")
+    val rawHost = lower(regexp_extract(noUser, "^[^/:?#]*", 0))
+    val host = regexp_replace(rawHost, "\\.$", "")
+    val labels = split(host, "\\.")
+    val suffix2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+    val inSet = multiLabelSuffixes.map(suffix2 === _).reduce(_ || _)
+    when(noUser.startsWith("["),
+        regexp_extract(noUser, "^\\[([^\\]]*)\\]", 1))
+      .when(host.rlike("^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$"), host)
+      .when(size(labels) >= 3 && inSet, array_join(slice(labels, -3, 3), "."))
+      .when(size(labels) >= 2, array_join(slice(labels, -2, 2), "."))
+      .otherwise(host)
+  }
+
+  /** [[sourceMix]] keyed by registrable domain instead of the source
+    * tag — the per-domain token accounting a web-corpus mix is
+    * actually planned on. Same scale shape: one partial-aggregated
+    * groupBy over (domain, lang), grand total via a window over the
+    * reduced frame only; the domain extraction is a narrow row-local
+    * projection fused into the scan. */
+  def domainMix(df: DataFrame, urlCol: String, langCol: String,
+      textCol: String): DataFrame =
+    sourceMix(df.withColumn("domain", registrableDomain(col(urlCol))),
+      "domain", langCol, textCol)
 
   /** Deterministic per-source downsampling to hit a target mix: keep a
     * document iff its stable id-hash bucket ([[TextStats.idBucket]])

@@ -130,6 +130,24 @@ object DocQueries {
       TextStats.lengthQuantilesBy(docs(s, d), "source", "text")),
     "doc_source_mix" -> ((s, d) =>
       CorpusMix.sourceMix(docs(s, d), "source", "lang", "text")),
+    // domain-grouped mix accounting: the fixture carries no URLs, so a
+    // deterministic URL is derived per doc (4 shapes cycling scheme /
+    // www / userinfo+port / multi-label ccTLD suffixes), then the REAL
+    // registrable-domain extraction + mix path runs over it — oracle
+    // replays both the derivation and the extraction
+    "doc_domain_mix" -> ((s, d) => {
+      val b = TextStats.idBucket(col("doc_id"), 4L)
+      val url = when(b === 0, concat(lit("https://"), col("source"),
+          lit(".com/p/"), col("doc_id").cast("string")))
+        .when(b === 1, concat(lit("https://www."), col("source"),
+          lit(".co.uk/x?q=1")))
+        .when(b === 2, concat(lit("http://user@"), col("source"),
+          lit(".org:8080/q")))
+        .otherwise(concat(lit("ftp://sub."), col("source"),
+          lit(".com.au/#frag")))
+      CorpusMix.domainMix(docs(s, d).withColumn("url", url),
+        "url", "lang", "text")
+    }),
     "doc_resample" -> ((s, d) =>
       CorpusMix.resampleBySource(docs(s, d), "doc_id", "source", resamplePct)
         .select("doc_id", "source", "lang")),
@@ -365,8 +383,44 @@ object DocQueries {
        GROUP BY 1"""
   }
 
+  private def suffixListSql: String =
+    graft.operators.CorpusMix.multiLabelSuffixes
+      .map(s => s"'$s'").mkString("[", ", ", "]")
+
   val oracleSql: Map[String, String] = Map(
     "doc_bpe_encode" -> bpeEncodeOracleSql(8),
+    "doc_domain_mix" ->
+      s"""WITH u AS (
+           SELECT lang, text,
+             CASE WHEN ${TextStats.idBucketSql("doc_id", 4L)} = 0
+                    THEN 'https://' || source || '.com/p/' ||
+                      CAST(doc_id AS VARCHAR)
+                  WHEN ${TextStats.idBucketSql("doc_id", 4L)} = 1
+                    THEN 'https://www.' || source || '.co.uk/x?q=1'
+                  WHEN ${TextStats.idBucketSql("doc_id", 4L)} = 2
+                    THEN 'http://user@' || source || '.org:8080/q'
+                  ELSE 'ftp://sub.' || source || '.com.au/#frag' END AS url
+           FROM documents),
+         h AS (SELECT lang, text,
+             regexp_replace(lower(regexp_extract(regexp_replace(
+               regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''),
+               '^[^/@?#]*@', ''), '^[^/:?#]*')), '\\.$$', '') AS host
+           FROM u),
+         dm AS (SELECT lang, text,
+             CASE WHEN len(l) >= 3 AND
+                    list_contains($suffixListSql, l[-2] || '.' || l[-1])
+                    THEN array_to_string(l[-3:], '.')
+                  WHEN len(l) >= 2 THEN array_to_string(l[-2:], '.')
+                  ELSE host END AS domain
+           FROM (SELECT lang, text, host, string_split(host, '.') AS l FROM h)),
+         g AS (SELECT domain, lang, count(*) AS n_docs,
+             CAST(sum(len(string_split($normSql, ' '))) AS BIGINT)
+               AS sum_tokens
+           FROM dm GROUP BY 1, 2)
+         SELECT domain, lang, n_docs, sum_tokens,
+           CAST(floor(CAST(sum_tokens AS DOUBLE) * 1000000.0 /
+             sum(sum_tokens) OVER ()) AS BIGINT) AS token_ppm
+         FROM g""",
     "doc_temperature_resample" ->
       s"""WITH sz AS (
            SELECT source, CAST(sum(len(string_split($normSql, ' '))) AS BIGINT)

@@ -265,4 +265,35 @@ class CorpusMixSpec extends AnyFunSuite {
     assert(got == Map(1L -> "removed", 2L -> "unchanged",
       3L -> "changed", 4L -> "added"), got.toString)
   }
+
+  test("registrableDomain handles schemes, userinfo, ports, PSL suffixes") {
+    val cases = Seq(
+      "https://www.example.com/path?q=1" -> "example.com",
+      "http://user:pw@sub.a.example.co.uk:8080/x#f" -> "example.co.uk",
+      "ftp://deep.sub.thing.com.au/" -> "thing.com.au",
+      "Example.ORG" -> "example.org", // no scheme, case-folded
+      "example.com." -> "example.com", // trailing root dot
+      "localhost" -> "localhost", // single label
+      "http://192.168.0.1:9090/admin" -> "192.168.0.1", // IPv4 passthrough
+      "http://[2001:db8::1]:443/x" -> "2001:db8::1", // bracketed IPv6
+      "https://a.b.c.d.e.org/x" -> "e.org", // default rule: last label
+      "" -> "")
+    val got = cases.map(_._1).toDF("url")
+      .select(CorpusMix.registrableDomain(org.apache.spark.sql.functions.col("url"))).collect().map(_.getString(0))
+    cases.zip(got).foreach { case ((in, want), have) =>
+      assert(have == want, s"$in -> $have, wanted $want") }
+  }
+
+  test("domainMix groups token accounting by extracted domain") {
+    val d = Seq(
+      (1L, "https://www.x.com/a", "en", "one two"),
+      (2L, "http://x.com/b", "en", "three"),
+      (3L, "https://y.co.uk/c", "en", "four five six"))
+      .toDF("doc_id", "url", "lang", "text")
+    val got = CorpusMix.domainMix(d, "url", "lang", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // x.com: 2 docs, 3 tokens, 500000 ppm; y.co.uk: 1 doc, 3 tokens
+    assert(got == Map("x.com" -> ((2L, 3L, 500000L)),
+      "y.co.uk" -> ((1L, 3L, 500000L))), got.toString)
+  }
 }
