@@ -166,7 +166,27 @@ object Graph {
     * combined propagate+jump fixed point forces the propagate-only
     * fixed point, so the sum probe's meaning is unchanged. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIterations: Int = 64, jumpAfter: Int = 8): DataFrame = {
+      maxIterations: Int = 64, jumpAfter: Int = 8): DataFrame =
+    connectedComponentsWithReport(edges, srcCol, dstCol,
+      maxIterations, jumpAfter)._1
+
+  /** Convergence telemetry for one [[connectedComponents]] run. The
+    * facts fall out of the driver loop for free (the sum probe already
+    * runs every round) — no extra job. `jumpedRounds` counts rounds
+    * that composed the pointer-jump; `converged` false means the
+    * maxIterations runaway bound fired first (labels are then a valid
+    * UNDER-merged partition refinement, not components — callers
+    * should alarm on it, which is the point of surfacing this). */
+  final case class ComponentsRunReport(rounds: Int, jumpedRounds: Int,
+      converged: Boolean)
+
+  /** [[connectedComponents]] plus its [[ComponentsRunReport]] — the
+    * observable form: a 100 TB operator whose round count tracks graph
+    * diameter needs its rounds/jump/convergence facts visible to the
+    * pipeline, not buried in driver logs. */
+  def connectedComponentsWithReport(edges: DataFrame, srcCol: String,
+      dstCol: String, maxIterations: Int = 64, jumpAfter: Int = 8)
+      : (DataFrame, ComponentsRunReport) = {
     require(maxIterations >= 1, s"maxIterations must be >= 1, got $maxIterations")
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct()
@@ -188,6 +208,7 @@ object Graph {
     var prevSum = labelSum(lab)
     var converged = false
     var rounds = 0
+    var jumped = 0
     while (!converged && rounds < maxIterations) {
       val prop = symSelf.join(lab, col("src") === col("node"))
         .groupBy(col("dst")).agg(min(col("label")).as("label"))
@@ -196,6 +217,7 @@ object Graph {
       // is a node id and self-loops put every node in prop, so the
       // inner self-join is total; the two prop references share one
       // reused exchange in the physical plan.
+      if (rounds >= jumpAfter) jumped += 1
       val stepped = if (rounds < jumpAfter) prop else
         prop.join(
           prop.select(col("node").as("l_node"), col("label").as("l_label")),
@@ -212,7 +234,7 @@ object Graph {
       prevSum = s
     }
     symSelf.unpersist(false)
-    lab
+    (lab, ComponentsRunReport(rounds, jumped, converged))
   }
 
   /** Exact per-node triangle counts: orient every edge low-id -> high-id,

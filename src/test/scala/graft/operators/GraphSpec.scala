@@ -93,9 +93,24 @@ class GraphSpec extends AnyFunSuite {
     // 20-round budget suffices — converging here PROVES the jump path
     // runs and is correct, not just present.
     val edges = (0L until 44L).map(i => (i, i + 1L)).toDF("a", "b")
-    val got = Graph.connectedComponents(edges, "a", "b", maxIterations = 20)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (labels, report) = Graph.connectedComponentsWithReport(
+      edges, "a", "b", maxIterations = 20)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == (0L to 44L).map(_ -> 0L).toMap, got.toString)
+    // telemetry: converged inside the budget, jump rounds engaged past
+    // round 8, and total rounds far below the 44 plain propagation
+    // would need — the observable form of the diameter-armor claim
+    assert(report.converged, report.toString)
+    assert(report.rounds <= 20 && report.rounds < 44, report.toString)
+    assert(report.jumpedRounds == report.rounds - 8, report.toString)
+  }
+
+  test("connectedComponents report flags a truncated (non-converged) run") {
+    val edges = (0L until 12L).map(i => (i, i + 1L)).toDF("a", "b")
+    val (_, report) = Graph.connectedComponentsWithReport(
+      edges, "a", "b", maxIterations = 3)
+    assert(!report.converged && report.rounds == 3 &&
+      report.jumpedRounds == 0, report.toString)
   }
 
   test("labelPropagation: K2 oscillates (period 2) — exactly k rounds run and " +
