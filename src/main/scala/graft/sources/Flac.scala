@@ -716,6 +716,7 @@ object Flac {
       require(len >= 0 && br.position + len <= bytes.length,
         s"metadata block overruns the stream")
       if (tpe == 0) {
+        require(len >= 34, s"STREAMINFO block $len bytes, spec needs 34")
         val bsMin = br.readBits(16).toInt; br.readBits(16)
         br.readBits(24); br.readBits(24)
         val rate = br.readBits(20).toInt
@@ -743,12 +744,23 @@ object Flac {
   /** Decode a whole in-memory payload to channel arrays. */
   def decode(bytes: Array[Byte]): (FlacInfo, Array[Array[Int]]) = {
     val info = parseInfo(bytes)
+    // the 36-bit STREAMINFO sample count is untrusted and sizes the
+    // output allocation: reject counts the payload cannot plausibly
+    // hold (a frame covers <= 65536 samples and costs >= ~10 bytes)
+    // instead of truncating to Int or attempting a multi-GB array
+    require(info.totalSamples >= 0 && info.totalSamples <= Int.MaxValue &&
+      info.totalSamples <= (bytes.length / 10L + 1L) * 65536L,
+      s"implausible totalSamples ${info.totalSamples} for ${bytes.length} bytes")
     val out = Array.fill(info.channels)(new Array[Int](info.totalSamples.toInt))
     var off = info.firstFrameOffset.toInt
     var pos = 0
     while (pos < info.totalSamples) {
       val (chans, next, _) = decodeFrame(bytes, off, info.channels, info.bitsPerSample)
       val n = chans(0).length
+      // a zero-sample frame would loop forever; a frame overrunning
+      // the declared total is a lying header — both are rejections
+      require(n > 0 && pos + n <= info.totalSamples,
+        s"frame at $off decodes $n samples at position $pos of ${info.totalSamples}")
       var c = 0
       while (c < info.channels) {
         System.arraycopy(chans(c), 0, out(c), pos, n); c += 1
@@ -883,6 +895,11 @@ object Flac {
     val spans = info.seekpoints.indices.map { i =>
       val (sample, off, _) = info.seekpoints(i)
       val end = if (i + 1 < info.seekpoints.length) base + info.seekpoints(i + 1)._2 else fileLen
+      // seekpoint offsets are untrusted split bounds: they must stay
+      // inside the file and be non-decreasing, or a task would compute
+      // a negative/foreign read span
+      require(off >= 0 && sample >= 0 && base + off <= end && end <= fileLen,
+        s"$path: hostile seekpoint $i (offset $off, next-end $end, file $fileLen)")
       (base + off, end, sample)
     }
     val groups = spans.grouped(math.max(1, framesPerTask)).toArray

@@ -95,13 +95,26 @@ object Las {
       recordsPerChunk: Int = 2 << 20): DataFrame = {
     val h = readHeader(path)
     require(h.pointFormat <= 10, s"unsupported point format ${h.pointFormat}")
-    val nChunks = ((h.pointCount + recordsPerChunk - 1) / recordsPerChunk).toInt
+    // header length fields are untrusted: the promised point region
+    // must actually exist in the file (reject truncation up front, not
+    // as a mid-scan EOF in task 37), and the per-chunk buffer math
+    // must not overflow Int for a hostile recordLen
+    require(h.recordLen >= 12, s"$path: record length ${h.recordLen} < 12")
+    val fileLen = java.nio.file.Files.size(Paths.get(path))
+    // division form: immune to Long overflow on a hostile point count
+    require(h.pointCount >= 0 && h.offsetToPoints <= fileLen &&
+      h.pointCount <= (fileLen - h.offsetToPoints) / h.recordLen,
+      s"$path: header promises ${h.pointCount} x ${h.recordLen}-byte points " +
+        s"at ${h.offsetToPoints} but the file is $fileLen bytes")
+    val perChunk = math.max(1, math.min(recordsPerChunk.toLong,
+      (1L << 28) / h.recordLen)).toInt
+    val nChunks = ((h.pointCount + perChunk - 1) / perChunk).toInt
     val safe = spark.sparkContext
       .parallelize(0 until math.max(nChunks, 1), math.max(nChunks, 1))
       .mapPartitions { it =>
         it.flatMap { chunk =>
-          val first = chunk.toLong * recordsPerChunk
-          val count = math.max(0, math.min(recordsPerChunk.toLong, h.pointCount - first)).toInt
+          val first = chunk.toLong * perChunk
+          val count = math.max(0, math.min(perChunk.toLong, h.pointCount - first)).toInt
           if (count == 0) Iterator.empty
           else {
             val raf = new RandomAccessFile(path, "r")

@@ -868,6 +868,10 @@ object Laz {
         if (payload == null) remaining -= 1
       }
       require(payload != null, s"$path: laszip VLR (user '$VlrUserId', record $VlrRecordId) not found")
+      // hostile-length guard: the item table must FIT the VLR payload
+      // the length field promised — reject, don't read past it
+      require(payload.length >= 34,
+        s"$path: laszip VLR payload ${payload.length} bytes, header needs 34")
       val pb = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
       val compressor = pb.getShort(0) & 0xFFFF
       val coder = pb.getShort(2) & 0xFFFF
@@ -877,6 +881,9 @@ object Laz {
           "(pointwise=1, pointwise-chunked=2, layered-chunked=3)")
       val chunkSize = pb.getInt(12) & 0xFFFFFFFFL
       val numItems = pb.getShort(32) & 0xFFFF
+      require(34 + 6 * numItems <= payload.length,
+        s"$path: laszip VLR declares $numItems items but payload is " +
+          s"${payload.length} bytes")
       val items = (0 until numItems).map { i =>
         val o = 34 + 6 * i
         ((pb.getShort(o) & 0xFFFF, pb.getShort(o + 2) & 0xFFFF, pb.getShort(o + 4) & 0xFFFF))
@@ -934,6 +941,11 @@ object Laz {
         val size = raf.length() - info.pointDataStart
         require(size > 0 && size <= Int.MaxValue,
           s"$path: pointwise stream size $size out of range")
+        // plausibility floor of 1/8 bit per coded point: a header
+        // claiming billions of points over a few bytes is hostile, and
+        // the count sizes decode-side allocations
+        require(count <= 64L * size + 64,
+          s"$path: $count points implausible for $size coded bytes")
         return Array((info.pointDataStart, count.toInt, size.toInt))
       }
       raf.seek(info.chunkTableOffset)
@@ -943,6 +955,11 @@ object Laz {
       val version = hb.getInt(0)
       require(version == 0, s"$path: chunk table version $version")
       val nChunks = hb.getInt(4)
+      // hostile-count guard: the descriptor array is nChunks-sized, so
+      // a negative or absurd count must die HERE, not as a negative-
+      // array-size crash or a multi-GB allocation
+      require(nChunks >= 0 && nChunks <= (1 << 26),
+        s"$path: implausible chunk count $nChunks")
       if (nChunks == 0) return Array.empty
       val bodyLen = raf.length() - info.chunkTableOffset - 8
       // the coded table is ~bytes-per-chunk small; a malformed offset
@@ -965,6 +982,18 @@ object Laz {
           if (variable) { prevCount = ic.decompress(dec, prevCount, 0); prevCount }
           else math.min(info.chunkSize, remaining).toInt
         val size = { prevSize = ic.decompress(dec, prevSize, 1); prevSize }
+        // decoded table entries are untrusted: counts must stay within
+        // the header's point total, chunk bytes must tile the region
+        // BEFORE the table, and a count the coded bytes cannot
+        // plausibly hold (floor: 1/8 bit per point) sizes decode-side
+        // allocations — reject each loudly instead of misreading
+        require(count >= 0 && count <= remaining,
+          s"$path: chunk $i count $count exceeds remaining $remaining points")
+        require(size >= 0 && off + size <= info.chunkTableOffset,
+          s"$path: chunk $i ($size bytes at $off) overruns the chunk table " +
+            s"at ${info.chunkTableOffset}")
+        require(count <= 64L * size + 64,
+          s"$path: chunk $i claims $count points in $size coded bytes")
         out(i) = (off, count, size)
         off += size
         remaining -= count

@@ -471,10 +471,17 @@ object Laz14 {
       s"layered chunk header says $stored points, chunk table says $count")
     val sizes = Array.fill(nLayers)(bb.getInt)
     val starts = new Array[Int](nLayers)
-    var off = offset + len + 4 + 4 * nLayers
+    // layer byte counts are untrusted: negative sizes would misalign
+    // every following layer, and Int-overflowing sums would wrap past
+    // the bounds check — walk in Long and reject each bad length
+    var off = (offset + len + 4 + 4 * nLayers).toLong
     var i = 0
-    while (i < nLayers) { starts(i) = off; off += sizes(i); i += 1 }
-    require(off <= bytes.length, s"layered chunk layers overrun the buffer")
+    while (i < nLayers) {
+      require(sizes(i) >= 0 && off + sizes(i) <= bytes.length,
+        s"layered chunk layer $i (${sizes(i)} bytes at $off) overruns " +
+          s"the ${bytes.length}-byte buffer")
+      starts(i) = off.toInt; off += sizes(i); i += 1
+    }
     val decs = new Array[ArithmeticDecoder](nLayers)
     i = 0
     while (i < nLayers) {
