@@ -378,8 +378,17 @@ object TextStats {
     * streaming fold — no per-group materialization. */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
       budget: Long, buckets: Int): DataFrame =
-    packWithOrder(df, idCol, textCol, budget, buckets,
-      Seq(col("_2"), col("_1")))
+    packWithOrder(df, idCol, size(split(norm(col(textCol)), " ")).cast("long"),
+      budget, buckets, Seq(col("_2"), col("_1")))
+
+  /** [[packSequences]] over a PRECOMPUTED token-count column — the form
+    * that composes with a real tokenizer ([[bpeEncode]]'s `n_tokens`)
+    * instead of the whitespace proxy. Same machinery, same determinism,
+    * same single shuffle. */
+  def packSequencesBy(df: DataFrame, idCol: String, tokenCol: String,
+      budget: Long, buckets: Int): DataFrame =
+    packWithOrder(df, idCol, col(tokenCol).cast("long"),
+      budget, buckets, Seq(col("_2"), col("_1")))
 
   /** Next-fit-DECREASING packing: identical machinery, but each bucket
     * stream is processed largest-document-first — the classic bin-
@@ -388,10 +397,10 @@ object TextStats {
     * the order is a pure function of (bucket, tokens, id). */
   def packSequencesNfd(df: DataFrame, idCol: String, textCol: String,
       budget: Long, buckets: Int): DataFrame =
-    packWithOrder(df, idCol, textCol, budget, buckets,
-      Seq(col("_2"), col("_3").desc, col("_1")))
+    packWithOrder(df, idCol, size(split(norm(col(textCol)), " ")).cast("long"),
+      budget, buckets, Seq(col("_2"), col("_3").desc, col("_1")))
 
-  private def packWithOrder(df: DataFrame, idCol: String, textCol: String,
+  private def packWithOrder(df: DataFrame, idCol: String, tokens: Column,
       budget: Long, buckets: Int,
       order: Seq[org.apache.spark.sql.Column]): DataFrame = {
     import org.apache.spark.sql.{Encoder, Encoders}
@@ -401,7 +410,7 @@ object TextStats {
       Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
     df.select(col(idCol).cast("long").as("_1"),
         idBucket(col(idCol).cast("long"), buckets.toLong).as("_2"),
-        size(split(norm(col(textCol)), " ")).cast("long").as("_3"))
+        tokens.as("_3"))
       .as[(Long, Long, Long)](enc)
       .repartition(col("_2"))
       .sortWithinPartitions(order: _*)

@@ -227,6 +227,13 @@ object DocQueries {
     // oracle-replayed via unrolled per-round CTEs
     "doc_bpe_encode" -> ((s, d) =>
       TextStats.bpeEncode(docs(s, d), "doc_id", "text", rounds = 8)),
+    // sequence packing over the REAL tokenizer's counts (doc_pack uses
+    // the whitespace proxy): bpeEncode's n_tokens feeds the same
+    // deterministic greedy bucket-stream fold
+    "doc_pack_bpe" -> ((s, d) =>
+      TextStats.packSequencesBy(
+        TextStats.bpeEncode(docs(s, d), "doc_id", "text", rounds = 8),
+        "doc_id", "n_tokens", budget = 2048L, buckets = 8)),
     // byte-budget training shards in id order (webdataset packing
     // shape) — prefix sums via the bucket-offset composition, keyed
     // by exact-percentile id ranges
@@ -334,7 +341,7 @@ object DocQueries {
     * as in Spark); then a vocab CTE (merge string -> 256 + first
     * round) and the per-document re-encoding joined back over the
     * final word encodings. Single-char symbols id by codepoint. */
-  private def bpeEncodeOracleSql(rounds: Int): String = {
+  private def bpeTokenCtes(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
       s"""p$r AS MATERIALIZED (SELECT list_extract(s, CAST(i AS INT)) AS a,
               list_extract(s, CAST(i AS INT) + 1) AS b, sum(c) AS n
@@ -350,7 +357,7 @@ object DocQueries {
     }.mkString(",\n        ")
     val mergeUnion = (1 to rounds).map(r =>
       s"SELECT a || b AS tok, 255 + $r AS id FROM b$r").mkString(" UNION ALL ")
-    s"""WITH wq AS (
+    s"""WITH RECURSIVE wq AS (
            SELECT unnest(regexp_extract_all($normSql, '[a-z0-9]+')) AS w
            FROM documents),
          e0 AS (SELECT w, c,
@@ -375,13 +382,43 @@ object DocQueries {
            FROM wt, LATERAL unnest(range(1, len(syms) + 1)) AS t2(i)),
          tid AS (SELECT doc_id, wpos, spos,
              CASE WHEN length(t) = 1 THEN unicode(t) ELSE v.id END AS id
-           FROM tok LEFT JOIN vocab v ON v.tok = tok.t)
+           FROM tok LEFT JOIN vocab v ON v.tok = tok.t)"""
+  }
+
+  private def bpeEncodeOracleSql(rounds: Int): String =
+    s"""${bpeTokenCtes(rounds)}
        SELECT d.doc_id, CAST(count(t.id) AS BIGINT) AS n_tokens,
          coalesce(string_agg(CAST(t.id AS VARCHAR), ' '
            ORDER BY t.wpos, t.spos), '') AS token_ids
        FROM documents d LEFT JOIN tid t USING (doc_id)
        GROUP BY 1"""
-  }
+
+  /** Greedy id-order packing over the REAL BPE token counts — the
+    * doc_pack recursive-CTE shape with `n_tokens` swapped from the
+    * whitespace proxy to the unrolled-BPE count of [[bpeTokenCtes]]. */
+  private def bpePackOracleSql(rounds: Int, budget: Long,
+      buckets: Int): String =
+    s"""${bpeTokenCtes(rounds)},
+         d2 AS (SELECT dd.doc_id,
+             ${TextStats.idBucketSql("dd.doc_id", buckets.toLong)} AS bucket,
+             CAST(count(t.id) AS BIGINT) AS n_tokens
+           FROM documents dd LEFT JOIN tid t ON t.doc_id = dd.doc_id
+           GROUP BY 1),
+         o2 AS (SELECT *, row_number() OVER (PARTITION BY bucket
+             ORDER BY doc_id) AS rn FROM d2),
+         r2 AS (
+           SELECT bucket, rn, doc_id, n_tokens, 0::BIGINT AS pack_idx,
+             n_tokens AS acc
+           FROM o2 WHERE rn = 1
+           UNION ALL
+           SELECT o2.bucket, o2.rn, o2.doc_id, o2.n_tokens,
+             CASE WHEN r2.acc + o2.n_tokens > $budget THEN r2.pack_idx + 1
+                  ELSE r2.pack_idx END,
+             CASE WHEN r2.acc + o2.n_tokens > $budget THEN o2.n_tokens
+                  ELSE r2.acc + o2.n_tokens END
+           FROM r2 JOIN o2 ON o2.bucket = r2.bucket AND o2.rn = r2.rn + 1
+         )
+       SELECT doc_id, bucket, pack_idx, n_tokens FROM r2"""
 
   private def suffixListSql: String =
     graft.operators.CorpusMix.multiLabelSuffixes
@@ -389,6 +426,7 @@ object DocQueries {
 
   val oracleSql: Map[String, String] = Map(
     "doc_bpe_encode" -> bpeEncodeOracleSql(8),
+    "doc_pack_bpe" -> bpePackOracleSql(8, 2048L, 8),
     "doc_domain_mix" ->
       s"""WITH u AS (
            SELECT lang, text,
