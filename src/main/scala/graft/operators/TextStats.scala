@@ -507,17 +507,21 @@ object TextStats {
     * greedy BPE merge semantics, oracle-replayable verbatim. */
   def bpeTrainMerges(df: DataFrame, textCol: String,
       rounds: Int = 8): Seq[(String, String)] = {
-    val words = df.select(explode(regexp_extract_all(norm(col(textCol)),
+    // each round applies ONE replace to the checkpointed previous
+    // round (not a re-fold of every prior merge): per-round work stays
+    // O(vocabulary) and plan depth stays constant, so the loop
+    // survives the R ~ thousands of a production tokenizer — the same
+    // lineage-truncation discipline as the graph convergence loops
+    var cur = df.select(explode(regexp_extract_all(norm(col(textCol)),
         lit("[a-z0-9]+"), lit(0))).as("__w"))
       .groupBy("__w").agg(count(lit(1)).as("__c"))
+      .select(col("__c"), encodeSymsExpr(col("__w")).as("__e"))
       .localCheckpoint()
     val merges = Seq.newBuilder[(String, String)]
-    var acc = Seq.empty[(String, String)]
     var exhausted = false
     for (_ <- 0 until rounds if !exhausted) {
-      val enc = acc.foldLeft(encodeSymsExpr(col("__w"))) { case (e, (a, b)) =>
-        replace(e, lit(s"($a)($b)"), lit(s"($a$b)")) }
-      val best = words
+      val enc = col("__e")
+      val best = cur
         .select(col("__c"),
           split(enc.substr(lit(2), length(enc) - 2), "\\)\\(").as("__s"))
         .filter(size(col("__s")) >= 2)
@@ -530,12 +534,27 @@ object TextStats {
         .limit(1).collect()
       if (best.isEmpty) exhausted = true
       else {
-        val m = (best(0).getString(0), best(0).getString(1))
-        merges += m; acc = acc :+ m
+        val (a, b) = (best(0).getString(0), best(0).getString(1))
+        merges += ((a, b))
+        val old = cur
+        cur = cur.withColumn("__e",
+          replace(col("__e"), lit(s"($a)($b)"), lit(s"($a$b)")))
+          .localCheckpoint()
+        freeCheckpoint(old)
       }
     }
+    freeCheckpoint(cur)
     merges.result()
   }
+
+  /** Drop the executor-storage blocks behind a localCheckpointed round
+    * frame once its successor is materialized (the graph-loop
+    * discipline — don't wait on driver GC + ContextCleaner). */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
 
   /** A word column as its `(c1)(c2)...` character-symbol encoding. */
   private def encodeSymsExpr(w: Column): Column =

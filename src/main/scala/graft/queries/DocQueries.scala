@@ -234,6 +234,15 @@ object DocQueries {
       TextStats.packSequencesBy(
         TextStats.bpeEncode(docs(s, d), "doc_id", "text", rounds = 8),
         "doc_id", "n_tokens", budget = 2048L, buckets = 8)),
+    // the trained merge table itself (rank-ordered rules) — what a
+    // deployment exports to tokenize elsewhere
+    "doc_bpe_vocab" -> ((s, d) => {
+      import s.implicits._
+      TextStats.bpeTrainMerges(docs(s, d), "text", rounds = 8)
+        .zipWithIndex
+        .map { case ((a, b), r) => (r.toLong, a, b, a + b) }
+        .toDF("merge_rank", "lhs", "rhs", "token")
+    }),
     // byte-budget training shards in id order (webdataset packing
     // shape) — prefix sums via the bucket-offset composition, keyed
     // by exact-percentile id ranges
@@ -427,6 +436,14 @@ object DocQueries {
   val oracleSql: Map[String, String] = Map(
     "doc_bpe_encode" -> bpeEncodeOracleSql(8),
     "doc_pack_bpe" -> bpePackOracleSql(8, 2048L, 8),
+    "doc_bpe_vocab" -> {
+      val union = (1 to 8).map(r =>
+        s"SELECT ${r - 1} AS merge_rank, a, b FROM b$r").mkString(" UNION ALL ")
+      s"""${bpeTokenCtes(8)}
+         SELECT CAST(merge_rank AS BIGINT) AS merge_rank, a AS lhs,
+           b AS rhs, a || b AS token
+         FROM ($union)"""
+    },
     "doc_domain_mix" ->
       s"""WITH u AS (
            SELECT lang, text,
