@@ -182,6 +182,44 @@ object Dedup {
     verifyJaccardSorted(pairs, hashed, idCol, threshold)
   }
 
+  /** MinHash-estimator calibration gauge — the dedup analogue of the
+    * ANN recall@k gauge: for every exact-verified near-dup pair, the
+    * Jaccard a `numHashes`-row minhash signature would ESTIMATE
+    * (matching-position fraction, in permille) next to the exact
+    * value, so estimator bias/variance is measured on the live corpus
+    * rather than assumed. The gauge signature is built from the
+    * portable hash family (string_portable_hash per shingle, lehmer3
+    * permutations), so even the estimates replay exactly in the SQL
+    * oracle — the production pipeline's xxhash64 signatures have the
+    * same collision-probability structure (both are ~uniform families;
+    * P[min-collision] = J position-wise either way).
+    *
+    * Scale shape: pairs come from the banded pipeline (bounded), the
+    * signature frame is one narrow kernel pass over the corpus, and
+    * the two signature joins move numHashes longs per matched doc —
+    * nothing pairwise ever carries text. */
+  def minhashJaccardGauge(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, numHashes: Int = 32,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashNearDups(df, idCol, textCol, shingleLen,
+      wordShingles = true, numHashes = 64, bands = 16, threshold = threshold)
+    val hv = df.select(col(idCol),
+      array_distinct(transform(
+        graft.functions.text.word_ngrams(normalizeText(col(textCol)), shingleLen),
+        g => graft.functions.text.string_portable_hash(g))).as("__hv"))
+    val sig = hv.select(col(idCol),
+      transform(sequence(lit(0), lit(numHashes - 1)),
+        h => array_min(transform(col("__hv"),
+          v => graft.functions.hashes.lehmer3(v + h * lit(700001L))))).as("__sig"))
+    val sa = sig.select(col(idCol).as("id_a"), col("__sig").as("__siga"))
+    val sb = sig.select(col(idCol).as("id_b"), col("__sig").as("__sigb"))
+    pairs.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("est_permille", expr(
+        "aggregate(zip_with(__siga, __sigb, (a, b) -> IF(a = b, 1L, 0L)), " +
+          s"0L, (acc, x) -> acc + x) * 1000 div $numHashes"))
+      .select("id_a", "id_b", "jaccard", "est_permille")
+  }
+
   /** [[minhashNearDups]] additionally scoring the overlap (containment)
     * coefficient |A∩B| / min(|A|, |B|) — the signal that catches a
     * small document embedded verbatim in a larger one, where Jaccard

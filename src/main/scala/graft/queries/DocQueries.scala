@@ -31,6 +31,12 @@ object DocQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_exact_dedup" -> ((s, d) =>
       Dedup.exactDedup(docs(s, d), "doc_id", "text")),
+    // estimator calibration: exact Jaccard next to what a 32-row
+    // portable minhash signature estimates, per verified pair — the
+    // dedup analogue of emb_ivf_recall
+    "doc_minhash_estimate" -> ((s, d) =>
+      Dedup.minhashJaccardGauge(docs(s, d), "doc_id", "text",
+        shingleLen = 3, numHashes = 32, threshold = 0.8)),
     "doc_minhash_neardup" -> ((s, d) =>
       Dedup.minhashNearDups(docs(s, d), "doc_id", "text",
         shingleLen = 3, wordShingles = true, numHashes = 64, bands = 16, threshold = 0.8)),
@@ -510,6 +516,25 @@ object DocQueries {
       s"""SELECT min(doc_id) AS doc_id, count(*) AS n_copies
          FROM (SELECT doc_id, $normSql AS norm FROM documents) GROUP BY norm""",
     "doc_minhash_neardup" -> wordJaccardSql(0.8),
+    "doc_minhash_estimate" -> {
+      val h = 32
+      s"""WITH $wordShinglesCtes,
+         hv AS (SELECT doc_id,
+             list_distinct(list_transform(shingles,
+               g -> ${PortableSql.wordHash("g")})) AS hv
+           FROM sh),
+         sg AS (SELECT doc_id, list_transform(range(0, $h), h ->
+             list_min(list_transform(hv, v ->
+               ${PortableSql.lehmer3("v + h * 700001")}))) AS sig
+           FROM hv),
+         p AS (${wordPairsSelect(0.8)})
+         SELECT p.id_a, p.id_b, p.jaccard,
+           CAST((list_sum(list_transform(range(0, $h), i ->
+             CASE WHEN sa.sig[CAST(i AS INT) + 1] = sb.sig[CAST(i AS INT) + 1]
+               THEN 1 ELSE 0 END)) * 1000) // $h AS BIGINT) AS est_permille
+         FROM p JOIN sg sa ON sa.doc_id = p.id_a
+              JOIN sg sb ON sb.doc_id = p.id_b"""
+    },
     "doc_dup_clusters" ->
       s"""WITH RECURSIVE $wordShinglesCtes,
          p AS (${wordPairsSelect(0.8)}),

@@ -253,4 +253,31 @@ class DedupSpec extends AnyFunSuite {
       w = 8, modulus = 32, maxDf = 10, minSharedChunks = 1)
     assert(bp.count() == 0, "df-capped boilerplate must produce no pairs")
   }
+
+  test("minhashJaccardGauge: identical docs estimate 1000, estimates are " +
+      "deterministic and bounded") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    // one token substituted at the tail: 25 of 28 3-gram shingles
+    // shared (J ~ 0.81), which the 16x4 banding candidates with
+    // near-certainty — deterministically, since nothing uses RNG
+    val half = (1 to 29).map(i => s"tok$i").mkString(" ") + " tokX"
+    val d = docs(1L -> base, 2L -> base, 3L -> half)
+    val got = Dedup.minhashJaccardGauge(d, "doc_id", "text",
+      shingleLen = 3, numHashes = 32, threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getLong(3)))).toMap
+    // identical pair: exact 1.0, every signature row matches -> 1000
+    val (j12, e12) = got((1L, 2L))
+    assert(j12 == 1.0 && e12 == 1000L, got.toString)
+    // the half-overlap pairs: estimate in [0, 1000], equal for the two
+    // symmetric pairs (same signatures), reproducible across runs
+    val (j13, e13) = got((1L, 3L))
+    val (j23, e23) = got((2L, 3L))
+    assert(j13 == j23 && e13 == e23, got.toString)
+    assert(e13 >= 0L && e13 <= 1000L, got.toString)
+    val again = Dedup.minhashJaccardGauge(d, "doc_id", "text",
+      shingleLen = 3, numHashes = 32, threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(again((1L, 3L)) == e13, "estimates must be deterministic")
+  }
 }
