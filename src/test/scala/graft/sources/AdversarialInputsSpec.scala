@@ -123,6 +123,60 @@ class AdversarialInputsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("hostile seekpoint"), e.getMessage)
   }
 
+  test("LAZ: single-byte corruption anywhere terminates quickly — throw " +
+      "or garbage, never hang or OOM") {
+    val path = "/tmp/graft_adv_fuzz.laz"
+    writeSmallLaz(path)
+    val good = Files.readAllBytes(Paths.get(path))
+    val rnd = new scala.util.Random(47)
+    val evilPath = "/tmp/graft_adv_fuzz_mut.laz"
+    (0 until 60).foreach { _ =>
+      val evil = good.clone()
+      evil(rnd.nextInt(evil.length)) = rnd.nextInt(256).toByte
+      Files.write(Paths.get(evilPath), evil)
+      val t0 = System.nanoTime()
+      try {
+        val info = Laz.readInfo(evilPath)
+        val chunks = Laz.readChunkDescriptors(evilPath, info)
+        // decode the first chunk if the tables survived — bounded work
+        chunks.headOption.foreach { case (off, count, size) =>
+          val raf = new java.io.RandomAccessFile(evilPath, "r")
+          try {
+            val b = new Array[Byte](size)
+            raf.seek(off); raf.readFully(b)
+            Laz.decodeChunk(b, 0, count)
+          } finally raf.close()
+        }
+      } catch { case _: Exception => () } // loud rejection is fine
+      assert((System.nanoTime() - t0) / 1e9 < 10.0, "fuzzed decode hung")
+    }
+    // truncations at assorted prefix lengths: header reads must fail
+    // cleanly (EOF/require), never loop
+    (1 until 20).foreach { i =>
+      Files.write(Paths.get(evilPath), good.take(good.length * i / 20))
+      try { Laz.readChunkDescriptors(evilPath, Laz.readInfo(evilPath)); () }
+      catch { case _: Exception => () }
+    }
+  }
+
+  test("FLAC: single-byte corruption anywhere terminates quickly") {
+    val pcm = Array.tabulate(3000)(i => (math.sin(i * 0.07) * 6000).toInt)
+    val good = Flac.encode(pcm, blockSize = 512)
+    val rnd = new scala.util.Random(53)
+    (0 until 120).foreach { _ =>
+      val evil = good.clone()
+      evil(rnd.nextInt(evil.length)) = rnd.nextInt(256).toByte
+      val t0 = System.nanoTime()
+      try { Flac.decode(evil); () }
+      catch { case _: Exception => () }
+      assert((System.nanoTime() - t0) / 1e9 < 10.0, "fuzzed decode hung")
+    }
+    (0 until good.length by 97).foreach { n =>
+      try { Flac.decode(good.take(n)); () }
+      catch { case _: Exception => () }
+    }
+  }
+
   test("LAS: truncated point region and hostile record length are " +
       "rejected up front, not mid-scan") {
     import spark.implicits._
