@@ -111,6 +111,29 @@ object Streams {
         col("n_null_keys"), col("approx_keys"))
   }
 
+  /** Streaming per-domain token accounting — the online form of
+    * [[graft.operators.CorpusMix.domainMix]]: windowed (domain,
+    * n_docs, sum_tokens) over a document stream keyed by registrable
+    * domain. The extraction is the same pure codegen'd expression as
+    * the batch op, so batch backfill and stream agree row-for-row;
+    * watermarked tumbling windows make the aggregate append-ready.
+    * The ingestion-side view of "which domains are flooding the
+    * corpus right now" that a crawl pipeline rate-limits on. */
+  def domainTokenCounts(stream: DataFrame, urlCol: String,
+      textCol: String, width: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame = {
+    val toks = size(split(graft.operators.Dedup.normalizeText(col(textCol)), " "))
+      .cast("long")
+    stream.select(col("ts"),
+        graft.operators.CorpusMix.registrableDomain(col(urlCol)).as("domain"),
+        toks.as("__t"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width), col("domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("sum_tokens"))
+      .select(col("window.start").as("w_start"), col("domain"),
+        col("n_docs"), col("sum_tokens"))
+  }
+
   /** Stream-stream interval join: each left event matches right events
     * of the same key whose timestamp falls in [left.ts, left.ts +
     * horizon] — e.g. purchases attributed to the click they followed.

@@ -330,4 +330,32 @@ class StreamsSpec extends AnyFunSuite {
       assert(rows == Map(0L -> ((2L, 1L))), rows.toString)
     } finally q.stop()
   }
+
+  test("streaming domain token accounting matches the batch extraction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, String)]
+    val df = in.toDF().toDF("ts", "url", "text")
+    val q = Streams.domainTokenCounts(df, "url", "text",
+        width = "10 minutes", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("dom_out")
+      .outputMode("append").start()
+    try {
+      // window [0,10): www.x.com + x.com fold to x.com (3+1 tokens),
+      // y.co.uk stands alone (2 tokens)
+      in.addData(
+        (ts(1), "https://www.x.com/a", "one two three"),
+        (ts(2), "http://x.com/b", "four"),
+        (ts(3), "https://y.co.uk/c", "five six"))
+      q.processAllAvailable()
+      in.addData((ts(25), "https://z.org/d", "seven"))
+      q.processAllAvailable()
+      in.addData((ts(26), "https://z.org/e", "eight"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM dom_out").collect()
+        .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+      assert(rows == Map("x.com" -> ((2L, 4L)), "y.co.uk" -> ((1L, 2L))),
+        rows.toString)
+    } finally q.stop()
+  }
 }
