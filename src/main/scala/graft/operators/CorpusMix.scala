@@ -62,7 +62,10 @@ object CorpusMix {
     val host = regexp_replace(rawHost, "\\.$", "")
     val labels = split(host, "\\.")
     val suffix2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
-    val inSet = multiLabelSuffixes.map(suffix2 === _).reduce(_ || _)
+    // isin (InSet past 10 values): ONE hash-set membership probe; an
+    // OR-chain would re-inline the host/split subtree per suffix and
+    // bloat the codegen'd expression ~40x
+    val inSet = suffix2.isin(multiLabelSuffixes: _*)
     when(noUser.startsWith("["),
         regexp_extract(noUser, "^\\[([^\\]]*)\\]", 1))
       .when(host.rlike("^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$"), host)
