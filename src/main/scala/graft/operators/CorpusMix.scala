@@ -19,9 +19,15 @@ object CorpusMix {
     * the single-partition exchange it implies moves only the group
     * rows, never the corpus. `floor` (not `round`) for the ppm: no
     * half-way ties, so every engine agrees bit-for-bit. */
+  /** Whitespace token count over normalized text — THE shared proxy
+    * both the batch mixes and the streaming accounting use, so batch
+    * backfill and stream can never silently diverge on the metric. */
+  def wsTokenCount(textCol: Column): Column =
+    size(split(Dedup.normalizeText(textCol), " ")).cast("long")
+
   def sourceMix(df: DataFrame, srcCol: String, langCol: String,
       textCol: String): DataFrame = {
-    val toks = size(split(Dedup.normalizeText(col(textCol)), " ")).cast("long")
+    val toks = wsTokenCount(col(textCol))
     df.select(col(srcCol), col(langCol), toks.as("__t"))
       .groupBy(col(srcCol), col(langCol))
       .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("sum_tokens"))
@@ -57,7 +63,10 @@ object CorpusMix {
     * has no registrable parent). */
   def registrableDomain(url: Column): Column = {
     val noScheme = regexp_replace(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
-    val noUser = regexp_replace(noScheme, "^[^/@?#]*@", "")
+    // greedy to the LAST '@' before the path, matching WHATWG host
+    // resolution — "a@b@x.com" has host x.com; stripping only to the
+    // first '@' would leave "b@x.com" as a forgeable domain key
+    val noUser = regexp_replace(noScheme, "^[^/?#]*@", "")
     val rawHost = lower(regexp_extract(noUser, "^[^/:?#]*", 0))
     val host = regexp_replace(rawHost, "\\.$", "")
     val labels = split(host, "\\.")
@@ -67,7 +76,7 @@ object CorpusMix {
     // bloat the codegen'd expression ~40x
     val inSet = suffix2.isin(multiLabelSuffixes: _*)
     when(noUser.startsWith("["),
-        regexp_extract(noUser, "^\\[([^\\]]*)\\]", 1))
+        lower(regexp_extract(noUser, "^\\[([^\\]]*)\\]", 1)))
       .when(host.rlike("^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$"), host)
       .when(size(labels) >= 3 && inSet, array_join(slice(labels, -3, 3), "."))
       .when(size(labels) >= 2, array_join(slice(labels, -2, 2), "."))

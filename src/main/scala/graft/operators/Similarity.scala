@@ -605,7 +605,12 @@ object Similarity {
   def lshCandidatePairStats(withFp: DataFrame, fpCol: String,
       bitsPerBand: Int, bands: Int): (Long, BigDecimal) = {
     val mask = (1 << bitsPerBand) - 1
+    // null fingerprints (null/empty vectors) never reach the band join
+    // (posexplode drops them), so they must not be counted here either
+    // — a null-heavy input would otherwise pool into one phantom
+    // (band, NULL) bucket and falsely trip the guard
     val sizes = withFp
+      .filter(col(fpCol).isNotNull)
       .select(posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
         s"b -> ($fpCol >> (b * $bitsPerBand)) & $mask)")).as(Seq("band", "key")))
       .groupBy("band", "key").agg(count(lit(1)).as("n"))

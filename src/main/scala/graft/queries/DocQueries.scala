@@ -355,7 +355,11 @@ object DocQueries {
     * literal replace — left-to-right non-overlapping in DuckDB exactly
     * as in Spark); then a vocab CTE (merge string -> 256 + first
     * round) and the per-document re-encoding joined back over the
-    * final word encodings. Single-char symbols id by codepoint. */
+    * final word encodings. Single-char symbols id by codepoint. If the
+    * corpus exhausts its pairs before `rounds` (Spark's trainer stops
+    * early), b_r is empty and the coalesce leaves e unchanged — the
+    * exact early-stop semantics, instead of NULL-poisoning every
+    * encoding through replace(e, NULL, NULL). */
   private def bpeTokenCtes(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
       s"""p$r AS MATERIALIZED (SELECT list_extract(s, CAST(i AS INT)) AS a,
@@ -366,9 +370,10 @@ object DocQueries {
             GROUP BY 1, 2),
           b$r AS MATERIALIZED (SELECT a, b FROM p$r ORDER BY n DESC, a ASC, b ASC LIMIT 1),
           e$r AS MATERIALIZED (SELECT w, c,
-            replace(e, '(' || (SELECT a FROM b$r) || ')(' ||
+            coalesce(replace(e, '(' || (SELECT a FROM b$r) || ')(' ||
                 (SELECT b FROM b$r) || ')',
-              '(' || (SELECT a || b FROM b$r) || ')') AS e FROM e${r - 1})"""
+              '(' || (SELECT a || b FROM b$r) || ')'), e) AS e
+            FROM e${r - 1})"""
     }.mkString(",\n        ")
     val mergeUnion = (1 to rounds).map(r =>
       s"SELECT a || b AS tok, 255 + $r AS id FROM b$r").mkString(" UNION ALL ")
@@ -465,7 +470,7 @@ object DocQueries {
          h AS (SELECT lang, text,
              regexp_replace(lower(regexp_extract(regexp_replace(
                regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''),
-               '^[^/@?#]*@', ''), '^[^/:?#]*')), '\\.$$', '') AS host
+               '^[^/?#]*@', ''), '^[^/:?#]*')), '\\.$$', '') AS host
            FROM u),
          dm AS (SELECT lang, text,
              CASE WHEN len(l) >= 3 AND

@@ -892,9 +892,14 @@ object Flac {
     val base = info.firstFrameOffset
     val fileLen = Files.size(Paths.get(path))
     // (byteStart, byteEnd, firstSample) per frame
-    val spans = info.seekpoints.indices.map { i =>
-      val (sample, off, _) = info.seekpoints(i)
-      val end = if (i + 1 < info.seekpoints.length) base + info.seekpoints(i + 1)._2 else fileLen
+    // placeholder seekpoints (sample number 0xFFFFFFFFFFFFFFFF, i.e.
+    // -1 as a Long) are spec-valid padding with undefined offsets —
+    // libFLAC templates emit them routinely; skip them rather than
+    // treating a conformant file as hostile
+    val real = info.seekpoints.filter(_._1 != -1L)
+    val spans = real.indices.map { i =>
+      val (sample, off, _) = real(i)
+      val end = if (i + 1 < real.length) base + real(i + 1)._2 else fileLen
       // seekpoint offsets are untrusted split bounds: they must stay
       // inside the file and be non-decreasing, or a task would compute
       // a negative/foreign read span

@@ -122,8 +122,7 @@ object Streams {
   def domainTokenCounts(stream: DataFrame, urlCol: String,
       textCol: String, width: String = "1 hour",
       watermark: String = "10 minutes"): DataFrame = {
-    val toks = size(split(graft.operators.Dedup.normalizeText(col(textCol)), " "))
-      .cast("long")
+    val toks = graft.operators.CorpusMix.wsTokenCount(col(textCol))
     stream.select(col("ts"),
         graft.operators.CorpusMix.registrableDomain(col(urlCol)).as("domain"),
         toks.as("__t"))

@@ -32,7 +32,6 @@ object ProfileGraphSkew {
 
     // hub h owns spokes [h*nSpokes, (h+1)*nSpokes); hubs chained so the
     // whole graph is ONE component and propagation takes several rounds
-    val hubs = (0 until nHubs).map(h => (h.toLong * nSpokes * 10 + 1, 0))
     val edges = spark.range(nHubs.toLong * nSpokes).select(
         (col("id") / nSpokes).cast("long").as("h"), col("id").as("i"))
       .select((col("h") * nSpokes * 10 + 1).as("src"),

@@ -29,7 +29,9 @@ object PruneStats {
     require(args.length >= 2, "usage: PruneStats <sfDir> <q1,q2,...>")
     val sfDir = args(0)
     val names = args(1).split(",").map(_.trim).filter(_.nonEmpty)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // 32 to match the bench protocol — a silent local[4] fallback
+    // would print secs that look comparable to committed numbers
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -276,6 +276,8 @@ class CorpusMixSpec extends AnyFunSuite {
       "localhost" -> "localhost", // single label
       "http://192.168.0.1:9090/admin" -> "192.168.0.1", // IPv4 passthrough
       "http://[2001:db8::1]:443/x" -> "2001:db8::1", // bracketed IPv6
+      "http://[2001:DB8::1]/x" -> "2001:db8::1", // IPv6 case-folds too
+      "https://a@b@x.com/p" -> "x.com", // host after the LAST @ (WHATWG)
       "https://a.b.c.d.e.org/x" -> "e.org", // default rule: last label
       "" -> "")
     val got = cases.map(_._1).toDF("url")

@@ -152,6 +152,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs == BigDecimal(perBand), s"$pairs vs $perBand")
   }
 
+  test("LSH guard ignores null fingerprints (they never reach the join)") {
+    // 50 null-vector rows would pool into one phantom (band, NULL)
+    // bucket if counted; posexplode drops them from the real join, so
+    // the stats must drop them too — the guard may not falsely trip
+    val rows = (1L to 50L).map(i => (i, null.asInstanceOf[Array[Float]], 0)) :+
+      ((51L, e1, 0)) :+ ((52L, e2, 0))
+    val d = rows.toDF("vec_id", "embedding", "label")
+    val withFp = d.select(col("vec_id"),
+      graft.functions.vectors.rhp_fingerprint(col("embedding"), 36).as("__fp"))
+    val (nRows, pairs) = Similarity.lshCandidatePairStats(withFp, "__fp", 3, 12)
+    assert(nRows == 2L, s"null rows must not count: $nRows")
+    assert(pairs < BigDecimal(50), s"phantom null-bucket pairs: $pairs")
+    // and the guarded call itself stays quiet at the default budget
+    Similarity.cosineNearDupPairsLsh(d, "vec_id", "embedding", 0.99).collect()
+  }
+
   test("centroidAssign works with a single centroid (k = 1)") {
     val d = emb((1L, e1, 0), (2L, e2, 0), (3L, e12, 0))
     val got = Similarity.centroidAssign(d, "vec_id", "embedding", Array(e1))

@@ -177,6 +177,23 @@ class AdversarialInputsSpec extends AnyFunSuite {
     }
   }
 
+  test("FLAC: spec-valid placeholder seekpoints are skipped, not hostile") {
+    import spark.implicits._
+    val path = "/tmp/graft_adv_placeholder.flac"
+    val pcm = (0 until 4096).map(i => (i.toLong, (math.sin(i * 0.05) * 8000).toInt))
+    Flac.writeSamples(pcm.toDF("idx", "value"), path, blockSize = 1024)
+    val before = Flac.readSamples(spark, path).count()
+    // patch the LAST seekpoint to a placeholder (sample = all-ones,
+    // offset 0, n 0) — the libFLAC padding convention; its frames drop
+    // out of the span list but the file must still read cleanly
+    val info = Flac.parseInfo(java.nio.file.Files.readAllBytes(Paths.get(path)))
+    val lastEntry = 46L + (info.seekpoints.length - 1) * 18L
+    patch(path, lastEntry, Array.fill[Byte](8)(0xFF.toByte) ++
+      Array.fill[Byte](10)(0))
+    val after = Flac.readSamples(spark, path).count()
+    assert(after > 0 && after < before, s"$after of $before")
+  }
+
   test("LAS: truncated point region and hostile record length are " +
       "rejected up front, not mid-scan") {
     import spark.implicits._
