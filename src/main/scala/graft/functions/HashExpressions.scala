@@ -67,6 +67,31 @@ object HashKernels {
     ArrayData.toArrayData(out)
   }
 
+  /** sig[h] = min over a of lehmer3(a(i) + h * 700001), h in
+    * [0, numHashes) — the PORTABLE minhash signature (oracle-
+    * replayable, unlike [[minHashSig]]'s mix64). One kernel call
+    * replaces a numHashes x |set| nested higher-order expression,
+    * which Spark evaluates interpreted (measured 10x the whole
+    * minhash pipeline's cost at sf0.1). */
+  def portableMinHashSig(a: ArrayData, numHashes: Int): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Long](numHashes)
+    var h = 0
+    while (h < numHashes) {
+      var m = Long.MaxValue
+      val seed = h.toLong * 700001L
+      var i = 0
+      while (i < n) {
+        val v = lehmer3(a.getLong(i) + seed)
+        if (v < m) m = v
+        i += 1
+      }
+      out(h) = m
+      h += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
   /** 64-bit simhash from pre-hashed tokens: bit j set iff the count of
     * tokens with bit j set exceeds half. */
   def simHash(a: ArrayData): Long = {
@@ -238,6 +263,29 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Portable (lehmer3-family) MinHash signature of a pre-hashed shingle
+  * set; null for an EMPTY set (matching `list_min` of an empty list =
+  * NULL in the oracle rendering — such docs never reach a pair join). */
+case class PortableMinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "portable_minhash_signature"
+  override protected def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    if (arr.numElements() == 0) null
+    else HashKernels.portableMinHashSig(arr, numHashes)
+  }
+  override def nullable: Boolean = true
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val code = nullSafeCodeGen(ctx, ev, a =>
+      s"""if ($a.numElements() == 0) { ${ev.isNull} = true; }
+         else { ${ev.value} = graft.functions.HashKernels.portableMinHashSig($a, $numHashes); }""")
+    code
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** SimHash64 of a pre-hashed token array. */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -309,6 +357,9 @@ object hashes {
 
   def minhash_signature(hashedShingles: Column, numHashes: Int): Column =
     col(MinHashSignature(expr(hashedShingles), numHashes))
+
+  def portable_minhash_signature(hashedShingles: Column, numHashes: Int): Column =
+    col(PortableMinHashSignature(expr(hashedShingles), numHashes))
 
   def simhash64(hashedTokens: Column): Column =
     col(SimHash64(expr(hashedTokens)))

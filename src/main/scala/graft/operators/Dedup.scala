@@ -208,9 +208,8 @@ object Dedup {
         graft.functions.text.word_ngrams(normalizeText(col(textCol)), shingleLen),
         g => graft.functions.text.string_portable_hash(g))).as("__hv"))
     val sig = hv.select(col(idCol),
-      transform(sequence(lit(0), lit(numHashes - 1)),
-        h => array_min(transform(col("__hv"),
-          v => graft.functions.hashes.lehmer3(v + h * lit(700001L))))).as("__sig"))
+      graft.functions.hashes.portable_minhash_signature(col("__hv"), numHashes)
+        .as("__sig"))
     val sa = sig.select(col(idCol).as("id_a"), col("__sig").as("__siga"))
     val sb = sig.select(col(idCol).as("id_b"), col("__sig").as("__sigb"))
     pairs.join(sa, "id_a").join(sb, "id_b")
