@@ -339,6 +339,99 @@ case class CharGramPortableHashes(child: Expression, n: Int) extends UnaryExpres
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Serializable BPE apply table: rank-ordered merges plus the
+  * token-string -> id vocabulary (single-char symbols id by
+  * codepoint). One `encode` call tokenizes a whole normalized
+  * document — pretokenize ([a-z0-9]+ runs merge; any other non-space
+  * code point is a single one-codepoint token), apply each merge
+  * left-to-right non-overlapping per word (exactly the literal
+  * `replace` semantics of the training loop and the SQL oracle), map
+  * to ids. A codegen'd reference object: the per-element lambda form
+  * of this evaluates interpreted and measured ~7x slower. */
+final class BpeTable(lhs: Array[String], rhs: Array[String],
+    tok: Array[String], ids: Array[Long]) extends Serializable {
+  @transient private lazy val vocab: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    var i = 0
+    while (i < tok.length) { m.put(tok(i), ids(i)); i += 1 }
+    m
+  }
+
+  def encode(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val out = new java.util.ArrayList[java.lang.Long]()
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      if (cp == ' ') i += 1
+      else if ((cp >= 'a' && cp <= 'z') || (cp >= '0' && cp <= '9')) {
+        val start = i
+        while (i < n && {
+          val c = s.charAt(i)
+          (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+        }) i += 1
+        encodeWord(s.substring(start, i), out)
+      } else {
+        out.add(cp.toLong) // single-codepoint mark token
+        i += Character.charCount(cp)
+      }
+    }
+    val arr = new Array[Long](out.size())
+    var j = 0
+    while (j < arr.length) { arr(j) = out.get(j); j += 1 }
+    ArrayData.toArrayData(arr)
+  }
+
+  private def encodeWord(w: String, out: java.util.ArrayList[java.lang.Long]): Unit = {
+    var syms = new java.util.ArrayList[String](w.length)
+    var i = 0
+    while (i < w.length) { syms.add(String.valueOf(w.charAt(i))); i += 1 }
+    var r = 0
+    while (r < lhs.length) {
+      val a = lhs(r); val b = rhs(r)
+      var j = 0
+      val next = new java.util.ArrayList[String](syms.size())
+      while (j < syms.size()) {
+        if (j + 1 < syms.size() && syms.get(j) == a && syms.get(j + 1) == b) {
+          next.add(a + b); j += 2 // greedy left-to-right, non-overlapping
+        } else { next.add(syms.get(j)); j += 1 }
+      }
+      syms = next
+      r += 1
+    }
+    var k = 0
+    while (k < syms.size()) {
+      val t = syms.get(k)
+      if (t.length == 1) out.add(t.codePointAt(0).toLong)
+      else {
+        val id = vocab.get(t)
+        if (id == null) throw new IllegalStateException(
+          s"BPE symbol '$t' missing from vocabulary — merge table corrupt")
+        out.add(id)
+      }
+      k += 1
+    }
+  }
+}
+
+/** BPE document encoding through a trained [[BpeTable]]: normalized
+  * text -> array of token ids, one kernel call per row. */
+case class BpeEncodeIds(child: Expression, table: BpeTable)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bpe_encode_ids"
+  override protected def nullSafeEval(s: Any): Any =
+    table.encode(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeTable", table, classOf[BpeTable].getName)
+    defineCodeGen(ctx, ev, s => s"$ref.encode($s)")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Whole-string portable hash ([[TextKernels.stringPortableHash]]). */
 case class StringPortableHash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.LongType
@@ -356,6 +449,8 @@ object text {
     GraftBridge.column(CharGramPortableHashes(GraftBridge.expression(rawText), n))
   def string_portable_hash(rawText: Column): Column =
     GraftBridge.column(StringPortableHash(GraftBridge.expression(rawText)))
+  def bpe_encode_ids(normText: Column, table: BpeTable): Column =
+    GraftBridge.column(BpeEncodeIds(GraftBridge.expression(normText), table))
   def chunk_words(normText: Column, k: Int): Column =
     GraftBridge.column(ChunkWords(GraftBridge.expression(normText), k))
   def word_ngrams(normText: Column, n: Int): Column =

@@ -579,24 +579,19 @@ object TextStats {
     val merges = bpeTrainMerges(df, textCol, rounds)
     // vocab: merged string -> 256 + first creating round
     val vocab = merges.zipWithIndex
-      .map { case ((a, b), r) => (a + b, 256 + r) }
+      .map { case ((a, b), r) => (a + b, 256L + r) }
       .groupBy(_._1).map { case (t, xs) => (t, xs.map(_._2).min) }
       .toSeq.sortBy(_._2)
-    def tokenId(t: Column): Column =
-      vocab.foldLeft(when(length(t) === 1, ascii(t))) { case (c, (tok, id)) =>
-        c.when(t === lit(tok), lit(id)) }
-    val encodeWord = (w: Column) => merges.foldLeft(encodeSymsExpr(w)) {
-      case (e, (a, b)) => replace(e, lit(s"($a)($b)"), lit(s"($a$b)")) }
-    val toks = flatten(transform(
-      regexp_extract_all(norm(col(textCol)), lit(tokenPattern), lit(0)),
-      w => {
-        val e = encodeWord(w)
-        split(e.substr(lit(2), length(e) - 2), "\\)\\(")
-      }))
+    // one codegen'd kernel call per document: the equivalent
+    // flatten/transform/nested-replace expression form evaluates its
+    // lambdas interpreted and measured ~7x slower at sf1
+    val table = new graft.functions.BpeTable(
+      merges.map(_._1).toArray, merges.map(_._2).toArray,
+      vocab.map(_._1).toArray, vocab.map(_._2).toArray)
+    val toks = graft.functions.text.bpe_encode_ids(norm(col(textCol)), table)
     df.select(col(idCol),
       size(toks).cast("long").as("n_tokens"),
-      array_join(transform(toks, t => tokenId(t).cast("string")), " ")
-        .as("token_ids"))
+      array_join(transform(toks, t => t.cast("string")), " ").as("token_ids"))
   }
 
   /** [[decontaminate]] with a Bloom prefilter — the shape for when the
