@@ -449,4 +449,15 @@ class TextStatsSpec extends AnyFunSuite {
     assert(got(1L) == ((4L, "257 256 99 33")), got.toString)
     assert(got(2L) == ((0L, "")), got.toString) // empty doc: no tokens
   }
+
+  test("bpeEncode treats a supplementary code point as ONE mark token") {
+    import spark.implicits._
+    // U+1F642 is a surrogate pair in UTF-16; the pretokenizer must
+    // step code points, not chars, and id it by codepoint (128578)
+    val d = Seq((1L, "ab 🙂 ab")).toDF("doc_id", "text")
+    val got = TextStats.bpeEncode(d, "doc_id", "text", rounds = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // merge 1 = (a,b) -> 256; tokens: [ab] [🙂] [ab]
+    assert(got(1L) == ((3L, "256 128578 256")), got.toString)
+  }
 }
