@@ -61,7 +61,12 @@ object CorpusMix {
     * ([[multiLabelSuffixes]]) or else the last label. IPv4 literals
     * and bracketed IPv6 literals pass through unchanged (an address
     * has no registrable parent). */
-  def registrableDomain(url: Column): Column = {
+  def registrableDomain(url: Column): Column =
+    registrableDomain(url, multiLabelSuffixes)
+
+  /** [[registrableDomain]] with a caller-supplied multi-label suffix
+    * list — the deployment hook for the full Public Suffix List. */
+  def registrableDomain(url: Column, suffixes: Seq[String]): Column = {
     val noScheme = regexp_replace(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
     // greedy to the LAST '@' before the path, matching WHATWG host
     // resolution — "a@b@x.com" has host x.com; stripping only to the
@@ -74,7 +79,7 @@ object CorpusMix {
     // isin (InSet past 10 values): ONE hash-set membership probe; an
     // OR-chain would re-inline the host/split subtree per suffix and
     // bloat the codegen'd expression ~40x
-    val inSet = suffix2.isin(multiLabelSuffixes: _*)
+    val inSet = suffix2.isin(suffixes: _*)
     when(noUser.startsWith("["),
         lower(regexp_extract(noUser, "^\\[([^\\]]*)\\]", 1)))
       .when(host.rlike("^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$"), host)

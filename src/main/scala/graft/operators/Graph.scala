@@ -347,7 +347,19 @@ object Graph {
     * k then selects which phase of the oscillation you observe, exactly
     * as published synchronous LPA behaves (spec-pinned on K2). */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 5): DataFrame = {
+      iterations: Int = 5): DataFrame =
+    labelPropagationWithReport(edges, srcCol, dstCol, iterations)._1
+
+  /** Convergence telemetry for one [[labelPropagation]] run — the LPA
+    * counterpart of [[ComponentsRunReport]]. `converged` false means
+    * the k-round budget ran out (possibly an oscillator: synchronous
+    * LPA has no fixed point on bipartite structures). */
+  final case class LpaRunReport(rounds: Int, converged: Boolean)
+
+  /** [[labelPropagation]] plus its [[LpaRunReport]] — the per-round
+    * changed-label probe already computes everything the report needs. */
+  def labelPropagationWithReport(edges: DataFrame, srcCol: String,
+      dstCol: String, iterations: Int = 5): (DataFrame, LpaRunReport) = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct()
@@ -383,6 +395,6 @@ object Graph {
       converged = changed == 0L
     }
     sym.unpersist(false)
-    lab
+    (lab, LpaRunReport(rounds, converged))
   }
 }

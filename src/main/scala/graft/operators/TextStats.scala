@@ -575,19 +575,30 @@ object TextStats {
     * the document scan. Pretokens follow [[tokenPattern]]: alnum runs
     * are BPE-merged, punctuation marks are single one-char tokens. */
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
-      rounds: Int = 8): DataFrame = {
-    val merges = bpeTrainMerges(df, textCol, rounds)
-    // vocab: merged string -> 256 + first creating round
+      rounds: Int = 8): DataFrame =
+    bpeEncodeApply(df, idCol, textCol,
+      bpeTable(bpeTrainMerges(df, textCol, rounds)))
+
+  /** Build the serializable apply table from a trained merge list
+    * (vocab: merged string -> 256 + first creating round). */
+  def bpeTable(merges: Seq[(String, String)]): graft.functions.BpeTable = {
     val vocab = merges.zipWithIndex
       .map { case ((a, b), r) => (a + b, 256L + r) }
       .groupBy(_._1).map { case (t, xs) => (t, xs.map(_._2).min) }
       .toSeq.sortBy(_._2)
-    // one codegen'd kernel call per document: the equivalent
-    // flatten/transform/nested-replace expression form evaluates its
-    // lambdas interpreted and measured ~7x slower at sf1
-    val table = new graft.functions.BpeTable(
+    new graft.functions.BpeTable(
       merges.map(_._1).toArray, merges.map(_._2).toArray,
       vocab.map(_._1).toArray, vocab.map(_._2).toArray)
+  }
+
+  /** Apply a trained [[bpeTable]] to ANY DataFrame — batch or
+    * streaming: one codegen'd kernel call per document, a pure
+    * stateless projection (the equivalent flatten/transform/nested-
+    * replace expression form evaluates its lambdas interpreted and
+    * measured ~7x slower at sf1). The train-offline / tokenize-online
+    * split a production pipeline runs. */
+  def bpeEncodeApply(df: DataFrame, idCol: String, textCol: String,
+      table: graft.functions.BpeTable): DataFrame = {
     val toks = graft.functions.text.bpe_encode_ids(norm(col(textCol)), table)
     df.select(col(idCol),
       size(toks).cast("long").as("n_tokens"),

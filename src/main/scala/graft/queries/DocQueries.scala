@@ -141,19 +141,17 @@ object DocQueries {
     // www / userinfo+port / multi-label ccTLD suffixes), then the REAL
     // registrable-domain extraction + mix path runs over it — oracle
     // replays both the derivation and the extraction
-    "doc_domain_mix" -> ((s, d) => {
-      val b = TextStats.idBucket(col("doc_id"), 4L)
-      val url = when(b === 0, concat(lit("https://"), col("source"),
-          lit(".com/p/"), col("doc_id").cast("string")))
-        .when(b === 1, concat(lit("https://www."), col("source"),
-          lit(".co.uk/x?q=1")))
-        .when(b === 2, concat(lit("http://user@"), col("source"),
-          lit(".org:8080/q")))
-        .otherwise(concat(lit("ftp://sub."), col("source"),
-          lit(".com.au/#frag")))
-      CorpusMix.domainMix(docs(s, d).withColumn("url", url),
-        "url", "lang", "text")
-    }),
+    "doc_domain_mix" -> ((s, d) =>
+      CorpusMix.domainMix(docs(s, d).withColumn("url", derivedUrl),
+        "url", "lang", "text")),
+    // token budget per registrable domain — highest-quality docs first
+    // until each domain's cap fills (the per-domain form of
+    // doc_source_cap; same two-phase boundary-window machinery)
+    "doc_domain_cap" -> ((s, d) =>
+      TextStats.sourceCapSelect(
+        docs(s, d).withColumn("domain",
+          CorpusMix.registrableDomain(derivedUrl)),
+        "doc_id", "domain", "text", capTokens = 800L)),
     "doc_resample" -> ((s, d) =>
       CorpusMix.resampleBySource(docs(s, d), "doc_id", "source", resamplePct)
         .select("doc_id", "source", "lang")),
@@ -440,9 +438,53 @@ object DocQueries {
          )
        SELECT doc_id, bucket, pack_idx, n_tokens FROM r2"""
 
+  /** Deterministic URL per fixture doc (the corpus carries no URLs):
+    * 4 shapes cycling scheme / www / userinfo+port / multi-label ccTLD
+    * suffixes — both the Spark queries and the oracles derive it
+    * identically. */
+  private def derivedUrl: org.apache.spark.sql.Column = {
+    val b = TextStats.idBucket(col("doc_id"), 4L)
+    when(b === 0, concat(lit("https://"), col("source"),
+        lit(".com/p/"), col("doc_id").cast("string")))
+      .when(b === 1, concat(lit("https://www."), col("source"),
+        lit(".co.uk/x?q=1")))
+      .when(b === 2, concat(lit("http://user@"), col("source"),
+        lit(".org:8080/q")))
+      .otherwise(concat(lit("ftp://sub."), col("source"),
+        lit(".com.au/#frag")))
+  }
+
   private def suffixListSql: String =
     graft.operators.CorpusMix.multiLabelSuffixes
       .map(s => s"'$s'").mkString("[", ", ", "]")
+
+  /** The [[derivedUrl]] construction plus the registrable-domain
+    * extraction as shared CTEs: dm(doc_id, lang, text, domain). */
+  private def domainCtes: String =
+    s"""u AS (
+         SELECT doc_id, lang, text,
+           CASE WHEN ${TextStats.idBucketSql("doc_id", 4L)} = 0
+                  THEN 'https://' || source || '.com/p/' ||
+                    CAST(doc_id AS VARCHAR)
+                WHEN ${TextStats.idBucketSql("doc_id", 4L)} = 1
+                  THEN 'https://www.' || source || '.co.uk/x?q=1'
+                WHEN ${TextStats.idBucketSql("doc_id", 4L)} = 2
+                  THEN 'http://user@' || source || '.org:8080/q'
+                ELSE 'ftp://sub.' || source || '.com.au/#frag' END AS url
+         FROM documents),
+       h AS (SELECT doc_id, lang, text,
+           regexp_replace(lower(regexp_extract(regexp_replace(
+             regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''),
+             '^[^/?#]*@', ''), '^[^/:?#]*')), '\\.$$', '') AS host
+         FROM u),
+       dm AS (SELECT doc_id, lang, text,
+           CASE WHEN len(l) >= 3 AND
+                  list_contains($suffixListSql, l[-2] || '.' || l[-1])
+                  THEN array_to_string(l[-3:], '.')
+                WHEN len(l) >= 2 THEN array_to_string(l[-2:], '.')
+                ELSE host END AS domain
+         FROM (SELECT doc_id, lang, text, host,
+                 string_split(host, '.') AS l FROM h))"""
 
   val oracleSql: Map[String, String] = Map(
     "doc_bpe_encode" -> bpeEncodeOracleSql(8),
@@ -456,29 +498,7 @@ object DocQueries {
          FROM ($union)"""
     },
     "doc_domain_mix" ->
-      s"""WITH u AS (
-           SELECT lang, text,
-             CASE WHEN ${TextStats.idBucketSql("doc_id", 4L)} = 0
-                    THEN 'https://' || source || '.com/p/' ||
-                      CAST(doc_id AS VARCHAR)
-                  WHEN ${TextStats.idBucketSql("doc_id", 4L)} = 1
-                    THEN 'https://www.' || source || '.co.uk/x?q=1'
-                  WHEN ${TextStats.idBucketSql("doc_id", 4L)} = 2
-                    THEN 'http://user@' || source || '.org:8080/q'
-                  ELSE 'ftp://sub.' || source || '.com.au/#frag' END AS url
-           FROM documents),
-         h AS (SELECT lang, text,
-             regexp_replace(lower(regexp_extract(regexp_replace(
-               regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''),
-               '^[^/?#]*@', ''), '^[^/:?#]*')), '\\.$$', '') AS host
-           FROM u),
-         dm AS (SELECT lang, text,
-             CASE WHEN len(l) >= 3 AND
-                    list_contains($suffixListSql, l[-2] || '.' || l[-1])
-                    THEN array_to_string(l[-3:], '.')
-                  WHEN len(l) >= 2 THEN array_to_string(l[-2:], '.')
-                  ELSE host END AS domain
-           FROM (SELECT lang, text, host, string_split(host, '.') AS l FROM h)),
+      s"""WITH $domainCtes,
          g AS (SELECT domain, lang, count(*) AS n_docs,
              CAST(sum(len(string_split($normSql, ' '))) AS BIGINT)
                AS sum_tokens
@@ -487,6 +507,24 @@ object DocQueries {
            CAST(floor(CAST(sum_tokens AS DOUBLE) * 1000000.0 /
              sum(sum_tokens) OVER ()) AS BIGINT) AS token_ppm
          FROM g""",
+    "doc_domain_cap" ->
+      s"""WITH $domainCtes,
+         n2 AS (SELECT doc_id, domain, $normSql AS t FROM dm),
+         c2 AS (SELECT doc_id, domain, greatest(length(t), 1) AS n_chars,
+                 len(string_split(t, ' ')) AS n_tokens,
+                 length(t) - length(regexp_replace(t, '[^a-z0-9 ]', '', 'g')) AS punct,
+                 len(list_filter(string_split(t, ' '),
+                   w -> list_contains(${stopListSql(TextStats.enStopwords)}, w))) AS stop
+               FROM n2),
+         s2 AS (SELECT doc_id, domain,
+                 ((stop * 1000) // n_tokens) - ((punct * 1000) // n_chars) AS quality_milli,
+                 n_tokens FROM c2),
+         r2 AS (SELECT *, sum(n_tokens) OVER (PARTITION BY domain
+                 ORDER BY quality_milli DESC, doc_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM s2)
+         SELECT doc_id, domain, CAST(quality_milli AS BIGINT) AS quality_milli,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+         FROM r2 WHERE cum <= 800""",
     "doc_temperature_resample" ->
       s"""WITH sz AS (
            SELECT source, CAST(sum(len(string_split($normSql, ' '))) AS BIGINT)

@@ -141,6 +141,17 @@ class GraphSpec extends AnyFunSuite {
     assert(k9 == k2, "rounds past the fixed point are identities")
   }
 
+  test("labelPropagation report: converged early exit vs exhausted budget") {
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    // triangle fixes after round 1; round 2's probe sees no change
+    val (_, r1) = Graph.labelPropagationWithReport(tri, "a", "b", iterations = 9)
+    assert(r1.converged && r1.rounds < 9, r1.toString)
+    // K2 oscillates forever: the budget runs out un-converged
+    val k2 = Seq((1L, 2L)).toDF("a", "b")
+    val (_, r2) = Graph.labelPropagationWithReport(k2, "a", "b", iterations = 3)
+    assert(!r2.converged && r2.rounds == 3, r2.toString)
+  }
+
   test("triangleCounts: shared-edge triangles credit corners exactly once each") {
     // triangles (1,2,3) and (2,3,4) share edge 2-3; edge 1-4 absent.
     // Reversed/duplicate input edges must not inflate counts.

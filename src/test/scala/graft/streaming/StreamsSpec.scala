@@ -358,4 +358,28 @@ class StreamsSpec extends AnyFunSuite {
         rows.toString)
     } finally q.stop()
   }
+
+  test("batch-trained BPE table tokenizes a document stream online") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // train offline on a batch corpus, apply online — the production
+    // tokenizer split; the apply is a stateless codegen'd projection
+    val corpus = Seq((1L, "abab abab abc")).toDF("doc_id", "text")
+    val table = graft.operators.TextStats.bpeTable(
+      graft.operators.TextStats.bpeTrainMerges(corpus, "text", rounds = 2))
+    val in = MemoryStream[(Long, String)]
+    val q = graft.operators.TextStats.bpeEncodeApply(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text", table)
+      .writeStream.format("memory").queryName("bpe_out")
+      .outputMode("append").start()
+    try {
+      in.addData((10L, "abab abc!"), (11L, ""))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM bpe_out").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+      // merges (a,b)=256, (ab,ab)=257 -> "abab"=[257], "abc"=[256,99], "!"=[33]
+      assert(rows == Map(10L -> ((4L, "257 256 99 33")), 11L -> ((0L, ""))),
+        rows.toString)
+    } finally q.stop()
+  }
 }
