@@ -219,6 +219,27 @@ object Dedup {
       .select("id_a", "id_b", "jaccard", "est_permille")
   }
 
+  /** SimHash-estimator calibration gauge, the [[minhashJaccardGauge]]
+    * companion: for every exact-verified near-dup pair, the 64-bit
+    * simhash Hamming distance next to the exact Jaccard — measures how
+    * tightly the fingerprint distance tracks true similarity on the
+    * live corpus, which is what justifies (or refutes) a chosen
+    * maxHamming dedup threshold. Fully portable (lehmer-family word
+    * hashes), so the distances replay exactly in the oracle. Pairs are
+    * banded-bounded; the fingerprint frame is one narrow kernel pass. */
+  def simhashHammingGauge(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashNearDups(df, idCol, textCol, shingleLen,
+      wordShingles = true, numHashes = 64, bands = 16, threshold = threshold)
+    val fp = simhash64(df, idCol, textCol)
+    val fa = fp.select(col(idCol).as("id_a"), col("fp").as("__fa"))
+    val fb = fp.select(col(idCol).as("id_b"), col("fp").as("__fb"))
+    pairs.join(fa, "id_a").join(fb, "id_b")
+      .withColumn("hamming",
+        bit_count(col("__fa").bitwiseXOR(col("__fb"))).cast("long"))
+      .select("id_a", "id_b", "jaccard", "hamming")
+  }
+
   /** [[minhashNearDups]] additionally scoring the overlap (containment)
     * coefficient |A∩B| / min(|A|, |B|) — the signal that catches a
     * small document embedded verbatim in a larger one, where Jaccard

@@ -48,6 +48,11 @@ object DocQueries {
         threshold = 0.8)),
     "doc_simhash_neardup" -> ((s, d) =>
       Dedup.simhashNearDups(docs(s, d), "doc_id", "text", maxHamming = 3)),
+    // simhash calibration: Hamming distance next to exact Jaccard per
+    // verified pair — the evidence behind a chosen maxHamming cutoff
+    "doc_simhash_gauge" -> ((s, d) =>
+      Dedup.simhashHammingGauge(docs(s, d), "doc_id", "text",
+        shingleLen = 3, threshold = 0.8)),
     "doc_token_count" -> ((s, d) =>
       TextStats.tokenCounts(docs(s, d), "doc_id", "text")),
     "doc_quality" -> ((s, d) =>
@@ -559,6 +564,16 @@ object DocQueries {
       s"""SELECT min(doc_id) AS doc_id, count(*) AS n_copies
          FROM (SELECT doc_id, $normSql AS norm FROM documents) GROUP BY norm""",
     "doc_minhash_neardup" -> wordJaccardSql(0.8),
+    "doc_simhash_gauge" -> {
+      val hs = s"list_transform(string_split($normSql, ' '), w -> ${PortableSql.wordHash("w")})"
+      s"""WITH $wordShinglesCtes,
+         f AS (SELECT doc_id, ${PortableSql.simhash(hs)} AS fp FROM documents),
+         p AS (${wordPairsSelect(0.8)})
+         SELECT p.id_a, p.id_b, p.jaccard,
+           bit_count(xor(fa.fp, fb.fp))::BIGINT AS hamming
+         FROM p JOIN f fa ON fa.doc_id = p.id_a
+              JOIN f fb ON fb.doc_id = p.id_b"""
+    },
     "doc_minhash_estimate" -> {
       val h = 32
       s"""WITH $wordShinglesCtes,
