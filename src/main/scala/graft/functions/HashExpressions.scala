@@ -376,6 +376,12 @@ object hashes {
   def sorted_intersect_size(a: Column, b: Column): Column =
     col(SortedIntersectSize(expr(a), expr(b)))
 
+  def edit_segment_keys(s: Column, tau: Int): Column =
+    col(EditSegmentKeys(expr(s), tau))
+
+  def edit_probe_keys(s: Column, tau: Int): Column =
+    col(EditProbeKeys(expr(s), tau))
+
   /** [[HashKernels.lehmer3]] as plain built-in Column arithmetic (pmod
     * + 3 multiply-mods — codegen'd, and textually mirrored by the
     * DuckDB oracles). */

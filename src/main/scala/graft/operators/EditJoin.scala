@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Edit-distance (Levenshtein) similarity self-join via partition-based
+  * pigeonhole blocking — the PassJoin family of algorithms (Li, Deng,
+  * Jiang, Feng, "PASS-JOIN: A Partition-based Method for Similarity
+  * Joins", PVLDB 5(1), 2011; public algorithm, re-derived here for the
+  * DataFrame model).
+  *
+  * Principle: split every indexed string into `tau + 1` disjoint
+  * segments. Two strings within edit distance `tau` differ by at most
+  * `tau` edit operations, and each operation can destroy the exact
+  * match of at most one segment — so at least one segment of `s` must
+  * appear VERBATIM inside any `t` with `ed(s, t) <= tau` (pigeonhole).
+  * Candidate generation is therefore an EQUI-join: index side emits its
+  * `tau + 1` segments keyed by (source length, segment index, segment
+  * text); probe side emits, for every plausible source length
+  * `l in [|t| - tau, |t| + tau]` and segment index, the substrings of
+  * `t` at the positions where that segment could align. The alignment
+  * window is the standard multi-match-aware range: segment `i` at
+  * index-side start `p_i` can only match at probe positions
+  * `p in [max(0, p_i - i, p_i + delta - (tau - i)),
+  *        min(|t| - len_i, p_i + i, p_i + delta + (tau - i))]`
+  * with `delta = |t| - l` — at most `min(2i, 2(tau - i)) + |delta| + 1`
+  * starts, so probe fan-out is a small constant per row
+  * (`O(tau^3)` substrings), never quadratic.
+  *
+  * Candidates are verified with the threshold-bounded `levenshtein`
+  * (codegen'd, `O(tau * min(|s|, |t|))` per pair with the threshold
+  * argument) and deduped AFTER verification — survivors are the rare
+  * rows, so the distinct shuffle carries (id_a, id_b, dist) only.
+  *
+  * Scale hazard, ENFORCED like [[Similarity.cosineNearDupPairsLsh]]'s:
+  * on corpora with long shared prefixes (log lines, URL lists, fixed
+  * templates) one segment value can cover a large fraction of the
+  * corpus and the equi-join degenerates toward all-pairs — that is the
+  * corpus telling you "most strings really are within `tau`", and the
+  * true result itself is quadratic. Before the join, one reduced
+  * aggregation per side over the (length, segment, text) keys computes
+  * the EXACT candidate volume; above `maxAvgCandidatesPerRow` the call
+  * fails loudly (with the `tau`-reduction / key-prefixing remediation)
+  * instead of silently running it. Pass 0 to disable — the guard never
+  * changes results, it only vetoes the plan.
+  */
+object EditJoin {
+
+  /** All (id_a, id_b, dist) pairs with `id_a < id_b` and
+    * `levenshtein(str_a, str_b) <= tau`. Exact: the pigeonhole
+    * candidate set provably contains every qualifying pair, and every
+    * candidate is verified with the real edit distance.
+    *
+    * Segment and probe keys are emitted by the native codegen kernels
+    * ([[graft.functions.EditKernels]]) — one call per row producing
+    * the 8-byte (length, segment, text)-hash join keys directly, so
+    * the shuffles carry longs, not substrings, and no interpreted
+    * struct/sequence explode sits in the hot path. */
+  def editSelfJoin(df: DataFrame, idCol: String, strCol: String, tau: Int,
+      maxAvgCandidatesPerRow: Double = 256.0): DataFrame = {
+    require(tau >= 1, s"tau must be >= 1, got $tau")
+    val k = tau + 1
+    val strs = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
+
+    // kernels are INLINED into the Generate input (the
+    // InferFiltersFromGenerate lesson — a named intermediate column
+    // would get the kernel cloned below the exchange by pushdown)
+    val index = strs.select(col("__id").as("id_a"), col("__s").as("__sa"),
+      explode(graft.functions.hashes.edit_segment_keys(col("__s"), tau))
+        .as("key"))
+    val probe = strs.select(col("__id").as("id_b"), col("__s").as("__sb"),
+      explode(graft.functions.hashes.edit_probe_keys(col("__s"), tau))
+        .as("key"))
+
+    if (maxAvgCandidatesPerRow > 0) {
+      val (rows, cands) = candidateVolume(index, probe, k)
+      val avg = if (rows == 0L) BigDecimal(0) else cands / rows
+      require(avg <= maxAvgCandidatesPerRow,
+        s"edit-join candidate volume over budget: $cands candidate rows " +
+          s"for $rows strings (avg $avg per string > " +
+          s"$maxAvgCandidatesPerRow). A dominant shared segment (fixed " +
+          "prefix/template corpus) degenerates pigeonhole blocking " +
+          "toward all-pairs — and usually means the true tau-result is " +
+          "itself quadratic. Lower tau, strip the shared template " +
+          "before joining, or raise maxAvgCandidatesPerRow if this " +
+          "volume is intended.")
+    }
+
+    // verify BEFORE distinct: candidate duplicates per pair are bounded
+    // by the constant probe fan-out, while verified survivors are the
+    // rare rows — so the distinct shuffle carries only (id_a, id_b, d).
+    // levenshtein's threshold form bounds the DP band at tau + 1.
+    index.join(probe, Seq("key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__sa"), col("__sb"), tau).as("dist"))
+      .filter(col("dist") >= 0 && col("dist") <= tau)
+      .distinct()
+  }
+
+  /** Exact candidate-row count of the hashed-key equi-join — two
+    * reduced aggs over the key tables plus a join on DISTINCT keys,
+    * never the data rows, all in ONE driver job: the input-string count
+    * falls out of the same aggregation (every string emits exactly
+    * `k` index segments, so rows = sum(na) / k — no second action
+    * recomputing the exploded frame). Returns (strings, candidates). */
+  private[graft] def candidateVolume(index: DataFrame,
+      probe: DataFrame, k: Int): (Long, BigDecimal) = {
+    val ic = index.groupBy("key").agg(count(lit(1)).as("na"))
+    val pc = probe.groupBy("key").agg(count(lit(1)).as("nb"))
+    val row = ic.join(pc, Seq("key"), "left")
+      .agg(
+        coalesce(sum(col("na").cast("decimal(38,0)") * col("nb")),
+          lit(java.math.BigDecimal.ZERO)).as("cands"),
+        coalesce(sum(col("na")), lit(0L)).as("segs")).first()
+    (row.getLong(1) / k, BigDecimal(row.getDecimal(0)))
+  }
+
+}

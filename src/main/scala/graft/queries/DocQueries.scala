@@ -280,7 +280,35 @@ object DocQueries {
           size(split(col("__t"), " ")).cast("long").as("ws"))
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("ws_tokens_sum"))
-    }))
+    }),
+    // edit-distance (levenshtein <= 2) near-dup pairs over 24-char
+    // normalized prefixes, PassJoin pigeonhole blocking — the typo /
+    // OCR-noise dedup regime that token-set similarity (minhash) is
+    // blind to. Fixture plants a mutated twin per doc (exact copy /
+    // prepend / delete / substitute, by id bucket); the oracle brute-
+    // forces the truth with DuckDB's levenshtein
+    "doc_edit_neardup" -> ((s, d) =>
+      graft.operators.EditJoin.editSelfJoin(editFixture(s, d), "id", "s",
+          tau = 2)
+        .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))))
+
+  /** [[graft.operators.EditJoin]] fixture: 24-char normalized text
+    * prefixes plus one deterministically mutated twin per doc (id +
+    * 1000000) — exact copy / prepended char / deleted last char /
+    * substituted 3rd char by id bucket. The oracle replays the same
+    * derivation. */
+  private def editFixture(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id").as("id"),
+      substring(Dedup.normalizeText(col("text")), 1, 24).as("s"))
+    val b = TextStats.idBucket(col("id"), 4L)
+    val mut = base.select((col("id") + 1000000L).as("id"),
+      when(b === 0, col("s"))
+        .when(b === 1, concat(lit("q"), col("s")))
+        .when(b === 2, expr("substring(s, 1, greatest(length(s) - 1, 0))"))
+        .otherwise(concat(substring(col("s"), 1, 2), lit("z"),
+          expr("substring(s, 4)"))).as("s"))
+    base.unionByName(mut)
+  }
 
   /** Fixture mix: downsample three sources, keep the rest. */
   private val resamplePct = Map("src0" -> 25, "src1" -> 50, "src2" -> 75)
@@ -492,6 +520,21 @@ object DocQueries {
                  string_split(host, '.') AS l FROM h))"""
 
   val oracleSql: Map[String, String] = Map(
+    "doc_edit_neardup" ->
+      s"""WITH u AS (SELECT doc_id AS id, substr($normSql, 1, 24) AS s,
+           ${TextStats.idBucketSql("doc_id", 4L)} AS b FROM documents),
+         m AS (SELECT id + 1000000 AS id,
+           CASE WHEN b = 0 THEN s
+                WHEN b = 1 THEN 'q' || s
+                WHEN b = 2 THEN substr(s, 1, greatest(length(s) - 1, 0))
+                ELSE substr(s, 1, 2) || 'z' || substr(s, 4) END AS s
+           FROM u),
+         a AS (SELECT id, s FROM u UNION ALL SELECT id, s FROM m)
+         SELECT x.id AS id_a, y.id AS id_b,
+           CAST(levenshtein(x.s, y.s) AS BIGINT) AS dist
+         FROM a x JOIN a y
+           ON x.id < y.id AND abs(length(x.s) - length(y.s)) <= 2
+         WHERE levenshtein(x.s, y.s) <= 2""",
     "doc_bpe_encode" -> bpeEncodeOracleSql(8),
     "doc_pack_bpe" -> bpePackOracleSql(8, 2048L, 8),
     "doc_bpe_vocab" -> {
