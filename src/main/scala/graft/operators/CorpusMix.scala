@@ -99,6 +99,65 @@ object CorpusMix {
     sourceMix(df.withColumn("domain", registrableDomain(col(urlCol))),
       "domain", langCol, textCol)
 
+  /** Query-param names dropped by [[canonicalUrl]]: click/campaign
+    * trackers that vary per impression while pointing at the same
+    * resource — the #1 cause of spurious URL-level "uniqueness" in a
+    * web crawl. `utm_*` by prefix plus the fixed click-id set. */
+  val trackingParams: Seq[String] =
+    Seq("gclid", "fbclid", "msclkid", "yclid", "igshid", "mc_eid", "ref")
+
+  /** Canonical form of a URL for exact URL-level dedup: lowercase
+    * scheme and host, userinfo stripped (to the LAST '@', WHATWG —
+    * same rule as [[registrableDomain]]), default port stripped
+    * (http:80 / https:443), fragment stripped, tracking params
+    * ([[trackingParams]] + `utm_*`) removed, remaining query params
+    * byte-sorted, empty path normalized to "/", trailing slash
+    * dropped from non-root paths. Everything is a row-local codegen'd
+    * projection (regex chain + a short param array) — it fuses into
+    * the scan like the domain extraction. The oracles replay each
+    * step textually in SQL.
+    *
+    * Boundary (scaladoc'd, like the PSL subset): no percent-decoding
+    * and no IDN/punycode folding — both change equality classes and
+    * need tables this sandbox doesn't carry; deployments layer them
+    * in front of this form. */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val rest = regexp_replace(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    val noUser = regexp_replace(rest, "^[^/?#]*@", "")
+    val hostPort = regexp_extract(noUser, "^[^/?#]*", 0)
+    val host = lower(regexp_replace(hostPort, ":[0-9]+$", ""))
+    val port = regexp_extract(hostPort, ":([0-9]+)$", 1)
+    val keepPort = !(port === "" ||
+      (scheme === "http" && port === "80") ||
+      (scheme === "https" && port === "443"))
+    val pathQuery = regexp_replace(noUser, "^[^/?#]*", "")
+    val rawPath = regexp_extract(pathQuery, "^([^?]*)", 1)
+    val path = when(rawPath === "" || rawPath === "/", lit("/"))
+      .otherwise(regexp_replace(rawPath, "/$", ""))
+    val query = regexp_extract(pathQuery, "\\?(.*)$", 1)
+    val kept = filter(split(query, "&"), p => {
+      val name = regexp_extract(p, "^([^=]*)", 1)
+      !(p === "" || name.startsWith("utm_") ||
+        name.isin(trackingParams: _*))
+    })
+    val sortedQ = array_join(array_sort(kept), "&")
+    concat(scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      path,
+      when(sortedQ === "", lit("")).otherwise(concat(lit("?"), sortedQ)))
+  }
+
+  /** Exact URL-level dedup on the canonical form: one row per
+    * canonical URL with the smallest id as representative — the
+    * hash-groupBy shape of [[Dedup.exactDedup]], keyed by
+    * [[canonicalUrl]]. */
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    df.select(col(idCol), canonicalUrl(col(urlCol)).as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
+
   /** Deterministic per-source downsampling to hit a target mix: keep a
     * document iff its stable id-hash bucket ([[TextStats.idBucket]])
     * falls below the source's keep-percentage. No RNG — the same

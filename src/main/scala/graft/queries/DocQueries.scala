@@ -281,6 +281,15 @@ object DocQueries {
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("ws_tokens_sum"))
     }),
+    // canonical-URL exact dedup: tracking params stripped, params
+    // sorted, case/port/userinfo/fragment/trailing-slash normalized —
+    // the URL-level dedup pass a crawl corpus runs before any
+    // content-level dedup. Fixture derives 8 URL shapes per resource
+    // group (all the canonicalization rules); the oracle replays both
+    // derivation and every normalization step
+    "doc_url_dedup" -> ((s, d) =>
+      CorpusMix.urlDedup(docs(s, d).withColumn("url", derivedCrawlUrl),
+        "doc_id", "url")),
     // edit-distance (levenshtein <= 2) near-dup pairs over 24-char
     // normalized prefixes, PassJoin pigeonhole blocking — the typo /
     // OCR-noise dedup regime that token-set similarity (minhash) is
@@ -291,6 +300,25 @@ object DocQueries {
       graft.operators.EditJoin.editSelfJoin(editFixture(s, d), "id", "s",
           tau = 2)
         .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))))
+
+  /** [[graft.operators.CorpusMix.canonicalUrl]] fixture: 8 URL shapes
+    * per resource group (doc_id % 50) — unsorted params, utm_ tracker,
+    * uppercase scheme+host with default port, trailing slash,
+    * fragment, userinfo, click-id tracker, and a bare host. Shapes
+    * 0-6 canonicalize to one URL per group; shape 7 to the root. */
+  private def derivedCrawlUrl: org.apache.spark.sql.Column = {
+    val h = concat(lit("www.ex"), (col("doc_id") % 50).cast("string"),
+      lit(".com"))
+    val b = TextStats.idBucket(col("doc_id"), 8L)
+    when(b === 0, concat(lit("https://"), h, lit("/a/b?b=2&a=1")))
+      .when(b === 1, concat(lit("https://"), h, lit("/a/b?a=1&b=2&utm_source=x")))
+      .when(b === 2, concat(lit("HTTPS://"), upper(h), lit(":443/a/b?a=1&b=2")))
+      .when(b === 3, concat(lit("https://"), h, lit("/a/b/?a=1&b=2")))
+      .when(b === 4, concat(lit("https://"), h, lit("/a/b?a=1&b=2#frag")))
+      .when(b === 5, concat(lit("https://u:p@"), h, lit("/a/b?a=1&b=2")))
+      .when(b === 6, concat(lit("https://"), h, lit("/a/b?gclid=zzz&b=2&a=1")))
+      .otherwise(concat(lit("https://"), h))
+  }
 
   /** [[graft.operators.EditJoin]] fixture: 24-char normalized text
     * prefixes plus one deterministically mutated twin per doc (id +
@@ -520,6 +548,68 @@ object DocQueries {
                  string_split(host, '.') AS l FROM h))"""
 
   val oracleSql: Map[String, String] = Map(
+    "doc_url_dedup" -> {
+      val track = graft.operators.CorpusMix.trackingParams
+        .map(s => s"'$s'").mkString("[", ", ", "]")
+      // NB every DuckDB regexp_extract / array_to_string is coalesced:
+      // DuckDB yields NULL where Spark yields '' (no match / empty list)
+      s"""WITH u AS (
+           SELECT doc_id,
+             'www.ex' || CAST(doc_id % 50 AS VARCHAR) || '.com' AS h,
+             ${TextStats.idBucketSql("doc_id", 8L)} AS b FROM documents),
+         d AS (
+           SELECT doc_id,
+             CASE WHEN b = 0 THEN 'https://' || h || '/a/b?b=2&a=1'
+                  WHEN b = 1 THEN 'https://' || h || '/a/b?a=1&b=2&utm_source=x'
+                  WHEN b = 2 THEN 'HTTPS://' || upper(h) || ':443/a/b?a=1&b=2'
+                  WHEN b = 3 THEN 'https://' || h || '/a/b/?a=1&b=2'
+                  WHEN b = 4 THEN 'https://' || h || '/a/b?a=1&b=2#frag'
+                  WHEN b = 5 THEN 'https://u:p@' || h || '/a/b?a=1&b=2'
+                  WHEN b = 6 THEN 'https://' || h || '/a/b?gclid=zzz&b=2&a=1'
+                  ELSE 'https://' || h END AS url
+           FROM u),
+         c AS (SELECT doc_id, regexp_replace(url, '#.*$$', '') AS nofrag FROM d),
+         p1 AS (SELECT doc_id,
+             lower(coalesce(regexp_extract(nofrag,
+               '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1), '')) AS scheme,
+             regexp_replace(nofrag, '^[a-zA-Z][a-zA-Z0-9+.-]*://', '') AS rest
+           FROM c),
+         p2 AS (SELECT doc_id, scheme,
+             regexp_replace(rest, '^[^/?#]*@', '') AS nouser FROM p1),
+         p4 AS (SELECT doc_id, scheme,
+             lower(regexp_replace(coalesce(regexp_extract(nouser,
+               '^[^/?#]*', 0), ''), ':[0-9]+$$', '')) AS host,
+             coalesce(regexp_extract(coalesce(regexp_extract(nouser,
+               '^[^/?#]*', 0), ''), ':([0-9]+)$$', 1), '') AS port,
+             regexp_replace(nouser, '^[^/?#]*', '') AS pathquery FROM p2),
+         p5 AS (SELECT doc_id, scheme, host,
+             CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                    OR (scheme = 'https' AND port = '443') THEN ''
+                  ELSE ':' || port END AS portpart,
+             CASE WHEN coalesce(regexp_extract(pathquery, '^([^?]*)', 1), '')
+                    IN ('', '/') THEN '/'
+                  ELSE regexp_replace(regexp_extract(pathquery,
+                    '^([^?]*)', 1), '/$$', '') END AS path,
+             coalesce(regexp_extract(pathquery, '\\?(.*)$$', 1), '') AS query
+           FROM p4),
+         p6 AS (SELECT doc_id, scheme, host, portpart, path,
+             coalesce(array_to_string(list_sort(list_filter(
+               string_split(query, '&'),
+               p -> NOT (p = ''
+                 OR starts_with(coalesce(regexp_extract(p, '^([^=]*)', 1),
+                   ''), 'utm_')
+                 OR list_contains($track,
+                   coalesce(regexp_extract(p, '^([^=]*)', 1), ''))))),
+               '&'), '') AS sq
+           FROM p5),
+         canon AS (SELECT doc_id,
+             scheme || '://' || host || portpart || path ||
+               CASE WHEN sq = '' THEN '' ELSE '?' || sq END AS canonical_url
+           FROM p6)
+         SELECT canonical_url, min(doc_id) AS keep_id,
+           count(*) AS n_docs
+         FROM canon GROUP BY 1"""
+    },
     "doc_edit_neardup" ->
       s"""WITH u AS (SELECT doc_id AS id, substr($normSql, 1, 24) AS s,
            ${TextStats.idBucketSql("doc_id", 4L)} AS b FROM documents),

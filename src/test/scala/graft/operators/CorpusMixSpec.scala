@@ -298,4 +298,51 @@ class CorpusMixSpec extends AnyFunSuite {
     assert(got == Map("x.com" -> ((2L, 3L, 500000L)),
       "y.co.uk" -> ((1L, 3L, 500000L))), got.toString)
   }
+
+  test("canonicalUrl normalizes every rule; non-defaults survive") {
+    val cases = Seq(
+      // param sort + utm/click-id strip
+      "https://x.com/p?b=2&utm_source=a&a=1&gclid=z" -> "https://x.com/p?a=1&b=2",
+      // case, default port, fragment
+      "HTTPS://X.CoM:443/p#frag" -> "https://x.com/p",
+      "http://x.com:80/p" -> "http://x.com/p",
+      // NON-default port survives; other scheme's default survives
+      "https://x.com:8443/p" -> "https://x.com:8443/p",
+      "http://x.com:443/p" -> "http://x.com:443/p",
+      // userinfo to the LAST @ (WHATWG)
+      "https://a@b@x.com/p" -> "https://x.com/p",
+      // trailing slash off non-root; root kept; empty path -> root
+      "https://x.com/a/b/" -> "https://x.com/a/b",
+      "https://x.com/" -> "https://x.com/",
+      "https://x.com" -> "https://x.com/",
+      // utm-only query drops the '?' entirely
+      "https://x.com/p?utm_campaign=c&utm_medium=m" -> "https://x.com/p",
+      // repeated param values both kept, sorted stably
+      "https://x.com/p?a=2&a=1" -> "https://x.com/p?a=1&a=2",
+      // valueless and empty params: bare name kept, empty dropped
+      "https://x.com/p?flag&&a=1" -> "https://x.com/p?a=1&flag",
+      // 'ref' is a tracker; 'referrer' is not (name match, not prefix)
+      "https://x.com/p?ref=spam&referrer=keep" -> "https://x.com/p?referrer=keep",
+      // bracketed IPv6 + port
+      "https://[2001:DB8::1]:443/p" -> "https://[2001:db8::1]/p",
+      "https://[2001:db8::1]:8080/p" -> "https://[2001:db8::1]:8080/p")
+    val got = cases.map(_._1).toDF("url")
+      .select(CorpusMix.canonicalUrl(org.apache.spark.sql.functions.col("url")))
+      .collect().map(_.getString(0))
+    cases.zip(got).foreach { case ((in, want), have) =>
+      assert(have == want, s"$in -> $have, wanted $want") }
+  }
+
+  test("urlDedup groups canonical variants under the smallest id") {
+    val d = Seq(
+      (5L, "https://x.com/p?b=2&a=1"),
+      (3L, "https://X.com/p?a=1&b=2&utm_source=s"),
+      (9L, "https://x.com/p/?a=1&b=2#f"),
+      (7L, "https://y.com/q"))
+      .toDF("doc_id", "url")
+    val got = CorpusMix.urlDedup(d, "doc_id", "url")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("https://x.com/p?a=1&b=2", 3L, 3L),
+      ("https://y.com/q", 7L, 1L)), got.toString)
+  }
 }
