@@ -198,6 +198,34 @@ object TextKernels {
     * never split: DuckDB's `wordHash` rendering over the full string
     * replays it exactly. Content-addressed chunk identity for CDC
     * dedup. */
+  /** NFD-decompose and drop combining marks (see [[FoldAccents]]).
+    * ASCII fast path returns the input UTF8String itself. */
+  def foldAccents(s: UTF8String): UTF8String = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val nb = s.numBytes()
+    var ascii = true
+    var i = 0
+    while (ascii && i < nb) {
+      if (Platform.getByte(base, off + i) < 0) ascii = false
+      i += 1
+    }
+    if (ascii) return s
+    val nfd = java.text.Normalizer.normalize(s.toString,
+      java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(nfd.length)
+    var j = 0
+    while (j < nfd.length) {
+      // codepoint iteration: a supplementary combining mark read as
+      // two chars would type as SURROGATE and slip through
+      val cp = nfd.codePointAt(j)
+      if (Character.getType(cp) != Character.NON_SPACING_MARK)
+        sb.appendCodePoint(cp)
+      j += Character.charCount(cp)
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   def stringPortableHash(s: UTF8String): Long = {
     val str = s.toString
     var h1 = 0L
@@ -444,7 +472,30 @@ case class StringPortableHash(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Accent folding: Unicode NFD decomposition with every combining
+  * mark (category Mn) dropped — 'café' -> 'cafe', 'ñ' -> 'n'. The
+  * canonical-equivalence fold a dedup key needs so 'café' (NFC) and
+  * 'café' (NFD) and 'cafe' all collapse. Mirrors DuckDB's
+  * `strip_accents` on Latin scripts (both reduce to the base letter);
+  * scripts where stripping marks is lossy (Hangul jamo, Indic matras)
+  * are out of contract for the dedup KEY — the key only groups, the
+  * stored text is never rewritten. ASCII strings return the input
+  * object unchanged (no allocation — the overwhelmingly common path
+  * in a web corpus). */
+case class FoldAccents(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "fold_accents"
+  override protected def nullSafeEval(s: Any): Any =
+    TextKernels.foldAccents(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.TextKernels.foldAccents($s)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object text {
+  def fold_accents(rawText: Column): Column =
+    GraftBridge.column(FoldAccents(GraftBridge.expression(rawText)))
   def char_gram_portable_hashes(rawText: Column, n: Int): Column =
     GraftBridge.column(CharGramPortableHashes(GraftBridge.expression(rawText), n))
   def string_portable_hash(rawText: Column): Column =

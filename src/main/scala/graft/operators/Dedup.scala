@@ -42,6 +42,20 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(col(idCol), col("n_copies"))
 
+  /** [[exactDedup]] keyed by the Unicode-folded normalization:
+    * accent-fold ([[graft.functions.FoldAccents]] — NFD minus
+    * combining marks, so NFC/NFD encodings of the same text and
+    * accent variants all share one key) over the usual
+    * lower/trim/collapse. The grouping shuffle carries the folded key
+    * only; stored text is never rewritten. */
+  def unicodeDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        graft.functions.text.fold_accents(normalizeText(col(textCol)))
+          .as("__norm"))
+      .groupBy(col("__norm"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .select(col(idCol), col("n_copies"))
+
   /** Distinct shingle sets per doc: word n-grams or character n-grams
     * over the normalized text. */
   def withShingles(df: DataFrame, idCol: String, textCol: String,

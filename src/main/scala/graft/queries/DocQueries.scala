@@ -281,6 +281,20 @@ object DocQueries {
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("ws_tokens_sum"))
     }),
+    // Unicode-folded exact dedup: accented / case / encoding variants
+    // of the same text share one key (NFD-minus-marks fold). Fixture
+    // plants an accent-and-case-mangled twin per doc; oracle folds
+    // with DuckDB's strip_accents
+    "doc_unicode_dedup" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"), col("text"))
+      val b = TextStats.idBucket(col("doc_id"), 4L)
+      val twin = base.select((col("doc_id") + 1000000L).as("doc_id"),
+        when(b === 0, translate(col("text"), "aeiou", "áéíóú"))
+          .when(b === 1, upper(col("text")))
+          .when(b === 2, translate(upper(col("text")), "AEO", "ÄÉÖ"))
+          .otherwise(col("text")).as("text"))
+      Dedup.unicodeDedup(base.unionByName(twin), "doc_id", "text")
+    }),
     // canonical-URL exact dedup: tracking params stripped, params
     // sorted, case/port/userinfo/fragment/trailing-slash normalized —
     // the URL-level dedup pass a crawl corpus runs before any
@@ -548,6 +562,20 @@ object DocQueries {
                  string_split(host, '.') AS l FROM h))"""
 
   val oracleSql: Map[String, String] = Map(
+    "doc_unicode_dedup" ->
+      s"""WITH t AS (
+           SELECT doc_id + 1000000 AS doc_id,
+             CASE WHEN b = 0 THEN translate(text, 'aeiou', 'áéíóú')
+                  WHEN b = 1 THEN upper(text)
+                  WHEN b = 2 THEN translate(upper(text), 'AEO', 'ÄÉÖ')
+                  ELSE text END AS text
+           FROM (SELECT doc_id, text,
+             ${TextStats.idBucketSql("doc_id", 4L)} AS b FROM documents)),
+         a AS (SELECT doc_id, text FROM documents
+               UNION ALL SELECT doc_id, text FROM t),
+         k AS (SELECT doc_id, strip_accents($normSql) AS nk FROM a)
+         SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+         FROM k GROUP BY nk""",
     "doc_url_dedup" -> {
       val track = graft.operators.CorpusMix.trackingParams
         .map(s => s"'$s'").mkString("[", ", ", "]")

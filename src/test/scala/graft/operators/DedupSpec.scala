@@ -27,6 +27,36 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Set((1L, 3L), (4L, 1L)))
   }
 
+  test("unicodeDedup: accent / case / NFC-vs-NFD variants share one key") {
+    val nfcCafe = "caf\u00e9 latte"        // e precomposed
+    val nfdCafe = "cafe\u0301 latte"       // e + combining acute
+    val d = docs(
+      1L -> nfcCafe,
+      2L -> nfdCafe,
+      3L -> "CAFE LATTE",
+      4L -> "caf\u00e9   LATTE ",
+      5L -> "ni\u00f1o",
+      6L -> "nino",
+      7L -> "unrelated")
+    val got = Dedup.unicodeDedup(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 4L), (5L, 2L), (7L, 1L)))
+  }
+
+  test("foldAccents: ASCII passthrough, supplementary marks stripped") {
+    import org.apache.spark.sql.functions.col
+    val d = docs(
+      1L -> "plain ascii",
+      2L -> "a\u0301",                     // a + combining acute
+      3L -> ("x" + new String(Character.toChars(0x1D167)) + "y"))
+    val got = d.select(graft.functions.text.fold_accents(col("text")))
+      .collect().map(_.getString(0))
+    assert(got(0) == "plain ascii")
+    assert(got(1) == "a")
+    // U+1D167 (combining tremolo, category Mn) is stripped whole
+    assert(got(2) == "xy")
+  }
+
   test("word shingles of a short text") {
     val d = docs(1L -> "a b c d")
     val sh = Dedup.withShingles(d, "doc_id", "text", 3, word = true)
