@@ -281,6 +281,14 @@ object DocQueries {
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("ws_tokens_sum"))
     }),
+    // distributed corpus suffix array (prefix doubling) -> exact
+    // maximal repeated-span report at ARBITRARY length: the
+    // ExactSubstr-dedup measurement the fixed-n gram ops approximate.
+    // max_repeat_words = longest word run occurring elsewhere in the
+    // corpus; n_pos_repeat = positions inside >= 8-word repeats
+    "doc_repeated_spans" -> ((s, d) =>
+      graft.operators.SuffixArray.repeatedSpans(docs(s, d), "doc_id",
+        "text", minLen = 8)),
     // Unicode-folded exact dedup: accented / case / encoding variants
     // of the same text share one key (NFD-minus-marks fold). Fixture
     // plants an accent-and-case-mangled twin per doc; oracle folds
@@ -562,6 +570,38 @@ object DocQueries {
                  string_split(host, '.') AS l FROM h))"""
 
   val oracleSql: Map[String, String] = Map(
+    // suffix-sort oracle: every (doc, pos) suffix as a word list,
+    // DuckDB sorts lists lexicographically, LCP with each sort
+    // neighbor = index of first mismatch; maxrep is invariant to tie
+    // order (tied suffixes are identical, so boundary LCPs agree)
+    "doc_repeated_spans" ->
+      s"""WITH w AS (
+           SELECT doc_id, string_split($normSql, ' ') AS ws FROM documents),
+         suf AS (
+           SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             ws[CAST(i AS INT)+1:] AS s
+           FROM w, LATERAL unnest(range(0, len(ws))) AS t(i)),
+         ord AS (
+           SELECT doc_id, pos, s,
+             lag(s) OVER (ORDER BY s, doc_id, pos) AS sp,
+             lead(s) OVER (ORDER BY s, doc_id, pos) AS sn
+           FROM suf),
+         m AS (
+           SELECT doc_id, pos,
+             greatest(
+               CASE WHEN sp IS NULL THEN 0 ELSE
+                 coalesce(list_filter(range(1, least(len(s), len(sp)) + 1),
+                   i -> s[CAST(i AS INT)] != sp[CAST(i AS INT)])[1],
+                   least(len(s), len(sp)) + 1) - 1 END,
+               CASE WHEN sn IS NULL THEN 0 ELSE
+                 coalesce(list_filter(range(1, least(len(s), len(sn)) + 1),
+                   i -> s[CAST(i AS INT)] != sn[CAST(i AS INT)])[1],
+                   least(len(s), len(sn)) + 1) - 1 END) AS maxrep
+           FROM ord)
+         SELECT doc_id, CAST(max(maxrep) AS BIGINT) AS max_repeat_words,
+           CAST(sum(CASE WHEN maxrep >= 8 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pos_repeat
+         FROM m GROUP BY 1""",
     "doc_unicode_dedup" ->
       s"""WITH t AS (
            SELECT doc_id + 1000000 AS doc_id,

@@ -47,9 +47,14 @@ object ProfileEditJoin {
       EditJoin.editSelfJoin(fix, "id", "s", 2, maxAvgCandidatesPerRow = 0)
         .write.mode("overwrite").format("noop").save()
     }
-    time("full (guard on)") {
-      EditJoin.editSelfJoin(fix, "id", "s", 2)
-        .write.mode("overwrite").format("noop").save()
+    try {
+      time("full (guard on)") {
+        EditJoin.editSelfJoin(fix, "id", "s", 2)
+          .write.mode("overwrite").format("noop").save()
+      }
+    } catch {
+      case e: IllegalArgumentException =>
+        println("guard tripped: " + e.getMessage.take(200))
     }
     spark.stop()
   }
