@@ -281,6 +281,16 @@ object DocQueries {
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("ws_tokens_sum"))
     }),
+    // edit-distance pairs composed into typo-variant clusters (the
+    // min-label components of the levenshtein<=2 graph) — what a
+    // dedup pass actually consumes; oracle = the pair brute force +
+    // the recursive-closure pattern from ev_user_components
+    "doc_edit_clusters" -> ((s, d) =>
+      Dedup.duplicateClusters(
+        graft.operators.EditJoin.editSelfJoin(editFixture(s, d), "id", "s",
+            tau = 2)
+          .select("id_a", "id_b"))
+        .withColumnRenamed("id", "str_id")),
     // distributed corpus suffix array (prefix doubling) -> exact
     // maximal repeated-span report at ARBITRARY length: the
     // ExactSubstr-dedup measurement the fixed-n gram ops approximate.
@@ -570,6 +580,30 @@ object DocQueries {
                  string_split(host, '.') AS l FROM h))"""
 
   val oracleSql: Map[String, String] = Map(
+    "doc_edit_clusters" ->
+      s"""WITH RECURSIVE u AS (
+           SELECT doc_id AS id, substr($normSql, 1, 24) AS s,
+             ${TextStats.idBucketSql("doc_id", 4L)} AS b FROM documents),
+         m AS (SELECT id + 1000000 AS id,
+           CASE WHEN b = 0 THEN s
+                WHEN b = 1 THEN 'q' || s
+                WHEN b = 2 THEN substr(s, 1, greatest(length(s) - 1, 0))
+                ELSE substr(s, 1, 2) || 'z' || substr(s, 4) END AS s
+           FROM u),
+         a AS (SELECT id, s FROM u UNION ALL SELECT id, s FROM m),
+         pairs AS (
+           SELECT x.id AS id_a, y.id AS id_b
+           FROM a x JOIN a y
+             ON x.id < y.id AND abs(length(x.s) - length(y.s)) <= 2
+           WHERE levenshtein(x.s, y.s) <= 2),
+         sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+         reach(node, r) AS (
+           SELECT DISTINCT src, src FROM sym
+           UNION
+           SELECT reach.node, e.dst FROM reach JOIN sym e ON e.src = reach.r)
+         SELECT node AS str_id, min(r) AS cluster_id
+         FROM reach GROUP BY 1""",
     // suffix-sort oracle: every (doc, pos) suffix as a word list,
     // DuckDB sorts lists lexicographically, LCP with each sort
     // neighbor = index of first mismatch; maxrep is invariant to tie
