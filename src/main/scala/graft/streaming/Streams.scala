@@ -55,6 +55,20 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Streaming URL-level dedup on the CANONICAL form — the crawl
+    * frontier's first filter, online: the same codegen'd
+    * [[graft.operators.CorpusMix.canonicalUrl]] chain as the batch op
+    * (backfill and stream agree key-for-key), then
+    * dropDuplicatesWithinWatermark on the canonical key, state bounded
+    * by the watermark like [[dedupByKey]]. Returns the input columns
+    * plus `canonical_url`. */
+  def urlDedup(stream: DataFrame, urlCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    stream.withColumn("canonical_url",
+        graft.operators.CorpusMix.canonicalUrl(col(urlCol)))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("canonical_url")
+
   /** Online near-duplicate check of an incoming document stream against
     * a static corpus: simhash both sides, join on the 4 16-bit chunk
     * keys (a stateless stream-static equi-join — no watermark, no state

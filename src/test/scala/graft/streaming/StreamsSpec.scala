@@ -76,6 +76,30 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming canonical-URL dedup: variants collapse, distinct resources pass") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val df = in.toDF().toDF("doc_id", "ts", "url")
+    val q = Streams.urlDedup(df, "url").writeStream
+      .format("memory").queryName("urldedup_out").outputMode("append").start()
+    try {
+      in.addData(
+        (1L, ts(0), "https://x.com/p?b=2&a=1"),
+        (2L, ts(1), "https://X.com/p?a=1&b=2&utm_source=s"), // same canonical
+        (3L, ts(2), "https://x.com/p/?a=1&b=2#f"),           // same canonical
+        (4L, ts(3), "https://y.com/q"))
+      q.processAllAvailable()
+      in.addData((5L, ts(4), "https://u:p@x.com/p?a=1&b=2")) // still the same
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT canonical_url, count(*) FROM urldedup_out GROUP BY 1")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows == Map("https://x.com/p?a=1&b=2" -> 1L,
+        "https://y.com/q" -> 1L), rows.toString)
+    } finally q.stop()
+  }
+
   test("stream-static near-dup check matches incoming docs against the corpus") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
