@@ -73,6 +73,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ("graft_word_hashes",
       "_FUNC_(norm_text) - xxhash64 of each whitespace token",
       (args: Seq[Expression]) => WordHashes(args(0))),
+    ("graft_fold_accents",
+      "_FUNC_(text) - NFD-decompose and drop combining marks (accent fold)",
+      (args: Seq[Expression]) => FoldAccents(args(0))),
+    ("graft_edit_segment_keys",
+      "_FUNC_(s, tau) - PassJoin index-side segment keys (tau+1 longs)",
+      (args: Seq[Expression]) =>
+        EditSegmentKeys(args(0), intArg(args(1), "tau"))),
+    ("graft_edit_probe_keys",
+      "_FUNC_(s, tau) - PassJoin probe-side multi-match-aware keys",
+      (args: Seq[Expression]) =>
+        EditProbeKeys(args(0), intArg(args(1), "tau"))),
     ("graft_head_in_bbox",
       "_FUNC_(head, xq_min, xq_max, yq_min, yq_max, total_bits, tail_bits) - " +
         "true iff the block head's quadtree cell intersects the quantized bbox; " +

@@ -49,6 +49,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getBoolean(3))
   }
 
+  test("fold/edit kernels are callable from SQL") {
+    val r = spark.sql(
+      """SELECT graft_fold_accents('café') AS folded,
+          size(graft_edit_segment_keys('abcdef', 2)) AS nseg,
+          size(graft_edit_probe_keys('abcdef', 2)) > 3 AS probes,
+          element_at(graft_edit_segment_keys('abcdef', 2), 1) IN
+            (SELECT explode(graft_edit_probe_keys('abcdef', 2))) AS selfmatch
+      """).head()
+    assert(r.getString(0) == "cafe")
+    assert(r.getInt(1) == 3)
+    assert(r.getBoolean(2))
+    assert(r.getBoolean(3)) // a string's own segment is among its probes
+  }
+
   test("graft_head_in_bbox selects intersecting cells; rule rewrites to a pushed cover") {
     import spark.implicits._
     // 8-bit key space, 4 tail bits: 16 heads, each a 4x4 cell of a 16x16 grid
