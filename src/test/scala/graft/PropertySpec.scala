@@ -189,4 +189,58 @@ class PropertySpec extends AnyFunSuite {
     assert(rev == fwd.map { case (k, v) => k -> (v match {
       case "added" => "removed"; case "removed" => "added"; case x => x }) })
   }
+
+  test("editSelfJoin == brute force on random low-alphabet strings") {
+    import graft.operators.EditJoin
+    import org.apache.spark.sql.functions.{col, levenshtein}
+    // alphabet of 3 chars and lengths 0..8: dense edit neighborhoods,
+    // every segment-boundary and length-delta path exercised
+    val strGen = for {
+      n <- Gen.choose(0, 8)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    for (trial <- 1L to 8L) {
+      val strs = (0 until 60).map(i =>
+        (i.toLong, sample(strGen, trial * 1000 + i)))
+      val d = strs.toDF("id", "s")
+      for (tau <- 1 to 2) {
+        val got = EditJoin.editSelfJoin(d, "id", "s", tau, 0)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        val a = d.select(col("id").as("ia"), col("s").as("sa"))
+        val b = d.select(col("id").as("ib"), col("s").as("sb"))
+        val want = a.crossJoin(b).filter(col("ia") < col("ib"))
+          .select(col("ia"), col("ib"), levenshtein(col("sa"), col("sb")).as("d"))
+          .filter(col("d") <= tau)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        assert(got == want, s"trial=$trial tau=$tau")
+      }
+    }
+  }
+
+  test("suffix-array repeated spans == brute force on random word docs") {
+    import graft.operators.SuffixArray
+    val wordGen = Gen.oneOf("a", "b", "c", "d")
+    val docGen = for {
+      n <- Gen.choose(1, 12)
+      ws <- Gen.listOfN(n, wordGen)
+    } yield ws.mkString(" ")
+    for (trial <- 1L to 4L) {
+      val rows = (1L to 8L).map(i => (i, sample(docGen, trial * 100 + i)))
+      val d = rows.toDF("doc_id", "text")
+      val got = SuffixArray.repeatedSpans(d, "doc_id", "text", 2)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      // brute: every suffix vs every other suffix
+      val sufs = rows.flatMap { case (id, t) =>
+        val w = t.split(" ").toSeq
+        w.indices.map(p => (id, p, w.drop(p)))
+      }
+      val maxrep = sufs.map { case (id, p, s) =>
+        (id, sufs.collect { case (i2, p2, s2) if (i2, p2) != (id, p) =>
+          s.zip(s2).takeWhile { case (x, y) => x == y }.size }.max)
+      }
+      val want = maxrep.groupBy(_._1).map { case (id, g) =>
+        id -> ((g.map(_._2).max.toLong, g.count(_._2 >= 2).toLong)) }
+      assert(got == want, s"trial=$trial")
+    }
+  }
 }
