@@ -13,19 +13,20 @@ import org.apache.spark.sql.functions._
   *
   * Model: suffixes are word sequences, one suffix per (doc, position),
   * never crossing document boundaries. Round t assigns every suffix a
-  * rank ordering its first 2^t words: rank_t = prefix-COUNT of
-  * positions in strictly smaller classes, computed from the class
-  * frame (distinct (r_{t-1}(p), r_{t-1}(p + 2^{t-1}))-pairs) — so
-  * values stay < n forever and a class's rank IS its first SA slot.
-  * Ranking never runs an unpartitioned window: classes are
-  * range-bucketed by their (dense, in [0, n)) first component, bucket
-  * offsets come from a window over the BUCKET frame (<= 2^12 rows),
-  * and the within-bucket prefix sums run partitioned — the
-  * [[CorpusMix.globalShuffle]] bucket-offset composition. Each round
-  * is a fixed number of n-row hash shuffles; rounds stop at
-  * convergence (all classes singleton — checked by the same one-row
-  * probe discipline as the graph loops) or when 2^t covers the
-  * longest document.
+  * rank ordering its first 2^t words: rank_t(p) = the COUNT of
+  * positions whose (r_{t-1}(p), r_{t-1}(p + 2^{t-1})) key is strictly
+  * smaller — so values stay < n forever and a class's rank IS its
+  * first SA slot. The rank at pos + 2^{t-1} is lead() over the doc
+  * partition (positions are dense in-doc — one exchange + sort, not a
+  * self-join), and the counting never runs an unpartitioned window:
+  * positions are range-bucketed by the (dense, in [0, n)) previous
+  * rank, bucket offsets come from a window over the BUCKET frame
+  * (<= 2^12 rows), and rank() runs within buckets — the
+  * [[CorpusMix.globalShuffle]] bucket-offset composition. Round-1
+  * buckets inherit the word-frequency skew (documented at the loop);
+  * later rounds re-balance as classes split. The round count is fixed
+  * after round 0: width doubles until it covers the longest document,
+  * past which remaining ties are genuinely identical suffixes.
   *
   * The per-round rank frames are kept (lineage-truncated, released
   * when the loop ends — the graph-loop storage discipline) because
