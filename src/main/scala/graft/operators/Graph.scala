@@ -246,17 +246,77 @@ object Graph {
     * deployments cap with degree-based orientation — here the join is
     * on canonical pairs, the standard compact form. Each triangle then
     * credits its three corners. */
-  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+  /** Exact per-node triangle counts via DEGREE-ORDERED wedge
+    * generation: every edge is oriented from its lower-(degree, id)
+    * endpoint to the higher, wedges are pairs of out-neighbors of one
+    * center, and the closing edge is probed in oriented form — each
+    * triangle materializes exactly once, from its minimum-(degree, id)
+    * corner. The wedge frame is sum over nodes of C(outDeg, 2), the
+    * classically skew-robust bound (a degree-5000 hub contributes
+    * almost nothing when its neighbors out-rank it), vs sum(deg^2)/4
+    * for id-ordered wedges.
+    *
+    * The wedge volume is ENFORCED, not just bounded (the LSH /
+    * edit-join guard contract): one reduced aggregation over oriented
+    * out-degrees computes the EXACT wedge-frame size before the join;
+    * above `maxWedges` the call fails loudly. A graph that trips it —
+    * e.g. a union of large cliques, where C(c,3) triangles exist by
+    * construction — has intrinsically quadratic-plus truth, and the
+    * guard says so instead of running into executor loss. Pass 0 to
+    * disable; results are identical either way. */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String,
+      maxWedges: Double = 2e9): DataFrame = {
     val raw = edges.select(col(srcCol).cast("long").as("x"),
       col(dstCol).cast("long").as("y")).filter(col("x") =!= col("y"))
-    val e = raw.select(least(col("x"), col("y")).as("lo"),
-      greatest(col("x"), col("y")).as("hi")).distinct()
-    val ab = e.select(col("lo").as("a"), col("hi").as("b"))
-    val bc = e.select(col("lo").as("b"), col("hi").as("c"))
-    val tri = ab.join(bc, "b")
-      .join(e.select(col("lo").as("a"), col("hi").as("c")), Seq("a", "c"))
-    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+    // the distinct edge list is referenced by the degree frame, the
+    // orientation join, and the closing-edge probe, and its upstream
+    // can be arbitrarily expensive (the registered query's is a
+    // sessionize + interval join) — materialize it once, the
+    // linkPrediction lesson (ReusedExchange misses recompute the
+    // whole upstream; measured there)
+    val e = materializeCut(raw.select(least(col("x"), col("y")).as("lo"),
+      greatest(col("x"), col("y")).as("hi")).distinct())
+    val deg = e.select(col("lo").as("v")).unionAll(e.select(col("hi").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val ed = e
+      .join(deg.select(col("v").as("lo"), col("d").as("dlo")), "lo")
+      .join(deg.select(col("v").as("hi"), col("d").as("dhi")), "hi")
+    // orient lower-(degree, id) -> higher; lo < hi already, so ties in
+    // degree orient lo -> hi. dir is itself three-way referenced (two
+    // wedge legs + the closing-edge probe) over a join it should not
+    // re-run — materialize the compact (u, v, dv) triple too.
+    val dir = materializeCut(ed.select(
+      when(col("dlo") <= col("dhi"), col("lo")).otherwise(col("hi")).as("u"),
+      when(col("dlo") <= col("dhi"), col("hi")).otherwise(col("lo")).as("v"),
+      when(col("dlo") <= col("dhi"), col("dhi")).otherwise(col("dlo")).as("dv")))
+
+    if (maxWedges > 0) {
+      val w2x = dir.groupBy(col("u")).agg(count(lit(1)).as("od"))
+        .agg(coalesce(sum(col("od").cast("decimal(38,0)") * (col("od") - 1)),
+          lit(java.math.BigDecimal.ZERO))).head.getDecimal(0)
+      val w = BigDecimal(w2x) / 2
+      require(w <= maxWedges,
+        s"triangle wedge volume over budget: $w oriented wedges > " +
+          s"$maxWedges. The graph's truth is intrinsically dense " +
+          "(large near-cliques); cap hub degrees upstream, count on a " +
+          "subgraph, or raise maxWedges if this volume is intended.")
+    }
+
+    // wedge (u; v1, v2) with v1 before v2 in (degree, id) order; the
+    // closing edge v1-v2, if present, is oriented v1 -> v2
+    val w1 = dir.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
+    val w2 = dir.select(col("u"), col("v").as("v2"), col("dv").as("dv2"))
+    val wedges = w1.join(w2, "u")
+      .filter(col("dv1") < col("dv2") ||
+        (col("dv1") === col("dv2") && col("v1") < col("v2")))
+    val tri = wedges.join(
+      dir.select(col("u").as("v1"), col("v").as("v2")), Seq("v1", "v2"))
+    val result = materializeCut(
+      tri.select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("triangles")))
+    freeRound(e)
+    freeRound(dir)
+    result
   }
 
   /** Link prediction over an undirected graph: for every NON-adjacent
@@ -283,7 +343,8 @@ object Graph {
     * published RA pipelines drop hubs for exactly this reason). The
     * default keeps every center (exact scores). */
   def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
-      k: Int, maxDegree: Option[Int] = None): DataFrame = {
+      k: Int, maxDegree: Option[Int] = None,
+      maxWedges: Double = 2e9): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val raw = edges.select(col(srcCol).cast("long").as("x"),
       col(dstCol).cast("long").as("y")).filter(col("x") =!= col("y"))
@@ -307,6 +368,21 @@ object Graph {
       .union(e.select(col("hi").as("z"), col("lo").as("n")))
     val deg = adj.groupBy(col("z")).agg(count(lit(1)).as("deg"))
     val centers = maxDegree.map(m => deg.filter(col("deg") <= m)).getOrElse(deg)
+    // wedge-volume guard, the triangleCounts contract: the wedge frame
+    // is EXACTLY sum over centers of C(deg, 2) — one reduced agg
+    // before the join; a center-degree distribution dense enough to
+    // blow it (co-activity cliques) means the common-neighbor truth is
+    // itself quadratic, and the remediation is the maxDegree cap
+    if (maxWedges > 0) {
+      val wedgeVol = BigDecimal(centers
+        .agg(coalesce(sum(col("deg").cast("decimal(38,0)") * (col("deg") - 1)),
+          lit(java.math.BigDecimal.ZERO))).head.getDecimal(0)) / 2
+      require(wedgeVol <= maxWedges,
+        s"link-prediction wedge volume over budget: $wedgeVol center " +
+          s"wedges > $maxWedges. Pass maxDegree to cap hub centers " +
+          "(scores for capped hubs are dropped, the documented " +
+          "contract), or run on a subgraph.")
+    }
     val adjd = adj.join(centers, "z")
     val wedges = adjd.select(col("z"), col("n").as("u"), col("deg"))
       .join(adjd.select(col("z"), col("n").as("v")), "z")

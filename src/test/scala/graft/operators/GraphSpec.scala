@@ -210,6 +210,53 @@ class GraphSpec extends AnyFunSuite {
   }
 
   // LAST in this suite: setCheckpointDir is irreversible on the shared
+  test("degree-ordered triangleCounts == brute force on random graphs") {
+    for (trial <- 1 to 6) {
+      // seeded dense-ish random graph incl. hubs
+      val rnd = new scala.util.Random(trial * 7919)
+      val n = 14
+      val edges = (for {
+        a <- 0 until n; b <- a + 1 until n
+        if rnd.nextInt(100) < 35
+      } yield (a.toLong, b.toLong))
+      if (edges.nonEmpty) {
+        val adj = edges.toSet
+        def connected(x: Long, y: Long) =
+          adj.contains((math.min(x, y), math.max(x, y)))
+        val want = (0L until n.toLong).map { v =>
+          v -> (for {
+            a <- 0L until n.toLong; b <- a + 1 until n.toLong
+            if a != v && b != v && connected(v, a) && connected(v, b) &&
+              connected(a, b)
+          } yield 1).size.toLong
+        }.filter(_._2 > 0).toMap
+        val got = Graph.triangleCounts(edges.toDF("a", "b"), "a", "b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == want, s"trial=$trial")
+      }
+    }
+  }
+
+  test("wedge-volume guards trip on a clique, pass on sparse graphs") {
+    val clique = (for (a <- 0L until 40L; b <- a + 1 until 40L)
+      yield (a, b)).toDF("a", "b")
+    val e1 = intercept[IllegalArgumentException] {
+      Graph.triangleCounts(clique, "a", "b", maxWedges = 100).count()
+    }
+    assert(e1.getMessage.contains("wedge volume over budget"))
+    val e2 = intercept[IllegalArgumentException] {
+      Graph.linkPrediction(clique, "a", "b", k = 5, maxWedges = 100).count()
+    }
+    assert(e2.getMessage.contains("wedge volume over budget"))
+    // guard never changes results below budget
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val a = Graph.triangleCounts(tri, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Graph.triangleCounts(tri, "a", "b", maxWedges = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b && a == Set((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+
   // session, and it flips every later graph-op truncation in this JVM
   // from localCheckpoint to reliable checkpoint (correct, just slower)
   test("a configured checkpoint dir upgrades round truncation to reliable " +
