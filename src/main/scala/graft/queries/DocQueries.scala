@@ -281,6 +281,44 @@ object DocQueries {
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("ws_tokens_sum"))
     }),
+    // WARC ingestion (ISO 28500, the Common Crawl container): docs are
+    // packed into multi-record WARC files (10 response records each,
+    // every 4th record its own gzip member — the crawl layout), the
+    // REAL strict parser (sources/Warc.scala, hostile-length guarded)
+    // walks them back, and the oracle recomputes every extracted field
+    // from the same derivation — proving the full encode -> parse ->
+    // extract pipeline exact, the mm_flac_segments pattern for text
+    "doc_warc_extract" -> ((s, d) => {
+      import s.implicits._
+      val grouped = docs(s, d)
+        .select(expr("doc_id div 10").as("file_id"),
+          struct(col("doc_id"), col("text")).as("r"))
+        .groupBy(col("file_id"))
+        .agg(sort_array(collect_list(col("r"))).as("rs"))
+      grouped.flatMap { row =>
+        val bytes = row.getSeq[org.apache.spark.sql.Row](1).flatMap { r =>
+          val id = r.getLong(0)
+          val b = ((id % 1000003L) * 2654435761L) % 3L
+          val (st, stx) = b match {
+            case 0L => (200, "OK")
+            case 1L => (301, "Moved")
+            case _ => (404, "NotFound")
+          }
+          val rec = graft.sources.Warc.encodeResponse(
+            s"https://ex.org/d/$id", "2026-08-14T00:00:00Z", st, stx,
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          (if (id % 4 == 0) graft.sources.Warc.gzipMember(rec) else rec).toSeq
+        }.toArray
+        graft.sources.Warc.parseAll(bytes).map { w =>
+          val id = w.targetUri.substring(w.targetUri.lastIndexOf('/') + 1).toLong
+          val body = new String(w.body,
+            java.nio.charset.StandardCharsets.UTF_8)
+          val nTok = body.trim.toLowerCase
+            .replaceAll("\\s+", " ").split(" ", -1).length.toLong
+          (id, w.httpStatus.toLong, w.contentLength, nTok)
+        }
+      }.toDF("doc_id", "status", "content_length", "n_tokens")
+    }),
     // edit-distance pairs composed into typo-variant clusters (the
     // min-label components of the levenshtein<=2 graph) — what a
     // dedup pass actually consumes; oracle = the pair brute force +
@@ -580,6 +618,28 @@ object DocQueries {
                  string_split(host, '.') AS l FROM h))"""
 
   val oracleSql: Map[String, String] = Map(
+    "doc_warc_extract" ->
+      s"""WITH b AS (
+           SELECT doc_id, text,
+             ((doc_id % 1000003) * 2654435761) % 3 AS bk FROM documents),
+         s AS (
+           SELECT doc_id, text,
+             CASE bk WHEN 0 THEN 200 WHEN 1 THEN 301 ELSE 404 END AS status,
+             CASE bk WHEN 0 THEN 'OK' WHEN 1 THEN 'Moved'
+                     ELSE 'NotFound' END AS stx
+           FROM b),
+         p AS (
+           SELECT doc_id, status,
+             'HTTP/1.1 ' || status || ' ' || stx || chr(13) || chr(10) ||
+               'Content-Type: text/plain' || chr(13) || chr(10) ||
+               'Content-Length: ' || strlen(text) || chr(13) || chr(10) ||
+               chr(13) || chr(10) || text AS payload,
+             $normSql AS norm
+           FROM s)
+         SELECT doc_id, CAST(status AS BIGINT) AS status,
+           CAST(strlen(payload) AS BIGINT) AS content_length,
+           CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens
+         FROM p""",
     "doc_edit_clusters" ->
       s"""WITH RECURSIVE u AS (
            SELECT doc_id AS id, substr($normSql, 1, 24) AS s,

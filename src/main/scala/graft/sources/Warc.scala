@@ -1,0 +1,240 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.US_ASCII
+
+/** WARC (Web ARChive, ISO 28500 / WARC/1.0) reader + writer — the
+  * container web corpora actually arrive in (Common Crawl ships WARC).
+  * Implemented from the public spec: a file is a concatenation of
+  * records, each optionally its own gzip member; a record is a version
+  * line, CRLF-separated named headers, an empty line, `Content-Length`
+  * payload bytes, and a CRLF CRLF terminator. `response` records carry
+  * an HTTP message as payload (status line, headers, empty line, body).
+  *
+  * Parsing is STRICT with loud clean rejection — the codec-family
+  * contract (Laz/Flac/Mp4): every untrusted length is Long-checked
+  * against the remaining bytes BEFORE use, headers must terminate,
+  * records must tile the file exactly, and gzip members are inflated
+  * under an explicit expansion cap so a hostile member cannot balloon
+  * memory (the zip-bomb guard). Malformed input throws
+  * IllegalArgumentException naming the offset — never an OOM, never a
+  * hang, never a silently short result.
+  *
+  * Scale model: WARC is processed file-parallel (a crawl is millions
+  * of files; records inside one gzip stream are sequential by nature
+  * — the same model Common Crawl tooling uses). The byte-level
+  * parser here runs per file/payload inside typed partition batches.
+  */
+object Warc {
+
+  final case class WarcRecord(offset: Long, warcType: String,
+      targetUri: String, date: String, httpStatus: Int,
+      contentLength: Long, body: Array[Byte])
+
+  private val Crlf = "\r\n".getBytes(US_ASCII)
+
+  /** Encode one `response` record (uncompressed form). */
+  def encodeResponse(uri: String, date: String, status: Int,
+      statusText: String, body: Array[Byte]): Array[Byte] = {
+    val http = new ByteArrayOutputStream()
+    http.write(s"HTTP/1.1 $status $statusText\r\n".getBytes(US_ASCII))
+    http.write("Content-Type: text/plain\r\n".getBytes(US_ASCII))
+    http.write(s"Content-Length: ${body.length}\r\n\r\n".getBytes(US_ASCII))
+    http.write(body)
+    val payload = http.toByteArray
+    val out = new ByteArrayOutputStream()
+    out.write("WARC/1.0\r\n".getBytes(US_ASCII))
+    out.write("WARC-Type: response\r\n".getBytes(US_ASCII))
+    out.write(s"WARC-Target-URI: $uri\r\n".getBytes(US_ASCII))
+    out.write(s"WARC-Date: $date\r\n".getBytes(US_ASCII))
+    out.write("Content-Type: application/http;msgtype=response\r\n"
+      .getBytes(US_ASCII))
+    out.write(s"Content-Length: ${payload.length}\r\n\r\n".getBytes(US_ASCII))
+    out.write(payload)
+    out.write(Crlf); out.write(Crlf)
+    out.toByteArray
+  }
+
+  /** Gzip-wrap one encoded record as its own member (the per-record
+    * compression layout crawl archives use). JDK GZIPOutputStream
+    * writes MTIME = 0, so the bytes are deterministic. */
+  def gzipMember(record: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(record); gz.close()
+    bos.toByteArray
+  }
+
+  /** Parse a WARC file (mixed plain / per-record-gzip members).
+    * `maxInflate` caps the decompressed size of any single gzip member
+    * (zip-bomb guard). */
+  def parseAll(bytes: Array[Byte],
+      maxInflate: Long = 1L << 30): Seq[WarcRecord] = {
+    val out = Vector.newBuilder[WarcRecord]
+    var p = 0
+    while (p < bytes.length) {
+      if (p + 2 <= bytes.length &&
+          (bytes(p) & 0xff) == 0x1f && (bytes(p + 1) & 0xff) == 0x8b) {
+        val (member, consumed) = inflateMember(bytes, p, maxInflate)
+        val recs = parsePlain(member, p)
+        require(recs.nonEmpty,
+          s"WARC: empty gzip member at offset $p")
+        recs.foreach(out += _)
+        p += consumed
+      } else {
+        val (rec, next) = parseRecord(bytes, p)
+        out += rec
+        p = next
+      }
+    }
+    out.result()
+  }
+
+  /** Inflate ONE gzip member starting at `at`, returning its exact
+    * compressed extent — a GZIPInputStream cannot do this (it buffers
+    * past the member boundary), so the header is walked manually and
+    * a raw Inflater reports the unconsumed remainder. */
+  private def inflateMember(bytes: Array[Byte], at: Int,
+      maxInflate: Long): (Array[Byte], Int) = {
+    def req(c: Boolean, msg: String): Unit =
+      require(c, s"WARC: gzip member at offset $at: $msg")
+    var p = at
+    req(p + 10 <= bytes.length, "truncated header")
+    req(bytes(p + 2) == 8, "unsupported compression method")
+    val flg = bytes(p + 3) & 0xff
+    p += 10
+    if ((flg & 4) != 0) { // FEXTRA
+      req(p + 2 <= bytes.length, "truncated FEXTRA")
+      val xlen = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+      p += 2 + xlen
+      req(p <= bytes.length, "FEXTRA runs past end of input")
+    }
+    def skipZ(): Unit = { // zero-terminated field
+      while (p < bytes.length && bytes(p) != 0) p += 1
+      req(p < bytes.length, "unterminated name/comment field")
+      p += 1
+    }
+    if ((flg & 8) != 0) skipZ()  // FNAME
+    if ((flg & 16) != 0) skipZ() // FCOMMENT
+    if ((flg & 2) != 0) {        // FHCRC
+      p += 2
+      req(p <= bytes.length, "truncated FHCRC")
+    }
+    val inf = new java.util.zip.Inflater(true)
+    try {
+      inf.setInput(bytes, p, bytes.length - p)
+      val buf = new Array[Byte](64 * 1024)
+      val acc = new ByteArrayOutputStream()
+      while (!inf.finished()) {
+        val n = try inf.inflate(buf) catch {
+          case e: java.util.zip.DataFormatException =>
+            throw new IllegalArgumentException(
+              s"WARC: gzip member at offset $at: corrupt deflate stream " +
+                s"(${e.getMessage})")
+        }
+        // n == 0 without finishing = ran out of input (truncation) or a
+        // preset-dictionary stream (unsupported) — loop forever otherwise
+        req(n > 0 || inf.finished(), "truncated or unsupported deflate stream")
+        acc.write(buf, 0, n)
+        req(acc.size() <= maxInflate,
+          s"inflates past the $maxInflate-byte cap (zip-bomb guard)")
+      }
+      val end = p + ((bytes.length - p) - inf.getRemaining) + 8 // CRC + ISIZE
+      req(end <= bytes.length, "truncated gzip trailer")
+      (acc.toByteArray, end - at)
+    } finally inf.end()
+  }
+
+  private def parsePlain(member: Array[Byte], fileOffset: Int): Seq[WarcRecord] = {
+    val out = Vector.newBuilder[WarcRecord]
+    var p = 0
+    while (p < member.length) {
+      val (rec, next) = parseRecord(member, p)
+      out += rec.copy(offset = fileOffset.toLong)
+      p = next
+    }
+    out.result()
+  }
+
+  /** One record starting at `p`; returns (record, offset after it). */
+  private def parseRecord(b: Array[Byte], p: Int): (WarcRecord, Int) = {
+    val (version, afterVersion) = readLine(b, p)
+    require(version == "WARC/1.0" || version == "WARC/1.1",
+      s"WARC: bad version line at offset $p: '${version.take(20)}'")
+    var q = afterVersion
+    var warcType = ""; var uri = ""; var date = ""
+    var contentLength = -1L
+    var line = ""
+    var guard = 0
+    do {
+      val (l, next) = readLine(b, q)
+      line = l; q = next
+      guard += 1
+      require(guard <= 64, s"WARC: more than 64 header lines at offset $p")
+      if (line.nonEmpty) {
+        val i = line.indexOf(':')
+        require(i > 0, s"WARC: malformed header at offset $p: '${line.take(30)}'")
+        val (k, v) = (line.substring(0, i).trim, line.substring(i + 1).trim)
+        k.toLowerCase match {
+          case "warc-type" => warcType = v
+          case "warc-target-uri" => uri = v
+          case "warc-date" => date = v
+          case "content-length" =>
+            contentLength = try v.toLong catch {
+              case _: NumberFormatException => throw new IllegalArgumentException(
+                s"WARC: non-numeric Content-Length at offset $p: '$v'")
+            }
+          case _ => ()
+        }
+      }
+    } while (line.nonEmpty)
+    require(contentLength >= 0,
+      s"WARC: missing or negative Content-Length at offset $p")
+    // Long arithmetic BEFORE any slice (the Laz14 overflow lesson)
+    require(q.toLong + contentLength + 4 <= b.length.toLong,
+      s"WARC: Content-Length $contentLength at offset $p runs past " +
+        s"end of input (${b.length} bytes)")
+    val payload = java.util.Arrays.copyOfRange(b, q, q + contentLength.toInt)
+    val end = q + contentLength.toInt
+    require(b(end) == '\r' && b(end + 1) == '\n' &&
+        b(end + 2) == '\r' && b(end + 3) == '\n',
+      s"WARC: record at offset $p not terminated by CRLF CRLF")
+    val (status, body) =
+      if (warcType == "response") parseHttp(payload, p) else (0, payload)
+    (WarcRecord(p.toLong, warcType, uri, date, status,
+      contentLength, body), end + 4)
+  }
+
+  private def parseHttp(payload: Array[Byte], at: Int): (Int, Array[Byte]) = {
+    val (statusLine, afterStatus) = readLine(payload, 0)
+    val parts = statusLine.split(" ", 3)
+    require(parts.length >= 2 && parts(0).startsWith("HTTP/"),
+      s"WARC: record at offset $at: bad HTTP status line " +
+        s"'${statusLine.take(30)}'")
+    val status = try parts(1).toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"WARC: record at offset $at: non-numeric HTTP status '${parts(1)}'")
+    }
+    var q = afterStatus
+    var line = ""
+    var guard = 0
+    do {
+      val (l, next) = readLine(payload, q)
+      line = l; q = next
+      guard += 1
+      require(guard <= 256,
+        s"WARC: record at offset $at: more than 256 HTTP header lines")
+    } while (line.nonEmpty)
+    (status, java.util.Arrays.copyOfRange(payload, q, payload.length))
+  }
+
+  /** ASCII line up to CRLF; rejects records whose headers never
+    * terminate (truncation). */
+  private def readLine(b: Array[Byte], p: Int): (String, Int) = {
+    var i = p
+    while (i + 1 < b.length && !(b(i) == '\r' && b(i + 1) == '\n')) i += 1
+    require(i + 1 < b.length,
+      s"WARC: unterminated line at offset $p (truncated input)")
+    (new String(b, p, i - p, US_ASCII), i + 2)
+  }
+}

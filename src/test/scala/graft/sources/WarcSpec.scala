@@ -1,0 +1,102 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.US_ASCII
+import org.scalatest.funsuite.AnyFunSuite
+
+class WarcSpec extends AnyFunSuite {
+
+  private def rec(i: Int): Array[Byte] =
+    Warc.encodeResponse(s"https://ex.org/d/$i", "2026-08-14T00:00:00Z",
+      200 + i, "OK", s"body number $i with words".getBytes(US_ASCII))
+
+  test("multi-record roundtrip: plain and gzip members interleaved") {
+    val bytes = Array.concat(
+      rec(0), Warc.gzipMember(rec(1)), rec(2), Warc.gzipMember(rec(3)))
+    val got = Warc.parseAll(bytes)
+    assert(got.length == 4)
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.warcType == "response")
+      assert(r.targetUri == s"https://ex.org/d/$i")
+      assert(r.httpStatus == 200 + i)
+      assert(new String(r.body, US_ASCII) == s"body number $i with words")
+    }
+    // records tile the file: offsets strictly increase from 0
+    assert(got.head.offset == 0L)
+    assert(got.map(_.offset).distinct.length == 4)
+  }
+
+  test("gzip member with FNAME/FEXTRA-free JDK output is byte-deterministic") {
+    assert(Warc.gzipMember(rec(7)).toSeq == Warc.gzipMember(rec(7)).toSeq)
+  }
+
+  private def expectReject(bytes: Array[Byte], needle: String): Unit = {
+    val e = intercept[IllegalArgumentException](Warc.parseAll(bytes))
+    assert(e.getMessage.contains(needle), e.getMessage)
+  }
+
+  test("hostile inputs reject loudly: bad magic, truncation, lying lengths") {
+    // bad version line
+    expectReject("HELLO/9 nonsense\r\n\r\n".getBytes(US_ASCII), "bad version")
+    // truncated mid-headers (no terminating CRLF)
+    expectReject("WARC/1.0\r\nWARC-Type: response".getBytes(US_ASCII),
+      "unterminated line")
+    // Content-Length past end of input
+    val lying = new String(rec(0), US_ASCII)
+      .replaceFirst("Content-Length: \\d+\r\n\r\nHTTP",
+        "Content-Length: 99999\r\n\r\nHTTP")
+    expectReject(lying.getBytes(US_ASCII), "runs past")
+    // negative Content-Length
+    val neg = new String(rec(0), US_ASCII)
+      .replaceFirst("Content-Length: \\d+\r\n\r\nHTTP",
+        "Content-Length: -5\r\n\r\nHTTP")
+    expectReject(neg.getBytes(US_ASCII), "negative Content-Length")
+    // non-numeric Content-Length
+    val nonnum = new String(rec(0), US_ASCII)
+      .replaceFirst("Content-Length: \\d+\r\n\r\nHTTP",
+        "Content-Length: lots\r\n\r\nHTTP")
+    expectReject(nonnum.getBytes(US_ASCII), "non-numeric Content-Length")
+    // last byte truncated: the length check catches it first
+    expectReject(rec(0).dropRight(1), "runs past")
+    // corrupted terminator with lengths intact
+    val r = rec(0)
+    r(r.length - 1) = 'X'
+    expectReject(r, "not terminated by CRLF CRLF")
+  }
+
+  test("hostile gzip members reject loudly: truncation, corruption, bomb cap") {
+    val gz = Warc.gzipMember(rec(1))
+    // truncated member
+    val e1 = intercept[IllegalArgumentException](
+      Warc.parseAll(gz.dropRight(10)))
+    assert(e1.getMessage.contains("truncated"), e1.getMessage)
+    // corrupted deflate bytes
+    val bad = gz.clone(); bad(bad.length / 2) = (bad(bad.length / 2) ^ 0x5a).toByte
+    val e2 = intercept[IllegalArgumentException](Warc.parseAll(bad))
+    assert(e2.getMessage.toLowerCase.contains("corrupt") ||
+      e2.getMessage.contains("truncated") ||
+      e2.getMessage.contains("WARC"), e2.getMessage)
+    // expansion cap: a member inflating past maxInflate trips the guard
+    val big = Warc.gzipMember(Warc.encodeResponse("https://x", "d", 200, "OK",
+      Array.fill(100000)('a'.toByte)))
+    val e3 = intercept[IllegalArgumentException](
+      Warc.parseAll(big, maxInflate = 1024))
+    assert(e3.getMessage.contains("zip-bomb guard"), e3.getMessage)
+    // garbage after a valid record (neither gzip nor WARC) rejects
+    expectReject(Array.concat(rec(0), "garbage line\r\n\r\n".getBytes(US_ASCII)),
+      "bad version")
+    // garbage with no line structure at all rejects on truncation
+    expectReject(Array.concat(rec(0), "garbage!".getBytes(US_ASCII)),
+      "unterminated line")
+  }
+
+  test("http payload parsing: status extracted, headers stripped from body") {
+    val custom = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://a\r\nContent-Length: 44\r\n\r\n" +
+      "HTTP/1.1 301 Moved\r\nLocation: /b\r\n\r\nredirect" +
+      "\r\n\r\n").getBytes(US_ASCII)
+    val got = Warc.parseAll(custom)
+    assert(got.length == 1)
+    assert(got.head.httpStatus == 301)
+    assert(new String(got.head.body, US_ASCII) == "redirect")
+  }
+}
