@@ -145,6 +145,9 @@ object Warc {
     } finally inf.end()
   }
 
+  /** Records inside one gzip member report the MEMBER's file offset
+    * (their own offsets are member-relative and not addressable in the
+    * compressed file) — the crawl convention of seeking to members. */
   private def parsePlain(member: Array[Byte], fileOffset: Int): Seq[WarcRecord] = {
     val out = Vector.newBuilder[WarcRecord]
     var p = 0
