@@ -45,8 +45,7 @@ object Graph {
     * executor loss), `localCheckpoint` otherwise (non-replicated
     * executor storage — fast, fine for local/bench use). */
   private def materializeCut(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
-    else df.localCheckpoint(true)
+    Frames.materializeCut(df)
 
   /** Exact decimal(38,0) sum of the `label` column — the convergence
     * probe for monotone min-label propagation. Decimal, not Long: node
@@ -77,11 +76,7 @@ object Graph {
     * instead of waiting on driver GC + ContextCleaner. (Reliable
     * checkpoints have no storage blocks to drop; their files are
     * cleaned by the session's normal checkpoint lifecycle.) */
-  private def freeRound(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collectLeaves().foreach {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
-      case _ => ()
-    }
+  private def freeRound(df: DataFrame): Unit = Frames.free(df)
 
   /** Fixed-point PageRank over an UNDIRECTED edge list (edges are
     * symmetrized and deduplicated; self-loops expected absent).
@@ -295,6 +290,9 @@ object Graph {
         .agg(coalesce(sum(col("od").cast("decimal(38,0)") * (col("od") - 1)),
           lit(java.math.BigDecimal.ZERO))).head.getDecimal(0)
       val w = BigDecimal(w2x) / 2
+      // release the materialized frames BEFORE the veto throws — a
+      // guarded-away call must not leak edge-sized storage blocks
+      if (w > maxWedges) { freeRound(e); freeRound(dir) }
       require(w <= maxWedges,
         s"triangle wedge volume over budget: $w oriented wedges > " +
           s"$maxWedges. The graph's truth is intrinsically dense " +
@@ -377,6 +375,7 @@ object Graph {
       val wedgeVol = BigDecimal(centers
         .agg(coalesce(sum(col("deg").cast("decimal(38,0)") * (col("deg") - 1)),
           lit(java.math.BigDecimal.ZERO))).head.getDecimal(0)) / 2
+      if (wedgeVol > maxWedges) freeRound(e) // no leak on the veto path
       require(wedgeVol <= maxWedges,
         s"link-prediction wedge volume over budget: $wedgeVol center " +
           s"wedges > $maxWedges. Pass maxDegree to cap hub centers " +

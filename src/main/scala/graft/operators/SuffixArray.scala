@@ -48,14 +48,9 @@ object SuffixArray {
       positions: Long, classes: Long)
 
   private def materializeCut(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
-    else df.localCheckpoint(true)
+    Frames.materializeCut(df)
 
-  private def freeFrame(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collectLeaves().foreach {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
-      case _ => ()
-    }
+  private def freeFrame(df: DataFrame): Unit = Frames.free(df)
 
   /** (doc, pos 0-based, word) of the whitespace-normalized text. */
   private def tokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -106,7 +101,8 @@ object SuffixArray {
       .select(col("doc"), col("pos"), col("new_rank").as("rank")))
     val sizes = ranks.groupBy(col("doc")).agg(count(lit(1)).as("n"))
       .agg(sum(col("n")), max(col("n"))).head
-    val nPos = sizes.getLong(0)
+    // both aggregates are null on an empty corpus
+    val nPos = if (sizes.isNullAt(0)) 0L else sizes.getLong(0)
     val maxLen = if (sizes.isNullAt(1)) 0L else sizes.getLong(1)
 
     val tables = scala.collection.mutable.ArrayBuffer[DataFrame](ranks)
@@ -172,8 +168,9 @@ object SuffixArray {
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
       minLen: Int): DataFrame = {
     val (finalRanks, tables, _) = doublingRanks(df, idCol, textCol)
-    val lens = tokens(df, idCol, textCol).groupBy(col("doc"))
-      .agg(count(lit(1)).as("len"))
+    // per-doc lengths from the already-materialized rank frame — no
+    // second normalize+split pass over the corpus text
+    val lens = finalRanks.groupBy(col("doc")).agg(count(lit(1)).as("len"))
 
     // SA order: rank is the class's first slot; duplicate suffixes
     // (equal to end-of-doc) tie-break by (doc, pos). The within-class
@@ -215,12 +212,18 @@ object SuffixArray {
       .withColumn("lcp", least(col("acc"),
         col("len_a") - col("pos_a"), col("len_b") - col("pos_b")))
 
-    // maxrep(position) = max LCP with either SA neighbor
-    val perPos = lcps.select(col("doc_a").as("doc"), col("pos_a").as("pos"),
+    // maxrep(position) = max LCP with either SA neighbor; positions
+    // with no neighbor at all (a single-suffix corpus) report 0, like
+    // the oracle's NULL lag/lead branches
+    val paired = lcps.select(col("doc_a").as("doc"), col("pos_a").as("pos"),
         col("lcp"))
       .unionByName(lcps.select(col("doc_b").as("doc"),
         col("pos_b").as("pos"), col("lcp")))
       .groupBy(col("doc"), col("pos")).agg(max(col("lcp")).as("maxrep"))
+    val perPos = finalRanks.select(col("doc"), col("pos"))
+      .join(paired, Seq("doc", "pos"), "left")
+      .select(col("doc"), col("pos"),
+        coalesce(col("maxrep"), lit(0L)).as("maxrep"))
 
     val out = perPos.groupBy(col("doc"))
       .agg(max(col("maxrep")).as("max_repeat_words"),

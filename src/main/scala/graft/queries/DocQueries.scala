@@ -313,7 +313,11 @@ object DocQueries {
           val id = w.targetUri.substring(w.targetUri.lastIndexOf('/') + 1).toLong
           val body = new String(w.body,
             java.nio.charset.StandardCharsets.UTF_8)
-          val nTok = body.trim.toLowerCase
+          // EXACT normalizeText replication: Spark trim strips spaces
+          // only (Java String.trim eats \n/\t too) and lower must be
+          // locale-stable
+          val nTok = body.replaceAll("^ +", "").replaceAll(" +$", "")
+            .toLowerCase(java.util.Locale.ROOT)
             .replaceAll("\\s+", " ").split(" ", -1).length.toLong
           (id, w.httpStatus.toLong, w.contentLength, nTok)
         }

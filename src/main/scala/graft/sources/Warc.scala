@@ -139,9 +139,22 @@ object Warc {
         req(acc.size() <= maxInflate,
           s"inflates past the $maxInflate-byte cap (zip-bomb guard)")
       }
-      val end = p + ((bytes.length - p) - inf.getRemaining) + 8 // CRC + ISIZE
+      val trailer = p + ((bytes.length - p) - inf.getRemaining)
+      val end = trailer + 8 // CRC32 + ISIZE
       req(end <= bytes.length, "truncated gzip trailer")
-      (acc.toByteArray, end - at)
+      // validate the trailer — "strict, loud rejection" must include
+      // corruption the deflate decoder happens to survive
+      def le32(o: Int): Long =
+        (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+          ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+      val out = acc.toByteArray
+      val crc = new java.util.zip.CRC32()
+      crc.update(out)
+      req(crc.getValue == le32(trailer),
+        "CRC32 mismatch (corrupt member)")
+      req((out.length.toLong & 0xffffffffL) == le32(trailer + 4),
+        "ISIZE mismatch (corrupt member)")
+      (out, end - at)
     } finally inf.end()
   }
 
@@ -178,7 +191,7 @@ object Warc {
         val i = line.indexOf(':')
         require(i > 0, s"WARC: malformed header at offset $p: '${line.take(30)}'")
         val (k, v) = (line.substring(0, i).trim, line.substring(i + 1).trim)
-        k.toLowerCase match {
+        k.toLowerCase(java.util.Locale.ROOT) match {
           case "warc-type" => warcType = v
           case "warc-target-uri" => uri = v
           case "warc-date" => date = v

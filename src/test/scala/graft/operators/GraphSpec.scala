@@ -209,7 +209,6 @@ class GraphSpec extends AnyFunSuite {
     assert(full.toSeq == Seq((1L, 3L, 1L, 333333L), (2L, 3L, 1L, 333333L)))
   }
 
-  // LAST in this suite: setCheckpointDir is irreversible on the shared
   test("degree-ordered triangleCounts == brute force on random graphs") {
     for (trial <- 1 to 6) {
       // seeded dense-ish random graph incl. hubs
@@ -257,6 +256,7 @@ class GraphSpec extends AnyFunSuite {
     assert(a == b && a == Set((1L, 1L), (2L, 1L), (3L, 1L)))
   }
 
+  // LAST in this suite: setCheckpointDir is irreversible on the shared
   // session, and it flips every later graph-op truncation in this JVM
   // from localCheckpoint to reliable checkpoint (correct, just slower)
   test("a configured checkpoint dir upgrades round truncation to reliable " +

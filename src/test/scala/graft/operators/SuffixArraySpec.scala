@@ -100,9 +100,14 @@ class SuffixArraySpec extends AnyFunSuite {
 
   test("degenerate inputs: single doc, single word, empty corpus") {
     val one = docs(1L -> "only")
-    // a lone suffix has no neighbor: no repeats reported
-    assert(got(one, 1).isEmpty)
+    // a lone suffix has no other suffix: zero repeat, reported as 0
+    // (the oracle's NULL lag/lead branches)
+    assert(got(one, 1) == Map(1L -> ((0L, 0L))))
     val rows = Seq(1L -> "a", 2L -> "a", 3L -> "b")
     assert(got(docs(rows: _*), 1) == bruteSpans(rows, 1))
+    // empty corpus: empty result, no null-aggregate NPE
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(SuffixArray.repeatedSpans(empty, "doc_id", "text", 1)
+      .collect().isEmpty)
   }
 }

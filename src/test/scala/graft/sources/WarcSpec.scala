@@ -75,6 +75,16 @@ class WarcSpec extends AnyFunSuite {
     assert(e2.getMessage.toLowerCase.contains("corrupt") ||
       e2.getMessage.contains("truncated") ||
       e2.getMessage.contains("WARC"), e2.getMessage)
+    // trailer CRC corruption (deflate stream itself intact)
+    val crcBad = gz.clone()
+    crcBad(crcBad.length - 6) = (crcBad(crcBad.length - 6) ^ 0x7f).toByte
+    val eCrc = intercept[IllegalArgumentException](Warc.parseAll(crcBad))
+    assert(eCrc.getMessage.contains("CRC32 mismatch"), eCrc.getMessage)
+    // trailer ISIZE corruption
+    val szBad = gz.clone()
+    szBad(szBad.length - 1) = (szBad(szBad.length - 1) ^ 0x01).toByte
+    val eSz = intercept[IllegalArgumentException](Warc.parseAll(szBad))
+    assert(eSz.getMessage.contains("ISIZE mismatch"), eSz.getMessage)
     // expansion cap: a member inflating past maxInflate trips the guard
     val big = Warc.gzipMember(Warc.encodeResponse("https://x", "d", 200, "OK",
       Array.fill(100000)('a'.toByte)))
