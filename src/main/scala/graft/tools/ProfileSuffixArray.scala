@@ -27,12 +27,7 @@ object ProfileSuffixArray {
       val (_, tables, rep) = graft.operators.SuffixArray
         .doublingRanks(docs, "doc_id", "text")
       println("  report: " + rep)
-      tables.foreach { t =>
-        t.queryExecution.analyzed.collectLeaves().foreach {
-          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
-          case _ => ()
-        }
-      }
+      tables.foreach(graft.operators.Frames.free)
     }
     time("full repeatedSpans") {
       graft.operators.SuffixArray.repeatedSpans(docs, "doc_id", "text", 8)
