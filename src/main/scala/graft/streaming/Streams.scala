@@ -69,6 +69,32 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("canonical_url")
 
+  /** Streaming WARC ingestion: each incoming blob (one WARC file /
+    * fetch batch) is parsed with the strict reader
+    * ([[graft.sources.Warc]] — hostile-length guarded, zip-bomb
+    * capped) and exploded into records. Stateless flatMap: no
+    * watermark, no state store, so a malformed blob fails ITS
+    * micro-batch loudly (the ingest retry/quarantine hook) and
+    * throughput scales with partitions. Returns (ts, target_uri,
+    * http_status, content_length, body_utf8). */
+  def warcIngest(stream: DataFrame, bytesCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.TIMESTAMP,
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.STRING)
+    stream.select(col("ts"), col(bytesCol))
+      .flatMap { r =>
+        graft.sources.Warc.parseAll(r.getAs[Array[Byte]](1)).map { w =>
+          (r.getTimestamp(0), w.targetUri, w.httpStatus.toLong,
+            w.contentLength,
+            new String(w.body, java.nio.charset.StandardCharsets.UTF_8))
+        }
+      }(enc)
+      .toDF("ts", "target_uri", "http_status", "content_length", "body")
+  }
+
   /** Online near-duplicate check of an incoming document stream against
     * a static corpus: simhash both sides, join on the 4 16-bit chunk
     * keys (a stateless stream-static equi-join — no watermark, no state

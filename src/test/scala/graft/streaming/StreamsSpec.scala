@@ -100,6 +100,33 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming WARC ingestion explodes records across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def file(ids: Range): Array[Byte] = ids.toArray.flatMap { i =>
+      val rec = graft.sources.Warc.encodeResponse(s"https://w/$i",
+        "2026-08-14T00:00:00Z", 200, "OK", s"payload $i".getBytes("UTF-8"))
+      if (i % 2 == 0) graft.sources.Warc.gzipMember(rec) else rec
+    }
+    val in = MemoryStream[(Timestamp, Array[Byte])]
+    val df = in.toDF().toDF("ts", "bytes")
+    val q = Streams.warcIngest(df, "bytes").writeStream
+      .format("memory").queryName("warc_out").outputMode("append").start()
+    try {
+      in.addData((ts(0), file(0 until 3)))
+      q.processAllAvailable()
+      in.addData((ts(1), file(3 until 5)))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT target_uri, http_status, body FROM warc_out ORDER BY target_uri")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      assert(rows.length == 5)
+      assert(rows.map(_._1).toSet == (0 until 5).map(i => s"https://w/$i").toSet)
+      assert(rows.forall(_._2 == 200L))
+      assert(rows.exists(_._3 == "payload 4"))
+    } finally q.stop()
+  }
+
   test("stream-static near-dup check matches incoming docs against the corpus") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
