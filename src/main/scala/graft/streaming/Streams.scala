@@ -75,25 +75,31 @@ object Streams {
     * capped) and exploded into records. Stateless flatMap: no
     * watermark, no state store, so a malformed blob fails ITS
     * micro-batch loudly (the ingest retry/quarantine hook) and
-    * throughput scales with partitions. Returns (ts, target_uri,
-    * http_status, content_length, body_utf8). */
-  def warcIngest(stream: DataFrame, bytesCol: String): DataFrame = {
-    val enc = org.apache.spark.sql.Encoders.tuple(
-      org.apache.spark.sql.Encoders.TIMESTAMP,
-      org.apache.spark.sql.Encoders.STRING,
-      org.apache.spark.sql.Encoders.scalaLong,
-      org.apache.spark.sql.Encoders.scalaLong,
-      org.apache.spark.sql.Encoders.STRING)
+    * throughput scales with partitions. Returns (ts, warc_type,
+    * target_uri, http_status, content_length, body_utf8) — warc_type
+    * is emitted because a real crawl file interleaves warcinfo /
+    * request / metadata records with the responses (those rows carry
+    * http_status 0 and the raw payload; consumers filter on
+    * warc_type = 'response' for the fetched content). */
+  final case class WarcRow(ts: Timestamp, warc_type: String,
+      target_uri: String, http_status: Long, content_length: Long,
+      body: String)
+
+  def warcIngest(stream: DataFrame, bytesCol: String): DataFrame =
     stream.select(col("ts"), col(bytesCol))
       .flatMap { r =>
-        graft.sources.Warc.parseAll(r.getAs[Array[Byte]](1)).map { w =>
-          (r.getTimestamp(0), w.targetUri, w.httpStatus.toLong,
-            w.contentLength,
+        val blob = r.getAs[Array[Byte]](1)
+        // the strict-contract boundary: a null blob must fail loudly
+        // like every other malformed input, not NPE anonymously
+        require(blob != null,
+          s"WARC ingest: null blob at ts ${r.getTimestamp(0)}")
+        graft.sources.Warc.parseAll(blob).map { w =>
+          WarcRow(r.getTimestamp(0), w.warcType, w.targetUri,
+            w.httpStatus.toLong, w.contentLength,
             new String(w.body, java.nio.charset.StandardCharsets.UTF_8))
         }
-      }(enc)
-      .toDF("ts", "target_uri", "http_status", "content_length", "body")
-  }
+      }(org.apache.spark.sql.Encoders.product[WarcRow])
+      .toDF()
 
   /** Online near-duplicate check of an incoming document stream against
     * a static corpus: simhash both sides, join on the 4 16-bit chunk

@@ -103,7 +103,11 @@ class StreamsSpec extends AnyFunSuite {
   test("streaming WARC ingestion explodes records across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    def file(ids: Range): Array[Byte] = ids.toArray.flatMap { i =>
+    // real crawl files open with a warcinfo record — the ingest must
+    // emit it typed (warc_type column) so consumers can filter it out
+    val warcinfo = ("WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+      "Content-Length: 14\r\n\r\nsoftware: test\r\n\r\n").getBytes("UTF-8")
+    def file(ids: Range): Array[Byte] = warcinfo ++ ids.toArray.flatMap { i =>
       val rec = graft.sources.Warc.encodeResponse(s"https://w/$i",
         "2026-08-14T00:00:00Z", 200, "OK", s"payload $i".getBytes("UTF-8"))
       if (i % 2 == 0) graft.sources.Warc.gzipMember(rec) else rec
@@ -118,12 +122,18 @@ class StreamsSpec extends AnyFunSuite {
       in.addData((ts(1), file(3 until 5)))
       q.processAllAvailable()
       val rows = spark.sql(
-        "SELECT target_uri, http_status, body FROM warc_out ORDER BY target_uri")
+        """SELECT target_uri, http_status, body FROM warc_out
+           WHERE warc_type = 'response' ORDER BY target_uri""")
         .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
       assert(rows.length == 5)
       assert(rows.map(_._1).toSet == (0 until 5).map(i => s"https://w/$i").toSet)
       assert(rows.forall(_._2 == 200L))
       assert(rows.exists(_._3 == "payload 4"))
+      // the two warcinfo records (one per blob) arrived typed, status 0
+      val info = spark.sql(
+        "SELECT count(*) FROM warc_out WHERE warc_type = 'warcinfo' AND http_status = 0")
+        .head().getLong(0)
+      assert(info == 2L)
     } finally q.stop()
   }
 
