@@ -102,9 +102,14 @@ object CorpusMix {
   /** Query-param names dropped by [[canonicalUrl]]: click/campaign
     * trackers that vary per impression while pointing at the same
     * resource — the #1 cause of spurious URL-level "uniqueness" in a
-    * web crawl. `utm_*` by prefix plus the fixed click-id set. */
+    * web crawl. `utm_*` by prefix plus the fixed click-id set. Only
+    * UNAMBIGUOUS ids belong here: generic names like `ref` are
+    * content-bearing on major sites (GitHub's `?ref=<branch>` selects
+    * different page content), and stripping them would merge genuinely
+    * distinct resources — callers who know their crawl's referrer
+    * convention opt in via `extraParams`. */
   val trackingParams: Seq[String] =
-    Seq("gclid", "fbclid", "msclkid", "yclid", "igshid", "mc_eid", "ref")
+    Seq("gclid", "fbclid", "msclkid", "yclid", "igshid", "mc_eid")
 
   /** Canonical form of a URL for exact URL-level dedup: lowercase
     * scheme and host, userinfo stripped (to the LAST '@', WHATWG —
@@ -121,7 +126,8 @@ object CorpusMix {
     * and no IDN/punycode folding — both change equality classes and
     * need tables this sandbox doesn't carry; deployments layer them
     * in front of this form. */
-  def canonicalUrl(url: Column): Column = {
+  def canonicalUrl(url: Column, extraParams: Seq[String] = Nil): Column = {
+    val dropParams = trackingParams ++ extraParams
     val noFrag = regexp_replace(url, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
     val rest = regexp_replace(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
@@ -140,7 +146,7 @@ object CorpusMix {
     val kept = filter(split(query, "&"), p => {
       val name = regexp_extract(p, "^([^=]*)", 1)
       !(p === "" || name.startsWith("utm_") ||
-        name.isin(trackingParams: _*))
+        name.isin(dropParams: _*))
     })
     val sortedQ = array_join(array_sort(kept), "&")
     concat(scheme, lit("://"), host,
@@ -153,8 +159,10 @@ object CorpusMix {
     * canonical URL with the smallest id as representative — the
     * hash-groupBy shape of [[Dedup.exactDedup]], keyed by
     * [[canonicalUrl]]. */
-  def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame =
-    df.select(col(idCol), canonicalUrl(col(urlCol)).as("canonical_url"))
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String,
+      extraParams: Seq[String] = Nil): DataFrame =
+    df.select(col(idCol),
+        canonicalUrl(col(urlCol), extraParams).as("canonical_url"))
       .groupBy(col("canonical_url"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
 

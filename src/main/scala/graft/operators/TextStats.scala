@@ -565,8 +565,12 @@ object TextStats {
     * prep ([[bpePairStats]]) into a usable tokenizer: train `rounds`
     * merges ([[bpeTrainMerges]]), then encode every document as its
     * token-id sequence. Ids: single-char symbols get their codepoint;
-    * the symbol created by merge round r (0-based) gets 256 + r (first
-    * creating round wins when two merges produce the same string).
+    * the symbol created by merge round r (0-based) gets 0x110000 + r
+    * (first creating round wins when two merges produce the same
+    * string). Merge ids sit ABOVE the Unicode codepoint space
+    * (max U+10FFFF) so no character surviving normalization — Latin-1
+    * or not ('ā' U+0101, Greek, CJK) — can collide with a merge id:
+    * token_ids stays injective and decodable.
     *
     * Scale shape: after the bounded training loop, encoding is ONE
     * narrow per-row projection — the merge list unrolls into nested
@@ -580,10 +584,12 @@ object TextStats {
       bpeTable(bpeTrainMerges(df, textCol, rounds)))
 
   /** Build the serializable apply table from a trained merge list
-    * (vocab: merged string -> 256 + first creating round). */
+    * (vocab: merged string -> 0x110000 + first creating round — ids
+    * allocated past the top of the Unicode codepoint space so they are
+    * disjoint from every possible single-codepoint token id). */
   def bpeTable(merges: Seq[(String, String)]): graft.functions.BpeTable = {
     val vocab = merges.zipWithIndex
-      .map { case ((a, b), r) => (a + b, 256L + r) }
+      .map { case ((a, b), r) => (a + b, 0x110000L + r) }
       .groupBy(_._1).map { case (t, xs) => (t, xs.map(_._2).min) }
       .toSeq.sortBy(_._2)
     new graft.functions.BpeTable(

@@ -232,7 +232,8 @@ object DocQueries {
       TextStats.bpePairStats(docs(s, d), "text", k = 25)),
     // BPE tokenizer application: 8 corpus-trained merge rounds, every
     // document as its token-id sequence (codepoint ids for single
-    // chars, 256+round for merges) — the whole train+encode loop
+    // chars, 0x110000+round for merges — above the Unicode space, so
+    // injective against any surviving codepoint) — train+encode loop
     // oracle-replayed via unrolled per-round CTEs
     "doc_bpe_encode" -> ((s, d) =>
       TextStats.bpeEncode(docs(s, d), "doc_id", "text", rounds = 8)),
@@ -486,7 +487,7 @@ object DocQueries {
     * (pair counts over the current symbol encodings of the distinct
     * word table), b_r (the argmax pair), e_r (the merge applied as one
     * literal replace — left-to-right non-overlapping in DuckDB exactly
-    * as in Spark); then a vocab CTE (merge string -> 256 + first
+    * as in Spark); then a vocab CTE (merge string -> 0x110000 + first
     * round) and the per-document re-encoding joined back over the
     * final word encodings. Single-char symbols id by codepoint. If the
     * corpus exhausts its pairs before `rounds` (Spark's trainer stops
@@ -508,8 +509,11 @@ object DocQueries {
               '(' || (SELECT a || b FROM b$r) || ')'), e) AS e
             FROM e${r - 1})"""
     }.mkString(",\n        ")
+    // merge ids live at 0x110000 + round (0-based) — past U+10FFFF, so
+    // disjoint from every single-codepoint id (1114111 + r = 0x110000
+    // + (r-1) for the 1-based r here)
     val mergeUnion = (1 to rounds).map(r =>
-      s"SELECT a || b AS tok, 255 + $r AS id FROM b$r").mkString(" UNION ALL ")
+      s"SELECT a || b AS tok, 1114111 + $r AS id FROM b$r").mkString(" UNION ALL ")
     s"""WITH RECURSIVE wq AS (
            SELECT unnest(regexp_extract_all($normSql, '[a-z0-9]+')) AS w
            FROM documents),

@@ -206,8 +206,12 @@ object Warc {
     } while (line.nonEmpty)
     require(contentLength >= 0,
       s"WARC: missing or negative Content-Length at offset $p")
-    // Long arithmetic BEFORE any slice (the Laz14 overflow lesson)
-    require(q.toLong + contentLength + 4 <= b.length.toLong,
+    // bounds check by SUBTRACTION, not addition: q.toLong +
+    // contentLength + 4 can itself overflow Long for a hostile
+    // Content-Length near Long.MaxValue and silently pass — comparing
+    // contentLength against (remaining - 4) cannot overflow because
+    // every term on the right is Int-ranged (the Laz14 lesson, again)
+    require(contentLength <= b.length.toLong - q - 4,
       s"WARC: Content-Length $contentLength at offset $p runs past " +
         s"end of input (${b.length} bytes)")
     val payload = java.util.Arrays.copyOfRange(b, q, q + contentLength.toInt)

@@ -85,7 +85,8 @@ object Streams {
       target_uri: String, http_status: Long, content_length: Long,
       body: String)
 
-  def warcIngest(stream: DataFrame, bytesCol: String): DataFrame =
+  def warcIngest(stream: DataFrame, bytesCol: String,
+      maxInflate: Long = 1L << 30): DataFrame =
     stream.select(col("ts"), col(bytesCol))
       .flatMap { r =>
         val blob = r.getAs[Array[Byte]](1)
@@ -93,7 +94,7 @@ object Streams {
         // like every other malformed input, not NPE anonymously
         require(blob != null,
           s"WARC ingest: null blob at ts ${r.getTimestamp(0)}")
-        graft.sources.Warc.parseAll(blob).map { w =>
+        graft.sources.Warc.parseAll(blob, maxInflate).map { w =>
           WarcRow(r.getTimestamp(0), w.warcType, w.targetUri,
             w.httpStatus.toLong, w.contentLength,
             new String(w.body, java.nio.charset.StandardCharsets.UTF_8))

@@ -321,8 +321,9 @@ class CorpusMixSpec extends AnyFunSuite {
       "https://x.com/p?a=2&a=1" -> "https://x.com/p?a=1&a=2",
       // valueless and empty params: bare name kept, empty dropped
       "https://x.com/p?flag&&a=1" -> "https://x.com/p?a=1&flag",
-      // 'ref' is a tracker; 'referrer' is not (name match, not prefix)
-      "https://x.com/p?ref=spam&referrer=keep" -> "https://x.com/p?referrer=keep",
+      // 'ref' is CONTENT-BEARING (GitHub ?ref=<branch>): kept by
+      // default — stripping it is opt-in via extraParams
+      "https://x.com/p?ref=main&referrer=keep" -> "https://x.com/p?ref=main&referrer=keep",
       // bracketed IPv6 + port
       "https://[2001:DB8::1]:443/p" -> "https://[2001:db8::1]/p",
       "https://[2001:db8::1]:8080/p" -> "https://[2001:db8::1]:8080/p")
@@ -331,6 +332,14 @@ class CorpusMixSpec extends AnyFunSuite {
       .collect().map(_.getString(0))
     cases.zip(got).foreach { case ((in, want), have) =>
       assert(have == want, s"$in -> $have, wanted $want") }
+  }
+
+  test("canonicalUrl extraParams opts generic names into stripping") {
+    import org.apache.spark.sql.functions.col
+    val got = Seq("https://x.com/p?ref=spam&a=1").toDF("url")
+      .select(CorpusMix.canonicalUrl(col("url"), extraParams = Seq("ref")))
+      .collect().map(_.getString(0))
+    assert(got.head == "https://x.com/p?a=1", got.head)
   }
 
   test("urlDedup groups canonical variants under the smallest id") {

@@ -438,15 +438,14 @@ class TextStatsSpec extends AnyFunSuite {
   test("bpeEncode emits codepoint/merge token ids in document order") {
     import spark.implicits._
     val d = Seq((1L, "abab abc!"), (2L, "")).toDF("doc_id", "text")
-    // merges: (a,b) -> 256, (ab,ab) -> 257 (pairs: ab x5... with this
-    // corpus: abab:2 occurrences of ab x1 doc + abc -> recompute:
-    // words abab, abc -> ab x3, ba x1, bc x1 -> merge1 (a,b)=256;
-    // then (ab)(ab) x1, (ab)(c) x1 -> tie on count 1 -> pair asc:
-    // ("ab","ab") < ("ab","c") -> merge2 (ab,ab)=257
+    // merges: (a,b) -> 1114112 (0x110000), (ab,ab) -> 1114113 (pairs
+    // with this corpus: words abab, abc -> ab x3, ba x1, bc x1 ->
+    // merge1 (a,b); then (ab)(ab) x1, (ab)(c) x1 -> tie on count 1 ->
+    // pair asc: ("ab","ab") < ("ab","c") -> merge2 (ab,ab)
     val got = TextStats.bpeEncode(d, "doc_id", "text", rounds = 2)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
-    // doc 1: "abab" -> [257]; "abc" -> [256, 99]; "!" -> [33]
-    assert(got(1L) == ((4L, "257 256 99 33")), got.toString)
+    // doc 1: "abab" -> [1114113]; "abc" -> [1114112, 99]; "!" -> [33]
+    assert(got(1L) == ((4L, "1114113 1114112 99 33")), got.toString)
     assert(got(2L) == ((0L, "")), got.toString) // empty doc: no tokens
   }
 
@@ -457,7 +456,23 @@ class TextStatsSpec extends AnyFunSuite {
     val d = Seq((1L, "ab 🙂 ab")).toDF("doc_id", "text")
     val got = TextStats.bpeEncode(d, "doc_id", "text", rounds = 1)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
-    // merge 1 = (a,b) -> 256; tokens: [ab] [🙂] [ab]
-    assert(got(1L) == ((3L, "256 128578 256")), got.toString)
+    // merge 1 = (a,b) -> 0x110000; tokens: [ab] [🙂] [ab]
+    assert(got(1L) == ((3L, "1114112 128578 1114112")), got.toString)
+  }
+
+  test("bpeEncode merge ids cannot collide with any codepoint token") {
+    import spark.implicits._
+    // 'ā' is U+0101 = 257 — under a 256+rank scheme it would alias the
+    // id of merge round 1 and token_ids would stop being injective;
+    // with merge ids at 0x110000+rank the two stay disjoint
+    val d = Seq((1L, "abab abc!"), (2L, "ā ā")).toDF("doc_id", "text")
+    val got = TextStats.bpeEncode(d, "doc_id", "text", rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val docIds = got.values.flatMap(_.split(" ").filter(_.nonEmpty).map(_.toLong))
+    val mergeIds = docIds.filter(_ >= 0x110000L).toSet
+    val charIds = docIds.filter(_ < 0x110000L).toSet
+    assert(got(2L).split(" ").forall(_.toLong == 257L), got.toString)
+    assert(mergeIds.nonEmpty && charIds.contains(257L) &&
+      mergeIds.intersect(charIds).isEmpty, got.toString)
   }
 }

@@ -438,8 +438,9 @@ class StreamsSpec extends AnyFunSuite {
       q.processAllAvailable()
       val rows = spark.sql("SELECT * FROM bpe_out").collect()
         .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
-      // merges (a,b)=256, (ab,ab)=257 -> "abab"=[257], "abc"=[256,99], "!"=[33]
-      assert(rows == Map(10L -> ((4L, "257 256 99 33")), 11L -> ((0L, ""))),
+      // merges (a,b)=1114112, (ab,ab)=1114113 -> "abab"=[1114113],
+      // "abc"=[1114112,99], "!"=[33]
+      assert(rows == Map(10L -> ((4L, "1114113 1114112 99 33")), 11L -> ((0L, ""))),
         rows.toString)
     } finally q.stop()
   }
