@@ -505,4 +505,89 @@ object CorpusMix {
       .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"), col("n_shared"),
         expr("n_shared * 1000000 div (n_a + n_b - n_shared)").as("jaccard_ppm"))
   }
+
+  /** The crawl-curation funnel as ONE composed job — the stages a
+    * web-scale training-data pipeline chains between raw fetch records
+    * and training shards, in their production order:
+    *
+    *   1. `response_200`  — keep successful fetches only
+    *   2. `url_unique`    — canonical-URL dedup ([[canonicalUrl]]),
+    *                        min-id representative per canonical form
+    *   3. `quality_kept`  — Gopher rule gate
+    *                        ([[TextStats.gopherRules]])
+    *   4. `exact_unique`  — exact dedup on normalized text, min-id rep
+    *   5. `near_unique`   — MinHash-LSH near-dup removal: drop every
+    *                        doc with a verified `>= jaccard` neighbor
+    *                        of SMALLER id (the deterministic pairwise
+    *                        contract; [[Dedup.minhashNearDups]])
+    *
+    * Returns the ordered stage list (name -> surviving rows carrying
+    * `__t`, the normalized text, and the original columns) so callers
+    * can take the final stage or account the whole funnel.
+    *
+    * Scale shape: every stage keys its shuffle on an 8-byte hash
+    * (xxhash64 of the canonical URL / normalized text), never the
+    * text itself; the near-dup stage is the banded-LSH pipeline
+    * (never all-pairs); survivors flow stage-to-stage as left-semi /
+    * left-anti joins on the id — no stage re-reads the raw corpus. */
+  def curateStages(df: DataFrame, idCol: String, urlCol: String,
+      statusCol: String, textCol: String, minWords: Int = 40,
+      jaccard: Double = 0.8): Seq[(String, DataFrame)] = {
+    val parsed = df.select(col(idCol), col(urlCol),
+      col(statusCol), TextStats.norm(col(textCol)).as("__t"))
+    val resp = parsed.filter(col(statusCol) === 200)
+    // canonical-URL dedup — group on the 64-bit hash of the canonical
+    // form (the canonical string itself never shuffles; it is not an
+    // output column here, so any uniform hash works for grouping)
+    val canon = resp.withColumn("__ch",
+      xxhash64(canonicalUrl(col(urlCol))))
+    val urlKeep = canon.groupBy(col("__ch")).agg(min(col(idCol)).as(idCol))
+    val afterUrl = canon
+      .join(urlKeep.select(idCol), Seq(idCol), "left_semi").drop("__ch")
+    val gateKeep = TextStats.gopherRules(afterUrl, idCol, "__t",
+        minWords = minWords)
+      .filter(col("keep")).select(idCol)
+    val afterGate = afterUrl.join(gateKeep, Seq(idCol), "left_semi")
+    val exactKeep = afterGate.groupBy(xxhash64(col("__t")).as("__th"))
+      .agg(min(col(idCol)).as(idCol))
+    val afterExact = afterGate.join(exactKeep.select(idCol), Seq(idCol), "left_semi")
+    val nearDrop = Dedup.minhashNearDups(afterExact, idCol, "__t",
+        threshold = jaccard)
+      .select(col("id_b").as(idCol)).distinct()
+    val afterNear = afterExact.join(nearDrop, Seq(idCol), "left_anti")
+    Seq("parsed" -> parsed, "response_200" -> resp,
+      "url_unique" -> afterUrl, "quality_kept" -> afterGate,
+      "exact_unique" -> afterExact, "near_unique" -> afterNear)
+  }
+
+  /** [[curateStages]] carried through to training-ready accounting:
+    * train a BPE tokenizer ON the curated survivors
+    * ([[TextStats.bpeTrainMerges]] — train-on-curated, the production
+    * order), encode each survivor to its REAL token count, then cap
+    * every registrable domain's token budget in id (crawl) order —
+    * greedy cumulative-sum, first-crawled-first-kept. Returns
+    * (id, domain, n_tokens) of the docs inside their domain budgets.
+    *
+    * The per-domain window sorts each domain's survivors by id — at
+    * 100 TB domains are many and individually small (the whole point
+    * of the cap), so the window parallelizes across domains; no
+    * global sort exists anywhere in the chain. */
+  def curatePipeline(df: DataFrame, idCol: String, urlCol: String,
+      statusCol: String, textCol: String, minWords: Int = 40,
+      jaccard: Double = 0.8, bpeRounds: Int = 8,
+      capTokens: Long = 2000L): DataFrame = {
+    val survivors = curateStages(df, idCol, urlCol, statusCol, textCol,
+      minWords, jaccard).last._2
+    val table = TextStats.bpeTable(
+      TextStats.bpeTrainMerges(survivors, "__t", bpeRounds))
+    val counts = TextStats.bpeEncodeApply(survivors, idCol, "__t", table)
+      .select(col(idCol), col("n_tokens"))
+    val w = Window.partitionBy(col("domain")).orderBy(col(idCol).asc)
+    survivors
+      .select(col(idCol), registrableDomain(col(urlCol)).as("domain"))
+      .join(counts, Seq(idCol))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .filter(col("__cum") <= capTokens)
+      .select(col(idCol), col("domain"), col("n_tokens"))
+  }
 }

@@ -324,6 +324,32 @@ object DocQueries {
         }
       }.toDF("doc_id", "status", "content_length", "n_tokens")
     }),
+    // WARC -> curated corpus, END TO END: the real ingestion
+    // composition the WARC source exists for. One job: WARC bytes ->
+    // strict parse -> keep 200s -> canonical-URL dedup -> Gopher gate
+    // -> exact dedup -> MinHash near-dup removal -> BPE tokenizer
+    // TRAINED ON THE SURVIVORS -> real token counts -> per-domain cap
+    // in crawl order -> shard accounting. One chained-CTE oracle
+    // replays every stage (the doc_pipeline_e2e pattern), proving the
+    // stages compose without hidden coupling
+    "doc_warc_pipeline_e2e" -> ((s, d) =>
+      CorpusMix.curatePipeline(warcCrawl(s, d), "doc_id", "url",
+          "status", "text", minWords = 40, jaccard = 0.8,
+          bpeRounds = 8, capTokens = 2000L)
+        .select(TextStats.idBucket(col("doc_id"), 4).as("shard"),
+          col("n_tokens"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("bpe_tokens_sum"))),
+    // the same funnel's per-stage survivor counts — the accounting a
+    // crawl operator watches; shares the stage chain (and oracle CTEs)
+    // with doc_warc_pipeline_e2e, stops before the BPE/cap tail
+    "doc_warc_pipeline_funnel" -> ((s, d) =>
+      CorpusMix.curateStages(warcCrawl(s, d), "doc_id", "url",
+          "status", "text", minWords = 40, jaccard = 0.8)
+        .map { case (name, sdf) =>
+          sdf.agg(lit(name).as("stage"), count(lit(1)).as("n_docs"))
+        }.reduce(_ unionByName _)),
     // edit-distance pairs composed into typo-variant clusters (the
     // min-label components of the levenshtein<=2 graph) — what a
     // dedup pass actually consumes; oracle = the pair brute force +
@@ -393,6 +419,91 @@ object DocQueries {
       .when(b === 5, concat(lit("https://u:p@"), h, lit("/a/b?a=1&b=2")))
       .when(b === 6, concat(lit("https://"), h, lit("/a/b?gclid=zzz&b=2&a=1")))
       .otherwise(concat(lit("https://"), h))
+  }
+
+  /** Crawl-URL fixture for the WARC curation pipeline: resource group
+    * g = doc_id div 8 (one page crawled ~8 times), 7 registrable
+    * domains (www.ex{g%7}.com — few enough that the per-domain token
+    * cap BINDS), page path /p/{g}, and the 8 canonicalization shapes
+    * of [[derivedCrawlUrl]] (unsorted params, utm tracker, uppercase +
+    * default port, trailing slash, fragment, userinfo, click-id, bare
+    * host). Every fetch additionally carries `gclid=<doc_id>` — a
+    * per-impression click id the canonicalizer strips, which is how
+    * the record id rides the raw URL without perturbing resource
+    * identity (and how the parse stage recovers it). */
+  private def pipelineCrawlUrl: org.apache.spark.sql.Column = {
+    val g = expr("doc_id div 8")
+    val h = concat(lit("www.ex"), (g % 7).cast("string"), lit(".com"))
+    val pg = concat(lit("/p/"), g.cast("string"))
+    val b = TextStats.idBucket(col("doc_id"), 8L)
+    val base = when(b === 0, concat(lit("https://"), h, pg, lit("?b=2&a=1")))
+      .when(b === 1, concat(lit("https://"), h, pg, lit("?a=1&b=2&utm_source=x")))
+      .when(b === 2, concat(lit("HTTPS://"), upper(h), lit(":443"), pg, lit("?a=1&b=2")))
+      .when(b === 3, concat(lit("https://"), h, pg, lit("/?a=1&b=2")))
+      .when(b === 4, concat(lit("https://"), h, pg, lit("?a=1&b=2#frag")))
+      .when(b === 5, concat(lit("https://u:p@"), h, pg, lit("?a=1&b=2")))
+      .when(b === 6, concat(lit("https://"), h, pg, lit("?gclid=zzz&b=2&a=1")))
+      .otherwise(concat(lit("https://"), h))
+    concat(base,
+      when(base.contains("?"), lit("&")).otherwise(lit("?")),
+      lit("gclid="), col("doc_id").cast("string"))
+  }
+
+  /** WARC crawl fixture for the end-to-end pipeline: docs packed into
+    * multi-record WARC files (10 responses each, every 4th record its
+    * own gzip member — the doc_warc_extract layout) with
+    * [[pipelineCrawlUrl]] target URIs and the derived 200/301/404
+    * statuses, then parsed back by the REAL strict parser. The record
+    * id is recovered from the gclid click-id in the raw URI (the
+    * numeric one — shape 6's `gclid=zzz` does not match).
+    *
+    * To exercise the content-dedup stages the URL dedup cannot reach,
+    * every shape-0 doc is additionally SYNDICATED to a mirror domain
+    * (m.ex{g%7}.org, id + 1000000, always fetched 200): even resource
+    * groups mirror the text verbatim (exact-dedup prey), odd groups
+    * append a 3-word suffix (word-shingle Jaccard ~0.93+ — near-dedup
+    * prey, above the 0.8 threshold, far above the corpus's next pair). */
+  private def warcCrawl(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bk = expr("((doc_id % 1000003) * 2654435761) % 3")
+    val base = docs(s, d).select(col("doc_id"), col("text"),
+      pipelineCrawlUrl.as("url"),
+      when(bk === 0, 200).when(bk === 1, 301).otherwise(404).as("status"),
+      when(bk === 0, "OK").when(bk === 1, "Moved").otherwise("NotFound")
+        .as("stx"))
+    val g = expr("doc_id div 8")
+    val mirrors = docs(s, d)
+      .filter(TextStats.idBucket(col("doc_id"), 8L) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        when(g % 2 === 1,
+            concat(col("text"), lit(" mirror syndicated copy")))
+          .otherwise(col("text")).as("text"),
+        concat(lit("https://m.ex"), (g % 7).cast("string"),
+          lit(".org/p/"), g.cast("string"), lit("?gclid="),
+          (col("doc_id") + 1000000L).cast("string")).as("url"),
+        lit(200).as("status"), lit("OK").as("stx"))
+    val grouped = base.unionByName(mirrors)
+      .select(expr("doc_id div 10").as("file_id"),
+        struct(col("doc_id"), col("text"), col("url"),
+          col("status"), col("stx")).as("r"))
+      .groupBy(col("file_id"))
+      .agg(sort_array(collect_list(col("r"))).as("rs"))
+    grouped.flatMap { row =>
+      val bytes = row.getSeq[org.apache.spark.sql.Row](1).flatMap { r =>
+        val rec = graft.sources.Warc.encodeResponse(
+          r.getString(2), "2026-08-14T00:00:00Z", r.getInt(3),
+          r.getString(4),
+          r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (if (r.getLong(0) % 4 == 0) graft.sources.Warc.gzipMember(rec)
+         else rec).toSeq
+      }.toArray
+      graft.sources.Warc.parseAll(bytes).map { w =>
+        (w.targetUri, w.httpStatus.toLong,
+          new String(w.body, java.nio.charset.StandardCharsets.UTF_8))
+      }
+    }.toDF("url", "status", "text")
+      .withColumn("doc_id",
+        regexp_extract(col("url"), "gclid=([0-9]+)", 1).cast("long"))
   }
 
   /** [[graft.operators.EditJoin]] fixture: 24-char normalized text
@@ -494,7 +605,16 @@ object DocQueries {
     * early), b_r is empty and the coalesce leaves e unchanged — the
     * exact early-stop semantics, instead of NULL-poisoning every
     * encoding through replace(e, NULL, NULL). */
-  private def bpeTokenCtes(rounds: Int): String = {
+  private def bpeTokenCtes(rounds: Int): String =
+    s"WITH RECURSIVE ${bpeTokenCtesBody(rounds, "documents", normSql)}"
+
+  /** The BPE train+encode CTE members WITHOUT the WITH prefix,
+    * parameterized by source relation and (already-normalized or
+    * normalizing) text expression — so a chained oracle can train the
+    * tokenizer on a mid-pipeline survivor CTE exactly as the Spark
+    * side trains on the curated survivors. */
+  private def bpeTokenCtesBody(rounds: Int, rel: String,
+      textExpr: String): String = {
     val roundCtes = (1 to rounds).map { r =>
       s"""p$r AS MATERIALIZED (SELECT list_extract(s, CAST(i AS INT)) AS a,
               list_extract(s, CAST(i AS INT) + 1) AS b, sum(c) AS n
@@ -514,9 +634,9 @@ object DocQueries {
     // + (r-1) for the 1-based r here)
     val mergeUnion = (1 to rounds).map(r =>
       s"SELECT a || b AS tok, 1114111 + $r AS id FROM b$r").mkString(" UNION ALL ")
-    s"""WITH RECURSIVE wq AS (
-           SELECT unnest(regexp_extract_all($normSql, '[a-z0-9]+')) AS w
-           FROM documents),
+    s"""wq AS (
+           SELECT unnest(regexp_extract_all($textExpr, '[a-z0-9]+')) AS w
+           FROM $rel),
          e0 AS (SELECT w, c,
              '(' || array_to_string(list_transform(range(1, length(w) + 1),
                  i -> substr(w, CAST(i AS INT), 1)), ')(') || ')' AS e
@@ -526,8 +646,8 @@ object DocQueries {
          dtok AS (SELECT doc_id, CAST(i AS INT) AS wpos,
              list_extract(ws, CAST(i AS INT)) AS w
            FROM (SELECT doc_id,
-                   regexp_extract_all($normSql, '${TextStats.tokenPattern}') AS ws
-                 FROM documents),
+                   regexp_extract_all($textExpr, '${TextStats.tokenPattern}') AS ws
+                 FROM $rel),
                 LATERAL unnest(range(1, len(ws) + 1)) AS t(i)),
          wt AS (SELECT doc_id, wpos,
              CASE WHEN e$rounds.e IS NULL THEN [dtok.w]
@@ -625,7 +745,95 @@ object DocQueries {
          FROM (SELECT doc_id, lang, text, host,
                  string_split(host, '.') AS l FROM h))"""
 
+  /** The WARC-curation funnel (stages through near-dup removal) as
+    * chained CTE members — every Spark stage of
+    * [[graft.operators.CorpusMix.curateStages]] replayed in order:
+    * status derivation, canonical-URL collapse (replayed by DERIVATION
+    * like doc_warc_extract — the canonicalizer itself is proven
+    * against the full textual replay in doc_url_dedup's oracle),
+    * Gopher gate, exact dedup, exhaustive-Jaccard near-dup drop
+    * (LSH recall is exactly 1 on this corpus, see the header note). */
+  private def warcPipelineCtes: String =
+    s"""base AS (SELECT doc_id, text,
+           ((doc_id % 1000003) * 2654435761) % 3 AS bk,
+           doc_id // 8 AS g,
+           ${TextStats.idBucketSql("doc_id", 8L)} AS b,
+           FALSE AS is_m
+         FROM documents),
+       mirr AS (SELECT doc_id + 1000000 AS doc_id,
+           CASE WHEN g % 2 = 1 THEN text || ' mirror syndicated copy'
+                ELSE text END AS text,
+           0 AS bk, g, b, TRUE AS is_m
+         FROM base WHERE b = 0),
+       recs AS (SELECT * FROM base UNION ALL SELECT * FROM mirr),
+       st AS MATERIALIZED (SELECT doc_id, $normSql AS t, bk, g, b, is_m
+         FROM recs),
+       cu AS MATERIALIZED (SELECT doc_id, t,
+           CASE WHEN is_m
+             THEN 'https://m.ex' || CAST(g % 7 AS VARCHAR) || '.org/p/' ||
+               CAST(g AS VARCHAR)
+             WHEN b = 7
+             THEN 'https://www.ex' || CAST(g % 7 AS VARCHAR) || '.com/'
+             ELSE 'https://www.ex' || CAST(g % 7 AS VARCHAR) || '.com/p/' ||
+               CAST(g AS VARCHAR) || '?a=1&b=2' END AS curl,
+           CASE WHEN is_m THEN 'ex' || CAST(g % 7 AS VARCHAR) || '.org'
+                ELSE 'ex' || CAST(g % 7 AS VARCHAR) || '.com' END AS domain
+         FROM st WHERE bk = 0),
+       u1 AS (SELECT curl, min(doc_id) AS doc_id FROM cu GROUP BY 1),
+       au AS MATERIALIZED (SELECT c.doc_id, c.t, c.domain
+         FROM cu c JOIN u1 ON c.curl = u1.curl AND c.doc_id = u1.doc_id),
+       gc AS (SELECT doc_id, t, domain,
+           len(string_split(t, ' ')) AS n_words,
+           length(t) - (len(string_split(t, ' ')) - 1) AS word_chars,
+           len(regexp_extract_all(t, '#|\\.\\.\\.')) AS n_symbols,
+           len(list_filter(string_split(t, ' '),
+               w -> regexp_matches(w, '[a-z]'))) AS n_alpha_words,
+           len(list_filter(list_distinct(string_split(t, ' ')),
+               w -> list_contains(${stopListSql(TextStats.enStopwords)}, w)))
+             AS n_stop_distinct
+         FROM au),
+       gk AS MATERIALIZED (SELECT doc_id, t, domain FROM gc
+         WHERE n_words >= 40 AND n_words <= 100000
+           AND word_chars >= n_words * 3 AND word_chars <= n_words * 10
+           AND (n_symbols * 10) <= n_words
+           AND (n_alpha_words * 5) >= (n_words * 4)
+           AND n_stop_distinct >= 2),
+       ex1 AS (SELECT t, min(doc_id) AS doc_id FROM gk GROUP BY 1),
+       ae AS MATERIALIZED (SELECT k.doc_id, k.t, k.domain
+         FROM gk k JOIN ex1 ON k.doc_id = ex1.doc_id),
+       shs AS (SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(ws), 3) - 1),
+           i -> array_to_string(ws[i:i+2], ' '))) AS shingles
+         FROM (SELECT doc_id, string_split(t, ' ') AS ws FROM ae)),
+       np AS (SELECT b2.doc_id AS id_b
+         FROM shs a2 JOIN shs b2 ON a2.doc_id < b2.doc_id
+         WHERE len(list_intersect(a2.shingles, b2.shingles))::DOUBLE /
+           len(list_distinct(list_concat(a2.shingles, b2.shingles))) >= 0.8),
+       an AS MATERIALIZED (SELECT doc_id, t, domain FROM ae
+         WHERE doc_id NOT IN (SELECT id_b FROM np))"""
+
   val oracleSql: Map[String, String] = Map(
+    "doc_warc_pipeline_e2e" ->
+      s"""WITH $warcPipelineCtes,
+         ${bpeTokenCtesBody(8, "an", "t")},
+         nt AS (SELECT a3.doc_id, a3.domain,
+             CAST(count(tid.id) AS BIGINT) AS n_tokens
+           FROM an a3 LEFT JOIN tid USING (doc_id) GROUP BY 1, 2),
+         cp AS (SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY domain ORDER BY doc_id)
+               AS cum
+           FROM nt)
+         SELECT ${TextStats.idBucketSql("doc_id", 4L)} AS shard,
+           count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bpe_tokens_sum
+         FROM cp WHERE cum <= 2000 GROUP BY 1""",
+    "doc_warc_pipeline_funnel" ->
+      s"""WITH $warcPipelineCtes
+         SELECT 'parsed' AS stage, count(*) AS n_docs FROM st
+         UNION ALL SELECT 'response_200', count(*) FROM cu
+         UNION ALL SELECT 'url_unique', count(*) FROM au
+         UNION ALL SELECT 'quality_kept', count(*) FROM gk
+         UNION ALL SELECT 'exact_unique', count(*) FROM ae
+         UNION ALL SELECT 'near_unique', count(*) FROM an""",
     "doc_warc_extract" ->
       s"""WITH b AS (
            SELECT doc_id, text,

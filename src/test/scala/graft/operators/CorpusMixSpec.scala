@@ -354,4 +354,63 @@ class CorpusMixSpec extends AnyFunSuite {
     assert(got == Set(("https://x.com/p?a=1&b=2", 3L, 3L),
       ("https://y.com/q", 7L, 1L)), got.toString)
   }
+
+  // a Gopher-passing 40-word text: 10 distinct stopwords + 30 plain
+  // alpha words, no symbols — every rule green
+  private val stopRun = "the a of and to in is that it for"
+  private val goodText = stopRun + " " +
+    Seq.fill(3)("alpha beta gamma delta epsilon zeta eta theta iota kappa")
+      .mkString(" ")
+  private val otherText = stopRun + " " +
+    Seq.fill(3)("rho sigma tau upsilon phi chi psi omega mu nu")
+      .mkString(" ")
+
+  private def crawl(rows: (Long, String, Int, String)*): DataFrame =
+    rows.toDF("doc_id", "url", "status", "text")
+
+  test("curateStages drops at each stage for exactly its own reason") {
+    val d = crawl(
+      (1L, "https://a.com/p?b=2&a=1", 200, goodText + " one"),
+      // same canonical URL as 1 -> url-dedup drop
+      (2L, "https://a.com/p?a=1&b=2&utm_source=x", 200, goodText + " two"),
+      (3L, "https://b.com/p", 404, goodText + " three"), // status drop
+      (4L, "https://c.com/p", 200, "too short"),         // gate drop
+      // exact text dup of 1 on a different site -> exact drop
+      (5L, "https://d.com/p", 200, goodText + " one"),
+      // near dup of 1 (word-shingle J ~ 0.9) -> near drop
+      (6L, "https://e.com/p", 200, goodText + " one extra suffix words here"),
+      (7L, "https://f.com/p", 200, otherText))           // survives
+    val stages = CorpusMix.curateStages(d, "doc_id", "url", "status", "text")
+    val counts = stages.map { case (n, sdf) => n -> sdf.count() }.toMap
+    assert(counts == Map("parsed" -> 7L, "response_200" -> 6L,
+      "url_unique" -> 5L, "quality_kept" -> 4L, "exact_unique" -> 3L,
+      "near_unique" -> 2L), counts.toString)
+    val survivors = stages.last._2.select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 7L), survivors.toString)
+  }
+
+  test("curatePipeline caps each domain's token budget in id order") {
+    val d = crawl(
+      (1L, "https://a.com/p", 200, goodText + " one"),
+      (7L, "https://f.com/p", 200, otherText),
+      // two quality docs on ONE domain, vocabularies disjoint from
+      // every other doc (so near-dedup leaves them alone) — the cap
+      // must keep only the earlier-crawled one
+      (8L, "https://g.com/p1", 200,
+        stopRun + " " + Seq.tabulate(30)(i => f"na$i%02d").mkString(" ")),
+      (9L, "https://g.com/p2", 200,
+        stopRun + " " + Seq.tabulate(30)(i => f"mb$i%02d").mkString(" ")))
+    val all = CorpusMix.curatePipeline(d, "doc_id", "url", "status",
+        "text", capTokens = Long.MaxValue)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(all.keySet == Set(1L, 7L, 8L, 9L), all.toString)
+    assert(all(8L)._1 == "g.com" && all(9L)._1 == "g.com", all.toString)
+    // budget = doc 8's own count: 8 fits, 9 overflows, other domains
+    // (single docs under budget? 1 and 7 are the same size class) stay
+    val capped = CorpusMix.curatePipeline(d, "doc_id", "url", "status",
+        "text", capTokens = all(8L)._2)
+      .collect().map(_.getLong(0)).toSet
+    assert(capped.contains(8L) && !capped.contains(9L), capped.toString)
+  }
 }
