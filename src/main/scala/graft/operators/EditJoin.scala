@@ -74,16 +74,13 @@ object EditJoin {
 
     if (maxAvgCandidatesPerRow > 0) {
       val (rows, cands) = candidateVolume(index, probe, k)
-      val avg = if (rows == 0L) BigDecimal(0) else cands / rows
-      require(avg <= maxAvgCandidatesPerRow,
-        s"edit-join candidate volume over budget: $cands candidate rows " +
-          s"for $rows strings (avg $avg per string > " +
-          s"$maxAvgCandidatesPerRow). A dominant shared segment (fixed " +
-          "prefix/template corpus) degenerates pigeonhole blocking " +
-          "toward all-pairs — and usually means the true tau-result is " +
-          "itself quadratic. Lower tau, strip the shared template " +
-          "before joining, or raise maxAvgCandidatesPerRow if this " +
-          "volume is intended.")
+      Guard.verify(GuardReport("edit-join candidate", rows, cands,
+        BigDecimal(maxAvgCandidatesPerRow), perRow = true,
+        "A dominant shared segment (fixed prefix/template corpus) " +
+          "degenerates pigeonhole blocking toward all-pairs — and " +
+          "usually means the true tau-result is itself quadratic. " +
+          "Lower tau, strip the shared template before joining, or " +
+          "raise maxAvgCandidatesPerRow if this volume is intended."))
     }
 
     // verify BEFORE distinct: candidate duplicates per pair are bounded

@@ -286,18 +286,20 @@ object Graph {
       when(col("dlo") <= col("dhi"), col("dhi")).otherwise(col("dlo")).as("dv")))
 
     if (maxWedges > 0) {
-      val w2x = dir.groupBy(col("u")).agg(count(lit(1)).as("od"))
+      val st = dir.groupBy(col("u")).agg(count(lit(1)).as("od"))
         .agg(coalesce(sum(col("od").cast("decimal(38,0)") * (col("od") - 1)),
-          lit(java.math.BigDecimal.ZERO))).head.getDecimal(0)
-      val w = BigDecimal(w2x) / 2
+          lit(java.math.BigDecimal.ZERO)).as("w2x"),
+          coalesce(sum(col("od")), lit(0L)).as("ne")).head
+      val report = GuardReport("triangle wedge", st.getLong(1),
+        BigDecimal(st.getDecimal(0)) / 2, BigDecimal(maxWedges),
+        perRow = false,
+        "The graph's truth is intrinsically dense (large " +
+          "near-cliques); cap hub degrees upstream, count on a " +
+          "subgraph, or raise maxWedges if this volume is intended.")
       // release the materialized frames BEFORE the veto throws — a
       // guarded-away call must not leak edge-sized storage blocks
-      if (w > maxWedges) { freeRound(e); freeRound(dir) }
-      require(w <= maxWedges,
-        s"triangle wedge volume over budget: $w oriented wedges > " +
-          s"$maxWedges. The graph's truth is intrinsically dense " +
-          "(large near-cliques); cap hub degrees upstream, count on a " +
-          "subgraph, or raise maxWedges if this volume is intended.")
+      if (report.tripped) { freeRound(e); freeRound(dir) }
+      Guard.verify(report)
     }
 
     // wedge (u; v1, v2) with v1 before v2 in (degree, id) order; the
@@ -372,15 +374,18 @@ object Graph {
     // blow it (co-activity cliques) means the common-neighbor truth is
     // itself quadratic, and the remediation is the maxDegree cap
     if (maxWedges > 0) {
-      val wedgeVol = BigDecimal(centers
+      val st = centers
         .agg(coalesce(sum(col("deg").cast("decimal(38,0)") * (col("deg") - 1)),
-          lit(java.math.BigDecimal.ZERO))).head.getDecimal(0)) / 2
-      if (wedgeVol > maxWedges) freeRound(e) // no leak on the veto path
-      require(wedgeVol <= maxWedges,
-        s"link-prediction wedge volume over budget: $wedgeVol center " +
-          s"wedges > $maxWedges. Pass maxDegree to cap hub centers " +
-          "(scores for capped hubs are dropped, the documented " +
-          "contract), or run on a subgraph.")
+          lit(java.math.BigDecimal.ZERO)).as("w2x"),
+          coalesce(sum(col("deg")), lit(0L)).as("ne")).head
+      val report = GuardReport("link-prediction wedge", st.getLong(1),
+        BigDecimal(st.getDecimal(0)) / 2, BigDecimal(maxWedges),
+        perRow = false,
+        "Pass maxDegree to cap hub centers (scores for capped hubs " +
+          "are dropped, the documented contract), or run on a " +
+          "subgraph.")
+      if (report.tripped) freeRound(e) // no leak on the veto path
+      Guard.verify(report)
     }
     val adjd = adj.join(centers, "z")
     val wedges = adjd.select(col("z"), col("n").as("u"), col("deg"))

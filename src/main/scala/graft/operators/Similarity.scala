@@ -546,14 +546,12 @@ object Similarity {
       graft.functions.vectors.rhp_fingerprint(col(vecCol), nBits).as("__fp"))
     if (maxAvgCandidatesPerRow > 0) {
       val (rows, pairs) = lshCandidatePairStats(withFp, "__fp", bitsPerBand, bands)
-      val avg = if (rows == 0L) BigDecimal(0) else pairs / rows
-      require(avg <= maxAvgCandidatesPerRow,
-        s"banded-LSH candidate volume over budget: $pairs candidate pairs " +
-          s"for $rows rows (avg $avg per row > $maxAvgCandidatesPerRow). " +
-          "At thresholds below ~0.7 banded RHP-LSH degenerates toward " +
+      Guard.verify(GuardReport("banded-LSH candidate", rows, pairs,
+        BigDecimal(maxAvgCandidatesPerRow), perRow = true,
+        "At thresholds below ~0.7 banded RHP-LSH degenerates toward " +
           "all-pairs; use Similarity.semanticDedupPairs (IVF-blocked) " +
           "instead, or raise bitsPerBand to shrink buckets, or raise " +
-          "maxAvgCandidatesPerRow if this volume is intended.")
+          "maxAvgCandidatesPerRow if this volume is intended."))
     }
     // the band join carries ONLY (id, fingerprint) — never the vectors;
     // a 64-dim float array through an exploded candidate join costs

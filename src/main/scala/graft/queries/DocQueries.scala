@@ -357,7 +357,8 @@ object DocQueries {
     "doc_edit_clusters" -> ((s, d) =>
       Dedup.duplicateClusters(
         graft.operators.EditJoin.editSelfJoin(editFixture(s, d), "id", "s",
-            tau = 2)
+            tau = 2, maxAvgCandidatesPerRow =
+              graft.operators.Guard.budget(s, "editMaxAvgCandidatesPerRow", 256.0))
           .select("id_a", "id_b"))
         .withColumnRenamed("id", "str_id")),
     // distributed corpus suffix array (prefix doubling) -> exact
@@ -397,9 +398,12 @@ object DocQueries {
     // blind to. Fixture plants a mutated twin per doc (exact copy /
     // prepend / delete / substitute, by id bucket); the oracle brute-
     // forces the truth with DuckDB's levenshtein
+    // candidate budget surfaced as session config
+    // (spark.graft.guard.editMaxAvgCandidatesPerRow)
     "doc_edit_neardup" -> ((s, d) =>
       graft.operators.EditJoin.editSelfJoin(editFixture(s, d), "id", "s",
-          tau = 2)
+          tau = 2, maxAvgCandidatesPerRow =
+            graft.operators.Guard.budget(s, "editMaxAvgCandidatesPerRow", 256.0))
         .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))))
 
   /** [[graft.operators.CorpusMix.canonicalUrl]] fixture: 8 URL shapes

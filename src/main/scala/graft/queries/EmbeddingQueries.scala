@@ -48,9 +48,14 @@ object EmbeddingQueries {
     // can replay every candidate; production callers get the default
     // candidate-volume guard, which vetoes this configuration at scale
     // (spec-pinned in SimilaritySpec)
+    // guard default 0 here = the documented opt-out (this fixture
+    // INTENDS the low-threshold regime so the oracle can replay every
+    // candidate); a deployment arms it via session config
+    // spark.graft.guard.lshMaxAvgCandidatesPerRow
     "emb_neardup_lsh" -> ((s, d) =>
       Similarity.cosineNearDupPairsLsh(emb(s, d), "vec_id", "embedding", 0.35,
-        bitsPerBand = 3, bands = 12, maxAvgCandidatesPerRow = 0)),
+        bitsPerBand = 3, bands = 12, maxAvgCandidatesPerRow =
+          graft.operators.Guard.budget(s, "lshMaxAvgCandidatesPerRow", 0.0))),
     "emb_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(emb(s, d), "vec_id", "embedding", queryVec(s, d), 20,
         nLists = 16, nProbe = 4)),

@@ -172,16 +172,20 @@ object EventQueries {
         .select(col("node").as("user_id"), col("label").as("component"))),
     // exact triangle counts on the co-activity graph (ordered-triple
     // wedge join — each triangle exactly once, no dedup)
+    // wedge budget surfaced as session config (spark.graft.guard.
+    // maxWedges) so a driver can tighten/lift the veto without code
     "ev_user_triangles" -> ((s, d) =>
       graft.operators.Graph.triangleCounts(
-        coactivityPairs(s, d), "user_a", "user_b")
+        coactivityPairs(s, d), "user_a", "user_b",
+        maxWedges = graft.operators.Guard.budget(s, "maxWedges", 2e9))
         .select(col("node").as("user_id"), col("triangles"))),
     // link prediction on the co-activity graph: top-25 NON-adjacent
     // pairs by integer-exact resource-allocation index (+ common
     // neighbors) — "who should connect next"
     "ev_link_prediction" -> ((s, d) =>
       graft.operators.Graph.linkPrediction(
-        coactivityPairs(s, d), "user_a", "user_b", k = 25)
+        coactivityPairs(s, d), "user_a", "user_b", k = 25,
+        maxWedges = graft.operators.Guard.budget(s, "maxWedges", 2e9))
         .select(col("u").as("user_a"), col("v").as("user_b"),
           col("common_neighbors"), col("ra_micro"))),
     // KMV theta-sketch intersection: distinct-user overlap per

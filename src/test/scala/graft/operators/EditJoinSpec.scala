@@ -109,11 +109,16 @@ class EditJoinSpec extends AnyFunSuite {
     val d = (0 until 400)
       .map(i => (i.toLong, f"2026-08-14 INFO request ok id=$i%04d"))
       .toDF("id", "s")
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[GuardTrippedException] {
       EditJoin.editSelfJoin(d, "id", "s", 2, maxAvgCandidatesPerRow = 32)
         .count()
     }
     assert(e.getMessage.contains("candidate volume over budget"))
+    // the uniform Guard contract: structured report with exact fields
+    assert(e.report.guard == "edit-join candidate" &&
+      e.report.rows == 400L && e.report.perRow && e.report.tripped &&
+      e.report.budget == BigDecimal(32) &&
+      e.report.avgPerRow > BigDecimal(32), e.report.toString)
     // and with the guard lifted the result is still the exact truth
     assert(passJoin(d, 2) == brute(d, 2))
   }

@@ -239,14 +239,26 @@ class GraphSpec extends AnyFunSuite {
   test("wedge-volume guards trip on a clique, pass on sparse graphs") {
     val clique = (for (a <- 0L until 40L; b <- a + 1 until 40L)
       yield (a, b)).toDF("a", "b")
-    val e1 = intercept[IllegalArgumentException] {
+    val e1 = intercept[GuardTrippedException] {
       Graph.triangleCounts(clique, "a", "b", maxWedges = 100).count()
     }
     assert(e1.getMessage.contains("wedge volume over budget"))
-    val e2 = intercept[IllegalArgumentException] {
+    // the uniform Guard contract: exact K40 wedge volume C(40,3) under
+    // the degree-ordered orientation, edges as the rows field
+    assert(e1.report.guard == "triangle wedge" &&
+      e1.report.rows == 780L && !e1.report.perRow &&
+      e1.report.volume == BigDecimal(9880) &&
+      e1.report.budget == BigDecimal(100) && e1.report.tripped,
+      e1.report.toString)
+    val e2 = intercept[GuardTrippedException] {
       Graph.linkPrediction(clique, "a", "b", k = 5, maxWedges = 100).count()
     }
     assert(e2.getMessage.contains("wedge volume over budget"))
+    // every node is a center of degree 39: 40 * C(39,2) wedges
+    assert(e2.report.guard == "link-prediction wedge" &&
+      e2.report.rows == 1560L && !e2.report.perRow &&
+      e2.report.volume == BigDecimal(29640) && e2.report.tripped,
+      e2.report.toString)
     // guard never changes results below budget
     val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
     val a = Graph.triangleCounts(tri, "a", "b")

@@ -124,12 +124,17 @@ class SimilaritySpec extends AnyFunSuite {
     // shape of a below-0.7-threshold corpus. The guard must veto it
     // loudly, naming the scale path.
     val d = (1L to 80L).map(i => (i, e1, 0)).toDF("vec_id", "embedding", "label")
-    val ex = intercept[IllegalArgumentException] {
+    val ex = intercept[GuardTrippedException] {
       Similarity.cosineNearDupPairsLsh(d, "vec_id", "embedding", 0.35,
         maxAvgCandidatesPerRow = 10.0).collect()
     }
     assert(ex.getMessage.contains("semanticDedupPairs"), ex.getMessage)
-    assert(ex.getMessage.contains("37920"), ex.getMessage)
+    // the structured report a driver alarms on (the uniform Guard
+    // contract): exact volume, budget, per-row semantics
+    val r = ex.report
+    assert(r.guard == "banded-LSH candidate" && r.rows == 80L &&
+      r.volume == BigDecimal(37920) && r.budget == BigDecimal(10.0) &&
+      r.perRow && r.tripped && r.avgPerRow == BigDecimal(474), r.toString)
   }
 
   test("LSH guard is result-invariant below budget, and the stats are exact") {
