@@ -17,8 +17,11 @@ import java.nio.charset.StandardCharsets.US_ASCII
   * records must tile the file exactly, and gzip members are inflated
   * under an explicit expansion cap so a hostile member cannot balloon
   * memory (the zip-bomb guard). Malformed input throws
-  * IllegalArgumentException naming the offset — never an OOM, never a
-  * hang, never a silently short result.
+  * [[Warc.WarcParseException]] (an IllegalArgumentException carrying
+  * the offending byte offset structurally, and naming it in the
+  * message) — never an OOM, never a hang, never a silently short
+  * result. Ingest pipelines that must survive hostile files use
+  * [[Warc.parseAllOr]] to turn the rejection into a quarantine row.
   *
   * Scale model: WARC is processed file-parallel (a crawl is millions
   * of files; records inside one gzip stream are sequential by nature
@@ -30,6 +33,32 @@ object Warc {
   final case class WarcRecord(offset: Long, warcType: String,
       targetUri: String, date: String, httpStatus: Int,
       contentLength: Long, body: Array[Byte])
+
+  /** Every malformed-input rejection throws this, carrying the byte
+    * offset of the offending member/record STRUCTURALLY — so a
+    * quarantine pipeline records where a blob broke without parsing
+    * exception text. Subclasses IllegalArgumentException: callers
+    * treating rejections as precondition failures are unchanged. */
+  final class WarcParseException(val offset: Long, message: String)
+    extends IllegalArgumentException(message)
+
+  private def check(c: Boolean, offset: Long, msg: => String): Unit =
+    if (!c) throw new WarcParseException(offset, msg)
+
+  /** A quarantined blob: where it broke and why. */
+  final case class WarcQuarantine(offset: Long, reason: String)
+
+  /** Parse-or-quarantine form for crawl ingest, where one hostile
+    * file among millions is routine: a malformed blob becomes a
+    * Left(offset, reason) instead of failing the caller — the strict
+    * parser underneath is unchanged (same checks, same messages). */
+  def parseAllOr(bytes: Array[Byte],
+      maxInflate: Long = 1L << 30): Either[WarcQuarantine, Seq[WarcRecord]] =
+    try Right(parseAll(bytes, maxInflate))
+    catch {
+      case e: WarcParseException =>
+        Left(WarcQuarantine(e.offset, e.getMessage))
+    }
 
   private val Crlf = "\r\n".getBytes(US_ASCII)
 
@@ -77,7 +106,7 @@ object Warc {
           (bytes(p) & 0xff) == 0x1f && (bytes(p + 1) & 0xff) == 0x8b) {
         val (member, consumed) = inflateMember(bytes, p, maxInflate)
         val recs = parsePlain(member, p)
-        require(recs.nonEmpty,
+        check(recs.nonEmpty, p,
           s"WARC: empty gzip member at offset $p")
         recs.foreach(out += _)
         p += consumed
@@ -97,7 +126,7 @@ object Warc {
   private def inflateMember(bytes: Array[Byte], at: Int,
       maxInflate: Long): (Array[Byte], Int) = {
     def req(c: Boolean, msg: String): Unit =
-      require(c, s"WARC: gzip member at offset $at: $msg")
+      check(c, at, s"WARC: gzip member at offset $at: $msg")
     var p = at
     req(p + 10 <= bytes.length, "truncated header")
     req(bytes(p + 2) == 8, "unsupported compression method")
@@ -128,7 +157,7 @@ object Warc {
       while (!inf.finished()) {
         val n = try inf.inflate(buf) catch {
           case e: java.util.zip.DataFormatException =>
-            throw new IllegalArgumentException(
+            throw new WarcParseException(at,
               s"WARC: gzip member at offset $at: corrupt deflate stream " +
                 s"(${e.getMessage})")
         }
@@ -175,7 +204,7 @@ object Warc {
   /** One record starting at `p`; returns (record, offset after it). */
   private def parseRecord(b: Array[Byte], p: Int): (WarcRecord, Int) = {
     val (version, afterVersion) = readLine(b, p)
-    require(version == "WARC/1.0" || version == "WARC/1.1",
+    check(version == "WARC/1.0" || version == "WARC/1.1", p,
       s"WARC: bad version line at offset $p: '${version.take(20)}'")
     var q = afterVersion
     var warcType = ""; var uri = ""; var date = ""
@@ -186,10 +215,10 @@ object Warc {
       val (l, next) = readLine(b, q)
       line = l; q = next
       guard += 1
-      require(guard <= 64, s"WARC: more than 64 header lines at offset $p")
+      check(guard <= 64, p, s"WARC: more than 64 header lines at offset $p")
       if (line.nonEmpty) {
         val i = line.indexOf(':')
-        require(i > 0, s"WARC: malformed header at offset $p: '${line.take(30)}'")
+        check(i > 0, p, s"WARC: malformed header at offset $p: '${line.take(30)}'")
         val (k, v) = (line.substring(0, i).trim, line.substring(i + 1).trim)
         k.toLowerCase(java.util.Locale.ROOT) match {
           case "warc-type" => warcType = v
@@ -197,27 +226,27 @@ object Warc {
           case "warc-date" => date = v
           case "content-length" =>
             contentLength = try v.toLong catch {
-              case _: NumberFormatException => throw new IllegalArgumentException(
+              case _: NumberFormatException => throw new WarcParseException(p,
                 s"WARC: non-numeric Content-Length at offset $p: '$v'")
             }
           case _ => ()
         }
       }
     } while (line.nonEmpty)
-    require(contentLength >= 0,
+    check(contentLength >= 0, p,
       s"WARC: missing or negative Content-Length at offset $p")
     // bounds check by SUBTRACTION, not addition: q.toLong +
     // contentLength + 4 can itself overflow Long for a hostile
     // Content-Length near Long.MaxValue and silently pass — comparing
     // contentLength against (remaining - 4) cannot overflow because
     // every term on the right is Int-ranged (the Laz14 lesson, again)
-    require(contentLength <= b.length.toLong - q - 4,
+    check(contentLength <= b.length.toLong - q - 4, p,
       s"WARC: Content-Length $contentLength at offset $p runs past " +
         s"end of input (${b.length} bytes)")
     val payload = java.util.Arrays.copyOfRange(b, q, q + contentLength.toInt)
     val end = q + contentLength.toInt
-    require(b(end) == '\r' && b(end + 1) == '\n' &&
-        b(end + 2) == '\r' && b(end + 3) == '\n',
+    check(b(end) == '\r' && b(end + 1) == '\n' &&
+        b(end + 2) == '\r' && b(end + 3) == '\n', p,
       s"WARC: record at offset $p not terminated by CRLF CRLF")
     val (status, body) =
       if (warcType == "response") parseHttp(payload, p) else (0, payload)
@@ -228,11 +257,11 @@ object Warc {
   private def parseHttp(payload: Array[Byte], at: Int): (Int, Array[Byte]) = {
     val (statusLine, afterStatus) = readLine(payload, 0)
     val parts = statusLine.split(" ", 3)
-    require(parts.length >= 2 && parts(0).startsWith("HTTP/"),
+    check(parts.length >= 2 && parts(0).startsWith("HTTP/"), at,
       s"WARC: record at offset $at: bad HTTP status line " +
         s"'${statusLine.take(30)}'")
     val status = try parts(1).toInt catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
+      case _: NumberFormatException => throw new WarcParseException(at,
         s"WARC: record at offset $at: non-numeric HTTP status '${parts(1)}'")
     }
     var q = afterStatus
@@ -242,7 +271,7 @@ object Warc {
       val (l, next) = readLine(payload, q)
       line = l; q = next
       guard += 1
-      require(guard <= 256,
+      check(guard <= 256, at,
         s"WARC: record at offset $at: more than 256 HTTP header lines")
     } while (line.nonEmpty)
     (status, java.util.Arrays.copyOfRange(payload, q, payload.length))
@@ -253,7 +282,7 @@ object Warc {
   private def readLine(b: Array[Byte], p: Int): (String, Int) = {
     var i = p
     while (i + 1 < b.length && !(b(i) == '\r' && b(i + 1) == '\n')) i += 1
-    require(i + 1 < b.length,
+    check(i + 1 < b.length, p,
       s"WARC: unterminated line at offset $p (truncated input)")
     (new String(b, p, i - p, US_ASCII), i + 2)
   }

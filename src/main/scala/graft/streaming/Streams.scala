@@ -102,6 +102,71 @@ object Streams {
       }(org.apache.spark.sql.Encoders.product[WarcRow])
       .toDF()
 
+  /** A [[warcIngestQuarantine]] row: either a parsed record
+    * (`quarantined = false`, q_* null/-1) or a quarantine marker for a
+    * whole malformed blob (`quarantined = true`, record columns
+    * null/0, q_offset = byte offset where the strict parser rejected,
+    * q_reason = its message). */
+  final case class WarcIngestRow(ts: Timestamp, warc_type: String,
+      target_uri: String, http_status: Long, content_length: Long,
+      body: String, quarantined: Boolean, q_offset: Long,
+      q_reason: String)
+
+  /** [[warcIngest]] with a QUARANTINE side-output instead of the
+    * fail-the-micro-batch contract — the operational form for a crawl
+    * ingest where one hostile file among millions is routine: each
+    * blob either parses fully (strict parser, unchanged) or becomes
+    * ONE quarantine row carrying (ts, q_offset, q_reason) from the
+    * typed [[graft.sources.Warc.WarcParseException]]. Still a
+    * stateless flatMap — no watermark, no state store. Split the two
+    * row kinds into sinks with [[warcQuarantineSinks]] (exactly-once
+    * on both). A null blob quarantines with q_offset = -1. */
+  def warcIngestQuarantine(stream: DataFrame, bytesCol: String,
+      maxInflate: Long = 1L << 30): DataFrame =
+    stream.select(col("ts"), col(bytesCol))
+      .flatMap { r =>
+        val ts = r.getTimestamp(0)
+        val blob = r.getAs[Array[Byte]](1)
+        if (blob == null)
+          Seq(WarcIngestRow(ts, null, null, 0L, 0L, null,
+            quarantined = true, -1L, "WARC ingest: null blob"))
+        else graft.sources.Warc.parseAllOr(blob, maxInflate) match {
+          case Right(recs) => recs.map { w =>
+            WarcIngestRow(ts, w.warcType, w.targetUri,
+              w.httpStatus.toLong, w.contentLength,
+              new String(w.body, java.nio.charset.StandardCharsets.UTF_8),
+              quarantined = false, -1L, null)
+          }
+          case Left(q) =>
+            Seq(WarcIngestRow(ts, null, null, 0L, 0L, null,
+              quarantined = true, q.offset, q.reason))
+        }
+      }(org.apache.spark.sql.Encoders.product[WarcIngestRow])
+      .toDF()
+
+  /** foreachBatch splitter for [[warcIngestQuarantine]]: good records
+    * land under `goodPath`, quarantine rows (ts, q_offset, q_reason)
+    * under `quarantinePath` — BOTH through the per-batch
+    * dynamic-partition overwrite of [[idempotentBatchWriter]], so a
+    * replayed micro-batch overwrites its own partition in each sink:
+    * exactly-once on both outputs. The micro-batch is persisted for
+    * the two passes so blobs are not re-parsed per sink. */
+  def warcQuarantineSinks(goodPath: String,
+      quarantinePath: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      val b = batch.persist()
+      try {
+        writeBatchPartition(
+          b.filter(!col("quarantined"))
+            .drop("quarantined", "q_offset", "q_reason"),
+          goodPath, batchId)
+        writeBatchPartition(
+          b.filter(col("quarantined"))
+            .select(col("ts"), col("q_offset"), col("q_reason")),
+          quarantinePath, batchId)
+      } finally { b.unpersist(); () }
+    }
+
   /** Online near-duplicate check of an incoming document stream against
     * a static corpus: simhash both sides, join on the 4 16-bit chunk
     * keys (a stateless stream-static equi-join — no watermark, no state
@@ -257,11 +322,15 @@ object Streams {
     * Usage: `stream.writeStream.foreachBatch(idempotentBatchWriter(path)).start()`. */
   def idempotentBatchWriter(path: String): (DataFrame, Long) => Unit =
     (batch: DataFrame, batchId: Long) =>
-      batch.withColumn("__batch", lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("__batch")
-        .parquet(path)
+      writeBatchPartition(batch, path, batchId)
+
+  private def writeBatchPartition(batch: DataFrame, path: String,
+      batchId: Long): Unit =
+    batch.withColumn("__batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch")
+      .parquet(path)
 
   /** Streaming near-duplicate check of a document stream against a
     * PERSISTED minhash index (built once by

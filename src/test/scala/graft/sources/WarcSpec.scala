@@ -109,4 +109,32 @@ class WarcSpec extends AnyFunSuite {
     assert(got.head.httpStatus == 301)
     assert(new String(got.head.body, US_ASCII) == "redirect")
   }
+
+  test("rejections carry the offending offset structurally") {
+    val a = Warc.encodeResponse("https://w/a", "2026-08-14T00:00:00Z",
+      200, "OK", "payload a".getBytes(US_ASCII))
+    val b = Warc.encodeResponse("https://w/b", "2026-08-14T00:00:00Z",
+      200, "OK", "payload b".getBytes(US_ASCII))
+    // second record truncated: rejection names ITS offset (a.length),
+    // not 0 — the field a quarantine row records
+    val e = intercept[Warc.WarcParseException] {
+      Warc.parseAll(a ++ b.dropRight(10))
+    }
+    assert(e.offset == a.length.toLong, s"${e.offset} vs ${a.length}")
+    // parseAllOr: same strict parse, quarantined instead of thrown
+    Warc.parseAllOr(a ++ b.dropRight(10)) match {
+      case Left(q) =>
+        assert(q.offset == a.length.toLong && q.reason == e.getMessage)
+      case Right(r) => fail(s"expected quarantine, parsed ${r.length}")
+    }
+    assert(Warc.parseAllOr(a ++ b).map(_.length) == Right(2))
+    // a corrupt gzip member reports the MEMBER's offset
+    val gz = Warc.gzipMember(b)
+    val corrupt = gz.take(gz.length - 12) ++
+      Array.fill[Byte](4)(0x55) ++ gz.takeRight(8)
+    val e2 = intercept[Warc.WarcParseException] {
+      Warc.parseAll(a ++ corrupt)
+    }
+    assert(e2.offset == a.length.toLong, e2.getMessage)
+  }
 }

@@ -137,6 +137,47 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("WARC quarantine side-output keeps good blobs, quarantines hostile") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def good(i: Int): Array[Byte] = graft.sources.Warc.encodeResponse(
+      s"https://w/$i", "2026-08-14T00:00:00Z", 200, "OK",
+      s"payload $i".getBytes("UTF-8"))
+    // hostile: a valid record truncated mid-payload — the strict
+    // parser rejects with Content-Length-runs-past-end at offset 0
+    val hostile = good(99).dropRight(10)
+    val goodDir = java.nio.file.Files
+      .createTempDirectory("warc_good").toString
+    val quarDir = java.nio.file.Files
+      .createTempDirectory("warc_quar").toString
+    val in = MemoryStream[(Timestamp, Array[Byte])]
+    val df = in.toDF().toDF("ts", "bytes")
+    val q = Streams.warcIngestQuarantine(df, "bytes").writeStream
+      .foreachBatch(Streams.warcQuarantineSinks(goodDir, quarDir))
+      .outputMode("append").start()
+    try {
+      in.addData((ts(0), good(0) ++ good(1)), (ts(1), hostile),
+        (ts(2), good(2)), (ts(3), null))
+      q.processAllAvailable()
+      val goodRows = spark.read.parquet(goodDir)
+        .select("target_uri").collect().map(_.getString(0)).toSet
+      assert(goodRows == Set("https://w/0", "https://w/1", "https://w/2"),
+        goodRows.toString)
+      val quar = spark.read.parquet(quarDir)
+        .select("ts", "q_offset", "q_reason").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getString(2)))
+      assert(quar.length == 2, quar.mkString("; "))
+      val byTs = quar.map(x => x._1 -> ((x._2, x._3))).toMap
+      // the truncated blob: rejected at record offset 0 with the
+      // strict parser's bounds message
+      assert(byTs(ts(1))._1 == 0L &&
+        byTs(ts(1))._2.contains("runs past"), byTs.toString)
+      // the null blob: sentinel offset -1
+      assert(byTs(ts(3))._1 == -1L &&
+        byTs(ts(3))._2.contains("null blob"), byTs.toString)
+    } finally q.stop()
+  }
+
   test("stream-static near-dup check matches incoming docs against the corpus") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
