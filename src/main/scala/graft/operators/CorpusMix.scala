@@ -67,26 +67,89 @@ object CorpusMix {
   /** [[registrableDomain]] with a caller-supplied multi-label suffix
     * list — the deployment hook for the full Public Suffix List. */
   def registrableDomain(url: Column, suffixes: Seq[String]): Column = {
-    val noScheme = regexp_replace(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
-    // greedy to the LAST '@' before the path, matching WHATWG host
-    // resolution — "a@b@x.com" has host x.com; stripping only to the
-    // first '@' would leave "b@x.com" as a forgeable domain key
-    val noUser = regexp_replace(noScheme, "^[^/?#]*@", "")
-    val rawHost = lower(regexp_extract(noUser, "^[^/:?#]*", 0))
-    val host = regexp_replace(rawHost, "\\.$", "")
-    val labels = split(host, "\\.")
+    val (noUser, host, labels) = urlHostParts(url)
     val suffix2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
     // isin (InSet past 10 values): ONE hash-set membership probe; an
     // OR-chain would re-inline the host/split subtree per suffix and
     // bloat the codegen'd expression ~40x
     val inSet = suffix2.isin(suffixes: _*)
-    when(noUser.startsWith("["),
-        lower(regexp_extract(noUser, "^\\[([^\\]]*)\\]", 1)))
-      .when(host.rlike("^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$"), host)
+    hostSpecialCases(noUser, host)
       .when(size(labels) >= 3 && inSet, array_join(slice(labels, -3, 3), "."))
       .when(size(labels) >= 2, array_join(slice(labels, -2, 2), "."))
       .otherwise(host)
   }
+
+  /** [[registrableDomain]] under FULL Public Suffix List semantics —
+    * exact rules of any depth, wildcard rules (`*.kawasaki.jp`:
+    * every label under the suffix is itself a public suffix), and
+    * exception rules (`!city.kawasaki.jp`: carved back out, its
+    * public suffix is the rule minus the leftmost label). The
+    * prevailing-rule order of the publicsuffix.org algorithm:
+    * exceptions first, then the longest match, then the default rule
+    * (bare TLD). Still one pure codegen'd expression: a fixed
+    * when-chain of InSet probes over the tail labels, one per
+    * (kind, depth) present in the rules — the same probe shape as the
+    * subset path, so swapping in the full list costs label-count
+    * probes, not a join. A host that IS a public suffix (e.g.
+    * `co.uk` itself) has no registrable parent and passes through
+    * unchanged, like the IP literals. */
+  def registrableDomain(url: Column, rules: PslRules): Column = {
+    val (noUser, host, labels) = urlHostParts(url)
+    val n = size(labels)
+    def lastK(k: Int): Column =
+      if (k == 1) element_at(labels, -1)
+      else concat_ws(".", (k to 1 by -1).map(i => element_at(labels, -i)): _*)
+    // registrable = public suffix (k labels) + 1 label; if the host
+    // has no extra label it IS the suffix -> pass through
+    def reg(k: Int): Column =
+      when(n >= k + 1, array_join(slice(labels, -(k + 1), k + 1), "."))
+        .otherwise(host)
+    val base = hostSpecialCases(noUser, host)
+    // exception rules prevail over everything (desc depth for
+    // determinism; overlapping exceptions at different depths are not
+    // a thing the PSL produces)
+    val withExc = rules.exception.toSeq.sortBy(-_._1)
+      .foldLeft(base) { case (acc, (k, rs)) =>
+        acc.when(n >= k && lastK(k).isin(rs: _*), reg(k - 1))
+      }
+    // longest-match: at total depth k, either an exact k-label rule
+    // matches the last k labels, or a wildcard rule's (k-1)-label
+    // suffix matches and the '*' consumes one more existing label
+    val maxK = ((rules.exact.keys ++ rules.wildcard.keys.map(_ + 1))
+      ++ Seq(1)).max
+    val withMatch = (maxK to 2 by -1).foldLeft(withExc) { case (acc, k) =>
+      val ex = rules.exact.getOrElse(k, Nil)
+      val wc = rules.wildcard.getOrElse(k - 1, Nil)
+      val cond =
+        if (ex.nonEmpty && wc.nonEmpty)
+          lastK(k).isin(ex: _*) || lastK(k - 1).isin(wc: _*)
+        else if (ex.nonEmpty) lastK(k).isin(ex: _*)
+        else if (wc.nonEmpty) lastK(k - 1).isin(wc: _*)
+        else lit(false)
+      if (ex.isEmpty && wc.isEmpty) acc
+      else acc.when(n >= k && cond, reg(k))
+    }
+    // the PSL default rule `*`: the bare last label is the suffix
+    withMatch.otherwise(reg(1))
+  }
+
+  /** Shared host extraction: scheme/userinfo strip (to the LAST '@'
+    * before the path, matching WHATWG host resolution — "a@b@x.com"
+    * has host x.com), lowercase, trailing dot dropped. */
+  private def urlHostParts(url: Column): (Column, Column, Column) = {
+    val noScheme = regexp_replace(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    val noUser = regexp_replace(noScheme, "^[^/?#]*@", "")
+    val rawHost = lower(regexp_extract(noUser, "^[^/:?#]*", 0))
+    val host = regexp_replace(rawHost, "\\.$", "")
+    (noUser, host, split(host, "\\."))
+  }
+
+  /** IPv6-bracket and IPv4-literal passthroughs (an address has no
+    * registrable parent) as the head of the domain when-chain. */
+  private def hostSpecialCases(noUser: Column, host: Column): Column =
+    when(noUser.startsWith("["),
+        lower(regexp_extract(noUser, "^\\[([^\\]]*)\\]", 1)))
+      .when(host.rlike("^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$"), host)
 
   /** [[sourceMix]] keyed by registrable domain instead of the source
     * tag — the per-domain token accounting a web-corpus mix is
@@ -97,6 +160,13 @@ object CorpusMix {
   def domainMix(df: DataFrame, urlCol: String, langCol: String,
       textCol: String): DataFrame =
     sourceMix(df.withColumn("domain", registrableDomain(col(urlCol))),
+      "domain", langCol, textCol)
+
+  /** [[domainMix]] keyed under full-PSL semantics ([[PslRules]]) —
+    * the deployment form once the real list is vendored in. */
+  def domainMix(df: DataFrame, urlCol: String, langCol: String,
+      textCol: String, rules: PslRules): DataFrame =
+    sourceMix(df.withColumn("domain", registrableDomain(col(urlCol), rules)),
       "domain", langCol, textCol)
 
   /** Query-param names dropped by [[canonicalUrl]]: click/campaign
