@@ -119,6 +119,38 @@ object Warc {
     out.result()
   }
 
+  /** Parse the SINGLE member starting at `at` — one gzip member (which
+    * may hold several records) or one plain record — touching no byte
+    * before `at`: the random-access re-fetch path for a persisted
+    * member index (the `offset` column [[parseAll]] reports). A crawl
+    * pipeline range-reads `[offset, ...)` from storage and passes the
+    * slice with `at = 0`; record offsets in the result are then
+    * slice-relative, the member's own bytes identical either way. */
+  def parseMemberAt(bytes: Array[Byte], at: Int,
+      maxInflate: Long = 1L << 30): Seq[WarcRecord] = {
+    check(at >= 0 && at < bytes.length, at.toLong,
+      s"WARC: member offset $at out of range (${bytes.length} bytes)")
+    if (at + 2 <= bytes.length &&
+        (bytes(at) & 0xff) == 0x1f && (bytes(at + 1) & 0xff) == 0x8b) {
+      val (member, _) = inflateMember(bytes, at, maxInflate)
+      val recs = parsePlain(member, at)
+      check(recs.nonEmpty, at.toLong, s"WARC: empty gzip member at offset $at")
+      recs
+    } else {
+      val (rec, _) = parseRecord(bytes, at)
+      Seq(rec)
+    }
+  }
+
+  /** The seekable member index [[parseAll]] implies: one
+    * (offset, warc_type, target_uri) row per record, offsets
+    * addressing MEMBERS (records inside a gzip member share its
+    * start — the crawl convention). Persist alongside the files and
+    * re-fetch single members with [[parseMemberAt]]. */
+  def memberIndex(bytes: Array[Byte],
+      maxInflate: Long = 1L << 30): Seq[(Long, String, String)] =
+    parseAll(bytes, maxInflate).map(w => (w.offset, w.warcType, w.targetUri))
+
   /** Inflate ONE gzip member starting at `at`, returning its exact
     * compressed extent — a GZIPInputStream cannot do this (it buffers
     * past the member boundary), so the header is walked manually and

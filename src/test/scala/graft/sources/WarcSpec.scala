@@ -137,4 +137,43 @@ class WarcSpec extends AnyFunSuite {
     }
     assert(e2.offset == a.length.toLong, e2.getMessage)
   }
+
+  test("member index + single-member re-read is byte-identical to full parse") {
+    // 6 records: 0,3 plain; 1,2 share ONE gzip member; 4,5 their own
+    def rec(i: Int) = Warc.encodeResponse(s"https://w/$i",
+      "2026-08-14T00:00:00Z", 200, "OK", s"payload body $i".getBytes(US_ASCII))
+    val file = rec(0) ++ Warc.gzipMember(rec(1) ++ rec(2)) ++ rec(3) ++
+      Warc.gzipMember(rec(4)) ++ Warc.gzipMember(rec(5))
+    val full = Warc.parseAll(file)
+    assert(full.length == 6)
+    val index = Warc.memberIndex(file)
+    assert(index.map(_._3) == (0 until 6).map(i => s"https://w/$i"))
+    // records 1 and 2 share their member's offset (the crawl
+    // convention); distinct member offsets = 5
+    assert(index(1)._1 == index(2)._1)
+    assert(index.map(_._1).distinct.length == 5)
+    // for EVERY indexed member: re-read from its offset alone —
+    // touching no earlier byte, as a range-fetch would — and compare
+    // records byte-for-byte with the full parse
+    for (off <- index.map(_._1).distinct) {
+      val slice = file.drop(off.toInt) // the simulated ranged fetch
+      val direct = Warc.parseMemberAt(file, off.toInt)
+      val ranged = Warc.parseMemberAt(slice, 0)
+      val expect = full.filter(_.offset == off)
+      assert(direct.length == expect.length && ranged.length == expect.length)
+      direct.zip(ranged).zip(expect).foreach { case ((d, s), e) =>
+        assert(d.targetUri == e.targetUri && s.targetUri == e.targetUri)
+        assert(java.util.Arrays.equals(d.body, e.body))
+        assert(java.util.Arrays.equals(s.body, e.body))
+        assert(d.httpStatus == e.httpStatus && s.httpStatus == e.httpStatus)
+        assert(d.offset == e.offset) // full-file offsets when unsliced
+      }
+    }
+    // a gzip member mid-file parses alone even if EARLIER bytes are
+    // garbage — proof nothing before `at` is touched
+    val garbagePrefix = Array.fill[Byte](index(4)._1.toInt)(0x5a)
+    val fromGarbage = Warc.parseMemberAt(
+      garbagePrefix ++ file.drop(index(4)._1.toInt), index(4)._1.toInt)
+    assert(fromGarbage.head.targetUri == "https://w/4")
+  }
 }
