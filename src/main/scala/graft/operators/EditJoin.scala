@@ -59,9 +59,65 @@ object EditJoin {
   def editSelfJoin(df: DataFrame, idCol: String, strCol: String, tau: Int,
       maxAvgCandidatesPerRow: Double = 256.0): DataFrame = {
     require(tau >= 1, s"tau must be >= 1, got $tau")
-    val k = tau + 1
-    val strs = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
+    selfJoinCore(
+      df.select(col(idCol).as("__id"), col(strCol).as("__s")),
+      tau, maxAvgCandidatesPerRow, "edit-join candidate", lit(true))
+  }
 
+  /** Per-length-band adaptive `tau` — the mixed-length-corpus form
+    * (the PassJoin literature's length-adaptive extension): a fixed
+    * `tau` over mixed lengths either over-matches short strings or
+    * under-matches long ones, so the threshold is made a step function
+    * of length instead. `bands` is an ascending list of
+    * `(upperLenInclusive, tau)`; a PAIR is governed by the band of
+    * `max(|s|, |t|)` (the normalized-edit-similarity convention:
+    * the longer side sets the budget), the last band extending
+    * unbounded. Output: all (id_a, id_b, dist) with
+    * `dist <= tauOf(max(|s|, |t|))`, exact.
+    *
+    * Shape: one fixed-tau pigeonhole join PER BAND over only the
+    * strings that can participate — governors (length in the band's
+    * range) plus short partners from at most `tau_b` below its floor —
+    * then a governor filter so each pair lands in exactly one band.
+    * Bands tile the length axis, so every string indexes into one
+    * band and probes at most one more (the boundary overlap is
+    * `tau_b` lengths wide): total work stays O(sum of band joins) ~
+    * one fixed-tau join, never bands x corpus. The candidate-volume
+    * guard runs PER BAND — a template-collapse in one length regime
+    * (e.g. fixed-width log lines) trips that band's guard by name
+    * while the others stay within budget. */
+  def editSelfJoinBanded(df: DataFrame, idCol: String, strCol: String,
+      bands: Seq[(Int, Int)],
+      maxAvgCandidatesPerRow: Double = 256.0): DataFrame = {
+    require(bands.nonEmpty, "editSelfJoinBanded: at least one band")
+    bands.foreach { case (hi, t) =>
+      require(hi >= 1 && t >= 1, s"band ($hi, $t): bound and tau must be >= 1")
+    }
+    require(bands.map(_._1) == bands.map(_._1).distinct.sorted,
+      s"band bounds must be strictly ascending, got ${bands.map(_._1)}")
+    val strs = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
+    val len = length(col("__s"))
+    bands.zipWithIndex.map { case ((hi, tau), i) =>
+      val lo = if (i == 0) 0 else bands(i - 1)._1 // governing range (lo, hi]
+      val open = i == bands.length - 1            // last band: unbounded above
+      val inBand = (c: Column) =>
+        c > lo && (if (open) lit(true) else c <= hi)
+      // short partners of a governor reach at most tau below the floor
+      val subset = strs.filter(len > lo - tau &&
+        (if (open) lit(true) else len <= hi))
+      selfJoinCore(subset, tau, maxAvgCandidatesPerRow,
+        s"edit-join candidate [band ${if (open) s"len>$lo" else s"len ($lo,$hi]"} tau=$tau]",
+        inBand(greatest(length(col("__sa")), length(col("__sb")))))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The fixed-tau pigeonhole join over a pre-projected
+    * (__id, __s) frame; `pairKeep` filters verified pairs (the banded
+    * form's governor predicate — `lit(true)` for the plain join). */
+  private def selfJoinCore(strs: DataFrame, tau: Int,
+      maxAvgCandidatesPerRow: Double, guardName: String,
+      pairKeep: Column): DataFrame = {
+    val k = tau + 1
     // kernels are INLINED into the Generate input (the
     // InferFiltersFromGenerate lesson — a named intermediate column
     // would get the kernel cloned below the exchange by pushdown)
@@ -74,7 +130,7 @@ object EditJoin {
 
     if (maxAvgCandidatesPerRow > 0) {
       val (rows, cands) = candidateVolume(index, probe, k)
-      Guard.verify(GuardReport("edit-join candidate", rows, cands,
+      Guard.verify(GuardReport(guardName, rows, cands,
         BigDecimal(maxAvgCandidatesPerRow), perRow = true,
         "A dominant shared segment (fixed prefix/template corpus) " +
           "degenerates pigeonhole blocking toward all-pairs — and " +
@@ -88,7 +144,7 @@ object EditJoin {
     // rare rows — so the distinct shuffle carries only (id_a, id_b, d).
     // levenshtein's threshold form bounds the DP band at tau + 1.
     index.join(probe, Seq("key"))
-      .filter(col("id_a") < col("id_b"))
+      .filter(col("id_a") < col("id_b") && pairKeep)
       .select(col("id_a"), col("id_b"),
         levenshtein(col("__sa"), col("__sb"), tau).as("dist"))
       .filter(col("dist") >= 0 && col("dist") <= tau)

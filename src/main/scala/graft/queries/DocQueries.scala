@@ -404,6 +404,18 @@ object DocQueries {
       graft.operators.EditJoin.editSelfJoin(editFixture(s, d), "id", "s",
           tau = 2, maxAvgCandidatesPerRow =
             graft.operators.Guard.budget(s, "editMaxAvgCandidatesPerRow", 256.0))
+        .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))),
+    // per-length-band adaptive tau (PassJoin's length-adaptive
+    // extension): mixed-length fixture (8..48-char prefixes), the
+    // threshold a step function of the PAIR's longer side — 1 edit
+    // for short strings, up to 3 for long ones, where a fixed tau
+    // would over- or under-match. Oracle brute-forces the same step
+    // function; per-band candidate guard on the shared budget knob.
+    "doc_edit_banded" -> ((s, d) =>
+      graft.operators.EditJoin.editSelfJoinBanded(editBandedFixture(s, d),
+          "id", "s", Seq((16, 1), (32, 2), (48, 3)),
+          maxAvgCandidatesPerRow =
+            graft.operators.Guard.budget(s, "editMaxAvgCandidatesPerRow", 256.0))
         .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))))
 
   /** [[graft.operators.CorpusMix.canonicalUrl]] fixture: 8 URL shapes
@@ -525,6 +537,32 @@ object DocQueries {
         .when(b === 2, expr("substring(s, 1, greatest(length(s) - 1, 0))"))
         .otherwise(concat(substring(col("s"), 1, 2), lit("z"),
           expr("substring(s, 4)"))).as("s"))
+    base.unionByName(mut)
+  }
+
+  /** Mixed-length fixture for the BANDED edit join: normalized
+    * prefixes of length 8..48 (varying by doc_id), each with a
+    * planted mutation of 1, 2 or 3 edits by id bucket — severities
+    * that qualify only where the pair's length band grants the
+    * budget, so the banding does observable work. */
+  private def editBandedFixture(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+      .select(col("doc_id").as("id"),
+        Dedup.normalizeText(col("text")).as("n"))
+      .select(col("id"), expr("substring(n, 1, 8 + id % 41)").as("s"))
+    val b = TextStats.idBucket(col("id"), 6L)
+    val mut = base.select((col("id") + 1000000L).as("id"),
+      when(b === 0, col("s"))                                    // 0 edits
+        .when(b === 1, concat(lit("q"), col("s")))               // 1 insert
+        .when(b === 2,
+          expr("substring(s, 1, greatest(length(s) - 1, 0))"))   // 1 delete
+        .when(b === 3, expr("substring(s, 2)"))                  // 1 delete
+        .when(b === 4, concat(substring(col("s"), 1, 2), lit("z"),
+          expr("substring(s, 4, 2)"), lit("w"),
+          expr("substring(s, 7)")))                              // 2 subs
+        .otherwise(concat(lit("xy"),
+          expr("substring(s, 1, greatest(length(s) - 1, 0))")))  // 3 edits
+        .as("s"))
     base.unionByName(mut)
   }
 
@@ -1007,6 +1045,29 @@ object DocQueries {
          FROM a x JOIN a y
            ON x.id < y.id AND abs(length(x.s) - length(y.s)) <= 2
          WHERE levenshtein(x.s, y.s) <= 2""",
+    "doc_edit_banded" ->
+      s"""WITH u AS (SELECT doc_id AS id,
+           substr($normSql, 1, 8 + doc_id % 41) AS s,
+           ${TextStats.idBucketSql("doc_id", 6L)} AS b FROM documents),
+         m AS (SELECT id + 1000000 AS id,
+           CASE WHEN b = 0 THEN s
+                WHEN b = 1 THEN 'q' || s
+                WHEN b = 2 THEN substr(s, 1, greatest(length(s) - 1, 0))
+                WHEN b = 3 THEN substr(s, 2)
+                WHEN b = 4 THEN substr(s, 1, 2) || 'z' || substr(s, 4, 2)
+                  || 'w' || substr(s, 7)
+                ELSE 'xy' || substr(s, 1, greatest(length(s) - 1, 0))
+           END AS s
+           FROM u),
+         a AS (SELECT id, s FROM u UNION ALL SELECT id, s FROM m)
+         SELECT x.id AS id_a, y.id AS id_b,
+           CAST(levenshtein(x.s, y.s) AS BIGINT) AS dist
+         FROM a x JOIN a y
+           ON x.id < y.id AND abs(length(x.s) - length(y.s)) <= 3
+         WHERE levenshtein(x.s, y.s) <=
+           CASE WHEN greatest(length(x.s), length(y.s)) <= 16 THEN 1
+                WHEN greatest(length(x.s), length(y.s)) <= 32 THEN 2
+                ELSE 3 END""",
     "doc_bpe_encode" -> bpeEncodeOracleSql(8),
     "doc_pack_bpe" -> bpePackOracleSql(8, 2048L, 8),
     "doc_bpe_vocab" -> {

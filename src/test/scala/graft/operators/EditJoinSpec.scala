@@ -130,4 +130,127 @@ class EditJoinSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(guarded == passJoin(d, 2))
   }
+
+  // ---- per-length-band adaptive tau ----
+
+  private val bands3 = Seq((12, 1), (24, 2), (48, 3))
+
+  /** Classic full-DP Levenshtein, driver-side (ASCII fixtures). */
+  private def ed(a: String, b: String): Int = {
+    val prev = Array.tabulate(b.length + 1)(identity)
+    val cur = new Array[Int](b.length + 1)
+    for (i <- 1 to a.length) {
+      cur(0) = i
+      for (j <- 1 to b.length) {
+        val sub = prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)
+        cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1), sub)
+      }
+      Array.copy(cur, 0, prev, 0, cur.length)
+    }
+    prev(b.length)
+  }
+
+  /** The banded contract's truth: dist <= tau(max(|s|, |t|)), tau the
+    * step function of `bands` (last band unbounded above). */
+  private def bruteBanded(df: DataFrame,
+      bands: Seq[(Int, Int)]): Set[(Long, Long, Int)] = {
+    def tauOf(len: Int): Int =
+      bands.find(_._1 >= len).map(_._2).getOrElse(bands.last._2)
+    val rows = df.select(col("id"), col("s")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    (for {
+      (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
+      tau = tauOf(math.max(sa.length, sb.length))
+      d = ed(sa, sb)
+      if d <= tau
+    } yield (ia, ib, d)).toSet
+  }
+
+  private def banded(df: DataFrame, bands: Seq[(Int, Int)],
+      budget: Double = 0): Set[(Long, Long, Int)] =
+    EditJoin.editSelfJoinBanded(df, "id", "s", bands, budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+  /** Mixed-length fixture the fixed-tau contract can't serve: word
+    * salads truncated to lengths 6..50 plus 1-, 2- and 3-edit
+    * mutations of each, so every band holds strings and every
+    * mutation severity appears at every length class. */
+  private def mixedCorpus(n: Int): DataFrame = {
+    val words = Vector("meridian", "obsidian", "lantern", "quarry",
+      "vesper", "cobalt", "harbor", "inlet", "juniper", "krill")
+    val rows = (0 until n).flatMap { i =>
+      val raw = (0 until 12)
+        .map(j => words((i * 3 + j * 5 + 7) % words.length))
+        .mkString(" ")
+      val s = raw.substring(0, 6 + (i * 4) % 45)
+      val mut = (i % 6) match {
+        case 0 => s
+        case 1 => s.updated(s.length / 2, '#')                   // 1 edit
+        case 2 => "Q" + s.substring(0, s.length - 1) + "Z"       // <= 3
+        case 3 => s.substring(1)                                 // 1 edit
+        case 4 => s.updated(1, '@').updated(s.length - 2, '%')   // 2 edits
+        case 5 => "XY" + s                                       // 2 edits
+      }
+      Seq((i.toLong, s), (100000L + i, mut))
+    }
+    rows.toDF("id", "s")
+  }
+
+  test("banded join == banded brute force on a mixed-length corpus") {
+    val d = mixedCorpus(48)
+    assert(banded(d, bands3) == bruteBanded(d, bands3))
+  }
+
+  test("banded: the longer side governs a band-straddling pair") {
+    // |a| = 12 (band 1, tau 1), |b| = 14 (band 2, tau 2), ed = 2:
+    // governed by the longer side -> tau 2 -> pair QUALIFIES, even
+    // though band 1's tau alone would reject it; and a 2-edit pair
+    // wholly inside band 1 stays rejected.
+    val d = Seq((1L, "aaaabbbbccce"), (2L, "XYaaaabbbbccce"),
+      (3L, "aaaabbbbccc#"), (4L, "aaaabbbbc##e")).toDF("id", "s")
+    val got = banded(d, bands3)
+    assert(got == bruteBanded(d, bands3))
+    assert(got.contains((1L, 2L, 2)), got.toString)  // straddle, tau 2
+    assert(!got.exists(p => p._1 == 1L && p._2 == 4L), got.toString)
+  }
+
+  test("banded with one unbounded band == fixed-tau join") {
+    val d = mixedCorpus(30)
+    assert(banded(d, Seq((1, 2))) == passJoin(d, 2))
+  }
+
+  test("per-band guard: a template regime trips ITS band by name, diverse bands pass") {
+    // band (0,20] gets 300 near-identical fixed-width template strings
+    // (quadratic regime); band (20,)'s strings are diverse.
+    val templ = (0 until 300)
+      .map(i => (i.toLong, f"INFO ok id=$i%04d"))
+    val diverse = (0 until 30).map(i =>
+      (1000L + i, s"${('a' + i % 26).toChar}${i * 37} unique payload " +
+        s"number ${i * i + 13} end$i"))
+    val d = (templ ++ diverse).toDF("id", "s")
+    val e = intercept[GuardTrippedException] {
+      EditJoin.editSelfJoinBanded(d, "id", "s", Seq((20, 2), (64, 2)),
+        maxAvgCandidatesPerRow = 32).count()
+    }
+    assert(e.report.guard.contains("band len (0,20]"), e.report.guard)
+    // the diverse regime alone clears the same budget...
+    EditJoin.editSelfJoin(diverse.toDF("id", "s"), "id", "s", 2,
+      maxAvgCandidatesPerRow = 32).count()
+    // ...and guard off: banded == brute, template pairs and all
+    assert(banded(d, Seq((20, 2), (64, 2))) ==
+      bruteBanded(d, Seq((20, 2), (64, 2))))
+  }
+
+  test("banded rejects unsorted or invalid bands") {
+    val d = mixedCorpus(4)
+    intercept[IllegalArgumentException] {
+      EditJoin.editSelfJoinBanded(d, "id", "s", Seq((24, 2), (12, 1)))
+    }
+    intercept[IllegalArgumentException] {
+      EditJoin.editSelfJoinBanded(d, "id", "s", Seq((12, 0)))
+    }
+    intercept[IllegalArgumentException] {
+      EditJoin.editSelfJoinBanded(d, "id", "s", Seq.empty)
+    }
+  }
 }
