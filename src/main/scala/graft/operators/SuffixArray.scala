@@ -4,41 +4,54 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Distributed corpus suffix array by prefix doubling (Manber–Myers
-  * 1990 re-expressed over DataFrames), and the exact maximal
-  * repeated-span report it powers — the ExactSubstr-dedup measurement
-  * (Lee et al. 2022 find duplicated training-data spans with suffix
-  * arrays) at ARBITRARY span length, where the fixed-n gram ops
-  * ([[Dedup.dupSpanFraction]]) can only answer "some n-gram repeats".
+/** Distributed corpus suffix array by prefix quadrupling (Manber–Myers
+  * 1990 prefix doubling re-expressed over DataFrames, radix 4), and
+  * the exact maximal repeated-span report it powers — the
+  * ExactSubstr-dedup measurement (Lee et al. 2022 find duplicated
+  * training-data spans with suffix arrays) at ARBITRARY span length,
+  * where the fixed-n gram ops ([[Dedup.dupSpanFraction]]) can only
+  * answer "some n-gram repeats".
   *
   * Model: suffixes are word sequences, one suffix per (doc, position),
   * never crossing document boundaries. Round t assigns every suffix a
-  * rank ordering its first 2^t words: rank_t(p) = the COUNT of
-  * positions whose (r_{t-1}(p), r_{t-1}(p + 2^{t-1})) key is strictly
-  * smaller — so values stay < n forever and a class's rank IS its
-  * first SA slot. The rank at pos + 2^{t-1} is lead() over the doc
-  * partition (positions are dense in-doc — one exchange + sort, not a
-  * self-join), and the counting never runs an unpartitioned window:
-  * positions are range-bucketed by the (dense, in [0, n)) previous
-  * rank, bucket offsets come from a window over the BUCKET frame
-  * (<= 2^12 rows), and rank() runs within buckets — the
-  * [[CorpusMix.globalShuffle]] bucket-offset composition. Round-1
-  * buckets inherit the word-frequency skew (documented at the loop);
-  * later rounds re-balance as classes split. The round count is fixed
-  * after round 0: width doubles until it covers the longest document,
-  * past which remaining ties are genuinely identical suffixes.
+  * rank ordering its first 4^t words: rank_t(p) = the COUNT of
+  * positions whose (r(p), r(p+w), r(p+2w), r(p+3w)) key — r the
+  * previous rank, w its covering width — is strictly smaller, so
+  * values stay < n forever and a class's rank IS its first SA slot.
+  * Radix 4 over radix 2 halves the round count for one more lead()
+  * column per round (measured win; local round latency dominates and
+  * a cluster's per-round shuffle barrier costs even more). The ranks
+  * at pos + w/2w/3w are lead() over the doc partition (positions are
+  * dense in-doc — one exchange + sort for all three, not self-joins),
+  * and the counting never runs an unpartitioned window: positions are
+  * range-bucketed by the (dense, in [0, n)) previous rank, bucket
+  * offsets come from a window over the BUCKET frame (<= 2^12 rows),
+  * and rank() runs within buckets — the [[CorpusMix.globalShuffle]]
+  * bucket-offset composition. Round-1 buckets inherit the
+  * word-frequency skew (documented at the loop); later rounds
+  * re-balance as classes split. The round count is fixed after round
+  * 0: width quadruples until it covers the longest document, past
+  * which remaining ties are genuinely identical suffixes.
   *
-  * The per-round rank frames are kept (lineage-truncated, released
-  * when the loop ends — the graph-loop storage discipline) because
-  * they are exactly the binary-lifting tables for LCP: for SA-adjacent
-  * suffixes p, q, descend t and extend the agreed prefix by 2^t
-  * whenever rank_t matches at the current offset. Equal-rank at round
-  * t for in-range positions implies agreement on min(2^t, rest) words,
-  * so the final cap against both suffix lengths makes the LCP exact.
+  * The per-round PAIRED frames (doc, pos, r, r@+w, r@+2w, r@+3w) are
+  * kept (lineage-truncated, released when the loop ends — the
+  * graph-loop storage discipline) because they are exactly the
+  * radix-4 lifting tables for LCP: for SA-adjacent suffixes p, q,
+  * descend the levels widest-first and extend the agreed prefix by
+  * up to THREE w-blocks per level — one row fetch per side per level
+  * yields all three block comparisons, so the descend is
+  * 2·(rounds+1) joins where binary lifting needs 2·(2·rounds)+2.
+  * Equal-rank at covering width w for in-range positions implies
+  * agreement on min(w, rest) words, so the final cap against both
+  * suffix lengths makes the LCP exact (the -1 padding for
+  * out-of-range leads can only ever over-advance into the cap:
+  * -1 = -1 on both sides means both suffixes already ended inside the
+  * matched block, where equal rank forces identical remainders).
   *
-  * Scale shape: everything is (doc, pos, rank) rows — 12-24 bytes —
-  * shuffled O(log maxDocLen) times; no suffix text ever shuffles, no
-  * driver-side state beyond the one-row convergence probe.
+  * Scale shape: everything is (doc, pos, rank...) rows — 12-48
+  * bytes — shuffled O(log maxDocLen) times; no suffix text ever
+  * shuffles, no driver-side state beyond the one-row convergence
+  * probe.
   */
 object SuffixArray {
 
@@ -46,6 +59,28 @@ object SuffixArray {
     * convention: observable, not just correct. */
   case class SaRunReport(rounds: Int, converged: Boolean,
       positions: Long, classes: Long)
+
+  /** One radix-4 lifting level. When `packed` (corpora under 2^31
+    * positions — ranks fit a 32-bit lane): `frame` = (doc, pos, rA,
+    * rB), the ranks at pos + 0/1/2/3 widths packed pairwise
+    * ([[packRanks]]) — rA = (r@pos, r@pos+w), rB = (r@pos+2w,
+    * r@pos+3w), lanes shifted +1 so the out-of-range sentinel packs
+    * as 0. Packing keeps the table at 24 bytes/row (the 6-column
+    * long form of the sf0.1 table crossed the broadcast threshold
+    * and demoted every descend join to sort-merge — measured 2.4 s
+    * slower), and lexicographic (r1,r2,r3,r4) order IS numeric
+    * (rA, rB) order, so the ranking sorts two longs instead of four.
+    * Beyond 2^31 positions `frame` = (doc, pos, r1..r4) wide longs —
+    * at that scale nothing broadcasts regardless and the ranking
+    * sort keys just stay separate. */
+  private[graft] case class SaTable(width: Long, frame: DataFrame,
+      packed: Boolean)
+
+  /** (x+1) · 2^32 + (y+1): x in [0, 2^31-2] (a rank), y in
+    * [-1, 2^31-2] (a rank or the -1 out-of-range sentinel). Strictly
+    * monotone in (x, y) lexicographic order; always positive. */
+  private def packRanks(x: Column, y: Column): Column =
+    (x + lit(1L)) * lit(4294967296L) + (y + lit(1L))
 
   private def materializeCut(df: DataFrame): DataFrame =
     Frames.materializeCut(df)
@@ -81,13 +116,14 @@ object SuffixArray {
       .drop("__b", "__off")
   }
 
-  /** Prefix-doubling loop. Returns (final ranks (doc, pos, rank) with
-    * rank = first SA slot of the position's class, the per-round
-    * lifting tables rank_0..rank_{T-1}, report). Caller must
-    * [[freeFrame]] the tables (or use [[repeatedSpans]]). */
+  /** Prefix-quadrupling loop. Returns (final ranks (doc, pos, rank)
+    * with rank = first SA slot of the position's class and covering
+    * width 4^rounds, the per-round lifting tables widths 4^0..4^{T-1},
+    * report). Caller must [[freeFrame]] the table frames (or use
+    * [[repeatedSpans]]). */
   private[graft] def doublingRanks(df: DataFrame, idCol: String,
-      textCol: String, maxRounds: Int = 40):
-      (DataFrame, Seq[DataFrame], SaRunReport) = {
+      textCol: String, maxRounds: Int = 20):
+      (DataFrame, Seq[SaTable], SaRunReport) = {
     val buckets = 1 << 12
     val tok = tokens(df, idCol, textCol)
 
@@ -105,30 +141,56 @@ object SuffixArray {
     val nPos = if (sizes.isNullAt(0)) 0L else sizes.getLong(0)
     val maxLen = if (sizes.isNullAt(1)) 0L else sizes.getLong(1)
 
-    val tables = scala.collection.mutable.ArrayBuffer[DataFrame](ranks)
+    val tables = scala.collection.mutable.ArrayBuffer[SaTable]()
+    val packed = nPos < (Int.MaxValue.toLong - 1L)
     var width = 1L // words already compared
     var round = 0
-    // the round count is KNOWN after round 0 — width doubles until it
-    // covers the longest document, at which point every suffix is
-    // fully compared and remaining ties are genuinely identical
-    // suffixes (duplicate doc tails) that will never split. No
-    // per-round driver probe: at local fixed-job-latency 8 probe jobs
-    // cost more than the rounds themselves (measured, PLANS.md); the
-    // class count for the telemetry report is one end-of-loop agg.
+    // ONE materialization per round: the paired frame (kept — it is
+    // this level's lifting table). The ranking that produces the next
+    // round's rank values stays LAZY and fuses into the next round's
+    // paired job; lineage stays bounded because each paired frame is
+    // truncated. The round count is KNOWN after round 0 — width
+    // quadruples until it covers the longest document, at which point
+    // every suffix is fully compared and remaining ties are genuinely
+    // identical suffixes (duplicate doc tails) that will never split.
+    // No per-round driver probe: at local fixed-job-latency probe
+    // jobs cost more than the rounds themselves (measured, PLANS.md);
+    // the class count for the telemetry report is one end-of-loop agg.
     while (width < maxLen && round < maxRounds) {
       round += 1
       val prev = ranks
-      // rank at pos + width via lead() over the doc partition:
-      // positions are dense 0..len-1 within a doc, so the row `width`
-      // ahead in pos order IS position pos + width — one exchange +
-      // sort instead of a self-join (two exchange legs)
+      // ranks at pos + width/2w/3w via lead() over the doc partition:
+      // positions are dense 0..len-1 within a doc, so the row `k`
+      // ahead in pos order IS position pos + k·width — one exchange +
+      // sort for all three offsets instead of three self-joins
       val wDoc = Window.partitionBy(col("doc")).orderBy(col("pos").asc)
-      val paired = prev
-        .select(col("doc"), col("pos"), col("rank").as("r1"),
-          coalesce(lead(col("rank"), width.toInt).over(wDoc), lit(-1L))
-            .as("r2"))
+      def ahead(k: Int): Column =
+        coalesce(lead(col("rank"), k * width.toInt).over(wDoc), lit(-1L))
+      // the bucket id rides along in the checkpointed frame, and the
+      // checkpoint happens AFTER a repartition on it: the offsets
+      // aggregation AND the ranking window then both consume the
+      // preserved __b partitioning with no exchange of their own —
+      // one exchange per round where the agg/window pair cost two
+      val r1 = if (packed) shiftright(col("rA"), 32) - 1L else col("r1")
+      val keyCols = if (packed) Seq(col("rA"), col("rB"))
+        else Seq(col("r1"), col("r2"), col("r3"), col("r4"))
+      val bucketOf = (r1 * buckets / lit(math.max(nPos, 1L))).cast("long")
+      val paired = materializeCut(
+        (if (packed) prev.select(col("doc"), col("pos"),
+          packRanks(col("rank"), ahead(1)).as("rA"),
+          packRanks(ahead(2), ahead(3)).as("rB"))
+        else prev.select(col("doc"), col("pos"), col("rank").as("r1"),
+          ahead(1).as("r2"), ahead(2).as("r3"), ahead(3).as("r4")))
+          .withColumn("__b", bucketOf)
+          .repartition(col("__b")))
+      tables += SaTable(width, paired, packed)
+      // the round-0 rank frame is folded into the first paired table —
+      // release its storage. Later `prev`s are LAZY ranking plans
+      // whose only storage leaves are kept paired tables: freeing
+      // them would unpersist the lifting tables, so don't.
+      if (round == 1) freeFrame(prev)
       // rank positions DIRECTLY: new rank = count of strictly smaller
-      // (r1, r2) rows = bucket offset + (rank() within bucket) - 1.
+      // key rows = bucket offset + (rank() within bucket) - 1.
       // No distinct-class frame and no join-back — two fewer
       // exchanges per round than the class-keyed form (measured the
       // difference at ~40% of the loop, PLANS.md). r1 is a
@@ -137,23 +199,21 @@ object SuffixArray {
       // corpus where one word is most of the corpus concentrates its
       // round-1 bucket (the window degrades to that bucket's size; it
       // does not break, and later rounds re-balance as classes split)
-      val bucketOf = (col("r1") * buckets / lit(math.max(nPos, 1L)))
-        .cast("long")
       val wOff = Window.orderBy(col("__b").asc)
         .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = paired.withColumn("__b", bucketOf)
+      val offsets = paired
         .groupBy(col("__b")).agg(count(lit(1)).as("__bn"))
         .withColumn("__off", coalesce(sum(col("__bn")).over(wOff), lit(0L)))
         .select(col("__b"), col("__off"))
       val wIn = Window.partitionBy(col("__b"))
-        .orderBy(col("r1").asc, col("r2").asc)
-      ranks = materializeCut(paired.withColumn("__b", bucketOf)
+        .orderBy(keyCols.map(_.asc): _*)
+      ranks = paired
         .join(offsets, "__b") // AQE broadcasts the bucket frame
         .select(col("doc"), col("pos"),
-          (col("__off") + rank().over(wIn) - 1).as("rank")))
-      tables += ranks
-      width *= 2
+          (col("__off") + rank().over(wIn) - 1).as("rank"))
+      width *= 4
     }
+    if (round > 0) ranks = materializeCut(ranks) // round-0 frame already is
     val classes =
       ranks.select(countDistinct(col("rank"))).head.getLong(0)
     (ranks, tables.toSeq,
@@ -167,10 +227,28 @@ object SuffixArray {
     * run is >= `minLen`. */
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
       minLen: Int): DataFrame = {
-    val (finalRanks, tables, _) = doublingRanks(df, idCol, textCol)
+    val (finalRanks, tables, rep) = doublingRanks(df, idCol, textCol)
     // per-doc lengths from the already-materialized rank frame — no
     // second normalize+split pass over the corpus text
     val lens = finalRanks.groupBy(col("doc")).agg(count(lit(1)).as("len"))
+
+    // the lifting tables and rank frame are EXACTLY rep.positions
+    // rows of <= 4 fixed-width fields: when that provably fits the
+    // session's broadcast budget, hint it — the frames sit behind
+    // lineage-truncation barriers whose size estimates Catalyst can't
+    // see, so without the hint every descend join plans sort-merge
+    // and each level becomes its own shuffle barrier (measured
+    // ~0.75 s/level at sf0.1 vs a fused broadcast chain). Beyond the
+    // budget the hint is withheld and the joins shuffle, which is the
+    // correct large-corpus plan.
+    val bcastBudget = org.apache.spark.sql.internal.SQLConf.get
+      .autoBroadcastJoinThreshold
+    // per-row data bytes mirror Catalyst's own sizeInBytes semantics:
+    // (doc 8 + pos 4) + 8 per projected rank column
+    def hinted(t: DataFrame, rankCols: Int): DataFrame =
+      if (bcastBudget > 0 &&
+        rep.positions * (12L + 8L * rankCols) < bcastBudget) broadcast(t)
+      else t
 
     // SA order: rank is the class's first slot; duplicate suffixes
     // (equal to end-of-doc) tie-break by (doc, pos). The within-class
@@ -182,28 +260,69 @@ object SuffixArray {
       .select(col("doc"), col("pos"), col("sa"))
 
     val a = sa.select(col("sa"), col("doc").as("doc_a"), col("pos").as("pos_a"))
-    val b = sa.select((col("sa") - 1).as("sa"),
-      col("doc").as("doc_b"), col("pos").as("pos_b"))
+    val b = hinted(sa.select((col("sa") - 1).as("sa"),
+      col("doc").as("doc_b"), col("pos").as("pos_b")), 1)
     var pairs = a.join(b, "sa")
       .select(col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"))
       .withColumn("acc", lit(0L))
 
-    // binary lifting, widest table first
-    tables.zipWithIndex.reverse.foreach { case (t, i) =>
-      val w = 1L << i
-      val ra = t.select(col("doc").as("__da"), col("pos").as("__pa"),
-        col("rank").as("__ra"))
-      val rb = t.select(col("doc").as("__db"), col("pos").as("__pb"),
-        col("rank").as("__rb"))
+    // radix-4 lifting, widest level first. Top level = the final rank
+    // frame (covering width 4^rounds >= maxLen): a match there means
+    // identical suffix remainders, advanced past the end and truncated
+    // by the length cap below. Each lower level fetches ONE row per
+    // side carrying the ranks of the next THREE w-blocks and advances
+    // by however many lead blocks agree — the level above guarantees
+    // the remaining agreement is < 4w, so three blocks always suffice.
+    val topW = if (tables.isEmpty) 1L else tables.last.width * 4L
+    val ta0 = hinted(finalRanks.select(col("doc").as("__da"),
+      col("pos").as("__pa"), col("rank").as("__ra")), 1)
+    val tb0 = hinted(finalRanks.select(col("doc").as("__db"),
+      col("pos").as("__pb"), col("rank").as("__rb")), 1)
+    pairs = pairs
+      .join(ta0, col("doc_a") === col("__da") &&
+        (col("pos_a") + col("acc")) === col("__pa"), "left")
+      .join(tb0, col("doc_b") === col("__db") &&
+        (col("pos_b") + col("acc")) === col("__pb"), "left")
+      .withColumn("acc", col("acc") +
+        when(col("__ra").isNotNull && col("__ra") === col("__rb"),
+          lit(topW)).otherwise(lit(0L)))
+      .drop("__da", "__pa", "__ra", "__db", "__pb", "__rb")
+    tables.reverse.foreach { case SaTable(w, t, packed) =>
+      // per-side fetch columns: packed -> (rA, rB); wide -> r1..r3
+      // (r4 is a ranking-only column, unused by the descend)
+      val fetchCols =
+        if (packed) Seq("rA", "rB") else Seq("r1", "r2", "r3")
+      def side(s: String) = hinted(t.select(
+        (col("doc").as(s"__d$s") +: col("pos").as(s"__p$s") +:
+          fetchCols.zipWithIndex.map { case (c, i) =>
+            col(c).as(s"__$s$i") }): _*), fetchCols.length)
+      // block k matches only if every block before it matched; the -1
+      // out-of-range padding can only "match" when both suffixes ended
+      // inside an already-matched block, where the length cap is exact
+      val (m1, m2, m3) = if (packed) {
+        // rA = (r@pos, r@pos+w) lanes, rB = (r@pos+2w, r@pos+3w)
+        val b1 = col("__a0").isNotNull &&
+          shiftright(col("__a0"), 32) === shiftright(col("__b0"), 32)
+        val b2 = b1 && col("__a0") === col("__b0")
+        val b3 = b2 &&
+          shiftright(col("__a1"), 32) === shiftright(col("__b1"), 32)
+        (b1, b2, b3)
+      } else {
+        val b1 = col("__a0").isNotNull && col("__a0") === col("__b0")
+        val b2 = b1 && col("__a1") === col("__b1")
+        val b3 = b2 && col("__a2") === col("__b2")
+        (b1, b2, b3)
+      }
       pairs = pairs
-        .join(ra, col("doc_a") === col("__da") &&
+        .join(side("a"), col("doc_a") === col("__da") &&
           (col("pos_a") + col("acc")) === col("__pa"), "left")
-        .join(rb, col("doc_b") === col("__db") &&
+        .join(side("b"), col("doc_b") === col("__db") &&
           (col("pos_b") + col("acc")) === col("__pb"), "left")
         .withColumn("acc", col("acc") +
-          when(col("__ra").isNotNull && col("__ra") === col("__rb"), lit(w))
-            .otherwise(lit(0L)))
-        .drop("__da", "__pa", "__ra", "__db", "__pb", "__rb")
+          when(m3, lit(3L * w)).when(m2, lit(2L * w))
+            .when(m1, lit(w)).otherwise(lit(0L)))
+        .drop(Seq("__da", "__pa", "__db", "__pb") ++
+          fetchCols.indices.flatMap(i => Seq(s"__a$i", s"__b$i")): _*)
     }
 
     val la = lens.select(col("doc").as("doc_a"), col("len").as("len_a"))
@@ -212,18 +331,23 @@ object SuffixArray {
       .withColumn("lcp", least(col("acc"),
         col("len_a") - col("pos_a"), col("len_b") - col("pos_b")))
 
-    // maxrep(position) = max LCP with either SA neighbor; positions
-    // with no neighbor at all (a single-suffix corpus) report 0, like
-    // the oracle's NULL lag/lead branches
+    // maxrep(position) = max LCP with either SA neighbor. With >= 2
+    // suffixes, EVERY position has an SA neighbor (slots s and s+1
+    // pair for s = 0..n-2, and the union takes both sides), so the
+    // pair union already covers every (doc, pos) and no join back to
+    // the position frame is needed; only a single-suffix corpus has
+    // an uncovered position, which reports 0 like the oracle's NULL
+    // lag/lead branches — served by the (tiny) left-join path.
     val paired = lcps.select(col("doc_a").as("doc"), col("pos_a").as("pos"),
         col("lcp"))
       .unionByName(lcps.select(col("doc_b").as("doc"),
         col("pos_b").as("pos"), col("lcp")))
       .groupBy(col("doc"), col("pos")).agg(max(col("lcp")).as("maxrep"))
-    val perPos = finalRanks.select(col("doc"), col("pos"))
-      .join(paired, Seq("doc", "pos"), "left")
-      .select(col("doc"), col("pos"),
-        coalesce(col("maxrep"), lit(0L)).as("maxrep"))
+    val perPos = if (rep.positions >= 2L) paired
+      else finalRanks.select(col("doc"), col("pos"))
+        .join(paired, Seq("doc", "pos"), "left")
+        .select(col("doc"), col("pos"),
+          coalesce(col("maxrep"), lit(0L)).as("maxrep"))
 
     val out = perPos.groupBy(col("doc"))
       .agg(max(col("maxrep")).as("max_repeat_words"),
@@ -232,7 +356,8 @@ object SuffixArray {
       .select(col("doc").as(idCol), col("max_repeat_words"),
         col("n_pos_repeat"))
     val result = materializeCut(out)
-    tables.foreach(freeFrame)
+    tables.foreach(t => freeFrame(t.frame))
+    freeFrame(finalRanks)
     result
   }
 }

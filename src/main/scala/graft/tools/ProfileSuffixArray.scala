@@ -10,6 +10,8 @@ object ProfileSuffixArray {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BCAST", "10485760"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -24,10 +26,11 @@ object ProfileSuffixArray {
     }
 
     time("doubling loop only") {
-      val (_, tables, rep) = graft.operators.SuffixArray
+      val (ranks, tables, rep) = graft.operators.SuffixArray
         .doublingRanks(docs, "doc_id", "text")
       println("  report: " + rep)
-      tables.foreach(graft.operators.Frames.free)
+      tables.foreach(t => graft.operators.Frames.free(t.frame))
+      graft.operators.Frames.free(ranks)
     }
     time("full repeatedSpans") {
       graft.operators.SuffixArray.repeatedSpans(docs, "doc_id", "text", 8)
