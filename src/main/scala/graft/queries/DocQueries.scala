@@ -324,6 +324,20 @@ object DocQueries {
         }
       }.toDF("doc_id", "status", "content_length", "n_tokens")
     }),
+    // HTML -> text extraction (the stage between WARC body bytes and
+    // the quality gates): deterministic markup fixture per id bucket —
+    // script element with markup inside, style + comment, entity
+    // battery, UNTERMINATED script (content legitimately survives),
+    // '>' inside a quoted attribute, and plain text — through the
+    // exactly-specified regex-chain contract; oracle renders the SAME
+    // chain in DuckDB RE2
+    "doc_html_extract" -> ((s, d) => {
+      val h = htmlFixture(s, d)
+      h.select(col("doc_id"),
+        graft.operators.HtmlText.htmlToText(col("html")).as("extracted"))
+        .select(col("doc_id"), col("extracted"),
+          size(split(col("extracted"), " ")).cast("long").as("n_words"))
+    }),
     // WARC -> curated corpus, END TO END: the real ingestion
     // composition the WARC source exists for. One job: WARC bytes ->
     // strict parse -> keep 200s -> canonical-URL dedup -> Gopher gate
@@ -520,6 +534,27 @@ object DocQueries {
     }.toDF("url", "status", "text")
       .withColumn("doc_id",
         regexp_extract(col("url"), "gclid=([0-9]+)", 1).cast("long"))
+  }
+
+  /** [[graft.operators.HtmlText]] fixture: each doc's text wrapped in
+    * one of six deterministic markup shapes by id bucket; the oracle
+    * builds the same strings with `||`. */
+  private def htmlFixture(s: SparkSession, d: String): DataFrame = {
+    val b = TextStats.idBucket(col("doc_id"), 6L)
+    val t = col("text")
+    docs(s, d).select(col("doc_id"),
+      when(b === 0, concat(
+        lit("<html><head><title>t</title><script type=\"text/javascript\">document.write(\"<p>js junk</p>\");</script></head><body><h1>Heading</h1><p>"),
+        t, lit("</p></body></html>")))
+      .when(b === 1, concat(
+        lit("<html><style>body { color: red; }</style><!-- hidden <b>note</b> --><body><p>"),
+        t, lit("</p><br><div>tail &amp; more</div></body></html>")))
+      .when(b === 2, concat(lit("<body><p>&quot;"), t,
+        lit("&quot; &lt;x&gt; it&#39;s a&nbsp;b</p></body>")))
+      .when(b === 3, concat(lit("<body><script src=x.js>var broken = 1; "),
+        t, lit("</body>")))
+      .when(b === 4, concat(lit("<a href=\"q?a>b\">"), t, lit("</a>")))
+      .otherwise(t).as("html"))
   }
 
   /** [[graft.operators.EditJoin]] fixture: 24-char normalized text
@@ -855,6 +890,22 @@ object DocQueries {
          WHERE doc_id NOT IN (SELECT id_b FROM np))"""
 
   val oracleSql: Map[String, String] = Map(
+    "doc_html_extract" -> {
+      val esc = graft.operators.HtmlText.htmlToTextSql("html")
+      s"""WITH h AS (SELECT doc_id,
+           CASE ${TextStats.idBucketSql("doc_id", 6L)}
+             WHEN 0 THEN '<html><head><title>t</title><script type="text/javascript">document.write("<p>js junk</p>");</script></head><body><h1>Heading</h1><p>' || text || '</p></body></html>'
+             WHEN 1 THEN '<html><style>body { color: red; }</style><!-- hidden <b>note</b> --><body><p>' || text || '</p><br><div>tail &amp; more</div></body></html>'
+             WHEN 2 THEN '<body><p>&quot;' || text || '&quot; &lt;x&gt; it&#39;s a&nbsp;b</p></body>'
+             WHEN 3 THEN '<body><script src=x.js>var broken = 1; ' || text || '</body>'
+             WHEN 4 THEN '<a href="q?a>b">' || text || '</a>'
+             ELSE text END AS html
+           FROM documents),
+         e AS (SELECT doc_id, $esc AS extracted FROM h)
+         SELECT doc_id, extracted,
+           CAST(len(string_split(extracted, ' ')) AS BIGINT) AS n_words
+         FROM e"""
+    },
     "doc_warc_pipeline_e2e" ->
       s"""WITH $warcPipelineCtes,
          ${bpeTokenCtesBody(8, "an", "t")},
