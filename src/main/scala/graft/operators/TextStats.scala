@@ -927,6 +927,90 @@ object TextStats {
       .withColumn("fluency_permille", expr("sum_p div n_bigrams"))
   }
 
+  /** Interpolated Kneser–Ney bigram LM quality scoring with a
+    * train/score split — the CCNet-shaped model-based filter (Wenzek
+    * et al. 2020 rank CommonCrawl by the score of an LM trained on
+    * reference text; Kneser–Ney 1995, Chen & Goodman 1998 give the
+    * smoothing), where [[lmFluency]] is the unsmoothed self-corpus
+    * form. The LM trains ONLY on the `trainPred` slice and scores
+    * EVERY document, so unseen words and bigrams are routine — which
+    * is exactly what the smoothing is for:
+    *
+    *   P(w|v) = max(c(vw) - D, 0)/c(v)
+    *            + (D·N1+(v·)/c(v)) · Pcont(w)       c(v) > 0
+    *   P(w|v) = Pcont(w)                             v unseen
+    *   Pcont(w) = (N1+(·w) + 1) / (N1+(··) + V + 1)
+    *
+    * with D = 3/4 and the continuation distribution add-one floored
+    * (so a train-unseen w scores 1/(N1+(··)+V+1) instead of zero — the
+    * closed-vocabulary Pcont would zero out every OOV document).
+    * Every probability is an exact rational of train counts; with
+    * D = 3/4 all terms cross-multiply to integers, and the per-doc
+    * report is the floor-mean probability in MICRO units plus bigram
+    * and OOV counts — integer-exact across engines (the bm25
+    * discipline). A float perplexity (exp of the mean negative log)
+    * is deliberately NOT emitted: libm vs JVM transcendental rounding
+    * diverges per-term and no exact oracle could check it.
+    *
+    * Scale shape: the bigram stream reduces to (id, hv, hw) longs —
+    * never gram strings (count identity by hash conflates grams at
+    * ~|grams|²/2^64, the [[Dedup.dupSpanFraction]] caveat); count
+    * tables are bigram-TYPE-bounded and AQE-broadcast under the probe
+    * joins when small; the scoring is three hash equi-joins plus one
+    * partial-aggregated per-doc reduction; the totals frame is a
+    * broadcast 1-row cross join. Docs with < 2 words report NULL
+    * score and zero counts (the oracle's NULL branch). */
+  def knBigramScore(df: DataFrame, idCol: String, textCol: String,
+      trainPred: Column): DataFrame = {
+    val bi = Frames.materializeCut(df.select(col(idCol).as("__id"),
+        trainPred.as("__train"),
+        explode(graft.functions.text.word_ngrams(norm(col(textCol)), 2))
+          .as("__g"))
+      .filter(col("__g").contains(" ")) // drop the < 2-word clamp gram
+      .select(col("__id"), col("__train"),
+        xxhash64(substring_index(col("__g"), " ", 1)).as("hv"),
+        xxhash64(substring_index(col("__g"), " ", -1)).as("hw")))
+    val cvw = Frames.materializeCut(bi.filter(col("__train"))
+      .groupBy(col("hv"), col("hw")).agg(count(lit(1)).as("cvw")))
+    val cv = cvw.groupBy(col("hv"))
+      .agg(sum(col("cvw")).as("cv"), count(lit(1)).as("n1v"))
+    val n1w = cvw.groupBy(col("hw")).agg(count(lit(1)).as("n1w"))
+    val tot = cvw.agg(count(lit(1)).as("ncc")).crossJoin(
+      cvw.select(col("hv").as("h")).union(cvw.select(col("hw").as("h")))
+        .agg(countDistinct(col("h")).as("vv")))
+    // all-decimal cross-multiplication: numerators stay < 1e34 at
+    // 100-TB-scale counts, exact in Spark decimal(38,0) and DuckDB
+    // HUGEINT alike; `div` floors identically in both
+    val micro = expr("""CASE WHEN cv IS NOT NULL THEN
+        (cast(1000000 as decimal(38,0)) *
+          (greatest(4 * coalesce(cvw, 0) - 3, 0)
+             * cast(ncc + vv + 1 as decimal(20,0))
+           + 3 * cast(n1v as decimal(20,0)) * (coalesce(n1w, 0) + 1)))
+        div (4 * cast(cv as decimal(20,0))
+             * cast(ncc + vv + 1 as decimal(20,0)))
+      ELSE (cast(1000000 as decimal(38,0)) * (coalesce(n1w, 0) + 1))
+        div cast(ncc + vv + 1 as decimal(20,0)) END""")
+    val perDoc = bi
+      .join(cvw, Seq("hv", "hw"), "left")
+      .join(cv, Seq("hv"), "left")
+      .join(n1w, Seq("hw"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("__id"), micro.cast("long").as("__micro"),
+        col("cvw").isNull.cast("long").as("__oov"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__oov")).as("oov_bigrams"),
+        expr("sum(__micro) div count(1)").as("score_micro"))
+    val out = df.select(col(idCol).as("__id"))
+      .join(perDoc, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("oov_bigrams"), lit(0L)).as("oov_bigrams"),
+        col("score_micro"))
+    val result = Frames.materializeCut(out)
+    Frames.free(bi); Frames.free(cvw)
+    result
+  }
+
   /** Polynomial rolling-hash fingerprint over the alnum+space chars of
     * the normalized text: fold of h -> (h*31 + code) mod 1e9+7. Stays
     * within int64 at every step (no overflow — DuckDB would raise,

@@ -324,6 +324,14 @@ object DocQueries {
         }
       }.toDF("doc_id", "status", "content_length", "n_tokens")
     }),
+    // Kneser-Ney bigram LM quality score with a train/score split
+    // (CCNet shape): model trained on the 80% id-bucket slice, every
+    // doc scored; exact-rational micro probabilities, OOV accounting.
+    // Oracle rebuilds the same counts on string bigrams (count
+    // identity by hash == by string modulo the documented 2^-64 fold)
+    "doc_kn_score" -> ((s, d) =>
+      TextStats.knBigramScore(docs(s, d), "doc_id", "text",
+        TextStats.idBucket(col("doc_id"), 5L) < 4)),
     // HTML -> text extraction (the stage between WARC body bytes and
     // the quality gates): deterministic markup fixture per id bucket —
     // script element with markup inside, style + comment, entity
@@ -890,6 +898,45 @@ object DocQueries {
          WHERE doc_id NOT IN (SELECT id_b FROM np))"""
 
   val oracleSql: Map[String, String] = Map(
+    "doc_kn_score" ->
+      s"""WITH n AS (SELECT doc_id, $normSql AS t,
+           ${TextStats.idBucketSql("doc_id", 5L)} < 4 AS train
+           FROM documents),
+         tk AS (SELECT doc_id, train, string_split(t, ' ') AS ws FROM n),
+         ix AS (SELECT doc_id, train, ws,
+           unnest(range(1, len(ws))) AS i FROM tk),
+         bi AS (SELECT doc_id, train, ws[i] AS v, ws[i + 1] AS w FROM ix),
+         cvw AS (SELECT v, w, count(*) AS cvw FROM bi
+           WHERE train GROUP BY 1, 2),
+         cv AS (SELECT v, sum(cvw) AS cv, count(*) AS n1v
+           FROM cvw GROUP BY 1),
+         n1 AS (SELECT w, count(*) AS n1w FROM cvw GROUP BY 1),
+         tot AS (SELECT (SELECT count(*) FROM cvw) AS ncc,
+           (SELECT count(*) FROM
+             (SELECT v AS x FROM cvw UNION SELECT w FROM cvw)) AS vv),
+         sc AS (SELECT b.doc_id,
+             CASE WHEN c2.cv IS NOT NULL THEN
+               (CAST(1000000 AS HUGEINT) *
+                 (greatest(4 * coalesce(c1.cvw, 0) - 3, 0)::HUGEINT
+                    * (t.ncc + t.vv + 1)
+                  + 3 * c2.n1v::HUGEINT * (coalesce(n1.n1w, 0) + 1)))
+               // (4 * c2.cv::HUGEINT * (t.ncc + t.vv + 1))
+             ELSE (CAST(1000000 AS HUGEINT) * (coalesce(n1.n1w, 0) + 1))
+               // (t.ncc + t.vv + 1)::HUGEINT END AS micro,
+             (c1.cvw IS NULL) AS oov
+           FROM bi b
+           LEFT JOIN cvw c1 ON b.v = c1.v AND b.w = c1.w
+           LEFT JOIN cv c2 ON b.v = c2.v
+           LEFT JOIN n1 ON b.w = n1.w
+           CROSS JOIN tot t),
+         agg AS (SELECT doc_id, count(*) AS n_bigrams,
+             sum(CASE WHEN oov THEN 1 ELSE 0 END) AS oov_bigrams,
+             CAST(sum(micro) // count(*) AS BIGINT) AS score_micro
+           FROM sc GROUP BY 1)
+         SELECT d.doc_id, coalesce(a.n_bigrams, 0)::BIGINT AS n_bigrams,
+           coalesce(a.oov_bigrams, 0)::BIGINT AS oov_bigrams,
+           a.score_micro
+         FROM documents d LEFT JOIN agg a USING (doc_id)""",
     "doc_html_extract" -> {
       val esc = graft.operators.HtmlText.htmlToTextSql("html")
       s"""WITH h AS (SELECT doc_id,

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class KnScoreSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  /** Hand-derived model. Train: "a b a c", "a b d" ->
+    * c(a,b)=2 c(b,a)=1 c(a,c)=1 c(b,d)=1; c(a)=3 N1+(a·)=2;
+    * c(b)=2 N1+(b·)=2; N1+(·a)=N1+(·b)=N1+(·c)=N1+(·d)=1;
+    * N1+(··)=4, V=4 -> Pcont denom = 9. D = 3/4. */
+  private val corpus = Seq(
+    (1L, "a b a c", true),
+    (2L, "a b d", true),
+    (3L, "a b x", false),   // seen bigram + unseen word
+    (4L, "z", false),       // no bigrams
+    (5L, "c a b", false))   // unseen CONTEXT c, then a seen bigram
+
+  private def run(rows: Seq[(Long, String, Boolean)]) =
+    TextStats.knBigramScore(rows.toDF("id", "text", "train"),
+        "id", "text", col("train"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+
+  test("hand-computed KN probabilities, seen/backoff/unseen-context/OOV") {
+    val got = run(corpus)
+    // P(b|a) = (2-.75)/3 + (.75*2/3)*(2/9) -> floor 527777 micro
+    // P(a|b) = (1-.75)/2 + (.75*2/2)*(2/9) -> 291666
+    // P(c|a) = (1-.75)/3 + (.75*2/3)*(2/9) -> 194444
+    assert(got(1L) == ((3L, 0L, (527777L + 291666L + 194444L) / 3)))
+    // P(d|b) = (1-.75)/2 + (.75*2/2)*(2/9) -> 291666
+    assert(got(2L) == ((2L, 0L, (527777L + 291666L) / 2)))
+    // P(x|b): unseen w, seen context -> backoff only:
+    //   (.75*2/2) * (0+1)/9 -> 83333; (a,b) not OOV, (b,x) OOV
+    assert(got(3L) == ((2L, 1L, (527777L + 83333L) / 2)))
+    // single word: no bigrams, NULL score
+    assert(got(4L) == ((0L, 0L, -1L)))
+    // unseen context c: P(a|c) = Pcont(a) = 2/9 -> 222222
+    assert(got(5L) == ((2L, 1L, (222222L + 527777L) / 2)))
+  }
+
+  test("probabilities stay in [0, 1e6] and sum-per-context stays proper") {
+    val got = run(corpus)
+    got.values.foreach { case (_, _, s) =>
+      assert(s <= 1000000L, s.toString)
+    }
+  }
+
+  test("empty train slice: defined degenerate model, never a crash") {
+    val got = run(corpus.map { case (i, t, _) => (i, t, false) })
+    // ncc=0, V=0 -> Pcont denom 1 -> every bigram scores 1e6, all OOV
+    assert(got(3L) == ((2L, 2L, 1000000L)))
+    assert(got(4L) == ((0L, 0L, -1L)))
+  }
+
+  test("train == score corpus degenerates toward lmFluency's regime") {
+    // every doc scored by a model trained on everything: no OOV
+    val got = run(corpus.map { case (i, t, _) => (i, t, true) })
+    assert(got.values.forall(_._2 == 0L))
+    assert(got(4L) == ((0L, 0L, -1L)))
+  }
+}
