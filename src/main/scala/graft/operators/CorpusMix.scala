@@ -602,9 +602,15 @@ object CorpusMix {
     * left-anti joins on the id — no stage re-reads the raw corpus. */
   def curateStages(df: DataFrame, idCol: String, urlCol: String,
       statusCol: String, textCol: String, minWords: Int = 40,
-      jaccard: Double = 0.8): Seq[(String, DataFrame)] = {
+      jaccard: Double = 0.8,
+      htmlExtract: Boolean = false): Seq[(String, DataFrame)] = {
+    // crawl bodies are markup, not text: when asked, the exactly-
+    // specified HtmlText chain runs BEFORE normalization, so tag soup
+    // never reaches the word-count/stopword gates
+    val raw = if (htmlExtract) HtmlText.htmlToText(col(textCol))
+      else col(textCol)
     val parsed = df.select(col(idCol), col(urlCol),
-      col(statusCol), TextStats.norm(col(textCol)).as("__t"))
+      col(statusCol), TextStats.norm(raw).as("__t"))
     val resp = parsed.filter(col(statusCol) === 200)
     // canonical-URL dedup — group on the 64-bit hash of the canonical
     // form (the canonical string itself never shuffles; it is not an
@@ -645,9 +651,9 @@ object CorpusMix {
   def curatePipeline(df: DataFrame, idCol: String, urlCol: String,
       statusCol: String, textCol: String, minWords: Int = 40,
       jaccard: Double = 0.8, bpeRounds: Int = 8,
-      capTokens: Long = 2000L): DataFrame = {
+      capTokens: Long = 2000L, htmlExtract: Boolean = false): DataFrame = {
     val survivors = curateStages(df, idCol, urlCol, statusCol, textCol,
-      minWords, jaccard).last._2
+      minWords, jaccard, htmlExtract).last._2
     val table = TextStats.bpeTable(
       TextStats.bpeTrainMerges(survivors, "__t", bpeRounds))
     val counts = TextStats.bpeEncodeApply(survivors, idCol, "__t", table)

@@ -26,7 +26,17 @@ object DocQueries {
     graft.Tables.table(s, dir, "documents")
 
   /** DuckDB-side normalization identical to [[Dedup.normalizeText]]. */
-  private val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+  private def normOf(e: String): String =
+    s"regexp_replace(lower(trim($e)), '\\s+', ' ', 'g')"
+  private val normSql = normOf("text")
+
+  /** HTML wrap for the crawl-with-markup pipeline fixture: ONE shared
+    * template used verbatim by the Spark fixture (concat) and the
+    * oracle (||), so the two stay in lockstep by construction. */
+  private[queries] val htmlWrapPre =
+    "<html><head><title></title><style>.x{}</style></head><!-- crawl --><body><h1>H</h1><p>"
+  private[queries] val htmlWrapPost =
+    "</p><div>footer &amp; nav</div></body></html>"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_exact_dedup" -> ((s, d) =>
@@ -363,6 +373,21 @@ object DocQueries {
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("bpe_tokens_sum"))),
+    // the same end-to-end pipeline over a crawl whose bodies are
+    // MARKUP: every response wraps its text in the shared HTML
+    // template, and the HtmlText extraction stage runs before the
+    // gates — WARC bytes -> parse -> html-to-text -> URL dedup ->
+    // gate -> dedups -> BPE -> domain cap, one job, one chained oracle
+    "doc_warc_html_pipeline" -> ((s, d) =>
+      CorpusMix.curatePipeline(warcCrawl(s, d, wrapHtml = true),
+          "doc_id", "url", "status", "text", minWords = 40,
+          jaccard = 0.8, bpeRounds = 8, capTokens = 2000L,
+          htmlExtract = true)
+        .select(TextStats.idBucket(col("doc_id"), 4).as("shard"),
+          col("n_tokens"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("bpe_tokens_sum"))),
     // the same funnel's per-stage survivor counts — the accounting a
     // crawl operator watches; shares the stage chain (and oracle CTEs)
     // with doc_warc_pipeline_e2e, stops before the BPE/cap tail
@@ -501,7 +526,8 @@ object DocQueries {
     * groups mirror the text verbatim (exact-dedup prey), odd groups
     * append a 3-word suffix (word-shingle Jaccard ~0.93+ — near-dedup
     * prey, above the 0.8 threshold, far above the corpus's next pair). */
-  private def warcCrawl(s: SparkSession, d: String): DataFrame = {
+  private def warcCrawl(s: SparkSession, d: String,
+      wrapHtml: Boolean = false): DataFrame = {
     import s.implicits._
     val bk = expr("((doc_id % 1000003) * 2654435761) % 3")
     val base = docs(s, d).select(col("doc_id"), col("text"),
@@ -528,10 +554,12 @@ object DocQueries {
       .agg(sort_array(collect_list(col("r"))).as("rs"))
     grouped.flatMap { row =>
       val bytes = row.getSeq[org.apache.spark.sql.Row](1).flatMap { r =>
+        val body = if (wrapHtml) htmlWrapPre + r.getString(1) + htmlWrapPost
+          else r.getString(1)
         val rec = graft.sources.Warc.encodeResponse(
           r.getString(2), "2026-08-14T00:00:00Z", r.getInt(3),
           r.getString(4),
-          r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         (if (r.getLong(0) % 4 == 0) graft.sources.Warc.gzipMember(rec)
          else rec).toSeq
       }.toArray
@@ -838,7 +866,11 @@ object DocQueries {
     * against the full textual replay in doc_url_dedup's oracle),
     * Gopher gate, exact dedup, exhaustive-Jaccard near-dup drop
     * (LSH recall is exactly 1 on this corpus, see the header note). */
-  private def warcPipelineCtes: String =
+  private def warcPipelineCtes(htmlWrap: Boolean = false): String = {
+    val t = if (htmlWrap)
+      normOf(graft.operators.HtmlText.htmlToTextSql(
+        s"('$htmlWrapPre' || text || '$htmlWrapPost')"))
+    else normSql
     s"""base AS (SELECT doc_id, text,
            ((doc_id % 1000003) * 2654435761) % 3 AS bk,
            doc_id // 8 AS g,
@@ -851,7 +883,7 @@ object DocQueries {
            0 AS bk, g, b, TRUE AS is_m
          FROM base WHERE b = 0),
        recs AS (SELECT * FROM base UNION ALL SELECT * FROM mirr),
-       st AS MATERIALIZED (SELECT doc_id, $normSql AS t, bk, g, b, is_m
+       st AS MATERIALIZED (SELECT doc_id, $t AS t, bk, g, b, is_m
          FROM recs),
        cu AS MATERIALIZED (SELECT doc_id, t,
            CASE WHEN is_m
@@ -896,6 +928,7 @@ object DocQueries {
            len(list_distinct(list_concat(a2.shingles, b2.shingles))) >= 0.8),
        an AS MATERIALIZED (SELECT doc_id, t, domain FROM ae
          WHERE doc_id NOT IN (SELECT id_b FROM np))"""
+  }
 
   val oracleSql: Map[String, String] = Map(
     "doc_kn_score" ->
@@ -954,7 +987,20 @@ object DocQueries {
          FROM e"""
     },
     "doc_warc_pipeline_e2e" ->
-      s"""WITH $warcPipelineCtes,
+      s"""WITH ${warcPipelineCtes()},
+         ${bpeTokenCtesBody(8, "an", "t")},
+         nt AS (SELECT a3.doc_id, a3.domain,
+             CAST(count(tid.id) AS BIGINT) AS n_tokens
+           FROM an a3 LEFT JOIN tid USING (doc_id) GROUP BY 1, 2),
+         cp AS (SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY domain ORDER BY doc_id)
+               AS cum
+           FROM nt)
+         SELECT ${TextStats.idBucketSql("doc_id", 4L)} AS shard,
+           count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bpe_tokens_sum
+         FROM cp WHERE cum <= 2000 GROUP BY 1""",
+    "doc_warc_html_pipeline" ->
+      s"""WITH ${warcPipelineCtes(htmlWrap = true)},
          ${bpeTokenCtesBody(8, "an", "t")},
          nt AS (SELECT a3.doc_id, a3.domain,
              CAST(count(tid.id) AS BIGINT) AS n_tokens
@@ -967,7 +1013,7 @@ object DocQueries {
            count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bpe_tokens_sum
          FROM cp WHERE cum <= 2000 GROUP BY 1""",
     "doc_warc_pipeline_funnel" ->
-      s"""WITH $warcPipelineCtes
+      s"""WITH ${warcPipelineCtes()}
          SELECT 'parsed' AS stage, count(*) AS n_docs FROM st
          UNION ALL SELECT 'response_200', count(*) FROM cu
          UNION ALL SELECT 'url_unique', count(*) FROM au
