@@ -510,4 +510,6 @@ object text {
     GraftBridge.column(WordHashes(GraftBridge.expression(normText)))
   def word_portable_hashes(normText: Column): Column =
     GraftBridge.column(WordPortableHashes(GraftBridge.expression(normText)))
+  def kn_score(normText: Column, table: KnLmTable): Column =
+    GraftBridge.column(KnScore(GraftBridge.expression(normText), table))
 }

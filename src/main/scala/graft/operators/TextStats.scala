@@ -970,14 +970,8 @@ object TextStats {
       .select(col("__id"), col("__train"),
         xxhash64(substring_index(col("__g"), " ", 1)).as("hv"),
         xxhash64(substring_index(col("__g"), " ", -1)).as("hw")))
-    val cvw = Frames.materializeCut(bi.filter(col("__train"))
-      .groupBy(col("hv"), col("hw")).agg(count(lit(1)).as("cvw")))
-    val cv = cvw.groupBy(col("hv"))
-      .agg(sum(col("cvw")).as("cv"), count(lit(1)).as("n1v"))
-    val n1w = cvw.groupBy(col("hw")).agg(count(lit(1)).as("n1w"))
-    val tot = cvw.agg(count(lit(1)).as("ncc")).crossJoin(
-      cvw.select(col("hv").as("h")).union(cvw.select(col("hw").as("h")))
-        .agg(countDistinct(col("h")).as("vv")))
+    val KnFrames(cvw, cv, n1w, tot) =
+      knTrainFromBigrams(bi.filter(col("__train")))
     // all-decimal cross-multiplication: numerators stay < 1e34 at
     // 100-TB-scale counts, exact in Spark decimal(38,0) and DuckDB
     // HUGEINT alike; `div` floors identically in both
@@ -1010,6 +1004,70 @@ object TextStats {
     Frames.free(bi); Frames.free(cvw)
     result
   }
+
+  /** The trained KN model's count frames: bigram types (hv, hw, cvw),
+    * context stats (hv, cv, n1v), continuation counts (hw, n1w), and
+    * the 1-row (ncc, vv) totals. */
+  case class KnFrames(cvw: DataFrame, cv: DataFrame, n1w: DataFrame,
+      tot: DataFrame)
+
+  /** Train the KN count frames on a whole frame's text column —
+    * the reference-corpus entry point ([[knBigramScore]] slices with
+    * a predicate instead). */
+  def knTrain(df: DataFrame, textCol: String): KnFrames =
+    knTrainFromBigrams(df.select(
+        explode(graft.functions.text.word_ngrams(norm(col(textCol)), 2))
+          .as("__g"))
+      .filter(col("__g").contains(" "))
+      .select(xxhash64(substring_index(col("__g"), " ", 1)).as("hv"),
+        xxhash64(substring_index(col("__g"), " ", -1)).as("hw")))
+
+  private def knTrainFromBigrams(tb: DataFrame): KnFrames = {
+    val cvw = Frames.materializeCut(
+      tb.groupBy(col("hv"), col("hw")).agg(count(lit(1)).as("cvw")))
+    val cv = cvw.groupBy(col("hv"))
+      .agg(sum(col("cvw")).as("cv"), count(lit(1)).as("n1v"))
+    val n1w = cvw.groupBy(col("hw")).agg(count(lit(1)).as("n1w"))
+    val tot = cvw.agg(count(lit(1)).as("ncc")).crossJoin(
+      cvw.select(col("hv").as("h")).union(cvw.select(col("hw").as("h")))
+        .agg(countDistinct(col("h")).as("vv")))
+    KnFrames(cvw, cv, n1w, tot)
+  }
+
+  /** Collect a trained model into the broadcastable row-local
+    * [[graft.functions.KnLmTable]] — the deployment shape for online
+    * scoring (streaming micro-batches, map-side batch scoring). The
+    * collect is GATED: a reference model is bounded by construction
+    * (curated reference text, bounded vocabulary), and a model that
+    * isn't fails loudly naming the dial rather than silently pulling
+    * an unbounded frame to the driver. */
+  def knTable(m: KnFrames, maxTypes: Long = 2000000L):
+      graft.functions.KnLmTable = {
+    val n = m.cvw.count()
+    require(n <= maxTypes,
+      s"KN model has $n bigram types > maxTypes $maxTypes — train on a " +
+        "curated reference slice or raise maxTypes if this size is intended")
+    val bg = m.cvw.select(col("hv"), col("hw"), col("cvw")).collect()
+    val cvr = m.cv.select(col("hv"), col("cv"), col("n1v")).collect()
+    val n1r = m.n1w.select(col("hw"), col("n1w")).collect()
+    val t = m.tot.select(col("ncc"), col("vv")).head()
+    new graft.functions.KnLmTable(
+      bg.map(_.getLong(0)), bg.map(_.getLong(1)), bg.map(_.getLong(2)),
+      cvr.map(_.getLong(0)), cvr.map(_.getLong(1)), cvr.map(_.getLong(2)),
+      n1r.map(_.getLong(0)), n1r.map(_.getLong(1)),
+      t.getLong(0), t.getLong(1))
+  }
+
+  /** Map-side KN scoring of every document against a collected model:
+    * one kernel call per row, no joins, no shuffle — bit-identical to
+    * [[knBigramScore]]'s join path (spec-pinned). */
+  def knScoreWithTable(df: DataFrame, idCol: String, textCol: String,
+      table: graft.functions.KnLmTable): DataFrame =
+    df.select(col(idCol),
+        graft.functions.text.kn_score(norm(col(textCol)), table).as("__s"))
+      .select(col(idCol), col("__s.n_bigrams").as("n_bigrams"),
+        col("__s.oov_bigrams").as("oov_bigrams"),
+        col("__s.score_micro").as("score_micro"))
 
   /** Polynomial rolling-hash fingerprint over the alnum+space chars of
     * the normalized text: fold of h -> (h*31 + code) mod 1e9+7. Stays

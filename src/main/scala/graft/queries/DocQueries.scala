@@ -342,6 +342,16 @@ object DocQueries {
     "doc_kn_score" -> ((s, d) =>
       TextStats.knBigramScore(docs(s, d), "doc_id", "text",
         TextStats.idBucket(col("doc_id"), 5L) < 4)),
+    // the same model COLLECTED into the bounded broadcast table and
+    // scored row-locally (the streaming deployment shape) — checked
+    // against the SAME oracle as doc_kn_score: the bit-identity of
+    // the kernel and join paths, driver-verified
+    "doc_kn_score_online" -> ((s, d) => {
+      val base = docs(s, d)
+      val table = TextStats.knTable(TextStats.knTrain(
+        base.filter(TextStats.idBucket(col("doc_id"), 5L) < 4), "text"))
+      TextStats.knScoreWithTable(base, "doc_id", "text", table)
+    }),
     // HTML -> text extraction (the stage between WARC body bytes and
     // the quality gates): deterministic markup fixture per id bucket —
     // script element with markup inside, style + comment, entity
@@ -930,9 +940,11 @@ object DocQueries {
          WHERE doc_id NOT IN (SELECT id_b FROM np))"""
   }
 
-  val oracleSql: Map[String, String] = Map(
-    "doc_kn_score" ->
-      s"""WITH n AS (SELECT doc_id, $normSql AS t,
+  /** Shared by doc_kn_score (join path) and doc_kn_score_online
+    * (collected-table kernel path): the two are bit-identical by
+    * contract, so one oracle checks both. */
+  private def knScoreOracleSql: String =
+    s"""WITH n AS (SELECT doc_id, $normSql AS t,
            ${TextStats.idBucketSql("doc_id", 5L)} < 4 AS train
            FROM documents),
          tk AS (SELECT doc_id, train, string_split(t, ' ') AS ws FROM n),
@@ -969,7 +981,11 @@ object DocQueries {
          SELECT d.doc_id, coalesce(a.n_bigrams, 0)::BIGINT AS n_bigrams,
            coalesce(a.oov_bigrams, 0)::BIGINT AS oov_bigrams,
            a.score_micro
-         FROM documents d LEFT JOIN agg a USING (doc_id)""",
+         FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+  val oracleSql: Map[String, String] = Map(
+    "doc_kn_score" -> knScoreOracleSql,
+    "doc_kn_score_online" -> knScoreOracleSql,
     "doc_html_extract" -> {
       val esc = graft.operators.HtmlText.htmlToTextSql("html")
       s"""WITH h AS (SELECT doc_id,

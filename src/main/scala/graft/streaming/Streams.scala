@@ -245,6 +245,20 @@ object Streams {
         col("n_docs"), col("sum_tokens"))
   }
 
+  /** Online Kneser–Ney LM quality scoring of a document stream
+    * against a reference model trained BATCH-side
+    * ([[graft.operators.TextStats.knTrain]] -> `knTable`) — the CCNet
+    * deployment shape: the bounded model rides the closure as a
+    * broadcast lookup table and each micro-batch scores row-locally
+    * (one codegen kernel call per doc), so the query is STATELESS —
+    * append-mode safe, no state store, no stream-static join to
+    * re-plan per batch. Scores are bit-identical to the batch
+    * operator's join path (spec-pinned). */
+  def knScore(stream: DataFrame, idCol: String, textCol: String,
+      table: graft.functions.KnLmTable): DataFrame =
+    graft.operators.TextStats.knScoreWithTable(stream, idCol, textCol,
+      table)
+
   /** Stream-stream interval join: each left event matches right events
     * of the same key whose timestamp falls in [left.ts, left.ts +
     * horizon] — e.g. purchases attributed to the click they followed.

@@ -63,6 +63,29 @@ class KnScoreSpec extends AnyFunSuite {
     assert(got(4L) == ((0L, 0L, -1L)))
   }
 
+  test("collected-table kernel path is bit-identical to the join path") {
+    val df = corpus.toDF("id", "text", "train")
+    val joined = TextStats.knBigramScore(df, "id", "text", col("train"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    val model = TextStats.knTrain(df.filter(col("train")), "text")
+    val table = TextStats.knTable(model)
+    assert(table.types == 4)
+    val kernel = TextStats.knScoreWithTable(df, "id", "text", table)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(kernel == joined)
+  }
+
+  test("knTable collect is gated on model size") {
+    val df = corpus.toDF("id", "text", "train")
+    val model = TextStats.knTrain(df.filter(col("train")), "text")
+    val e = intercept[IllegalArgumentException] {
+      TextStats.knTable(model, maxTypes = 2)
+    }
+    assert(e.getMessage.contains("bigram types"), e.getMessage)
+  }
+
   test("train == score corpus degenerates toward lmFluency's regime") {
     // every doc scored by a model trained on everything: no OOV
     val got = run(corpus.map { case (i, t, _) => (i, t, true) })

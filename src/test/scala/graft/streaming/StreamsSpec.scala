@@ -485,4 +485,37 @@ class StreamsSpec extends AnyFunSuite {
         rows.toString)
     } finally q.stop()
   }
+
+  test("online KN scoring: stream scores == batch join-path scores") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.operators.TextStats
+    val train = Seq((1L, "a b a c"), (2L, "a b d")).toDF("id", "text")
+    val model = TextStats.knTable(TextStats.knTrain(train, "text"))
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.knScore(in.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", model).writeStream
+      .format("memory").queryName("kn_out").outputMode("append").start()
+    try {
+      in.addData((10L, "a b x"), (11L, "z"))
+      q.processAllAvailable()
+      in.addData((12L, "c a b"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM kn_out")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+      // the same docs through the batch operator with the same model
+      val batch = TextStats.knScoreWithTable(
+          Seq((10L, "a b x"), (11L, "z"), (12L, "c a b"))
+            .toDF("doc_id", "text"), "doc_id", "text", model)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+      assert(got == batch, got.toString)
+      // and the hand-derived values from KnScoreSpec hold online too
+      assert(got(10L) == ((2L, 1L, (527777L + 83333L) / 2)))
+      assert(got(11L) == ((0L, 0L, -1L)))
+      assert(got(12L) == ((2L, 1L, (222222L + 527777L) / 2)))
+    } finally q.stop()
+  }
 }
