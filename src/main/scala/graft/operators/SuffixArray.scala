@@ -227,6 +227,65 @@ object SuffixArray {
     * run is >= `minLen`. */
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
       minLen: Int): DataFrame = {
+    val (perPos, finalRanks, tables) = maxrepPositions(df, idCol, textCol)
+    val out = perPos.groupBy(col("doc"))
+      .agg(max(col("maxrep")).as("max_repeat_words"),
+        sum(when(col("maxrep") >= minLen, 1L).otherwise(0L))
+          .as("n_pos_repeat"))
+      .select(col("doc").as(idCol), col("max_repeat_words"),
+        col("n_pos_repeat"))
+    val result = materializeCut(out)
+    tables.foreach(t => freeFrame(t.frame))
+    freeFrame(finalRanks)
+    result
+  }
+
+  /** Arbitrary-length repeated-span REMOVAL — the ExactSubstr-dedup
+    * edit step (Lee et al. 2022): every word position covered by a
+    * run of >= `minLen` words that occurs ANYWHERE else in the corpus
+    * (another doc, or another position of the same doc) is excised;
+    * output is (id, clean_text, n_tokens, n_removed), the
+    * [[Dedup.removeDupSpans]] shape — that operator is the
+    * cross-document fixed-n form, this one the exact any-length form.
+    * Coverage is the per-doc interval-union sweep over the suffix
+    * array's per-position maximal repeats: a running max of
+    * `pos + maxrep` over positions with `maxrep >= minLen` marks
+    * every covered position in one doc-partitioned window — no
+    * per-interval explode. */
+  def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int): DataFrame = {
+    val (perPos, finalRanks, tables) = maxrepPositions(df, idCol, textCol)
+    val wS = Window.partitionBy(col("doc")).orderBy(col("pos").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val removedPos = perPos
+      .withColumn("__re", max(when(col("maxrep") >= minLen,
+        col("pos") + col("maxrep")).otherwise(lit(-1L))).over(wS))
+      .filter(col("__re") > col("pos"))
+      .groupBy(col("doc"))
+      .agg(sort_array(collect_list(col("pos"))).as("__rp"))
+    val normed = df.select(col(idCol).as("doc"),
+      Dedup.normalizeText(col(textCol)).as("__t"))
+    val out = normed.join(removedPos, Seq("doc"), "left")
+      .withColumn("__rp",
+        coalesce(col("__rp"), typedlit(Array.empty[Int])))
+      .withColumn("__ws", split(col("__t"), " "))
+      .withColumn("__kept", filter(col("__ws"),
+        (w, i) => !exists(col("__rp"), p => p === i)))
+      .select(col("doc").as(idCol),
+        array_join(col("__kept"), " ").as("clean_text"),
+        size(col("__ws")).cast("long").as("n_tokens"),
+        size(col("__rp")).cast("long").as("n_removed"))
+    val result = materializeCut(out)
+    tables.foreach(t => freeFrame(t.frame))
+    freeFrame(finalRanks)
+    result
+  }
+
+  /** The shared SA core: exact per-position maximal-repeat lengths
+    * (doc, pos, maxrep) plus the frames the caller must free once its
+    * consumer is materialized. */
+  private def maxrepPositions(df: DataFrame, idCol: String,
+      textCol: String): (DataFrame, DataFrame, Seq[SaTable]) = {
     val (finalRanks, tables, rep) = doublingRanks(df, idCol, textCol)
     // per-doc lengths from the already-materialized rank frame — no
     // second normalize+split pass over the corpus text
@@ -348,16 +407,6 @@ object SuffixArray {
         .join(paired, Seq("doc", "pos"), "left")
         .select(col("doc"), col("pos"),
           coalesce(col("maxrep"), lit(0L)).as("maxrep"))
-
-    val out = perPos.groupBy(col("doc"))
-      .agg(max(col("maxrep")).as("max_repeat_words"),
-        sum(when(col("maxrep") >= minLen, 1L).otherwise(0L))
-          .as("n_pos_repeat"))
-      .select(col("doc").as(idCol), col("max_repeat_words"),
-        col("n_pos_repeat"))
-    val result = materializeCut(out)
-    tables.foreach(t => freeFrame(t.frame))
-    freeFrame(finalRanks)
-    result
+    (perPos, finalRanks, tables)
   }
 }

@@ -426,6 +426,14 @@ object DocQueries {
     "doc_repeated_spans" -> ((s, d) =>
       graft.operators.SuffixArray.repeatedSpans(docs(s, d), "doc_id",
         "text", minLen = 8)),
+    // the EDIT step over the same suffix array: excise every word
+    // covered by a >= 8-word run that occurs anywhere else in the
+    // corpus (ExactSubstr removal; doc_remove_dup_spans is the
+    // cross-doc fixed-n form). Oracle = shared suffix-sort CTEs + the
+    // same interval-union sweep in SQL
+    "doc_remove_repeated_spans" -> ((s, d) =>
+      graft.operators.SuffixArray.removeRepeatedSpans(docs(s, d),
+        "doc_id", "text", minLen = 8)),
     // Unicode-folded exact dedup: accented / case / encoding variants
     // of the same text share one key (NFD-minus-marks fold). Fixture
     // plants an accent-and-case-mangled twin per doc; oracle folds
@@ -940,6 +948,34 @@ object DocQueries {
          WHERE doc_id NOT IN (SELECT id_b FROM np))"""
   }
 
+  /** Suffix-sort + neighbor-LCP per-position maximal repeats (CTE
+    * `m` = (doc_id, pos, maxrep)), shared by doc_repeated_spans and
+    * doc_remove_repeated_spans. */
+  private def saMaxrepCtes: String =
+    s"""w AS (
+           SELECT doc_id, string_split($normSql, ' ') AS ws FROM documents),
+         suf AS (
+           SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             ws[CAST(i AS INT)+1:] AS s
+           FROM w, LATERAL unnest(range(0, len(ws))) AS t(i)),
+         ord AS (
+           SELECT doc_id, pos, s,
+             lag(s) OVER (ORDER BY s, doc_id, pos) AS sp,
+             lead(s) OVER (ORDER BY s, doc_id, pos) AS sn
+           FROM suf),
+         m AS (
+           SELECT doc_id, pos,
+             greatest(
+               CASE WHEN sp IS NULL THEN 0 ELSE
+                 coalesce(list_filter(range(1, least(len(s), len(sp)) + 1),
+                   i -> s[CAST(i AS INT)] != sp[CAST(i AS INT)])[1],
+                   least(len(s), len(sp)) + 1) - 1 END,
+               CASE WHEN sn IS NULL THEN 0 ELSE
+                 coalesce(list_filter(range(1, least(len(s), len(sn)) + 1),
+                   i -> s[CAST(i AS INT)] != sn[CAST(i AS INT)])[1],
+                   least(len(s), len(sn)) + 1) - 1 END) AS maxrep
+           FROM ord)"""
+
   /** Shared by doc_kn_score (join path) and doc_kn_score_online
     * (collected-table kernel path): the two are bit-identical by
     * contract, so one oracle checks both. */
@@ -1087,33 +1123,32 @@ object DocQueries {
     // neighbor = index of first mismatch; maxrep is invariant to tie
     // order (tied suffixes are identical, so boundary LCPs agree)
     "doc_repeated_spans" ->
-      s"""WITH w AS (
-           SELECT doc_id, string_split($normSql, ' ') AS ws FROM documents),
-         suf AS (
-           SELECT doc_id, CAST(i AS BIGINT) AS pos,
-             ws[CAST(i AS INT)+1:] AS s
-           FROM w, LATERAL unnest(range(0, len(ws))) AS t(i)),
-         ord AS (
-           SELECT doc_id, pos, s,
-             lag(s) OVER (ORDER BY s, doc_id, pos) AS sp,
-             lead(s) OVER (ORDER BY s, doc_id, pos) AS sn
-           FROM suf),
-         m AS (
-           SELECT doc_id, pos,
-             greatest(
-               CASE WHEN sp IS NULL THEN 0 ELSE
-                 coalesce(list_filter(range(1, least(len(s), len(sp)) + 1),
-                   i -> s[CAST(i AS INT)] != sp[CAST(i AS INT)])[1],
-                   least(len(s), len(sp)) + 1) - 1 END,
-               CASE WHEN sn IS NULL THEN 0 ELSE
-                 coalesce(list_filter(range(1, least(len(s), len(sn)) + 1),
-                   i -> s[CAST(i AS INT)] != sn[CAST(i AS INT)])[1],
-                   least(len(s), len(sn)) + 1) - 1 END) AS maxrep
-           FROM ord)
+      s"""WITH $saMaxrepCtes
          SELECT doc_id, CAST(max(maxrep) AS BIGINT) AS max_repeat_words,
            CAST(sum(CASE WHEN maxrep >= 8 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_pos_repeat
          FROM m GROUP BY 1""",
+    "doc_remove_repeated_spans" ->
+      s"""WITH $saMaxrepCtes,
+         r AS (SELECT doc_id, pos,
+             max(CASE WHEN maxrep >= 8 THEN pos + maxrep ELSE -1 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS run_end
+           FROM m),
+         rm AS (SELECT doc_id, list_sort(list(pos)) AS rp
+           FROM r WHERE run_end > pos GROUP BY 1),
+         fin AS (SELECT w.doc_id, w.ws,
+             coalesce(rm.rp, []::BIGINT[]) AS rp
+           FROM w LEFT JOIN rm USING (doc_id))
+         SELECT doc_id,
+           -- coalesce: DuckDB array_to_string of an empty list is
+           -- NULL, Spark array_join is '' (the noted engine class)
+           coalesce(array_to_string(list_transform(
+             list_filter(range(0, len(ws)), i -> NOT list_contains(rp, i)),
+             i -> ws[CAST(i AS INT) + 1]), ' '), '') AS clean_text,
+           len(ws)::BIGINT AS n_tokens,
+           len(rp)::BIGINT AS n_removed
+         FROM fin""",
     "doc_unicode_dedup" ->
       s"""WITH t AS (
            SELECT doc_id + 1000000 AS doc_id,

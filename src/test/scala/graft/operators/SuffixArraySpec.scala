@@ -98,6 +98,58 @@ class SuffixArraySpec extends AnyFunSuite {
     }
   }
 
+  /** Brute removal truth: positions covered by any >= minLen repeated
+    * run's interval [p, p + maxrep(p)). */
+  private def bruteClean(rows: Seq[(Long, String)],
+      minLen: Int): Map[Long, (String, Long, Long)] = {
+    val sufs = rows.flatMap { case (id, t) =>
+      val w = norm(t)
+      w.indices.map(p => (id, p, w.drop(p).toSeq))
+    }
+    def lcp(a: Seq[String], b: Seq[String]): Int =
+      a.zip(b).takeWhile { case (x, y) => x == y }.size
+    val maxrep = sufs.map { case (id, p, s) =>
+      (id, p) -> sufs.collect {
+        case (id2, p2, s2) if (id2, p2) != (id, p) => lcp(s, s2)
+      }.foldLeft(0)(math.max)
+    }.toMap
+    rows.map { case (id, t) =>
+      val w = norm(t)
+      val removed = w.indices.filter(q => w.indices.exists(p =>
+        p <= q && maxrep((id, p)) >= minLen && q < p + maxrep((id, p))))
+      val clean = w.indices.filterNot(removed.contains).map(w)
+      id -> ((clean.mkString(" "), w.length.toLong, removed.size.toLong))
+    }.toMap
+  }
+
+  test("removeRepeatedSpans == brute interval-union removal") {
+    val shared = "alpha beta gamma delta"
+    val rows = Seq(
+      1L -> s"one two $shared three four",
+      2L -> s"$shared five six seven eight",
+      3L -> s"rep rep rep rep rep rep",       // within-doc overlap runs
+      4L -> "solo unique words only here",
+      5L -> s"nine $shared ten")
+    for (minLen <- Seq(2, 3, 4)) {
+      val got = SuffixArray.removeRepeatedSpans(docs(rows: _*),
+          "doc_id", "text", minLen)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got == bruteClean(rows, minLen), s"minLen=$minLen")
+    }
+  }
+
+  test("removeRepeatedSpans: untouched corpus passes through verbatim") {
+    val rows = Seq(1L -> "all distinct words here",
+      2L -> "nothing shared anywhere today")
+    val got = SuffixArray.removeRepeatedSpans(docs(rows: _*),
+        "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(3)))).toMap
+    assert(got == Map(1L -> (("all distinct words here", 0L)),
+      2L -> (("nothing shared anywhere today", 0L))))
+  }
+
   test("degenerate inputs: single doc, single word, empty corpus") {
     val one = docs(1L -> "only")
     // a lone suffix has no other suffix: zero repeat, reported as 0
