@@ -459,6 +459,46 @@ object Dedup {
         (size(col("__ws")) - size(col("__kept"))).cast("long").as("n_removed"))
   }
 
+  /** Paragraph-level boilerplate dedup — the RefinedWeb/Dolma removal
+    * pass between document-level dedup and span surgery: a paragraph
+    * (a `\n+`-separated block) appearing in >= `minDocs` DISTINCT
+    * documents (by normalized-text hash) is boilerplate — cookie
+    * banners, footers, nav — and is excised from EVERY document;
+    * output is (id, clean_text, n_paragraphs, n_removed) with the
+    * surviving paragraphs rejoined by single newlines, ORIGINAL
+    * (un-normalized) text preserved — the key only groups.
+    *
+    * Scale shape: paragraphs shuffle as (id, pos, 64-bit hash) rows,
+    * never text; the boilerplate set is one distinct + count
+    * reduction (partial-combined) and comes back through one
+    * hash-keyed join; reassembly is a per-row array filter. Hash
+    * identity conflates paragraphs at ~|paragraphs|²/2^64 (the
+    * documented fold). */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Int = 2): DataFrame = {
+    val paras = df.select(col(idCol),
+      posexplode(split(col(textCol), "\\n+")).as(Seq("__p", "__para")))
+    val keyed = paras.select(col(idCol), col("__p"),
+      xxhash64(normalizeText(col("__para"))).as("__h"))
+    val boiler = keyed.select(col(idCol), col("__h")).distinct()
+      .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("__h"))
+    val rmPos = keyed.join(boiler, "__h")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__p"))).as("__rp"))
+    df.select(col(idCol), col(textCol))
+      .join(rmPos, Seq(idCol), "left")
+      .withColumn("__rp", coalesce(col("__rp"), typedlit(Array.empty[Int])))
+      .withColumn("__ps", split(col(textCol), "\\n+"))
+      .withColumn("__kept", filter(col("__ps"),
+        (x, i) => !exists(col("__rp"), p => p === i)))
+      .select(col(idCol),
+        array_join(col("__kept"), "\n").as("clean_text"),
+        size(col("__ps")).cast("long").as("n_paragraphs"),
+        size(col("__rp")).cast("long").as("n_removed"))
+  }
+
   /** 64-bit SimHash per doc: bit j of the fingerprint is the sign of the
     * sum over tokens of bit j (+1/-1) of the token's hash. Computed
     * as a per-row higher-order aggregate — no explode, no shuffle; each

@@ -339,6 +339,12 @@ object DocQueries {
     // doc scored; exact-rational micro probabilities, OOV accounting.
     // Oracle rebuilds the same counts on string bigrams (count
     // identity by hash == by string modulo the documented 2^-64 fold)
+    // paragraph-level boilerplate dedup (RefinedWeb/Dolma pass):
+    // fixture splits each doc into two content chunks + a per-bucket
+    // shared footer paragraph; footers (>= 2 docs) excise, content
+    // survives verbatim. Oracle replays on normalized-paragraph keys
+    "doc_paragraph_dedup" -> ((s, d) =>
+      Dedup.paragraphDedup(paragraphFixture(s, d), "doc_id", "text")),
     "doc_kn_score" -> ((s, d) =>
       TextStats.knBigramScore(docs(s, d), "doc_id", "text",
         TextStats.idBucket(col("doc_id"), 5L) < 4)),
@@ -589,6 +595,16 @@ object DocQueries {
       .withColumn("doc_id",
         regexp_extract(col("url"), "gclid=([0-9]+)", 1).cast("long"))
   }
+
+  /** [[graft.operators.Dedup.paragraphDedup]] fixture: two 80-char
+    * content chunks of each doc plus a footer paragraph shared by the
+    * doc's id-mod-7 bucket — the planted boilerplate. */
+  private def paragraphFixture(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"),
+      concat(substring(col("text"), 1, 80), lit("\n"),
+        substring(col("text"), 81, 80), lit("\n"),
+        lit("subscribe to newsletter variant "),
+        (col("doc_id") % 7).cast("string"), lit(" today")).as("text"))
 
   /** [[graft.operators.HtmlText]] fixture: each doc's text wrapped in
     * one of six deterministic markup shapes by id bucket; the oracle
@@ -1020,6 +1036,32 @@ object DocQueries {
          FROM documents d LEFT JOIN agg a USING (doc_id)"""
 
   val oracleSql: Map[String, String] = Map(
+    "doc_paragraph_dedup" ->
+      s"""WITH px AS (SELECT doc_id,
+           substr(text, 1, 80) || chr(10) || substr(text, 81, 80) ||
+             chr(10) || 'subscribe to newsletter variant ' ||
+             CAST(doc_id % 7 AS VARCHAR) || ' today' AS ptext
+           FROM documents),
+         pp AS (SELECT doc_id,
+           string_split_regex(ptext, '\\n+') AS pl FROM px),
+         ix AS (SELECT doc_id, pl,
+           unnest(range(0, len(pl))) AS i FROM pp),
+         e AS (SELECT doc_id, i,
+           ${normOf("pl[CAST(i AS INT) + 1]")} AS k FROM ix),
+         dk AS (SELECT DISTINCT doc_id, k FROM e),
+         bo AS (SELECT k FROM dk GROUP BY k HAVING count(*) >= 2),
+         rp AS (SELECT e.doc_id, list_sort(list(e.i)) AS rp
+           FROM e JOIN bo USING (k) GROUP BY 1),
+         fin AS (SELECT p.doc_id, p.pl,
+             coalesce(rp.rp, []::BIGINT[]) AS rp
+           FROM pp p LEFT JOIN rp USING (doc_id))
+         SELECT doc_id,
+           coalesce(array_to_string(list_transform(
+             list_filter(range(0, len(pl)), i -> NOT list_contains(rp, i)),
+             i -> pl[CAST(i AS INT) + 1]), chr(10)), '') AS clean_text,
+           len(pl)::BIGINT AS n_paragraphs,
+           len(rp)::BIGINT AS n_removed
+         FROM fin""",
     "doc_kn_score" -> knScoreOracleSql,
     "doc_kn_score_online" -> knScoreOracleSql,
     "doc_html_extract" -> {

@@ -310,4 +310,39 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
     assert(again((1L, 3L)) == e13, "estimates must be deterministic")
   }
+
+  test("paragraph dedup: shared footers excised, unique content survives verbatim") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val footer = "Subscribe to our newsletter"
+    val d = Seq(
+      (1L, "Unique alpha content\n" + footer),
+      (2L, "Other beta stuff\n\n" + footer.toUpperCase + "  "), // norm-variant
+      (3L, "solo gamma text only"),
+      (4L, footer)) // a doc that IS the boilerplate
+      .toDF("id", "text")
+    val got = Dedup.paragraphDedup(d, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // original text (case, spacing) preserved for survivors
+    assert(got(1L) == (("Unique alpha content", 2L, 1L)))
+    assert(got(2L) == (("Other beta stuff", 2L, 1L)))
+    assert(got(3L) == (("solo gamma text only", 1L, 0L)))
+    assert(got(4L) == (("", 1L, 1L)))
+    // minDocs above the plant: nothing removed
+    val none = Dedup.paragraphDedup(d, "id", "text", minDocs = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(none.values.forall(_ == 0L))
+  }
+
+  test("paragraph dedup: within-doc repetition alone is not boilerplate") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "same para\nsame para\nother"),
+      (2L, "different content here")).toDF("id", "text")
+    val got = Dedup.paragraphDedup(d, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // "same para" repeats only INSIDE doc 1 (1 distinct doc) -> kept
+    assert(got == Map(1L -> 0L, 2L -> 0L))
+  }
 }
