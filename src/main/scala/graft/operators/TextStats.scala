@@ -1069,6 +1069,107 @@ object TextStats {
         col("__s.oov_bigrams").as("oov_bigrams"),
         col("__s.score_micro").as("score_micro"))
 
+  /** Trigram interpolated Kneser–Ney with the full backoff chain —
+    * one order up from [[knBigramScore]] (real CCNet filters use
+    * higher-order KenLM; order 3 exercises the recursive interpolation
+    * that order 2 cannot):
+    *
+    *   P3(w|u,v) = max(c3(uvw) - D, 0)/c2ctx(uv)
+    *               + D·N1+(uv·)/c2ctx(uv) · P2c(w|v)
+    *   P2c(w|v)  = max(N1+(·vw) - D, 0)/N1+(·v·)
+    *               + D·N1+c(v·)/N1+(·v·) · Pc(w)
+    *   Pc(w)     = (N1+(·w) + 1) / (N1+(··) + V + 1)
+    *
+    * with D = 3/4; c3/c2ctx from trigram occurrences, the middle
+    * layer from trigram TYPE counts (the continuation distribution),
+    * the bottom layer from the bigram type table — identical to the
+    * bigram operator's Pc, so the family composes. Unseen context
+    * backoff: c2ctx = 0 -> P2c; N1+(·v·) = 0 -> Pc.
+    *
+    * Portability contract: each level is FLOOR-COMPOSED in integer
+    * micro units (level k consumes level k+1's floored micro value) —
+    * a deliberate, exactly-specified quantization that keeps every
+    * intermediate below ~1e26 at any corpus size (the single-fraction
+    * exact rational would overflow decimal(38) near 1e13-token
+    * training sets), and both engines floor identically. The
+    * quantization error is < 2e-6 absolute per level — noise for a
+    * quality score, and part of the defined contract, not an
+    * approximation of it. */
+  def knTrigramScore(df: DataFrame, idCol: String, textCol: String,
+      trainPred: Column): DataFrame = {
+    def h(c: Column): Column = xxhash64(c)
+    def w1(g: Column): Column = substring_index(g, " ", 1)
+    def w3(g: Column): Column = substring_index(g, " ", -1)
+    def w2(g: Column): Column =
+      substring_index(substring_index(g, " ", 2), " ", -1)
+    // trigram occurrence stream (docs with < 3 words emit the clamp
+    // gram with < 2 spaces -> filtered -> NULL score via the left join)
+    val tri = Frames.materializeCut(df.select(col(idCol).as("__id"),
+        trainPred.as("__train"),
+        explode(graft.functions.text.word_ngrams(norm(col(textCol)), 3))
+          .as("__g"))
+      .filter(size(split(col("__g"), " ")) === 3)
+      .select(col("__id"), col("__train"),
+        h(w1(col("__g"))).as("hu"), h(w2(col("__g"))).as("hv"),
+        h(w3(col("__g"))).as("hw")))
+    val t3 = Frames.materializeCut(tri.filter(col("__train"))
+      .groupBy(col("hu"), col("hv"), col("hw"))
+      .agg(count(lit(1)).as("c3")))
+    val ctx = t3.groupBy(col("hu"), col("hv"))
+      .agg(sum(col("c3")).as("c2ctx"), count(lit(1)).as("n1uv"))
+    val cont2 = t3.groupBy(col("hv"), col("hw"))
+      .agg(count(lit(1)).as("n1vw")) // = distinct u per (v, w)
+    val midv = t3.groupBy(col("hv"))
+      .agg(count(lit(1)).as("n1vmid"), // N1+(·v·): types with middle v
+        countDistinct(col("hw")).as("n1vfol")) // N1+c(v·)
+    // bottom layer: the bigram op's continuation stats, verbatim
+    val bi = df.filter(trainPred).select(
+        explode(graft.functions.text.word_ngrams(norm(col(textCol)), 2))
+          .as("__g"))
+      .filter(col("__g").contains(" "))
+      .select(h(w1(col("__g"))).as("hv"), h(w3(col("__g"))).as("hw"))
+    val KnFrames(_, _, n1w, tot) = knTrainFromBigrams(bi)
+
+    val pcw = // floor(1e6 * (n1w + 1) / (ncc + vv + 1))
+      expr("""(cast(1000000 as decimal(38,0)) * (coalesce(n1w, 0) + 1))
+        div cast(ncc + vv + 1 as decimal(20,0))""")
+    val p2 = expr("""CASE WHEN n1vmid IS NOT NULL THEN
+        (cast(1000000 as decimal(38,0)) *
+           greatest(4 * coalesce(n1vw, 0) - 3, 0)
+         + 3 * cast(n1vfol as decimal(20,0)) * __pc)
+        div (4 * cast(n1vmid as decimal(20,0)))
+      ELSE __pc END""")
+    val p3 = expr("""CASE WHEN c2ctx IS NOT NULL THEN
+        (cast(1000000 as decimal(38,0)) *
+           greatest(4 * coalesce(c3, 0) - 3, 0)
+         + 3 * cast(n1uv as decimal(20,0)) * __p2)
+        div (4 * cast(c2ctx as decimal(20,0)))
+      ELSE __p2 END""")
+    val perDoc = tri
+      .join(t3, Seq("hu", "hv", "hw"), "left")
+      .join(ctx, Seq("hu", "hv"), "left")
+      .join(cont2, Seq("hv", "hw"), "left")
+      .join(midv, Seq("hv"), "left")
+      .join(n1w, Seq("hw"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("__pc", pcw.cast("long"))
+      .withColumn("__p2", p2.cast("long"))
+      .select(col("__id"), p3.cast("long").as("__p3"),
+        col("c3").isNull.cast("long").as("__oov"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("__oov")).as("oov_trigrams"),
+        expr("sum(__p3) div count(1)").as("score_micro"))
+    val out = df.select(col(idCol).as("__id"))
+      .join(perDoc, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("oov_trigrams"), lit(0L)).as("oov_trigrams"),
+        col("score_micro"))
+    val result = Frames.materializeCut(out)
+    Frames.free(tri); Frames.free(t3)
+    result
+  }
+
   /** Polynomial rolling-hash fingerprint over the alnum+space chars of
     * the normalized text: fold of h -> (h*31 + code) mod 1e9+7. Stays
     * within int64 at every step (no overflow — DuckDB would raise,

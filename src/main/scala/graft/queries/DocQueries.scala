@@ -348,6 +348,13 @@ object DocQueries {
     "doc_kn_score" -> ((s, d) =>
       TextStats.knBigramScore(docs(s, d), "doc_id", "text",
         TextStats.idBucket(col("doc_id"), 5L) < 4)),
+    // trigram interpolated KN with the full backoff chain (trigram ->
+    // bigram-continuation -> unigram-continuation), floor-composed
+    // integer micro units at each level — the recursive-interpolation
+    // order the bigram op can't exercise
+    "doc_kn_trigram" -> ((s, d) =>
+      TextStats.knTrigramScore(docs(s, d), "doc_id", "text",
+        TextStats.idBucket(col("doc_id"), 5L) < 4)),
     // the same model COLLECTED into the bounded broadcast table and
     // scored row-locally (the streaming deployment shape) — checked
     // against the SAME oracle as doc_kn_score: the bit-identity of
@@ -1064,6 +1071,68 @@ object DocQueries {
          FROM fin""",
     "doc_kn_score" -> knScoreOracleSql,
     "doc_kn_score_online" -> knScoreOracleSql,
+    "doc_kn_trigram" ->
+      s"""WITH n AS (SELECT doc_id, $normSql AS t,
+           ${TextStats.idBucketSql("doc_id", 5L)} < 4 AS train
+           FROM documents),
+         tk AS (SELECT doc_id, train, string_split(t, ' ') AS ws FROM n),
+         ix3 AS (SELECT doc_id, train, ws,
+           unnest(range(1, len(ws) - 1)) AS i FROM tk),
+         tr AS (SELECT doc_id, train, ws[i] AS u, ws[i + 1] AS v,
+           ws[i + 2] AS w FROM ix3),
+         t3 AS (SELECT u, v, w, count(*) AS c3 FROM tr
+           WHERE train GROUP BY 1, 2, 3),
+         ctx AS (SELECT u, v, sum(c3) AS c2ctx, count(*) AS n1uv
+           FROM t3 GROUP BY 1, 2),
+         c2 AS (SELECT v, w, count(*) AS n1vw FROM t3 GROUP BY 1, 2),
+         mv AS (SELECT v, count(*) AS n1vmid,
+           count(DISTINCT w) AS n1vfol FROM t3 GROUP BY 1),
+         ixb AS (SELECT doc_id, train, ws,
+           unnest(range(1, len(ws))) AS i FROM tk),
+         bb AS (SELECT ws[i] AS v, ws[i + 1] AS w FROM ixb WHERE train),
+         cvw AS (SELECT v, w, count(*) AS cvw FROM bb GROUP BY 1, 2),
+         n1 AS (SELECT w, count(*) AS n1w FROM cvw GROUP BY 1),
+         tot AS (SELECT (SELECT count(*) FROM cvw) AS ncc,
+           (SELECT count(*) FROM
+             (SELECT v AS x FROM cvw UNION SELECT w FROM cvw)) AS vv),
+         s0 AS (SELECT b.doc_id, t3.c3, ctx.c2ctx, ctx.n1uv, c2.n1vw,
+             mv.n1vmid, mv.n1vfol, n1.n1w, t.ncc, t.vv
+           FROM tr b
+           LEFT JOIN t3 ON b.u = t3.u AND b.v = t3.v AND b.w = t3.w
+           LEFT JOIN ctx ON b.u = ctx.u AND b.v = ctx.v
+           LEFT JOIN c2 ON b.v = c2.v AND b.w = c2.w
+           LEFT JOIN mv ON b.v = mv.v
+           LEFT JOIN n1 ON b.w = n1.w
+           CROSS JOIN tot t),
+         s1 AS (SELECT *,
+             (CAST(1000000 AS HUGEINT) * (coalesce(n1w, 0) + 1))
+               // (ncc + vv + 1)::HUGEINT AS pc
+           FROM s0),
+         s2 AS (SELECT *,
+             CASE WHEN n1vmid IS NOT NULL THEN
+               (CAST(1000000 AS HUGEINT) *
+                  greatest(4 * coalesce(n1vw, 0) - 3, 0)
+                + 3 * n1vfol::HUGEINT * pc)
+               // (4 * n1vmid::HUGEINT)
+             ELSE pc END AS p2
+           FROM s1),
+         s3 AS (SELECT doc_id,
+             CASE WHEN c2ctx IS NOT NULL THEN
+               (CAST(1000000 AS HUGEINT) *
+                  greatest(4 * coalesce(c3, 0) - 3, 0)
+                + 3 * n1uv::HUGEINT * p2)
+               // (4 * c2ctx::HUGEINT)
+             ELSE p2 END AS p3,
+             (c3 IS NULL) AS oov
+           FROM s2),
+         agg AS (SELECT doc_id, count(*) AS n_trigrams,
+             sum(CASE WHEN oov THEN 1 ELSE 0 END) AS oov_trigrams,
+             CAST(sum(p3) // count(*) AS BIGINT) AS score_micro
+           FROM s3 GROUP BY 1)
+         SELECT d.doc_id, coalesce(a.n_trigrams, 0)::BIGINT AS n_trigrams,
+           coalesce(a.oov_trigrams, 0)::BIGINT AS oov_trigrams,
+           a.score_micro
+         FROM documents d LEFT JOIN agg a USING (doc_id)""",
     "doc_html_extract" -> {
       val esc = graft.operators.HtmlText.htmlToTextSql("html")
       s"""WITH h AS (SELECT doc_id,

@@ -86,6 +86,34 @@ class KnScoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains("bigram types"), e.getMessage)
   }
 
+  /** Trigram hand-derivation on the same train corpus. Trigram types:
+    * (a,b,a), (b,a,c), (a,b,d) each c3=1; ctx (a,b): c2ctx=2 n1uv=2,
+    * (b,a): 1/1; cont2 (b,a)=1 (a,c)=1 (b,d)=1; midv b: mid=2 fol=2,
+    * a: mid=1 fol=1; bottom layer = the bigram model (pc seen=222222,
+    * unseen=111111). Floor-composed micro:
+    * p2(b,a) = (1e6 + 3*2*222222)/8 = 291666
+    * p2(a,c) = (1e6 + 3*1*222222)/4 = 416666
+    * p2(b,x) = (0 + 3*2*111111)/8 = 83333
+    * p2(a,b) = (0 + 3*1*222222)/4 = 166666  (vw-type (a,b) unseen)
+    * p3(a,b,a) = (1e6 + 3*2*291666)/8 = 343749
+    * p3(b,a,c) = (1e6 + 3*1*416666)/4 = 562499
+    * p3(a,b,x) = (0 + 3*2*83333)/8 = 62499
+    * p3(c,a,b) = ctx unseen -> p2(a,b) = 166666
+    * p3(z,q,r) = ctx + mid unseen -> pc(r unseen) = 111111 */
+  test("trigram KN: hand-computed backoff chain") {
+    val rows = corpus ++ Seq((6L, "z q r", false))
+    val got = TextStats.knTrigramScore(rows.toDF("id", "text", "train"),
+        "id", "text", col("train"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(got(1L) == ((2L, 0L, (343749L + 562499L) / 2)))  // a b a c
+    assert(got(3L) == ((1L, 1L, 62499L)))                   // a b x
+    assert(got(4L) == ((0L, 0L, -1L)))                      // 1 word
+    assert(got(5L) == ((1L, 1L, 166666L)))                  // c a b
+    assert(got(6L) == ((1L, 1L, 111111L)))                  // z q r
+  }
+
   test("train == score corpus degenerates toward lmFluency's regime") {
     // every doc scored by a model trained on everything: no OOV
     val got = run(corpus.map { case (i, t, _) => (i, t, true) })
