@@ -518,4 +518,37 @@ class StreamsSpec extends AnyFunSuite {
       assert(got(12L) == ((2L, 1L, (222222L + 527777L) / 2)))
     } finally q.stop()
   }
+
+  test("streaming crawl extraction: WARC ingest -> html-to-text -> token counts online") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, size, split}
+    def page(i: Int): Array[Byte] = graft.sources.Warc.encodeResponse(
+      s"https://w/$i", "2026-08-14T00:00:00Z", 200, "OK",
+      (s"<html><head><script>junk $i</script></head><body><h1>Doc $i</h1>" +
+        s"<p>alpha beta gamma $i</p><!-- nav --></body></html>").getBytes("UTF-8"))
+    val file = (0 until 3).toArray.flatMap(i =>
+      if (i % 2 == 0) graft.sources.Warc.gzipMember(page(i)) else page(i))
+    val in = MemoryStream[(Timestamp, Array[Byte])]
+    val extracted = Streams.warcIngest(in.toDF().toDF("ts", "bytes"), "bytes")
+      .filter(col("warc_type") === "response")
+      .select(col("target_uri"),
+        graft.operators.HtmlText.htmlToText(col("body")).as("text"))
+      .select(col("target_uri"), col("text"),
+        size(split(col("text"), " ")).as("n_words"))
+    val q = extracted.writeStream.format("memory")
+      .queryName("crawl_extract_out").outputMode("append").start()
+    try {
+      in.addData((ts(0), file))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT target_uri, text, n_words FROM crawl_extract_out ORDER BY 1")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      assert(rows.length == 3)
+      // script content and comments dropped, heading + body text kept
+      assert(rows(0)._2 == "Doc 0 alpha beta gamma 0")
+      assert(rows.forall(_._3 == 6))
+      assert(rows.forall(!_._2.contains("junk")))
+    } finally q.stop()
+  }
 }
