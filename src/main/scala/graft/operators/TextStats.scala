@@ -1170,6 +1170,39 @@ object TextStats {
     result
   }
 
+  /** Flesch reading-ease in exact integer MILLI units — the classic
+    * readability gate (Flesch 1948; a standard quality axis next to
+    * the Gopher battery and the LM scores):
+    *
+    *   F = 206.835 - 1.015·(words/sentences) - 84.6·(syllables/word)
+    *
+    * rendered as `206835 - (1015·W) div S - (84600·Y) div W` — each
+    * ratio floor-divided independently (the defined portable
+    * contract; both engines floor identically, no float division).
+    * Sentences = maximal `[.!?]+` runs, floored at 1; syllables = the
+    * heuristic maximal `[aeiouy]+` runs over the normalized text
+    * (spaces break runs, so the global count equals the per-word sum)
+    * plus one per vowel-less word (every word counts >= 1 syllable,
+    * the classic convention). Scores can go negative on token soup —
+    * that is the signal, not an error. Per-row map, no shuffle. */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = norm(col(textCol))
+    df.select(col(idCol), t.as("__t"))
+      .withColumn("__ws", split(col("__t"), " "))
+      .select(col(idCol),
+        size(col("__ws")).cast("long").as("n_words"),
+        greatest(lit(1L),
+          size(regexp_extract_all(col("__t"), lit("[.!?]+"), lit(0)))
+            .cast("long")).as("n_sentences"),
+        (size(regexp_extract_all(col("__t"), lit("[aeiouy]+"), lit(0)))
+          .cast("long") +
+          size(filter(col("__ws"), w => !w.rlike("[aeiouy]")))
+            .cast("long")).as("n_syllables"))
+      .withColumn("flesch_milli",
+        expr("206835 - (1015 * n_words) div n_sentences" +
+          " - (84600 * n_syllables) div n_words"))
+  }
+
   /** Polynomial rolling-hash fingerprint over the alnum+space chars of
     * the normalized text: fold of h -> (h*31 + code) mod 1e9+7. Stays
     * within int64 at every step (no overflow — DuckDB would raise,

@@ -339,6 +339,10 @@ object DocQueries {
     // doc scored; exact-rational micro probabilities, OOV accounting.
     // Oracle rebuilds the same counts on string bigrams (count
     // identity by hash == by string modulo the documented 2^-64 fold)
+    // Flesch reading-ease in exact integer milli units (independent
+    // floor-divisions, the defined portable contract)
+    "doc_readability" -> ((s, d) =>
+      TextStats.readability(docs(s, d), "doc_id", "text")),
     // paragraph-level boilerplate dedup (RefinedWeb/Dolma pass):
     // fixture splits each doc into two content chunks + a per-bucket
     // shared footer paragraph; footers (>= 2 docs) excise, content
@@ -1043,6 +1047,20 @@ object DocQueries {
          FROM documents d LEFT JOIN agg a USING (doc_id)"""
 
   val oracleSql: Map[String, String] = Map(
+    "doc_readability" ->
+      s"""WITH n AS (SELECT doc_id, $normSql AS t FROM documents),
+         c AS (SELECT doc_id,
+             len(string_split(t, ' ')) AS w,
+             greatest(1, len(regexp_extract_all(t, '[.!?]+'))) AS s,
+             len(regexp_extract_all(t, '[aeiouy]+'))
+               + len(list_filter(string_split(t, ' '),
+                   x -> NOT regexp_matches(x, '[aeiouy]'))) AS y
+           FROM n)
+         SELECT doc_id, w::BIGINT AS n_words, s::BIGINT AS n_sentences,
+           y::BIGINT AS n_syllables,
+           (206835 - (1015 * w) // s - (84600 * y) // w)::BIGINT
+             AS flesch_milli
+         FROM c""",
     "doc_paragraph_dedup" ->
       s"""WITH px AS (SELECT doc_id,
            substr(text, 1, 80) || chr(10) || substr(text, 81, 80) ||
