@@ -384,6 +384,34 @@ final class BpeTable(lhs: Array[String], rhs: Array[String],
     while (i < tok.length) { m.put(tok(i), ids(i)); i += 1 }
     m
   }
+  @transient private lazy val detok: java.util.HashMap[java.lang.Long, String] = {
+    val m = new java.util.HashMap[java.lang.Long, String]()
+    var i = 0
+    while (i < tok.length) { m.put(ids(i), tok(i)); i += 1 }
+    m
+  }
+
+  /** Inverse of [[encode]] up to the dropped spaces: merge-range ids
+    * (>= 0x110000) resolve through the vocabulary, everything else IS
+    * its codepoint (the id scheme keeps the ranges disjoint). An id
+    * in the merge range but absent from the vocabulary is a corrupt
+    * stream — fail loudly, never skip. */
+  def decode(idsIn: org.apache.spark.sql.catalyst.util.ArrayData): UTF8String = {
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    val n = idsIn.numElements()
+    while (i < n) {
+      val id = idsIn.getLong(i)
+      if (id >= 0x110000L) {
+        val t = detok.get(id)
+        if (t == null) throw new IllegalArgumentException(
+          s"BPE decode: id $id not in vocabulary — stream/table mismatch")
+        sb.append(t)
+      } else sb.appendCodePoint(id.toInt)
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
 
   def encode(text: UTF8String): ArrayData = {
     val s = text.toString
@@ -460,6 +488,22 @@ case class BpeEncodeIds(child: Expression, table: BpeTable)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** BPE id-stream decode through a trained [[BpeTable]] — the inverse
+  * of [[BpeEncodeIds]] up to the encoder's dropped spaces. */
+case class BpeDecodeIds(child: Expression, table: BpeTable)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bpe_decode_ids"
+  override protected def nullSafeEval(a: Any): Any =
+    table.decode(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeTable", table, classOf[BpeTable].getName)
+    defineCodeGen(ctx, ev, s => s"$ref.decode($s)")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Whole-string portable hash ([[TextKernels.stringPortableHash]]). */
 case class StringPortableHash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.LongType
@@ -512,4 +556,6 @@ object text {
     GraftBridge.column(WordPortableHashes(GraftBridge.expression(normText)))
   def kn_score(normText: Column, table: KnLmTable): Column =
     GraftBridge.column(KnScore(GraftBridge.expression(normText), table))
+  def bpe_decode_ids(ids: Column, table: BpeTable): Column =
+    GraftBridge.column(BpeDecodeIds(GraftBridge.expression(ids), table))
 }

@@ -611,6 +611,23 @@ object TextStats {
       array_join(transform(toks, t => t.cast("string")), " ").as("token_ids"))
   }
 
+  /** Tokenizer round-trip integrity: train -> encode -> DECODE, one
+    * kernel call each way. The encoder drops spaces (no word-boundary
+    * marker in this BPE), so the identity is
+    * `decode(encode(norm(text))) == norm(text) minus spaces` — which
+    * the oracle states directly, making any id-scheme collision or
+    * vocabulary corruption a hash mismatch (the ADVICE-r12 merge-id /
+    * codepoint collision class is exactly what this query would have
+    * caught). */
+  def bpeDecode(df: DataFrame, idCol: String, textCol: String,
+      rounds: Int): DataFrame = {
+    val table = bpeTable(bpeTrainMerges(df, textCol, rounds))
+    df.select(col(idCol),
+      graft.functions.text.bpe_decode_ids(
+        graft.functions.text.bpe_encode_ids(norm(col(textCol)), table),
+        table).as("decoded"))
+  }
+
   /** [[decontaminate]] with a Bloom prefilter — the shape for when the
     * eval n-gram set outgrows broadcast: a `numBits`-bit Bloom bitset
     * (built by one OR-merged aggregate over the eval shingles, no

@@ -247,6 +247,12 @@ object DocQueries {
     // oracle-replayed via unrolled per-round CTEs
     "doc_bpe_encode" -> ((s, d) =>
       TextStats.bpeEncode(docs(s, d), "doc_id", "text", rounds = 8)),
+    // tokenizer ROUND-TRIP: decode(encode(norm)) must equal the
+    // normalized text minus spaces (the encoder drops them) — the
+    // oracle states the identity directly, so any id collision or
+    // vocab corruption is a hash mismatch
+    "doc_bpe_roundtrip" -> ((s, d) =>
+      TextStats.bpeDecode(docs(s, d), "doc_id", "text", rounds = 8)),
     // sequence packing over the REAL tokenizer's counts (doc_pack uses
     // the whitespace proxy): bpeEncode's n_tokens feeds the same
     // deterministic greedy bucket-stream fold
@@ -1392,6 +1398,9 @@ object DocQueries {
            CASE WHEN greatest(length(x.s), length(y.s)) <= 16 THEN 1
                 WHEN greatest(length(x.s), length(y.s)) <= 32 THEN 2
                 ELSE 3 END""",
+    "doc_bpe_roundtrip" ->
+      s"""SELECT doc_id, replace($normSql, ' ', '') AS decoded
+         FROM documents""",
     "doc_bpe_encode" -> bpeEncodeOracleSql(8),
     "doc_pack_bpe" -> bpePackOracleSql(8, 2048L, 8),
     "doc_bpe_vocab" -> {

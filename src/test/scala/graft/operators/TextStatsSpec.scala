@@ -475,4 +475,31 @@ class TextStatsSpec extends AnyFunSuite {
     assert(mergeIds.nonEmpty && charIds.contains(257L) &&
       mergeIds.intersect(charIds).isEmpty, got.toString)
   }
+
+  test("BPE decode inverts encode up to dropped spaces; corrupt stream throws") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, regexp_replace, lower, trim}
+    val d = Seq((1L, "the cat the cat mat"),
+      (2L, "Caf\u00e9 na\u00efve \ud83d\ude00 mix!"),   // unicode + marks survive
+      (3L, "aaaa bbbb aaaa")).toDF("id", "text")
+    val got = TextStats.bpeDecode(d, "id", "text", rounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = d.select(col("id"),
+        regexp_replace(regexp_replace(lower(trim(col("text"))), "\\s+", " "),
+          " ", "").as("w"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == want, got.toString)
+    // a merge-range id absent from the vocabulary fails loudly
+    val table = TextStats.bpeTable(TextStats.bpeTrainMerges(d, "text", 2))
+    // Catalyst constant-folds the literal stream, so the loud decode
+    // failure surfaces directly (unwrapped) at planning time
+    val e = intercept[Exception] {
+      Seq(Seq(0x110000L + 999L)).toDF("ids")
+        .select(graft.functions.text.bpe_decode_ids(col("ids"), table))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("not in vocabulary")), e.toString)
+  }
 }
