@@ -487,17 +487,31 @@ object Dedup {
     val rmPos = keyed.join(boiler, "__h")
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("__p"))).as("__rp"))
-    df.select(col(idCol), col(textCol))
-      .join(rmPos, Seq(idCol), "left")
+    exciseListedPositions(df.select(col(idCol), col(textCol)), idCol,
+      textCol, rmPos, "\\n+", "\n", "n_paragraphs")
+  }
+
+  /** Shared surgery for the position-excision family
+    * ([[paragraphDedup]], [[SuffixArray.removeRepeatedSpans]]; the
+    * interval form [[removeDupSpans]] keeps its width-n coverage
+    * predicate): split `textCol` by `splitPat`, drop the element
+    * indices listed per id in `rmPos` (`idCol`, `__rp` int array;
+    * missing ids remove nothing), rejoin with `joinSep`. One copy of
+    * the coalesce/filter/exists/rejoin contract — and of its
+    * engine-quirk knowledge (the oracle side must coalesce DuckDB's
+    * empty-list array_to_string NULL to ''). */
+  private[graft] def exciseListedPositions(base: DataFrame, idCol: String,
+      textCol: String, rmPos: DataFrame, splitPat: String,
+      joinSep: String, elemCountName: String): DataFrame =
+    base.join(rmPos, Seq(idCol), "left")
       .withColumn("__rp", coalesce(col("__rp"), typedlit(Array.empty[Int])))
-      .withColumn("__ps", split(col(textCol), "\\n+"))
-      .withColumn("__kept", filter(col("__ps"),
+      .withColumn("__es", split(col(textCol), splitPat))
+      .withColumn("__kept", filter(col("__es"),
         (x, i) => !exists(col("__rp"), p => p === i)))
       .select(col(idCol),
-        array_join(col("__kept"), "\n").as("clean_text"),
-        size(col("__ps")).cast("long").as("n_paragraphs"),
+        array_join(col("__kept"), joinSep).as("clean_text"),
+        size(col("__es")).cast("long").as(elemCountName),
         size(col("__rp")).cast("long").as("n_removed"))
-  }
 
   /** 64-bit SimHash per doc: bit j of the fingerprint is the sign of the
     * sum over tokens of bit j (+1/-1) of the token's hash. Computed

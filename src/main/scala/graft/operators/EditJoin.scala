@@ -100,8 +100,12 @@ object EditJoin {
     bands.zipWithIndex.map { case ((hi, tau), i) =>
       val lo = if (i == 0) 0 else bands(i - 1)._1 // governing range (lo, hi]
       val open = i == bands.length - 1            // last band: unbounded above
+      // first band's floor is INCLUSIVE of length 0 (a pair of empty
+      // strings is governed by the first band, like the step function
+      // says) — every later band keeps the exclusive (lo, hi] floor
       val inBand = (c: Column) =>
-        c > lo && (if (open) lit(true) else c <= hi)
+        (if (i == 0) lit(true) else c > lo) &&
+          (if (open) lit(true) else c <= hi)
       // short partners of a governor reach at most tau below the floor
       val subset = strs.filter(len > lo - tau &&
         (if (open) lit(true) else len <= hi))

@@ -39,38 +39,38 @@ import org.apache.spark.sql.functions._
   * driver state, fully pipelined into whatever scan feeds it. */
 object HtmlText {
 
+  // ONE copy of every pattern and the entity table: both renderings
+  // below interpolate these, so the Spark chain and the DuckDB oracle
+  // cannot drift apart (the patterns are valid and identical in Java
+  // regex and RE2 — the contract's portability boundary)
   private val blockPat = "(?is)<(script|style)[^>]*>.*?</(script|style)[^>]*>"
   private val commentPat = "(?s)<!--.*?-->"
   private val tagPat = "(?s)<[^>]*>"
+  private val entities = Seq("&nbsp;" -> " ", "&quot;" -> "\"",
+    "&#39;" -> "'", "&apos;" -> "'", "&lt;" -> "<", "&gt;" -> ">",
+    "&amp;" -> "&")
 
   /** The extraction chain over a string column. */
   def htmlToText(c: Column): Column = {
     val noBlocks = regexp_replace(c, blockPat, " ")
     val noComments = regexp_replace(noBlocks, commentPat, " ")
     val noTags = regexp_replace(noComments, tagPat, " ")
-    val ent = Seq("&nbsp;" -> " ", "&quot;" -> "\"", "&#39;" -> "'",
-      "&apos;" -> "'", "&lt;" -> "<", "&gt;" -> ">", "&amp;" -> "&")
-      .foldLeft(noTags) { case (col0, (e, r)) =>
-        replace(col0, lit(e), lit(r)) // literal, like the oracle's
-      }
+    val ent = entities.foldLeft(noTags) { case (col0, (e, r)) =>
+      replace(col0, lit(e), lit(r)) // literal, like the oracle's
+    }
     trim(regexp_replace(ent, "\\s+", " "))
   }
 
-  /** The same chain rendered for DuckDB (RE2): apply to a SQL
-    * expression string. Kept textually in lockstep with
-    * [[htmlToText]] — any change lands in both. */
+  /** The same chain rendered for DuckDB (RE2), interpolating the SAME
+    * pattern and entity values as [[htmlToText]]. */
   def htmlToTextSql(expr: String): String = {
-    val noBlocks =
-      s"regexp_replace($expr, '(?is)<(script|style)[^>]*>.*?</(script|style)[^>]*>', ' ', 'g')"
-    val noComments =
-      s"regexp_replace($noBlocks, '(?s)<!--.*?-->', ' ', 'g')"
-    val noTags = s"regexp_replace($noComments, '(?s)<[^>]*>', ' ', 'g')"
-    val ent = Seq("&nbsp;" -> " ", "&quot;" -> "\"", "&#39;" -> "'",
-      "&apos;" -> "'", "&lt;" -> "<", "&gt;" -> ">", "&amp;" -> "&")
-      .foldLeft(noTags) { case (sql, (e, r)) =>
-        val rr = r.replace("'", "''")
-        s"replace($sql, '$e', '$rr')"
-      }
+    val noBlocks = s"regexp_replace($expr, '$blockPat', ' ', 'g')"
+    val noComments = s"regexp_replace($noBlocks, '$commentPat', ' ', 'g')"
+    val noTags = s"regexp_replace($noComments, '$tagPat', ' ', 'g')"
+    val ent = entities.foldLeft(noTags) { case (sql, (e, r)) =>
+      val rr = r.replace("'", "''")
+      s"replace($sql, '$e', '$rr')"
+    }
     s"trim(regexp_replace($ent, '\\s+', ' ', 'g'))"
   }
 }

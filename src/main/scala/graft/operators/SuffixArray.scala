@@ -265,16 +265,9 @@ object SuffixArray {
       .agg(sort_array(collect_list(col("pos"))).as("__rp"))
     val normed = df.select(col(idCol).as("doc"),
       Dedup.normalizeText(col(textCol)).as("__t"))
-    val out = normed.join(removedPos, Seq("doc"), "left")
-      .withColumn("__rp",
-        coalesce(col("__rp"), typedlit(Array.empty[Int])))
-      .withColumn("__ws", split(col("__t"), " "))
-      .withColumn("__kept", filter(col("__ws"),
-        (w, i) => !exists(col("__rp"), p => p === i)))
-      .select(col("doc").as(idCol),
-        array_join(col("__kept"), " ").as("clean_text"),
-        size(col("__ws")).cast("long").as("n_tokens"),
-        size(col("__rp")).cast("long").as("n_removed"))
+    val out = Dedup.exciseListedPositions(normed, "doc", "__t",
+        removedPos, " ", " ", "n_tokens")
+      .withColumnRenamed("doc", idCol)
     val result = materializeCut(out)
     tables.foreach(t => freeFrame(t.frame))
     freeFrame(finalRanks)

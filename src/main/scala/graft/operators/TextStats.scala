@@ -1082,8 +1082,13 @@ object TextStats {
       table: graft.functions.KnLmTable): DataFrame =
     df.select(col(idCol),
         graft.functions.text.kn_score(norm(col(textCol)), table).as("__s"))
-      .select(col(idCol), col("__s.n_bigrams").as("n_bigrams"),
-        col("__s.oov_bigrams").as("oov_bigrams"),
+      .select(col(idCol),
+        // NULL text: the kernel (null-intolerant) yields a NULL
+        // struct; coalesce the counts to match the join path's
+        // (0, 0, NULL) exactly — the bit-identity contract covers
+        // null rows too
+        coalesce(col("__s.n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("__s.oov_bigrams"), lit(0L)).as("oov_bigrams"),
         col("__s.score_micro").as("score_micro"))
 
   /** Trigram interpolated Kneser–Ney with the full backoff chain —
@@ -1145,7 +1150,8 @@ object TextStats {
           .as("__g"))
       .filter(col("__g").contains(" "))
       .select(h(w1(col("__g"))).as("hv"), h(w3(col("__g"))).as("hw"))
-    val KnFrames(_, _, n1w, tot) = knTrainFromBigrams(bi)
+    val bottomLayer = knTrainFromBigrams(bi)
+    val (n1w, tot) = (bottomLayer.n1w, bottomLayer.tot)
 
     val pcw = // floor(1e6 * (n1w + 1) / (ncc + vv + 1))
       expr("""(cast(1000000 as decimal(38,0)) * (coalesce(n1w, 0) + 1))
@@ -1183,7 +1189,7 @@ object TextStats {
         coalesce(col("oov_trigrams"), lit(0L)).as("oov_trigrams"),
         col("score_micro"))
     val result = Frames.materializeCut(out)
-    Frames.free(tri); Frames.free(t3)
+    Frames.free(tri); Frames.free(t3); Frames.free(bottomLayer.cvw)
     result
   }
 

@@ -214,6 +214,16 @@ class EditJoinSpec extends AnyFunSuite {
     assert(!got.exists(p => p._1 == 1L && p._2 == 4L), got.toString)
   }
 
+  test("banded: empty and tiny strings are governed by the first band") {
+    // a pair of EMPTY strings (dist 0) belongs to the first band —
+    // the review-caught floor case; tiny strings likewise
+    val d = Seq((1L, ""), (2L, ""), (3L, "a"), (4L, "b"), (5L, "ab"))
+      .toDF("id", "s")
+    val got = banded(d, bands3)
+    assert(got == bruteBanded(d, bands3), got.toString)
+    assert(got.contains((1L, 2L, 0)), got.toString)
+  }
+
   test("banded with one unbounded band == fixed-tau join") {
     val d = mixedCorpus(30)
     assert(banded(d, Seq((1, 2))) == passJoin(d, 2))
