@@ -297,6 +297,205 @@ object Multimodal {
     }
   }
 
+  /** REAL GIF pixel decode — the full variable-code-width LZW
+    * decompressor (GIF89a appendix F), not just the literal-code
+    * subset [[ImageHeader.encodeGif]] emits: dictionary growth to 12
+    * bits, CLEAR resets, the KwKwK self-reference case, interlaced
+    * row reordering, local color tables. This moves the documented
+    * multimodal boundary: image PIXELS are now real for the lossless
+    * LZW path (like FLAC did for audio samples), leaving only LOSSY
+    * sample codecs (JPEG/MP3/H.264) as stubs. Spec cross-checks
+    * against the JDK ImageIO GIF ENCODER's genuinely-compressed
+    * streams, adversarial inputs rejected loudly with offsets.
+    *
+    * Scope (checked, loud): the FIRST image frame, which must cover
+    * the full logical screen at (0,0) — the single-frame still-image
+    * contract; animation compositing is out of scope. Every untrusted
+    * length is bounds-checked; output must tile exactly w*h pixels. */
+  object GifCodec {
+    /** (width, height, packed 0xRRGGBB pixels, row-major). */
+    def decode(b: Array[Byte]): (Int, Int, Array[Int]) = {
+      def fail(off: Int, msg: String): Nothing =
+        throw new IllegalArgumentException(s"GIF: $msg (offset $off)")
+      def u8(i: Int): Int = {
+        if (i < 0 || i >= b.length) fail(i, "truncated")
+        b(i) & 0xff
+      }
+      def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+      if (b.length < 13) fail(0, "shorter than header")
+      val sig = new String(b, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
+      if (sig != "GIF89a" && sig != "GIF87a") fail(0, s"bad signature '$sig'")
+      val w = u16(6); val h = u16(8)
+      if (w <= 0 || h <= 0) fail(6, s"degenerate dims ${w}x$h")
+      val flags = u8(10)
+      var p = 13
+      var gct: Array[Int] = null
+      if ((flags & 0x80) != 0) {
+        val n = 1 << ((flags & 7) + 1)
+        gct = readPalette(b, p, n, fail); p += 3 * n
+      }
+      while (true) {
+        u8(p) match {
+          case 0x21 => // extension: label + length-prefixed sub-blocks
+            p += 2
+            while (u8(p) != 0) p += 1 + u8(p)
+            p += 1
+          case 0x3b => fail(p, "trailer before any image frame")
+          case 0x2c =>
+            val (left, top, iw, ih) = (u16(p + 1), u16(p + 3),
+              u16(p + 5), u16(p + 7))
+            if (left != 0 || top != 0 || iw != w || ih != h)
+              fail(p, s"frame ${iw}x$ih@($left,$top) does not cover the " +
+                s"${w}x$h screen — single-frame contract")
+            val ifl = u8(p + 9)
+            var q = p + 10
+            var pal = gct
+            if ((ifl & 0x80) != 0) {
+              val n = 1 << ((ifl & 7) + 1)
+              pal = readPalette(b, q, n, fail); q += 3 * n
+            }
+            if (pal == null) fail(p, "no color table in scope")
+            val minCode = u8(q); q += 1
+            if (minCode < 2 || minCode > 8) fail(q - 1, s"LZW min code $minCode")
+            // concatenate the length-prefixed data sub-blocks
+            val data = new java.io.ByteArrayOutputStream()
+            while (u8(q) != 0) {
+              val n = u8(q)
+              if (q + 1 + n > b.length) fail(q, "truncated sub-block")
+              data.write(b, q + 1, n); q += 1 + n
+            }
+            val idx = lzw(data.toByteArray, minCode, iw * ih, fail)
+            val ordered =
+              if ((ifl & 0x40) != 0) deinterlace(idx, iw, ih) else idx
+            val out = new Array[Int](iw * ih)
+            var i = 0
+            while (i < out.length) {
+              val ci = ordered(i) & 0xff
+              if (ci >= pal.length) fail(p, s"palette index $ci of ${pal.length}")
+              out(i) = pal(ci)
+              i += 1
+            }
+            return (w, h, out)
+          case other => fail(p, f"unknown block 0x$other%02x")
+        }
+      }
+      fail(0, "unreachable")
+    }
+
+    private def readPalette(b: Array[Byte], at: Int, n: Int,
+        fail: (Int, String) => Nothing): Array[Int] = {
+      if (at + 3 * n > b.length) fail(at, "truncated color table")
+      Array.tabulate(n) { i =>
+        ((b(at + 3 * i) & 0xff) << 16) | ((b(at + 3 * i + 1) & 0xff) << 8) |
+          (b(at + 3 * i + 2) & 0xff)
+      }
+    }
+
+    /** GIF-flavor LZW: emits EXACTLY `expect` indices then the EOI
+      * code; anything else is a loud reject. */
+    private def lzw(d: Array[Byte], minCode: Int, expect: Int,
+        fail: (Int, String) => Nothing): Array[Byte] = {
+      val clear = 1 << minCode
+      val eoi = clear + 1
+      val prefix = new Array[Int](4096)
+      val suffix = new Array[Byte](4096)
+      val out = new Array[Byte](expect)
+      var outN = 0
+      var next = eoi + 1
+      var width = minCode + 1
+      var prev = -1
+      var acc = 0L; var nbits = 0; var pos = 0
+      val stack = new Array[Byte](4096)
+      def emitSeq(code: Int): Int = { // returns the first byte
+        var c = code; var sp = 0
+        while (c >= clear) { // walk the chain (codes < clear are roots)
+          stack(sp) = suffix(c); sp += 1; c = prefix(c)
+        }
+        val first = c
+        if (outN + sp + 1 > expect) fail(pos, "LZW output overrun")
+        out(outN) = c.toByte; outN += 1
+        while (sp > 0) { sp -= 1; out(outN) = stack(sp); outN += 1 }
+        first
+      }
+      while (true) {
+        while (nbits < width) {
+          if (pos >= d.length) fail(pos, "LZW stream ended before EOI")
+          acc |= (d(pos) & 0xffL) << nbits; nbits += 8; pos += 1
+        }
+        val code = (acc & ((1 << width) - 1)).toInt
+        acc >>= width; nbits -= width
+        if (code == clear) {
+          next = eoi + 1; width = minCode + 1; prev = -1
+        } else if (code == eoi) {
+          if (outN != expect) fail(pos, s"EOI after $outN of $expect pixels")
+          return out
+        } else if (prev == -1) {
+          if (code >= clear) fail(pos, s"first code $code not a literal")
+          if (outN >= expect) fail(pos, "LZW output overrun")
+          out(outN) = code.toByte; outN += 1
+          prev = code
+        } else {
+          if (code > next || (code == next && next >= 4096))
+            fail(pos, s"LZW code $code beyond dictionary $next")
+          val first =
+            if (code == next) { // KwKwK: sequence = prev + first(prev)
+              val f = emitSeq(prev)
+              if (outN >= expect) fail(pos, "LZW output overrun")
+              out(outN) = f.toByte; outN += 1
+              f
+            } else emitSeq(code)
+          if (next < 4096) {
+            prefix(next) = prev; suffix(next) = first.toByte; next += 1
+            if (next < 4096 && next == (1 << width)) width += 1
+          }
+          prev = code
+        }
+      }
+      fail(0, "unreachable")
+    }
+
+    /** GIF interlace passes: rows 0,8,16.. then 4,12.. then 2,6..
+      * then 1,3,5.. back into display order. */
+    private def deinterlace(idx: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val out = new Array[Byte](idx.length)
+      var src = 0
+      for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+        var y = start
+        while (y < h) {
+          System.arraycopy(idx, src * w, out, y * w, w)
+          src += 1; y += step
+        }
+      }
+      out
+    }
+  }
+
+  /** Per-image pixel statistics through the REAL [[GifCodec]] decode
+    * path — image-kind rows must carry GIF payloads; gray value = the
+    * low (blue) channel of the palette-mapped pixel (identical across
+    * channels for gray palettes). One decode per row inside
+    * mapPartitions, stats folded in place — nothing but the stat rows
+    * ever shuffles. */
+  def gifPixelStats(media: DataFrame): DataFrame = {
+    val enc = Encoders.product[(Long, Long, Long, Long, Long, Long, Long)]
+    media.filter(col("kind") === "image").select("media_id", "bytes")
+      .mapPartitions { it: Iterator[Row] =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val (w, h, px) = GifCodec.decode(r.getAs[Array[Byte]](1))
+          var sum = 0L; var mn = 255L; var mx = 0L
+          var i = 0
+          while (i < px.length) {
+            val v = (px(i) & 0xff).toLong
+            sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+            i += 1
+          }
+          (id, w.toLong, h.toLong, px.length.toLong, sum, mn, mx)
+        }
+      }(enc).toDF("media_id", "width", "height", "n_pixels",
+        "sum_gray", "min_gray", "max_gray")
+  }
+
   /** Wrap any table with a string payload column into the canonical
     * media shape (deterministic test payloads; real pipelines would
     * read binary files or parquet binary columns directly). */

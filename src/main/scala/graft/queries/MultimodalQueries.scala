@@ -116,6 +116,31 @@ object MultimodalQueries {
     // parses the container and windows the PCM, and the oracle
     // recomputes every integer stat from the same sample formula —
     // the mm_image_dims pattern, for sound
+    // REAL pixels through the full LZW decoder: image rows carry
+    // GIF89a payloads whose pixels derive from the id; the codec
+    // being lossless, the oracle recomputes every stat from the same
+    // pixel formula — encode -> LZW decode -> analyze, exact
+    "mm_gif_pixels" -> ((s, d) => {
+      val enc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.BINARY)
+      val gifs = media(s, d).select("media_id", "kind", "bytes")
+        .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+          it.map { r =>
+            val id = r.getLong(0); val kind = r.getString(1)
+            val payload =
+              if (kind == "image") {
+                val w = 16 + (id % 24).toInt
+                val h = 10 + (id % 15).toInt
+                Multimodal.ImageHeader.encodeGif(w, h,
+                  (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt)
+              } else r.getAs[Array[Byte]](2)
+            (id, kind, payload)
+          }
+        }(enc).toDF("media_id", "kind", "bytes")
+      Multimodal.gifPixelStats(gifs)
+    }),
     "mm_wav_segments" -> ((s, d) => {
       val enc = org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.scalaLong,
@@ -286,6 +311,18 @@ object MultimodalQueries {
          WHERE doc_id % 3 = 1""",
     // WAV fixture arithmetic: n = 300 + id % 450 samples,
     // s_k = (id*31 + k*7) % 4096 - 2048; windows 400 / hop 160
+    "mm_gif_pixels" ->
+      s"""WITH g AS (SELECT doc_id AS media_id, 16 + doc_id % 24 AS w,
+             10 + doc_id % 15 AS h
+           FROM documents WHERE doc_id % 3 = 0),
+         px AS (SELECT media_id, w, h,
+             ((media_id * 31 + x.x * 7 + y.y * 13) % 256) AS v
+           FROM g, LATERAL unnest(range(0, w)) AS x(x),
+             LATERAL unnest(range(0, h)) AS y(y))
+         SELECT media_id, w AS width, h AS height,
+           count(*) AS n_pixels, CAST(sum(v) AS BIGINT) AS sum_gray,
+           min(v) AS min_gray, max(v) AS max_gray
+         FROM px GROUP BY 1, 2, 3""",
     "mm_wav_segments" ->
       s"""WITH a AS (SELECT doc_id AS media_id, 300 + doc_id % 450 AS ns
              FROM documents WHERE doc_id % 3 = 1),
