@@ -470,19 +470,170 @@ object Multimodal {
     }
   }
 
-  /** Per-image pixel statistics through the REAL [[GifCodec]] decode
-    * path — image-kind rows must carry GIF payloads; gray value = the
-    * low (blue) channel of the palette-mapped pixel (identical across
-    * channels for gray palettes). One decode per row inside
+  /** REAL PNG pixel decode — zlib inflate (JDK Inflater, the WARC
+    * member path's primitive) plus the full scanline un-filtering
+    * chain (None/Sub/Up/Average/Paeth, RFC 2083 §6), chunk CRCs
+    * validated, every untrusted length checked. Bit depth 8, color
+    * types 0 (gray), 2 (RGB), 3 (palette + PLTE), 6 (RGBA, alpha
+    * dropped for the packed-RGB return); Adam7 interlace is out of
+    * contract and rejects loudly (the JDK encoder the spec
+    * cross-checks against writes non-interlaced). With [[GifCodec]]
+    * this puts both still-image container formats the corpus carries
+    * on the real-pixels side of the multimodal boundary. */
+  object PngCodec {
+    private val sig = Array[Int](0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+
+    /** (width, height, packed 0xRRGGBB pixels, row-major). */
+    def decode(b: Array[Byte]): (Int, Int, Array[Int]) = {
+      def fail(off: Int, msg: String): Nothing =
+        throw new IllegalArgumentException(s"PNG: $msg (offset $off)")
+      if (b.length < 8 || (0 until 8).exists(i => (b(i) & 0xff) != sig(i)))
+        fail(0, "bad signature")
+      def u32(i: Int): Long = {
+        if (i + 4 > b.length) fail(i, "truncated")
+        ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+          ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+      }
+      var p = 8
+      var w = 0; var h = 0; var colorType = -1
+      var plte: Array[Int] = null
+      val idat = new java.io.ByteArrayOutputStream()
+      var done = false
+      while (!done) {
+        val len = u32(p)
+        if (len > Int.MaxValue - 12 || p + 12 + len > b.length)
+          fail(p, s"chunk length $len overruns ${b.length} bytes")
+        val n = len.toInt
+        val tag = new String(b, p + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val crc = new java.util.zip.CRC32
+        crc.update(b, p + 4, 4 + n)
+        if (crc.getValue != u32(p + 8 + n))
+          fail(p, s"$tag chunk CRC mismatch")
+        val d = p + 8
+        tag match {
+          case "IHDR" =>
+            if (n != 13) fail(p, s"IHDR length $n")
+            w = u32(d).toInt; h = u32(d + 4).toInt
+            if (w <= 0 || h <= 0) fail(d, s"degenerate dims ${w}x$h")
+            val (depth, ct, comp, filt, il) =
+              (b(d + 8) & 0xff, b(d + 9) & 0xff, b(d + 10) & 0xff,
+                b(d + 11) & 0xff, b(d + 12) & 0xff)
+            if (depth != 8) fail(d + 8, s"bit depth $depth (contract: 8)")
+            if (comp != 0 || filt != 0) fail(d + 10, "nonstandard method")
+            if (il != 0) fail(d + 12, "Adam7 interlace out of contract")
+            if (ct != 0 && ct != 2 && ct != 3 && ct != 6)
+              fail(d + 9, s"color type $ct")
+            colorType = ct
+          case "PLTE" =>
+            if (n % 3 != 0 || n > 768) fail(p, s"PLTE length $n")
+            plte = Array.tabulate(n / 3)(i =>
+              ((b(d + 3 * i) & 0xff) << 16) | ((b(d + 3 * i + 1) & 0xff) << 8) |
+                (b(d + 3 * i + 2) & 0xff))
+          case "IDAT" => idat.write(b, d, n)
+          case "IEND" => done = true
+          case _ => () // ancillary chunks skipped (CRC still checked)
+        }
+        p += 12 + n
+      }
+      if (colorType < 0) fail(0, "no IHDR")
+      if (idat.size() == 0) fail(0, "no IDAT")
+      val bpp = colorType match {
+        case 0 => 1; case 2 => 3; case 3 => 1; case 6 => 4
+      }
+      val stride = w * bpp
+      val raw = new Array[Byte]((stride + 1) * h)
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      var got = 0
+      try {
+        while (got < raw.length && !inf.finished()) {
+          val k = inf.inflate(raw, got, raw.length - got)
+          if (k == 0 && inf.needsInput()) fail(0, "IDAT ended early")
+          got += k
+        }
+      } catch {
+        case e: java.util.zip.DataFormatException =>
+          fail(0, s"corrupt deflate stream: ${e.getMessage}")
+      }
+      if (got != raw.length) fail(0, s"inflated $got of ${raw.length}")
+      // un-filter in place, scanline by scanline
+      var y = 0
+      while (y < h) {
+        val ro = y * (stride + 1)
+        val ft = raw(ro) & 0xff
+        def cur(i: Int): Int = raw(ro + 1 + i) & 0xff
+        def left(i: Int): Int = if (i >= bpp) cur(i - bpp) else 0
+        def up(i: Int): Int =
+          if (y > 0) raw(ro - stride - 1 + 1 + i) & 0xff else 0
+        def upLeft(i: Int): Int =
+          if (y > 0 && i >= bpp) raw(ro - stride - 1 + 1 + i - bpp) & 0xff
+          else 0
+        var i = 0
+        while (i < stride) {
+          val x = cur(i)
+          val v = ft match {
+            case 0 => x
+            case 1 => x + left(i)
+            case 2 => x + up(i)
+            case 3 => x + (left(i) + up(i)) / 2
+            case 4 =>
+              val (a, bb, c) = (left(i), up(i), upLeft(i))
+              val pp = a + bb - c
+              val (pa, pb, pc) =
+                (math.abs(pp - a), math.abs(pp - bb), math.abs(pp - c))
+              x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) bb else c)
+            case other => fail(ro, s"filter type $other")
+          }
+          raw(ro + 1 + i) = (v & 0xff).toByte
+          i += 1
+        }
+        y += 1
+      }
+      val out = new Array[Int](w * h)
+      y = 0
+      while (y < h) {
+        val ro = y * (stride + 1) + 1
+        var x = 0
+        while (x < w) {
+          out(y * w + x) = colorType match {
+            case 0 =>
+              val g = raw(ro + x) & 0xff; (g << 16) | (g << 8) | g
+            case 2 =>
+              ((raw(ro + 3 * x) & 0xff) << 16) |
+                ((raw(ro + 3 * x + 1) & 0xff) << 8) |
+                (raw(ro + 3 * x + 2) & 0xff)
+            case 3 =>
+              if (plte == null) fail(0, "palette image without PLTE")
+              val ci = raw(ro + x) & 0xff
+              if (ci >= plte.length) fail(0, s"palette index $ci of ${plte.length}")
+              plte(ci)
+            case 6 =>
+              ((raw(ro + 4 * x) & 0xff) << 16) |
+                ((raw(ro + 4 * x + 1) & 0xff) << 8) |
+                (raw(ro + 4 * x + 2) & 0xff)
+          }
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, out)
+    }
+  }
+
+  /** Per-image pixel statistics through the REAL decoders — payloads
+    * are sniffed by signature (GIF -> [[GifCodec]], PNG ->
+    * [[PngCodec]]; anything else rejects loudly); gray value = the
+    * low (blue) channel of the decoded pixel (identical across
+    * channels for gray images). One decode per row inside
     * mapPartitions, stats folded in place — nothing but the stat rows
     * ever shuffles. */
-  def gifPixelStats(media: DataFrame): DataFrame = {
+  def imagePixelStats(media: DataFrame): DataFrame = {
     val enc = Encoders.product[(Long, Long, Long, Long, Long, Long, Long)]
     media.filter(col("kind") === "image").select("media_id", "bytes")
       .mapPartitions { it: Iterator[Row] =>
         it.map { r =>
           val id = r.getLong(0)
-          val (w, h, px) = GifCodec.decode(r.getAs[Array[Byte]](1))
+          val (w, h, px) = decodeImage(r.getAs[Array[Byte]](1))
           var sum = 0L; var mn = 255L; var mx = 0L
           var i = 0
           while (i < px.length) {
@@ -494,6 +645,17 @@ object Multimodal {
         }
       }(enc).toDF("media_id", "width", "height", "n_pixels",
         "sum_gray", "min_gray", "max_gray")
+  }
+
+  /** Signature-sniffed dispatch to the real pixel decoders. */
+  def decodeImage(b: Array[Byte]): (Int, Int, Array[Int]) = {
+    if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F')
+      GifCodec.decode(b)
+    else if (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
+      b(2) == 'N' && b(3) == 'G')
+      PngCodec.decode(b)
+    else throw new IllegalArgumentException(
+      "image decode: neither GIF nor PNG signature")
   }
 
   /** Wrap any table with a string payload column into the canonical

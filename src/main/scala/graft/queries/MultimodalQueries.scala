@@ -139,7 +139,31 @@ object MultimodalQueries {
             (id, kind, payload)
           }
         }(enc).toDF("media_id", "kind", "bytes")
-      Multimodal.gifPixelStats(gifs)
+      Multimodal.imagePixelStats(gifs)
+    }),
+    // the same real-pixels contract through the PNG path: stored-zlib
+    // fixtures, the full inflate + un-filter decoder; same formula,
+    // same oracle shape
+    "mm_png_pixels" -> ((s, d) => {
+      val enc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.BINARY)
+      val pngs = media(s, d).select("media_id", "kind", "bytes")
+        .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+          it.map { r =>
+            val id = r.getLong(0); val kind = r.getString(1)
+            val payload =
+              if (kind == "image") {
+                val w = 16 + (id % 24).toInt
+                val h = 10 + (id % 15).toInt
+                Multimodal.ImageHeader.encodePngStored(w, h,
+                  (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt)
+              } else r.getAs[Array[Byte]](2)
+            (id, kind, payload)
+          }
+        }(enc).toDF("media_id", "kind", "bytes")
+      Multimodal.imagePixelStats(pngs)
     }),
     "mm_wav_segments" -> ((s, d) => {
       val enc = org.apache.spark.sql.Encoders.tuple(
@@ -247,6 +271,21 @@ object MultimodalQueries {
   private val imgH = "(8 + (doc_id * 3) % 57)"
   private val imgLen = s"(68 + $imgH * ($imgW + 1))"
 
+  /** Shared by mm_gif_pixels and mm_png_pixels — same dims, same
+    * pixel formula, two real decoders. */
+  private def pixelStatsOracleSql: String =
+    s"""WITH g AS (SELECT doc_id AS media_id, 16 + doc_id % 24 AS w,
+           10 + doc_id % 15 AS h
+         FROM documents WHERE doc_id % 3 = 0),
+       px AS (SELECT media_id, w, h,
+           ((media_id * 31 + x.x * 7 + y.y * 13) % 256) AS v
+         FROM g, LATERAL unnest(range(0, w)) AS x(x),
+           LATERAL unnest(range(0, h)) AS y(y))
+       SELECT media_id, w AS width, h AS height,
+         count(*) AS n_pixels, CAST(sum(v) AS BIGINT) AS sum_gray,
+         min(v) AS min_gray, max(v) AS max_gray
+       FROM px GROUP BY 1, 2, 3"""
+
   val oracleSql: Map[String, String] = Map(
     "mm_decode_meta" ->
       s"""SELECT doc_id AS media_id, $kindSql AS kind,
@@ -311,18 +350,8 @@ object MultimodalQueries {
          WHERE doc_id % 3 = 1""",
     // WAV fixture arithmetic: n = 300 + id % 450 samples,
     // s_k = (id*31 + k*7) % 4096 - 2048; windows 400 / hop 160
-    "mm_gif_pixels" ->
-      s"""WITH g AS (SELECT doc_id AS media_id, 16 + doc_id % 24 AS w,
-             10 + doc_id % 15 AS h
-           FROM documents WHERE doc_id % 3 = 0),
-         px AS (SELECT media_id, w, h,
-             ((media_id * 31 + x.x * 7 + y.y * 13) % 256) AS v
-           FROM g, LATERAL unnest(range(0, w)) AS x(x),
-             LATERAL unnest(range(0, h)) AS y(y))
-         SELECT media_id, w AS width, h AS height,
-           count(*) AS n_pixels, CAST(sum(v) AS BIGINT) AS sum_gray,
-           min(v) AS min_gray, max(v) AS max_gray
-         FROM px GROUP BY 1, 2, 3""",
+    "mm_gif_pixels" -> pixelStatsOracleSql,
+    "mm_png_pixels" -> pixelStatsOracleSql,
     "mm_wav_segments" ->
       s"""WITH a AS (SELECT doc_id AS media_id, 300 + doc_id % 450 AS ns
              FROM documents WHERE doc_id % 3 = 1),
