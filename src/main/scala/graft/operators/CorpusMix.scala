@@ -652,18 +652,27 @@ object CorpusMix {
       statusCol: String, textCol: String, minWords: Int = 40,
       jaccard: Double = 0.8, bpeRounds: Int = 8,
       capTokens: Long = 2000L, htmlExtract: Boolean = false): DataFrame = {
-    val survivors = curateStages(df, idCol, urlCol, statusCol, textCol,
-      minWords, jaccard, htmlExtract).last._2
+    // the survivor set is consumed three ways (BPE training, token
+    // encode, the domain-cap join): materialize the curation chain
+    // ONCE instead of re-running parse -> extract -> dedups per
+    // consumer, and release it after the result frame exists — the
+    // knBigramScore free-after-materialize discipline
+    val survivors = Frames.materializeCut(
+      curateStages(df, idCol, urlCol, statusCol, textCol,
+        minWords, jaccard, htmlExtract).last._2)
     val table = TextStats.bpeTable(
       TextStats.bpeTrainMerges(survivors, "__t", bpeRounds))
     val counts = TextStats.bpeEncodeApply(survivors, idCol, "__t", table)
       .select(col(idCol), col("n_tokens"))
     val w = Window.partitionBy(col("domain")).orderBy(col(idCol).asc)
-    survivors
+    val out = survivors
       .select(col(idCol), registrableDomain(col(urlCol)).as("domain"))
       .join(counts, Seq(idCol))
       .withColumn("__cum", sum(col("n_tokens")).over(w))
       .filter(col("__cum") <= capTokens)
       .select(col(idCol), col("domain"), col("n_tokens"))
+    val result = Frames.materializeCut(out)
+    Frames.free(survivors)
+    result
   }
 }
