@@ -636,6 +636,77 @@ object CorpusMix {
       "exact_unique" -> afterExact, "near_unique" -> afterNear)
   }
 
+  /** The [[curateStages]] funnel's per-stage survivor COUNTS in one
+    * pass — the accounting view a crawl operator watches, without the
+    * six-branch plan that aggregating each stage frame separately
+    * builds.
+    *
+    * Instead of materializing stage frames and semi-joining survivors
+    * forward, every stage decision becomes a SURVIVAL FLAG on the one
+    * parsed frame:
+    *
+    *   - `response_200`: a row-local status comparison;
+    *   - `url_unique` / `exact_unique`: group-wise min-id membership
+    *     via a window over the stage's hash key, CONDITIONED on the
+    *     previous flag (`min(when(prev, id)) over (partition by key)`)
+    *     — the groupBy+left-semi pair collapses to one exchange each;
+    *   - `quality_kept`: the row-local [[TextStats.gopherKeep]];
+    *   - `near_unique`: the one genuine join left — the banded-LSH
+    *     near-dup pass over the exact-unique survivors — folded back
+    *     as a left-join null test.
+    *
+    * One conditional aggregation then reads all six counts off the
+    * flagged frame and `stack`s them into the (stage, n_docs) report.
+    * Two hash-key exchanges + the LSH pass replace four semi-joins,
+    * two groupBys, and six aggregation branches; at 100 TB the window
+    * groups are single URLs/texts (tiny), so the windows parallelize
+    * like the groupBys they replace. Bit-identical to aggregating
+    * [[curateStages]] (shared spec + shared oracle). */
+  def curateFunnelCounts(df: DataFrame, idCol: String, urlCol: String,
+      statusCol: String, textCol: String, minWords: Int = 40,
+      jaccard: Double = 0.8, htmlExtract: Boolean = false): DataFrame = {
+    val raw = if (htmlExtract) HtmlText.htmlToText(col(textCol))
+      else col(textCol)
+    val wUrl = Window.partitionBy(col("__ch"))
+    val wTxt = Window.partitionBy(col("__th"))
+    val flagged = df.select(col(idCol).as("__id"),
+        (col(statusCol) === 200).as("__resp"),
+        xxhash64(canonicalUrl(col(urlCol))).as("__ch"),
+        TextStats.norm(raw).as("__t"))
+      .withColumn("__url_keep", col("__resp") &&
+        col("__id") === min(when(col("__resp"), col("__id"))).over(wUrl))
+      .withColumn("__gate", col("__url_keep") &&
+        TextStats.gopherKeep(col("__t"), minWords = minWords))
+      .withColumn("__th", xxhash64(col("__t")))
+      .withColumn("__exact", col("__gate") &&
+        col("__id") === min(when(col("__gate"), col("__id"))).over(wTxt))
+    val mat = Frames.materializeCut(flagged.select(
+      col("__id"), col("__resp"), col("__url_keep"), col("__gate"),
+      col("__exact"), col("__t")))
+    val nearDrop = Dedup.minhashNearDups(mat.filter(col("__exact")),
+        "__id", "__t", threshold = jaccard)
+      .select(col("id_b").as("__id")).distinct()
+      .withColumn("__dropped", lit(true))
+    val out = mat.join(nearDrop, Seq("__id"), "left")
+      .agg(count(lit(1)).as("parsed"),
+        // coalesce: an EMPTY crawl's ungrouped sums are NULL but the
+        // report's contract is six zero counts
+        coalesce(sum(col("__resp").cast("long")), lit(0L)).as("response_200"),
+        coalesce(sum(col("__url_keep").cast("long")), lit(0L)).as("url_unique"),
+        coalesce(sum(col("__gate").cast("long")), lit(0L)).as("quality_kept"),
+        coalesce(sum(col("__exact").cast("long")), lit(0L)).as("exact_unique"),
+        coalesce(sum((col("__exact") && col("__dropped").isNull).cast("long")),
+          lit(0L)).as("near_unique"))
+      .selectExpr("""stack(6,
+        'parsed', parsed, 'response_200', response_200,
+        'url_unique', url_unique, 'quality_kept', quality_kept,
+        'exact_unique', exact_unique, 'near_unique', near_unique)
+        AS (stage, n_docs)""")
+    val result = Frames.materializeCut(out)
+    Frames.free(mat)
+    result
+  }
+
   /** [[curateStages]] carried through to training-ready accounting:
     * train a BPE tokenizer ON the curated survivors
     * ([[TextStats.bpeTrainMerges]] — train-on-curated, the production

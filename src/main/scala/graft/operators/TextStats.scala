@@ -66,15 +66,8 @@ object TextStats {
   def gopherRules(df: DataFrame, idCol: String, textCol: String,
       minWords: Int = 40, maxWords: Int = 100000,
       minStopHits: Int = 2): DataFrame = {
-    val t = norm(col(textCol))
-    val words = split(t, " ")
-    val nWords = size(words)
-    // single-space normalized => word chars = chars - (n-1) separators
-    val wordChars = length(t) - (nWords - 1)
-    val nSymbols = size(regexp_extract_all(t, lit("#|\\.\\.\\."), lit(0)))
-    val nAlphaWords = size(filter(words, w => w.rlike("[a-z]")))
-    val stopDistinct =
-      size(filter(array_distinct(words), w => enStopwords.map(w === _).reduce(_ || _)))
+    val (nWords, wordChars, nSymbols, nAlphaWords, stopDistinct) =
+      gopherParts(norm(col(textCol)))
     df.select(col(idCol),
         nWords.cast("long").as("n_words"),
         wordChars.cast("long").as("word_chars"),
@@ -92,6 +85,39 @@ object TextStats {
       .withColumn("keep",
         col("rule_word_count") && col("rule_mean_word_len") &&
           col("rule_symbol_ratio") && col("rule_alpha_words") && col("rule_stopwords"))
+  }
+
+  /** The five rule signals over an already-normalized text column:
+    * (n_words, word_chars, n_symbols, n_alpha_words, n_stop_distinct).
+    * Shared by [[gopherRules]] (per-rule diagnostic frame) and
+    * [[gopherKeep]] (row-local boolean). */
+  private def gopherParts(t: Column): (Column, Column, Column, Column, Column) = {
+    val words = split(t, " ")
+    val nWords = size(words)
+    // single-space normalized => word chars = chars - (n-1) separators
+    val wordChars = length(t) - (nWords - 1)
+    val nSymbols = size(regexp_extract_all(t, lit("#|\\.\\.\\."), lit(0)))
+    val nAlphaWords = size(filter(words, w => w.rlike("[a-z]")))
+    val stopDistinct =
+      size(filter(array_distinct(words), w => enStopwords.map(w === _).reduce(_ || _)))
+    (nWords, wordChars, nSymbols, nAlphaWords, stopDistinct)
+  }
+
+  /** [[gopherRules]]'s composite keep decision as ONE row-local
+    * boolean Column — for pipelines that carry the gate as a survival
+    * flag instead of filtering frame-by-frame
+    * ([[CorpusMix.curateFunnelCounts]]). `textCol` is normalized
+    * internally (idempotent on already-normal text), so the flag is
+    * bit-identical to `gopherRules(...)("keep")` on the same input. */
+  def gopherKeep(textCol: Column, minWords: Int = 40,
+      maxWords: Int = 100000, minStopHits: Int = 2): Column = {
+    val (nWords, wordChars, nSymbols, nAlphaWords, stopDistinct) =
+      gopherParts(norm(textCol))
+    nWords >= minWords && nWords <= maxWords &&
+      wordChars >= nWords * 3 && wordChars <= nWords * 10 &&
+      nSymbols * 10 <= nWords &&
+      nAlphaWords * 5 >= nWords * 4 &&
+      stopDistinct >= minStopHits
   }
 
   /** Greedy token-budget selection: keep the highest-quality documents

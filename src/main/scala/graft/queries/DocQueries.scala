@@ -430,6 +430,14 @@ object DocQueries {
         .map { case (name, sdf) =>
           sdf.agg(lit(name).as("stage"), count(lit(1)).as("n_docs"))
         }.reduce(_ unionByName _)),
+    // the SAME funnel accounting in ONE pass: stage decisions carried
+    // as survival flags (conditional min-id windows + the row-local
+    // gate), one conditional aggregation stacks the six counts —
+    // shares doc_warc_pipeline_funnel's oracle verbatim (the two
+    // implementations must agree bit-for-bit)
+    "doc_warc_funnel_onepass" -> ((s, d) =>
+      CorpusMix.curateFunnelCounts(warcCrawl(s, d), "doc_id", "url",
+        "status", "text", minWords = 40, jaccard = 0.8)),
     // edit-distance pairs composed into typo-variant clusters (the
     // min-label components of the levenshtein<=2 graph) — what a
     // dedup pass actually consumes; oracle = the pair brute force +
@@ -981,6 +989,18 @@ object DocQueries {
          WHERE doc_id NOT IN (SELECT id_b FROM np))"""
   }
 
+  /** The WARC-funnel per-stage counts — one oracle string shared by
+    * doc_warc_pipeline_funnel (staged frames) and
+    * doc_warc_funnel_onepass (flag-carrying single pass). */
+  private def warcFunnelOracle: String =
+    s"""WITH ${warcPipelineCtes()}
+       SELECT 'parsed' AS stage, count(*) AS n_docs FROM st
+       UNION ALL SELECT 'response_200', count(*) FROM cu
+       UNION ALL SELECT 'url_unique', count(*) FROM au
+       UNION ALL SELECT 'quality_kept', count(*) FROM gk
+       UNION ALL SELECT 'exact_unique', count(*) FROM ae
+       UNION ALL SELECT 'near_unique', count(*) FROM an"""
+
   /** Suffix-sort + neighbor-LCP per-position maximal repeats (CTE
     * `m` = (doc_id, pos, maxrep)), shared by doc_repeated_spans and
     * doc_remove_repeated_spans. */
@@ -1199,14 +1219,10 @@ object DocQueries {
          SELECT ${TextStats.idBucketSql("doc_id", 4L)} AS shard,
            count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bpe_tokens_sum
          FROM cp WHERE cum <= 2000 GROUP BY 1""",
-    "doc_warc_pipeline_funnel" ->
-      s"""WITH ${warcPipelineCtes()}
-         SELECT 'parsed' AS stage, count(*) AS n_docs FROM st
-         UNION ALL SELECT 'response_200', count(*) FROM cu
-         UNION ALL SELECT 'url_unique', count(*) FROM au
-         UNION ALL SELECT 'quality_kept', count(*) FROM gk
-         UNION ALL SELECT 'exact_unique', count(*) FROM ae
-         UNION ALL SELECT 'near_unique', count(*) FROM an""",
+    "doc_warc_pipeline_funnel" -> warcFunnelOracle,
+    // shared-oracle pair: the one-pass form must reproduce the staged
+    // funnel's counts exactly
+    "doc_warc_funnel_onepass" -> warcFunnelOracle,
     "doc_warc_extract" ->
       s"""WITH b AS (
            SELECT doc_id, text,

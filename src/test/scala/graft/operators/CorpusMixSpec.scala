@@ -390,6 +390,29 @@ class CorpusMixSpec extends AnyFunSuite {
     assert(survivors == Set(1L, 7L), survivors.toString)
   }
 
+  test("curateFunnelCounts matches the staged funnel count-for-count") {
+    val d = crawl(
+      (1L, "https://a.com/p?b=2&a=1", 200, goodText + " one"),
+      (2L, "https://a.com/p?a=1&b=2&utm_source=x", 200, goodText + " two"),
+      (3L, "https://b.com/p", 404, goodText + " three"),
+      (4L, "https://c.com/p", 200, "too short"),
+      (5L, "https://d.com/p", 200, goodText + " one"),
+      (6L, "https://e.com/p", 200, goodText + " one extra suffix words here"),
+      (7L, "https://f.com/p", 200, otherText))
+    val staged = CorpusMix.curateStages(d, "doc_id", "url", "status", "text")
+      .map { case (n, sdf) => n -> sdf.count() }.toMap
+    val onePass = CorpusMix.curateFunnelCounts(d, "doc_id", "url",
+        "status", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(onePass == staged, s"one-pass $onePass vs staged $staged")
+    // and on a crawl with NO rows at all the six stages report 0
+    val empty = CorpusMix.curateFunnelCounts(crawl(), "doc_id", "url",
+        "status", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(empty.keySet.size == 6 && empty.values.forall(_ == 0L),
+      empty.toString)
+  }
+
   test("curatePipeline caps each domain's token budget in id order") {
     val d = crawl(
       (1L, "https://a.com/p", 200, goodText + " one"),
