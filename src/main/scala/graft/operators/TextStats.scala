@@ -1065,9 +1065,15 @@ object TextStats {
       .select(xxhash64(substring_index(col("__g"), " ", 1)).as("hv"),
         xxhash64(substring_index(col("__g"), " ", -1)).as("hw")))
 
-  private def knTrainFromBigrams(tb: DataFrame): KnFrames = {
-    val cvw = Frames.materializeCut(
-      tb.groupBy(col("hv"), col("hw")).agg(count(lit(1)).as("cvw")))
+  private def knTrainFromBigrams(tb: DataFrame): KnFrames =
+    knFromCvw(Frames.materializeCut(
+      tb.groupBy(col("hv"), col("hw")).agg(count(lit(1)).as("cvw"))))
+
+  /** Derive the full model from the bigram-type count frame — `cvw`
+    * is the model's SUFFICIENT STATISTIC (context totals, continuation
+    * counts, and the (ncc, vv) totals are all aggregations of it),
+    * which is what makes single-frame persistence possible. */
+  private def knFromCvw(cvw: DataFrame): KnFrames = {
     val cv = cvw.groupBy(col("hv"))
       .agg(sum(col("cvw")).as("cv"), count(lit(1)).as("n1v"))
     val n1w = cvw.groupBy(col("hw")).agg(count(lit(1)).as("n1w"))
@@ -1076,6 +1082,25 @@ object TextStats {
         .agg(countDistinct(col("h")).as("vv")))
     KnFrames(cvw, cv, n1w, tot)
   }
+
+  /** Persist a trained KN model under `dir` — the model LIFECYCLE
+    * step that lets online scoring sessions (streaming jobs, later
+    * batch runs) reuse a reference LM without re-reading the training
+    * corpus, mirroring the IVF persisted-index lifecycle
+    * ([[Similarity.writeIvfIndex]]). Only the sufficient statistic
+    * (the (hv, hw, cvw) bigram-type frame) is written; every derived
+    * frame is rebuilt on load, so the store can never hold an
+    * inconsistent model. */
+  def saveKnModel(m: KnFrames, dir: String): Unit =
+    m.cvw.write.mode("overwrite").parquet(s"$dir/cvw")
+
+  /** Load a persisted KN model: one parquet scan plus the (cheap,
+    * type-bounded) derived aggregations. `knTable(loadKnModel(...))`
+    * rebuilds the broadcastable kernel table, bit-identical to the
+    * freshly-trained one (spec-pinned). */
+  def loadKnModel(spark: org.apache.spark.sql.SparkSession,
+      dir: String): KnFrames =
+    knFromCvw(spark.read.parquet(s"$dir/cvw"))
 
   /** Collect a trained model into the broadcastable row-local
     * [[graft.functions.KnLmTable]] — the deployment shape for online

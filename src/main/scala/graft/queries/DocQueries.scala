@@ -375,6 +375,25 @@ object DocQueries {
         base.filter(TextStats.idBucket(col("doc_id"), 5L) < 4), "text"))
       TextStats.knScoreWithTable(base, "doc_id", "text", table)
     }),
+    // the PERSISTED-model lifecycle: train-once -> saveKnModel (the
+    // sufficient-statistic frame as parquet) -> loadKnModel in a later
+    // session -> kernel scoring. Third member of the kn_score
+    // shared-oracle set: a stored-and-reloaded model must score
+    // bit-identically to the fresh one. The dir is fingerprint-keyed
+    // like emb_ivf_indexed so a stale store is never served
+    "doc_kn_score_stored" -> ((s, d) => {
+      val base = docs(s, d)
+      val src = java.nio.file.Paths.get(s"$d/documents.parquet")
+      val fp = if (java.nio.file.Files.exists(src))
+        s"${java.nio.file.Files.size(src)}_${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
+      else "na"
+      val dir = s"/tmp/graft_kn1_${d.replaceAll("[^A-Za-z0-9.]", "_")}_$fp"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/cvw/_SUCCESS")))
+        TextStats.saveKnModel(TextStats.knTrain(
+          base.filter(TextStats.idBucket(col("doc_id"), 5L) < 4), "text"), dir)
+      TextStats.knScoreWithTable(base, "doc_id", "text",
+        TextStats.knTable(TextStats.loadKnModel(s, dir)))
+    }),
     // HTML -> text extraction (the stage between WARC body bytes and
     // the quality gates): deterministic markup fixture per id bucket —
     // script element with markup inside, style + comment, entity
@@ -1115,6 +1134,7 @@ object DocQueries {
          FROM fin""",
     "doc_kn_score" -> knScoreOracleSql,
     "doc_kn_score_online" -> knScoreOracleSql,
+    "doc_kn_score_stored" -> knScoreOracleSql,
     "doc_kn_trigram" ->
       s"""WITH n AS (SELECT doc_id, $normSql AS t,
            ${TextStats.idBucketSql("doc_id", 5L)} < 4 AS train

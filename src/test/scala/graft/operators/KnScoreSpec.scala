@@ -77,6 +77,29 @@ class KnScoreSpec extends AnyFunSuite {
     assert(kernel == joined)
   }
 
+  test("save -> load round-trips the model bit-for-bit") {
+    val df = corpus.toDF("id", "text", "train")
+    val model = TextStats.knTrain(df.filter(col("train")), "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("kn_model_spec").toString
+    TextStats.saveKnModel(model, dir)
+    val loaded = TextStats.loadKnModel(spark, dir)
+    // derived totals rebuilt from the persisted sufficient statistic
+    val t0 = model.tot.collect().head
+    val t1 = loaded.tot.collect().head
+    assert((t1.getLong(0), t1.getLong(1)) == ((t0.getLong(0), t0.getLong(1))))
+    // and kernel scores from the reloaded table match the fresh one
+    val fresh = TextStats.knScoreWithTable(df, "id", "text",
+        TextStats.knTable(model))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    val stored = TextStats.knScoreWithTable(df, "id", "text",
+        TextStats.knTable(loaded))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(stored == fresh)
+  }
+
   test("knTable collect is gated on model size") {
     val df = corpus.toDF("id", "text", "train")
     val model = TextStats.knTrain(df.filter(col("train")), "text")
