@@ -157,6 +157,45 @@ object Multimodal {
         while (x < w) { raw(y * (w + 1) + 1 + x) = pix(x, y).toByte; x += 1 }
         y += 1
       }
+      pngGrayFromRaw(w, h, interlaced = false, raw)
+    }
+
+    /** The Adam7 variant of [[encodePngStored]]: the same grayscale
+      * stored-zlib filter-0 fixture with the scanlines emitted in the
+      * seven-pass interlace order (IHDR interlace = 1) — so pixel
+      * queries exercise the decoder's pass-scatter path with the SAME
+      * pixel-formula oracle as the progressive images a crawl
+      * actually carries. */
+    def encodePngStoredInterlaced(w: Int, h: Int,
+        pix: (Int, Int) => Int): Array[Byte] = {
+      require(w > 0 && h > 0, s"degenerate ${w}x$h")
+      val passes = (0 until 7).map { k =>
+        val (x0, y0, dx, dy) = (Array(0, 4, 0, 2, 0, 1, 0)(k),
+          Array(0, 0, 4, 0, 2, 0, 1)(k), Array(8, 8, 4, 4, 2, 2, 1)(k),
+          Array(8, 8, 8, 4, 4, 2, 2)(k))
+        (x0, y0, dx, dy, (w - x0 + dx - 1) / dx, (h - y0 + dy - 1) / dy)
+      }.filter(t => t._5 > 0 && t._6 > 0)
+      val total = passes.map { case (_, _, _, _, pw, ph) => (pw + 1) * ph }.sum
+      require(total <= 65535, s"stored-block fixture cap: $total")
+      val raw = new Array[Byte](total)
+      var o = 0
+      passes.foreach { case (x0, y0, dx, dy, pw, ph) =>
+        var py = 0
+        while (py < ph) {
+          o += 1 // filter byte 0
+          var px = 0
+          while (px < pw) {
+            raw(o) = pix(x0 + dx * px, y0 + dy * py).toByte
+            o += 1; px += 1
+          }
+          py += 1
+        }
+      }
+      pngGrayFromRaw(w, h, interlaced = true, raw)
+    }
+
+    private def pngGrayFromRaw(w: Int, h: Int, interlaced: Boolean,
+        raw: Array[Byte]): Array[Byte] = {
       val adler = { val a = new java.util.zip.Adler32; a.update(raw); a.getValue }
       val idat = java.nio.ByteBuffer.allocate(11 + raw.length)
       idat.put(0x78.toByte).put(0x01.toByte) // zlib header, no preset dict
@@ -175,7 +214,8 @@ object Multimodal {
       }
       val ihdr = java.nio.ByteBuffer.allocate(13)
         .putInt(w).putInt(h)
-        .put(8.toByte).put(0.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+        .put(8.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+        .put(if (interlaced) 1.toByte else 0.toByte)
       pngSig ++ chunk("IHDR", ihdr.array()) ++ chunk("IDAT", idat.array()) ++
         chunk("IEND", Array.emptyByteArray)
     }
@@ -475,11 +515,12 @@ object Multimodal {
     * chain (None/Sub/Up/Average/Paeth, RFC 2083 §6), chunk CRCs
     * validated, every untrusted length checked. Bit depth 8, color
     * types 0 (gray), 2 (RGB), 3 (palette + PLTE), 6 (RGBA, alpha
-    * dropped for the packed-RGB return); Adam7 interlace is out of
-    * contract and rejects loudly (the JDK encoder the spec
-    * cross-checks against writes non-interlaced). With [[GifCodec]]
-    * this puts both still-image container formats the corpus carries
-    * on the real-pixels side of the multimodal boundary. */
+    * dropped for the packed-RGB return); BOTH interlace methods —
+    * null and Adam7 (seven independently-filtered sub-images scattered
+    * back by the pass geometry; spec cross-checks the JDK encoder's
+    * progressive mode). With [[GifCodec]] this puts both still-image
+    * container formats the corpus carries on the real-pixels side of
+    * the multimodal boundary. */
   object PngCodec {
     private val sig = Array[Int](0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
 
@@ -495,7 +536,7 @@ object Multimodal {
           ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
       }
       var p = 8
-      var w = 0; var h = 0; var colorType = -1
+      var w = 0; var h = 0; var colorType = -1; var interlaced = false
       var plte: Array[Int] = null
       val idat = new java.io.ByteArrayOutputStream()
       var done = false
@@ -520,7 +561,8 @@ object Multimodal {
                 b(d + 11) & 0xff, b(d + 12) & 0xff)
             if (depth != 8) fail(d + 8, s"bit depth $depth (contract: 8)")
             if (comp != 0 || filt != 0) fail(d + 10, "nonstandard method")
-            if (il != 0) fail(d + 12, "Adam7 interlace out of contract")
+            if (il != 0 && il != 1) fail(d + 12, s"interlace method $il")
+            interlaced = il == 1
             if (ct != 0 && ct != 2 && ct != 3 && ct != 6)
               fail(d + 9, s"color type $ct")
             colorType = ct
@@ -540,8 +582,20 @@ object Multimodal {
       val bpp = colorType match {
         case 0 => 1; case 2 => 3; case 3 => 1; case 6 => 4
       }
-      val stride = w * bpp
-      val raw = new Array[Byte]((stride + 1) * h)
+      // pass list: the whole image as one pass, or the seven Adam7
+      // sub-images (x0, y0, dx, dy, passW, passH) — empty passes
+      // (dimension rounds to 0) contribute NO scanlines, per spec
+      val passes: Seq[(Int, Int, Int, Int, Int, Int)] =
+        if (!interlaced) Seq((0, 0, 1, 1, w, h))
+        else (0 until 7).map { k =>
+          val (x0, y0, dx, dy) =
+            (adamX0(k), adamY0(k), adamDx(k), adamDy(k))
+          ((x0, y0, dx, dy,
+            (w - x0 + dx - 1) / dx, (h - y0 + dy - 1) / dy))
+        }.filter(t => t._5 > 0 && t._6 > 0)
+      val rawLen = passes.map { case (_, _, _, _, pw, ph) =>
+        (pw * bpp + 1) * ph }.sum
+      val raw = new Array[Byte](rawLen)
       val inf = new java.util.zip.Inflater()
       inf.setInput(idat.toByteArray)
       var got = 0
@@ -556,68 +610,85 @@ object Multimodal {
           fail(0, s"corrupt deflate stream: ${e.getMessage}")
       }
       if (got != raw.length) fail(0, s"inflated $got of ${raw.length}")
-      // un-filter in place, scanline by scanline
-      var y = 0
-      while (y < h) {
-        val ro = y * (stride + 1)
-        val ft = raw(ro) & 0xff
-        def cur(i: Int): Int = raw(ro + 1 + i) & 0xff
-        def left(i: Int): Int = if (i >= bpp) cur(i - bpp) else 0
-        def up(i: Int): Int =
-          if (y > 0) raw(ro - stride - 1 + 1 + i) & 0xff else 0
-        def upLeft(i: Int): Int =
-          if (y > 0 && i >= bpp) raw(ro - stride - 1 + 1 + i - bpp) & 0xff
-          else 0
-        var i = 0
-        while (i < stride) {
-          val x = cur(i)
-          val v = ft match {
-            case 0 => x
-            case 1 => x + left(i)
-            case 2 => x + up(i)
-            case 3 => x + (left(i) + up(i)) / 2
-            case 4 =>
-              val (a, bb, c) = (left(i), up(i), upLeft(i))
-              val pp = a + bb - c
-              val (pa, pb, pc) =
-                (math.abs(pp - a), math.abs(pp - bb), math.abs(pp - c))
-              x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) bb else c)
-            case other => fail(ro, s"filter type $other")
+      // un-filter one pass's scanlines in place (rows are
+      // (stride+1)-byte filter-prefixed; `up` is the previous row OF
+      // THE SAME PASS — Adam7 passes filter independently, per spec)
+      def unfilterAt(base: Int, stride: Int, rows: Int): Unit = {
+        var y = 0
+        while (y < rows) {
+          val ro = base + y * (stride + 1)
+          val ft = raw(ro) & 0xff
+          def cur(i: Int): Int = raw(ro + 1 + i) & 0xff
+          def left(i: Int): Int = if (i >= bpp) cur(i - bpp) else 0
+          def up(i: Int): Int =
+            if (y > 0) raw(ro - stride - 1 + 1 + i) & 0xff else 0
+          def upLeft(i: Int): Int =
+            if (y > 0 && i >= bpp) raw(ro - stride - 1 + 1 + i - bpp) & 0xff
+            else 0
+          var i = 0
+          while (i < stride) {
+            val x = cur(i)
+            val v = ft match {
+              case 0 => x
+              case 1 => x + left(i)
+              case 2 => x + up(i)
+              case 3 => x + (left(i) + up(i)) / 2
+              case 4 =>
+                val (a, bb, c) = (left(i), up(i), upLeft(i))
+                val pp = a + bb - c
+                val (pa, pb, pc) =
+                  (math.abs(pp - a), math.abs(pp - bb), math.abs(pp - c))
+                x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) bb else c)
+              case other => fail(ro, s"filter type $other")
+            }
+            raw(ro + 1 + i) = (v & 0xff).toByte
+            i += 1
           }
-          raw(ro + 1 + i) = (v & 0xff).toByte
-          i += 1
+          y += 1
         }
-        y += 1
+      }
+      // packed 0xRRGGBB of the pixel whose first sample byte is `o`
+      def pixAt(o: Int): Int = colorType match {
+        case 0 =>
+          val g = raw(o) & 0xff; (g << 16) | (g << 8) | g
+        case 2 =>
+          ((raw(o) & 0xff) << 16) | ((raw(o + 1) & 0xff) << 8) |
+            (raw(o + 2) & 0xff)
+        case 3 =>
+          if (plte == null) fail(0, "palette image without PLTE")
+          val ci = raw(o) & 0xff
+          if (ci >= plte.length) fail(0, s"palette index $ci of ${plte.length}")
+          plte(ci)
+        case 6 =>
+          ((raw(o) & 0xff) << 16) | ((raw(o + 1) & 0xff) << 8) |
+            (raw(o + 2) & 0xff)
       }
       val out = new Array[Int](w * h)
-      y = 0
-      while (y < h) {
-        val ro = y * (stride + 1) + 1
-        var x = 0
-        while (x < w) {
-          out(y * w + x) = colorType match {
-            case 0 =>
-              val g = raw(ro + x) & 0xff; (g << 16) | (g << 8) | g
-            case 2 =>
-              ((raw(ro + 3 * x) & 0xff) << 16) |
-                ((raw(ro + 3 * x + 1) & 0xff) << 8) |
-                (raw(ro + 3 * x + 2) & 0xff)
-            case 3 =>
-              if (plte == null) fail(0, "palette image without PLTE")
-              val ci = raw(ro + x) & 0xff
-              if (ci >= plte.length) fail(0, s"palette index $ci of ${plte.length}")
-              plte(ci)
-            case 6 =>
-              ((raw(ro + 4 * x) & 0xff) << 16) |
-                ((raw(ro + 4 * x + 1) & 0xff) << 8) |
-                (raw(ro + 4 * x + 2) & 0xff)
+      var base = 0
+      passes.foreach { case (x0, y0, dx, dy, pw, ph) =>
+        val stride = pw * bpp
+        unfilterAt(base, stride, ph)
+        var py = 0
+        while (py < ph) {
+          val ro = base + py * (stride + 1) + 1
+          var px = 0
+          while (px < pw) {
+            out((y0 + dy * py) * w + (x0 + dx * px)) = pixAt(ro + bpp * px)
+            px += 1
           }
-          x += 1
+          py += 1
         }
-        y += 1
+        base += (stride + 1) * ph
       }
       (w, h, out)
     }
+
+    // Adam7 pass origins and strides (RFC 2083 §2.6 figure): pass k
+    // samples pixels (x0 + i·dx, y0 + j·dy)
+    private val adamX0 = Array(0, 4, 0, 2, 0, 1, 0)
+    private val adamY0 = Array(0, 0, 4, 0, 2, 0, 1)
+    private val adamDx = Array(8, 8, 4, 4, 2, 2, 1)
+    private val adamDy = Array(8, 8, 8, 4, 4, 2, 2)
   }
 
   /** Per-image pixel statistics through the REAL decoders — payloads

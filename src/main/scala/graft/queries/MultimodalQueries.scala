@@ -157,8 +157,15 @@ object MultimodalQueries {
               if (kind == "image") {
                 val w = 16 + (id % 24).toInt
                 val h = 10 + (id % 15).toInt
-                Multimodal.ImageHeader.encodePngStored(w, h,
-                  (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt)
+                // even ids Adam7-interlaced, odd ids linear — same
+                // pixel formula either way, so one oracle covers both
+                // decoder paths
+                if (id % 2 == 0)
+                  Multimodal.ImageHeader.encodePngStoredInterlaced(w, h,
+                    (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt)
+                else
+                  Multimodal.ImageHeader.encodePngStored(w, h,
+                    (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt)
               } else r.getAs[Array[Byte]](2)
             (id, kind, payload)
           }
