@@ -13,7 +13,7 @@ package graft.operators
   * fixed-point forms the IJG decoder family uses (and the JDK
   * bundles): the "slow-but-accurate" integer IDCT (Loeffler–
   * Ligtenberg–Moshytz factorization, CONST_BITS=13/PASS1_BITS=2
-  * descaling), triangle-filter chroma upsampling for the 2x1/2x2
+  * descaling), triangle-filter chroma upsampling for the 2x1/1x2/2x2
   * cases, and 16-bit fixed-point YCbCr→RGB — so decoded samples are
   * spec-checked BYTE-IDENTICAL against the JDK's own decoder on
   * JDK-encoded images (JpegCodecSpec), not merely "close".
@@ -48,7 +48,7 @@ object JpegCodec {
     private val mincode = new Array[Int](17)
     private val maxcode = new Array[Int](17)
     private val valptr = new Array[Int](17)
-    {
+    locally {
       var code = 0; var k = 0
       var l = 1
       while (l <= 16) {
@@ -294,9 +294,10 @@ object JpegCodec {
         fail(seg + 6, "grayscale with subsampling")
     }
 
-    def decodeScan(seg: Int): Int = {
+    def decodeScan(seg: Int, len: Int): Int = {
       val ns = b(seg) & 0xff
       if (ns != nComp) fail(seg, s"scan has $ns of $nComp components (contract: one interleaved scan)")
+      if (len != 6 + 2 * ns) fail(seg, s"SOS length $len (expected ${6 + 2 * ns} for $ns components)")
       val scanDc = new Array[Huff](3); val scanAc = new Array[Huff](3)
       var i = 0
       while (i < ns) {
@@ -388,11 +389,18 @@ object JpegCodec {
         }
         mcu += 1
       }
-      // upsample chroma to full padded resolution, convert, crop
+      // upsample chroma to full padded resolution, convert, crop.
+      // Edge duplication happens at the DOWNSAMPLED VALID dims
+      // (ceil(w*h_i/hmax) x ceil(h*v_i/vmax)) like the reference
+      // decoder family, NOT at the padded plane edge — the padded
+      // tail holds real decoded samples of the encoder's pad blocks,
+      // which must not bleed into the last visible column/row.
       val fullW = mcux * hmax * 8; val fullH = mcuy * vmax * 8
       val up = Array.tabulate(nComp) { i =>
-        upsample(planes(i), planeW(i), planeH(i),
-          hmax / compH(i), vmax / compV(i), fullW, fullH)
+        val vw = (w * compH(i) + hmax - 1) / hmax
+        val vh = (h * compV(i) + vmax - 1) / vmax
+        upsample(planes(i), planeW(i),
+          hmax / compH(i), vmax / compV(i), fullW, vw, vh)
       }
       val out = new Array[Int](w * h)
       if (nComp == 1) {
@@ -476,7 +484,7 @@ object JpegCodec {
           case 0xda =>
             if (!sofSeen) fail(p, "SOS before SOF")
             if (pixels != null) fail(p, "second scan (contract: one)")
-            p = decodeScan(seg)
+            p = decodeScan(seg, len)
             // after the entropy data the stream continues with markers
             // (RST handled inside; EOI/next marker here)
             if (p + 2 > b.length) fail(p, "no EOI after scan")
@@ -499,65 +507,74 @@ object JpegCodec {
   }
 
   /** Upsample one component plane by (sx, sy) in {1,2} to the full
-    * padded grid. (2,1) and (2,2) use the triangle filter (3/4 nearer
-    * + 1/4 further, the IJG "fancy" weights, edges duplicated);
-    * any other factor pair uses sample replication — matching the
-    * decoder family's selection rule so spec cross-checks stay
-    * byte-exact. */
-  private def upsample(in: Array[Int], iw: Int, ih: Int, sx: Int, sy: Int,
-      ow: Int, oh: Int): Array[Int] = {
+    * padded grid, filtering only the VALID vw x vh downsampled region
+    * (edges duplicate at vw-1 / vh-1). All three 2x directions use the
+    * triangle filter (3/4 nearer + 1/4 further, the IJG/turbo "fancy"
+    * weights): h2v1 column biases (+1 even / +2 odd), h1v2 row biases
+    * (+1 toward-above / +2 toward-below), h2v2 as the separable
+    * vertical-then-horizontal >> 4 form — matching the decoder
+    * family's selection rule so spec cross-checks stay byte-exact. */
+  private def upsample(in: Array[Int], iw: Int, sx: Int, sy: Int,
+      ow: Int, vw: Int, vh: Int): Array[Int] = {
     if (sx == 1 && sy == 1) return in
-    val out = new Array[Int](ow * oh)
+    val out = new Array[Int](ow * (2 * vh max vh))
     if (sx == 2 && sy == 1) {
       var y = 0
-      while (y < oh) {
+      while (y < vh) {
         val ir = y * iw
         val or = y * ow
         var x = 0
-        while (x < iw) {
+        while (x < vw) {
           val v3 = in(ir + x) * 3
           out(or + 2 * x) =
             if (x == 0) in(ir) else (v3 + in(ir + x - 1) + 1) >> 2
           out(or + 2 * x + 1) =
-            if (x == iw - 1) in(ir + x) else (v3 + in(ir + x + 1) + 2) >> 2
+            if (x == vw - 1) in(ir + x) else (v3 + in(ir + x + 1) + 2) >> 2
           x += 1
         }
         y += 1
+      }
+    } else if (sx == 1 && sy == 2) {
+      var oy = 0
+      while (oy < 2 * vh) {
+        val iy = oy >> 1
+        val even = (oy & 1) == 0
+        val ny = if (even) math.max(iy - 1, 0) else math.min(iy + 1, vh - 1)
+        val bias = if (even) 1 else 2
+        val tr = iy * iw; val nr = ny * iw
+        val or = oy * ow
+        var x = 0
+        while (x < vw) {
+          out(or + x) = (in(tr + x) * 3 + in(nr + x) + bias) >> 2
+          x += 1
+        }
+        oy += 1
       }
     } else if (sx == 2 && sy == 2) {
       // vertical triangle (3*this + next-nearest row) into column
       // sums, then horizontal triangle over the 4x-scaled sums
       var oy = 0
-      while (oy < oh) {
+      while (oy < 2 * vh) {
         val iy = oy >> 1
         val ny = if ((oy & 1) == 0) math.max(iy - 1, 0)
-          else math.min(iy + 1, ih - 1)
+          else math.min(iy + 1, vh - 1)
         val tr = iy * iw; val nr = ny * iw
         val or = oy * ow
         var x = 0
         var last = 0
         var cur = in(tr) * 3 + in(nr)
-        while (x < iw) {
-          val next = if (x < iw - 1) in(tr + x + 1) * 3 + in(nr + x + 1) else 0
+        while (x < vw) {
+          val next = if (x < vw - 1) in(tr + x + 1) * 3 + in(nr + x + 1) else 0
           out(or + 2 * x) =
             if (x == 0) (cur * 4 + 8) >> 4 else (cur * 3 + last + 8) >> 4
           out(or + 2 * x + 1) =
-            if (x == iw - 1) (cur * 4 + 7) >> 4 else (cur * 3 + next + 7) >> 4
+            if (x == vw - 1) (cur * 4 + 7) >> 4 else (cur * 3 + next + 7) >> 4
           last = cur; cur = next
           x += 1
         }
         oy += 1
       }
-    } else {
-      var y = 0
-      while (y < oh) {
-        val ir = (y / sy) * iw
-        val or = y * ow
-        var x = 0
-        while (x < ow) { out(or + x) = in(ir + x / sx); x += 1 }
-        y += 1
-      }
-    }
+    } else fail(0, s"upsample factors ${sx}x$sy out of contract")
     out
   }
 
@@ -571,8 +588,10 @@ object JpegCodec {
     * which is what gives mm_jpeg_pixels a formula oracle over real
     * entropy-coded bytes. Tables are minimal self-authored canonical
     * Huffman codes (9 four-bit DC category codes, a one-bit AC EOB). */
-  def encodeJpegDcOnly(w: Int, h: Int, blockVal: (Int, Int) => Int): Array[Byte] = {
+  def encodeJpegDcOnly(w: Int, h: Int, blockVal: (Int, Int) => Int,
+      restartInterval: Int = 0): Array[Byte] = {
     require(w > 0 && h > 0 && w <= 4096 && h <= 4096, s"fixture dims ${w}x$h")
+    require(restartInterval >= 0, s"restart interval $restartInterval")
     val bos = new java.io.ByteArrayOutputStream()
     def u8(v: Int): Unit = bos.write(v & 0xff)
     def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
@@ -590,6 +609,7 @@ object JpegCodec {
     marker(0xc4); u16(2 + 17 + 1); u8(0x10)
     val acCounts = Array(1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
     acCounts.foreach(u8); u8(0x00)
+    if (restartInterval > 0) { marker(0xdd); u16(4); u16(restartInterval) }
     marker(0xda); u16(6 + 2); u8(1); u8(1); u8(0x00) // SOS
     u8(0); u8(63); u8(0)
     // entropy data: per block, 4-bit DC category + category bits + EOB
@@ -606,12 +626,26 @@ object JpegCodec {
         i -= 1
       }
     }
+    def padToByte(): Unit =
+      if (nb > 0) { // pad with 1s
+        acc = (acc << (8 - nb)) | ((1 << (8 - nb)) - 1)
+        bos.write(acc)
+        if (acc == 0xff) bos.write(0x00)
+        acc = 0; nb = 0
+      }
     val bw = (w + 7) / 8; val bh = (h + 7) / 8
     var pred = 0
+    var mcu = 0; var rstIdx = 0
     var by = 0
     while (by < bh) {
       var bx = 0
       while (bx < bw) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          padToByte()
+          marker(0xd0 | rstIdx)
+          rstIdx = (rstIdx + 1) & 7
+          pred = 0
+        }
         val s = blockVal(bx, by)
         require(s >= 0 && s <= 255, s"block value $s")
         val f = s - 128
@@ -624,16 +658,107 @@ object JpegCodec {
         putBits(t, 4) // DC category code (canonical: value == code)
         if (t > 0) putBits(if (diff < 0) diff + (1 << t) - 1 else diff, t)
         putBits(0, 1) // AC EOB (code "0")
+        mcu += 1
         bx += 1
       }
       by += 1
     }
-    if (nb > 0) { // pad with 1s
+    padToByte()
+    marker(0xd9) // EOI
+    bos.toByteArray
+  }
+
+  /** Color (YCbCr) DC-only fixture with luma sampling factors (sh, sv)
+    * in {1,2} and 1x1 chroma — i.e. sh=sv=2 is 4:2:0, sh=2/sv=1 is
+    * 4:2:2. Per MCU the interleaved order is the spec's: the sh×sv
+    * luma blocks in raster order, then one Cb block, then one Cr
+    * block; `yVal(bx, by)` indexes LUMA block coordinates, `cbVal` /
+    * `crVal` index CHROMA (= MCU) block coordinates. Same minimal
+    * canonical tables as the grayscale fixture, shared by all three
+    * components. The sampled PLANES decode exactly (DC shortcut), but
+    * the pixel output then flows through the triangle upsample and
+    * fixed-point color convert — which is the point: it makes the
+    * subsampled reconstruction paths cross-checkable byte-for-byte
+    * against an independent conforming decoder (JpegCodecSpec does so
+    * vs the JDK's) on bytes whose plane content is known exactly. */
+  def encodeJpegDcOnlyColor(w: Int, h: Int, sh: Int, sv: Int,
+      yVal: (Int, Int) => Int, cbVal: (Int, Int) => Int,
+      crVal: (Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 4096 && h <= 4096, s"fixture dims ${w}x$h")
+    require(sh >= 1 && sh <= 2 && sv >= 1 && sv <= 2, s"sampling ${sh}x$sv")
+    val bos = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = bos.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8)
+    marker(0xdb); u16(2 + 65); u8(0x00)
+    (0 until 64).foreach(_ => u8(8))
+    marker(0xc0); u16(8 + 9); u8(8); u16(h); u16(w); u8(3) // SOF0 color
+    u8(1); u8((sh << 4) | sv); u8(0) // Y
+    u8(2); u8(0x11); u8(0)           // Cb
+    u8(3); u8(0x11); u8(0)           // Cr
+    marker(0xc4); u16(2 + 17 + 9); u8(0x00)
+    val dcCounts = Array(0, 0, 0, 9, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    dcCounts.foreach(u8); (0 until 9).foreach(u8)
+    marker(0xc4); u16(2 + 17 + 1); u8(0x10)
+    val acCounts = Array(1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    acCounts.foreach(u8); u8(0x00)
+    marker(0xda); u16(6 + 6); u8(3) // SOS, 3 components
+    u8(1); u8(0x00); u8(2); u8(0x00); u8(3); u8(0x00)
+    u8(0); u8(63); u8(0)
+    var acc = 0; var nb = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1); nb += 1
+        if (nb == 8) {
+          bos.write(acc)
+          if (acc == 0xff) bos.write(0x00)
+          acc = 0; nb = 0
+        }
+        i -= 1
+      }
+    }
+    val preds = new Array[Int](3)
+    def putBlock(ci: Int, s: Int): Unit = {
+      require(s >= 0 && s <= 255, s"block value $s")
+      val f = s - 128
+      val diff = f - preds(ci)
+      preds(ci) = f
+      val mag = math.abs(diff)
+      var t = 0
+      while ((mag >> t) != 0) t += 1
+      putBits(t, 4)
+      if (t > 0) putBits(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+      putBits(0, 1)
+    }
+    val mcux = (w + 8 * sh - 1) / (8 * sh)
+    val mcuy = (h + 8 * sv - 1) / (8 * sv)
+    var my = 0
+    while (my < mcuy) {
+      var mx = 0
+      while (mx < mcux) {
+        var by = 0
+        while (by < sv) {
+          var bx = 0
+          while (bx < sh) {
+            putBlock(0, yVal(mx * sh + bx, my * sv + by))
+            bx += 1
+          }
+          by += 1
+        }
+        putBlock(1, cbVal(mx, my))
+        putBlock(2, crVal(mx, my))
+        mx += 1
+      }
+      my += 1
+    }
+    if (nb > 0) {
       acc = (acc << (8 - nb)) | ((1 << (8 - nb)) - 1)
       bos.write(acc)
       if (acc == 0xff) bos.write(0x00)
     }
-    marker(0xd9) // EOI
+    marker(0xd9)
     bos.toByteArray
   }
 }

@@ -725,8 +725,10 @@ object Multimodal {
     else if (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
       b(2) == 'N' && b(3) == 'G')
       PngCodec.decode(b)
+    else if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
+      JpegCodec.decode(b)
     else throw new IllegalArgumentException(
-      "image decode: neither GIF nor PNG signature")
+      "image decode: not a GIF, PNG, or JPEG signature")
   }
 
   /** Wrap any table with a string payload column into the canonical

@@ -172,6 +172,36 @@ object MultimodalQueries {
         }(enc).toDF("media_id", "kind", "bytes")
       Multimodal.imagePixelStats(pngs)
     }),
+    // real pixels through the full JPEG baseline decoder (markers,
+    // canonical Huffman, DC prediction, IDCT, restart markers — odd
+    // ids also exercise the RSTn path): DC-only fixtures are the one
+    // JPEG class EVERY conforming decoder reproduces exactly
+    // (operators/Jpeg.scala scaladoc), so pixel(x,y) =
+    // blockVal(x/8, y/8) is a formula oracle over real entropy-coded
+    // bytes; byte-identity on lossy content is pinned by
+    // JpegCodecSpec against the JDK decoder instead
+    "mm_jpeg_pixels" -> ((s, d) => {
+      val enc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.BINARY)
+      val jpgs = media(s, d).select("media_id", "kind", "bytes")
+        .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+          it.map { r =>
+            val id = r.getLong(0); val kind = r.getString(1)
+            val payload =
+              if (kind == "image") {
+                val w = 16 + (id % 24).toInt
+                val h = 10 + (id % 15).toInt
+                graft.operators.JpegCodec.encodeJpegDcOnly(w, h,
+                  (bx, by) => ((id * 31 + bx * 7 + by * 13) % 256).toInt,
+                  restartInterval = if (id % 2 == 1) 1 + (id % 5).toInt else 0)
+              } else r.getAs[Array[Byte]](2)
+            (id, kind, payload)
+          }
+        }(enc).toDF("media_id", "kind", "bytes")
+      Multimodal.imagePixelStats(jpgs)
+    }),
     "mm_wav_segments" -> ((s, d) => {
       val enc = org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.scalaLong,
@@ -359,6 +389,22 @@ object MultimodalQueries {
     // s_k = (id*31 + k*7) % 4096 - 2048; windows 400 / hop 160
     "mm_gif_pixels" -> pixelStatsOracleSql,
     "mm_png_pixels" -> pixelStatsOracleSql,
+    // same dims as the GIF/PNG pair but the value is per 8x8 BLOCK:
+    // DC-only JPEG decodes to blockVal(x//8, y//8) exactly in every
+    // conforming decoder (all-zero AC + q0=8 -> both IDCT passes take
+    // their integer DC shortcut)
+    "mm_jpeg_pixels" ->
+      s"""WITH g AS (SELECT doc_id AS media_id, 16 + doc_id % 24 AS w,
+             10 + doc_id % 15 AS h
+           FROM documents WHERE doc_id % 3 = 0),
+         px AS (SELECT media_id, w, h,
+             ((media_id * 31 + (x.x // 8) * 7 + (y.y // 8) * 13) % 256) AS v
+           FROM g, LATERAL unnest(range(0, w)) AS x(x),
+             LATERAL unnest(range(0, h)) AS y(y))
+         SELECT media_id, w AS width, h AS height,
+           count(*) AS n_pixels, CAST(sum(v) AS BIGINT) AS sum_gray,
+           min(v) AS min_gray, max(v) AS max_gray
+         FROM px GROUP BY 1, 2, 3""",
     "mm_wav_segments" ->
       s"""WITH a AS (SELECT doc_id AS media_id, 300 + doc_id % 450 AS ns
              FROM documents WHERE doc_id % 3 = 1),
