@@ -718,6 +718,74 @@ object Multimodal {
         "sum_gray", "min_gray", "max_gray")
   }
 
+  /** Perceptual difference-hash (dHash) over REAL decoded pixels —
+    * the image analogue of SimHash for near-dup detection, and the
+    * cross-FORMAT dedup primitive: the hash is a function of pixel
+    * CONTENT only, so the same image stored as GIF, PNG, and (DC-only
+    * exact) JPEG buckets together. All-integer pipeline, replayable
+    * in any engine:
+    *
+    *   1. integer luma per pixel: (77·R + 150·G + 29·B) >> 8
+    *      (identity on gray pixels);
+    *   2. box-mean over a 9x8 grid, cell(i,j) = pixels with
+    *      i = x·9/w, j = y·8/h (floor), mean = floor(sum/count) —
+    *      this is the resize step, so near-dups that differ by a few
+    *      pixels (or a re-encode) still collide;
+    *   3. 64 gradient bits: bit (j·8+i) set iff cell(i,j) < cell(i+1,j)
+    *      — comparing ADJACENT cells makes the hash invariant to any
+    *      monotone global brightness shift (spec-pinned), unlike aHash;
+    *   4. rendered as a 16-hex-char string (sign-free on every engine).
+    *
+    * Grouping by the hash then gives exact-perceptual-dup clusters;
+    * banding its four 16-bit quarters gives the Hamming-near-dup
+    * candidate join (the SimHash X4 recipe, reused). Output:
+    * (media_id, width, height, dhash, n_same_hash). At 100 TB the
+    * shuffle carries 16-byte hashes — never pixels; the decode is a
+    * narrow per-row map. */
+  def imageDHash(media: DataFrame): DataFrame = {
+    val enc = Encoders.product[(Long, Int, Int, String)]
+    val hashed = media.filter(col("kind") === "image").select("media_id", "bytes")
+      .mapPartitions { it: Iterator[Row] =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val (w, h, px) = decodeImage(r.getAs[Array[Byte]](1))
+          val sums = new Array[Long](72)
+          val cnts = new Array[Long](72)
+          var y = 0
+          while (y < h) {
+            val j = y * 8 / h
+            var x = 0
+            while (x < w) {
+              val i = x * 9 / w
+              val p = px(y * w + x)
+              val luma = (77 * ((p >> 16) & 0xff) + 150 * ((p >> 8) & 0xff) +
+                29 * (p & 0xff)) >> 8
+              sums(j * 9 + i) += luma; cnts(j * 9 + i) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val cell = Array.tabulate(72)(k =>
+            if (cnts(k) == 0) 0L else sums(k) / cnts(k))
+          var bits = 0L
+          var j = 0
+          while (j < 8) {
+            var i = 0
+            while (i < 8) {
+              if (cell(j * 9 + i) < cell(j * 9 + i + 1))
+                bits |= 1L << (j * 8 + i)
+              i += 1
+            }
+            j += 1
+          }
+          (id, w, h, f"$bits%016x")
+        }
+      }(enc).toDF("media_id", "width", "height", "dhash")
+    hashed.withColumn("n_same_hash",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("dhash"))).cast("long"))
+  }
+
   /** Signature-sniffed dispatch to the real pixel decoders. */
   def decodeImage(b: Array[Byte]): (Int, Int, Array[Int]) = {
     if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F')

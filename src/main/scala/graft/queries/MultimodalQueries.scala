@@ -202,6 +202,41 @@ object MultimodalQueries {
         }(enc).toDF("media_id", "kind", "bytes")
       Multimodal.imagePixelStats(jpgs)
     }),
+    // cross-FORMAT perceptual dedup: consecutive image ids share a
+    // content seed (id/9) but rotate container format (id/3 mod 3:
+    // GIF / PNG / DC-only JPEG), so each triple decodes to identical
+    // pixels through three different real codecs and MUST collide in
+    // dHash — the dedup a real multimodal pipeline wants (same photo
+    // re-encoded). Block-constant content keeps the JPEG leg exact;
+    // the oracle replays the integer 9x8-grid gradient hash
+    "mm_image_dedup_dhash" -> ((s, d) => {
+      val enc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.BINARY)
+      val imgs = media(s, d).select("media_id", "kind", "bytes")
+        .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+          it.map { r =>
+            val id = r.getLong(0); val kind = r.getString(1)
+            val payload =
+              if (kind == "image") {
+                val seed = id / 9
+                val w = 16 + (seed % 24).toInt
+                val h = 10 + (seed % 15).toInt
+                def bv(bx: Int, by: Int) =
+                  ((seed * 31 + bx * 7 + by * 13) % 256).toInt
+                def pix(x: Int, y: Int) = bv(x / 8, y / 8)
+                ((id / 3) % 3) match {
+                  case 0 => Multimodal.ImageHeader.encodeGif(w, h, pix)
+                  case 1 => Multimodal.ImageHeader.encodePngStored(w, h, pix)
+                  case _ => graft.operators.JpegCodec.encodeJpegDcOnly(w, h, bv)
+                }
+              } else r.getAs[Array[Byte]](2)
+            (id, kind, payload)
+          }
+        }(enc).toDF("media_id", "kind", "bytes")
+      Multimodal.imageDHash(imgs)
+    }),
     "mm_wav_segments" -> ((s, d) => {
       val enc = org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.scalaLong,
@@ -405,6 +440,38 @@ object MultimodalQueries {
            count(*) AS n_pixels, CAST(sum(v) AS BIGINT) AS sum_gray,
            min(v) AS min_gray, max(v) AS max_gray
          FROM px GROUP BY 1, 2, 3""",
+    // integer dHash replay: luma == v on gray pixels, 9x8 grid by
+    // i = x*9//w / j = y*8//h, cell mean = sum//count, bit (j*8+i) =
+    // cell(i,j) < cell(i+1,j), packed via two 32-bit halves into the
+    // same 16-hex-char rendering the Spark side emits
+    "mm_image_dedup_dhash" ->
+      s"""WITH dims AS (SELECT doc_id AS media_id, doc_id // 9 AS seed,
+             (16 + (doc_id // 9) % 24) AS w, (10 + (doc_id // 9) % 15) AS h
+           FROM documents WHERE doc_id % 3 = 0),
+         px AS (SELECT media_id, w, h,
+             (x.x * 9) // w AS i, (y.y * 8) // h AS j,
+             ((seed * 31 + (x.x // 8) * 7 + (y.y // 8) * 13) % 256) AS v
+           FROM dims, LATERAL unnest(range(0, w)) AS x(x),
+             LATERAL unnest(range(0, h)) AS y(y)),
+         cells AS (SELECT media_id, w, h, i, j,
+             (sum(v) // count(*)) AS m
+           FROM px GROUP BY 1, 2, 3, 4, 5),
+         bits AS (SELECT a.media_id, a.w, a.h, (a.j * 8 + a.i) AS k,
+             CASE WHEN a.m < b.m THEN 1 ELSE 0 END AS bit
+           FROM cells a JOIN cells b
+             ON b.media_id = a.media_id AND b.j = a.j AND b.i = a.i + 1
+           WHERE a.i < 8),
+         packed AS (SELECT media_id, w, h,
+             CAST(sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32))
+                           ELSE 0 END) AS BIGINT) AS hi,
+             CAST(sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k)
+                           ELSE 0 END) AS BIGINT) AS lo
+           FROM bits GROUP BY 1, 2, 3)
+         SELECT media_id, w::INT AS width, h::INT AS height,
+           printf('%08x%08x', hi, lo) AS dhash,
+           count(*) OVER (PARTITION BY printf('%08x%08x', hi, lo))
+             AS n_same_hash
+         FROM packed""",
     "mm_wav_segments" ->
       s"""WITH a AS (SELECT doc_id AS media_id, 300 + doc_id % 450 AS ns
              FROM documents WHERE doc_id % 3 = 1),
