@@ -786,6 +786,79 @@ object Multimodal {
         .partitionBy(col("dhash"))).cast("long"))
   }
 
+  /** Signature-sniffed mono PCM decode: RIFF/WAV ([[WavCodec]]) or
+    * FLAC ([[graft.sources.Flac]]); anything else rejects loudly.
+    * The audio analogue of [[decodeImage]]. */
+  def decodeAudioPcm(b: Array[Byte]): Array[Int] = {
+    if (b.length >= 4 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') {
+      val info = WavCodec.parse(b).getOrElse(
+        throw new IllegalArgumentException("audio decode: malformed RIFF/WAV"))
+      require(info.channels == 1, s"audio fingerprint contract is mono, got ${info.channels}")
+      WavCodec.samples(b, info)
+    } else if (b.length >= 4 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C') {
+      val (info, ch) = graft.sources.Flac.decode(b)
+      require(info.channels == 1, s"audio fingerprint contract is mono, got ${info.channels}")
+      ch(0)
+    } else throw new IllegalArgumentException(
+      "audio decode: neither RIFF/WAV nor FLAC signature")
+  }
+
+  /** Perceptual audio fingerprint over REAL decoded PCM — the audio
+    * twin of [[imageDHash]] and the cross-CONTAINER dedup primitive:
+    * the fingerprint is a function of the SAMPLES only, so the same
+    * recording stored as WAV and as FLAC (lossless) collides. All
+    * integer, replayable in any engine:
+    *
+    *   1. decode to mono PCM (WAV or FLAC, sniffed);
+    *   2. window energies E_i = sum(s^2) over `windowSamples`-sample
+    *      windows at `hopSamples` offsets (0, hop, 2*hop, ...; the
+    *      tail window is the natural short one);
+    *   3. 64 gradient bits: bit k set iff E_{k+1} > E_k (windows past
+    *      the end contribute 0 bits) — energy-CONTOUR, so globally
+    *      rescaling amplitude (or flipping polarity) cannot move a
+    *      bit, the property that makes it a fingerprint rather than a
+    *      checksum;
+    *   4. rendered as 16 hex chars.
+    *
+    * Output: (media_id, n_samples, n_windows, fp, n_same_fp). At
+    * scale the shuffle carries 16-byte fingerprints, never samples —
+    * decode is a narrow per-row map, the count window partitions by
+    * the fingerprint (high cardinality). */
+  def audioFingerprint(media: DataFrame, windowSamples: Int = 256,
+      hopSamples: Int = 128): DataFrame = {
+    require(windowSamples > 0 && hopSamples > 0)
+    val enc = Encoders.product[(Long, Long, Long, String)]
+    val hashed = media.filter(col("kind") === "audio").select("media_id", "bytes")
+      .mapPartitions { it: Iterator[Row] =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val pcm = decodeAudioPcm(r.getAs[Array[Byte]](1))
+          val nWin = if (pcm.length == 0) 0 else (pcm.length + hopSamples - 1) / hopSamples
+          val e = new Array[Long](nWin)
+          var i = 0
+          while (i < nWin) {
+            val from = i * hopSamples
+            val to = math.min(from + windowSamples, pcm.length)
+            var s = 0L
+            var k = from
+            while (k < to) { val v = pcm(k).toLong; s += v * v; k += 1 }
+            e(i) = s
+            i += 1
+          }
+          var bits = 0L
+          var k = 0
+          while (k < 64 && k + 1 < nWin) {
+            if (e(k + 1) > e(k)) bits |= 1L << k
+            k += 1
+          }
+          (id, pcm.length.toLong, nWin.toLong, f"$bits%016x")
+        }
+      }(enc).toDF("media_id", "n_samples", "n_windows", "fp")
+    hashed.withColumn("n_same_fp",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("fp"))).cast("long"))
+  }
+
   /** Signature-sniffed dispatch to the real pixel decoders. */
   def decodeImage(b: Array[Byte]): (Int, Int, Array[Int]) = {
     if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F')

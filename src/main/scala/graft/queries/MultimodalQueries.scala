@@ -237,6 +237,41 @@ object MultimodalQueries {
         }(enc).toDF("media_id", "kind", "bytes")
       Multimodal.imageDHash(imgs)
     }),
+    // cross-CONTAINER audio dedup: consecutive audio ids share a PCM
+    // seed (id/6) but alternate container (id/3 mod 2: WAV / FLAC —
+    // the lossless pair), so each pair decodes to identical samples
+    // through two different real codecs and MUST collide in the
+    // energy-contour fingerprint; the oracle replays the integer
+    // window-energy gradient from the sample formula
+    "mm_audio_dedup_fp" -> ((s, d) => {
+      val enc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.BINARY)
+      val wavs = media(s, d).select("media_id", "kind", "bytes")
+        .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+          it.map { r =>
+            val id = r.getLong(0); val kind = r.getString(1)
+            val payload =
+              if (kind == "audio") {
+                val seed = id / 6
+                val n = 1600 + (seed % 1600).toInt
+                // amplitude envelope = per-window seed bit (1x or 2x):
+                // the energy CONTOUR then encodes ~n/128 seed bits, so
+                // distinct recordings get distinct fingerprints while
+                // the WAV/FLAC pair still collides exactly
+                val pcm = Array.tabulate(n) { k =>
+                  val base = ((seed * 31 + k * 7) % 4096).toInt - 2048
+                  base * (1 + ((seed >> ((k / 64) % 8)) & 1L).toInt)
+                }
+                if ((id / 3) % 2 == 0) Multimodal.WavCodec.encodePcm16(16000, pcm)
+                else graft.sources.Flac.encode(pcm, blockSize = 512)
+              } else r.getAs[Array[Byte]](2)
+            (id, kind, payload)
+          }
+        }(enc).toDF("media_id", "kind", "bytes")
+      Multimodal.audioFingerprint(wavs, windowSamples = 128, hopSamples = 64)
+    }),
     "mm_wav_segments" -> ((s, d) => {
       val enc = org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.scalaLong,
@@ -472,6 +507,37 @@ object MultimodalQueries {
            count(*) OVER (PARTITION BY printf('%08x%08x', hi, lo))
              AS n_same_hash
          FROM packed""",
+    // integer energy-contour replay: windows of 128 at hop 64 over
+    // the seed-derived PCM, bit k = E(k+1) > E(k), same two-halves
+    // hex rendering as the dHash oracle
+    "mm_audio_dedup_fp" ->
+      s"""WITH a AS (SELECT doc_id AS media_id, doc_id // 6 AS seed,
+             1600 + (doc_id // 6) % 1600 AS n
+           FROM documents WHERE doc_id % 3 = 1),
+         v AS (SELECT media_id, o.o AS o, k.k AS k,
+             ((((seed * 31 + k.k * 7) % 4096) - 2048)
+               * (1 + ((seed // (1::BIGINT << ((k.k // 64) % 8))) % 2))) AS s
+           FROM a, LATERAL unnest(range(0, n, 64)) AS o(o),
+             LATERAL unnest(range(o.o, least(o.o + 128, n))) AS k(k)),
+         e AS (SELECT media_id, (o // 64) AS i, sum(s * s) AS en
+           FROM v GROUP BY 1, 2),
+         bits AS (SELECT c.media_id, c.i AS k,
+             CASE WHEN nx.en > c.en THEN 1 ELSE 0 END AS bit
+           FROM e c JOIN e nx
+             ON nx.media_id = c.media_id AND nx.i = c.i + 1
+           WHERE c.i < 64),
+         packed AS (SELECT media_id,
+             CAST(sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32))
+                           ELSE 0 END) AS BIGINT) AS hi,
+             CAST(sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k)
+                           ELSE 0 END) AS BIGINT) AS lo
+           FROM bits GROUP BY 1)
+         SELECT p.media_id, a.n::BIGINT AS n_samples,
+           ((a.n + 63) // 64)::BIGINT AS n_windows,
+           printf('%08x%08x', p.hi, p.lo) AS fp,
+           count(*) OVER (PARTITION BY printf('%08x%08x', p.hi, p.lo))
+             AS n_same_fp
+         FROM packed p JOIN a ON a.media_id = p.media_id""",
     "mm_wav_segments" ->
       s"""WITH a AS (SELECT doc_id AS media_id, 300 + doc_id % 450 AS ns
              FROM documents WHERE doc_id % 3 = 1),
