@@ -786,6 +786,40 @@ object Multimodal {
         .partitionBy(col("dhash"))).cast("long"))
   }
 
+  /** Hamming near-dup image pairs over [[imageDHash]] — the X67/X4
+    * banded recipe applied to the perceptual hash: the 64-bit dHash
+    * splits into four 16-bit bands (4 hex chars each); pairs agreeing
+    * on ANY band become candidates (an r-bit-flip pair disagrees in at
+    * most r bands, so any pair within maxHamming <= 16 flips spread
+    * across <= 3 bands always shares one — and concentrated flips
+    * share three); candidates dedup by (a, b) then verify exact
+    * Hamming via the two 32-bit halves (bit_count is codegen'd).
+    * Never an all-pairs join: candidate volume is bounded by band-key
+    * multiplicity exactly like the SimHash path. Output: (id_a, id_b,
+    * hamming), id_a < id_b, hamming <= maxHamming. */
+  def imageNearDupPairs(media: DataFrame, maxHamming: Int = 6): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 64)
+    val hashed = imageDHash(media)
+      .select(col("media_id"), col("dhash"),
+        expr("cast(conv(substring(dhash, 1, 8), 16, 10) as long)").as("hi"),
+        expr("cast(conv(substring(dhash, 9, 8), 16, 10) as long)").as("lo"))
+    val banded = hashed.select(col("media_id"), col("dhash"), col("hi"), col("lo"),
+      posexplode(array((0 until 4).map(b =>
+        substring(col("dhash"), 1 + 4 * b, 4)): _*)).as(Seq("band_idx", "band_val")))
+    val a = banded.select(col("band_idx"), col("band_val"),
+      col("media_id").as("id_a"), col("hi").as("hi_a"), col("lo").as("lo_a"))
+    val b = banded.select(col("band_idx"), col("band_val"),
+      col("media_id").as("id_b"), col("hi").as("hi_b"), col("lo").as("lo_b"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "hi_a", "lo_a", "hi_b", "lo_b").distinct()
+      .withColumn("hamming",
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Signature-sniffed mono PCM decode: RIFF/WAV ([[WavCodec]]) or
     * FLAC ([[graft.sources.Flac]]); anything else rejects loudly.
     * The audio analogue of [[decodeImage]]. */

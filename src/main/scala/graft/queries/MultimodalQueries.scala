@@ -237,6 +237,40 @@ object MultimodalQueries {
         }(enc).toDF("media_id", "kind", "bytes")
       Multimodal.imageDHash(imgs)
     }),
+    // Hamming NEAR-dup pairs over the perceptual hash (X4's banded
+    // recipe with an EXACT oracle — the text SimHash query is
+    // rows-only): image pairs share a content seed (id/6); the second
+    // member carries a local +16 corner perturbation (flips a few
+    // gradient bits -> reported) except every 4th seed, whose second
+    // member is INVERTED (flips ~all bits -> correctly absent). The
+    // oracle replays hash, bands, and bit_count in DuckDB
+    "mm_image_neardup_dhash" -> ((s, d) => {
+      val enc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.BINARY)
+      val imgs = media(s, d).select("media_id", "kind", "bytes")
+        .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+          it.map { r =>
+            val id = r.getLong(0); val kind = r.getString(1)
+            val payload =
+              if (kind == "image") {
+                val seed = id / 6
+                val w = 16 + (seed % 24).toInt
+                val h = 10 + (seed % 15).toInt
+                def base(x: Int, y: Int) = ((seed * 31 + x * 7 + y * 13) % 200).toInt
+                val member = (id / 3) % 2
+                def pix(x: Int, y: Int): Int =
+                  if (member == 0L) base(x, y)
+                  else if (seed % 4 == 0) 255 - base(x, y)
+                  else base(x, y) + (if (x < 8 && y < 8) 16 else 0)
+                Multimodal.ImageHeader.encodePngStored(w, h, pix)
+              } else r.getAs[Array[Byte]](2)
+            (id, kind, payload)
+          }
+        }(enc).toDF("media_id", "kind", "bytes")
+      Multimodal.imageNearDupPairs(imgs, maxHamming = 8)
+    }),
     // cross-CONTAINER audio dedup: consecutive audio ids share a PCM
     // seed (id/6) but alternate container (id/3 mod 2: WAV / FLAC —
     // the lossless pair), so each pair decodes to identical samples
@@ -507,6 +541,51 @@ object MultimodalQueries {
            count(*) OVER (PARTITION BY printf('%08x%08x', hi, lo))
              AS n_same_hash
          FROM packed""",
+    // full replication of hash + bands + popcount verify: same grid
+    // arithmetic as the dhash oracle with the member perturbation,
+    // then the 4x16-bit band candidate join and bit_count(xor) in SQL
+    "mm_image_neardup_dhash" ->
+      s"""WITH m AS (SELECT doc_id AS media_id, doc_id // 6 AS seed,
+             (doc_id // 3) % 2 AS member,
+             16 + (doc_id // 6) % 24 AS w, 10 + (doc_id // 6) % 15 AS h
+           FROM documents WHERE doc_id % 3 = 0),
+         px AS (SELECT media_id, (x.x * 9) // w AS i, (y.y * 8) // h AS j,
+             CASE WHEN member = 0
+                    THEN ((seed * 31 + x.x * 7 + y.y * 13) % 200)
+                  WHEN seed % 4 = 0
+                    THEN 255 - ((seed * 31 + x.x * 7 + y.y * 13) % 200)
+                  ELSE ((seed * 31 + x.x * 7 + y.y * 13) % 200)
+                    + (CASE WHEN x.x < 8 AND y.y < 8 THEN 16 ELSE 0 END)
+             END AS v
+           FROM m, LATERAL unnest(range(0, w)) AS x(x),
+             LATERAL unnest(range(0, h)) AS y(y)),
+         cells AS (SELECT media_id, i, j, (sum(v) // count(*)) AS mn
+           FROM px GROUP BY 1, 2, 3),
+         bits AS (SELECT a.media_id, (a.j * 8 + a.i) AS k,
+             CASE WHEN a.mn < b.mn THEN 1 ELSE 0 END AS bit
+           FROM cells a JOIN cells b
+             ON b.media_id = a.media_id AND b.j = a.j AND b.i = a.i + 1
+           WHERE a.i < 8),
+         packed AS (SELECT media_id,
+             CAST(sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32))
+                           ELSE 0 END) AS BIGINT) AS hi,
+             CAST(sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k)
+                           ELSE 0 END) AS BIGINT) AS lo
+           FROM bits GROUP BY 1),
+         hx AS (SELECT media_id, hi, lo, printf('%08x%08x', hi, lo) AS dh
+           FROM packed),
+         cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+             a.hi AS hi_a, a.lo AS lo_a, b.hi AS hi_b, b.lo AS lo_b
+           FROM hx a JOIN hx b ON b.media_id > a.media_id AND (
+             substr(a.dh, 1, 4) = substr(b.dh, 1, 4)
+             OR substr(a.dh, 5, 4) = substr(b.dh, 5, 4)
+             OR substr(a.dh, 9, 4) = substr(b.dh, 9, 4)
+             OR substr(a.dh, 13, 4) = substr(b.dh, 13, 4)))
+         SELECT id_a, id_b,
+           (bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)))::BIGINT
+             AS hamming
+         FROM cand
+         WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 8""",
     // integer energy-contour replay: windows of 128 at hop 64 over
     // the seed-derived PCM, bit k = E(k+1) > E(k), same two-halves
     // hex rendering as the dHash oracle

@@ -55,6 +55,28 @@ class ImageDHashSpec extends AnyFunSuite {
     assert(m(10L)._2 == 2L && m(12L)._2 == 1L)
   }
 
+  test("near-dup pairs: local perturbation found, inversion rejected, no cartesian") {
+    val (w, h) = (32, 24)
+    def base(x: Int, y: Int) = (x * 3 + y * 11) % 200
+    val near = Multimodal.ImageHeader.encodePngStored(w, h,
+      (x, y) => base(x, y) + (if (x < 8 && y < 8) 16 else 0))
+    val far = Multimodal.ImageHeader.encodePngStored(w, h,
+      (x, y) => 255 - base(x, y))
+    val unrelated = Multimodal.ImageHeader.encodePngStored(w, h,
+      (x, y) => ((x * 2654435761L + y * 40503L) % 200).toInt)
+    val df = mediaOf(Seq(
+      0L -> Multimodal.ImageHeader.encodePngStored(w, h, base),
+      1L -> near, 2L -> far, 3L -> unrelated))
+    val pairs = Multimodal.imageNearDupPairs(df, maxHamming = 8)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), "banded join degenerated to all-pairs")
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.contains((0L, 1L)), s"perturbed near-dup not found: $got")
+    assert(!got.keySet.exists { case (a, b) => a == 2L || b == 2L },
+      s"inverted image reported as near-dup: $got")
+  }
+
   test("luma weighting: color pixels fold via (77R+150G+29B)>>8") {
     // two images identical in luma but different in raw channels must
     // collide; verify against a hand-computed 9x8-exact case
