@@ -271,6 +271,66 @@ object MultimodalQueries {
         }(enc).toDF("media_id", "kind", "bytes")
       Multimodal.imageNearDupPairs(imgs, maxHamming = 8)
     }),
+    // the multimodal CRAWL composition: docs pack into multi-record
+    // WARC files (doc_warc_extract's 10-records/file + every-4th-
+    // gzip-member layout) where image-kind ids carry REAL encoded
+    // containers (GIF/PNG/DC-JPEG by id/3 mod 3, content triples by
+    // seed id/9) under image/* HTTP content types and the crawl's
+    // status formula; the pipeline is the real ingest shape: strict
+    // WARC parse -> status-200 gate -> content-type routing -> real
+    // pixel decode -> perceptual dHash -> cross-format dup counts.
+    // Every stage replays in the oracle (status + dims + grid hash)
+    "mm_warc_image_pipeline" -> ((s, d) => {
+      import s.implicits._
+      val grouped = graft.Tables.table(s, d, "documents")
+        .select(expr("doc_id div 10").as("file_id"),
+          struct(col("doc_id"), col("text")).as("r"))
+        .groupBy(col("file_id"))
+        .agg(sort_array(collect_list(col("r"))).as("rs"))
+      val survivors = grouped.flatMap { row =>
+        val bytes = row.getSeq[org.apache.spark.sql.Row](1).flatMap { r =>
+          val id = r.getLong(0)
+          // decorrelated from id%3 (unlike doc_warc_extract's formula,
+          // whose multiplier is 1 mod 3) so the 200-gate REALLY drops
+          // ~40% of the image records
+          val q = (id * 31 + 7) % 5
+          val (st, stx) =
+            if (q < 3) (200, "OK")
+            else if (q == 3L) (301, "Moved")
+            else (404, "NotFound")
+          val (body, ctype) =
+            if (id % 3 == 0) {
+              val seed = id / 9
+              val w = 16 + (seed % 24).toInt
+              val h = 10 + (seed % 15).toInt
+              def bv(bx: Int, by: Int) =
+                ((seed * 31 + bx * 7 + by * 13) % 256).toInt
+              def pix(x: Int, y: Int) = bv(x / 8, y / 8)
+              ((id / 3) % 3) match {
+                case 0 => (Multimodal.ImageHeader.encodeGif(w, h, pix), "image/gif")
+                case 1 => (Multimodal.ImageHeader.encodePngStored(w, h, pix), "image/png")
+                case _ => (graft.operators.JpegCodec.encodeJpegDcOnly(w, h, bv), "image/jpeg")
+              }
+            } else
+              (r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8),
+                "text/plain")
+          val rec = graft.sources.Warc.encodeResponse(
+            s"https://ex.org/d/$id", "2026-08-15T00:00:00Z", st, stx, body, ctype)
+          (if (id % 4 == 0) graft.sources.Warc.gzipMember(rec) else rec).toSeq
+        }.toArray
+        graft.sources.Warc.parseAll(bytes)
+          .filter(w => w.httpStatus == 200 &&
+            w.httpContentType.startsWith("image/"))
+          .map { w =>
+            val id = w.targetUri.substring(w.targetUri.lastIndexOf('/') + 1).toLong
+            (id, w.httpContentType, w.body)
+          }
+      }.toDF("media_id", "container", "bytes")
+      val hashed = Multimodal.imageDHash(
+        survivors.select(col("media_id"), lit("image").as("kind"), col("bytes")))
+      hashed.join(survivors.select("media_id", "container"), "media_id")
+        .select("media_id", "container", "width", "height", "dhash", "n_same_hash")
+    }),
     // cross-CONTAINER audio dedup: consecutive audio ids share a PCM
     // seed (id/6) but alternate container (id/3 mod 2: WAV / FLAC —
     // the lossless pair), so each pair decodes to identical samples
@@ -541,6 +601,40 @@ object MultimodalQueries {
            count(*) OVER (PARTITION BY printf('%08x%08x', hi, lo))
              AS n_same_hash
          FROM packed""",
+    // crawl replay: the status formula picks the 200s, dims/content
+    // come from the seed, the grid hash is the dhash oracle's CTE —
+    // every pipeline stage recomputed in SQL
+    "mm_warc_image_pipeline" ->
+      s"""WITH img AS (SELECT doc_id AS media_id, doc_id // 9 AS seed,
+             CASE ((doc_id // 3) % 3) WHEN 0 THEN 'image/gif'
+                  WHEN 1 THEN 'image/png' ELSE 'image/jpeg' END AS container,
+             16 + (doc_id // 9) % 24 AS w, 10 + (doc_id // 9) % 15 AS h
+           FROM documents
+           WHERE doc_id % 3 = 0 AND (doc_id * 31 + 7) % 5 < 3),
+         px AS (SELECT media_id, w, h,
+             (x.x * 9) // w AS i, (y.y * 8) // h AS j,
+             ((seed * 31 + (x.x // 8) * 7 + (y.y // 8) * 13) % 256) AS v
+           FROM img, LATERAL unnest(range(0, w)) AS x(x),
+             LATERAL unnest(range(0, h)) AS y(y)),
+         cells AS (SELECT media_id, w, h, i, j, (sum(v) // count(*)) AS m
+           FROM px GROUP BY 1, 2, 3, 4, 5),
+         bits AS (SELECT a.media_id, a.w, a.h, (a.j * 8 + a.i) AS k,
+             CASE WHEN a.m < b.m THEN 1 ELSE 0 END AS bit
+           FROM cells a JOIN cells b
+             ON b.media_id = a.media_id AND b.j = a.j AND b.i = a.i + 1
+           WHERE a.i < 8),
+         packed AS (SELECT media_id, w, h,
+             CAST(sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32))
+                           ELSE 0 END) AS BIGINT) AS hi,
+             CAST(sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k)
+                           ELSE 0 END) AS BIGINT) AS lo
+           FROM bits GROUP BY 1, 2, 3)
+         SELECT p.media_id, img.container, p.w::INT AS width,
+           p.h::INT AS height,
+           printf('%08x%08x', p.hi, p.lo) AS dhash,
+           count(*) OVER (PARTITION BY printf('%08x%08x', p.hi, p.lo))
+             AS n_same_hash
+         FROM packed p JOIN img ON img.media_id = p.media_id""",
     // full replication of hash + bands + popcount verify: same grid
     // arithmetic as the dhash oracle with the member perturbation,
     // then the 4x16-bit band candidate join and bit_count(xor) in SQL

@@ -32,7 +32,10 @@ object Warc {
 
   final case class WarcRecord(offset: Long, warcType: String,
       targetUri: String, date: String, httpStatus: Int,
-      contentLength: Long, body: Array[Byte])
+      contentLength: Long, body: Array[Byte],
+      // HTTP Content-Type header of a response record ("" when absent
+      // or not a response) — the media-pipeline routing key
+      httpContentType: String = "")
 
   /** Every malformed-input rejection throws this, carrying the byte
     * offset of the offending member/record STRUCTURALLY — so a
@@ -64,10 +67,11 @@ object Warc {
 
   /** Encode one `response` record (uncompressed form). */
   def encodeResponse(uri: String, date: String, status: Int,
-      statusText: String, body: Array[Byte]): Array[Byte] = {
+      statusText: String, body: Array[Byte],
+      contentType: String = "text/plain"): Array[Byte] = {
     val http = new ByteArrayOutputStream()
     http.write(s"HTTP/1.1 $status $statusText\r\n".getBytes(US_ASCII))
-    http.write("Content-Type: text/plain\r\n".getBytes(US_ASCII))
+    http.write(s"Content-Type: $contentType\r\n".getBytes(US_ASCII))
     http.write(s"Content-Length: ${body.length}\r\n\r\n".getBytes(US_ASCII))
     http.write(body)
     val payload = http.toByteArray
@@ -280,13 +284,15 @@ object Warc {
     check(b(end) == '\r' && b(end + 1) == '\n' &&
         b(end + 2) == '\r' && b(end + 3) == '\n', p,
       s"WARC: record at offset $p not terminated by CRLF CRLF")
-    val (status, body) =
-      if (warcType == "response") parseHttp(payload, p) else (0, payload)
+    val (status, ctype, body) =
+      if (warcType == "response") parseHttp(payload, p)
+      else (0, "", payload)
     (WarcRecord(p.toLong, warcType, uri, date, status,
-      contentLength, body), end + 4)
+      contentLength, body, ctype), end + 4)
   }
 
-  private def parseHttp(payload: Array[Byte], at: Int): (Int, Array[Byte]) = {
+  private def parseHttp(payload: Array[Byte],
+      at: Int): (Int, String, Array[Byte]) = {
     val (statusLine, afterStatus) = readLine(payload, 0)
     val parts = statusLine.split(" ", 3)
     check(parts.length >= 2 && parts(0).startsWith("HTTP/"), at,
@@ -298,15 +304,20 @@ object Warc {
     }
     var q = afterStatus
     var line = ""
+    var ctype = ""
     var guard = 0
     do {
       val (l, next) = readLine(payload, q)
       line = l; q = next
+      val ci = line.indexOf(':')
+      if (ci > 0 && line.substring(0, ci).equalsIgnoreCase("Content-Type"))
+        ctype = line.substring(ci + 1).trim
       guard += 1
       check(guard <= 256, at,
         s"WARC: record at offset $at: more than 256 HTTP header lines")
     } while (line.nonEmpty)
-    (status, java.util.Arrays.copyOfRange(payload, q, payload.length))
+    (status, ctype,
+      java.util.Arrays.copyOfRange(payload, q, payload.length))
   }
 
   /** ASCII line up to CRLF; rejects records whose headers never
