@@ -795,9 +795,19 @@ object Multimodal {
     * share three); candidates dedup by (a, b) then verify exact
     * Hamming via the two 32-bit halves (bit_count is codegen'd).
     * Never an all-pairs join: candidate volume is bounded by band-key
-    * multiplicity exactly like the SimHash path. Output: (id_a, id_b,
-    * hamming), id_a < id_b, hamming <= maxHamming. */
-  def imageNearDupPairs(media: DataFrame, maxHamming: Int = 6): DataFrame = {
+    * multiplicity exactly like the SimHash path — and, like every
+    * quadratic-capable join in this engine, the EXACT would-be volume
+    * is measured in one reduced agg first and vetoes loudly over
+    * budget ([[Guard]]): a corpus whose perceptual-hash diversity
+    * saturates (screenshot farms, template imagery, the GenScale
+    * replica fixture at 100x) has quadratically many TRUE dup pairs,
+    * and that truth must be a contract, not a silent 28x-superlinear
+    * run (measured sf1 -> sf10 before the guard). Budget knob:
+    * `spark.graft.guard.dhashMaxAvgCandidatesPerRow`; pass 0 to
+    * disable. Output: (id_a, id_b, hamming), id_a < id_b,
+    * hamming <= maxHamming. */
+  def imageNearDupPairs(media: DataFrame, maxHamming: Int = 6,
+      maxAvgCandidatesPerRow: Double = 256.0): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 64)
     val hashed = imageDHash(media)
       .select(col("media_id"), col("dhash"),
@@ -806,6 +816,22 @@ object Multimodal {
     val banded = hashed.select(col("media_id"), col("dhash"), col("hi"), col("lo"),
       posexplode(array((0 until 4).map(b =>
         substring(col("dhash"), 1 + 4 * b, 4)): _*)).as(Seq("band_idx", "band_val")))
+    if (maxAvgCandidatesPerRow > 0) {
+      val row = banded.groupBy("band_idx", "band_val")
+        .agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(col("n")), lit(0L)).as("slots"),
+          coalesce(sum(col("n").cast("decimal(38,0)") * (col("n") - 1)),
+            lit(java.math.BigDecimal.ZERO)).as("pairs2x")).first()
+      val rows = row.getLong(0) / 4
+      val pairs = BigDecimal(row.getDecimal(1)) / 2
+      Guard.verify(GuardReport("banded-dHash candidate", rows, pairs,
+        BigDecimal(maxAvgCandidatesPerRow), perRow = true,
+        "Saturated perceptual-hash diversity (template/screenshot-" +
+          "heavy corpora) makes near-dup pair truth quadratic; group " +
+          "by exact dhash first (imageDHash) and pair only cluster " +
+          "representatives, or raise maxAvgCandidatesPerRow if this " +
+          "volume is intended."))
+    }
     val a = banded.select(col("band_idx"), col("band_val"),
       col("media_id").as("id_a"), col("hi").as("hi_a"), col("lo").as("lo_a"))
     val b = banded.select(col("band_idx"), col("band_val"),

@@ -269,7 +269,9 @@ object MultimodalQueries {
             (id, kind, payload)
           }
         }(enc).toDF("media_id", "kind", "bytes")
-      Multimodal.imageNearDupPairs(imgs, maxHamming = 8)
+      Multimodal.imageNearDupPairs(imgs, maxHamming = 8,
+        maxAvgCandidatesPerRow = graft.operators.Guard.budget(
+          s, "dhashMaxAvgCandidatesPerRow", 256.0))
     }),
     // the multimodal CRAWL composition: docs pack into multi-record
     // WARC files (doc_warc_extract's 10-records/file + every-4th-

@@ -77,6 +77,24 @@ class ImageDHashSpec extends AnyFunSuite {
       s"inverted image reported as near-dup: $got")
   }
 
+  test("near-dup guard: saturated hash diversity vetoes loudly by name, 0 disables") {
+    // 40 identical images -> one hash cluster -> 780 true pairs,
+    // 19.5 candidates/row: over a budget of 5, under 100
+    val bytes = Multimodal.ImageHeader.encodePngStored(24, 16,
+      (x, y) => (x * 9 + y * 5) % 200)
+    val df = mediaOf((0L until 40L).map(_ -> bytes))
+    val e = intercept[GuardTrippedException] {
+      Multimodal.imageNearDupPairs(df, maxHamming = 8,
+        maxAvgCandidatesPerRow = 5.0).collect()
+    }
+    assert(e.report.guard == "banded-dHash candidate", e.getMessage)
+    assert(e.report.rows == 40L && e.report.tripped)
+    // disabled guard: the same input runs and reports every pair
+    val n = Multimodal.imageNearDupPairs(df, maxHamming = 8,
+      maxAvgCandidatesPerRow = 0.0).count()
+    assert(n == 40L * 39 / 2, s"expected all-pairs of the clique, got $n")
+  }
+
   test("luma weighting: color pixels fold via (77R+150G+29B)>>8") {
     // two images identical in luma but different in raw channels must
     // collide; verify against a hand-computed 9x8-exact case
