@@ -742,9 +742,17 @@ object Multimodal {
     * (media_id, width, height, dhash, n_same_hash). At 100 TB the
     * shuffle carries 16-byte hashes — never pixels; the decode is a
     * narrow per-row map. */
-  def imageDHash(media: DataFrame): DataFrame = {
+  def imageDHash(media: DataFrame): DataFrame =
+    dHashRows(media).withColumn("n_same_hash",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("dhash"))).cast("long"))
+
+  /** The windowless hash frame (media_id, width, height, dhash) —
+    * shared by [[imageDHash]], the pair search, and the persisted
+    * index (which must not pay the count window). */
+  private def dHashRows(media: DataFrame): DataFrame = {
     val enc = Encoders.product[(Long, Int, Int, String)]
-    val hashed = media.filter(col("kind") === "image").select("media_id", "bytes")
+    media.filter(col("kind") === "image").select("media_id", "bytes")
       .mapPartitions { it: Iterator[Row] =>
         it.map { r =>
           val id = r.getLong(0)
@@ -781,9 +789,47 @@ object Multimodal {
           (id, w, h, f"$bits%016x")
         }
       }(enc).toDF("media_id", "width", "height", "dhash")
-    hashed.withColumn("n_same_hash",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("dhash"))).cast("long"))
+  }
+
+  /** Persist the perceptual-hash index: one row per corpus image with
+    * the hash and its two 32-bit halves pre-split for the Hamming
+    * verify — the image parity of [[Dedup.writeNearDupIndex]]. Delta
+    * batches then dedup against the STORE without re-decoding the
+    * corpus ([[imageNearDupsAgainstIndex]]); a periodic batch
+    * re-index absorbs accepted images. */
+  def writeDHashIndex(media: DataFrame, dir: String): Unit =
+    dHashRows(media).select(col("media_id"), col("dhash"),
+      expr("cast(conv(substring(dhash, 1, 8), 16, 10) as long)").as("hi"),
+      expr("cast(conv(substring(dhash, 9, 8), 16, 10) as long)").as("lo"))
+      .write.mode("overwrite").parquet(s"$dir/dhash_index")
+
+  /** Near-dup pairs of a delta image batch against the stored index:
+    * same bands, same popcount verify as [[imageNearDupPairs]], but
+    * the corpus side is the persisted hash table — the corpus is
+    * never re-decoded, and the delta side (small by construction)
+    * broadcasts into the index scan. Returns
+    * (in_id, corpus_id, hamming). */
+  def imageNearDupsAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, delta: DataFrame, maxHamming: Int = 8): DataFrame = {
+    val idx = spark.read.parquet(s"$dir/dhash_index")
+    val fresh = dHashRows(delta).select(col("media_id"), col("dhash"),
+      expr("cast(conv(substring(dhash, 1, 8), 16, 10) as long)").as("hi"),
+      expr("cast(conv(substring(dhash, 9, 8), 16, 10) as long)").as("lo"))
+    def banded(df: DataFrame, side: String) = df.select(
+      col("media_id").as(side),
+      col("hi").as(s"hi_$side"), col("lo").as(s"lo_$side"),
+      posexplode(array((0 until 4).map(b =>
+        substring(col("dhash"), 1 + 4 * b, 4)): _*)).as(Seq("band_idx", "band_val")))
+    broadcast(banded(fresh, "in_id"))
+      .join(banded(idx, "corpus_id"), Seq("band_idx", "band_val"))
+      .filter(col("in_id") =!= col("corpus_id"))
+      .select("in_id", "corpus_id", "hi_in_id", "lo_in_id",
+        "hi_corpus_id", "lo_corpus_id").distinct()
+      .withColumn("hamming",
+        (bit_count(col("hi_in_id").bitwiseXOR(col("hi_corpus_id"))) +
+          bit_count(col("lo_in_id").bitwiseXOR(col("lo_corpus_id")))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("in_id", "corpus_id", "hamming")
   }
 
   /** Hamming near-dup image pairs over [[imageDHash]] — the X67/X4
@@ -809,7 +855,7 @@ object Multimodal {
   def imageNearDupPairs(media: DataFrame, maxHamming: Int = 6,
       maxAvgCandidatesPerRow: Double = 256.0): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 64)
-    val hashed = imageDHash(media)
+    val hashed = dHashRows(media)
       .select(col("media_id"), col("dhash"),
         expr("cast(conv(substring(dhash, 1, 8), 16, 10) as long)").as("hi"),
         expr("cast(conv(substring(dhash, 9, 8), 16, 10) as long)").as("lo"))

@@ -370,6 +370,28 @@ object Streams {
         .parquet(outPath)
     }
 
+  /** Streaming image-ingest dedup against the persisted perceptual
+    * index (the multimodal parity of [[nearDupAgainstIndex]]): each
+    * micro-batch of (media_id, kind, bytes) rows decodes, dHashes, and
+    * band-joins against [[graft.operators.Multimodal.writeDHashIndex]]'s
+    * store — the corpus is never re-decoded — and the matched pairs
+    * land through the exactly-once `__batch` partition overwrite, so a
+    * replayed micro-batch overwrites its own pairs. Combine with a
+    * periodic batch re-index to absorb accepted images. Usage:
+    * `imgs.writeStream.foreachBatch(imageDedupAgainstIndex(spark, idx, out)).start()`. */
+  def imageDedupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, outPath: String,
+      maxHamming: Int = 8): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      val pairs = graft.operators.Multimodal.imageNearDupsAgainstIndex(
+        spark, indexDir, batch, maxHamming)
+      pairs.withColumn("__batch", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch")
+        .parquet(outPath)
+    }
+
   /** Streaming ingest into a STORED 3D cloud (the 3D parity of the
     * grid-ingest path): each micro-batch of (x, y, z) points packs
     * under the stored key split and lands through

@@ -385,6 +385,52 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming image dedup against the persisted dHash index is replay-idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val idx = s"/tmp/graft_img_idx_${System.nanoTime()}"
+    val out = s"/tmp/graft_img_idx_out_${System.nanoTime()}"
+    val (w, h) = (32, 24)
+    def base(x: Int, y: Int) = (x * 3 + y * 11) % 200
+    def png(f: (Int, Int) => Int) =
+      graft.operators.Multimodal.ImageHeader.encodePngStored(w, h, f)
+    val corpus = Seq(
+      (100L, "image", png(base)),
+      (101L, "image", png((x, y) => ((x * 2654435761L + y * 40503L) % 200).toInt)))
+      .toDF("media_id", "kind", "bytes")
+    graft.operators.Multimodal.writeDHashIndex(corpus, idx)
+
+    val sink = Streams.imageDedupAgainstIndex(spark, idx, out, maxHamming = 8)
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = in.toDF().toDF("media_id", "bytes")
+      .selectExpr("media_id", "'image' AS kind", "bytes")
+      .writeStream.foreachBatch(sink).outputMode("append").start()
+    try {
+      in.addData(
+        // corner-perturbed near-dup of corpus image 100; the second
+        // arrives as a GIF — the cross-format path through the index
+        (1L, png((x, y) => base(x, y) + (if (x < 8 && y < 8) 16 else 0))),
+        (2L, graft.operators.Multimodal.ImageHeader.encodeGif(w, h, base)),
+        // inverted gradient: far from everything
+        (3L, png((x, y) => 255 - base(x, y))))
+      q.processAllAvailable()
+      val got = spark.read.parquet(out)
+        .select("in_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 100L), (2L, 100L)), s"got $got")
+
+      // at-least-once replay of the same micro-batch must overwrite,
+      // not duplicate
+      sink(Seq((2L, "image",
+        graft.operators.Multimodal.ImageHeader.encodeGif(w, h, base)))
+        .toDF("media_id", "kind", "bytes"), 0L)
+      val replayed = spark.read.parquet(out)
+        .select("in_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(replayed == Seq((2L, 100L)), s"replay wrong: $replayed")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState running totals across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
