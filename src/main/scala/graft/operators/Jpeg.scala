@@ -578,6 +578,62 @@ object JpegCodec {
     out
   }
 
+  /** Strip metadata segments — every APPn (0xFFE0-0xFFEF: JFIF, EXIF,
+    * ICC, XMP, ...) and COM (0xFFFE) — from a baseline JPEG without
+    * touching the image data: the privacy scrub a training-data
+    * pipeline runs before anything else (EXIF carries GPS and serial
+    * numbers), as a pure marker walk with NO decode. Everything else
+    * copies verbatim (tables, frame, the whole entropy-coded scan),
+    * so the stripped file decodes bit-identically; idempotent.
+    * Returns (strippedBytes, segmentsRemoved). Structural errors
+    * reject loudly with offsets like [[decode]]. */
+  def stripMetadata(b: Array[Byte]): (Array[Byte], Int) = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      fail(0, "bad SOI")
+    val out = new java.io.ByteArrayOutputStream(b.length)
+    out.write(0xff); out.write(0xd8)
+    var removed = 0
+    var p = 2
+    var done = false
+    while (!done) {
+      if (p + 2 > b.length) fail(p, "ran off end before EOI")
+      if ((b(p) & 0xff) != 0xff) fail(p, f"expected marker, got 0x${b(p) & 0xff}%02x")
+      val m = b(p + 1) & 0xff
+      if (m == 0xff) { out.write(0xff); p += 1 } // fill byte
+      else if (m == 0xd9) { out.write(0xff); out.write(0xd9); done = true }
+      else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+        out.write(0xff); out.write(m); p += 2
+      } else {
+        if (p + 4 > b.length) fail(p, "truncated segment header")
+        val len = ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+        if (len < 2 || p + 2 + len > b.length)
+          fail(p + 2, s"segment length $len overruns ${b.length} bytes")
+        val isMeta = (m >= 0xe0 && m <= 0xef) || m == 0xfe
+        if (isMeta) removed += 1
+        else out.write(b, p, 2 + len)
+        p += 2 + len
+        if (m == 0xda) {
+          // entropy-coded data follows: copy through to the next true
+          // marker (RSTn and stuffed 0xFF00 stay inside the scan)
+          val start = p
+          var q = p
+          var inScan = true
+          while (inScan) {
+            if (q + 2 > b.length) fail(q, "scan data truncated before EOI")
+            if ((b(q) & 0xff) == 0xff) {
+              val n = b(q + 1) & 0xff
+              if (n == 0x00 || (n >= 0xd0 && n <= 0xd7)) q += 2
+              else inScan = false
+            } else q += 1
+          }
+          out.write(b, start, q - start)
+          p = q
+        }
+      }
+    }
+    (out.toByteArray, removed)
+  }
+
   // ---- DC-only fixture encoder (exact-oracle path) ----
 
   /** Encode a REAL baseline grayscale JPEG whose blocks are constant:

@@ -333,6 +333,44 @@ object MultimodalQueries {
       hashed.join(survivors.select("media_id", "container"), "media_id")
         .select("media_id", "container", "width", "height", "dhash", "n_same_hash")
     }),
+    // privacy scrub: image ids carry DC-only JPEGs with an injected
+    // APP1 (EXIF-slot) and COM segment of id-derived lengths; the
+    // marker-walk strip removes exactly those (arithmetic byte
+    // delta), and the stripped file still decodes to the exact block
+    // formula — metadata gone, pixels untouched, no decode in the
+    // strip itself
+    "mm_jpeg_strip_meta" -> ((s, d) => {
+      val enc = org.apache.spark.sql.Encoders.product[
+        (Long, Long, Long, Int, Int, Long)]
+      media(s, d).filter(col("kind") === "image").select("media_id")
+        .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+          it.map { r =>
+            val id = r.getLong(0)
+            val w = 16 + (id % 24).toInt
+            val h = 10 + (id % 15).toInt
+            val base = graft.operators.JpegCodec.encodeJpegDcOnly(w, h,
+              (bx, by) => ((id * 31 + bx * 7 + by * 13) % 256).toInt)
+            val l1 = 64 + (id % 128).toInt // APP1 payload bytes
+            val l2 = 16 + (id % 32).toInt  // COM payload bytes
+            def seg(marker: Int, n: Int): Array[Byte] = {
+              val a = new Array[Byte](4 + n)
+              a(0) = 0xff.toByte; a(1) = marker.toByte
+              a(2) = (((n + 2) >> 8) & 0xff).toByte; a(3) = ((n + 2) & 0xff).toByte
+              var i = 0
+              while (i < n) { a(4 + i) = ((id + i) % 251).toByte; i += 1 }
+              a
+            }
+            val withMeta = base.take(2) ++ seg(0xe1, l1) ++ seg(0xfe, l2) ++ base.drop(2)
+            val (stripped, nSeg) = graft.operators.JpegCodec.stripMetadata(withMeta)
+            val (dw, dh, px) = graft.operators.JpegCodec.decode(stripped)
+            var sum = 0L; var i = 0
+            while (i < px.length) { sum += px(i) & 0xff; i += 1 }
+            (id, (withMeta.length - stripped.length).toLong, nSeg.toLong,
+              dw, dh, sum)
+          }
+        }(enc).toDF("media_id", "n_stripped_bytes", "n_segments_stripped",
+          "width", "height", "sum_gray")
+    }),
     // cross-CONTAINER audio dedup: consecutive audio ids share a PCM
     // seed (id/6) but alternate container (id/3 mod 2: WAV / FLAC —
     // the lossless pair), so each pair decodes to identical samples
@@ -682,6 +720,23 @@ object MultimodalQueries {
              AS hamming
          FROM cand
          WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 8""",
+    // the byte delta is pure arithmetic (two 4-byte headers + the two
+    // id-derived payloads); pixels replay via the mm_jpeg_pixels
+    // block-formula CTE
+    "mm_jpeg_strip_meta" ->
+      s"""WITH g AS (SELECT doc_id AS media_id, 16 + doc_id % 24 AS w,
+             10 + doc_id % 15 AS h
+           FROM documents WHERE doc_id % 3 = 0),
+         px AS (SELECT media_id, w, h,
+             ((media_id * 31 + (x.x // 8) * 7 + (y.y // 8) * 13) % 256) AS v
+           FROM g, LATERAL unnest(range(0, w)) AS x(x),
+             LATERAL unnest(range(0, h)) AS y(y))
+         SELECT media_id,
+           (88 + media_id % 128 + media_id % 32)::BIGINT AS n_stripped_bytes,
+           2::BIGINT AS n_segments_stripped,
+           w::INT AS width, h::INT AS height,
+           CAST(sum(v) AS BIGINT) AS sum_gray
+         FROM px GROUP BY 1, 2, 3, 4, 5""",
     // integer energy-contour replay: windows of 128 at hop 64 over
     // the seed-derived PCM, bit k = E(k+1) > E(k), same two-halves
     // hex rendering as the dHash oracle

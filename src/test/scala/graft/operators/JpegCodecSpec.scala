@@ -140,6 +140,38 @@ class JpegCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("stripMetadata removes APPn/COM only, preserves pixels, is idempotent") {
+    // JDK-encoded color JPEG: the writer emits a JFIF APP0 the strip
+    // must remove while the scan survives byte-identical decode
+    val img = new java.awt.image.BufferedImage(
+      40, 30, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 30; x <- 0 until 40) {
+      val v = (x * 5 + y * 9) % 256
+      img.setRGB(x, y, (v << 16) | (((v * 3) % 256) << 8) | ((v * 7) % 256))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val original = bos.toByteArray
+    val (stripped, n) = JpegCodec.stripMetadata(original)
+    assert(n >= 1, "JDK writer emits at least APP0, nothing removed")
+    assert(stripped.length < original.length)
+    assertSame(JpegCodec.decode(stripped), JpegCodec.decode(original), "strip")
+    // both decoders accept the stripped file
+    assertSame(JpegCodec.decode(stripped), jdkDecode(stripped), "strip-jdk")
+    // idempotent
+    val (again, n2) = JpegCodec.stripMetadata(stripped)
+    assert(n2 == 0 && java.util.Arrays.equals(again, stripped))
+    // restart-marker streams survive the scan copy-through
+    val rst = JpegCodec.encodeJpegDcOnly(40, 24, blockVal(11L), restartInterval = 2)
+    val (rstStripped, _) = JpegCodec.stripMetadata(rst)
+    assertSame(JpegCodec.decode(rstStripped), JpegCodec.decode(rst), "rst strip")
+    // hostile: truncated scan rejects loudly
+    val e = intercept[IllegalArgumentException] {
+      JpegCodec.stripMetadata(rst.take(rst.length - 3))
+    }
+    assert(e.getMessage.startsWith("JPEG:"), e.getMessage)
+  }
+
   test("progressive (SOF2) rejects loudly by name") {
     val img = new java.awt.image.BufferedImage(
       32, 24, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
