@@ -1278,6 +1278,239 @@ object Multimodal {
       val md = box("mdat", mdat)
       ftyp ++ moov ++ md
     }
+
+    /** One track's sample-layout tables (ISO 14496-12 §8.5-8.7): the
+      * container math that locates every frame's bytes WITHOUT any
+      * codec. */
+    final case class SampleTable(trackId: Long,
+        sizes: Array[Long],              // stsz, per sample
+        chunkOffsets: Array[Long],       // stco/co64, absolute file offsets
+        stsc: Array[(Long, Long)],       // (first_chunk 1-based, samples/chunk)
+        sync: Option[Array[Long]],       // stss 1-based sample numbers; None = all sync
+        stts: Array[(Long, Long)])       // (count, delta) runs
+
+    /** Parse every track's sample tables plus the absolute offset of
+      * the first mdat payload byte. Returns None on files without
+      * sample tables (the metadata-only fixtures) — callers treat
+      * that like a non-MP4. Hostile sizes reject via the same walk
+      * guards as [[parse]]. */
+    def parseSampleTables(b: Array[Byte]): Option[(Long, List[SampleTable])] = {
+      if (b.length < 16 || tag(b, 4) != "ftyp") return None
+      var mdatStart = -1L
+      val tables = List.newBuilder[SampleTable]
+      var bad = false
+      var found = false
+      def sub(from: Int, until: Int)(f: (String, Int, Int) => Unit): Unit =
+        if (!walk(b, from, until)(f)) bad = true
+      val ok = walk(b, 0, b.length) { (typ, s, e) =>
+        if (typ == "mdat" && mdatStart < 0) mdatStart = s.toLong
+        else if (typ == "moov") sub(s, e) { (t2, s2, e2) =>
+          if (t2 == "trak") {
+            var id = 0L
+            var sizes: Array[Long] = null
+            var offs: Array[Long] = null
+            var stsc: Array[(Long, Long)] = null
+            var sync: Option[Array[Long]] = None
+            var stts: Array[(Long, Long)] = null
+            sub(s2, e2) { (t3, s3, e3) =>
+              if (t3 == "tkhd" && e3 - s3 >= 84) {
+                val (v, p) = full(b, s3)
+                id = if (v != 1) be32(b, p + 8)
+                  else if (e3 - s3 >= 96) be32(b, p + 16) else id
+              } else if (t3 == "mdia") sub(s3, e3) { (t4, s4, e4) =>
+                if (t4 == "minf") sub(s4, e4) { (t5, s5, e5) =>
+                  if (t5 == "stbl") sub(s5, e5) { (t6, s6, e6) =>
+                    val (_, p) = full(b, s6)
+                    def n(): Int = {
+                      val c = be32(b, p)
+                      if (c < 0 || p + 4 + c * 4 > e6) { bad = true; 0 }
+                      else c.toInt
+                    }
+                    t6 match {
+                      case "stsz" =>
+                        val fixed = be32(b, p)
+                        val cnt = be32(b, p + 4)
+                        if (cnt < 0 || cnt > (1 << 24)) bad = true
+                        else if (fixed != 0)
+                          sizes = Array.fill(cnt.toInt)(fixed)
+                        else if (p + 8 + cnt * 4 > e6) bad = true
+                        else sizes = Array.tabulate(cnt.toInt)(i => be32(b, p + 8 + 4 * i))
+                      case "stco" =>
+                        val c = n()
+                        offs = Array.tabulate(c)(i => be32(b, p + 4 + 4 * i))
+                      case "co64" =>
+                        val c = be32(b, p)
+                        if (c < 0 || p + 4 + c * 8 > e6) bad = true
+                        else offs = Array.tabulate(c.toInt)(i => be64(b, p + 4 + 8 * i))
+                      case "stsc" =>
+                        val c = be32(b, p)
+                        if (c < 0 || p + 4 + c * 12 > e6) bad = true
+                        else stsc = Array.tabulate(c.toInt)(i =>
+                          (be32(b, p + 4 + 12 * i), be32(b, p + 8 + 12 * i)))
+                      case "stss" =>
+                        val c = n()
+                        sync = Some(Array.tabulate(c)(i => be32(b, p + 4 + 4 * i)))
+                      case "stts" =>
+                        val c = be32(b, p)
+                        if (c < 0 || p + 4 + c * 8 > e6) bad = true
+                        else stts = Array.tabulate(c.toInt)(i =>
+                          (be32(b, p + 4 + 8 * i), be32(b, p + 8 + 8 * i)))
+                      case _ => ()
+                    }
+                  }
+                }
+              }
+            }
+            if (sizes != null && offs != null && stsc != null && stts != null) {
+              found = true
+              tables += SampleTable(id, sizes, offs, stsc, sync, stts)
+            }
+          }
+        }
+      }
+      if (!ok || bad || !found || mdatStart < 0) None
+      else Some((mdatStart, tables.result()))
+    }
+
+    /** Per-sample byte ranges + decode times + keyframe flags from one
+      * track's tables: chunk membership from stsc runs, absolute
+      * offset = chunk offset + within-chunk size prefix, dts from the
+      * stts runs, keyframe from stss (absent = every sample). The
+      * whole computation is container arithmetic — no codec. */
+    def sampleRanges(t: SampleTable): Array[(Int, Long, Long, Long, Boolean)] = {
+      val n = t.sizes.length
+      val out = new Array[(Int, Long, Long, Long, Boolean)](n)
+      val syncSet = t.sync.map(_.toSet)
+      // expand stsc runs: entry k applies to chunks [first_k, first_{k+1})
+      var sample = 0
+      var chunk = 0
+      var entry = 0
+      var dtsRun = 0
+      var dtsLeft = if (t.stts.nonEmpty) t.stts(0)._1 else 0L
+      var dts = 0L
+      while (sample < n && chunk < t.chunkOffsets.length) {
+        while (entry + 1 < t.stsc.length && chunk + 1 >= t.stsc(entry + 1)._1) entry += 1
+        val perChunk = t.stsc(entry)._2.toInt
+        var within = 0
+        var off = t.chunkOffsets(chunk)
+        while (within < perChunk && sample < n) {
+          val key = syncSet.forall(_.contains(sample + 1L))
+          out(sample) = (sample, off, t.sizes(sample), dts, key)
+          off += t.sizes(sample)
+          // advance dts through the stts runs
+          dts += (if (dtsRun < t.stts.length) t.stts(dtsRun)._2 else 0L)
+          dtsLeft -= 1
+          if (dtsLeft == 0 && dtsRun + 1 < t.stts.length) {
+            dtsRun += 1; dtsLeft = t.stts(dtsRun)._1
+          }
+          sample += 1; within += 1
+        }
+        chunk += 1
+      }
+      if (sample != n) throw new IllegalArgumentException(
+        s"MP4: sample tables inconsistent: placed $sample of $n samples")
+      out
+    }
+
+    /** Encode a single-track fixture WITH real sample tables: samples
+      * pack into chunks of `samplesPerChunk` (the last chunk takes the
+      * remainder via a second stsc run when needed), every
+      * `syncEvery`-th sample is a keyframe, constant stts delta. The
+      * mdat payload is the concatenation of `sampleBytes`; stco holds
+      * real absolute offsets (moov size is known before the offsets
+      * are filled because table SIZES don't depend on their values). */
+    def encodeWithSamples(timescale: Long, track: TrackInfo,
+        sampleBytes: Array[Array[Byte]], samplesPerChunk: Int,
+        delta: Long, syncEvery: Int): Array[Byte] = {
+      require(samplesPerChunk > 0 && syncEvery > 0 && sampleBytes.nonEmpty)
+      val n = sampleBytes.length
+      val nChunks = (n + samplesPerChunk - 1) / samplesPerChunk
+      val lastChunkSamples = n - (nChunks - 1) * samplesPerChunk
+      def stblBoxes(chunkOffs: Array[Long]): Array[Byte] = {
+        val stsd = box("stsd", fullPayload({ o =>
+          o.putInt(1)
+          o.putInt(16); o.put("rawv".getBytes("US-ASCII")); o.putInt(0); o.putInt(1)
+        }, 24))
+        val stts = box("stts", fullPayload({ o =>
+          o.putInt(1); o.putInt(n); o.putInt(delta.toInt)
+        }, 16))
+        val stscEntries =
+          if (lastChunkSamples == samplesPerChunk || nChunks == 1)
+            Seq((1L, math.min(samplesPerChunk, n).toLong))
+          else Seq((1L, samplesPerChunk.toLong), (nChunks.toLong, lastChunkSamples.toLong))
+        val stsc = box("stsc", fullPayload({ o =>
+          o.putInt(stscEntries.size)
+          stscEntries.foreach { case (fc, spc) =>
+            o.putInt(fc.toInt); o.putInt(spc.toInt); o.putInt(1)
+          }
+        }, 8 + 12 * stscEntries.size))
+        val stsz = box("stsz", fullPayload({ o =>
+          o.putInt(0); o.putInt(n)
+          sampleBytes.foreach(s => o.putInt(s.length))
+        }, 12 + 4 * n))
+        val stco = box("stco", fullPayload({ o =>
+          o.putInt(nChunks)
+          chunkOffs.foreach(c => o.putInt(c.toInt))
+        }, 8 + 4 * nChunks))
+        val nSync = (n + syncEvery - 1) / syncEvery
+        val stss = box("stss", fullPayload({ o =>
+          o.putInt(nSync)
+          (0 until nSync).foreach(k => o.putInt(1 + k * syncEvery))
+        }, 8 + 4 * nSync))
+        box("stbl", stsd, stts, stsc, stsz, stco, stss)
+      }
+      def build(chunkOffs: Array[Long]): Array[Byte] = {
+        val ftyp = box("ftyp", "isom".getBytes("US-ASCII"),
+          Array[Byte](0, 0, 2, 0), "isomiso2".getBytes("US-ASCII"))
+        val dur = n * delta
+        val mvhd = box("mvhd", fullPayload({ o =>
+          o.putInt(0).putInt(0)
+          o.putInt(timescale.toInt).putInt(dur.toInt)
+          o.putInt(0x00010000).putShort(0x0100.toShort).putShort(0)
+          o.position(o.position() + 8)
+          Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(o.putInt)
+          o.position(o.position() + 24)
+          o.putInt(2)
+        }, 100))
+        val tkhd = box("tkhd", fullPayload({ o =>
+          o.putInt(0).putInt(0)
+          o.putInt(track.trackId.toInt).putInt(0).putInt(dur.toInt)
+          o.position(o.position() + 16)
+          Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(o.putInt)
+          o.putInt(track.width << 16).putInt(track.height << 16)
+        }, 84))
+        val mdhd = box("mdhd", fullPayload({ o =>
+          o.putInt(0).putInt(0)
+          o.putInt(track.timescale.toInt).putInt(dur.toInt)
+          o.putShort(0x55c4.toShort).putShort(0)
+        }, 24))
+        val hdlr = box("hdlr", fullPayload({ o =>
+          o.putInt(0).put(track.handler.getBytes("US-ASCII"))
+          o.position(o.position() + 12)
+          o.put(0.toByte)
+        }, 25))
+        val minf = box("minf", stblBoxes(chunkOffs))
+        val moov = box("moov",
+          mvhd, box("trak", tkhd, box("mdia", mdhd, hdlr, minf)))
+        val md = box("mdat", sampleBytes.flatten.toArray)
+        ftyp ++ moov ++ md
+      }
+      // pass 1 with zeroed offsets fixes the layout; pass 2 fills them
+      val probe = build(new Array[Long](nChunks))
+      val mdatPayload = probe.length - sampleBytes.map(_.length).sum
+      val offs = new Array[Long](nChunks)
+      var acc = mdatPayload.toLong
+      var c = 0
+      var s = 0
+      while (c < nChunks) {
+        offs(c) = acc
+        val take = if (c == nChunks - 1) lastChunkSamples else samplesPerChunk
+        var k = 0
+        while (k < take) { acc += sampleBytes(s).length; s += 1; k += 1 }
+        c += 1
+      }
+      build(offs)
+    }
   }
 
   /** Container-metadata extraction for video payloads: parse each
@@ -1305,6 +1538,37 @@ object Multimodal {
       }(enc)
       .toDF("media_id", "timescale", "duration_ms", "n_tracks",
         "width", "height", "has_audio")
+  }
+
+  /** Frame extraction WITHOUT decode: per-sample byte ranges, decode
+    * times, and keyframe flags from each MP4 payload's sample tables
+    * ([[Mp4Codec.parseSampleTables]] / [[Mp4Codec.sampleRanges]]) —
+    * the container math a video pipeline uses to pull keyframes for
+    * sampling or to hand codec-opaque byte slices to a GPU decoder,
+    * with the codec itself never touched. Offsets are emitted RELATIVE
+    * to the first mdat payload byte (offset - mdatStart), the quantity
+    * that is a pure function of the sample layout (absolute offsets
+    * also depend on box sizes). Payloads without sample tables (or
+    * not MP4 at all) are skipped. 1→N mapPartitions, all-integer. */
+  def mp4SampleRanges(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.product[
+      (Long, Long, Long, Long, Long, Long, Boolean)]
+    media.select("media_id", "bytes")
+      .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          Mp4Codec.parseSampleTables(r.getAs[Array[Byte]](1)).toSeq
+            .flatMap { case (mdatStart, tables) =>
+              tables.flatMap { t =>
+                Mp4Codec.sampleRanges(t).map { case (i, off, sz, dts, key) =>
+                  (id, t.trackId, i.toLong, off - mdatStart, sz, dts, key)
+                }
+              }
+            }
+        }
+      }(enc)
+      .toDF("media_id", "track_id", "sample_idx", "offset_in_mdat",
+        "size", "dts", "keyframe")
   }
 
   /** Real-decode audio windowing: parse each audio payload as WAV,

@@ -486,6 +486,40 @@ object MultimodalQueries {
         }(enc).toDF("media_id", "kind", "bytes")
       Multimodal.mp4Meta(mp4s)
     }),
+    // frame extraction WITHOUT decode: video ids become MP4s with
+    // REAL sample tables (stsz/stsc/stco/stss/stts; 3-samples/chunk
+    // with a remainder stsc run, keyframe every 5th, id-derived
+    // sizes/delta) and the operator re-derives every sample's byte
+    // range, decode time, and keyframe flag from container math
+    // alone; the oracle replays the arithmetic (offset = exclusive
+    // size prefix within the mdat)
+    "mm_mp4_sample_ranges" -> ((s, d) => {
+      val enc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.BINARY)
+      val mp4s = media(s, d).select("media_id", "kind", "bytes")
+        .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+          it.map { r =>
+            val id = r.getLong(0); val kind = r.getString(1)
+            val payload =
+              if (kind == "video") {
+                val n = 8 + (id % 20).toInt
+                val delta = 256 + (id % 100)
+                val samples = Array.tabulate(n) { i =>
+                  val sz = 20 + ((id * 7 + i * 13) % 40).toInt
+                  Array.tabulate(sz)(k => ((id + i * 31 + k) % 251).toByte)
+                }
+                Multimodal.Mp4Codec.encodeWithSamples(600L,
+                  Multimodal.Mp4Codec.TrackInfo(1L, "vide", 600L,
+                    n * delta, 320, 240),
+                  samples, samplesPerChunk = 3, delta = delta, syncEvery = 5)
+              } else r.getAs[Array[Byte]](2)
+            (id, kind, payload)
+          }
+        }(enc).toDF("media_id", "kind", "bytes")
+      Multimodal.mp4SampleRanges(mp4s)
+    }),
     "mm_resize_cksum" -> ((s, d) => {
       val r = Multimodal.resize(media(s, d), targetCells = 64)
         .withColumn("rs", col("resized_bytes").cast("string"))
@@ -794,6 +828,22 @@ object MultimodalQueries {
          SELECT media_id, seg_idx, count(*) AS n_samples,
            CAST(sum(v * v) AS BIGINT) AS energy, max(abs(v)) AS peak
          FROM s GROUP BY 1, 2""",
+    // sample-layout arithmetic: sizes from the id formula, offsets as
+    // exclusive prefix sums, dts = i*delta, keyframe every 5th
+    "mm_mp4_sample_ranges" ->
+      s"""WITH v AS (SELECT doc_id AS media_id, 8 + doc_id % 20 AS n,
+             256 + doc_id % 100 AS delta
+           FROM documents WHERE doc_id % 3 = 2),
+         s AS (SELECT media_id, delta, i.i AS i,
+             20 + ((media_id * 7 + i.i * 13) % 40) AS sz
+           FROM v, LATERAL unnest(range(0, n)) AS i(i))
+         SELECT media_id, 1::BIGINT AS track_id, i::BIGINT AS sample_idx,
+           CAST(coalesce(sum(sz) OVER (PARTITION BY media_id ORDER BY i
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS offset_in_mdat,
+           sz::BIGINT AS size, (i * delta)::BIGINT AS dts,
+           (i % 5 = 0) AS keyframe
+         FROM s""",
     "mm_resize_cksum" ->
       s"""WITH p AS (
            SELECT doc_id, text, greatest(length(text) // 64, 1) AS stride,

@@ -315,4 +315,51 @@ class MultimodalSpec extends AnyFunSuite {
     zeroH(22) = 0; zeroH(23) = 0; zeroH(24) = 0; zeroH(25) = 0
     assert(Multimodal.ImageHeader.dims(zeroH).isEmpty)
   }
+
+  test("MP4 sample tables: ranges, chunking, dts, keyframes round-trip") {
+    val sizes = Array(25, 30, 21, 47, 20, 33, 28) // 7 samples, chunks of 3 -> 3+3+1
+    val samples = sizes.zipWithIndex.map { case (sz, i) =>
+      Array.tabulate(sz)(k => ((i * 31 + k) % 251).toByte)
+    }
+    val bytes = Multimodal.Mp4Codec.encodeWithSamples(600L,
+      Multimodal.Mp4Codec.TrackInfo(1L, "vide", 600L, 7 * 100L, 320, 240),
+      samples, samplesPerChunk = 3, delta = 100L, syncEvery = 4)
+    val (mdatStart, tables) = Multimodal.Mp4Codec.parseSampleTables(bytes).get
+    assert(tables.size == 1 && tables.head.trackId == 1L)
+    assert(tables.head.chunkOffsets.length == 3, "3+3+1 chunking")
+    val got = Multimodal.Mp4Codec.sampleRanges(tables.head)
+    var off = 0L
+    for (i <- sizes.indices) {
+      val (idx, absOff, sz, dts, key) = got(i)
+      assert(idx == i && sz == sizes(i).toLong)
+      assert(absOff - mdatStart == off, s"sample $i offset")
+      assert(dts == i * 100L)
+      assert(key == (i % 4 == 0), s"sample $i keyframe")
+      off += sizes(i)
+    }
+    // the ranges address the REAL payload bytes: slice and compare
+    for (i <- sizes.indices) {
+      val (_, absOff, sz, _, _) = got(i)
+      val slice = java.util.Arrays.copyOfRange(bytes, absOff.toInt,
+        (absOff + sz).toInt)
+      assert(java.util.Arrays.equals(slice, samples(i)), s"sample $i bytes")
+    }
+    // the metadata parse still reads the same file
+    val meta = Multimodal.Mp4Codec.parse(bytes).get
+    assert(meta.tracks.head.handler == "vide" && meta.tracks.head.width == 320)
+    // files without sample tables (the metadata-only encoder) -> None
+    val plain = Multimodal.Mp4Codec.encode(600L, 700L,
+      Seq(Multimodal.Mp4Codec.TrackInfo(1L, "vide", 600L, 700L, 320, 240)),
+      Array.tabulate(8)(_.toByte))
+    assert(Multimodal.Mp4Codec.parseSampleTables(plain).isEmpty)
+    // hostile: a size field past the box end must not parse
+    val evil = bytes.clone()
+    val stszAt = {
+      var i = 0
+      while (!(evil(i + 4) == 's' && evil(i + 5) == 't' && evil(i + 6) == 's' && evil(i + 7) == 'z')) i += 1
+      i
+    }
+    evil(stszAt + 16) = 0x7f // sample count high byte -> overruns stsz
+    assert(Multimodal.Mp4Codec.parseSampleTables(evil).isEmpty)
+  }
 }
