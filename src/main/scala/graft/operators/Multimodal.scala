@@ -524,6 +524,47 @@ object Multimodal {
   object PngCodec {
     private val sig = Array[Int](0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
 
+    /** Chunk types that survive [[stripMetadata]]: the critical four
+      * plus tRNS (it changes pixels). Everything else — tEXt/zTXt/
+      * iTXt, eXIf (PNG carries EXIF since the 2017 extension), tIME,
+      * pHYs, gAMA/cHRM/iCCP/sRGB, private chunks — is metadata a
+      * privacy scrub drops. */
+    private val keepChunks = Set("IHDR", "PLTE", "IDAT", "IEND", "tRNS")
+
+    /** Strip ancillary metadata chunks from a PNG without touching
+      * pixel data — [[JpegCodec.stripMetadata]]'s parity for the other
+      * still-image container. Kept chunks copy VERBATIM (their CRCs
+      * stay valid without recomputation); idempotent; structural
+      * errors (bad signature, overrunning lengths, missing IEND)
+      * reject loudly with offsets. CRCs of dropped chunks are not
+      * validated — the scrub never inspects their content. Returns
+      * (strippedBytes, chunksRemoved). */
+    def stripMetadata(b: Array[Byte]): (Array[Byte], Int) = {
+      def fail(off: Int, msg: String): Nothing =
+        throw new IllegalArgumentException(s"PNG: $msg (offset $off)")
+      if (b.length < 8 || (0 until 8).exists(i => (b(i) & 0xff) != sig(i)))
+        fail(0, "bad signature")
+      val out = new java.io.ByteArrayOutputStream(b.length)
+      out.write(b, 0, 8)
+      var removed = 0
+      var p = 8
+      var done = false
+      while (!done) {
+        if (p + 12 > b.length) fail(p, "truncated chunk header")
+        val len = (((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
+          ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL))
+        if (len > Int.MaxValue - 12 || p + 12 + len > b.length)
+          fail(p, s"chunk length $len overruns ${b.length} bytes")
+        val tag = new String(b, p + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val total = 12 + len.toInt
+        if (keepChunks(tag)) out.write(b, p, total) else removed += 1
+        if (tag == "IEND") done = true
+        p += total
+      }
+      if (p != b.length) fail(p, s"${b.length - p} trailing bytes after IEND")
+      (out.toByteArray, removed)
+    }
+
     /** (width, height, packed 0xRRGGBB pixels, row-major). */
     def decode(b: Array[Byte]): (Int, Int, Array[Int]) = {
       def fail(off: Int, msg: String): Nothing =

@@ -371,6 +371,49 @@ object MultimodalQueries {
         }(enc).toDF("media_id", "n_stripped_bytes", "n_segments_stripped",
           "width", "height", "sum_gray")
     }),
+    // the PNG parity of mm_jpeg_strip_meta: inject tEXt + eXIf
+    // chunks (valid CRCs, id-derived lengths) after IHDR, strip, and
+    // prove metadata gone + pixels untouched in one arithmetic oracle
+    "mm_png_strip_meta" -> ((s, d) => {
+      val enc = org.apache.spark.sql.Encoders.product[
+        (Long, Long, Long, Int, Int, Long)]
+      media(s, d).filter(col("kind") === "image").select("media_id")
+        .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+          it.map { r =>
+            val id = r.getLong(0)
+            val w = 16 + (id % 24).toInt
+            val h = 10 + (id % 15).toInt
+            val base = Multimodal.ImageHeader.encodePngStored(w, h,
+              (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt)
+            def chunk(tag: String, n: Int): Array[Byte] = {
+              val a = new Array[Byte](12 + n)
+              a(0) = (n >> 24).toByte; a(1) = (n >> 16).toByte
+              a(2) = (n >> 8).toByte; a(3) = n.toByte
+              tag.getBytes("US-ASCII").copyToArray(a, 4)
+              var i = 0
+              while (i < n) { a(8 + i) = ((id + i * 7) % 251).toByte; i += 1 }
+              val crc = new java.util.zip.CRC32
+              crc.update(a, 4, 4 + n)
+              val c = crc.getValue
+              a(8 + n) = (c >> 24).toByte; a(9 + n) = (c >> 16).toByte
+              a(10 + n) = (c >> 8).toByte; a(11 + n) = c.toByte
+              a
+            }
+            val l1 = 32 + (id % 64).toInt
+            val l2 = 24 + (id % 48).toInt
+            // IHDR chunk = 25 bytes after the 8-byte signature
+            val withMeta = base.take(33) ++ chunk("tEXt", l1) ++
+              chunk("eXIf", l2) ++ base.drop(33)
+            val (stripped, nChunks) = Multimodal.PngCodec.stripMetadata(withMeta)
+            val (dw, dh, px) = Multimodal.PngCodec.decode(stripped)
+            var sum = 0L; var i = 0
+            while (i < px.length) { sum += px(i) & 0xff; i += 1 }
+            (id, (withMeta.length - stripped.length).toLong, nChunks.toLong,
+              dw, dh, sum)
+          }
+        }(enc).toDF("media_id", "n_stripped_bytes", "n_chunks_stripped",
+          "width", "height", "sum_gray")
+    }),
     // cross-CONTAINER audio dedup: consecutive audio ids share a PCM
     // seed (id/6) but alternate container (id/3 mod 2: WAV / FLAC —
     // the lossless pair), so each pair decodes to identical samples
@@ -768,6 +811,22 @@ object MultimodalQueries {
          SELECT media_id,
            (88 + media_id % 128 + media_id % 32)::BIGINT AS n_stripped_bytes,
            2::BIGINT AS n_segments_stripped,
+           w::INT AS width, h::INT AS height,
+           CAST(sum(v) AS BIGINT) AS sum_gray
+         FROM px GROUP BY 1, 2, 3, 4, 5""",
+    // byte delta = two 12-byte chunk frames + the id-derived payloads;
+    // pixels replay via the per-pixel formula
+    "mm_png_strip_meta" ->
+      s"""WITH g AS (SELECT doc_id AS media_id, 16 + doc_id % 24 AS w,
+             10 + doc_id % 15 AS h
+           FROM documents WHERE doc_id % 3 = 0),
+         px AS (SELECT media_id, w, h,
+             ((media_id * 31 + x.x * 7 + y.y * 13) % 256) AS v
+           FROM g, LATERAL unnest(range(0, w)) AS x(x),
+             LATERAL unnest(range(0, h)) AS y(y))
+         SELECT media_id,
+           (80 + media_id % 64 + media_id % 48)::BIGINT AS n_stripped_bytes,
+           2::BIGINT AS n_chunks_stripped,
            w::INT AS width, h::INT AS height,
            CAST(sum(v) AS BIGINT) AS sum_gray
          FROM px GROUP BY 1, 2, 3, 4, 5""",
