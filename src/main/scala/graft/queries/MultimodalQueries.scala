@@ -328,6 +328,13 @@ object MultimodalQueries {
             (id, w.httpContentType, w.body)
           }
       }.toDF("media_id", "container", "bytes")
+      // the hash side and the container join-back both consume the
+      // parse output, so the WARC parse executes twice — MEASURED as
+      // the right trade: materializing survivors once (the text
+      // pipeline's discipline) checkpoints the image BYTES and costs
+      // 40.8 s at sf10 vs 6.18 s for the double parse (PLANS.md r14
+      // entry) — the text pipelines materialize because EIGHT
+      // consumers follow; here it's two consumers of a cheap map
       val hashed = Multimodal.imageDHash(
         survivors.select(col("media_id"), lit("image").as("kind"), col("bytes")))
       hashed.join(survivors.select("media_id", "container"), "media_id")
