@@ -102,6 +102,34 @@ object Streams {
       }(org.apache.spark.sql.Encoders.product[WarcRow])
       .toDF()
 
+  final case class WarcMediaRow(ts: Timestamp, target_uri: String,
+      content_type: String, body: Array[Byte])
+
+  /** Streaming MEDIA extraction from crawl blobs — the binary
+    * counterpart of [[warcIngest]] (whose rows carry text bodies):
+    * parse each WARC blob strictly, keep status-200 response records
+    * whose HTTP Content-Type starts with `typePrefix`, and emit the
+    * RAW payload bytes. Composes with
+    * [[imageDedupAgainstIndex]] into the streaming crawl->decode->
+    * perceptual-dedup pipeline (the X183 batch composition's
+    * streaming twin); stateless flatMap, no state store. */
+  def warcMediaIngest(stream: DataFrame, bytesCol: String,
+      typePrefix: String = "image/",
+      maxInflate: Long = 1L << 30): DataFrame =
+    stream.select(col("ts"), col(bytesCol))
+      .flatMap { r =>
+        val blob = r.getAs[Array[Byte]](1)
+        require(blob != null,
+          s"WARC media ingest: null blob at ts ${r.getTimestamp(0)}")
+        graft.sources.Warc.parseAll(blob, maxInflate).collect {
+          case w if w.httpStatus == 200 &&
+              w.httpContentType.startsWith(typePrefix) =>
+            WarcMediaRow(r.getTimestamp(0), w.targetUri,
+              w.httpContentType, w.body)
+        }
+      }(org.apache.spark.sql.Encoders.product[WarcMediaRow])
+      .toDF()
+
   /** A [[warcIngestQuarantine]] row: either a parsed record
     * (`quarantined = false`, q_* null/-1) or a quarantine marker for a
     * whole malformed blob (`quarantined = true`, record columns

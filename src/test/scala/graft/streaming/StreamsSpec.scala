@@ -431,6 +431,63 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming crawl -> media extraction -> perceptual index dedup end to end") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val idx = s"/tmp/graft_crawl_idx_${System.nanoTime()}"
+    val out = s"/tmp/graft_crawl_out_${System.nanoTime()}"
+    val (w, h) = (32, 24)
+    def base(x: Int, y: Int) = (x * 3 + y * 11) % 200
+    def png(f: (Int, Int) => Int) =
+      graft.operators.Multimodal.ImageHeader.encodePngStored(w, h, f)
+    graft.operators.Multimodal.writeDHashIndex(
+      Seq((100L, "image", png(base))).toDF("media_id", "kind", "bytes"), idx)
+
+    def rec(id: Long, status: Int, ctype: String, body: Array[Byte]) =
+      graft.sources.Warc.encodeResponse(s"https://ex.org/m/$id",
+        "2026-08-15T00:00:00Z", status, if (status == 200) "OK" else "Gone",
+        body, ctype)
+    // blob 1: a text record, a near-dup PNG (keep), and a 404 image
+    // (status gate); blob 2: the SAME content as the index but as a
+    // GIF (cross-format, gzip member) and an unrelated image
+    val blob1 = rec(900L, 200, "text/plain", "hello".getBytes) ++
+      rec(1L, 200, "image/png",
+        png((x, y) => base(x, y) + (if (x < 8 && y < 8) 16 else 0))) ++
+      rec(2L, 404, "image/gif",
+        graft.operators.Multimodal.ImageHeader.encodeGif(w, h, base))
+    val blob2 = graft.sources.Warc.gzipMember(
+      rec(3L, 200, "image/gif",
+        graft.operators.Multimodal.ImageHeader.encodeGif(w, h, base))) ++
+      rec(4L, 200, "image/png",
+        png((x, y) => ((x * 2654435761L + y * 40503L) % 200).toInt))
+
+    val in = MemoryStream[(Timestamp, Array[Byte])]
+    val media = Streams.warcMediaIngest(in.toDF().toDF("ts", "blob"), "blob")
+    val sink = Streams.imageDedupAgainstIndex(spark, idx, out, maxHamming = 8)
+    val q = media.selectExpr(
+        "cast(substring_index(target_uri, '/', -1) as long) AS media_id",
+        "'image' AS kind", "body AS bytes")
+      .writeStream.foreachBatch(sink).outputMode("append").start()
+    val q2 = media.writeStream.format("memory").queryName("crawl_media").start()
+    try {
+      in.addData((Timestamp.valueOf("2026-08-15 00:00:00"), blob1),
+        (Timestamp.valueOf("2026-08-15 00:00:01"), blob2))
+      q.processAllAvailable(); q2.processAllAvailable()
+      // the gate: text and 404 records never become media rows
+      val rows = spark.sql("SELECT target_uri, content_type FROM crawl_media")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(rows == Set(
+        ("https://ex.org/m/1", "image/png"),
+        ("https://ex.org/m/3", "image/gif"),
+        ("https://ex.org/m/4", "image/png")), s"media rows: $rows")
+      // the dedup: near-dup PNG and cross-format GIF match the index
+      val pairs = spark.read.parquet(out)
+        .select("in_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 100L), (3L, 100L)), s"pairs: $pairs")
+    } finally { q.stop(); q2.stop() }
+  }
+
   test("flatMapGroupsWithState running totals across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
