@@ -353,6 +353,71 @@ object Multimodal {
     * contract; animation compositing is out of scope. Every untrusted
     * length is bounds-checked; output must tile exactly w*h pixels. */
   object GifCodec {
+
+    /** Strip metadata extension blocks — Comment (0xFE), Application
+      * (0xFF: XMP, NETSCAPE loops, ...) and Plain Text (0x01) — from a
+      * GIF as a pure block walk, completing the still-image scrub trio
+      * with [[JpegCodec.stripMetadata]] and [[PngCodec.stripMetadata]].
+      * Graphic Control extensions (0xF9) stay: they alter rendering
+      * (transparency), not metadata. Image descriptors, color tables,
+      * and LZW data copy verbatim; idempotent; structural errors
+      * reject loudly with offsets. Returns (bytes, blocksRemoved). */
+    def stripMetadata(b: Array[Byte]): (Array[Byte], Int) = {
+      def fail(off: Int, msg: String): Nothing =
+        throw new IllegalArgumentException(s"GIF: $msg (offset $off)")
+      def u8(i: Int): Int = {
+        if (i < 0 || i >= b.length) fail(i, "truncated")
+        b(i) & 0xff
+      }
+      if (b.length < 13) fail(0, "shorter than header")
+      val sig = new String(b, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
+      if (sig != "GIF89a" && sig != "GIF87a") fail(0, s"bad signature '$sig'")
+      val out = new java.io.ByteArrayOutputStream(b.length)
+      var removed = 0
+      var p = 13
+      if ((u8(10) & 0x80) != 0) p += 3 * (1 << ((u8(10) & 7) + 1))
+      out.write(b, 0, p) // header + LSD + global color table
+      var done = false
+      while (!done) {
+        u8(p) match {
+          case 0x21 =>
+            val label = u8(p + 1)
+            var q = p + 2
+            while (u8(q) != 0) {
+              val n = u8(q)
+              if (q + 1 + n > b.length) fail(q, "truncated sub-block")
+              q += 1 + n
+            }
+            q += 1
+            if (label == 0xfe || label == 0xff || label == 0x01) removed += 1
+            else out.write(b, p, q - p)
+            p = q
+          case 0x2c =>
+            // image descriptor + optional local table + LZW sub-blocks
+            val start = p
+            val ifl = u8(p + 9)
+            var q = p + 10
+            if ((ifl & 0x80) != 0) q += 3 * (1 << ((ifl & 7) + 1))
+            q += 1 // LZW min code size
+            while (u8(q) != 0) {
+              val n = u8(q)
+              if (q + 1 + n > b.length) fail(q, "truncated sub-block")
+              q += 1 + n
+            }
+            q += 1
+            out.write(b, start, q - start)
+            p = q
+          case 0x3b =>
+            out.write(0x3b)
+            done = true
+            if (p + 1 != b.length) fail(p + 1,
+              s"${b.length - p - 1} trailing bytes after trailer")
+          case other => fail(p, f"unknown block 0x$other%02x")
+        }
+      }
+      (out.toByteArray, removed)
+    }
+
     /** (width, height, packed 0xRRGGBB pixels, row-major). */
     def decode(b: Array[Byte]): (Int, Int, Array[Int]) = {
       def fail(off: Int, msg: String): Nothing =

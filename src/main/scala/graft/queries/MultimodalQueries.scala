@@ -378,6 +378,39 @@ object MultimodalQueries {
         }(enc).toDF("media_id", "n_stripped_bytes", "n_segments_stripped",
           "width", "height", "sum_gray")
     }),
+    // the GIF leg of the scrub trio: inject a Comment and an
+    // Application extension (the XMP carrier) after the color table,
+    // strip, and prove blocks gone + pixels untouched arithmetically
+    "mm_gif_strip_meta" -> ((s, d) => {
+      val enc = org.apache.spark.sql.Encoders.product[
+        (Long, Long, Long, Int, Int, Long)]
+      media(s, d).filter(col("kind") === "image").select("media_id")
+        .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+          it.map { r =>
+            val id = r.getLong(0)
+            val w = 16 + (id % 24).toInt
+            val h = 10 + (id % 15).toInt
+            val base = Multimodal.ImageHeader.encodeGif(w, h,
+              (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt)
+            val l1 = 40 + (id % 100).toInt
+            val l2 = 20 + (id % 60).toInt
+            def sub(n: Int, off: Int): Array[Byte] =
+              n.toByte +: Array.tabulate(n)(k => ((id + off + k) % 251).toByte)
+            val comment = Array[Byte](0x21, 0xfe.toByte) ++ sub(l1, 0) ++ Array[Byte](0)
+            val app = Array[Byte](0x21, 0xff.toByte) ++
+              sub(11, 7) ++ sub(l2, 13) ++ Array[Byte](0)
+            val at = 13 + 3 * (1 << ((base(10) & 7) + 1)) // after header+LSD+GCT
+            val withMeta = base.take(at) ++ comment ++ app ++ base.drop(at)
+            val (stripped, nBlocks) = Multimodal.GifCodec.stripMetadata(withMeta)
+            val (dw, dh, px) = Multimodal.GifCodec.decode(stripped)
+            var sum = 0L; var i = 0
+            while (i < px.length) { sum += px(i) & 0xff; i += 1 }
+            (id, (withMeta.length - stripped.length).toLong, nBlocks.toLong,
+              dw, dh, sum)
+          }
+        }(enc).toDF("media_id", "n_stripped_bytes", "n_blocks_stripped",
+          "width", "height", "sum_gray")
+    }),
     // the PNG parity of mm_jpeg_strip_meta: inject tEXt + eXIf
     // chunks (valid CRCs, id-derived lengths) after IHDR, strip, and
     // prove metadata gone + pixels untouched in one arithmetic oracle
@@ -818,6 +851,22 @@ object MultimodalQueries {
          SELECT media_id,
            (88 + media_id % 128 + media_id % 32)::BIGINT AS n_stripped_bytes,
            2::BIGINT AS n_segments_stripped,
+           w::INT AS width, h::INT AS height,
+           CAST(sum(v) AS BIGINT) AS sum_gray
+         FROM px GROUP BY 1, 2, 3, 4, 5""",
+    // comment ext = 4 + L1 bytes, application ext = 16 + L2 (11-byte
+    // identifier sub-block + data sub-block + terminators)
+    "mm_gif_strip_meta" ->
+      s"""WITH g AS (SELECT doc_id AS media_id, 16 + doc_id % 24 AS w,
+             10 + doc_id % 15 AS h
+           FROM documents WHERE doc_id % 3 = 0),
+         px AS (SELECT media_id, w, h,
+             ((media_id * 31 + x.x * 7 + y.y * 13) % 256) AS v
+           FROM g, LATERAL unnest(range(0, w)) AS x(x),
+             LATERAL unnest(range(0, h)) AS y(y))
+         SELECT media_id,
+           (80 + media_id % 100 + media_id % 60)::BIGINT AS n_stripped_bytes,
+           2::BIGINT AS n_blocks_stripped,
            w::INT AS width, h::INT AS height,
            CAST(sum(v) AS BIGINT) AS sum_gray
          FROM px GROUP BY 1, 2, 3, 4, 5""",

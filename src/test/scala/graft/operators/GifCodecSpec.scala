@@ -100,4 +100,35 @@ class GifCodecSpec extends AnyFunSuite {
     off(13 + 768 + 1) = 2 // image-left = 2
     rejects(off, "offset frame")
   }
+
+  test("stripMetadata drops comment/application/plain-text blocks only, keeps pixels") {
+    def pix(x: Int, y: Int) = (x * 7 + y * 13) % 256
+    val base = Multimodal.ImageHeader.encodeGif(20, 14, pix)
+    val at = 13 + 3 * (1 << ((base(10) & 7) + 1))
+    def ext(label: Int, blocks: Array[Byte]*): Array[Byte] =
+      Array[Byte](0x21, label.toByte) ++
+        blocks.flatMap(d => d.length.toByte +: d) ++ Array[Byte](0)
+    val gce = ext(0xf9, Array[Byte](0, 0, 0, 0)) // graphic control: KEPT
+    val withMeta = base.take(at) ++
+      ext(0xfe, "gps here".getBytes("US-ASCII")) ++
+      ext(0xff, "XMP DataXMP".getBytes("US-ASCII"), Array.tabulate(30)(_.toByte)) ++
+      gce ++ base.drop(at)
+    val (stripped, n) = Multimodal.GifCodec.stripMetadata(withMeta)
+    assert(n == 2)
+    assert(java.util.Arrays.equals(stripped, base.take(at) ++ gce ++ base.drop(at)),
+      "strip must keep the GCE and drop exactly the two metadata blocks")
+    val (w, h, px1) = Multimodal.GifCodec.decode(stripped)
+    assert((w, h) == ((20, 14)))
+    assert(px1.sameElements(Multimodal.GifCodec.decode(base)._3))
+    // idempotent
+    val (again, n2) = Multimodal.GifCodec.stripMetadata(stripped)
+    assert(n2 == 0 && java.util.Arrays.equals(again, stripped))
+    // hostile: trailing bytes after trailer and truncation reject
+    intercept[IllegalArgumentException] {
+      Multimodal.GifCodec.stripMetadata(withMeta ++ Array[Byte](7))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.GifCodec.stripMetadata(withMeta.take(withMeta.length - 9))
+    }
+  }
 }
