@@ -1071,6 +1071,52 @@ object Multimodal {
         .partitionBy(col("fp"))).cast("long"))
   }
 
+  /** Real pixel decode for 24-bit uncompressed (BI_RGB) BMP — the
+    * fourth and simplest still-image decoder: LE header, explicit
+    * data offset, 4-byte-padded BGR rows, bottom-up unless the height
+    * is negative (top-down). Anything else (palettized, RLE, 16/32
+    * bpp) rejects loudly by name. */
+  object BmpCodec {
+    def decode(b: Array[Byte]): (Int, Int, Array[Int]) = {
+      def fail(off: Int, msg: String): Nothing =
+        throw new IllegalArgumentException(s"BMP: $msg (offset $off)")
+      def le16(i: Int): Int = {
+        if (i + 2 > b.length) fail(i, "truncated")
+        (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+      }
+      def le32(i: Int): Int = le16(i) | (le16(i + 2) << 16)
+      if (b.length < 54 || b(0) != 'B' || b(1) != 'M') fail(0, "bad signature")
+      val dataOff = le32(10)
+      val hdrSize = le32(14)
+      if (hdrSize < 40) fail(14, s"DIB header size $hdrSize (contract: BITMAPINFOHEADER+)")
+      val w = le32(18)
+      val hRaw = le32(22)
+      val topDown = hRaw < 0
+      val h = math.abs(hRaw)
+      if (w <= 0 || h <= 0 || w > (1 << 15) || h > (1 << 15))
+        fail(18, s"dims ${w}x$hRaw out of contract")
+      if (le16(28) != 24) fail(28, s"${le16(28)} bpp (contract: 24)")
+      if (le32(30) != 0) fail(30, s"compression ${le32(30)} (contract: BI_RGB)")
+      val stride = (w * 3 + 3) & ~3
+      if (dataOff < 54 || dataOff.toLong + stride.toLong * h > b.length)
+        fail(10, s"pixel data [$dataOff, +${stride.toLong * h}) overruns ${b.length} bytes")
+      val out = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        val srcRow = dataOff + (if (topDown) y else h - 1 - y) * stride
+        var x = 0
+        while (x < w) {
+          val o = srcRow + 3 * x
+          out(y * w + x) = ((b(o + 2) & 0xff) << 16) |
+            ((b(o + 1) & 0xff) << 8) | (b(o) & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, out)
+    }
+  }
+
   /** Signature-sniffed dispatch to the real pixel decoders. */
   def decodeImage(b: Array[Byte]): (Int, Int, Array[Int]) = {
     if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F')
@@ -1080,8 +1126,10 @@ object Multimodal {
       PngCodec.decode(b)
     else if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
       JpegCodec.decode(b)
+    else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M')
+      BmpCodec.decode(b)
     else throw new IllegalArgumentException(
-      "image decode: not a GIF, PNG, or JPEG signature")
+      "image decode: not a GIF, PNG, JPEG, or BMP signature")
   }
 
   /** Wrap any table with a string payload column into the canonical

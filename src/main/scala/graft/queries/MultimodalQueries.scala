@@ -489,6 +489,29 @@ object MultimodalQueries {
         }(enc).toDF("media_id", "kind", "bytes")
       Multimodal.audioFingerprint(wavs, windowSamples = 128, hopSamples = 64)
     }),
+    // the fourth real-pixels decoder: 24-bit BI_RGB BMP, same dims
+    // and formula as the GIF/PNG legs, same shared oracle
+    "mm_bmp_pixels" -> ((s, d) => {
+      val enc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.BINARY)
+      val bmps = media(s, d).select("media_id", "kind", "bytes")
+        .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+          it.map { r =>
+            val id = r.getLong(0); val kind = r.getString(1)
+            val payload =
+              if (kind == "image") {
+                val w = 16 + (id % 24).toInt
+                val h = 10 + (id % 15).toInt
+                Multimodal.ImageHeader.encodeBmp(w, h,
+                  (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt)
+              } else r.getAs[Array[Byte]](2)
+            (id, kind, payload)
+          }
+        }(enc).toDF("media_id", "kind", "bytes")
+      Multimodal.imagePixelStats(bmps)
+    }),
     "mm_wav_segments" -> ((s, d) => {
       val enc = org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.scalaLong,
@@ -710,6 +733,7 @@ object MultimodalQueries {
     // s_k = (id*31 + k*7) % 4096 - 2048; windows 400 / hop 160
     "mm_gif_pixels" -> pixelStatsOracleSql,
     "mm_png_pixels" -> pixelStatsOracleSql,
+    "mm_bmp_pixels" -> pixelStatsOracleSql,
     // same dims as the GIF/PNG pair but the value is per 8x8 BLOCK:
     // DC-only JPEG decodes to blockVal(x//8, y//8) exactly in every
     // conforming decoder (all-zero AC + q0=8 -> both IDCT passes take
