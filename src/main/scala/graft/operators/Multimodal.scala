@@ -797,6 +797,71 @@ object Multimodal {
     private val adamDy = Array(8, 8, 8, 4, 4, 2, 2)
   }
 
+  /** Integer box-mean DOWNSAMPLE of a decoded pixel array — the
+    * thumbnail kernel every multimodal training pipeline runs before
+    * feature extraction, and the generalization of the dHash 9x8
+    * grid: target cell (i,j) averages exactly the source pixels with
+    * i = x·tw/w, j = y·th/h (floor), per CHANNEL, mean = floor(sum /
+    * count). All-integer, so it replays exactly in any engine.
+    * Upsampling (tw > w or th > h) would leave empty cells and needs
+    * interpolation semantics this contract does not define — rejects
+    * loudly. tw = w and th = h is the identity. */
+  def resizePixels(px: Array[Int], w: Int, h: Int,
+      tw: Int, th: Int): Array[Int] = {
+    require(tw > 0 && th > 0, s"resize target must be positive: $tw x $th")
+    require(tw <= w && th <= h,
+      s"resize: upsampling ${w}x$h -> ${tw}x$th out of contract (box-mean is downsample-only)")
+    val n = tw * th
+    val rs = new Array[Long](n); val gs = new Array[Long](n)
+    val bs = new Array[Long](n); val cn = new Array[Long](n)
+    var y = 0
+    while (y < h) {
+      val j = y * th / h
+      var x = 0
+      while (x < w) {
+        val k = j * tw + x * tw / w
+        val p = px(y * w + x)
+        rs(k) += (p >> 16) & 0xff; gs(k) += (p >> 8) & 0xff
+        bs(k) += p & 0xff; cn(k) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(n) { k =>
+      (((rs(k) / cn(k)).toInt) << 16) | (((gs(k) / cn(k)).toInt) << 8) |
+        (bs(k) / cn(k)).toInt
+    }
+  }
+
+  /** Thumbnail the corpus: decode each image (signature-sniffed real
+    * codecs), box-mean resize to outW x outH, and emit an EXACTLY
+    * replayable frame — a position-weighted checksum over the
+    * resized low channel (sum of (j·outW+i+1)·mean, which pins every
+    * cell's VALUE AND PLACE, not just the multiset) plus the cell
+    * min/max. Decode + resize are one narrow map; only the stat rows
+    * shuffle — at 100 TB the thumbnails' pixels never leave their
+    * executor. */
+  def imageResizeStats(media: DataFrame, outW: Int, outH: Int): DataFrame = {
+    val enc = Encoders.product[(Long, Long, Long, Long, Long, Long, Long, Long)]
+    media.filter(col("kind") === "image").select("media_id", "bytes")
+      .mapPartitions { it: Iterator[Row] =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val (w, h, px) = decodeImage(r.getAs[Array[Byte]](1))
+          val t = resizePixels(px, w, h, outW, outH)
+          var ck = 0L; var mn = 255L; var mx = 0L
+          var k = 0
+          while (k < t.length) {
+            val v = (t(k) & 0xff).toLong
+            ck += (k + 1) * v; if (v < mn) mn = v; if (v > mx) mx = v
+            k += 1
+          }
+          (id, w.toLong, h.toLong, outW.toLong, outH.toLong, ck, mn, mx)
+        }
+      }(enc).toDF("media_id", "width", "height", "out_w", "out_h",
+        "checksum", "min_cell", "max_cell")
+  }
+
   /** Per-image pixel statistics through the REAL decoders — payloads
     * are sniffed by signature (GIF -> [[GifCodec]], PNG ->
     * [[PngCodec]]; anything else rejects loudly); gray value = the

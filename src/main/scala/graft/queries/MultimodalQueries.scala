@@ -512,6 +512,36 @@ object MultimodalQueries {
         }(enc).toDF("media_id", "kind", "bytes")
       Multimodal.imagePixelStats(bmps)
     }),
+    // the thumbnail op over the full lossless decoder family: each
+    // image id rotates container (GIF / PNG / BMP by id/3 mod 3),
+    // decodes through its real codec, and box-mean resizes to 9x7;
+    // the oracle replays the integer grid arithmetic cell by cell
+    "mm_image_resize" -> ((s, d) => {
+      val enc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.BINARY)
+      val imgs = media(s, d).select("media_id", "kind", "bytes")
+        .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+          it.map { r =>
+            val id = r.getLong(0); val kind = r.getString(1)
+            val payload =
+              if (kind == "image") {
+                val w = 16 + (id % 24).toInt
+                val h = 10 + (id % 15).toInt
+                def pix(x: Int, y: Int) =
+                  ((id * 31 + x * 7 + y * 13) % 256).toInt
+                ((id / 3) % 3) match {
+                  case 0 => Multimodal.ImageHeader.encodeGif(w, h, pix)
+                  case 1 => Multimodal.ImageHeader.encodePngStored(w, h, pix)
+                  case _ => Multimodal.ImageHeader.encodeBmp(w, h, pix)
+                }
+              } else r.getAs[Array[Byte]](2)
+            (id, kind, payload)
+          }
+        }(enc).toDF("media_id", "kind", "bytes")
+      Multimodal.imageResizeStats(imgs, outW = 9, outH = 7)
+    }),
     "mm_wav_segments" -> ((s, d) => {
       val enc = org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.scalaLong,
@@ -734,6 +764,26 @@ object MultimodalQueries {
     "mm_gif_pixels" -> pixelStatsOracleSql,
     "mm_png_pixels" -> pixelStatsOracleSql,
     "mm_bmp_pixels" -> pixelStatsOracleSql,
+    // integer box-mean replay: cell (i,j) = source pixels with
+    // i = x*9//w, j = y*7//h, mean = sum//count; checksum weights
+    // each cell mean by its position so value AND place are pinned
+    "mm_image_resize" ->
+      s"""WITH dims AS (SELECT doc_id AS media_id,
+             (16 + doc_id % 24) AS w, (10 + doc_id % 15) AS h
+           FROM documents WHERE doc_id % 3 = 0),
+         px AS (SELECT media_id, w, h,
+             (x.x * 9) // w AS i, (y.y * 7) // h AS j,
+             ((media_id * 31 + x.x * 7 + y.y * 13) % 256) AS v
+           FROM dims, LATERAL unnest(range(0, w)) AS x(x),
+             LATERAL unnest(range(0, h)) AS y(y)),
+         cells AS (SELECT media_id, w, h, i, j, (sum(v) // count(*)) AS m
+           FROM px GROUP BY 1, 2, 3, 4, 5)
+         SELECT media_id, w::BIGINT AS width, h::BIGINT AS height,
+           CAST(9 AS BIGINT) AS out_w, CAST(7 AS BIGINT) AS out_h,
+           CAST(sum((j * 9 + i + 1) * m) AS BIGINT) AS checksum,
+           CAST(min(m) AS BIGINT) AS min_cell,
+           CAST(max(m) AS BIGINT) AS max_cell
+         FROM cells GROUP BY 1, 2, 3""",
     // same dims as the GIF/PNG pair but the value is per 8x8 BLOCK:
     // DC-only JPEG decodes to blockVal(x//8, y//8) exactly in every
     // conforming decoder (all-zero AC + q0=8 -> both IDCT passes take
