@@ -542,6 +542,58 @@ object MultimodalQueries {
         }(enc).toDF("media_id", "kind", "bytes")
       Multimodal.imageResizeStats(imgs, outW = 9, outH = 7)
     }),
+    // EXIF privacy flags through the REAL TIFF/IFD parser: image ids
+    // rotate carrier (JPEG APP1 / PNG eXIf chunk by id/3) and byte
+    // order (II/MM by id parity); Make/Model/Orientation and — for
+    // 2/3 of the rows — a GPS sub-IFD with DMS rationals all derive
+    // from the id, so the oracle replays every flag (including the
+    // signed milli-arc-second composition) arithmetically. This is
+    // the DETECTION side of the strip trio: which media carry GPS
+    // fixes before the pipeline decides to scrub or drop
+    "mm_exif_flags" -> ((s, d) => {
+      val enc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.BINARY)
+      val imgs = media(s, d).select("media_id", "kind", "bytes")
+        .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+          it.map { r =>
+            val id = r.getLong(0); val kind = r.getString(1)
+            val payload =
+              if (kind == "image") {
+                val w = 16 + (id % 24).toInt
+                val h = 10 + (id % 15).toInt
+                val gps =
+                  if (id % 9 < 6)
+                    Some(graft.operators.Exif.GpsDms(
+                      if ((id / 9) % 2 == 0) 'N' else 'S',
+                      (id % 90).toInt, (id % 60).toInt, ((id * 7) % 60).toInt,
+                      if ((id / 18) % 2 == 0) 'E' else 'W',
+                      ((id * 3) % 180).toInt, ((id * 5) % 60).toInt,
+                      ((id * 11) % 60).toInt))
+                  else None
+                val tiff = graft.operators.Exif.encodeTiff(
+                  littleEndian = id % 2 == 0,
+                  orientation = 1 + (id % 8).toInt,
+                  make = "Cam" + (id % 10), model = "Mod" + (id % 100), gps)
+                if ((id / 3) % 2 == 0) {
+                  val base = graft.operators.JpegCodec.encodeJpegDcOnly(w, h,
+                    (bx, by) => ((id * 31 + bx * 7 + by * 13) % 256).toInt)
+                  base.take(2) ++ graft.operators.Exif.encodeJpegApp1(tiff) ++
+                    base.drop(2)
+                } else {
+                  val base = Multimodal.ImageHeader.encodePngStored(w, h,
+                    (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt)
+                  // after the 8-byte signature + 25-byte IHDR chunk
+                  base.take(33) ++ graft.operators.Exif.encodePngExifChunk(tiff) ++
+                    base.drop(33)
+                }
+              } else r.getAs[Array[Byte]](2)
+            (id, kind, payload)
+          }
+        }(enc).toDF("media_id", "kind", "bytes")
+      graft.operators.Exif.exifFlags(imgs)
+    }),
     "mm_wav_segments" -> ((s, d) => {
       val enc = org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.scalaLong,
@@ -991,6 +1043,29 @@ object MultimodalQueries {
            count(*) OVER (PARTITION BY printf('%08x%08x', p.hi, p.lo))
              AS n_same_fp
          FROM packed p JOIN a ON a.media_id = p.media_id""",
+    // every flag replayed from the fixture arithmetic, including the
+    // signed DMS -> milli-arc-second composition (den=1 rationals)
+    "mm_exif_flags" ->
+      s"""SELECT doc_id AS media_id,
+           CASE WHEN (doc_id // 3) % 2 = 0 THEN 'jpeg' ELSE 'png' END
+             AS container,
+           CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+           TRUE AS has_exif,
+           (1 + doc_id % 8)::INT AS orientation,
+           'Cam' || (doc_id % 10) AS make,
+           'Mod' || (doc_id % 100) AS model,
+           (doc_id % 9 < 6) AS has_gps,
+           (CASE WHEN doc_id % 9 < 6 THEN
+              (CASE WHEN (doc_id // 9) % 2 = 0 THEN 1 ELSE -1 END) *
+                ((doc_id % 90) * 3600000 + (doc_id % 60) * 60000
+                  + ((doc_id * 7) % 60) * 1000)
+            ELSE 0 END)::BIGINT AS gps_lat_mas,
+           (CASE WHEN doc_id % 9 < 6 THEN
+              (CASE WHEN (doc_id // 18) % 2 = 0 THEN 1 ELSE -1 END) *
+                (((doc_id * 3) % 180) * 3600000 + ((doc_id * 5) % 60) * 60000
+                  + ((doc_id * 11) % 60) * 1000)
+            ELSE 0 END)::BIGINT AS gps_lon_mas
+         FROM documents WHERE doc_id % 3 = 0""",
     "mm_wav_segments" ->
       s"""WITH a AS (SELECT doc_id AS media_id, 300 + doc_id % 450 AS ns
              FROM documents WHERE doc_id % 3 = 1),
