@@ -630,6 +630,78 @@ object Multimodal {
       (out.toByteArray, removed)
     }
 
+    /** REAL PNG encoder — the write side of the container-normalize
+      * step (decode ANY supported format, re-encode as one canonical
+      * lossless container). Color type 2 (8-bit RGB), no interlace,
+      * filter 0 on every row, zlib STORED blocks — stored framing is
+      * hand-rolled so the output is deterministic byte-for-byte on
+      * every JVM (Deflater's block segmentation is not spec-pinned
+      * even at NO_COMPRESSION), which is what makes the transcode
+      * query's LENGTH an exact oracle: with raw = h·(3w+1) and
+      * nb = ceil(raw/65535) stored blocks, the file is exactly
+      * 63 + raw + 5·nb bytes (8 signature + 25 IHDR + 12 IDAT frame
+      * + 2 zlib header + 5·nb block headers + raw + 4 Adler + 12
+      * IEND). CRCs and Adler-32 are real, so any conforming reader
+      * (the JDK's included — spec-pinned) accepts the output. */
+    def encodeRgb(w: Int, h: Int, px: Array[Int]): Array[Byte] = {
+      require(w > 0 && h > 0, s"encodeRgb: bad dims ${w}x$h")
+      require(px.length == w * h,
+        s"encodeRgb: ${px.length} pixels for ${w}x$h = ${w * h}")
+      val raw = new Array[Byte](h * (3 * w + 1))
+      var o = 0; var y = 0
+      while (y < h) {
+        raw(o) = 0 // filter type None
+        o += 1
+        var x = 0
+        while (x < w) {
+          val p = px(y * w + x)
+          raw(o) = ((p >> 16) & 0xff).toByte
+          raw(o + 1) = ((p >> 8) & 0xff).toByte
+          raw(o + 2) = (p & 0xff).toByte
+          o += 3; x += 1
+        }
+        y += 1
+      }
+      val zl = new java.io.ByteArrayOutputStream(raw.length + 64)
+      zl.write(0x78); zl.write(0x01)
+      var off = 0
+      var lastEmitted = false
+      while (!lastEmitted) {
+        val n = math.min(65535, raw.length - off)
+        lastEmitted = off + n == raw.length
+        zl.write(if (lastEmitted) 1 else 0)
+        zl.write(n & 0xff); zl.write((n >> 8) & 0xff)
+        zl.write(~n & 0xff); zl.write((~n >> 8) & 0xff)
+        zl.write(raw, off, n)
+        off += n
+      }
+      val ad = new java.util.zip.Adler32
+      ad.update(raw)
+      val a = ad.getValue
+      zl.write(((a >> 24) & 0xff).toInt); zl.write(((a >> 16) & 0xff).toInt)
+      zl.write(((a >> 8) & 0xff).toInt); zl.write((a & 0xff).toInt)
+      def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+        val out = new Array[Byte](12 + data.length)
+        val n = data.length
+        out(0) = (n >> 24).toByte; out(1) = (n >> 16).toByte
+        out(2) = (n >> 8).toByte; out(3) = n.toByte
+        tag.getBytes("US-ASCII").copyToArray(out, 4)
+        data.copyToArray(out, 8)
+        val crc = new java.util.zip.CRC32
+        crc.update(out, 4, 4 + n)
+        val c = crc.getValue
+        out(8 + n) = (c >> 24).toByte; out(9 + n) = (c >> 16).toByte
+        out(10 + n) = (c >> 8).toByte; out(11 + n) = c.toByte
+        out
+      }
+      val ihdr = Array[Byte](
+        (w >> 24).toByte, (w >> 16).toByte, (w >> 8).toByte, w.toByte,
+        (h >> 24).toByte, (h >> 16).toByte, (h >> 8).toByte, h.toByte,
+        8, 2, 0, 0, 0)
+      sig.map(_.toByte) ++ chunk("IHDR", ihdr) ++
+        chunk("IDAT", zl.toByteArray) ++ chunk("IEND", Array.emptyByteArray)
+    }
+
     /** (width, height, packed 0xRRGGBB pixels, row-major). */
     def decode(b: Array[Byte]): (Int, Int, Array[Int]) = {
       def fail(off: Int, msg: String): Nothing =
@@ -860,6 +932,42 @@ object Multimodal {
         }
       }(enc).toDF("media_id", "width", "height", "out_w", "out_h",
         "checksum", "min_cell", "max_cell")
+  }
+
+  /** Container NORMALIZATION: decode each image through its real
+    * signature-sniffed codec and re-encode as canonical 8-bit-RGB
+    * stored-block PNG ([[PngCodec.encodeRgb]]) — the "one container
+    * downstream" step a multimodal ingest runs so later stages parse
+    * exactly one format. The emitted stats come from RE-DECODING the
+    * transcoded bytes (not the source), so a row is only right if the
+    * full decode -> encode -> decode chain preserved every pixel; the
+    * deterministic stored framing additionally makes `out_len` exact
+    * arithmetic (63 + raw + 5·ceil(raw/65535), raw = h·(3w+1)).
+    * Decode + re-encode + re-decode run as one narrow map — bytes
+    * never shuffle. */
+  def imageTranscodeStats(media: DataFrame): DataFrame = {
+    val enc = Encoders.product[(Long, Long, Long, Long, Long, Long, Long)]
+    media.filter(col("kind") === "image").select("media_id", "bytes")
+      .mapPartitions { it: Iterator[Row] =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val (w, h, px) = decodeImage(r.getAs[Array[Byte]](1))
+          val png = PngCodec.encodeRgb(w, h, px)
+          val (dw, dh, qx) = PngCodec.decode(png)
+          if (dw != w || dh != h)
+            throw new IllegalStateException(
+              s"transcode changed dims: ${w}x$h -> ${dw}x$dh (media $id)")
+          var sum = 0L; var mn = 255L; var mx = 0L
+          var i = 0
+          while (i < qx.length) {
+            val v = (qx(i) & 0xff).toLong
+            sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+            i += 1
+          }
+          (id, w.toLong, h.toLong, png.length.toLong, sum, mn, mx)
+        }
+      }(enc).toDF("media_id", "width", "height", "out_len",
+        "sum_gray", "min_gray", "max_gray")
   }
 
   /** Per-image pixel statistics through the REAL decoders — payloads

@@ -542,6 +542,43 @@ object MultimodalQueries {
         }(enc).toDF("media_id", "kind", "bytes")
       Multimodal.imageResizeStats(imgs, outW = 9, outH = 7)
     }),
+    // container NORMALIZATION across the full decoder family: image
+    // ids rotate GIF / PNG / BMP / DC-only JPEG (id/3 mod 4), each
+    // decodes through its real codec and re-encodes as canonical
+    // stored-block RGB PNG; the emitted stats come from RE-DECODING
+    // the transcoded bytes, so they only match the source formula if
+    // every pixel survived the decode -> encode -> decode chain, and
+    // out_len is exact stored-framing arithmetic (68 + h*(3w+1) at
+    // these dims)
+    "mm_image_transcode" -> ((s, d) => {
+      val enc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.BINARY)
+      val imgs = media(s, d).select("media_id", "kind", "bytes")
+        .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+          it.map { r =>
+            val id = r.getLong(0); val kind = r.getString(1)
+            val payload =
+              if (kind == "image") {
+                val w = 16 + (id % 24).toInt
+                val h = 10 + (id % 15).toInt
+                def bv(bx: Int, by: Int) =
+                  ((id * 31 + bx * 7 + by * 13) % 256).toInt
+                def pix(x: Int, y: Int) =
+                  ((id * 31 + x * 7 + y * 13) % 256).toInt
+                ((id / 3) % 4) match {
+                  case 0 => Multimodal.ImageHeader.encodeGif(w, h, pix)
+                  case 1 => Multimodal.ImageHeader.encodePngStored(w, h, pix)
+                  case 2 => Multimodal.ImageHeader.encodeBmp(w, h, pix)
+                  case _ => graft.operators.JpegCodec.encodeJpegDcOnly(w, h, bv)
+                }
+              } else r.getAs[Array[Byte]](2)
+            (id, kind, payload)
+          }
+        }(enc).toDF("media_id", "kind", "bytes")
+      Multimodal.imageTranscodeStats(imgs)
+    }),
     // EXIF privacy flags through the REAL TIFF/IFD parser: image ids
     // rotate carrier (JPEG APP1 / PNG eXIf chunk by id/3) and byte
     // order (II/MM by id parity); Make/Model/Orientation and — for
@@ -1043,6 +1080,26 @@ object MultimodalQueries {
            count(*) OVER (PARTITION BY printf('%08x%08x', p.hi, p.lo))
              AS n_same_fp
          FROM packed p JOIN a ON a.media_id = p.media_id""",
+    // the pixel sums replay the per-container source formula (per-
+    // pixel for the lossless trio, per-8x8-block for the DC-only JPEG
+    // leg) and out_len is the stored-PNG framing arithmetic — both
+    // only hold if the transcode preserved every pixel
+    "mm_image_transcode" ->
+      s"""WITH g AS (SELECT doc_id AS media_id, (doc_id // 3) % 4 AS fmt,
+             16 + doc_id % 24 AS w, 10 + doc_id % 15 AS h
+           FROM documents WHERE doc_id % 3 = 0),
+         px AS (SELECT media_id, w, h,
+             (CASE WHEN fmt = 3
+                THEN ((media_id * 31 + (x.x // 8) * 7 + (y.y // 8) * 13) % 256)
+                ELSE ((media_id * 31 + x.x * 7 + y.y * 13) % 256) END) AS v
+           FROM g, LATERAL unnest(range(0, w)) AS x(x),
+             LATERAL unnest(range(0, h)) AS y(y))
+         SELECT media_id, w::BIGINT AS width, h::BIGINT AS height,
+           (68 + h * (3 * w + 1))::BIGINT AS out_len,
+           CAST(sum(v) AS BIGINT) AS sum_gray,
+           CAST(min(v) AS BIGINT) AS min_gray,
+           CAST(max(v) AS BIGINT) AS max_gray
+         FROM px GROUP BY 1, 2, 3, 4""",
     // every flag replayed from the fixture arithmetic, including the
     // signed DMS -> milli-arc-second composition (den=1 rationals)
     "mm_exif_flags" ->
