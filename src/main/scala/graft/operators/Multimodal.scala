@@ -1244,6 +1244,49 @@ object Multimodal {
         .partitionBy(col("fp"))).cast("long"))
   }
 
+  /** Integer audio DECIMATION resample over REAL decoded PCM — the
+    * audio twin of [[resizePixels]] and the rate-normalize step of an
+    * audio ingest (every recording to one sample rate before feature
+    * extraction). Output sample k is the TRUNCATING mean of the k-th
+    * non-overlapping `factor`-sample window (Java `/` — division
+    * toward zero, which is what Spark's integer `div` and DuckDB's
+    * integer `//` also do, so signed sums replay identically in every
+    * engine involved; Python-style floored division would diverge on
+    * negative sums); the incomplete tail window is dropped (n_out =
+    * n_in / factor — the only boundary semantics that keeps every
+    * output sample a full-window mean). Anti-alias filtering is PCM-domain
+    * semantics this contract deliberately does not define — decimation
+    * is the deterministic, exactly-replayable part. Emits stats of
+    * the RESAMPLED stream: energy, peak, and a position-weighted
+    * checksum that pins every output sample's value AND place. One
+    * narrow map; samples never shuffle. */
+  def audioResampleStats(media: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, s"decimation factor must be >= 1, got $factor")
+    val enc = Encoders.product[(Long, Long, Long, Long, Long, Long)]
+    media.filter(col("kind") === "audio").select("media_id", "bytes")
+      .mapPartitions { it: Iterator[Row] =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val pcm = decodeAudioPcm(r.getAs[Array[Byte]](1))
+          val nOut = pcm.length / factor
+          var energy = 0L; var peak = 0L; var ck = 0L
+          var k = 0
+          while (k < nOut) {
+            var s = 0L
+            var i = k * factor
+            val to = i + factor
+            while (i < to) { s += pcm(i); i += 1 }
+            val v = s / factor
+            energy += v * v
+            val a = math.abs(v); if (a > peak) peak = a
+            ck += (k + 1) * v
+            k += 1
+          }
+          (id, pcm.length.toLong, nOut.toLong, energy, peak, ck)
+        }
+      }(enc).toDF("media_id", "n_in", "n_out", "energy", "peak", "checksum")
+  }
+
   /** Real pixel decode for 24-bit uncompressed (BI_RGB) BMP — the
     * fourth and simplest still-image decoder: LE header, explicit
     * data offset, 4-byte-padded BGR rows, bottom-up unless the height

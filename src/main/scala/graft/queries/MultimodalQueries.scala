@@ -631,6 +631,35 @@ object MultimodalQueries {
         }(enc).toDF("media_id", "kind", "bytes")
       graft.operators.Exif.exifFlags(imgs)
     }),
+    // rate normalization over both lossless audio containers: audio
+    // ids alternate WAV / FLAC (id/3 parity), decode through their
+    // real codecs, and decimate 4x by non-overlapping TRUNCATING
+    // means (toward zero — Java /, Spark div, and DuckDB integer //
+    // all agree; measured here first: floored means diverged on the
+    // signed sums, so the trunc-vs-floor distinction is LIVE in this
+    // fixture, not just documented)
+    "mm_audio_resample" -> ((s, d) => {
+      val enc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.BINARY)
+      val auds = media(s, d).select("media_id", "kind", "bytes")
+        .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+          it.map { r =>
+            val id = r.getLong(0); val kind = r.getString(1)
+            val payload =
+              if (kind == "audio") {
+                val n = 1200 + (id % 1200).toInt
+                val pcm = Array.tabulate(n)(k =>
+                  ((id * 23 + k * 11) % 4096).toInt - 2048)
+                if ((id / 3) % 2 == 0) Multimodal.WavCodec.encodePcm16(16000, pcm)
+                else graft.sources.Flac.encode(pcm, blockSize = 512)
+              } else r.getAs[Array[Byte]](2)
+            (id, kind, payload)
+          }
+        }(enc).toDF("media_id", "kind", "bytes")
+      Multimodal.audioResampleStats(auds, factor = 4)
+    }),
     "mm_wav_segments" -> ((s, d) => {
       val enc = org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.scalaLong,
@@ -1123,6 +1152,22 @@ object MultimodalQueries {
                   + ((doc_id * 11) % 60) * 1000)
             ELSE 0 END)::BIGINT AS gps_lon_mas
          FROM documents WHERE doc_id % 3 = 0""",
+    // decimated sample v_k = trunc(sum of 4 source samples / 4) —
+    // DuckDB's integer // divides toward zero exactly like Java /,
+    // exercised on signed sums
+    "mm_audio_resample" ->
+      s"""WITH a AS (SELECT doc_id AS media_id, 1200 + doc_id % 1200 AS n
+           FROM documents WHERE doc_id % 3 = 1),
+         w AS (SELECT media_id, n, k.k // 4 AS win,
+             ((media_id * 23 + k.k * 11) % 4096) - 2048 AS s
+           FROM a, LATERAL unnest(range(0, (n // 4) * 4)) AS k(k)),
+         o AS (SELECT media_id, n, win, (sum(s) // 4) AS v
+           FROM w GROUP BY 1, 2, 3)
+         SELECT media_id, n::BIGINT AS n_in, (n // 4)::BIGINT AS n_out,
+           CAST(sum(v * v) AS BIGINT) AS energy,
+           CAST(max(abs(v)) AS BIGINT) AS peak,
+           CAST(sum((win + 1) * v) AS BIGINT) AS checksum
+         FROM o GROUP BY media_id, n""",
     "mm_wav_segments" ->
       s"""WITH a AS (SELECT doc_id AS media_id, 300 + doc_id % 450 AS ns
              FROM documents WHERE doc_id % 3 = 1),
