@@ -222,14 +222,23 @@ object Exif {
     None
   }
 
-  /** Sniff the container by signature and dispatch. Returns
-    * (container, exif) — container "jpeg" | "png". */
+  /** Sniff the container by signature and dispatch — total over the
+    * still-image family: "jpeg" | "png" (the EXIF carriers, walked),
+    * "gif" | "bmp" (those containers define no EXIF slot — GIF
+    * metadata lives in extension blocks, BMP has none — so detection
+    * returns None without a walk; [[Multimodal.GifCodec.stripMetadata]]
+    * is the GIF-side scrub). Returns (container, exif). */
   def fromImage(b: Array[Byte]): (String, Option[ExifInfo]) =
     if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
       ("jpeg", fromJpeg(b))
     else if (b.length >= 8 && (0 until 8).forall(i => (b(i) & 0xff) == pngSig(i)))
       ("png", fromPng(b))
-    else fail(0, "not a JPEG or PNG (EXIF carriers)")
+    else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+      ("gif", None)
+    else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M')
+      ("bmp", None)
+    else fail(0, "not a JPEG/PNG/GIF/BMP still image")
 
   // ---- fixture encoders (real TIFF structure, deterministic) ----
 

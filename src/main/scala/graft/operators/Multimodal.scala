@@ -1026,6 +1026,43 @@ object Multimodal {
       count(lit(1)).over(org.apache.spark.sql.expressions.Window
         .partitionBy(col("dhash"))).cast("long"))
 
+  /** The pure dHash kernel over decoded pixels — 16 hex chars; shared
+    * by [[dHashRows]] and by composed pipelines that compute the hash
+    * inline in an existing per-row map (saves them a second decode
+    * pass). */
+  def dHashOf(w: Int, h: Int, px: Array[Int]): String = {
+    val sums = new Array[Long](72)
+    val cnts = new Array[Long](72)
+    var y = 0
+    while (y < h) {
+      val j = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val i = x * 9 / w
+        val p = px(y * w + x)
+        val luma = (77 * ((p >> 16) & 0xff) + 150 * ((p >> 8) & 0xff) +
+          29 * (p & 0xff)) >> 8
+        sums(j * 9 + i) += luma; cnts(j * 9 + i) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val cell = Array.tabulate(72)(k =>
+      if (cnts(k) == 0) 0L else sums(k) / cnts(k))
+    var bits = 0L
+    var j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 8) {
+        if (cell(j * 9 + i) < cell(j * 9 + i + 1))
+          bits |= 1L << (j * 8 + i)
+        i += 1
+      }
+      j += 1
+    }
+    f"$bits%016x"
+  }
+
   /** The windowless hash frame (media_id, width, height, dhash) —
     * shared by [[imageDHash]], the pair search, and the persisted
     * index (which must not pay the count window). */
@@ -1036,36 +1073,7 @@ object Multimodal {
         it.map { r =>
           val id = r.getLong(0)
           val (w, h, px) = decodeImage(r.getAs[Array[Byte]](1))
-          val sums = new Array[Long](72)
-          val cnts = new Array[Long](72)
-          var y = 0
-          while (y < h) {
-            val j = y * 8 / h
-            var x = 0
-            while (x < w) {
-              val i = x * 9 / w
-              val p = px(y * w + x)
-              val luma = (77 * ((p >> 16) & 0xff) + 150 * ((p >> 8) & 0xff) +
-                29 * (p & 0xff)) >> 8
-              sums(j * 9 + i) += luma; cnts(j * 9 + i) += 1
-              x += 1
-            }
-            y += 1
-          }
-          val cell = Array.tabulate(72)(k =>
-            if (cnts(k) == 0) 0L else sums(k) / cnts(k))
-          var bits = 0L
-          var j = 0
-          while (j < 8) {
-            var i = 0
-            while (i < 8) {
-              if (cell(j * 9 + i) < cell(j * 9 + i + 1))
-                bits |= 1L << (j * 8 + i)
-              i += 1
-            }
-            j += 1
-          }
-          (id, w, h, f"$bits%016x")
+          (id, w, h, dHashOf(w, h, px))
         }
       }(enc).toDF("media_id", "width", "height", "dhash")
   }

@@ -340,6 +340,144 @@ object MultimodalQueries {
       hashed.join(survivors.select("media_id", "container"), "media_id")
         .select("media_id", "container", "width", "height", "dhash", "n_same_hash")
     }),
+    // the PRIVACY-COMPLETE crawl composition — X183's pipeline with
+    // the round's detection/scrub/normalize stages fused in: WARC
+    // parse -> status-200 + image/* gate -> EXIF detect (real TIFF
+    // walk; which survivors carry GPS) -> container-appropriate
+    // metadata strip (JPEG APP1+COM / PNG tEXt+eXIf / GIF
+    // Comment+Application) -> re-detect must find NOTHING (enforced
+    // per row — the pipeline self-checks its scrub) -> transcode to
+    // canonical stored-PNG -> dHash over the NORMALIZED bytes ->
+    // cross-format dup counts. Stages share ONE flatMap (the hash is
+    // computed inline via dHashOf), so the only exchange is the
+    // count window; every output column — strip byte delta included,
+    // which prices the real TIFF the fixture injected — replays
+    // arithmetically in the oracle
+    "mm_warc_privacy_pipeline" -> ((s, d) => {
+      import s.implicits._
+      val grouped = graft.Tables.table(s, d, "documents")
+        .select(expr("doc_id div 10").as("file_id"),
+          struct(col("doc_id"), col("text")).as("r"))
+        .groupBy(col("file_id"))
+        .agg(sort_array(collect_list(col("r"))).as("rs"))
+      val rows = grouped.flatMap { row =>
+        val bytes = row.getSeq[org.apache.spark.sql.Row](1).flatMap { r =>
+          val id = r.getLong(0)
+          val q = (id * 31 + 7) % 5
+          val (st, stx) =
+            if (q < 3) (200, "OK")
+            else if (q == 3L) (301, "Moved")
+            else (404, "NotFound")
+          val (body, ctype) =
+            if (id % 3 == 0) {
+              val seed = id / 9
+              val w = 16 + (seed % 24).toInt
+              val h = 10 + (seed % 15).toInt
+              def bv(bx: Int, by: Int) =
+                ((seed * 31 + bx * 7 + by * 13) % 256).toInt
+              def pix(x: Int, y: Int) = bv(x / 8, y / 8)
+              val gps =
+                if (id % 9 < 6)
+                  Some(graft.operators.Exif.GpsDms(
+                    if ((id / 9) % 2 == 0) 'N' else 'S',
+                    (id % 90).toInt, (id % 60).toInt, ((id * 7) % 60).toInt,
+                    if ((id / 18) % 2 == 0) 'E' else 'W',
+                    ((id * 3) % 180).toInt, ((id * 5) % 60).toInt,
+                    ((id * 11) % 60).toInt))
+                else None
+              def tiff = graft.operators.Exif.encodeTiff(
+                littleEndian = id % 2 == 0, orientation = 1 + (id % 8).toInt,
+                make = "Cam" + (id % 10), model = "Mod" + (id % 100), gps)
+              ((id / 3) % 3) match {
+                case 0 =>
+                  // GIF + Comment + Application extensions (no EXIF slot)
+                  val base = Multimodal.ImageHeader.encodeGif(w, h, pix)
+                  val l1 = 40 + (id % 100).toInt
+                  val l2 = 20 + (id % 60).toInt
+                  def sub(n: Int, off: Int): Array[Byte] =
+                    n.toByte +: Array.tabulate(n)(k => ((id + off + k) % 251).toByte)
+                  val comment = Array[Byte](0x21, 0xfe.toByte) ++ sub(l1, 0) ++
+                    Array[Byte](0)
+                  val app = Array[Byte](0x21, 0xff.toByte) ++
+                    sub(11, 7) ++ sub(l2, 13) ++ Array[Byte](0)
+                  val at = 13 + 3 * (1 << ((base(10) & 7) + 1))
+                  (base.take(at) ++ comment ++ app ++ base.drop(at), "image/gif")
+                case 1 =>
+                  // PNG + tEXt + eXIf (the real TIFF) after IHDR
+                  val base = Multimodal.ImageHeader.encodePngStored(w, h, pix)
+                  val l1 = 32 + (id % 64).toInt
+                  def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+                    val n = data.length
+                    val a = new Array[Byte](12 + n)
+                    a(0) = (n >> 24).toByte; a(1) = (n >> 16).toByte
+                    a(2) = (n >> 8).toByte; a(3) = n.toByte
+                    tag.getBytes("US-ASCII").copyToArray(a, 4)
+                    data.copyToArray(a, 8)
+                    val crc = new java.util.zip.CRC32
+                    crc.update(a, 4, 4 + n)
+                    val c = crc.getValue
+                    a(8 + n) = (c >> 24).toByte; a(9 + n) = (c >> 16).toByte
+                    a(10 + n) = (c >> 8).toByte; a(11 + n) = c.toByte
+                    a
+                  }
+                  val txt = chunk("tEXt",
+                    Array.tabulate(l1)(k => ((id + k * 7) % 251).toByte))
+                  (base.take(33) ++ txt ++
+                    chunk("eXIf", tiff) ++ base.drop(33), "image/png")
+                case _ =>
+                  // DC-only JPEG + APP1(EXIF TIFF) + COM
+                  val base = graft.operators.JpegCodec.encodeJpegDcOnly(w, h, bv)
+                  val l2 = 16 + (id % 32).toInt
+                  val com = {
+                    val a = new Array[Byte](4 + l2)
+                    a(0) = 0xff.toByte; a(1) = 0xfe.toByte
+                    a(2) = (((l2 + 2) >> 8) & 0xff).toByte
+                    a(3) = ((l2 + 2) & 0xff).toByte
+                    var i = 0
+                    while (i < l2) { a(4 + i) = ((id + i) % 251).toByte; i += 1 }
+                    a
+                  }
+                  (base.take(2) ++ graft.operators.Exif.encodeJpegApp1(tiff) ++
+                    com ++ base.drop(2), "image/jpeg")
+              }
+            } else
+              (r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8),
+                "text/plain")
+          val rec = graft.sources.Warc.encodeResponse(
+            s"https://ex.org/d/$id", "2026-08-15T00:00:00Z", st, stx, body, ctype)
+          (if (id % 4 == 0) graft.sources.Warc.gzipMember(rec) else rec).toSeq
+        }.toArray
+        graft.sources.Warc.parseAll(bytes)
+          .filter(w => w.httpStatus == 200 &&
+            w.httpContentType.startsWith("image/"))
+          .map { w =>
+            val id = w.targetUri.substring(w.targetUri.lastIndexOf('/') + 1).toLong
+            val (container, exif) = graft.operators.Exif.fromImage(w.body)
+            val hadGps = exif.exists(_.hasGps)
+            val (stripped, _) = container match {
+              case "jpeg" => graft.operators.JpegCodec.stripMetadata(w.body)
+              case "png" => Multimodal.PngCodec.stripMetadata(w.body)
+              case "gif" => Multimodal.GifCodec.stripMetadata(w.body)
+              case other => throw new IllegalStateException(
+                s"unexpected container $other in crawl pipeline")
+            }
+            // the scrub must actually have worked — per-row self-check
+            if (graft.operators.Exif.fromImage(stripped)._2.nonEmpty)
+              throw new IllegalStateException(
+                s"EXIF survived the $container strip (media $id)")
+            val (iw, ih, px) = Multimodal.decodeImage(stripped)
+            val png = Multimodal.PngCodec.encodeRgb(iw, ih, px)
+            val (nw, nh, npx) = Multimodal.PngCodec.decode(png)
+            (id, container, hadGps,
+              (w.body.length - stripped.length).toLong, png.length.toLong,
+              Multimodal.dHashOf(nw, nh, npx))
+          }
+      }.toDF("media_id", "container", "had_gps", "n_stripped_bytes",
+        "out_len", "dhash")
+      rows.withColumn("n_same_hash",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("dhash"))).cast("long"))
+    }),
     // privacy scrub: image ids carry DC-only JPEGs with an injected
     // APP1 (EXIF-slot) and COM segment of id-derived lengths; the
     // marker-walk strip removes exactly those (arithmetic byte
@@ -1029,6 +1167,54 @@ object MultimodalQueries {
              AS hamming
          FROM cand
          WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 8""",
+    // every stage replayed: the status gate, the per-container strip
+    // byte delta — which prices the REAL TIFF the fixture injected
+    // (length 169+mb with GPS / 55+mb without, mb = model bytes) —
+    // the stored-PNG out_len closed form, GPS presence, and the grid
+    // hash over the normalized pixels
+    "mm_warc_privacy_pipeline" ->
+      s"""WITH img AS (SELECT doc_id AS media_id, doc_id // 9 AS seed,
+             CASE ((doc_id // 3) % 3) WHEN 0 THEN 'gif'
+                  WHEN 1 THEN 'png' ELSE 'jpeg' END AS container,
+             16 + (doc_id // 9) % 24 AS w, 10 + (doc_id // 9) % 15 AS h,
+             (8 + 42 + 5 + length('Mod' || (doc_id % 100)) + 1
+               + CASE WHEN doc_id % 9 < 6 THEN 12 + 54 + 48 ELSE 0 END)
+               AS tiff_len
+           FROM documents
+           WHERE doc_id % 3 = 0 AND (doc_id * 31 + 7) % 5 < 3),
+         base AS (SELECT media_id, seed, container, w, h,
+             CASE container
+               WHEN 'gif' THEN 80 + media_id % 100 + media_id % 60
+               WHEN 'png' THEN 56 + media_id % 64 + tiff_len
+               ELSE 30 + media_id % 32 + tiff_len END AS n_stripped_bytes,
+             (68 + h * (3 * w + 1)) AS out_len,
+             (container != 'gif' AND media_id % 9 < 6) AS had_gps
+           FROM img),
+         px AS (SELECT media_id, w, h,
+             (x.x * 9) // w AS i, (y.y * 8) // h AS j,
+             ((seed * 31 + (x.x // 8) * 7 + (y.y // 8) * 13) % 256) AS v
+           FROM base, LATERAL unnest(range(0, w)) AS x(x),
+             LATERAL unnest(range(0, h)) AS y(y)),
+         cells AS (SELECT media_id, i, j, (sum(v) // count(*)) AS m
+           FROM px GROUP BY 1, 2, 3),
+         bits AS (SELECT a.media_id, (a.j * 8 + a.i) AS k,
+             CASE WHEN a.m < b.m THEN 1 ELSE 0 END AS bit
+           FROM cells a JOIN cells b
+             ON b.media_id = a.media_id AND b.j = a.j AND b.i = a.i + 1
+           WHERE a.i < 8),
+         packed AS (SELECT media_id,
+             CAST(sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32))
+                           ELSE 0 END) AS BIGINT) AS hi,
+             CAST(sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k)
+                           ELSE 0 END) AS BIGINT) AS lo
+           FROM bits GROUP BY 1)
+         SELECT b.media_id, b.container, b.had_gps,
+           b.n_stripped_bytes::BIGINT AS n_stripped_bytes,
+           b.out_len::BIGINT AS out_len,
+           printf('%08x%08x', p.hi, p.lo) AS dhash,
+           count(*) OVER (PARTITION BY printf('%08x%08x', p.hi, p.lo))
+             AS n_same_hash
+         FROM base b JOIN packed p ON p.media_id = b.media_id""",
     // the byte delta is pure arithmetic (two 4-byte headers + the two
     // id-derived payloads); pixels replay via the mm_jpeg_pixels
     // block-formula CTE

@@ -118,6 +118,16 @@ class ExifSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("CRC"))
   }
 
+  test("fromImage is total over the still-image family") {
+    val gif = Multimodal.ImageHeader.encodeGif(8, 8, (x, y) => (x + y) % 251)
+    assert(Exif.fromImage(gif) == (("gif", None)))
+    val bmp = Multimodal.ImageHeader.encodeBmp(8, 8, (x, y) => (x + y) % 251)
+    assert(Exif.fromImage(bmp) == (("bmp", None)))
+    val junk = intercept[IllegalArgumentException](
+      Exif.fromImage(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9)))
+    assert(junk.getMessage.contains("still image"))
+  }
+
   test("hostile structures reject loudly by name") {
     def parsePatched(patch: Array[Byte] => Unit): Exif.ExifInfo = {
       val t = Exif.encodeTiff(littleEndian = true, orientation = 1,
