@@ -130,6 +130,44 @@ object Streams {
       }(org.apache.spark.sql.Encoders.product[WarcMediaRow])
       .toDF()
 
+  final case class MediaScrubRow(ts: Timestamp, target_uri: String,
+      container: String, had_gps: Boolean, n_stripped_bytes: Long,
+      out_len: Long, dhash: String, body: Array[Byte])
+
+  /** Streaming privacy scrub + container normalization — the online
+    * form of the mm_warc_privacy_pipeline stages between ingest and
+    * dedup: per media row, EXIF detect (total over jpeg/png/gif/bmp),
+    * container-appropriate metadata strip (BMP defines none — passes
+    * through with delta 0), a re-detect self-check (EXIF surviving
+    * the strip fails the row loudly — a scrub that silently leaks GPS
+    * is worse than a dead micro-batch), re-encode as canonical
+    * stored-PNG, and the inline perceptual hash. Stateless per-row
+    * map — no watermark, no state store; emits the NORMALIZED bytes
+    * so [[imageDedupAgainstIndex]] composes downstream unchanged. */
+  def mediaPrivacyScrub(media: DataFrame): DataFrame =
+    media.select(col("ts"), col("target_uri"), col("body"))
+      .map { r =>
+        val b = r.getAs[Array[Byte]](2)
+        val (container, exif) = graft.operators.Exif.fromImage(b)
+        val hadGps = exif.exists(_.hasGps)
+        val (stripped, _) = container match {
+          case "jpeg" => graft.operators.JpegCodec.stripMetadata(b)
+          case "png" => graft.operators.Multimodal.PngCodec.stripMetadata(b)
+          case "gif" => graft.operators.Multimodal.GifCodec.stripMetadata(b)
+          case _ => (b, 0) // bmp: no metadata slots to strip
+        }
+        if (graft.operators.Exif.fromImage(stripped)._2.nonEmpty)
+          throw new IllegalStateException(
+            s"EXIF survived the $container strip (${r.getString(1)})")
+        val (w, h, px) = graft.operators.Multimodal.decodeImage(stripped)
+        val png = graft.operators.Multimodal.PngCodec.encodeRgb(w, h, px)
+        val (nw, nh, npx) = graft.operators.Multimodal.PngCodec.decode(png)
+        MediaScrubRow(r.getTimestamp(0), r.getString(1), container, hadGps,
+          (b.length - stripped.length).toLong, png.length.toLong,
+          graft.operators.Multimodal.dHashOf(nw, nh, npx), png)
+      }(org.apache.spark.sql.Encoders.product[MediaScrubRow])
+      .toDF()
+
   /** A [[warcIngestQuarantine]] row: either a parsed record
     * (`quarantined = false`, q_* null/-1) or a quarantine marker for a
     * whole malformed blob (`quarantined = true`, record columns

@@ -488,6 +488,84 @@ class StreamsSpec extends AnyFunSuite {
     } finally { q.stop(); q2.stop() }
   }
 
+  test("streaming privacy scrub: detect -> strip -> self-check -> normalize -> index dedup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val idx = s"/tmp/graft_scrub_idx_${System.nanoTime()}"
+    val out = s"/tmp/graft_scrub_out_${System.nanoTime()}"
+    val (w, h) = (32, 24)
+    // block-constant content so the DC-only JPEG leg decodes exactly
+    // to the same pixels as the GIF/PNG legs -> one dhash for all
+    def bv(bx: Int, by: Int) = (bx * 29 + by * 17) % 200
+    def pix(x: Int, y: Int) = bv(x / 8, y / 8)
+    graft.operators.Multimodal.writeDHashIndex(
+      Seq((100L, "image",
+        graft.operators.Multimodal.ImageHeader.encodePngStored(w, h, pix)))
+        .toDF("media_id", "kind", "bytes"), idx)
+
+    val gpsTiff = graft.operators.Exif.encodeTiff(littleEndian = true,
+      orientation = 6, make = "Cam", model = "M",
+      gps = Some(graft.operators.Exif.GpsDms('N', 40, 26, 46, 'E', 79, 58, 56)))
+    val noGpsTiff = graft.operators.Exif.encodeTiff(littleEndian = false,
+      orientation = 1, make = "Cam", model = "M", gps = None)
+    val jpegBase = graft.operators.JpegCodec.encodeJpegDcOnly(w, h, bv)
+    val jpeg = jpegBase.take(2) ++
+      graft.operators.Exif.encodeJpegApp1(gpsTiff) ++ jpegBase.drop(2)
+    val pngBase = graft.operators.Multimodal.ImageHeader.encodePngStored(w, h, pix)
+    val png = pngBase.take(33) ++
+      graft.operators.Exif.encodePngExifChunk(noGpsTiff) ++ pngBase.drop(33)
+    val gifBase = graft.operators.Multimodal.ImageHeader.encodeGif(w, h, pix)
+    val gifAt = 13 + 3 * (1 << ((gifBase(10) & 7) + 1))
+    val gif = gifBase.take(gifAt) ++
+      Array[Byte](0x21, 0xfe.toByte, 5, 1, 2, 3, 4, 5, 0) ++ gifBase.drop(gifAt)
+
+    def rec(id: Long, status: Int, ctype: String, body: Array[Byte]) =
+      graft.sources.Warc.encodeResponse(s"https://ex.org/m/$id",
+        "2026-08-15T00:00:00Z", status, if (status == 200) "OK" else "Gone",
+        body, ctype)
+    val blob = rec(1L, 200, "image/jpeg", jpeg) ++
+      rec(2L, 200, "image/png", png) ++
+      rec(3L, 200, "image/gif", gif) ++
+      rec(4L, 404, "image/png", pngBase) ++
+      rec(900L, 200, "text/plain", "hello".getBytes)
+
+    val in = MemoryStream[(Timestamp, Array[Byte])]
+    val scrubbed = Streams.mediaPrivacyScrub(
+      Streams.warcMediaIngest(in.toDF().toDF("ts", "blob"), "blob"))
+    val sink = Streams.imageDedupAgainstIndex(spark, idx, out, maxHamming = 8)
+    val q = scrubbed.selectExpr(
+        "cast(substring_index(target_uri, '/', -1) as long) AS media_id",
+        "'image' AS kind", "body AS bytes")
+      .writeStream.foreachBatch(sink).outputMode("append").start()
+    val q2 = scrubbed.writeStream.format("memory").queryName("scrub_out").start()
+    try {
+      in.addData((Timestamp.valueOf("2026-08-15 00:00:00"), blob))
+      q.processAllAvailable(); q2.processAllAvailable()
+      val rows = spark.sql(
+        """SELECT target_uri, container, had_gps, n_stripped_bytes,
+           out_len, dhash FROM scrub_out""").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getBoolean(2),
+          r.getLong(3), r.getLong(4), r.getString(5))).toList.sortBy(_._1)
+      assert(rows.map(_._1) ==
+        List("https://ex.org/m/1", "https://ex.org/m/2", "https://ex.org/m/3"))
+      assert(rows.map(_._2) == List("jpeg", "png", "gif"))
+      // GPS only on the JPEG; the PNG carried EXIF but no GPS sub-IFD
+      assert(rows.map(_._3) == List(true, false, false))
+      // every carrier lost its metadata bytes
+      assert(rows.forall(_._4 > 0), s"deltas: ${rows.map(_._4)}")
+      assert(rows.map(_._4) == List(10 + gpsTiff.length, 12 + noGpsTiff.length, 9))
+      // normalized container: the stored-PNG closed form
+      assert(rows.forall(_._5 == 68 + h * (3 * w + 1)))
+      // same content in three containers -> ONE perceptual hash
+      assert(rows.map(_._6).toSet.size == 1, s"hashes: ${rows.map(_._6)}")
+      // and the normalized bytes dedup against the persisted index
+      val pairs = spark.read.parquet(out)
+        .select("in_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 100L), (2L, 100L), (3L, 100L)), s"pairs: $pairs")
+    } finally { q.stop(); q2.stop() }
+  }
+
   test("flatMapGroupsWithState running totals across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
