@@ -912,6 +912,32 @@ object MultimodalQueries {
         }(enc).toDF("media_id", "kind", "bytes")
       Multimodal.mp4SampleRanges(mp4s)
     }),
+    // keyframe payloads pulled by container math alone: same fixture
+    // as mm_mp4_sample_ranges (byte k of sample i = (id + i*31 + k) %
+    // 251, keyframe every 5th), so first/last byte and the position-
+    // weighted checksum of every extracted slice replay arithmetically
+    "mm_mp4_keyframes" -> ((s, d) => {
+      val enc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.BINARY)
+      val mp4s = media(s, d).filter(col("kind") === "video").select("media_id")
+        .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+          it.map { r =>
+            val id = r.getLong(0)
+            val n = 8 + (id % 20).toInt
+            val delta = 256 + (id % 100)
+            val samples = Array.tabulate(n) { i =>
+              val sz = 20 + ((id * 7 + i * 13) % 40).toInt
+              Array.tabulate(sz)(k => ((id + i * 31 + k) % 251).toByte)
+            }
+            (id, Multimodal.Mp4Codec.encodeWithSamples(600L,
+              Multimodal.Mp4Codec.TrackInfo(1L, "vide", 600L,
+                n * delta, 320, 240),
+              samples, samplesPerChunk = 3, delta = delta, syncEvery = 5))
+          }
+        }(enc).toDF("media_id", "bytes")
+      Multimodal.mp4KeyframePayloads(mp4s)
+    }),
     "mm_resize_cksum" -> ((s, d) => {
       val r = Multimodal.resize(media(s, d), targetCells = 64)
         .withColumn("rs", col("resized_bytes").cast("string"))
@@ -1396,6 +1422,24 @@ object MultimodalQueries {
            sz::BIGINT AS size, (i * delta)::BIGINT AS dts,
            (i % 5 = 0) AS keyframe
          FROM s""",
+    // keyframes are samples i % 5 = 0; byte k = (id + i*31 + k) % 251
+    "mm_mp4_keyframes" ->
+      s"""WITH v AS (SELECT doc_id AS media_id, 8 + doc_id % 20 AS n,
+             256 + doc_id % 100 AS delta
+           FROM documents WHERE doc_id % 3 = 2),
+         s AS (SELECT media_id, delta, i.i AS i,
+             20 + ((media_id * 7 + i.i * 13) % 40) AS sz
+           FROM v, LATERAL unnest(range(0, n)) AS i(i)
+           WHERE i.i % 5 = 0),
+         by AS (SELECT media_id, delta, i, sz, k.k AS k,
+             ((media_id + i * 31 + k.k) % 251) AS b
+           FROM s, LATERAL unnest(range(0, sz)) AS k(k))
+         SELECT media_id, 1::BIGINT AS track_id, i::BIGINT AS sample_idx,
+           (i * delta)::BIGINT AS dts, sz::BIGINT AS size,
+           CAST(min(CASE WHEN k = 0 THEN b END) AS BIGINT) AS first_byte,
+           CAST(min(CASE WHEN k = sz - 1 THEN b END) AS BIGINT) AS last_byte,
+           CAST(sum((k + 1) * b) AS BIGINT) AS checksum
+         FROM by GROUP BY media_id, delta, i, sz""",
     "mm_resize_cksum" ->
       s"""WITH p AS (
            SELECT doc_id, text, greatest(length(text) // 64, 1) AS stride,

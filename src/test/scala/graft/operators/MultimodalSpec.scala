@@ -362,4 +362,29 @@ class MultimodalSpec extends AnyFunSuite {
     evil(stszAt + 16) = 0x7f // sample count high byte -> overruns stsz
     assert(Multimodal.Mp4Codec.parseSampleTables(evil).isEmpty)
   }
+
+  test("mp4KeyframePayloads extracts exactly the stss slices with brute-force checksums") {
+    import spark.implicits._
+    val sizes = Array(25, 30, 21, 47, 20, 33, 28)
+    val samples = sizes.zipWithIndex.map { case (sz, i) =>
+      Array.tabulate(sz)(k => ((i * 31 + k) % 251).toByte)
+    }
+    val bytes = Multimodal.Mp4Codec.encodeWithSamples(600L,
+      Multimodal.Mp4Codec.TrackInfo(1L, "vide", 600L, 7 * 100L, 320, 240),
+      samples, samplesPerChunk = 3, delta = 100L, syncEvery = 4)
+    val rows = Multimodal.mp4KeyframePayloads(
+        Seq((9L, bytes)).toDF("media_id", "bytes"))
+      .collect().map(r => (r.getAs[Long]("sample_idx"),
+        r.getAs[Long]("size"), r.getAs[Long]("first_byte"),
+        r.getAs[Long]("checksum"))).sortBy(_._1)
+    // keyframes are samples 0 and 4 (syncEvery = 4)
+    assert(rows.map(_._1).toSeq == Seq(0L, 4L))
+    for ((idx, sz, fb, ck) <- rows) {
+      val s = samples(idx.toInt)
+      assert(sz == s.length.toLong)
+      assert(fb == (s(0) & 0xff).toLong)
+      val brute = s.zipWithIndex.map { case (b, k) => (k + 1).toLong * (b & 0xff) }.sum
+      assert(ck == brute, s"keyframe $idx checksum")
+    }
+  }
 }
