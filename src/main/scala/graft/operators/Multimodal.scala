@@ -1252,6 +1252,77 @@ object Multimodal {
         .partitionBy(col("fp"))).cast("long"))
   }
 
+  /** Apply a TIFF/EXIF orientation (1–8) to decoded pixels — the
+    * eight dihedral transforms, exact integer coordinate permutations
+    * (no resampling): 1 identity, 2 mirror-X, 3 rotate 180, 4
+    * mirror-Y, 5 transpose, 6 rotate 90 CW, 7 transverse, 8 rotate
+    * 270 CW. Orientations 5–8 swap the output dims. Anything outside
+    * 1–8 rejects loudly (0/absent means "treat as 1" and is the
+    * CALLER's decision — silently accepting garbage would hide a
+    * corrupt IFD). Returns (outW, outH, outPixels). */
+  def applyOrientation(px: Array[Int], w: Int, h: Int, o: Int): (Int, Int, Array[Int]) = {
+    require(o >= 1 && o <= 8, s"EXIF orientation $o out of 1..8")
+    require(px.length == w * h, s"${px.length} pixels for ${w}x$h")
+    val swap = o >= 5
+    val ow = if (swap) h else w
+    val oh = if (swap) w else h
+    val out = new Array[Int](px.length)
+    var sy = 0
+    while (sy < h) {
+      var sx = 0
+      while (sx < w) {
+        val i = o match {
+          case 1 | 4 => sx
+          case 2 | 3 => w - 1 - sx
+          case 5 | 8 => sy
+          case _ => h - 1 - sy // 6, 7
+        }
+        val j = o match {
+          case 1 | 2 => sy
+          case 3 | 4 => h - 1 - sy
+          case 5 | 6 => sx
+          case _ => w - 1 - sx // 7, 8
+        }
+        out(j * ow + i) = px(sy * w + sx)
+        sx += 1
+      }
+      sy += 1
+    }
+    (ow, oh, out)
+  }
+
+  /** Orientation NORMALIZATION — the step a perceptual pipeline must
+    * run before hashing or thumbnailing (the same photo tagged
+    * orientation 6 vs 1 decodes to different pixel ARRAYS and would
+    * hash apart; honoring the tag reunites them): per image, parse
+    * the EXIF orientation ([[Exif.fromImage]]; absent or 0 means
+    * upright), decode through the real codec, apply the dihedral
+    * transform, and emit the upright dims plus a position-weighted
+    * checksum over the transformed low channel — value AND place of
+    * every pixel pinned, so the oracle replays the full coordinate
+    * permutation. One narrow map; pixels never shuffle. */
+  def exifOrientNormalize(media: DataFrame): DataFrame = {
+    val enc = Encoders.product[(Long, Int, Long, Long, Long)]
+    media.filter(col("kind") === "image").select("media_id", "bytes")
+      .mapPartitions { it: Iterator[Row] =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val b = r.getAs[Array[Byte]](1)
+          val (_, exif) = Exif.fromImage(b)
+          val o = exif.map(_.orientation).filter(_ >= 1).getOrElse(1)
+          val (w, h, px) = decodeImage(b)
+          val (ow, oh, out) = applyOrientation(px, w, h, o)
+          var ck = 0L
+          var k = 0
+          while (k < out.length) {
+            ck += (k + 1).toLong * (out(k) & 0xff)
+            k += 1
+          }
+          (id, o, ow.toLong, oh.toLong, ck)
+        }
+      }(enc).toDF("media_id", "orientation", "out_w", "out_h", "checksum")
+  }
+
   /** Integer audio DECIMATION resample over REAL decoded PCM — the
     * audio twin of [[resizePixels]] and the rate-normalize step of an
     * audio ingest (every recording to one sample rate before feature
@@ -1293,6 +1364,48 @@ object Multimodal {
           (id, pcm.length.toLong, nOut.toLong, energy, peak, ck)
         }
       }(enc).toDF("media_id", "n_in", "n_out", "energy", "peak", "checksum")
+  }
+
+  /** Channel NORMALIZATION: mix multi-channel WAV down to mono — the
+    * step before any of the mono-contract audio ops (fingerprint,
+    * resample, segmenting) can run on stereo field recordings. Frame
+    * k of the mono stream = TRUNCATING mean of the frame's channel
+    * samples ((L+R)/2 toward zero — same portable semantics as
+    * [[audioResampleStats]], and the DC-exact choice: a mono input
+    * passes through bit-identical as the 1-channel case). 16-bit PCM,
+    * 1 or 2 channels; anything else rejects loudly via the parser
+    * contract. Emits stats of the MIXED stream (energy / peak /
+    * position-weighted checksum) so the oracle replays the mix
+    * arithmetic; one narrow map, samples never shuffle. */
+  def audioMixdownStats(media: DataFrame): DataFrame = {
+    val enc = Encoders.product[(Long, Int, Long, Long, Long, Long)]
+    media.filter(col("kind") === "audio").select("media_id", "bytes")
+      .mapPartitions { it: Iterator[Row] =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val b = r.getAs[Array[Byte]](1)
+          val info = WavCodec.parse(b).getOrElse(
+            throw new IllegalArgumentException("mixdown: not a RIFF/WAV stream"))
+          require(info.channels == 1 || info.channels == 2,
+            s"mixdown contract is 1 or 2 channels, got ${info.channels}")
+          val raw = WavCodec.samples(b, info) // interleaved
+          val ch = info.channels
+          val n = raw.length / ch
+          var energy = 0L; var peak = 0L; var ck = 0L
+          var k = 0
+          while (k < n) {
+            val v =
+              if (ch == 1) raw(k).toLong
+              else (raw(2 * k).toLong + raw(2 * k + 1)) / 2
+            energy += v * v
+            val a = math.abs(v); if (a > peak) peak = a
+            ck += (k + 1) * v
+            k += 1
+          }
+          (id, ch, n.toLong, energy, peak, ck)
+        }
+      }(enc).toDF("media_id", "n_channels", "n_frames",
+        "energy", "peak", "checksum")
   }
 
   /** Real pixel decode for 24-bit uncompressed (BI_RGB) BMP — the
@@ -1498,6 +1611,29 @@ object Multimodal {
       out.putShort(2).putShort(16) // block align, bits
       out.put("data".getBytes("US-ASCII")).putInt(dataBytes)
       pcm.foreach(s => out.putShort(s.toShort))
+      out.array()
+    }
+
+    /** Stereo fixture encoder: interleaved L/R 16-bit PCM frames. */
+    def encodePcm16Stereo(sampleRate: Int, left: Array[Int],
+        right: Array[Int]): Array[Byte] = {
+      require(left.length == right.length,
+        s"stereo channels differ: ${left.length} vs ${right.length} frames")
+      val dataBytes = left.length * 4
+      val out = java.nio.ByteBuffer.allocate(44 + dataBytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+      out.put("WAVE".getBytes("US-ASCII"))
+      out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      out.putShort(1).putShort(2) // PCM, stereo
+      out.putInt(sampleRate).putInt(sampleRate * 4)
+      out.putShort(4).putShort(16) // block align, bits
+      out.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+      var i = 0
+      while (i < left.length) {
+        out.putShort(left(i).toShort); out.putShort(right(i).toShort)
+        i += 1
+      }
       out.array()
     }
   }

@@ -769,6 +769,70 @@ object MultimodalQueries {
         }(enc).toDF("media_id", "kind", "bytes")
       graft.operators.Exif.exifFlags(imgs)
     }),
+    // orientation normalization: image ids carry DC-only JPEGs whose
+    // EXIF orientation tag is 1 + id%8 (all eight dihedral cases),
+    // the operator parses the tag, decodes, applies the exact
+    // coordinate permutation, and the position-weighted checksum
+    // pins value AND place of every transformed pixel — the oracle
+    // replays the permutation per orientation case in SQL
+    "mm_exif_orient" -> ((s, d) => {
+      val enc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.BINARY)
+      val imgs = media(s, d).select("media_id", "kind", "bytes")
+        .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+          it.map { r =>
+            val id = r.getLong(0); val kind = r.getString(1)
+            val payload =
+              if (kind == "image") {
+                val w = 16 + (id % 24).toInt
+                val h = 10 + (id % 15).toInt
+                val tiff = graft.operators.Exif.encodeTiff(
+                  littleEndian = id % 2 == 0,
+                  orientation = 1 + (id % 8).toInt,
+                  make = "C", model = "M", gps = None)
+                val base = graft.operators.JpegCodec.encodeJpegDcOnly(w, h,
+                  (bx, by) => ((id * 31 + bx * 7 + by * 13) % 256).toInt)
+                base.take(2) ++ graft.operators.Exif.encodeJpegApp1(tiff) ++
+                  base.drop(2)
+              } else r.getAs[Array[Byte]](2)
+            (id, kind, payload)
+          }
+        }(enc).toDF("media_id", "kind", "bytes")
+      Multimodal.exifOrientNormalize(imgs)
+    }),
+    // channel normalization: audio ids alternate stereo (interleaved
+    // L/R from two id-derived formulas) and mono WAV; the operator
+    // mixes to mono by truncating frame means and the oracle replays
+    // the per-frame (L+R)/2 arithmetic on the signed samples
+    "mm_audio_mixdown" -> ((s, d) => {
+      val enc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.BINARY)
+      val auds = media(s, d).select("media_id", "kind", "bytes")
+        .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+          it.map { r =>
+            val id = r.getLong(0); val kind = r.getString(1)
+            val payload =
+              if (kind == "audio") {
+                val n = 800 + (id % 800).toInt
+                if ((id / 3) % 2 == 0) {
+                  val l = Array.tabulate(n)(k =>
+                    ((id * 13 + k * 7) % 4096).toInt - 2048)
+                  val rr = Array.tabulate(n)(k =>
+                    ((id * 29 + k * 3) % 4096).toInt - 2048)
+                  Multimodal.WavCodec.encodePcm16Stereo(16000, l, rr)
+                } else
+                  Multimodal.WavCodec.encodePcm16(16000, Array.tabulate(n)(k =>
+                    ((id * 13 + k * 7) % 4096).toInt - 2048))
+              } else r.getAs[Array[Byte]](2)
+            (id, kind, payload)
+          }
+        }(enc).toDF("media_id", "kind", "bytes")
+      Multimodal.audioMixdownStats(auds)
+    }),
     // rate normalization over both lossless audio containers: audio
     // ids alternate WAV / FLAC (id/3 parity), decode through their
     // real codecs, and decimate 4x by non-overlapping TRUNCATING
@@ -1364,6 +1428,50 @@ object MultimodalQueries {
                   + ((doc_id * 11) % 60) * 1000)
             ELSE 0 END)::BIGINT AS gps_lon_mas
          FROM documents WHERE doc_id % 3 = 0""",
+    // the eight dihedral destination mappings replayed per case:
+    // dst i/j as a function of src (sx, sy) and the orientation,
+    // weight = (j*outW + i + 1), value = the DC-block formula
+    "mm_exif_orient" ->
+      s"""WITH g AS (SELECT doc_id AS media_id, (1 + doc_id % 8) AS o,
+             16 + doc_id % 24 AS w, 10 + doc_id % 15 AS h
+           FROM documents WHERE doc_id % 3 = 0),
+         px AS (SELECT media_id, o, w, h,
+             CASE WHEN o IN (1, 4) THEN x.x
+                  WHEN o IN (2, 3) THEN w - 1 - x.x
+                  WHEN o IN (5, 8) THEN y.y
+                  ELSE h - 1 - y.y END AS i,
+             CASE WHEN o IN (1, 2) THEN y.y
+                  WHEN o IN (3, 4) THEN h - 1 - y.y
+                  WHEN o IN (5, 6) THEN x.x
+                  ELSE w - 1 - x.x END AS j,
+             CASE WHEN o >= 5 THEN h ELSE w END AS ow,
+             ((media_id * 31 + (x.x // 8) * 7 + (y.y // 8) * 13) % 256) AS v
+           FROM g, LATERAL unnest(range(0, w)) AS x(x),
+             LATERAL unnest(range(0, h)) AS y(y))
+         SELECT media_id, o::INT AS orientation,
+           ow::BIGINT AS out_w,
+           (CASE WHEN o >= 5 THEN w ELSE h END)::BIGINT AS out_h,
+           CAST(sum((j * ow + i + 1) * v) AS BIGINT) AS checksum
+         FROM px GROUP BY media_id, o, w, h, ow""",
+    // stereo frames mix as trunc((L+R)/2) toward zero; mono ids pass
+    // through unchanged (the 1-channel case of the same mean)
+    "mm_audio_mixdown" ->
+      s"""WITH a AS (SELECT doc_id AS media_id,
+             800 + doc_id % 800 AS n, ((doc_id // 3) % 2 = 0) AS stereo
+           FROM documents WHERE doc_id % 3 = 1),
+         f AS (SELECT media_id, n, stereo, k.k AS k,
+             CASE WHEN stereo THEN
+               ((((media_id * 13 + k.k * 7) % 4096) - 2048)
+                 + (((media_id * 29 + k.k * 3) % 4096) - 2048)) // 2
+             ELSE (((media_id * 13 + k.k * 7) % 4096) - 2048) END AS v
+           FROM a, LATERAL unnest(range(0, n)) AS k(k))
+         SELECT media_id,
+           (CASE WHEN stereo THEN 2 ELSE 1 END)::INT AS n_channels,
+           n::BIGINT AS n_frames,
+           CAST(sum(v * v) AS BIGINT) AS energy,
+           CAST(max(abs(v)) AS BIGINT) AS peak,
+           CAST(sum((k + 1) * v) AS BIGINT) AS checksum
+         FROM f GROUP BY media_id, n, stereo""",
     // decimated sample v_k = trunc(sum of 4 source samples / 4) —
     // DuckDB's integer // divides toward zero exactly like Java /,
     // exercised on signed sums
