@@ -1323,6 +1323,118 @@ object Multimodal {
       }(enc).toDF("media_id", "orientation", "out_w", "out_h", "checksum")
   }
 
+  /** Letterbox PAD to square — the aspect normalization a vision
+    * ingest runs before batching fixed-shape tensors (resize alone
+    * distorts aspect; pad-then-resize preserves it): the decoded
+    * image centers on a side×side canvas (side = max(w, h)) filled
+    * with a constant pad color, offsets = floor((side - dim) / 2) —
+    * all-integer placement, exactly replayable. Emits the canvas
+    * dims, the placement offsets, and a position-weighted checksum
+    * over the padded low channel (pad pixels included — value AND
+    * place of every canvas cell pinned). One narrow map. */
+  def imageLetterboxStats(media: DataFrame, padColor: Int = 0): DataFrame = {
+    val enc = Encoders.product[(Long, Long, Long, Long, Long, Long, Long)]
+    val pv = (padColor & 0xff).toLong
+    media.filter(col("kind") === "image").select("media_id", "bytes")
+      .mapPartitions { it: Iterator[Row] =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val (w, h, px) = decodeImage(r.getAs[Array[Byte]](1))
+          val side = math.max(w, h)
+          val ox = (side - w) / 2
+          val oy = (side - h) / 2
+          // checksum over the virtual canvas without materializing it
+          var ck = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val k = (oy + y) * side + (ox + x)
+              ck += (k + 1).toLong * (px(y * w + x) & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          if (pv != 0) {
+            // pad cells: total weight of all cells minus image cells
+            val n = side.toLong * side
+            var imgW = 0L
+            y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                imgW += (oy + y).toLong * side + (ox + x) + 1
+                x += 1
+              }
+              y += 1
+            }
+            ck += pv * (n * (n + 1) / 2 - imgW)
+          }
+          (id, w.toLong, h.toLong, side.toLong, ox.toLong, oy.toLong, ck)
+        }
+      }(enc).toDF("media_id", "width", "height", "side",
+        "offset_x", "offset_y", "checksum")
+  }
+
+  /** Silence TRIM over REAL decoded PCM — the lead-in/lead-out
+    * removal an audio ingest runs before feature extraction: a
+    * `windowSamples`-sample window is silent when its energy
+    * sum(s²) <= threshold; leading and trailing runs of silent FULL
+    * windows are dropped (the partial tail window never trims — it
+    * has no full-window energy), everything between the first and
+    * last loud window stays (interior silence is content). Emits the
+    * trim accounting plus stats of the KEPT range. All-integer,
+    * exactly replayable; one narrow map. */
+  def audioTrimSilenceStats(media: DataFrame, windowSamples: Int,
+      energyThreshold: Long): DataFrame = {
+    require(windowSamples > 0 && energyThreshold >= 0)
+    val enc = Encoders.product[(Long, Long, Long, Long, Long, Long, Long)]
+    media.filter(col("kind") === "audio").select("media_id", "bytes")
+      .mapPartitions { it: Iterator[Row] =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val pcm = decodeAudioPcm(r.getAs[Array[Byte]](1))
+          val nWin = pcm.length / windowSamples // full windows only
+          val loud = new Array[Boolean](nWin)
+          var i = 0
+          while (i < nWin) {
+            var e = 0L
+            var k = i * windowSamples
+            val to = k + windowSamples
+            while (k < to) { val v = pcm(k).toLong; e += v * v; k += 1 }
+            loud(i) = e > energyThreshold
+            i += 1
+          }
+          val first = loud.indexOf(true)
+          val last = loud.lastIndexOf(true)
+          // keep range: first loud window start .. last loud window
+          // end; the partial tail past the last full window is
+          // content only when the LAST full window is loud (it rides
+          // along); all-silent input keeps nothing
+          val from = if (first < 0) 0 else first * windowSamples
+          val end =
+            if (first < 0) 0
+            else if (last == nWin - 1) pcm.length
+            else (last + 1) * windowSamples
+          var energy = 0L; var ck = 0L
+          var k = from
+          var pos = 0
+          while (k < end) {
+            val v = pcm(k).toLong
+            energy += v * v
+            ck += (pos + 1) * v
+            pos += 1; k += 1
+          }
+          val kept = (end - from).toLong
+          (id, pcm.length.toLong, kept,
+            if (first < 0) 0L else from.toLong / windowSamples,
+            if (first < 0) nWin.toLong else (nWin - 1 - last).toLong,
+            energy, ck)
+        }
+      }(enc).toDF("media_id", "n_in", "n_kept", "n_lead_windows_cut",
+        "n_tail_windows_cut", "energy", "checksum")
+  }
+
   /** Integer audio DECIMATION resample over REAL decoded PCM — the
     * audio twin of [[resizePixels]] and the rate-normalize step of an
     * audio ingest (every recording to one sample rate before feature

@@ -769,6 +769,71 @@ object MultimodalQueries {
         }(enc).toDF("media_id", "kind", "bytes")
       graft.operators.Exif.exifFlags(imgs)
     }),
+    // aspect normalization: rotate the lossless containers, center
+    // each decoded image on its max(w,h) square, and pin value+place
+    // of every canvas cell with the position-weighted checksum; the
+    // oracle replays the integer placement arithmetic
+    "mm_image_letterbox" -> ((s, d) => {
+      val enc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.BINARY)
+      val imgs = media(s, d).select("media_id", "kind", "bytes")
+        .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+          it.map { r =>
+            val id = r.getLong(0); val kind = r.getString(1)
+            val payload =
+              if (kind == "image") {
+                val w = 16 + (id % 24).toInt
+                val h = 10 + (id % 15).toInt
+                def pix(x: Int, y: Int) =
+                  ((id * 31 + x * 7 + y * 13) % 256).toInt
+                ((id / 3) % 3) match {
+                  case 0 => Multimodal.ImageHeader.encodeGif(w, h, pix)
+                  case 1 => Multimodal.ImageHeader.encodePngStored(w, h, pix)
+                  case _ => Multimodal.ImageHeader.encodeBmp(w, h, pix)
+                }
+              } else r.getAs[Array[Byte]](2)
+            (id, kind, payload)
+          }
+        }(enc).toDF("media_id", "kind", "bytes")
+      Multimodal.imageLetterboxStats(imgs)
+    }),
+    // silence trim: audio ids carry WAV/FLAC whose PCM is zeros for
+    // id%4 leading and id%3 trailing 100-sample windows around a loud
+    // formula middle (plus a partial tail that rides along only when
+    // no trailing window is cut — the boundary the contract defines);
+    // the oracle replays the kept range and its stats arithmetically
+    "mm_audio_trim" -> ((s, d) => {
+      val enc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.BINARY)
+      val auds = media(s, d).select("media_id", "kind", "bytes")
+        .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+          it.map { r =>
+            val id = r.getLong(0); val kind = r.getString(1)
+            val payload =
+              if (kind == "audio") {
+                val leadW = (id % 4).toInt; val midW = 5 + (id % 6).toInt
+                val tailW = (id % 3).toInt; val part = (id % 100).toInt
+                val nIn = (leadW + midW + tailW) * 100 + part
+                val pcm = Array.tabulate(nIn) { k =>
+                  val inMiddle = k >= leadW * 100 && k < (leadW + midW) * 100
+                  val inPartial = k >= (leadW + midW + tailW) * 100
+                  if (inMiddle || inPartial)
+                    ((id * 7 + k * 13) % 4000).toInt - 2000
+                  else 0
+                }
+                if ((id / 3) % 2 == 0) Multimodal.WavCodec.encodePcm16(16000, pcm)
+                else graft.sources.Flac.encode(pcm, blockSize = 256)
+              } else r.getAs[Array[Byte]](2)
+            (id, kind, payload)
+          }
+        }(enc).toDF("media_id", "kind", "bytes")
+      Multimodal.audioTrimSilenceStats(auds, windowSamples = 100,
+        energyThreshold = 0L)
+    }),
     // orientation normalization: image ids carry DC-only JPEGs whose
     // EXIF orientation tag is 1 + id%8 (all eight dihedral cases),
     // the operator parses the tag, decodes, applies the exact
@@ -1428,6 +1493,47 @@ object MultimodalQueries {
                   + ((doc_id * 11) % 60) * 1000)
             ELSE 0 END)::BIGINT AS gps_lon_mas
          FROM documents WHERE doc_id % 3 = 0""",
+    // canvas cell (oy+y)*side + (ox+x), pad cells contribute 0
+    "mm_image_letterbox" ->
+      s"""WITH g AS (SELECT doc_id AS media_id, 16 + doc_id % 24 AS w,
+             10 + doc_id % 15 AS h
+           FROM documents WHERE doc_id % 3 = 0),
+         dims AS (SELECT media_id, w, h, greatest(w, h) AS side,
+             (greatest(w, h) - w) // 2 AS ox, (greatest(w, h) - h) // 2 AS oy
+           FROM g),
+         px AS (SELECT media_id, w, h, side, ox, oy,
+             ((oy + y.y) * side + ox + x.x + 1) AS wt,
+             ((media_id * 31 + x.x * 7 + y.y * 13) % 256) AS v
+           FROM dims, LATERAL unnest(range(0, w)) AS x(x),
+             LATERAL unnest(range(0, h)) AS y(y))
+         SELECT media_id, w::BIGINT AS width, h::BIGINT AS height,
+           side::BIGINT AS side, ox::BIGINT AS offset_x,
+           oy::BIGINT AS offset_y,
+           CAST(sum(wt * v) AS BIGINT) AS checksum
+         FROM px GROUP BY media_id, w, h, side, ox, oy""",
+    // kept = [leadW*100, (leadW+midW)*100) plus the partial tail when
+    // no trailing window is cut; every kept sample is the formula
+    "mm_audio_trim" ->
+      s"""WITH a AS (SELECT doc_id AS media_id, doc_id % 4 AS leadw,
+             5 + doc_id % 6 AS midw, doc_id % 3 AS tailw,
+             doc_id % 100 AS part
+           FROM documents WHERE doc_id % 3 = 1),
+         dims AS (SELECT media_id, leadw, midw, tailw,
+             (leadw + midw + tailw) * 100 + part AS n_in,
+             leadw * 100 AS frm,
+             CASE WHEN tailw = 0 THEN (leadw + midw) * 100 + part
+                  ELSE (leadw + midw) * 100 END AS endo
+           FROM a),
+         s AS (SELECT media_id, n_in, leadw, tailw, frm, endo, k.k AS k,
+             (((media_id * 7 + k.k * 13) % 4000) - 2000) AS v
+           FROM dims, LATERAL unnest(range(frm, endo)) AS k(k))
+         SELECT media_id, n_in::BIGINT AS n_in,
+           (endo - frm)::BIGINT AS n_kept,
+           leadw::BIGINT AS n_lead_windows_cut,
+           tailw::BIGINT AS n_tail_windows_cut,
+           CAST(sum(v * v) AS BIGINT) AS energy,
+           CAST(sum((k - frm + 1) * v) AS BIGINT) AS checksum
+         FROM s GROUP BY media_id, n_in, leadw, tailw, frm, endo""",
     // the eight dihedral destination mappings replayed per case:
     // dst i/j as a function of src (sx, sy) and the orientation,
     // weight = (j*outW + i + 1), value = the DC-block formula
