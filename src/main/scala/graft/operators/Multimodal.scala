@@ -247,20 +247,13 @@ object Multimodal {
       * code width past 9 bits — a valid GIF any reader opens (the
       * spec cross-checks pixels through the JDK decoder). Fixture-side
       * helper; the engine direction is [[dims]]. */
-    def encodeGif(w: Int, h: Int, pix: (Int, Int) => Int): Array[Byte] = {
-      require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff,
-        s"gif dims out of u16 range: $w x $h")
-      val out = new java.io.ByteArrayOutputStream()
-      def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
-      out.write("GIF89a".getBytes("US-ASCII"))
-      le16(w); le16(h)
-      out.write(0xf7) // GCT present, 8-bit color resolution, 256 entries
-      out.write(0); out.write(0) // background index, aspect ratio
-      var i = 0
-      while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
-      out.write(0x2c) // image descriptor
-      le16(0); le16(0); le16(w); le16(h)
-      out.write(0) // no local table, not interlaced
+    /** The all-literal LZW image data encodeGif and
+      * encodeGifAnimated share: min-code byte + 9-bit literal codes
+      * with a CLEAR every 250 literals (keeps the next free code
+      * below 512, so 9-bit codes stay valid throughout) + EOI, packed
+      * into length-prefixed sub-blocks with terminator. */
+    private def writeGifImageData(out: java.io.ByteArrayOutputStream,
+        fw: Int, fh: Int, pix: (Int, Int) => Int): Unit = {
       out.write(8) // LZW minimum code size
       val codes = new java.io.ByteArrayOutputStream()
       var acc = 0L
@@ -275,14 +268,11 @@ object Multimodal {
       emit(clear)
       var sinceClear = 0
       var y = 0
-      while (y < h) {
+      while (y < fh) {
         var x = 0
-        while (x < w) {
+        while (x < fw) {
           emit(pix(x, y) & 0xff)
           sinceClear += 1
-          // the decoder adds (literals since clear) - 1 dictionary
-          // entries from 258 up; clearing at 250 keeps the next free
-          // code below 512, so 9-bit codes stay valid throughout
           if (sinceClear == 250) { emit(clear); sinceClear = 0 }
           x += 1
         }
@@ -297,7 +287,55 @@ object Multimodal {
         out.write(n); out.write(cb, o, n); o += n
       }
       out.write(0) // block terminator
+    }
+
+    def encodeGif(w: Int, h: Int, pix: (Int, Int) => Int): Array[Byte] = {
+      require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff,
+        s"gif dims out of u16 range: $w x $h")
+      val out = new java.io.ByteArrayOutputStream()
+      def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      out.write("GIF89a".getBytes("US-ASCII"))
+      le16(w); le16(h)
+      out.write(0xf7) // GCT present, 8-bit color resolution, 256 entries
+      out.write(0); out.write(0) // background index, aspect ratio
+      var i = 0
+      while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+      out.write(0x2c) // image descriptor
+      le16(0); le16(0); le16(w); le16(h)
+      out.write(0) // no local table, not interlaced
+      writeGifImageData(out, w, h, pix)
       out.write(0x3b) // trailer
+      out.toByteArray
+    }
+
+    /** Animated fixture encoder: per frame a Graphic Control
+      * Extension (delay in centiseconds) + an image descriptor placed
+      * at (left, top) sharing the gray GCT, all-literal LZW data. */
+    def encodeGifAnimated(w: Int, h: Int,
+        frames: Seq[(Int, Int, Int, Int, (Int, Int) => Int)],
+        delaysCs: Seq[Int]): Array[Byte] = {
+      require(frames.nonEmpty && frames.length == delaysCs.length)
+      val out = new java.io.ByteArrayOutputStream()
+      def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      out.write("GIF89a".getBytes("US-ASCII"))
+      le16(w); le16(h)
+      out.write(0xf7); out.write(0); out.write(0)
+      var i = 0
+      while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+      frames.zip(delaysCs).foreach { case ((left, top, fw, fh, pix), delay) =>
+        require(left >= 0 && top >= 0 && left + fw <= w && top + fh <= h,
+          s"frame ${fw}x$fh@($left,$top) outside the ${w}x$h screen")
+        out.write(0x21); out.write(0xf9); out.write(4) // GCE
+        out.write(0) // no disposal, no transparency
+        le16(delay)
+        out.write(0) // transparent index (unused)
+        out.write(0) // GCE terminator
+        out.write(0x2c)
+        le16(left); le16(top); le16(fw); le16(fh)
+        out.write(0) // GCT, not interlaced
+        writeGifImageData(out, fw, fh, pix)
+      }
+      out.write(0x3b)
       out.toByteArray
     }
 
@@ -481,6 +519,100 @@ object Multimodal {
               i += 1
             }
             return (w, h, out)
+          case other => fail(p, f"unknown block 0x$other%02x")
+        }
+      }
+      fail(0, "unreachable")
+    }
+
+    final case class GifFrame(index: Int, left: Int, top: Int,
+        w: Int, h: Int, delayCs: Int, px: Array[Int])
+
+    /** Decode EVERY frame of a (possibly animated) GIF — the frame
+      * SAMPLING primitive for the crawl's video-lite format: each
+      * image descriptor decodes independently through the full LZW
+      * machinery with its own palette and interlace flag, placement
+      * (left, top — frames may be sub-rectangles) and the preceding
+      * Graphic Control delay surfaced per frame. Disposal/compositing
+      * is display semantics this contract deliberately does not
+      * define (documented boundary — sampling wants the raw frames,
+      * not a screen simulation). Returns (screenW, screenH, frames);
+      * a GIF with no image descriptor rejects loudly, as do frames
+      * outside the screen and every untrusted length. */
+    def decodeFrames(b: Array[Byte]): (Int, Int, List[GifFrame]) = {
+      def fail(off: Int, msg: String): Nothing =
+        throw new IllegalArgumentException(s"GIF: $msg (offset $off)")
+      def u8(i: Int): Int = {
+        if (i < 0 || i >= b.length) fail(i, "truncated")
+        b(i) & 0xff
+      }
+      def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+      if (b.length < 13) fail(0, "shorter than header")
+      val sig = new String(b, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
+      if (sig != "GIF89a" && sig != "GIF87a") fail(0, s"bad signature '$sig'")
+      val w = u16(6); val h = u16(8)
+      if (w <= 0 || h <= 0) fail(6, s"degenerate dims ${w}x$h")
+      val flags = u8(10)
+      var p = 13
+      var gct: Array[Int] = null
+      if ((flags & 0x80) != 0) {
+        val n = 1 << ((flags & 7) + 1)
+        gct = readPalette(b, p, n, fail); p += 3 * n
+      }
+      var frames = List.empty[GifFrame]
+      var idx = 0
+      var pendingDelay = 0
+      while (true) {
+        u8(p) match {
+          case 0x21 =>
+            val label = u8(p + 1)
+            if (label == 0xf9) { // Graphic Control: capture the delay
+              if (u8(p + 2) != 4) fail(p + 2, s"GCE block size ${u8(p + 2)} != 4")
+              pendingDelay = u16(p + 4)
+            }
+            p += 2
+            while (u8(p) != 0) p += 1 + u8(p)
+            p += 1
+          case 0x3b =>
+            if (frames.isEmpty) fail(p, "trailer before any image frame")
+            return (w, h, frames.reverse)
+          case 0x2c =>
+            val (left, top, iw, ih) = (u16(p + 1), u16(p + 3),
+              u16(p + 5), u16(p + 7))
+            if (iw <= 0 || ih <= 0 || left + iw > w || top + ih > h)
+              fail(p, s"frame ${iw}x$ih@($left,$top) outside the ${w}x$h screen")
+            val ifl = u8(p + 9)
+            var q = p + 10
+            var pal = gct
+            if ((ifl & 0x80) != 0) {
+              val n = 1 << ((ifl & 7) + 1)
+              pal = readPalette(b, q, n, fail); q += 3 * n
+            }
+            if (pal == null) fail(p, "no color table in scope")
+            val minCode = u8(q); q += 1
+            if (minCode < 2 || minCode > 8) fail(q - 1, s"LZW min code $minCode")
+            val data = new java.io.ByteArrayOutputStream()
+            while (u8(q) != 0) {
+              val n = u8(q)
+              if (q + 1 + n > b.length) fail(q, "truncated sub-block")
+              data.write(b, q + 1, n); q += 1 + n
+            }
+            q += 1 // past the terminator
+            val raw = lzw(data.toByteArray, minCode, iw * ih, fail)
+            val ordered =
+              if ((ifl & 0x40) != 0) deinterlace(raw, iw, ih) else raw
+            val out = new Array[Int](iw * ih)
+            var i = 0
+            while (i < out.length) {
+              val ci = ordered(i) & 0xff
+              if (ci >= pal.length) fail(p, s"palette index $ci of ${pal.length}")
+              out(i) = pal(ci)
+              i += 1
+            }
+            frames = GifFrame(idx, left, top, iw, ih, pendingDelay, out) :: frames
+            idx += 1
+            pendingDelay = 0
+            p = q
           case other => fail(p, f"unknown block 0x$other%02x")
         }
       }
@@ -1321,6 +1453,35 @@ object Multimodal {
           (id, o, ow.toLong, oh.toLong, ck)
         }
       }(enc).toDF("media_id", "orientation", "out_w", "out_h", "checksum")
+  }
+
+  /** Per-FRAME statistics over (possibly animated) GIFs — the frame
+    * sampling op for the crawl's video-lite format, built on
+    * [[GifCodec.decodeFrames]]: one row per frame with placement,
+    * timing, and pixel stats; the 1->N explode runs inside the
+    * per-row map (frames never leave their executor as pixels). */
+  def gifFrameStats(media: DataFrame): DataFrame = {
+    val enc = Encoders.product[
+      (Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+    media.filter(col("kind") === "image").select("media_id", "bytes")
+      .mapPartitions { it: Iterator[Row] =>
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val (_, _, frames) = GifCodec.decodeFrames(r.getAs[Array[Byte]](1))
+          frames.map { f =>
+            var sum = 0L; var mn = 255L; var mx = 0L
+            var i = 0
+            while (i < f.px.length) {
+              val v = (f.px(i) & 0xff).toLong
+              sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+              i += 1
+            }
+            (id, f.index.toLong, f.left.toLong, f.top.toLong,
+              f.w.toLong, f.h.toLong, f.delayCs.toLong, sum, mn, mx)
+          }
+        }
+      }(enc).toDF("media_id", "frame_idx", "left", "top", "width",
+        "height", "delay_cs", "sum_gray", "min_gray", "max_gray")
   }
 
   /** Letterbox PAD to square — the aspect normalization a vision

@@ -769,6 +769,38 @@ object MultimodalQueries {
         }(enc).toDF("media_id", "kind", "bytes")
       graft.operators.Exif.exifFlags(imgs)
     }),
+    // animated-GIF frame sampling: image ids become multi-frame GIFs
+    // (2 + id%4 frames, each a sub-rectangle at (f, f%3) with its own
+    // pixel formula and a GCE delay), the full LZW machinery decodes
+    // every frame independently, and the oracle replays placement,
+    // timing, and pixel stats per frame
+    "mm_gif_frames" -> ((s, d) => {
+      val enc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.BINARY)
+      val gifs = media(s, d).select("media_id", "kind", "bytes")
+        .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+          it.map { r =>
+            val id = r.getLong(0); val kind = r.getString(1)
+            val payload =
+              if (kind == "image") {
+                val w = 16 + (id % 24).toInt
+                val h = 10 + (id % 15).toInt
+                val nf = 2 + (id % 4).toInt
+                val frames = (0 until nf).map { f =>
+                  (f, f % 3, w - f, h - f % 3,
+                    (x: Int, y: Int) =>
+                      ((id * 31 + f * 97 + x * 7 + y * 13) % 256).toInt)
+                }
+                val delays = (0 until nf).map(f => 10 * (f + 1) + (id % 7).toInt)
+                Multimodal.ImageHeader.encodeGifAnimated(w, h, frames, delays)
+              } else r.getAs[Array[Byte]](2)
+            (id, kind, payload)
+          }
+        }(enc).toDF("media_id", "kind", "bytes")
+      Multimodal.gifFrameStats(gifs)
+    }),
     // aspect normalization: rotate the lossless containers, center
     // each decoded image on its max(w,h) square, and pin value+place
     // of every canvas cell with the position-weighted checksum; the
@@ -1493,6 +1525,27 @@ object MultimodalQueries {
                   + ((doc_id * 11) % 60) * 1000)
             ELSE 0 END)::BIGINT AS gps_lon_mas
          FROM documents WHERE doc_id % 3 = 0""",
+    // per-frame replay: frame f is (w-f)x(h-f%3) at (f, f%3), delay
+    // 10(f+1)+id%7 cs, pixels from the per-frame formula
+    "mm_gif_frames" ->
+      s"""WITH g AS (SELECT doc_id AS media_id, 16 + doc_id % 24 AS w,
+             10 + doc_id % 15 AS h, 2 + doc_id % 4 AS nf
+           FROM documents WHERE doc_id % 3 = 0),
+         fr AS (SELECT media_id, w, h, f.f AS f, f.f AS lft,
+             (f.f % 3) AS tp, w - f.f AS fw, h - (f.f % 3) AS fh,
+             10 * (f.f + 1) + media_id % 7 AS delay
+           FROM g, LATERAL unnest(range(0, nf)) AS f(f)),
+         px AS (SELECT media_id, f, lft, tp, fw, fh, delay,
+             ((media_id * 31 + f * 97 + x.x * 7 + y.y * 13) % 256) AS v
+           FROM fr, LATERAL unnest(range(0, fw)) AS x(x),
+             LATERAL unnest(range(0, fh)) AS y(y))
+         SELECT media_id, f::BIGINT AS frame_idx, lft::BIGINT AS "left",
+           tp::BIGINT AS "top", fw::BIGINT AS width, fh::BIGINT AS height,
+           delay::BIGINT AS delay_cs,
+           CAST(sum(v) AS BIGINT) AS sum_gray,
+           CAST(min(v) AS BIGINT) AS min_gray,
+           CAST(max(v) AS BIGINT) AS max_gray
+         FROM px GROUP BY media_id, f, lft, tp, fw, fh, delay""",
     // canvas cell (oy+y)*side + (ox+x), pad cells contribute 0
     "mm_image_letterbox" ->
       s"""WITH g AS (SELECT doc_id AS media_id, 16 + doc_id % 24 AS w,
