@@ -349,6 +349,39 @@ object TextStats {
       .withColumn("chunk_idx", col("chunk_idx").cast("long"))
       .withColumn("chunk_tokens", size(split(col("chunk_text"), " ")).cast("long"))
 
+  /** SLIDING-window chunking with overlap — [[chunk]]'s retrieval
+    * sibling (embedding indexes want adjacent chunks to share
+    * `chunkTokens - strideTokens` words of context so no query
+    * straddles a hard cut): chunk c covers words [c·stride,
+    * c·stride + chunkTokens) of the normalized whitespace
+    * tokenization, and the chunk count is
+    * `1 + ceil(max(0, n − chunkTokens) / stride)` — every word
+    * covered, the last window starts before the end (stride <=
+    * chunkTokens enforced, so it is never empty), a doc shorter than
+    * one window is its own single chunk. Entirely built-in
+    * expressions (split / sequence / explode / slice) — codegen'd,
+    * no UDF, a narrow 1->N map; text never shuffles. */
+  def chunkWindows(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, strideTokens: Int): DataFrame = {
+    require(chunkTokens > 0 && strideTokens > 0 && strideTokens <= chunkTokens,
+      s"chunkWindows: need 0 < stride <= chunk, got $strideTokens/$chunkTokens")
+    val words = split(norm(col(textCol)), " ")
+    df.select(col(idCol), words.as("__ws"), size(words).cast("long").as("__n"))
+      .withColumn("__nc", expr(
+        s"CASE WHEN __n <= $chunkTokens THEN 1L " +
+          s"ELSE 1L + (__n - $chunkTokens + $strideTokens - 1) div $strideTokens END"))
+      .select(col(idCol), col("__ws"), col("__n"),
+        explode(expr("sequence(0L, __nc - 1L)")).as("chunk_idx"))
+      .withColumn("__cw", expr(
+        s"slice(__ws, cast(chunk_idx * $strideTokens + 1 as int), $chunkTokens)"))
+      .select(col(idCol), col("chunk_idx"),
+        (col("chunk_idx") * strideTokens).as("start_word"),
+        size(col("__cw")).cast("long").as("n_words"),
+        length(concat_ws(" ", col("__cw"))).cast("long").as("n_chars"),
+        element_at(col("__cw"), 1).as("first_word"),
+        element_at(col("__cw"), -1).as("last_word"))
+  }
+
   /** Content-defined chunking (the Rabin/gear CDC family dedup
     * pipelines cut with): a boundary falls after every length-`w`
     * code-point window whose portable hash ≡ 0 (mod `modulus`), so cut

@@ -83,6 +83,12 @@ object DocQueries {
           min(col("doc_id")).as("min_id"))),
     "doc_chunk" -> ((s, d) =>
       TextStats.chunk(docs(s, d), "doc_id", "text", 32)),
+    // sliding windows of 32 words at stride 16 (adjacent chunks share
+    // 16 words of context) — the retrieval-index chunking shape;
+    // every output column replays from the normalized word list
+    "doc_chunk_windows" -> ((s, d) =>
+      TextStats.chunkWindows(docs(s, d), "doc_id", "text",
+        chunkTokens = 32, strideTokens = 16)),
     // content-defined chunking: boundaries where the 8-gram portable
     // hash ≡ 0 (mod 64) — edit-robust chunk streams for chunk-level dedup
     "doc_cdc_chunks" -> ((s, d) =>
@@ -1620,6 +1626,24 @@ object DocQueries {
            array_to_string(ws[i * 32 + 1 : i * 32 + 32], ' ') AS chunk_text,
            least(32, len(ws) - i * 32)::BIGINT AS chunk_tokens
          FROM c, LATERAL unnest(range(0, nc)) AS t(i)""",
+    // chunk c = words [c*16, c*16 + 32); nc = 1 + ceil((n-32)/16) when
+    // n > 32 else 1; list_slice end-index is inclusive
+    "doc_chunk_windows" ->
+      s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS ws FROM documents),
+         d AS (SELECT doc_id, ws, len(ws) AS n FROM w),
+         c AS (SELECT doc_id, ws, n,
+             CASE WHEN n <= 32 THEN 1 ELSE 1 + (n - 32 + 15) // 16 END AS nc
+           FROM d),
+         e AS (SELECT doc_id, ws, n, u.i AS ci
+           FROM c, LATERAL unnest(range(0, nc)) AS u(i)),
+         s AS (SELECT doc_id, ci,
+             ws[(ci * 16 + 1)::INT : least(ci * 16 + 32, n)::INT] AS cw
+           FROM e)
+         SELECT doc_id, ci AS chunk_idx, (ci * 16)::BIGINT AS start_word,
+           len(cw)::BIGINT AS n_words,
+           length(array_to_string(cw, ' '))::BIGINT AS n_chars,
+           cw[1] AS first_word, cw[len(cw)] AS last_word
+         FROM s""",
     "doc_cdc_chunks" ->
       s"""$cdcCte
          SELECT a.doc_id,

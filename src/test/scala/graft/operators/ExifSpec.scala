@@ -118,6 +118,28 @@ class ExifSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("CRC"))
   }
 
+  test("parseTiff survives byte corruption with only named rejects") {
+    // every single-byte overwrite either parses to SOME ExifInfo or
+    // throws the contract's IllegalArgumentException — never an
+    // ArrayIndexOutOfBounds or other raw JVM error (the MP4 fuzz
+    // precedent, applied to the round's new parser)
+    val base = Exif.encodeTiff(littleEndian = true, orientation = 6,
+      make = "CamCo", model = "Model-X", gps = Some(gps))
+    var rejected = 0
+    for (pos <- base.indices; v <- Seq(0x00, 0x7f, 0xff)) {
+      val t = base.clone()
+      t(pos) = v.toByte
+      try { Exif.parseTiff(t, 0, t.length); () }
+      catch { case _: IllegalArgumentException => rejected += 1 }
+    }
+    assert(rejected > 0, "corruption never tripped a named reject")
+    // truncation at every length: same contract
+    for (len <- 0 until base.length) {
+      try { Exif.parseTiff(base, 0, len); () }
+      catch { case _: IllegalArgumentException => () }
+    }
+  }
+
   test("fromImage is total over the still-image family") {
     val gif = Multimodal.ImageHeader.encodeGif(8, 8, (x, y) => (x + y) % 251)
     assert(Exif.fromImage(gif) == (("gif", None)))

@@ -502,4 +502,26 @@ class TextStatsSpec extends AnyFunSuite {
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("not in vocabulary")), e.toString)
   }
+
+  test("chunkWindows: overlap, short doc, and count formula") {
+    import spark.implicits._
+    // 40 words -> nc = 1 + ceil((40-32)/16) = 2; chunk 1 starts at 16
+    val words40 = (1 to 40).map(i => s"w$i").mkString(" ")
+    val short = "a b c"
+    val df = Seq((1L, words40), (2L, short)).toDF("doc_id", "text")
+    val rows = TextStats.chunkWindows(df, "doc_id", "text", 32, 16)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("chunk_idx"),
+        r.getAs[Long]("start_word"), r.getAs[Long]("n_words"),
+        r.getAs[String]("first_word"), r.getAs[String]("last_word")))
+      .sortBy(t => (t._1, t._2))
+    assert(rows.map(t => (t._1, t._2)).toSeq ==
+      Seq((1L, 0L), (1L, 1L), (2L, 0L)))
+    // doc 1 chunk 0: words 1..32; chunk 1: words 17..40 (24 words,
+    // sharing 16 with chunk 0 -- the overlap contract)
+    assert(rows(0) == ((1L, 0L, 0L, 32L, "w1", "w32")))
+    assert(rows(1) == ((1L, 1L, 16L, 24L, "w17", "w40")))
+    assert(rows(2) == ((2L, 0L, 0L, 3L, "a", "c")))
+    intercept[IllegalArgumentException](
+      TextStats.chunkWindows(df, "doc_id", "text", 16, 32))
+  }
 }
