@@ -1102,6 +1102,33 @@ object Multimodal {
         "sum_gray", "min_gray", "max_gray")
   }
 
+  /** VLM pair mining: join (img-src, alt-text) pairs extracted from
+    * HTML pages with the crawl's decoded images by CANONICAL url —
+    * the image-text pair construction a vision-language training set
+    * starts from. Page side: every `<img>` tag explodes via built-in
+    * `regexp_extract_all`, then per-tag src/alt extracts (all
+    * codegen'd; tags missing either attribute drop). Image side:
+    * whatever per-image frame the caller built (real decode upstream).
+    * Both sides key on [[CorpusMix.canonicalUrl]] (X153's chain), so
+    * a src carrying tracking params still finds its image. Only the
+    * pair rows and canonical keys shuffle — page HTML and pixels
+    * never do. */
+  def imageAltPairs(pages: DataFrame, pageIdCol: String, htmlCol: String,
+      images: DataFrame, imageUrlCol: String): DataFrame = {
+    val pairs = pages.select(col(pageIdCol).as("page_id"),
+        explode(expr(s"regexp_extract_all($htmlCol, '<img[^>]*>', 0)")).as("__tag"))
+      .select(col("page_id"),
+        regexp_extract(col("__tag"), "src=\"([^\"]*)\"", 1).as("__src"),
+        regexp_extract(col("__tag"), "alt=\"([^\"]*)\"", 1).as("alt"))
+      .filter(col("__src") =!= "" && col("alt") =!= "")
+      .withColumn("__curl", CorpusMix.canonicalUrl(col("__src")))
+      .drop("__src")
+    pairs.join(
+        images.withColumn("__curl", CorpusMix.canonicalUrl(col(imageUrlCol))),
+        "__curl")
+      .drop("__curl", imageUrlCol)
+  }
+
   /** Per-image pixel statistics through the REAL decoders — payloads
     * are sniffed by signature (GIF -> [[GifCodec]], PNG ->
     * [[PngCodec]]; anything else rejects loudly); gray value = the

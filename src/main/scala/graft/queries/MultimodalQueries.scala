@@ -340,6 +340,89 @@ object MultimodalQueries {
       hashed.join(survivors.select("media_id", "container"), "media_id")
         .select("media_id", "container", "width", "height", "dhash", "n_same_hash")
     }),
+    // VLM image-text PAIR MINING from the crawl: pages (text/html,
+    // id%3==1) carry <img> tags whose src references the PREVIOUS
+    // id's real encoded image — with tracking params attached, so the
+    // join only works through the canonical-URL chain; images
+    // (id%3==0, GIF/PNG/DC-JPEG rotation) decode for real; both legs
+    // run their own status gate, so pairs survive only when page AND
+    // image fetched 200 — exactly the construction a VLM training set
+    // starts from. Oracle replays gates, alt strings, dims, and the
+    // per-container pixel sums
+    "mm_image_text_pairs" -> ((s, d) => {
+      import s.implicits._
+      val grouped = graft.Tables.table(s, d, "documents")
+        .select(expr("doc_id div 10").as("file_id"),
+          struct(col("doc_id"), col("text")).as("r"))
+        .groupBy(col("file_id"))
+        .agg(sort_array(collect_list(col("r"))).as("rs"))
+      val records = grouped.flatMap { row =>
+        val bytes = row.getSeq[org.apache.spark.sql.Row](1).flatMap { r =>
+          val id = r.getLong(0)
+          val q = (id * 31 + 7) % 5
+          val (st, stx) =
+            if (q < 3) (200, "OK")
+            else if (q == 3L) (301, "Moved")
+            else (404, "NotFound")
+          val (body, ctype, uri) =
+            if (id % 3 == 0) {
+              val w = 16 + (id % 24).toInt
+              val h = 10 + (id % 15).toInt
+              def bv(bx: Int, by: Int) =
+                ((id * 31 + bx * 7 + by * 13) % 256).toInt
+              def pix(x: Int, y: Int) = bv(x / 8, y / 8)
+              val img = ((id / 3) % 3) match {
+                case 0 => Multimodal.ImageHeader.encodeGif(w, h, pix)
+                case 1 => Multimodal.ImageHeader.encodePngStored(w, h, pix)
+                case _ => graft.operators.JpegCodec.encodeJpegDcOnly(w, h, bv)
+              }
+              (img, "image/gif", s"https://ex.org/img/$id")
+            } else if (id % 3 == 1) {
+              val ref = id - 1 // the previous id, always % 3 == 0
+              val html = s"""<html><body><p>page $id</p>""" +
+                s"""<img src="https://ex.org/img/$ref?utm_source=feed&utm_campaign=x" """ +
+                s"""alt="img $ref page $id"></body></html>"""
+              (html.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+                "text/html", s"https://ex.org/page/$id")
+            } else
+              (r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8),
+                "text/plain", s"https://ex.org/d/$id")
+          val rec = graft.sources.Warc.encodeResponse(
+            uri, "2026-08-15T00:00:00Z", st, stx, body, ctype)
+          (if (id % 4 == 0) graft.sources.Warc.gzipMember(rec) else rec).toSeq
+        }.toArray
+        graft.sources.Warc.parseAll(bytes)
+          .filter(_.httpStatus == 200)
+          .map { w0 =>
+            val id = w0.targetUri.substring(w0.targetUri.lastIndexOf('/') + 1).toLong
+            (id, w0.targetUri, w0.httpContentType,
+              if (w0.httpContentType.startsWith("text/html"))
+                new String(w0.body, java.nio.charset.StandardCharsets.UTF_8)
+              else "",
+              if (w0.httpContentType.startsWith("image/")) w0.body
+              else Array.emptyByteArray)
+          }
+      }.toDF("rec_id", "uri", "ctype", "html", "img_bytes")
+      val pages = records.filter(col("ctype").startsWith("text/html"))
+        .select(col("rec_id").as("page_id"), col("html"))
+      val images = records.filter(col("ctype").startsWith("image/"))
+        .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+          it.map { r =>
+            val (w, h, px) = Multimodal.decodeImage(r.getAs[Array[Byte]](4))
+            var sum = 0L; var i = 0
+            while (i < px.length) { sum += px(i) & 0xff; i += 1 }
+            (r.getLong(0), r.getString(1), w, h, sum)
+          }
+        }(org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.scalaInt,
+          org.apache.spark.sql.Encoders.scalaInt,
+          org.apache.spark.sql.Encoders.scalaLong))
+        .toDF("media_id", "url", "width", "height", "sum_gray")
+      Multimodal.imageAltPairs(pages, "page_id", "html", images, "url")
+        .select("media_id", "page_id", "alt", "width", "height", "sum_gray")
+    }),
     // the PRIVACY-COMPLETE crawl composition — X183's pipeline with
     // the round's detection/scrub/normalize stages fused in: WARC
     // parse -> status-200 + image/* gate -> EXIF detect (real TIFF
@@ -1354,6 +1437,27 @@ object MultimodalQueries {
              AS hamming
          FROM cand
          WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 8""",
+    // pairs survive iff BOTH gates pass; alt is the planted string;
+    // all containers carry the block-constant content, so one pixel
+    // CTE covers the three codecs
+    "mm_image_text_pairs" ->
+      s"""WITH img AS (SELECT doc_id AS media_id, 16 + doc_id % 24 AS w,
+             10 + doc_id % 15 AS h
+           FROM documents
+           WHERE doc_id % 3 = 0 AND (doc_id * 31 + 7) % 5 < 3),
+         pages AS (SELECT doc_id AS page_id, doc_id - 1 AS ref
+           FROM documents
+           WHERE doc_id % 3 = 1 AND (doc_id * 31 + 7) % 5 < 3),
+         px AS (SELECT media_id, w, h,
+             ((media_id * 31 + (x.x // 8) * 7 + (y.y // 8) * 13) % 256) AS v
+           FROM img, LATERAL unnest(range(0, w)) AS x(x),
+             LATERAL unnest(range(0, h)) AS y(y)),
+         stats AS (SELECT media_id, w, h, CAST(sum(v) AS BIGINT) AS sum_gray
+           FROM px GROUP BY 1, 2, 3)
+         SELECT s.media_id, p.page_id,
+           'img ' || s.media_id || ' page ' || p.page_id AS alt,
+           s.w::INT AS width, s.h::INT AS height, s.sum_gray
+         FROM pages p JOIN stats s ON s.media_id = p.ref""",
     // every stage replayed: the status gate, the per-container strip
     // byte delta — which prices the REAL TIFF the fixture injected
     // (length 169+mb with GPS / 55+mb without, mb = model bytes) —

@@ -387,4 +387,23 @@ class MultimodalSpec extends AnyFunSuite {
       assert(ck == brute, s"keyframe $idx checksum")
     }
   }
+
+  test("imageAltPairs: tag extraction, missing attrs, canonical join") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, """<p>x</p><img src="https://E.org/a.png?utm_source=z" alt="cat">""" +
+        """<img src="https://e.org/b.png"><img alt="no src">""" +
+        """<img src="https://e.org/c.png" alt="dog">"""),
+      (2L, """no images here""")).toDF("page_id", "html")
+    val images = Seq(
+      (10L, "https://e.org/a.png", 8, 4),
+      (11L, "https://e.org/c.png", 6, 6),
+      (12L, "https://e.org/unreferenced.png", 2, 2))
+      .toDF("media_id", "url", "width", "height")
+    val got = Multimodal.imageAltPairs(pages, "page_id", "html", images, "url")
+      .select("page_id", "media_id", "alt").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    // tags missing src or alt drop; host case + tracking params fold
+    assert(got == Set((1L, 10L, "cat"), (1L, 11L, "dog")), s"got $got")
+  }
 }
