@@ -33,6 +33,76 @@ object Similarity {
       .limit(k)
   }
 
+  /** BINARY (sign-bit) packing of an embedding into 64-bit lanes —
+    * the 32x-below-int8 memory tier of a retrieval store: bit j of
+    * word w is `v[w·64+j] > 0` (strict — zeros pack as 0 on every
+    * engine, no negative-zero ambiguity). Returns an array<long> of
+    * ceil(d/64) words. Entirely built-in transform/aggregate
+    * expressions — codegen'd, no UDF. Hamming distance between two
+    * packings approximates angular distance by the random-hyperplane
+    * argument with coordinate hyperplanes — the cheap first-pass
+    * filter whose recall [[binaryHammingRecall]] measures. */
+  def binarySignWords(vecName: String): Column =
+    expr(s"""transform(sequence(0, cast((size($vecName) + 63) div 64 - 1 as int)),
+      w -> aggregate(sequence(0, 63), 0L, (acc, j) ->
+        CASE WHEN w * 64 + j < size($vecName)
+                  AND element_at($vecName, cast(w * 64 + j + 1 as int)) > 0.0D
+             THEN acc + shiftleft(1L, cast(j as int)) ELSE acc END))""")
+
+  /** Packed store view: one row per vector with the single d<=64 lane
+    * split into unsigned 32-bit halves (portable across engines — the
+    * dHash rendering convention) plus the set-bit count. For d > 64
+    * use [[binarySignWords]] directly; the registered query's table
+    * is 64-dim. */
+  def binaryQuantize(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol), col(vecCol).as("__vec"))
+      .withColumn("__w", binarySignWords("__vec"))
+      .select(col(idCol), size(col("__vec")).cast("long").as("n_dims"),
+        shiftrightunsigned(element_at(col("__w"), 1), 32).as("hi"),
+        element_at(col("__w"), 1).bitwiseAND(lit(0xffffffffL)).as("lo"),
+        aggregate(col("__w"), lit(0L),
+          (a, w) => a + bit_count(w).cast("long")).as("n_set"))
+
+  /** Hamming retrieval over the binary tier: pack the store and the
+    * query, distance = sum of per-lane bit_count(xor) — one narrow
+    * codegen projection + TakeOrdered, no shuffle, no join; the
+    * petabyte-store scan shape at 1/32 the bytes of int8. Ties break
+    * by id (deterministic, oracle-replayable). */
+  def binaryHammingTopK(emb: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int): DataFrame = {
+    require(k > 0)
+    val qWords: Array[Long] = {
+      val n = (query.length + 63) / 64
+      val w = new Array[Long](n)
+      for (j <- query.indices if query(j) > 0f) w(j / 64) |= 1L << (j % 64)
+      w
+    }
+    emb.select(col(idCol), col(vecCol).as("__bv"))
+      .select(col(idCol), binarySignWords("__bv").as("__w"))
+      .withColumn("hamming", aggregate(
+        zip_with(col("__w"), typedlit(qWords),
+          (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
+        lit(0L), (a, v) => a + v))
+      .orderBy(col("hamming").asc, col(idCol).asc)
+      .select(col(idCol), col("hamming"))
+      .limit(k)
+  }
+
+  /** Recall@k of the binary Hamming shortlist against exact float
+    * cosine — the gauge that prices the 32x compression (the ANN
+    * analogue of [[Dedup.minhashJaccardGauge]]): one row
+    * (k, n_overlap, recall_milli), recall in exact integer milli
+    * units. Both rankings use the same deterministic tie-break. */
+  def binaryHammingRecall(emb: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int): DataFrame = {
+    val exact = cosineTopK(emb, idCol, vecCol, query, k).select(col(idCol))
+    val approx = binaryHammingTopK(emb, idCol, vecCol, query, k).select(col(idCol))
+    exact.intersect(approx)
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(lit(k.toLong).as("k"), col("n_overlap"),
+        expr(s"n_overlap * 1000L div ${k}L").as("recall_milli"))
+  }
+
   /** Random-hyperplane (sign-of-dot-product) signature: `nBits`
     * deterministic pseudo-random +-1 hyperplanes derived from
     * xxhash64(bit, component) — reproducible across runs and engines,

@@ -85,6 +85,19 @@ object EmbeddingQueries {
       Similarity.dimStats(emb(s, d), "embedding")),
     "emb_quantize_int8" -> ((s, d) =>
       Similarity.quantizeInt8(emb(s, d), "vec_id", "embedding")),
+    // the 32x tier below int8: sign-bit packing into 64-bit lanes,
+    // exposed as unsigned 32-bit halves (the dHash rendering)
+    "emb_binary_quant" -> ((s, d) =>
+      Similarity.binaryQuantize(emb(s, d), "vec_id", "embedding")),
+    // Hamming retrieval over the binary tier — scan shape, no shuffle
+    "emb_binary_topk" -> ((s, d) =>
+      Similarity.binaryHammingTopK(emb(s, d), "vec_id", "embedding",
+        queryVec(s, d), 20)),
+    // the gauge that prices the compression: binary-shortlist recall
+    // against exact float cosine, integer milli units
+    "emb_binary_recall" -> ((s, d) =>
+      Similarity.binaryHammingRecall(emb(s, d), "vec_id", "embedding",
+        queryVec(s, d), 20)),
     // retrieval over the quantized store: scales cancel in the cosine,
     // so the int8 score is integer-exact on any engine
     "emb_int8_topk" -> ((s, d) =>
@@ -486,6 +499,47 @@ object EmbeddingQueries {
          max(${PortableSql.q20("embedding[t.i + 1]")})::BIGINT AS max_q20
          FROM embeddings, LATERAL unnest(range(0, len(embedding))) AS t(i)
          GROUP BY 1""",
+    // bit j = embedding[j+1] > 0; hi/lo are the unsigned 32-bit halves
+    "emb_binary_quant" ->
+      s"""SELECT vec_id, CAST(64 AS BIGINT) AS n_dims,
+           CAST(sum(CASE WHEN j.j >= 32 AND embedding[(j.j + 1)::INT] > 0
+                         THEN (1::BIGINT << (j.j - 32)::INT) ELSE 0 END) AS BIGINT) AS hi,
+           CAST(sum(CASE WHEN j.j < 32 AND embedding[(j.j + 1)::INT] > 0
+                         THEN (1::BIGINT << j.j::INT) ELSE 0 END) AS BIGINT) AS lo,
+           CAST(sum(CASE WHEN embedding[(j.j + 1)::INT] > 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_set
+         FROM embeddings, LATERAL unnest(range(0, 64)) AS j(j)
+         GROUP BY vec_id""",
+    "emb_binary_topk" ->
+      s"""WITH b AS (SELECT vec_id,
+             CAST(sum(CASE WHEN j.j >= 32 AND embedding[(j.j + 1)::INT] > 0
+                           THEN (1::BIGINT << (j.j - 32)::INT) ELSE 0 END) AS BIGINT) AS hi,
+             CAST(sum(CASE WHEN j.j < 32 AND embedding[(j.j + 1)::INT] > 0
+                           THEN (1::BIGINT << j.j::INT) ELSE 0 END) AS BIGINT) AS lo
+           FROM embeddings, LATERAL unnest(range(0, 64)) AS j(j)
+           GROUP BY vec_id),
+         q AS (SELECT hi AS qhi, lo AS qlo FROM b WHERE vec_id = 0)
+         SELECT vec_id,
+           (bit_count(xor(hi, qhi)) + bit_count(xor(lo, qlo)))::BIGINT AS hamming
+         FROM b, q ORDER BY hamming, vec_id LIMIT 20""",
+    "emb_binary_recall" ->
+      s"""WITH b AS (SELECT vec_id,
+             CAST(sum(CASE WHEN j.j >= 32 AND embedding[(j.j + 1)::INT] > 0
+                           THEN (1::BIGINT << (j.j - 32)::INT) ELSE 0 END) AS BIGINT) AS hi,
+             CAST(sum(CASE WHEN j.j < 32 AND embedding[(j.j + 1)::INT] > 0
+                           THEN (1::BIGINT << j.j::INT) ELSE 0 END) AS BIGINT) AS lo
+           FROM embeddings, LATERAL unnest(range(0, 64)) AS j(j)
+           GROUP BY vec_id),
+         q AS (SELECT hi AS qhi, lo AS qlo FROM b WHERE vec_id = 0),
+         ham AS (SELECT vec_id FROM b, q
+           ORDER BY bit_count(xor(hi, qhi)) + bit_count(xor(lo, qlo)), vec_id
+           LIMIT 20),
+         qe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         ex AS (SELECT e.vec_id FROM embeddings e, qe
+           ORDER BY ${cosineSql("e.embedding", "qe")} DESC, e.vec_id LIMIT 20)
+         SELECT CAST(20 AS BIGINT) AS k, count(*)::BIGINT AS n_overlap,
+           (count(*) * 1000 // 20)::BIGINT AS recall_milli
+         FROM ham JOIN ex USING (vec_id)""",
     "emb_quantize_int8" ->
       s"""WITH q AS (
            SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims,
