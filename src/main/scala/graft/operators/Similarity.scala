@@ -103,6 +103,45 @@ object Similarity {
         expr(s"n_overlap * 1000L div ${k}L").as("recall_milli"))
   }
 
+  /** The two-tier serving shape the binary tier exists for: Hamming
+    * shortlist of `shortlist` candidates over the packed bits (cheap
+    * scan), then EXACT float cosine rerank of only those — recall of
+    * the composition approaches exact retrieval while the expensive
+    * kernel touches `shortlist`/N of the store. Shortlist and rerank
+    * both tie-break by id (oracle-replayable). */
+  def binaryShortlistRerank(emb: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k && k > 0)
+    val ids = binaryHammingTopK(emb, idCol, vecCol, query, shortlist)
+      .select(col(idCol))
+    emb.join(ids, Seq(idCol), "left_semi")
+      .select(col(idCol), cosine(col(vecCol), typedlit(query)).as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Matryoshka truncation gauge: recall@k of cosine over only the
+    * FIRST `m` dimensions against full-dimension cosine — the
+    * measurement behind serving truncated MRL-style embeddings (store
+    * m/d of the bytes, keep most of the ranking). One row
+    * (m, k, n_overlap, recall_milli), exact integer milli units; both
+    * rankings tie-break by id. */
+  def truncationRecall(emb: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], m: Int, k: Int): DataFrame = {
+    require(m > 0 && k > 0)
+    val qTrunc = query.take(m)
+    val truncated = emb.select(col(idCol),
+        slice(col(vecCol), 1, m).as("__tv"))
+      .select(col(idCol), cosine(col("__tv"), typedlit(qTrunc)).as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k).select(col(idCol))
+    val exact = cosineTopK(emb, idCol, vecCol, query, k).select(col(idCol))
+    exact.intersect(truncated)
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(lit(m.toLong).as("m"), lit(k.toLong).as("k"), col("n_overlap"),
+        expr(s"n_overlap * 1000L div ${k}L").as("recall_milli"))
+  }
+
   /** Random-hyperplane (sign-of-dot-product) signature: `nBits`
     * deterministic pseudo-random +-1 hyperplanes derived from
     * xxhash64(bit, component) — reproducible across runs and engines,

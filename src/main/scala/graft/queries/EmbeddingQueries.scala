@@ -98,6 +98,15 @@ object EmbeddingQueries {
     "emb_binary_recall" -> ((s, d) =>
       Similarity.binaryHammingRecall(emb(s, d), "vec_id", "embedding",
         queryVec(s, d), 20)),
+    // the two-tier serving shape: 100-candidate Hamming shortlist,
+    // exact cosine rerank of only those to top-20
+    "emb_binary_rerank" -> ((s, d) =>
+      Similarity.binaryShortlistRerank(emb(s, d), "vec_id", "embedding",
+        queryVec(s, d), k = 20, shortlist = 100)),
+    // Matryoshka gauge: top-20 by the FIRST 16 dims vs full 64 dims
+    "emb_trunc_recall" -> ((s, d) =>
+      Similarity.truncationRecall(emb(s, d), "vec_id", "embedding",
+        queryVec(s, d), m = 16, k = 20)),
     // retrieval over the quantized store: scales cancel in the cosine,
     // so the int8 score is integer-exact on any engine
     "emb_int8_topk" -> ((s, d) =>
@@ -540,6 +549,33 @@ object EmbeddingQueries {
          SELECT CAST(20 AS BIGINT) AS k, count(*)::BIGINT AS n_overlap,
            (count(*) * 1000 // 20)::BIGINT AS recall_milli
          FROM ham JOIN ex USING (vec_id)""",
+    "emb_binary_rerank" ->
+      s"""WITH b AS (SELECT vec_id,
+             CAST(sum(CASE WHEN j.j >= 32 AND embedding[(j.j + 1)::INT] > 0
+                           THEN (1::BIGINT << (j.j - 32)::INT) ELSE 0 END) AS BIGINT) AS hi,
+             CAST(sum(CASE WHEN j.j < 32 AND embedding[(j.j + 1)::INT] > 0
+                           THEN (1::BIGINT << j.j::INT) ELSE 0 END) AS BIGINT) AS lo
+           FROM embeddings, LATERAL unnest(range(0, 64)) AS j(j)
+           GROUP BY vec_id),
+         q AS (SELECT hi AS qhi, lo AS qlo FROM b WHERE vec_id = 0),
+         short AS (SELECT vec_id FROM b, q
+           ORDER BY bit_count(xor(hi, qhi)) + bit_count(xor(lo, qlo)), vec_id
+           LIMIT 100),
+         qe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         SELECT e.vec_id, ${cosineSql("e.embedding", "qe")} AS sim
+         FROM embeddings e JOIN short USING (vec_id), qe
+         ORDER BY sim DESC, e.vec_id LIMIT 20""",
+    "emb_trunc_recall" ->
+      s"""WITH qe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         tr AS (SELECT e.vec_id FROM embeddings e, qe
+           ORDER BY ${cosineSql("e.embedding[1:16]", "qe[1:16]")} DESC,
+             e.vec_id LIMIT 20),
+         ex AS (SELECT e.vec_id FROM embeddings e, qe
+           ORDER BY ${cosineSql("e.embedding", "qe")} DESC, e.vec_id LIMIT 20)
+         SELECT CAST(16 AS BIGINT) AS m, CAST(20 AS BIGINT) AS k,
+           count(*)::BIGINT AS n_overlap,
+           (count(*) * 1000 // 20)::BIGINT AS recall_milli
+         FROM tr JOIN ex USING (vec_id)""",
     "emb_quantize_int8" ->
       s"""WITH q AS (
            SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims,
