@@ -513,6 +513,19 @@ object DocQueries {
     "doc_url_dedup" -> ((s, d) =>
       CorpusMix.urlDedup(docs(s, d).withColumn("url", derivedCrawlUrl),
         "doc_id", "url")),
+    // RFC 9309 robots.txt compliance filter (the AI-training opt-out
+    // gate): REAL robots bodies parse per host (group runs, specific-
+    // agent-beats-star, wildcards/$-anchors, longest-match + allow-tie
+    // precedence), pages decide through a broadcast rules join — zero
+    // page-side exchange. Fixture plants 12 per-host robots files
+    // (every 3rd host names GraftBot, host 5 publishes none) and 8 URL
+    // shapes; the oracle rebuilds the RULE TABLE by the same formula
+    // (the free-text PARSE itself is pinned by RobotsSpec) and replays
+    // the LIKE-compiled match + precedence
+    "doc_robots_filter" -> ((s, d) =>
+      graft.operators.Robots.filterCrawl(robotsUrls(s, d),
+        robotsFixture(s, d), "doc_id", "url", "host", "body",
+        agent = "GraftBot")),
     // edit-distance (levenshtein <= 2) near-dup pairs over 24-char
     // normalized prefixes, PassJoin pigeonhole blocking — the typo /
     // OCR-noise dedup regime that token-set similarity (minhash) is
@@ -556,6 +569,67 @@ object DocQueries {
       .when(b === 5, concat(lit("https://u:p@"), h, lit("/a/b?a=1&b=2")))
       .when(b === 6, concat(lit("https://"), h, lit("/a/b?gclid=zzz&b=2&a=1")))
       .otherwise(concat(lit("https://"), h))
+  }
+
+  /** [[graft.operators.Robots]] fixture, robots side: one REAL
+    * robots.txt body per host h{k}.ex.org (k = doc_id % 13, host 5
+    * publishes none -> default allow downstream). Every body carries
+    * an orphan rule before any group, a junk line, a FooBot group
+    * whose `Disallow: /` must not leak, the `*` group (prefix rules,
+    * a `*`-wildcard `$`-anchored rule, and an equal-length allow/
+    * disallow tie), a Sitemap line, and — on every 3rd host — a
+    * multi-UA-headed group naming GraftBot (with an empty `Disallow:`
+    * and a blank line inside it), which per RFC 9309 then REPLACES
+    * the `*` group for that host. The oracle never re-parses this
+    * text: it rebuilds the applicable rule table from the same k
+    * formula (the parse itself is pinned by RobotsSpec), so a parse
+    * divergence surfaces as a decision mismatch. */
+  private def robotsFixture(s: SparkSession, d: String): DataFrame = {
+    val k = col("k")
+    val ks = k.cast("string")
+    docs(s, d).select((col("doc_id") % 13).as("k")).distinct()
+      .filter(k =!= 5)
+      .select(concat(lit("h"), ks, lit(".ex.org")).as("host"),
+        concat(
+          lit("# robots fixture\nDisallow: /early/\nstray junk line\n" +
+            "User-agent: FooBot\nDisallow: /\n\n"),
+          when(k % 3 === 0, lit(
+            "User-agent: OtherBot\nUser-agent: GraftBot\n" +
+              "Disallow: /g/\nAllow: /g/ok\nDisallow: /*.zip$\n" +
+              "Disallow:\n\n")).otherwise(lit("")),
+          lit("User-agent: *\nDisallow: /private/\nAllow: /private/ok\n" +
+            "Disallow: /*.tmp$\nAllow: /t/a\nDisallow: /t/a\n"),
+          lit("Sitemap: https://h"), ks, lit(".ex.org/sm.xml\n"))
+          .as("body"))
+  }
+
+  /** [[graft.operators.Robots]] fixture, page side: 8 URL shapes per
+    * doc over the same 13 hosts — no-match default, star-disallowed,
+    * longer-allow-wins, `$`-anchored wildcard prey, agent-group
+    * disallow (with query + fragment riding the URL), agent-group
+    * longer-allow (behind userinfo), the equal-length tie, and the
+    * agent-only `.zip$` rule; shape 2 carries uppercase scheme+host
+    * and an explicit :443 to exercise host extraction. */
+  private def robotsUrls(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val ids = id.cast("string")
+    val ks = (id % 13).cast("string")
+    val b = id % 8
+    val host = concat(lit("h"), ks, lit(".ex.org"))
+    val url =
+      when(b === 0, concat(lit("https://"), host, lit("/pub/p"), ids))
+        .when(b === 1, concat(lit("https://"), host, lit("/private/x"), ids))
+        .when(b === 2, concat(lit("HTTPS://H"), ks,
+          lit(".EX.ORG:443/private/ok"), ids))
+        .when(b === 3, concat(lit("https://"), host, lit("/a"), ids,
+          lit(".tmp")))
+        .when(b === 4, concat(lit("https://"), host, lit("/g/x"), ids,
+          lit("?q=1#frag")))
+        .when(b === 5, concat(lit("https://u:p@"), host, lit("/g/ok"), ids))
+        .when(b === 6, concat(lit("https://"), host, lit("/t/a"), ids))
+        .otherwise(concat(lit("https://"), host, lit("/d"), ids,
+          lit(".zip")))
+    docs(s, d).select(id, url.as("url"))
   }
 
   /** Crawl-URL fixture for the WARC curation pipeline: resource group
@@ -1402,6 +1476,61 @@ object DocQueries {
            count(*) AS n_docs
          FROM canon GROUP BY 1"""
     },
+    // robots compliance: the rule table rebuilds from the host formula
+    // (hosts k%3=0 keep ONLY the GraftBot group, others ONLY the star
+    // group, host 5 none — RFC 9309 group selection, pre-applied); the
+    // match replays the LIKE compilation (escape '!', * -> %, trailing
+    // $ anchors) and the precedence fold (longest pattern, allow wins
+    // ties) as a window over matching rules
+    "doc_robots_filter" ->
+      s"""WITH hk AS (SELECT DISTINCT (doc_id % 13) AS k FROM documents
+           WHERE (doc_id % 13) <> 5),
+         r0(grp, allow, pat) AS (VALUES
+           ('star', false, '/private/'), ('star', true, '/private/ok'),
+           ('star', false, '/*.tmp$$'), ('star', true, '/t/a'),
+           ('star', false, '/t/a'),
+           ('agent', false, '/g/'), ('agent', true, '/g/ok'),
+           ('agent', false, '/*.zip$$')),
+         rules AS (
+           SELECT hk.k, r0.allow, r0.pat,
+             CAST(length(r0.pat) AS BIGINT) AS prec, r0.grp,
+             replace(replace(replace(replace(
+                 CASE WHEN r0.pat LIKE '%$$' THEN substr(r0.pat, 1, length(r0.pat) - 1)
+                      ELSE r0.pat END,
+                 '!', '!!'), '%', '!%'), '_', '!_'), '*', '%')
+               || CASE WHEN r0.pat LIKE '%$$' THEN '' ELSE '%' END AS lp
+           FROM hk JOIN r0
+             ON r0.grp = CASE WHEN hk.k % 3 = 0 THEN 'agent' ELSE 'star' END),
+         u AS (SELECT doc_id, doc_id % 13 AS k, doc_id % 8 AS b
+               FROM documents),
+         up AS (SELECT doc_id, k, b,
+             CASE b WHEN 0 THEN '/pub/p' || doc_id
+                    WHEN 1 THEN '/private/x' || doc_id
+                    WHEN 2 THEN '/private/ok' || doc_id
+                    WHEN 3 THEN '/a' || doc_id || '.tmp'
+                    WHEN 4 THEN '/g/x' || doc_id || '?q=1'
+                    WHEN 5 THEN '/g/ok' || doc_id
+                    WHEN 6 THEN '/t/a' || doc_id
+                    ELSE '/d' || doc_id || '.zip' END AS path
+           FROM u),
+         uu AS (SELECT doc_id, k, path,
+             CASE WHEN b = 2 THEN 'HTTPS://H' || k || '.EX.ORG:443' || path
+                  WHEN b = 4 THEN 'https://h' || k || '.ex.org' || path || '#frag'
+                  WHEN b = 5 THEN 'https://u:p@h' || k || '.ex.org' || path
+                  ELSE 'https://h' || k || '.ex.org' || path END AS url,
+             'h' || k || '.ex.org' AS host
+           FROM up),
+         m AS (SELECT uu.doc_id, uu.url, uu.host, r.allow, r.pat, r.prec,
+                 r.grp
+           FROM uu LEFT JOIN rules r
+             ON uu.k = r.k AND uu.path LIKE r.lp ESCAPE '!'),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                  ORDER BY (pat IS NULL), prec DESC, allow DESC, pat DESC)
+                  AS rn FROM m)
+         SELECT doc_id, url, host, coalesce(allow, true) AS allowed,
+           pat AS matched_rule, prec AS matched_prec,
+           coalesce(grp, 'default') AS grp
+         FROM rk WHERE rn = 1""",
     "doc_edit_neardup" ->
       s"""WITH u AS (SELECT doc_id AS id, substr($normSql, 1, 24) AS s,
            ${TextStats.idBucketSql("doc_id", 4L)} AS b FROM documents),
