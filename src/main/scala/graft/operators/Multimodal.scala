@@ -1708,6 +1708,49 @@ object Multimodal {
         "energy", "peak", "checksum")
   }
 
+  /** Integer PEAK normalization over REAL decoded PCM — the loudness
+    * step of the audio ingest (every recording to full scale before
+    * fingerprinting / feature extraction, so level differences between
+    * sources stop mattering): gain_q15 = (32767·2^15) / peak (integer,
+    * peak = max |sample|), output sample = s·gain_q15 / 2^15 with
+    * TRUNCATING division (toward zero — Java `/` and DuckDB `//`
+    * agree, same portable semantics as [[audioResampleStats]]).
+    * |s| <= peak bounds every output inside [-32767, 32767] by
+    * construction (a full-scale -32768 input normalizes to -32767);
+    * an all-silent stream passes through at unity (gain 2^15). Emits
+    * in/out peaks, the applied gain, and energy + position-weighted
+    * checksum of the NORMALIZED stream so the oracle replays the gain
+    * arithmetic sample-by-sample. One narrow map; samples never
+    * shuffle. */
+  def audioNormalizeStats(media: DataFrame): DataFrame = {
+    val enc = Encoders.product[(Long, Long, Long, Long, Long, Long, Long)]
+    media.filter(col("kind") === "audio").select("media_id", "bytes")
+      .mapPartitions { it: Iterator[Row] =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val pcm = decodeAudioPcm(r.getAs[Array[Byte]](1))
+          var peak = 0L
+          var k = 0
+          while (k < pcm.length) {
+            val a = math.abs(pcm(k).toLong); if (a > peak) peak = a
+            k += 1
+          }
+          val gain = if (peak == 0L) 32768L else (32767L * 32768L) / peak
+          var energy = 0L; var pout = 0L; var ck = 0L
+          k = 0
+          while (k < pcm.length) {
+            val v = pcm(k).toLong * gain / 32768L
+            energy += v * v
+            val a = math.abs(v); if (a > pout) pout = a
+            ck += (k + 1) * v
+            k += 1
+          }
+          (id, pcm.length.toLong, peak, gain, pout, energy, ck)
+        }
+      }(enc).toDF("media_id", "n", "peak_in", "gain_q15", "peak_out",
+        "energy", "checksum")
+  }
+
   /** Real pixel decode for 24-bit uncompressed (BI_RGB) BMP — the
     * fourth and simplest still-image decoder: LE header, explicit
     * data offset, 4-byte-padded BGR rows, bottom-up unless the height

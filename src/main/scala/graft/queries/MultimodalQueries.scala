@@ -1042,6 +1042,32 @@ object MultimodalQueries {
         }(enc).toDF("media_id", "kind", "bytes")
       Multimodal.audioResampleStats(auds, factor = 4)
     }),
+    // loudness normalization over both lossless containers (WAV/FLAC
+    // by id/3 parity): peak-to-full-scale integer gain in Q15, outputs
+    // by TRUNCATING division — the oracle replays gain derivation and
+    // every normalized sample from the PCM formula
+    "mm_audio_normalize" -> ((s, d) => {
+      val enc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.BINARY)
+      val auds = media(s, d).select("media_id", "kind", "bytes")
+        .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+          it.map { r =>
+            val id = r.getLong(0); val kind = r.getString(1)
+            val payload =
+              if (kind == "audio") {
+                val n = 800 + (id % 900).toInt
+                val pcm = Array.tabulate(n)(k =>
+                  ((id * 29 + k * 17) % 4096).toInt - 2048)
+                if ((id / 3) % 2 == 0) Multimodal.WavCodec.encodePcm16(16000, pcm)
+                else graft.sources.Flac.encode(pcm, blockSize = 512)
+              } else r.getAs[Array[Byte]](2)
+            (id, kind, payload)
+          }
+        }(enc).toDF("media_id", "kind", "bytes")
+      Multimodal.audioNormalizeStats(auds)
+    }),
     "mm_wav_segments" -> ((s, d) => {
       val enc = org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.scalaLong,
@@ -1751,6 +1777,29 @@ object MultimodalQueries {
            CAST(max(abs(v)) AS BIGINT) AS peak,
            CAST(sum((win + 1) * v) AS BIGINT) AS checksum
          FROM o GROUP BY media_id, n""",
+    // peak normalization: gain = (32767*2^15) // peak, v = (s*gain) //
+    // 2^15 — both `//` truncate toward zero exactly like Java `/`
+    "mm_audio_normalize" ->
+      s"""WITH a AS (SELECT doc_id AS media_id, 800 + doc_id % 900 AS n
+           FROM documents WHERE doc_id % 3 = 1),
+         s AS (SELECT media_id, n, k.k AS k,
+             ((media_id * 29 + k.k * 17) % 4096) - 2048 AS s
+           FROM a, LATERAL unnest(range(0, n)) AS k(k)),
+         p AS (SELECT media_id, n, max(abs(s)) AS peak
+           FROM s GROUP BY 1, 2),
+         g AS (SELECT media_id, n, peak,
+             CASE WHEN peak = 0 THEN 32768
+                  ELSE (32767 * 32768) // peak END AS gain
+           FROM p),
+         o AS (SELECT s.media_id, g.n, g.peak, g.gain, s.k,
+             (s.s * g.gain) // 32768 AS v
+           FROM s JOIN g ON s.media_id = g.media_id)
+         SELECT media_id, n::BIGINT AS n, peak::BIGINT AS peak_in,
+           gain::BIGINT AS gain_q15,
+           CAST(max(abs(v)) AS BIGINT) AS peak_out,
+           CAST(sum(v * v) AS BIGINT) AS energy,
+           CAST(sum((k + 1) * v) AS BIGINT) AS checksum
+         FROM o GROUP BY 1, 2, 3, 4""",
     "mm_wav_segments" ->
       s"""WITH a AS (SELECT doc_id AS media_id, 300 + doc_id % 450 AS ns
              FROM documents WHERE doc_id % 3 = 1),
