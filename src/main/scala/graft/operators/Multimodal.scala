@@ -1237,6 +1237,136 @@ object Multimodal {
       }(enc).toDF("media_id", "width", "height", "dhash")
   }
 
+  /** Q14 fixed-point DCT-II basis, T(u)(x) = round(cos(π(2x+1)u/64)
+    * · 2^14) for u < 8, x < 32 — the only 8 frequency rows pHash
+    * reads. Computed with StrictMath (exactly specified, so the table
+    * is identical on every JVM) and interpolated VERBATIM into the
+    * DuckDB oracle SQL, so no cross-engine trig exists anywhere. Two
+    * exact integer identities the hash contract leans on (spec-
+    * pinned): row 0 is constant 2^14, and every row u > 0 sums to
+    * EXACTLY 0 even after rounding (the ± cosine pairs round
+    * symmetrically) — so a global brightness shift changes ONLY the
+    * DC coefficient and pHash is exactly shift-invariant. */
+  private[graft] val dctCosQ14: Array[Array[Long]] =
+    Array.tabulate(8, 32)((u, x) =>
+      StrictMath.round(StrictMath.cos(
+        StrictMath.PI * (2 * x + 1) * u / 64.0) * 16384.0))
+
+  /** DCT perceptual hash (pHash) over REAL decoded pixels — the
+    * frequency-domain sibling of [[dHashOf]], robust where the
+    * gradient hash is weak (smooth gradients, global contrast
+    * changes), and like it a pure function of pixel CONTENT — the
+    * same photo re-encoded through any lossless container collides.
+    * All-integer, replayable in any engine:
+    *
+    *   1. integer luma per pixel ((77R+150G+29B)>>8), box-mean to a
+    *      32x32 grid (cell (i,j) = floor mean of pixels with
+    *      i = x·32/w, j = y·32/h) — downsample-only like
+    *      [[resizePixels]], so images below 32x32 reject loudly;
+    *   2. the 8x8 LOW-FREQUENCY corner of the 2D DCT in Q14 fixed
+    *      point: F(u,v) = Σ_ij grid(j,i)·T(u)(i)·T(v)(j) over
+    *      [[dctCosQ14]] (separable — 8x32 row pass then 8x8 column
+    *      pass; |F| < 2^47, exact in Long);
+    *   3. median thresholding: median = 32nd-smallest of the 63 AC
+    *      coefficients (DC excluded — its magnitude is brightness,
+    *      not structure); bit p = u·8+v set iff F(u,v) > median;
+    *   4. the DC position (p = 0) is always 0, so the packed value
+    *      Σ bit·2^(63-p) stays below 2^62 — sign-free on every
+    *      engine — rendered as 16 hex chars.
+    *
+    * Returns the hex hash and the median (the oracle replays both).
+    * Exactly brightness-shift invariant (see [[dctCosQ14]]) and
+    * scale-invariant across sizes that box-mean to the same grid. */
+  def pHashOf(w: Int, h: Int, px: Array[Int]): (String, Long) = {
+    require(w >= 32 && h >= 32,
+      s"pHash contract is downsample-only (>= 32x32), got ${w}x$h")
+    val sums = new Array[Long](1024)
+    val cnts = new Array[Long](1024)
+    var y = 0
+    while (y < h) {
+      val j = y * 32 / h
+      var x = 0
+      while (x < w) {
+        val i = x * 32 / w
+        val p = px(y * w + x)
+        val luma = (77 * ((p >> 16) & 0xff) + 150 * ((p >> 8) & 0xff) +
+          29 * (p & 0xff)) >> 8
+        sums(j * 32 + i) += luma; cnts(j * 32 + i) += 1
+        x += 1
+      }
+      y += 1
+    }
+    // w,h >= 32 guarantees every cell is hit at least once
+    val cell = Array.tabulate(1024)(k => sums(k) / cnts(k))
+    val g = Array.ofDim[Long](8, 32) // row pass: frequency u along i
+    var u = 0
+    while (u < 8) {
+      var j = 0
+      while (j < 32) {
+        var s = 0L; var i = 0
+        while (i < 32) { s += dctCosQ14(u)(i) * cell(j * 32 + i); i += 1 }
+        g(u)(j) = s; j += 1
+      }
+      u += 1
+    }
+    val f = Array.ofDim[Long](8, 8) // column pass: frequency v along j
+    u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0L; var j = 0
+        while (j < 32) { s += dctCosQ14(v)(j) * g(u)(j); j += 1 }
+        f(u)(v) = s; v += 1
+      }
+      u += 1
+    }
+    val ac = new Array[Long](63)
+    var k = 0
+    u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        if (u + v > 0) { ac(k) = f(u)(v); k += 1 }
+        v += 1
+      }
+      u += 1
+    }
+    java.util.Arrays.sort(ac)
+    val median = ac(31)
+    var bits = 0L
+    u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        if ((u + v > 0) && f(u)(v) > median)
+          bits |= 1L << (63 - (u * 8 + v))
+        v += 1
+      }
+      u += 1
+    }
+    (f"$bits%016x", median)
+  }
+
+  /** Per-image pHash rows with exact-dup counts — the [[imageDHash]]
+    * shape on the DCT hash: (media_id, width, height, phash, median,
+    * n_same_hash). Decode + hash is one narrow map; only 16-byte
+    * hashes shuffle for the count window. */
+  def imagePHash(media: DataFrame): DataFrame = {
+    val enc = Encoders.product[(Long, Int, Int, String, Long)]
+    media.filter(col("kind") === "image").select("media_id", "bytes")
+      .mapPartitions { it: Iterator[Row] =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val (w, h, px) = decodeImage(r.getAs[Array[Byte]](1))
+          val (hash, med) = pHashOf(w, h, px)
+          (id, w, h, hash, med)
+        }
+      }(enc).toDF("media_id", "width", "height", "phash", "median")
+      .withColumn("n_same_hash",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("phash"))).cast("long"))
+  }
+
   /** Persist the perceptual-hash index: one row per corpus image with
     * the hash and its two 32-bit halves pre-split for the Hamming
     * verify — the image parity of [[Dedup.writeNearDupIndex]]. Delta

@@ -237,6 +237,40 @@ object MultimodalQueries {
         }(enc).toDF("media_id", "kind", "bytes")
       Multimodal.imageDHash(imgs)
     }),
+    // DCT perceptual hash over the same cross-format triple plant
+    // (content seed id/9, container rotation GIF / PNG / DC-only JPEG
+    // by id/3 mod 3) at pHash-legal dims (>= 32x32): the frequency-
+    // domain hash must collide across containers; the oracle replays
+    // box-mean grid, Q14 DCT (the Scala table interpolated verbatim —
+    // no cross-engine trig), median threshold, and bit packing
+    "mm_image_phash" -> ((s, d) => {
+      val enc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.BINARY)
+      val imgs = media(s, d).select("media_id", "kind", "bytes")
+        .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+          it.map { r =>
+            val id = r.getLong(0); val kind = r.getString(1)
+            val payload =
+              if (kind == "image") {
+                val seed = id / 9
+                val w = 40 + (seed % 24).toInt
+                val h = 36 + (seed % 15).toInt
+                def bv(bx: Int, by: Int) =
+                  ((seed * 31 + bx * 7 + by * 13) % 256).toInt
+                def pix(x: Int, y: Int) = bv(x / 8, y / 8)
+                ((id / 3) % 3) match {
+                  case 0 => Multimodal.ImageHeader.encodeGif(w, h, pix)
+                  case 1 => Multimodal.ImageHeader.encodePngStored(w, h, pix)
+                  case _ => graft.operators.JpegCodec.encodeJpegDcOnly(w, h, bv)
+                }
+              } else r.getAs[Array[Byte]](2)
+            (id, kind, payload)
+          }
+        }(enc).toDF("media_id", "kind", "bytes")
+      Multimodal.imagePHash(imgs)
+    }),
     // Hamming NEAR-dup pairs over the perceptual hash (X4's banded
     // recipe with an EXACT oracle — the text SimHash query is
     // rows-only): image pairs share a content seed (id/6); the second
@@ -1249,6 +1283,14 @@ object MultimodalQueries {
          min(v) AS min_gray, max(v) AS max_gray
        FROM px GROUP BY 1, 2, 3"""
 
+  /** The Q14 DCT basis interpolated verbatim from the Scala table —
+    * the single source of truth (no cos() runs in DuckDB, so 1-ulp
+    * trig differences between engines cannot exist). */
+  private val dctValues: String =
+    (for (u <- 0 until 8; x <- 0 until 32)
+      yield s"($u, $x, ${graft.operators.Multimodal.dctCosQ14(u)(x)})")
+      .mkString(", ")
+
   val oracleSql: Map[String, String] = Map(
     "mm_decode_meta" ->
       s"""SELECT doc_id AS media_id, $kindSql AS kind,
@@ -1384,6 +1426,45 @@ object MultimodalQueries {
            count(*) OVER (PARTITION BY printf('%08x%08x', hi, lo))
              AS n_same_hash
          FROM packed""",
+    // pHash replay: 32x32 box-mean grid, 2D DCT low corner via the
+    // interpolated Q14 table, median = 32nd-smallest AC (row_number,
+    // value-identical under ties), bit p=u*8+v at weight 2^(63-p)
+    "mm_image_phash" ->
+      s"""WITH dims AS (SELECT doc_id AS media_id, doc_id // 9 AS seed,
+             (40 + (doc_id // 9) % 24) AS w, (36 + (doc_id // 9) % 15) AS h
+           FROM documents WHERE doc_id % 3 = 0),
+         px AS (SELECT media_id, w, h,
+             (x.x * 32) // w AS i, (y.y * 32) // h AS j,
+             ((seed * 31 + (x.x // 8) * 7 + (y.y // 8) * 13) % 256) AS v
+           FROM dims, LATERAL unnest(range(0, w)) AS x(x),
+             LATERAL unnest(range(0, h)) AS y(y)),
+         cells AS (SELECT media_id, i, j, (sum(v) // count(*)) AS m
+           FROM px GROUP BY 1, 2, 3),
+         t(u, x, c) AS (VALUES $dctValues),
+         coef AS (SELECT c.media_id, tu.u AS u, tv.u AS v,
+             CAST(sum(c.m * tu.c * tv.c) AS BIGINT) AS f
+           FROM cells c JOIN t tu ON tu.x = c.i JOIN t tv ON tv.x = c.j
+           GROUP BY 1, 2, 3),
+         ac AS (SELECT media_id, u, v, f FROM coef WHERE u + v > 0),
+         med AS (SELECT media_id, f AS median FROM (
+             SELECT media_id, f, row_number() OVER (PARTITION BY media_id
+               ORDER BY f, u, v) AS rn FROM ac) WHERE rn = 32),
+         bits AS (SELECT ac.media_id, (ac.u * 8 + ac.v) AS p,
+             CASE WHEN ac.f > med.median THEN 1 ELSE 0 END AS bit
+           FROM ac JOIN med ON ac.media_id = med.media_id),
+         packed AS (SELECT media_id,
+             CAST(sum(CASE WHEN p <= 31 THEN bit * (1::BIGINT << (31 - p))
+                           ELSE 0 END) AS BIGINT) AS hi,
+             CAST(sum(CASE WHEN p > 31 THEN bit * (1::BIGINT << (63 - p))
+                           ELSE 0 END) AS BIGINT) AS lo
+           FROM bits GROUP BY 1)
+         SELECT d.media_id, d.w::INT AS width, d.h::INT AS height,
+           printf('%08x%08x', p.hi, p.lo) AS phash, m.median,
+           count(*) OVER (PARTITION BY printf('%08x%08x', p.hi, p.lo))
+             AS n_same_hash
+         FROM packed p
+         JOIN dims d ON d.media_id = p.media_id
+         JOIN med m ON m.media_id = p.media_id""",
     // crawl replay: the status formula picks the 200s, dims/content
     // come from the seed, the grid hash is the dhash oracle's CTE —
     // every pipeline stage recomputed in SQL
