@@ -1641,6 +1641,54 @@ object Multimodal {
         "height", "delay_cs", "sum_gray", "min_gray", "max_gray")
   }
 
+  /** Scene-CUT detection over the crawl's video-lite format — the
+    * segmentation step ahead of frame sampling (sample one frame per
+    * SCENE, not per fixed stride, so a 40-frame two-scene animation
+    * contributes 2 representatives, not 8 near-dups): for every
+    * ADJACENT frame pair of a [[GifCodec.decodeFrames]] animation,
+    * the mean absolute luma difference (integer: floor(Σ|Δ|/n), luma
+    * = the palette gray), a cut where it exceeds `cutThreshold`
+    * STRICTLY (boundary pinned in the spec). The contract requires
+    * FULL-SCREEN frames — sub-rectangle animations need the disposal
+    * /compositing semantics [[GifCodec.decodeFrames]] deliberately
+    * excludes, so they reject loudly by name rather than diffing
+    * frames of different shapes. Emits one row per pair plus the
+    * per-animation scene count (1 + cuts; a single-frame GIF has no
+    * pairs and no rows). Decode + all pixel diffs run inside the
+    * per-row map — pixels never leave their executor; only bounded
+    * pair-stat rows shuffle for the count window. */
+  def gifSceneCuts(media: DataFrame, cutThreshold: Long = 16L): DataFrame = {
+    val enc = Encoders.product[(Long, Long, Long, Long, Long, Boolean)]
+    media.filter(col("kind") === "image").select("media_id", "bytes")
+      .mapPartitions { it: Iterator[Row] =>
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val (w, h, frames) = GifCodec.decodeFrames(r.getAs[Array[Byte]](1))
+          frames.foreach { f =>
+            require(f.left == 0 && f.top == 0 && f.w == w && f.h == h,
+              s"scene-cut contract needs full-screen frames, got " +
+                s"${f.w}x${f.h}@(${f.left},${f.top}) on a ${w}x$h screen")
+          }
+          frames.sliding(2).collect { case Seq(a, b) =>
+            var sum = 0L
+            var i = 0
+            val n = w * h
+            while (i < n) {
+              sum += math.abs((b.px(i) & 0xff) - (a.px(i) & 0xff))
+              i += 1
+            }
+            val mean = sum / n
+            (id, b.index.toLong, n.toLong, sum, mean, mean > cutThreshold)
+          }.toList
+        }
+      }(enc).toDF("media_id", "frame_idx", "n_px", "sum_abs_diff",
+        "mean_diff", "is_cut")
+      .withColumn("n_scenes",
+        (lit(1L) + sum(col("is_cut").cast("long"))
+          .over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("media_id")))).cast("long"))
+  }
+
   /** Letterbox PAD to square — the aspect normalization a vision
     * ingest runs before batching fixed-shape tensors (resize alone
     * distorts aspect; pad-then-resize preserves it): the decoded

@@ -918,6 +918,40 @@ object MultimodalQueries {
         }(enc).toDF("media_id", "kind", "bytes")
       Multimodal.gifFrameStats(gifs)
     }),
+    // scene segmentation over real animated GIFs: scenes change every
+    // 2 frames (s = t/2 in the content formula, +3 wiggle on odd
+    // frames keeps within-scene pairs near-identical but nonzero);
+    // within-scene mean |diff| = 3 < 16, across scenes >= 94 (the
+    // mod-240 step of s*97 lands at |97| or |143| per pixel) -> cuts
+    // exactly at odd->even transitions; oracle replays every pixel diff
+    "mm_gif_scene_cuts" -> ((s, d) => {
+      val enc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.BINARY)
+      val gifs = media(s, d).select("media_id", "kind", "bytes")
+        .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+          it.map { r =>
+            val id = r.getLong(0); val kind = r.getString(1)
+            val payload =
+              if (kind == "image") {
+                val w = 20 + (id % 17).toInt
+                val h = 14 + (id % 11).toInt
+                val nf = 3 + (id % 4).toInt
+                val frames = (0 until nf).map { t =>
+                  (0, 0, w, h,
+                    (x: Int, y: Int) =>
+                      (((id * 31 + (t / 2) * 97 + (x / 4) * 7 +
+                        (y / 4) * 13) % 240) + (t % 2) * 3).toInt)
+                }
+                val delays = (0 until nf).map(_ => 5)
+                Multimodal.ImageHeader.encodeGifAnimated(w, h, frames, delays)
+              } else r.getAs[Array[Byte]](2)
+            (id, kind, payload)
+          }
+        }(enc).toDF("media_id", "kind", "bytes")
+      Multimodal.gifSceneCuts(gifs)
+    }),
     // aspect normalization: rotate the lossless containers, center
     // each decoded image on its max(w,h) square, and pin value+place
     // of every canvas cell with the position-weighted checksum; the
@@ -1757,6 +1791,31 @@ object MultimodalQueries {
            CAST(min(v) AS BIGINT) AS min_gray,
            CAST(max(v) AS BIGINT) AS max_gray
          FROM px GROUP BY media_id, f, lft, tp, fw, fh, delay""",
+    // adjacent-pair |diff| replay from the frame formula; mean =
+    // floor(sum/n) (nonneg), cut STRICTLY above 16, scenes = 1 + cuts
+    "mm_gif_scene_cuts" ->
+      s"""WITH g AS (SELECT doc_id AS media_id, 20 + doc_id % 17 AS w,
+             14 + doc_id % 11 AS h, 3 + doc_id % 4 AS nf
+           FROM documents WHERE doc_id % 3 = 0),
+         pr AS (SELECT media_id, w, h, t.t AS t
+           FROM g, LATERAL unnest(range(1, nf)) AS t(t)),
+         d AS (SELECT media_id, w, h, t,
+             abs((((media_id * 31 + (t // 2) * 97 + (x.x // 4) * 7 +
+                    (y.y // 4) * 13) % 240) + (t % 2) * 3) -
+                 (((media_id * 31 + ((t - 1) // 2) * 97 + (x.x // 4) * 7 +
+                    (y.y // 4) * 13) % 240) + ((t - 1) % 2) * 3)) AS ad
+           FROM pr, LATERAL unnest(range(0, w)) AS x(x),
+             LATERAL unnest(range(0, h)) AS y(y)),
+         p AS (SELECT media_id, t AS frame_idx, count(*) AS n_px,
+             sum(ad) AS sum_abs_diff, (sum(ad) // count(*)) AS mean_diff
+           FROM d GROUP BY 1, 2),
+         c AS (SELECT *, (mean_diff > 16) AS is_cut FROM p)
+         SELECT media_id, frame_idx::BIGINT AS frame_idx,
+           n_px::BIGINT AS n_px, sum_abs_diff::BIGINT AS sum_abs_diff,
+           mean_diff::BIGINT AS mean_diff, is_cut,
+           CAST(1 + sum(CASE WHEN is_cut THEN 1 ELSE 0 END)
+             OVER (PARTITION BY media_id) AS BIGINT) AS n_scenes
+         FROM c""",
     // canvas cell (oy+y)*side + (ox+x), pad cells contribute 0
     "mm_image_letterbox" ->
       s"""WITH g AS (SELECT doc_id AS media_id, 16 + doc_id % 24 AS w,
