@@ -1689,6 +1689,63 @@ object Multimodal {
             .partitionBy(col("media_id")))).cast("long"))
   }
 
+  /** Scene-REPRESENTATIVE frame sampling — what [[gifSceneCuts]]
+    * exists for: one frame per detected scene (the FIRST frame of
+    * each, the deterministic choice every engine replays) instead of
+    * per fixed stride, so a long static animation contributes one
+    * representative and a rapid montage contributes many. Same
+    * full-screen contract and STRICT threshold as the cut detector
+    * (shared diff kernel — decode happens ONCE for cuts and reps);
+    * emits per scene: index, representative frame, scene length in
+    * frames, and the representative's pixel stats (sum + position-
+    * weighted checksum, pinning value AND place of every sampled
+    * pixel). A single-frame GIF is one scene represented by its only
+    * frame. Everything runs inside the per-row map; only bounded
+    * scene rows shuffle. */
+  def gifSceneReps(media: DataFrame, cutThreshold: Long = 16L): DataFrame = {
+    val enc = Encoders.product[(Long, Long, Long, Long, Long, Long)]
+    media.filter(col("kind") === "image").select("media_id", "bytes")
+      .mapPartitions { it: Iterator[Row] =>
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val (w, h, frames) = GifCodec.decodeFrames(r.getAs[Array[Byte]](1))
+          frames.foreach { f =>
+            require(f.left == 0 && f.top == 0 && f.w == w && f.h == h,
+              s"scene-cut contract needs full-screen frames, got " +
+                s"${f.w}x${f.h}@(${f.left},${f.top}) on a ${w}x$h screen")
+          }
+          val n = w * h
+          val fa = frames.toArray
+          val scene = new Array[Int](fa.length)
+          var t = 1
+          while (t < fa.length) {
+            var sum = 0L
+            var i = 0
+            while (i < n) {
+              sum += math.abs((fa(t).px(i) & 0xff) - (fa(t - 1).px(i) & 0xff))
+              i += 1
+            }
+            scene(t) = scene(t - 1) + (if (sum / n > cutThreshold) 1 else 0)
+            t += 1
+          }
+          val nScenes = scene(fa.length - 1) + 1
+          (0 until nScenes).map { s =>
+            val first = scene.indexOf(s)
+            val len = scene.count(_ == s).toLong
+            var sum = 0L; var ck = 0L
+            var i = 0
+            while (i < n) {
+              val v = (fa(first).px(i) & 0xff).toLong
+              sum += v; ck += (i + 1) * v
+              i += 1
+            }
+            (id, s.toLong, fa(first).index.toLong, len, sum, ck)
+          }
+        }
+      }(enc).toDF("media_id", "scene_idx", "rep_frame_idx",
+        "n_frames", "rep_sum_gray", "rep_checksum")
+  }
+
   /** Letterbox PAD to square — the aspect normalization a vision
     * ingest runs before batching fixed-shape tensors (resize alone
     * distorts aspect; pad-then-resize preserves it): the decoded

@@ -952,6 +952,38 @@ object MultimodalQueries {
         }(enc).toDF("media_id", "kind", "bytes")
       Multimodal.gifSceneCuts(gifs)
     }),
+    // the sampling step scene detection exists for: ONE representative
+    // (first frame) per scene over the same planted animation — the
+    // oracle re-derives the cut sequence, prefix-sums it into scene
+    // ids, and pins value+place of every sampled pixel
+    "mm_gif_scene_reps" -> ((s, d) => {
+      val enc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.BINARY)
+      val gifs = media(s, d).select("media_id", "kind", "bytes")
+        .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+          it.map { r =>
+            val id = r.getLong(0); val kind = r.getString(1)
+            val payload =
+              if (kind == "image") {
+                val w = 20 + (id % 17).toInt
+                val h = 14 + (id % 11).toInt
+                val nf = 3 + (id % 4).toInt
+                val frames = (0 until nf).map { t =>
+                  (0, 0, w, h,
+                    (x: Int, y: Int) =>
+                      (((id * 31 + (t / 2) * 97 + (x / 4) * 7 +
+                        (y / 4) * 13) % 240) + (t % 2) * 3).toInt)
+                }
+                val delays = (0 until nf).map(_ => 5)
+                Multimodal.ImageHeader.encodeGifAnimated(w, h, frames, delays)
+              } else r.getAs[Array[Byte]](2)
+            (id, kind, payload)
+          }
+        }(enc).toDF("media_id", "kind", "bytes")
+      Multimodal.gifSceneReps(gifs)
+    }),
     // aspect normalization: rotate the lossless containers, center
     // each decoded image on its max(w,h) square, and pin value+place
     // of every canvas cell with the position-weighted checksum; the
@@ -1816,6 +1848,45 @@ object MultimodalQueries {
            CAST(1 + sum(CASE WHEN is_cut THEN 1 ELSE 0 END)
              OVER (PARTITION BY media_id) AS BIGINT) AS n_scenes
          FROM c""",
+    // cut sequence -> prefix-sum scene ids -> first frame per scene,
+    // rep pixel stats from the frame formula (weight = y*w + x + 1)
+    "mm_gif_scene_reps" ->
+      s"""WITH g AS (SELECT doc_id AS media_id, 20 + doc_id % 17 AS w,
+             14 + doc_id % 11 AS h, 3 + doc_id % 4 AS nf
+           FROM documents WHERE doc_id % 3 = 0),
+         pr AS (SELECT media_id, w, h, t.t AS t
+           FROM g, LATERAL unnest(range(1, nf)) AS t(t)),
+         d AS (SELECT media_id, t,
+             abs((((media_id * 31 + (t // 2) * 97 + (x.x // 4) * 7 +
+                    (y.y // 4) * 13) % 240) + (t % 2) * 3) -
+                 (((media_id * 31 + ((t - 1) // 2) * 97 + (x.x // 4) * 7 +
+                    (y.y // 4) * 13) % 240) + ((t - 1) % 2) * 3)) AS ad
+           FROM pr, LATERAL unnest(range(0, w)) AS x(x),
+             LATERAL unnest(range(0, h)) AS y(y)),
+         p AS (SELECT media_id, t, (sum(ad) // count(*)) AS mean_diff
+           FROM d GROUP BY 1, 2),
+         fr AS (SELECT media_id, w, h, t.t AS t
+           FROM g, LATERAL unnest(range(0, nf)) AS t(t)),
+         fc AS (SELECT fr.media_id, fr.w, fr.h, fr.t,
+             CASE WHEN p.mean_diff > 16 THEN 1 ELSE 0 END AS cut
+           FROM fr LEFT JOIN p
+             ON p.media_id = fr.media_id AND p.t = fr.t),
+         sc AS (SELECT *, sum(cut) OVER (PARTITION BY media_id
+             ORDER BY t) AS scene FROM fc),
+         agg AS (SELECT media_id, w, h, scene AS scene_idx,
+             min(t) AS rep, count(*) AS n_frames
+           FROM sc GROUP BY 1, 2, 3, 4),
+         px AS (SELECT r.media_id, r.scene_idx, r.rep, r.n_frames,
+             (y.y * r.w + x.x + 1) AS wgt,
+             (((r.media_id * 31 + (r.rep // 2) * 97 + (x.x // 4) * 7 +
+                (y.y // 4) * 13) % 240) + (r.rep % 2) * 3) AS v
+           FROM agg r, LATERAL unnest(range(0, r.w)) AS x(x),
+             LATERAL unnest(range(0, r.h)) AS y(y))
+         SELECT media_id, scene_idx::BIGINT AS scene_idx,
+           rep::BIGINT AS rep_frame_idx, n_frames::BIGINT AS n_frames,
+           CAST(sum(v) AS BIGINT) AS rep_sum_gray,
+           CAST(sum(wgt * v) AS BIGINT) AS rep_checksum
+         FROM px GROUP BY 1, 2, 3, 4""",
     // canvas cell (oy+y)*side + (ox+x), pad cells contribute 0
     "mm_image_letterbox" ->
       s"""WITH g AS (SELECT doc_id AS media_id, 16 + doc_id % 24 AS w,

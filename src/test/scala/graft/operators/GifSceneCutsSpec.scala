@@ -69,6 +69,48 @@ class GifSceneCutsSpec extends AnyFunSuite {
     assert(Multimodal.gifSceneCuts(mediaOf(Seq((1L, one)))).count() == 0)
   }
 
+  test("scene reps: first frame per scene with exact pixel stats") {
+    // frames f0, f0, f2: scenes [0, 0, 1] -> reps (0: frame 0, len 2),
+    // (1: frame 2, len 1)
+    val f0 = (x: Int, y: Int) => 10 + x + y
+    val f2 = (x: Int, y: Int) => 110 + x + y
+    val out = Multimodal.gifSceneReps(
+        mediaOf(Seq((1L, gif(4, 2, Seq(f0, f0, f2))))))
+      .orderBy("scene_idx").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("rep_frame_idx") == 0)
+    assert(out(0).getAs[Long]("n_frames") == 2)
+    assert(out(1).getAs[Long]("rep_frame_idx") == 2)
+    assert(out(1).getAs[Long]("n_frames") == 1)
+    val vals0 = for (y <- 0 until 2; x <- 0 until 4) yield f0(x, y).toLong
+    assert(out(0).getAs[Long]("rep_sum_gray") == vals0.sum)
+    assert(out(0).getAs[Long]("rep_checksum") ==
+      vals0.zipWithIndex.map { case (v, i) => (i + 1) * v }.sum)
+    assert(out(1).getAs[Long]("rep_sum_gray") == vals0.sum + 100L * 8)
+  }
+
+  test("scene reps: a single-frame GIF is one scene, its only frame") {
+    val one = Multimodal.ImageHeader.encodeGif(6, 4, (x, y) => x + y)
+    val out = Multimodal.gifSceneReps(mediaOf(Seq((1L, one)))).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("scene_idx") == 0)
+    assert(out.head.getAs[Long]("rep_frame_idx") == 0)
+    assert(out.head.getAs[Long]("n_frames") == 1)
+  }
+
+  test("cuts and reps agree: n_scenes == rep row count") {
+    val fs = Seq[(Int, Int) => Int](
+      (x, y) => 10 + x, (x, y) => 13 + x, // same scene (diff 3)
+      (x, y) => 140 + y, // cut
+      (x, y) => 141 + y, // same scene
+      (x, y) => 30 + x + y) // cut
+    val m = mediaOf(Seq((1L, gif(8, 6, fs))))
+    val nScenes = Multimodal.gifSceneCuts(m)
+      .select("n_scenes").collect().head.getLong(0)
+    assert(Multimodal.gifSceneReps(m).count() == nScenes)
+    assert(nScenes == 3)
+  }
+
   test("sub-rectangle frames reject loudly by name") {
     val b = Multimodal.ImageHeader.encodeGifAnimated(8, 8, Seq(
       (0, 0, 8, 8, (_: Int, _: Int) => 1),
