@@ -110,33 +110,46 @@ object Robots {
   /** REP match target = path plus query, fragment stripped; empty -> "/". */
   private val pathRe = schemeRe + "[^/?#]*([/?][^#]*)"
 
-  /** Decide every URL against [[parseRules]] output: emits
-    * `(idCol, url, host, allowed, matched_rule, matched_prec, grp)`
-    * with `grp` = "agent" | "star" | "default" (no matching rule / no
-    * robots.txt). Pages never shuffle: the per-host rule arrays
-    * broadcast and the RFC precedence order (longest pattern, then
-    * Allow over Disallow) folds into one `array_max` over the
-    * LIKE-matching rules. */
-  def filterUrls(urls: DataFrame, rules: DataFrame, idCol: String,
+  /** Append the REP decision columns (`host`, `allowed`,
+    * `matched_rule`, `matched_prec`, `grp`) to ANY frame carrying a
+    * URL column, keeping every input column — the composable form
+    * both [[filterUrls]] and the streaming gate
+    * ([[graft.streaming.Streams.robotsGate]], where the rule table is
+    * the STATIC side of a stream-static broadcast join) build on.
+    * Pages never shuffle: the per-host rule arrays broadcast and the
+    * RFC precedence order (longest pattern, then Allow over Disallow)
+    * folds into one `array_max` over the LIKE-matching rules. */
+  def withDecision(df: DataFrame, rules: DataFrame,
       urlCol: String): DataFrame = {
-    val u = urls.select(col(idCol), col(urlCol).as("url"),
-      lower(regexp_extract(col(urlCol), hostRe, 1)).as("host"),
-      coalesce(nullif(regexp_extract(col(urlCol), pathRe, 1), lit("")),
-        lit("/")).as("path"))
     val hostRules = rules.groupBy(col("host"))
       .agg(collect_list(struct(col("prec"),
         col("rule_allow").cast("int").as("a"), col("like_pat"),
         col("pattern"), col("grp"))).as("__rs"))
-    u.join(broadcast(hostRules), Seq("host"), "left")
+    df.withColumn("host", lower(regexp_extract(col(urlCol), hostRe, 1)))
+      .withColumn("__path",
+        coalesce(nullif(regexp_extract(col(urlCol), pathRe, 1), lit("")),
+          lit("/")))
+      .join(broadcast(hostRules), Seq("host"), "left")
       .withColumn("__b", expr(
-        "array_max(transform(filter(__rs, r -> path LIKE r.like_pat ESCAPE '!'), " +
+        "array_max(transform(filter(__rs, r -> __path LIKE r.like_pat ESCAPE '!'), " +
           "r -> struct(r.prec AS prec, r.a AS a, r.pattern AS pattern, r.grp AS grp)))"))
-      .select(col(idCol), col("url"), col("host"),
-        coalesce(col("__b.a") === 1, lit(true)).as("allowed"),
-        col("__b.pattern").as("matched_rule"),
-        col("__b.prec").as("matched_prec"),
-        coalesce(col("__b.grp"), lit("default")).as("grp"))
+      .withColumn("allowed", coalesce(col("__b.a") === 1, lit(true)))
+      .withColumn("matched_rule", col("__b.pattern"))
+      .withColumn("matched_prec", col("__b.prec"))
+      .withColumn("grp", coalesce(col("__b.grp"), lit("default")))
+      .drop("__rs", "__b", "__path")
   }
+
+  /** Decide every URL against [[parseRules]] output: emits
+    * `(idCol, url, host, allowed, matched_rule, matched_prec, grp)`
+    * with `grp` = "agent" | "star" | "default" (no matching rule / no
+    * robots.txt). */
+  def filterUrls(urls: DataFrame, rules: DataFrame, idCol: String,
+      urlCol: String): DataFrame =
+    withDecision(urls.select(col(idCol), col(urlCol).as("url")),
+        rules, "url")
+      .select(col(idCol), col("url"), col("host"), col("allowed"),
+        col("matched_rule"), col("matched_prec"), col("grp"))
 
   /** Parse + decide in one call (robots bodies + page URLs). */
   def filterCrawl(pages: DataFrame, robots: DataFrame, idCol: String,

@@ -69,6 +69,25 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("canonical_url")
 
+  /** Streaming robots.txt compliance gate — the online form of
+    * [[graft.operators.Robots]] and the crawl frontier's OTHER first
+    * filter (with [[urlDedup]]): the rule table is STATIC (parsed
+    * once from the robots corpus via `Robots.parseRules`, rebuilt on
+    * a robots re-crawl), joined into every micro-batch as the
+    * broadcast side of a stream-static join, so the stream side keeps
+    * the batch op's zero-exchange scan -> broadcast-join -> array_max
+    * shape and disallowed URLs drop AT THE FRONTIER — before fetch
+    * bytes, parse CPU, or state is spent on them. Stateless: no
+    * watermark, no state store; backfill and stream decide
+    * identically by construction (same rules frame, same kernel).
+    * `keepDisallowed = true` emits every row with its decision
+    * columns instead of filtering — the audit shape. */
+  def robotsGate(stream: DataFrame, rules: DataFrame, urlCol: String,
+      keepDisallowed: Boolean = false): DataFrame = {
+    val d = graft.operators.Robots.withDecision(stream, rules, urlCol)
+    if (keepDisallowed) d else d.filter(col("allowed"))
+  }
+
   /** Streaming WARC ingestion: each incoming blob (one WARC file /
     * fetch batch) is parsed with the strict reader
     * ([[graft.sources.Warc]] — hostile-length guarded, zip-bomb

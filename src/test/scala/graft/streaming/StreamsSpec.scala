@@ -100,6 +100,47 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming robots gate drops disallowed URLs at the frontier") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val robots = Seq(
+      ("a.ex", "User-agent: GraftBot\nDisallow: /g/\nAllow: /g/ok\n" +
+        "User-agent: *\nDisallow: /\n"),
+      ("b.ex", "User-agent: *\nDisallow: /*.tmp$\n"))
+      .toDF("rhost", "body")
+    val rules = graft.operators.Robots.parseRules(
+      robots, "rhost", "body", "GraftBot")
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val df = in.toDF().toDF("doc_id", "ts", "url")
+    val q = Streams.robotsGate(df, rules, "url").writeStream
+      .format("memory").queryName("robots_out").outputMode("append").start()
+    try {
+      in.addData(
+        (1L, ts(0), "https://a.ex/g/secret"),   // agent group: deny
+        (2L, ts(1), "https://a.ex/g/okay"),     // longer allow wins
+        (3L, ts(2), "https://a.ex/free"),       // star Disallow:/ IGNORED
+        (4L, ts(3), "https://b.ex/x.tmp"),      // star wildcard: deny
+        (5L, ts(4), "https://c.ex/anything"))   // no robots: allow
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT doc_id, grp FROM robots_out")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(kept == Map(2L -> "agent", 3L -> "default", 5L -> "default"),
+        kept.toString)
+    } finally q.stop()
+    // the audit shape keeps every row with its decision
+    val q2 = Streams.robotsGate(df, rules, "url", keepDisallowed = true)
+      .writeStream.format("memory").queryName("robots_audit")
+      .outputMode("append").start()
+    try {
+      in.addData((6L, ts(5), "https://b.ex/y.tmp"))
+      q2.processAllAvailable()
+      val audit = spark.sql(
+        "SELECT allowed, matched_rule FROM robots_audit WHERE doc_id = 6")
+        .collect().map(r => (r.getBoolean(0), r.getString(1))).toSeq
+      assert(audit == Seq((false, "/*.tmp$")), audit.toString)
+    } finally q2.stop()
+  }
+
   test("streaming WARC ingestion explodes records across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
