@@ -746,4 +746,41 @@ object CorpusMix {
     Frames.free(survivors)
     result
   }
+
+  /** WET conversion-record generation — the text-extraction artifact a
+    * crawl archive publishes NEXT TO the raw responses (one
+    * `conversion` record per fetched page, plain-text payload,
+    * refers-to link): html -> text through the codegen'd
+    * [[HtmlText.htmlToText]] regex chain, then each row encodes a
+    * REAL WARC conversion record
+    * ([[graft.sources.Warc.encodeConversion]], closed-form byte
+    * length) and immediately re-parses it through the strict reader —
+    * the emitted fields come from the RE-PARSED record, so they only
+    * match the oracle if every byte of the WET encoding survived the
+    * round trip (the mm_image_transcode discipline). Extraction +
+    * encode + parse is one narrow map; id must be a Long column.
+    * Emits (id, target_uri, warc_type, content_length, wet_len,
+    * body). */
+  def wetRecords(pages: DataFrame, idCol: String, uriCol: String,
+      htmlCol: String, date: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.product[
+      (Long, String, String, Long, Long, String)]
+    pages.select(col(idCol), col(uriCol).as("__uri"),
+        HtmlText.htmlToText(col(htmlCol)).as("__txt"))
+      .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+        it.map { r =>
+          val id = r.getLong(0); val uri = r.getString(1)
+          val bytes = graft.sources.Warc.encodeConversion(uri, date,
+            r.getString(2).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val parsed = graft.sources.Warc.parseAll(bytes)
+          require(parsed.length == 1 && parsed.head.warcType == "conversion",
+            s"WET record for $uri did not round-trip to one conversion record")
+          val w = parsed.head
+          (id, w.targetUri, w.warcType, w.contentLength,
+            bytes.length.toLong,
+            new String(w.body, java.nio.charset.StandardCharsets.UTF_8))
+        }
+      }(enc).toDF(idCol, "target_uri", "warc_type", "content_length",
+        "wet_len", "body")
+  }
 }

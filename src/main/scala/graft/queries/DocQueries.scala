@@ -414,6 +414,17 @@ object DocQueries {
         .select(col("doc_id"), col("extracted"),
           size(split(col("extracted"), " ")).cast("long").as("n_words"))
     }),
+    // WET conversion-record writer: the 6-shape markup fixture
+    // extracts through the real regex chain, every row ENCODES a real
+    // WARC conversion record and RE-PARSES it strictly — emitted
+    // fields come from the re-parsed bytes, so the oracle (extraction
+    // replay + closed-form record length) only matches if the WET
+    // encoding round-tripped byte-exactly
+    "doc_warc_wet" -> ((s, d) =>
+      CorpusMix.wetRecords(
+        htmlFixture(s, d).withColumn("uri",
+          concat(lit("https://w.ex/p"), col("doc_id").cast("string"))),
+        "doc_id", "uri", "html", date = "2026-08-15T00:00:00Z")),
     // WARC -> curated corpus, END TO END: the real ingestion
     // composition the WARC source exists for. One job: WARC bytes ->
     // strict parse -> keep 200s -> canonical-URL dedup -> Gopher gate
@@ -1292,6 +1303,32 @@ object DocQueries {
          SELECT doc_id, extracted,
            CAST(len(string_split(extracted, ' ')) AS BIGINT) AS n_words
          FROM e"""
+    },
+    // wet_len closed form: 154 fixed header/framing octets + the uri
+    // twice (target + refers-to) + the 20-char date + the decimal
+    // digits of Content-Length + the text bytes (octet_length — the
+    // record counts BYTES where the extract column counts chars)
+    "doc_warc_wet" -> {
+      val esc = graft.operators.HtmlText.htmlToTextSql("html")
+      s"""WITH h AS (SELECT doc_id,
+           CASE ${TextStats.idBucketSql("doc_id", 6L)}
+             WHEN 0 THEN '<html><head><title>t</title><script type="text/javascript">document.write("<p>js junk</p>");</script></head><body><h1>Heading</h1><p>' || text || '</p></body></html>'
+             WHEN 1 THEN '<html><style>body { color: red; }</style><!-- hidden <b>note</b> --><body><p>' || text || '</p><br><div>tail &amp; more</div></body></html>'
+             WHEN 2 THEN '<body><p>&quot;' || text || '&quot; &lt;x&gt; it&#39;s a&nbsp;b</p></body>'
+             WHEN 3 THEN '<body><script src=x.js>var broken = 1; ' || text || '</body>'
+             WHEN 4 THEN '<a href="q?a>b">' || text || '</a>'
+             ELSE text END AS html
+           FROM documents),
+         x AS (SELECT doc_id, 'https://w.ex/p' || doc_id AS target_uri,
+             $esc AS body
+           FROM h)
+         SELECT doc_id, target_uri, 'conversion' AS warc_type,
+           CAST(octet_length(encode(body)) AS BIGINT) AS content_length,
+           CAST(154 + 2 * length(target_uri) + 20 +
+             length(CAST(octet_length(encode(body)) AS VARCHAR)) +
+             octet_length(encode(body)) AS BIGINT) AS wet_len,
+           body
+         FROM x"""
     },
     "doc_warc_pipeline_e2e" ->
       s"""WITH ${warcPipelineCtes()},

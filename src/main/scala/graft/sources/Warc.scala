@@ -88,6 +88,30 @@ object Warc {
     out.toByteArray
   }
 
+  /** Encode one `conversion` record — the WET text-extraction shape
+    * crawl archives publish next to the raw responses: a plain-text
+    * payload with a `WARC-Refers-To` link back to the source
+    * response. The refers-to id derives from the source URI
+    * (deterministic and replayable; a random UUID would break
+    * byte-exact re-runs). Byte length is the closed form
+    * `154 + 2·len(uri) + len(date) + len(digits(n)) + n`
+    * (n = text bytes) — spec-pinned against the actual encoding. */
+  def encodeConversion(uri: String, date: String,
+      text: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write("WARC/1.0\r\n".getBytes(US_ASCII))
+    out.write("WARC-Type: conversion\r\n".getBytes(US_ASCII))
+    out.write(s"WARC-Target-URI: $uri\r\n".getBytes(US_ASCII))
+    out.write(s"WARC-Date: $date\r\n".getBytes(US_ASCII))
+    out.write(s"WARC-Refers-To: <urn:graft:response:$uri>\r\n"
+      .getBytes(US_ASCII))
+    out.write("Content-Type: text/plain\r\n".getBytes(US_ASCII))
+    out.write(s"Content-Length: ${text.length}\r\n\r\n".getBytes(US_ASCII))
+    out.write(text)
+    out.write(Crlf); out.write(Crlf)
+    out.toByteArray
+  }
+
   /** Gzip-wrap one encoded record as its own member (the per-record
     * compression layout crawl archives use). JDK GZIPOutputStream
     * writes MTIME = 0, so the bytes are deterministic. */

@@ -25,6 +25,31 @@ class WarcSpec extends AnyFunSuite {
     assert(got.map(_.offset).distinct.length == 4)
   }
 
+  test("conversion (WET) records: round-trip, closed-form length, mixing") {
+    val uri = "https://ex.org/page/7"
+    val date = "2026-08-15T00:00:00Z"
+    for (text <- Seq("", "x", "extracted words here", "a" * 1234)) {
+      val b = Warc.encodeConversion(uri, date, text.getBytes(US_ASCII))
+      // the closed form the scaladoc promises
+      assert(b.length == 154 + 2 * uri.length + date.length +
+        text.length.toString.length + text.length,
+        s"closed form broke at n=${text.length}")
+      val got = Warc.parseAll(b)
+      assert(got.length == 1)
+      assert(got.head.warcType == "conversion")
+      assert(got.head.targetUri == uri)
+      assert(got.head.httpStatus == 0) // no HTTP envelope on conversions
+      assert(new String(got.head.body, US_ASCII) == text)
+    }
+    // WET records interleave with responses and gzip members cleanly
+    val mixed = Array.concat(rec(0),
+      Warc.gzipMember(Warc.encodeConversion(uri, date,
+        "wet text".getBytes(US_ASCII))),
+      Warc.encodeConversion(uri, date, "more".getBytes(US_ASCII)))
+    val types = Warc.parseAll(mixed).map(_.warcType)
+    assert(types == Seq("response", "conversion", "conversion"))
+  }
+
   test("gzip member with FNAME/FEXTRA-free JDK output is byte-deterministic") {
     assert(Warc.gzipMember(rec(7)).toSeq == Warc.gzipMember(rec(7)).toSeq)
   }
