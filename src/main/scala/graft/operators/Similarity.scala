@@ -478,6 +478,93 @@ object Similarity {
       .limit(k)
   }
 
+  /** Scalar int4 quantization — the 8x tier between int8 (4x) and the
+    * sign bit (32x), completing the compression ladder one gauge
+    * prices end to end: per-vector scale = max|v| / 7, codes
+    * q = floor(v/scale + 0.5) clamped to [-7, 7] (the same explicit
+    * half-up as [[quantizeInt8]] — no engine round() tie semantics),
+    * and the PACKED layout that realizes the 8x: nibble = q + 8
+    * (1..15 — 0 never occurs, so an all-zero byte is never a valid
+    * pair), byte i = nib(2i) | nib(2i+1) << 4, an odd tail padded
+    * with nibble 8 (code 0). Emits dims, scale, code sum +
+    * position-weighted code checksum, and the position-weighted
+    * checksum of the PACKED bytes — pinning the nibble layout itself,
+    * not just the codes. One narrow codegen projection. */
+  def quantizeInt4(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val scale = aggregate(col(vecCol), lit(0.0d),
+      (acc, v) => greatest(acc, abs(v.cast("double")))) / 7.0
+    val q = expr("transform(__vec, v -> CAST(greatest(-7.0d, least(7.0d, " +
+      "floor(CAST(v AS DOUBLE) / (CASE WHEN __scale = 0.0d THEN 1.0d ELSE __scale END) " +
+      "+ 0.5d))) AS BIGINT))")
+    val packedCksum = expr(
+      "CASE WHEN n_dims = 0 THEN 0L ELSE aggregate(zip_with(" +
+        "transform(sequence(0L, (n_dims + 1) div 2 - 1), i -> " +
+        "(element_at(__q, CAST(2*i+1 AS INT)) + 8) + " +
+        "(CASE WHEN 2*i+2 <= n_dims THEN element_at(__q, CAST(2*i+2 AS INT)) + 8 " +
+        "ELSE 8 END) * 16), " +
+        "sequence(1L, (n_dims + 1) div 2), (b, i) -> b * i), " +
+        "0L, (a, v) -> a + v) END")
+    emb.select(col(idCol), col(vecCol).as("__vec"), scale.as("__scale"))
+      .select(col(idCol), size(col("__vec")).cast("long").as("n_dims"),
+        col("__scale").as("scale"), q.as("__q"))
+      .select(col(idCol), col("n_dims"), col("scale"), col("__q"),
+        aggregate(col("__q"), lit(0L), (a, v) => a + v).as("q_sum"),
+        when(col("n_dims") === 0, lit(0L))
+          .otherwise(aggregate(zip_with(col("__q"),
+              sequence(lit(1L), col("n_dims")), (qv, i) => qv * i),
+            lit(0L), (a, v) => a + v)).as("q_cksum"))
+      .withColumn("packed_cksum", packedCksum)
+      .drop("__q")
+  }
+
+  /** Quantized retrieval on int4 codes — [[int8CosineTopK]]'s scheme
+    * at half the bytes: scales cancel in the cosine, the score is
+    * pure integers + sqrt + one divide, hash-exact anywhere;
+    * zero-norm codes score -2.0. One narrow codegen projection +
+    * TakeOrdered — no shuffle, the petabyte-store scan shape at 1/8
+    * the float bytes. */
+  def int4CosineTopK(emb: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int): DataFrame = {
+    require(k > 0)
+    val qScaleRaw = query.foldLeft(0.0)((m, v) => math.max(m, math.abs(v.toDouble))) / 7.0
+    val qScale = if (qScaleRaw == 0.0) 1.0 else qScaleRaw
+    val qCodes: Array[Long] = query.map(v =>
+      math.max(-7L, math.min(7L, math.floor(v.toDouble / qScale + 0.5).toLong)))
+    val q2 = qCodes.foldLeft(0L)((a, x) => a + x * x)
+    val scale = aggregate(col("__vec"), lit(0.0d),
+      (acc, v) => greatest(acc, abs(v.cast("double")))) / 7.0
+    emb.select(col(idCol), col(vecCol).as("__vec"))
+      .withColumn("__scale", scale)
+      .withColumn("__q", expr("transform(__vec, v -> CAST(greatest(-7.0d, " +
+        "least(7.0d, floor(CAST(v AS DOUBLE) / (CASE WHEN __scale = 0.0d " +
+        "THEN 1.0d ELSE __scale END) + 0.5d))) AS BIGINT))"))
+      .withColumn("__dot", aggregate(
+        zip_with(col("__q"), typedlit(qCodes), (a, b) => a * b),
+        lit(0L), (a, v) => a + v))
+      .withColumn("__v2", aggregate(col("__q"), lit(0L), (a, v) => a + v * v))
+      .withColumn("sim_q",
+        when(col("__v2") === 0L || lit(q2) === 0L, lit(-2.0d))
+          .otherwise(col("__dot").cast("double") /
+            (sqrt(col("__v2").cast("double")) * sqrt(lit(q2.toDouble)))))
+      .orderBy(col("sim_q").desc, col(idCol))
+      .select(col(idCol), col("__dot").as("dot_q"), col("sim_q"))
+      .limit(k)
+  }
+
+  /** Recall@k of int4 retrieval against exact float cosine — the 8x
+    * point on the compression/recall curve the binary (32x) and
+    * truncation gauges already price, same integer milli units and
+    * tie-breaks. */
+  def int4CosineRecall(emb: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int): DataFrame = {
+    val exact = cosineTopK(emb, idCol, vecCol, query, k).select(col(idCol))
+    val approx = int4CosineTopK(emb, idCol, vecCol, query, k).select(col(idCol))
+    exact.intersect(approx)
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(lit(k.toLong).as("k"), col("n_overlap"),
+        expr(s"n_overlap * 1000L div ${k}L").as("recall_milli"))
+  }
+
   /** Product quantization: each vector splits into `m` contiguous
     * subvectors and each subvector maps to its nearest codebook entry
     * (one code in [0, kSub) per segment). Codebooks are built

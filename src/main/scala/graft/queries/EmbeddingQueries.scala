@@ -85,6 +85,19 @@ object EmbeddingQueries {
       Similarity.dimStats(emb(s, d), "embedding")),
     "emb_quantize_int8" -> ((s, d) =>
       Similarity.quantizeInt8(emb(s, d), "vec_id", "embedding")),
+    // the 8x tier between int8 and the sign bit: [-7,7] codes plus the
+    // nibble-packed byte layout (pinned by the packed checksum)
+    "emb_quantize_int4" -> ((s, d) =>
+      Similarity.quantizeInt4(emb(s, d), "vec_id", "embedding")),
+    // retrieval on int4 codes — scales cancel, integer-exact score
+    "emb_int4_topk" -> ((s, d) =>
+      Similarity.int4CosineTopK(emb(s, d), "vec_id", "embedding",
+        queryVec(s, d), 20)),
+    // the 8x point on the compression/recall curve (32x = binary,
+    // 4x = int8-without-gauge, m/d = truncation)
+    "emb_int4_recall" -> ((s, d) =>
+      Similarity.int4CosineRecall(emb(s, d), "vec_id", "embedding",
+        queryVec(s, d), 20)),
     // the 32x tier below int8: sign-bit packing into 64-bit lanes,
     // exposed as unsigned 32-bit halves (the dHash rendering)
     "emb_binary_quant" -> ((s, d) =>
@@ -590,6 +603,87 @@ object EmbeddingQueries {
            CAST(COALESCE(list_sum(list_transform(range(1, len(qc) + 1), i -> qc[i] * i)), 0)
              AS BIGINT) AS q_cksum
          FROM q""",
+    "emb_quantize_int4" ->
+      s"""WITH q AS (
+           SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims,
+             COALESCE(list_max(list_transform(embedding, v -> abs(v::DOUBLE))), 0.0) / 7.0
+               AS scale,
+             list_transform(embedding, v -> CAST(greatest(-7.0, least(7.0,
+               floor(v::DOUBLE / (CASE WHEN scale = 0.0 THEN 1.0 ELSE scale END) + 0.5)))
+               AS BIGINT)) AS qc
+           FROM embeddings)
+         SELECT vec_id, n_dims, scale,
+           CAST(COALESCE(list_sum(qc), 0) AS BIGINT) AS q_sum,
+           CAST(COALESCE(list_sum(list_transform(range(1, len(qc) + 1), i -> qc[i] * i)), 0)
+             AS BIGINT) AS q_cksum,
+           CAST(COALESCE(list_sum(list_transform(range(0, (n_dims + 1) // 2), i ->
+             ((qc[(2 * i + 1)::INT] + 8) +
+              (CASE WHEN 2 * i + 2 <= n_dims THEN qc[(2 * i + 2)::INT] + 8
+                    ELSE 8 END) * 16) * (i + 1))), 0) AS BIGINT) AS packed_cksum
+         FROM q""",
+    "emb_int4_topk" ->
+      s"""WITH qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         qs AS (SELECT qe,
+             COALESCE(list_max(list_transform(qe, v -> abs(v::DOUBLE))), 0.0) / 7.0 AS s
+           FROM qv),
+         qc AS (SELECT list_transform(qe, v -> CAST(greatest(-7.0, least(7.0,
+             floor(v::DOUBLE / (CASE WHEN s = 0.0 THEN 1.0 ELSE s END) + 0.5)))
+             AS BIGINT)) AS qq FROM qs),
+         q2 AS (SELECT qq,
+             CAST(COALESCE(list_sum(list_transform(qq, x -> x * x)), 0) AS BIGINT) AS qq2
+           FROM qc),
+         v AS (SELECT vec_id,
+             COALESCE(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 0.0) / 7.0
+               AS s,
+             list_transform(embedding, x -> CAST(greatest(-7.0, least(7.0,
+               floor(x::DOUBLE / (CASE WHEN s = 0.0 THEN 1.0 ELSE s END) + 0.5)))
+               AS BIGINT)) AS vc
+           FROM embeddings),
+         d AS (SELECT vec_id,
+             CAST(COALESCE(list_sum(list_transform(range(1, len(vc) + 1),
+               i -> vc[i] * qq[i])), 0) AS BIGINT) AS dotq,
+             CAST(COALESCE(list_sum(list_transform(vc, x -> x * x)), 0) AS BIGINT) AS v2,
+             qq2
+           FROM v CROSS JOIN q2)
+         SELECT vec_id, dotq AS dot_q,
+           CASE WHEN v2 = 0 OR qq2 = 0 THEN -2.0
+                ELSE CAST(dotq AS DOUBLE) / (sqrt(CAST(v2 AS DOUBLE)) * sqrt(CAST(qq2 AS DOUBLE)))
+           END AS sim_q
+         FROM d ORDER BY sim_q DESC, vec_id LIMIT 20""",
+    "emb_int4_recall" ->
+      s"""WITH qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         qs AS (SELECT qe,
+             COALESCE(list_max(list_transform(qe, v -> abs(v::DOUBLE))), 0.0) / 7.0 AS s
+           FROM qv),
+         qc AS (SELECT list_transform(qe, v -> CAST(greatest(-7.0, least(7.0,
+             floor(v::DOUBLE / (CASE WHEN s = 0.0 THEN 1.0 ELSE s END) + 0.5)))
+             AS BIGINT)) AS qq FROM qs),
+         q2 AS (SELECT qq,
+             CAST(COALESCE(list_sum(list_transform(qq, x -> x * x)), 0) AS BIGINT) AS qq2
+           FROM qc),
+         v AS (SELECT vec_id,
+             COALESCE(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 0.0) / 7.0
+               AS s,
+             list_transform(embedding, x -> CAST(greatest(-7.0, least(7.0,
+               floor(x::DOUBLE / (CASE WHEN s = 0.0 THEN 1.0 ELSE s END) + 0.5)))
+               AS BIGINT)) AS vc
+           FROM embeddings),
+         d AS (SELECT vec_id,
+             CAST(COALESCE(list_sum(list_transform(range(1, len(vc) + 1),
+               i -> vc[i] * qq[i])), 0) AS BIGINT) AS dotq,
+             CAST(COALESCE(list_sum(list_transform(vc, x -> x * x)), 0) AS BIGINT) AS v2,
+             qq2
+           FROM v CROSS JOIN q2),
+         i4 AS (SELECT vec_id FROM d
+           ORDER BY CASE WHEN v2 = 0 OR qq2 = 0 THEN -2.0
+               ELSE CAST(dotq AS DOUBLE) / (sqrt(CAST(v2 AS DOUBLE)) * sqrt(CAST(qq2 AS DOUBLE)))
+             END DESC, vec_id LIMIT 20),
+         qe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         ex AS (SELECT e.vec_id FROM embeddings e, qe
+           ORDER BY ${cosineSql("e.embedding", "qe")} DESC, e.vec_id LIMIT 20)
+         SELECT CAST(20 AS BIGINT) AS k, count(*)::BIGINT AS n_overlap,
+           (count(*) * 1000 // 20)::BIGINT AS recall_milli
+         FROM i4 JOIN ex USING (vec_id)""",
     "emb_int8_topk" ->
       s"""WITH qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
          qs AS (SELECT qe,
