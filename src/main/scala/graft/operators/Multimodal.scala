@@ -373,6 +373,29 @@ object Multimodal {
       }
       b
     }
+
+    /** [[encodeBmp]]'s full-COLOR twin: pix returns 0xRRGGBB, stored
+      * as the BMP's little-endian BGR triplets — the second real
+      * color carrier (with [[PngCodec.encodeRgb]]) for fixtures that
+      * need channels to differ. */
+    def encodeBmpRgb(w: Int, h: Int, pix: (Int, Int) => Int): Array[Byte] = {
+      val gray = encodeBmp(w, h, (_, _) => 0) // header via the gray twin
+      val rowBytes = (w * 3 + 3) & ~3
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = pix(x, y)
+          val off = 54 + (h - 1 - y) * rowBytes + x * 3
+          gray(off) = (p & 0xff).toByte            // B
+          gray(off + 1) = ((p >> 8) & 0xff).toByte // G
+          gray(off + 2) = ((p >> 16) & 0xff).toByte // R
+          x += 1
+        }
+        y += 1
+      }
+      gray
+    }
   }
 
   /** REAL GIF pixel decode — the full variable-code-width LZW
@@ -1984,6 +2007,46 @@ object Multimodal {
         }
       }(enc).toDF("media_id", "n", "peak_in", "gain_q15", "peak_out",
         "energy", "checksum")
+  }
+
+  /** Skin-tone pixel ratio over REAL decoded color pixels — the
+    * SAFETY-FILTER slot of the multimodal ingest, filled with an
+    * honest deterministic heuristic: the classic public RGB rule
+    * (Peer/Kovac: R>95 ∧ G>40 ∧ B>20 ∧ max−min>15 ∧ |R−G|>15 ∧ R>G ∧
+    * R>B), counted exactly and reported in integer parts-per-million
+    * (floor), flagged STRICTLY above `thresholdPpm`. The contract is
+    * the PLUMBING — decode, per-pixel classify, exact ratio, flag —
+    * which is what survives when a learned classifier replaces the
+    * rule (the rule is a pure function slot, like the stubbed lossy
+    * codecs); a rule this simple is NOT a content-safety judgment and
+    * the scaladoc says so. One narrow map; pixels never shuffle. */
+  def imageSkinRatio(media: DataFrame,
+      thresholdPpm: Long = 200000L): DataFrame = {
+    val enc = Encoders.product[(Long, Int, Int, Long, Long, Long, Boolean)]
+    media.filter(col("kind") === "image").select("media_id", "bytes")
+      .mapPartitions { it: Iterator[Row] =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val (w, h, px) = decodeImage(r.getAs[Array[Byte]](1))
+          var nSkin = 0L
+          var i = 0
+          while (i < px.length) {
+            val p = px(i)
+            val red = (p >> 16) & 0xff
+            val g = (p >> 8) & 0xff
+            val b = p & 0xff
+            val mx = math.max(red, math.max(g, b))
+            val mn = math.min(red, math.min(g, b))
+            if (red > 95 && g > 40 && b > 20 && mx - mn > 15 &&
+              math.abs(red - g) > 15 && red > g && red > b) nSkin += 1
+            i += 1
+          }
+          val n = px.length.toLong
+          val ppm = if (n == 0) 0L else nSkin * 1000000L / n
+          (id, w, h, n, nSkin, ppm, ppm > thresholdPpm)
+        }
+      }(enc).toDF("media_id", "width", "height", "n_px", "n_skin",
+        "skin_ppm", "flagged")
   }
 
   /** Real pixel decode for 24-bit uncompressed (BI_RGB) BMP — the

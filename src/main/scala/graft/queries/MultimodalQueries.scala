@@ -984,6 +984,41 @@ object MultimodalQueries {
         }(enc).toDF("media_id", "kind", "bytes")
       Multimodal.gifSceneReps(gifs)
     }),
+    // safety-filter slot: the public Peer/Kovac RGB rule counted
+    // exactly over real COLOR pixels through both full-color carriers
+    // (stored-RGB PNG / 24-bit BMP by id/3 parity); per-channel block
+    // formulas differ so every rule clause is load-bearing; oracle
+    // replays rule, floor-ppm, and the strict flag threshold
+    "mm_image_skin_ratio" -> ((s, d) => {
+      val enc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.BINARY)
+      val imgs = media(s, d).select("media_id", "kind", "bytes")
+        .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+          it.map { r =>
+            val id = r.getLong(0); val kind = r.getString(1)
+            val payload =
+              if (kind == "image") {
+                val w = 16 + (id % 24).toInt
+                val h = 10 + (id % 15).toInt
+                def rgb(x: Int, y: Int): Int = {
+                  val bx = x / 4; val by = y / 4
+                  val rr = ((id * 31 + bx * 7 + by * 13) % 256).toInt
+                  val gg = ((id * 17 + bx * 11 + by * 5) % 256).toInt
+                  val bb = ((id * 23 + bx * 3 + by * 19) % 256).toInt
+                  (rr << 16) | (gg << 8) | bb
+                }
+                if ((id / 3) % 2 == 0)
+                  Multimodal.PngCodec.encodeRgb(w, h,
+                    Array.tabulate(w * h)(k => rgb(k % w, k / w)))
+                else Multimodal.ImageHeader.encodeBmpRgb(w, h, rgb)
+              } else r.getAs[Array[Byte]](2)
+            (id, kind, payload)
+          }
+        }(enc).toDF("media_id", "kind", "bytes")
+      Multimodal.imageSkinRatio(imgs)
+    }),
     // aspect normalization: rotate the lossless containers, center
     // each decoded image on its max(w,h) square, and pin value+place
     // of every canvas cell with the position-weighted checksum; the
@@ -1887,6 +1922,28 @@ object MultimodalQueries {
            CAST(sum(v) AS BIGINT) AS rep_sum_gray,
            CAST(sum(wgt * v) AS BIGINT) AS rep_checksum
          FROM px GROUP BY 1, 2, 3, 4""",
+    // the Peer/Kovac rule replayed per pixel from the channel formulas
+    "mm_image_skin_ratio" ->
+      s"""WITH g AS (SELECT doc_id AS media_id, 16 + doc_id % 24 AS w,
+             10 + doc_id % 15 AS h
+           FROM documents WHERE doc_id % 3 = 0),
+         px AS (SELECT media_id, w, h,
+             ((media_id * 31 + (x.x // 4) * 7 + (y.y // 4) * 13) % 256) AS r,
+             ((media_id * 17 + (x.x // 4) * 11 + (y.y // 4) * 5) % 256) AS gg,
+             ((media_id * 23 + (x.x // 4) * 3 + (y.y // 4) * 19) % 256) AS b
+           FROM g, LATERAL unnest(range(0, w)) AS x(x),
+             LATERAL unnest(range(0, h)) AS y(y)),
+         s AS (SELECT media_id, w, h, count(*) AS n,
+             sum(CASE WHEN r > 95 AND gg > 40 AND b > 20
+                   AND greatest(r, gg, b) - least(r, gg, b) > 15
+                   AND abs(r - gg) > 15 AND r > gg AND r > b
+                 THEN 1 ELSE 0 END) AS nskin
+           FROM px GROUP BY 1, 2, 3)
+         SELECT media_id, w::INT AS width, h::INT AS height,
+           n::BIGINT AS n_px, nskin::BIGINT AS n_skin,
+           (nskin * 1000000 // n)::BIGINT AS skin_ppm,
+           (nskin * 1000000 // n) > 200000 AS flagged
+         FROM s""",
     // canvas cell (oy+y)*side + (ox+x), pad cells contribute 0
     "mm_image_letterbox" ->
       s"""WITH g AS (SELECT doc_id AS media_id, 16 + doc_id % 24 AS w,
