@@ -519,6 +519,45 @@ object TextStats {
       .agg(count(lit(1)).as("n_shared")) // shingles are distinct per doc
   }
 
+  /** SPAN-aware decontamination — [[decontaminate]] counts distinct
+    * shared n-grams; this surfaces the quantity a decontamination
+    * POLICY actually thresholds on, the longest CONTIGUOUS overlap
+    * (the L-gram-chaining semantics of the published eval-overlap
+    * methodologies): every position i of a training doc whose
+    * `spanWords`-word window appears anywhere in the eval split is a
+    * hit; consecutive hit positions chain, and a chain of r hits is
+    * an `spanWords + r − 1`-word contiguous common run — so a 12-word
+    * verbatim quote and a wholesale leaked document separate cleanly
+    * where a distinct-shingle count conflates them. Emits per
+    * contaminated doc: n_hit_positions, n_runs, max_span_words.
+    * Scale shape: positioned shingles hash to 8 bytes before any
+    * shuffle (text never moves), the eval set is the distinct-hash
+    * frame, the chain is one doc-partitioned window over hit rows
+    * only. */
+  def decontaminateSpans(df: DataFrame, idCol: String, textCol: String,
+      spanWords: Int = 8, valPct: Int = 5, testPct: Int = 5): DataFrame = {
+    require(spanWords >= 2)
+    val b = idBucket(col(idCol), 100L)
+    def positioned(part: DataFrame): DataFrame =
+      part.select(col(idCol),
+          posexplode(graft.functions.text.word_ngrams(
+            norm(col(textCol)), spanWords)).as(Seq("pos", "__ng")))
+        .select(col(idCol), col("pos").cast("long").as("pos"),
+          xxhash64(col("__ng")).as("ng"))
+    val evalNg = positioned(df.filter(b >= valPct && b < valPct + testPct))
+      .select(col("ng")).distinct()
+    val hits = positioned(df.filter(b >= valPct + testPct))
+      .join(evalNg, "ng")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    hits.withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(count(lit(1)).as("__rl"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__rl")).as("n_hit_positions"),
+        count(lit(1)).as("n_runs"),
+        (max(col("__rl")) + (spanWords - 1)).as("max_span_words"))
+  }
+
   /** Corpus-level n-gram frequency: every word n-gram occurrence
     * (NOT per-doc distinct), counted across the corpus, top-k by
     * (count desc, ngram asc). Explode -> partial-agg -> one shuffle of

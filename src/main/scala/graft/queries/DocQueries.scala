@@ -110,6 +110,15 @@ object DocQueries {
       TextStats.repetitionScore(docs(s, d), "doc_id", "text")),
     "doc_decontaminate" -> ((s, d) =>
       TextStats.decontaminate(docs(s, d), "doc_id", "text", n = 4)),
+    // span-aware decontamination: the fixture plants a 12-word phrase
+    // family P(j) on every eval doc AND on train docs id%4==0 (full P
+    // -> 5-hit chain -> 12-word span) / id%4==1 (first 8 words -> one
+    // hit -> 8-word span), so quote-level and wholesale overlap
+    // separate exactly; natural corpus overlaps ride along (the
+    // oracle replays the same truth)
+    "doc_decontaminate_spans" -> ((s, d) =>
+      TextStats.decontaminateSpans(contamFixture(s, d), "doc_id", "text",
+        spanWords = 8)),
     "doc_decontaminate_bloom" -> ((s, d) =>
       TextStats.decontaminateBloom(docs(s, d), "doc_id", "text", n = 4)),
     "doc_ngram_topk" -> ((s, d) =>
@@ -580,6 +589,30 @@ object DocQueries {
       .when(b === 5, concat(lit("https://u:p@"), h, lit("/a/b?a=1&b=2")))
       .when(b === 6, concat(lit("https://"), h, lit("/a/b?gclid=zzz&b=2&a=1")))
       .otherwise(concat(lit("https://"), h))
+  }
+
+  /** [[graft.operators.TextStats.decontaminateSpans]] fixture: the
+    * 12-word phrase P(j) = "shared eval phrase p{j} alpha{j} beta
+    * gamma delta epsilon zeta eta theta" (j = doc_id % 7) appends to
+    * every eval-bucket doc (idBucket in [5,10)), to train docs with
+    * doc_id % 4 == 0 in full (wholesale leak), and to train docs with
+    * doc_id % 4 == 1 as its first 8 words (quote-level). Windows
+    * crossing the doc/phrase boundary differ between sides, so the
+    * planted spans are exactly 12 and 8 words. */
+  private def contamFixture(s: SparkSession, d: String): DataFrame = {
+    val j = (col("doc_id") % 7).cast("string")
+    val p = concat(lit("shared eval phrase p"), j, lit(" alpha"), j,
+      lit(" beta gamma delta epsilon zeta eta theta"))
+    val p8 = concat(lit("shared eval phrase p"), j, lit(" alpha"), j,
+      lit(" beta gamma delta"))
+    val b = TextStats.idBucket(col("doc_id"), 100L)
+    docs(s, d).select(col("doc_id"),
+      when(b >= 5 && b < 10, concat(col("text"), lit(" "), p))
+        .when(b >= 10 && col("doc_id") % 4 === 0,
+          concat(col("text"), lit(" "), p))
+        .when(b >= 10 && col("doc_id") % 4 === 1,
+          concat(col("text"), lit(" "), p8))
+        .otherwise(col("text")).as("text"))
   }
 
   /** [[graft.operators.Robots]] fixture, robots side: one REAL
@@ -1901,6 +1934,40 @@ object DocQueries {
            topc::DOUBLE / len(ws) AS repetition_ratio
          FROM c""",
     "doc_decontaminate" -> decontaminateSql,
+    // span decontamination: fixture replay, 8-word windows (1-based
+    // slice, pos = i-1 matches the 0-based Spark positions), run
+    // chaining via the pos - row_number() trick
+    "doc_decontaminate_spans" ->
+      s"""WITH raw AS (SELECT doc_id, text,
+             ${TextStats.idBucketSql("doc_id", 100)} AS bk FROM documents),
+         f AS (SELECT doc_id, bk,
+             CASE WHEN bk >= 5 AND bk < 10 THEN text || ' shared eval phrase p'
+                    || (doc_id % 7) || ' alpha' || (doc_id % 7)
+                    || ' beta gamma delta epsilon zeta eta theta'
+                  WHEN bk >= 10 AND doc_id % 4 = 0 THEN text || ' shared eval phrase p'
+                    || (doc_id % 7) || ' alpha' || (doc_id % 7)
+                    || ' beta gamma delta epsilon zeta eta theta'
+                  WHEN bk >= 10 AND doc_id % 4 = 1 THEN text || ' shared eval phrase p'
+                    || (doc_id % 7) || ' alpha' || (doc_id % 7)
+                    || ' beta gamma delta'
+                  ELSE text END AS text
+           FROM raw),
+         w AS (SELECT doc_id, bk, string_split($normSql, ' ') AS ws FROM f),
+         g AS (SELECT doc_id, bk, i.i - 1 AS pos,
+             array_to_string(ws[i.i:i.i+7], ' ') AS ng
+           FROM w, LATERAL unnest(range(1, greatest(len(ws), 8) - 6)) AS i(i)),
+         ev AS (SELECT DISTINCT ng FROM g WHERE bk >= 5 AND bk < 10),
+         hits AS (SELECT g.doc_id, g.pos FROM g JOIN ev USING (ng)
+           WHERE g.bk >= 10),
+         runs AS (SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+           FROM hits),
+         r2 AS (SELECT doc_id, grp, count(*) AS rl FROM runs GROUP BY 1, 2)
+         SELECT doc_id, CAST(sum(rl) AS BIGINT) AS n_hit_positions,
+           count(*)::BIGINT AS n_runs,
+           CAST(max(rl) + 7 AS BIGINT) AS max_span_words
+         FROM r2 GROUP BY doc_id""",
     // identical truth: the Bloom filter is only a prefilter ahead of the
     // same exact join, so the same oracle applies verbatim
     "doc_decontaminate_bloom" -> decontaminateSql,
