@@ -546,6 +546,30 @@ object DocQueries {
       graft.operators.Robots.filterCrawl(robotsUrls(s, d),
         robotsFixture(s, d), "doc_id", "url", "host", "body",
         agent = "GraftBot")),
+    // the compliance-complete crawl funnel: the pipeline's own URL
+    // shapes + status formula -> robots decisions (even hosts publish
+    // a GraftBot group whose digit-prefix Disallow + '?'-anchored
+    // Allow exercise REP prefix hazards; odd hosts star-block
+    // *utm_source* — and the even hosts prove star rules are IGNORED
+    // when a named group exists) -> canonical-URL resource count; ONE
+    // conditional aggregation over the decided frame, no stage
+    // re-scans (the funnel-onepass lesson applied at birth)
+    "doc_robots_funnel" -> ((s, d) => {
+      val bk = expr("((doc_id % 1000003) * 2654435761) % 3")
+      val urls = docs(s, d).select(col("doc_id"),
+        pipelineCrawlUrl.as("url"),
+        when(bk === 0, 200).when(bk === 1, 301).otherwise(404).as("status"))
+      val rules = graft.operators.Robots.parseRules(
+        funnelRobotsFixture(s, d), "host", "body", "GraftBot")
+      graft.operators.Robots.withDecision(urls, rules, "url")
+        .withColumn("__ch", xxhash64(CorpusMix.canonicalUrl(col("url"))))
+        .agg(count(lit(1)).as("n_fetched"),
+          sum(when(col("status") === 200, 1L).otherwise(0L)).as("n_200"),
+          sum(when(col("status") === 200 && col("allowed"), 1L)
+            .otherwise(0L)).as("n_allowed"),
+          countDistinct(when(col("status") === 200 && col("allowed"),
+            col("__ch"))).as("n_unique_resources"))
+    }),
     // edit-distance (levenshtein <= 2) near-dup pairs over 24-char
     // normalized prefixes, PassJoin pigeonhole blocking — the typo /
     // OCR-noise dedup regime that token-set similarity (minhash) is
@@ -613,6 +637,29 @@ object DocQueries {
         .when(b >= 10 && col("doc_id") % 4 === 1,
           concat(col("text"), lit(" "), p8))
         .otherwise(col("text")).as("text"))
+  }
+
+  /** Robots bodies for the WARC pipeline's 7 hosts (www.ex{k}.com,
+    * k = (doc_id div 8) % 7): every host carries the FooBot decoy;
+    * even k adds a GraftBot group (`Disallow: /p/{k}` — a DIGIT-
+    * PREFIX rule that also catches g = {k}7, {k}70, … — with the
+    * `Allow: /p/{k}?` exception that re-admits exactly resource k's
+    * query'd fetches but NOT its trailing-slash shape); every host
+    * carries the star wildcard group (Disallow slash-star-utm_source-star), which binds
+    * only where no GraftBot group exists (odd k) — the RFC 9309
+    * star-ignored semantics made visible in the funnel counts. */
+  private def funnelRobotsFixture(s: SparkSession, d: String): DataFrame = {
+    val k = col("k")
+    val ks = k.cast("string")
+    docs(s, d).select((expr("doc_id div 8") % 7).as("k")).distinct()
+      .select(concat(lit("www.ex"), ks, lit(".com")).as("host"),
+        concat(
+          lit("User-agent: FooBot\nDisallow: /\n\n"),
+          when(k % 2 === 0, concat(
+            lit("User-agent: OtherBot\nUser-agent: GraftBot\n" +
+              "Disallow: /p/"), ks,
+            lit("\nAllow: /p/"), ks, lit("?\n\n"))).otherwise(lit("")),
+          lit("User-agent: *\nDisallow: /*utm_source*\n")).as("body"))
   }
 
   /** [[graft.operators.Robots]] fixture, robots side: one REAL
@@ -1601,6 +1648,107 @@ object DocQueries {
            pat AS matched_rule, prec AS matched_prec,
            coalesce(grp, 'default') AS grp
          FROM rk WHERE rn = 1""",
+    // robots funnel: URL/status/path formulas, the rule table by host
+    // formula (REP group selection pre-applied: even k ONLY agent
+    // rules, odd k ONLY star), LIKE-compiled decisions with the
+    // precedence window, then the canonical chain cribbed from
+    // doc_url_dedup's proven replay
+    "doc_robots_funnel" -> {
+      val track = graft.operators.CorpusMix.trackingParams
+        .map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH u AS (SELECT doc_id, doc_id // 8 AS g,
+           ((doc_id % 1000003) * 2654435761) % 3 AS bk,
+           ${TextStats.idBucketSql("doc_id", 8L)} AS b FROM documents),
+         d0 AS (SELECT doc_id, g, bk, b, (g % 7) AS k,
+             'www.ex' || (g % 7) || '.com' AS h, '/p/' || g AS pg FROM u),
+         d AS (SELECT doc_id, g, bk, k,
+             CASE WHEN b = 0 THEN 'https://' || h || pg || '?b=2&a=1&gclid=' || doc_id
+                  WHEN b = 1 THEN 'https://' || h || pg || '?a=1&b=2&utm_source=x&gclid=' || doc_id
+                  WHEN b = 2 THEN 'HTTPS://' || upper(h) || ':443' || pg || '?a=1&b=2&gclid=' || doc_id
+                  WHEN b = 3 THEN 'https://' || h || pg || '/?a=1&b=2&gclid=' || doc_id
+                  WHEN b = 4 THEN 'https://' || h || pg || '?a=1&b=2#frag&gclid=' || doc_id
+                  WHEN b = 5 THEN 'https://u:p@' || h || pg || '?a=1&b=2&gclid=' || doc_id
+                  WHEN b = 6 THEN 'https://' || h || pg || '?gclid=zzz&b=2&a=1&gclid=' || doc_id
+                  ELSE 'https://' || h || '?gclid=' || doc_id END AS url,
+             CASE WHEN b = 0 THEN pg || '?b=2&a=1&gclid=' || doc_id
+                  WHEN b = 1 THEN pg || '?a=1&b=2&utm_source=x&gclid=' || doc_id
+                  WHEN b = 2 THEN pg || '?a=1&b=2&gclid=' || doc_id
+                  WHEN b = 3 THEN pg || '/?a=1&b=2&gclid=' || doc_id
+                  WHEN b = 4 THEN pg || '?a=1&b=2'
+                  WHEN b = 5 THEN pg || '?a=1&b=2&gclid=' || doc_id
+                  WHEN b = 6 THEN pg || '?gclid=zzz&b=2&a=1&gclid=' || doc_id
+                  ELSE '?gclid=' || doc_id END AS path
+           FROM d0),
+         hk AS (SELECT DISTINCT (doc_id // 8) % 7 AS k FROM documents),
+         r0 AS (
+           SELECT k, false AS allow, '/p/' || k AS pat FROM hk WHERE k % 2 = 0
+           UNION ALL
+           SELECT k, true, '/p/' || k || '?' FROM hk WHERE k % 2 = 0
+           UNION ALL
+           SELECT k, false, '/*utm_source*' FROM hk WHERE k % 2 = 1),
+         rules AS (SELECT k, allow, pat,
+             CAST(length(pat) AS BIGINT) AS prec,
+             replace(replace(replace(replace(
+                 CASE WHEN pat LIKE '%$$' THEN substr(pat, 1, length(pat) - 1)
+                      ELSE pat END,
+                 '!', '!!'), '%', '!%'), '_', '!_'), '*', '%')
+               || CASE WHEN pat LIKE '%$$' THEN '' ELSE '%' END AS lp
+           FROM r0),
+         m AS (SELECT d.doc_id, d.bk, d.url, r.allow, r.prec, r.pat
+           FROM d LEFT JOIN rules r
+             ON d.k = r.k AND d.path LIKE r.lp ESCAPE '!'),
+         dec AS (SELECT doc_id, bk, url, coalesce(allow, true) AS allowed
+           FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+               ORDER BY (pat IS NULL), prec DESC, allow DESC, pat DESC)
+               AS rn FROM m)
+           WHERE rn = 1),
+         c AS (SELECT doc_id, bk, allowed,
+             regexp_replace(url, '#.*$$', '') AS nofrag FROM dec),
+         p1 AS (SELECT doc_id, bk, allowed,
+             lower(coalesce(regexp_extract(nofrag,
+               '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1), '')) AS scheme,
+             regexp_replace(nofrag, '^[a-zA-Z][a-zA-Z0-9+.-]*://', '') AS rest
+           FROM c),
+         p2 AS (SELECT doc_id, bk, allowed, scheme,
+             regexp_replace(rest, '^[^/?#]*@', '') AS nouser FROM p1),
+         p4 AS (SELECT doc_id, bk, allowed, scheme,
+             lower(regexp_replace(coalesce(regexp_extract(nouser,
+               '^[^/?#]*', 0), ''), ':[0-9]+$$', '')) AS host,
+             coalesce(regexp_extract(coalesce(regexp_extract(nouser,
+               '^[^/?#]*', 0), ''), ':([0-9]+)$$', 1), '') AS port,
+             regexp_replace(nouser, '^[^/?#]*', '') AS pathquery FROM p2),
+         p5 AS (SELECT doc_id, bk, allowed, scheme, host,
+             CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                    OR (scheme = 'https' AND port = '443') THEN ''
+                  ELSE ':' || port END AS portpart,
+             CASE WHEN coalesce(regexp_extract(pathquery, '^([^?]*)', 1), '')
+                    IN ('', '/') THEN '/'
+                  ELSE regexp_replace(regexp_extract(pathquery,
+                    '^([^?]*)', 1), '/$$', '') END AS path,
+             coalesce(regexp_extract(pathquery, '\\?(.*)$$', 1), '') AS query
+           FROM p4),
+         p6 AS (SELECT doc_id, bk, allowed, scheme, host, portpart, path,
+             coalesce(array_to_string(list_sort(list_filter(
+               string_split(query, '&'),
+               p -> NOT (p = ''
+                 OR starts_with(coalesce(regexp_extract(p, '^([^=]*)', 1),
+                   ''), 'utm_')
+                 OR list_contains($track,
+                   coalesce(regexp_extract(p, '^([^=]*)', 1), ''))))),
+               '&'), '') AS sq
+           FROM p5),
+         canon AS (SELECT doc_id, bk, allowed,
+             scheme || '://' || host || portpart || path ||
+               CASE WHEN sq = '' THEN '' ELSE '?' || sq END AS cn
+           FROM p6)
+         SELECT count(*)::BIGINT AS n_fetched,
+           CAST(sum(CASE WHEN bk = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_200,
+           CAST(sum(CASE WHEN bk = 0 AND allowed THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_allowed,
+           CAST(count(DISTINCT CASE WHEN bk = 0 AND allowed THEN cn END)
+             AS BIGINT) AS n_unique_resources
+         FROM canon"""
+    },
     "doc_edit_neardup" ->
       s"""WITH u AS (SELECT doc_id AS id, substr($normSql, 1, 24) AS s,
            ${TextStats.idBucketSql("doc_id", 4L)} AS b FROM documents),
