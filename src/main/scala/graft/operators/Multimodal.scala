@@ -1769,6 +1769,35 @@ object Multimodal {
         "n_frames", "rep_sum_gray", "rep_checksum")
   }
 
+  /** Orientation-normalized perceptual hash — the REUNITE-THE-PHOTO
+    * composition X198 and X209 exist for: the same photo stored
+    * upright and stored physically-rotated-with-an-orientation-tag
+    * decodes to DIFFERENT pixel arrays and would pHash apart; running
+    * the dihedral normalization first makes them collide, so the
+    * perceptual dedup pass catches camera-rotated duplicates. Per
+    * row: EXIF orientation (absent = upright), decode, exact dihedral
+    * transform, [[pHashOf]] of the NORMALIZED pixels; emits the
+    * normalized dims + hash + exact-dup count. Decode + transform +
+    * hash is one narrow map; only 16-byte hashes shuffle. */
+  def orientNormalizedPHash(media: DataFrame): DataFrame = {
+    val enc = Encoders.product[(Long, Int, Long, Long, String)]
+    media.filter(col("kind") === "image").select("media_id", "bytes")
+      .mapPartitions { it: Iterator[Row] =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val b = r.getAs[Array[Byte]](1)
+          val (_, exif) = Exif.fromImage(b)
+          val o = exif.map(_.orientation).filter(_ >= 1).getOrElse(1)
+          val (w, h, px) = decodeImage(b)
+          val (ow, oh, out) = applyOrientation(px, w, h, o)
+          (id, o, ow.toLong, oh.toLong, pHashOf(ow, oh, out)._1)
+        }
+      }(enc).toDF("media_id", "orientation", "out_w", "out_h", "phash")
+      .withColumn("n_same_hash",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("phash"))).cast("long"))
+  }
+
   /** Letterbox PAD to square — the aspect normalization a vision
     * ingest runs before batching fixed-shape tensors (resize alone
     * distorts aspect; pad-then-resize preserves it): the decoded

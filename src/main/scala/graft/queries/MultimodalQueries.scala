@@ -271,6 +271,51 @@ object MultimodalQueries {
         }(enc).toDF("media_id", "kind", "bytes")
       Multimodal.imagePHash(imgs)
     }),
+    // reunite-the-photo dedup: image pairs share a content seed
+    // (id/6); the first member stores upright (PNG, no tag), the
+    // second stores the pixels PHYSICALLY ROTATED 90CW at swapped
+    // dims with EXIF orientation 6 riding a real JPEG APP1 (dims
+    // multiples of 8 keep the rotated blocks DC-exact). After the
+    // dihedral normalization both pHash to the same value — the
+    // oracle computes BOTH members' hashes from the UPRIGHT formula,
+    // so it only matches if the normalization was exact
+    "mm_orient_phash_dedup" -> ((s, d) => {
+      val enc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.BINARY)
+      val imgs = media(s, d).select("media_id", "kind", "bytes")
+        .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+          it.map { r =>
+            val id = r.getLong(0); val kind = r.getString(1)
+            val payload =
+              if (kind == "image") {
+                val seed = id / 6
+                val w = 40 + 8 * (seed % 3).toInt // upright dims, mult of 8
+                val h = 32 + 8 * (seed % 2).toInt
+                def bvUp(bi: Int, bj: Int) =
+                  ((seed * 31 + bi * 7 + bj * 13) % 256).toInt
+                if ((id / 3) % 2 == 0)
+                  Multimodal.ImageHeader.encodePngStored(w, h,
+                    (x, y) => bvUp(x / 8, y / 8))
+                else {
+                  // stored 90CW: dims (h, w), stored block (bx, by) =
+                  // upright block (w/8 - 1 - by, bx); tag o = 6
+                  val tiff = graft.operators.Exif.encodeTiff(
+                    littleEndian = true, orientation = 6,
+                    make = "C", model = "M", gps = None)
+                  val base = graft.operators.JpegCodec.encodeJpegDcOnly(
+                    h, w, (bx, by) => bvUp(w / 8 - 1 - by, bx))
+                  base.take(2) ++
+                    graft.operators.Exif.encodeJpegApp1(tiff) ++
+                    base.drop(2)
+                }
+              } else r.getAs[Array[Byte]](2)
+            (id, kind, payload)
+          }
+        }(enc).toDF("media_id", "kind", "bytes")
+      Multimodal.orientNormalizedPHash(imgs)
+    }),
     // Hamming NEAR-dup pairs over the perceptual hash (X4's banded
     // recipe with an EXACT oracle — the text SimHash query is
     // rows-only): image pairs share a content seed (id/6); the second
@@ -1566,6 +1611,48 @@ object MultimodalQueries {
          FROM packed p
          JOIN dims d ON d.media_id = p.media_id
          JOIN med m ON m.media_id = p.media_id""",
+    // BOTH pair members hash from the UPRIGHT formula — the oracle
+    // matches only if the Spark-side dihedral normalization restored
+    // the rotated member's pixels exactly
+    "mm_orient_phash_dedup" ->
+      s"""WITH ids AS (SELECT doc_id AS media_id, doc_id // 6 AS seed,
+             ((doc_id // 3) % 2) AS m
+           FROM documents WHERE doc_id % 3 = 0),
+         dims AS (SELECT DISTINCT seed, 40 + 8 * (seed % 3) AS w,
+             32 + 8 * (seed % 2) AS h FROM ids),
+         px AS (SELECT seed, w, h,
+             (x.x * 32) // w AS i, (y.y * 32) // h AS j,
+             ((seed * 31 + (x.x // 8) * 7 + (y.y // 8) * 13) % 256) AS v
+           FROM dims, LATERAL unnest(range(0, w)) AS x(x),
+             LATERAL unnest(range(0, h)) AS y(y)),
+         cells AS (SELECT seed, i, j, (sum(v) // count(*)) AS m2
+           FROM px GROUP BY 1, 2, 3),
+         t(u, x, c) AS (VALUES $dctValues),
+         coef AS (SELECT c.seed, tu.u AS u, tv.u AS v,
+             CAST(sum(c.m2 * tu.c * tv.c) AS BIGINT) AS f
+           FROM cells c JOIN t tu ON tu.x = c.i JOIN t tv ON tv.x = c.j
+           GROUP BY 1, 2, 3),
+         ac AS (SELECT seed, u, v, f FROM coef WHERE u + v > 0),
+         med AS (SELECT seed, f AS median FROM (
+             SELECT seed, f, row_number() OVER (PARTITION BY seed
+               ORDER BY f, u, v) AS rn FROM ac) WHERE rn = 32),
+         bits AS (SELECT ac.seed, (ac.u * 8 + ac.v) AS p,
+             CASE WHEN ac.f > med.median THEN 1 ELSE 0 END AS bit
+           FROM ac JOIN med ON ac.seed = med.seed),
+         packed AS (SELECT seed,
+             CAST(sum(CASE WHEN p <= 31 THEN bit * (1::BIGINT << (31 - p))
+                           ELSE 0 END) AS BIGINT) AS hi,
+             CAST(sum(CASE WHEN p > 31 THEN bit * (1::BIGINT << (63 - p))
+                           ELSE 0 END) AS BIGINT) AS lo
+           FROM bits GROUP BY 1)
+         SELECT i.media_id,
+           (CASE WHEN i.m = 0 THEN 1 ELSE 6 END)::INT AS orientation,
+           d.w::BIGINT AS out_w, d.h::BIGINT AS out_h,
+           printf('%08x%08x', p.hi, p.lo) AS phash,
+           count(*) OVER (PARTITION BY printf('%08x%08x', p.hi, p.lo))
+             AS n_same_hash
+         FROM ids i JOIN dims d ON d.seed = i.seed
+         JOIN packed p ON p.seed = i.seed""",
     // crawl replay: the status formula picks the 200s, dims/content
     // come from the seed, the grid hash is the dhash oracle's CTE —
     // every pipeline stage recomputed in SQL

@@ -9,6 +9,14 @@ import org.scalatest.funsuite.AnyFunSuite
   * DC-bit-zero sign safety, and the downsample-only reject. */
 class ImagePHashSpec extends AnyFunSuite {
 
+  private lazy val sparkSession =
+    org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").appName("phash-spec")
+      .config("spark.sql.shuffle.partitions", 2)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+  private def spark() = sparkSession
+
   private def gray(w: Int, h: Int, f: (Int, Int) => Int): Array[Int] =
     Array.tabulate(w * h) { k =>
       val v = f(k % w, k / w) & 0xff; (v << 16) | (v << 8) | v
@@ -77,6 +85,35 @@ class ImagePHashSpec extends AnyFunSuite {
       assert(java.lang.Long.parseUnsignedLong(hash, 16) >= 0L,
         s"seed $seed produced a sign-bit hash $hash")
     }
+  }
+
+  test("orientNormalizedPHash reunites a rotated tagged photo with its twin") {
+    val s = spark()
+    import s.implicits._
+    val w = 40; val h = 32
+    def bv(bi: Int, bj: Int) = (bi * 37 + bj * 91 + 23) % 256
+    val upright = Multimodal.ImageHeader.encodePngStored(w, h,
+      (x, y) => bv(x / 8, y / 8))
+    val tiff = Exif.encodeTiff(littleEndian = true, orientation = 6,
+      make = "C", model = "M", gps = None)
+    val base = JpegCodec.encodeJpegDcOnly(h, w,
+      (bx, by) => bv(w / 8 - 1 - by, bx))
+    val rotated = base.take(2) ++ Exif.encodeJpegApp1(tiff) ++ base.drop(2)
+    val out = Multimodal.orientNormalizedPHash(
+        Seq((1L, upright), (2L, rotated)).toDF("media_id", "bytes")
+          .withColumn("kind", org.apache.spark.sql.functions.lit("image")))
+      .orderBy("media_id").collect()
+    assert(out(0).getAs[Int]("orientation") == 1)
+    assert(out(1).getAs[Int]("orientation") == 6)
+    assert(out(0).getAs[Long]("out_w") == w && out(1).getAs[Long]("out_w") == w)
+    assert(out(0).getAs[String]("phash") == out(1).getAs[String]("phash"))
+    assert(out.forall(_.getAs[Long]("n_same_hash") == 2))
+    // without normalization the two containers hash APART
+    val plain = Multimodal.imagePHash(
+        Seq((1L, upright), (2L, rotated)).toDF("media_id", "bytes")
+          .withColumn("kind", org.apache.spark.sql.functions.lit("image")))
+      .orderBy("media_id").collect()
+    assert(plain(0).getAs[String]("phash") != plain(1).getAs[String]("phash"))
   }
 
   test("images below 32x32 reject loudly by name") {
