@@ -747,6 +747,31 @@ object CorpusMix {
     result
   }
 
+  /** Dataset-card profile: the one-table-per-source summary a corpus
+    * release ships (and a mixing decision starts from) — doc count,
+    * language spread, token volume, and the exact-duplicate exposure
+    * (docs whose normalized text occurs more than once ANYWHERE in
+    * the corpus, attributed to their own source), dup rate in integer
+    * ppm (floor). One pass: an 8-byte-hash count window (text never
+    * shuffles) then one reduce to the tiny per-source frame. */
+  def corpusProfile(df: DataFrame, textCol: String, langCol: String,
+      srcCol: String): DataFrame = {
+    val base = df.select(col(srcCol).as("source"), col(langCol).as("lang"),
+      size(split(Dedup.normalizeText(col(textCol)), " ")).cast("long")
+        .as("__w"),
+      xxhash64(Dedup.normalizeText(col(textCol))).as("__h"))
+    base.withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(col("__h"))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("__w")).as("total_words"),
+        expr("sum(__w) div count(1)").as("mean_words"),
+        sum(when(col("__n") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+        expr("sum(CASE WHEN __n > 1 THEN 1 ELSE 0 END) * 1000000 div count(1)")
+          .as("dup_ppm"))
+  }
+
   /** WET conversion-record generation — the text-extraction artifact a
     * crawl archive publishes NEXT TO the raw responses (one
     * `conversion` record per fetched page, plain-text payload,

@@ -423,6 +423,19 @@ object DocQueries {
         .select(col("doc_id"), col("extracted"),
           size(split(col("extracted"), " ")).cast("long").as("n_words"))
     }),
+    // dataset-card profile per source: doc/lang/word counts plus the
+    // exact-dup exposure (normalized-text multiplicity across the
+    // WHOLE corpus, attributed per source; fixture plants a verbatim
+    // twin for every 5th doc so the dup columns bind)
+    "doc_corpus_profile" -> ((s, d) => {
+      val base = docs(s, d)
+      val twins = base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          col("lang"), lit("mirror").as("source"))
+      CorpusMix.corpusProfile(
+        base.select(col("doc_id"), col("text"), col("lang"), col("source"))
+          .unionByName(twins), "text", "lang", "source")
+    }),
     // WET conversion-record writer: the 6-shape markup fixture
     // extracts through the real regex chain, every row ENCODES a real
     // WARC conversion record and RE-PARSES it strictly — emitted
@@ -1384,6 +1397,27 @@ object DocQueries {
            CAST(len(string_split(extracted, ' ')) AS BIGINT) AS n_words
          FROM e"""
     },
+    // profile replay: dup multiplicity over normalized text strings
+    // (Spark counts over the 64-bit hash — identical truth)
+    "doc_corpus_profile" ->
+      s"""WITH a AS (SELECT doc_id, text, lang, source FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text, lang, 'mirror' FROM documents
+           WHERE doc_id % 5 = 0),
+         b AS (SELECT source, lang,
+             CAST(len(string_split($normSql, ' ')) AS BIGINT) AS w,
+             $normSql AS nt
+           FROM a),
+         d AS (SELECT *, count(*) OVER (PARTITION BY nt) AS n FROM b)
+         SELECT source, count(*)::BIGINT AS n_docs,
+           count(DISTINCT lang)::BIGINT AS n_langs,
+           CAST(sum(w) AS BIGINT) AS total_words,
+           CAST(sum(w) // count(*) AS BIGINT) AS mean_words,
+           CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) * 1000000 // count(*)
+             AS BIGINT) AS dup_ppm
+         FROM d GROUP BY source""",
     // wet_len closed form: 154 fixed header/framing octets + the uri
     // twice (target + refers-to) + the 20-char date + the decimal
     // digits of Content-Length + the text bytes (octet_length — the

@@ -16,6 +16,23 @@ class CorpusMixSpec extends AnyFunSuite {
   private def docs(rows: (Long, String, String, String)*): DataFrame =
     rows.toDF("doc_id", "source", "lang", "text")
 
+  test("corpusProfile: per-source card, dups attributed to BOTH sources") {
+    val d = docs(
+      (1L, "a", "en", "one two three"),   // dup with doc 4 (source b)
+      (2L, "a", "fr", "quatre cinq"),
+      (3L, "a", "en", "unique words here and more"),
+      (4L, "b", "en", "one  TWO three "), // normalizes equal to doc 1
+      (5L, "b", "de", "ganz anders"))
+    val got = CorpusMix.corpusProfile(d, "text", "lang", "source")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // a: 3 docs, 2 langs, 3+2+5=10 words, mean 3 (10 div 3), 1 dup,
+    //    333333 ppm; b: 2 docs, 2 langs, 5 words, mean 2, 1 dup, 500000
+    assert(got == Map(
+      "a" -> ((3L, 2L, 10L, 3L, 1L, 333333L)),
+      "b" -> ((2L, 2L, 5L, 2L, 1L, 500000L))), got.toString)
+  }
+
   test("sourceMix counts docs/tokens per cell and shares sum to ~1e6") {
     val d = docs(
       (1L, "a", "en", "one two three"),    // 3 tokens
