@@ -1564,6 +1564,36 @@ object Multimodal {
         .partitionBy(col("fp"))).cast("long"))
   }
 
+  /** Persist the audio-fingerprint index: one row per corpus
+    * recording with its energy-contour fingerprint — the audio parity
+    * of [[writeDHashIndex]]. Delta batches then dedup against the
+    * STORE without re-decoding the corpus
+    * ([[audioDupsAgainstIndex]]); a periodic batch re-index absorbs
+    * accepted recordings. */
+  def writeAudioFpIndex(media: DataFrame, dir: String,
+      windowSamples: Int = 256, hopSamples: Int = 128): Unit =
+    audioFingerprint(media, windowSamples, hopSamples)
+      .select(col("media_id"), col("fp"))
+      .write.mode("overwrite").parquet(s"$dir/audio_fp_index")
+
+  /** Exact-duplicate recordings of a delta batch against the stored
+    * fingerprint index: the energy-contour fp is the EXACT cross-
+    * container dedup key (same recording as WAV and FLAC collides —
+    * the mm_audio_dedup_fp contract), so the check is one equi-join
+    * on the 16-char fp; the corpus is never re-decoded and the delta
+    * side (small by construction) broadcasts into the index scan.
+    * Returns (in_id, corpus_id). */
+  def audioDupsAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, delta: DataFrame, windowSamples: Int = 256,
+      hopSamples: Int = 128): DataFrame = {
+    val idx = spark.read.parquet(s"$dir/audio_fp_index")
+      .select(col("media_id").as("corpus_id"), col("fp"))
+    val d = audioFingerprint(delta, windowSamples, hopSamples)
+      .select(col("media_id").as("in_id"), col("fp"))
+    broadcast(d).join(idx, Seq("fp"))
+      .select(col("in_id"), col("corpus_id"))
+  }
+
   /** Apply a TIFF/EXIF orientation (1–8) to decoded pixels — the
     * eight dihedral transforms, exact integer coordinate permutations
     * (no resampling): 1 identity, 2 mirror-X, 3 rotate 180, 4

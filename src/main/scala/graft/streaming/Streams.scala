@@ -477,6 +477,28 @@ object Streams {
         .parquet(outPath)
     }
 
+  /** Streaming audio-ingest dedup against the persisted fingerprint
+    * index — completes the streaming dedup matrix (text: near-dup
+    * index; image: dHash index; audio: this): each micro-batch of
+    * (media_id, kind, bytes) recordings fingerprints through the real
+    * decoders and equi-joins the store's energy-contour fps (exact
+    * cross-container dedup — a FLAC arrival matches its WAV-indexed
+    * twin), landing (in_id, corpus_id) pairs under the exactly-once
+    * `__batch` overwrite so a replayed micro-batch never duplicates.
+    * The corpus is never re-decoded. Usage:
+    * `stream.writeStream.foreachBatch(audioDedupAgainstIndex(spark, dir, out)).start()` */
+  def audioDedupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, outPath: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      val pairs = graft.operators.Multimodal.audioDupsAgainstIndex(
+        spark, indexDir, batch)
+      pairs.withColumn("__batch", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch")
+        .parquet(outPath)
+    }
+
   /** Streaming ingest into a STORED 3D cloud (the 3D parity of the
     * grid-ingest path): each micro-batch of (x, y, z) points packs
     * under the stored key split and lands through

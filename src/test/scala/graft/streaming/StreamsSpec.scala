@@ -472,6 +472,51 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming audio dedup against the persisted fp index is replay-idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val idx = s"/tmp/graft_aud_idx_${System.nanoTime()}"
+    val out = s"/tmp/graft_aud_idx_out_${System.nanoTime()}"
+    def rec(seed: Int, n: Int): Array[Int] =
+      Array.tabulate(n)(k => ((seed * 23 + k * 11) % 4096) - 2048)
+    val a = rec(7, 1500); val b = rec(19, 1100)
+    val corpus = Seq(
+      (100L, "audio", graft.operators.Multimodal.WavCodec.encodePcm16(16000, a)),
+      (101L, "audio", graft.sources.Flac.encode(b, blockSize = 512)))
+      .toDF("media_id", "kind", "bytes")
+    graft.operators.Multimodal.writeAudioFpIndex(corpus, idx)
+
+    val sink = Streams.audioDedupAgainstIndex(spark, idx, out)
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = in.toDF().toDF("media_id", "bytes")
+      .selectExpr("media_id", "'audio' AS kind", "bytes")
+      .writeStream.foreachBatch(sink).outputMode("append").start()
+    try {
+      in.addData(
+        // recording A arrives as FLAC — the cross-container path
+        (1L, graft.sources.Flac.encode(a, blockSize = 512)),
+        // recording B arrives amplitude-halved: energy contour (the
+        // E_{k+1} > E_k bit pattern) is scale-invariant -> still dups
+        (2L, graft.operators.Multimodal.WavCodec.encodePcm16(16000,
+          b.map(_ / 2))),
+        // a genuinely new recording matches nothing
+        (3L, graft.operators.Multimodal.WavCodec.encodePcm16(16000,
+          rec(42, 900))))
+      q.processAllAvailable()
+      val got = spark.read.parquet(out)
+        .select("in_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 100L), (2L, 101L)), s"got $got")
+
+      sink(Seq((1L, "audio", graft.sources.Flac.encode(a, blockSize = 512)))
+        .toDF("media_id", "kind", "bytes"), 0L)
+      val replayed = spark.read.parquet(out)
+        .select("in_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(replayed == Seq((1L, 100L)), s"replay wrong: $replayed")
+    } finally q.stop()
+  }
+
   test("streaming crawl -> media extraction -> perceptual index dedup end to end") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
