@@ -681,6 +681,31 @@ object TextStats {
     bpeEncodeApply(df, idCol, textCol,
       bpeTable(bpeTrainMerges(df, textCol, rounds)))
 
+  /** Tokenizer FERTILITY by language — the tokenizer-equity gauge a
+    * multilingual pipeline reports (tokens per word; a tokenizer
+    * trained mostly on one language spends more tokens per word of
+    * the others, which prices their effective context window and
+    * training cost): train BPE on the WHOLE corpus (the same
+    * [[bpeEncode]] recipe), count real token ids per doc, reduce per
+    * language to (n_docs, n_words, n_tokens, fertility_milli =
+    * tokens·1000 div words — integer floor, engine-exact). The train
+    * loop is the bounded checkpointed pair-count iteration; the
+    * encode is one kernel pass; the reduce is one shuffle of the tiny
+    * per-language frame. */
+  def tokenFertilityByLang(df: DataFrame, idCol: String, textCol: String,
+      langCol: String, rounds: Int = 8): DataFrame = {
+    val table = bpeTable(bpeTrainMerges(df, textCol, rounds))
+    val toks = bpeEncodeApply(df, idCol, textCol, table)
+      .select(col(idCol), col("n_tokens"))
+    df.select(col(idCol), col(langCol).as("lang"),
+        size(split(norm(col(textCol)), " ")).cast("long").as("__w"))
+      .join(toks, Seq(idCol))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__w")).as("n_words"),
+        sum(col("n_tokens")).as("n_tokens"),
+        expr("sum(n_tokens) * 1000 div sum(__w)").as("fertility_milli"))
+  }
+
   /** Build the serializable apply table from a trained merge list
     * (vocab: merged string -> 0x110000 + first creating round — ids
     * allocated past the top of the Unicode codepoint space so they are

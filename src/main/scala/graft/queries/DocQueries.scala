@@ -262,6 +262,12 @@ object DocQueries {
     // oracle-replayed via unrolled per-round CTEs
     "doc_bpe_encode" -> ((s, d) =>
       TextStats.bpeEncode(docs(s, d), "doc_id", "text", rounds = 8)),
+    // tokenizer fertility by language: real BPE token counts (rounds=8,
+    // trained on the whole corpus) over whitespace words, reduced per
+    // lang in integer milli units — the tokenizer-equity gauge
+    "doc_token_fertility" -> ((s, d) =>
+      TextStats.tokenFertilityByLang(docs(s, d), "doc_id", "text",
+        "lang", rounds = 8)),
     // tokenizer ROUND-TRIP: decode(encode(norm)) must equal the
     // normalized text minus spaces (the encoder drops them) — the
     // oracle states the identity directly, so any id collision or
@@ -1825,6 +1831,21 @@ object DocQueries {
       s"""SELECT doc_id, replace($normSql, ' ', '') AS decoded
          FROM documents""",
     "doc_bpe_encode" -> bpeEncodeOracleSql(8),
+    // fertility: the unrolled BPE train/encode CTEs feed per-doc token
+    // counts; words from the normalized split; floor milli ratio
+    "doc_token_fertility" ->
+      s"""${bpeTokenCtes(8)},
+         w AS (SELECT doc_id, lang,
+             CAST(len(string_split($normSql, ' ')) AS BIGINT) AS w
+           FROM documents),
+         nt AS (SELECT w.doc_id, w.lang, w.w,
+             count(t.id) AS n
+           FROM w LEFT JOIN tid t USING (doc_id) GROUP BY 1, 2, 3)
+         SELECT lang, count(*)::BIGINT AS n_docs,
+           CAST(sum(w) AS BIGINT) AS n_words,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(sum(n) * 1000 // sum(w) AS BIGINT) AS fertility_milli
+         FROM nt GROUP BY lang""",
     "doc_pack_bpe" -> bpePackOracleSql(8, 2048L, 8),
     "doc_bpe_vocab" -> {
       val union = (1 to 8).map(r =>

@@ -5,6 +5,28 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class TextStatsSpec extends AnyFunSuite {
 
+  test("tokenFertilityByLang: merge-rich language spends fewer tokens/word") {
+    val spark2 = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark2.implicits._
+    // lang a: one repeated word the trained merges compress hard;
+    // lang b: per-doc unique words the tokenizer has never merged
+    val docs = ((0 until 30).map(i => (i.toLong, "a", "abcd abcd abcd abcd")) ++
+      (30 until 60).map(i => (i.toLong, "b", s"q${i}xyz w${i}vu r${i}st k${i}mn")))
+      .toDF("doc_id", "lang", "text")
+    val got = TextStats.tokenFertilityByLang(docs, "doc_id", "text",
+        "lang", rounds = 8)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    assert(got("a")._1 == 30 && got("b")._1 == 30)
+    assert(got("a")._2 == 120 && got("b")._2 == 120) // 4 words each
+    // 'abcd' merges to one token -> fertility 1000; the unseen words
+    // stay multi-token
+    assert(got("a")._3 == 1000, s"lang a fertility ${got("a")._3}")
+    assert(got("b")._3 > 3000, s"lang b fertility ${got("b")._3}")
+  }
+
   test("budgetSelect == naive greedy inclusive-cumsum cut") {
     val spark2 = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
