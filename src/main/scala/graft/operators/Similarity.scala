@@ -565,6 +565,37 @@ object Similarity {
         expr(s"n_overlap * 1000L div ${k}L").as("recall_milli"))
   }
 
+  /** Recall@k of int8 retrieval against exact float cosine — the 4x
+    * point, completing the measured compression ladder (4x / 8x / 32x
+    * / m-of-d truncation, all priced by the same gauge). */
+  def int8CosineRecall(emb: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int): DataFrame = {
+    val exact = cosineTopK(emb, idCol, vecCol, query, k).select(col(idCol))
+    val approx = int8CosineTopK(emb, idCol, vecCol, query, k).select(col(idCol))
+    exact.intersect(approx)
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(lit(k.toLong).as("k"), col("n_overlap"),
+        expr(s"n_overlap * 1000L div ${k}L").as("recall_milli"))
+  }
+
+  /** Metadata-FILTERED retrieval — the hybrid serving shape (every
+    * production vector store takes a predicate with the query): exact
+    * cosine top-k among only the rows whose `labelCol` matches. The
+    * predicate applies BEFORE the kernel, so Catalyst pushes it to
+    * the scan (explain shows PushedFilters) and the expensive cosine
+    * touches only the matching slice; still scan + TakeOrdered, no
+    * shuffle. Deterministic id tie-breaks. */
+  def filteredCosineTopK(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, labelValue: Long, query: Array[Float],
+      k: Int): DataFrame = {
+    require(k > 0)
+    emb.filter(col(labelCol) === labelValue)
+      .select(col(idCol), col(labelCol),
+        cosine(col(vecCol), typedlit(query)).as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Product quantization: each vector splits into `m` contiguous
     * subvectors and each subvector maps to its nearest codebook entry
     * (one code in [0, kSub) per segment). Codebooks are built

@@ -124,6 +124,16 @@ object EmbeddingQueries {
     // so the int8 score is integer-exact on any engine
     "emb_int8_topk" -> ((s, d) =>
       Similarity.int8CosineTopK(emb(s, d), "vec_id", "embedding", queryVec(s, d), 20)),
+    // the 4x point of the ladder's recall curve (int4 = 850, binary
+    // = 250; int8 measures its own spot with the same gauge)
+    "emb_int8_recall" -> ((s, d) =>
+      Similarity.int8CosineRecall(emb(s, d), "vec_id", "embedding",
+        queryVec(s, d), 20)),
+    // hybrid (metadata-filtered) retrieval: predicate BEFORE the
+    // kernel so it reaches the scan; cosine touches only label=3 rows
+    "emb_filtered_topk" -> ((s, d) =>
+      Similarity.filteredCosineTopK(emb(s, d), "vec_id", "embedding",
+        "label", 3L, queryVec(s, d), 10)),
     // SemDeDup shape: IVF-cluster blocking + exact within-cluster
     // cosine — embedding-space near-dup pairs with no all-pairs join
     "emb_semantic_dedup" -> ((s, d) =>
@@ -684,6 +694,46 @@ object EmbeddingQueries {
          SELECT CAST(20 AS BIGINT) AS k, count(*)::BIGINT AS n_overlap,
            (count(*) * 1000 // 20)::BIGINT AS recall_milli
          FROM i4 JOIN ex USING (vec_id)""",
+    "emb_int8_recall" ->
+      s"""WITH qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         qs AS (SELECT qe,
+             COALESCE(list_max(list_transform(qe, v -> abs(v::DOUBLE))), 0.0) / 127.0 AS s
+           FROM qv),
+         qc AS (SELECT list_transform(qe, v -> CAST(greatest(-127.0, least(127.0,
+             floor(v::DOUBLE / (CASE WHEN s = 0.0 THEN 1.0 ELSE s END) + 0.5)))
+             AS BIGINT)) AS qq FROM qs),
+         q2 AS (SELECT qq,
+             CAST(COALESCE(list_sum(list_transform(qq, x -> x * x)), 0) AS BIGINT) AS qq2
+           FROM qc),
+         v AS (SELECT vec_id,
+             COALESCE(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 0.0) / 127.0
+               AS s,
+             list_transform(embedding, x -> CAST(greatest(-127.0, least(127.0,
+               floor(x::DOUBLE / (CASE WHEN s = 0.0 THEN 1.0 ELSE s END) + 0.5)))
+               AS BIGINT)) AS vc
+           FROM embeddings),
+         d AS (SELECT vec_id,
+             CAST(COALESCE(list_sum(list_transform(range(1, len(vc) + 1),
+               i -> vc[i] * qq[i])), 0) AS BIGINT) AS dotq,
+             CAST(COALESCE(list_sum(list_transform(vc, x -> x * x)), 0) AS BIGINT) AS v2,
+             qq2
+           FROM v CROSS JOIN q2),
+         i8 AS (SELECT vec_id FROM d
+           ORDER BY CASE WHEN v2 = 0 OR qq2 = 0 THEN -2.0
+               ELSE CAST(dotq AS DOUBLE) / (sqrt(CAST(v2 AS DOUBLE)) * sqrt(CAST(qq2 AS DOUBLE)))
+             END DESC, vec_id LIMIT 20),
+         qe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         ex AS (SELECT e.vec_id FROM embeddings e, qe
+           ORDER BY ${cosineSql("e.embedding", "qe")} DESC, e.vec_id LIMIT 20)
+         SELECT CAST(20 AS BIGINT) AS k, count(*)::BIGINT AS n_overlap,
+           (count(*) * 1000 // 20)::BIGINT AS recall_milli
+         FROM i8 JOIN ex USING (vec_id)""",
+    "emb_filtered_topk" ->
+      s"""WITH qe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         SELECT e.vec_id, e.label,
+           ${cosineSql("e.embedding", "qe")} AS sim
+         FROM embeddings e, qe WHERE e.label = 3
+         ORDER BY sim DESC, e.vec_id LIMIT 10""",
     "emb_int8_topk" ->
       s"""WITH qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
          qs AS (SELECT qe,

@@ -10,7 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * cross-check of retrieval + recall on a deterministic store. */
 class Int4QuantSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
+  lazy val spark = SparkSession.builder()
     .master("local[2]").appName("int4-quant-spec")
     .config("spark.sql.shuffle.partitions", 2)
     .config("spark.ui.enabled", false)
@@ -60,6 +60,29 @@ class Int4QuantSpec extends AnyFunSuite {
     val r = Similarity.quantizeInt4(embOf(Seq((1L, v))),
       "vec_id", "embedding").collect().head
     assert(r.getAs[Long]("packed_cksum") == 255L)
+  }
+
+  test("filtered retrieval: predicate binds, ranking matches brute force") {
+    val s = spark
+    import s.implicits._
+    def vec(i: Int): Seq[Float] =
+      (0 until 8).map(j => (((i * 13 + j * 7) % 17) - 8).toFloat)
+    val store = (0 until 40).map(i => (i.toLong, vec(i), (i % 4).toLong))
+    val query = vec(5).toArray
+    val got = Similarity.filteredCosineTopK(
+        store.toDF("vec_id", "embedding", "label"),
+        "vec_id", "embedding", "label", 2L, query, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.forall(_._2 == 2L))
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val n = math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)
+      if (n == 0) -2.0 else d / n
+    }
+    val expect = store.filter(_._3 == 2L)
+      .map { case (id, v, _) => (id, cos(v.map(_.toDouble), query.toSeq.map(_.toDouble))) }
+      .sortBy { case (id, sim) => (-sim, id) }.take(5).map(_._1)
+    assert(got.map(_._1) == expect)
   }
 
   test("retrieval + recall match a plain-Scala brute force") {
