@@ -141,6 +141,45 @@ class StreamsSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("streaming crawl frontier end to end: ingest -> robots gate -> url dedup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val robots = Seq(("x.com", "User-agent: *\nDisallow: /blocked/\n"))
+      .toDF("rhost", "body")
+    val rules = graft.operators.Robots.parseRules(
+      robots, "rhost", "body", "GraftBot")
+    def blob(recs: (String, String)*): Array[Byte] =
+      recs.flatMap { case (uri, body) =>
+        graft.sources.Warc.encodeResponse(uri, "2026-08-15T00:00:00Z",
+          200, "OK", body.getBytes("UTF-8")).toSeq
+      }.toArray
+    val in = MemoryStream[(Timestamp, Array[Byte])]
+    val gated = Streams.robotsGate(
+      Streams.warcIngest(in.toDF().toDF("ts", "blob"), "blob")
+        .filter($"warc_type" === "response"),
+      rules, "target_uri")
+    val q = Streams.urlDedup(gated, "target_uri").writeStream
+      .format("memory").queryName("frontier_out").outputMode("append").start()
+    try {
+      in.addData((ts(0), blob(
+        ("https://x.com/page?b=2&a=1", "one"),
+        ("https://x.com/blocked/secret", "never"), // robots drop
+        ("https://X.com/page?a=1&b=2&utm_source=s", "dup of one"))))
+      q.processAllAvailable()
+      in.addData((ts(1), blob(
+        ("https://x.com/page/?a=1&b=2", "still the same page"),
+        ("https://x.com/fresh", "new"))))
+      q.processAllAvailable()
+      val kept = spark.sql(
+        "SELECT canonical_url, count(*) FROM frontier_out GROUP BY 1")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // one survivor per canonical resource; the blocked URL never
+      // reaches the dedup state at all
+      assert(kept == Map("https://x.com/page?a=1&b=2" -> 1L,
+        "https://x.com/fresh" -> 1L), kept.toString)
+    } finally q.stop()
+  }
+
   test("streaming WARC ingestion explodes records across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
