@@ -1452,15 +1452,51 @@ object Multimodal {
     * disable. Output: (id_a, id_b, hamming), id_a < id_b,
     * hamming <= maxHamming. */
   def imageNearDupPairs(media: DataFrame, maxHamming: Int = 6,
+      maxAvgCandidatesPerRow: Double = 256.0): DataFrame =
+    bandedHammingPairs(
+      dHashRows(media).select(col("media_id"), col("dhash").as("__hash")),
+      maxHamming, maxAvgCandidatesPerRow, "banded-dHash candidate",
+      "group by exact dhash first (imageDHash) and pair only cluster " +
+        "representatives")
+
+  /** Hamming near-dup pairs over the DCT hash — [[imageNearDupPairs]]
+    * on [[pHashOf]] instead of the gradient hash, the stronger
+    * near-dup recipe (exactly brightness-shift invariant, stable
+    * under box-mean rescales); same four 16-bit bands, same exact-
+    * volume guard, same output shape (id_a, id_b, hamming). */
+  def imagePHashNearDupPairs(media: DataFrame, maxHamming: Int = 16,
       maxAvgCandidatesPerRow: Double = 256.0): DataFrame = {
+    val enc = Encoders.product[(Long, String)]
+    val hashed = media.filter(col("kind") === "image")
+      .select("media_id", "bytes")
+      .mapPartitions { it: Iterator[Row] =>
+        it.map { r =>
+          val (w, h, px) = decodeImage(r.getAs[Array[Byte]](1))
+          (r.getLong(0), pHashOf(w, h, px)._1)
+        }
+      }(enc).toDF("media_id", "__hash")
+    bandedHammingPairs(hashed, maxHamming, maxAvgCandidatesPerRow,
+      "banded-pHash candidate",
+      "group by exact phash first (imagePHash) and pair only cluster " +
+        "representatives")
+  }
+
+  /** The shared banded-Hamming pair core over any 16-hex 64-bit
+    * perceptual hash frame (media_id, __hash): four 16-bit bands,
+    * exact-volume [[Guard]] on the shared
+    * `spark.graft.guard.dhashMaxAvgCandidatesPerRow` budget knob,
+    * popcount verify folded on the two 32-bit halves. */
+  private def bandedHammingPairs(hashed0: DataFrame, maxHamming: Int,
+      maxAvgCandidatesPerRow: Double, guardName: String,
+      guardHint: String): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 64)
-    val hashed = dHashRows(media)
-      .select(col("media_id"), col("dhash"),
-        expr("cast(conv(substring(dhash, 1, 8), 16, 10) as long)").as("hi"),
-        expr("cast(conv(substring(dhash, 9, 8), 16, 10) as long)").as("lo"))
-    val banded = hashed.select(col("media_id"), col("dhash"), col("hi"), col("lo"),
+    val hashed = hashed0
+      .select(col("media_id"), col("__hash"),
+        expr("cast(conv(substring(__hash, 1, 8), 16, 10) as long)").as("hi"),
+        expr("cast(conv(substring(__hash, 9, 8), 16, 10) as long)").as("lo"))
+    val banded = hashed.select(col("media_id"), col("__hash"), col("hi"), col("lo"),
       posexplode(array((0 until 4).map(b =>
-        substring(col("dhash"), 1 + 4 * b, 4)): _*)).as(Seq("band_idx", "band_val")))
+        substring(col("__hash"), 1 + 4 * b, 4)): _*)).as(Seq("band_idx", "band_val")))
     if (maxAvgCandidatesPerRow > 0) {
       val row = banded.groupBy("band_idx", "band_val")
         .agg(count(lit(1)).as("n"))
@@ -1469,13 +1505,11 @@ object Multimodal {
             lit(java.math.BigDecimal.ZERO)).as("pairs2x")).first()
       val rows = row.getLong(0) / 4
       val pairs = BigDecimal(row.getDecimal(1)) / 2
-      Guard.verify(GuardReport("banded-dHash candidate", rows, pairs,
+      Guard.verify(GuardReport(guardName, rows, pairs,
         BigDecimal(maxAvgCandidatesPerRow), perRow = true,
         "Saturated perceptual-hash diversity (template/screenshot-" +
-          "heavy corpora) makes near-dup pair truth quadratic; group " +
-          "by exact dhash first (imageDHash) and pair only cluster " +
-          "representatives, or raise maxAvgCandidatesPerRow if this " +
-          "volume is intended."))
+          s"heavy corpora) makes near-dup pair truth quadratic; $guardHint, " +
+          "or raise maxAvgCandidatesPerRow if this volume is intended."))
     }
     val a = banded.select(col("band_idx"), col("band_val"),
       col("media_id").as("id_a"), col("hi").as("hi_a"), col("lo").as("lo_a"))

@@ -316,6 +316,42 @@ object MultimodalQueries {
         }(enc).toDF("media_id", "kind", "bytes")
       Multimodal.orientNormalizedPHash(imgs)
     }),
+    // Hamming near-dup pairs over the DCT hash (the X182 recipe on
+    // the stronger hash): pair members share a seed; the second gets
+    // a +15 corner bump (few low-frequency bits move) except every
+    // 4th seed, whose second member is INVERTED (AC signs flip ->
+    // far); the oracle replays full pHash per member variant, the
+    // OR-of-band-equality candidate rule, and the popcount verify
+    "mm_image_neardup_phash" -> ((s, d) => {
+      val enc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.BINARY)
+      val imgs = media(s, d).select("media_id", "kind", "bytes")
+        .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+          it.map { r =>
+            val id = r.getLong(0); val kind = r.getString(1)
+            val payload =
+              if (kind == "image") {
+                val seed = id / 6
+                val w = 40 + (seed % 24).toInt
+                val h = 36 + (seed % 15).toInt
+                def base(x: Int, y: Int) =
+                  ((seed * 31 + (x / 4) * 7 + (y / 4) * 13) % 200).toInt
+                val member = (id / 3) % 2
+                def pix(x: Int, y: Int): Int =
+                  if (member == 0L) base(x, y)
+                  else if (seed % 4 == 0) 255 - base(x, y)
+                  else base(x, y) + (if (x < 12 && y < 12) 15 else 0)
+                Multimodal.ImageHeader.encodePngStored(w, h, pix)
+              } else r.getAs[Array[Byte]](2)
+            (id, kind, payload)
+          }
+        }(enc).toDF("media_id", "kind", "bytes")
+      Multimodal.imagePHashNearDupPairs(imgs, maxHamming = 16,
+        maxAvgCandidatesPerRow = graft.operators.Guard.budget(
+          s, "dhashMaxAvgCandidatesPerRow", 256.0))
+    }),
     // Hamming NEAR-dup pairs over the perceptual hash (X4's banded
     // recipe with an EXACT oracle — the text SimHash query is
     // rows-only): image pairs share a content seed (id/6); the second
@@ -1653,6 +1689,55 @@ object MultimodalQueries {
              AS n_same_hash
          FROM ids i JOIN dims d ON d.seed = i.seed
          JOIN packed p ON p.seed = i.seed""",
+    // full per-member pHash replay (each member hashes its OWN pixel
+    // variant), candidates = OR of 16-bit band equality, popcount cut
+    "mm_image_neardup_phash" ->
+      s"""WITH ids AS (SELECT doc_id AS media_id, doc_id // 6 AS seed,
+             ((doc_id // 3) % 2) AS m
+           FROM documents WHERE doc_id % 3 = 0),
+         dims AS (SELECT media_id, seed, m, 40 + seed % 24 AS w,
+             36 + seed % 15 AS h FROM ids),
+         px AS (SELECT media_id, w, h,
+             (x.x * 32) // w AS i, (y.y * 32) // h AS j,
+             CASE WHEN m = 0 THEN
+                 ((seed * 31 + (x.x // 4) * 7 + (y.y // 4) * 13) % 200)
+               WHEN seed % 4 = 0 THEN
+                 255 - ((seed * 31 + (x.x // 4) * 7 + (y.y // 4) * 13) % 200)
+               ELSE
+                 ((seed * 31 + (x.x // 4) * 7 + (y.y // 4) * 13) % 200)
+                   + (CASE WHEN x.x < 12 AND y.y < 12 THEN 15 ELSE 0 END)
+               END AS v
+           FROM dims, LATERAL unnest(range(0, w)) AS x(x),
+             LATERAL unnest(range(0, h)) AS y(y)),
+         cells AS (SELECT media_id, i, j, (sum(v) // count(*)) AS m2
+           FROM px GROUP BY 1, 2, 3),
+         t(u, x, c) AS (VALUES $dctValues),
+         coef AS (SELECT c.media_id, tu.u AS u, tv.u AS v,
+             CAST(sum(c.m2 * tu.c * tv.c) AS BIGINT) AS f
+           FROM cells c JOIN t tu ON tu.x = c.i JOIN t tv ON tv.x = c.j
+           GROUP BY 1, 2, 3),
+         ac AS (SELECT media_id, u, v, f FROM coef WHERE u + v > 0),
+         med AS (SELECT media_id, f AS median FROM (
+             SELECT media_id, f, row_number() OVER (PARTITION BY media_id
+               ORDER BY f, u, v) AS rn FROM ac) WHERE rn = 32),
+         bits AS (SELECT ac.media_id, (ac.u * 8 + ac.v) AS p,
+             CASE WHEN ac.f > med.median THEN 1 ELSE 0 END AS bit
+           FROM ac JOIN med ON ac.media_id = med.media_id),
+         packed AS (SELECT media_id,
+             CAST(sum(CASE WHEN p <= 31 THEN bit * (1::BIGINT << (31 - p))
+                           ELSE 0 END) AS BIGINT) AS hi,
+             CAST(sum(CASE WHEN p > 31 THEN bit * (1::BIGINT << (63 - p))
+                           ELSE 0 END) AS BIGINT) AS lo
+           FROM bits GROUP BY 1)
+         SELECT a.media_id AS id_a, b.media_id AS id_b,
+           (bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)))::BIGINT
+             AS hamming
+         FROM packed a JOIN packed b ON a.media_id < b.media_id
+           AND ((a.hi >> 16) = (b.hi >> 16)
+             OR (a.hi & 65535) = (b.hi & 65535)
+             OR (a.lo >> 16) = (b.lo >> 16)
+             OR (a.lo & 65535) = (b.lo & 65535))
+         WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 16""",
     // crawl replay: the status formula picks the 200s, dims/content
     // come from the seed, the grid hash is the dhash oracle's CTE —
     // every pipeline stage recomputed in SQL

@@ -116,6 +116,25 @@ class ImagePHashSpec extends AnyFunSuite {
     assert(plain(0).getAs[String]("phash") != plain(1).getAs[String]("phash"))
   }
 
+  test("banded pHash pairs: bumped twin found, inverted twin absent") {
+    val s = spark()
+    import s.implicits._
+    def f(x: Int, y: Int) = ((x / 4) * 23 + (y / 4) * 57 + 11) % 200
+    def png(g: (Int, Int) => Int) =
+      Multimodal.ImageHeader.encodePngStored(48, 40, g)
+    val m = Seq(
+      (1L, png(f)),
+      (2L, png((x, y) => f(x, y) + (if (x < 12 && y < 12) 15 else 0))),
+      (3L, png((x, y) => 255 - f(x, y))))
+      .toDF("media_id", "bytes")
+      .withColumn("kind", org.apache.spark.sql.functions.lit("image"))
+    val pairs = Multimodal.imagePHashNearDupPairs(m, maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"bumped twin missing: $pairs")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+      s"inverted image paired: $pairs")
+  }
+
   test("images below 32x32 reject loudly by name") {
     val e = intercept[IllegalArgumentException] {
       Multimodal.pHashOf(31, 40, gray(31, 40, (_, _) => 0))
