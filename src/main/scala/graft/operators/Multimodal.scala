@@ -2862,6 +2862,40 @@ object Multimodal {
         "size", "dts", "keyframe")
   }
 
+  /** Bitrate TIMELINE from container math alone — the byte-budget
+    * profile a video ingest reads before deciding what to keep
+    * (rate spikes locate scene complexity; keyframe cadence bounds
+    * seek granularity), computed like [[mp4SampleRanges]] without
+    * ever touching the codec: samples bucket by `dts div windowTicks`
+    * and each (track, window) reduces to sample/byte/keyframe counts.
+    * All integer, exactly replayable; the mdat stays untouched — the
+    * only rows emitted are the bounded per-window stats. */
+  def mp4BitrateTimeline(media: DataFrame,
+      windowTicks: Long = 1024L): DataFrame = {
+    require(windowTicks > 0)
+    val enc = org.apache.spark.sql.Encoders.product[
+      (Long, Long, Long, Long, Long, Long)]
+    media.select("media_id", "bytes")
+      .mapPartitions { it: Iterator[Row] =>
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          Mp4Codec.parseSampleTables(r.getAs[Array[Byte]](1)).toSeq
+            .flatMap { case (_, tables) =>
+              tables.flatMap { t =>
+                Mp4Codec.sampleRanges(t)
+                  .groupBy { case (_, _, _, dts, _) => dts / windowTicks }
+                  .toSeq.map { case (win, ss) =>
+                    (id, t.trackId, win, ss.size.toLong,
+                      ss.map(_._3).sum,
+                      ss.count(_._5).toLong)
+                  }
+              }
+            }
+        }
+      }(enc).toDF("media_id", "track_id", "window_idx", "n_samples",
+        "n_bytes", "n_keyframes")
+  }
+
   /** Real-decode audio windowing: parse each audio payload as WAV,
     * window the PCM samples (window/hop in samples), and emit exact
     * integer window statistics — count, energy (Σ s²) and peak (max

@@ -1398,6 +1398,37 @@ object MultimodalQueries {
         }(enc).toDF("media_id", "kind", "bytes")
       Multimodal.mp4SampleRanges(mp4s)
     }),
+    // bitrate timeline over the same real container: samples bucket by
+    // dts div 1024; oracle replays sizes/dts/keyframes from the
+    // formulas and the same bucketing
+    "mm_mp4_bitrate" -> ((s, d) => {
+      val enc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.BINARY)
+      val mp4s = media(s, d).select("media_id", "kind", "bytes")
+        .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+          it.map { r =>
+            val id = r.getLong(0); val kind = r.getString(1)
+            val payload =
+              if (kind == "video") {
+                val n = 8 + (id % 20).toInt
+                val delta = 256 + (id % 100)
+                val samples = Array.tabulate(n) { i =>
+                  val sz = 20 + ((id * 7 + i * 13) % 40).toInt
+                  Array.tabulate(sz)(k => ((id + i * 31 + k) % 251).toByte)
+                }
+                Multimodal.Mp4Codec.encodeWithSamples(600L,
+                  Multimodal.Mp4Codec.TrackInfo(1L, "vide", 600L,
+                    n * delta, 320, 240),
+                  samples, samplesPerChunk = 3, delta = delta, syncEvery = 5)
+              } else r.getAs[Array[Byte]](2)
+            (id, kind, payload)
+          }
+        }(enc).toDF("media_id", "kind", "bytes")
+        .filter(col("kind") === "video")
+      Multimodal.mp4BitrateTimeline(mp4s, windowTicks = 1024L)
+    }),
     // keyframe payloads pulled by container math alone: same fixture
     // as mm_mp4_sample_ranges (byte k of sample i = (id + i*31 + k) %
     // 251, keyframe every 5th), so first/last byte and the position-
@@ -2282,6 +2313,22 @@ object MultimodalQueries {
            sz::BIGINT AS size, (i * delta)::BIGINT AS dts,
            (i % 5 = 0) AS keyframe
          FROM s""",
+    // timeline buckets: win = (i*delta) div 1024, counts per bucket
+    "mm_mp4_bitrate" ->
+      s"""WITH v AS (SELECT doc_id AS media_id, 8 + doc_id % 20 AS n,
+             256 + doc_id % 100 AS delta
+           FROM documents WHERE doc_id % 3 = 2),
+         s AS (SELECT media_id, delta, i.i AS i,
+             20 + ((media_id * 7 + i.i * 13) % 40) AS sz,
+             (i.i % 5 = 0) AS key,
+             (i.i * delta) // 1024 AS win
+           FROM v, LATERAL unnest(range(0, n)) AS i(i))
+         SELECT media_id, 1::BIGINT AS track_id, win::BIGINT AS window_idx,
+           count(*)::BIGINT AS n_samples,
+           CAST(sum(sz) AS BIGINT) AS n_bytes,
+           CAST(sum(CASE WHEN key THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_keyframes
+         FROM s GROUP BY 1, 3""",
     // keyframes are samples i % 5 = 0; byte k = (id + i*31 + k) % 251
     "mm_mp4_keyframes" ->
       s"""WITH v AS (SELECT doc_id AS media_id, 8 + doc_id % 20 AS n,
