@@ -178,6 +178,11 @@ object Exif {
     var p = 2
     while (p + 4 <= b.length) {
       if ((b(p) & 0xff) != 0xff) fail(p, f"expected marker, got 0x${b(p) & 0xff}%02x")
+      // JPEG-legal 0xff fill bytes may pad before a marker — skip them
+      // (same walk as JpegCodec.stripMetadata, so detect and scrub agree
+      // on which files parse)
+      while (p + 1 < b.length && (b(p + 1) & 0xff) == 0xff) p += 1
+      if (p + 4 > b.length) return None
       val m = b(p + 1) & 0xff
       if (m == 0xd9 || m == 0xda) return None // EOI / scan: no EXIF ahead
       if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { p += 2 }

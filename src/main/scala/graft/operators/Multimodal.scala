@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -1125,12 +1125,25 @@ object Multimodal {
         "sum_gray", "min_gray", "max_gray")
   }
 
+  /** Boundary-aware HTML attribute extract: the attribute name must
+    * follow whitespace (so lazy-load `data-src=` never shadows `src=`)
+    * and the value may be double-quoted, single-quoted, or unquoted.
+    * Three codegen'd `regexp_extract`s folded with `when` — no UDF. */
+  private def htmlAttr(tag: Column, name: String): Column = {
+    val dq = regexp_extract(tag, "\\s" + name + "\\s*=\\s*\"([^\"]*)\"", 1)
+    val sq = regexp_extract(tag, "\\s" + name + "\\s*=\\s*'([^']*)'", 1)
+    val uq = regexp_extract(tag, "\\s" + name + "\\s*=\\s*([^\\s>\"'][^\\s>]*)", 1)
+    when(dq =!= "", dq).otherwise(when(sq =!= "", sq).otherwise(uq))
+  }
+
   /** VLM pair mining: join (img-src, alt-text) pairs extracted from
     * HTML pages with the crawl's decoded images by CANONICAL url —
     * the image-text pair construction a vision-language training set
     * starts from. Page side: every `<img>` tag explodes via built-in
-    * `regexp_extract_all`, then per-tag src/alt extracts (all
-    * codegen'd; tags missing either attribute drop). Image side:
+    * `regexp_extract_all`, then boundary-aware per-tag src/alt
+    * extracts ([[htmlAttr]]: `data-src=` never shadows `src=`;
+    * single-quoted and unquoted values supported; all codegen'd;
+    * tags missing either attribute drop). Image side:
     * whatever per-image frame the caller built (real decode upstream).
     * Both sides key on [[CorpusMix.canonicalUrl]] (X153's chain), so
     * a src carrying tracking params still finds its image. Only the
@@ -1141,8 +1154,8 @@ object Multimodal {
     val pairs = pages.select(col(pageIdCol).as("page_id"),
         explode(expr(s"regexp_extract_all($htmlCol, '<img[^>]*>', 0)")).as("__tag"))
       .select(col("page_id"),
-        regexp_extract(col("__tag"), "src=\"([^\"]*)\"", 1).as("__src"),
-        regexp_extract(col("__tag"), "alt=\"([^\"]*)\"", 1).as("alt"))
+        htmlAttr(col("__tag"), "src").as("__src"),
+        htmlAttr(col("__tag"), "alt").as("alt"))
       .filter(col("__src") =!= "" && col("alt") =!= "")
       .withColumn("__curl", CorpusMix.canonicalUrl(col("__src")))
       .drop("__src")

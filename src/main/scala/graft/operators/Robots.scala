@@ -24,7 +24,8 @@ import org.apache.spark.sql.functions._
   *   - rule match: patterns match the URL's path-plus-query
   *     (fragment stripped), `*` = any char run (crossing `/`), a
   *     trailing `$` anchors the end, otherwise prefix semantics;
-  *     empty patterns (`Disallow:` = allow-all) are dropped.
+  *     empty patterns (`Disallow:` = allow-all) carry no rule but DO
+  *     terminate a `User-agent:` line run before being dropped.
   *   - decision: the MOST SPECIFIC match wins (most octets in the
   *     pattern as written, RFC 9309 §2.2.2); at equal length Allow
   *     beats Disallow (least-restrictive tie break); no matching rule
@@ -74,8 +75,11 @@ object Robots {
       .select(col("host"), col("pos"),
         lower(regexp_extract(col("ln"), "^([A-Za-z-]+)\\s*:", 1)).as("kind"),
         trim(regexp_replace(col("ln"), "^[A-Za-z-]+\\s*:\\s*", "")).as("value"))
+      // empty-value Allow/Disallow lines carry no rule but DO terminate a
+      // User-agent line run (RFC 9309 §2.2.1) — keep them through the runId
+      // computation; they are dropped after group assignment below
       .filter(col("kind").isin("user-agent", "allow", "disallow") &&
-        length(col("value")) > 0)
+        (col("kind") =!= "user-agent" || length(col("value")) > 0))
     val d2 = dirs
       .withColumn("ua", col("kind") === "user-agent")
       // a User-agent line NOT preceded by another User-agent line opens
@@ -96,7 +100,7 @@ object Robots {
       .filter(when(col("hasSpec"), col("spec")).otherwise(col("star")))
       .select(col("host"), col("runId"),
         when(col("hasSpec"), lit("agent")).otherwise(lit("star")).as("grp"))
-    d2.filter(!col("ua") && col("runId") > 0)
+    d2.filter(!col("ua") && col("runId") > 0 && length(col("value")) > 0)
       .join(chosen, Seq("host", "runId"))
       .select(col("host"), (col("kind") === "allow").as("rule_allow"),
         col("value").as("pattern"), col("grp"))

@@ -95,6 +95,25 @@ class ExifSpec extends AnyFunSuite {
     assert(Exif.fromJpeg(base).isEmpty)
   }
 
+  test("JPEG carrier: 0xff fill bytes before markers are skipped") {
+    val tiff = Exif.encodeTiff(littleEndian = true, orientation = 3,
+      make = "CamCo", model = "M1", gps = Some(gps))
+    val base = JpegCodec.encodeJpegDcOnly(16, 10, (_, _) => 128)
+    // pad three JPEG-legal fill bytes between SOI and the APP1 marker
+    val fill = Array.fill(3)(0xff.toByte)
+    val padded = base.take(2) ++ fill ++ Exif.encodeJpegApp1(tiff) ++
+      base.drop(2)
+    val found = Exif.fromJpeg(padded)
+    assert(found.exists(e => e.orientation == 3 && e.hasGps),
+      "fill bytes before APP1 must not break detection")
+    // detect and scrub agree: stripMetadata walks the same stream
+    val (stripped, n) = JpegCodec.stripMetadata(padded)
+    assert(n == 1)
+    assert(Exif.fromJpeg(stripped).isEmpty)
+    // a file that ends in fill bytes (after EOI trail) reports none
+    assert(Exif.fromJpeg(base ++ fill).isEmpty)
+  }
+
   test("PNG carrier: eXIf chunk CRC-validated, gone after strip") {
     val tiff = Exif.encodeTiff(littleEndian = false, orientation = 8,
       make = "K", model = "Z9", gps = None)

@@ -406,4 +406,26 @@ class MultimodalSpec extends AnyFunSuite {
     // tags missing src or alt drop; host case + tracking params fold
     assert(got == Set((1L, 10L, "cat"), (1L, 11L, "dog")), s"got $got")
   }
+
+  test("imageAltPairs: data-src never shadows src; quote styles") {
+    import spark.implicits._
+    val pages = Seq(
+      // lazy-load markup: data-src FIRST must not win over the real src
+      (1L, """<img data-src="https://e.org/lazy.png" src="https://e.org/a.png" alt="cat">"""),
+      // single-quoted and unquoted attribute values
+      (2L, """<img src='https://e.org/b.png' alt='dog'>"""),
+      (3L, """<img src=https://e.org/c.png alt="fox">"""),
+      // ONLY data-src (no real src) -> tag drops, no mis-join
+      (4L, """<img data-src="https://e.org/a.png" alt="ghost">"""))
+      .toDF("page_id", "html")
+    val images = Seq(
+      (10L, "https://e.org/a.png"), (11L, "https://e.org/b.png"),
+      (12L, "https://e.org/c.png"), (13L, "https://e.org/lazy.png"))
+      .toDF("media_id", "url")
+    val got = Multimodal.imageAltPairs(pages, "page_id", "html", images, "url")
+      .select("page_id", "media_id", "alt").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set((1L, 10L, "cat"), (2L, 11L, "dog"),
+      (3L, 12L, "fox")), s"got $got")
+  }
 }

@@ -125,6 +125,29 @@ class RobotsSpec extends AnyFunSuite {
     assert(rules(body) == Seq((false, "/a/", "agent")))
   }
 
+  test("empty Disallow terminates a User-agent run (groups stay separate)") {
+    // the real-world opt-in idiom: the named agent gets allow-all, the
+    // world gets deny-all — the empty Disallow must END GraftBot's
+    // User-agent line run so the two groups never merge (RFC 9309 §2.2.1)
+    val body =
+      """User-agent: GraftBot
+        |Disallow:
+        |
+        |User-agent: *
+        |Disallow: /
+        |""".stripMargin
+    assert(rules(body) == Seq.empty) // named group chosen, zero rules
+    assert(decide(body, Seq("https://h.ex/anything")) ==
+      Seq((true, "default")))
+    // and the world really is denied
+    assert(decide(body, Seq("https://h.ex/anything"), agent = "ZBot") ==
+      Seq((false, "star")))
+    // same shape with empty Allow as the terminator
+    val body2 = "User-agent: A\nAllow:\nUser-agent: *\nDisallow: /z\n"
+    assert(rules(body2, "A").isEmpty)
+    assert(rules(body2, "ZBot") == Seq((false, "/z", "star")))
+  }
+
   test("wildcards: * crosses /, trailing $ anchors the end") {
     val body =
       """User-agent: *
