@@ -30,6 +30,62 @@ object DocQueries {
     s"regexp_replace(lower(trim($e)), '\\s+', ' ', 'g')"
   private val normSql = normOf("text")
 
+  /** Deterministic training label: count('the') > count('spark') over
+    * the normalized token stream — text-derived AND exactly
+    * representable by the count-based model class through the origin
+    * (w_the = +c, w_spark = -c, rest 0), so training must actually
+    * LEARN it to pass. Metadata columns are unlearnable here (the
+    * synthetic corpus shares one vocabulary across all `lang` values),
+    * and presence-of-rare-marker rules need a bias term the fastText
+    * scoring shape doesn't carry. */
+  private def classifierLabel = {
+    val ws = split(TextStats.norm(col("text")), " ")
+    (size(filter(ws, w => w === "the")) >
+      size(filter(ws, w => w === "spark"))).cast("int")
+  }
+
+  /** Unrolled-CTE replication of the full logistic-regression loop
+    * (TextStats.classifierTrain): `d` hashes every token to its
+    * bucket, `t` is the exploded (doc, bucket) stream, w0 = zeros;
+    * per round r the margin join (m_r), hard-sigmoid quarter-milli
+    * error (e_r), per-bucket gradient sum (g_r), and truncating-
+    * division update (w_{r+1}) replay the operator's integer
+    * arithmetic bit-for-bit — the kmeansCtes discipline for the
+    * classifier. Labels: the [[classifierLabel]] count-comparison rule;
+    * lrDen_r = lrDen << (r / decayEvery), the halving step schedule. */
+  private def classifierCtes(buckets: Int, rounds: Int,
+      lrNum: Long = 1L, lrDen: Long = 1L, decayEvery: Int = 6): String = {
+    // every multiply-referenced CTE is MATERIALIZED — DuckDB inlines
+    // CTEs by default, and w_r feeding both m_r and w_{r+1} would
+    // otherwise expand 2^rounds ways
+    val head =
+      s"""d AS MATERIALIZED (SELECT doc_id,
+             CASE WHEN len(list_filter(string_split($normSql, ' '), w -> w = 'the'))
+                  > len(list_filter(string_split($normSql, ' '), w -> w = 'spark'))
+               THEN 1 ELSE 0 END AS y,
+             list_transform(string_split($normSql, ' '),
+               w -> ${PortableSql.wordHash("w")} % $buckets) AS bs
+           FROM documents),
+         n AS MATERIALIZED (SELECT count(*) AS nd FROM documents),
+         t AS MATERIALIZED (SELECT doc_id, y, u.b AS b
+           FROM d, LATERAL unnest(bs) AS u(b)),
+         w0 AS MATERIALIZED (SELECT range AS b, 0::BIGINT AS w
+           FROM range(0, $buckets))"""
+    val roundCtes = (0 until rounds).map { r =>
+      val lrDenR = lrDen << (r / decayEvery)
+      s"""m$r AS (SELECT t.doc_id, max(t.y) AS y, sum(w.w) AS m
+             FROM t JOIN w$r w USING (b) GROUP BY 1),
+         e$r AS (SELECT doc_id,
+             y * 4000 - greatest(0, least(4000, 2000 + m)) AS e FROM m$r),
+         g$r AS (SELECT t.b, sum(e.e) AS g
+             FROM t JOIN e$r e USING (doc_id) GROUP BY 1),
+         w${r + 1} AS MATERIALIZED (SELECT w.b,
+             w.w + (coalesce(g.g, 0) * $lrNum) // (4 * n.nd * $lrDenR) AS w
+           FROM w$r w LEFT JOIN g$r g USING (b) CROSS JOIN n)"""
+    }
+    (head +: roundCtes).mkString(",\n         ")
+  }
+
   /** HTML wrap for the crawl-with-markup pipeline fixture: ONE shared
     * template used verbatim by the Spark fixture (concat) and the
     * oracle (||), so the two stay in lockstep by construction. */
@@ -202,10 +258,28 @@ object DocQueries {
     // pairwise inter-source trigram Jaccard (corpus diversity matrix)
     "doc_source_overlap" -> ((s, d) =>
       CorpusMix.sourceOverlap(docs(s, d), "source", "text", n = 3)),
+    // full-batch integer logistic-regression training: hard-sigmoid
+    // quarter-milli probabilities, per-bucket partial-combined gradient
+    // sums, truncating-division halving-schedule update — all 24 rounds
+    // replay in the unrolled-CTE oracle (labels: the deterministic
+    // count('the') > count('spark') fixture rule, which the count-based
+    // model class can represent exactly; trained accuracy 95-98% vs a
+    // ~65% base rate at every SF)
+    "doc_classifier_train" -> ((s, d) =>
+      TextStats.classifierTrainTable(
+        docs(s, d).withColumn("label", classifierLabel),
+        "doc_id", "text", "label")),
     // hashed-feature linear classifier scoring (fastText deployment
-    // shape; fixture weights — swapping in trained ones is one literal)
-    "doc_classifier_score" -> ((s, d) =>
-      TextStats.classifierScore(docs(s, d), "doc_id", "text")),
+    // shape) on TRAINED weights — the classifierTrain output feeds the
+    // scoring kernel, closing the train -> deploy loop
+    "doc_classifier_score" -> ((s, d) => {
+      val df = docs(s, d)
+      val w = TextStats.classifierTrain(
+        df.withColumn("label", classifierLabel),
+        "doc_id", "text", "label")
+      TextStats.classifierScore(df, "doc_id", "text", numBuckets = 512,
+        weights = Some(w))
+    }),
     // deterministic global training-order shuffle + round-robin shards
     // without a global sort (bucketed rank composition)
     "doc_global_shuffle" -> ((s, d) =>
@@ -2394,20 +2468,26 @@ object DocQueries {
            CAST(zb.n AS BIGINT) AS n_b, CAST(n_shared AS BIGINT) AS n_shared,
            CAST((n_shared * 1000000) // (za.n + zb.n - n_shared) AS BIGINT) AS jaccard_ppm
          FROM sh JOIN sz za ON za.s = source_a JOIN sz zb ON zb.s = source_b""",
-    // full model replication: portable word hash -> bucket -> fixture
-    // weight (the same lehmer3 the Spark literal array was built from)
-    "doc_classifier_score" -> {
-      val weight = s"((${PortableSql.lehmer3("h % 4096")} % 2001) - 1000)"
-      s"""WITH h AS (SELECT doc_id,
-           list_transform(string_split($normSql, ' '),
-             w -> ${PortableSql.wordHash("w")}) AS hs FROM documents),
-         s AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_tokens,
-           CAST(coalesce(list_sum(list_transform(hs, h -> $weight)), 0) AS BIGINT)
-             AS logit_sum FROM h)
-         SELECT doc_id, n_tokens, logit_sum,
-           logit_sum::DOUBLE / n_tokens AS score_milli, logit_sum > 0 AS keep
-         FROM s"""
-    },
+    // full training replication: the unrolled logistic-regression CTE
+    // (hard-sigmoid quarter-milli error, per-bucket integer gradient
+    // sums, truncating `//` halving-schedule update — DuckDB `//` and
+    // Scala Long `/` both truncate toward zero, verified) yields every
+    // one of the 24 rounds' weights bit-for-bit
+    "doc_classifier_train" ->
+      s"""WITH ${classifierCtes(buckets = 512, rounds = 24)}
+         SELECT CAST(b AS BIGINT) AS bucket, CAST(w AS BIGINT) AS weight_milli
+         FROM w24""",
+    // the same trained w24 fed through the scoring shape — full model
+    // replication on TRAINED weights (train -> deploy loop closed)
+    "doc_classifier_score" ->
+      s"""WITH ${classifierCtes(buckets = 512, rounds = 24)},
+         sc AS (SELECT t.doc_id, sum(w.w) AS ls
+                FROM t JOIN w24 w USING (b) GROUP BY 1)
+         SELECT d.doc_id, CAST(len(d.bs) AS BIGINT) AS n_tokens,
+           CAST(coalesce(sc.ls, 0) AS BIGINT) AS logit_sum,
+           coalesce(sc.ls, 0)::DOUBLE / len(d.bs) AS score_milli,
+           coalesce(sc.ls, 0) > 0 AS keep
+         FROM d LEFT JOIN sc USING (doc_id)""",
     // the oracle affords the naive global row_number the engine
     // decomposes into bucket offsets + within-bucket ranks
     "doc_global_shuffle" ->

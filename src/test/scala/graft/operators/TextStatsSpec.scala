@@ -27,6 +27,62 @@ class TextStatsSpec extends AnyFunSuite {
     assert(got("b")._3 > 3000, s"lang b fertility ${got("b")._3}")
   }
 
+  test("classifierTrain replays the hand-computed integer GD rounds") {
+    val spark2 = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark2.implicits._
+    def bucket(word: String, b: Int): Int = {
+      val arr = graft.functions.TextKernels.wordPortableHashes(
+        org.apache.spark.unsafe.types.UTF8String.fromString(word))
+      java.lang.Math.floorMod(arr.getLong(0), b.toLong).toInt
+    }
+    val (b1, b2) = (bucket("alpha", 64), bucket("omega", 64))
+    assume(b1 != b2) // the fixture needs the two words in distinct buckets
+    val docs = Seq((0L, "alpha alpha", 1), (1L, "omega", 0))
+      .toDF("doc_id", "text", "label")
+    // Round 1: margins 0 -> p = 2000; e = +2000 (doc0), -2000 (doc1);
+    // denom = 4 * 2 docs = 8; g_b1 = 2000*2 -> +500, g_b2 = -2000 -> -250.
+    val w1 = TextStats.classifierTrain(docs, "doc_id", "text", "label",
+      numBuckets = 64, rounds = 1)
+    assert(w1(b1) == 500L && w1(b2) == -250L, s"round1 ${w1(b1)}, ${w1(b2)}")
+    assert(w1.zipWithIndex.forall { case (v, i) => i == b1 || i == b2 || v == 0L })
+    // Round 2: doc0 margin 1000 -> p 3000 -> e 1000 -> g 2000 -> +250;
+    // doc1 margin -250 -> p 1750 -> e -1750 -> g -1750 -> -218 (TRUNCATING
+    // division toward zero, not floor -219 — the DuckDB `//` contract).
+    val w2 = TextStats.classifierTrain(docs, "doc_id", "text", "label",
+      numBuckets = 64, rounds = 2)
+    assert(w2(b1) == 750L && w2(b2) == -468L, s"round2 ${w2(b1)}, ${w2(b2)}")
+    // rounds = 0 is the untouched zero model
+    assert(TextStats.classifierTrain(docs, "doc_id", "text", "label",
+      numBuckets = 64, rounds = 0).forall(_ == 0L))
+  }
+
+  test("classifierTrain learns a separable corpus; score deploys it") {
+    val spark2 = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark2.implicits._
+    // class-1 docs carry 'good'-family markers, class-0 'spam'-family;
+    // shared filler words force the model to weight the markers
+    val docs = (0 until 80).map { i =>
+      val y = i % 2
+      val marker = if (y == 1) s"good fine solid" else s"spam junk noise"
+      (i.toLong, s"filler common words $marker tail$i", y)
+    }.toDF("doc_id", "text", "label")
+    val w = TextStats.classifierTrain(docs, "doc_id", "text", "label",
+      numBuckets = 128, rounds = 3)
+    val scored = TextStats.classifierScore(docs, "doc_id", "text",
+        numBuckets = 128, weights = Some(w))
+      .select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val acc = (0 until 80).count(i => scored(i.toLong) == (i % 2 == 1))
+    assert(acc == 80, s"trained classifier only $acc/80 on separable data")
+    // determinism: a second training run reproduces every weight bit
+    assert(TextStats.classifierTrain(docs, "doc_id", "text", "label",
+      numBuckets = 128, rounds = 3).sameElements(w))
+  }
+
   test("budgetSelect == naive greedy inclusive-cumsum cut") {
     val spark2 = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
