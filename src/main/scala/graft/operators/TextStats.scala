@@ -268,6 +268,56 @@ object TextStats {
           .otherwise("de"))
   }
 
+  /** Character-trigram + script-point language ID over the 12
+    * [[LangProfiles]] languages — the Cavnar-Trenkle profile method in
+    * integer-exact form (see LangProfiles for the model). Output: one
+    * integer `score_<lang>` column per language and `pred_lang` =
+    * first language in [[LangProfiles.langs]] order reaching the max
+    * score, `und` when every score is 0.
+    *
+    * Scale shape: a single narrow projection — the trigram array and
+    * the profile literals live inside one row's expression tree, the
+    * script counts are codegen'd regexp length-deltas, and nothing
+    * shuffles; the profile tables are a few KB and ride into the plan
+    * as literals exactly like [[classifierScore]]'s weights. */
+  def languageIdTrigram(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val scored = withLangScores(df.select(col(idCol),
+      norm(col(textCol)).as("__t")), "__t")
+    scored.drop("__t")
+  }
+
+  /** Append `score_<lang>` columns + `pred_lang` for the ALREADY
+    * NORMALIZED text in `tCol` (shared by [[languageIdTrigram]] and
+    * fixture-building queries that construct the text themselves). */
+  def withLangScores(df: DataFrame, tCol: String): DataFrame = {
+    val t2 = concat(lit(" "), col(tCol), lit(" "))
+    val grams = when(length(t2) >= 3,
+      transform(sequence(lit(1), length(t2) - 2), i => t2.substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+    def scriptPoints(lang: String): Column =
+      LangProfiles.scriptRanges.getOrElse(lang, Seq.empty)
+        .map { case (wt, lo, hi) =>
+          (length(t2) - length(regexp_replace(t2,
+            s"[${lo.toChar}-${hi.toChar}]", ""))) * lit(wt)
+        }
+        .reduceOption(_ + _).getOrElse(lit(0)).cast("long")
+    val withScores = LangProfiles.langs.zip(LangProfiles.profiles)
+      .foldLeft(df.withColumn("__g", grams)) { case (acc, (lang, prof)) =>
+        acc.withColumn(s"score_$lang",
+          (size(filter(col("__g"), g => array_contains(typedlit(prof), g)))
+            .cast("long") * 2L) + scriptPoints(lang))
+      }
+    val scoreCols = LangProfiles.langs.map(l => col(s"score_$l"))
+    val mx = greatest(scoreCols: _*)
+    val pred = LangProfiles.langs.foldRight(lit("und")) { (lang, els) =>
+      when(col(s"score_$lang") === mx, lang).otherwise(els)
+    }
+    withScores
+      .withColumn("pred_lang", when(mx === 0, "und").otherwise(pred))
+      .drop("__g")
+  }
+
   /** PII/noise scrubbing: emails, URLs and long digit runs replaced by
     * placeholder tokens — per-row regexp chain, fully pushed/codegen'd.
     * Patterns restricted to syntax with identical semantics in Java

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{CorpusMix, Dedup, TextStats}
+import graft.operators.{CorpusMix, Dedup, LangProfiles, TextStats}
 
 /** Document-pipeline surface over the `documents` test table:
   * dedup (exact / MinHash-LSH / SimHash / char-n-gram Jaccard) and
@@ -86,6 +86,44 @@ object DocQueries {
     (head +: roundCtes).mkString(",\n         ")
   }
 
+  /** DuckDB replication of the [[TextStats.withLangScores]] trigram +
+    * script-point language ID over the planted held-out fixture — the
+    * profile literals, fixture sentences, and script ranges all render
+    * from [[LangProfiles]], so engine and oracle stay in lockstep by
+    * construction. Script counts via regexp length-delta (RE2
+    * `[\\x{..}-\\x{..}]` classes = Java literal-char classes);
+    * priority-ordered argmax identical to the Spark when-chain. */
+  private def langIdOracle: String = {
+    import LangProfiles._
+    def lst(xs: Seq[String]) =
+      xs.map(x => "'" + x.replace("'", "''") + "'").mkString("[", ", ", "]")
+    val flat = langs.indices.flatMap(fixture(_))
+    val scoreExprs = langs.zip(profiles).map { case (lang, prof) =>
+      val tri = s"2 * len(list_filter(gs, g -> list_contains(${lst(prof)}, g)))"
+      val scr = scriptRanges.getOrElse(lang, Seq.empty).map { case (w, lo, hi) =>
+        f" + $w * (length(t2) - length(regexp_replace(t2, '[\\x{$lo%04X}-\\x{$hi%04X}]', '', 'g')))"
+      }.mkString
+      s"CAST($tri$scr AS BIGINT) AS score_$lang"
+    }.mkString(",\n           ")
+    val scoreList = langs.map(l => s"score_$l").mkString(", ")
+    val pred = langs.map(l => s"WHEN score_$l = m THEN '$l'").mkString(" ")
+    s"""WITH f AS (SELECT doc_id,
+         ${lst(langs)}[(doc_id % 12) + 1] AS planted_lang,
+         ${lst(flat)}[((doc_id % 12) * 2 + (doc_id // 12) % 2) + 1] || ' ' ||
+         ${lst(flat)}[((doc_id % 12) * 2 + 1 - (doc_id // 12) % 2) + 1] AS t
+       FROM documents),
+       n2 AS (SELECT doc_id, planted_lang, ' ' || t || ' ' AS t2 FROM f),
+       g2 AS (SELECT doc_id, planted_lang, t2,
+         list_transform(range(1, greatest(length(t2) - 1, 1)),
+           i -> t2[i : i + 2]) AS gs FROM n2),
+       s2 AS (SELECT doc_id, planted_lang, t2, gs,
+           $scoreExprs FROM g2),
+       m2 AS (SELECT *, greatest($scoreList) AS m FROM s2)
+       SELECT doc_id, planted_lang, $scoreList,
+         CASE WHEN m = 0 THEN 'und' $pred END AS pred_lang
+       FROM m2"""
+  }
+
   /** HTML wrap for the crawl-with-markup pipeline fixture: ONE shared
     * template used verbatim by the Spark fixture (concat) and the
     * oracle (||), so the two stay in lockstep by construction. */
@@ -123,7 +161,25 @@ object DocQueries {
       TextStats.tokenCounts(docs(s, d), "doc_id", "text")),
     "doc_quality" -> ((s, d) =>
       TextStats.qualityScore(docs(s, d), "doc_id", "text")),
-    "doc_lang_id" -> ((s, d) =>
+    // character-trigram + script-point profile language ID (12 langs,
+    // Cavnar-Trenkle integer form) over a planted multilingual fixture
+    // of held-out sentences — doc_id picks language and sentence pair,
+    // so every non-Latin script is really exercised
+    "doc_lang_id" -> ((s, d) => {
+      val flat = LangProfiles.langs.indices.flatMap(LangProfiles.fixture(_))
+      val li = (col("doc_id") % 12).cast("int")
+      val v = (expr("doc_id div 12") % 2).cast("int")
+      val f = typedlit(flat)
+      val base = docs(s, d).select(col("doc_id"),
+        element_at(typedlit(LangProfiles.langs), li + 1).as("planted_lang"),
+        concat(element_at(f, li * 2 + v + 1), lit(" "),
+          element_at(f, li * 2 + (lit(1) - v) + 1)).as("__t"))
+      TextStats.withLangScores(base, "__t").drop("__t")
+    }),
+    // the original stopword-profile argmax stays as its own surface
+    // (the cheap 4-language screen; the trigram model above is the
+    // full-breadth one)
+    "doc_lang_stopwords" -> ((s, d) =>
       TextStats.languageId(docs(s, d), "doc_id", "text")),
     "doc_fingerprint" -> ((s, d) =>
       TextStats.fingerprint(docs(s, d), "doc_id", "text")),
@@ -2073,7 +2129,10 @@ object DocQueries {
              AS stopword_ratio,
            (n_tokens >= 5 AND n_tokens <= 100000 AND punct::DOUBLE / n_chars <= 0.3) AS keep
          FROM c""",
-    "doc_lang_id" ->
+    // full profile-model replication: fixture construction, trigram
+    // membership counts, regex script points, priority-ordered argmax
+    "doc_lang_id" -> langIdOracle,
+    "doc_lang_stopwords" ->
       s"""WITH s AS (SELECT doc_id,
            ${scoreSql("en", TextStats.enStopwords)},
            ${scoreSql("es", TextStats.esStopwords)},

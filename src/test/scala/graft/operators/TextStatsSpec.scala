@@ -27,6 +27,66 @@ class TextStatsSpec extends AnyFunSuite {
     assert(got("b")._3 > 3000, s"lang b fertility ${got("b")._3}")
   }
 
+  test("languageIdTrigram separates confusable pairs on unseen text") {
+    val spark2 = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark2.implicits._
+    // none of these sentences occur in the profile-derivation sample or
+    // the registered fixture — the classic confusable pairs (es/pt,
+    // de/nl, zh/ja) plus every non-Latin script and the und fallbacks
+    val cases = Seq(
+      "es" -> "la identificación de la lengua es una tarea importante para nosotros",
+      "pt" -> "a identificação da língua é uma tarefa importante para nós",
+      "de" -> "die erkennung der sprache ist eine wichtige aufgabe für uns",
+      "nl" -> "het herkennen van de taal is een belangrijke taak voor ons",
+      "zh" -> "语言识别对我们来说是一项重要的任务",
+      "ja" -> "言語の識別は私たちにとって重要な課題です",
+      "ru" -> "определение языка является для нас важной задачей",
+      "ko" -> "언어 식별은 우리에게 중요한 과제이다",
+      "ar" -> "تحديد اللغة مهمة مهمة بالنسبة لنا",
+      "it" -> "il riconoscimento della lingua è un compito importante per noi",
+      "fr" -> "l'identification de la langue est une tâche importante pour nous",
+      "en" -> "identifying the language is an important task for us",
+      "und" -> "12345 67890 @@@ ### !!!",
+      "und" -> "")
+    val df = cases.zipWithIndex.map { case ((l, t), i) => (i.toLong, l, t) }
+      .toDF("doc_id", "expected", "text")
+    val got = TextStats.languageIdTrigram(df, "doc_id", "text")
+      .select("doc_id", "pred_lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((expected, text), i) =>
+      assert(got(i.toLong) == expected,
+        s"'${text.take(40)}' -> ${got(i.toLong)}, want $expected")
+    }
+  }
+
+  test("languageIdTrigram scoring arithmetic and script points pin down") {
+    val spark2 = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark2.implicits._
+    // pure-Hangul text: zero trigram hits possible outside ko profile;
+    // score_ko >= 3 * (hangul char count) and all Latin scores 0
+    val hangul = "가나다라"
+    val df = Seq((0L, hangul)).toDF("doc_id", "text")
+    val r = TextStats.languageIdTrigram(df, "doc_id", "text").collect()(0)
+    val ko = r.getAs[Long]("score_ko")
+    assert(ko >= 3L * hangul.length, s"score_ko $ko")
+    assert(r.getAs[Long]("score_en") == 0L && r.getAs[Long]("score_ru") == 0L)
+    assert(r.getAs[String]("pred_lang") == "ko")
+    // kanji-only text scores zh = 2/char over ja = 1/char -> zh wins;
+    // kana-heavy text flips to ja at weight 3
+    val kanji = Seq((0L, "水火木金土")).toDF("doc_id", "text")
+    val k = TextStats.languageIdTrigram(kanji, "doc_id", "text").collect()(0)
+    assert(k.getAs[Long]("score_zh") == 10L && k.getAs[Long]("score_ja") == 5L)
+    assert(k.getAs[String]("pred_lang") == "zh")
+    val kana = Seq((0L, "これはとてもいいです")).toDF("doc_id", "text")
+    val j = TextStats.languageIdTrigram(kana, "doc_id", "text").collect()(0)
+    assert(j.getAs[String]("pred_lang") == "ja")
+    assert(j.getAs[Long]("score_ja") >= 30L) // 10 kana * 3
+  }
+
   test("classifierTrain replays the hand-computed integer GD rounds") {
     val spark2 = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
