@@ -86,6 +86,22 @@ object DocQueries {
     (head +: roundCtes).mkString(",\n         ")
   }
 
+  /** Planted-fixture language scoring shared by `doc_lang_id` and
+    * `doc_lang_mix_pred`: doc_id picks language (mod 12) and held-out
+    * sentence pair, then [[TextStats.withLangScores]] appends the 12
+    * score columns + pred_lang. */
+  private def langIdScored(s: SparkSession, d: String): DataFrame = {
+    val flat = LangProfiles.langs.indices.flatMap(LangProfiles.fixture(_))
+    val li = (col("doc_id") % 12).cast("int")
+    val v = (expr("doc_id div 12") % 2).cast("int")
+    val f = typedlit(flat)
+    val base = docs(s, d).select(col("doc_id"),
+      element_at(typedlit(LangProfiles.langs), li + 1).as("planted_lang"),
+      concat(element_at(f, li * 2 + v + 1), lit(" "),
+        element_at(f, li * 2 + (lit(1) - v) + 1)).as("__t"))
+    TextStats.withLangScores(base, "__t").drop("__t")
+  }
+
   /** DuckDB replication of the [[TextStats.withLangScores]] trigram +
     * script-point language ID over the planted held-out fixture — the
     * profile literals, fixture sentences, and script ranges all render
@@ -165,22 +181,43 @@ object DocQueries {
     // Cavnar-Trenkle integer form) over a planted multilingual fixture
     // of held-out sentences — doc_id picks language and sentence pair,
     // so every non-Latin script is really exercised
-    "doc_lang_id" -> ((s, d) => {
-      val flat = LangProfiles.langs.indices.flatMap(LangProfiles.fixture(_))
-      val li = (col("doc_id") % 12).cast("int")
-      val v = (expr("doc_id div 12") % 2).cast("int")
-      val f = typedlit(flat)
-      val base = docs(s, d).select(col("doc_id"),
-        element_at(typedlit(LangProfiles.langs), li + 1).as("planted_lang"),
-        concat(element_at(f, li * 2 + v + 1), lit(" "),
-          element_at(f, li * 2 + (lit(1) - v) + 1)).as("__t"))
-      TextStats.withLangScores(base, "__t").drop("__t")
-    }),
+    "doc_lang_id" -> ((s, d) => langIdScored(s, d)),
     // the original stopword-profile argmax stays as its own surface
     // (the cheap 4-language screen; the trigram model above is the
     // full-breadth one)
     "doc_lang_stopwords" -> ((s, d) =>
       TextStats.languageId(docs(s, d), "doc_id", "text")),
+    // corpus language mix keyed by the PREDICTED language — the real-
+    // crawl shape (no trusted lang metadata exists on web data): the
+    // trigram model's argmax feeds the X18 share arithmetic; the
+    // window runs over the reduced 12-row frame only
+    "doc_lang_mix_pred" -> ((s, d) =>
+      langIdScored(s, d).groupBy(col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("share_ppm",
+          expr("(n_docs * 1000000) div sum(n_docs) OVER ()"))),
+    // train -> deploy -> EVALUATE: confusion counts + integer-milli
+    // accuracy/precision/recall of the trained classifier against its
+    // own label rule — the gauge a curation pipeline reads before
+    // trusting the keep decisions
+    "doc_classifier_eval" -> ((s, d) => {
+      val df = docs(s, d).withColumn("label", classifierLabel)
+      val w = TextStats.classifierTrain(df, "doc_id", "text", "label")
+      val scored = TextStats.classifierScore(df, "doc_id", "text",
+        numBuckets = 512, weights = Some(w)).select(col("doc_id"), col("keep"))
+      df.select(col("doc_id"), col("label")).join(scored, "doc_id")
+        .agg(
+          sum(when(col("keep") && col("label") === 1, 1L).otherwise(0L)).as("tp"),
+          sum(when(col("keep") && col("label") === 0, 1L).otherwise(0L)).as("fp"),
+          sum(when(!col("keep") && col("label") === 1, 1L).otherwise(0L)).as("fn"),
+          sum(when(!col("keep") && col("label") === 0, 1L).otherwise(0L)).as("tn"))
+        .select(col("tp"), col("fp"), col("fn"), col("tn"),
+          expr("(1000 * (tp + tn)) div (tp + fp + fn + tn)").as("accuracy_milli"),
+          expr("CASE WHEN tp + fp = 0 THEN 0 ELSE (1000 * tp) div (tp + fp) END")
+            .as("precision_milli"),
+          expr("CASE WHEN tp + fn = 0 THEN 0 ELSE (1000 * tp) div (tp + fn) END")
+            .as("recall_milli"))
+    }),
     "doc_fingerprint" -> ((s, d) =>
       TextStats.fingerprint(docs(s, d), "doc_id", "text")),
     "doc_dup_clusters" -> ((s, d) =>
@@ -2132,6 +2169,35 @@ object DocQueries {
     // full profile-model replication: fixture construction, trigram
     // membership counts, regex script points, priority-ordered argmax
     "doc_lang_id" -> langIdOracle,
+    // the same scored frame reduced to predicted-language shares
+    "doc_lang_mix_pred" ->
+      s"""WITH base AS ($langIdOracle)
+         SELECT pred_lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST((count(*) * 1000000) // sum(count(*)) OVER () AS BIGINT)
+             AS share_ppm
+         FROM base GROUP BY 1""",
+    // the trained w24 scored and reduced to the confusion table +
+    // integer-milli accuracy/precision/recall
+    "doc_classifier_eval" ->
+      s"""WITH ${classifierCtes(buckets = 512, rounds = 24)},
+         sc AS (SELECT t.doc_id, sum(w.w) AS ls
+                FROM t JOIN w24 w USING (b) GROUP BY 1),
+         j AS (SELECT d.doc_id, d.y, coalesce(sc.ls, 0) > 0 AS keep
+               FROM d LEFT JOIN sc USING (doc_id)),
+         c AS (SELECT
+             CAST(count(*) FILTER (keep AND y = 1) AS BIGINT) AS tp,
+             CAST(count(*) FILTER (keep AND y = 0) AS BIGINT) AS fp,
+             CAST(count(*) FILTER (NOT keep AND y = 1) AS BIGINT) AS fn,
+             CAST(count(*) FILTER (NOT keep AND y = 0) AS BIGINT) AS tn
+           FROM j)
+         SELECT tp, fp, fn, tn,
+           CAST((1000 * (tp + tn)) // (tp + fp + fn + tn) AS BIGINT)
+             AS accuracy_milli,
+           CAST(CASE WHEN tp + fp = 0 THEN 0
+             ELSE (1000 * tp) // (tp + fp) END AS BIGINT) AS precision_milli,
+           CAST(CASE WHEN tp + fn = 0 THEN 0
+             ELSE (1000 * tp) // (tp + fn) END AS BIGINT) AS recall_milli
+         FROM c""",
     "doc_lang_stopwords" ->
       s"""WITH s AS (SELECT doc_id,
            ${scoreSql("en", TextStats.enStopwords)},
