@@ -87,6 +87,42 @@ class TextStatsSpec extends AnyFunSuite {
     assert(j.getAs[Long]("score_ja") >= 30L) // 10 kana * 3
   }
 
+  test("LangKernels.scores == independent brute force on fuzzed text") {
+    // brute force: literal profile membership per gram + per-range
+    // regex-free counting — written independently of the kernel's
+    // packed-key binary search
+    def brute(text: String): Array[Long] = {
+      val t2 = " " + text + " "
+      val cps = t2.codePoints().toArray
+      val grams = (0 until math.max(0, cps.length - 2))
+        .map(i => new String(cps, i, 3))
+      LangProfiles.langs.zip(LangProfiles.profiles).map { case (lang, prof) =>
+        val tri = 2L * grams.count(prof.toSet)
+        val scr = LangProfiles.scriptRanges.getOrElse(lang, Seq.empty)
+          .map { case (w, lo, hi) =>
+            w.toLong * cps.count(c => c >= lo && c <= hi)
+          }.sum
+        tri + scr
+      }.toArray
+    }
+    val rnd = new scala.util.Random(42)
+    val alphabets = Seq(
+      "abcdefghijklmnopqrstuvwxyz ", "der die und sch ein ", "的是了在我们 ",
+      "あいうえおかきくけこ漢字 ", "가나다라마바사 ", "абвгдежзик ",
+      "ابتثجحخدذر ", "é è ç ã ñ ü ö ")
+    val texts = (0 until 200).map { i =>
+      val a = alphabets(i % alphabets.size)
+      (0 until (i % 60)).map(_ => a(rnd.nextInt(a.length))).mkString
+    } ++ Seq("", " ", "ab", "the quick brown fox", "言語の識別")
+    texts.foreach { t =>
+      val got = graft.functions.LangKernels.scores(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t)).toLongArray()
+      val want = brute(t)
+      assert(got.sameElements(want),
+        s"'${t.take(30)}': ${got.toSeq} != ${want.toSeq}")
+    }
+  }
+
   test("classifierTrain replays the hand-computed integer GD rounds") {
     val spark2 = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
