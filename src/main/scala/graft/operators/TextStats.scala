@@ -313,6 +313,52 @@ object TextStats {
       .drop("__ls")
   }
 
+  /** TRAIN language profiles from a labeled corpus — the distributed
+    * form of the offline derivation behind [[LangProfiles.profiles]]:
+    * per (lang, trigram) occurrence counts over the padded code-point
+    * trigram stream, differential score d = n - max(count in any OTHER
+    * language), keep d >= 1, rank per language by (d desc, n desc,
+    * gram asc), top `k`. All integer counts and a deterministic total
+    * order, so the oracle replays every rank bit-for-bit.
+    *
+    * Scale shape: the exploded gram stream reduces immediately to the
+    * vocabulary-bounded (lang, gram, n) frame (map-side partial agg);
+    * the max-other computation is one window per GRAM over <= |langs|
+    * rows (never skewed: a gram has at most one row per language), the
+    * per-lang rank another bounded window. At 100 TB the only big
+    * shuffle is the combined count reduction — the canonical
+    * word-count shape. */
+  def langProfilesTrain(df: DataFrame, idCol: String, textCol: String,
+      langCol: String, k: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t2 = concat(lit(" "), norm(col(textCol)), lit(" "))
+    val grams = when(length(t2) >= 3,
+      transform(sequence(lit(1), length(t2) - 2), i => t2.substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+    val counts = df
+      .select(col(langCol).as("lang"), explode(grams).as("gram"))
+      .groupBy(col("lang"), col("gram"))
+      .agg(count(lit(1)).as("n"))
+    val wg = Window.partitionBy("gram")
+    val scored = counts
+      .withColumn("__mx", max(col("n")).over(wg))
+      .withColumn("__nmx",
+        sum(when(col("n") === col("__mx"), 1L).otherwise(0L)).over(wg))
+      .withColumn("__m2",
+        max(when(col("n") === col("__mx"), lit(null)).otherwise(col("n"))).over(wg))
+      .withColumn("max_other",
+        when(col("n") === col("__mx") && col("__nmx") === 1,
+          coalesce(col("__m2"), lit(0L))).otherwise(col("__mx")))
+      .withColumn("d", col("n") - col("max_other"))
+      .filter(col("d") >= 1)
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy("lang")
+        .orderBy(col("d").desc, col("n").desc, col("gram").asc)))
+      .filter(col("rank") <= k)
+      .select(col("lang"), col("gram"), col("n"), col("max_other"),
+        col("d"), col("rank").cast("long").as("prof_rank"))
+  }
+
   /** PII/noise scrubbing: emails, URLs and long digit runs replaced by
     * placeholder tokens — per-row regexp chain, fully pushed/codegen'd.
     * Patterns restricted to syntax with identical semantics in Java

@@ -104,16 +104,32 @@ object DocQueries {
     * `doc_lang_mix_pred`: doc_id picks language (mod 12) and held-out
     * sentence pair, then [[TextStats.withLangScores]] appends the 12
     * score columns + pred_lang. */
-  private def langIdScored(s: SparkSession, d: String): DataFrame = {
+  private def langFixture(s: SparkSession, d: String): DataFrame = {
     val flat = LangProfiles.langs.indices.flatMap(LangProfiles.fixture(_))
     val li = (col("doc_id") % 12).cast("int")
     val v = (expr("doc_id div 12") % 2).cast("int")
     val f = typedlit(flat)
-    val base = docs(s, d).select(col("doc_id"),
+    docs(s, d).select(col("doc_id"),
       element_at(typedlit(LangProfiles.langs), li + 1).as("planted_lang"),
       concat(element_at(f, li * 2 + v + 1), lit(" "),
         element_at(f, li * 2 + (lit(1) - v) + 1)).as("__t"))
-    TextStats.withLangScores(base, "__t").drop("__t")
+  }
+
+  private def langIdScored(s: SparkSession, d: String): DataFrame =
+    TextStats.withLangScores(langFixture(s, d), "__t").drop("__t")
+
+  /** The planted-fixture construction as one SELECT (shared by the
+    * lang-id, mix, and profile-training oracles). */
+  private def langFixtureSql: String = {
+    import LangProfiles._
+    def lst(xs: Seq[String]) =
+      xs.map(x => "'" + x.replace("'", "''") + "'").mkString("[", ", ", "]")
+    val flat = langs.indices.flatMap(fixture(_))
+    s"""SELECT doc_id,
+       ${lst(langs)}[(doc_id % 12) + 1] AS planted_lang,
+       ${lst(flat)}[((doc_id % 12) * 2 + (doc_id // 12) % 2) + 1] || ' ' ||
+       ${lst(flat)}[((doc_id % 12) * 2 + 1 - (doc_id // 12) % 2) + 1] AS t
+     FROM documents"""
   }
 
   /** DuckDB replication of the [[TextStats.withLangScores]] trigram +
@@ -127,7 +143,6 @@ object DocQueries {
     import LangProfiles._
     def lst(xs: Seq[String]) =
       xs.map(x => "'" + x.replace("'", "''") + "'").mkString("[", ", ", "]")
-    val flat = langs.indices.flatMap(fixture(_))
     val scoreExprs = langs.zip(profiles).map { case (lang, prof) =>
       val tri = s"2 * len(list_filter(gs, g -> list_contains(${lst(prof)}, g)))"
       val scr = scriptRanges.getOrElse(lang, Seq.empty).map { case (w, lo, hi) =>
@@ -137,11 +152,7 @@ object DocQueries {
     }.mkString(",\n           ")
     val scoreList = langs.map(l => s"score_$l").mkString(", ")
     val pred = langs.map(l => s"WHEN score_$l = m THEN '$l'").mkString(" ")
-    s"""WITH f AS (SELECT doc_id,
-         ${lst(langs)}[(doc_id % 12) + 1] AS planted_lang,
-         ${lst(flat)}[((doc_id % 12) * 2 + (doc_id // 12) % 2) + 1] || ' ' ||
-         ${lst(flat)}[((doc_id % 12) * 2 + 1 - (doc_id // 12) % 2) + 1] AS t
-       FROM documents),
+    s"""WITH f AS ($langFixtureSql),
        n2 AS (SELECT doc_id, planted_lang, ' ' || t || ' ' AS t2 FROM f),
        g2 AS (SELECT doc_id, planted_lang, t2,
          list_transform(range(1, greatest(length(t2) - 1, 1)),
@@ -201,6 +212,14 @@ object DocQueries {
     // full-breadth one)
     "doc_lang_stopwords" -> ((s, d) =>
       TextStats.languageId(docs(s, d), "doc_id", "text")),
+    // TRAIN language profiles from the labeled planted corpus — the
+    // distributed form of the offline derivation behind LangProfiles:
+    // (lang, trigram) counts, differential score vs the best OTHER
+    // language, deterministic per-lang top-40 (all integer, every
+    // rank oracle-replayed)
+    "doc_lang_profiles_train" -> ((s, d) =>
+      TextStats.langProfilesTrain(langFixture(s, d), "doc_id", "__t",
+        "planted_lang")),
     // corpus language mix keyed by the PREDICTED language — the real-
     // crawl shape (no trusted lang metadata exists on web data): the
     // trigram model's argmax feeds the X18 share arithmetic; the
@@ -2186,6 +2205,35 @@ object DocQueries {
     // full profile-model replication: fixture construction, trigram
     // membership counts, regex script points, priority-ordered argmax
     "doc_lang_id" -> langIdOracle,
+    // the distributed profile derivation replayed step for step:
+    // padded trigram explode, (lang, gram) counts, per-gram max-other
+    // via the mx/nmx/m2 window decomposition, per-lang deterministic
+    // rank cut
+    "doc_lang_profiles_train" ->
+      s"""WITH f AS ($langFixtureSql),
+         n2 AS (SELECT planted_lang AS lang, ' ' || t || ' ' AS t2 FROM f),
+         g AS (SELECT lang, u.g AS gram FROM n2,
+           LATERAL unnest(list_transform(range(1, greatest(length(t2) - 1, 1)),
+             i -> t2[i : i + 2])) AS u(g)),
+         c AS (SELECT lang, gram, CAST(count(*) AS BIGINT) AS n
+               FROM g GROUP BY 1, 2),
+         s1 AS (SELECT lang, gram, n,
+                  max(n) OVER (PARTITION BY gram) AS mx FROM c),
+         s2 AS (SELECT *,
+                  sum(CASE WHEN n = mx THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY gram) AS nmx,
+                  max(CASE WHEN n = mx THEN NULL ELSE n END)
+                    OVER (PARTITION BY gram) AS m2 FROM s1),
+         s3 AS (SELECT lang, gram, n,
+                  CASE WHEN n = mx AND nmx = 1 THEN coalesce(m2, 0)
+                       ELSE mx END AS max_other FROM s2),
+         s4 AS (SELECT *, n - max_other AS d FROM s3
+                WHERE n - max_other >= 1),
+         r AS (SELECT *, row_number() OVER (PARTITION BY lang
+                 ORDER BY d DESC, n DESC, gram ASC) AS pr FROM s4)
+         SELECT lang, gram, n, CAST(max_other AS BIGINT) AS max_other,
+           CAST(d AS BIGINT) AS d, CAST(pr AS BIGINT) AS prof_rank
+         FROM r WHERE pr <= 40""",
     // the same scored frame reduced to predicted-language shares
     "doc_lang_mix_pred" ->
       s"""WITH base AS ($langIdOracle)

@@ -87,6 +87,41 @@ class TextStatsSpec extends AnyFunSuite {
     assert(j.getAs[Long]("score_ja") >= 30L) // 10 kana * 3
   }
 
+  test("langProfilesTrain: differential counts, ties, rank determinism") {
+    val spark2 = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark2.implicits._
+    // 'aa' text: gram " aa"/"aa "/"aaa" counts differ per lang; 'zz'
+    // appears in BOTH b and c with EQUAL counts (tie -> max_other is
+    // the other's count, d = 0, dropped); 'qq' unique to c
+    val docs = Seq(
+      (0L, "a", "aaa aaa"), (1L, "a", "aaa"),
+      (2L, "b", "aaa zz"), (3L, "b", "zz"),
+      (4L, "c", "zz qq"), (5L, "c", "zz")).toDF("doc_id", "lang", "text")
+    val got = TextStats.langProfilesTrain(docs, "doc_id", "text", "lang", k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val byLang = got.groupBy(_._1)
+    // 'aaa' occurs: lang a -> docs 0 (x2... positions) + 1; count grams
+    // " zz" tie: b has docs 2,3 -> " zz" twice; c has docs 4,5 -> " zz"
+    // twice -> tie, d = 0, absent from both
+    assert(!got.exists(r => r._2 == " zz"), s"tied gram survived: $got")
+    // 'qq' grams unique to c
+    val cRows = byLang.getOrElse("c", Array.empty)
+    assert(cRows.exists(r => r._2 == " qq" && r._3 == 1 && r._4 == 0 && r._5 == 1),
+      s"c rows: ${cRows.toSeq}")
+    // ranks are 1..k, deterministic, within each lang
+    byLang.foreach { case (l, rows) =>
+      assert(rows.map(_._6).sorted.sameElements(1L to rows.length), s"$l ranks")
+    }
+    // determinism: second run identical
+    val again = TextStats.langProfilesTrain(docs, "doc_id", "text", "lang", k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.sorted.sameElements(again.sorted))
+  }
+
   test("LangKernels.scores == independent brute force on fuzzed text") {
     // brute force: literal profile membership per gram + per-range
     // regex-free counting — written independently of the kernel's
