@@ -1089,16 +1089,24 @@ object TextStats {
       Array.tabulate(numBuckets)(b => HashKernels.lehmer3(b.toLong) % 2001L - 1000L))
     require(ws.length == numBuckets,
       s"weight array length ${ws.length} != numBuckets $numBuckets")
-    val wLit = typedlit(ws)
-    val wh = graft.functions.text.word_portable_hashes(norm(col(textCol)))
-    df.select(col(idCol), wh.as("__wh"))
-      .select(col(idCol),
-        size(col("__wh")).cast("long").as("n_tokens"),
-        coalesce(aggregate(col("__wh"), lit(0L),
-          (acc, h) => acc + element_at(wLit, pmod(h, lit(numBuckets.toLong)).cast("int") + 1)),
-          lit(0L)).as("logit_sum"))
+    df.select(col(idCol),
+        size(graft.functions.text.word_portable_hashes(norm(col(textCol))))
+          .cast("long").as("n_tokens"),
+        classifierLogit(col(textCol), ws).as("logit_sum"))
       .withColumn("score_milli", col("logit_sum").cast("double") / col("n_tokens"))
       .withColumn("keep", col("logit_sum") > 0)
+  }
+
+  /** The model's logit sum as a single Column over raw text — the
+    * column-preserving form [[classifierScore]] and the streaming
+    * quality gate share. */
+  def classifierLogit(text: Column, weights: Array[Long]): Column = {
+    val b = weights.length.toLong
+    val wLit = typedlit(weights)
+    val wh = graft.functions.text.word_portable_hashes(norm(text))
+    coalesce(aggregate(wh, lit(0L),
+      (acc, h) => acc + element_at(wLit, pmod(h, lit(b)).cast("int") + 1)),
+      lit(0L))
   }
 
   /** Full-batch logistic-regression TRAINING for the hashed-feature

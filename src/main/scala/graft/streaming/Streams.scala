@@ -88,6 +88,44 @@ object Streams {
     if (keepDisallowed) d else d.filter(col("allowed"))
   }
 
+  /** Streaming language gate — the frontier filter after [[robotsGate]]
+    * in a multilingual curation pipeline: predict each document's
+    * language with the single-pass trigram kernel
+    * ([[graft.operators.TextStats.withLangScores]] /
+    * [[graft.functions.LangKernels]]) and keep rows whose `pred_lang`
+    * is in `allowed`. STATELESS (no watermark, no state store, the
+    * profile tables ride inside the codegen'd expression) — backfill
+    * and stream decide identically by construction. `keepRejected`
+    * emits every row with its `pred_lang` (the audit shape). */
+  def langGate(stream: DataFrame, textCol: String, allowed: Seq[String],
+      keepRejected: Boolean = false): DataFrame = {
+    val scored = graft.operators.TextStats.withLangScores(
+        stream.withColumn("__lt",
+          graft.operators.TextStats.norm(col(textCol))), "__lt")
+      .drop("__lt")
+      .drop(graft.operators.LangProfiles.langs.map(l => s"score_$l"): _*)
+    if (keepRejected) scored
+    else scored.filter(col("pred_lang").isin(allowed: _*))
+  }
+
+  /** Streaming quality gate — the TRAINED classifier
+    * ([[graft.operators.TextStats.classifierTrain]]) deployed at the
+    * frontier: one codegen logit fold per row against the weight array
+    * (trained offline on the labeled batch corpus, rides as a
+    * literal), keep rows whose logit clears `minLogit`. Stateless like
+    * [[langGate]]; together with [[robotsGate]] and [[urlDedup]] this
+    * completes the streaming curation funnel: fetch-compliance ->
+    * uniqueness -> language -> model-scored quality, with only the
+    * dedup holding state. */
+  def qualityGate(stream: DataFrame, textCol: String,
+      weights: Array[Long], minLogit: Long = 0L,
+      keepRejected: Boolean = false): DataFrame = {
+    val scored = stream.withColumn("logit_milli",
+      graft.operators.TextStats.classifierLogit(col(textCol), weights))
+    if (keepRejected) scored.withColumn("kept", col("logit_milli") > minLogit)
+    else scored.filter(col("logit_milli") > minLogit)
+  }
+
   /** Streaming WARC ingestion: each incoming blob (one WARC file /
     * fetch batch) is parsed with the strict reader
     * ([[graft.sources.Warc]] — hostile-length guarded, zip-bomb

@@ -141,6 +141,68 @@ class StreamsSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("streaming language gate keeps only the allowed languages, stateless") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val df = in.toDF().toDF("doc_id", "ts", "text")
+    val q = Streams.langGate(df, "text", allowed = Seq("en", "de"))
+      .writeStream.format("memory").queryName("lang_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, ts(0), "the people in the city know about the old bridge"),
+        (2L, ts(1), "die menschen in der stadt kennen die alte brücke"),
+        (3L, ts(2), "toda la gente de la ciudad conoce el viejo puente"),
+        (4L, ts(3), "城里所有的人都知道那座古老的石桥"),
+        (5L, ts(4), "@@@ 12345 ###")) // und -> dropped
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT doc_id, pred_lang FROM lang_out")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(kept == Map(1L -> "en", 2L -> "de"), kept.toString)
+    } finally q.stop()
+    // audit shape: every row with its prediction, no filter
+    val q2 = Streams.langGate(df, "text", allowed = Seq("en"),
+        keepRejected = true)
+      .writeStream.format("memory").queryName("lang_audit")
+      .outputMode("append").start()
+    try {
+      in.addData((6L, ts(5), "언어 식별은 우리에게 중요한 과제이다"))
+      q2.processAllAvailable()
+      val audit = spark.sql(
+        "SELECT pred_lang FROM lang_audit WHERE doc_id = 6")
+        .collect().map(_.getString(0)).toSeq
+      assert(audit == Seq("ko"), audit.toString)
+    } finally q2.stop()
+  }
+
+  test("streaming quality gate deploys trained classifier weights") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // train on a separable batch corpus, deploy the weights at the gate
+    val corpus = (0 until 40).map { i =>
+      val y = i % 2
+      val marker = if (y == 1) "good fine solid" else "spam junk noise"
+      (i.toLong, s"filler words $marker t$i", y)
+    }.toDF("doc_id", "text", "label")
+    val w = graft.operators.TextStats.classifierTrain(
+      corpus, "doc_id", "text", "label", numBuckets = 128, rounds = 3)
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val df = in.toDF().toDF("doc_id", "ts", "text")
+    val q = Streams.qualityGate(df, "text", w)
+      .writeStream.format("memory").queryName("qual_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, ts(0), "filler words good fine solid tail"),
+        (2L, ts(1), "filler words spam junk noise tail"))
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT doc_id FROM qual_out")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L), kept.toString)
+    } finally q.stop()
+  }
+
   test("streaming crawl frontier end to end: ingest -> robots gate -> url dedup") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
