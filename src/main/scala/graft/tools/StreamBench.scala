@@ -67,13 +67,20 @@ object StreamBench {
           "User-agent: *\nDisallow: /\n")).toDF("host", "body"),
       "host", "body", "GraftBot")
 
-    // ---- crawl frontier: warcIngest -> robotsGate -> urlDedup ----
+    // ---- crawl frontier: warcIngest -> robotsGate -> langGate ->
+    // urlDedup. The language gate runs in AUDIT mode (keepRejected) so
+    // its kernel cost is measured without changing row counts — the
+    // synthetic corpus shares one vocabulary, so a filtering gate
+    // would drop everything or nothing.
     val in = MemoryStream[(Timestamp, Array[Byte])]
     var outRows = 0L
     val pipeline = Streams.urlDedup(
-      Streams.robotsGate(
-        Streams.warcIngest(in.toDF().toDF("ts", "bytes"), "bytes"),
-        rules, "target_uri"),
+      Streams.langGate(
+        Streams.robotsGate(
+          Streams.warcIngest(in.toDF().toDF("ts", "bytes"), "bytes"),
+          rules, "target_uri"),
+        "body", allowed = Seq("en", "de", "es", "fr", "it", "pt", "nl"),
+        keepRejected = true),
       "target_uri")
     val q = pipeline.writeStream
       .foreachBatch { (df: DataFrame, _: Long) => outRows += df.count() }
