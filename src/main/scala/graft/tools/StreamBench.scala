@@ -87,11 +87,9 @@ object StreamBench {
       .outputMode("append").start()
     val perBatch = blobs.grouped(math.max(1, blobs.length / nBatches)).toArray
     val walls = new Array[Double](perBatch.length)
-    var inRecords = 0L
     try {
       perBatch.zipWithIndex.foreach { case (chunk, bi) =>
         val ts = new Timestamp(1700000000000L + bi * 60000L)
-        inRecords += chunk.map(_ => 0L).length // blobs; record count below
         val t0 = System.nanoTime()
         in.addData(chunk.map(b => (ts, b)).toSeq)
         q.processAllAvailable()
