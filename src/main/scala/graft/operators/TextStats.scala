@@ -331,12 +331,10 @@ object TextStats {
   def langProfilesTrain(df: DataFrame, idCol: String, textCol: String,
       langCol: String, k: Int = 40): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val t2 = concat(lit(" "), norm(col(textCol)), lit(" "))
-    val grams = when(length(t2) >= 3,
-      transform(sequence(lit(1), length(t2) - 2), i => t2.substr(i, lit(3))))
-      .otherwise(array().cast("array<string>"))
     val counts = df
-      .select(col(langCol).as("lang"), explode(grams).as("gram"))
+      .select(col(langCol).as("lang"),
+        explode(graft.functions.lang.char_trigrams(norm(col(textCol))))
+          .as("gram"))
       .groupBy(col("lang"), col("gram"))
       .agg(count(lit(1)).as("n"))
     val wg = Window.partitionBy("gram")
