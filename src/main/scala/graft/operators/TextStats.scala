@@ -324,10 +324,14 @@ object TextStats {
     * Scale shape: the exploded gram stream reduces immediately to the
     * vocabulary-bounded (lang, gram, n) frame (map-side partial agg);
     * the max-other computation is one window per GRAM over <= |langs|
-    * rows (never skewed: a gram has at most one row per language), the
-    * per-lang rank another bounded window. At 100 TB the only big
-    * shuffle is the combined count reduction — the canonical
-    * word-count shape. */
+    * rows (never skewed: a gram has at most one row per language); the
+    * per-lang rank window sorts one partition per LANGUAGE whose size
+    * is that language's distinct-trigram vocabulary (d >= 1 survivors)
+    * — bounded by vocabulary, not corpus: trigram inventories top out
+    * in the millions even on web-scale text, and a deployment that
+    * needs less can pre-cut with a higher d threshold before the
+    * window. At 100 TB the only corpus-sized shuffle is the combined
+    * count reduction — the canonical word-count shape. */
   def langProfilesTrain(df: DataFrame, idCol: String, textCol: String,
       langCol: String, k: Int = 40): DataFrame = {
     import org.apache.spark.sql.expressions.Window
