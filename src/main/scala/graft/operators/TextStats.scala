@@ -374,6 +374,42 @@ object TextStats {
       (length(t0) - length(t3)).cast("long").as("chars_removed"))
   }
 
+  /** The typed PII category table shared verbatim by [[piiProfile]]
+    * and its oracle: (name, pattern, placeholder), applied IN ORDER on
+    * the progressively scrubbed text (an email inside a URL is counted
+    * once, under the earlier category). Patterns stay in the
+    * Java-regex/RE2 COMMON subset (no backrefs, no lookaround; `\b`,
+    * bounded reps, alternation, non-capturing groups behave
+    * identically) so the oracle replays every count and replacement. */
+  val piiCategories: Seq[(String, String, String)] = Seq(
+    ("email", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+", "<email>"),
+    ("url", "https?://[^ ]+", "<url>"),
+    ("cc", "\\b[0-9]{4}[ -][0-9]{4}[ -][0-9]{4}[ -][0-9]{4}\\b", "<cc>"),
+    ("phone",
+      "\\+[0-9]{1,3}[ -][0-9][0-9 -]{6,}[0-9]|\\([0-9]{3}\\) [0-9]{3}-[0-9]{4}",
+      "<phone>"),
+    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<ip>"),
+    ("num", "[0-9][0-9][0-9][0-9][0-9]+", "<num>"))
+
+  /** Typed PII detection + scrub — the audit-grade form of [[scrub]]:
+    * per-document occurrence counts for each [[piiCategories]] category
+    * (counted on the progressively scrubbed text, so categories never
+    * double-count each other's spans) plus the fully scrubbed text and
+    * chars_removed. One codegen regexp chain per row, no shuffle — the
+    * same pushdown-friendly narrow map as [[scrub]], with the counts a
+    * privacy review actually reads. */
+  def piiProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t0 = norm(col(textCol))
+    val (scrubbed, countCols) =
+      piiCategories.foldLeft((t0, Seq.empty[Column])) {
+        case ((t, cs), (name, pat, ph)) =>
+          (regexp_replace(t, pat, ph),
+            cs :+ regexp_count(t, lit(pat)).cast("long").as(s"n_$name"))
+      }
+    df.select(col(idCol) +: countCols :+ scrubbed.as("scrubbed") :+
+      (length(t0) - length(scrubbed)).cast("long").as("chars_removed"): _*)
+  }
+
   /** Repetition score (Gopher-style): frequency of the most repeated
     * token over the token count. 1.0 = one token repeated throughout.
     * Max multiplicity = the longest equal run of the SORTED token

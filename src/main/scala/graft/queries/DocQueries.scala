@@ -286,6 +286,29 @@ object DocQueries {
     "doc_pack_nfd" -> ((s, d) =>
       TextStats.packSequencesNfd(docs(s, d), "doc_id", "text",
         budget = 1024L, buckets = 8)),
+    // typed PII detection + scrub over planted snippets (one category
+    // per doc_id bucket, id-bearing where the pattern allows): counts
+    // on the progressively scrubbed text, so categories never double-
+    // count each other's spans
+    "doc_pii_profile" -> ((s, d) => {
+      val b = col("doc_id") % 8
+      val id = col("doc_id").cast("string")
+      val planted = when(b === 0,
+          concat(lit(" contact u"), id, lit("@mail.example.com")))
+        .when(b === 1, concat(lit(" see https://t.example.org/p?id="), id))
+        .when(b === 2, lit(" card 4111 1111 1111 1111"))
+        .when(b === 3, lit(" call +31 6 1234 5678"))
+        .when(b === 4, lit(" call (555) 123-4567"))
+        .when(b === 5, concat(lit(" host 10.0."),
+          (col("doc_id") % 200).cast("string"), lit("."),
+          (col("doc_id") % 250).cast("string")))
+        .when(b === 6, concat(lit(" ref 98765"),
+          (col("doc_id") % 10).cast("string")))
+        .otherwise(lit(""))
+      TextStats.piiProfile(
+        docs(s, d).withColumn("text", concat(col("text"), planted)),
+        "doc_id", "text")
+    }),
     "doc_scrub" -> ((s, d) =>
       TextStats.scrub(docs(s, d), "doc_id", "text")),
     "doc_repetition" -> ((s, d) =>
@@ -2378,6 +2401,36 @@ object DocQueries {
            FROM r JOIN o ON o.bucket = r.bucket AND o.rn = r.rn + 1
          )
          SELECT doc_id, bucket, pack_idx, n_tokens FROM r""",
+    // sequential category chain replayed step for step: count on t_i,
+    // replace into t_{i+1} — same pattern strings, same order, so no
+    // category can double-count another's spans in either engine
+    "doc_pii_profile" -> {
+      val planted =
+        """CASE doc_id % 8
+           WHEN 0 THEN ' contact u' || doc_id || '@mail.example.com'
+           WHEN 1 THEN ' see https://t.example.org/p?id=' || doc_id
+           WHEN 2 THEN ' card 4111 1111 1111 1111'
+           WHEN 3 THEN ' call +31 6 1234 5678'
+           WHEN 4 THEN ' call (555) 123-4567'
+           WHEN 5 THEN ' host 10.0.' || (doc_id % 200) || '.' || (doc_id % 250)
+           WHEN 6 THEN ' ref 98765' || (doc_id % 10)
+           ELSE '' END"""
+      val steps = TextStats.piiCategories.zipWithIndex.map {
+        case ((name, pat, ph), i) =>
+          s"""s${i + 1} AS (SELECT *,
+             CAST(len(regexp_extract_all(t$i, '$pat')) AS BIGINT) AS n_$name,
+             regexp_replace(t$i, '$pat', '$ph', 'g') AS t${i + 1}
+           FROM s$i)"""
+      }.mkString(",\n         ")
+      val nCols = TextStats.piiCategories.map(c => s"n_${c._1}").mkString(", ")
+      val last = TextStats.piiCategories.length
+      s"""WITH f AS (SELECT doc_id, text || ($planted) AS text FROM documents),
+         s0 AS (SELECT doc_id, $normSql AS t0 FROM f),
+         $steps
+         SELECT doc_id, $nCols, t$last AS scrubbed,
+           (length(t0) - length(t$last))::BIGINT AS chars_removed
+         FROM s$last"""
+    },
     "doc_scrub" ->
       s"""WITH t0 AS (SELECT doc_id, $normSql AS t FROM documents),
          t3 AS (SELECT doc_id, t,

@@ -87,6 +87,37 @@ class TextStatsSpec extends AnyFunSuite {
     assert(j.getAs[Long]("score_ja") >= 30L) // 10 kana * 3
   }
 
+  test("piiProfile: typed counts, order precedence, scrub completeness") {
+    val spark2 = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark2.implicits._
+    val docs = Seq(
+      // every category at once
+      (0L, "mail a@b.org see https://x.io/p card 4111 1111 1111 1111 " +
+        "call +31 6 1234 5678 or (555) 123-4567 host 10.0.0.1 ref 123456 end"),
+      // precedence: the email inside a URL counts under EMAIL (earlier
+      // category) because the email pattern also matches there
+      (1L, "https://x.io/u?m=a@b.org tail"),
+      // digits inside cc/ip/phone must NOT double-count as num
+      (2L, "4111 1111 1111 1111 and 10.0.0.1 and +31 6 1234 5678"),
+      (3L, "clean text only")).toDF("doc_id", "text")
+    val got = TextStats.piiProfile(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def counts(id: Long) = (got(id).getAs[Long]("n_email"),
+      got(id).getAs[Long]("n_url"), got(id).getAs[Long]("n_cc"),
+      got(id).getAs[Long]("n_phone"), got(id).getAs[Long]("n_ip"),
+      got(id).getAs[Long]("n_num"))
+    assert(counts(0L) == ((1L, 1L, 1L, 2L, 1L, 1L)), counts(0L).toString)
+    assert(counts(1L) == ((1L, 1L, 0L, 0L, 0L, 0L)), counts(1L).toString)
+    assert(counts(2L) == ((0L, 0L, 1L, 1L, 1L, 0L)), counts(2L).toString)
+    assert(counts(3L) == ((0L, 0L, 0L, 0L, 0L, 0L)), counts(3L).toString)
+    // the scrubbed text retains no digit runs or @ from doc 0
+    val sc = got(0L).getAs[String]("scrubbed")
+    assert(!sc.exists(_.isDigit) && !sc.contains("@"), sc)
+    assert(got(3L).getAs[Long]("chars_removed") == 0L)
+  }
+
   test("langProfilesTrain: differential counts, ties, rank determinism") {
     val spark2 = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
