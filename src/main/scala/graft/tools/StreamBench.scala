@@ -31,6 +31,7 @@ object StreamBench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -147,6 +148,48 @@ object StreamBench {
     } finally imgQ.stop()
     imgPairs = spark.read.parquet(out).count()
 
+    // ---- stateful sessionization over the events table ----
+    // session_window + watermark: the state-HEAVY streaming path (one
+    // open session row per active user in state). Events feed in
+    // event-time order split into batches; sessions close as the
+    // watermark passes them.
+    // ts normalization: fixtures carry TIMESTAMP(NANOS) (long ns under
+    // nanosAsLong) or timestamp[us] (NTZ) — same handling as
+    // queries/EventQueries.ev
+    val evRaw = spark.read.parquet(s"$sfDir/events.parquet")
+    val evTs = evRaw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        evRaw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        evRaw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => evRaw
+    }
+    val evRows = evTs
+      .selectExpr("user_id", "ts", "COALESCE(value, 0.0) AS value")
+      .orderBy("ts")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+    val sessIn = MemoryStream[(Long, Timestamp, Double)]
+    var sessRows = 0L
+    val sessQ = Streams.sessionize(
+        sessIn.toDF().toDF("user_id", "ts", "value"),
+        gap = "30 minutes", watermark = "10 minutes")
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) => sessRows += df.count() }
+      .outputMode("append").start()
+    val evBatches = evRows.grouped(math.max(1, evRows.length / 10)).toArray
+    val sessWalls = new Array[Double](evBatches.length)
+    try {
+      evBatches.zipWithIndex.foreach { case (chunk, bi) =>
+        val t0 = System.nanoTime()
+        sessIn.addData(chunk.toSeq)
+        sessQ.processAllAvailable()
+        sessWalls(bi) = (System.nanoTime() - t0) / 1e9
+      }
+    } finally sessQ.stop()
+    val sessState = Option(sessQ.lastProgress)
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+
     val js =
       s"""{"metric":"stream","sf":"$sfDir","frontier":{""" +
         s""""blobs":${blobs.length},"records_in":$frontierRows,""" +
@@ -158,7 +201,12 @@ object StreamBench {
         s""""image_dedup":{"corpus":$corpusN,"streamed":${imgBatches * imgPerBatch},""" +
         s""""pairs":$imgPairs,"wall_sec":${imgWalls.sum},""" +
         s""""imgs_per_sec":${(imgBatches * imgPerBatch / imgWalls.sum).toLong},""" +
-        s""""batch_walls":[${imgWalls.map(x => f"$x%.3f").mkString(",")}]}}"""
+        s""""batch_walls":[${imgWalls.map(x => f"$x%.3f").mkString(",")}]},""" +
+        s""""sessionize":{"events_in":${evRows.length},""" +
+        s""""sessions_out":$sessRows,"wall_sec":${sessWalls.sum},""" +
+        s""""events_per_sec":${(evRows.length / sessWalls.sum).toLong},""" +
+        s""""batch_walls":[${sessWalls.map(x => f"$x%.3f").mkString(",")}],""" +
+        s""""state_rows":$sessState}}"""
     println(js)
     spark.stop()
   }
