@@ -1126,14 +1126,23 @@ object Multimodal {
   }
 
   /** Boundary-aware HTML attribute extract: the attribute name must
-    * follow whitespace (so lazy-load `data-src=` never shadows `src=`)
-    * and the value may be double-quoted, single-quoted, or unquoted.
-    * Three codegen'd `regexp_extract`s folded with `when` — no UDF. */
+    * follow a non-name boundary character — whitespace OR a closing
+    * quote (browsers tolerate `alt="x"src="y"` with no separator), so
+    * lazy-load `data-src=` still never shadows `src=` (the `-` before
+    * `src` is not a boundary) while quote-adjacent attributes are
+    * found. The value may be double-quoted, single-quoted, or
+    * unquoted; an EMPTY quoted value (`src=""`) extracts as `""` —
+    * presence is tested with `rlike` on the same pattern rather than
+    * non-emptiness of the extract, so empty values resolve to the
+    * matching branch instead of falling through (ADVICE r15).
+    * Codegen'd `regexp_extract`/`rlike` folded with `when` — no UDF. */
   private def htmlAttr(tag: Column, name: String): Column = {
-    val dq = regexp_extract(tag, "\\s" + name + "\\s*=\\s*\"([^\"]*)\"", 1)
-    val sq = regexp_extract(tag, "\\s" + name + "\\s*=\\s*'([^']*)'", 1)
-    val uq = regexp_extract(tag, "\\s" + name + "\\s*=\\s*([^\\s>\"'][^\\s>]*)", 1)
-    when(dq =!= "", dq).otherwise(when(sq =!= "", sq).otherwise(uq))
+    val pDq = "[\\s\"']" + name + "\\s*=\\s*\"([^\"]*)\""
+    val pSq = "[\\s\"']" + name + "\\s*=\\s*'([^']*)'"
+    val pUq = "[\\s\"']" + name + "\\s*=\\s*([^\\s>\"'][^\\s>]*)"
+    when(tag.rlike(pDq), regexp_extract(tag, pDq, 1))
+      .otherwise(when(tag.rlike(pSq), regexp_extract(tag, pSq, 1))
+        .otherwise(regexp_extract(tag, pUq, 1)))
   }
 
   /** VLM pair mining: join (img-src, alt-text) pairs extracted from

@@ -1194,13 +1194,27 @@ object TextStats {
     require(numBuckets >= 1 && rounds >= 0 && lrNum >= 1 && lrDen >= 1 &&
       lrDecayEvery >= 1,
       s"bad hyperparameters: B=$numBuckets R=$rounds lr=$lrNum/$lrDen/$lrDecayEvery")
+    // Long shifts wrap mod 64: the halving schedule's largest shift must
+    // leave lrDen's bit length under 62 bits or the denominator silently
+    // wraps to zero/negative and corrupts the weights (ADVICE r15).
+    val maxShift = if (rounds == 0) 0 else (rounds - 1) / lrDecayEvery
+    require(maxShift + (64 - java.lang.Long.numberOfLeadingZeros(lrDen)) <= 62,
+      s"lr decay overflows Long: lrDen=$lrDen shifted by $maxShift " +
+        s"(rounds=$rounds, lrDecayEvery=$lrDecayEvery) exceeds 62 bits")
     val wh = graft.functions.text.word_portable_hashes(norm(col(textCol)))
     val docs = df.select(col(labelCol).cast("long").as("__y"), wh.as("__wh"))
       .localCheckpoint()
     val nDocs = docs.count()
+    // the FULL denominator 4*nDocs*lrDen << maxShift must also fit: the
+    // entry require bounds lrDen's shift alone, but the doc-count factor
+    // eats headroom too (e.g. 8 << 61 wraps to 0 -> division by zero)
+    val denomBase = math.multiplyExact(math.multiplyExact(4L, nDocs), lrDen)
+    require(maxShift + (64 - java.lang.Long.numberOfLeadingZeros(denomBase)) <= 62,
+      s"lr decay overflows Long: 4*nDocs*lrDen=$denomBase shifted by " +
+        s"$maxShift (nDocs=$nDocs, rounds=$rounds, lrDecayEvery=$lrDecayEvery)")
     val w = Array.fill(numBuckets)(0L)
     for (r <- 0 until rounds) {
-      val denom = 4L * nDocs * (lrDen << (r / lrDecayEvery))
+      val denom = denomBase << (r / lrDecayEvery)
       val wLit = typedlit(w.clone())
       val grads = docs
         .withColumn("__m", coalesce(aggregate(col("__wh"), lit(0L),

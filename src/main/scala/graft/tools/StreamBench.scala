@@ -190,22 +190,26 @@ object StreamBench {
     val sessState = Option(sessQ.lastProgress)
       .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
 
+    // locale-pinned: f"%.3f" under a comma-decimal default locale would
+    // render 0,123 and break the JSON consumer (ADVICE r15)
+    def f3(x: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
     val js =
       s"""{"metric":"stream","sf":"$sfDir","frontier":{""" +
         s""""blobs":${blobs.length},"records_in":$frontierRows,""" +
         s""""bytes_in":$inBytes,"rows_out":$outRows,""" +
         s""""batches":${perBatch.length},"wall_sec":$frontierWall,""" +
         s""""rows_per_sec":${(frontierRows / frontierWall).toLong},""" +
-        s""""batch_walls":[${walls.map(x => f"$x%.3f").mkString(",")}],""" +
+        s""""batch_walls":[${walls.map(f3).mkString(",")}],""" +
         s""""state_rows":$stateRows},""" +
         s""""image_dedup":{"corpus":$corpusN,"streamed":${imgBatches * imgPerBatch},""" +
         s""""pairs":$imgPairs,"wall_sec":${imgWalls.sum},""" +
         s""""imgs_per_sec":${(imgBatches * imgPerBatch / imgWalls.sum).toLong},""" +
-        s""""batch_walls":[${imgWalls.map(x => f"$x%.3f").mkString(",")}]},""" +
+        s""""batch_walls":[${imgWalls.map(f3).mkString(",")}]},""" +
         s""""sessionize":{"events_in":${evRows.length},""" +
         s""""sessions_out":$sessRows,"wall_sec":${sessWalls.sum},""" +
         s""""events_per_sec":${(evRows.length / sessWalls.sum).toLong},""" +
-        s""""batch_walls":[${sessWalls.map(x => f"$x%.3f").mkString(",")}],""" +
+        s""""batch_walls":[${sessWalls.map(f3).mkString(",")}],""" +
         s""""state_rows":$sessState}}"""
     println(js)
     spark.stop()

@@ -428,4 +428,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == Set((1L, 10L, "cat"), (2L, 11L, "dog"),
       (3L, 12L, "fox")), s"got $got")
   }
+
+  test("imageAltPairs: quote-adjacent attrs and empty values (ADVICE r15)") {
+    import spark.implicits._
+    val pages = Seq(
+      // browser-tolerated markup: no separator after a quoted value
+      (1L, """<img alt="cat"src="https://e.org/a.png">"""),
+      // empty quoted src -> tag drops (no value to join), never mis-binds
+      // to a LATER unquoted token
+      (2L, """<img src="" alt="ghost">"""),
+      // empty alt -> drops (pairs need text), even with a valid src
+      (3L, """<img src="https://e.org/b.png" alt="">"""),
+      // data-src still never shadows src when quote-adjacent
+      (4L, """<img alt="dog"data-src="https://e.org/lazy.png" src="https://e.org/b.png">"""))
+      .toDF("page_id", "html")
+    val images = Seq(
+      (10L, "https://e.org/a.png"), (11L, "https://e.org/b.png"),
+      (13L, "https://e.org/lazy.png")).toDF("media_id", "url")
+    val got = Multimodal.imageAltPairs(pages, "page_id", "html", images, "url")
+      .select("page_id", "media_id", "alt").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set((1L, 10L, "cat"), (4L, 11L, "dog")), s"got $got")
+  }
 }

@@ -245,6 +245,35 @@ class TextStatsSpec extends AnyFunSuite {
       numBuckets = 128, rounds = 3).sameElements(w))
   }
 
+  test("classifierTrain rejects lr-decay schedules that overflow Long") {
+    val spark2 = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark2.implicits._
+    val docs = Seq((0L, "alpha", 1), (1L, "omega", 0))
+      .toDF("doc_id", "text", "label")
+    // rounds/lrDecayEvery pushes the shift past 62 bits: Long << wraps
+    // mod 64, so without the guard the denominator silently corrupts
+    intercept[IllegalArgumentException] {
+      TextStats.classifierTrain(docs, "doc_id", "text", "label",
+        numBuckets = 64, rounds = 64, lrDecayEvery = 1)
+    }
+    intercept[IllegalArgumentException] { // big lrDen eats the headroom
+      TextStats.classifierTrain(docs, "doc_id", "text", "label",
+        numBuckets = 64, rounds = 13, lrDecayEvery = 1, lrDen = 1L << 52)
+    }
+    intercept[IllegalArgumentException] { // nDocs factor eats headroom too:
+      // entry guard passes (shift 4 + bitlen 53 = 57) but 4*2*2^52 << 4
+      // has bitlen 59... make it fail: shift 8 -> 55+8=63 > 62
+      TextStats.classifierTrain(docs, "doc_id", "text", "label",
+        numBuckets = 64, rounds = 9, lrDecayEvery = 1, lrDen = 1L << 52)
+    }
+    // a deep legal schedule with a large lrDen still trains
+    val w = TextStats.classifierTrain(docs, "doc_id", "text", "label",
+      numBuckets = 64, rounds = 4, lrDecayEvery = 1, lrDen = 1L << 50)
+    assert(w.length == 64)
+  }
+
   test("budgetSelect == naive greedy inclusive-cumsum cut") {
     val spark2 = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
