@@ -126,6 +126,26 @@ object DocQueries {
   private def langIdScored(s: SparkSession, d: String): DataFrame =
     TextStats.withLangScores(langFixture(s, d), "__t").drop("__t")
 
+  /** Evaluation fixture (VERDICT r15 item 2): 216 distinct UNSEEN
+    * generator-derived sentences per language from
+    * [[LangProfiles.evalSlots]] — doc_id picks language (mod 12) and a
+    * fragment per slot via mixed-radix arithmetic on doc_id div 12, so
+    * at the driver's sf0.01 every language is measured on hundreds of
+    * sentences the profiles never saw. Construction mirrors
+    * [[langEvalFixtureSql]] term for term. */
+  private def langEvalFixture(s: SparkSession, d: String): DataFrame = {
+    import LangProfiles._
+    val li = (col("doc_id") % 12).cast("int")
+    def slot(k: Int) = typedlit(langs.indices.flatMap(i => evalSlots(i)(k)))
+    def idx(div: Long) =
+      li * 6 + expr(s"((doc_id div 12) div $div) % 6").cast("int") + 1
+    docs(s, d).select(col("doc_id"),
+      element_at(typedlit(langs), li + 1).as("planted_lang"),
+      concat(element_at(slot(0), idx(1L)), lit(" "),
+        element_at(slot(1), idx(6L)), lit(" "),
+        element_at(slot(2), idx(36L))).as("__t"))
+  }
+
   /** The planted-fixture construction as one SELECT (shared by the
     * lang-id, mix, and profile-training oracles). */
   private def langFixtureSql: String = {
@@ -147,7 +167,13 @@ object DocQueries {
     * construction. Script counts via regexp length-delta (RE2
     * `[\\x{..}-\\x{..}]` classes = Java literal-char classes);
     * priority-ordered argmax identical to the Spark when-chain. */
-  private def langIdOracle: String = {
+  private def langIdOracle: String = langScoredSql(langFixtureSql)
+
+  /** The scoring half of [[langIdOracle]], parameterized on the
+    * fixture SELECT (must yield `doc_id, planted_lang, t`) so the
+    * 2-sentence smoke fixture and the 216-sentence evaluation fixture
+    * share one oracle rendering of the trigram + script-point model. */
+  private def langScoredSql(fixtureSql: String): String = {
     import LangProfiles._
     def lst(xs: Seq[String]) =
       xs.map(x => "'" + x.replace("'", "''") + "'").mkString("[", ", ", "]")
@@ -160,7 +186,7 @@ object DocQueries {
     }.mkString(",\n           ")
     val scoreList = langs.map(l => s"score_$l").mkString(", ")
     val pred = langs.map(l => s"WHEN score_$l = m THEN '$l'").mkString(" ")
-    s"""WITH f AS ($langFixtureSql),
+    s"""WITH f AS ($fixtureSql),
        n2 AS (SELECT doc_id, planted_lang, ' ' || t || ' ' AS t2 FROM f),
        g2 AS (SELECT doc_id, planted_lang, t2,
          list_transform(range(1, greatest(length(t2) - 1, 1)),
@@ -171,6 +197,24 @@ object DocQueries {
        SELECT doc_id, planted_lang, $scoreList,
          CASE WHEN m = 0 THEN 'und' $pred END AS pred_lang
        FROM m2"""
+  }
+
+  /** The 216-sentences-per-language EVALUATION fixture as one SELECT
+    * (mirrors [[langEvalFixture]] term for term): doc_id picks the
+    * language (mod 12) and one fragment per slot via mixed-radix
+    * arithmetic on doc_id div 12. */
+  private def langEvalFixtureSql: String = {
+    import LangProfiles._
+    def lst(xs: Seq[String]) =
+      xs.map(x => "'" + x.replace("'", "''") + "'").mkString("[", ", ", "]")
+    def slot(k: Int) = lst(langs.indices.flatMap(li => evalSlots(li)(k)))
+    def idx(div: Long) =
+      s"((doc_id % 12) * 6 + ((doc_id // 12) // $div) % 6 + 1)"
+    s"""SELECT doc_id,
+       ${lst(langs)}[(doc_id % 12) + 1] AS planted_lang,
+       ${slot(0)}[${idx(1L)}] || ' ' || ${slot(1)}[${idx(6L)}] || ' ' ||
+       ${slot(2)}[${idx(36L)}] AS t
+     FROM documents"""
   }
 
   /** HTML wrap for the crawl-with-markup pipeline fixture: ONE shared
@@ -228,6 +272,24 @@ object DocQueries {
     "doc_lang_profiles_train" -> ((s, d) =>
       TextStats.langProfilesTrain(langFixture(s, d), "doc_id", "__t",
         "planted_lang")),
+    // language-ID accuracy gauge on the UNSEEN generator fixture
+    // (VERDICT r15 item 2): confusion matrix (planted x predicted
+    // counts) + per-language integer-milli accuracy — the
+    // doc_classifier_eval pattern for the trigram model, quantifying
+    // the confusable pairs (es/pt, de/nl, zh/ja) instead of only
+    // spec-pinning them. Scoring is the single-pass codegen kernel;
+    // both windows run on the reduced <=144-row confusion frame.
+    "doc_lang_id_eval" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("planted_lang")
+      TextStats.withLangScores(langEvalFixture(s, d), "__t")
+        .groupBy(col("planted_lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("lang_total", sum(col("n")).over(w))
+        .withColumn("accuracy_milli",
+          expr("(1000 * sum(CASE WHEN pred_lang = planted_lang THEN n " +
+            "ELSE 0 END) OVER (PARTITION BY planted_lang)) div lang_total"))
+    }),
     // corpus language mix keyed by the PREDICTED language — the real-
     // crawl shape (no trusted lang metadata exists on web data): the
     // trigram model's argmax feeds the X18 share arithmetic; the
@@ -2236,6 +2298,20 @@ object DocQueries {
     // full profile-model replication: fixture construction, trigram
     // membership counts, regex script points, priority-ordered argmax
     "doc_lang_id" -> langIdOracle,
+    // the unseen-fixture scoring reduced to the confusion matrix +
+    // per-planted-language integer-milli accuracy
+    "doc_lang_id_eval" ->
+      s"""WITH base AS (${langScoredSql(langEvalFixtureSql)}),
+         c AS (SELECT planted_lang, pred_lang,
+                 CAST(count(*) AS BIGINT) AS n FROM base GROUP BY 1, 2)
+         SELECT planted_lang, pred_lang, n,
+           CAST(sum(n) OVER (PARTITION BY planted_lang) AS BIGINT)
+             AS lang_total,
+           CAST((1000 * sum(CASE WHEN pred_lang = planted_lang THEN n
+                 ELSE 0 END) OVER (PARTITION BY planted_lang))
+             // sum(n) OVER (PARTITION BY planted_lang) AS BIGINT)
+             AS accuracy_milli
+         FROM c""",
     // the distributed profile derivation replayed step for step:
     // padded trigram explode, (lang, gram) counts, per-gram max-other
     // via the mx/nmx/m2 window decomposition, per-lang deterministic

@@ -61,6 +61,38 @@ class TextStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("languageIdTrigram >= 940 milli per language on the FULL unseen eval space") {
+    val spark2 = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark2.implicits._
+    // every combination the doc_lang_id_eval generator can emit:
+    // 12 langs x 6^3 fragment choices = 2592 sentences, none in the
+    // derivation corpus — the committed accuracy floor for the model
+    val rows = for {
+      li <- LangProfiles.langs.indices
+      a <- 0 until 6; b <- 0 until 6; c <- 0 until 6
+    } yield (li.toLong * 216 + a * 36 + b * 6 + c,
+      LangProfiles.langs(li),
+      s"${LangProfiles.evalSlots(li)(0)(a)} ${LangProfiles.evalSlots(li)(1)(b)} ${LangProfiles.evalSlots(li)(2)(c)}")
+    val df = rows.toDF("doc_id", "planted", "text")
+    val got = TextStats.languageIdTrigram(df, "doc_id", "text")
+      .select("doc_id", "pred_lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val perLang = rows.groupBy(_._2).map { case (l, rs) =>
+      l -> rs.count(r => got(r._1) == l) * 1000 / rs.size
+    }
+    // floor = the measured r16 level: pt sits at 944 (its residual
+    // misses are Romance cognate phrases — "a criança tranquila",
+    // "sorri com carinho" — that are near-identical in es/it); every
+    // other language holds >= 950, most at 1000
+    perLang.foreach { case (l, acc) =>
+      assert(acc >= 940, s"$l eval accuracy $acc milli < 940")
+    }
+    val macroAcc = perLang.values.sum / perLang.size
+    assert(macroAcc >= 990, s"macro accuracy $macroAcc milli < 990")
+  }
+
   test("languageIdTrigram scoring arithmetic and script points pin down") {
     val spark2 = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
