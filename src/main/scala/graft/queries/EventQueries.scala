@@ -449,7 +449,7 @@ object EventQueries {
          SELECT event_type,
            CAST(CASE WHEN max(n) < 1024 THEN max(n)
              ELSE (1023::HUGEINT * 4611686018427387904::HUGEINT)
-               / max(CASE WHEN rn = 1024 THEN h END)
+               // max(CASE WHEN rn = 1024 THEN h END)
              END AS BIGINT) AS approx_users
          FROM r GROUP BY event_type""",
     // triangle replication: identical ordered wedge-close joins
