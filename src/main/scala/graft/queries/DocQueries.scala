@@ -54,36 +54,60 @@ object DocQueries {
     * classifier. Labels: the [[classifierLabel]] count-comparison rule;
     * lrDen_r = lrDen << (r / decayEvery), the halving step schedule. */
   private def classifierCtes(buckets: Int, rounds: Int,
-      lrNum: Long = 1L, lrDen: Long = 1L, decayEvery: Int = 6): String = {
+      lrNum: Long = 1L, lrDen: Long = 1L, decayEvery: Int = 6,
+      labelCondSql: String =
+        s"""len(list_filter(string_split($normSql, ' '), w -> w = 'the'))
+                  > len(list_filter(string_split($normSql, ' '), w -> w = 'spark'))""",
+      textExprSql: String = "text",
+      trainFilterSql: String = "TRUE"): String = {
     // every multiply-referenced CTE is MATERIALIZED — DuckDB inlines
     // CTEs by default, and w_r feeding both m_r and w_{r+1} would
-    // otherwise expand 2^rounds ways
+    // otherwise expand 2^rounds ways. `t` is the FULL (doc, bucket)
+    // stream (scoring CTEs downstream read it); `tt`/`n` restrict to
+    // the TRAINING split (trainFilterSql on doc_id), so held-out docs
+    // never touch a gradient — with the default TRUE filter tt == t.
     val head =
       s"""d AS MATERIALIZED (SELECT doc_id,
-             CASE WHEN len(list_filter(string_split($normSql, ' '), w -> w = 'the'))
-                  > len(list_filter(string_split($normSql, ' '), w -> w = 'spark'))
-               THEN 1 ELSE 0 END AS y,
-             list_transform(string_split($normSql, ' '),
+             CASE WHEN $labelCondSql THEN 1 ELSE 0 END AS y,
+             list_transform(string_split(${normOf(textExprSql)}, ' '),
                w -> ${PortableSql.wordHash("w")} % $buckets) AS bs
            FROM documents),
-         n AS MATERIALIZED (SELECT count(*) AS nd FROM documents),
+         n AS MATERIALIZED (SELECT count(*) AS nd FROM documents
+           WHERE $trainFilterSql),
          t AS MATERIALIZED (SELECT doc_id, y, u.b AS b
            FROM d, LATERAL unnest(bs) AS u(b)),
+         tt AS MATERIALIZED (SELECT * FROM t WHERE $trainFilterSql),
          w0 AS MATERIALIZED (SELECT range AS b, 0::BIGINT AS w
            FROM range(0, $buckets))"""
     val roundCtes = (0 until rounds).map { r =>
       val lrDenR = lrDen << (r / decayEvery)
-      s"""m$r AS (SELECT t.doc_id, max(t.y) AS y, sum(w.w) AS m
-             FROM t JOIN w$r w USING (b) GROUP BY 1),
+      s"""m$r AS (SELECT tt.doc_id, max(tt.y) AS y, sum(w.w) AS m
+             FROM tt JOIN w$r w USING (b) GROUP BY 1),
          e$r AS (SELECT doc_id,
              y * 4000 - greatest(0, least(4000, 2000 + m)) AS e FROM m$r),
-         g$r AS (SELECT t.b, sum(e.e) AS g
-             FROM t JOIN e$r e USING (doc_id) GROUP BY 1),
+         g$r AS (SELECT tt.b, sum(e.e) AS g
+             FROM tt JOIN e$r e USING (doc_id) GROUP BY 1),
          w${r + 1} AS MATERIALIZED (SELECT w.b,
              w.w + (coalesce(g.g, 0) * $lrNum) // (4 * n.nd * $lrDenR) AS w
            FROM w$r w LEFT JOIN g$r g USING (b) CROSS JOIN n)"""
     }
     (head +: roundCtes).mkString(",\n         ")
+  }
+
+  /** [[TextStats.gopherKeep]]'s five-rule conjunction as one DuckDB
+    * condition over the normalized text (mirrors the doc_gopher_rules
+    * oracle term for term) — the weak-supervision label for
+    * `doc_classifier_gopher`. */
+  private def gopherKeepCondSql: String = {
+    val nw = s"len(string_split($normSql, ' '))"
+    val wc = s"(length($normSql) - ($nw - 1))"
+    s"""($nw >= 40 AND $nw <= 100000
+         AND $wc >= $nw * 3 AND $wc <= $nw * 10
+         AND len(regexp_extract_all($normSql, '#|\\.\\.\\.')) * 10 <= $nw
+         AND len(list_filter(string_split($normSql, ' '),
+               w -> regexp_matches(w, '[a-z]'))) * 5 >= $nw * 4
+         AND len(list_filter(list_distinct(string_split($normSql, ' ')),
+               w -> list_contains(${stopListSql(TextStats.enStopwords)}, w))) >= 2)"""
   }
 
   /** Per-SF-dir memo of the trained classifier weights (the
@@ -320,6 +344,38 @@ object DocQueries {
             .as("precision_milli"),
           expr("CASE WHEN tp + fn = 0 THEN 0 ELSE (1000 * tp) div (tp + fn) END")
             .as("recall_milli"))
+    }),
+    // weak-supervision training against the Gopher-rule conjunction
+    // (VERDICT r15 item 3): the label is a NONLINEAR length-threshold
+    // rule a bias-free linear bag-of-words model provably cannot
+    // express (margin>0 has no intercept), so a reserved bias token is
+    // appended to every document — the standard hashed-intercept trick
+    // — and the model must learn (negative bias + positive per-token
+    // mass) to approximate the threshold. Train on the splitAssign
+    // train split ONLY; report per-split confusion + accuracy, so the
+    // train-vs-holdout gap is the committed evidence of generalization
+    "doc_classifier_gopher" -> ((s, d) => {
+      val base = docs(s, d)
+        .withColumn("label", TextStats.gopherKeep(col("text")).cast("int"))
+        .withColumn("__t",
+          concat(col("text"), lit(" xqbias xqbias xqbias xqbias")))
+      val split = TextStats.splitAssign(base, "doc_id")
+      val w = TextStats.classifierTrain(
+        split.filter(col("split") === "train"), "doc_id", "__t", "label",
+        lrDecayEvery = 12)
+      val scored = TextStats.classifierScore(split, "doc_id", "__t",
+        numBuckets = 512, weights = Some(w))
+        .select(col("doc_id"), col("keep"))
+      split.select(col("doc_id"), col("split"), col("label"))
+        .join(scored, "doc_id")
+        .groupBy(col("split"))
+        .agg(
+          sum(when(col("keep") && col("label") === 1, 1L).otherwise(0L)).as("tp"),
+          sum(when(col("keep") && col("label") === 0, 1L).otherwise(0L)).as("fp"),
+          sum(when(!col("keep") && col("label") === 1, 1L).otherwise(0L)).as("fn"),
+          sum(when(!col("keep") && col("label") === 0, 1L).otherwise(0L)).as("tn"))
+        .select(col("split"), col("tp"), col("fp"), col("fn"), col("tn"),
+          expr("(1000 * (tp + tn)) div (tp + fp + fn + tn)").as("accuracy_milli"))
     }),
     "doc_fingerprint" -> ((s, d) =>
       TextStats.fingerprint(docs(s, d), "doc_id", "text")),
@@ -2369,6 +2425,34 @@ object DocQueries {
              ELSE (1000 * tp) // (tp + fp) END AS BIGINT) AS precision_milli,
            CAST(CASE WHEN tp + fn = 0 THEN 0
              ELSE (1000 * tp) // (tp + fn) END AS BIGINT) AS recall_milli
+         FROM c""",
+    // the gopher-labeled training loop with the bias token and the
+    // split-restricted gradient stream, then per-split confusion over
+    // the FULL corpus scored by w24
+    "doc_classifier_gopher" ->
+      s"""WITH ${classifierCtes(buckets = 512, rounds = 24, decayEvery = 12,
+             labelCondSql = gopherKeepCondSql,
+             textExprSql = "text || ' xqbias xqbias xqbias xqbias'",
+             trainFilterSql =
+               s"${TextStats.idBucketSql("doc_id", 100)} >= 10")},
+         sc AS (SELECT t.doc_id, sum(w.w) AS ls
+                FROM t JOIN w24 w USING (b) GROUP BY 1),
+         sp AS (SELECT doc_id,
+             CASE WHEN ${TextStats.idBucketSql("doc_id", 100)} < 5 THEN 'val'
+                  WHEN ${TextStats.idBucketSql("doc_id", 100)} < 10 THEN 'test'
+                  ELSE 'train' END AS split
+           FROM documents),
+         j AS (SELECT d.doc_id, sp.split, d.y, coalesce(sc.ls, 0) > 0 AS keep
+               FROM d JOIN sp USING (doc_id) LEFT JOIN sc USING (doc_id)),
+         c AS (SELECT split,
+             CAST(count(*) FILTER (keep AND y = 1) AS BIGINT) AS tp,
+             CAST(count(*) FILTER (keep AND y = 0) AS BIGINT) AS fp,
+             CAST(count(*) FILTER (NOT keep AND y = 1) AS BIGINT) AS fn,
+             CAST(count(*) FILTER (NOT keep AND y = 0) AS BIGINT) AS tn
+           FROM j GROUP BY split)
+         SELECT split, tp, fp, fn, tn,
+           CAST((1000 * (tp + tn)) // (tp + fp + fn + tn) AS BIGINT)
+             AS accuracy_milli
          FROM c""",
     "doc_lang_stopwords" ->
       s"""WITH s AS (SELECT doc_id,

@@ -277,6 +277,37 @@ class TextStatsSpec extends AnyFunSuite {
       numBuckets = 128, rounds = 3).sameElements(w))
   }
 
+  test("classifierTrain learns a LENGTH threshold via the bias-token intercept") {
+    val spark2 = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark2.implicits._
+    // label = n_words >= 40: NOT representable by margin>0 without an
+    // intercept (all-token weights scale both classes together); the
+    // appended bias tokens are the standard hashed-intercept trick —
+    // the doc_classifier_gopher construction, pinned here on a
+    // synthetic corpus with a shared vocabulary so no WORD separates
+    // the classes, only length
+    val vocab = Array("alpha", "bravo", "carol", "delta", "echos", "fotox",
+      "golfo", "hotel", "indxa", "julie", "kilos", "liman")
+    val docs = (0 until 300).map { i =>
+      val n = 5 + (i * 37) % 80 // 5..84 words, deterministic spread
+      val words = (0 until n).map(j => vocab((i * 13 + j * 7) % vocab.length))
+      (i.toLong, words.mkString(" ") + " xqbias xqbias xqbias xqbias",
+        if (n >= 40) 1 else 0)
+    }.toDF("doc_id", "text", "label")
+    val w = TextStats.classifierTrain(docs, "doc_id", "text", "label",
+      numBuckets = 512, rounds = 24, lrDecayEvery = 12)
+    val scored = TextStats.classifierScore(docs, "doc_id", "text",
+        numBuckets = 512, weights = Some(w))
+      .select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val acc = (0 until 300).count { i =>
+      scored(i.toLong) == ((5 + (i * 37) % 80) >= 40)
+    } * 1000 / 300
+    assert(acc >= 900, s"length-threshold accuracy $acc milli < 900")
+  }
+
   test("classifierTrain rejects lr-decay schedules that overflow Long") {
     val spark2 = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
