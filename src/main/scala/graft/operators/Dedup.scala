@@ -396,6 +396,40 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Near-dup cluster resolution keeping the HIGHEST-QUALITY member of
+    * each cluster — the production representative rule ([[dedupApply]]
+    * keeps min-id, i.e. whichever copy was crawled first; real
+    * pipelines keep the cleanest copy and drop the
+    * boilerplate-damaged ones). `quality` is an (idCol, quality_milli)
+    * frame — any integer row-local quality key works; the registered
+    * query wires [[TextStats.qualityMilli]]. Representative =
+    * max quality, tie broken by min id (encoded as one lexicographic
+    * struct max, so the group-by stays a single partial-combined
+    * aggregation).
+    *
+    * Scale shape: corpus-sized work happens only inside the existing
+    * [[minhashNearDups]] banding; everything after runs on REDUCED
+    * frames (pairs → members → clusters), and the member⋈quality join
+    * keys on the small side so AQE broadcasts it. Returns one row per
+    * CLUSTER MEMBER: (idCol, cluster_id, quality_milli, kept). */
+  def dedupKeepBest(df: DataFrame, idCol: String, textCol: String,
+      quality: DataFrame,
+      shingleLen: Int = 3, wordShingles: Boolean = true, numHashes: Int = 64,
+      bands: Int = 16, threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashNearDups(df, idCol, textCol, shingleLen, wordShingles,
+      numHashes, bands, threshold).select("id_a", "id_b")
+    val members = duplicateClusters(pairs).withColumnRenamed("id", idCol)
+    val memberQ = members.join(quality, Seq(idCol))
+      .select(col(idCol), col("cluster_id"), col("quality_milli"))
+    val best = memberQ.groupBy(col("cluster_id"))
+      .agg(max(struct(col("quality_milli").as("q"),
+        (-col(idCol)).as("negid"))).as("b"))
+      .select(col("cluster_id"), (-col("b.negid")).as("__keep_id"))
+    memberQ.join(best, Seq("cluster_id"))
+      .select(col(idCol), col("cluster_id"), col("quality_milli"),
+        (col(idCol) === col("__keep_id")).as("kept"))
+  }
+
   /** Agreement matrix of two near-dup pair tables (each with id_a,
     * id_b columns, canonical a < b order): full outer join on the pair
     * key -> both / left_only / right_only counts. Both inputs are

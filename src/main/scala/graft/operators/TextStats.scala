@@ -120,6 +120,27 @@ object TextStats {
       stopDistinct >= minStopHits
   }
 
+  /** The integer-exact quality key of [[budgetSelect]] /
+    * [[sourceCapSelect]] as a standalone (id, quality_milli) frame —
+    * stopword-permille minus punctuation-permille, both integer
+    * divisions, so engines agree bit-for-bit. Exposed for ops that
+    * rank documents by quality without the budget machinery
+    * ([[Dedup.dedupKeepBest]] picks cluster representatives with it). */
+  def qualityMilli(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = norm(col(textCol))
+    val nChars = length(t)
+    val nTok = size(split(t, " "))
+    val punct = nChars - length(regexp_replace(t, "[^a-z0-9 ]", ""))
+    val stopHits = size(filter(split(t, " "), w => enStopwords.map(w === _).reduce(_ || _)))
+    df.select(col(idCol),
+        stopHits.cast("long").as("__stop"), nTok.cast("long").as("__ntok"),
+        punct.cast("long").as("__punct"),
+        greatest(nChars.cast("long"), lit(1L)).as("__nchars"))
+      .select(col(idCol),
+        expr("((__stop * 1000) div __ntok) - ((__punct * 1000) div __nchars)")
+          .as("quality_milli"))
+  }
+
   /** Greedy token-budget selection: keep the highest-quality documents
     * (quality desc, doc_id asc) while the running token total stays
     * within `budgetTokens` — the "fill a training mix under budget"
@@ -440,6 +461,39 @@ object TextStats {
       topCount.cast("long").as("top_token_count"),
       size(words).cast("long").as("n_tokens"),
       (topCount.cast("double") / size(words)).as("repetition_ratio"))
+  }
+
+  /** Integer-exact Shannon-entropy gauge over the normalized text —
+    * the information-density axis the heuristic quality signals and
+    * the trained classifier don't cover: character milli-entropy
+    * catches degenerate/gibberish content (`zzzz…` scores 0 where
+    * punct/stopword ratios can still look plausible) and the
+    * token-entropy permille (token entropy relative to its uniform
+    * maximum) catches fluent-looking word-level repetition
+    * independently of document length. All outputs are integers from
+    * the fixed-point milli-log2 of
+    * [[graft.functions.EntropyKernels]] — the gauge's contract is
+    * that integer formula, shared verbatim (mantissa table and all)
+    * with the SQL oracle, so results are hash-exact across engines.
+    *
+    * One codegen kernel call per row (a composed higher-order-function
+    * form would re-scan the char array once per distinct symbol), zero
+    * exchange — the gate pipelines into any scan at corpus scale.
+    * `keep` = milli_char_entropy ≥ 3200 ∧ token_entropy_permille ≥ 500
+    * (measured floor on the generator corpus: 3680 / 689). */
+  def entropyGauge(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val st = graft.functions.entropy.entropy_stats(norm(col(textCol)))
+    df.select(col(idCol), st.as("es"))
+      .select(col(idCol),
+        col("es")(0).as("n_chars"),
+        col("es")(1).as("n_distinct_chars"),
+        col("es")(2).as("milli_char_entropy"),
+        col("es")(3).as("n_tokens"),
+        col("es")(4).as("n_distinct_tokens"),
+        col("es")(5).as("milli_token_entropy"),
+        col("es")(6).as("token_entropy_permille"))
+      .withColumn("keep",
+        col("milli_char_entropy") >= 3200 && col("token_entropy_permille") >= 500)
   }
 
   /** Wrap-safe multiplicative hash bucket shared by [[splitAssign]],

@@ -412,6 +412,33 @@ object DocQueries {
     "doc_pack_nfd" -> ((s, d) =>
       TextStats.packSequencesNfd(docs(s, d), "doc_id", "text",
         budget = 1024L, buckets = 8)),
+    // information-density gauge: fixed-point integer entropy of the
+    // char and token distributions (EntropyKernels' milli-log2 — the
+    // mantissa table rides into the oracle as literals, so both
+    // engines evaluate the identical integer formula). Planted
+    // degenerate rows make the gate discriminative: doc_id%25==0 is
+    // char-degenerate (one repeated char — char rule fires, token rule
+    // vacuous), %25==1 is token-repetitive but char-normal (token rule
+    // fires alone); every generator doc clears both thresholds
+    // (measured corpus floor 3680/689 vs gates 3200/500)
+    "doc_entropy_gauge" -> ((s, d) => {
+      val b = col("doc_id") % 25
+      val txt = when(b === 0, concat_ws("",
+          array_repeat(lit("z"), (col("doc_id") % 20 + 40).cast("int"))))
+        .when(b === 1,
+          concat_ws(" ", array_repeat(lit("the quick brown fox"), 8)))
+        .otherwise(col("text"))
+      TextStats.entropyGauge(docs(s, d).withColumn("text", txt),
+        "doc_id", "text")
+    }),
+    // near-dup resolution keeping the highest-QUALITY cluster member
+    // (quality desc, id asc) instead of doc_dup_clusters' min-id rule
+    // — representative selection runs on the reduced member frame only
+    "doc_dedup_keep_best" -> ((s, d) => {
+      val base = docs(s, d)
+      Dedup.dedupKeepBest(base, "doc_id", "text",
+        TextStats.qualityMilli(base, "doc_id", "text"))
+    }),
     // typed PII detection + scrub over planted snippets (one category
     // per doc_id bucket, id-bearing where the pattern allows): counts
     // on the progressively scrubbed text, so categories never double-
@@ -1330,6 +1357,22 @@ object DocQueries {
      JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sa ON sa.doc_id = j.id_a
      JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sb ON sb.doc_id = j.id_b
      WHERE jaccard >= $threshold"""
+
+  /** DuckDB rendering of [[graft.functions.EntropyKernels.l]] — the
+    * fixed-point milli-log2. `k` from the binary-format bit length
+    * (exact integer, no float log), mantissa from the kernel's OWN
+    * table (literal list in the `ml` CTE via [[entropyMlCte]]), so the
+    * oracle and the codegen kernel evaluate the identical formula. */
+  private def milliLogSql(x: String): String = {
+    val k = s"(length(format('{:b}', $x)) - 1)"
+    s"""(1000 * $k + list_extract((SELECT v FROM ml),
+       CAST((($x) * 1024) // (1::BIGINT << $k) - 1023 AS INT)))"""
+  }
+
+  /** The kernel's 1024-entry mantissa table as a one-row list CTE. */
+  private val entropyMlCte: String =
+    "ml AS (SELECT " + graft.functions.EntropyKernels.mantissaMilliLog
+      .mkString("[", ", ", "]") + "::BIGINT[] AS v)"
 
   private val decontaminateSql =
     s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS ws FROM documents),
@@ -2344,6 +2387,73 @@ object DocQueries {
            SELECT id, b FROM r JOIN e ON r.reach = e.a
          )
          SELECT id AS doc_id, min(reach) AS cluster_id FROM r GROUP BY id""",
+    "doc_entropy_gauge" -> {
+      val permilleSql =
+        s"""CASE WHEN tn.n < 2 THEN CAST(1000 AS BIGINT)
+           ELSE CAST(te.milli_token_entropy * 1000 //
+             ${milliLogSql("tn.n")} AS BIGINT) END"""
+      s"""WITH raw AS (SELECT doc_id, CASE CAST(doc_id % 25 AS INT)
+             WHEN 0 THEN repeat('z', CAST(40 + doc_id % 20 AS INT))
+             WHEN 1 THEN trim(repeat('the quick brown fox ', 8))
+             ELSE text END AS text FROM documents),
+         $entropyMlCte,
+         n AS (SELECT doc_id, ${normOf("text")} AS t FROM raw),
+         ln2 AS (SELECT doc_id, length(t)::BIGINT AS n FROM n),
+         cc AS (SELECT doc_id, c, count(*)::BIGINT AS cnt FROM
+                 (SELECT doc_id, substr(t, CAST(u.i AS INT), 1) AS c
+                  FROM n, LATERAL unnest(range(1, length(t) + 1)) AS u(i))
+                GROUP BY 1, 2),
+         ce AS (SELECT cc.doc_id, CAST(count(*) AS BIGINT) AS n_distinct_chars,
+                 CAST(sum(cnt * (${milliLogSql("ln2.n")} - ${milliLogSql("cnt")}))
+                   // min(ln2.n) AS BIGINT) AS milli_char_entropy
+                FROM cc JOIN ln2 ON ln2.doc_id = cc.doc_id GROUP BY cc.doc_id),
+         tc AS (SELECT doc_id, w, count(*)::BIGINT AS cnt FROM
+                 (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM n)
+                GROUP BY 1, 2),
+         tn AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+                 CAST(count(*) AS BIGINT) AS nd FROM tc GROUP BY 1),
+         te AS (SELECT tc.doc_id,
+                 CAST(sum(cnt * (${milliLogSql("tn.n")} - ${milliLogSql("cnt")}))
+                   // min(tn.n) AS BIGINT) AS milli_token_entropy
+                FROM tc JOIN tn ON tn.doc_id = tc.doc_id GROUP BY tc.doc_id),
+         g AS (SELECT ln2.doc_id, ln2.n AS n_chars, ce.n_distinct_chars,
+                 ce.milli_char_entropy, tn.n AS n_tokens,
+                 tn.nd AS n_distinct_tokens, te.milli_token_entropy,
+                 $permilleSql AS token_entropy_permille
+               FROM ln2 JOIN ce ON ce.doc_id = ln2.doc_id
+                 JOIN tn ON tn.doc_id = ln2.doc_id
+                 JOIN te ON te.doc_id = ln2.doc_id)
+         SELECT *, (milli_char_entropy >= 3200
+           AND token_entropy_permille >= 500) AS keep FROM g"""
+    },
+    // same recursive cluster truth as doc_dup_clusters + the
+    // doc_source_cap quality CTE; representative = row_number 1 over
+    // (quality desc, id asc) within the cluster
+    "doc_dedup_keep_best" ->
+      s"""WITH RECURSIVE $wordShinglesCtes,
+         p AS (${wordPairsSelect(0.8)}),
+         e AS (SELECT id_a AS a, id_b AS b FROM p
+               UNION SELECT id_b, id_a FROM p),
+         r AS (
+           SELECT a AS id, a AS reach FROM e
+           UNION
+           SELECT id, b FROM r JOIN e ON r.reach = e.a
+         ),
+         cl AS (SELECT id AS doc_id, min(reach) AS cluster_id FROM r GROUP BY id),
+         nq AS (SELECT doc_id, $normSql AS t FROM documents),
+         c AS (SELECT doc_id, greatest(length(t), 1) AS n_chars,
+                 len(string_split(t, ' ')) AS n_tokens,
+                 length(t) - length(regexp_replace(t, '[^a-z0-9 ]', '', 'g')) AS punct,
+                 len(list_filter(string_split(t, ' '),
+                   w -> list_contains(${stopListSql(TextStats.enStopwords)}, w))) AS stop
+               FROM nq),
+         q AS (SELECT doc_id, CAST(((stop * 1000) // n_tokens) -
+                 ((punct * 1000) // n_chars) AS BIGINT) AS quality_milli FROM c),
+         m AS (SELECT cl.doc_id, cl.cluster_id, q.quality_milli,
+                 row_number() OVER (PARTITION BY cl.cluster_id
+                   ORDER BY q.quality_milli DESC, cl.doc_id ASC) AS rn
+               FROM cl JOIN q USING (doc_id))
+         SELECT doc_id, cluster_id, quality_milli, rn = 1 AS kept FROM m""",
     "doc_ngram_jaccard" -> charJaccardSql(5, 0.6),
     "doc_overlap_coef" ->
       s"""WITH $wordShinglesCtes
