@@ -120,6 +120,27 @@ object TextStats {
       stopDistinct >= minStopHits
   }
 
+  /** Encoding-damage QA over the RAW text (deliberately not
+    * [[norm]]ed — lowercasing maps the mojibake lead chars Ã→ã and
+    * destroys the double-encoding signature): the four typed counts
+    * of [[graft.functions.EncodingKernels]] (replacement chars, C1
+    * controls, latin-1-misdecoded UTF-8 pairs, stray C0 controls) in
+    * one codegen kernel pass, zero exchange. `keep` = all four
+    * counts zero — the gate a crawl pipeline runs right after
+    * charset decoding, before any content heuristics. */
+  def encodingArtifacts(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ar = graft.functions.encoding.encoding_artifacts(col(textCol))
+    df.select(col(idCol), length(col(textCol)).cast("long").as("n_chars"), ar.as("ea"))
+      .select(col(idCol), col("n_chars"),
+        col("ea")(0).as("n_replacement"),
+        col("ea")(1).as("n_c1_controls"),
+        col("ea")(2).as("n_double_utf8"),
+        col("ea")(3).as("n_c0_controls"))
+      .withColumn("keep",
+        col("n_replacement") + col("n_c1_controls") +
+          col("n_double_utf8") + col("n_c0_controls") === 0L)
+  }
+
   /** The integer-exact quality key of [[budgetSelect]] /
     * [[sourceCapSelect]] as a standalone (id, quality_milli) frame —
     * stopword-permille minus punctuation-permille, both integer

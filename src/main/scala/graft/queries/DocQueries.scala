@@ -431,6 +431,20 @@ object DocQueries {
       TextStats.entropyGauge(docs(s, d).withColumn("text", txt),
         "doc_id", "text")
     }),
+    // encoding-damage QA on RAW text (mojibake survives lowercase only
+    // in its victims, not its signature — so no norm here): one planted
+    // category per doc_id bucket, generator docs are clean ASCII and
+    // keep
+    "doc_encoding_artifacts" -> ((s, d) => {
+      val b = col("doc_id") % 30
+      val txt = when(b === 0, concat(col("text"), lit(" bad \uFFFD\uFFFD byte")))
+        .when(b === 1, concat(col("text"), lit(" ctl \u0085\u0092 end")))
+        .when(b === 2, concat(col("text"), lit(" moji Ã© Â·")))
+        .when(b === 3, concat(col("text"), lit(" bell \u0007\u0001 x")))
+        .otherwise(col("text"))
+      TextStats.encodingArtifacts(docs(s, d).withColumn("text", txt),
+        "doc_id", "text")
+    }),
     // near-dup resolution keeping the highest-QUALITY cluster member
     // (quality desc, id asc) instead of doc_dup_clusters' min-id rule
     // — representative selection runs on the reduced member frame only
@@ -2426,6 +2440,26 @@ object DocQueries {
          SELECT *, (milli_char_entropy >= 3200
            AND token_entropy_permille >= 500) AS keep FROM g"""
     },
+    // chr(n) is a code point in DuckDB, so the planted mojibake pairs
+    // are the same two-char sequences the engine literal carries; the
+    // pair pattern's lead/continuation ranges are disjoint, so RE2's
+    // non-overlapping scan counts exactly the engine's per-position
+    // pairs
+    "doc_encoding_artifacts" ->
+      s"""WITH n AS (SELECT doc_id, CASE CAST(doc_id % 30 AS INT)
+           WHEN 0 THEN text || ' bad ' || chr(65533) || chr(65533) || ' byte'
+           WHEN 1 THEN text || ' ctl ' || chr(133) || chr(146) || ' end'
+           WHEN 2 THEN text || ' moji ' || chr(195) || chr(169) || ' ' || chr(194) || chr(183)
+           WHEN 3 THEN text || ' bell ' || chr(7) || chr(1) || ' x'
+           ELSE text END AS t FROM documents),
+         c AS (SELECT doc_id, length(t)::BIGINT AS n_chars,
+           len(regexp_extract_all(t, '\\x{FFFD}'))::BIGINT AS n_replacement,
+           len(regexp_extract_all(t, '[\\x{0080}-\\x{009F}]'))::BIGINT AS n_c1_controls,
+           len(regexp_extract_all(t, '[\\x{00C2}\\x{00C3}][\\x{0080}-\\x{00BF}]'))::BIGINT AS n_double_utf8,
+           len(regexp_extract_all(t, '[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}]'))::BIGINT AS n_c0_controls
+         FROM n)
+         SELECT *, (n_replacement + n_c1_controls + n_double_utf8
+           + n_c0_controls = 0) AS keep FROM c""",
     // same recursive cluster truth as doc_dup_clusters + the
     // doc_source_cap quality CTE; representative = row_number 1 over
     // (quality desc, id asc) within the cluster
