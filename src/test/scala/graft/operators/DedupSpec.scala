@@ -137,6 +137,24 @@ class DedupSpec extends AnyFunSuite {
     assert(distDirect == want)
   }
 
+  test("duplicateClusters: contraction path equals driver truth on a mixed graph") {
+    // deterministic mix of chains, stars, and singleton-pair components
+    // spread over many partitions: 600 edges, forced through the
+    // partition-local contraction (limit 10) vs the driver union-find
+    val edges =
+      (0L until 200L).map(i => (i * 7 % 1000, i * 7 % 1000 + 1000)) ++   // stars
+      (0L until 300L).map(i => (2000 + i, 2000 + i + 1)) ++              // one chain
+      (0L until 100L).map(i => (10000 + 2 * i, 10001 + 2 * i))           // pairs
+    val df = edges.toDF("id_a", "id_b").repartition(16)
+    val truth = Dedup.duplicateClusters(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val contracted = Dedup.duplicateClusters(df, driverEdgeLimit = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(contracted == truth)
+    // the chain collapses to one min-labeled component
+    assert(truth(2300L) == 2000L)
+  }
+
   test("simhash: identical docs collide, disjoint docs are far") {
     val d = docs(
       1L -> "spark morton curve block index",
