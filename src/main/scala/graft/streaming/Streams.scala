@@ -126,6 +126,40 @@ object Streams {
     else scored.filter(col("logit_milli") > minLogit)
   }
 
+  /** Streaming encoding-damage gate — [[graft.operators.TextStats
+    * .encodingArtifacts]]'s kernel at the frontier: drop rows whose
+    * RAW text carries replacement chars, C1 controls, double-encoded
+    * UTF-8 pairs, or stray C0 controls. Stateless, one codegen call
+    * per row; in the curation funnel it runs FIRST after ingest —
+    * damaged bytes should never reach the language or quality
+    * models. */
+  def encodingGate(stream: DataFrame, textCol: String,
+      keepRejected: Boolean = false): DataFrame = {
+    val ar = graft.functions.encoding.encoding_artifacts(col(textCol))
+    val flagged = stream.withColumn("__enc_ok",
+      ar(0) + ar(1) + ar(2) + ar(3) === 0L)
+    if (keepRejected) flagged.withColumnRenamed("__enc_ok", "enc_ok")
+    else flagged.filter(col("__enc_ok")).drop("__enc_ok")
+  }
+
+  /** Streaming information-density gate —
+    * [[graft.operators.TextStats.entropyGauge]]'s kernel at the
+    * frontier: drop char-degenerate (milli char entropy <
+    * `minCharMilli`) and token-repetitive (token-entropy permille <
+    * `minTokenPermille`) rows. Stateless, one codegen call per row;
+    * catches the machine-generated repetition the trained classifier
+    * was never taught to reject. */
+  def entropyGate(stream: DataFrame, textCol: String,
+      minCharMilli: Long = 3200L, minTokenPermille: Long = 500L,
+      keepRejected: Boolean = false): DataFrame = {
+    val st = graft.functions.entropy.entropy_stats(
+      graft.operators.TextStats.norm(col(textCol)))
+    val flagged = stream.withColumn("__ent_ok",
+      st(2) >= minCharMilli && st(6) >= minTokenPermille)
+    if (keepRejected) flagged.withColumnRenamed("__ent_ok", "ent_ok")
+    else flagged.filter(col("__ent_ok")).drop("__ent_ok")
+  }
+
   /** Streaming WARC ingestion: each incoming blob (one WARC file /
     * fetch batch) is parsed with the strict reader
     * ([[graft.sources.Warc]] — hostile-length guarded, zip-bomb

@@ -203,6 +203,39 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming encoding and entropy gates drop damaged and degenerate rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val df = in.toDF().toDF("doc_id", "ts", "text")
+    val q = Streams.entropyGate(Streams.encodingGate(df, "text"), "text")
+      .writeStream.format("memory").queryName("gates_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, ts(0), "the cat sat on the mat and the dog ran off with it all"),
+        (2L, ts(1), "mojibake crept in Ã© here"),       // encoding gate
+        (3L, ts(2), "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzz"),  // char entropy
+        (4L, ts(3), ("the quick brown fox " * 8).trim)) // token repetition
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT doc_id FROM gates_out")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L), kept.toString)
+    } finally q.stop()
+    // audit shape keeps the flags without filtering
+    val q2 = Streams.encodingGate(df, "text", keepRejected = true)
+      .writeStream.format("memory").queryName("enc_audit")
+      .outputMode("append").start()
+    try {
+      in.addData((5L, ts(4), "clean line"), (6L, ts(5), "bad �"))
+      q2.processAllAvailable()
+      val audit = spark.sql(
+          "SELECT doc_id, enc_ok FROM enc_audit WHERE doc_id >= 5")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(audit == Map(5L -> true, 6L -> false), audit.toString)
+    } finally q2.stop()
+  }
+
   test("streaming crawl frontier end to end: ingest -> robots gate -> url dedup") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
