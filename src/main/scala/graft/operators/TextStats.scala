@@ -36,20 +36,21 @@ object TextStats {
     * and a cheap keep/drop flag in the Gopher-rules style (all
     * thresholds are ratios of the signals themselves). */
   def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = norm(col(textCol))
-    val nChars = length(t)
-    // single-space normalized => token count = spaces + 1
-    val nTok = size(split(t, " "))
-    val punct = nChars - length(regexp_replace(t, "[^a-z0-9 ]", ""))
-    val punctRatio = punct.cast("double") / nChars
-    val stopHits = size(filter(split(t, " "), w => enStopwords.map(w === _).reduce(_ || _)))
+    // one QualityStats kernel call per row (bit-identical to the
+    // composed built-in form, which the oracles keep as the
+    // independent truth); staged through a projection so the kernel
+    // evaluates once
     df.select(col(idCol),
-      nChars.cast("long").as("n_chars_norm"),
-      nTok.cast("long").as("n_tokens"),
-      ((nChars - (nTok - 1)).cast("double") / nTok).as("avg_token_len"),
-      punctRatio.as("punct_ratio"),
-      (stopHits.cast("double") / nTok).as("stopword_ratio"),
-      (nTok >= 5 && nTok <= 100000 && punctRatio <= lit(0.3)).as("keep"))
+        graft.functions.quality.quality_stats(norm(col(textCol))).as("__q"))
+      .select(col(idCol),
+        col("__q")(3).as("n_chars_norm"),
+        col("__q")(1).as("n_tokens"),
+        ((col("__q")(3) - (col("__q")(1) - 1)).cast("double") / col("__q")(1))
+          .as("avg_token_len"),
+        (col("__q")(2).cast("double") / col("__q")(3)).as("punct_ratio"),
+        (col("__q")(0).cast("double") / col("__q")(1)).as("stopword_ratio"),
+        (col("__q")(1) >= 5 && col("__q")(1) <= 100000 &&
+          (col("__q")(2).cast("double") / col("__q")(3)) <= lit(0.3)).as("keep"))
   }
 
   /** Gopher-style rule flags (Rae et al. 2021 §A1.1, public): each rule
@@ -147,20 +148,16 @@ object TextStats {
     * divisions, so engines agree bit-for-bit. Exposed for ops that
     * rank documents by quality without the budget machinery
     * ([[Dedup.dedupKeepBest]] picks cluster representatives with it). */
-  def qualityMilli(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = norm(col(textCol))
-    val nChars = length(t)
-    val nTok = size(split(t, " "))
-    val punct = nChars - length(regexp_replace(t, "[^a-z0-9 ]", ""))
-    val stopHits = size(filter(split(t, " "), w => enStopwords.map(w === _).reduce(_ || _)))
+  def qualityMilli(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),
-        stopHits.cast("long").as("__stop"), nTok.cast("long").as("__ntok"),
-        punct.cast("long").as("__punct"),
-        greatest(nChars.cast("long"), lit(1L)).as("__nchars"))
+        graft.functions.quality.quality_stats(norm(col(textCol))).as("__q"))
+      .select(col(idCol),
+        col("__q")(0).as("__stop"), col("__q")(1).as("__ntok"),
+        col("__q")(2).as("__punct"),
+        greatest(col("__q")(3), lit(1L)).as("__nchars"))
       .select(col(idCol),
         expr("((__stop * 1000) div __ntok) - ((__punct * 1000) div __nchars)")
           .as("quality_milli"))
-  }
 
   /** Greedy token-budget selection: keep the highest-quality documents
     * (quality desc, doc_id asc) while the running token total stays
@@ -179,14 +176,12 @@ object TextStats {
     * key's population, not the corpus. */
   def budgetSelect(df: DataFrame, idCol: String, textCol: String,
       budgetTokens: Long): DataFrame = {
-    val t = norm(col(textCol))
-    val nChars = length(t)
-    val nTok = size(split(t, " "))
-    val punct = nChars - length(regexp_replace(t, "[^a-z0-9 ]", ""))
-    val stopHits = size(filter(split(t, " "), w => enStopwords.map(w === _).reduce(_ || _)))
     val scored = df.select(col(idCol),
-        stopHits.cast("long").as("__stop"), nTok.cast("long").as("__ntok"),
-        punct.cast("long").as("__punct"), greatest(nChars.cast("long"), lit(1L)).as("__nchars"))
+        graft.functions.quality.quality_stats(norm(col(textCol))).as("__q"))
+      .select(col(idCol),
+        col("__q")(0).as("__stop"), col("__q")(1).as("__ntok"),
+        col("__q")(2).as("__punct"),
+        greatest(col("__q")(3), lit(1L)).as("__nchars"))
       .select(col(idCol),
         expr("((__stop * 1000) div __ntok) - ((__punct * 1000) div __nchars)")
           .as("quality_milli"),
@@ -240,17 +235,15 @@ object TextStats {
     * [[budgetSelect]]. */
   def sourceCapSelect(df: DataFrame, idCol: String, srcCol: String,
       textCol: String, capTokens: Long): DataFrame = {
-    val t = norm(col(textCol))
-    val nChars = length(t)
-    val nTok = size(split(t, " "))
-    val punct = nChars - length(regexp_replace(t, "[^a-z0-9 ]", ""))
-    val stopHits = size(filter(split(t, " "), w => enStopwords.map(w === _).reduce(_ || _)))
     // the scored frame feeds BOTH the histogram and the join probe —
     // materialize the slim (id, src, key, tokens) projection once so
-    // the text-scoring kernels run a single corpus pass, not two
+    // the text-scoring kernel runs a single corpus pass, not two
     val scored = df.select(col(idCol), col(srcCol),
-        stopHits.cast("long").as("__stop"), nTok.cast("long").as("__ntok"),
-        punct.cast("long").as("__punct"), greatest(nChars.cast("long"), lit(1L)).as("__nchars"))
+        graft.functions.quality.quality_stats(norm(col(textCol))).as("__q"))
+      .select(col(idCol), col(srcCol),
+        col("__q")(0).as("__stop"), col("__q")(1).as("__ntok"),
+        col("__q")(2).as("__punct"),
+        greatest(col("__q")(3), lit(1L)).as("__nchars"))
       .select(col(idCol), col(srcCol),
         expr("((__stop * 1000) div __ntok) - ((__punct * 1000) div __nchars)")
           .as("quality_milli"),
