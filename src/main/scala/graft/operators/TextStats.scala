@@ -186,6 +186,11 @@ object TextStats {
         expr("((__stop * 1000) div __ntok) - ((__punct * 1000) div __nchars)")
           .as("quality_milli"),
         col("__ntok").as("n_tokens"))
+      // the slim (id, key, tokens) frame feeds the histogram collect
+      // AND the returned selection — checkpoint so the text-scoring
+      // kernel runs one corpus pass, not two (the sourceCapSelect
+      // discipline)
+      .localCheckpoint()
     // phase 1: token totals per quality key, descending
     val buckets = scored.groupBy("quality_milli")
       .agg(sum("n_tokens").as("t")).collect()
