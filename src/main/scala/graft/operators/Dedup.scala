@@ -643,6 +643,28 @@ object Dedup {
         coalesce(col("__root"), col("lmin0")).as("cluster_id"))
   }
 
+  /** Incremental cluster maintenance — the daily-delta production
+    * shape: fold a delta batch's near-dup pairs into an EXISTING
+    * (id, cluster_id) assignment without re-clustering the corpus.
+    * The stored assignment participates as its STAR edges
+    * (member → label, one edge per non-representative member): stars
+    * preserve both connectivity and the min id inside every stored
+    * component, so re-resolving components over stars ∪ new pairs
+    * yields EXACTLY the clusters a full batch recompute would produce
+    * — including the case where one delta doc BRIDGES two previously
+    * separate clusters (both labels merge under the global min).
+    * `newPairs` = delta↔corpus pairs ([[nearDupsAgainstIndex]], whose
+    * banding decomposes batch results exactly) ∪ delta-internal pairs
+    * ([[minhashNearDups]] on the delta alone). Cost is proportional
+    * to |stored members| + |delta pairs| — the corpus text is never
+    * re-shingled and its pair search never re-runs. */
+  def clustersIncremental(stored: DataFrame, newPairs: DataFrame): DataFrame = {
+    val stars = stored.filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("id_a"), col("cluster_id").as("id_b"))
+    duplicateClusters(
+      stars.unionByName(newPairs.select(col("id_a"), col("id_b"))))
+  }
+
   /** Distributed min-label propagation (the > driverEdgeLimit path):
     * iterative small-step joins with lineage truncation
     * (localCheckpoint) every iteration; converges in O(component

@@ -385,6 +385,39 @@ object DocQueries {
           shingleLen = 3, wordShingles = true, numHashes = 64, bands = 16,
           threshold = 0.8).select("id_a", "id_b"))
         .withColumnRenamed("id", "doc_id")),
+    // incremental cluster maintenance, verified against the BATCH
+    // truth: 90% of the corpus is the stored state (its own pairs +
+    // labels + persisted minhash index), the idBucket==0 slice is the
+    // daily delta; delta pairs come from the index (corpus text never
+    // re-shingled) + a delta-internal pass, and clustersIncremental
+    // folds them into the stored labels. The oracle is doc_dup_clusters'
+    // full-corpus recursive-CTE truth — incremental MUST equal batch
+    "doc_dedup_incremental" -> ((s, d) => {
+      val full = docs(s, d)
+      val isDelta = TextStats.idBucket(col("doc_id"), 10L) === 0L
+      val old = full.filter(!isDelta)
+      val delta = full.filter(isDelta)
+      val src = java.nio.file.Paths.get(s"$d/documents.parquet")
+      val fp = if (java.nio.file.Files.exists(src))
+        s"${java.nio.file.Files.size(src)}_${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
+      else "na"
+      val dir = s"/tmp/graft_ndidx_${d.replaceAll("[^A-Za-z0-9.]", "_")}_$fp"
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$dir/index/_SUCCESS")))
+        Dedup.writeNearDupIndex(old, "doc_id", "text", dir)
+      val stored = Dedup.duplicateClusters(
+        Dedup.minhashNearDups(old, "doc_id", "text",
+          shingleLen = 3, wordShingles = true, numHashes = 64, bands = 16,
+          threshold = 0.8).select("id_a", "id_b"))
+      val crossPairs = Dedup.nearDupsAgainstIndex(s, dir, delta,
+          "doc_id", "text", threshold = 0.8)
+        .select(col("in_id").as("id_a"), col("corpus_id").as("id_b"))
+      val selfPairs = Dedup.minhashNearDups(delta, "doc_id", "text",
+          shingleLen = 3, wordShingles = true, numHashes = 64, bands = 16,
+          threshold = 0.8).select("id_a", "id_b")
+      Dedup.clustersIncremental(stored, crossPairs.unionByName(selfPairs))
+        .withColumnRenamed("id", "doc_id")
+    }),
     "doc_split_assign" -> ((s, d) =>
       TextStats.splitAssign(docs(s, d), "doc_id")
         .groupBy(col("split")).agg(count(lit(1)).as("n"),
@@ -2440,6 +2473,19 @@ object DocQueries {
          SELECT *, (milli_char_entropy >= 3200
            AND token_entropy_permille >= 500) AS keep FROM g"""
     },
+    // the BATCH truth verbatim: incremental maintenance must land on
+    // exactly the clusters a full recompute produces
+    "doc_dedup_incremental" ->
+      s"""WITH RECURSIVE $wordShinglesCtes,
+         p AS (${wordPairsSelect(0.8)}),
+         e AS (SELECT id_a AS a, id_b AS b FROM p
+               UNION SELECT id_b, id_a FROM p),
+         r AS (
+           SELECT a AS id, a AS reach FROM e
+           UNION
+           SELECT id, b FROM r JOIN e ON r.reach = e.a
+         )
+         SELECT id AS doc_id, min(reach) AS cluster_id FROM r GROUP BY id""",
     // chr(n) is a code point in DuckDB, so the planted mojibake pairs
     // are the same two-char sequences the engine literal carries; the
     // pair pattern's lead/continuation ranges are disjoint, so RE2's
