@@ -87,11 +87,17 @@ object StreamBench {
 
       val in = MemoryStream[(Timestamp, Array[Byte])]
       var outRows = 0L
+      // encoding + entropy gates run in AUDIT mode for the same reason
+      // as the language gate: measure the kernel cost at full row flow
       val pipeline = Streams.urlDedup(
         Streams.langGate(
-          Streams.robotsGate(
-            Streams.warcIngest(in.toDF().toDF("ts", "bytes"), "bytes"),
-            rules, "target_uri"),
+          Streams.entropyGate(
+            Streams.encodingGate(
+              Streams.robotsGate(
+                Streams.warcIngest(in.toDF().toDF("ts", "bytes"), "bytes"),
+                rules, "target_uri"),
+              "body", keepRejected = true),
+            "body", keepRejected = true),
           "body", allowed = Seq("en", "de", "es", "fr", "it", "pt", "nl"),
           keepRejected = true),
         "target_uri")
