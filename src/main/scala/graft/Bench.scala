@@ -1,5 +1,101 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Window-drift calibration (VERDICT r16 item 1): container co-tenant
+  * pressure measurably shifted WHOLE-round benches (~1.2–1.3× on
+  * identical binaries between the r15 and r16 windows), confounding
+  * every cross-round per-query comparison. This makes the confound
+  * measurable forever: a fixed probe set — 8 long-stable queries with
+  * their r15 CLEAN-window min-fold values pinned, plus two pure-JVM
+  * CPU spin probes (single-thread and all-cores, anchored in the r17
+  * window) — rides along with every bench run, and the emitted
+  * `calibration` object records each probe's ratio to its anchor and
+  * the median query-probe ratio. A bench whose median calibration
+  * ratio is ~1.0 is directly comparable to r15-era maps; one at ~1.25
+  * must be read through that correction.
+  *
+  * DO NOT edit the probe queries or re-anchor the references without
+  * recording a new epoch here — the anchors are only meaningful while
+  * the probe queries' code stays untouched. */
+object Calibration {
+  /** (query, r15 clean-window min-fold seconds at sf0.1 local[32]) —
+    * from BENCH_LOCAL_r15_full.json; chosen to span cost classes
+    * (TPC-H scan+agg, LAS scan overhead, SFC index query, text kernel
+    * scan, window shuffle, JPEG decode, lang-ID codegen kernel,
+    * suffix-automaton-free edit-distance banding). */
+  val probeQueries: Seq[(String, Double)] = Seq(
+    "rel_q1_pricing" -> 0.3476,
+    "pc_metadata" -> 0.0274,
+    "pc_bbox_small" -> 0.0991,
+    "doc_fingerprint" -> 0.4189,
+    "ev_sessionize" -> 0.3198,
+    "mm_image_dims" -> 0.2136,
+    "doc_lang_id" -> 0.1232,
+    "doc_edit_banded" -> 3.2454)
+
+  /** r17-window anchors for the spin probes (seconds; min of 2). */
+  val spinStRef = 1.15
+  val spinMtRef = 1.30
+
+  private def spin(n: Long, seed: Long): Long = {
+    var x = seed; var s = 0L; var i = 0L
+    while (i < n) {
+      x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+      s += x * 0x2545F4914F6CDD1DL; i += 1
+    }
+    s
+  }
+
+  @volatile private var sink = 0L
+
+  /** Single-thread xorshift spin, min-of-2 seconds. */
+  def spinSingle(): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      sink += spin(500000000L, 0x9E3779B97F4A7C15L)
+      (System.nanoTime() - t0) / 1e9
+    }
+    math.min(once(), once())
+  }
+
+  /** All-cores spin (one thread per available processor, 2.5e8 iters
+    * each), min-of-2 wall seconds — co-tenant CPU pressure shows up
+    * here first. */
+  def spinMulti(): Double = {
+    val nThreads = Runtime.getRuntime.availableProcessors()
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      val ts = (0 until nThreads).map { i =>
+        val t = new Thread(() => sink += spin(250000000L, 0x9E3779B97F4A7C15L + i))
+        t.start(); t
+      }
+      ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    math.min(once(), once())
+  }
+
+  /** The JSON calibration object, from the bench's own min-fold
+    * per-query results (no extra query executions). */
+  def jsonFrom(results: Map[String, Double]): String = {
+    val st = spinSingle()
+    val mt = spinMulti()
+    val present = probeQueries.filter { case (q, _) => results.contains(q) }
+    val rows = present.map { case (q, ref) =>
+      val sec = results(q)
+      f""""$q":{"sec":$sec%.4f,"r15_sec":$ref%.4f,"ratio":${sec / ref}%.3f}"""
+    }
+    val ratios = present.map { case (q, ref) => results(q) / ref }.sorted
+    val median =
+      if (ratios.isEmpty) -1.0
+      else if (ratios.size % 2 == 1) ratios(ratios.size / 2)
+      else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2
+    f"""{"probes":{${rows.mkString(",")}},"median_query_ratio":$median%.3f,""" +
+      f""""spin_st_sec":$st%.3f,"spin_st_ratio":${st / spinStRef}%.3f,""" +
+      f""""spin_mt_sec":$mt%.3f,"spin_mt_ratio":${mt / spinMtRef}%.3f}"""
+  }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -73,8 +169,10 @@ object Bench {
     val errs = errors.map { case (k, m) => s"\"" + k + "\":" + jstr(m) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val cal = Calibration.jsonFrom(results.toMap)
+    System.err.println(s"[bench] calibration: $cal")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"calibration":$cal,"sf":"$sfDir"}"""
     println(line)
     // also persist the full per-query map: the driver captures a stdout
     // tail, which has truncated the alphabetically-late query block

@@ -661,8 +661,17 @@ object Dedup {
   def clustersIncremental(stored: DataFrame, newPairs: DataFrame): DataFrame = {
     val stars = stored.filter(col("id") =!= col("cluster_id"))
       .select(col("id").as("id_a"), col("cluster_id").as("id_b"))
-    duplicateClusters(
+    val clustered = duplicateClusters(
       stars.unionByName(newPairs.select(col("id_a"), col("id_b"))))
+    // a stored SELF-labeled row (a, a) has no star edge, so if no delta
+    // pair touches it the clustering never sees it — re-add such rows
+    // verbatim (anti-join on resolved ids) so stored state is never
+    // silently dropped. Unreachable from minhashNearDups-produced
+    // assignments (no self-pairs survive as singletons there), but the
+    // API accepts arbitrary stored frames.
+    val untouched = stored.select(col("id"), col("cluster_id"))
+      .join(clustered.select(col("id")), Seq("id"), "left_anti")
+    clustered.unionByName(untouched)
   }
 
   /** Distributed min-label propagation (the > driverEdgeLimit path):

@@ -397,10 +397,9 @@ object DocQueries {
       val isDelta = TextStats.idBucket(col("doc_id"), 10L) === 0L
       val old = full.filter(!isDelta)
       val delta = full.filter(isDelta)
-      val src = java.nio.file.Paths.get(s"$d/documents.parquet")
-      val fp = if (java.nio.file.Files.exists(src))
-        s"${java.nio.file.Files.size(src)}_${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
-      else "na"
+      // content-aware key (walks part files for directory-shaped
+      // parquet) — a regenerated dataset can never reuse a stale index
+      val fp = DatasetFingerprint.of(s"$d/documents.parquet")
       val dir = s"/tmp/graft_ndidx_${d.replaceAll("[^A-Za-z0-9.]", "_")}_$fp"
       if (!java.nio.file.Files.exists(
           java.nio.file.Paths.get(s"$dir/index/_SUCCESS")))
@@ -830,10 +829,7 @@ object DocQueries {
     // like emb_ivf_indexed so a stale store is never served
     "doc_kn_score_stored" -> ((s, d) => {
       val base = docs(s, d)
-      val src = java.nio.file.Paths.get(s"$d/documents.parquet")
-      val fp = if (java.nio.file.Files.exists(src))
-        s"${java.nio.file.Files.size(src)}_${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
-      else "na"
+      val fp = DatasetFingerprint.of(s"$d/documents.parquet")
       val dir = s"/tmp/graft_kn1_${d.replaceAll("[^A-Za-z0-9.]", "_")}_$fp"
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/cvw/_SUCCESS")))
         TextStats.saveKnModel(TextStats.knTrain(
@@ -2435,8 +2431,10 @@ object DocQueries {
          )
          SELECT id AS doc_id, min(reach) AS cluster_id FROM r GROUP BY id""",
     "doc_entropy_gauge" -> {
+      // n_tokens < 2 covers the empty-text zeros row (COALESCE(tn.n, 0))
+      // exactly as EntropyKernels.stats defines permille = 1000 there
       val permilleSql =
-        s"""CASE WHEN tn.n < 2 THEN CAST(1000 AS BIGINT)
+        s"""CASE WHEN COALESCE(tn.n, 0) < 2 THEN CAST(1000 AS BIGINT)
            ELSE CAST(te.milli_token_entropy * 1000 //
              ${milliLogSql("tn.n")} AS BIGINT) END"""
       s"""WITH raw AS (SELECT doc_id, CASE CAST(doc_id % 25 AS INT)
@@ -2455,7 +2453,8 @@ object DocQueries {
                    // min(ln2.n) AS BIGINT) AS milli_char_entropy
                 FROM cc JOIN ln2 ON ln2.doc_id = cc.doc_id GROUP BY cc.doc_id),
          tc AS (SELECT doc_id, w, count(*)::BIGINT AS cnt FROM
-                 (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM n)
+                 (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM n
+                  WHERE t <> '')
                 GROUP BY 1, 2),
          tn AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
                  CAST(count(*) AS BIGINT) AS nd FROM tc GROUP BY 1),
@@ -2463,13 +2462,19 @@ object DocQueries {
                  CAST(sum(cnt * (${milliLogSql("tn.n")} - ${milliLogSql("cnt")}))
                    // min(tn.n) AS BIGINT) AS milli_token_entropy
                 FROM tc JOIN tn ON tn.doc_id = tc.doc_id GROUP BY tc.doc_id),
-         g AS (SELECT ln2.doc_id, ln2.n AS n_chars, ce.n_distinct_chars,
-                 ce.milli_char_entropy, tn.n AS n_tokens,
-                 tn.nd AS n_distinct_tokens, te.milli_token_entropy,
+         g AS (SELECT ln2.doc_id, ln2.n AS n_chars,
+                 CAST(COALESCE(ce.n_distinct_chars, 0) AS BIGINT)
+                   AS n_distinct_chars,
+                 CAST(COALESCE(ce.milli_char_entropy, 0) AS BIGINT)
+                   AS milli_char_entropy,
+                 CAST(COALESCE(tn.n, 0) AS BIGINT) AS n_tokens,
+                 CAST(COALESCE(tn.nd, 0) AS BIGINT) AS n_distinct_tokens,
+                 CAST(COALESCE(te.milli_token_entropy, 0) AS BIGINT)
+                   AS milli_token_entropy,
                  $permilleSql AS token_entropy_permille
-               FROM ln2 JOIN ce ON ce.doc_id = ln2.doc_id
-                 JOIN tn ON tn.doc_id = ln2.doc_id
-                 JOIN te ON te.doc_id = ln2.doc_id)
+               FROM ln2 LEFT JOIN ce ON ce.doc_id = ln2.doc_id
+                 LEFT JOIN tn ON tn.doc_id = ln2.doc_id
+                 LEFT JOIN te ON te.doc_id = ln2.doc_id)
          SELECT *, (milli_char_entropy >= 3200
            AND token_entropy_permille >= 500) AS keep FROM g"""
     },

@@ -151,10 +151,7 @@ object EmbeddingQueries {
     // dir carries a recipe version so a stale index from an older
     // quantizer recipe is never served
     "emb_ivf_indexed" -> ((s, d) => {
-      val src = java.nio.file.Paths.get(s"$d/embeddings.parquet")
-      val fp = if (java.nio.file.Files.exists(src))
-        s"${java.nio.file.Files.size(src)}_${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
-      else "na"
+      val fp = DatasetFingerprint.of(s"$d/embeddings.parquet")
       val dir = s"/tmp/graft_ivf2_${d.replaceAll("[^A-Za-z0-9.]", "_")}_$fp"
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/centroids/_SUCCESS")))
         Similarity.writeIvfIndex(emb(s, d), "vec_id", "embedding", dir, nLists = 16)

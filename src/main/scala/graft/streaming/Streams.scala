@@ -135,9 +135,15 @@ object Streams {
     * models. */
   def encodingGate(stream: DataFrame, textCol: String,
       keepRejected: Boolean = false): DataFrame = {
-    val ar = graft.functions.encoding.encoding_artifacts(col(textCol))
-    val flagged = stream.withColumn("__enc_ok",
-      ar(0) + ar(1) + ar(2) + ar(3) === 0L)
+    // stage the kernel array through ONE projection before indexing it
+    // (the batch operators' discipline): indexing the expression 4×
+    // inline relies on codegen subexpression elimination, and in an
+    // interpreted fallback path the text would be scanned 4× per row
+    val staged = stream.withColumn("__enc_ar",
+      graft.functions.encoding.encoding_artifacts(col(textCol)))
+    val ar = col("__enc_ar")
+    val flagged = staged.withColumn("__enc_ok",
+      ar(0) + ar(1) + ar(2) + ar(3) === 0L).drop("__enc_ar")
     if (keepRejected) flagged.withColumnRenamed("__enc_ok", "enc_ok")
     else flagged.filter(col("__enc_ok")).drop("__enc_ok")
   }
@@ -152,10 +158,14 @@ object Streams {
   def entropyGate(stream: DataFrame, textCol: String,
       minCharMilli: Long = 3200L, minTokenPermille: Long = 500L,
       keepRejected: Boolean = false): DataFrame = {
-    val st = graft.functions.entropy.entropy_stats(
-      graft.operators.TextStats.norm(col(textCol)))
-    val flagged = stream.withColumn("__ent_ok",
-      st(2) >= minCharMilli && st(6) >= minTokenPermille)
+    // same staging discipline as encodingGate: evaluate the kernel
+    // once into a column, then index the column
+    val staged = stream.withColumn("__ent_st",
+      graft.functions.entropy.entropy_stats(
+        graft.operators.TextStats.norm(col(textCol))))
+    val st = col("__ent_st")
+    val flagged = staged.withColumn("__ent_ok",
+      st(2) >= minCharMilli && st(6) >= minTokenPermille).drop("__ent_st")
     if (keepRejected) flagged.withColumnRenamed("__ent_ok", "ent_ok")
     else flagged.filter(col("__ent_ok")).drop("__ent_ok")
   }

@@ -34,6 +34,21 @@ class DedupIncrementalSpec extends AnyFunSuite {
     assert(got(41L) == 40L && got(31L) == 30L)
   }
 
+  test("stored self-labeled singleton untouched by delta pairs survives") {
+    // (7,7) has no star edge; before the anti-join re-add it vanished
+    // from the output even though the stored state contained it
+    val stored = Seq((7L, 7L), (10L, 10L), (11L, 10L)).toDF("id", "cluster_id")
+    val got = Dedup.clustersIncremental(stored,
+        Seq((30L, 31L)).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(7L -> 7L, 10L -> 10L, 11L -> 10L, 30L -> 30L, 31L -> 30L))
+    // a singleton TOUCHED by a delta pair is resolved once, not duplicated
+    val got2 = Dedup.clustersIncremental(stored,
+        Seq((7L, 3L)).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(3L -> 3L, 7L -> 3L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("delta member with a higher id joins without disturbing the rep") {
     val stored = Dedup.duplicateClusters(Seq((10L, 11L)).toDF("id_a", "id_b"))
     val got = Dedup.clustersIncremental(stored,
