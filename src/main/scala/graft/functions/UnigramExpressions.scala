@@ -1,0 +1,196 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Trained unigram-LM tokenizer table (the SentencePiece-shaped
+  * companion to [[BpeTable]]): tokens with integer milli-log2 costs
+  * (`cost(t) = l(N) - l(cnt(t))`, [[EntropyKernels.l]] fixed point, so
+  * the whole tokenizer is oracle-replayable), segmented by exact
+  * Viterbi — the min-cost segmentation under the lexicographic order
+  * (total cost, token count, token list) — over `[a-z0-9]+` pretoken
+  * chunks of at most [[graft.operators.TextStats.unigramChunkLen]]
+  * chars. Token ids mirror the BPE scheme: single-char tokens ARE
+  * their codepoint; multi-char tokens get 0x110000 + rank(token asc),
+  * past the top of the Unicode space so the id stream stays injective.
+  *
+  * The tie-break triple matches SQL struct/list comparison semantics
+  * verbatim (element-wise string compare, shorter-prefix-first), so a
+  * DuckDB `min(struct)` DP produces the identical segmentation.
+  */
+final class UnigramTable(tok: Array[String], costs: Array[Long],
+    maxTokenLen: Int, chunkLen: Int) extends Serializable {
+  @transient private lazy val cost: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    var i = 0
+    while (i < tok.length) { m.put(tok(i), costs(i)); i += 1 }
+    m
+  }
+  @transient private lazy val ids: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    val multi = tok.filter(_.length >= 2).sorted
+    var i = 0
+    while (i < multi.length) { m.put(multi(i), 0x110000L + i); i += 1 }
+    var j = 0
+    while (j < tok.length) {
+      if (tok(j).length == 1) m.put(tok(j), tok(j).codePointAt(0).toLong)
+      j += 1
+    }
+    m
+  }
+
+  /** (cost, ntok, toks) lexicographic compare — toks element-wise by
+    * string with shorter-prefix-first, the SQL struct/list order. */
+  private def better(c1: Long, n1: Int, t1: java.util.ArrayList[String],
+      c2: Long, n2: Int, t2: java.util.ArrayList[String]): Boolean = {
+    if (c1 != c2) return c1 < c2
+    if (n1 != n2) return n1 < n2
+    var i = 0
+    val m = math.min(t1.size, t2.size)
+    while (i < m) {
+      val c = t1.get(i).compareTo(t2.get(i))
+      if (c != 0) return c < 0
+      i += 1
+    }
+    t1.size < t2.size
+  }
+
+  /** Exact Viterbi over one chunk (length <= chunkLen): min-cost
+    * segmentation, deterministic under the documented tie order.
+    * Single-char tokens are always in the vocabulary (training keeps
+    * them unconditionally), so the DP is always feasible. */
+  def segmentChunk(w: String): java.util.ArrayList[String] = {
+    val n = w.length
+    val dpCost = new Array[Long](n + 1)
+    val dpN = new Array[Int](n + 1)
+    val dpT = new Array[java.util.ArrayList[String]](n + 1)
+    dpT(0) = new java.util.ArrayList[String]()
+    var j = 1
+    while (j <= n) {
+      var bc = 0L; var bn = 0; var bt: java.util.ArrayList[String] = null
+      var len = 1
+      val maxLen = math.min(maxTokenLen, j)
+      while (len <= maxLen) {
+        val t = w.substring(j - len, j)
+        val c = cost.get(t)
+        if (c != null && dpT(j - len) != null) {
+          val cc = dpCost(j - len) + c.longValue
+          val cn = dpN(j - len) + 1
+          val ct = new java.util.ArrayList[String](dpT(j - len))
+          ct.add(t)
+          if (bt == null || better(cc, cn, ct, bc, bn, bt)) {
+            bc = cc; bn = cn; bt = ct
+          }
+        }
+        len += 1
+      }
+      if (bt == null) throw new IllegalStateException(
+        s"unigram Viterbi infeasible at '$w' pos $j — single-char token missing from vocabulary")
+      dpCost(j) = bc; dpN(j) = bn; dpT(j) = bt
+      j += 1
+    }
+    dpT(n)
+  }
+
+  /** Segment a full `[a-z0-9]+` word: chunk to `chunkLen`, Viterbi
+    * each chunk, concatenate. */
+  def segmentWord(w: String): java.util.ArrayList[String] = {
+    if (w.length <= chunkLen) return segmentChunk(w)
+    val out = new java.util.ArrayList[String]()
+    var i = 0
+    while (i < w.length) {
+      out.addAll(segmentChunk(w.substring(i, math.min(i + chunkLen, w.length))))
+      i += chunkLen
+    }
+    out
+  }
+
+  /** Kernel for the training rounds: NORMALIZED word -> token array. */
+  def segment(w: UTF8String): ArrayData = {
+    val toks = segmentWord(w.toString)
+    val arr = new Array[UTF8String](toks.size())
+    var i = 0
+    while (i < arr.length) { arr(i) = UTF8String.fromString(toks.get(i)); i += 1 }
+    ArrayData.toArrayData(arr)
+  }
+
+  /** Document encode: normalized text -> token-id array. Alnum runs
+    * chunk + Viterbi-segment; every other non-space mark is its own
+    * codepoint token; spaces drop (the [[BpeTable.encode]] walk). */
+  def encode(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val out = new java.util.ArrayList[java.lang.Long]()
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      if (cp == ' ') i += 1
+      else if ((cp >= 'a' && cp <= 'z') || (cp >= '0' && cp <= '9')) {
+        val start = i
+        while (i < n && {
+          val c = s.charAt(i)
+          (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+        }) i += 1
+        val toks = segmentWord(s.substring(start, i))
+        var k = 0
+        while (k < toks.size()) {
+          val id = ids.get(toks.get(k))
+          if (id == null) throw new IllegalStateException(
+            s"unigram token '${toks.get(k)}' missing an id — table corrupt")
+          out.add(id)
+          k += 1
+        }
+      } else {
+        out.add(cp.toLong)
+        i += Character.charCount(cp)
+      }
+    }
+    val arr = new Array[Long](out.size())
+    var j = 0
+    while (j < arr.length) { arr(j) = out.get(j); j += 1 }
+    ArrayData.toArrayData(arr)
+  }
+}
+
+/** Word -> token array under a trained [[UnigramTable]] (the training
+  * rounds' segmentation pass), one codegen call per row. */
+case class UnigramSegment(child: Expression, table: UnigramTable)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "unigram_segment"
+  override protected def nullSafeEval(s: Any): Any =
+    table.segment(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramTable", table, classOf[UnigramTable].getName)
+    defineCodeGen(ctx, ev, s => s"$ref.segment($s)")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Normalized document -> token-id array under a trained
+  * [[UnigramTable]] — the train-offline / tokenize-online kernel. */
+case class UnigramEncodeIds(child: Expression, table: UnigramTable)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "unigram_encode_ids"
+  override protected def nullSafeEval(s: Any): Any =
+    table.encode(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramTable", table, classOf[UnigramTable].getName)
+    defineCodeGen(ctx, ev, s => s"$ref.encode($s)")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object unigram {
+  def unigram_segment(word: Column, table: UnigramTable): Column =
+    GraftBridge.column(UnigramSegment(GraftBridge.expression(word), table))
+  def unigram_encode_ids(normText: Column, table: UnigramTable): Column =
+    GraftBridge.column(UnigramEncodeIds(GraftBridge.expression(normText), table))
+}

@@ -959,6 +959,153 @@ object TextStats {
         table).as("decoded"))
   }
 
+  /** Unigram-LM tokenizer contract constants (shared by the trainer,
+    * the kernel, and the oracle generator): tokens are at most
+    * `unigramMaxTokenLen` chars; `[a-z0-9]+` pretokens longer than
+    * `unigramChunkLen` split into consecutive chunks BEFORE
+    * segmentation (the SentencePiece max-piece-length /
+    * split-by-length analog — it also bounds the oracle's unrolled DP
+    * at `unigramChunkLen` position CTEs). */
+  val unigramMaxTokenLen = 4
+  val unigramChunkLen = 16
+
+  /** Unigram-LM tokenizer TRAINING (the SentencePiece-shaped
+    * companion to [[bpeTrainMerges]]) — the hard-EM / Viterbi variant,
+    * defined entirely in integers so the loop replays in SQL:
+    *
+    *  1. SEED: count every substring (length 1..4, per position,
+    *     weighted by word frequency) of the distinct chunked-word
+    *     table; vocabulary = all single chars ∪ top-`seedMulti`
+    *     multi-char substrings by (count desc, token asc). Costs are
+    *     fixed-point milli-log2 surprisals
+    *     `cost(t) = l(N) - l(cnt(t))` ([[graft.functions
+    *     .EntropyKernels.l]], the entropy gauge's portable log).
+    *  2. Each of `rounds` prune-and-rescore rounds: segment every
+    *     distinct word by exact Viterbi under the current costs
+    *     (min (total cost, token count, token list) — the
+    *     deterministic tie order SQL struct comparison implements
+    *     verbatim), reduce token usage in ONE vocabulary-sized agg,
+    *     keep all single chars plus the top ceil(2/3·|multi|)
+    *     multi-char tokens by (usage desc, token asc), rescore with
+    *     add-one smoothing `cnt(t) = usage(t) + 1`.
+    *
+    * Scale shape: training runs over the DISTINCT-word frequency
+    * table (one shuffle, vocabulary-bounded, localCheckpointed once —
+    * the [[bpeTrainMerges]] discipline); each round is one codegen'd
+    * segmentation pass over that table plus a vocab-sized agg and a
+    * bounded driver fold. The corpus is scanned exactly once.
+    * Returns (token, milliCost, nUses) of the final vocabulary, with
+    * nUses the last round's pre-smoothing usage. */
+  def unigramTrain(df: DataFrame, textCol: String, seedMulti: Int = 96,
+      rounds: Int = 3): Seq[(String, Long, Long)] = {
+    import graft.functions.EntropyKernels.{l => mlog}
+    val maxTok = unigramMaxTokenLen
+    val cw = df.select(explode(regexp_extract_all(norm(col(textCol)),
+        lit("[a-z0-9]+"), lit(0))).as("__fw"))
+      .select(explode(expr(
+        s"transform(sequence(0, (length(__fw) + ${unigramChunkLen - 1}) " +
+          s"div $unigramChunkLen - 1), " +
+          s"i -> substring(__fw, i * $unigramChunkLen + 1, $unigramChunkLen))"))
+        .as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    // seed substring counts: per position, per length 1..4, weighted
+    val sub = cw.select(col("__c"), explode(expr(
+        s"flatten(transform(sequence(1, length(__w)), i -> " +
+          s"transform(sequence(1, least($maxTok, length(__w) - i + 1)), " +
+          s"ln -> substring(__w, i, ln))))")).as("__s"))
+      .groupBy("__s").agg(sum(col("__c")).as("__n"))
+    val singles = sub.filter(length(col("__s")) === 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val multi = sub.filter(length(col("__s")) >= 2)
+      .orderBy(col("__n").desc, col("__s").asc).limit(seedMulti)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var cnt: Map[String, Long] = (singles ++ multi).toMap
+    def costsOf(c: Map[String, Long]): Map[String, Long] = {
+      val n = c.valuesIterator.sum
+      c.map { case (t, x) => (t, mlog(n) - mlog(x)) }
+    }
+    var costs = costsOf(cnt)
+    var lastUsage: Map[String, Long] = Map.empty
+    for (_ <- 0 until rounds) {
+      val table = unigramTable(costs.toSeq.map { case (t, c) => (t, c, 0L) })
+      val seen = cw
+        .select(col("__c"), explode(
+          graft.functions.unigram.unigram_segment(col("__w"), table)).as("__t"))
+        .groupBy("__t").agg(sum(col("__c")).as("__u"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val usage = costs.keysIterator.map(t => (t, seen.getOrElse(t, 0L))).toMap
+      val multiNow = usage.keysIterator.filter(_.length >= 2).toSeq
+      val keepN = (multiNow.size * 2 + 2) / 3 // ceil(2/3 · |multi|)
+      val keptMulti = multiNow
+        .sortBy(t => (-usage(t), t)).take(keepN)
+      val kept = usage.keysIterator.filter(_.length == 1).toSeq ++ keptMulti
+      cnt = kept.map(t => (t, usage(t) + 1L)).toMap
+      costs = costsOf(cnt)
+      lastUsage = kept.map(t => (t, usage(t))).toMap
+    }
+    costs.toSeq.sortBy(_._1)
+      .map { case (t, c) => (t, c, lastUsage(t)) }
+  }
+
+  /** Build the serializable Viterbi kernel table from trained
+    * (token, milliCost, _) rows. */
+  def unigramTable(vocab: Seq[(String, Long, Long)]): graft.functions.UnigramTable =
+    new graft.functions.UnigramTable(vocab.map(_._1).toArray,
+      vocab.map(_._2).toArray, unigramMaxTokenLen, unigramChunkLen)
+
+  /** The trained unigram vocabulary as a frame — what a deployment
+    * exports: (token_id, token, milli_cost, n_uses). Ids mirror the
+    * BPE scheme (single char = codepoint, multi = 0x110000 + rank by
+    * token asc — disjoint ranges, injective stream). */
+  def unigramVocab(df: DataFrame, textCol: String, seedMulti: Int = 96,
+      rounds: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vocab = unigramTrain(df, textCol, seedMulti, rounds)
+    val multiIds = vocab.map(_._1).filter(_.length >= 2).sorted
+      .zipWithIndex.map { case (t, i) => (t, 0x110000L + i) }.toMap
+    vocab.map { case (t, c, u) =>
+      val id = if (t.length == 1) t.codePointAt(0).toLong else multiIds(t)
+      (id, t, c, u)
+    }.toDF("token_id", "token", "milli_cost", "n_uses")
+  }
+
+  /** Train a unigram tokenizer on the corpus and encode every document
+    * to its token-id sequence — [[bpeEncode]]'s output contract
+    * (doc_id, n_tokens, token_ids) with the unigram segmentation. */
+  def unigramEncode(df: DataFrame, idCol: String, textCol: String,
+      seedMulti: Int = 96, rounds: Int = 3): DataFrame =
+    unigramEncodeApply(df, idCol, textCol,
+      unigramTable(unigramTrain(df, textCol, seedMulti, rounds)))
+
+  /** Apply a trained [[unigramTable]] to ANY frame — batch or
+    * streaming: one codegen kernel call per document. */
+  def unigramEncodeApply(df: DataFrame, idCol: String, textCol: String,
+      table: graft.functions.UnigramTable): DataFrame = {
+    val toks = graft.functions.unigram.unigram_encode_ids(
+      norm(col(textCol)), table)
+    df.select(col(idCol),
+      size(toks).cast("long").as("n_tokens"),
+      array_join(transform(toks, t => t.cast("string")), " ").as("token_ids"))
+  }
+
+  /** [[tokenFertilityByLang]] under the unigram tokenizer — the gauge
+    * re-run on the second tokenizer family, same reduce contract. */
+  def unigramFertilityByLang(df: DataFrame, idCol: String, textCol: String,
+      langCol: String, seedMulti: Int = 96, rounds: Int = 3): DataFrame = {
+    val table = unigramTable(unigramTrain(df, textCol, seedMulti, rounds))
+    val toks = unigramEncodeApply(df, idCol, textCol, table)
+      .select(col(idCol), col("n_tokens"))
+    df.select(col(idCol), col(langCol).as("lang"),
+        size(split(norm(col(textCol)), " ")).cast("long").as("__w"))
+      .join(toks, Seq(idCol))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__w")).as("n_words"),
+        sum(col("n_tokens")).as("n_tokens"),
+        expr("sum(n_tokens) * 1000 div sum(__w)").as("fertility_milli"))
+  }
+
   /** [[decontaminate]] with a Bloom prefilter — the shape for when the
     * eval n-gram set outgrows broadcast: a `numBits`-bit Bloom bitset
     * (built by one OR-merged aggregate over the eval shingles, no

@@ -715,6 +715,23 @@ object DocQueries {
         .map { case ((a, b), r) => (r.toLong, a, b, a + b) }
         .toDF("merge_rank", "lhs", "rhs", "token")
     }),
+    // unigram-LM tokenizer (the SentencePiece-shaped second tokenizer
+    // family): hard-EM/Viterbi training with integer milli-log2 costs
+    // — seed from substring stats, 3 prune-and-rescore rounds, each
+    // one segmentation pass + one vocab-sized agg. The exported
+    // vocabulary with final-round usage
+    "doc_unigram_vocab" -> ((s, d) =>
+      TextStats.unigramVocab(docs(s, d), "text")),
+    // the same tokenizer applied corpus-wide: train -> exact-Viterbi
+    // encode under the deterministic (cost, count, lexicographic) tie
+    // order — bpe_encode's output contract on the second family
+    "doc_unigram_encode" -> ((s, d) =>
+      TextStats.unigramEncode(docs(s, d), "doc_id", "text")),
+    // tokenizer-equity gauge re-run on the unigram family (VERDICT
+    // r16 item 7): same per-language reduce as doc_token_fertility
+    "doc_unigram_fertility" -> ((s, d) =>
+      TextStats.unigramFertilityByLang(docs(s, d), "doc_id", "text",
+        "lang")),
     // byte-budget training shards in id order (webdataset packing
     // shape) — prefix sums via the bucket-offset composition, keyed
     // by exact-percentile id ranges
@@ -1547,6 +1564,135 @@ object DocQueries {
          )
        SELECT doc_id, bucket, pack_idx, n_tokens FROM r2"""
 
+  /** Unrolled unigram-LM tokenizer oracle (the
+    * [[graft.operators.TextStats.unigramTrain]] contract replayed in
+    * SQL): the Viterbi DP over each chunked word unrolls into one CTE
+    * per position (`dp{r}_{j}` holds the min (cost, ntok, toks)
+    * struct for prefix j — SQL struct/list comparison IS the
+    * tokenizer's documented tie order), with at most
+    * [[graft.operators.TextStats.unigramChunkLen]] positions because
+    * longer words chunk first. Each prune-and-rescore round is the dp
+    * chain + one usage agg + the keep/rescore CTEs; costs are the
+    * fixed-point milli-log2 of [[entropyMlCte]]. Returns the CTE
+    * members (no WITH prefix) ending at `v{rounds}` (tok, cost) /
+    * `u{rounds}` (tok, u) / `seg{rounds+1}` (final-vocab
+    * segmentation of every distinct chunked word). */
+  private def unigramDpChain(rnd: Int, vocabCte: String): (String, String) = {
+    val L = TextStats.unigramMaxTokenLen
+    val W = TextStats.unigramChunkLen
+    val ctes = Seq.newBuilder[String]
+    ctes += s"dp${rnd}_0 AS MATERIALIZED (SELECT w, n, " +
+      "{'c': 0::BIGINT, 'n': 0::BIGINT, 't': []::VARCHAR[]} AS s FROM cw)"
+    for (j <- 1 to W) {
+      val cands = (1 to math.min(L, j)).map { ln =>
+        s"SELECT p.w, p.n, {'c': p.s.c + v.cost, 'n': p.s.n + 1, " +
+          s"'t': list_append(p.s.t, v.tok)} AS s " +
+          s"FROM dp${rnd}_${j - ln} p JOIN $vocabCte v " +
+          s"ON v.tok = substr(p.w, ${j - ln + 1}, $ln) WHERE p.n >= $j"
+      }
+      ctes += s"dp${rnd}_$j AS MATERIALIZED (SELECT w, n, min(s) AS s " +
+        s"FROM (${cands.mkString(" UNION ALL ")}) GROUP BY w, n)"
+    }
+    val segs = (1 to W)
+      .map(j => s"SELECT w, n, s.t AS toks FROM dp${rnd}_$j WHERE n = $j")
+      .mkString(" UNION ALL ")
+    ctes += s"seg$rnd AS MATERIALIZED ($segs)"
+    (ctes.result().mkString(",\n         "), s"seg$rnd")
+  }
+
+  private def unigramTrainCtes(seedMulti: Int, rounds: Int): String = {
+    val L = TextStats.unigramMaxTokenLen
+    val W = TextStats.unigramChunkLen
+    val parts = Seq.newBuilder[String]
+    parts += entropyMlCte
+    parts += s"""wq AS (SELECT unnest(regexp_extract_all($normSql,
+         '[a-z0-9]+')) AS fw FROM documents)"""
+    parts += s"""cw AS MATERIALIZED (
+         SELECT w, CAST(length(w) AS BIGINT) AS n, count(*)::BIGINT AS c
+         FROM (SELECT substr(fw, CAST(i AS INT) * $W + 1, $W) AS w
+               FROM wq, LATERAL unnest(range(0,
+                 (length(fw) + ${W - 1}) // $W)) AS t(i))
+         GROUP BY 1, 2)"""
+    parts += s"""sub AS MATERIALIZED (
+         SELECT s, sum(c)::BIGINT AS cnt FROM (
+           SELECT substr(w, CAST(i AS INT), CAST(ln AS INT)) AS s, c
+           FROM cw, LATERAL unnest(range(1, CAST(n AS INT) + 1)) AS t(i),
+                LATERAL unnest(range(1, least($L,
+                  CAST(n AS INT) - CAST(i AS INT) + 1) + 1)) AS t2(ln))
+         GROUP BY 1)"""
+    parts += s"""seedv AS MATERIALIZED (
+         SELECT s AS tok, cnt FROM sub WHERE length(s) = 1
+         UNION ALL
+         SELECT s, cnt FROM (SELECT s, cnt FROM sub WHERE length(s) >= 2
+           ORDER BY cnt DESC, s ASC LIMIT $seedMulti))"""
+    parts += s"""n0 AS (SELECT sum(cnt)::BIGINT AS nn FROM seedv),
+         v0 AS MATERIALIZED (SELECT tok,
+           CAST(${milliLogSql("(SELECT nn FROM n0)")} -
+             ${milliLogSql("cnt")} AS BIGINT) AS cost FROM seedv)"""
+    var prevV = "v0"
+    for (r <- 1 to rounds) {
+      val (dpSql, seg) = unigramDpChain(r, prevV)
+      parts += dpSql
+      parts += s"""u$r AS MATERIALIZED (
+         SELECT vv.tok, COALESCE(uu.u, 0)::BIGINT AS u
+         FROM $prevV vv LEFT JOIN (
+           SELECT t.tok, sum(cw.c)::BIGINT AS u
+           FROM $seg sg JOIN cw ON cw.w = sg.w AND cw.n = sg.n,
+                LATERAL unnest(sg.toks) AS t(tok)
+           GROUP BY 1) uu ON uu.tok = vv.tok)"""
+      parts += s"""k$r AS MATERIALIZED (
+         SELECT tok, u FROM u$r WHERE length(tok) = 1
+         UNION ALL
+         SELECT tok, u FROM (
+           SELECT tok, u, row_number() OVER (ORDER BY u DESC, tok ASC) AS rn,
+             (SELECT count(*) FROM u$r WHERE length(tok) >= 2) AS m
+           FROM u$r WHERE length(tok) >= 2)
+         WHERE rn <= (m * 2 + 2) // 3)"""
+      parts += s"""n$r AS (SELECT sum(u + 1)::BIGINT AS nn FROM k$r),
+         v$r AS MATERIALIZED (SELECT tok,
+           CAST(${milliLogSql(s"(SELECT nn FROM n$r)")} -
+             ${milliLogSql("(u + 1)")} AS BIGINT) AS cost FROM k$r)"""
+      prevV = s"v$r"
+    }
+    parts.result().mkString(",\n         ")
+  }
+
+  /** Training CTEs + the final-vocab segmentation + per-document
+    * token-id reassembly (the [[bpeTokenCtesBody]] dtok/tid shape):
+    * ends at `tid(doc_id, wpos, cpos, spos, id)`. */
+  private def unigramEncodeCtes(seedMulti: Int, rounds: Int): String = {
+    val W = TextStats.unigramChunkLen
+    val (dpSql, seg) = unigramDpChain(rounds + 1, s"v$rounds")
+    s"""${unigramTrainCtes(seedMulti, rounds)},
+         $dpSql,
+         idm AS (SELECT tok,
+             1114111 + row_number() OVER (ORDER BY tok ASC) AS id
+           FROM v$rounds WHERE length(tok) >= 2),
+         dtok AS (SELECT doc_id, CAST(i AS INT) AS wpos,
+             list_extract(ws, CAST(i AS INT)) AS fw
+           FROM (SELECT doc_id, regexp_extract_all($normSql,
+                   '${TextStats.tokenPattern}') AS ws FROM documents),
+                LATERAL unnest(range(1, len(ws) + 1)) AS t(i)),
+         dchunk AS (SELECT doc_id, wpos, CAST(ci AS INT) AS cpos,
+             substr(fw, CAST(ci AS INT) * $W + 1, $W) AS w,
+             regexp_full_match(fw, '[a-z0-9]+') AS alnum
+           FROM dtok, LATERAL unnest(range(0,
+             CASE WHEN regexp_full_match(fw, '[a-z0-9]+')
+               THEN (length(fw) + ${W - 1}) // $W ELSE 1 END)) AS t(ci)),
+         dtoks AS (SELECT doc_id, wpos, cpos,
+             CASE WHEN alnum THEN sg.toks ELSE [dchunk.w] END AS toks
+           FROM dchunk LEFT JOIN $seg sg
+             ON alnum AND sg.w = dchunk.w AND sg.n = length(dchunk.w)),
+         tid AS (SELECT doc_id, wpos, cpos, CAST(i AS INT) AS spos,
+             CASE WHEN length(t) = 1 AND idm.id IS NULL
+               THEN unicode(t) ELSE idm.id END AS id
+           FROM (SELECT doc_id, wpos, cpos, CAST(i AS INT) AS i,
+                   list_extract(toks, CAST(i AS INT)) AS t
+                 FROM dtoks, LATERAL unnest(range(1, len(toks) + 1))
+                   AS t2(i)) x
+           LEFT JOIN idm ON idm.tok = x.t)"""
+  }
+
   /** Deterministic URL per fixture doc (the corpus carries no URLs):
     * 4 shapes cycling scheme / www / userinfo+port / multi-label ccTLD
     * suffixes — both the Spark queries and the oracles derive it
@@ -2316,6 +2462,39 @@ object DocQueries {
            CAST(sum(n) * 1000 // sum(w) AS BIGINT) AS fertility_milli
          FROM nt GROUP BY lang""",
     "doc_pack_bpe" -> bpePackOracleSql(8, 2048L, 8),
+    // unigram-LM tokenizer: the training loop replayed as unrolled
+    // MATERIALIZED CTEs — per round a 16-position Viterbi DP chain
+    // (min over (cost, ntok, toks) structs == the tokenizer's tie
+    // order), usage agg, keep/rescore; ids by the BPE scheme
+    "doc_unigram_vocab" ->
+      s"""WITH ${unigramTrainCtes(96, 3)},
+         idm AS (SELECT tok,
+             1114111 + row_number() OVER (ORDER BY tok ASC) AS id
+           FROM v3 WHERE length(tok) >= 2)
+         SELECT CAST(COALESCE(idm.id, unicode(v.tok)) AS BIGINT)
+             AS token_id,
+           v.tok AS token, v.cost AS milli_cost, u.u AS n_uses
+         FROM v3 v JOIN u3 u USING (tok)
+         LEFT JOIN idm ON idm.tok = v.tok""",
+    "doc_unigram_encode" ->
+      s"""WITH ${unigramEncodeCtes(96, 3)}
+         SELECT d.doc_id, CAST(count(t.id) AS BIGINT) AS n_tokens,
+           coalesce(string_agg(CAST(t.id AS VARCHAR), ' '
+             ORDER BY t.wpos, t.cpos, t.spos), '') AS token_ids
+         FROM documents d LEFT JOIN tid t USING (doc_id)
+         GROUP BY 1""",
+    "doc_unigram_fertility" ->
+      s"""WITH ${unigramEncodeCtes(96, 3)},
+         wl AS (SELECT doc_id, lang,
+             CAST(len(string_split($normSql, ' ')) AS BIGINT) AS w
+           FROM documents),
+         nt AS (SELECT wl.doc_id, wl.lang, wl.w, count(t.id) AS n
+           FROM wl LEFT JOIN tid t USING (doc_id) GROUP BY 1, 2, 3)
+         SELECT lang, count(*)::BIGINT AS n_docs,
+           CAST(sum(w) AS BIGINT) AS n_words,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(sum(n) * 1000 // sum(w) AS BIGINT) AS fertility_milli
+         FROM nt GROUP BY lang""",
     "doc_bpe_vocab" -> {
       val union = (1 to 8).map(r =>
         s"SELECT ${r - 1} AS merge_rank, a, b FROM b$r").mkString(" UNION ALL ")

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
+
+class UnigramSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def table(vocab: Seq[(String, Long)]) =
+    TextStats.unigramTable(vocab.map { case (t, c) => (t, c, 0L) })
+
+  test("viterbi equals brute force over all segmentations (tie order included)") {
+    // vocab with deliberate cost structure and plenty of tie potential
+    val vocab = Seq("a" -> 100L, "b" -> 100L, "c" -> 100L, "d" -> 100L,
+      "ab" -> 200L, "bc" -> 200L, "cd" -> 200L, "abc" -> 250L,
+      "abcd" -> 900L, "bcd" -> 260L)
+    val t = table(vocab)
+    val cost = vocab.toMap
+    def bruteBest(w: String): (Long, Int, List[String]) = {
+      def segs(s: String): Seq[List[String]] =
+        if (s.isEmpty) Seq(Nil)
+        else (1 to math.min(4, s.length)).flatMap { ln =>
+          val tok = s.substring(0, ln)
+          if (cost.contains(tok)) segs(s.substring(ln)).map(tok :: _) else Nil
+        }
+      // the tokenizer's documented order: (cost, ntok, toks lexicographic)
+      implicit val ord: Ordering[(Long, Int, List[String])] =
+        Ordering.Tuple3(Ordering.Long, Ordering.Int,
+          Ordering.Implicits.seqOrdering[List, String])
+      segs(w).map(sg => (sg.map(cost).sum, sg.length, sg)).min
+    }
+    for (w <- Seq("abcd", "abcabc", "dcba", "aabbccdd", "abcdabcd",
+        "a", "abcdcbabcd")) {
+      val got = t.segmentChunk(w).asScala.toList
+      val want = bruteBest(w)._3
+      assert(got == want, s"word $w")
+      assert(got.mkString("") == w)
+    }
+  }
+
+  test("equal-cost tie resolves to the lexicographically smaller token list") {
+    // 'a'+'bc' and 'ab'+'c' both cost 300 with 2 tokens;
+    // ['a','bc'] < ['ab','c'] because 'a' < 'ab'
+    val t = table(Seq("a" -> 100L, "b" -> 100L, "c" -> 100L,
+      "ab" -> 200L, "bc" -> 200L))
+    assert(t.segmentChunk("abc").asScala.toList == List("a", "bc"))
+  }
+
+  test("words over the chunk cap segment as independent 16-char chunks") {
+    val singles = ('a' to 'z').map(c => c.toString -> 100L)
+    val t = table(singles ++ Seq("abcd" -> 150L, "efgh" -> 150L))
+    // 20 chars: chunk 1 = first 16, chunk 2 = last 4 ("efgh" crosses
+    // nothing — but "abcd" at positions 13..16 vs 17..20 must NOT merge
+    // across the boundary)
+    val w = "x" * 13 + "abcdefg" // length 20; "abcd" spans pos 14-17
+    val got = t.segmentWord(w).asScala.toList
+    assert(got.mkString("") == w)
+    // boundary at 16: "abc" ends chunk 1 (as singles: a,b,c), "defg"
+    // opens chunk 2 (d + efg singles; "efgh" absent, "abcd" split)
+    assert(got.take(13) == List.fill(13)("x"))
+    assert(!got.contains("abcd"))
+  }
+
+  test("train keeps every single char and prunes multi tokens deterministically") {
+    val df = Seq.fill(50)("the cat sat on the mat").toDF("text")
+    val vocab = TextStats.unigramTrain(df, "text", seedMulti = 8, rounds = 2)
+    val singles = vocab.map(_._1).filter(_.length == 1).toSet
+    assert(Set("t", "h", "e", "c", "a", "s", "o", "n", "m").subsetOf(singles))
+    val multi = vocab.map(_._1).filter(_.length >= 2)
+    // seed 8 multi -> ceil(2/3*8)=6 -> ceil(2/3*6)=4 after 2 rounds
+    assert(multi.size == 4)
+    // deterministic across re-runs
+    val vocab2 = TextStats.unigramTrain(df, "text", seedMulti = 8, rounds = 2)
+    assert(vocab == vocab2)
+  }
+
+  test("encode round-trips: decoded ids reproduce norm text minus spaces") {
+    val df = Seq(
+      (1L, "The cat, sat on 42 mats!"),
+      (2L, "unigram tokenizers segment words"),
+      (3L, "aaaa bbbb ccccddddeeeeffffgggghhhh")).toDF("doc_id", "text")
+    val vocab = TextStats.unigramTrain(df, "text", seedMulti = 16, rounds = 2)
+    val t = TextStats.unigramTable(vocab)
+    val multiIds = vocab.map(_._1).filter(_.length >= 2).sorted
+      .zipWithIndex.map { case (s, i) => (0x110000L + i, s) }.toMap
+    val enc = TextStats.unigramEncodeApply(df, "doc_id", "text", t)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getString(2)))).toMap
+    val rows = df.select(org.apache.spark.sql.functions.col("doc_id"),
+        TextStats.norm(org.apache.spark.sql.functions.col("text")))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    rows.foreach { case (id, normText) =>
+      val (nTok, ids) = enc(id)
+      val idSeq = ids.split(" ").filter(_.nonEmpty).map(_.toLong)
+      assert(idSeq.length == nTok)
+      val decoded = idSeq.map { i =>
+        if (i >= 0x110000L) multiIds(i) else new String(Character.toChars(i.toInt))
+      }.mkString("")
+      assert(decoded == normText.replace(" ", ""), s"doc $id")
+    }
+  }
+}
