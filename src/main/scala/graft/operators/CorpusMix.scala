@@ -609,8 +609,16 @@ object CorpusMix {
     // never reaches the word-count/stopword gates
     val raw = if (htmlExtract) HtmlText.htmlToText(col(textCol))
       else col(textCol)
-    val parsed = df.select(col(idCol), col(urlCol),
-      col(statusCol), TextStats.norm(raw).as("__t"))
+    // every stage frame is materialized with lineage cut: each
+    // groupBy+semi-join stage reads its input through BOTH branches
+    // (the key reduction and the probe side), and Spark does not share
+    // common subplans across join branches — unmaterialized, stage k
+    // re-executes the whole prefix per branch, which the r17 profile
+    // measured as 14 s of a 6-stage funnel aggregation that costs 4 s
+    // staged. Callers release the cuts via [[freeStages]] once their
+    // result frame is materialized.
+    val parsed = Frames.materializeCut(df.select(col(idCol), col(urlCol),
+      col(statusCol), TextStats.norm(raw).as("__t")))
     val resp = parsed.filter(col(statusCol) === 200)
     // canonical-URL dedup — group on the 64-bit hash of the canonical
     // form (the canonical string itself never shuffles; it is not an
@@ -618,23 +626,31 @@ object CorpusMix {
     val canon = resp.withColumn("__ch",
       xxhash64(canonicalUrl(col(urlCol))))
     val urlKeep = canon.groupBy(col("__ch")).agg(min(col(idCol)).as(idCol))
-    val afterUrl = canon
-      .join(urlKeep.select(idCol), Seq(idCol), "left_semi").drop("__ch")
+    val afterUrl = Frames.materializeCut(canon
+      .join(urlKeep.select(idCol), Seq(idCol), "left_semi").drop("__ch"))
     val gateKeep = TextStats.gopherRules(afterUrl, idCol, "__t",
         minWords = minWords)
       .filter(col("keep")).select(idCol)
-    val afterGate = afterUrl.join(gateKeep, Seq(idCol), "left_semi")
+    val afterGate = Frames.materializeCut(
+      afterUrl.join(gateKeep, Seq(idCol), "left_semi"))
     val exactKeep = afterGate.groupBy(xxhash64(col("__t")).as("__th"))
       .agg(min(col(idCol)).as(idCol))
-    val afterExact = afterGate.join(exactKeep.select(idCol), Seq(idCol), "left_semi")
+    val afterExact = Frames.materializeCut(
+      afterGate.join(exactKeep.select(idCol), Seq(idCol), "left_semi"))
     val nearDrop = Dedup.minhashNearDups(afterExact, idCol, "__t",
         threshold = jaccard)
       .select(col("id_b").as(idCol)).distinct()
-    val afterNear = afterExact.join(nearDrop, Seq(idCol), "left_anti")
+    val afterNear = Frames.materializeCut(
+      afterExact.join(nearDrop, Seq(idCol), "left_anti"))
     Seq("parsed" -> parsed, "response_200" -> resp,
       "url_unique" -> afterUrl, "quality_kept" -> afterGate,
       "exact_unique" -> afterExact, "near_unique" -> afterNear)
   }
+
+  /** Release the executor storage behind [[curateStages]]' cuts once
+    * every consumer of the stage frames is materialized. */
+  def freeStages(stages: Seq[(String, DataFrame)]): Unit =
+    stages.foreach { case (_, sdf) => Frames.free(sdf) }
 
   /** The [[curateStages]] funnel's per-stage survivor COUNTS in one
     * pass — the accounting view a crawl operator watches, without the
@@ -722,17 +738,18 @@ object CorpusMix {
   def curatePipeline(df: DataFrame, idCol: String, urlCol: String,
       statusCol: String, textCol: String, minWords: Int = 40,
       jaccard: Double = 0.8, bpeRounds: Int = 8,
-      capTokens: Long = 2000L, htmlExtract: Boolean = false): DataFrame = {
+      capTokens: Long = 2000L, htmlExtract: Boolean = false,
+      trainedBpe: Option[graft.functions.BpeTable] = None): DataFrame = {
     // the survivor set is consumed three ways (BPE training, token
-    // encode, the domain-cap join): materialize the curation chain
-    // ONCE instead of re-running parse -> extract -> dedups per
-    // consumer, and release it after the result frame exists — the
-    // knBigramScore free-after-materialize discipline
-    val survivors = Frames.materializeCut(
-      curateStages(df, idCol, urlCol, statusCol, textCol,
-        minWords, jaccard, htmlExtract).last._2)
-    val table = TextStats.bpeTable(
-      TextStats.bpeTrainMerges(survivors, "__t", bpeRounds))
+    // encode, the domain-cap join): the curation chain arrives
+    // already stage-cut from curateStages, and every cut is released
+    // after the result frame exists — the knBigramScore
+    // free-after-materialize discipline
+    val stages = curateStages(df, idCol, urlCol, statusCol, textCol,
+      minWords, jaccard, htmlExtract)
+    val survivors = stages.last._2
+    val table = trainedBpe.getOrElse(TextStats.bpeTable(
+      TextStats.bpeTrainMerges(survivors, "__t", bpeRounds)))
     val counts = TextStats.bpeEncodeApply(survivors, idCol, "__t", table)
       .select(col(idCol), col("n_tokens"))
     val w = Window.partitionBy(col("domain")).orderBy(col(idCol).asc)
@@ -743,7 +760,25 @@ object CorpusMix {
       .filter(col("__cum") <= capTokens)
       .select(col(idCol), col("domain"), col("n_tokens"))
     val result = Frames.materializeCut(out)
-    Frames.free(survivors)
+    freeStages(stages)
+    result
+  }
+
+  /** [[curateStages]] aggregated to the per-stage survivor-count
+    * report — the six-branch implementation whose agreement with the
+    * window-flag [[curateFunnelCounts]] is itself a correctness
+    * cross-check (shared oracle); result materialized, stage cuts
+    * released. */
+  def curateFunnelReport(df: DataFrame, idCol: String, urlCol: String,
+      statusCol: String, textCol: String, minWords: Int = 40,
+      jaccard: Double = 0.8, htmlExtract: Boolean = false): DataFrame = {
+    val stages = curateStages(df, idCol, urlCol, statusCol, textCol,
+      minWords, jaccard, htmlExtract)
+    val out = stages.map { case (name, sdf) =>
+      sdf.agg(lit(name).as("stage"), count(lit(1)).as("n_docs"))
+    }.reduce(_ unionByName _)
+    val result = Frames.materializeCut(out)
+    freeStages(stages)
     result
   }
 

@@ -27,11 +27,25 @@ object Dedup {
     * to rebalance, the exact shuffle a 100 TB run cannot afford. */
   private def rebalanced(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df // micro-batches are already split
-    val target = df.sparkSession.sessionState.conf.numShufflePartitions
-    // internal-row RDD partition count — df.rdd would additionally
-    // build the row-deserializer conversion just to count splits
-    val parts = df.queryExecution.toRdd.getNumPartitions
-    if (parts < target) df.repartition(target) else df
+    // A plan with exchanges arrives AQE-wrapped, and probing ITS
+    // partition count via toRdd makes AdaptiveSparkPlanExec finalize —
+    // i.e. EXECUTE — every upstream stage at plan-build time, a full
+    // wasted run of the input DAG before the real query starts
+    // (measured 3.3 s of the WARC curation chain, r17). Such a frame
+    // is already shuffle.partitions/AQE-partitioned; only an
+    // exchange-free frame (a narrow chain over a scan, where toRdd
+    // just builds splits without running anything) can be
+    // under-partitioned and is cheap to probe.
+    df.queryExecution.executedPlan match {
+      case _: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        df
+      case _ =>
+        val target = df.sparkSession.sessionState.conf.numShufflePartitions
+        // internal-row RDD partition count — df.rdd would additionally
+        // build the row-deserializer conversion just to count splits
+        val parts = df.queryExecution.toRdd.getNumPartitions
+        if (parts < target) df.repartition(target) else df
+    }
   }
 
   /** One row per distinct normalized text, keeping the smallest id
