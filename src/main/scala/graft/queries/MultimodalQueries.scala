@@ -1337,6 +1337,69 @@ object MultimodalQueries {
     // a real box-tree parse; image/audio/text payloads exercise the
     // not-an-MP4 skip path. Sample decode stays behind the documented
     // stub — container structure is the real, uncompressed part
+    // MJPEG-in-AVI: video crosses from container math to REAL PIXELS
+    // with an exact oracle (VERDICT r16 item 4) — image ids become
+    // AVIs of DC-only baseline JPEG frames (dims multiples of 8, so
+    // every 8x8 block holds exactly 64 pixels and the per-frame stats
+    // replay as 64x block-formula sums); the strict RIFF walk + idx1
+    // cross-check + entropy decode all run for real
+    "mm_avi_frames" -> ((s, d) => {
+      val enc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.BINARY)
+      val avis = media(s, d).select("media_id", "kind", "bytes")
+        .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+          it.map { r =>
+            val id = r.getLong(0); val kind = r.getString(1)
+            val payload =
+              if (kind == "image") {
+                val w = 8 * (2 + (id % 4).toInt)
+                val h = 8 * (2 + (id % 3).toInt)
+                val nf = 2 + (id % 4).toInt
+                val frames = (0 until nf).map { t =>
+                  graft.operators.JpegCodec.encodeJpegDcOnly(w, h,
+                    (bx, by) => ((id * 31 + t * 97 + bx * 7 + by * 13) % 256).toInt)
+                }
+                graft.sources.Avi.encodeMjpeg(w, h,
+                  33000 + (id % 7).toInt * 1000, frames)
+              } else r.getAs[Array[Byte]](2)
+            (id, kind, payload)
+          }
+        }(enc).toDF("media_id", "kind", "bytes")
+      Multimodal.aviFrameStats(avis)
+    }),
+    // scene segmentation over real MJPEG video — the X210 composition
+    // on the AVI path: scenes change every 2 frames (+3 wiggle on odd
+    // frames keeps within-scene diffs at mean 3 < 16), cuts exactly
+    // at odd->even transitions; block-constant frames keep the JPEG
+    // decode exact so the oracle replays every block diff
+    "mm_avi_scene_cuts" -> ((s, d) => {
+      val enc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.BINARY)
+      val avis = media(s, d).select("media_id", "kind", "bytes")
+        .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+          it.map { r =>
+            val id = r.getLong(0); val kind = r.getString(1)
+            val payload =
+              if (kind == "image") {
+                val w = 8 * (2 + (id % 3).toInt)
+                val h = 8 * (2 + (id % 2).toInt)
+                val nf = 3 + (id % 4).toInt
+                val frames = (0 until nf).map { t =>
+                  graft.operators.JpegCodec.encodeJpegDcOnly(w, h,
+                    (bx, by) => (((id * 31 + (t / 2) * 97 + bx * 7 +
+                      by * 13) % 240) + (t % 2) * 3).toInt)
+                }
+                graft.sources.Avi.encodeMjpeg(w, h, 33000, frames)
+              } else r.getAs[Array[Byte]](2)
+            (id, kind, payload)
+          }
+        }(enc).toDF("media_id", "kind", "bytes")
+      Multimodal.aviSceneCuts(avis)
+    }),
     "mm_mp4_meta" -> ((s, d) => {
       val enc = org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.scalaLong,
@@ -1518,6 +1581,56 @@ object MultimodalQueries {
            (CASE WHEN doc_id % 3 = 1 THEN 16000
                  WHEN doc_id % 3 = 2 THEN 30 ELSE 0 END)::INT AS sample_rate
          FROM documents""",
+    // MJPEG-in-AVI frame stats: dims are multiples of 8 and frames
+    // are block-constant DC-only JPEGs, so the decoded gray plane is
+    // the block formula exactly — per-frame sums replay as 64x the
+    // per-block sum, min/max over block values
+    "mm_avi_frames" ->
+      s"""WITH g AS (SELECT doc_id AS media_id,
+             8 * (2 + doc_id % 4) AS w, 8 * (2 + doc_id % 3) AS h,
+             2 + doc_id % 4 AS nf,
+             33000 + (doc_id % 7) * 1000 AS upf
+           FROM documents WHERE doc_id % 3 = 0),
+         bx AS (SELECT media_id, w, h, nf, upf, f.f AS f,
+             ((media_id * 31 + f.f * 97 + x.x * 7 + y.y * 13) % 256) AS v
+           FROM g, LATERAL unnest(range(0, nf)) AS f(f),
+             LATERAL unnest(range(0, w // 8)) AS x(x),
+             LATERAL unnest(range(0, h // 8)) AS y(y))
+         SELECT media_id, f::BIGINT AS frame_idx, w::BIGINT AS width,
+           h::BIGINT AS height, upf::BIGINT AS us_per_frame,
+           CAST(sum(v) * 64 AS BIGINT) AS sum_gray,
+           CAST(min(v) AS BIGINT) AS min_gray,
+           CAST(max(v) AS BIGINT) AS max_gray
+         FROM bx GROUP BY media_id, f, w, h, upf""",
+    // adjacent-frame |diff| replay on block coordinates (per-pixel
+    // diff == per-block diff, 64 pixels per block); cut strictly
+    // above 16, scenes = 1 + cuts — the mm_gif_scene_cuts contract on
+    // the real video path
+    "mm_avi_scene_cuts" ->
+      s"""WITH g AS (SELECT doc_id AS media_id,
+             8 * (2 + doc_id % 3) AS w, 8 * (2 + doc_id % 2) AS h,
+             3 + doc_id % 4 AS nf
+           FROM documents WHERE doc_id % 3 = 0),
+         pr AS (SELECT media_id, w, h, t.t AS t
+           FROM g, LATERAL unnest(range(1, nf)) AS t(t)),
+         d AS (SELECT media_id, w, h, t,
+             abs((((media_id * 31 + (t // 2) * 97 + x.x * 7 +
+                    y.y * 13) % 240) + (t % 2) * 3) -
+                 (((media_id * 31 + ((t - 1) // 2) * 97 + x.x * 7 +
+                    y.y * 13) % 240) + ((t - 1) % 2) * 3)) AS ad
+           FROM pr, LATERAL unnest(range(0, w // 8)) AS x(x),
+             LATERAL unnest(range(0, h // 8)) AS y(y)),
+         p AS (SELECT media_id, t AS frame_idx,
+             CAST(min(w) * min(h) AS BIGINT) AS n_px,
+             CAST(sum(ad) * 64 AS BIGINT) AS sum_abs_diff,
+             CAST(sum(ad) * 64 // (min(w) * min(h)) AS BIGINT) AS mean_diff
+           FROM d GROUP BY media_id, t),
+         c AS (SELECT *, (mean_diff > 16) AS is_cut FROM p)
+         SELECT media_id, frame_idx::BIGINT AS frame_idx, n_px,
+           sum_abs_diff, mean_diff, is_cut,
+           CAST(1 + sum(CASE WHEN is_cut THEN 1 ELSE 0 END)
+             OVER (PARTITION BY media_id) AS BIGINT) AS n_scenes
+         FROM c""",
     // every movie fact re-derived from the id arithmetic the fixture
     // encoder used; duration_ms is exact integer division on both sides
     "mm_mp4_meta" ->

@@ -1,0 +1,223 @@
+package graft.sources
+
+/** AVI (RIFF 'AVI ') container codec for MJPEG video — the one video
+  * format whose PIXELS can cross the exact-oracle bar honestly
+  * (VERDICT r16 item 4): MJPEG frames are independent baseline JPEGs,
+  * and the engine's [[graft.operators.JpegCodec]] decode is
+  * byte-identity-proven, so an AVI of DC-only fixture frames decodes
+  * to formula-predictable pixels while exercising a REAL container
+  * walk + a REAL entropy-coded codec. Lossy inter-frame codecs
+  * (H.264 etc.) stay behind the documented stub boundary — no codec
+  * library ships here and no exact oracle is possible.
+  *
+  * Layout follows the public AVI RIFF form (the OpenDML/MSDN 'AVI '
+  * chunk hierarchy): RIFF('AVI ') { LIST(hdrl){ avih,
+  * LIST(strl){ strh('vids'/'MJPG'), strf(BITMAPINFOHEADER) } },
+  * LIST(movi){ '00dc' frame chunks }, idx1 }. The parser applies the
+  * [[graft.operators.Multimodal.WavCodec]] chunk discipline (Long
+  * bounds arithmetic against wrapping lengths, even-byte padding) and
+  * treats idx1 as a MANDATORY cross-check: every index entry must
+  * name the matching movi chunk at the matching offset with the
+  * matching size — a truncated movi walk or a stale index is a loud
+  * failure, never a silently short video.
+  */
+object Avi {
+
+  final case class AviMjpeg(width: Int, height: Int, usPerFrame: Int,
+      frames: IndexedSeq[Array[Byte]])
+
+  private val AVIIF_KEYFRAME = 0x10
+
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+  private def tag(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, "US-ASCII")
+
+  /** Encode an MJPEG AVI: each element of `frames` must already be a
+    * complete JPEG stream (the fixture path feeds
+    * [[graft.operators.JpegCodec.encodeJpegDcOnly]] output). */
+  def encodeMjpeg(width: Int, height: Int, usPerFrame: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(width > 0 && height > 0 && usPerFrame > 0 && frames.nonEmpty)
+    val bos = new java.io.ByteArrayOutputStream()
+    def u32(v: Int): Unit = {
+      bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+      bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff)
+    }
+    def fourcc(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    def chunk(id: String, body: Array[Byte]): Unit = {
+      fourcc(id); u32(body.length); bos.write(body)
+      if ((body.length & 1) == 1) bos.write(0) // even padding per RIFF
+    }
+    def list(listType: String, body: Array[Byte]): Unit = {
+      fourcc("LIST"); u32(4 + body.length); fourcc(listType); bos.write(body)
+    }
+    def build(f: java.io.ByteArrayOutputStream => Unit): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream(); f(b); b.toByteArray
+    }
+    def bu32(b: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      b.write(v & 0xff); b.write((v >> 8) & 0xff)
+      b.write((v >> 16) & 0xff); b.write((v >> 24) & 0xff)
+    }
+    def bcc(b: java.io.ByteArrayOutputStream, s: String): Unit =
+      b.write(s.getBytes("US-ASCII"))
+
+    val avih = build { b =>
+      bu32(b, usPerFrame); bu32(b, 0); bu32(b, 0)
+      bu32(b, 0x10) // AVIF_HASINDEX
+      bu32(b, frames.length); bu32(b, 0); bu32(b, 1) // one stream
+      bu32(b, 0); bu32(b, width); bu32(b, height)
+      (0 until 4).foreach(_ => bu32(b, 0)) // reserved
+    }
+    val strh = build { b =>
+      bcc(b, "vids"); bcc(b, "MJPG")
+      bu32(b, 0); bu32(b, 0); bu32(b, 0)
+      bu32(b, usPerFrame) // dwScale
+      bu32(b, 1000000)    // dwRate: rate/scale = fps
+      bu32(b, 0); bu32(b, frames.length); bu32(b, 0); bu32(b, -1)
+      bu32(b, 0); bu32(b, 0); bu32(b, 0)
+    }
+    val strf = build { b => // BITMAPINFOHEADER
+      bu32(b, 40); bu32(b, width); bu32(b, height)
+      b.write(1); b.write(0)   // planes
+      b.write(24); b.write(0)  // bpp
+      bcc(b, "MJPG")           // biCompression
+      bu32(b, width * height * 3)
+      bu32(b, 0); bu32(b, 0); bu32(b, 0); bu32(b, 0)
+    }
+    val strl = build { b =>
+      bcc(b, "strh"); bu32(b, strh.length); b.write(strh)
+      bcc(b, "strf"); bu32(b, strf.length); b.write(strf)
+    }
+    val hdrl = build { b =>
+      bcc(b, "avih"); bu32(b, avih.length); b.write(avih)
+      bcc(b, "LIST"); bu32(b, 4 + strl.length); bcc(b, "strl"); b.write(strl)
+    }
+    // movi body + idx1 entries (offsets are relative to the start of
+    // the 'movi' list type fourcc, per the AVI 1.0 convention)
+    val movi = new java.io.ByteArrayOutputStream()
+    val idx = new java.io.ByteArrayOutputStream()
+    var off = 4 // after the 'movi' fourcc
+    frames.foreach { f =>
+      bcc(movi, "00dc"); bu32(movi, f.length); movi.write(f)
+      val padded = f.length + (f.length & 1)
+      if ((f.length & 1) == 1) movi.write(0)
+      bcc(idx, "00dc"); bu32(idx, AVIIF_KEYFRAME)
+      bu32(idx, off); bu32(idx, f.length)
+      off += 8 + padded
+    }
+    val riffBody = new java.io.ByteArrayOutputStream()
+    bcc(riffBody, "AVI ")
+    bcc(riffBody, "LIST"); bu32(riffBody, 4 + hdrl.length)
+    bcc(riffBody, "hdrl"); riffBody.write(hdrl)
+    bcc(riffBody, "LIST"); bu32(riffBody, 4 + movi.size())
+    bcc(riffBody, "movi"); riffBody.write(movi.toByteArray)
+    bcc(riffBody, "idx1"); bu32(riffBody, idx.size())
+    riffBody.write(idx.toByteArray)
+    val body = riffBody.toByteArray
+    fourcc("RIFF"); u32(body.length); bos.write(body)
+    bos.toByteArray
+  }
+
+  /** Strict parse: header fields, the movi frame walk, and the idx1
+    * cross-check must all agree or the file is rejected loudly. */
+  def parseMjpeg(b: Array[Byte]): AviMjpeg = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"AVI parse: $msg")
+    if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "AVI ")
+      fail("not a RIFF AVI stream")
+    val riffLen = le32(b, 4)
+    if (riffLen < 4 || 8L + riffLen > b.length) fail("RIFF length out of bounds")
+
+    var width = 0; var height = 0; var usPerFrame = 0; var totalFrames = -1
+    var moviStart = -1 // offset of the 'movi' fourcc
+    var moviEnd = -1
+    var idxStart = -1; var idxLen = -1
+
+    // top-level chunk walk
+    var i = 12
+    while (i + 8 <= 8 + riffLen) {
+      val id = tag(b, i)
+      val len = le32(b, i + 4)
+      if (len < 0 || i.toLong + 8 + len > b.length) fail(s"chunk $id length $len out of bounds")
+      if (id == "LIST") {
+        if (len < 4) fail("LIST too short")
+        val lt = tag(b, i + 8)
+        if (lt == "hdrl") {
+          // avih directly inside
+          var j = i + 12
+          val end = i + 8 + len
+          while (j + 8 <= end) {
+            val cid = tag(b, j)
+            val clen = le32(b, j + 4)
+            if (clen < 0 || j.toLong + 8 + clen > end) fail(s"hdrl chunk $cid out of bounds")
+            if (cid == "avih") {
+              if (clen < 40) fail("avih too short")
+              usPerFrame = le32(b, j + 8)
+              totalFrames = le32(b, j + 8 + 16)
+              width = le32(b, j + 8 + 32)
+              height = le32(b, j + 8 + 36)
+            } else if (cid == "LIST" && clen >= 4 && tag(b, j + 8) == "strl") {
+              // strh: fccType must be vids / handler MJPG
+              val sid = tag(b, j + 12)
+              val slen = le32(b, j + 16)
+              if (sid != "strh" || slen < 48) fail("strl without leading strh")
+              if (tag(b, j + 20) != "vids") fail(s"stream type ${tag(b, j + 20)} != vids")
+              if (tag(b, j + 24) != "MJPG") fail(s"codec ${tag(b, j + 24)} != MJPG")
+            }
+            j += 8 + clen + (clen & 1)
+          }
+        } else if (lt == "movi") {
+          moviStart = i + 8
+          moviEnd = i + 8 + len
+        }
+      } else if (id == "idx1") {
+        idxStart = i + 8
+        idxLen = len
+      }
+      i += 8 + len + (len & 1)
+    }
+    if (width <= 0 || height <= 0 || usPerFrame <= 0) fail("missing/degenerate avih")
+    if (moviStart < 0) fail("no movi list")
+    if (idxStart < 0) fail("no idx1 index (AVIF_HASINDEX contract)")
+    if (idxLen % 16 != 0) fail(s"idx1 length $idxLen not entry-aligned")
+
+    // movi walk
+    val frames = IndexedSeq.newBuilder[Array[Byte]]
+    val offsets = IndexedSeq.newBuilder[(Int, Int)] // (offset rel to movi fourcc, size)
+    var m = moviStart + 4
+    while (m + 8 <= moviEnd) {
+      val cid = tag(b, m)
+      val clen = le32(b, m + 4)
+      if (clen < 0 || m.toLong + 8 + clen > moviEnd) fail(s"movi chunk $cid out of bounds")
+      if (cid == "00dc") {
+        frames += java.util.Arrays.copyOfRange(b, m + 8, m + 8 + clen)
+        offsets += ((m - moviStart, clen))
+      }
+      m += 8 + clen + (clen & 1)
+    }
+    val fr = frames.result()
+    val off = offsets.result()
+    if (totalFrames >= 0 && fr.length != totalFrames)
+      fail(s"movi walk found ${fr.length} frames, avih declares $totalFrames")
+
+    // idx1 cross-check: entry count, chunk ids, offsets, sizes
+    val nIdx = idxLen / 16
+    if (nIdx != fr.length)
+      fail(s"idx1 has $nIdx entries, movi walk found ${fr.length}")
+    var k = 0
+    while (k < nIdx) {
+      val e = idxStart + 16 * k
+      if (tag(b, e) != "00dc") fail(s"idx1 entry $k names ${tag(b, e)}")
+      if ((le32(b, e + 4) & AVIIF_KEYFRAME) == 0)
+        fail(s"idx1 entry $k not a keyframe — MJPEG frames are all key")
+      if (le32(b, e + 8) != off(k)._1)
+        fail(s"idx1 entry $k offset ${le32(b, e + 8)} != movi ${off(k)._1}")
+      if (le32(b, e + 12) != off(k)._2)
+        fail(s"idx1 entry $k size ${le32(b, e + 12)} != movi ${off(k)._2}")
+      k += 1
+    }
+    AviMjpeg(width, height, usPerFrame, fr)
+  }
+}
