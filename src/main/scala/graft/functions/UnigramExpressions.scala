@@ -109,6 +109,35 @@ final class UnigramTable(tok: Array[String], costs: Array[Long],
     out
   }
 
+  @transient private lazy val detok: java.util.HashMap[java.lang.Long, String] = {
+    val m = new java.util.HashMap[java.lang.Long, String]()
+    val it = ids.entrySet().iterator()
+    while (it.hasNext) { val e = it.next(); m.put(e.getValue, e.getKey) }
+    m
+  }
+
+  /** Inverse of [[encode]] up to the dropped spaces ([[BpeTable
+    * .decode]]'s contract): ids at or above 0x110000 resolve through
+    * the vocabulary, everything below IS its codepoint (the scheme
+    * keeps the ranges disjoint). An id in the multi-token range but
+    * absent from the vocabulary is a corrupt stream — fail loudly. */
+  def decode(idsIn: ArrayData): UTF8String = {
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    val n = idsIn.numElements()
+    while (i < n) {
+      val id = idsIn.getLong(i)
+      if (id >= 0x110000L) {
+        val t = detok.get(id)
+        if (t == null) throw new IllegalArgumentException(
+          s"unigram decode: id $id not in vocabulary — stream/table mismatch")
+        sb.append(t)
+      } else sb.appendCodePoint(id.toInt)
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** Kernel for the training rounds: NORMALIZED word -> token array. */
   def segment(w: UTF8String): ArrayData = {
     val toks = segmentWord(w.toString)
@@ -188,9 +217,27 @@ case class UnigramEncodeIds(child: Expression, table: UnigramTable)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Unigram id-stream decode — the inverse of [[UnigramEncodeIds]] up
+  * to the encoder's dropped spaces. */
+case class UnigramDecodeIds(child: Expression, table: UnigramTable)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "unigram_decode_ids"
+  override protected def nullSafeEval(a: Any): Any =
+    table.decode(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramTable", table, classOf[UnigramTable].getName)
+    defineCodeGen(ctx, ev, s => s"$ref.decode($s)")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object unigram {
   def unigram_segment(word: Column, table: UnigramTable): Column =
     GraftBridge.column(UnigramSegment(GraftBridge.expression(word), table))
   def unigram_encode_ids(normText: Column, table: UnigramTable): Column =
     GraftBridge.column(UnigramEncodeIds(GraftBridge.expression(normText), table))
+  def unigram_decode_ids(ids: Column, table: UnigramTable): Column =
+    GraftBridge.column(UnigramDecodeIds(GraftBridge.expression(ids), table))
 }

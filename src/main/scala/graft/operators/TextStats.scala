@@ -1090,6 +1090,42 @@ object TextStats {
       array_join(transform(toks, t => t.cast("string")), " ").as("token_ids"))
   }
 
+  /** Tokenizer round-trip integrity on the unigram family
+    * ([[bpeDecode]]'s contract): train -> encode -> DECODE, one
+    * kernel call each way; the encoder drops spaces, so
+    * `decode(encode(norm(text))) == norm(text) minus spaces` — the
+    * oracle states the identity directly, making any id-scheme
+    * collision or vocabulary corruption a hash mismatch. */
+  def unigramDecode(df: DataFrame, idCol: String, textCol: String,
+      seedMulti: Int = 96, rounds: Int = 3): DataFrame = {
+    val table = unigramTable(unigramTrain(df, textCol, seedMulti, rounds))
+    df.select(col(idCol),
+      graft.functions.unigram.unigram_decode_ids(
+        graft.functions.unigram.unigram_encode_ids(norm(col(textCol)), table),
+        table).as("decoded"))
+  }
+
+  /** Persist a trained unigram vocabulary as parquet — the
+    * [[saveKnModel]] lifecycle for the tokenizer: what a deployment
+    * exports once and serves everywhere. */
+  def saveUnigramModel(vocab: Seq[(String, Long, Long)], dir: String,
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    vocab.toDF("token", "milli_cost", "n_uses")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/vocab")
+  }
+
+  /** Load a persisted unigram vocabulary. The frame is
+    * vocabulary-bounded by construction (the trainer prunes to
+    * singles + the kept multi tokens), so the collect is the
+    * sanctioned bounded-table pattern. */
+  def loadUnigramModel(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(String, Long, Long)] =
+    spark.read.parquet(s"$dir/vocab")
+      .select(col("token"), col("milli_cost"), col("n_uses"))
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+
   /** [[tokenFertilityByLang]] under the unigram tokenizer — the gauge
     * re-run on the second tokenizer family, same reduce contract. */
   def unigramFertilityByLang(df: DataFrame, idCol: String, textCol: String,

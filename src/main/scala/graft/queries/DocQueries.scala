@@ -755,6 +755,25 @@ object DocQueries {
     "doc_unigram_fertility" -> ((s, d) =>
       TextStats.unigramFertilityByLang(docs(s, d), "doc_id", "text",
         "lang")),
+    // round-trip integrity on the unigram family — id-scheme
+    // collisions or vocabulary corruption become a hash mismatch
+    "doc_unigram_roundtrip" -> ((s, d) =>
+      TextStats.unigramDecode(docs(s, d), "doc_id", "text")),
+    // the PERSISTED-model lifecycle (doc_kn_score_stored's shape):
+    // train-once -> saveUnigramModel -> load in a later session ->
+    // kernel encode. Shares doc_unigram_encode's oracle: a stored-
+    // and-reloaded vocabulary must encode bit-identically to the
+    // fresh one. Fingerprint-keyed so a stale store is never served
+    "doc_unigram_stored" -> ((s, d) => {
+      val fp = DatasetFingerprint.of(s"$d/documents.parquet")
+      val dir = s"/tmp/graft_uni1_${d.replaceAll("[^A-Za-z0-9.]", "_")}_$fp"
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$dir/vocab/_SUCCESS")))
+        TextStats.saveUnigramModel(
+          TextStats.unigramTrain(docs(s, d), "text"), dir, s)
+      TextStats.unigramEncodeApply(docs(s, d), "doc_id", "text",
+        TextStats.unigramTable(TextStats.loadUnigramModel(s, dir)))
+    }),
     // byte-budget training shards in id order (webdataset packing
     // shape) — prefix sums via the bucket-offset composition, keyed
     // by exact-percentile id ranges
@@ -2506,6 +2525,18 @@ object DocQueries {
          FROM v3 v JOIN u3 u USING (tok)
          LEFT JOIN idm ON idm.tok = v.tok""",
     "doc_unigram_encode" ->
+      s"""WITH ${unigramEncodeCtes(96, 3)}
+         SELECT d.doc_id, CAST(count(t.id) AS BIGINT) AS n_tokens,
+           coalesce(string_agg(CAST(t.id AS VARCHAR), ' '
+             ORDER BY t.wpos, t.cpos, t.spos), '') AS token_ids
+         FROM documents d LEFT JOIN tid t USING (doc_id)
+         GROUP BY 1""",
+    "doc_unigram_roundtrip" ->
+      s"""SELECT doc_id, replace($normSql, ' ', '') AS decoded
+         FROM documents""",
+    // the stored-model lifecycle member of the unigram shared-oracle
+    // set: identical output contract to doc_unigram_encode
+    "doc_unigram_stored" ->
       s"""WITH ${unigramEncodeCtes(96, 3)}
          SELECT d.doc_id, CAST(count(t.id) AS BIGINT) AS n_tokens,
            coalesce(string_agg(CAST(t.id AS VARCHAR), ' '

@@ -82,6 +82,35 @@ class UnigramSpec extends AnyFunSuite {
     assert(vocab == vocab2)
   }
 
+  test("decode kernel inverts encode; corrupt multi-range id fails loudly") {
+    val df = Seq((1L, "Round, trip! 42 times")).toDF("doc_id", "text")
+    val t = TextStats.unigramTable(
+      TextStats.unigramTrain(df, "text", seedMulti = 8, rounds = 2))
+    val got = TextStats.unigramDecode(df, "doc_id", "text")
+      .collect().head.getString(1)
+    assert(got == "round,trip!42times")
+    intercept[Exception] {
+      import org.apache.spark.sql.functions.typedlit
+      Seq(1).toDF("x").select(graft.functions.unigram.unigram_decode_ids(
+        typedlit(Array(0x110000L + 9999L)), t)).collect()
+    }
+  }
+
+  test("stored-and-reloaded vocabulary encodes bit-identically to fresh") {
+    val df = Seq((1L, "the cat sat"), (2L, "a cat sat on the mat"))
+      .toDF("doc_id", "text")
+    val vocab = TextStats.unigramTrain(df, "text", seedMulti = 8, rounds = 2)
+    val dir = java.nio.file.Files.createTempDirectory("uni_store").toString
+    TextStats.saveUnigramModel(vocab, dir, spark)
+    val loaded = TextStats.loadUnigramModel(spark, dir)
+    assert(loaded.sortBy(_._1) == vocab.sortBy(_._1))
+    val fresh = TextStats.unigramEncodeApply(df, "doc_id", "text",
+      TextStats.unigramTable(vocab)).collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    val stored = TextStats.unigramEncodeApply(df, "doc_id", "text",
+      TextStats.unigramTable(loaded)).collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(fresh == stored)
+  }
+
   test("encode round-trips: decoded ids reproduce norm text minus spaces") {
     val df = Seq(
       (1L, "The cat, sat on 42 mats!"),
