@@ -1928,6 +1928,56 @@ object Multimodal {
             .partitionBy(col("media_id")))).cast("long"))
   }
 
+  /** Scene-REPRESENTATIVE frame sampling over MJPEG-in-AVI —
+    * [[gifSceneReps]]'s contract (first frame of each detected scene,
+    * scene length, rep pixel stats with the position-weighted
+    * checksum pinning value AND place) on the real video path; shares
+    * [[aviSceneCuts]]' diff kernel semantics (decode happens once for
+    * the whole per-row pass). */
+  def aviSceneReps(media: DataFrame, cutThreshold: Long = 16L): DataFrame = {
+    val enc = Encoders.product[(Long, Long, Long, Long, Long, Long)]
+    media.filter(col("kind") === "image").select("media_id", "bytes")
+      .mapPartitions { it: Iterator[Row] =>
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val avi = graft.sources.Avi.parseMjpeg(r.getAs[Array[Byte]](1))
+          val fa = avi.frames.map { jpg =>
+            val (w, h, px) = JpegCodec.decode(jpg)
+            require(w == avi.width && h == avi.height,
+              s"frame decodes ${w}x$h inside ${avi.width}x${avi.height}")
+            px
+          }.toArray
+          val n = avi.width * avi.height
+          val scene = new Array[Int](fa.length)
+          var t = 1
+          while (t < fa.length) {
+            var sum = 0L
+            var i = 0
+            while (i < n) {
+              sum += math.abs((fa(t)(i) & 0xff) - (fa(t - 1)(i) & 0xff))
+              i += 1
+            }
+            scene(t) = scene(t - 1) + (if (sum / n > cutThreshold) 1 else 0)
+            t += 1
+          }
+          val nScenes = scene(fa.length - 1) + 1
+          (0 until nScenes).map { s =>
+            val first = scene.indexOf(s)
+            val len = scene.count(_ == s).toLong
+            var sum = 0L; var ck = 0L
+            var i = 0
+            while (i < n) {
+              val v = (fa(first)(i) & 0xff).toLong
+              sum += v; ck += (i + 1) * v
+              i += 1
+            }
+            (id, s.toLong, first.toLong, len, sum, ck)
+          }
+        }
+      }(enc).toDF("media_id", "scene_idx", "rep_frame_idx",
+        "n_frames", "rep_sum_gray", "rep_checksum")
+  }
+
   /** Orientation-normalized perceptual hash — the REUNITE-THE-PHOTO
     * composition X198 and X209 exist for: the same photo stored
     * upright and stored physically-rotated-with-an-orientation-tag

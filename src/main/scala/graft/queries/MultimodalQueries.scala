@@ -1400,6 +1400,36 @@ object MultimodalQueries {
         }(enc).toDF("media_id", "kind", "bytes")
       Multimodal.aviSceneCuts(avis)
     }),
+    // one representative per scene over the same planted MJPEG
+    // animation — completes the X210 trio on the real video path; the
+    // oracle re-derives cuts, prefix-sums scene ids, and pins value
+    // AND place of every rep pixel via the block position-weight sum
+    "mm_avi_scene_reps" -> ((s, d) => {
+      val enc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.BINARY)
+      val avis = media(s, d).select("media_id", "kind", "bytes")
+        .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+          it.map { r =>
+            val id = r.getLong(0); val kind = r.getString(1)
+            val payload =
+              if (kind == "image") {
+                val w = 8 * (2 + (id % 3).toInt)
+                val h = 8 * (2 + (id % 2).toInt)
+                val nf = 3 + (id % 4).toInt
+                val frames = (0 until nf).map { t =>
+                  graft.operators.JpegCodec.encodeJpegDcOnly(w, h,
+                    (bx, by) => (((id * 31 + (t / 2) * 97 + bx * 7 +
+                      by * 13) % 240) + (t % 2) * 3).toInt)
+                }
+                graft.sources.Avi.encodeMjpeg(w, h, 33000, frames)
+              } else r.getAs[Array[Byte]](2)
+            (id, kind, payload)
+          }
+        }(enc).toDF("media_id", "kind", "bytes")
+      Multimodal.aviSceneReps(avis)
+    }),
     "mm_mp4_meta" -> ((s, d) => {
       val enc = org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.scalaLong,
@@ -1631,6 +1661,50 @@ object MultimodalQueries {
            CAST(1 + sum(CASE WHEN is_cut THEN 1 ELSE 0 END)
              OVER (PARTITION BY media_id) AS BIGINT) AS n_scenes
          FROM c""",
+    // cut sequence -> prefix-sum scene ids -> first frame per scene;
+    // rep stats at block granularity: sum = 64x block sum, checksum =
+    // sum over blocks of v * posSum(bx,by) where posSum (the exact
+    // integer sum of (y*w + x + 1) over the block's 64 pixels) =
+    // 8*w*(64*by + 28) + 512*bx + 288
+    "mm_avi_scene_reps" ->
+      s"""WITH g AS (SELECT doc_id AS media_id,
+             8 * (2 + doc_id % 3) AS w, 8 * (2 + doc_id % 2) AS h,
+             3 + doc_id % 4 AS nf
+           FROM documents WHERE doc_id % 3 = 0),
+         pr AS (SELECT media_id, w, h, t.t AS t
+           FROM g, LATERAL unnest(range(1, nf)) AS t(t)),
+         d AS (SELECT media_id, w, h, t,
+             abs((((media_id * 31 + (t // 2) * 97 + x.x * 7 +
+                    y.y * 13) % 240) + (t % 2) * 3) -
+                 (((media_id * 31 + ((t - 1) // 2) * 97 + x.x * 7 +
+                    y.y * 13) % 240) + ((t - 1) % 2) * 3)) AS ad
+           FROM pr, LATERAL unnest(range(0, w // 8)) AS x(x),
+             LATERAL unnest(range(0, h // 8)) AS y(y)),
+         p AS (SELECT media_id, t,
+             (sum(ad) * 64 // (min(w) * min(h))) AS mean_diff
+           FROM d GROUP BY 1, 2),
+         fr AS (SELECT media_id, w, h, t.t AS t
+           FROM g, LATERAL unnest(range(0, nf)) AS t(t)),
+         fc AS (SELECT fr.media_id, fr.w, fr.h, fr.t,
+             CASE WHEN p.mean_diff > 16 THEN 1 ELSE 0 END AS cut
+           FROM fr LEFT JOIN p
+             ON p.media_id = fr.media_id AND p.t = fr.t),
+         sc AS (SELECT *, sum(cut) OVER (PARTITION BY media_id
+             ORDER BY t) AS scene FROM fc),
+         agg AS (SELECT media_id, w, h, scene AS scene_idx,
+             min(t) AS rep, count(*) AS n_frames
+           FROM sc GROUP BY 1, 2, 3, 4),
+         px AS (SELECT r.media_id, r.scene_idx, r.rep, r.n_frames,
+             (8 * r.w * (64 * y.y + 28) + 512 * x.x + 288) AS wgt,
+             (((r.media_id * 31 + (r.rep // 2) * 97 + x.x * 7 +
+                y.y * 13) % 240) + (r.rep % 2) * 3) AS v
+           FROM agg r, LATERAL unnest(range(0, r.w // 8)) AS x(x),
+             LATERAL unnest(range(0, r.h // 8)) AS y(y))
+         SELECT media_id, scene_idx::BIGINT AS scene_idx,
+           rep::BIGINT AS rep_frame_idx, n_frames::BIGINT AS n_frames,
+           CAST(sum(v) * 64 AS BIGINT) AS rep_sum_gray,
+           CAST(sum(wgt * v) AS BIGINT) AS rep_checksum
+         FROM px GROUP BY 1, 2, 3, 4""",
     // every movie fact re-derived from the id arithmetic the fixture
     // encoder used; duration_ms is exact integer division on both sides
     "mm_mp4_meta" ->
