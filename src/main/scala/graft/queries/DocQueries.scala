@@ -774,6 +774,29 @@ object DocQueries {
       TextStats.unigramEncodeApply(docs(s, d), "doc_id", "text",
         TextStats.unigramTable(TextStats.loadUnigramModel(s, dir)))
     }),
+    // BPE-vs-unigram comparison gauge — the decision table a pipeline
+    // builds when choosing its tokenizer family: both trained on the
+    // SAME corpus, per-doc token counts + chars-per-token compression
+    // in integer milli (chars = normalized minus spaces, the decoder
+    // output length, so the gauge is the true compression ratio)
+    "doc_tokenizer_compare" -> ((s, d) => {
+      val base = docs(s, d)
+      val bpeT = TextStats.bpeTable(
+        TextStats.bpeTrainMerges(base, "text", rounds = 8))
+      val uniT = TextStats.unigramTable(TextStats.unigramTrain(base, "text"))
+      val bpe = TextStats.bpeEncodeApply(base, "doc_id", "text", bpeT)
+        .select(col("doc_id"), col("n_tokens").as("n_tokens_bpe"))
+      val uni = TextStats.unigramEncodeApply(base, "doc_id", "text", uniT)
+        .select(col("doc_id"), col("n_tokens").as("n_tokens_unigram"))
+      base.select(col("doc_id"),
+          length(translate(TextStats.norm(col("text")), " ", ""))
+            .cast("long").as("n_chars"))
+        .join(bpe, Seq("doc_id")).join(uni, Seq("doc_id"))
+        .withColumn("cpt_bpe_milli", expr(
+          "CASE WHEN n_tokens_bpe > 0 THEN n_chars * 1000 div n_tokens_bpe ELSE 0L END"))
+        .withColumn("cpt_unigram_milli", expr(
+          "CASE WHEN n_tokens_unigram > 0 THEN n_chars * 1000 div n_tokens_unigram ELSE 0L END"))
+    }),
     // byte-budget training shards in id order (webdataset packing
     // shape) — prefix sums via the bucket-offset composition, keyed
     // by exact-percentile id ranges
@@ -1648,17 +1671,22 @@ object DocQueries {
     (ctes.result().mkString(",\n         "), s"seg$rnd")
   }
 
-  private def unigramTrainCtes(seedMulti: Int, rounds: Int): String = {
+  /** `p` prefixes the CTE names that would collide with the BPE
+    * chain's (`wq`, `dtok`, `tid`) so both tokenizers' unrolled
+    * oracles can share one WITH (the doc_tokenizer_compare
+    * composition); "" keeps the standalone names. */
+  private def unigramTrainCtes(seedMulti: Int, rounds: Int,
+      p: String = ""): String = {
     val L = TextStats.unigramMaxTokenLen
     val W = TextStats.unigramChunkLen
     val parts = Seq.newBuilder[String]
     parts += entropyMlCte
-    parts += s"""wq AS (SELECT unnest(regexp_extract_all($normSql,
+    parts += s"""${p}wq AS (SELECT unnest(regexp_extract_all($normSql,
          '[a-z0-9]+')) AS fw FROM documents)"""
     parts += s"""cw AS MATERIALIZED (
          SELECT w, CAST(length(w) AS BIGINT) AS n, count(*)::BIGINT AS c
          FROM (SELECT substr(fw, CAST(i AS INT) * $W + 1, $W) AS w
-               FROM wq, LATERAL unnest(range(0,
+               FROM ${p}wq, LATERAL unnest(range(0,
                  (length(fw) + ${W - 1}) // $W)) AS t(i))
          GROUP BY 1, 2)"""
     parts += s"""sub AS MATERIALIZED (
@@ -1708,15 +1736,16 @@ object DocQueries {
   /** Training CTEs + the final-vocab segmentation + per-document
     * token-id reassembly (the [[bpeTokenCtesBody]] dtok/tid shape):
     * ends at `tid(doc_id, wpos, cpos, spos, id)`. */
-  private def unigramEncodeCtes(seedMulti: Int, rounds: Int): String = {
+  private def unigramEncodeCtes(seedMulti: Int, rounds: Int,
+      p: String = ""): String = {
     val W = TextStats.unigramChunkLen
     val (dpSql, seg) = unigramDpChain(rounds + 1, s"v$rounds")
-    s"""${unigramTrainCtes(seedMulti, rounds)},
+    s"""${unigramTrainCtes(seedMulti, rounds, p)},
          $dpSql,
          idm AS (SELECT tok,
              1114111 + row_number() OVER (ORDER BY tok ASC) AS id
            FROM v$rounds WHERE length(tok) >= 2),
-         dtok AS (SELECT doc_id, CAST(i AS INT) AS wpos,
+         ${p}dtok AS (SELECT doc_id, CAST(i AS INT) AS wpos,
              list_extract(ws, CAST(i AS INT)) AS fw
            FROM (SELECT doc_id, regexp_extract_all($normSql,
                    '${TextStats.tokenPattern}') AS ws FROM documents),
@@ -1724,14 +1753,14 @@ object DocQueries {
          dchunk AS (SELECT doc_id, wpos, CAST(ci AS INT) AS cpos,
              substr(fw, CAST(ci AS INT) * $W + 1, $W) AS w,
              regexp_full_match(fw, '[a-z0-9]+') AS alnum
-           FROM dtok, LATERAL unnest(range(0,
+           FROM ${p}dtok, LATERAL unnest(range(0,
              CASE WHEN regexp_full_match(fw, '[a-z0-9]+')
                THEN (length(fw) + ${W - 1}) // $W ELSE 1 END)) AS t(ci)),
          dtoks AS (SELECT doc_id, wpos, cpos,
              CASE WHEN alnum THEN sg.toks ELSE [dchunk.w] END AS toks
            FROM dchunk LEFT JOIN $seg sg
              ON alnum AND sg.w = dchunk.w AND sg.n = length(dchunk.w)),
-         tid AS (SELECT doc_id, wpos, cpos, CAST(i AS INT) AS spos,
+         ${p}tid AS (SELECT doc_id, wpos, cpos, CAST(i AS INT) AS spos,
              CASE WHEN length(t) = 1 AND idm.id IS NULL
                THEN unicode(t) ELSE idm.id END AS id
            FROM (SELECT doc_id, wpos, cpos, CAST(i AS INT) AS i,
@@ -2534,6 +2563,25 @@ object DocQueries {
     "doc_unigram_roundtrip" ->
       s"""SELECT doc_id, replace($normSql, ' ', '') AS decoded
          FROM documents""",
+    // both tokenizers' unrolled chains share one WITH (the unigram
+    // names carry the 'u' prefix to dodge the BPE chain's wq/dtok/tid)
+    "doc_tokenizer_compare" ->
+      s"""WITH RECURSIVE ${bpeTokenCtesBody(8, "documents", normSql)},
+         ${unigramEncodeCtes(96, 3, "u")},
+         nb AS (SELECT d.doc_id, CAST(count(t.id) AS BIGINT) AS n
+           FROM documents d LEFT JOIN tid t USING (doc_id) GROUP BY 1),
+         nu AS (SELECT d.doc_id, CAST(count(t.id) AS BIGINT) AS n
+           FROM documents d LEFT JOIN utid t USING (doc_id) GROUP BY 1),
+         chx AS (SELECT doc_id,
+             CAST(length(replace($normSql, ' ', '')) AS BIGINT) AS n_chars
+           FROM documents)
+         SELECT chx.doc_id, chx.n_chars, nb.n AS n_tokens_bpe,
+           nu.n AS n_tokens_unigram,
+           CAST(CASE WHEN nb.n > 0 THEN chx.n_chars * 1000 // nb.n
+             ELSE 0 END AS BIGINT) AS cpt_bpe_milli,
+           CAST(CASE WHEN nu.n > 0 THEN chx.n_chars * 1000 // nu.n
+             ELSE 0 END AS BIGINT) AS cpt_unigram_milli
+         FROM chx JOIN nb USING (doc_id) JOIN nu USING (doc_id)""",
     // the stored-model lifecycle member of the unigram shared-oracle
     // set: identical output contract to doc_unigram_encode
     "doc_unigram_stored" ->

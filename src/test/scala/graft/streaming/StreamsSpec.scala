@@ -887,6 +887,36 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("batch-trained unigram table tokenizes a document stream online") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // same production split as the BPE case: train offline (or load a
+    // persisted vocabulary), apply online as a stateless codegen
+    // projection; stream rows must encode bit-identically to batch
+    val corpus = Seq((1L, "the cat sat"), (2L, "a cat sat on the mat"))
+      .toDF("doc_id", "text")
+    val table = graft.operators.TextStats.unigramTable(
+      graft.operators.TextStats.unigramTrain(corpus, "text",
+        seedMulti = 8, rounds = 2))
+    val probe = Seq((10L, "The cat, sat!"), (11L, "")).toDF("doc_id", "text")
+    val batch = graft.operators.TextStats.unigramEncodeApply(
+        probe, "doc_id", "text", table)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val in = MemoryStream[(Long, String)]
+    val q = graft.operators.TextStats.unigramEncodeApply(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text", table)
+      .writeStream.format("memory").queryName("uni_out")
+      .outputMode("append").start()
+    try {
+      in.addData((10L, "The cat, sat!"), (11L, ""))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM uni_out").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+      assert(rows == batch, s"stream $rows != batch $batch")
+      assert(rows(11L) == ((0L, "")))
+    } finally q.stop()
+  }
+
   test("online KN scoring: stream scores == batch join-path scores") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
