@@ -255,6 +255,17 @@ object SuffixArray {
   def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
       minLen: Int): DataFrame = {
     val (perPos, finalRanks, tables) = maxrepPositions(df, idCol, textCol)
+    val result = exciseFromPerPos(df, idCol, textCol, perPos, minLen)
+    tables.foreach(t => freeFrame(t.frame))
+    freeFrame(finalRanks)
+    result
+  }
+
+  /** The excision tail shared by the fresh and the indexed paths:
+    * interval-union sweep over (doc, pos, maxrep) + position
+    * excision over the normalized text. */
+  private def exciseFromPerPos(df: DataFrame, idCol: String,
+      textCol: String, perPos: DataFrame, minLen: Int): DataFrame = {
     val wS = Window.partitionBy(col("doc")).orderBy(col("pos").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val removedPos = perPos
@@ -268,11 +279,32 @@ object SuffixArray {
     val out = Dedup.exciseListedPositions(normed, "doc", "__t",
         removedPos, " ", " ", "n_tokens")
       .withColumnRenamed("doc", idCol)
-    val result = materializeCut(out)
+    materializeCut(out)
+  }
+
+  /** Persist the corpus's repeated-span index: one row per word
+    * position with its maximal-repeat length (doc, pos, maxrep) —
+    * minLen-AGNOSTIC, so one index serves every excision threshold.
+    * The ExactSubstr production shape: the suffix-array build runs
+    * once when a corpus snapshot lands; every later excision (or
+    * re-excision at a different threshold) reads the index. */
+  def writeSpanIndex(df: DataFrame, idCol: String, textCol: String,
+      dir: String): Unit = {
+    val (perPos, finalRanks, tables) = maxrepPositions(df, idCol, textCol)
+    perPos.write.mode("overwrite").parquet(s"$dir/perpos")
     tables.foreach(t => freeFrame(t.frame))
     freeFrame(finalRanks)
-    result
   }
+
+  /** [[removeRepeatedSpans]] served from a persisted
+    * [[writeSpanIndex]] — identical output to the fresh build by
+    * construction (same perPos rows through the same sweep), so the
+    * indexed query shares the fresh query's oracle. */
+  def removeRepeatedSpansIndexed(spark: org.apache.spark.sql.SparkSession,
+      dir: String, df: DataFrame, idCol: String, textCol: String,
+      minLen: Int): DataFrame =
+    exciseFromPerPos(df, idCol, textCol,
+      spark.read.parquet(s"$dir/perpos"), minLen)
 
   /** The shared SA core: exact per-position maximal-repeat lengths
     * (doc, pos, maxrep) plus the frames the caller must free once its

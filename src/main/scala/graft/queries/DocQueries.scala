@@ -1029,11 +1029,24 @@ object DocQueries {
     // the EDIT step over the same suffix array: excise every word
     // covered by a >= 8-word run that occurs anywhere else in the
     // corpus (ExactSubstr removal; doc_remove_dup_spans is the
-    // cross-doc fixed-n form). Oracle = shared suffix-sort CTEs + the
-    // same interval-union sweep in SQL
-    "doc_remove_repeated_spans" -> ((s, d) =>
-      graft.operators.SuffixArray.removeRepeatedSpans(docs(s, d),
-        "doc_id", "text", minLen = 8)),
+    // cross-doc fixed-n form). Served from the PERSISTED span index
+    // (minLen-agnostic (doc,pos,maxrep) parquet, fingerprint-keyed —
+    // the ExactSubstr production shape: the SA build runs once per
+    // corpus snapshot, every excision reads the index), while
+    // doc_repeated_spans keeps the fresh SA build verified under its
+    // own oracle. Oracle = shared suffix-sort CTEs + the same
+    // interval-union sweep in SQL — indexed and fresh paths are
+    // output-identical by construction
+    "doc_remove_repeated_spans" -> ((s, d) => {
+      val fp = DatasetFingerprint.of(s"$d/documents.parquet")
+      val dir = s"/tmp/graft_saidx_${d.replaceAll("[^A-Za-z0-9.]", "_")}_$fp"
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$dir/perpos/_SUCCESS")))
+        graft.operators.SuffixArray.writeSpanIndex(docs(s, d),
+          "doc_id", "text", dir)
+      graft.operators.SuffixArray.removeRepeatedSpansIndexed(s, dir,
+        docs(s, d), "doc_id", "text", minLen = 8)
+    }),
     // Unicode-folded exact dedup: accented / case / encoding variants
     // of the same text share one key (NFD-minus-marks fold). Fixture
     // plants an accent-and-case-mangled twin per doc; oracle folds

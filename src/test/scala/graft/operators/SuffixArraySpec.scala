@@ -139,6 +139,27 @@ class SuffixArraySpec extends AnyFunSuite {
     }
   }
 
+  test("persisted span index serves removal identically to the fresh build") {
+    val rows = Seq(
+      1L -> "one two alpha beta gamma three",
+      2L -> "alpha beta gamma four five six",
+      3L -> "rep rep rep rep rep")
+    val dir = java.nio.file.Files.createTempDirectory("sa_idx").toString
+    SuffixArray.writeSpanIndex(docs(rows: _*), "doc_id", "text", dir)
+    // the index is minLen-AGNOSTIC: one build serves both thresholds
+    for (minLen <- Seq(2, 3)) {
+      val fresh = SuffixArray.removeRepeatedSpans(docs(rows: _*),
+          "doc_id", "text", minLen)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      val served = SuffixArray.removeRepeatedSpansIndexed(spark, dir,
+          docs(rows: _*), "doc_id", "text", minLen)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(served == fresh, s"minLen=$minLen")
+    }
+  }
+
   test("removeRepeatedSpans: untouched corpus passes through verbatim") {
     val rows = Seq(1L -> "all distinct words here",
       2L -> "nothing shared anywhere today")
