@@ -23,11 +23,14 @@ object DatasetFingerprint {
     if (!Files.exists(p)) return "na"
     if (Files.isRegularFile(p))
       return fold(0L, entry(p.getFileName.toString, p)).toHexString
-    val files = Files.walk(p).iterator().asScala
-      .filter(Files.isRegularFile(_))
-      .map(f => (p.relativize(f).toString, f))
-      .toArray
-      .sortBy(_._1)
+    val walk = Files.walk(p)
+    val files =
+      try walk.iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .map(f => (p.relativize(f).toString, f))
+        .toArray
+        .sortBy(_._1)
+      finally walk.close()
     var h = files.length.toLong
     files.foreach { case (rel, f) => h = fold(h, entry(rel, f)) }
     h.toHexString
