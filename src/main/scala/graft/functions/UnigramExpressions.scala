@@ -80,9 +80,21 @@ final class UnigramTable(tok: Array[String], costs: Array[Long],
         if (c != null && dpT(j - len) != null) {
           val cc = dpCost(j - len) + c.longValue
           val cn = dpN(j - len) + 1
-          val ct = new java.util.ArrayList[String](dpT(j - len))
-          ct.add(t)
-          if (bt == null || better(cc, cn, ct, bc, bn, bt)) {
+          // compare (cost, ntok) BEFORE materializing the candidate's
+          // token list — the list matters only on an exact tie, and
+          // this runs per (position, length) in the per-row kernel
+          val take =
+            if (bt == null) true
+            else if (cc != bc) cc < bc
+            else if (cn != bn) cn < bn
+            else {
+              val ct = new java.util.ArrayList[String](dpT(j - len))
+              ct.add(t)
+              better(cc, cn, ct, bc, bn, bt)
+            }
+          if (take) {
+            val ct = new java.util.ArrayList[String](dpT(j - len))
+            ct.add(t)
             bc = cc; bn = cn; bt = ct
           }
         }

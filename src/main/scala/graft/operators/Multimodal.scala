@@ -1960,7 +1960,9 @@ object Multimodal {
             scene(t) = scene(t - 1) + (if (sum / n > cutThreshold) 1 else 0)
             t += 1
           }
-          val nScenes = scene(fa.length - 1) + 1
+          // a frameless AVI has no scenes (the cut/frames queries emit
+          // empty for it too — don't index scene(-1))
+          val nScenes = if (fa.isEmpty) 0 else scene(fa.length - 1) + 1
           (0 until nScenes).map { s =>
             val first = scene.indexOf(s)
             val len = scene.count(_ == s).toLong

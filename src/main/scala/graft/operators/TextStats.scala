@@ -1026,7 +1026,9 @@ object TextStats {
       c.map { case (t, x) => (t, mlog(n) - mlog(x)) }
     }
     var costs = costsOf(cnt)
-    var lastUsage: Map[String, Long] = Map.empty
+    // rounds = 0 (seed-only ablation) reports the seed counts as
+    // usage; every real round overwrites with its measured usage
+    var lastUsage: Map[String, Long] = cnt
     for (_ <- 0 until rounds) {
       val table = unigramTable(costs.toSeq.map { case (t, c) => (t, c, 0L) })
       val seen = cw
@@ -1044,6 +1046,7 @@ object TextStats {
       costs = costsOf(cnt)
       lastUsage = kept.map(t => (t, usage(t))).toMap
     }
+    freeCheckpoint(cw) // the bpeTrainMerges discipline: no leaked blocks
     costs.toSeq.sortBy(_._1)
       .map { case (t, c) => (t, c, lastUsage(t)) }
   }

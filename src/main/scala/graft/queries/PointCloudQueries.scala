@@ -44,12 +44,11 @@ object PointCloudQueries {
       java.util.HashMap[String, (String, java.lang.ref.SoftReference[BlockedCloud])]]()
 
   def cloud(spark: SparkSession, dir: String): BlockedCloud = synchronized {
-    // the on-disk cache path fingerprints the source file (size+mtime),
-    // not just its path — regenerated test data must never serve a
-    // stale cache
-    val src = java.nio.file.Paths.get(s"$dir/lineitem.parquet")
-    val fp = if (Files.exists(src))
-      s"${Files.size(src)}_${Files.getLastModifiedTime(src).toMillis}" else "na"
+    // the on-disk cache path fingerprints the source CONTENT (the
+    // recursive part-file walk — a bare size+mtime of the path misses
+    // in-place part rewrites of directory-shaped parquet) —
+    // regenerated test data must never serve a stale cache
+    val fp = DatasetFingerprint.of(s"$dir/lineitem.parquet")
     val cacheDir =
       s"/tmp/graft_pc_cache/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_$fp"
     var m = openClouds.get(spark)
@@ -86,9 +85,7 @@ object PointCloudQueries {
 
   def cloud3(spark: SparkSession, dir: String): graft.operators.BlockedCloud3 =
     synchronized {
-      val src = java.nio.file.Paths.get(s"$dir/lineitem.parquet")
-      val fp = if (Files.exists(src))
-        s"${Files.size(src)}_${Files.getLastModifiedTime(src).toMillis}" else "na"
+      val fp = DatasetFingerprint.of(s"$dir/lineitem.parquet")
       val cacheDir =
         s"/tmp/graft_pc3_cache/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_$fp"
       var m = openClouds3.get(spark)

@@ -159,7 +159,12 @@ object Avi {
               width = le32(b, j + 8 + 32)
               height = le32(b, j + 8 + 36)
             } else if (cid == "LIST" && clen >= 4 && tag(b, j + 8) == "strl") {
-              // strh: fccType must be vids / handler MJPG
+              // strh: fccType must be vids / handler MJPG. The strh
+              // header + first two fields span 20 bytes of LIST body
+              // after the 'strl' fourcc — a shorter clen is a
+              // truncated list, rejected BEFORE any read past the
+              // declared end (the loud-failure contract)
+              if (clen < 24) fail(s"strl LIST truncated (clen $clen)")
               val sid = tag(b, j + 12)
               val slen = le32(b, j + 16)
               if (sid != "strh" || slen < 48) fail("strl without leading strh")

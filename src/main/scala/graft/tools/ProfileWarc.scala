@@ -27,14 +27,18 @@ object ProfileWarc {
       println(f"[warcprof] $name%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
       r
     }
+    // NOTE post-rework semantics: curateStages now materializes every
+    // stage frame eagerly, so "curateStages_staged" carries the WHOLE
+    // chain's execution and the later labels measure only their own
+    // incremental work off the cuts. Stage cuts are freed per rep
+    // (the freeStages contract) so later reps measure a clean cache.
     for (_ <- 1 to reps) {
       val crawl = graft.queries.DocQueries.warcCrawlForProfile(spark, sfDir)
       t("crawl_parse")(crawl.write.mode("overwrite").format("noop").save())
-      val stages = t("curateStages_build")(
+      val stages = t("curateStages_staged")(
         graft.operators.CorpusMix.curateStages(crawl, "doc_id", "url",
           "status", "text", minWords = 40, jaccard = 0.8))
-      val survivors = t("survivors_materialize")(
-        graft.operators.Frames.materializeCut(stages.last._2))
+      val survivors = stages.last._2
       val merges = t("bpe_train_8rounds")(
         graft.operators.TextStats.bpeTrainMerges(survivors, "__t", 8))
       val table = graft.operators.TextStats.bpeTable(merges)
@@ -47,7 +51,7 @@ object ProfileWarc {
             org.apache.spark.sql.functions.lit(1))).collect()
         }
       }
-      graft.operators.Frames.free(survivors)
+      graft.operators.CorpusMix.freeStages(stages)
       println("[warcprof] ---")
     }
     spark.stop()

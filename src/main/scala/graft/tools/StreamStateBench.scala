@@ -31,6 +31,9 @@ object StreamStateBench {
   def main(args: Array[String]): Unit = {
     val batchRows = args.headOption.map(_.toInt).getOrElse(100000)
     val nBatches = args.drop(1).headOption.map(_.toInt).getOrElse(20)
+    require(batchRows >= 1 && nBatches >= 3,
+      s"need batchRows >= 1 and nBatches >= 3 (steady stats drop the " +
+        s"first two batches), got $batchRows/$nBatches")
     val shards = args.drop(2).headOption.getOrElse("8,32,128")
       .split(",").map(_.trim.toInt).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
