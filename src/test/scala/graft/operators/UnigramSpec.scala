@@ -46,6 +46,38 @@ class UnigramSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized property: viterbi == brute force over 200 (vocab, word) draws") {
+    // seeded generator — deterministic across runs; random costs are
+    // drawn from a tiny range to force frequent exact ties, which is
+    // where the (cost, ntok, lexicographic toks) order earns its keep
+    val rnd = new scala.util.Random(0xC0FFEE)
+    implicit val ord: Ordering[(Long, Int, List[String])] =
+      Ordering.Tuple3(Ordering.Long, Ordering.Int,
+        Ordering.Implicits.seqOrdering[List, String])
+    for (trial <- 0 until 200) {
+      val alphabet = "abcd".take(2 + rnd.nextInt(3))
+      val singles = alphabet.map(c => c.toString -> (50L + rnd.nextInt(4)))
+      def randTok(len: Int): String =
+        (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val multi = (0 until 2 + rnd.nextInt(6))
+        .map(_ => randTok(2 + rnd.nextInt(3)) -> (60L + rnd.nextInt(5)))
+      val vocab = (singles ++ multi).groupBy(_._1)
+        .map { case (t, vs) => t -> vs.head._2 }.toSeq
+      val cost = vocab.toMap
+      val t = table(vocab)
+      val w = randTok(1 + rnd.nextInt(9))
+      def segs(s: String): Seq[List[String]] =
+        if (s.isEmpty) Seq(Nil)
+        else (1 to math.min(4, s.length)).flatMap { ln =>
+          val tok = s.substring(0, ln)
+          if (cost.contains(tok)) segs(s.substring(ln)).map(tok :: _) else Nil
+        }
+      val want = segs(w).map(sg => (sg.map(cost).sum, sg.length, sg)).min._3
+      val got = t.segmentChunk(w).asScala.toList
+      assert(got == want, s"trial $trial vocab=$vocab word=$w")
+    }
+  }
+
   test("equal-cost tie resolves to the lexicographically smaller token list") {
     // 'a'+'bc' and 'ab'+'c' both cost 300 with 2 tokens;
     // ['a','bc'] < ['ab','c'] because 'a' < 'ab'

@@ -47,6 +47,24 @@ class AviSpec extends AnyFunSuite {
     }
   }
 
+  test("truncated strl LIST rejects before reading past its declared end") {
+    val good = Avi.encodeMjpeg(16, 16, 33000, Seq(jpeg(16, 16, 5)))
+    // find the inner LIST/strl and shrink its declared length into the
+    // [4, 24) window that used to read 20 bytes past the claimed end
+    var i = 12; var strlOff = -1
+    while (strlOff < 0 && i + 12 <= good.length) {
+      if (new String(good, i, 4, "US-ASCII") == "LIST" &&
+          new String(good, i + 8, 4, "US-ASCII") == "strl") strlOff = i
+      else i += 1
+    }
+    assert(strlOff > 0)
+    val bad = good.clone()
+    bad(strlOff + 4) = 4; bad(strlOff + 5) = 0
+    bad(strlOff + 6) = 0; bad(strlOff + 7) = 0
+    val e = intercept[IllegalArgumentException](Avi.parseMjpeg(bad))
+    assert(e.getMessage.contains("truncated"))
+  }
+
   test("hostile inputs fail loudly") {
     val good = Avi.encodeMjpeg(16, 16, 33000, Seq(jpeg(16, 16, 5)))
     // truncation
