@@ -21,9 +21,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * The tie-break triple matches SQL struct/list comparison semantics
   * verbatim (element-wise string compare, shorter-prefix-first), so a
   * DuckDB `min(struct)` DP produces the identical segmentation.
+  *
+  * Out-of-corpus coverage (ADVICE r17): a `[a-z0-9]` char absent from
+  * the trained vocabulary — possible when the table is applied to a
+  * frame the training corpus never saw (streaming, a new shard) —
+  * covers itself as a single-char token at the sentinel
+  * [[UnigramTable.UnseenCharCost]] and encodes as its codepoint (the
+  * [[graft.functions.BpeTable]] fallback, same id scheme, so
+  * [[decode]] round-trips it for free). The sentinel's magnitude is
+  * immaterial to the segmentation: no vocabulary token can contain an
+  * unseen char, so EVERY feasible path covers each unseen position
+  * with exactly that one token and the relative (cost, ntok, toks)
+  * order between paths is unchanged.
   */
 final class UnigramTable(tok: Array[String], costs: Array[Long],
     maxTokenLen: Int, chunkLen: Int) extends Serializable {
+  import UnigramTable.UnseenCharCost
   @transient private lazy val cost: java.util.HashMap[String, java.lang.Long] = {
     val m = new java.util.HashMap[String, java.lang.Long]()
     var i = 0
@@ -61,8 +74,9 @@ final class UnigramTable(tok: Array[String], costs: Array[Long],
 
   /** Exact Viterbi over one chunk (length <= chunkLen): min-cost
     * segmentation, deterministic under the documented tie order.
-    * Single-char tokens are always in the vocabulary (training keeps
-    * them unconditionally), so the DP is always feasible. */
+    * Always feasible: training keeps every corpus single char
+    * unconditionally, and a char the training corpus never saw covers
+    * itself at [[UnigramTable.UnseenCharCost]]. */
   def segmentChunk(w: String): java.util.ArrayList[String] = {
     val n = w.length
     val dpCost = new Array[Long](n + 1)
@@ -76,7 +90,10 @@ final class UnigramTable(tok: Array[String], costs: Array[Long],
       val maxLen = math.min(maxTokenLen, j)
       while (len <= maxLen) {
         val t = w.substring(j - len, j)
-        val c = cost.get(t)
+        val c0 = cost.get(t)
+        // unseen single char: feasible at the sentinel cost (scaladoc)
+        val c: java.lang.Long =
+          if (c0 == null && len == 1) UnseenCharCost else c0
         if (c != null && dpT(j - len) != null) {
           val cc = dpCost(j - len) + c.longValue
           val cn = dpN(j - len) + 1
@@ -179,10 +196,15 @@ final class UnigramTable(tok: Array[String], costs: Array[Long],
         val toks = segmentWord(s.substring(start, i))
         var k = 0
         while (k < toks.size()) {
-          val id = ids.get(toks.get(k))
-          if (id == null) throw new IllegalStateException(
-            s"unigram token '${toks.get(k)}' missing an id — table corrupt")
-          out.add(id)
+          val t = toks.get(k)
+          val id = ids.get(t)
+          if (id != null) out.add(id)
+          // unseen single char IS its codepoint (the BpeTable
+          // fallback; ids below 0x110000 are codepoints by scheme,
+          // so decode round-trips it without a table entry)
+          else if (t.length == 1) out.add(t.codePointAt(0).toLong)
+          else throw new IllegalStateException(
+            s"unigram token '$t' missing an id — table corrupt")
           k += 1
         }
       } else {
@@ -195,6 +217,16 @@ final class UnigramTable(tok: Array[String], costs: Array[Long],
     while (j < arr.length) { arr(j) = out.get(j); j += 1 }
     ArrayData.toArrayData(arr)
   }
+}
+
+object UnigramTable {
+  /** Sentinel milli-log2 cost of a single char the training corpus
+    * never saw (≈ 2^-1e6 probability — unreachable by any real count,
+    * so it reads as "unseen" in any dump). Shared verbatim by the
+    * oracle generator's dp chain; see the class scaladoc for why its
+    * magnitude cannot change any segmentation decision. Chunk length
+    * is bounded (16), so sums stay far from Long/BIGINT overflow. */
+  val UnseenCharCost: Long = 1000000000L
 }
 
 /** Word -> token array under a trained [[UnigramTable]] (the training

@@ -595,6 +595,15 @@ object CorpusMix {
     * `__t`, the normalized text, and the original columns) so callers
     * can take the final stage or account the whole funnel.
     *
+    * Materialize-and-free contract: calling this EAGERLY materializes
+    * all six stage frames with lineage cut (each stage is read by at
+    * least two consumer branches downstream — see the inline note —
+    * so an unmaterialized funnel re-executes its prefix per branch).
+    * Every caller owns the release: call [[freeStages]] on the
+    * returned list once all consumers of the stage frames are
+    * materialized, or the cut blocks stay pinned in executor storage
+    * for the lifetime of the session.
+    *
     * Scale shape: every stage keys its shuffle on an 8-byte hash
     * (xxhash64 of the canonical URL / normalized text), never the
     * text itself; the near-dup stage is the banded-LSH pipeline

@@ -32,15 +32,23 @@ object Dedup {
     // i.e. EXECUTE — every upstream stage at plan-build time, a full
     // wasted run of the input DAG before the real query starts
     // (measured 3.3 s of the WARC curation chain, r17). Such a frame
-    // is already shuffle.partitions/AQE-partitioned; only an
-    // exchange-free frame (a narrow chain over a scan, where toRdd
-    // just builds splits without running anything) can be
-    // under-partitioned and is cheap to probe.
+    // is already shuffle.partitions/AQE-partitioned. But AQE also
+    // wraps EXCHANGE-FREE plans that merely carry subqueries (and
+    // everything under adaptive.forceApply), and those can still be a
+    // narrow few-split scan chain — the exact skew this guard exists
+    // for (ADVICE r17) — so the skip keys on the presence of an
+    // Exchange in the pre-adaptive plan, not on the wrapper type.
+    // Probing an exchange-free AQE plan is cheap: with no exchanges
+    // there are no query stages to materialize, so toRdd just builds
+    // splits (any scalar subquery it carries runs once and its result
+    // is what the real execution would have reused anyway).
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
     df.queryExecution.executedPlan match {
-      case _: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      case aqe: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+          if aqe.inputPlan.exists(
+            _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange]) =>
         df
       case _ =>
-        val target = df.sparkSession.sessionState.conf.numShufflePartitions
         // internal-row RDD partition count — df.rdd would additionally
         // build the row-deserializer conversion just to count splits
         val parts = df.queryExecution.toRdd.getNumPartitions

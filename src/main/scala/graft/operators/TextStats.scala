@@ -1083,7 +1083,11 @@ object TextStats {
       unigramTable(unigramTrain(df, textCol, seedMulti, rounds)))
 
   /** Apply a trained [[unigramTable]] to ANY frame — batch or
-    * streaming: one codegen kernel call per document. */
+    * streaming: one codegen kernel call per document. Total on any
+    * input: a `[a-z0-9]` char the training corpus never saw encodes
+    * as its codepoint via the kernel's sentinel-cost fallback
+    * ([[graft.functions.UnigramTable.UnseenCharCost]]) instead of
+    * killing the batch (ADVICE r17). */
   def unigramEncodeApply(df: DataFrame, idCol: String, textCol: String,
       table: graft.functions.UnigramTable): DataFrame = {
     val toks = graft.functions.unigram.unigram_encode_ids(

@@ -129,11 +129,17 @@ object DocQueries {
     * tokenizer is a pure function of the dir's curated html-survivor
     * set, so `doc_warc_html_pipeline` DEPLOYS it while
     * `doc_warc_pipeline_e2e` keeps the fresh in-query training run
-    * under the unchanged oracle — the loop itself stays verified. */
+    * under the unchanged oracle — the loop itself stays verified.
+    * Keyed on (dir, content fingerprint of the source parquet) — the
+    * same [[DatasetFingerprint]] discipline as every on-disk derived
+    * artifact — so a long-lived JVM that sees the dataset regenerated
+    * in place trains afresh instead of serving a stale table
+    * (ADVICE r17). */
   private val warcHtmlBpe =
     new java.util.concurrent.ConcurrentHashMap[String, graft.functions.BpeTable]()
   private def warcHtmlBpeFor(s: SparkSession, d: String): graft.functions.BpeTable =
-    warcHtmlBpe.computeIfAbsent(d, _ => {
+    warcHtmlBpe.computeIfAbsent(
+      s"$d|${DatasetFingerprint.of(s"$d/documents.parquet")}", _ => {
       val stages = CorpusMix.curateStages(warcCrawl(s, d, wrapHtml = true),
         "doc_id", "url", "status", "text", minWords = 40, jaccard = 0.8,
         htmlExtract = true)
@@ -1665,13 +1671,27 @@ object DocQueries {
     val L = TextStats.unigramMaxTokenLen
     val W = TextStats.unigramChunkLen
     val ctes = Seq.newBuilder[String]
+    // the kernel's unseen-char fallback ([[graft.functions
+    // .UnigramTable.UnseenCharCost]]): a single char of the segmented
+    // frame absent from the vocabulary covers itself at the sentinel
+    // cost — a no-op whenever the segmented words are the training
+    // corpus (training keeps every corpus single char), but it keeps
+    // the SQL contract identical to the kernel's on any frame
+    val sentinel = graft.functions.UnigramTable.UnseenCharCost
+    ctes += s"""vz$rnd AS MATERIALIZED (
+         SELECT tok, cost FROM $vocabCte
+         UNION ALL
+         SELECT c AS tok, ${sentinel}::BIGINT AS cost FROM (
+           SELECT DISTINCT substr(w, CAST(i AS INT), 1) AS c
+           FROM cw, LATERAL unnest(range(1, CAST(n AS INT) + 1)) AS t(i))
+         WHERE c NOT IN (SELECT tok FROM $vocabCte))"""
     ctes += s"dp${rnd}_0 AS MATERIALIZED (SELECT w, n, " +
       "{'c': 0::BIGINT, 'n': 0::BIGINT, 't': []::VARCHAR[]} AS s FROM cw)"
     for (j <- 1 to W) {
       val cands = (1 to math.min(L, j)).map { ln =>
         s"SELECT p.w, p.n, {'c': p.s.c + v.cost, 'n': p.s.n + 1, " +
           s"'t': list_append(p.s.t, v.tok)} AS s " +
-          s"FROM dp${rnd}_${j - ln} p JOIN $vocabCte v " +
+          s"FROM dp${rnd}_${j - ln} p JOIN vz$rnd v " +
           s"ON v.tok = substr(p.w, ${j - ln + 1}, $ln) WHERE p.n >= $j"
       }
       ctes += s"dp${rnd}_$j AS MATERIALIZED (SELECT w, n, min(s) AS s " +

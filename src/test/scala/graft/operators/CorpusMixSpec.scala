@@ -405,6 +405,7 @@ class CorpusMixSpec extends AnyFunSuite {
     val survivors = stages.last._2.select("doc_id")
       .collect().map(_.getLong(0)).toSet
     assert(survivors == Set(1L, 7L), survivors.toString)
+    CorpusMix.freeStages(stages)
   }
 
   test("curateFunnelCounts matches the staged funnel count-for-count") {
@@ -416,8 +417,9 @@ class CorpusMixSpec extends AnyFunSuite {
       (5L, "https://d.com/p", 200, goodText + " one"),
       (6L, "https://e.com/p", 200, goodText + " one extra suffix words here"),
       (7L, "https://f.com/p", 200, otherText))
-    val staged = CorpusMix.curateStages(d, "doc_id", "url", "status", "text")
-      .map { case (n, sdf) => n -> sdf.count() }.toMap
+    val stages = CorpusMix.curateStages(d, "doc_id", "url", "status", "text")
+    val staged = stages.map { case (n, sdf) => n -> sdf.count() }.toMap
+    CorpusMix.freeStages(stages)
     val onePass = CorpusMix.curateFunnelCounts(d, "doc_id", "url",
         "status", "text")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -167,4 +167,34 @@ class UnigramSpec extends AnyFunSuite {
       assert(decoded == normText.replace(" ", ""), s"doc $id")
     }
   }
+
+  test("out-of-corpus chars encode as codepoints, never kill the batch") {
+    // train on a corpus with NO q/x/7 anywhere, then apply the table
+    // to documents that carry them (the streaming/out-of-corpus shape
+    // of ADVICE r17) — each unseen char must cover itself (sentinel
+    // cost) and encode as its codepoint; the rest of the word still
+    // segments with the trained tokens
+    val train = Seq((1L, "banana bandana cabana"), (2L, "banana banana"))
+      .toDF("doc_id", "text")
+    val vocab = TextStats.unigramTrain(train, "text", seedMulti = 8, rounds = 2)
+    assert(!vocab.exists(v => v._1.contains("q") || v._1.contains("x") ||
+      v._1.contains("7")))
+    val t = TextStats.unigramTable(vocab)
+    // kernel level: the unseen chars are their own tokens
+    val toks = t.segmentWord("banqana").asScala.toList
+    assert(toks.contains("q") && toks.mkString("") == "banqana", toks.toString)
+    // frame level: encode survives and round-trips through decode
+    val apply = Seq((10L, "ban7ana qx"), (11L, "banana")).toDF("doc_id", "text")
+    val enc = TextStats.unigramEncodeApply(apply, "doc_id", "text", t)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    val ids10 = enc(10L).split(" ").map(_.toLong)
+    assert(ids10.contains('7'.toLong) && ids10.contains('q'.toLong) &&
+      ids10.contains('x'.toLong), ids10.mkString(","))
+    import org.apache.spark.sql.functions.{col, typedlit}
+    val dec = apply.select(col("doc_id"), graft.functions.unigram
+        .unigram_decode_ids(graft.functions.unigram.unigram_encode_ids(
+          TextStats.norm(col("text")), t), t).as("d"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(dec(10L) == "ban7anaqx" && dec(11L) == "banana", dec.toString)
+  }
 }
