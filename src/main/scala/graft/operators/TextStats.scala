@@ -959,6 +959,119 @@ object TextStats {
         table).as("decoded"))
   }
 
+  /** Byte-level BPE TRAINING (the GPT-2/tiktoken family — VERDICT r17
+    * item 3): [[bpeTrainMerges]]' exact loop, but pretokens are
+    * maximal NON-SPACE runs of the normalized text (every char,
+    * Latin or not, participates) and the symbol alphabet is the
+    * pretoken's UTF-8 bytes mapped through the public GPT-2
+    * byte-to-unicode table ([[graft.functions.ByteBpe.byteToChar]]) —
+    * so any input tokenizes with zero OOV. Same scale shape: the loop
+    * runs over the DISTINCT-pretoken frequency table, one corpus scan,
+    * per-round work vocabulary-bounded, lineage truncated per round. */
+  def byteBpeTrainMerges(df: DataFrame, textCol: String,
+      rounds: Int = 8): Seq[(String, String)] = {
+    import graft.functions.ByteBpe.{SepL, SepR}
+    var cur = df.select(explode(regexp_extract_all(norm(col(textCol)),
+        lit("[^ ]+"), lit(0))).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__c"))
+      .select(col("__c"),
+        graft.functions.bbpe.byte_bpe_syms(col("__w")).as("__e"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(String, String)]
+    var exhausted = false
+    for (_ <- 0 until rounds if !exhausted) {
+      val enc = col("__e")
+      val best = cur
+        .select(col("__c"),
+          split(enc.substr(lit(2), length(enc) - 2), s"$SepR$SepL").as("__s"))
+        .filter(size(col("__s")) >= 2)
+        .select(col("__c"), explode(expr(
+          "transform(sequence(1, size(__s) - 1), i -> named_struct(" +
+            "'a', element_at(__s, i), 'b', element_at(__s, i + 1)))")).as("__p"))
+        .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
+        .agg(sum("__c").as("n"))
+        .orderBy(col("n").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b) = (best(0).getString(0), best(0).getString(1))
+        merges += ((a, b))
+        val old = cur
+        cur = cur.withColumn("__e",
+          replace(col("__e"), lit(s"$SepL$a$SepR$SepL$b$SepR"),
+            lit(s"$SepL$a$b$SepR")))
+          .localCheckpoint()
+        freeCheckpoint(old)
+      }
+    }
+    freeCheckpoint(cur)
+    merges.result()
+  }
+
+  /** Build the serializable byte-BPE apply table from a trained merge
+    * list — [[bpeTable]]'s id scheme (merged string -> 0x110000 +
+    * first creating round; single mapped chars id by codepoint). */
+  def byteBpeTable(merges: Seq[(String, String)]): graft.functions.ByteBpeTable = {
+    val vocab = merges.zipWithIndex
+      .map { case ((a, b), r) => (a + b, 0x110000L + r) }
+      .groupBy(_._1).map { case (t, xs) => (t, xs.map(_._2).min) }
+      .toSeq.sortBy(_._2)
+    new graft.functions.ByteBpeTable(
+      merges.map(_._1).toArray, merges.map(_._2).toArray,
+      vocab.map(_._1).toArray, vocab.map(_._2).toArray)
+  }
+
+  /** Apply a trained [[byteBpeTable]] to ANY frame — batch or
+    * streaming, total on any input (zero OOV by construction):
+    * one codegen kernel call per document. */
+  def byteBpeEncodeApply(df: DataFrame, idCol: String, textCol: String,
+      table: graft.functions.ByteBpeTable): DataFrame = {
+    val toks = graft.functions.bbpe.byte_bpe_encode_ids(
+      norm(col(textCol)), table)
+    df.select(col(idCol),
+      size(toks).cast("long").as("n_tokens"),
+      array_join(transform(toks, t => t.cast("string")), " ").as("token_ids"))
+  }
+
+  /** Train byte-BPE on the corpus and encode every document —
+    * [[bpeEncode]]'s contract for the byte family. */
+  def byteBpeEncode(df: DataFrame, idCol: String, textCol: String,
+      rounds: Int = 8): DataFrame =
+    byteBpeEncodeApply(df, idCol, textCol,
+      byteBpeTable(byteBpeTrainMerges(df, textCol, rounds)))
+
+  /** Byte-BPE round-trip integrity ([[bpeDecode]]'s contract):
+    * `decode(encode(norm(text))) == norm(text) minus spaces` — run on
+    * multi-script text this exercises the one thing the byte family
+    * adds: UTF-8 reassembly of multibyte chars split across token
+    * boundaries. */
+  def byteBpeDecode(df: DataFrame, idCol: String, textCol: String,
+      rounds: Int = 8): DataFrame = {
+    val table = byteBpeTable(byteBpeTrainMerges(df, textCol, rounds))
+    df.select(col(idCol),
+      graft.functions.bbpe.byte_bpe_decode_ids(
+        graft.functions.bbpe.byte_bpe_encode_ids(norm(col(textCol)), table),
+        table).as("decoded"))
+  }
+
+  /** [[tokenFertilityByLang]] on the byte family — THE number this
+    * gauge exists for: on non-Latin scripts every char costs 2-4 byte
+    * symbols before merges, so fertility prices the effective context
+    * window a byte-BPE model gives each language. */
+  def byteBpeFertilityByLang(df: DataFrame, idCol: String, textCol: String,
+      langCol: String, rounds: Int = 8): DataFrame = {
+    val table = byteBpeTable(byteBpeTrainMerges(df, textCol, rounds))
+    val toks = byteBpeEncodeApply(df, idCol, textCol, table)
+      .select(col(idCol), col("n_tokens"))
+    df.select(col(idCol), col(langCol).as("lang"),
+        size(split(norm(col(textCol)), " ")).cast("long").as("__w"))
+      .join(toks, Seq(idCol))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__w")).as("n_words"),
+        sum(col("n_tokens")).as("n_tokens"),
+        expr("sum(n_tokens) * 1000 div sum(__w)").as("fertility_milli"))
+  }
+
   /** Unigram-LM tokenizer contract constants (shared by the trainer,
     * the kernel, and the oracle generator): tokens are at most
     * `unigramMaxTokenLen` chars; `[a-z0-9]+` pretokens longer than

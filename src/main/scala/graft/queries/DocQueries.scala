@@ -744,6 +744,33 @@ object DocQueries {
         .map { case ((a, b), r) => (r.toLong, a, b, a + b) }
         .toDF("merge_rank", "lhs", "rhs", "token")
     }),
+    // byte-level BPE (the GPT-2/tiktoken third tokenizer family;
+    // VERDICT r17 item 3): UTF-8 bytes through the public GPT-2
+    // byte-to-unicode table, zero OOV on any input. Trained and
+    // applied on the multi-script language fixture so genuine
+    // multibyte text (Cyrillic/Arabic/CJK/Hangul) flows through the
+    // byte table — merges learned include multibyte script prefixes
+    "doc_bytebpe_vocab" -> ((s, d) => {
+      import s.implicits._
+      TextStats.byteBpeTrainMerges(langFixture(s, d), "__t", rounds = 8)
+        .zipWithIndex
+        .map { case ((a, b), r) => (r.toLong, a, b, a + b) }
+        .toDF("merge_rank", "lhs", "rhs", "token")
+    }),
+    "doc_bytebpe_encode" -> ((s, d) =>
+      TextStats.byteBpeEncode(langFixture(s, d), "doc_id", "__t",
+        rounds = 8)),
+    // round-trip across scripts: UTF-8 reassembly of multibyte chars
+    // split across token boundaries is exactly what this pins
+    "doc_bytebpe_roundtrip" -> ((s, d) =>
+      TextStats.byteBpeDecode(langFixture(s, d), "doc_id", "__t",
+        rounds = 8)),
+    // fertility on non-Latin text — the number the equity gauge
+    // exists for (a byte-level tokenizer spends 3x bytes per CJK char
+    // before merges; this prices each language's effective context)
+    "doc_bytebpe_fertility" -> ((s, d) =>
+      TextStats.byteBpeFertilityByLang(langFixture(s, d), "doc_id",
+        "__t", "planted_lang", rounds = 8)),
     // unigram-LM tokenizer (the SentencePiece-shaped second tokenizer
     // family): hard-EM/Viterbi training with integer milli-log2 costs
     // — seed from substring stats, 3 prune-and-rescore rounds, each
@@ -790,18 +817,25 @@ object DocQueries {
       val bpeT = TextStats.bpeTable(
         TextStats.bpeTrainMerges(base, "text", rounds = 8))
       val uniT = TextStats.unigramTable(TextStats.unigramTrain(base, "text"))
+      val byteT = TextStats.byteBpeTable(
+        TextStats.byteBpeTrainMerges(base, "text", rounds = 8))
       val bpe = TextStats.bpeEncodeApply(base, "doc_id", "text", bpeT)
         .select(col("doc_id"), col("n_tokens").as("n_tokens_bpe"))
       val uni = TextStats.unigramEncodeApply(base, "doc_id", "text", uniT)
         .select(col("doc_id"), col("n_tokens").as("n_tokens_unigram"))
+      val byt = TextStats.byteBpeEncodeApply(base, "doc_id", "text", byteT)
+        .select(col("doc_id"), col("n_tokens").as("n_tokens_bytebpe"))
       base.select(col("doc_id"),
           length(translate(TextStats.norm(col("text")), " ", ""))
             .cast("long").as("n_chars"))
         .join(bpe, Seq("doc_id")).join(uni, Seq("doc_id"))
+        .join(byt, Seq("doc_id"))
         .withColumn("cpt_bpe_milli", expr(
           "CASE WHEN n_tokens_bpe > 0 THEN n_chars * 1000 div n_tokens_bpe ELSE 0L END"))
         .withColumn("cpt_unigram_milli", expr(
           "CASE WHEN n_tokens_unigram > 0 THEN n_chars * 1000 div n_tokens_unigram ELSE 0L END"))
+        .withColumn("cpt_bytebpe_milli", expr(
+          "CASE WHEN n_tokens_bytebpe > 0 THEN n_chars * 1000 div n_tokens_bytebpe ELSE 0L END"))
     }),
     // byte-budget training shards in id order (webdataset packing
     // shape) — prefix sums via the bucket-offset composition, keyed
@@ -1626,6 +1660,80 @@ object DocQueries {
            ORDER BY t.wpos, t.spos), '') AS token_ids
        FROM documents d LEFT JOIN tid t USING (doc_id)
        GROUP BY 1"""
+
+  /** The GPT-2 byte-to-unicode table as a 256-row literal CTE
+    * `b2u(hx, uc)` keyed by the UPPERCASE two-char hex of the byte —
+    * rendered from [[graft.functions.ByteBpe.byteToChar]] so engine
+    * and oracle share one table by construction. */
+  private def byteBpeB2uCte: String = {
+    def sq(s: String) = "'" + s.replace("'", "''") + "'"
+    val rows = (0 until 256).map { b =>
+      s"('${f"$b%02X"}', ${sq(graft.functions.ByteBpe.byteToChar(b).toString)})"
+    }.mkString(", ")
+    s"b2u(hx, uc) AS (SELECT * FROM (VALUES $rows) t(hx, uc))"
+  }
+
+  /** Unrolled byte-level BPE train+encode oracle (the
+    * [[graft.operators.TextStats.byteBpeTrainMerges]] contract
+    * replayed in SQL — prototyped reference-vs-SQL hash-exact in
+    * tools/proto_bytebpe.py before this generator existed): pretokens
+    * are `[^ ]+` runs; `e0` maps each pretoken's UTF-8 bytes through
+    * the literal b2u table (hex(encode(w)) + per-byte join); the merge
+    * rounds are [[bpeTokenCtesBody]]'s p/b/e chain verbatim over the
+    * SepL/SepR brackets; `tid` ids single mapped chars by codepoint
+    * and merges at 0x110000 + round. Requires [[byteBpeB2uCte]] in the
+    * same WITH. CTE names carry prefix `p` for multi-family
+    * composition (doc_tokenizer_compare). */
+  private def byteBpeTokenCtesBody(rounds: Int, rel: String,
+      textExpr: String, p: String = ""): String = {
+    val L = graft.functions.ByteBpe.SepL
+    val R = graft.functions.ByteBpe.SepR
+    val roundCtes = (1 to rounds).map { r =>
+      s"""${p}p$r AS MATERIALIZED (SELECT list_extract(s, CAST(i AS INT)) AS a,
+              list_extract(s, CAST(i AS INT) + 1) AS b, sum(c) AS n
+            FROM (SELECT string_split(substr(e, 2, length(e) - 2), '$R$L') AS s, c
+                  FROM ${p}e${r - 1}),
+                 LATERAL unnest(range(1, len(s))) AS t(i)
+            GROUP BY 1, 2),
+          ${p}b$r AS MATERIALIZED (SELECT a, b FROM ${p}p$r
+            ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+          ${p}e$r AS MATERIALIZED (SELECT w, c,
+            coalesce(replace(e, '$L' || (SELECT a FROM ${p}b$r) || '$R$L' ||
+                (SELECT b FROM ${p}b$r) || '$R',
+              '$L' || (SELECT a || b FROM ${p}b$r) || '$R'), e) AS e
+            FROM ${p}e${r - 1})"""
+    }.mkString(",\n        ")
+    val mergeUnion = (1 to rounds).map(r =>
+      s"SELECT a || b AS tok, 1114111 + $r AS id FROM ${p}b$r")
+      .mkString(" UNION ALL ")
+    s"""${p}wq AS (
+           SELECT unnest(regexp_extract_all($textExpr, '[^ ]+')) AS w
+           FROM $rel),
+         ${p}e0 AS MATERIALIZED (
+           SELECT w, c, '$L' || string_agg(uc, '$R$L' ORDER BY i) || '$R' AS e
+           FROM (SELECT wc.w, wc.c, t.i, bx.uc
+                 FROM (SELECT w, c, hex(encode(w)) AS hx
+                       FROM (SELECT w, count(*) AS c FROM ${p}wq GROUP BY 1)) wc,
+                      LATERAL unnest(range(0, length(wc.hx) // 2)) AS t(i)
+                 JOIN b2u bx ON bx.hx = substr(wc.hx, CAST(t.i * 2 + 1 AS INT), 2))
+           GROUP BY w, c),
+         $roundCtes,
+         ${p}vocab AS (SELECT tok, min(id) AS id FROM ($mergeUnion) GROUP BY 1),
+         ${p}dtok AS (SELECT doc_id, CAST(i AS INT) AS wpos,
+             list_extract(ws, CAST(i AS INT)) AS w
+           FROM (SELECT doc_id, regexp_extract_all($textExpr, '[^ ]+') AS ws
+                 FROM $rel),
+                LATERAL unnest(range(1, len(ws) + 1)) AS t(i)),
+         ${p}tok AS (SELECT doc_id, wpos, CAST(i AS INT) AS spos,
+             list_extract(syms, CAST(i AS INT)) AS t
+           FROM (SELECT d.doc_id, d.wpos,
+                   string_split(substr(e.e, 2, length(e.e) - 2), '$R$L') AS syms
+                 FROM ${p}dtok d JOIN ${p}e$rounds e ON d.w = e.w),
+                LATERAL unnest(range(1, len(syms) + 1)) AS t2(i)),
+         ${p}tid AS (SELECT doc_id, wpos, spos,
+             CASE WHEN length(t) = 1 THEN unicode(t) ELSE v.id END AS id
+           FROM ${p}tok LEFT JOIN ${p}vocab v ON v.tok = ${p}tok.t)"""
+  }
 
   /** Greedy id-order packing over the REAL BPE token counts — the
     * doc_pack recursive-CTE shape with `n_tokens` swapped from the
@@ -2601,20 +2709,65 @@ object DocQueries {
     "doc_tokenizer_compare" ->
       s"""WITH RECURSIVE ${bpeTokenCtesBody(8, "documents", normSql)},
          ${unigramEncodeCtes(96, 3, "u")},
+         $byteBpeB2uCte,
+         ${byteBpeTokenCtesBody(8, "documents", normSql, "y")},
          nb AS (SELECT d.doc_id, CAST(count(t.id) AS BIGINT) AS n
            FROM documents d LEFT JOIN tid t USING (doc_id) GROUP BY 1),
          nu AS (SELECT d.doc_id, CAST(count(t.id) AS BIGINT) AS n
            FROM documents d LEFT JOIN utid t USING (doc_id) GROUP BY 1),
+         ny AS (SELECT d.doc_id, CAST(count(t.id) AS BIGINT) AS n
+           FROM documents d LEFT JOIN ytid t USING (doc_id) GROUP BY 1),
          chx AS (SELECT doc_id,
              CAST(length(replace($normSql, ' ', '')) AS BIGINT) AS n_chars
            FROM documents)
          SELECT chx.doc_id, chx.n_chars, nb.n AS n_tokens_bpe,
-           nu.n AS n_tokens_unigram,
+           nu.n AS n_tokens_unigram, ny.n AS n_tokens_bytebpe,
            CAST(CASE WHEN nb.n > 0 THEN chx.n_chars * 1000 // nb.n
              ELSE 0 END AS BIGINT) AS cpt_bpe_milli,
            CAST(CASE WHEN nu.n > 0 THEN chx.n_chars * 1000 // nu.n
-             ELSE 0 END AS BIGINT) AS cpt_unigram_milli
-         FROM chx JOIN nb USING (doc_id) JOIN nu USING (doc_id)""",
+             ELSE 0 END AS BIGINT) AS cpt_unigram_milli,
+           CAST(CASE WHEN ny.n > 0 THEN chx.n_chars * 1000 // ny.n
+             ELSE 0 END AS BIGINT) AS cpt_bytebpe_milli
+         FROM chx JOIN nb USING (doc_id) JOIN nu USING (doc_id)
+         JOIN ny USING (doc_id)""",
+    // byte-level BPE family: the unrolled chain over the multi-script
+    // language fixture (prototyped hash-exact in tools/proto_bytebpe.py)
+    "doc_bytebpe_vocab" -> {
+      val union = (1 to 8).map(r =>
+        s"SELECT ${r - 1} AS merge_rank, a, b FROM b$r").mkString(" UNION ALL ")
+      s"""WITH lf AS ($langFixtureSql),
+         $byteBpeB2uCte,
+         ${byteBpeTokenCtesBody(8, "lf", normOf("t"))}
+         SELECT CAST(merge_rank AS BIGINT) AS merge_rank, a AS lhs,
+           b AS rhs, a || b AS token
+         FROM ($union)"""
+    },
+    "doc_bytebpe_encode" ->
+      s"""WITH lf AS ($langFixtureSql),
+         $byteBpeB2uCte,
+         ${byteBpeTokenCtesBody(8, "lf", normOf("t"))}
+         SELECT d.doc_id, CAST(count(t.id) AS BIGINT) AS n_tokens,
+           coalesce(string_agg(CAST(t.id AS VARCHAR), ' '
+             ORDER BY t.wpos, t.spos), '') AS token_ids
+         FROM lf d LEFT JOIN tid t USING (doc_id)
+         GROUP BY 1""",
+    "doc_bytebpe_roundtrip" ->
+      s"""SELECT doc_id, replace(${normOf("t")}, ' ', '') AS decoded
+         FROM ($langFixtureSql)""",
+    "doc_bytebpe_fertility" ->
+      s"""WITH lf AS ($langFixtureSql),
+         $byteBpeB2uCte,
+         ${byteBpeTokenCtesBody(8, "lf", normOf("t"))},
+         wl AS (SELECT doc_id, planted_lang,
+             CAST(len(string_split(${normOf("t")}, ' ')) AS BIGINT) AS w
+           FROM lf),
+         nt AS (SELECT wl.doc_id, wl.planted_lang, wl.w, count(t.id) AS n
+           FROM wl LEFT JOIN tid t USING (doc_id) GROUP BY 1, 2, 3)
+         SELECT planted_lang AS lang, count(*)::BIGINT AS n_docs,
+           CAST(sum(w) AS BIGINT) AS n_words,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(sum(n) * 1000 // sum(w) AS BIGINT) AS fertility_milli
+         FROM nt GROUP BY 1""",
     // the stored-model lifecycle member of the unigram shared-oracle
     // set: identical output contract to doc_unigram_encode
     "doc_unigram_stored" ->
