@@ -51,10 +51,12 @@ object StreamStateBench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
 
     shards.foreach { nShards =>
-      spark.conf.set("spark.sql.shuffle.partitions", nShards)
       val in = MemoryStream[(Timestamp, String)]
+      // the explicit helper knob (0 = defaultStateParts = executor
+      // cores, the deployment default this bench validated)
       val deduped = graft.streaming.Streams.urlDedup(
-        in.toDF().toDF("ts", "url"), "url", watermark = "24 hours")
+        in.toDF().toDF("ts", "url"), "url", watermark = "24 hours",
+        stateParts = nShards)
       val ckpt = java.nio.file.Files
         .createTempDirectory(s"graft_statebench_$nShards").toString
       val q = deduped.writeStream.format("noop")
@@ -76,9 +78,11 @@ object StreamStateBench {
           .numRowsTotal).sum
       q.stop()
       val steady = walls.drop(2)
-      println(s"""{"shards":$nShards,"batch_rows":$batchRows,""" +
+      val resolved = if (nShards > 0) nShards
+        else graft.streaming.Streams.defaultStateParts(spark)
+      println(s"""{"shards":$resolved,"batch_rows":$batchRows,""" +
         s""""n_batches":$nBatches,"state_rows":$stateRows,""" +
-        s""""rows_per_partition":${stateRows / nShards},""" +
+        s""""rows_per_partition":${stateRows / resolved},""" +
         s""""walls":[${walls.map(f3).mkString(",")}],""" +
         s""""steady_min":${f3(steady.min)},"steady_med":${f3(
           steady.sorted.apply(steady.size / 2))},""" +
