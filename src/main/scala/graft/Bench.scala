@@ -16,22 +16,31 @@ import org.apache.spark.sql.SparkSession
   *
   * DO NOT edit the probe queries or re-anchor the references without
   * recording a new epoch here — the anchors are only meaningful while
-  * the probe queries' code stays untouched. */
+  * the probe queries' code stays untouched.
+  *
+  * Anchor epochs: r15 (clean-window min-fold, the original pin) and
+  * r18 (VERDICT r17 item 2 — anchors re-pinned to the r17 min-fold so
+  * drift does not compound as rounds accumulate; the r15 column stays
+  * for continuity). The emitted object carries a ratio per epoch;
+  * `median_query_ratio` (r15) keeps its historical meaning,
+  * `median_query_ratio_r17` is the fresh-epoch number new rounds
+  * should read. */
 object Calibration {
-  /** (query, r15 clean-window min-fold seconds at sf0.1 local[32]) —
-    * from BENCH_LOCAL_r15_full.json; chosen to span cost classes
+  /** (query, r15 clean-window min-fold sec, r17 min-fold sec — both
+    * at sf0.1 local[32]) — from BENCH_LOCAL_r15_full.json /
+    * BENCH_LOCAL_r17_full.json; chosen to span cost classes
     * (TPC-H scan+agg, LAS scan overhead, SFC index query, text kernel
     * scan, window shuffle, JPEG decode, lang-ID codegen kernel,
     * suffix-automaton-free edit-distance banding). */
-  val probeQueries: Seq[(String, Double)] = Seq(
-    "rel_q1_pricing" -> 0.3476,
-    "pc_metadata" -> 0.0274,
-    "pc_bbox_small" -> 0.0991,
-    "doc_fingerprint" -> 0.4189,
-    "ev_sessionize" -> 0.3198,
-    "mm_image_dims" -> 0.2136,
-    "doc_lang_id" -> 0.1232,
-    "doc_edit_banded" -> 3.2454)
+  val probeQueries: Seq[(String, Double, Double)] = Seq(
+    ("rel_q1_pricing", 0.3476, 0.4054),
+    ("pc_metadata", 0.0274, 0.0259),
+    ("pc_bbox_small", 0.0991, 0.1201),
+    ("doc_fingerprint", 0.4189, 0.4566),
+    ("ev_sessionize", 0.3198, 0.3990),
+    ("mm_image_dims", 0.2136, 0.2982),
+    ("doc_lang_id", 0.1232, 0.1461),
+    ("doc_edit_banded", 3.2454, 3.7042))
 
   /** r17-window anchors for the spin probes (seconds; min of 2,
     * min-folded over the r17 calibration runs). NOTE: the query-probe
@@ -87,17 +96,22 @@ object Calibration {
   def jsonFrom(results: Map[String, Double]): String = {
     val st = spinSingle()
     val mt = spinMulti()
-    val present = probeQueries.filter { case (q, _) => results.contains(q) }
-    val rows = present.map { case (q, ref) =>
+    val present = probeQueries.filter { case (q, _, _) => results.contains(q) }
+    val rows = present.map { case (q, r15, r17) =>
       val sec = results(q)
-      f""""$q":{"sec":$sec%.4f,"r15_sec":$ref%.4f,"ratio":${sec / ref}%.3f}"""
+      f""""$q":{"sec":$sec%.4f,"r15_sec":$r15%.4f,"ratio":${sec / r15}%.3f,""" +
+        f""""r17_sec":$r17%.4f,"ratio_r17":${sec / r17}%.3f}"""
     }
-    val ratios = present.map { case (q, ref) => results(q) / ref }.sorted
-    val median =
-      if (ratios.isEmpty) -1.0
-      else if (ratios.size % 2 == 1) ratios(ratios.size / 2)
-      else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.isEmpty) -1.0
+      else if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val median = medianOf(present.map { case (q, r15, _) => results(q) / r15 })
+    val medianR17 = medianOf(present.map { case (q, _, r17) => results(q) / r17 })
     f"""{"probes":{${rows.mkString(",")}},"median_query_ratio":$median%.3f,""" +
+      f""""median_query_ratio_r17":$medianR17%.3f,""" +
       f""""spin_st_sec":$st%.3f,"spin_st_ratio":${st / spinStRef}%.3f,""" +
       f""""spin_mt_sec":$mt%.3f,"spin_mt_ratio":${mt / spinMtRef}%.3f}"""
   }
