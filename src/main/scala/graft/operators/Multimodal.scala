@@ -2052,11 +2052,21 @@ object Multimodal {
     require(maxHamming >= 0 && maxHamming <= 3,
       "4x16-bit banding is exact only to hamming 3; raise bands, not the cap")
     val hashed = videoSignature(media, cutThreshold)
-      .select(col("media_id"), col("scene_idx"), col("rep_dhash"),
+      .select(col("media_id"), col("scene_idx"), col("rep_dhash"))
+    // the banded join runs over DISTINCT hash VALUES, not scene rows:
+    // exact duplicates (the very thing a dedup corpus is full of —
+    // every copy of a video contributes the same hashes) would
+    // otherwise inflate band-key multiplicity QUADRATICALLY in the
+    // copy count; collapsing to values first means the guard prices
+    // structural hash diversity and the duplicate mass only reappears
+    // in the final owner expansion, whose volume IS the true-pair
+    // output. (The image path documents the same recipe in its guard
+    // hint: pair cluster representatives.)
+    val vals = hashed.select(col("rep_dhash")).distinct()
+      .select(col("rep_dhash"),
         expr("cast(conv(substring(rep_dhash, 1, 8), 16, 10) as long)").as("hi"),
         expr("cast(conv(substring(rep_dhash, 9, 8), 16, 10) as long)").as("lo"))
-    val banded = hashed.select(col("media_id"), col("scene_idx"),
-      col("hi"), col("lo"),
+    val banded = vals.select(col("rep_dhash"), col("hi"), col("lo"),
       posexplode(array((0 until 4).map(b =>
         substring(col("rep_dhash"), 1 + 4 * b, 4)): _*))
         .as(Seq("band_idx", "band_val")))
@@ -2071,23 +2081,46 @@ object Multimodal {
       Guard.verify(GuardReport("banded video-signature candidate", rows, pairs,
         BigDecimal(maxAvgCandidatesPerRow), perRow = true,
         "Saturated scene-hash diversity (template/static-cam corpora) " +
-          "makes video near-dup pair truth quadratic; dedup scene hashes " +
-          "per video first, or raise maxAvgCandidatesPerRow if this " +
-          "volume is intended."))
+          "makes video near-dup pair truth quadratic even across DISTINCT " +
+          "hash values; tighten the scene sampling or raise " +
+          "maxAvgCandidatesPerRow if this volume is intended."))
     }
-    val a = banded.select(col("band_idx"), col("band_val"),
-      col("media_id").as("id_a"), col("scene_idx").as("scene_a"),
-      col("hi").as("hi_a"), col("lo").as("lo_a"))
-    val b = banded.select(col("band_idx"), col("band_val"),
-      col("media_id").as("id_b"), col("scene_idx").as("scene_b"),
-      col("hi").as("hi_b"), col("lo").as("lo_b"))
-    a.join(b, Seq("band_idx", "band_val"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "scene_a", "id_b", "scene_b",
-        "hi_a", "lo_a", "hi_b", "lo_b").distinct()
+    // near pairs between DIFFERENT hash values (hamming 1..maxHamming)
+    val va = banded.select(col("band_idx"), col("band_val"),
+      col("rep_dhash").as("dh_a"), col("hi").as("hi_a"), col("lo").as("lo_a"))
+    val vb = banded.select(col("band_idx"), col("band_val"),
+      col("rep_dhash").as("dh_b"), col("hi").as("hi_b"), col("lo").as("lo_b"))
+    val valPairs = va.join(vb, Seq("band_idx", "band_val"))
+      .filter(col("dh_a") < col("dh_b"))
+      .select("dh_a", "dh_b", "hi_a", "lo_a", "hi_b", "lo_b").distinct()
       .filter((bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
         bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("long")
         <= maxHamming)
+      .select("dh_a", "dh_b")
+    val owners = hashed.select(col("rep_dhash"), col("media_id"),
+      col("scene_idx"))
+    def oriented(df: DataFrame) = df.select(
+      when(col("__ida") < col("__idb"), col("__ida")).otherwise(col("__idb")).as("id_a"),
+      when(col("__ida") < col("__idb"), col("__sa")).otherwise(col("__sb")).as("scene_a"),
+      when(col("__ida") < col("__idb"), col("__idb")).otherwise(col("__ida")).as("id_b"),
+      when(col("__ida") < col("__idb"), col("__sb")).otherwise(col("__sa")).as("scene_b"))
+    val near = oriented(valPairs
+      .join(owners.select(col("rep_dhash").as("dh_a"),
+        col("media_id").as("__ida"), col("scene_idx").as("__sa")), Seq("dh_a"))
+      .join(owners.select(col("rep_dhash").as("dh_b"),
+        col("media_id").as("__idb"), col("scene_idx").as("__sb")), Seq("dh_b"))
+      .filter(col("__ida") =!= col("__idb")))
+    // exact pairs: two videos carrying the SAME hash value (hamming 0)
+    val same = owners.select(col("rep_dhash"),
+        col("media_id").as("__ida"), col("scene_idx").as("__sa"))
+      .join(owners.select(col("rep_dhash"),
+        col("media_id").as("__idb"), col("scene_idx").as("__sb")),
+        Seq("rep_dhash"))
+      .filter(col("__ida") < col("__idb"))
+      .select(col("__ida").as("id_a"), col("__sa").as("scene_a"),
+        col("__idb").as("id_b"), col("__sb").as("scene_b"))
+    near.union(same)
+      .distinct()
       .groupBy(col("id_a"), col("id_b"))
       .agg(least(countDistinct(col("scene_a")),
         countDistinct(col("scene_b"))).cast("long").as("n_shared_scenes"))

@@ -62,21 +62,32 @@ class VideoNearDupSpec extends AnyFunSuite {
   }
 
   test("guard vetoes saturated scene-hash diversity loudly") {
-    // 40 videos all sharing ONE gradient pattern (brightness-only
-    // variation collapses every scene hash to the same value) -> the
-    // would-be candidate volume is quadratic and must veto at a tiny
-    // budget rather than run
+    // 40 videos with DISTINCT hashes that all share their first three
+    // bands (rows 0-5 carry one fixed gradient; rows 6-7 vary per
+    // video) -> the candidate volume across distinct values is
+    // quadratic and must veto at a tiny budget rather than run.
+    // (Exact copies no longer trip the guard by design — the banded
+    // join runs over distinct values, and duplicate mass only shows
+    // up in the final owner expansion, which is true output.)
+    def vframe(vid: Long, s: Int, shift: Int): Array[Byte] =
+      JpegCodec.encodeJpegDcOnly(72, 64, (bx, by) =>
+        20 + s * 70 + (bx * (if (by < 6) 7 else 7 + vid.toInt)) % 50 + shift)
     val m = mediaOf((1L to 40L).map { id =>
       id -> avi((0 until 2).flatMap(s =>
-        Seq(frame(s, 0, (id % 5).toInt), frame(s, 1, (id % 5).toInt))))
+        Seq(vframe(id, s, 0), vframe(id, s, 1))))
     }: _*)
     val ex = intercept[GuardTrippedException] {
       Multimodal.videoNearDupPairs(m, maxAvgCandidatesPerRow = 4.0).collect()
     }
     assert(ex.getMessage.toLowerCase.contains("candidate"), ex.getMessage)
-    // and the same frame passes with the budget disabled
-    assert(Multimodal.videoNearDupPairs(m, maxAvgCandidatesPerRow = 0)
-      .count() == 40L * 39L / 2)
+    // exact-copy mass does NOT trip the guard: 40 identical videos =
+    // one distinct hash set, zero banded candidates — the 780 true
+    // pairs flow through the owner expansion
+    val copies = mediaOf((1L to 40L).map { id =>
+      id -> avi((0 until 2).flatMap(s => Seq(frame(s, 0, 0), frame(s, 1, 0))))
+    }: _*)
+    assert(Multimodal.videoNearDupPairs(copies,
+      maxAvgCandidatesPerRow = 4.0).count() == 40L * 39L / 2)
   }
 
   test("hamming cap beyond banded-exactness is rejected") {
