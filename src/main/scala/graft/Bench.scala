@@ -53,6 +53,20 @@ object Calibration {
   val spinStRef = 1.13
   val spinMtRef = 0.68
 
+  /** r18-epoch anchor for the MEMORY-BANDWIDTH probe (seconds,
+    * min-of-2, measured in the r18 window). Added because r18's
+    * window exposed a blind spot: kernel-heavy query probes read
+    * 1.33-1.42 while the cache-resident xorshift spins read ~1.05 —
+    * sustained per-core/memory pressure is invisible to pure-ALU
+    * probes. This one streams 2 GB through a 256 MB array (far past
+    * L3), so frequency scaling and bandwidth co-tenancy land on it.
+    * NOTE the epoch: anchored in a window whose KERNEL probes were
+    * degraded (min of 0.329/0.362/0.333 across three runs); if the
+    * memory axis was equally degraded, clean-window ratios will read
+    * below 1.0 — interpret against the query-probe median, not
+    * alone. */
+  val spinMemRef = 0.329
+
   private def spin(n: Long, seed: Long): Long = {
     var x = seed; var s = 0L; var i = 0L
     while (i < n) {
@@ -91,11 +105,35 @@ object Calibration {
     math.min(once(), once())
   }
 
+  /** Memory-bandwidth spin: stream-sum a 256 MB long array 8 times
+    * (~2 GB of traffic, far past L3), min-of-2 wall seconds; the
+    * array is allocated and initialized OUTSIDE the timed region. */
+  def spinMem(): Double = {
+    val n = 1 << 25 // 32M longs = 256 MB
+    val a = new Array[Long](n)
+    var i = 0
+    while (i < n) { a(i) = i.toLong * 0x9E3779B97F4A7C15L; i += 1 }
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      var pass = 0
+      var s = 0L
+      while (pass < 8) {
+        var j = 0
+        while (j < n) { s += a(j); j += 1 }
+        pass += 1
+      }
+      sink += s
+      (System.nanoTime() - t0) / 1e9
+    }
+    math.min(once(), once())
+  }
+
   /** The JSON calibration object, from the bench's own min-fold
     * per-query results (no extra query executions). */
   def jsonFrom(results: Map[String, Double]): String = {
     val st = spinSingle()
     val mt = spinMulti()
+    val mem = spinMem()
     val present = probeQueries.filter { case (q, _, _) => results.contains(q) }
     val rows = present.map { case (q, r15, r17) =>
       val sec = results(q)
@@ -113,7 +151,8 @@ object Calibration {
     f"""{"probes":{${rows.mkString(",")}},"median_query_ratio":$median%.3f,""" +
       f""""median_query_ratio_r17":$medianR17%.3f,""" +
       f""""spin_st_sec":$st%.3f,"spin_st_ratio":${st / spinStRef}%.3f,""" +
-      f""""spin_mt_sec":$mt%.3f,"spin_mt_ratio":${mt / spinMtRef}%.3f}"""
+      f""""spin_mt_sec":$mt%.3f,"spin_mt_ratio":${mt / spinMtRef}%.3f,""" +
+      f""""spin_mem_sec":$mem%.3f,"spin_mem_ratio":${mem / spinMemRef}%.3f}"""
   }
 }
 

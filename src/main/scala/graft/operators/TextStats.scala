@@ -1072,6 +1072,30 @@ object TextStats {
         expr("sum(n_tokens) * 1000 div sum(__w)").as("fertility_milli"))
   }
 
+  /** Persist a trained byte-BPE merge table as parquet — the
+    * [[saveUnigramModel]] lifecycle for the byte family: the
+    * rank-ORDERED merge list is the whole model (ids derive from
+    * first-creating-rank), so (merge_rank, lhs, rhs) rows round-trip
+    * it exactly. */
+  def saveByteBpeModel(merges: Seq[(String, String)], dir: String,
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((a, b), r) => (r.toLong, a, b) }
+      .toDF("merge_rank", "lhs", "rhs")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/merges")
+  }
+
+  /** Inverse of [[saveByteBpeModel]]: the merge list back in rank
+    * order (rank-sorted on read — parquet row order is not a
+    * contract). */
+  def loadByteBpeModel(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(String, String)] =
+    spark.read.parquet(s"$dir/merges")
+      .orderBy(col("merge_rank"))
+      .select(col("lhs"), col("rhs"))
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getString(1)))
+
   /** Unigram-LM tokenizer contract constants (shared by the trainer,
     * the kernel, and the oracle generator): tokens are at most
     * `unigramMaxTokenLen` chars; `[a-z0-9]+` pretokens longer than

@@ -771,6 +771,23 @@ object DocQueries {
     "doc_bytebpe_fertility" -> ((s, d) =>
       TextStats.byteBpeFertilityByLang(langFixture(s, d), "doc_id",
         "__t", "planted_lang", rounds = 8)),
+    // stored-model lifecycle for the byte family (the
+    // doc_unigram_stored discipline): train once -> persist the
+    // rank-ordered merge list -> reload in a later session -> kernel
+    // encode, sharing doc_bytebpe_encode's oracle so a
+    // stored-and-reloaded table must encode BIT-IDENTICALLY to fresh;
+    // dir fingerprint-keyed so a regenerated dataset retrains
+    "doc_bytebpe_stored" -> ((s, d) => {
+      val fp = DatasetFingerprint.of(s"$d/documents.parquet")
+      val dir = s"/tmp/graft_bbpe1_${d.replaceAll("[^A-Za-z0-9.]", "_")}_$fp"
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$dir/merges/_SUCCESS")))
+        TextStats.saveByteBpeModel(
+          TextStats.byteBpeTrainMerges(langFixture(s, d), "__t", rounds = 8),
+          dir, s)
+      TextStats.byteBpeEncodeApply(langFixture(s, d), "doc_id", "__t",
+        TextStats.byteBpeTable(TextStats.loadByteBpeModel(s, dir)))
+    }),
     // unigram-LM tokenizer (the SentencePiece-shaped second tokenizer
     // family): hard-EM/Viterbi training with integer milli-log2 costs
     // — seed from substring stats, 3 prune-and-rescore rounds, each
@@ -2743,6 +2760,17 @@ object DocQueries {
          FROM ($union)"""
     },
     "doc_bytebpe_encode" ->
+      s"""WITH lf AS ($langFixtureSql),
+         $byteBpeB2uCte,
+         ${byteBpeTokenCtesBody(8, "lf", normOf("t"))}
+         SELECT d.doc_id, CAST(count(t.id) AS BIGINT) AS n_tokens,
+           coalesce(string_agg(CAST(t.id AS VARCHAR), ' '
+             ORDER BY t.wpos, t.spos), '') AS token_ids
+         FROM lf d LEFT JOIN tid t USING (doc_id)
+         GROUP BY 1""",
+    // stored-model member of the byte-BPE shared-oracle set: identical
+    // output contract to doc_bytebpe_encode (fresh == stored)
+    "doc_bytebpe_stored" ->
       s"""WITH lf AS ($langFixtureSql),
          $byteBpeB2uCte,
          ${byteBpeTokenCtesBody(8, "lf", normOf("t"))}

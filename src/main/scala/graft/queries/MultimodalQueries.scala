@@ -27,6 +27,111 @@ object MultimodalQueries {
     Multimodal.asMediaTable(
       graft.Tables.table(s, dir, "documents"), "doc_id", "text", kindExpr)
 
+  /** The oracle replay of [[videoDedupFixture]] + scene segmentation
+    * + per-scene-rep dHash, shared by the `mm_video_neardup` and
+    * `mm_video_signature` oracles: frames from the planted formula,
+    * block-granular diffs (block-constant frames: per-pixel mean =
+    * block sum // 72), scene prefix sums, rep = first frame of each
+    * scene, dHash bits straight off the blocks (72x64 makes the 9x8
+    * cells == DC blocks), packed into hi/lo + 16-hex. Ends at
+    * `rep(media_id, scene, rep)` and `hx(media_id, scene, hi, lo, dh)`. */
+  private def videoSigCtes: String =
+    s"""vids AS (SELECT doc_id AS media_id,
+             (doc_id // 3) // 4 AS g, (doc_id // 3) % 4 AS role
+           FROM documents WHERE doc_id % 3 = 0),
+         v2 AS (SELECT media_id, role,
+             CASE WHEN role = 3 THEN g * 1009 + 7 ELSE g END AS gx,
+             3 + (g % 3) AS ns,
+             CASE WHEN role = 1 THEN 1 ELSE 0 END AS s0
+           FROM vids),
+         fr AS (SELECT media_id, role, gx,
+             s0 + (f.f // 2) AS sp, (f.f % 2) AS wig,
+             CAST(f.f AS BIGINT) AS fi
+           FROM v2, LATERAL unnest(range(0, (ns - s0) * 2)) AS f(f)),
+         blk AS (SELECT media_id, fi, bx.bx AS bx, by.by AS by,
+             20 + (gx * 37 + sp * 53) % 90 +
+               (bx.bx * (3 + (gx * 7 + sp * 3) % 23) +
+                by.by * (5 + (gx * 11 + sp * 5) % 19) +
+                ((gx * 29 + sp * 71) % 90) * (bx.bx * by.by + 1)) % 90 +
+               wig + CASE WHEN role = 2 THEN 4 ELSE 0 END AS v
+           FROM fr, LATERAL unnest(range(0, 9)) AS bx(bx),
+                LATERAL unnest(range(0, 8)) AS by(by)),
+         dfm AS (SELECT a.media_id, a.fi,
+             (sum(abs(a.v - b.v)) // 72) AS mean_diff
+           FROM blk a JOIN blk b ON b.media_id = a.media_id
+             AND b.fi = a.fi - 1 AND b.bx = a.bx AND b.by = a.by
+           GROUP BY 1, 2),
+         fs AS (SELECT DISTINCT media_id, fi FROM blk),
+         sc AS (SELECT fs.media_id, fs.fi,
+             sum(CASE WHEN d.mean_diff > 16 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY fs.media_id ORDER BY fs.fi) AS scene
+           FROM fs LEFT JOIN dfm d
+             ON d.media_id = fs.media_id AND d.fi = fs.fi),
+         rep AS (SELECT media_id, scene, min(fi) AS rep
+           FROM sc GROUP BY 1, 2),
+         bits AS (SELECT r.media_id, r.scene, (a.by * 8 + a.bx) AS k,
+             CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS bit
+           FROM rep r
+           JOIN blk a ON a.media_id = r.media_id AND a.fi = r.rep
+           JOIN blk b ON b.media_id = r.media_id AND b.fi = r.rep
+             AND b.by = a.by AND b.bx = a.bx + 1
+           WHERE a.bx < 8),
+         packed AS (SELECT media_id, scene,
+             CAST(sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32))
+                           ELSE 0 END) AS BIGINT) AS hi,
+             CAST(sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k)
+                           ELSE 0 END) AS BIGINT) AS lo
+           FROM bits GROUP BY 1, 2),
+         hx AS (SELECT media_id, scene, hi, lo,
+             printf('%08x%08x', hi, lo) AS dh FROM packed)"""
+
+  /** The video-dedup fixture shared by `mm_video_neardup` and
+    * `mm_video_signature`: image-kind rows become 72x64 MJPEG AVIs
+    * (block-aligned dims → the 9x8 dHash cells ARE the DC blocks, so
+    * every hash bit is the planted block formula) in groups of four
+    * consecutive image rows — role 0 base, role 1 TRIMMED copy (first
+    * scene dropped + different frame rate), role 2 RE-ENCODED copy
+    * (+4 global brightness: dHash exactly invariant, bytes not),
+    * role 3 a distinct video (gradient family reseeded via gx). */
+  private def videoDedupFixture(s: SparkSession, d: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.BINARY)
+    media(s, d).select("media_id", "kind", "bytes")
+      .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+        it.map { r =>
+          val id = r.getLong(0); val kind = r.getString(1)
+          val payload =
+            if (kind == "image") {
+              val k = id / 3 // image rows are the doc_id % 3 == 0 lane
+              val g = k / 4
+              val role = (k % 4).toInt
+              val gx = if (role == 3) g * 1009L + 7L else g
+              val nS = 3 + (g % 3).toInt
+              val s0 = if (role == 1) 1 else 0
+              val frames = (s0 until nS).flatMap { spi =>
+                val sp = spi.toLong
+                (0 to 1).map { wig =>
+                  graft.operators.JpegCodec.encodeJpegDcOnly(72, 64,
+                    (bx, by) => {
+                      val mx = 3L + (gx * 7 + sp * 3) % 23
+                      val my = 5L + (gx * 11 + sp * 5) % 19
+                      val q = (gx * 29 + sp * 71) % 90
+                      (20L + (gx * 37 + sp * 53) % 90 +
+                        (bx * mx + by * my + q * (bx * by + 1)) % 90 +
+                        wig + (if (role == 2) 4 else 0)).toInt
+                    })
+                }
+              }
+              graft.sources.Avi.encodeMjpeg(72, 64,
+                33000 + role * 3000, frames)
+            } else r.getAs[Array[Byte]](2)
+          (id, kind, payload)
+        }
+      }(enc).toDF("media_id", "kind", "bytes")
+  }
+
   /** media(), with every image-kind payload replaced by a REAL PNG
     * (zlib stored blocks, [[Multimodal.ImageHeader.encodePngStored]])
     * whose dimensions derive from the id — so decodeMeta exercises the
@@ -1441,45 +1546,13 @@ object MultimodalQueries {
     // not), role 3 a distinct video (gradient family reseeded).
     // Trim and re-encode must pair with the base; the pair search is
     // the banded-Hamming core with its guard
-    "mm_video_neardup" -> ((s, d) => {
-      val enc = org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.scalaLong,
-        org.apache.spark.sql.Encoders.STRING,
-        org.apache.spark.sql.Encoders.BINARY)
-      val avis = media(s, d).select("media_id", "kind", "bytes")
-        .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
-          it.map { r =>
-            val id = r.getLong(0); val kind = r.getString(1)
-            val payload =
-              if (kind == "image") {
-                val k = id / 3 // image rows are the doc_id % 3 == 0 lane
-                val g = k / 4
-                val role = (k % 4).toInt
-                val gx = if (role == 3) g * 1009L + 7L else g
-                val nS = 3 + (g % 3).toInt
-                val s0 = if (role == 1) 1 else 0
-                val frames = (s0 until nS).flatMap { spi =>
-                  val sp = spi.toLong
-                  (0 to 1).map { wig =>
-                    graft.operators.JpegCodec.encodeJpegDcOnly(72, 64,
-                      (bx, by) => {
-                        val mx = 3L + (gx * 7 + sp * 3) % 23
-                        val my = 5L + (gx * 11 + sp * 5) % 19
-                        val q = (gx * 29 + sp * 71) % 90
-                        (20L + (gx * 37 + sp * 53) % 90 +
-                          (bx * mx + by * my + q * (bx * by + 1)) % 90 +
-                          wig + (if (role == 2) 4 else 0)).toInt
-                      })
-                  }
-                }
-                graft.sources.Avi.encodeMjpeg(72, 64,
-                  33000 + role * 3000, frames)
-              } else r.getAs[Array[Byte]](2)
-            (id, kind, payload)
-          }
-        }(enc).toDF("media_id", "kind", "bytes")
-      Multimodal.videoNearDupPairs(avis)
-    }),
+    "mm_video_neardup" -> ((s, d) =>
+      Multimodal.videoNearDupPairs(videoDedupFixture(s, d))),
+    // the signature surface itself as an oracle row: one dHash per
+    // detected scene rep, every hash bit replayed from the planted
+    // block formula (72x64 makes the 9x8 dHash cells == DC blocks)
+    "mm_video_signature" -> ((s, d) =>
+      Multimodal.videoSignature(videoDedupFixture(s, d))),
     "mm_mp4_meta" -> ((s, d) => {
       val enc = org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.scalaLong,
@@ -1761,54 +1834,7 @@ object MultimodalQueries {
     // bits straight off the blocks (72x64 makes cells == blocks) ->
     // the 4-band candidate join -> hamming <= 3 -> video-level reduce
     "mm_video_neardup" ->
-      s"""WITH vids AS (SELECT doc_id AS media_id,
-             (doc_id // 3) // 4 AS g, (doc_id // 3) % 4 AS role
-           FROM documents WHERE doc_id % 3 = 0),
-         v2 AS (SELECT media_id, role,
-             CASE WHEN role = 3 THEN g * 1009 + 7 ELSE g END AS gx,
-             3 + (g % 3) AS ns,
-             CASE WHEN role = 1 THEN 1 ELSE 0 END AS s0
-           FROM vids),
-         fr AS (SELECT media_id, role, gx,
-             s0 + (f.f // 2) AS sp, (f.f % 2) AS wig,
-             CAST(f.f AS BIGINT) AS fi
-           FROM v2, LATERAL unnest(range(0, (ns - s0) * 2)) AS f(f)),
-         blk AS (SELECT media_id, fi, bx.bx AS bx, by.by AS by,
-             20 + (gx * 37 + sp * 53) % 90 +
-               (bx.bx * (3 + (gx * 7 + sp * 3) % 23) +
-                by.by * (5 + (gx * 11 + sp * 5) % 19) +
-                ((gx * 29 + sp * 71) % 90) * (bx.bx * by.by + 1)) % 90 +
-               wig + CASE WHEN role = 2 THEN 4 ELSE 0 END AS v
-           FROM fr, LATERAL unnest(range(0, 9)) AS bx(bx),
-                LATERAL unnest(range(0, 8)) AS by(by)),
-         dfm AS (SELECT a.media_id, a.fi,
-             (sum(abs(a.v - b.v)) // 72) AS mean_diff
-           FROM blk a JOIN blk b ON b.media_id = a.media_id
-             AND b.fi = a.fi - 1 AND b.bx = a.bx AND b.by = a.by
-           GROUP BY 1, 2),
-         fs AS (SELECT DISTINCT media_id, fi FROM blk),
-         sc AS (SELECT fs.media_id, fs.fi,
-             sum(CASE WHEN d.mean_diff > 16 THEN 1 ELSE 0 END)
-               OVER (PARTITION BY fs.media_id ORDER BY fs.fi) AS scene
-           FROM fs LEFT JOIN dfm d
-             ON d.media_id = fs.media_id AND d.fi = fs.fi),
-         rep AS (SELECT media_id, scene, min(fi) AS rep
-           FROM sc GROUP BY 1, 2),
-         bits AS (SELECT r.media_id, r.scene, (a.by * 8 + a.bx) AS k,
-             CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS bit
-           FROM rep r
-           JOIN blk a ON a.media_id = r.media_id AND a.fi = r.rep
-           JOIN blk b ON b.media_id = r.media_id AND b.fi = r.rep
-             AND b.by = a.by AND b.bx = a.bx + 1
-           WHERE a.bx < 8),
-         packed AS (SELECT media_id, scene,
-             CAST(sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32))
-                           ELSE 0 END) AS BIGINT) AS hi,
-             CAST(sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k)
-                           ELSE 0 END) AS BIGINT) AS lo
-           FROM bits GROUP BY 1, 2),
-         hx AS (SELECT media_id, scene, hi, lo,
-             printf('%08x%08x', hi, lo) AS dh FROM packed),
+      s"""WITH $videoSigCtes,
          cand AS (SELECT DISTINCT a.media_id AS id_a, a.scene AS scene_a,
              b.media_id AS id_b, b.scene AS scene_b,
              a.hi AS hi_a, a.lo AS lo_a, b.hi AS hi_b, b.lo AS lo_b
@@ -1824,6 +1850,12 @@ object MultimodalQueries {
              AS BIGINT) AS n_shared_scenes
          FROM ham GROUP BY 1, 2
          HAVING least(count(DISTINCT scene_a), count(DISTINCT scene_b)) >= 2""",
+    "mm_video_signature" ->
+      s"""WITH $videoSigCtes
+         SELECT r.media_id, CAST(r.scene AS BIGINT) AS scene_idx,
+           CAST(r.rep AS BIGINT) AS rep_frame_idx, h.dh AS rep_dhash
+         FROM rep r JOIN hx h
+           ON h.media_id = r.media_id AND h.scene = r.scene""",
     // every movie fact re-derived from the id arithmetic the fixture
     // encoder used; duration_ms is exact integer division on both sides
     "mm_mp4_meta" ->

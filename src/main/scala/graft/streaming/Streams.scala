@@ -34,7 +34,12 @@ object Streams {
     * resolved from the session at FIRST query start and immutable per
     * checkpoint thereafter. `stateParts <= 0` resolves to
     * [[defaultStateParts]]. One value per query: the last helper
-    * called before `.start()` wins for the whole query. */
+    * called before `.start()` wins for the whole query. NOTE this is
+    * a SESSION-level conf set (there is no per-query form): batch
+    * work planned afterwards in the same session inherits it — a
+    * mixed batch+stream session that wants a different batch
+    * shuffle-partition count should restore the conf after starting
+    * the stream, or build the stream from `spark.newSession()`. */
   private def pinStateParts(df: DataFrame, stateParts: Int): Unit = {
     val n = if (stateParts > 0) stateParts
       else defaultStateParts(df.sparkSession)
