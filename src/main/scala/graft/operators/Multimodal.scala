@@ -2127,6 +2127,57 @@ object Multimodal {
       .filter(col("n_shared_scenes") >= minSharedScenes)
   }
 
+  /** Persist the video-signature index — the [[writeDHashIndex]]
+    * lifecycle for video: one (media_id, scene_idx, rep_dhash, hi,
+    * lo) row per scene representative, built once per corpus
+    * snapshot so ingest-time checks never re-decode the corpus. */
+  def writeVideoSignatureIndex(media: DataFrame, dir: String,
+      cutThreshold: Long = 16L): Unit =
+    videoSignature(media, cutThreshold)
+      .select(col("media_id"), col("scene_idx"), col("rep_dhash"),
+        expr("cast(conv(substring(rep_dhash, 1, 8), 16, 10) as long)").as("hi"),
+        expr("cast(conv(substring(rep_dhash, 9, 8), 16, 10) as long)").as("lo"))
+      .write.mode("overwrite").parquet(s"$dir/video_sig_index")
+
+  /** Video near-dup pairs of a delta batch against the stored
+    * signature index ([[imageNearDupsAgainstIndex]]'s contract at the
+    * video level): the delta side decodes/segments/hashes fresh
+    * (small by construction — it broadcasts), the corpus side is the
+    * persisted hash table, candidates come from the same 4x16-bit
+    * band join (exact recall for the hamming <= 3 cap), and pairs
+    * reduce to (in_id, corpus_id, n_shared_scenes) by the smaller
+    * side's distinct matched scene count. */
+  def videoNearDupsAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, delta: DataFrame, cutThreshold: Long = 16L,
+      maxHamming: Int = 3, minSharedScenes: Long = 2L): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4x16-bit banding is exact only to hamming 3; raise bands, not the cap")
+    val idx = spark.read.parquet(s"$dir/video_sig_index")
+    val fresh = videoSignature(delta, cutThreshold)
+      .select(col("media_id"), col("scene_idx"), col("rep_dhash"),
+        expr("cast(conv(substring(rep_dhash, 1, 8), 16, 10) as long)").as("hi"),
+        expr("cast(conv(substring(rep_dhash, 9, 8), 16, 10) as long)").as("lo"))
+    def banded(df: DataFrame, side: String) = df.select(
+      col("media_id").as(side), col("scene_idx").as(s"scene_$side"),
+      col("hi").as(s"hi_$side"), col("lo").as(s"lo_$side"),
+      posexplode(array((0 until 4).map(b =>
+        substring(col("rep_dhash"), 1 + 4 * b, 4)): _*))
+        .as(Seq("band_idx", "band_val")))
+    broadcast(banded(fresh, "in_id"))
+      .join(banded(idx, "corpus_id"), Seq("band_idx", "band_val"))
+      .filter(col("in_id") =!= col("corpus_id"))
+      .select("in_id", "scene_in_id", "corpus_id", "scene_corpus_id",
+        "hi_in_id", "lo_in_id", "hi_corpus_id", "lo_corpus_id").distinct()
+      .filter((bit_count(col("hi_in_id").bitwiseXOR(col("hi_corpus_id"))) +
+        bit_count(col("lo_in_id").bitwiseXOR(col("lo_corpus_id")))).cast("long")
+        <= maxHamming)
+      .groupBy(col("in_id"), col("corpus_id"))
+      .agg(least(countDistinct(col("scene_in_id")),
+        countDistinct(col("scene_corpus_id"))).cast("long")
+        .as("n_shared_scenes"))
+      .filter(col("n_shared_scenes") >= minSharedScenes)
+  }
+
   /** Orientation-normalized perceptual hash — the REUNITE-THE-PHOTO
     * composition X198 and X209 exist for: the same photo stored
     * upright and stored physically-rotated-with-an-orientation-tag

@@ -631,6 +631,32 @@ object Streams {
         .parquet(outPath)
     }
 
+  /** Streaming video-ingest dedup against the persisted signature
+    * index — the video cell of the streaming dedup matrix: each
+    * micro-batch of (media_id, kind, bytes) clips decodes, segments,
+    * and hashes its scene reps, band-joins against
+    * [[graft.operators.Multimodal.writeVideoSignatureIndex]]'s store
+    * (the corpus is never re-decoded; the small delta side
+    * broadcasts), and lands (in_id, corpus_id, n_shared_scenes) pairs
+    * under the exactly-once `__batch` overwrite so a replayed
+    * micro-batch never duplicates. A trimmed or re-encoded copy of an
+    * indexed clip pairs at ingest time — before it costs storage or a
+    * training epoch. Usage: `clips.writeStream
+    * .foreachBatch(videoDedupAgainstIndex(spark, idx, out)).start()`. */
+  def videoDedupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, outPath: String, maxHamming: Int = 3,
+      minSharedScenes: Long = 2L): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      val pairs = graft.operators.Multimodal.videoNearDupsAgainstIndex(
+        spark, indexDir, batch, maxHamming = maxHamming,
+        minSharedScenes = minSharedScenes)
+      pairs.withColumn("__batch", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch")
+        .parquet(outPath)
+    }
+
   /** Streaming audio-ingest dedup against the persisted fingerprint
     * index — completes the streaming dedup matrix (text: near-dup
     * index; image: dHash index; audio: this): each micro-batch of

@@ -606,6 +606,62 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming video dedup against the persisted signature index is replay-idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val idx = s"/tmp/graft_vid_idx_${System.nanoTime()}"
+    val out = s"/tmp/graft_vid_idx_out_${System.nanoTime()}"
+    // 72x64 block-aligned MJPEG (the VideoNearDupSpec fixture): three
+    // scenes with distinct gradients, brightness jumps of 70 between
+    // scenes guarantee cuts, +1 within-scene wiggle
+    val mults = Array((3, 5), (7, 11), (13, 17))
+    def frame(s: Int, wig: Int, mx0: Int = -1, my0: Int = -1): Array[Byte] = {
+      val (mx, my) = if (mx0 > 0) (mx0, my0) else mults(s)
+      graft.operators.JpegCodec.encodeJpegDcOnly(72, 64,
+        (bx, by) => 20 + s * 70 + (bx * mx + by * my) % 50 + wig)
+    }
+    def avi(frames: Seq[Array[Byte]], us: Int = 33000): Array[Byte] =
+      graft.sources.Avi.encodeMjpeg(72, 64, us, frames)
+    val corpus = Seq(
+      (100L, "image",
+        avi((0 until 3).flatMap(s => Seq(frame(s, 0), frame(s, 1))))),
+      (101L, "image",
+        avi((0 until 3).flatMap(s =>
+          Seq(frame(s, 0, 19, 23), frame(s, 1, 19, 23))))))
+      .toDF("media_id", "kind", "bytes")
+    graft.operators.Multimodal.writeVideoSignatureIndex(corpus, idx)
+
+    val sink = Streams.videoDedupAgainstIndex(spark, idx, out)
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = in.toDF().toDF("media_id", "bytes")
+      .selectExpr("media_id", "'image' AS kind", "bytes")
+      .writeStream.foreachBatch(sink).outputMode("append").start()
+    try {
+      in.addData(
+        // trimmed copy of indexed clip 100 (scenes 1-2, re-timed)
+        (1L, avi((1 until 3).flatMap(s =>
+          Seq(frame(s, 0), frame(s, 1))), 40000)),
+        // unrelated gradients: must not pair
+        (2L, avi((0 until 3).flatMap(s =>
+          Seq(frame(s, 0, 23, 29), frame(s, 1, 23, 29))))))
+      q.processAllAvailable()
+      val got = spark.read.parquet(out)
+        .select("in_id", "corpus_id", "n_shared_scenes").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set((1L, 100L, 2L)), s"got $got")
+
+      // at-least-once replay of the same micro-batch must overwrite,
+      // not duplicate
+      sink(Seq((1L, "image", avi((1 until 3).flatMap(s =>
+          Seq(frame(s, 0), frame(s, 1))), 40000)))
+        .toDF("media_id", "kind", "bytes"), 0L)
+      val replayed = spark.read.parquet(out)
+        .select("in_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(replayed == Seq((1L, 100L)), s"replay wrong: $replayed")
+    } finally q.stop()
+  }
+
   test("streaming audio dedup against the persisted fp index is replay-idempotent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -914,6 +970,41 @@ class StreamsSpec extends AnyFunSuite {
         .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
       assert(rows == batch, s"stream $rows != batch $batch")
       assert(rows(11L) == ((0L, "")))
+    } finally q.stop()
+  }
+
+  test("batch-trained byte-BPE table tokenizes a multi-script stream online") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the third tokenizer family's streaming parity: train offline,
+    // apply online as a stateless codegen projection — with the byte
+    // family's own selling point exercised (out-of-corpus scripts and
+    // punctuation tokenize with zero OOV, so a stream can NEVER die
+    // on unseen input)
+    val corpus = Seq((1L, "the cat sat"), (2L, "a cat sat on the mat"))
+      .toDF("doc_id", "text")
+    val table = graft.operators.TextStats.byteBpeTable(
+      graft.operators.TextStats.byteBpeTrainMerges(corpus, "text",
+        rounds = 4))
+    val probe = Seq((10L, "The cat, sat!"), (11L, ""),
+      (12L, "кот сидел 猫が座った")).toDF("doc_id", "text")
+    val batch = graft.operators.TextStats.byteBpeEncodeApply(
+        probe, "doc_id", "text", table)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val in = MemoryStream[(Long, String)]
+    val q = graft.operators.TextStats.byteBpeEncodeApply(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text", table)
+      .writeStream.format("memory").queryName("bbpe_out")
+      .outputMode("append").start()
+    try {
+      in.addData((10L, "The cat, sat!"), (11L, ""),
+        (12L, "кот сидел 猫が座った"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM bbpe_out").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+      assert(rows == batch, s"stream $rows != batch $batch")
+      assert(rows(11L) == ((0L, "")))
+      assert(rows(12L)._1 > 0L)
     } finally q.stop()
   }
 
