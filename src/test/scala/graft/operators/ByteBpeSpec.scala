@@ -91,6 +91,41 @@ class ByteBpeSpec extends AnyFunSuite {
         && e.getMessage.contains("not in vocabulary")), ex.toString)
   }
 
+  test("randomized property: round-trip over arbitrary unicode, 120 draws") {
+    // seeded generator; codepoints drawn across ASCII, Latin-1, BMP
+    // scripts, and the supplementary planes (emoji land as surrogate
+    // PAIRS in the JVM string — the byte path must treat them as one
+    // 4-byte UTF-8 char). decode(encode(norm)) == norm minus spaces
+    // must hold for EVERY valid input under EVERY trained table.
+    val rnd = new scala.util.Random(0xBEEF)
+    def randCp(): Int = rnd.nextInt(4) match {
+      case 0 => 0x21 + rnd.nextInt(0x5e)            // ASCII printable
+      case 1 => 0xa1 + rnd.nextInt(0x15f)           // Latin-1/ext
+      case 2 => Seq(0x400, 0x600, 0x4e00, 0xac00)(rnd.nextInt(4)) +
+        rnd.nextInt(0x80)                           // Cyr/Arab/CJK/Hangul
+      case _ => 0x1f300 + rnd.nextInt(0x200)        // supplementary (emoji)
+    }
+    def randText(): String = (0 until 1 + rnd.nextInt(4)).map { _ =>
+      val sb = new java.lang.StringBuilder()
+      for (_ <- 0 until 1 + rnd.nextInt(8)) sb.appendCodePoint(randCp())
+      sb.toString
+    }.mkString(" ")
+    import org.apache.spark.unsafe.types.UTF8String
+    for (trial <- 0 until 120) {
+      val corpus = Seq.fill(3)((rnd.nextLong(), randText()))
+        .toDF("doc_id", "text")
+      val t = TextStats.byteBpeTable(
+        TextStats.byteBpeTrainMerges(corpus, "text", rounds = 1 + trial % 6))
+      val probe = TextStats.norm(org.apache.spark.sql.functions.lit(randText()))
+      val normed = Seq(1).toDF("x").select(probe.as("n"))
+        .collect()(0).getString(0)
+      val ids = t.encode(UTF8String.fromString(normed))
+      val back = t.decode(ids).toString
+      assert(back == normed.replace(" ", ""),
+        s"trial $trial: '$back' != '${normed.replace(" ", "")}'")
+    }
+  }
+
   test("trainer is deterministic and matches the greedy LTR replace semantics") {
     val df = Seq((1L, "abab abab ababab")).toDF("doc_id", "text")
     val m1 = TextStats.byteBpeTrainMerges(df, "text", rounds = 3)
