@@ -2030,25 +2030,18 @@ object Multimodal {
       }(enc).toDF("media_id", "scene_idx", "rep_frame_idx", "rep_dhash")
   }
 
-  /** Video-level perceptual NEAR-DUP pairs — the multimodal dedup
-    * matrix's last cell (text X25 / image X180 / audio X181 → video):
-    * two clips that share scenes (a trim, a re-encode, a
-    * brightness-shifted or watermark-free copy) collide on
-    * [[videoSignature]] overlap. Scene-rep hashes pair through the
-    * X223 banded-Hamming discipline — four 16-bit bands, so recall is
-    * EXACT for `maxHamming <= 3` (pigeonhole: 3 flips cannot hit all
-    * four bands), which is why that is the hard cap here rather than
-    * a default; candidate volume is measured first and vetoed loudly
-    * over budget (the shared [[Guard]] knob
-    * `spark.graft.guard.dhashMaxAvgCandidatesPerRow`). Pairs then
-    * reduce to the video level: `n_shared_scenes` = the SMALLER side's
-    * distinct matched scene count (symmetric, and immune to one scene
-    * matching twice), kept at `>= minSharedScenes`. Never all-pairs:
-    * band-key join + guard, exactly the image path's scale shape.
-    * Output: (id_a, id_b, n_shared_scenes), id_a < id_b. */
-  def videoNearDupPairs(media: DataFrame, cutThreshold: Long = 16L,
-      maxHamming: Int = 3, minSharedScenes: Long = 2L,
-      maxAvgCandidatesPerRow: Double = 256.0): DataFrame = {
+  /** The hamming-verified SCENE-pair frame shared by
+    * [[videoNearDupPairs]] and [[videoAlignOffsets]]: scene-rep
+    * hashes pair through the X223 banded-Hamming discipline — four
+    * 16-bit bands over DISTINCT hash values (exact recall for
+    * `maxHamming <= 3` by pigeonhole, hence the hard cap; the guard
+    * prices structural hash diversity while exact-copy mass only
+    * reappears in the owner expansion, whose volume is true output).
+    * Returns (id_a, scene_a, id_b, scene_b), id_a < id_b, distinct.
+    * Never all-pairs: band-key join + guard, the image path's scale
+    * shape. */
+  private def videoScenePairs(media: DataFrame, cutThreshold: Long,
+      maxHamming: Int, maxAvgCandidatesPerRow: Double): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "4x16-bit banding is exact only to hamming 3; raise bands, not the cap")
     val hashed = videoSignature(media, cutThreshold)
@@ -2119,12 +2112,57 @@ object Multimodal {
       .filter(col("__ida") < col("__idb"))
       .select(col("__ida").as("id_a"), col("__sa").as("scene_a"),
         col("__idb").as("id_b"), col("__sb").as("scene_b"))
-    near.union(same)
-      .distinct()
+    near.union(same).distinct()
+  }
+
+  /** Video-level perceptual NEAR-DUP pairs — the multimodal dedup
+    * matrix's last cell (text X25 / image X180 / audio X181 → video):
+    * two clips that share scenes (a trim, a re-encode, a
+    * brightness-shifted or watermark-free copy) collide on
+    * [[videoSignature]] overlap. The [[videoScenePairs]] core reduces
+    * to the video level: `n_shared_scenes` = the SMALLER side's
+    * distinct matched scene count (symmetric, and immune to one scene
+    * matching twice), kept at `>= minSharedScenes`.
+    * Output: (id_a, id_b, n_shared_scenes), id_a < id_b. */
+  def videoNearDupPairs(media: DataFrame, cutThreshold: Long = 16L,
+      maxHamming: Int = 3, minSharedScenes: Long = 2L,
+      maxAvgCandidatesPerRow: Double = 256.0): DataFrame =
+    videoScenePairs(media, cutThreshold, maxHamming, maxAvgCandidatesPerRow)
       .groupBy(col("id_a"), col("id_b"))
       .agg(least(countDistinct(col("scene_a")),
         countDistinct(col("scene_b"))).cast("long").as("n_shared_scenes"))
       .filter(col("n_shared_scenes") >= minSharedScenes)
+
+  /** Temporal ALIGNMENT of near-dup video pairs — the adjudication
+    * signal a dedup pipeline reads after [[videoNearDupPairs]] fires:
+    * for each matched pair, the MODAL scene-index offset
+    * (`scene_b - scene_a`) over the hamming-verified scene matches,
+    * with the aligned-scene count at that offset. A pure re-encode or
+    * brightness copy aligns at offset 0 across every scene; a
+    * head-trimmed copy aligns at a single NEGATIVE offset (its scene
+    * k is the original's scene k+|offset|); a coincidental one-scene
+    * collision has no consistent offset and a low `n_aligned`.
+    * Deterministic tie order: (aligned count desc, offset asc).
+    * Output: (id_a, id_b, scene_offset, n_aligned), id_a < id_b,
+    * n_aligned >= minAligned. Same scale shape as the pair search —
+    * one extra vocabulary-bounded aggregation over the scene-pair
+    * frame, nothing new shuffles. */
+  def videoAlignOffsets(media: DataFrame, cutThreshold: Long = 16L,
+      maxHamming: Int = 3, minAligned: Long = 2L,
+      maxAvgCandidatesPerRow: Double = 256.0): DataFrame = {
+    val perOffset = videoScenePairs(media, cutThreshold, maxHamming,
+        maxAvgCandidatesPerRow)
+      .groupBy(col("id_a"), col("id_b"),
+        (col("scene_b") - col("scene_a")).as("scene_offset"))
+      .agg(countDistinct(col("scene_a")).cast("long").as("n_aligned"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a"), col("id_b"))
+      .orderBy(col("n_aligned").desc, col("scene_offset").asc)
+    perOffset
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .filter(col("n_aligned") >= minAligned)
+      .select("id_a", "id_b", "scene_offset", "n_aligned")
   }
 
   /** Persist the video-signature index — the [[writeDHashIndex]]

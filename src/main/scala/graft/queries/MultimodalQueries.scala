@@ -85,6 +85,22 @@ object MultimodalQueries {
          hx AS (SELECT media_id, scene, hi, lo,
              printf('%08x%08x', hi, lo) AS dh FROM packed)"""
 
+  /** The banded-candidate + hamming-verify CTEs over [[videoSigCtes]]'
+    * `hx` — the oracle replay of the engine's scene-pair core, shared
+    * by the `mm_video_neardup` and `mm_video_align` oracles. Ends at
+    * `ham(id_a, scene_a, id_b, scene_b, hi/lo pairs)`. */
+  private def videoHamCtes: String =
+    s"""cand AS (SELECT DISTINCT a.media_id AS id_a, a.scene AS scene_a,
+             b.media_id AS id_b, b.scene AS scene_b,
+             a.hi AS hi_a, a.lo AS lo_a, b.hi AS hi_b, b.lo AS lo_b
+           FROM hx a JOIN hx b ON b.media_id > a.media_id AND (
+             substr(a.dh, 1, 4) = substr(b.dh, 1, 4)
+             OR substr(a.dh, 5, 4) = substr(b.dh, 5, 4)
+             OR substr(a.dh, 9, 4) = substr(b.dh, 9, 4)
+             OR substr(a.dh, 13, 4) = substr(b.dh, 13, 4))),
+         ham AS (SELECT * FROM cand
+           WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3)"""
+
   /** The video-dedup fixture shared by `mm_video_neardup` and
     * `mm_video_signature`: image-kind rows become 72x64 MJPEG AVIs
     * (block-aligned dims → the 9x8 dHash cells ARE the DC blocks, so
@@ -1553,6 +1569,11 @@ object MultimodalQueries {
     // block formula (72x64 makes the 9x8 dHash cells == DC blocks)
     "mm_video_signature" -> ((s, d) =>
       Multimodal.videoSignature(videoDedupFixture(s, d))),
+    // modal scene-index offset per near-dup pair — the trim-vs-
+    // re-encode adjudication signal: re-encodes align at 0 across all
+    // scenes, a head-trim aligns at one negative offset
+    "mm_video_align" -> ((s, d) =>
+      Multimodal.videoAlignOffsets(videoDedupFixture(s, d))),
     "mm_mp4_meta" -> ((s, d) => {
       val enc = org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.scalaLong,
@@ -1835,21 +1856,25 @@ object MultimodalQueries {
     // the 4-band candidate join -> hamming <= 3 -> video-level reduce
     "mm_video_neardup" ->
       s"""WITH $videoSigCtes,
-         cand AS (SELECT DISTINCT a.media_id AS id_a, a.scene AS scene_a,
-             b.media_id AS id_b, b.scene AS scene_b,
-             a.hi AS hi_a, a.lo AS lo_a, b.hi AS hi_b, b.lo AS lo_b
-           FROM hx a JOIN hx b ON b.media_id > a.media_id AND (
-             substr(a.dh, 1, 4) = substr(b.dh, 1, 4)
-             OR substr(a.dh, 5, 4) = substr(b.dh, 5, 4)
-             OR substr(a.dh, 9, 4) = substr(b.dh, 9, 4)
-             OR substr(a.dh, 13, 4) = substr(b.dh, 13, 4))),
-         ham AS (SELECT * FROM cand
-           WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3)
+         $videoHamCtes
          SELECT id_a, id_b,
            CAST(least(count(DISTINCT scene_a), count(DISTINCT scene_b))
              AS BIGINT) AS n_shared_scenes
          FROM ham GROUP BY 1, 2
          HAVING least(count(DISTINCT scene_a), count(DISTINCT scene_b)) >= 2""",
+    // modal scene-index offset per matched pair (the trim-vs-re-encode
+    // adjudication signal); deterministic tie: (count desc, offset asc)
+    "mm_video_align" ->
+      s"""WITH $videoSigCtes,
+         $videoHamCtes,
+         po AS (SELECT id_a, id_b, scene_b - scene_a AS scene_offset,
+             count(DISTINCT scene_a)::BIGINT AS n_aligned
+           FROM ham GROUP BY 1, 2, 3),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY id_a, id_b
+             ORDER BY n_aligned DESC, scene_offset ASC) AS rn FROM po)
+         SELECT id_a, id_b, CAST(scene_offset AS BIGINT) AS scene_offset,
+           n_aligned
+         FROM rk WHERE rn = 1 AND n_aligned >= 2""",
     "mm_video_signature" ->
       s"""WITH $videoSigCtes
          SELECT r.media_id, CAST(r.scene AS BIGINT) AS scene_idx,

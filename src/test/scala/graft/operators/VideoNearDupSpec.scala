@@ -61,6 +61,21 @@ class VideoNearDupSpec extends AnyFunSuite {
       pairs.toString)
   }
 
+  test("alignment offsets adjudicate trim vs re-encode") {
+    val base = avi((0 until 3).flatMap(s => Seq(frame(s, 0, 0), frame(s, 1, 0))))
+    val trim = avi((1 until 3).flatMap(s => Seq(frame(s, 0, 0), frame(s, 1, 0))), 40000)
+    val bright = avi((0 until 3).flatMap(s => Seq(frame(s, 0, 4), frame(s, 1, 4))), 25000)
+    val m = mediaOf(1L -> base, 2L -> trim, 3L -> bright)
+    val got = Multimodal.videoAlignOffsets(m)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // trim of base: its scene k IS base's scene k+1 -> offset -1 over
+    // 2 scenes; the re-encode aligns at 0 across all 3; trim vs
+    // re-encode at +1
+    assert(got == Map((1L, 2L) -> ((-1L, 2L)), (1L, 3L) -> ((0L, 3L)),
+      (2L, 3L) -> ((1L, 2L))), got.toString)
+  }
+
   test("guard vetoes saturated scene-hash diversity loudly") {
     // 40 videos with DISTINCT hashes that all share their first three
     // bands (rows 0-5 carry one fixed gradient; rows 6-7 vary per
