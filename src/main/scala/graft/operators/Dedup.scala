@@ -37,15 +37,24 @@ object Dedup {
     // everything under adaptive.forceApply), and those can still be a
     // narrow few-split scan chain — the exact skew this guard exists
     // for (ADVICE r17) — so the skip keys on the presence of an
-    // Exchange in the pre-adaptive plan, not on the wrapper type.
-    // Probing an exchange-free AQE plan is cheap: with no exchanges
-    // there are no query stages to materialize, so toRdd just builds
-    // splits (any scalar subquery it carries runs once and its result
-    // is what the real execution would have reused anyway).
+    // Exchange in the PRE-ADAPTIVE plan, not on the wrapper type.
+    // That plan must be `initialPlan`, NOT `inputPlan` (ADVICE r18):
+    // AQE captures inputPlan BEFORE EnsureRequirements runs (it runs
+    // inside queryStagePreparationRules), so a join/aggregate frame
+    // carries only distribution REQUIREMENTS there and shows zero
+    // Exchange nodes — keying on inputPlan would send exactly the
+    // deep shuffle-bearing frames to the toRdd probe and re-introduce
+    // the wasted full run. `initialPlan` is the post-EnsureRequirements
+    // physical plan (public in Spark 4.1.2, built eagerly at
+    // construction without executing stages) and actually contains
+    // the exchanges. Probing an exchange-free plan is cheap: with no
+    // exchanges there are no query stages to materialize, so toRdd
+    // just builds splits (any scalar subquery it carries runs once
+    // and its result is what the real execution would have reused).
     val target = df.sparkSession.sessionState.conf.numShufflePartitions
     df.queryExecution.executedPlan match {
       case aqe: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-          if aqe.inputPlan.exists(
+          if aqe.initialPlan.exists(
             _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange]) =>
         df
       case _ =>

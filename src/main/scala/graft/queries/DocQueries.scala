@@ -134,12 +134,17 @@ object DocQueries {
     * same [[DatasetFingerprint]] discipline as every on-disk derived
     * artifact — so a long-lived JVM that sees the dataset regenerated
     * in place trains afresh instead of serving a stale table
-    * (ADVICE r17). */
+    * (ADVICE r17). Superseded fingerprints for the same dir are
+    * evicted on insert (ADVICE r18) — a long-lived JVM that
+    * regenerates the dataset repeatedly holds at most one table per
+    * dir, not one per regeneration. */
   private val warcHtmlBpe =
     new java.util.concurrent.ConcurrentHashMap[String, graft.functions.BpeTable]()
-  private def warcHtmlBpeFor(s: SparkSession, d: String): graft.functions.BpeTable =
-    warcHtmlBpe.computeIfAbsent(
-      s"$d|${DatasetFingerprint.of(s"$d/documents.parquet")}", _ => {
+  private def warcHtmlBpeFor(s: SparkSession, d: String): graft.functions.BpeTable = {
+    val key = s"$d|${DatasetFingerprint.of(s"$d/documents.parquet")}"
+    if (!warcHtmlBpe.containsKey(key))
+      warcHtmlBpe.keySet.removeIf(k => k.startsWith(s"$d|") && k != key)
+    warcHtmlBpe.computeIfAbsent(key, _ => {
       val stages = CorpusMix.curateStages(warcCrawl(s, d, wrapHtml = true),
         "doc_id", "url", "status", "text", minWords = 40, jaccard = 0.8,
         htmlExtract = true)
@@ -148,6 +153,7 @@ object DocQueries {
       CorpusMix.freeStages(stages)
       t
     })
+  }
 
   /** Pre-trains the per-dir model memos OUTSIDE any timed region so a
     * bench harness measuring the deploying queries

@@ -32,19 +32,24 @@ object Streams {
   /** Pin the session's shuffle-partition conf — the ONLY lever Spark
     * exposes for a stateful query's state-store partition count,
     * resolved from the session at FIRST query start and immutable per
-    * checkpoint thereafter. `stateParts <= 0` resolves to
-    * [[defaultStateParts]]. One value per query: the last helper
-    * called before `.start()` wins for the whole query. NOTE this is
-    * a SESSION-level conf set (there is no per-query form): batch
-    * work planned afterwards in the same session inherits it — a
-    * mixed batch+stream session that wants a different batch
+    * checkpoint thereafter. A TRUE NO-OP unless the caller passes an
+    * explicit `stateParts > 0` (ADVICE r18: the old behavior resolved
+    * the 0 default through [[defaultStateParts]] and so EVERY stream
+    * build silently reconfigured the whole session's batch
+    * shuffle-partition count as a side effect; now the default leaves
+    * the session conf untouched and an operator opts in per query,
+    * typically with `defaultStateParts(spark)` — the measured
+    * optimum). One value per query: the last helper called before
+    * `.start()` wins for the whole query. NOTE an explicit pin is a
+    * SESSION-level conf set (there is no per-query form): batch work
+    * planned afterwards in the same session inherits it — a mixed
+    * batch+stream session that wants a different batch
     * shuffle-partition count should restore the conf after starting
     * the stream, or build the stream from `spark.newSession()`. */
-  private def pinStateParts(df: DataFrame, stateParts: Int): Unit = {
-    val n = if (stateParts > 0) stateParts
-      else defaultStateParts(df.sparkSession)
-    df.sparkSession.conf.set("spark.sql.shuffle.partitions", n.toString)
-  }
+  private def pinStateParts(df: DataFrame, stateParts: Int): Unit =
+    if (stateParts > 0)
+      df.sparkSession.conf.set("spark.sql.shuffle.partitions",
+        stateParts.toString)
 
   /** Fail-loudly guard for the per-checkpoint IMMUTABILITY of the
     * state partition count (the operational footgun BENCH_STREAM r17
@@ -56,21 +61,45 @@ object Streams {
     * query with an explicit knob: it reads the latest offsets
     * metadata and throws if the requested count differs from the
     * pinned one (start a NEW checkpoint to reshard). No-op on a fresh
-    * checkpoint. */
+    * checkpoint. The checkpoint is resolved through Hadoop's
+    * FileSystem (ADVICE r18), so hdfs:// and s3a:// checkpoints — the
+    * normal production case — are actually inspected rather than
+    * silently skipped by a local-file stat; an offsets dir that
+    * exists but cannot be listed/read fails loudly instead of
+    * returning false assurance. `stateParts <= 0` resolves to the
+    * session's CURRENT shuffle-partition conf — exactly what a query
+    * started without an explicit pin would get. */
   def requireStatePartsCompatible(spark: org.apache.spark.sql.SparkSession,
       checkpointDir: String, stateParts: Int): Unit = {
     val resolved = if (stateParts > 0) stateParts
-      else defaultStateParts(spark)
-    val off = new java.io.File(checkpointDir, "offsets")
-    if (!off.isDirectory) return
-    val latest = Option(off.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.forall(_.isDigit))
-      .sortBy(_.getName.toLong).lastOption
+      else spark.sessionState.conf.numShufflePartitions
+    val off = new org.apache.hadoop.fs.Path(checkpointDir, "offsets")
+    val fs = off.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(off)) return
+    val latest =
+      try fs.listStatus(off).toSeq
+        .filter(s => s.isFile && s.getPath.getName.forall(_.isDigit))
+        .sortBy(_.getPath.getName.toLong).lastOption
+      catch {
+        case e: java.io.IOException => throw new IllegalStateException(
+          s"checkpoint $checkpointDir has an offsets dir that cannot " +
+            "be listed — refusing to vouch for state-partition " +
+            "compatibility. Fix access or start a new checkpoint.", e)
+      }
     latest.foreach { f =>
-      val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
-        java.nio.charset.StandardCharsets.UTF_8)
+      val in = fs.open(f.getPath)
+      val txt =
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+          new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+        } finally in.close()
       val m = """"spark\.sql\.shuffle\.partitions"\s*:\s*"?(\d+)"?""".r
         .findFirstMatchIn(txt)
+      if (m.isEmpty) throw new IllegalStateException(
+        s"checkpoint $checkpointDir offsets metadata (${f.getPath}) " +
+          "carries no spark.sql.shuffle.partitions entry — cannot " +
+          "verify state-partition compatibility; refusing to vouch.")
       m.foreach { mm =>
         val pinned = mm.group(1).toInt
         if (pinned != resolved) throw new IllegalStateException(
@@ -90,10 +119,11 @@ object Streams {
 
   /** Gap-based streaming sessionization (same semantics as the batch
     * Events.sessionize): emits closed sessions once the watermark
-    * passes their end. `stateParts` pins the state-store partition
-    * count at first start (<= 0 = [[defaultStateParts]], the measured
-    * optimum; immutable per checkpoint —
-    * [[requireStatePartsCompatible]]). */
+    * passes their end. An explicit `stateParts > 0` pins the
+    * state-store partition count at first start (immutable per
+    * checkpoint — [[requireStatePartsCompatible]]); pass
+    * [[defaultStateParts]] for the measured optimum. The 0 default
+    * leaves the session conf untouched. */
   def sessionize(events: DataFrame, gap: String = "30 minutes",
       watermark: String = "10 minutes", stateParts: Int = 0): DataFrame = {
     pinStateParts(events, stateParts)

@@ -34,6 +34,12 @@ class StatePartsSpec extends AnyFunSuite {
     val in = MemoryStream[(Timestamp, String)]
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft_stateparts").toString
+    // ADVICE r18: the DEFAULT knob (0) is a true no-op — merely
+    // BUILDING a stream must not reconfigure the session's batch
+    // shuffle-partition count as a side effect
+    Streams.urlDedup(in.toDF().toDF("ts", "url"), "url")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == "4",
+      "default stateParts must leave the session conf untouched")
     val q = Streams.urlDedup(in.toDF().toDF("ts", "url"), "url",
         stateParts = 5)
       .writeStream.format("noop").option("checkpointLocation", ckpt).start()
@@ -44,14 +50,18 @@ class StatePartsSpec extends AnyFunSuite {
     assert(stateDirs(ckpt) == Seq("0", "1", "2", "3", "4"), stateDirs(ckpt))
 
     // the guard: matching knob passes, changed knob fails loudly,
-    // and the DEFAULT (4 on this host) also fails against the pinned 5
+    // and the no-pin form (0 = the session's CURRENT conf — what an
+    // unpinned restart would actually run with) fails once the
+    // session conf is back at this host's batch value of 4
     Streams.requireStatePartsCompatible(spark, ckpt, 5)
     val ex = intercept[IllegalStateException] {
       Streams.requireStatePartsCompatible(spark, ckpt, 3)
     }
     assert(ex.getMessage.contains("pins 5") && ex.getMessage.contains("3"))
+    Streams.requireStatePartsCompatible(spark, ckpt, 0) // conf still 5: ok
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     intercept[IllegalStateException] {
-      Streams.requireStatePartsCompatible(spark, ckpt, 0)
+      Streams.requireStatePartsCompatible(spark, ckpt, 0) // conf 4 vs pin 5
     }
     // fresh checkpoint: nothing pinned, any knob passes
     Streams.requireStatePartsCompatible(spark, ckpt + "_fresh", 3)
