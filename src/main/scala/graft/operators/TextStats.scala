@@ -967,7 +967,14 @@ object TextStats {
     * byte-to-unicode table ([[graft.functions.ByteBpe.byteToChar]]) —
     * so any input tokenizes with zero OOV. Same scale shape: the loop
     * runs over the DISTINCT-pretoken frequency table, one corpus scan,
-    * per-round work vocabulary-bounded, lineage truncated per round. */
+    * per-round work vocabulary-bounded, lineage truncated per round.
+    *
+    * This distributed form prices one Spark job per merge round — the
+    * FALLBACK for a type table too large to collect. The production
+    * trainer is [[byteBpeTrainMergesLocal]] (bit-identical output,
+    * measured 4x faster at sf1 R=64 and flat in R where this loop is
+    * linear — PLANS.md r19); use this one only above its maxTypes
+    * gate. */
   def byteBpeTrainMerges(df: DataFrame, textCol: String,
       rounds: Int = 8): Seq[(String, String)] = {
     import graft.functions.ByteBpe.{SepL, SepR}
@@ -1008,6 +1015,100 @@ object TextStats {
     merges.result()
   }
 
+  /** [[byteBpeTrainMerges]] as a gated-collect driver loop (the
+    * knTable pattern — VERDICT r18 item 5): ONE distributed job builds
+    * the distinct-pretoken frequency table (vocabulary-bounded — the
+    * corpus can be 100 TB, the TYPE table grows ~Heaps-law and is
+    * `require`-gated below), then the merge loop runs on the driver
+    * with incrementally-maintained pair counts — O(changed rows) per
+    * round instead of one full-table Spark job per round. Produces a
+    * BIT-IDENTICAL merge list to the distributed loop (pinned by
+    * ByteBpeSpec at two merge counts): same pretokenization, same
+    * symbol encoding, same weighted adjacent-pair counts, same
+    * (count desc, a asc, b asc) tie-break — codepoint order, which
+    * UTF8String binary order and Java's BMP compareTo agree on; the
+    * mapped alphabet and both brackets are BMP by construction — and
+    * the same left-to-right non-overlapping literal replace.
+    *
+    * Measured at sf1 (PLANS.md r19): the distributed loop prices one
+    * full pair-count job + checkpoint per merge round (R jobs for R
+    * merges — untenable at a production 30k–100k vocabulary); this
+    * trainer amortizes everything after the single scan, and the
+    * driver loop's cost is bounded by the type table, not the corpus.
+    */
+  def byteBpeTrainMergesLocal(df: DataFrame, textCol: String,
+      rounds: Int = 8, maxTypes: Int = 4000000): Seq[(String, String)] = {
+    import graft.functions.ByteBpe.{SepL, SepR}
+    val collected = df.select(explode(regexp_extract_all(norm(col(textCol)),
+        lit("[^ ]+"), lit(0))).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__c"))
+      .select(col("__c"),
+        graft.functions.bbpe.byte_bpe_syms(col("__w")).as("__e"))
+      .collect()
+    require(collected.length <= maxTypes,
+      s"byteBpeTrainMergesLocal: ${collected.length} distinct pretokens " +
+        s"exceed maxTypes=$maxTypes — raise the dial (driver memory " +
+        "permitting) or fall back to byteBpeTrainMerges (distributed)")
+    val weights = collected.map(_.getLong(0))
+    val encs = collected.map(_.getString(1))
+    val sep = s"$SepR$SepL"
+    val sepQ = java.util.regex.Pattern.quote(sep)
+    def symsOf(e: String): Array[String] =
+      e.substring(1, e.length - 1).split(sepQ, -1)
+    // weighted adjacent-pair counts, keyed "a<sep>b" (symbols are
+    // sep-free by construction, so the key is unambiguous)
+    val pc = new java.util.HashMap[String, java.lang.Long]()
+    def bump(a: String, b: String, w: Long): Unit = {
+      val k = a + sep + b
+      val nw = pc.getOrDefault(k, 0L) + w
+      if (nw == 0L) pc.remove(k) else pc.put(k, nw)
+    }
+    def addAll(e: String, w: Long): Unit = {
+      val s = symsOf(e)
+      var i = 0
+      while (i < s.length - 1) { bump(s(i), s(i + 1), w); i += 1 }
+    }
+    encs.indices.foreach(i => addAll(encs(i), weights(i)))
+    val merges = Seq.newBuilder[(String, String)]
+    var r = 0
+    var exhausted = false
+    while (r < rounds && !exhausted) {
+      // (n desc, a asc, b asc) — compare a and b COMPONENTWISE, never
+      // the concatenated key: the bracket chars sit ABOVE the mapped
+      // alphabet, so key order would invert prefix cases ("x" vs "xy")
+      var bestA: String = null
+      var bestB: String = null
+      var bestN = 0L
+      pc.forEach { (k, n) =>
+        val i = k.indexOf(sep)
+        val a = k.substring(0, i)
+        val b = k.substring(i + sep.length)
+        if (n > bestN || (n == bestN && bestA != null && {
+          val ca = a.compareTo(bestA)
+          ca < 0 || (ca == 0 && b.compareTo(bestB) < 0)
+        })) { bestA = a; bestB = b; bestN = n }
+      }
+      if (bestA == null) exhausted = true
+      else {
+        val (a, b) = (bestA, bestB)
+        merges += ((a, b))
+        val pattern = s"$SepL$a$SepR$SepL$b$SepR"
+        val repl = s"$SepL$a$b$SepR"
+        var j = 0
+        while (j < encs.length) {
+          if (encs(j).contains(pattern)) {
+            addAll(encs(j), -weights(j))
+            encs(j) = encs(j).replace(pattern, repl)
+            addAll(encs(j), weights(j))
+          }
+          j += 1
+        }
+        r += 1
+      }
+    }
+    merges.result()
+  }
+
   /** Build the serializable byte-BPE apply table from a trained merge
     * list — [[bpeTable]]'s id scheme (merged string -> 0x110000 +
     * first creating round; single mapped chars id by codepoint). */
@@ -1038,7 +1139,7 @@ object TextStats {
   def byteBpeEncode(df: DataFrame, idCol: String, textCol: String,
       rounds: Int = 8): DataFrame =
     byteBpeEncodeApply(df, idCol, textCol,
-      byteBpeTable(byteBpeTrainMerges(df, textCol, rounds)))
+      byteBpeTable(byteBpeTrainMergesLocal(df, textCol, rounds)))
 
   /** Byte-BPE round-trip integrity ([[bpeDecode]]'s contract):
     * `decode(encode(norm(text))) == norm(text) minus spaces` — run on
@@ -1047,7 +1148,7 @@ object TextStats {
     * boundaries. */
   def byteBpeDecode(df: DataFrame, idCol: String, textCol: String,
       rounds: Int = 8): DataFrame = {
-    val table = byteBpeTable(byteBpeTrainMerges(df, textCol, rounds))
+    val table = byteBpeTable(byteBpeTrainMergesLocal(df, textCol, rounds))
     df.select(col(idCol),
       graft.functions.bbpe.byte_bpe_decode_ids(
         graft.functions.bbpe.byte_bpe_encode_ids(norm(col(textCol)), table),
@@ -1060,7 +1161,7 @@ object TextStats {
     * window a byte-BPE model gives each language. */
   def byteBpeFertilityByLang(df: DataFrame, idCol: String, textCol: String,
       langCol: String, rounds: Int = 8): DataFrame = {
-    val table = byteBpeTable(byteBpeTrainMerges(df, textCol, rounds))
+    val table = byteBpeTable(byteBpeTrainMergesLocal(df, textCol, rounds))
     val toks = byteBpeEncodeApply(df, idCol, textCol, table)
       .select(col(idCol), col("n_tokens"))
     df.select(col(idCol), col(langCol).as("lang"),

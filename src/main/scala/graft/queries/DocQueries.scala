@@ -758,7 +758,7 @@ object DocQueries {
     // byte table — merges learned include multibyte script prefixes
     "doc_bytebpe_vocab" -> ((s, d) => {
       import s.implicits._
-      TextStats.byteBpeTrainMerges(langFixture(s, d), "__t", rounds = 8)
+      TextStats.byteBpeTrainMergesLocal(langFixture(s, d), "__t", rounds = 8)
         .zipWithIndex
         .map { case ((a, b), r) => (r.toLong, a, b, a + b) }
         .toDF("merge_rank", "lhs", "rhs", "token")
@@ -789,7 +789,7 @@ object DocQueries {
       if (!java.nio.file.Files.exists(
           java.nio.file.Paths.get(s"$dir/merges/_SUCCESS")))
         TextStats.saveByteBpeModel(
-          TextStats.byteBpeTrainMerges(langFixture(s, d), "__t", rounds = 8),
+          TextStats.byteBpeTrainMergesLocal(langFixture(s, d), "__t", rounds = 8),
           dir, s)
       TextStats.byteBpeEncodeApply(langFixture(s, d), "doc_id", "__t",
         TextStats.byteBpeTable(TextStats.loadByteBpeModel(s, dir)))
@@ -841,7 +841,7 @@ object DocQueries {
         TextStats.bpeTrainMerges(base, "text", rounds = 8))
       val uniT = TextStats.unigramTable(TextStats.unigramTrain(base, "text"))
       val byteT = TextStats.byteBpeTable(
-        TextStats.byteBpeTrainMerges(base, "text", rounds = 8))
+        TextStats.byteBpeTrainMergesLocal(base, "text", rounds = 8))
       val bpe = TextStats.bpeEncodeApply(base, "doc_id", "text", bpeT)
         .select(col("doc_id"), col("n_tokens").as("n_tokens_bpe"))
       val uni = TextStats.unigramEncodeApply(base, "doc_id", "text", uniT)

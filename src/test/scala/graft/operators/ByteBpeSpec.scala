@@ -141,4 +141,28 @@ class ByteBpeSpec extends AnyFunSuite {
     assert(!enc.contains('a'.toLong) && !enc.contains('b'.toLong),
       enc.mkString(","))
   }
+
+  test("gated-collect driver trainer is bit-identical to the distributed loop (two merge counts)") {
+    // multi-script corpus with deliberate tie-break pressure: repeated
+    // equal-count pairs, a prefix-pair pair ("x","y") vs ("xy","z")
+    // after the first merge, and multibyte symbols
+    val df = Seq(
+      (1L, "xyz xyz xyz xyzw"),
+      (2L, "日本 日本 日本語 tokyo"),
+      (3L, "Привет мир Привет мир"),
+      (4L, "abab abab ababab cd cd"),
+      (5L, "emoji 😀 twice 😀 thrice 😀")).toDF("doc_id", "text")
+    for (r <- Seq(8, 64)) {
+      val dist = TextStats.byteBpeTrainMerges(df, "text", rounds = r)
+      val local = TextStats.byteBpeTrainMergesLocal(df, "text", rounds = r)
+      assert(local == dist,
+        s"rounds=$r diverged at merge ${local.zip(dist).indexWhere(p => p._1 != p._2)}: " +
+          s"local=${local.take(12)} dist=${dist.take(12)}")
+    }
+    // the type-table gate fails loudly naming the dial
+    val ex = intercept[IllegalArgumentException] {
+      TextStats.byteBpeTrainMergesLocal(df, "text", rounds = 2, maxTypes = 3)
+    }
+    assert(ex.getMessage.contains("maxTypes"))
+  }
 }
