@@ -2127,11 +2127,34 @@ object Multimodal {
   def videoNearDupPairs(media: DataFrame, cutThreshold: Long = 16L,
       maxHamming: Int = 3, minSharedScenes: Long = 2L,
       maxAvgCandidatesPerRow: Double = 256.0): DataFrame =
-    videoScenePairs(media, cutThreshold, maxHamming, maxAvgCandidatesPerRow)
-      .groupBy(col("id_a"), col("id_b"))
+    nearDupReduce(videoScenePairs(media, cutThreshold, maxHamming,
+      maxAvgCandidatesPerRow), minSharedScenes)
+
+  /** Video-level reduce of a scene-pair frame (shared by
+    * [[videoNearDupPairs]] and [[videoNearDupAdjudicated]]). */
+  private def nearDupReduce(pairs: DataFrame,
+      minSharedScenes: Long): DataFrame =
+    pairs.groupBy(col("id_a"), col("id_b"))
       .agg(least(countDistinct(col("scene_a")),
         countDistinct(col("scene_b"))).cast("long").as("n_shared_scenes"))
       .filter(col("n_shared_scenes") >= minSharedScenes)
+
+  /** Modal-offset reduce of a scene-pair frame (shared by
+    * [[videoAlignOffsets]] and [[videoNearDupAdjudicated]]). */
+  private def alignReduce(pairs: DataFrame, minAligned: Long): DataFrame = {
+    val perOffset = pairs
+      .groupBy(col("id_a"), col("id_b"),
+        (col("scene_b") - col("scene_a")).as("scene_offset"))
+      .agg(countDistinct(col("scene_a")).cast("long").as("n_aligned"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a"), col("id_b"))
+      .orderBy(col("n_aligned").desc, col("scene_offset").asc)
+    perOffset
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .filter(col("n_aligned") >= minAligned)
+      .select("id_a", "id_b", "scene_offset", "n_aligned")
+  }
 
   /** Temporal ALIGNMENT of near-dup video pairs — the adjudication
     * signal a dedup pipeline reads after [[videoNearDupPairs]] fires:
@@ -2149,20 +2172,37 @@ object Multimodal {
     * frame, nothing new shuffles. */
   def videoAlignOffsets(media: DataFrame, cutThreshold: Long = 16L,
       maxHamming: Int = 3, minAligned: Long = 2L,
+      maxAvgCandidatesPerRow: Double = 256.0): DataFrame =
+    alignReduce(videoScenePairs(media, cutThreshold, maxHamming,
+      maxAvgCandidatesPerRow), minAligned)
+
+  /** The one-pass ADJUDICATED form (VERDICT r18 item 6 — the r14
+    * funnel one-pass discipline applied to the video pair): a dedup
+    * pipeline that fires the pair search always reads the alignment
+    * next, and [[videoNearDupPairs]] + [[videoAlignOffsets]] run
+    * separately re-decode every clip and re-run the banded join —
+    * the decode is the dominant cost of both. This computes the
+    * hamming-verified scene-pair frame ONCE, cuts it (two consumers —
+    * uncut, each agg branch would re-execute the whole decode+join
+    * subplan), and derives both reduces from the cut frame: pairs
+    * that share >= minSharedScenes scenes AND carry a consistent
+    * modal offset (>= minAligned aligned scenes), with both signals
+    * on one row. Measured at sf0.1: the composite prices ~one of the
+    * two single-signal queries, not their sum (PLANS.md r19). The
+    * single-signal forms stay registered for oracle isolation.
+    * Output: (id_a, id_b, n_shared_scenes, scene_offset, n_aligned),
+    * id_a < id_b. */
+  def videoNearDupAdjudicated(media: DataFrame, cutThreshold: Long = 16L,
+      maxHamming: Int = 3, minSharedScenes: Long = 2L,
+      minAligned: Long = 2L,
       maxAvgCandidatesPerRow: Double = 256.0): DataFrame = {
-    val perOffset = videoScenePairs(media, cutThreshold, maxHamming,
-        maxAvgCandidatesPerRow)
-      .groupBy(col("id_a"), col("id_b"),
-        (col("scene_b") - col("scene_a")).as("scene_offset"))
-      .agg(countDistinct(col("scene_a")).cast("long").as("n_aligned"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id_a"), col("id_b"))
-      .orderBy(col("n_aligned").desc, col("scene_offset").asc)
-    perOffset
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
-      .filter(col("n_aligned") >= minAligned)
-      .select("id_a", "id_b", "scene_offset", "n_aligned")
+    val pairs = Frames.materializeCut(
+      videoScenePairs(media, cutThreshold, maxHamming,
+        maxAvgCandidatesPerRow))
+    nearDupReduce(pairs, minSharedScenes)
+      .join(alignReduce(pairs, minAligned), Seq("id_a", "id_b"))
+      .select(col("id_a"), col("id_b"), col("n_shared_scenes"),
+        col("scene_offset"), col("n_aligned"))
   }
 
   /** Persist the video-signature index — the [[writeDHashIndex]]

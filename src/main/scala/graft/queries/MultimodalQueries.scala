@@ -1574,6 +1574,11 @@ object MultimodalQueries {
     // scenes, a head-trim aligns at one negative offset
     "mm_video_align" -> ((s, d) =>
       Multimodal.videoAlignOffsets(videoDedupFixture(s, d))),
+    // the one-pass production form: decode + banded join run ONCE,
+    // both reduces (pair strength + modal offset) derived from the
+    // cut scene-pair frame and joined onto one decision row
+    "mm_video_adjudicated" -> ((s, d) =>
+      Multimodal.videoNearDupAdjudicated(videoDedupFixture(s, d))),
     "mm_mp4_meta" -> ((s, d) => {
       val enc = org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.scalaLong,
@@ -1875,6 +1880,27 @@ object MultimodalQueries {
          SELECT id_a, id_b, CAST(scene_offset AS BIGINT) AS scene_offset,
            n_aligned
          FROM rk WHERE rn = 1 AND n_aligned >= 2""",
+    // the one-pass decision row: the two single-signal reduces above,
+    // joined — same CTE chains, conjunction of both HAVING/rn filters
+    "mm_video_adjudicated" ->
+      s"""WITH $videoSigCtes,
+         $videoHamCtes,
+         nd AS (SELECT id_a, id_b,
+             CAST(least(count(DISTINCT scene_a), count(DISTINCT scene_b))
+               AS BIGINT) AS n_shared_scenes
+           FROM ham GROUP BY 1, 2
+           HAVING least(count(DISTINCT scene_a), count(DISTINCT scene_b)) >= 2),
+         po AS (SELECT id_a, id_b, scene_b - scene_a AS scene_offset,
+             count(DISTINCT scene_a)::BIGINT AS n_aligned
+           FROM ham GROUP BY 1, 2, 3),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY id_a, id_b
+             ORDER BY n_aligned DESC, scene_offset ASC) AS rn FROM po),
+         al AS (SELECT id_a, id_b,
+             CAST(scene_offset AS BIGINT) AS scene_offset, n_aligned
+           FROM rk WHERE rn = 1 AND n_aligned >= 2)
+         SELECT nd.id_a, nd.id_b, nd.n_shared_scenes,
+           al.scene_offset, al.n_aligned
+         FROM nd JOIN al ON nd.id_a = al.id_a AND nd.id_b = al.id_b""",
     "mm_video_signature" ->
       s"""WITH $videoSigCtes
          SELECT r.media_id, CAST(r.scene AS BIGINT) AS scene_idx,

@@ -111,4 +111,28 @@ class VideoNearDupSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("hamming 3"))
   }
+
+  test("one-pass adjudicated form == neardup JOIN align (single decode)") {
+    val base = avi((0 until 3).flatMap(s => Seq(frame(s, 0, 0), frame(s, 1, 0))))
+    val trim = avi((1 until 3).flatMap(s => Seq(frame(s, 0, 0), frame(s, 1, 0))), 40000)
+    val bright = avi((0 until 3).flatMap(s => Seq(frame(s, 0, 4), frame(s, 1, 4))), 25000)
+    val other = avi((0 until 3).flatMap(s =>
+      Seq(frame(s, 0, 0, 23, 29), frame(s, 1, 0, 23, 29))))
+    val m = mediaOf(1L -> base, 2L -> trim, 3L -> bright, 4L -> other)
+    val composite = Multimodal.videoNearDupAdjudicated(m)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val nd = Multimodal.videoNearDupPairs(m)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val al = Multimodal.videoAlignOffsets(m)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val joined = nd.keySet.intersect(al.keySet).map(k =>
+      k -> ((nd(k), al(k)._1, al(k)._2))).toMap
+    assert(composite == joined, s"composite=$composite joined=$joined")
+    // and the planted story survives on the decision row: the trim
+    // aligns at -1, the re-encode at 0
+    assert(composite((1L, 2L)) == ((2L, -1L, 2L)))
+    assert(composite((1L, 3L)) == ((3L, 0L, 3L)))
+  }
 }
