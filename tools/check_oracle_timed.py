@@ -25,9 +25,14 @@ args = ap.parse_args()
 
 con = duckdb.connect()
 con.execute(f"SET threads={args.threads}")
+import os
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sfdir}/{t}.parquet'")
+    # driver testdata ships single-file tables; GenScale output (sf1/
+    # sf10) is Spark directory-layout parquet — glob the part files
+    path = f"{args.sfdir}/{t}.parquet"
+    src = f"{path}/*.parquet" if os.path.isdir(path) else path
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
 oracle = json.load(open(f"{args.outdir}/oracle_sql.json"))
 names = sorted(oracle)
