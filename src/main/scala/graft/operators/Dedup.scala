@@ -25,45 +25,7 @@ object Dedup {
     * partitions than `numShufflePartitions`, so this is a no-op there —
     * a blanket `repartition` would shuffle the entire corpus text just
     * to rebalance, the exact shuffle a 100 TB run cannot afford. */
-  private def rebalanced(df: DataFrame): DataFrame = {
-    if (df.isStreaming) return df // micro-batches are already split
-    // A plan with exchanges arrives AQE-wrapped, and probing ITS
-    // partition count via toRdd makes AdaptiveSparkPlanExec finalize —
-    // i.e. EXECUTE — every upstream stage at plan-build time, a full
-    // wasted run of the input DAG before the real query starts
-    // (measured 3.3 s of the WARC curation chain, r17). Such a frame
-    // is already shuffle.partitions/AQE-partitioned. But AQE also
-    // wraps EXCHANGE-FREE plans that merely carry subqueries (and
-    // everything under adaptive.forceApply), and those can still be a
-    // narrow few-split scan chain — the exact skew this guard exists
-    // for (ADVICE r17) — so the skip keys on the presence of an
-    // Exchange in the PRE-ADAPTIVE plan, not on the wrapper type.
-    // That plan must be `initialPlan`, NOT `inputPlan` (ADVICE r18):
-    // AQE captures inputPlan BEFORE EnsureRequirements runs (it runs
-    // inside queryStagePreparationRules), so a join/aggregate frame
-    // carries only distribution REQUIREMENTS there and shows zero
-    // Exchange nodes — keying on inputPlan would send exactly the
-    // deep shuffle-bearing frames to the toRdd probe and re-introduce
-    // the wasted full run. `initialPlan` is the post-EnsureRequirements
-    // physical plan (public in Spark 4.1.2, built eagerly at
-    // construction without executing stages) and actually contains
-    // the exchanges. Probing an exchange-free plan is cheap: with no
-    // exchanges there are no query stages to materialize, so toRdd
-    // just builds splits (any scalar subquery it carries runs once
-    // and its result is what the real execution would have reused).
-    val target = df.sparkSession.sessionState.conf.numShufflePartitions
-    df.queryExecution.executedPlan match {
-      case aqe: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-          if aqe.initialPlan.exists(
-            _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange]) =>
-        df
-      case _ =>
-        // internal-row RDD partition count — df.rdd would additionally
-        // build the row-deserializer conversion just to count splits
-        val parts = df.queryExecution.toRdd.getNumPartitions
-        if (parts < target) df.repartition(target) else df
-    }
-  }
+  private def rebalanced(df: DataFrame): DataFrame = Spread.rebalanced(df)
 
   /** One row per distinct normalized text, keeping the smallest id
     * (deterministic representative). */

@@ -1993,7 +1993,12 @@ object Multimodal {
     * (media_id, scene_idx, 16-hex hash) rows leave the executor. */
   def videoSignature(media: DataFrame, cutThreshold: Long = 16L): DataFrame = {
     val enc = Encoders.product[(Long, Long, Long, String)]
-    media.filter(col("kind") === "image").select("media_id", "bytes")
+    // decode cost is per ROW while scan partitioning is per BYTE: a
+    // single-file corpus otherwise decodes on one core (measured r19
+    // at sf10: 167k clips on ONE task, 180-227 s/query; spread, the
+    // same chain runs on every core — PLANS.md r19)
+    Spread.rebalanced(
+        media.filter(col("kind") === "image").select("media_id", "bytes"))
       .mapPartitions { it: Iterator[Row] =>
         it.flatMap { r =>
           val id = r.getLong(0)

@@ -114,7 +114,11 @@ object MultimodalQueries {
       org.apache.spark.sql.Encoders.scalaLong,
       org.apache.spark.sql.Encoders.STRING,
       org.apache.spark.sql.Encoders.BINARY)
-    media(s, d).select("media_id", "kind", "bytes")
+    // the AVI ENCODE below is as per-row-CPU-heavy as the decode it
+    // feeds; without the spread, a single-file documents scan builds
+    // every clip on one core (the r19 sf10 finding)
+    graft.operators.Spread.rebalanced(
+        media(s, d).select("media_id", "kind", "bytes"))
       .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
         it.map { r =>
           val id = r.getLong(0); val kind = r.getString(1)
