@@ -112,6 +112,19 @@ class VideoNearDupSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("hamming 3"))
   }
 
+  test("videoSignature spreads a single-split scan before decoding (r19 sf10 lesson)") {
+    val base = avi((0 until 3).flatMap(s => Seq(frame(s, 0, 0), frame(s, 1, 0))))
+    val one = mediaOf((1L to 8L).map(id => id -> base): _*).coalesce(1)
+    assert(one.rdd.getNumPartitions == 1)
+    // the decode input must be rebalanced to the session target — a
+    // byte-sized scan must never serialize a per-row CPU chain
+    val sig = Multimodal.videoSignature(one)
+    val target = spark.sessionState.conf.numShufflePartitions
+    assert(sig.rdd.getNumPartitions == target,
+      s"decode ran on ${sig.rdd.getNumPartitions} partitions, want $target")
+    assert(sig.count() == 8 * 3) // and still decodes correctly
+  }
+
   test("one-pass adjudicated form == neardup JOIN align (single decode)") {
     val base = avi((0 until 3).flatMap(s => Seq(frame(s, 0, 0), frame(s, 1, 0))))
     val trim = avi((1 until 3).flatMap(s => Seq(frame(s, 0, 0), frame(s, 1, 0))), 40000)
