@@ -2196,7 +2196,15 @@ object Multimodal {
     * two single-signal queries, not their sum (PLANS.md r19). The
     * single-signal forms stay registered for oracle isolation.
     * Output: (id_a, id_b, n_shared_scenes, scene_offset, n_aligned),
-    * id_a < id_b. */
+    * id_a < id_b.
+    *
+    * Storage contract: the returned frame's leaves are the
+    * eagerly-materialized scene-pair cut (executor storage). In a
+    * long-lived session call [[freeAdjudicatedCut]] on the RETURNED
+    * frame once its consumer is materialized — otherwise each
+    * invocation accumulates a persisted RDD until driver GC +
+    * ContextCleaner get to it (the [[CorpusMix.freeStages]]
+    * discipline). */
   def videoNearDupAdjudicated(media: DataFrame, cutThreshold: Long = 16L,
       maxHamming: Int = 3, minSharedScenes: Long = 2L,
       minAligned: Long = 2L,
@@ -2209,6 +2217,13 @@ object Multimodal {
       .select(col("id_a"), col("id_b"), col("n_shared_scenes"),
         col("scene_offset"), col("n_aligned"))
   }
+
+  /** Release the executor storage behind a [[videoNearDupAdjudicated]]
+    * result once its consumer is materialized — the frame's leaves ARE
+    * the checkpointed scene-pair cut, so freeing the returned frame
+    * frees the cut. Safe to call on any frame (non-checkpoint leaves
+    * are ignored). */
+  def freeAdjudicatedCut(df: DataFrame): Unit = Frames.free(df)
 
   /** Persist the video-signature index — the [[writeDHashIndex]]
     * lifecycle for video: one (media_id, scene_idx, rep_dhash, hi,

@@ -1038,17 +1038,54 @@ object TextStats {
     */
   def byteBpeTrainMergesLocal(df: DataFrame, textCol: String,
       rounds: Int = 8, maxTypes: Int = 4000000): Seq[(String, String)] = {
-    import graft.functions.ByteBpe.{SepL, SepR}
-    val collected = df.select(explode(regexp_extract_all(norm(col(textCol)),
+    val types = byteBpeTypeTable(df, textCol)
+    try {
+      val over = types.limit(maxTypes + 1).count() > maxTypes
+      require(!over,
+        s"byteBpeTrainMergesLocal: distinct pretokens exceed " +
+          s"maxTypes=$maxTypes — raise the dial (driver memory " +
+          "permitting) or fall back to byteBpeTrainMerges (distributed); " +
+          "byteBpeTrainMergesAuto does the fallback automatically")
+      byteBpeMergeLoop(types.collect(), rounds)
+    } finally freeCheckpoint(types)
+  }
+
+  /** [[byteBpeTrainMergesLocal]] with the documented fallback wired
+    * in: probes the type-table size off the executor-materialized
+    * table (a bounded `limit(maxTypes+1).count()` — never a driver
+    * collect), runs the driver merge loop when it fits, and falls
+    * back to the distributed [[byteBpeTrainMerges]] loop above the
+    * gate. The two trainers are bit-identical (ByteBpeSpec), so the
+    * fallback is transparent to callers — this is the entry point the
+    * public byteBpeEncode/Decode/Fertility APIs use. */
+  def byteBpeTrainMergesAuto(df: DataFrame, textCol: String,
+      rounds: Int = 8, maxTypes: Int = 4000000): Seq[(String, String)] = {
+    val types = byteBpeTypeTable(df, textCol)
+    try {
+      if (types.limit(maxTypes + 1).count() <= maxTypes)
+        byteBpeMergeLoop(types.collect(), rounds)
+      else byteBpeTrainMerges(df, textCol, rounds)
+    } finally freeCheckpoint(types)
+  }
+
+  /** The distinct-pretoken frequency table `(__c weight, __e symbol
+    * encoding)` both trainers loop over, eagerly materialized on
+    * executor storage (spill-able MEMORY_AND_DISK — an over-limit
+    * table fails the size gate cleanly instead of OOMing the driver
+    * mid-collect). Callers free it via [[freeCheckpoint]]. */
+  private def byteBpeTypeTable(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(regexp_extract_all(norm(col(textCol)),
         lit("[^ ]+"), lit(0))).as("__w"))
       .groupBy("__w").agg(count(lit(1)).as("__c"))
       .select(col("__c"),
         graft.functions.bbpe.byte_bpe_syms(col("__w")).as("__e"))
-      .collect()
-    require(collected.length <= maxTypes,
-      s"byteBpeTrainMergesLocal: ${collected.length} distinct pretokens " +
-        s"exceed maxTypes=$maxTypes — raise the dial (driver memory " +
-        "permitting) or fall back to byteBpeTrainMerges (distributed)")
+      .localCheckpoint()
+
+  /** The driver-side incremental merge loop over a collected type
+    * table — see [[byteBpeTrainMergesLocal]] for the contract. */
+  private def byteBpeMergeLoop(collected: Array[org.apache.spark.sql.Row],
+      rounds: Int): Seq[(String, String)] = {
+    import graft.functions.ByteBpe.{SepL, SepR}
     val weights = collected.map(_.getLong(0))
     val encs = collected.map(_.getString(1))
     val sep = s"$SepR$SepL"
@@ -1139,7 +1176,7 @@ object TextStats {
   def byteBpeEncode(df: DataFrame, idCol: String, textCol: String,
       rounds: Int = 8): DataFrame =
     byteBpeEncodeApply(df, idCol, textCol,
-      byteBpeTable(byteBpeTrainMergesLocal(df, textCol, rounds)))
+      byteBpeTable(byteBpeTrainMergesAuto(df, textCol, rounds)))
 
   /** Byte-BPE round-trip integrity ([[bpeDecode]]'s contract):
     * `decode(encode(norm(text))) == norm(text) minus spaces` — run on
@@ -1148,7 +1185,7 @@ object TextStats {
     * boundaries. */
   def byteBpeDecode(df: DataFrame, idCol: String, textCol: String,
       rounds: Int = 8): DataFrame = {
-    val table = byteBpeTable(byteBpeTrainMergesLocal(df, textCol, rounds))
+    val table = byteBpeTable(byteBpeTrainMergesAuto(df, textCol, rounds))
     df.select(col(idCol),
       graft.functions.bbpe.byte_bpe_decode_ids(
         graft.functions.bbpe.byte_bpe_encode_ids(norm(col(textCol)), table),
@@ -1161,7 +1198,7 @@ object TextStats {
     * window a byte-BPE model gives each language. */
   def byteBpeFertilityByLang(df: DataFrame, idCol: String, textCol: String,
       langCol: String, rounds: Int = 8): DataFrame = {
-    val table = byteBpeTable(byteBpeTrainMergesLocal(df, textCol, rounds))
+    val table = byteBpeTable(byteBpeTrainMergesAuto(df, textCol, rounds))
     val toks = byteBpeEncodeApply(df, idCol, textCol, table)
       .select(col(idCol), col("n_tokens"))
     df.select(col(idCol), col(langCol).as("lang"),

@@ -159,10 +159,21 @@ class ByteBpeSpec extends AnyFunSuite {
         s"rounds=$r diverged at merge ${local.zip(dist).indexWhere(p => p._1 != p._2)}: " +
           s"local=${local.take(12)} dist=${dist.take(12)}")
     }
-    // the type-table gate fails loudly naming the dial
+    // the type-table gate fails loudly naming the dial — and it fires
+    // off a bounded count probe BEFORE any driver collect (ADVICE r19:
+    // the gate must protect driver memory, not report after the OOM)
     val ex = intercept[IllegalArgumentException] {
       TextStats.byteBpeTrainMergesLocal(df, "text", rounds = 2, maxTypes = 3)
     }
     assert(ex.getMessage.contains("maxTypes"))
+    // the Auto form falls back to the distributed loop above the gate
+    // instead of throwing, and the fallback is transparent
+    // (bit-identical merges)
+    val auto = TextStats.byteBpeTrainMergesAuto(
+      df, "text", rounds = 8, maxTypes = 3)
+    assert(auto == TextStats.byteBpeTrainMerges(df, "text", rounds = 8))
+    // below the gate Auto takes the driver loop and still agrees
+    assert(TextStats.byteBpeTrainMergesAuto(df, "text", rounds = 8) ==
+      TextStats.byteBpeTrainMergesLocal(df, "text", rounds = 8))
   }
 }

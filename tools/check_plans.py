@@ -22,21 +22,24 @@ Semantics:
 
 Exit 0 = no unexplained diffs. Exit 1 otherwise.
 """
+import argparse
 import json
 import sys
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    allow = set()
-    for a in sys.argv[1:]:
-        if a.startswith("--allow"):
-            allow |= {q.strip() for q in a.split("=", 1)[-1].split(",") if q.strip()}
-    if len(args) != 2:
-        print(__doc__)
-        return 2
-    new = json.load(open(args[0]))
-    old = json.load(open(args[1]))
+    ap = argparse.ArgumentParser(
+        description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter)
+    ap.add_argument("new_board")
+    ap.add_argument("old_board")
+    ap.add_argument("--allow", default="", metavar="q1,q2,...",
+                    help="comma list of queries whose signature diff / "
+                         "removal is deliberate this round")
+    ns = ap.parse_args()
+    allow = {q.strip() for q in ns.allow.split(",") if q.strip()}
+    new = json.load(open(ns.new_board))
+    old = json.load(open(ns.old_board))
 
     failures = 0
 
