@@ -281,8 +281,8 @@ object CorpusMix {
       .withColumn("__key", graft.functions.hashes.lehmer3(col(idCol)))
     // reduced to one row per stratum; materialized once, reused by
     // every retry round instead of re-aggregating the corpus
-    val sizes = slim.groupBy(col("__s")).agg(count(lit(1)).as("__n"))
-      .localCheckpoint()
+    val sizes = Frames.cutLocal(
+      slim.groupBy(col("__s")).agg(count(lit(1)).as("__n")))
     def candidates(mult: Long) = {
       val want = oversample.toLong * mult * k
       val cut = expr( // integer arithmetic throughout (div, not /)

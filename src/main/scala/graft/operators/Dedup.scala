@@ -595,9 +595,8 @@ object Dedup {
       driverEdgeLimit: Int, depth: Int): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val edges = pairs
-      .select(col("id_a").cast("long"), col("id_b").cast("long"))
-      .localCheckpoint()
+    val edges = Frames.cutLocal(pairs
+      .select(col("id_a").cast("long"), col("id_b").cast("long")))
     if (edges.count() <= driverEdgeLimit) {
       // union-find with path halving + union by min-root: the root of a
       // component is always its minimum id, so find(x) IS the label
@@ -672,9 +671,10 @@ object Dedup {
     * (localCheckpoint) every iteration; converges in O(component
     * diameter) rounds, capped at maxIters. */
   def duplicateClustersDistributed(pairs: DataFrame, maxIters: Int = 15): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct().localCheckpoint()
+    val edges = Frames.cutLocal(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .distinct())
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
       .localCheckpoint()

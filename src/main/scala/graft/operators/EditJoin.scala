@@ -161,6 +161,70 @@ object EditJoin {
     * falls out of the same aggregation (every string emits exactly
     * `k` index segments, so rows = sum(na) / k — no second action
     * recomputing the exploded frame). Returns (strings, candidates). */
+  /** Tau-edit-distance CLUSTERS (connected components of the
+    * `ed <= tau` graph, cluster_id = min member id), computed over
+    * DISTINCT string values — the scale-complete clustering form
+    * (VERDICT r19 item 3, the r18 distinct-value banding lesson).
+    *
+    * Why not `duplicateClusters(editSelfJoin(...))`: on a corpus with
+    * heavy exact replication (the web-crawl regime GenScale models —
+    * every document ~100x as near-identical copies) the TRUE pair
+    * volume of the tau graph is quadratic in replica count, because
+    * every replica pair is at distance 0 — at sf1 the candidate guard
+    * correctly vetoed 53.8 M candidates for 100 k rows. But the
+    * CLUSTERING doesn't need those pairs: exact copies are in the same
+    * component by construction. So: contract each distinct string to
+    * its min-id representative, run the pigeonhole join over
+    * representatives only (the guard now prices the distinct-value
+    * volume — replica count can no longer trip it), cluster the
+    * representatives, and expand membership back. A distinct string
+    * with >= 2 copies forms a cluster even when no OTHER string is
+    * within tau (its copies are at distance 0), so unpaired dup groups
+    * are folded in with cluster_id = their representative.
+    *
+    * Exactly the raw graph's components: members of one string group
+    * are mutually at distance 0, and group-to-group reachability is
+    * decided by representatives (edit distance is a function of the
+    * VALUES); min-id per component is preserved because each rep IS
+    * its group's min id. Null strings join no pair (levenshtein is
+    * null-eating), matching the raw join's semantics.
+    *
+    * Output: (id, cluster_id) for every row whose string is within
+    * tau of a different row's string — the [[Dedup.duplicateClusters]]
+    * contract. The membership window and the expansion join shuffle
+    * (id, string-hash)-sized rows; the string table itself is scanned
+    * once. */
+  def editClustersByRepresentative(df: DataFrame, idCol: String,
+      strCol: String, tau: Int,
+      maxAvgCandidatesPerRow: Double = 256.0): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__s"))
+    // one window pass gives every row its group's min id (= rep) and
+    // size; cut it — three consumers below would re-run the shuffle
+    val members = Frames.materializeCut(
+      df.select(col(idCol).cast("long").as("id"), col(strCol).as("__s"))
+        .filter(col("__s").isNotNull)
+        .withColumn("__rep", min(col("id")).over(w))
+        .withColumn("__cnt", count(lit(1)).over(w)))
+    val reps = members.filter(col("id") === col("__rep"))
+      .select(col("id"), col("__s"), col("__cnt"))
+    val repPairs = editSelfJoin(reps, "id", "__s", tau,
+      maxAvgCandidatesPerRow).select("id_a", "id_b")
+    val repClusters = Dedup.duplicateClusters(repPairs) // (id, cluster_id)
+    // dup groups whose rep sits in no cross-string pair still cluster
+    val dupSingletons = reps.filter(col("__cnt") >= 2)
+      .join(repClusters, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("cluster_id"))
+    // storage contract: the returned frame's leaves include the
+    // members cut — callers in long-lived sessions free it after
+    // consumption via Frames.free on the RESULT (the
+    // videoNearDupAdjudicated discipline); freeing here would
+    // unpersist a truncated-lineage RDD before the lazy result runs
+    members.select(col("id"), col("__rep"))
+      .join(repClusters.unionByName(dupSingletons)
+        .withColumnRenamed("id", "__rep"), Seq("__rep"))
+      .select(col("id"), col("cluster_id"))
+  }
+
   private[graft] def candidateVolume(index: DataFrame,
       probe: DataFrame, k: Int): (Long, BigDecimal) = {
     val ic = index.groupBy("key").agg(count(lit(1)).as("na"))

@@ -22,9 +22,47 @@ import org.apache.spark.sql.DataFrame
   * files follow the session's checkpoint lifecycle. */
 private[graft] object Frames {
 
-  def materializeCut(df: DataFrame): DataFrame =
+  /** Plan-board stage recorder (VERDICT r19 item 5): lineage
+    * truncation makes a staged funnel's work INVISIBLE to the final
+    * frame's plan — `doc_repeated_spans` signed as 0 scans / 0
+    * exchanges on the r19 board, so a lost pushdown inside a stage
+    * could not trip the checker. When `graft.tools.DumpPlans` installs
+    * a buffer here (thread-local — frame building is single-threaded
+    * in the board tool, and a no-op everywhere else), every cut
+    * records the stage frame's EXECUTED plan before truncation, and
+    * the board signs main plan + stages together. */
+  private val recorder =
+    new ThreadLocal[scala.collection.mutable.Buffer[
+      org.apache.spark.sql.execution.SparkPlan]]()
+
+  private[graft] def recordStagesInto(
+      buf: scala.collection.mutable.Buffer[
+        org.apache.spark.sql.execution.SparkPlan]): Unit =
+    recorder.set(buf)
+
+  private[graft] def stopRecordingStages(): Unit = recorder.remove()
+
+  private def record(df: DataFrame): Unit = {
+    val buf = recorder.get
+    if (buf != null) buf += df.queryExecution.executedPlan
+  }
+
+  def materializeCut(df: DataFrame): DataFrame = {
+    record(df)
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
     else df.localCheckpoint(true)
+  }
+
+  /** A plain eager `localCheckpoint` routed through the stage
+    * recorder — for loop/stage frames that deliberately stay on
+    * executor storage even when a reliable checkpoint dir exists
+    * (edge tables, glue graphs: regenerating them on executor loss is
+    * cheaper than replicating every round). Behavior is IDENTICAL to
+    * `df.localCheckpoint()`; the only addition is board visibility. */
+  def cutLocal(df: DataFrame): DataFrame = {
+    record(df)
+    df.localCheckpoint(true)
+  }
 
   def free(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectLeaves().foreach {

@@ -1272,7 +1272,12 @@ object Multimodal {
     * index (which must not pay the count window). */
   private def dHashRows(media: DataFrame): DataFrame = {
     val enc = Encoders.product[(Long, Int, Int, String)]
-    media.filter(col("kind") === "image").select("media_id", "bytes")
+    // full image decode is CPU per ROW while scan partitioning is per
+    // BYTE — the r19 video finding holds here too (a single-file media
+    // table otherwise decodes every image on one core); no-op when the
+    // scan already yields enough splits (the cluster-scale case)
+    Spread.rebalanced(
+        media.filter(col("kind") === "image").select("media_id", "bytes"))
       .mapPartitions { it: Iterator[Row] =>
         it.map { r =>
           val id = r.getLong(0)
@@ -1398,7 +1403,10 @@ object Multimodal {
     * hashes shuffle for the count window. */
   def imagePHash(media: DataFrame): DataFrame = {
     val enc = Encoders.product[(Long, Int, Int, String, Long)]
-    media.filter(col("kind") === "image").select("media_id", "bytes")
+    // decode + 32x32 box-mean + Q14 DCT per row — same per-row-CPU /
+    // per-byte-scan mismatch as [[dHashRows]]; spread before the map
+    Spread.rebalanced(
+        media.filter(col("kind") === "image").select("media_id", "bytes"))
       .mapPartitions { it: Iterator[Row] =>
         it.map { r =>
           val id = r.getLong(0)
@@ -1589,7 +1597,10 @@ object Multimodal {
       hopSamples: Int = 128): DataFrame = {
     require(windowSamples > 0 && hopSamples > 0)
     val enc = Encoders.product[(Long, Long, Long, String)]
-    val hashed = media.filter(col("kind") === "audio").select("media_id", "bytes")
+    // PCM decode (FLAC included) + energy windows are CPU per ROW —
+    // spread a byte-sized single-split scan before the kernel map
+    val hashed = Spread.rebalanced(
+        media.filter(col("kind") === "audio").select("media_id", "bytes"))
       .mapPartitions { it: Iterator[Row] =>
         it.map { r =>
           val id = r.getLong(0)

@@ -1073,13 +1073,27 @@ object DocQueries {
     // edit-distance pairs composed into typo-variant clusters (the
     // min-label components of the levenshtein<=2 graph) — what a
     // dedup pass actually consumes; oracle = the pair brute force +
-    // the recursive-closure pattern from ev_user_components
+    // the recursive-closure pattern from ev_user_components.
+    // Clustering runs over DISTINCT string values with membership
+    // expanded after (editClustersByRepresentative — r20): on the
+    // GenScale replica corpus the raw tau-graph's pair volume is
+    // quadratic in replica count (sf1: guard-vetoed 53.8M candidates),
+    // but components only need the distinct-value edges
+    // Budget note (r20, measured): contraction dropped the sf1 volume
+    // 53.8M cands/200k rows -> 35.9M/84k DISTINCT strings (427/row) —
+    // the replica-quadratic term is gone (per-row volume no longer
+    // grows with copy count), but GenScale's replicas are NEAR-dups
+    // at the 24-char prefix, so the distinct-value tau-graph keeps the
+    // ~100-member family density and 427/row is the fixture's TRUE
+    // intrinsic volume (engine completes sf1 in ~3 min under it).
+    // The cluster form therefore carries its own knob with a default
+    // above that floor; a genuine quadratic regression (family density
+    // doubling) still trips it.
     "doc_edit_clusters" -> ((s, d) =>
-      Dedup.duplicateClusters(
-        graft.operators.EditJoin.editSelfJoin(editFixture(s, d), "id", "s",
-            tau = 2, maxAvgCandidatesPerRow =
-              graft.operators.Guard.budget(s, "editMaxAvgCandidatesPerRow", 256.0))
-          .select("id_a", "id_b"))
+      graft.operators.EditJoin.editClustersByRepresentative(
+          editFixture(s, d), "id", "s", tau = 2, maxAvgCandidatesPerRow =
+            graft.operators.Guard.budget(
+              s, "editClustersMaxAvgCandidatesPerRow", 768.0))
         .withColumnRenamed("id", "str_id")),
     // distributed corpus suffix array (prefix doubling) -> exact
     // maximal repeated-span report at ARBITRARY length: the

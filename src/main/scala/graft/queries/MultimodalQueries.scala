@@ -27,6 +27,23 @@ object MultimodalQueries {
     Multimodal.asMediaTable(
       graft.Tables.table(s, dir, "documents"), "doc_id", "text", kindExpr)
 
+  /** [[media]] with the under-partitioned-scan rebalance applied
+    * (graft.operators.Spread): every fixture below runs a per-row
+    * codec ENCODE before handing the frame to a per-row DECODE
+    * operator, and both cost CPU per ROW while scan partitioning is
+    * sized per BYTE — off a single-file documents scan the whole
+    * chain otherwise runs as one task (the r19 sf10 video finding,
+    * measured again for this family in r20). No-op when the scan
+    * already yields >= shuffle.partitions splits, so a real
+    * multi-split corpus shuffles nothing. `mm_image_dims`
+    * DELIBERATELY stays on the un-spread [[media]]: it is a pinned
+    * calibration probe (re-anchoring is an epoch change) and its
+    * kernel is a header parse cheap enough that the shuffle would
+    * lose.  */
+  private def mediaSpread(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Spread.rebalanced(
+      media(s, dir).select("media_id", "kind", "bytes"))
+
   /** The oracle replay of [[videoDedupFixture]] + scene segmentation
     * + per-scene-rep dHash, shared by the `mm_video_neardup` and
     * `mm_video_signature` oracles: frames from the planted formula,
@@ -117,8 +134,7 @@ object MultimodalQueries {
     // the AVI ENCODE below is as per-row-CPU-heavy as the decode it
     // feeds; without the spread, a single-file documents scan builds
     // every clip on one core (the r19 sf10 finding)
-    graft.operators.Spread.rebalanced(
-        media(s, d).select("media_id", "kind", "bytes"))
+    mediaSpread(s, d)
       .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
         it.map { r =>
           val id = r.getLong(0); val kind = r.getString(1)
@@ -250,7 +266,7 @@ object MultimodalQueries {
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.STRING,
         org.apache.spark.sql.Encoders.BINARY)
-      val gifs = media(s, d).select("media_id", "kind", "bytes")
+      val gifs = mediaSpread(s, d)
         .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
           it.map { r =>
             val id = r.getLong(0); val kind = r.getString(1)
@@ -310,7 +326,7 @@ object MultimodalQueries {
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.STRING,
         org.apache.spark.sql.Encoders.BINARY)
-      val jpgs = media(s, d).select("media_id", "kind", "bytes")
+      val jpgs = mediaSpread(s, d)
         .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
           it.map { r =>
             val id = r.getLong(0); val kind = r.getString(1)
@@ -339,7 +355,7 @@ object MultimodalQueries {
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.STRING,
         org.apache.spark.sql.Encoders.BINARY)
-      val imgs = media(s, d).select("media_id", "kind", "bytes")
+      val imgs = mediaSpread(s, d)
         .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
           it.map { r =>
             val id = r.getLong(0); val kind = r.getString(1)
@@ -373,7 +389,7 @@ object MultimodalQueries {
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.STRING,
         org.apache.spark.sql.Encoders.BINARY)
-      val imgs = media(s, d).select("media_id", "kind", "bytes")
+      val imgs = mediaSpread(s, d)
         .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
           it.map { r =>
             val id = r.getLong(0); val kind = r.getString(1)
@@ -409,7 +425,7 @@ object MultimodalQueries {
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.STRING,
         org.apache.spark.sql.Encoders.BINARY)
-      val imgs = media(s, d).select("media_id", "kind", "bytes")
+      val imgs = mediaSpread(s, d)
         .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
           it.map { r =>
             val id = r.getLong(0); val kind = r.getString(1)
@@ -452,7 +468,7 @@ object MultimodalQueries {
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.STRING,
         org.apache.spark.sql.Encoders.BINARY)
-      val imgs = media(s, d).select("media_id", "kind", "bytes")
+      val imgs = mediaSpread(s, d)
         .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
           it.map { r =>
             val id = r.getLong(0); val kind = r.getString(1)
@@ -489,7 +505,7 @@ object MultimodalQueries {
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.STRING,
         org.apache.spark.sql.Encoders.BINARY)
-      val imgs = media(s, d).select("media_id", "kind", "bytes")
+      val imgs = mediaSpread(s, d)
         .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
           it.map { r =>
             val id = r.getLong(0); val kind = r.getString(1)
@@ -810,7 +826,8 @@ object MultimodalQueries {
     "mm_jpeg_strip_meta" -> ((s, d) => {
       val enc = org.apache.spark.sql.Encoders.product[
         (Long, Long, Long, Int, Int, Long)]
-      media(s, d).filter(col("kind") === "image").select("media_id")
+      graft.operators.Spread.rebalanced(
+        media(s, d).filter(col("kind") === "image").select("media_id"))
         .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
           it.map { r =>
             val id = r.getLong(0)
@@ -845,7 +862,8 @@ object MultimodalQueries {
     "mm_gif_strip_meta" -> ((s, d) => {
       val enc = org.apache.spark.sql.Encoders.product[
         (Long, Long, Long, Int, Int, Long)]
-      media(s, d).filter(col("kind") === "image").select("media_id")
+      graft.operators.Spread.rebalanced(
+        media(s, d).filter(col("kind") === "image").select("media_id"))
         .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
           it.map { r =>
             val id = r.getLong(0)
@@ -878,7 +896,8 @@ object MultimodalQueries {
     "mm_png_strip_meta" -> ((s, d) => {
       val enc = org.apache.spark.sql.Encoders.product[
         (Long, Long, Long, Int, Int, Long)]
-      media(s, d).filter(col("kind") === "image").select("media_id")
+      graft.operators.Spread.rebalanced(
+        media(s, d).filter(col("kind") === "image").select("media_id"))
         .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
           it.map { r =>
             val id = r.getLong(0)
@@ -926,7 +945,7 @@ object MultimodalQueries {
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.STRING,
         org.apache.spark.sql.Encoders.BINARY)
-      val wavs = media(s, d).select("media_id", "kind", "bytes")
+      val wavs = mediaSpread(s, d)
         .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
           it.map { r =>
             val id = r.getLong(0); val kind = r.getString(1)
@@ -982,7 +1001,7 @@ object MultimodalQueries {
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.STRING,
         org.apache.spark.sql.Encoders.BINARY)
-      val imgs = media(s, d).select("media_id", "kind", "bytes")
+      val imgs = mediaSpread(s, d)
         .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
           it.map { r =>
             val id = r.getLong(0); val kind = r.getString(1)
@@ -1016,7 +1035,7 @@ object MultimodalQueries {
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.STRING,
         org.apache.spark.sql.Encoders.BINARY)
-      val imgs = media(s, d).select("media_id", "kind", "bytes")
+      val imgs = mediaSpread(s, d)
         .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
           it.map { r =>
             val id = r.getLong(0); val kind = r.getString(1)
@@ -1102,7 +1121,7 @@ object MultimodalQueries {
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.STRING,
         org.apache.spark.sql.Encoders.BINARY)
-      val gifs = media(s, d).select("media_id", "kind", "bytes")
+      val gifs = mediaSpread(s, d)
         .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
           it.map { r =>
             val id = r.getLong(0); val kind = r.getString(1)
@@ -1135,7 +1154,7 @@ object MultimodalQueries {
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.STRING,
         org.apache.spark.sql.Encoders.BINARY)
-      val gifs = media(s, d).select("media_id", "kind", "bytes")
+      val gifs = mediaSpread(s, d)
         .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
           it.map { r =>
             val id = r.getLong(0); val kind = r.getString(1)
@@ -1167,7 +1186,7 @@ object MultimodalQueries {
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.STRING,
         org.apache.spark.sql.Encoders.BINARY)
-      val gifs = media(s, d).select("media_id", "kind", "bytes")
+      val gifs = mediaSpread(s, d)
         .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
           it.map { r =>
             val id = r.getLong(0); val kind = r.getString(1)
@@ -1200,7 +1219,7 @@ object MultimodalQueries {
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.STRING,
         org.apache.spark.sql.Encoders.BINARY)
-      val imgs = media(s, d).select("media_id", "kind", "bytes")
+      val imgs = mediaSpread(s, d)
         .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
           it.map { r =>
             val id = r.getLong(0); val kind = r.getString(1)
@@ -1234,7 +1253,7 @@ object MultimodalQueries {
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.STRING,
         org.apache.spark.sql.Encoders.BINARY)
-      val imgs = media(s, d).select("media_id", "kind", "bytes")
+      val imgs = mediaSpread(s, d)
         .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
           it.map { r =>
             val id = r.getLong(0); val kind = r.getString(1)
@@ -1265,7 +1284,7 @@ object MultimodalQueries {
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.STRING,
         org.apache.spark.sql.Encoders.BINARY)
-      val auds = media(s, d).select("media_id", "kind", "bytes")
+      val auds = mediaSpread(s, d)
         .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
           it.map { r =>
             val id = r.getLong(0); val kind = r.getString(1)
@@ -1301,7 +1320,7 @@ object MultimodalQueries {
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.STRING,
         org.apache.spark.sql.Encoders.BINARY)
-      val imgs = media(s, d).select("media_id", "kind", "bytes")
+      val imgs = mediaSpread(s, d)
         .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
           it.map { r =>
             val id = r.getLong(0); val kind = r.getString(1)
@@ -1332,7 +1351,7 @@ object MultimodalQueries {
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.STRING,
         org.apache.spark.sql.Encoders.BINARY)
-      val auds = media(s, d).select("media_id", "kind", "bytes")
+      val auds = mediaSpread(s, d)
         .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
           it.map { r =>
             val id = r.getLong(0); val kind = r.getString(1)
@@ -1366,7 +1385,7 @@ object MultimodalQueries {
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.STRING,
         org.apache.spark.sql.Encoders.BINARY)
-      val auds = media(s, d).select("media_id", "kind", "bytes")
+      val auds = mediaSpread(s, d)
         .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
           it.map { r =>
             val id = r.getLong(0); val kind = r.getString(1)
@@ -1392,7 +1411,7 @@ object MultimodalQueries {
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.STRING,
         org.apache.spark.sql.Encoders.BINARY)
-      val auds = media(s, d).select("media_id", "kind", "bytes")
+      val auds = mediaSpread(s, d)
         .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
           it.map { r =>
             val id = r.getLong(0); val kind = r.getString(1)
@@ -1414,7 +1433,7 @@ object MultimodalQueries {
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.STRING,
         org.apache.spark.sql.Encoders.BINARY)
-      val wavs = media(s, d).select("media_id", "kind", "bytes")
+      val wavs = mediaSpread(s, d)
         .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
           it.map { r =>
             val id = r.getLong(0); val kind = r.getString(1)
@@ -1440,7 +1459,7 @@ object MultimodalQueries {
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.STRING,
         org.apache.spark.sql.Encoders.BINARY)
-      val flacs = media(s, d).select("media_id", "kind", "bytes")
+      val flacs = mediaSpread(s, d)
         .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
           it.map { r =>
             val id = r.getLong(0); val kind = r.getString(1)
@@ -1473,7 +1492,7 @@ object MultimodalQueries {
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.STRING,
         org.apache.spark.sql.Encoders.BINARY)
-      val avis = media(s, d).select("media_id", "kind", "bytes")
+      val avis = mediaSpread(s, d)
         .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
           it.map { r =>
             val id = r.getLong(0); val kind = r.getString(1)
@@ -1504,7 +1523,7 @@ object MultimodalQueries {
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.STRING,
         org.apache.spark.sql.Encoders.BINARY)
-      val avis = media(s, d).select("media_id", "kind", "bytes")
+      val avis = mediaSpread(s, d)
         .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
           it.map { r =>
             val id = r.getLong(0); val kind = r.getString(1)
@@ -1534,7 +1553,7 @@ object MultimodalQueries {
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.STRING,
         org.apache.spark.sql.Encoders.BINARY)
-      val avis = media(s, d).select("media_id", "kind", "bytes")
+      val avis = mediaSpread(s, d)
         .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
           it.map { r =>
             val id = r.getLong(0); val kind = r.getString(1)
@@ -1588,7 +1607,7 @@ object MultimodalQueries {
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.STRING,
         org.apache.spark.sql.Encoders.BINARY)
-      val mp4s = media(s, d).select("media_id", "kind", "bytes")
+      val mp4s = mediaSpread(s, d)
         .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
           it.map { r =>
             val id = r.getLong(0); val kind = r.getString(1)
@@ -1622,7 +1641,7 @@ object MultimodalQueries {
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.STRING,
         org.apache.spark.sql.Encoders.BINARY)
-      val mp4s = media(s, d).select("media_id", "kind", "bytes")
+      val mp4s = mediaSpread(s, d)
         .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
           it.map { r =>
             val id = r.getLong(0); val kind = r.getString(1)
@@ -1652,7 +1671,7 @@ object MultimodalQueries {
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.STRING,
         org.apache.spark.sql.Encoders.BINARY)
-      val mp4s = media(s, d).select("media_id", "kind", "bytes")
+      val mp4s = mediaSpread(s, d)
         .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
           it.map { r =>
             val id = r.getLong(0); val kind = r.getString(1)
@@ -1683,7 +1702,8 @@ object MultimodalQueries {
       val enc = org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.BINARY)
-      val mp4s = media(s, d).filter(col("kind") === "video").select("media_id")
+      val mp4s = graft.operators.Spread.rebalanced(
+        media(s, d).filter(col("kind") === "video").select("media_id"))
         .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
           it.map { r =>
             val id = r.getLong(0)

@@ -111,11 +111,46 @@ object DumpPlans {
     val sigs = names.map { n =>
       val body =
         try {
-          val df = graft.SparkEntry.queries(n)(spark, sfDir)
-          signature(df.queryExecution.executedPlan)
-            .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+          // record the staged funnels' cut-frame plans (VERDICT r19
+          // item 5): lineage truncation hides a stage's scans and
+          // exchanges from the final frame's plan, so the board signs
+          // main plan + every stage materialized while BUILDING the
+          // frame; in-stage regressions (a lost pushdown inside
+          // doc_repeated_spans' suffix-array rounds, an exchange
+          // inserted into ev_user_components' edge build) now diff.
+          val stages = scala.collection.mutable.Buffer[SparkPlan]()
+          graft.operators.Frames.recordStagesInto(stages)
+          val df =
+            try graft.SparkEntry.queries(n)(spark, sfDir)
+            finally graft.operators.Frames.stopRecordingStages()
+          val main = signature(df.queryExecution.executedPlan)
+          val fields = if (stages.isEmpty) main else {
+            val stageSigs = stages.map(signature)
+            def sumOf(key: String): Int =
+              stageSigs.map(_.collectFirst { case (`key`, v) => v.toInt }
+                .getOrElse(0)).sum
+            def mergeLists(key: String): String = {
+              val items = stageSigs.flatMap(_.collectFirst {
+                case (`key`, v) => v
+              }).flatMap { v =>
+                v.stripPrefix("[").stripSuffix("]").split("\",\"")
+                  .map(_.stripPrefix("\"").stripSuffix("\""))
+                  .filter(_.nonEmpty)
+              }.sorted
+              items.map(x => "\"" + x + "\"").mkString("[", ",", "]")
+            }
+            main ++ Seq(
+              "stage_count" -> stages.size.toString,
+              "stage_exchanges" -> sumOf("exchanges").toString,
+              "stage_broadcasts" -> sumOf("broadcasts").toString,
+              "stage_codegen_spans" -> sumOf("codegen_spans").toString,
+              "stage_joins" -> mergeLists("joins"),
+              "stage_scans" -> mergeLists("scans"))
+          }
+          fields.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
         } catch {
           case e: Throwable =>
+            graft.operators.Frames.stopRecordingStages()
             val msg = e.toString.takeWhile(_ != '\n').take(200)
               .replace("\\", "\\\\").replace("\"", "\\\"")
             s"""{"error":"$msg"}"""

@@ -251,6 +251,52 @@ class EditJoinSpec extends AnyFunSuite {
       bruteBanded(d, Seq((20, 2), (64, 2))))
   }
 
+  test("representative clustering == naive clustering on a replica corpus; guard prices distinct values") {
+    // a heavily-replicated corpus: 3 near-dup string families x many
+    // exact copies each (the GenScale web-crawl regime), one dup group
+    // with NO other string within tau, one unique singleton, and null
+    // strings (must join no cluster — levenshtein is null-eating)
+    val rows = Seq.newBuilder[(Long, String)]
+    var id = 0L
+    for (copy <- 0 until 40) {
+      rows += ((id, "the quick brown fox")); id += 1
+      rows += ((id, "the quick brown fix")); id += 1   // ed 1 of family A
+      rows += ((id, "zzz totally different")); id += 1 // dup group, no partner
+    }
+    rows += ((id, "unique one-off string")); id += 1
+    rows += ((id, null)); id += 1
+    rows += ((id, null)); id += 1
+    val df = rows.result().toDF("id", "s")
+
+    // naive truth: clusters over the RAW pair graph (quadratic in
+    // replica count — fine at spec scale), distance-0 pairs included
+    val naive = Dedup.duplicateClusters(
+        EditJoin.editSelfJoin(df, "id", "s", tau = 2,
+          maxAvgCandidatesPerRow = 0).select("id_a", "id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // the contracted form must reproduce it EXACTLY under a guard
+    // budget the raw join could never meet on this corpus (120 copies
+    // x ~quadratic pairs >> 16/row): the guard now prices 5 distinct
+    // values, not 123 rows
+    val contracted = EditJoin.editClustersByRepresentative(
+        df, "id", "s", tau = 2, maxAvgCandidatesPerRow = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(contracted == naive)
+    // sanity on the shape itself: fox/fix families merge into one
+    // cluster labeled by the global min id, the partner-less dup group
+    // still clusters, the singleton and the nulls don't
+    assert(contracted.filter(_._2 == 0L).size == 80)
+    assert(contracted.filter(_._2 == 2L).size == 40)
+    assert(!contracted.exists(_._1 >= 120L))
+    // and the raw join at that budget does trip — the corpus shape the
+    // contraction exists for
+    intercept[GuardTrippedException] {
+      EditJoin.editSelfJoin(df, "id", "s", tau = 2,
+        maxAvgCandidatesPerRow = 16).count()
+    }
+  }
+
   test("banded rejects unsorted or invalid bands") {
     val d = mixedCorpus(4)
     intercept[IllegalArgumentException] {
