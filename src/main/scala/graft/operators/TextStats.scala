@@ -1722,19 +1722,27 @@ object TextStats {
     *     the test corpus: fixed lr plateaus at the base rate, the
     *     halving schedule reaches 95-98% accuracy in 24 rounds).
     *
-    * Scale shape: per round, one narrow codegen margin fold (the
-    * weight array rides as a literal) + one bucket-keyed aggregation
-    * whose reduced size is `numBuckets` rows — independent of corpus
-    * size; the driver holds only the B-long weight array (the exact
-    * kmeansTrain shape: k×dims there, B here). The hashed token
-    * arrays materialize once (localCheckpoint) and serve all rounds.
-    * Labels ride as any 0/1 column; a curation deployment points this
-    * at its human-rated sample and ships the returned array straight
-    * into [[classifierScore]]'s `weights`. */
+    * Scale shape (r20): the corpus contracts ONCE to its distinct
+    * (label, sorted-bucket-array) TYPES with multiplicities — exact,
+    * because margins and gradients are linear in the duplicate count —
+    * and the type table materializes once (localCheckpoint) to serve
+    * all rounds. Below the `driverTypeLimit`/`driverEntryLimit` gate
+    * (checked BEFORE collect, the byteBpeTrainMergesLocal discipline)
+    * the whole loop runs in the driver: one collect + `rounds` of pure
+    * Long arithmetic, zero per-round jobs. Above it, per round: one
+    * narrow codegen margin fold over the types (the weight array rides
+    * as a literal) + one bucket-keyed aggregation whose reduced size
+    * is `numBuckets` rows — independent of corpus size; the driver
+    * holds only the B-long weight array (the exact kmeansTrain shape:
+    * k×dims there, B here). Labels ride as any 0/1 column; a curation
+    * deployment points this at its human-rated sample and ships the
+    * returned array straight into [[classifierScore]]'s `weights`. */
   def classifierTrain(df: DataFrame, idCol: String, textCol: String,
       labelCol: String, numBuckets: Int = 512, rounds: Int = 24,
       lrNum: Long = 1L, lrDen: Long = 1L,
-      lrDecayEvery: Int = 6): Array[Long] = {
+      lrDecayEvery: Int = 6,
+      driverTypeLimit: Long = 1L << 16,
+      driverEntryLimit: Long = 1L << 21): Array[Long] = {
     require(numBuckets >= 1 && rounds >= 0 && lrNum >= 1 && lrDen >= 1 &&
       lrDecayEvery >= 1,
       s"bad hyperparameters: B=$numBuckets R=$rounds lr=$lrNum/$lrDen/$lrDecayEvery")
@@ -1746,33 +1754,89 @@ object TextStats {
       s"lr decay overflows Long: lrDen=$lrDen shifted by $maxShift " +
         s"(rounds=$rounds, lrDecayEvery=$lrDecayEvery) exceeds 62 bits")
     val wh = graft.functions.text.word_portable_hashes(norm(col(textCol)))
-    val docs = df.select(col(labelCol).cast("long").as("__y"), wh.as("__wh"))
-      .localCheckpoint()
-    val nDocs = docs.count()
-    // the FULL denominator 4*nDocs*lrDen << maxShift must also fit: the
-    // entry require bounds lrDen's shift alone, but the doc-count factor
-    // eats headroom too (e.g. 8 << 61 wraps to 0 -> division by zero)
-    val denomBase = math.multiplyExact(math.multiplyExact(4L, nDocs), lrDen)
-    require(maxShift + (64 - java.lang.Long.numberOfLeadingZeros(denomBase)) <= 62,
-      s"lr decay overflows Long: 4*nDocs*lrDen=$denomBase shifted by " +
-        s"$maxShift (nDocs=$nDocs, rounds=$rounds, lrDecayEvery=$lrDecayEvery)")
-    val w = Array.fill(numBuckets)(0L)
-    for (r <- 0 until rounds) {
-      val denom = denomBase << (r / lrDecayEvery)
-      val wLit = typedlit(w.clone())
-      val grads = docs
-        .withColumn("__m", coalesce(aggregate(col("__wh"), lit(0L),
-          (acc, h) => acc + element_at(wLit,
-            pmod(h, lit(numBuckets.toLong)).cast("int") + 1)), lit(0L)))
-        .withColumn("__e", col("__y") * lit(4000L) -
-          greatest(lit(0L), least(lit(4000L), lit(2000L) + col("__m"))))
-        .select(explode(col("__wh")).as("__h"), col("__e"))
-        .groupBy(pmod(col("__h"), lit(numBuckets.toLong)).cast("int").as("__b"))
-        .agg(sum(col("__e")).as("__g"))
-        .collect()
-      grads.foreach(r => w(r.getInt(0)) += lrNum * r.getLong(1) / denom)
-    }
-    w
+    // CONTRACTION (r20): two documents with the same label and the
+    // same bucket MULTISET contribute identically to every margin and
+    // every gradient — margin is a sum over bucket occurrences,
+    // g_b = sum_i e_i * x_ib weights linearly in the duplicate count.
+    // So the training set is reduced ONCE to its distinct
+    // (label, sorted-bucket-array) TYPES with a multiplicity, and all
+    // `rounds` passes run over types instead of documents. Exact by
+    // construction (integer sums are order- and grouping-free), and
+    // the contraction is the scale lever: a replica-heavy crawl corpus
+    // (the GenScale regime) collapses ~100x before the loop starts.
+    val types = Frames.cutLocal(
+      df.select(col(labelCol).cast("long").as("__y"),
+          array_sort(transform(wh,
+            h => pmod(h, lit(numBuckets.toLong)).cast("int"))).as("__bs"))
+        .groupBy(col("__y"), col("__bs")).agg(count(lit(1)).as("__m")))
+    try {
+      val stats = types.agg(count(lit(1)).as("t"), sum(col("__m")).as("n"),
+        sum(coalesce(size(col("__bs")).cast("long"), lit(0L))).as("e")).head()
+      val (nTypes, nDocs, nEntries) =
+        if (stats.isNullAt(1)) (0L, 0L, 0L)
+        else (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+      // the FULL denominator 4*nDocs*lrDen << maxShift must also fit: the
+      // entry require bounds lrDen's shift alone, but the doc-count factor
+      // eats headroom too (e.g. 8 << 61 wraps to 0 -> division by zero)
+      val denomBase = math.multiplyExact(math.multiplyExact(4L, nDocs), lrDen)
+      require(maxShift + (64 - java.lang.Long.numberOfLeadingZeros(denomBase)) <= 62,
+        s"lr decay overflows Long: 4*nDocs*lrDen=$denomBase shifted by " +
+          s"$maxShift (nDocs=$nDocs, rounds=$rounds, lrDecayEvery=$lrDecayEvery)")
+      val w = Array.fill(numBuckets)(0L)
+      // gated-collect driver loop (the byteBpeTrainMergesLocal
+      // adjudication, r19): when the TYPE table provably fits the
+      // driver — gate checked BEFORE collect — the `rounds` sequential
+      // Spark jobs (each a full job-scheduling + shuffle + collect
+      // round trip that dominates training wall-clock at any corpus
+      // size, since the reduced gradient is only `numBuckets` rows)
+      // become one collect plus pure in-driver Long arithmetic.
+      // Output is bit-identical: same sums, same truncating division.
+      if (nTypes <= driverTypeLimit && nEntries <= driverEntryLimit) {
+        val rows = types.collect().map { r =>
+          (r.getLong(0),
+            if (r.isNullAt(1)) Array.emptyIntArray
+            else r.getSeq[Int](1).toArray,
+            r.getLong(2))
+        }
+        for (r <- 0 until rounds) {
+          val denom = denomBase << (r / lrDecayEvery)
+          val g = Array.fill(numBuckets)(0L)
+          rows.foreach { case (y, bs, mult) =>
+            var m = 0L
+            var j = 0
+            while (j < bs.length) { m += w(bs(j)); j += 1 }
+            val e = y * 4000L - math.max(0L, math.min(4000L, 2000L + m))
+            val em = e * mult
+            j = 0
+            while (j < bs.length) { g(bs(j)) += em; j += 1 }
+          }
+          var b = 0
+          while (b < numBuckets) {
+            w(b) += lrNum * g(b) / denom; b += 1
+          }
+        }
+      } else {
+        // distributed rounds over the contracted type frame — the
+        // above-the-gate path for corpora whose distinct type table
+        // is itself large (high-diversity corpora at cluster scale)
+        for (r <- 0 until rounds) {
+          val denom = denomBase << (r / lrDecayEvery)
+          val wLit = typedlit(w.clone())
+          val grads = types
+            .withColumn("__mgn", coalesce(aggregate(col("__bs"), lit(0L),
+              (acc, b) => acc + element_at(wLit, b + 1)), lit(0L)))
+            .withColumn("__e", col("__y") * lit(4000L) -
+              greatest(lit(0L), least(lit(4000L), lit(2000L) + col("__mgn"))))
+            .select(explode(col("__bs")).as("__b"),
+              (col("__e") * col("__m")).as("__em"))
+            .groupBy(col("__b"))
+            .agg(sum(col("__em")).as("__g"))
+            .collect()
+          grads.foreach(r => w(r.getInt(0)) += lrNum * r.getLong(1) / denom)
+        }
+      }
+      w
+    } finally Frames.free(types) // the old per-doc frame leaked its checkpoint
   }
 
   /** [[classifierTrain]]'s weight table as a queryable frame:
