@@ -101,10 +101,44 @@ object Graph {
     * the edge derivation k times (the plan-replication trap PLANS.md
     * documents for iterative pipelines). */
   def pageRankFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 5, scale: Long = 1L << 20): DataFrame = {
+      iterations: Int = 5, scale: Long = 1L << 20,
+      driverEdgeLimit: Int = 1 << 20): DataFrame = {
     require(iterations >= 1 && scale > 0)
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).distinct()
+    // scale-adaptive fast path (r20, the connectedComponents gate):
+    // up to `driverEdgeLimit` distinct edges the k fixed-point rounds
+    // run in the driver over the collected symmetrized adjacency —
+    // one count + one collect instead of k join+agg jobs that are
+    // pure scheduler overhead on small graphs. Bit-identical: the
+    // same Long floor divisions over the same dedup'd edge set, and
+    // integer sums are merge-order-free.
+    val spark = edges.sparkSession
+    val eCut = Frames.cutLocal(
+      edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst")).distinct())
+    if (driverEdgeLimit > 0 && eCut.count() <= driverEdgeLimit) {
+      import spark.implicits._
+      // symmetrized distinct pair set, driver-side
+      val pairSet = new scala.collection.mutable.HashSet[(Long, Long)]()
+      eCut.collect().foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        pairSet += ((a, b)); pairSet += ((b, a))
+      }
+      freeRound(eCut)
+      val adj = pairSet.toSeq.groupBy(_._1)
+        .map { case (s, ps) => s -> ps.map(_._2).toArray }
+      val base = scale / 2
+      var pr: Map[Long, Long] = adj.map { case (n, _) => n -> scale }
+      (1 to iterations).foreach { _ =>
+        val acc = new scala.collection.mutable.HashMap[Long, Long]()
+        adj.foreach { case (src, dsts) =>
+          val c = pr(src) / dsts.length
+          dsts.foreach(d => acc(d) = acc.getOrElse(d, 0L) + c)
+        }
+        pr = acc.map { case (n, s) => n -> (base + s / 2) }.toMap
+      }
+      return spark.createDataset(pr.toSeq).toDF("node", "pr")
+    }
+    val e = eCut
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -119,7 +153,9 @@ object Graph {
         .groupBy(col("node"))
         .agg((lit(base) + expr("sum(c) div 2")).as("pr"))
     }
-    releaseAfter(pr, edgeDeg)
+    val out = releaseAfter(pr, edgeDeg)
+    freeRound(eCut)
+    out
   }
 
   /** Connected components by min-label propagation WITH convergence
@@ -161,9 +197,10 @@ object Graph {
     * combined propagate+jump fixed point forces the propagate-only
     * fixed point, so the sum probe's meaning is unchanged. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIterations: Int = 64, jumpAfter: Int = 8): DataFrame =
+      maxIterations: Int = 64, jumpAfter: Int = 8,
+      driverEdgeLimit: Int = 1 << 20): DataFrame =
     connectedComponentsWithReport(edges, srcCol, dstCol,
-      maxIterations, jumpAfter)._1
+      maxIterations, jumpAfter, driverEdgeLimit)._1
 
   /** Convergence telemetry for one [[connectedComponents]] run. The
     * facts fall out of the driver loop for free (the sum probe already
@@ -180,11 +217,35 @@ object Graph {
     * diameter needs its rounds/jump/convergence facts visible to the
     * pipeline, not buried in driver logs. */
   def connectedComponentsWithReport(edges: DataFrame, srcCol: String,
-      dstCol: String, maxIterations: Int = 64, jumpAfter: Int = 8)
+      dstCol: String, maxIterations: Int = 64, jumpAfter: Int = 8,
+      driverEdgeLimit: Int = 1 << 20)
       : (DataFrame, ComponentsRunReport) = {
     require(maxIterations >= 1, s"maxIterations must be >= 1, got $maxIterations")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).distinct()
+    val spark = edges.sparkSession
+    // scale-adaptive fast path (r20 — the Dedup.duplicateClusters
+    // contract): up to `driverEdgeLimit` DISTINCT edges the component
+    // resolution is a single driver-side union-find — one count + one
+    // collect instead of O(diameter) rounds of join + checkpoint + agg
+    // jobs that are pure scheduler overhead at small edge counts
+    // (measured sf0.1 co-activity: 14,803 edges, 7 rounds, 3.5 s of
+    // loop for a graph a union-find resolves in milliseconds). The
+    // gate is a cheap count over the materialized edge cut, checked
+    // BEFORE collect; labels are identical by construction (union by
+    // min-root: find(x) IS the per-component minimum, the loop's fixed
+    // point). Report reads rounds=0/converged — the loop telemetry
+    // specs pin the over-limit path via driverEdgeLimit = 0.
+    val eCut = Frames.cutLocal(
+      edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst")).distinct())
+    if (driverEdgeLimit > 0 && eCut.count() <= driverEdgeLimit) {
+      import spark.implicits._
+      val uf = new graft.core.LongUnionFind()
+      eCut.collect().foreach(r => uf.union(r.getLong(0), r.getLong(1)))
+      val out = spark.createDataset(uf.entries().toSeq).toDF("node", "label")
+      freeRound(eCut)
+      return (out, ComponentsRunReport(0, 0, converged = true))
+    }
+    val e = eCut
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
     // the {self} term rides as self-loop edges so each round references
@@ -229,6 +290,7 @@ object Graph {
       prevSum = s
     }
     symSelf.unpersist(false)
+    freeRound(eCut)
     (lab, ComponentsRunReport(rounds, jumped, converged))
   }
 
@@ -427,8 +489,9 @@ object Graph {
     * k then selects which phase of the oscillation you observe, exactly
     * as published synchronous LPA behaves (spec-pinned on K2). */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 5): DataFrame =
-    labelPropagationWithReport(edges, srcCol, dstCol, iterations)._1
+      iterations: Int = 5, driverEdgeLimit: Int = 1 << 20): DataFrame =
+    labelPropagationWithReport(edges, srcCol, dstCol, iterations,
+      driverEdgeLimit)._1
 
   /** Convergence telemetry for one [[labelPropagation]] run — the LPA
     * counterpart of [[ComponentsRunReport]]. `converged` false means
@@ -439,10 +502,56 @@ object Graph {
   /** [[labelPropagation]] plus its [[LpaRunReport]] — the per-round
     * changed-label probe already computes everything the report needs. */
   def labelPropagationWithReport(edges: DataFrame, srcCol: String,
-      dstCol: String, iterations: Int = 5): (DataFrame, LpaRunReport) = {
+      dstCol: String, iterations: Int = 5,
+      driverEdgeLimit: Int = 1 << 20): (DataFrame, LpaRunReport) = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).distinct()
+    val spark = edges.sparkSession
+    // scale-adaptive fast path (r20, the connectedComponents gate): the
+    // synchronous rounds are a pure deterministic function of the
+    // symmetrized edge set, so below the gate they run in the driver —
+    // same most-frequent/min-tie rule, same early exit, same report.
+    val eCut = Frames.cutLocal(
+      edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst")).distinct())
+    if (driverEdgeLimit > 0 && eCut.count() <= driverEdgeLimit) {
+      import spark.implicits._
+      val pairSet = new scala.collection.mutable.HashSet[(Long, Long)]()
+      eCut.collect().foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        pairSet += ((a, b)); pairSet += ((b, a))
+      }
+      freeRound(eCut)
+      // in-neighbors per node: label counts are taken over the srcs
+      // whose edge points AT the node, exactly the dst-grouped join
+      val inAdj = pairSet.toSeq.groupBy(_._2)
+        .map { case (d, ps) => d -> ps.map(_._1).toArray }
+      var lab: Map[Long, Long] = inAdj.map { case (n, _) => n -> n }
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < iterations) {
+        val next = inAdj.map { case (node, srcs) =>
+          val cnt = new scala.collection.mutable.HashMap[Long, Long]()
+          srcs.foreach { s =>
+            val l = lab(s); cnt(l) = cnt.getOrElse(l, 0L) + 1L
+          }
+          // highest count, ties to the SMALLEST label
+          var bestL = Long.MaxValue
+          var bestC = -1L
+          cnt.foreach { case (l, c) =>
+            if (c > bestC || (c == bestC && l < bestL)) { bestC = c; bestL = l }
+          }
+          node -> bestL
+        }
+        converged = next == lab
+        lab = next
+        rounds += 1
+      }
+      // the loop counts a fixed-point-confirming round like the
+      // distributed probe does (changed == 0 after running the round)
+      return (spark.createDataset(lab.toSeq).toDF("node", "label"),
+        LpaRunReport(rounds, converged))
+    }
+    val e = eCut
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
     var lab = checkpointRound(
@@ -475,6 +584,7 @@ object Graph {
       converged = changed == 0L
     }
     sym.unpersist(false)
+    freeRound(eCut)
     (lab, LpaRunReport(rounds, converged))
   }
 }

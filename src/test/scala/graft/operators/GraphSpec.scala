@@ -73,14 +73,19 @@ class GraphSpec extends AnyFunSuite {
   test("connectedComponents: maxIterations is a runaway bound, not a semantic " +
       "knob — truncation below the diameter is the only way to see it") {
     val edges = (0L until 12L).map(i => (i, i + 1L)).toDF("a", "b")
+    // driverEdgeLimit = 0 pins the PROPAGATION loop (the over-gate
+    // path); the default gate would resolve this toy graph driver-side
     // bound below diameter: labels are the 3-hop minima, NOT converged
-    val truncated = Graph.connectedComponents(edges, "a", "b", maxIterations = 3)
+    val truncated = Graph.connectedComponents(edges, "a", "b",
+        maxIterations = 3, driverEdgeLimit = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(truncated(12L) == 9L && truncated(3L) == 0L)
     // any bound >= diameter yields the identical converged result
-    val conv = Graph.connectedComponents(edges, "a", "b", maxIterations = 12)
+    val conv = Graph.connectedComponents(edges, "a", "b",
+        maxIterations = 12, driverEdgeLimit = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val conv2 = Graph.connectedComponents(edges, "a", "b", maxIterations = 64)
+    val conv2 = Graph.connectedComponents(edges, "a", "b",
+        maxIterations = 64, driverEdgeLimit = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(conv == (0L to 12L).map(_ -> 0L).toMap)
     assert(conv2 == conv, "extra headroom past the fixed point changes nothing")
@@ -94,7 +99,7 @@ class GraphSpec extends AnyFunSuite {
     // runs and is correct, not just present.
     val edges = (0L until 44L).map(i => (i, i + 1L)).toDF("a", "b")
     val (labels, report) = Graph.connectedComponentsWithReport(
-      edges, "a", "b", maxIterations = 20)
+      edges, "a", "b", maxIterations = 20, driverEdgeLimit = 0)
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == (0L to 44L).map(_ -> 0L).toMap, got.toString)
     // telemetry: converged inside the budget, jump rounds engaged past
@@ -108,9 +113,47 @@ class GraphSpec extends AnyFunSuite {
   test("connectedComponents report flags a truncated (non-converged) run") {
     val edges = (0L until 12L).map(i => (i, i + 1L)).toDF("a", "b")
     val (_, report) = Graph.connectedComponentsWithReport(
-      edges, "a", "b", maxIterations = 3)
+      edges, "a", "b", maxIterations = 3, driverEdgeLimit = 0)
     assert(!report.converged && report.rounds == 3 &&
       report.jumpedRounds == 0, report.toString)
+  }
+
+  test("pageRankFixedPoint and labelPropagation: gated driver loops equal " +
+      "the distributed loops value-for-value") {
+    // bridged triangles + a pendant — degree variety, tie pressure,
+    // and a reversed duplicate edge to exercise the dedup
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 1L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L), (6L, 7L)).toDF("a", "b")
+    val prFast = Graph.pageRankFixedPoint(edges, "a", "b", iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prLoop = Graph.pageRankFixedPoint(edges, "a", "b", iterations = 4,
+        driverEdgeLimit = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prFast == prLoop, s"pagerank driver $prFast != loop $prLoop")
+    val (lpFast, repFast) = Graph.labelPropagationWithReport(
+      edges, "a", "b", iterations = 4)
+    val (lpLoop, repLoop) = Graph.labelPropagationWithReport(
+      edges, "a", "b", iterations = 4, driverEdgeLimit = 0)
+    val fm = lpFast.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lm = lpLoop.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fm == lm, s"lpa driver $fm != loop $lm")
+    assert(repFast == repLoop, s"lpa report $repFast != $repLoop")
+  }
+
+  test("connectedComponents: gated driver union-find equals the propagation " +
+      "loop label-for-label, and reports a zero-round converged run") {
+    // two components + a duplicate edge + a reversed edge — the driver
+    // path must dedup and symmetrize exactly like the loop does
+    val edges = Seq((5L, 4L), (4L, 3L), (3L, 9L), (9L, 3L), (5L, 4L),
+      (7L, 8L)).toDF("a", "b")
+    val (fast, fastRep) = Graph.connectedComponentsWithReport(edges, "a", "b")
+    val (loop, _) = Graph.connectedComponentsWithReport(
+      edges, "a", "b", driverEdgeLimit = 0)
+    val fm = fast.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lm = loop.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fm == lm, s"driver path $fm != loop $lm")
+    assert(fastRep == Graph.ComponentsRunReport(0, 0, converged = true),
+      fastRep.toString)
   }
 
   test("labelPropagation: K2 oscillates (period 2) — exactly k rounds run and " +
