@@ -557,8 +557,13 @@ object CorpusMix {
     * counts conflate grams at ~|grams|^2 / 2^64 — vanishing. */
   def sourceOverlap(df: DataFrame, srcCol: String, textCol: String,
       n: Int = 3): DataFrame = {
-    val bySrc = Dedup.explodedShingleHashes(df, srcCol, textCol, n, word = true)
-      .select(col(srcCol).as("__s"), col("ng")).distinct()
+    // materialized ONCE (r21, guide §2.4): sizes and the pair counts
+    // both consume the distinct (source, shingle) set, and without a
+    // cut each consumer re-ran the whole scan+shingle+distinct subtree
+    // (two identical map stages in the r20 plan)
+    val bySrc = Frames.cutLocal(
+      Dedup.explodedShingleHashes(df, srcCol, textCol, n, word = true)
+        .select(col(srcCol).as("__s"), col("ng")).distinct())
     val sizes = bySrc.groupBy(col("__s")).agg(count(lit(1)).as("__n"))
     val shared = bySrc.groupBy(col("ng"))
       .agg(sort_array(collect_set(col("__s"))).as("__ss"))
@@ -569,11 +574,15 @@ object CorpusMix {
         explode(expr("slice(__ss, __i + 2, size(__ss))")).as("source_b"))
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("n_shared"))
-    shared
+    // the result is source-pair-sized: materialize it, then free the
+    // shingle cut (the radiusOutlierRemoval storage discipline)
+    val result = Frames.materializeCut(shared
       .join(sizes.select(col("__s").as("source_a"), col("__n").as("n_a")), "source_a")
       .join(sizes.select(col("__s").as("source_b"), col("__n").as("n_b")), "source_b")
       .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"), col("n_shared"),
-        expr("n_shared * 1000000 div (n_a + n_b - n_shared)").as("jaccard_ppm"))
+        expr("n_shared * 1000000 div (n_a + n_b - n_shared)").as("jaccard_ppm")))
+    Frames.free(bySrc)
+    result
   }
 
   /** The crawl-curation funnel as ONE composed job — the stages a

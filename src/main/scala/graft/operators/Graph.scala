@@ -112,9 +112,14 @@ object Graph {
     // same Long floor divisions over the same dedup'd edge set, and
     // integer sums are merge-order-free.
     val spark = edges.sparkSession
+    // null-keyed edges (uncastable ids) are dropped up front: the
+    // driver fast paths would NPE on getLong where the distributed
+    // loops silently never join them — filtering HERE keeps the two
+    // sides of the gate behavior-identical (ADVICE r20)
     val eCut = Frames.cutLocal(
       edges.select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst")).distinct())
+        col(dstCol).cast("long").as("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull).distinct())
     if (driverEdgeLimit > 0 && eCut.count() <= driverEdgeLimit) {
       import spark.implicits._
       // symmetrized distinct pair set, driver-side
@@ -234,9 +239,14 @@ object Graph {
     // min-root: find(x) IS the per-component minimum, the loop's fixed
     // point). Report reads rounds=0/converged — the loop telemetry
     // specs pin the over-limit path via driverEdgeLimit = 0.
+    // null-keyed edges (uncastable ids) are dropped up front: the
+    // driver fast paths would NPE on getLong where the distributed
+    // loops silently never join them — filtering HERE keeps the two
+    // sides of the gate behavior-identical (ADVICE r20)
     val eCut = Frames.cutLocal(
       edges.select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst")).distinct())
+        col(dstCol).cast("long").as("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull).distinct())
     if (driverEdgeLimit > 0 && eCut.count() <= driverEdgeLimit) {
       import spark.implicits._
       val uf = new graft.core.LongUnionFind()
@@ -510,9 +520,14 @@ object Graph {
     // synchronous rounds are a pure deterministic function of the
     // symmetrized edge set, so below the gate they run in the driver —
     // same most-frequent/min-tie rule, same early exit, same report.
+    // null-keyed edges (uncastable ids) are dropped up front: the
+    // driver fast paths would NPE on getLong where the distributed
+    // loops silently never join them — filtering HERE keeps the two
+    // sides of the gate behavior-identical (ADVICE r20)
     val eCut = Frames.cutLocal(
       edges.select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst")).distinct())
+        col(dstCol).cast("long").as("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull).distinct())
     if (driverEdgeLimit > 0 && eCut.count() <= driverEdgeLimit) {
       import spark.implicits._
       val pairSet = new scala.collection.mutable.HashSet[(Long, Long)]()

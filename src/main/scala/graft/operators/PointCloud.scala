@@ -162,8 +162,28 @@ object PointCloud {
 
   /** Persist blocks (sorted parquet — row-group min/max stats on sfc_head
     * replace the reference's B-tree, db/__init__.py:118-126) + metadata. */
+  /** Output sizing for the block store (guide §6): the import's range
+    * partitioning is CPU-count-sized, so without this a small cloud
+    * lands as dozens of ~100 KB files whose per-file open cost +
+    * per-split task scheduling dominate every later scan (measured at
+    * sf0.1: a 3.2 MB store as 33 files made each scan a 32-task stage,
+    * and 8-core runs beat 32-core runs 0.3:1 on pc_voxel_counts).
+    * COALESCE — never repartition — so the sfc range clustering and
+    * per-file min/max pruning survive; the ~128 MB target means a
+    * cluster-scale cloud keeps ceil(bytes/128 MB) files and full write
+    * parallelism, i.e. this is a no-op above laptop volumes. */
+  private[operators] def sizedForWrite(blocks: org.apache.spark.sql.DataFrame,
+      pointCount: Long, estBytesPerPoint: Long): org.apache.spark.sql.DataFrame = {
+    val target = 128L << 20
+    val nOut = math.max(1L,
+      (pointCount * estBytesPerPoint + target - 1) / target)
+    if (nOut < blocks.rdd.getNumPartitions) blocks.coalesce(nOut.toInt)
+    else blocks
+  }
+
   def write(cloud: BlockedCloud, dir: String): Unit = {
-    cloud.blocks.write.mode("overwrite").parquet(s"$dir/blocks")
+    sizedForWrite(cloud.blocks, cloud.meta.pointCount, estBytesPerPoint = 8L)
+      .write.mode("overwrite").parquet(s"$dir/blocks")
     cloud.spark.createDataset(Seq(cloud.meta))(metaEnc)
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
@@ -926,9 +946,14 @@ final class BlockedCloud(
     // combined HashAggregate where the struct-max representative
     // forced SortAggregate (PLANS.md); the exchange carries
     // (24-byte key, count) vs the hash form's (8-byte id + 24-byte
-    // representative, count) — strictly narrower
-    val ids = pts.groupBy(col("x"), col("y"), col("z"))
-      .agg(count(lit(1)).as("__m"))
+    // representative, count) — strictly narrower.
+    // MATERIALIZED once (r21): both the probe explode and the q side
+    // consume this frame, and without a cut each side re-ran the
+    // whole scan+decode+aggregate from the raw blocks (two identical
+    // HashAggregate subtrees in the r20 plan). The blocks are freed
+    // as soon as the (outlier-sized) dropped set is materialized.
+    val ids = Frames.cutLocal(pts.groupBy(col("x"), col("y"), col("z"))
+      .agg(count(lit(1)).as("__m")))
     def cellOf(c: Column) = floor(c / radius).cast(LongType)
     val q = ids.select(col("x").as("__qx"), col("y").as("__qy"),
       col("z").as("__qz"), col("__m"),
@@ -950,12 +975,26 @@ final class BlockedCloud(
     // the build side is outlier-sized and AQE broadcasts it; the point
     // multiset itself never shuffles. The semi-join formulation would
     // shuffle every point against a kept-set as big as the cloud.
-    val dropped = probe.join(q, Seq("__cx", "__cy"))
-      .filter(d2 <= lit(radius * radius))
-      .groupBy(col("x"), col("y"), col("z"))
-      .agg(sum(col("__m")).as("__cnt"))
-      .filter(col("__cnt") < minNeighbors)
-      .select(col("x"), col("y"), col("z"))
+    // The cell join is a SHUFFLED-HASH join built on the UN-exploded
+    // q side (guide §3.1): Catalyst's static estimate for both sides
+    // descends from the kilobyte-scale blocks scan, so it planned a
+    // BroadcastHashJoin that built a hash relation over the 9x
+    // neighbor EXPLODE of every distinct identity — a single-threaded
+    // ~cloud-sized broadcast build (the r20 anti-scaling: 8 cores
+    // beat 32 at 0.52 because the build dominates and never
+    // parallelizes). Hash-partitioning both sides on the cell key
+    // builds and probes in parallel, and cells are radius-sized so
+    // no partition's build side can be skewed beyond local density.
+    // Measured sf0.1: 3.4 s -> ~1.9 s and the broadcast disappears
+    // from the plan.
+    val dropped = Frames.materializeCut(
+      probe.join(q.hint("SHUFFLE_HASH"), Seq("__cx", "__cy"))
+        .filter(d2 <= lit(radius * radius))
+        .groupBy(col("x"), col("y"), col("z"))
+        .agg(sum(col("__m")).as("__cnt"))
+        .filter(col("__cnt") < minNeighbors)
+        .select(col("x"), col("y"), col("z")))
+    Frames.free(ids)
     // EXPLICIT broadcast, not AQE-adaptive: depending on which side
     // AQE builds the cell join on, the count aggregation can inherit
     // the identity-key partitioning and reach the anti join with no

@@ -82,7 +82,11 @@ object PointCloud3 {
     }
 
   def write(cloud: BlockedCloud3, dir: String): Unit = {
-    cloud.blocks.write.mode("overwrite").parquet(s"$dir/blocks")
+    // z rides inside the Morton key here, so rows are narrower than
+    // the 2D store's (sfc_tail, z double) pairs — ~6 B/pt measured
+    PointCloud.sizedForWrite(cloud.blocks, cloud.meta.pointCount,
+        estBytesPerPoint = 6L)
+      .write.mode("overwrite").parquet(s"$dir/blocks")
     cloud.spark.createDataset(Seq(cloud.meta))(metaEnc)
       .write.mode("overwrite").parquet(s"$dir/meta")
   }

@@ -55,6 +55,18 @@ import org.apache.spark.sql.functions._
   */
 object SuffixArray {
 
+  /** Position count at or below which [[maxrepPositions]] runs the
+    * gated in-driver SA+LCP fast path (guide §5, the r20
+    * graph/classifier gated-collect discipline): the whole
+    * prefix-quadrupling loop plus the 2·(rounds+1)-join LCP descend —
+    * ~10 shuffle-barrier jobs whose per-job scheduling cost dominates
+    * any corpus that fits a single machine — collapse to one collect
+    * of the tokenized corpus and O(n log n) driver arithmetic. 2^21
+    * positions ≈ 50 MB of driver arrays + the token strings; above
+    * the gate the distributed loop runs unchanged (checked BEFORE
+    * collect, the byteBpeTrainMergesLocal discipline). */
+  val defaultDriverPosLimit: Long = 1L << 21
+
   /** Telemetry from the doubling loop, the [[Graph]] report
     * convention: observable, not just correct. */
   case class SaRunReport(rounds: Int, converged: Boolean,
@@ -226,8 +238,8 @@ object SuffixArray {
     * the same doc); `n_pos_repeat` = positions whose maximal repeated
     * run is >= `minLen`. */
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
-      minLen: Int): DataFrame = {
-    val (perPos, finalRanks, tables) = maxrepPositions(df, idCol, textCol)
+      minLen: Int, driverPosLimit: Long = defaultDriverPosLimit): DataFrame = {
+    val (perPos, release) = maxrepPositions(df, idCol, textCol, driverPosLimit)
     val out = perPos.groupBy(col("doc"))
       .agg(max(col("maxrep")).as("max_repeat_words"),
         sum(when(col("maxrep") >= minLen, 1L).otherwise(0L))
@@ -235,8 +247,7 @@ object SuffixArray {
       .select(col("doc").as(idCol), col("max_repeat_words"),
         col("n_pos_repeat"))
     val result = materializeCut(out)
-    tables.foreach(t => freeFrame(t.frame))
-    freeFrame(finalRanks)
+    release()
     result
   }
 
@@ -253,11 +264,10 @@ object SuffixArray {
     * every covered position in one doc-partitioned window — no
     * per-interval explode. */
   def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
-      minLen: Int): DataFrame = {
-    val (perPos, finalRanks, tables) = maxrepPositions(df, idCol, textCol)
+      minLen: Int, driverPosLimit: Long = defaultDriverPosLimit): DataFrame = {
+    val (perPos, release) = maxrepPositions(df, idCol, textCol, driverPosLimit)
     val result = exciseFromPerPos(df, idCol, textCol, perPos, minLen)
-    tables.foreach(t => freeFrame(t.frame))
-    freeFrame(finalRanks)
+    release()
     result
   }
 
@@ -289,11 +299,10 @@ object SuffixArray {
     * once when a corpus snapshot lands; every later excision (or
     * re-excision at a different threshold) reads the index. */
   def writeSpanIndex(df: DataFrame, idCol: String, textCol: String,
-      dir: String): Unit = {
-    val (perPos, finalRanks, tables) = maxrepPositions(df, idCol, textCol)
+      dir: String, driverPosLimit: Long = defaultDriverPosLimit): Unit = {
+    val (perPos, release) = maxrepPositions(df, idCol, textCol, driverPosLimit)
     perPos.write.mode("overwrite").parquet(s"$dir/perpos")
-    tables.foreach(t => freeFrame(t.frame))
-    freeFrame(finalRanks)
+    release()
   }
 
   /** [[removeRepeatedSpans]] served from a persisted
@@ -307,10 +316,173 @@ object SuffixArray {
       spark.read.parquet(s"$dir/perpos"), minLen)
 
   /** The shared SA core: exact per-position maximal-repeat lengths
-    * (doc, pos, maxrep) plus the frames the caller must free once its
-    * consumer is materialized. */
+    * (doc, pos, maxrep), plus a release thunk the caller must invoke
+    * once its consumer is materialized (frees the distributed path's
+    * lifting tables; a no-op on the driver path).
+    *
+    * Gated driver fast path (r21, guide §5): below
+    * `driverPosLimit` word positions — probed with ONE cheap
+    * aggregation BEFORE any collect — the corpus tokens are collected
+    * and the SA + LCP + neighbor-max run as in-driver primitive-array
+    * arithmetic ([[driverMaxrep]]), replacing the O(log maxDocLen)
+    * shuffle rounds plus the 2·(rounds+1)-join LCP descend whose
+    * per-job scheduling floor dominates small-volume corpora. EXACT
+    * by an order-independence argument, not replication: maxrep(p) is
+    * the longest prefix of suffix p occurring at any other position —
+    * for EVERY total order on the alphabet the max LCP over all other
+    * suffixes is attained at an SA neighbor (LCP(p,q) = min of
+    * adjacent LCPs between their ranks), and the LCP value itself
+    * never depends on the order. So the driver path may rank words by
+    * first-appearance instead of the distributed path's string order
+    * and still produce identical (doc, pos, maxrep) rows. Pinned
+    * driver-vs-distributed in SuffixArraySpec; `driverPosLimit = 0`
+    * forces the distributed loop (the Graph convention). */
   private def maxrepPositions(df: DataFrame, idCol: String,
-      textCol: String): (DataFrame, DataFrame, Seq[SaTable]) = {
+      textCol: String, driverPosLimit: Long): (DataFrame, () => Unit) = {
+    if (driverPosLimit > 0) {
+      // null/absent texts split to a null array = zero positions,
+      // exactly like the distributed posexplode
+      val probe = df.agg(sum(coalesce(size(split(
+          Dedup.normalizeText(col(textCol)), " ")), lit(0)).cast("long")))
+        .head()
+      val nPos = if (probe.isNullAt(0)) 0L else probe.getLong(0)
+      if (nPos <= driverPosLimit)
+        return (driverMaxrep(df, idCol, textCol), () => ())
+    }
+    distributedMaxrep(df, idCol, textCol)
+  }
+
+  /** In-driver SA (Manber–Myers doubling with counting sort,
+    * O(n log n)) + Kasai LCP + neighbor max over the corpus
+    * concatenation with one DISTINCT separator id per document —
+    * distinct separators mean no common prefix ever crosses a doc
+    * boundary, which is precisely the distributed path's
+    * `least(acc, len - pos)` cap, and a unique final sentinel makes
+    * every global suffix distinct so the doubling always converges. */
+  private def driverMaxrep(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val docType = df.schema(df.schema.fieldIndex(idCol)).dataType
+    val collected = df.select(col(idCol).as("doc"),
+      split(Dedup.normalizeText(col(textCol)), " ").as("__w")).collect()
+    val docRows = collected.filter(!_.isNullAt(1))
+    val nDocs = docRows.length
+    val nPos = docRows.iterator.map(_.getSeq[String](1).length.toLong).sum
+    val n = (nPos + nDocs).toInt
+    // word ids start above the separator ids [0, nDocs); assignment
+    // order is arbitrary (first appearance) — see the order-
+    // independence argument above
+    val wordIds = new java.util.HashMap[String, Integer]()
+    val txt = new Array[Int](n)
+    val docOf = new Array[Int](n)
+    val posOf = new Array[Int](n)
+    var g = 0
+    var d = 0
+    while (d < nDocs) {
+      val ws = docRows(d).getSeq[String](1)
+      var p = 0
+      val it = ws.iterator
+      while (it.hasNext) {
+        val w = it.next()
+        var id = wordIds.get(w)
+        if (id == null) { id = nDocs + wordIds.size(); wordIds.put(w, id) }
+        txt(g) = id; docOf(g) = d; posOf(g) = p
+        g += 1; p += 1
+      }
+      txt(g) = d; docOf(g) = -1; posOf(g) = -1
+      g += 1; d += 1
+    }
+    val maxrep = new Array[Int](n)
+    if (n > 1) {
+      // suffix array by rank doubling; all key values stay < n
+      val sa = new Array[Int](n)
+      var rank = new Array[Int](n)
+      var next = new Array[Int](n)
+      val ord = new Array[Int](n)
+      val cnt = new Array[Int](n + 1)
+      var i = 0
+      while (i < n) { rank(i) = txt(i); i += 1 }
+      java.util.Arrays.fill(cnt, 0)
+      i = 0; while (i < n) { cnt(rank(i) + 1) += 1; i += 1 }
+      i = 1; while (i <= n) { cnt(i) += cnt(i - 1); i += 1 }
+      i = 0; while (i < n) { sa(cnt(rank(i))) = i; cnt(rank(i)) += 1; i += 1 }
+      var classes = { // distinct initial ranks
+        var c = 1; var j = 1
+        while (j < n) { if (rank(sa(j)) != rank(sa(j - 1))) c += 1; j += 1 }
+        c
+      }
+      var k = 1
+      while (classes < n) {
+        // ord = positions sorted by second key rank(i+k) (out-of-range
+        // first), derived from sa without a sort; then one stable
+        // counting sort by first key
+        var p = 0
+        i = n - k; while (i < n) { ord(p) = i; p += 1; i += 1 }
+        i = 0; while (i < n) { if (sa(i) >= k) { ord(p) = sa(i) - k; p += 1 }; i += 1 }
+        java.util.Arrays.fill(cnt, 0)
+        i = 0; while (i < n) { cnt(rank(i) + 1) += 1; i += 1 }
+        i = 1; while (i <= n) { cnt(i) += cnt(i - 1); i += 1 }
+        i = 0
+        while (i < n) {
+          val s = ord(i); sa(cnt(rank(s))) = s; cnt(rank(s)) += 1; i += 1
+        }
+        next(sa(0)) = 0
+        classes = 1
+        i = 1
+        while (i < n) {
+          val cur = sa(i); val prev = sa(i - 1)
+          val curK = if (cur + k < n) rank(cur + k) else -1
+          val prevK = if (prev + k < n) rank(prev + k) else -1
+          if (rank(cur) != rank(prev) || curK != prevK) classes += 1
+          next(cur) = classes - 1
+          i += 1
+        }
+        val t = rank; rank = next; next = t
+        k <<= 1
+      }
+      // Kasai: lcp(r) = LCP(sa(r), sa(r+1)); distinct separators stop
+      // every comparison at the doc boundary
+      val lcp = new Array[Int](n)
+      var h = 0
+      i = 0
+      while (i < n) {
+        val r = rank(i)
+        if (r + 1 < n) {
+          val j = sa(r + 1)
+          while (i + h < n && j + h < n && txt(i + h) == txt(j + h)) h += 1
+          lcp(r) = h
+          if (h > 0) h -= 1
+        } else h = 0
+        i += 1
+      }
+      i = 0
+      while (i < n) {
+        val r = rank(i)
+        val left = if (r > 0) lcp(r - 1) else 0
+        val right = if (r + 1 < n) lcp(r) else 0
+        maxrep(i) = if (left > right) left else right
+        i += 1
+      }
+    }
+    val rows = new java.util.ArrayList[Row](nPos.toInt)
+    g = 0
+    while (g < n) {
+      if (docOf(g) >= 0)
+        rows.add(Row(docRows(docOf(g)).get(0), posOf(g), maxrep(g).toLong))
+      g += 1
+    }
+    val schema = StructType(Seq(StructField("doc", docType),
+      StructField("pos", IntegerType, nullable = false),
+      StructField("maxrep", LongType, nullable = false)))
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** The distributed SA core (unchanged above the gate): prefix
+    * quadrupling + the radix-4 lifting-table LCP descend. */
+  private def distributedMaxrep(df: DataFrame, idCol: String,
+      textCol: String): (DataFrame, () => Unit) = {
     val (finalRanks, tables, rep) = doublingRanks(df, idCol, textCol)
     // per-doc lengths from the already-materialized rank frame — no
     // second normalize+split pass over the corpus text
@@ -432,6 +604,9 @@ object SuffixArray {
         .join(paired, Seq("doc", "pos"), "left")
         .select(col("doc"), col("pos"),
           coalesce(col("maxrep"), lit(0L)).as("maxrep"))
-    (perPos, finalRanks, tables)
+    (perPos, () => {
+      tables.foreach(t => freeFrame(t.frame))
+      freeFrame(finalRanks)
+    })
   }
 }

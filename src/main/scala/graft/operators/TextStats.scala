@@ -1792,13 +1792,20 @@ object TextStats {
       // become one collect plus pure in-driver Long arithmetic.
       // Output is bit-identical: same sums, same truncating division.
       if (nTypes <= driverTypeLimit && nEntries <= driverEntryLimit) {
-        val rows = types.collect().map { r =>
+        // null labels (labelCol values that cast to null) are DROPPED
+        // from the gradient exactly as the distributed path drops them
+        // (null __y -> null __e -> null __em, absent from every sum);
+        // their __m still counts into nDocs via `stats`, matching the
+        // distributed denominator (ADVICE r20). An empty/all-null
+        // corpus keeps denomBase = 0 — the rounds loop is skipped so
+        // the zero weight array returns instead of dividing by zero.
+        val rows = types.collect().withFilter(!_.isNullAt(0)).map { r =>
           (r.getLong(0),
             if (r.isNullAt(1)) Array.emptyIntArray
             else r.getSeq[Int](1).toArray,
             r.getLong(2))
         }
-        for (r <- 0 until rounds) {
+        for (r <- 0 until rounds if denomBase != 0L) {
           val denom = denomBase << (r / lrDecayEvery)
           val g = Array.fill(numBuckets)(0L)
           rows.foreach { case (y, bs, mult) =>
@@ -1829,6 +1836,10 @@ object TextStats {
               greatest(lit(0L), least(lit(4000L), lit(2000L) + col("__mgn"))))
             .select(explode(col("__bs")).as("__b"),
               (col("__e") * col("__m")).as("__em"))
+            // null __em rows (null labels) are absent from sum anyway;
+            // dropping them up front keeps a bucket whose docs are ALL
+            // null-labeled from returning a null sum (NPE on getLong)
+            .filter(col("__em").isNotNull)
             .groupBy(col("__b"))
             .agg(sum(col("__em")).as("__g"))
             .collect()

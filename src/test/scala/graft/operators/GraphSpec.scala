@@ -311,6 +311,38 @@ class GraphSpec extends AnyFunSuite {
     assert(a == b && a == Set((1L, 1L), (2L, 1L), (3L, 1L)))
   }
 
+  test("null-keyed edges are ignored identically on both sides of the " +
+      "driver gate (ADVICE r20)") {
+    // an uncastable id arrives as a null src/dst after cast('long');
+    // the distributed loops silently never join such rows, and the
+    // driver fast paths must not NPE on them — results are pinned
+    // equal across the gate for all three operators
+    val edges = Seq(
+      (Option(1L), Option(2L)), (None: Option[Long], Option(3L)),
+      (Option(2L), None: Option[Long]), (Option(2L), Option(3L)),
+      (None: Option[Long], None: Option[Long]), (Option(4L), Option(5L))
+    ).toDF("a", "b")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ccFast = m(Graph.connectedComponents(edges, "a", "b"))
+    val ccLoop = m(Graph.connectedComponents(edges, "a", "b",
+      driverEdgeLimit = 0))
+    assert(ccFast == ccLoop, s"cc $ccFast != $ccLoop")
+    assert(ccFast == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L),
+      ccFast.toString)
+    val prFast = m(Graph.pageRankFixedPoint(edges, "a", "b", iterations = 3))
+    val prLoop = m(Graph.pageRankFixedPoint(edges, "a", "b", iterations = 3,
+      driverEdgeLimit = 0))
+    assert(prFast == prLoop, s"pr $prFast != $prLoop")
+    assert(prFast.keySet == Set(1L, 2L, 3L, 4L, 5L), prFast.toString)
+    val (lpFast, repFast) = Graph.labelPropagationWithReport(
+      edges, "a", "b", iterations = 3)
+    val (lpLoop, repLoop) = Graph.labelPropagationWithReport(
+      edges, "a", "b", iterations = 3, driverEdgeLimit = 0)
+    assert(m(lpFast) == m(lpLoop) && repFast == repLoop,
+      s"lpa ${m(lpFast)} != ${m(lpLoop)} / $repFast != $repLoop")
+  }
+
   // LAST in this suite: setCheckpointDir is irreversible on the shared
   // session, and it flips every later graph-op truncation in this JVM
   // from localCheckpoint to reliable checkpoint (correct, just slower)

@@ -171,6 +171,40 @@ class SuffixArraySpec extends AnyFunSuite {
       2L -> (("nothing shared anywhere today", 0L))))
   }
 
+  test("gated driver SA+LCP equals the distributed loop value-for-value " +
+      "(r21), including null-text and empty-text docs") {
+    // planted cross-doc span + within-doc repeats + identical twins +
+    // a null text (splits to null = zero positions, dropped by both
+    // paths) + an empty text (one "" token position)
+    val shared = "alpha beta gamma delta epsilon"
+    val rows = Seq(
+      (1L, Option(s"one two $shared three")),
+      (2L, Option(s"$shared four five")),
+      (3L, Option("rep rep rep rep")),
+      (4L, Option("rep rep rep rep")),
+      (5L, None: Option[String]),
+      (6L, Option("")),
+      (7L, Option("three four five")))
+    val d = rows.toDF("doc_id", "text")
+    def spans(limit: Long) =
+      SuffixArray.repeatedSpans(d, "doc_id", "text", 2, limit)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+    val fast = spans(SuffixArray.defaultDriverPosLimit)
+    val loop = spans(0L)
+    assert(fast == loop, s"driver $fast != distributed $loop")
+    assert(!fast.contains(5L) && fast.contains(6L), fast.toString)
+    def removed(limit: Long) =
+      SuffixArray.removeRepeatedSpans(d, "doc_id", "text", 2, limit)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(3)))).toMap
+    val rFast = removed(SuffixArray.defaultDriverPosLimit)
+    val rLoop = removed(0L)
+    assert(rFast == rLoop, s"driver $rFast != distributed $rLoop")
+    // the planted span was actually excised on both paths
+    assert(rFast(1L)._2 == 5L, rFast.toString)
+  }
+
   test("degenerate inputs: single doc, single word, empty corpus") {
     val one = docs(1L -> "only")
     // a lone suffix has no other suffix: zero repeat, reported as 0

@@ -308,6 +308,49 @@ class TextStatsSpec extends AnyFunSuite {
     assert(acc >= 900, s"length-threshold accuracy $acc milli < 900")
   }
 
+  test("classifierTrain: empty and all-null-label corpora return the zero " +
+      "model on both sides of the driver gate (ADVICE r20)") {
+    val spark2 = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark2.implicits._
+    val empty = Seq.empty[(Long, String, Int)].toDF("doc_id", "text", "label")
+    // empty corpus: nDocs = 0 must NOT divide by zero in the driver loop
+    assert(TextStats.classifierTrain(empty, "doc_id", "text", "label",
+      numBuckets = 32, rounds = 4).forall(_ == 0L))
+    // all labels null: every gradient row drops out, the zero model
+    // returns — and identically above the gate, where a bucket whose
+    // docs are ALL null-labeled yields a null sum that the distributed
+    // collect must tolerate, not NPE on
+    val allNull = Seq((0L, "alpha beta", None: Option[Long]),
+      (1L, "gamma", None: Option[Long])).toDF("doc_id", "text", "label")
+    val d = TextStats.classifierTrain(allNull, "doc_id", "text", "label",
+      numBuckets = 32, rounds = 4)
+    val l = TextStats.classifierTrain(allNull, "doc_id", "text", "label",
+      numBuckets = 32, rounds = 4, driverTypeLimit = 0)
+    assert(d.forall(_ == 0L) && l.forall(_ == 0L),
+      s"all-null-label corpus trained nonzero: ${d.toSeq} / ${l.toSeq}")
+  }
+
+  test("classifierTrain: null labels drop out of the gradient identically " +
+      "on both sides of the driver gate (ADVICE r20)") {
+    val spark2 = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark2.implicits._
+    // a null label is absent from every gradient sum but still
+    // counted into nDocs (the distributed denominator semantics)
+    val docs = Seq((0L, "alpha alpha", Option(1L)), (1L, "omega", Option(0L)),
+      (2L, "alpha omega", None: Option[Long])).toDF("doc_id", "text", "label")
+    val fast = TextStats.classifierTrain(docs, "doc_id", "text", "label",
+      numBuckets = 64, rounds = 3)
+    val loop = TextStats.classifierTrain(docs, "doc_id", "text", "label",
+      numBuckets = 64, rounds = 3, driverTypeLimit = 0)
+    assert(fast.sameElements(loop),
+      s"gate-dependent weights: ${fast.toSeq} != ${loop.toSeq}")
+    assert(fast.exists(_ != 0L), "labeled rows trained nothing")
+  }
+
   test("classifierTrain rejects lr-decay schedules that overflow Long") {
     val spark2 = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
