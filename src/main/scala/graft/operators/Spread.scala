@@ -29,6 +29,19 @@ import org.apache.spark.sql.DataFrame
   * no query stages to materialize, toRdd just builds splits. */
 private[graft] object Spread {
 
+  /** Rows-per-partition floor for the spread width (r21): a corpus
+    * with fewer than `rowsPerPartFloor * target` rows cannot fill the
+    * full target width with meaningful work, and the full-width
+    * round-robin shuffle + full-width task scheduling were measured as
+    * the r20 anti-scaling tail (mm_image_phash 8c/32c ratio 0.61 at
+    * sf0.1 — 32 tasks of ~50 rows each cost more scheduling than
+    * compute). The row count is probed BOUNDED — `limit(cap+1)` short-
+    * circuits and column pruning keeps the probe off the per-row
+    * kernels — so the probe costs one sub-scan job at any scale, and
+    * any corpus past the cap (every cluster-scale input, sf1+ locally)
+    * spreads at full width exactly as before. */
+  private val rowsPerPartFloor = 512L
+
   def rebalanced(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df // micro-batches are already split
     val target = df.sparkSession.sessionState.conf.numShufflePartitions
@@ -41,7 +54,14 @@ private[graft] object Spread {
         // internal-row RDD partition count — df.rdd would additionally
         // build the row-deserializer conversion just to count splits
         val parts = df.queryExecution.toRdd.getNumPartitions
-        if (parts < target) df.repartition(target) else df
+        if (parts >= target) df
+        else {
+          val cap = rowsPerPartFloor * target
+          val probed = df.limit((cap + 1).toInt).count()
+          val width = if (probed > cap) target
+            else ((probed + rowsPerPartFloor - 1) / rowsPerPartFloor).toInt
+          if (width > parts) df.repartition(width) else df
+        }
     }
   }
 }

@@ -74,13 +74,27 @@ class DedupRebalanceSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
-  test("an under-partitioned exchange-free scan still gets the rebalance") {
-    val narrow = (1L to 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
-      .coalesce(1)
-    assert(narrow.queryExecution.toRdd.getNumPartitions == 1)
-    val built = Dedup.withShingles(narrow, "doc_id", "text", 3, word = true)
+  test("an under-partitioned exchange-free scan still gets the rebalance, " +
+      "capped by the rows-per-partition floor (r21)") {
     val target = spark.sessionState.conf.numShufflePartitions
-    assert(built.rdd.getNumPartitions == target,
-      "narrow single-split input must be spread before per-row kernels")
+    // past the floor*target cap: full-width spread, exactly as before
+    val big = (1L to (512L * target + 1))
+      .map(i => (i, s"doc $i")).toDF("doc_id", "text").coalesce(1)
+    assert(big.queryExecution.toRdd.getNumPartitions == 1)
+    val builtBig = Dedup.withShingles(big, "doc_id", "text", 3, word = true)
+    assert(builtBig.rdd.getNumPartitions == target,
+      "narrow single-split input past the cap must spread to full width")
+    // mid-size: spread to ceil(rows / floor) partitions, not target
+    val mid = (1L to 1200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+      .coalesce(1)
+    val builtMid = Dedup.withShingles(mid, "doc_id", "text", 3, word = true)
+    assert(builtMid.rdd.getNumPartitions == math.min(target, 3),
+      "mid-size input must spread to its row volume, not the full width")
+    // tiny: fewer rows than one floor's worth — no shuffle at all
+    val tiny = (1L to 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+      .coalesce(1)
+    val builtTiny = Dedup.withShingles(tiny, "doc_id", "text", 3, word = true)
+    assert(builtTiny.rdd.getNumPartitions == 1,
+      "sub-floor input must not pay a spread shuffle")
   }
 }

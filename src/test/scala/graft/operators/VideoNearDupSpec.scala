@@ -114,15 +114,22 @@ class VideoNearDupSpec extends AnyFunSuite {
 
   test("videoSignature spreads a single-split scan before decoding (r19 sf10 lesson)") {
     val base = avi((0 until 3).flatMap(s => Seq(frame(s, 0, 0), frame(s, 1, 0))))
-    val one = mediaOf((1L to 8L).map(id => id -> base): _*).coalesce(1)
+    val target = spark.sessionState.conf.numShufflePartitions
+    // past the rows-per-partition floor: full-width spread (the r19
+    // sf10 regression this test exists for)
+    val n = 512L * target + 1
+    val one = mediaOf((1L to n).map(id => id -> base): _*).coalesce(1)
     assert(one.rdd.getNumPartitions == 1)
     // the decode input must be rebalanced to the session target — a
     // byte-sized scan must never serialize a per-row CPU chain
     val sig = Multimodal.videoSignature(one)
-    val target = spark.sessionState.conf.numShufflePartitions
     assert(sig.rdd.getNumPartitions == target,
       s"decode ran on ${sig.rdd.getNumPartitions} partitions, want $target")
-    assert(sig.count() == 8 * 3) // and still decodes correctly
+    assert(sig.count() == n * 3) // and still decodes correctly
+    // sub-floor input (r21): no spread shuffle at all
+    val tiny = mediaOf((1L to 8L).map(id => id -> base): _*).coalesce(1)
+    assert(Multimodal.videoSignature(tiny).rdd.getNumPartitions == 1,
+      "sub-floor input must not pay a spread shuffle")
   }
 
   test("one-pass adjudicated form == neardup JOIN align (single decode)") {
