@@ -78,6 +78,68 @@ object Graph {
     * cleaned by the session's normal checkpoint lifecycle.) */
   private def freeRound(df: DataFrame): Unit = Frames.free(df)
 
+  /** Collected edge list → symmetrized, deduplicated adjacency in CSR
+    * form over DENSE node indices, all primitive arrays (ADVICE r20:
+    * the boxed HashSet[(Long, Long)] + groupBy form held ~2M tuples —
+    * several hundred MB of driver heap at the default 2^20-edge gate;
+    * this form is two long[] sorts + int arrays, ~10x less). Returns
+    * (sorted node ids, CSR offsets of length n+1, neighbor indices).
+    * Symmetrization and dedup follow the distributed loops exactly:
+    * both directions inserted, duplicates (incl. reversed duplicates
+    * and self-loops) collapse in the packed-pair dedup. */
+  private def driverCsr(rows: Array[org.apache.spark.sql.Row]):
+      (Array[Long], Array[Int], Array[Int]) = {
+    val m = rows.length
+    val ids = new Array[Long](2 * m)
+    var i = 0
+    while (i < m) {
+      ids(2 * i) = rows(i).getLong(0); ids(2 * i + 1) = rows(i).getLong(1)
+      i += 1
+    }
+    java.util.Arrays.sort(ids)
+    var n = 0
+    i = 0
+    while (i < ids.length) {
+      if (n == 0 || ids(n - 1) != ids(i)) { ids(n) = ids(i); n += 1 }
+      i += 1
+    }
+    val nodes = java.util.Arrays.copyOf(ids, n)
+    // packed (srcIdx << 32 | dstIdx) pairs, both directions — indices
+    // are < 2^31 so the pack is lossless and its numeric order is the
+    // (src, dst) lexicographic order the CSR build needs
+    val packed = new Array[Long](2 * m)
+    i = 0
+    var p = 0
+    while (i < m) {
+      val a = java.util.Arrays.binarySearch(nodes, 0, n, rows(i).getLong(0))
+      val b = java.util.Arrays.binarySearch(nodes, 0, n, rows(i).getLong(1))
+      packed(p) = (a.toLong << 32) | (b.toLong & 0xffffffffL); p += 1
+      packed(p) = (b.toLong << 32) | (a.toLong & 0xffffffffL); p += 1
+      i += 1
+    }
+    java.util.Arrays.sort(packed, 0, p)
+    var e = 0
+    i = 0
+    while (i < p) {
+      if (e == 0 || packed(e - 1) != packed(i)) { packed(e) = packed(i); e += 1 }
+      i += 1
+    }
+    val off = new Array[Int](n + 1)
+    i = 0
+    while (i < e) { off((packed(i) >>> 32).toInt + 1) += 1; i += 1 }
+    i = 1
+    while (i <= n) { off(i) += off(i - 1); i += 1 }
+    val nbr = new Array[Int](e)
+    val cur = java.util.Arrays.copyOf(off, n + 1)
+    i = 0
+    while (i < e) {
+      val s = (packed(i) >>> 32).toInt
+      nbr(cur(s)) = packed(i).toInt; cur(s) += 1
+      i += 1
+    }
+    (nodes, off, nbr)
+  }
+
   /** Fixed-point PageRank over an UNDIRECTED edge list (edges are
     * symmetrized and deduplicated; self-loops expected absent).
     * Per round: pr'(v) = S/2 + (Σ_{u~v} floor(pr(u) / deg(u))) / 2 —
@@ -122,26 +184,34 @@ object Graph {
         .filter(col("src").isNotNull && col("dst").isNotNull).distinct())
     if (driverEdgeLimit > 0 && eCut.count() <= driverEdgeLimit) {
       import spark.implicits._
-      // symmetrized distinct pair set, driver-side
-      val pairSet = new scala.collection.mutable.HashSet[(Long, Long)]()
-      eCut.collect().foreach { r =>
-        val (a, b) = (r.getLong(0), r.getLong(1))
-        pairSet += ((a, b)); pairSet += ((b, a))
-      }
+      // primitive CSR adjacency (ADVICE r20) — same symmetrize+dedup,
+      // ~10x less driver heap than the boxed pair-set form
+      val (nodes, off, nbr) = driverCsr(eCut.collect())
       freeRound(eCut)
-      val adj = pairSet.toSeq.groupBy(_._1)
-        .map { case (s, ps) => s -> ps.map(_._2).toArray }
+      val n = nodes.length
       val base = scale / 2
-      var pr: Map[Long, Long] = adj.map { case (n, _) => n -> scale }
+      var pr = Array.fill(n)(scale)
       (1 to iterations).foreach { _ =>
-        val acc = new scala.collection.mutable.HashMap[Long, Long]()
-        adj.foreach { case (src, dsts) =>
-          val c = pr(src) / dsts.length
-          dsts.foreach(d => acc(d) = acc.getOrElse(d, 0L) + c)
+        // every node of a symmetrized edge list has >= 1 in-neighbor,
+        // so the per-round frame covers exactly the node set, like the
+        // distributed dst-grouped aggregation
+        val acc = new Array[Long](n)
+        var s = 0
+        while (s < n) {
+          val d = off(s + 1) - off(s)
+          if (d > 0) {
+            val c = pr(s) / d
+            var j = off(s)
+            while (j < off(s + 1)) { acc(nbr(j)) += c; j += 1 }
+          }
+          s += 1
         }
-        pr = acc.map { case (n, s) => n -> (base + s / 2) }.toMap
+        var v = 0
+        while (v < n) { acc(v) = base + acc(v) / 2; v += 1 }
+        pr = acc
       }
-      return spark.createDataset(pr.toSeq).toDF("node", "pr")
+      return spark.createDataset(
+        nodes.indices.map(i => (nodes(i), pr(i)))).toDF("node", "pr")
     }
     val e = eCut
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
@@ -530,40 +600,53 @@ object Graph {
         .filter(col("src").isNotNull && col("dst").isNotNull).distinct())
     if (driverEdgeLimit > 0 && eCut.count() <= driverEdgeLimit) {
       import spark.implicits._
-      val pairSet = new scala.collection.mutable.HashSet[(Long, Long)]()
-      eCut.collect().foreach { r =>
-        val (a, b) = (r.getLong(0), r.getLong(1))
-        pairSet += ((a, b)); pairSet += ((b, a))
-      }
+      // primitive CSR adjacency (ADVICE r20); the graph is symmetric,
+      // so a node's CSR neighbors ARE the srcs pointing at it — the
+      // dst-grouped join's in-neighbor set
+      val (nodes, off, nbr) = driverCsr(eCut.collect())
       freeRound(eCut)
-      // in-neighbors per node: label counts are taken over the srcs
-      // whose edge points AT the node, exactly the dst-grouped join
-      val inAdj = pairSet.toSeq.groupBy(_._2)
-        .map { case (d, ps) => d -> ps.map(_._1).toArray }
-      var lab: Map[Long, Long] = inAdj.map { case (n, _) => n -> n }
+      val n = nodes.length
+      var maxDeg = 0
+      var v = 0
+      while (v < n) {
+        if (off(v + 1) - off(v) > maxDeg) maxDeg = off(v + 1) - off(v)
+        v += 1
+      }
+      var lab = nodes.clone()
+      val buf = new Array[Long](maxDeg)
       var converged = false
       var rounds = 0
       while (!converged && rounds < iterations) {
-        val next = inAdj.map { case (node, srcs) =>
-          val cnt = new scala.collection.mutable.HashMap[Long, Long]()
-          srcs.foreach { s =>
-            val l = lab(s); cnt(l) = cnt.getOrElse(l, 0L) + 1L
-          }
-          // highest count, ties to the SMALLEST label
+        val next = new Array[Long](n)
+        var node = 0
+        while (node < n) {
+          val d = off(node + 1) - off(node)
+          var j = 0
+          while (j < d) { buf(j) = lab(nbr(off(node) + j)); j += 1 }
+          java.util.Arrays.sort(buf, 0, d)
+          // highest count, ties to the SMALLEST label: ascending runs,
+          // strictly-greater replaces, so the first (smallest) label
+          // of the best count wins
           var bestL = Long.MaxValue
           var bestC = -1L
-          cnt.foreach { case (l, c) =>
-            if (c > bestC || (c == bestC && l < bestL)) { bestC = c; bestL = l }
+          var i = 0
+          while (i < d) {
+            var k = i + 1
+            while (k < d && buf(k) == buf(i)) k += 1
+            if (k - i > bestC) { bestC = k - i; bestL = buf(i) }
+            i = k
           }
-          node -> bestL
+          next(node) = bestL
+          node += 1
         }
-        converged = next == lab
+        converged = java.util.Arrays.equals(next, lab)
         lab = next
         rounds += 1
       }
       // the loop counts a fixed-point-confirming round like the
       // distributed probe does (changed == 0 after running the round)
-      return (spark.createDataset(lab.toSeq).toDF("node", "label"),
+      return (spark.createDataset(
+          nodes.indices.map(i => (nodes(i), lab(i)))).toDF("node", "label"),
         LpaRunReport(rounds, converged))
     }
     val e = eCut

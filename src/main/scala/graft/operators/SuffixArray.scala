@@ -61,11 +61,16 @@ object SuffixArray {
     * prefix-quadrupling loop plus the 2·(rounds+1)-join LCP descend —
     * ~10 shuffle-barrier jobs whose per-job scheduling cost dominates
     * any corpus that fits a single machine — collapse to one collect
-    * of the tokenized corpus and O(n log n) driver arithmetic. 2^21
-    * positions ≈ 50 MB of driver arrays + the token strings; above
+    * of the tokenized corpus and O(n log n) driver arithmetic. Above
     * the gate the distributed loop runs unchanged (checked BEFORE
-    * collect, the byteBpeTrainMergesLocal discipline). */
-  val defaultDriverPosLimit: Long = 1L << 21
+    * collect, the byteBpeTrainMergesLocal discipline). Gate placement
+    * is MEASURED (r21, sf1 = 2.76 M positions, local[32]): the driver
+    * path costs ~16 s there vs ~30-38 s distributed, so the crossover
+    * sits well above the first 2^21 guess; 2^22 positions ≈ ~600 MB
+    * peak driver transient (collected token strings + five int arrays
+    * + the result rows), the most a default-sized driver should be
+    * asked to hold — a larger driver can raise the dial per call. */
+  val defaultDriverPosLimit: Long = 1L << 22
 
   /** Telemetry from the doubling loop, the [[Graph]] report
     * convention: observable, not just correct. */

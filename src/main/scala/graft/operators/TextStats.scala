@@ -812,7 +812,7 @@ object TextStats {
     * and non-overlapping in both Spark and any SQL engine, i.e. the
     * greedy BPE merge semantics, oracle-replayable verbatim. */
   def bpeTrainMerges(df: DataFrame, textCol: String,
-      rounds: Int = 8): Seq[(String, String)] = {
+      rounds: Int = 8, driverVocabLimit: Long = 1L << 20): Seq[(String, String)] = {
     // each round applies ONE replace to the checkpointed previous
     // round (not a re-fold of every prior merge): per-round work stays
     // O(vocabulary) and plan depth stays constant, so the loop
@@ -823,6 +823,26 @@ object TextStats {
       .groupBy("__w").agg(count(lit(1)).as("__c"))
       .select(col("__c"), encodeSymsExpr(col("__w")).as("__e"))
       .localCheckpoint()
+    // gated-collect driver loop (r21 — the byteBpeTrainMergesAuto
+    // shape applied to the word trainer): below `driverVocabLimit`
+    // distinct words — probed BOUNDED off the materialized table,
+    // never an unguarded collect — all `rounds` merges run on the
+    // driver with incrementally-maintained pair counts, replacing the
+    // R sequential (pair-count job + 1-row collect + checkpoint)
+    // round trips whose scheduling floor dominates every corpus that
+    // fits one machine. BIT-IDENTICAL (pinned in TextStatsSpec
+    // driver-vs-distributed): same vocab weights, same symbol
+    // encoding, same (count desc, a asc, b asc) tie-break — symbols
+    // are `[a-z0-9]+`-derived ASCII, where UTF8String binary order
+    // and Java compareTo agree — and the same left-to-right
+    // non-overlapping literal replace per merge.
+    if (driverVocabLimit > 0 &&
+        cur.limit((driverVocabLimit + 1).toInt).count() <= driverVocabLimit) {
+      val collected = cur.collect()
+      freeCheckpoint(cur)
+      return bpeMergeLoopGeneric(collected.map(_.getLong(0)),
+        collected.map(_.getString(1)), "(", ")", rounds)
+    }
     val merges = Seq.newBuilder[(String, String)]
     var exhausted = false
     for (_ <- 0 until rounds if !exhausted) {
@@ -1086,8 +1106,25 @@ object TextStats {
   private def byteBpeMergeLoop(collected: Array[org.apache.spark.sql.Row],
       rounds: Int): Seq[(String, String)] = {
     import graft.functions.ByteBpe.{SepL, SepR}
-    val weights = collected.map(_.getLong(0))
-    val encs = collected.map(_.getString(1))
+    bpeMergeLoopGeneric(collected.map(_.getLong(0)),
+      collected.map(_.getString(1)), SepL.toString, SepR.toString, rounds)
+  }
+
+  /** The merge loop shared by the byte trainer and the word trainer's
+    * r21 driver gate: weighted adjacent-pair counts over
+    * `sepL sym sepR`-encoded types, (count desc, a asc, b asc) best
+    * pick, literal left-to-right replace per merge, counts maintained
+    * incrementally (only rows containing the merged pattern are
+    * re-counted). Symbol alphabets must be sep-free and must order
+    * identically under Java compareTo and UTF8String binary order
+    * (both trainers' alphabets do — byte-BPE's mapped BMP range,
+    * word-BPE's ASCII `[a-z0-9]`). */
+  private def bpeMergeLoopGeneric(weights: Array[Long],
+      encs0: Array[String], sepLs: String, sepRs: String,
+      rounds: Int): Seq[(String, String)] = {
+    val SepL = sepLs
+    val SepR = sepRs
+    val encs = encs0
     val sep = s"$SepR$SepL"
     val sepQ = java.util.regex.Pattern.quote(sep)
     def symsOf(e: String): Array[String] =
@@ -1981,10 +2018,19 @@ object TextStats {
              * cast(ncc + vv + 1 as decimal(20,0)))
       ELSE (cast(1000000 as decimal(38,0)) * (coalesce(n1w, 0) + 1))
         div cast(ncc + vv + 1 as decimal(20,0)) END""")
+    // the model tables sit behind lineage cuts with no size estimate:
+    // when the bigram-type count provably fits the broadcast budget,
+    // hint the probe joins (the knTrigramScore/SuffixArray discipline)
+    // — a production-size model exceeds it and shuffles as before
+    val cvwRows = cvw.count() // cheap: cvw is already materialized
+    val bcastBudget = org.apache.spark.sql.internal.SQLConf.get
+      .autoBroadcastJoinThreshold
+    def hinted(d: DataFrame): DataFrame =
+      if (bcastBudget > 0 && cvwRows * 24L < bcastBudget) broadcast(d) else d
     val perDoc = bi
-      .join(cvw, Seq("hv", "hw"), "left")
-      .join(cv, Seq("hv"), "left")
-      .join(n1w, Seq("hw"), "left")
+      .join(hinted(cvw), Seq("hv", "hw"), "left")
+      .join(hinted(cv), Seq("hv"), "left")
+      .join(hinted(n1w), Seq("hw"), "left")
       .crossJoin(broadcast(tot))
       .select(col("__id"), micro.cast("long").as("__micro"),
         col("cvw").isNull.cast("long").as("__oov"))
@@ -2142,13 +2188,25 @@ object TextStats {
     val t3 = Frames.materializeCut(tri.filter(col("__train"))
       .groupBy(col("hu"), col("hv"), col("hw"))
       .agg(count(lit(1)).as("c3")))
-    val ctx = t3.groupBy(col("hu"), col("hv"))
-      .agg(sum(col("c3")).as("c2ctx"), count(lit(1)).as("n1uv"))
-    val cont2 = t3.groupBy(col("hv"), col("hw"))
-      .agg(count(lit(1)).as("n1vw")) // = distinct u per (v, w)
-    val midv = t3.groupBy(col("hv"))
+    // every model table is <= |t3| rows of <= 4 longs, but they sit
+    // behind lineage cuts whose sizes Catalyst can't estimate, so the
+    // five probe joins each planned as AQE sort-merge stages — 27
+    // one-task jobs at sf0.1, pure scheduling floor (r21 measured).
+    // When the type count provably fits the session broadcast budget,
+    // hint it (the SuffixArray `hinted` discipline); a production-size
+    // model exceeds the budget and the joins shuffle, the correct plan
+    val t3Rows = t3.count() // cheap: t3 is already materialized
+    val bcastBudget = org.apache.spark.sql.internal.SQLConf.get
+      .autoBroadcastJoinThreshold
+    def hinted(d: DataFrame): DataFrame =
+      if (bcastBudget > 0 && t3Rows * 32L < bcastBudget) broadcast(d) else d
+    val ctx = hinted(t3.groupBy(col("hu"), col("hv"))
+      .agg(sum(col("c3")).as("c2ctx"), count(lit(1)).as("n1uv")))
+    val cont2 = hinted(t3.groupBy(col("hv"), col("hw"))
+      .agg(count(lit(1)).as("n1vw"))) // = distinct u per (v, w)
+    val midv = hinted(t3.groupBy(col("hv"))
       .agg(count(lit(1)).as("n1vmid"), // N1+(·v·): types with middle v
-        countDistinct(col("hw")).as("n1vfol")) // N1+c(v·)
+        countDistinct(col("hw")).as("n1vfol"))) // N1+c(v·)
     // bottom layer: the bigram op's continuation stats, verbatim
     val bi = df.filter(trainPred).select(
         explode(graft.functions.text.word_ngrams(norm(col(textCol)), 2))
@@ -2174,11 +2232,11 @@ object TextStats {
         div (4 * cast(c2ctx as decimal(20,0)))
       ELSE __p2 END""")
     val perDoc = tri
-      .join(t3, Seq("hu", "hv", "hw"), "left")
+      .join(hinted(t3), Seq("hu", "hv", "hw"), "left")
       .join(ctx, Seq("hu", "hv"), "left")
       .join(cont2, Seq("hv", "hw"), "left")
       .join(midv, Seq("hv"), "left")
-      .join(n1w, Seq("hw"), "left")
+      .join(hinted(n1w), Seq("hw"), "left")
       .crossJoin(broadcast(tot))
       .withColumn("__pc", pcw.cast("long"))
       .withColumn("__p2", p2.cast("long"))

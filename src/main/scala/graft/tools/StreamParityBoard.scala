@@ -88,6 +88,45 @@ object StreamParityBoard {
     }
   }
 
+  /** Two-input variant of [[runMem]] for stream-stream joins: both
+    * sides are MemoryStreams fed in alternating `cfg.chunk`-row
+    * micro-batches (left chunk, right chunk, drain — the interleaving
+    * a real two-topic consumer produces), then the sink is hashed.
+    * Inner-join matches emit as soon as both sides hold the rows, so
+    * no flush is needed for completeness. */
+  def runMem2[A <: Product : Encoder, B <: Product : Encoder](
+      spark: SparkSession, cfg: Cfg,
+      lRows: Seq[A], lCols: Seq[String],
+      rRows: Seq[B], rCols: Seq[String],
+      build: (DataFrame, DataFrame) => DataFrame,
+      project: DataFrame => DataFrame): (Long, String) = {
+    spark.conf.set("spark.sql.shuffle.partitions", cfg.parts.toString)
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lIn = MemoryStream[A]
+    val rIn = MemoryStream[B]
+    qctr += 1
+    val qn = s"spb_$qctr"
+    val ckpt = Files.createTempDirectory("spb_ckpt").toString
+    val q = build(lIn.toDF().toDF(lCols: _*), rIn.toDF().toDF(rCols: _*))
+      .writeStream.format("memory").queryName(qn).outputMode("append")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      val chunk = math.max(1, math.min(cfg.chunk,
+        math.max(lRows.size, rRows.size)))
+      val lChunks = lRows.grouped(chunk).toSeq
+      val rChunks = rRows.grouped(chunk).toSeq
+      (0 until math.max(lChunks.size, rChunks.size)).foreach { i =>
+        if (i < lChunks.size) lIn.addData(lChunks(i))
+        if (i < rChunks.size) rIn.addData(rChunks(i))
+        q.processAllAvailable()
+      }
+      msHash(project(spark.table(qn)))
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(qn)
+    }
+  }
+
   /** Run a foreachBatch ingest-dedup sink under one config and hash
     * the projected parquet it writes (minus the `__batch` partition
     * column, which legitimately differs with slicing). */
@@ -376,6 +415,181 @@ object StreamParityBoard {
     }, Some(msHash(pairProject(
       graft.operators.Multimodal.audioDupsAgainstIndex(spark, audIdx,
         addKind("audio")(audDelta.toDF("media_id", "bytes")))))))
+
+    // ---- 11. the five frontier gates (r21, VERDICT r20 item 9) ----
+    // stateless by contract: partition count and micro-batch slicing
+    // must be invisible, and the batch twin is the SAME function
+    // applied to the batch frame (audit shapes keep every row)
+    val gateDocs = docRows.take(400)
+    record("encodingGate", cfgs.map { c =>
+      c.name -> runMem(spark, c, gateDocs, Seq("doc_id", "text"),
+        df => Streams.encodingGate(df, "text", keepRejected = true),
+        identity[DataFrame])
+    }, Some(msHash(Streams.encodingGate(
+      gateDocs.toDF("doc_id", "text"), "text", keepRejected = true))))
+    record("langGate", cfgs.map { c =>
+      c.name -> runMem(spark, c, gateDocs, Seq("doc_id", "text"),
+        df => Streams.langGate(df, "text", Seq("en"), keepRejected = true),
+        identity[DataFrame])
+    }, Some(msHash(Streams.langGate(
+      gateDocs.toDF("doc_id", "text"), "text", Seq("en"),
+      keepRejected = true))))
+    val gateWeights = graft.operators.TextStats.classifierTrain(
+      gateDocs.toDF("doc_id", "text").withColumn("label",
+        (length(col("text")) % 2 === 0).cast("int")),
+      "doc_id", "text", "label", numBuckets = 128, rounds = 3)
+    record("qualityGate", cfgs.map { c =>
+      c.name -> runMem(spark, c, gateDocs, Seq("doc_id", "text"),
+        df => Streams.qualityGate(df, "text", gateWeights,
+          keepRejected = true),
+        identity[DataFrame])
+    }, Some(msHash(Streams.qualityGate(
+      gateDocs.toDF("doc_id", "text"), "text", gateWeights,
+      keepRejected = true))))
+    record("entropyGate", cfgs.map { c =>
+      c.name -> runMem(spark, c, gateDocs, Seq("doc_id", "text"),
+        df => Streams.entropyGate(df, "text", keepRejected = true),
+        identity[DataFrame])
+    }, Some(msHash(Streams.entropyGate(
+      gateDocs.toDF("doc_id", "text"), "text", keepRejected = true))))
+    val robotsBodies = Seq(
+      ("a.ex", "User-agent: GraftBot\nDisallow: /g/\nAllow: /g/ok\n" +
+        "User-agent: *\nDisallow: /\n"),
+      ("b.ex", "User-agent: *\nDisallow: /*.tmp$\n"))
+      .toDF("rhost", "body")
+    val robotsRules = graft.operators.Robots.parseRules(
+      robotsBodies, "rhost", "body", "GraftBot")
+    val gateUrls: Seq[(Long, String)] = gateDocs.map { case (id, _) =>
+      val host = Seq("a.ex", "b.ex", "c.ex")(
+        (id % 3).toInt)
+      val path = (id % 4) match {
+        case 0 => s"/g/secret$id"
+        case 1 => s"/g/ok$id"
+        case 2 => s"/x$id.tmp"
+        case _ => s"/free$id"
+      }
+      (id, s"https://$host$path")
+    }
+    record("robotsGate", cfgs.map { c =>
+      c.name -> runMem(spark, c, gateUrls, Seq("doc_id", "url"),
+        df => Streams.robotsGate(df, robotsRules, "url",
+          keepDisallowed = true),
+        identity[DataFrame])
+    }, Some(msHash(Streams.robotsGate(
+      gateUrls.toDF("doc_id", "url"), robotsRules, "url",
+      keepDisallowed = true))))
+
+    // ---- 12. warcIngestQuarantine (stateless flatMap; bad blobs
+    // surface as quarantine rows, never poison the batch) ----
+    val warcBlobs: Seq[(Timestamp, Array[Byte])] =
+      evRows.take(60).zipWithIndex.map { case (e, i) =>
+        val blob =
+          if (i % 5 == 4) s"NOT A WARC $i".getBytes("UTF-8")
+          else graft.sources.Warc.encodeResponse(
+            s"https://ex.com/p$i", "2026-01-01T00:00:00Z", 200, "OK",
+            s"body text $i ${"x" * (i % 7)}".getBytes("UTF-8"))
+        (e._2, blob)
+      }
+    def warcProject(df: DataFrame): DataFrame =
+      df.select(col("target_uri"), col("http_status"),
+        col("content_length"), col("body"), col("quarantined"),
+        col("q_offset"), col("q_reason"))
+    record("warcIngestQuarantine", cfgs.map { c =>
+      c.name -> runMem(spark, c, warcBlobs, Seq("ts", "bytes"),
+        df => Streams.warcIngestQuarantine(df, "bytes"),
+        warcProject)
+    }, Some(msHash(warcProject(Streams.warcIngestQuarantine(
+      warcBlobs.toDF("ts", "bytes"), "bytes")))))
+
+    // ---- 13. fkOrphanCounts (stream-static left join + windowed agg) ----
+    val dimUsers = evRows.map(_._3).distinct.filter(_ % 3 != 0)
+      .toDF("user_id") // every user_id % 3 == 0 event is an orphan
+    def fkProject(df: DataFrame): DataFrame =
+      df.select(unix_micros(col("w_start")).as("w_us"),
+        col("n_orphans"), col("n_null_keys"), col("approx_keys"))
+    record("fkOrphanCounts", cfgs.map { c =>
+      c.name -> runMem(spark, c, evRows, evCols,
+        df => Streams.fkOrphanCounts(df, "user_id", dimUsers, "user_id"),
+        fkProject, flush = flushEv)
+    }, Some {
+      // inline batch replica of the same join + windowed aggregate.
+      // The twin aggregates the REAL rows only: the flush row exists
+      // to advance the stream's watermark, and its own far-future
+      // window never closes, so append mode never emits it
+      val all = evRows.toDF(evCols: _*)
+      val parents = dimUsers.select(col("user_id").as("__k"))
+        .distinct().withColumn("__hit", lit(1))
+      val isOrphan = col("__k").isNotNull && col("__hit").isNull
+      msHash(all.select(col("ts"), col("user_id").as("__k"))
+        .join(parents, Seq("__k"), "left")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(when(isOrphan, lit(1))).as("n_orphans"),
+          count(when(col("__k").isNull, lit(1))).as("n_null_keys"),
+          approx_count_distinct(when(isOrphan, col("__k")))
+            .as("approx_keys"))
+        .select(unix_micros(col("window.start")).as("w_us"),
+          col("n_orphans"), col("n_null_keys"), col("approx_keys")))
+    })
+
+    // ---- 14. domainTokenCounts (windowed per-domain accounting) ----
+    val domRows: Seq[(Timestamp, String, String)] = evRows.map { e =>
+      (e._2, s"https://site${e._3 % 13}.example.com/p/${e._1 % 97}",
+        s"some words here ${e._4} ${"tok " * (e._1 % 9).toInt}")
+    }
+    val domFlush = Seq((flushEv.head._2, "https://flush.example.com/x", "f"))
+    def domProject(df: DataFrame): DataFrame =
+      df.select(unix_micros(col("w_start")).as("w_us"), col("domain"),
+        col("n_docs"), col("sum_tokens"))
+    record("domainTokenCounts", cfgs.map { c =>
+      c.name -> runMem(spark, c, domRows, Seq("ts", "url", "text"),
+        df => Streams.domainTokenCounts(df, "url", "text"),
+        domProject, flush = domFlush)
+    }, Some {
+      // flush row excluded: its window never closes (see fkOrphanCounts)
+      val all = domRows.toDF("ts", "url", "text")
+      msHash(all.select(col("ts"),
+          graft.operators.CorpusMix.registrableDomain(col("url"))
+            .as("domain"),
+          graft.operators.CorpusMix.wsTokenCount(col("text")).as("__t"))
+        .groupBy(window(col("ts"), "1 hour"), col("domain"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("sum_tokens"))
+        .select(unix_micros(col("window.start")).as("w_us"), col("domain"),
+          col("n_docs"), col("sum_tokens")))
+    })
+
+    // ---- 15. knScore (stateless row-local scoring vs the batch op) ----
+    val knModel = graft.operators.TextStats.knTrain(
+      docRows.take(300).toDF("doc_id", "text"), "text")
+    val knLm = graft.operators.TextStats.knTable(knModel)
+    val knDelta = docRows.slice(300, 360)
+    record("knScore", cfgs.map { c =>
+      c.name -> runMem(spark, c, knDelta, Seq("doc_id", "text"),
+        df => Streams.knScore(df, "doc_id", "text", knLm),
+        identity[DataFrame])
+    }, Some(msHash(graft.operators.TextStats.knScoreWithTable(
+      knDelta.toDF("doc_id", "text"), "doc_id", "text", knLm))))
+
+    // ---- 16. intervalJoin (stream-stream, two watermarked sides) ----
+    val clicks: Seq[(Long, Timestamp)] = evRows.map(e => (e._3, e._2))
+    val purchases: Seq[(Long, Timestamp)] = evRows.zipWithIndex
+      .collect { case (e, i) if i % 3 == 0 =>
+        (e._3, new Timestamp(e._2.getTime + 600000L)) }
+    record("intervalJoin", cfgs.map { c =>
+      c.name -> runMem2(spark, c, clicks, Seq("user_id", "ts"),
+        purchases, Seq("user_id", "ts"),
+        (l, r) => Streams.intervalJoin(l, r, "user_id",
+          horizon = "1 hour", watermark = "10 minutes"),
+        df => df.select(col("user_id"), unix_micros(col("l_ts")),
+          unix_micros(col("r_ts"))))
+    }, Some {
+      val l = clicks.toDF("user_id", "l_ts")
+      val r = purchases.toDF("user_id", "r_ts")
+      msHash(l.join(r, Seq("user_id"))
+        .filter(col("r_ts") >= col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr("INTERVAL 1 hour"))
+        .select(col("user_id"), unix_micros(col("l_ts")),
+          unix_micros(col("r_ts"))))
+    })
 
     // ---- write board + verdict ----
     val rows = results.map { case (name, (runs, twin)) =>

@@ -808,6 +808,29 @@ class TextStatsSpec extends AnyFunSuite {
     // round 1 merges (a,b); every word is then a single symbol — no
     // pairs left, so rounds 2..5 are skipped, not nulled
     assert(TextStats.bpeTrainMerges(d, "text", rounds = 5) == Seq(("a", "b")))
+    // the forced-distributed loop stops identically
+    assert(TextStats.bpeTrainMerges(d, "text", rounds = 5,
+      driverVocabLimit = 0) == Seq(("a", "b")))
+  }
+
+  test("bpeTrainMerges: gated driver loop equals the distributed loop " +
+      "merge-for-merge (r21)") {
+    import spark.implicits._
+    // tie pressure (equal pair counts force the (a asc, b asc) rule),
+    // multi-round dependencies, weights > 1, and an empty doc
+    val d = Seq((1L, "abab abab abc cab bac"), (2L, "aaa bbb aaa"),
+      (3L, "cc cc cc dd"), (4L, "")).toDF("doc_id", "text")
+    for (r <- Seq(1, 3, 6)) {
+      val fast = TextStats.bpeTrainMerges(d, "text", rounds = r)
+      val loop = TextStats.bpeTrainMerges(d, "text", rounds = r,
+        driverVocabLimit = 0)
+      assert(fast == loop, s"rounds=$r: driver $fast != distributed $loop")
+    }
+    // empty corpus: both sides return no merges
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextStats.bpeTrainMerges(empty, "text", rounds = 3).isEmpty)
+    assert(TextStats.bpeTrainMerges(empty, "text", rounds = 3,
+      driverVocabLimit = 0).isEmpty)
   }
 
   test("bpeEncode emits codepoint/merge token ids in document order") {
