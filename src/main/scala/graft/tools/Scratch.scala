@@ -128,6 +128,26 @@ object Scratch {
           .filter(d2 <= lit(48.0 * 48.0))
         for (i <- 1 to 3) time(s"full SHUFFLE_HASH(probe build) #$i") { noop(full(shj2)) }
         for (i <- 1 to 3) time(s"full current(broadcast) #$i") { noop(full(joined)) }
+      case "saeq" =>
+        // driver-vs-distributed equality of repeatedSpans at this SF
+        // (the raised 2^22 gate makes sf1 take the driver path)
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        def hash(df: org.apache.spark.sql.DataFrame): String = {
+          val rows = df.collect().map(_.toSeq.mkString("|")).sorted
+          val md = java.security.MessageDigest.getInstance("SHA-256")
+          rows.foreach(r => md.update(r.getBytes("UTF-8")))
+          s"${rows.length}/${md.digest().map("%02x".format(_)).mkString.take(16)}"
+        }
+        val fast = time("repeatedSpans driver (default)") {
+          hash(graft.operators.SuffixArray.repeatedSpans(
+            docs, "doc_id", "text", 8))
+        }
+        val loop = time("repeatedSpans distributed (limit=0)") {
+          hash(graft.operators.SuffixArray.repeatedSpans(
+            docs, "doc_id", "text", 8, driverPosLimit = 0))
+        }
+        println(s"[scratch] driver=$fast distributed=$loop " +
+          (if (fast == loop) "EQUAL" else "DIVERGED"))
       case "spans" =>
         val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         time("warm docs") { noop(docs) }
